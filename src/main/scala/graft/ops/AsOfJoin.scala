@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join — reference design
+  * design_doc/DataModel_SchemaDesign.md:48 ("join event to the dimension row
+  * valid at event time"; SURVEY.md §2.3 J4).
+  *
+  * For each left row, attach the newest right row with the same key whose
+  * time column is <= the left time column.
+  *
+  * Spark has no built-in as-of join, so this composes existing operators
+  * (SURVEY.md §7.3): union-tag both sides, sort per key by time, and
+  * carry the right side's columns forward with last(..., ignoreNulls) —
+  * a single shuffle on the key, one window pass, no driver state, no
+  * per-row lookups. This is the classic scalable as-of formulation (it is
+  * also how the reference's "read-time join" would be phrased for SCD2).
+  *
+  * Right rows must be unique per (key, time) — pre-dedup with
+  * [[LatestWins.latestRow]] otherwise the result is nondeterministic.
+  *
+  * Scale notes: shuffle is on the join key only; time-ordering happens
+  * within key partitions (sort, no extra exchange). Skewed keys behave like
+  * any window function — salt the key upstream if one key dominates.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (e.g. events)
+    * @param right      build side (e.g. dimension versions)
+    * @param leftKey    join key column on left
+    * @param rightKey   join key column on right
+    * @param leftTime   event-time column on left
+    * @param rightTime  validity-start column on right
+    * @param rightCols  right columns to attach (must not collide with left)
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1)) // probe sorts AFTER build rows at equal ts
+      .select((leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        Seq(col("__k"), col("__t"), col("__side"))): _*)
+
+    val r = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(col) ++
+        Seq(col("__k"), col("__t"), col("__side"))): _*)
+
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l.unionByName(r).select(
+      (leftCols.map(col) ++
+        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+        col("__side")): _*
+    )
+
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+}

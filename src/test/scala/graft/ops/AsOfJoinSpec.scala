@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("each left row gets the newest right row at-or-before its time") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00")),
+      (3L, "u1", ts("2024-01-01 09:00:00")), // before any right row
+      (4L, "u2", ts("2024-01-01 10:30:00")),
+      (5L, "u3", ts("2024-01-01 10:30:00"))  // key with no right rows
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), "v1"),
+      ("u1", ts("2024-01-01 11:00:00"), "v2"),
+      ("u2", ts("2024-01-01 10:30:00"), "w1") // equal ts → matches
+    ).toDF("k", "valid_from", "version")
+
+    val out = AsOfJoin(left, right, "k", "k", "ts", "valid_from", Seq("version"))
+      .select("event_id", "version").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(1L -> Some("v1"), 2L -> Some("v2"), 3L -> None,
+      4L -> Some("w1"), 5L -> None))
+  }
+
+  test("left columns and row count preserved") {
+    val left  = Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(("a", ts("2023-01-01 00:00:00"), 9L)).toDF("k", "t", "x")
+    val out = AsOfJoin(left, right, "k", "k", "ts", "t", Seq("x"))
+    assert(out.columns.toSeq == Seq("id", "k", "ts", "x"))
+    assert(out.count() == 1)
+  }
+}
