@@ -45,32 +45,38 @@ object AsOfJoin {
       rightCols: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Carry ONE struct of all rightCols, not each column independently:
+    // per-column last(ignoreNulls) could mix columns from different right
+    // rows and would resurrect the previous version's value when a newer
+    // version's attribute is legitimately NULL. The struct itself is
+    // non-null for every right row, so ignoreNulls only skips left rows.
+    val rsType = org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))
 
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1)) // probe sorts AFTER build rows at equal ts
-      .select((leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        Seq(col("__k"), col("__t"), col("__side"))): _*)
+      .select((leftCols.map(col) :+ lit(null).cast(rsType).as("__r")) ++
+        Seq(col("__k"), col("__t"), col("__side")): _*)
 
     val r = right
       .withColumn("__k", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(col) ++
-        Seq(col("__k"), col("__t"), col("__side"))): _*)
+      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r")) ++
+        Seq(col("__k"), col("__t"), col("__side")): _*)
 
     val w = Window
       .partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = l.unionByName(r).select(
-      (leftCols.map(col) ++
-        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
-        col("__side")): _*
-    )
+    val carried = l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
 
-    carried.filter(col("__side") === 1).drop("__side")
+    carried
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

@@ -108,10 +108,14 @@ object LatestWins {
   def merge(target: DataFrame, source: DataFrame, key: Seq[String], coalesceCols: Seq[String]): DataFrame = {
     require(target.columns.sorted.sameElements(source.columns.sorted), "merge: schema mismatch")
     val t       = target.as("t")
-    val s       = source.as("s")
+    // Literal presence marker: the join is null-safe (<=>), so a null-key
+    // source row CAN match — detecting "matched" via key nullness would
+    // misclassify it and let stale target values win. The marker is non-null
+    // exactly when a source row joined.
+    val s       = source.withColumn("__s_present", lit(true)).as("s")
     val cond    = key.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val joined  = t.join(s, cond, "full_outer")
-    val matched = col(s"s.${key.head}").isNotNull
+    val matched = col("s.__s_present").isNotNull
     val out = target.columns.map { c =>
       val merged =
         if (key.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c"))

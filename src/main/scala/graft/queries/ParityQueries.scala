@@ -305,8 +305,8 @@ object ParityQueries {
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       tagged AS (
         SELECT user_id, ts,
-               sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         FROM g)
       SELECT user_id, session_seq, count(*) AS n_events,
              min(ts) AS session_start, max(ts) AS session_end,
@@ -383,14 +383,14 @@ object ParityQueries {
       val months = Tables.events(s, dir)
         .select(col("user_id"), to_date(date_trunc("month", col("ts"))).as("month"))
         .distinct()
-      val next = months.select(col("user_id"), col("month").as("next_month"))
-      months
-        .join(next, months("user_id") === next("user_id") &&
-          add_months(months("month"), 1) === next("next_month"), "left")
-        .groupBy(months("month"))
+      val m = months.as("m")
+      val n = months.select(col("user_id"), col("month").as("next_month")).as("n")
+      m.join(n, col("m.user_id") === col("n.user_id") &&
+          add_months(col("m.month"), 1) === col("n.next_month"), "left")
+        .groupBy(col("m.month"))
         .agg(
           count(lit(1)).as("n_active"),
-          count(next("next_month")).as("n_retained")
+          count(col("n.next_month")).as("n_retained")
         )
     },
     Some("""WITH months AS (

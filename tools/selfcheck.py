@@ -52,6 +52,9 @@ def main():
             continue
         got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
         got_cols = [d[0] for d in got.description]
+        # capture types NOW: `got` is the connection, so its .description is
+        # overwritten once the oracle SQL executes below
+        got_types = {d[0]: d[1] for d in got.description}
         got_rows = got.fetchall()
         if sql is None:
             print(f"[rows-only] {name}: {len(got_rows)} rows")
@@ -66,6 +69,19 @@ def main():
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"[FAIL] {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            failures += 1
+            continue
+        # Type check: the driver hashes arrow values, so a DuckDB HUGEINT /
+        # DECIMAL vs Spark BIGINT diverges even when cell values are equal
+        # (round-1 q12 failure mode). Compare DuckDB's view of both sides.
+        exp_types = {d[0]: d[1] for d in exp.description}
+        ty_diff = {c: (got_types[c], exp_types[c]) for c in got_types
+                   if got_types[c] != exp_types[c]
+                   # TIMESTAMP_NS vs TIMESTAMP etc. normalize in norm_cell
+                   and not (str(got_types[c]).startswith("TIMESTAMP")
+                            and str(exp_types[c]).startswith("TIMESTAMP"))}
+        if ty_diff:
+            print(f"[FAIL] {name}: column types diverge (spark, oracle): {ty_diff}")
             failures += 1
             continue
         g, e = frame_key(got_rows, got_cols), frame_key(exp_rows, exp_cols)
