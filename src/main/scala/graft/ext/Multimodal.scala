@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (extension tier, SURVEY.md §7.4): treat
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, and run decode/feature-extraction as a *batched per-partition*
+  * stage — the shape a real pipeline needs at 100 TB (decoder state is
+  * initialized once per partition, not per row; rows never leave executors).
+  *
+  * The decode itself is a clearly-marked STUB: no image/audio codecs exist
+  * in this environment, so `fakeDecode` derives deterministic pseudo-features
+  * from the payload bytes. The Spark-side plumbing — schema, binary column
+  * handling, Dataset encoders, mapPartitions batch shape — is real and
+  * tested; swapping `fakeDecode` for a JNI/codec call changes nothing else.
+  */
+object Multimodal {
+
+  /** One media row in: opaque payload plus its id. */
+  final case class MediaRow(id: Long, payload: Array[Byte])
+
+  /** Extracted features out (what a real image decode would yield). */
+  final case class MediaFeatures(id: Long, width: Int, height: Int, brightness: Double)
+
+  /** Typed metadata over an opaque binary payload — pure built-in
+    * expressions (codegen'd, no decode needed): size, content digest,
+    * transport-safe head sample.
+    */
+  def meta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      octet_length(col(payloadCol)).cast("long").as("n_bytes"),
+      md5(col(payloadCol)).as("content_hash"),
+      substring(base64(col(payloadCol)), 1, 16).as("b64_head")
+    )
+
+  /** Batched per-partition "decode": the mapPartitions boundary is where a
+    * real codec would be initialized once per partition and fed row batches.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).cast("binary").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // STUB decoder: a real implementation opens the codec HERE, once.
+        rows.map(fakeDecode)
+      }
+  }
+
+  /** STUB — deterministic pseudo-decode from payload bytes. A real decoder
+    * (??? in a codec-equipped build) would parse the container header for
+    * dimensions and average the luma plane for brightness.
+    */
+  private[ext] def fakeDecode(r: MediaRow): MediaFeatures = {
+    val b = r.payload
+    val w = if (b.length > 0) 1 + (b(0) & 0x7f) else 0
+    val h = if (b.length > 1) 1 + (b(1) & 0x7f) else 0
+    val n = math.min(b.length, 64)
+    val brightness =
+      if (n == 0) 0.0
+      else b.iterator.take(n).map(x => (x & 0xff).toDouble).sum / (n * 255.0)
+    MediaFeatures(r.id, w, h, brightness)
+  }
+}

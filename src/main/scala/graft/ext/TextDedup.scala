@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for large-scale training-data pipelines
+  * (extension tier, SURVEY.md §7.4 — beyond the reference's own surface).
+  *
+  * Everything here is expressed with codegen-friendly built-in functions
+  * (split / transform / md5 / min-agg) — no UDFs, no driver-side state — so
+  * each operator is a single shuffle (or none) and scales linearly:
+  *
+  *   - exact dedup: one hash-aggregate on md5(text). At 100 TB the digest
+  *     (16 bytes) shuffles instead of the document body.
+  *   - MinHash: K independent permutations are emulated with K seeded
+  *     digests; `min` is partial-aggregable, so signatures are computed with
+  *     map-side combine and only (id, K×32B) rows ever shuffle.
+  *   - LSH banding: candidate generation is an equi-join on (band, band_key)
+  *     — a plain shuffle join on a short key, never an O(n²) cross join.
+  *   - SimHash: 32 conditional sums, also partial-aggregable.
+  *   - exact n-gram Jaccard is intentionally restricted to candidate pairs /
+  *     a blocking column: the all-pairs form does not exist at scale.
+  */
+object TextDedup {
+
+  /** Whitespace tokens, empty-token free. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles ("a b", "b c", ...) from a token array. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)
+        )
+      )
+
+  /** Seeded shingle digest: one "hash permutation" per seed. Lexicographic
+    * order on fixed-width hex == numeric order, so `min(hex)` is a valid
+    * minhash and stays engine-portable (DuckDB md5 produces identical hex).
+    */
+  def seededDigest(seed: Int, s: Column): Column =
+    md5(concat(lit(s"$seed|"), s).cast("binary"))
+
+  /** MinHash signatures: one row per id with columns sig0..sig{k-1}.
+    * One explode + one hash-aggregate; ids with fewer than `shingleN`
+    * tokens produce no shingles and are absent from the output.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(wordShingles(tokens(col(textCol)), shingleN)).as("__sh"))
+    sh.groupBy(col(idCol))
+      .agg(
+        min(seededDigest(0, col("__sh"))).as("sig0"),
+        (1 until k).map(i => min(seededDigest(i, col("__sh"))).as(s"sig$i")): _*
+      )
+  }
+
+  /** LSH banding over a minhash-signature frame: one row per (id, band)
+    * with the band's bucket key (digest of the band's signature slice).
+    */
+  def lshBands(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val nBands = k / rowsPerBand
+    (0 until nBands)
+      .map { b =>
+        val slice = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
+        sigs.select(
+          col(idCol),
+          lit(b).as("band"),
+          md5(concat_ws("|", slice: _*).cast("binary")).as("band_key")
+        )
+      }
+      .reduce(_ union _)
+  }
+
+  /** Near-duplicate candidate pairs via LSH: ids sharing any band bucket,
+    * with the number of matching signature components and the implied
+    * Jaccard estimate. Join is on (band, band_key) — shuffle-friendly.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = lshBands(sigs, idCol, k, rowsPerBand)
+    val pairs = bands.as("x")
+      .join(
+        bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol")
+      )
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    // "__"-prefixed renames so they can't collide with pairs' id_a/id_b
+    // (they would, whenever idCol itself is named "id")
+    val sa = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"__${c}_a"))
+    val sb = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"__${c}_b"))
+    val nMatch = (0 until k)
+      .map(i => when(col(s"__sig${i}_a") === col(s"__sig${i}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sa, col("id_a") === col(s"__${idCol}_a"))
+      .join(sb, col("id_b") === col(s"__${idCol}_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        nMatch.as("n_sig_match"),
+        (nMatch / lit(k.toDouble)).as("est_jaccard")
+      )
+  }
+
+  /** Exact word-n-gram Jaccard for all pairs inside a blocking group
+    * (e.g. same `source`). Pairs with an empty intersection are omitted.
+    * The blocking column is what keeps this from being an all-pairs join —
+    * at scale, feed it LSH candidates or a coarse cluster id.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String, shingleN: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol), col(blockCol), explode(wordShingles(tokens(col(textCol)), shingleN)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(
+        sh.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.sh") === col("b.sh") &&
+          col(s"a.$idCol") < col(s"b.$idCol")
+      )
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .select(
+        col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard")
+      )
+  }
+
+  /** 32-bit SimHash over the token multiset: for each bit, sum +1/-1 of the
+    * token digest's bit, then set the result bit where the sum is positive.
+    * One explode + one partial-aggregable hash-aggregate.
+    */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    // first 8 md5 hex chars as an unsigned 32-bit value
+    val v = conv(substring(md5(col("__tok").cast("binary")), 1, 8), 16, 10).cast("long")
+    val bitSums = toks
+      .withColumn("__v", v)
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(shiftright(col("__v"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("b0"),
+        (1 until 32).map(i =>
+          sum(when(shiftright(col("__v"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i")
+        ): _*
+      )
+    val hash = (0 until 32)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash columns. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing fingerprints: char-`k`-gram digests, minimum per sliding
+    * window of `w` consecutive positions, distinct per document. Output:
+    * (id, n_fingerprints, min_fp). Robust-winnowing document signature —
+    * the standard plagiarism/near-dup fingerprint (Schleimer et al., SIGMOD
+    * 2003). One explode + one window pass partitioned by document.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 8, w: Int = 4): DataFrame = {
+    // gram start positions 1..len-k+1; documents shorter than k yield none
+    val maxPos = length(col(textCol)) - lit(k - 1)
+    val posSeq = when(maxPos < 1, array().cast("array<int>")).otherwise(sequence(lit(1), maxPos))
+    val positions = df.select(col(idCol), col(textCol), explode(posSeq).as("i"))
+    val grams = positions.select(
+      col(idCol), col("i"),
+      md5(col(textCol).substr(col("i"), lit(k)).cast("binary")).as("h")
+    )
+    val win = Window.partitionBy(col(idCol)).orderBy(col("i")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("fp")).as("n_fingerprints"), min(col("fp")).as("min_fp"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`) —
+  * extension tier (SURVEY.md §7.4).
+  *
+  * All math uses higher-order functions (`zip_with`/`aggregate`) so it stays
+  * inside whole-stage codegen — no UDFs, no per-row JVM boxing beyond the
+  * array itself. Dot products are computed in double precision with a fixed
+  * left-to-right fold, which keeps results bit-identical across engines.
+  *
+  * Scale posture:
+  *   - brute-force top-k is the correctness baseline: broadcast the (small)
+  *     query set against the corpus — one scan, no shuffle of the corpus,
+  *     per-partition top-k via the rank window on (query, sim).
+  *   - `signBucket` is the LSH scale path: a deterministic
+  *     sign-random-projection bucket (here: the signs of the leading
+  *     dimensions). Candidates are an equi-join on the bucket id, so the
+  *     corpus is probed per-bucket instead of in full; recall is traded for
+  *     a ~2^bits reduction in compared pairs. At 100 TB the corpus would be
+  *     pre-partitioned (bucketBy) on this id so probes touch one partition.
+  */
+object VectorSearch {
+
+  /** Cast a float array to double for engine-portable exact arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-to-right summed dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays (null when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
+
+  /** Deterministic sign-projection LSH bucket: bit i set iff element i+1 of
+    * the embedding is >= 0. Sign comparisons are exact (no float tolerance),
+    * so bucketing is reproducible across engines.
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(v, i + 1) >= 0f, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Brute-force cosine top-k: for every query row, the `k` nearest corpus
+    * rows. Similarity is rounded to `roundDigits` before ranking (with the
+    * corpus id as tiebreak) so the ordering is total and portable.
+    * Output: (qid, id, sim, rank).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      k: Int, roundDigits: Int = 4
+  ): DataFrame = {
+    val q = broadcast(
+      queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv")))
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
+    rankTopK(q.join(c), k, roundDigits)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are corpus rows in the same
+    * sign bucket as the query — an equi-join instead of a cross join.
+    * Same output shape as [[bruteForceTopK]]; queries whose bucket is empty
+    * produce no rows (the recall trade).
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      k: Int, bits: Int, roundDigits: Int = 4
+  ): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"),
+      signBucket(col(qVecCol), bits).as("__bkt")))
+    val c = corpus.select(
+      col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"),
+      signBucket(col(vecCol), bits).as("__bkt"))
+    rankTopK(q.join(c, "__bkt"), k, roundDigits)
+  }
+
+  private def rankTopK(joined: DataFrame, k: Int, roundDigits: Int): DataFrame = {
+    val sim = round(cosine(col("__qv"), col("__cv")), roundDigits)
+    val w   = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    joined
+      .withColumn("sim", sim)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rnk"))
+  }
+
+  /** Embedding near-duplicate pairs: same sign bucket AND rounded cosine >=
+    * `threshold`. The bucket equi-join is the blocking step that makes this
+    * feasible at scale; identical vectors always land in the same bucket, so
+    * exact duplicates are never missed.
+    * Output: (id_a, id_b, sim) with id_a < id_b.
+    */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, threshold: Double, roundDigits: Int = 4
+  ): DataFrame = {
+    val side = df.select(
+      col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("bkt"))
+    side.as("a")
+      .join(side.as("b"), col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), roundDigits).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,407 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Multimodal, TextDedup, TextStats, VectorSearch}
+import graft.queries.ParityQueries.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension-tier query suite (SURVEY.md §7.4): the LLM-data-pipeline
+  * operators — dedup, similarity search, multimodal metadata, text analysis
+  * — over the driver's `documents` / `embeddings` tables, each paired with
+  * a DuckDB oracle.
+  *
+  * Engine-portability rules (same spirit as ParityQueries):
+  *   - hashing via md5 hex (identical in Spark and DuckDB); minhash =
+  *     lexicographic min over fixed-width hex;
+  *   - integer arithmetic (counts, basis points) in BIGINT with floor
+  *     division; float similarity rounded before ranking, corpus id as
+  *     tiebreak, so every ordering is total;
+  *   - vector math on DOUBLE arrays with a left-to-right fold in both
+  *     engines.
+  *
+  * The test corpus contains no natural duplicates, so dedup queries
+  * synthesize them *deterministically inside the query* (union with
+  * re-keyed copies) — both engines see the identical corpus.
+  */
+object ExtensionQueries {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Shared DuckDB CTE: whitespace tokens per document. */
+  private val toksCte =
+    """toks AS (SELECT doc_id, lang, source, text,
+      |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents)""".stripMargin
+
+  /** Shared DuckDB CTE tail: word-2gram shingles (1-indexed lists). */
+  private val shinglesFromToks =
+    """sh AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] AS s
+      |  FROM toks, UNNEST(range(1, len(w))) AS t(i))""".stripMargin
+
+  private def minhashSigSelects(k: Int): String =
+    (0 until k).map(i => s"min(md5('$i|' || s)) AS sig$i").mkString(",\n  ")
+
+  // ---------------------------------------------------------------------
+  // Dedup 1: exact (hash groupBy). Corpus = documents ∪ re-keyed copies of
+  // every 10th doc, so the operator has real duplicates to collapse.
+  private val q21 = Q(
+    "q21_exact_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000L)
+      docs.union(dups)
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+      SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM corpus GROUP BY 1 HAVING count(*) > 1""")
+  )
+
+  // Dedup 2: MinHash signatures (8 seeded digests over word-2gram shingles)
+  private val q22 = Q(
+    "q22_minhash_sigs",
+    (s, dir) =>
+      TextDedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", k = 8, shingleN = 2),
+    Some(s"""WITH $toksCte,
+      $shinglesFromToks
+      SELECT doc_id,
+  ${minhashSigSelects(8)}
+      FROM sh GROUP BY doc_id""")
+  )
+
+  // Dedup 3: LSH banding (4 bands × 2 rows) → candidate pairs + est jaccard
+  private val q23 = Q(
+    "q23_lsh_candidates",
+    (s, dir) => {
+      val sigs = TextDedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", 8, 2)
+      TextDedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 2)
+    },
+    Some {
+      val nMatch = (0 until 8).map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $toksCte,
+      $shinglesFromToks,
+      sigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs),
+      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b,
+        CAST($nMatch AS BIGINT) AS n_sig_match,
+        ($nMatch) / 8.0 AS est_jaccard
+      FROM pairs JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id"""
+    }
+  )
+
+  // Dedup 4: exact n-gram Jaccard within a blocking group (same source)
+  private val q24 = Q(
+    "q24_ngram_jaccard",
+    (s, dir) =>
+      TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", shingleN = 2),
+    Some(s"""WITH $toksCte,
+      shd AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] AS s
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+      common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shd a JOIN shd b
+        ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+        round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id""")
+  )
+
+  // Dedup 5: 32-bit SimHash per document
+  private val q25 = Q(
+    "q25_simhash",
+    (s, dir) => TextDedup.simhash32(Tables.documents(s, dir), "doc_id", "text"),
+    Some {
+      // 8-hex-char prefix of md5(tok) as an unsigned 32-bit value, parsed
+      // digit-by-digit (DuckDB has no hex→int cast)
+      val hexVal = (0 until 8).map { p =>
+        val term = s"CAST(strpos('0123456789abcdef', substr(md5(tok), ${p + 1}, 1)) - 1 AS BIGINT)"
+        val mult = 1L << (4 * (7 - p))
+        if (mult == 1L) term else s"$term * $mult"
+      }.mkString(" + ")
+      val bitSums = (0 until 32)
+        .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+        .mkString(",\n  ")
+      val rebuild = (0 until 32)
+        .map(i => s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok_rows AS (SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, $hexVal AS v FROM tok_rows),
+      bits AS (SELECT doc_id,
+  $bitSums
+        FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($rebuild AS BIGINT) AS simhash FROM bits"""
+    }
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB cosine over DOUBLE lists (same left-to-right fold as Spark)
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+       (sqrt(list_sum(list_transform($a, x -> x * x))) *
+        sqrt(list_sum(list_transform($b, x -> x * x))))"""
+
+  private def duckSignBucket(col: String, bits: Int): String =
+    (0 until bits)
+      .map(i => s"(CASE WHEN $col[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  // Similarity search 1: brute-force cosine top-5 (queries = vec_id < 10)
+  private val q26 = Q(
+    "q26_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+      scored AS (SELECT qid, id, round(${duckCos("q.v", "c.v")}, 4) AS sim FROM q, c)
+      SELECT qid, id, sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 5""")
+  )
+
+  // Similarity search 2: embedding near-dup pairs via sign-LSH blocking.
+  // Corpus = embeddings ∪ re-keyed copies of every 20th vector (exact dups
+  // land in the same bucket with cosine 1.0).
+  private val q27 = Q(
+    "q27_embedding_neardup",
+    (s, dir) => {
+      val emb  = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val dups = emb.filter(col("vec_id") % 20 === 0).withColumn("vec_id", col("vec_id") + 100000L)
+      VectorSearch.nearDupPairs(emb.union(dups), "vec_id", "embedding", bits = 6, threshold = 0.999)
+    },
+    Some(s"""WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      side AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS bkt FROM corpus),
+      scored AS (SELECT a.id AS id_a, b.id AS id_b,
+        round(${duckCos("a.v", "b.v")}, 4) AS sim
+        FROM side a JOIN side b ON a.bkt = b.bkt AND a.id < b.id)
+      SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.999""")
+  )
+
+  // Similarity search 3: LSH-bucketed approximate top-3 (the scale path —
+  // candidates from the query's sign bucket only)
+  private val q28 = Q(
+    "q28_ann_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.lshTopK(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, bits = 6)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS bkt FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS bkt FROM embeddings WHERE vec_id >= 10),
+      scored AS (SELECT qid, id, round(${duckCos("q.v", "c.v")}, 4) AS sim
+        FROM q JOIN c ON q.bkt = c.bkt)
+      SELECT qid, id, sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 3""")
+  )
+
+  // ---------------------------------------------------------------------
+  // Text analysis 1: token counting (whitespace + subword-regex)
+  private val q29 = Q(
+    "q29_token_stats",
+    (s, dir) => TextStats.tokenStats(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword_tokens
+      FROM documents""")
+  )
+
+  // Text analysis 2: quality scoring in exact basis points
+  private val q30 = Q(
+    "q30_quality_score",
+    (s, dir) => TextStats.qualityScore(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and'))) AS BIGINT) AS n_stop,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+        CAST(len(list_distinct(w)) AS BIGINT) AS n_dist
+        FROM t)
+      SELECT doc_id, n_tokens,
+        CAST(CASE WHEN n_tokens > 0 THEN (n_stop * 10000) // n_tokens ELSE 0 END AS BIGINT) AS stop_bp,
+        CAST(CASE WHEN n_chars > 0 THEN (n_space * 10000) // n_chars ELSE 0 END AS BIGINT) AS space_bp,
+        CAST(CASE WHEN n_tokens > 0 THEN (n_dist * 10000) // n_tokens ELSE 0 END AS BIGINT) AS ttr_bp,
+        CASE WHEN n_tokens < 10 THEN 'short'
+             WHEN (CASE WHEN n_tokens > 0 THEN (n_dist * 10000) // n_tokens ELSE 0 END) < 3000 THEN 'low_diversity'
+             ELSE 'good' END AS quality_bin
+      FROM m""")
+  )
+
+  // Text analysis 3: marker-stopword language-ID → confusion matrix
+  private val q31 = Q(
+    "q31_lang_id",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextStats.langId(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+      h AS (SELECT doc_id, lang,
+        CAST(len(list_filter(w, x -> x IN ('the','and','of'))) AS BIGINT) AS h_en,
+        CAST(len(list_filter(w, x -> x IN ('der','die','und'))) AS BIGINT) AS h_de,
+        CAST(len(list_filter(w, x -> x IN ('le','la','et'))) AS BIGINT) AS h_fr,
+        CAST(len(list_filter(w, x -> x IN ('el','los','y'))) AS BIGINT) AS h_es
+        FROM t),
+      p AS (SELECT lang,
+        CASE WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'en'
+             WHEN h_de = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'de'
+             WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'fr'
+             WHEN h_es = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'es'
+             ELSE 'und' END AS lang_pred
+        FROM h)
+      SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2""")
+  )
+
+  // Text analysis 4: winnowing fingerprints (char 8-grams, window 4)
+  private val q32 = Q(
+    "q32_winnow_fingerprint",
+    (s, dir) => TextDedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4),
+    Some("""WITH pos AS (SELECT doc_id, i, md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+        FROM documents, UNNEST(range(1, greatest(length(text) - 6, 1))) AS t(i)),
+      fps AS (SELECT doc_id,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM pos)
+      SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints, min(fp) AS min_fp
+      FROM fps GROUP BY 1""")
+  )
+
+  // ---------------------------------------------------------------------
+  // Multimodal: opaque binary payload + typed metadata (decode is stubbed
+  // in graft.ext.Multimodal; this exercises the metadata path end-to-end)
+  private val q33 = Q(
+    "q33_multimodal_meta",
+    (s, dir) => {
+      val payload = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.meta(payload, "doc_id", "payload")
+    },
+    Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_hash,
+      substr(base64(encode(text)), 1, 16) AS b64_head
+      FROM documents""")
+  )
+
+  // ---------------------------------------------------------------------
+  // Core extras the reference lacks but a warehouse needs
+  // ROLLUP (subtotal lattice)
+  private val q34 = Q(
+    "q34_rollup",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"),
+          count(lit(1)).as("n")
+        ),
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      count(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+  )
+
+  // Exact percentiles (linear interpolation — same formula both engines)
+  private val q35 = Q(
+    "q35_percentile",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("price_cents", cents(col("l_extendedprice")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("round(percentile(price_cents, 0.5), 4)").as("med_cents"),
+          expr("round(percentile(price_cents, 0.9), 4)").as("p90_cents"),
+          count(lit(1)).as("n")
+        ),
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5), 4) AS med_cents,
+      round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9), 4) AS p90_cents,
+      count(*) AS n
+      FROM lineitem GROUP BY 1""")
+  )
+
+  // Sketch reach: approx_count_distinct beside the exact count. HLL estimates
+  // are implementation-specific → rows-only check (no oracle), by design.
+  private val q36 = Q(
+    "q36_hll_reach",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users")
+        ),
+    None
+  )
+
+  // Set operations: INTERSECT / EXCEPT over user cohorts
+  private val q37 = Q(
+    "q37_set_ops",
+    (s, dir) => {
+      val ev     = Tables.events(s, dir)
+      val split  = lit("2024-01-20 00:00:00").cast("timestamp")
+      val first  = ev.filter(col("ts") < split).select(col("user_id")).distinct()
+      val second = ev.filter(col("ts") >= split).select(col("user_id")).distinct()
+      def tagged(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("segment"), col("n"))
+      tagged("both", first.intersect(second))
+        .unionByName(tagged("first_only", first.except(second)))
+        .unionByName(tagged("second_only", second.except(first)))
+    },
+    Some("""SELECT 'both' AS segment, count(*) AS n FROM (
+        SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        INTERSECT
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+      UNION ALL
+      SELECT 'first_only', count(*) FROM (
+        SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        EXCEPT
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+      UNION ALL
+      SELECT 'second_only', count(*) FROM (
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        EXCEPT
+        SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')""")
+  )
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32, q33, q34, q35, q36, q37)
+}

@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "the quick brown fox"),      // exact dup of 1
+    (3L, "the quick brown wolf"),     // near dup of 1 (3/5 shingle overlap... actually 2/4∪4)
+    (4L, "completely different words here"),
+    (5L, "x")                         // single token → no 2-gram shingles
+  ).toDF("id", "text")
+
+  test("wordShingles produces n-1 shingles, empty below n") {
+    val sh = docs.select($"id", TextDedup.wordShingles(TextDedup.tokens($"text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("the quick", "quick brown", "brown fox"))
+    assert(sh(5L).isEmpty)
+  }
+
+  test("minhash signatures: identical text → identical signature") {
+    val sigs = TextDedup.minhashSignatures(docs, "id", "text", k = 4, shingleN = 2)
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(4L))
+    assert(!rows.contains(5L)) // no shingles → absent, documented behavior
+  }
+
+  test("lshCandidates finds the exact dup with all signatures matching") {
+    val sigs  = TextDedup.minhashSignatures(docs, "id", "text", k = 4, shingleN = 2)
+    val cands = TextDedup.lshCandidates(sigs, "id", k = 4, rowsPerBand = 2).collect()
+    val dup   = cands.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(dup.isDefined && dup.get.getLong(2) == 4L && dup.get.getDouble(3) == 1.0)
+  }
+
+  test("jaccardPairs: identical docs have jaccard 1, disjoint pairs absent") {
+    val blocked = docs.withColumn("blk", lit("b"))
+    val pairs = TextDedup.jaccardPairs(blocked, "id", "text", "blk", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 4L))) // no common shingles
+    assert(pairs((1L, 3L)) > 0 && pairs((1L, 3L)) < 1.0)
+  }
+
+  test("simhash32: identical text → distance 0; different text → > 0") {
+    val sh = TextDedup.simhash32(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 0)
+    // values are 32-bit
+    sh.values.foreach(v => assert(v >= 0 && v <= 0xffffffffL))
+  }
+
+  test("winnowFingerprints: deterministic, short docs drop out") {
+    val fp1 = TextDedup.winnowFingerprints(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(fp1(1L) == fp1(2L))
+    assert(!fp1.contains(5L)) // len 1 < k=8 → no grams
+    assert(fp1(1L)._1 > 0)
+  }
+}

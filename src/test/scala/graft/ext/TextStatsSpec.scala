@@ -1,0 +1,37 @@
+package graft.ext
+
+import graft.SparkFunSuite
+
+class TextStatsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("tokenStats counts whitespace and subword tokens") {
+    val df = Seq((1L, "the cat sat"), (2L, "ab1 cd!")).toDF("id", "text")
+    val r = TextStats.tokenStats(df, "id", "text")
+      .collect().map(x => x.getLong(0) -> x.toSeq.tail).toMap
+    assert(r(1L) == Seq(11L, 3L, 3L, 3L))
+    // "ab1 cd!" → subword: ab, 1, cd, ! = 4
+    assert(r(2L) == Seq(7L, 2L, 2L, 4L))
+  }
+
+  test("qualityScore basis points and bins") {
+    val df = Seq(
+      (1L, "the the the the the the the the the the"), // 10 toks, all stopwords, ttr 1000bp
+      (2L, "one two three")                            // short
+    ).toDF("id", "text")
+    val r = TextStats.qualityScore(df, "id", "text")
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(4), x.getString(5)))).toMap
+    assert(r(1L) == ((10L, 10000L, 1000L, "low_diversity")))
+    assert(r(2L)._4 == "short")
+  }
+
+  test("langId predicts by marker hits, und on no hits") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "der hund und die katze"),
+      (3L, "zzz qqq www")
+    ).toDF("id", "text")
+    val r = TextStats.langId(df, "id", "text").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+}
