@@ -1,0 +1,177 @@
+package graft.streaming
+
+import graft.ops.LatestWins
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming assembly of the reference's three pipelines
+  * (SURVEY.md §2.9 T1-T10; reference src/spark/streaming_job.py,
+  * stream_content.py, stream_dims.py) — re-expressed engine-natively:
+  * file/memory sources instead of Kafka (same `readStream` surface),
+  * parquet snapshots instead of Iceberg, `foreachBatch` + LatestWins.merge
+  * instead of MERGE INTO.
+  *
+  * Scale notes: every stage is bounded-state. The windowed aggregate keeps
+  * state only until the watermark passes (T9 late-data policy); the upsert
+  * sink dedups each micro-batch to one row per key BEFORE touching the
+  * target (the reference's "minimize MERGE overhead" rewrite, W1); nothing
+  * collects to the driver.
+  */
+object StreamPipelines {
+
+  /** P1/P2 envelope parse: a raw `value` string column (Kafka-shaped) into
+    * typed columns via an explicit schema — no inference, PERMISSIVE nulls
+    * (reference streaming_job.py:200-202).
+    */
+  def parseJsonEnvelope(raw: DataFrame, schema: StructType, valueCol: String = "value"): DataFrame =
+    raw
+      .select(from_json(col(valueCol).cast("string"), schema).as("data"))
+      .select(col("data.*"))
+
+  /** T1/T2/A3 — the Gold 1-minute metrics pipeline: watermarked tumbling
+    * window × one conditional count per event type
+    * (reference stream_content.py:123-138). Append-mode-ready: a window row
+    * emits exactly once, after the watermark passes its end.
+    */
+  def minuteMetrics(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      eventTypeCol: String,
+      eventTypes: Seq[String],
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute"
+  ): DataFrame = {
+    val counts = eventTypes.map(t =>
+      count(when(col(eventTypeCol) === t, 1)).as(s"n_$t"))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(keyCol))
+      .agg(counts.head, counts.tail: _*)
+      .select(col("window.start").as("window_start") +: col(keyCol) +:
+        eventTypes.map(t => col(s"n_$t")): _*)
+  }
+
+  /** T8 — built-in session windows (the streaming upgrade of the batch LAG
+    * sessionization the reference defers to T+1).
+    */
+  def sessionMetrics(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "10 seconds"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** T6/J1 — the foreachBatch upsert sink: each micro-batch is reduced to
+    * latest-state-per-key, merged into the parquet snapshot at `targetPath`
+    * with per-column coalesce carry-forward, and the snapshot is atomically
+    * swapped (write-new + rename; a table format would give a real commit
+    * log — the merge semantics are identical).
+    *
+    * Replay-safe: merging the same batch twice converges to the same state
+    * (latest-wins is idempotent), matching the reference's exactly-once-ish
+    * posture (T9: Bronze replay is the recovery path).
+    */
+  def upsertSink(
+      stream: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      key: Seq[String],
+      orderCol: String,
+      tieBreak: Seq[String],
+      denseCols: Seq[String],
+      sparseCols: Seq[String],
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, targetPath, key, orderCol, tieBreak, denseCols, sparseCols)
+      }
+
+  /** The batch body of [[upsertSink]], callable directly (and from tests). */
+  def upsertBatch(
+      batch: DataFrame,
+      targetPath: String,
+      key: Seq[String],
+      orderCol: String,
+      tieBreak: Seq[String],
+      denseCols: Seq[String],
+      sparseCols: Seq[String]
+  ): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val reduced = LatestWins.latestState(
+      batch, key, orderCol, tieBreak, denseCols, sparseCols, maxOrderAlias = "last_seen")
+    val merged =
+      if (pathExists(spark, targetPath)) {
+        val target = spark.read.parquet(targetPath)
+        LatestWins.merge(target, reduced, key, coalesceCols = sparseCols)
+      } else reduced
+    atomicSwapWrite(merged, targetPath)
+  }
+
+  /** T10 — CDC apply (Debezium-style envelope): keep creates/updates,
+    * latest per key by `ts_ms`, upsert into the dimension snapshot; deletes
+    * ('d') remove the key (designed in the reference, implemented here).
+    * Reference stream_dims.py:65-141.
+    */
+  def applyCdcBatch(
+      batch: DataFrame,
+      targetPath: String,
+      key: Seq[String],
+      tsCol: String = "ts_ms"
+  ): Unit = {
+    if (batch.isEmpty) return
+    val spark  = batch.sparkSession
+    val latest = LatestWins.latestRow(batch, key, tsCol, tieBreak = Nil)
+    val upserts = latest.filter(col("op").isin("c", "u")).drop("op")
+    val deletes = latest.filter(col("op") === "d").select(key.map(col): _*)
+    val merged =
+      if (pathExists(spark, targetPath)) {
+        val target = spark.read.parquet(targetPath)
+        val kept   = target.join(deletes, key, "left_anti")
+        LatestWins.merge(kept, upserts, key, coalesceCols = Nil)
+      } else upserts
+    atomicSwapWrite(merged, targetPath)
+  }
+
+  /** Write a new snapshot beside the target, then swap via rename — the
+    * plain-parquet stand-in for a table-format commit. Reader races between
+    * delete and rename are the documented gap a real format closes.
+    */
+  private[graft] def atomicSwapWrite(df: DataFrame, targetPath: String): Unit = {
+    val spark = df.sparkSession
+    val fs    = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp   = new Path(targetPath + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val target = new Path(targetPath)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+    ()
+  }
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val path = new Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** S8 — run several queries concurrently and block until one terminates. */
+  def awaitAny(spark: SparkSession, queries: Seq[StreamingQuery]): Unit =
+    spark.streams.awaitAnyTermination()
+}

@@ -1,0 +1,129 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage layout + maintenance for parquet-backed tables — the engine-native
+  * analog of the reference's Iceberg DDL and maintenance procedures
+  * (SURVEY.md §2.10 M1-M4, §4.2; reference streaming_job.py:18-61,
+  * compact_cold_data.py).
+  *
+  * Iceberg's *hidden* partition transforms become explicit derived columns
+  * (SURVEY.md F11): queries that filter on the derived column get partition
+  * pruning from Catalyst for free; the derived column is cheap to add at
+  * write time and never shuffles by itself.
+  *
+  * Scale notes: `partitionedWrite` repartitions ON the partition columns
+  * before writing, so each task writes to few directories (no small-file
+  * fan-out — the reference's pre-write cluster sort O1, done the
+  * Spark-idiomatic way with `repartition + sortWithinPartitions`).
+  * Compaction reads only the partitions selected by the predicate
+  * (partition-pruned scan) and rewrites them at the target file size.
+  */
+object TableLayout {
+
+  /** Iceberg-style partition transforms as derived columns. */
+  def hoursOf(ts: Column): Column  = date_format(ts, "yyyy-MM-dd-HH")
+  def daysOf(ts: Column): Column   = to_date(ts)
+  /** Stable 0..n-1 bucket (murmur3-based; stability, not Iceberg
+    * bit-compatibility, is the contract — SURVEY.md §7.5 pitfall 5). */
+  def bucketOf(n: Int, c: Column): Column = pmod(hash(c), lit(n))
+
+  /** Partitioned, cluster-sorted write (S9/O1): adds the derived partition
+    * columns, repartitions on them, sorts within partitions by `sortCols`,
+    * writes parquet.
+    */
+  def partitionedWrite(
+      df: DataFrame,
+      path: String,
+      partitions: Seq[(String, Column)],
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    val withParts = partitions.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+    val partCols  = partitions.map(_._1)
+    val clustered = withParts.repartition(partCols.map(col): _*)
+    val sorted =
+      if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols.map(col): _*)
+      else clustered
+    sorted.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+  }
+
+  /** M1 — predicate-scoped bin-packing compaction: rewrite the partitions
+    * matching `where` into ~`targetFileBytes` files, leave the rest
+    * untouched. Partition dirs are swapped one at a time (write-new +
+    * rename), mirroring rewrite_data_files(where, target-file-size-bytes).
+    *
+    * Returns the number of partitions rewritten.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      where: Column,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minInputFiles: Int = 2
+  ): Int = {
+    val fs   = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = spark.read.parquet(path)
+      .filter(where)
+      .select(col(partitionCol).cast("string"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    var rewritten = 0
+    parts.foreach { pv =>
+      val partDir = new Path(s"$path/$partitionCol=$pv")
+      val files = fs.listStatus(partDir).filter(f => f.getPath.getName.endsWith(".parquet"))
+      if (files.length >= minInputFiles) {
+        val bytes   = files.map(_.getLen).sum
+        val nFiles  = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        val data    = spark.read.parquet(partDir.toString)
+        val tmp     = new Path(s"$path/.compact-tmp-$pv")
+        data.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(partDir, true)
+        fs.rename(tmp, partDir)
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
+
+  /** M4 — TTL: drop whole partitions older than the cutoff (a metadata-only
+    * delete — no data files are read, matching `DELETE WHERE window_start <
+    * now() - interval ...` on a partitioned table).
+    *
+    * Returns the partition values dropped.
+    */
+  def ttlDropPartitions(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      shouldDrop: String => Boolean
+  ): Seq[String] = {
+    val root = new Path(path)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    val dropped = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath.getName.stripPrefix(prefix))
+      .filter(shouldDrop)
+    dropped.foreach(pv => fs.delete(new Path(s"$path/$prefix$pv"), true))
+    dropped
+  }
+
+  /** M3 — orphan cleanup: delete stray temp dirs left by failed compactions
+    * or swaps (the plain-parquet analog of remove_orphan_files).
+    */
+  def removeOrphans(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val orphans = fs.listStatus(root).toSeq
+      .filter(s => s.getPath.getName.startsWith(".compact-tmp-") ||
+        s.getPath.getName.contains(".tmp-"))
+      .map(_.getPath)
+    orphans.foreach(p => fs.delete(p, true))
+    orphans.map(_.toString)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.SparkFunSuite
+import graft.ops.LatestWins
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+final case class Ev(ts: Timestamp, key: String, event_type: String)
+final case class Ord(user_id: String, ts: Timestamp, event_id: Long, event_type: String, amount: Option[Double])
+final case class Cdc(op: String, ts_ms: Long, user_id: String, segment: String)
+
+class StreamPipelinesSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  test("minuteMetrics: append mode emits closed windows once, drops late rows") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamPipelines.minuteMetrics(
+      input.toDF(), "ts", "key", "event_type", Seq("view", "click"))
+    val q = agg.writeStream.format("memory").queryName("mm").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 10:00:05"), "k1", "view"),
+        Ev(t("2024-01-01 10:00:20"), "k1", "click"),
+        Ev(t("2024-01-01 10:00:40"), "k2", "view"))
+      q.processAllAvailable()
+      // watermark still before 10:01 → nothing emitted yet
+      assert(spark.table("mm").count() == 0)
+
+      // event at 10:02:00 pushes watermark to 10:01:50 → 10:00 window closes
+      input.addData(Ev(t("2024-01-01 10:02:00"), "k1", "view"))
+      q.processAllAvailable()
+      val closed = spark.table("mm").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(closed == Set(("k1", 1L, 1L), ("k2", 1L, 0L)))
+
+      // a late row for the closed window (before watermark) is dropped
+      input.addData(Ev(t("2024-01-01 10:00:30"), "k1", "view"))
+      q.processAllAvailable()
+      assert(spark.table("mm").count() == 2) // unchanged
+    } finally q.stop()
+  }
+
+  test("upsertBatch: carry-forward merge converges and is replay-idempotent") {
+    val target = tmpDir("upsert") + "/gold"
+    val b1 = Seq(
+      Ord("u1", t("2024-01-01 10:00:00"), 1L, "created", Some(10.0)),
+      Ord("u2", t("2024-01-01 10:00:01"), 2L, "created", Some(20.0))).toDF()
+    val b2 = Seq( // status update without amount (sparse) + new key
+      Ord("u1", t("2024-01-01 10:05:00"), 3L, "paid", None),
+      Ord("u3", t("2024-01-01 10:06:00"), 4L, "created", Some(30.0))).toDF()
+    def apply(df: org.apache.spark.sql.DataFrame) = StreamPipelines.upsertBatch(
+      df, target, Seq("user_id"), "ts", Seq("event_id"),
+      denseCols = Seq("event_type"), sparseCols = Seq("amount"))
+    apply(b1); apply(b2)
+    val got = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
+    assert(got("u1") == ("paid", 10.0))   // amount carried through sparse update
+    assert(got("u2") == ("created", 20.0))
+    assert(got("u3") == ("created", 30.0))
+    // replaying the last batch converges to the same state
+    apply(b2)
+    val again = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
+    assert(again == got)
+    // equivalence with the all-at-once batch reduction (replay convergence)
+    val full = LatestWins.latestState(b1.union(b2), Seq("user_id"), "ts", Seq("event_id"),
+      Seq("event_type"), Seq("amount"), "last_seen")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
+    assert(full == got)
+  }
+
+  test("upsertSink: end-to-end streaming upsert via foreachBatch") {
+    implicit val sql = spark.sqlContext
+    val dir    = tmpDir("sink")
+    val input  = MemoryStream[Ord]
+    val writer = StreamPipelines.upsertSink(
+      input.toDF(), s"$dir/gold", s"$dir/ckpt",
+      Seq("user_id"), "ts", Seq("event_id"),
+      denseCols = Seq("event_type"), sparseCols = Seq("amount"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val q = writer.start()
+    try {
+      input.addData(Ord("u1", t("2024-01-01 10:00:00"), 1L, "created", Some(10.0)))
+      q.processAllAvailable()
+      input.addData(Ord("u1", t("2024-01-01 10:05:00"), 2L, "paid", None))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/gold").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
+      assert(got == Map("u1" -> ("paid", 10.0)))
+    } finally q.stop()
+  }
+
+  test("applyCdcBatch: creates/updates upsert, deletes remove, latest-wins per key") {
+    val target = tmpDir("cdc") + "/dim"
+    val b1 = Seq(
+      Cdc("c", 1000L, "u1", "bronze"),
+      Cdc("c", 1001L, "u2", "bronze"),
+      Cdc("u", 1002L, "u1", "silver")).toDF() // same batch: u1 ends silver
+    StreamPipelines.applyCdcBatch(b1, target, Seq("user_id"))
+    val s1 = spark.read.parquet(target).collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[String]("segment")).toMap
+    assert(s1 == Map("u1" -> "silver", "u2" -> "bronze"))
+
+    val b2 = Seq(
+      Cdc("d", 2000L, "u2", "x"),      // delete u2
+      Cdc("u", 2001L, "u1", "gold")).toDF()
+    StreamPipelines.applyCdcBatch(b2, target, Seq("user_id"))
+    val s2 = spark.read.parquet(target).collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[String]("segment")).toMap
+    assert(s2 == Map("u1" -> "gold"))
+  }
+
+  test("sessionMetrics groups by gap (batch-mode shape check)") {
+    val ev = Seq(
+      Ev(t("2024-01-01 10:00:00"), "u1", "view"),
+      Ev(t("2024-01-01 10:10:00"), "u1", "view"),  // same session (gap < 30m)
+      Ev(t("2024-01-01 11:30:00"), "u1", "view"),  // new session
+      Ev(t("2024-01-01 10:00:00"), "u2", "view")).toDF()
+    val out = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+  }
+}

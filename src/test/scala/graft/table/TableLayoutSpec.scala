@@ -1,0 +1,72 @@
+package graft.table
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class TableLayoutSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def tmp(tag: String): String = Files.createTempDirectory(s"graft-$tag").toString
+
+  private lazy val rows = Seq(
+    ("2024-01-01 10:00:00", "a", 1.0), ("2024-01-01 11:00:00", "b", 2.0),
+    ("2024-01-02 10:00:00", "c", 3.0), ("2024-01-03 10:00:00", "d", 4.0)
+  ).toDF("ts_s", "k", "v").withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  test("partitionedWrite lays out day partitions and round-trips") {
+    val path = tmp("layout") + "/t"
+    TableLayout.partitionedWrite(rows, path,
+      partitions = Seq("day" -> TableLayout.daysOf(col("ts"))), sortCols = Seq("ts"))
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("day=2024-01-01", "day=2024-01-02", "day=2024-01-03"))
+    val back = spark.read.parquet(path)
+    assert(back.count() == 4)
+    // day filter prunes to one partition's files
+    assert(back.filter(col("day") === "2024-01-02").count() == 1)
+  }
+
+  test("bucketOf is stable and in range") {
+    val b = rows.select(TableLayout.bucketOf(16, col("k")).as("b")).collect().map(_.getInt(0))
+    assert(b.forall(x => x >= 0 && x < 16))
+    val again = rows.select(TableLayout.bucketOf(16, col("k")).as("b")).collect().map(_.getInt(0))
+    assert(b.sameElements(again))
+  }
+
+  test("compact bin-packs only the selected cold partitions") {
+    val path = tmp("compact") + "/t"
+    // many small files per day partition: write WITHOUT the clustering
+    // repartition (this is exactly the fan-out partitionedWrite prevents)
+    rows.union(rows).union(rows)
+      .withColumn("day", TableLayout.daysOf(col("ts")))
+      .repartition(6)
+      .write.partitionBy("day").parquet(path)
+    def nFiles(day: String) =
+      new java.io.File(s"$path/day=$day").listFiles().count(_.getName.endsWith(".parquet"))
+    val before = nFiles("2024-01-01")
+    assert(before >= 2)
+    val total = spark.read.parquet(path).count()
+    val n = TableLayout.compact(spark, path, "day", col("day") < "2024-01-02")
+    assert(n == 1) // only the cold day rewritten
+    assert(nFiles("2024-01-01") == 1)
+    assert(spark.read.parquet(path).count() == total) // data preserved
+  }
+
+  test("ttlDropPartitions removes only expired partitions") {
+    val path = tmp("ttl") + "/t"
+    TableLayout.partitionedWrite(rows, path, Seq("day" -> TableLayout.daysOf(col("ts"))))
+    val dropped = TableLayout.ttlDropPartitions(spark, path, "day", _ < "2024-01-02")
+    assert(dropped == Seq("2024-01-01"))
+    val left = spark.read.parquet(path).select("day").distinct().collect().map(_.get(0).toString).sorted
+    assert(left.toSeq == Seq("2024-01-02", "2024-01-03"))
+  }
+
+  test("removeOrphans clears stray temp dirs only") {
+    val path = tmp("orphan") + "/t"
+    TableLayout.partitionedWrite(rows, path, Seq("day" -> TableLayout.daysOf(col("ts"))))
+    new java.io.File(s"$path/.compact-tmp-zzz").mkdirs()
+    val removed = TableLayout.removeOrphans(spark, path)
+    assert(removed.exists(_.contains(".compact-tmp-zzz")))
+    assert(spark.read.parquet(path).count() == 4)
+  }
+}
