@@ -28,15 +28,19 @@ object TextDedup {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
-  /** Word n-gram shingles ("a b", "b c", ...) from a token array. */
-  def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)
-        )
-      )
+  /** Word n-gram shingles ("a b", "b c", ...) from a token array.
+    *
+    * Built from `n` shifted `slice`s combined with `zip_with`, NOT from a
+    * `transform(sequence, i => element_at(toks, i))` lambda: a lambda body
+    * that references `toks` re-evaluates the whole upstream tokenization
+    * expression PER ELEMENT (measured ~100 regex splits per document),
+    * whereas slices are HOF arguments evaluated once per row.
+    */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val m      = greatest(size(toks) - lit(n - 1), lit(0)) // shingle count
+    val shifts = (1 to n).map(j => slice(toks, lit(j), m))
+    shifts.reduce((acc, next) => zip_with(acc, next, (a, b) => concat(a, lit(" "), b)))
+  }
 
   /** Seeded shingle digest: one "hash permutation" per seed. Lexicographic
     * order on fixed-width hex == numeric order, so `min(hex)` is a valid
@@ -46,35 +50,38 @@ object TextDedup {
     md5(concat(lit(s"$seed|"), s).cast("binary"))
 
   /** MinHash signatures: one row per id with columns sig0..sig{k-1}.
-    * One explode + one hash-aggregate; ids with fewer than `shingleN`
-    * tokens produce no shingles and are absent from the output.
+    * Computed as `array_min(transform(shingles, digest))` — a pure
+    * projection, NO explode and NO shuffle (min over the same shingle set
+    * as the explode+groupBy formulation, so results are identical, but the
+    * per-document work never leaves its input partition — the shape that
+    * matters at 100 TB). Ids with fewer than `shingleN` tokens have no
+    * shingles and are absent from the output.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(wordShingles(tokens(col(textCol)), shingleN)).as("__sh"))
-    sh.groupBy(col(idCol))
-      .agg(
-        min(seededDigest(0, col("__sh"))).as("sig0"),
-        (1 until k).map(i => min(seededDigest(i, col("__sh"))).as(s"sig$i")): _*
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol), wordShingles(tokens(col(textCol)), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(
+        col(idCol) +:
+          (0 until k).map(i =>
+            array_min(transform(col("__sh"), s => seededDigest(i, s))).as(s"sig$i")): _*
       )
-  }
 
   /** LSH banding over a minhash-signature frame: one row per (id, band)
     * with the band's bucket key (digest of the band's signature slice).
+    * All band keys are computed in ONE projection and exploded — a 4-way
+    * union of selects would re-evaluate the signature subtree per band.
     */
   def lshBands(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
     val nBands = k / rowsPerBand
-    (0 until nBands)
-      .map { b =>
-        val slice = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
-        sigs.select(
-          col(idCol),
-          lit(b).as("band"),
-          md5(concat_ws("|", slice: _*).cast("binary")).as("band_key")
-        )
-      }
-      .reduce(_ union _)
+    val keys = (0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
+      md5(concat_ws("|", slice: _*).cast("binary"))
+    }
+    sigs
+      .select(col(idCol), posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
   }
 
   /** Near-duplicate candidate pairs via LSH: ids sharing any band bucket,
@@ -83,24 +90,28 @@ object TextDedup {
     */
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = lshBands(sigs, idCol, k, rowsPerBand)
+    // broadcast one side: bands are skinny (id, band, 32B key) and the hash
+    // join avoids shuffling by the low-cardinality band column; the distinct
+    // then repartitions by pair id — full parallelism for everything after
     val pairs = bands.as("x")
       .join(
-        bands.as("y"),
+        broadcast(bands.as("y")),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol")
       )
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
     // "__"-prefixed renames so they can't collide with pairs' id_a/id_b
-    // (they would, whenever idCol itself is named "id")
+    // (they would, whenever idCol itself is named "id"); signature frames
+    // are one short row per doc → broadcast the lookups
     val sa = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"__${c}_a"))
     val sb = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"__${c}_b"))
     val nMatch = (0 until k)
       .map(i => when(col(s"__sig${i}_a") === col(s"__sig${i}_b"), 1L).otherwise(0L))
       .reduce(_ + _)
     pairs
-      .join(sa, col("id_a") === col(s"__${idCol}_a"))
-      .join(sb, col("id_b") === col(s"__${idCol}_b"))
+      .join(broadcast(sa), col("id_a") === col(s"__${idCol}_a"))
+      .join(broadcast(sb), col("id_b") === col(s"__${idCol}_b"))
       .select(
         col("id_a"), col("id_b"),
         nMatch.as("n_sig_match"),
@@ -114,26 +125,43 @@ object TextDedup {
     * at scale, feed it LSH candidates or a coarse cluster id.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String, shingleN: Int): DataFrame = {
-    val sh = df
-      .select(col(idCol), col(blockCol), explode(wordShingles(tokens(col(textCol)), shingleN)).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
-      .join(
-        sh.as("b"),
-        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.sh") === col("b.sh") &&
-          col(s"a.$idCol") < col(s"b.$idCol")
-      )
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    // One row per doc carrying its DISTINCT shingle set; the block-scoped
+    // pair join then computes |A∩B| with array_intersect — same value as a
+    // shingle-level equi-join + count, but the heavy row explosion
+    // (sum over buckets of k² shingle matches) never materializes. The
+    // blocking column bounds the pair count; the per-pair work is
+    // O(|A|+|B|) hash-set intersection.
+    // No size(sh)>0 guard here: a doc with no shingles can only yield
+    // n_common=0 pairs, which the final filter drops — and the guard would
+    // be predicate-pushed below the projection, re-evaluating the whole
+    // shingle expression per row.
+    val side = df.select(
+      col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(wordShingles(tokens(col(textCol)), shingleN)).as("sh"))
+    // Both sides spread by id for parallel shingle computation; build side
+    // broadcast so the pair enumeration is a broadcast-hash join whose
+    // output never shuffles (a blk-equi shuffle join caps parallelism at
+    // the block count and re-shuffles wide array rows — measured 4×
+    // slower). When one block's shingle sets outgrow an executor, swap
+    // `broadcast` for a shuffle join; the operator semantics are unchanged.
+    val nPart = df.sparkSession.sparkContext.defaultParallelism
+    val probe = side.repartition(nPart, col("id")).as("a")
+    val build = broadcast(side.repartition(nPart, col("id")).as("b"))
+    probe
+      .join(build, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(
-        col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_common"),
-        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard")
-      )
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(col("a.sh")).cast("long").as("n_a"),
+        size(col("b.sh")).cast("long").as("n_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_common"),
+        // nondeterministic barrier: keeps the n_common filter from being
+        // predicate-pushed into the join condition, which would evaluate
+        // array_intersect twice per candidate pair (measured 2-3× slower)
+        monotonically_increasing_id().as("__nd"))
+      .filter(col("n_common") >= 1)
+      .drop("__nd")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
   }
 
   /** 32-bit SimHash over the token multiset: for each bit, sum +1/-1 of the

@@ -60,8 +60,10 @@ object VectorSearch {
       k: Int, roundDigits: Int = 4
   ): DataFrame = {
     val q = broadcast(
-      queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv")))
+      queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"))
+        .withColumn("__qn", l2norm(col("__qv"))))
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
     rankTopK(q.join(c), k, roundDigits)
   }
 
@@ -77,15 +79,24 @@ object VectorSearch {
   ): DataFrame = {
     val q = broadcast(queries.select(
       col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"),
-      signBucket(col(qVecCol), bits).as("__bkt")))
+      signBucket(col(qVecCol), bits).as("__bkt"))
+      .withColumn("__qn", l2norm(col("__qv"))))
     val c = corpus.select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"),
       signBucket(col(vecCol), bits).as("__bkt"))
+      .withColumn("__cn", l2norm(col("__cv")))
     rankTopK(q.join(c, "__bkt"), k, roundDigits)
   }
 
+  /** Norms (`__qn`/`__cn`) are precomputed per ROW before the pair join —
+    * the arithmetic (sqrt of self-dot, then one multiply per pair) is
+    * identical to inlining `cosine`, but the O(dim) norm work is done once
+    * per vector instead of once per pair.
+    */
   private def rankTopK(joined: DataFrame, k: Int, roundDigits: Int): DataFrame = {
-    val sim = round(cosine(col("__qv"), col("__cv")), roundDigits)
+    val denom = col("__qn") * col("__cn")
+    val sim = round(
+      when(denom =!= 0.0, dot(col("__qv"), col("__cv")) / denom), roundDigits)
     val w   = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     joined
       .withColumn("sim", sim)
@@ -107,11 +118,13 @@ object VectorSearch {
     val side = df.select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       signBucket(col(vecCol), bits).as("bkt"))
+      .withColumn("nrm", l2norm(col("v")))
+    val denom = col("a.nrm") * col("b.nrm")
     side.as("a")
       .join(side.as("b"), col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), roundDigits).as("sim"))
+        round(when(denom =!= 0.0, dot(col("a.v"), col("b.v")) / denom), roundDigits).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
