@@ -147,13 +147,20 @@ object TextDedup {
     val nPart = df.sparkSession.sparkContext.defaultParallelism
     val probe = side.repartition(nPart, col("id")).as("a")
     val build = broadcast(side.repartition(nPart, col("id")).as("b"))
+    // codegen'd native intersection count when the graft extensions are on
+    // the session (no intermediate array materialized), else the built-in
+    // composition — value-identical either way
+    val nCommon: (Column, Column) => Column =
+      if (graft.functions.GraftFunctions.installed(df.sparkSession))
+        (a, b) => graft.functions.GraftFunctions.intersectSize(a, b)
+      else (a, b) => size(array_intersect(a, b))
     probe
       .join(build, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         size(col("a.sh")).cast("long").as("n_a"),
         size(col("b.sh")).cast("long").as("n_b"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_common"),
+        nCommon(col("a.sh"), col("b.sh")).cast("long").as("n_common"),
         // nondeterministic barrier: keeps the n_common filter from being
         // predicate-pushed into the join condition, which would evaluate
         // array_intersect twice per candidate pair (measured 2-3× slower)

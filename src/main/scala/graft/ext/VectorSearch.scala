@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,9 +29,20 @@ object VectorSearch {
   /** Cast a float array to double for engine-portable exact arithmetic. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-to-right summed dot product of two double arrays. */
+  /** Left-to-right summed dot product of two double arrays (higher-order
+    * function form — portable to any session).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product picking the codegen'd native expression
+    * ([[graft.functions.DotProductD]]) when the graft extensions are on the
+    * session, else the HOF form. Value-identical either way (same
+    * left-to-right fold); the native form runs as one Java loop per row
+    * instead of an interpreted expression tree per element.
+    */
+  private def dotFn(spark: SparkSession): (Column, Column) => Column =
+    if (GraftFunctions.installed(spark)) GraftFunctions.dot else dot
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -59,12 +71,13 @@ object VectorSearch {
       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
       k: Int, roundDigits: Int = 4
   ): DataFrame = {
+    val d = dotFn(queries.sparkSession)
     val q = broadcast(
       queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"))
-        .withColumn("__qn", l2norm(col("__qv"))))
+        .withColumn("__qn", sqrt(d(col("__qv"), col("__qv")))))
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__cn", l2norm(col("__cv")))
-    rankTopK(q.join(c), k, roundDigits)
+      .withColumn("__cn", sqrt(d(col("__cv"), col("__cv"))))
+    rankTopK(q.join(c), k, roundDigits, d)
   }
 
   /** LSH-bucketed approximate top-k: candidates are corpus rows in the same
@@ -77,15 +90,16 @@ object VectorSearch {
       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
       k: Int, bits: Int, roundDigits: Int = 4
   ): DataFrame = {
+    val d = dotFn(queries.sparkSession)
     val q = broadcast(queries.select(
       col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"),
       signBucket(col(qVecCol), bits).as("__bkt"))
-      .withColumn("__qn", l2norm(col("__qv"))))
+      .withColumn("__qn", sqrt(d(col("__qv"), col("__qv")))))
     val c = corpus.select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"),
       signBucket(col(vecCol), bits).as("__bkt"))
-      .withColumn("__cn", l2norm(col("__cv")))
-    rankTopK(q.join(c, "__bkt"), k, roundDigits)
+      .withColumn("__cn", sqrt(d(col("__cv"), col("__cv"))))
+    rankTopK(q.join(c, "__bkt"), k, roundDigits, d)
   }
 
   /** Norms (`__qn`/`__cn`) are precomputed per ROW before the pair join —
@@ -93,10 +107,11 @@ object VectorSearch {
     * identical to inlining `cosine`, but the O(dim) norm work is done once
     * per vector instead of once per pair.
     */
-  private def rankTopK(joined: DataFrame, k: Int, roundDigits: Int): DataFrame = {
+  private def rankTopK(joined: DataFrame, k: Int, roundDigits: Int,
+                       d: (Column, Column) => Column): DataFrame = {
     val denom = col("__qn") * col("__cn")
     val sim = round(
-      when(denom =!= 0.0, dot(col("__qv"), col("__cv")) / denom), roundDigits)
+      when(denom =!= 0.0, d(col("__qv"), col("__cv")) / denom), roundDigits)
     val w   = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     joined
       .withColumn("sim", sim)
@@ -115,16 +130,17 @@ object VectorSearch {
       df: DataFrame, idCol: String, vecCol: String,
       bits: Int, threshold: Double, roundDigits: Int = 4
   ): DataFrame = {
+    val d = dotFn(df.sparkSession)
     val side = df.select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       signBucket(col(vecCol), bits).as("bkt"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", sqrt(d(col("v"), col("v"))))
     val denom = col("a.nrm") * col("b.nrm")
     side.as("a")
       .join(side.as("b"), col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(when(denom =!= 0.0, dot(col("a.v"), col("b.v")) / denom), roundDigits).as("sim"))
+        round(when(denom =!= 0.0, d(col("a.v"), col("b.v")) / denom), roundDigits).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the extension tier's hot loops
+  * (SURVEY.md §7.3/§7.4): the interpreted higher-order-function forms
+  * (`aggregate(zip_with(...))`, `size(array_intersect(...))`) evaluate an
+  * expression tree per ELEMENT; these generate a tight Java loop per ROW
+  * inside whole-stage codegen.
+  *
+  * Both are drop-in value-identical with their built-in formulations —
+  * same left-to-right double fold, same intersection semantics — so the
+  * DuckDB oracles keep hash-matching.
+  *
+  * Registered via [[GraftExtensions]] (`spark.sql.extensions`) and called
+  * through [[GraftFunctions]].
+  */
+
+/** Dot product of two double arrays, summed left-to-right (bit-identical
+  * to `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)`).
+  * Null when either input is null, lengths differ, or any element is null
+  * — exactly the built-in composition's behavior.
+  */
+case class DotProductD(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    DotProductUtil.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sum = ctx.freshName("sum")
+      val i   = ctx.freshName("i")
+      val n   = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $sum = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductUtil {
+  /** Shared by interpreted eval; the codegen path inlines the same loop. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    sum
+  }
+}
+
+/** `size(array_intersect(a, b))` without materializing the intermediate
+  * array: count of distinct elements of `a` also present in `b` (a shared
+  * null element counts once, mirroring array_intersect).
+  */
+case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    IntersectSizeUtil.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IntersectSizeUtil.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectSizeUtil {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val bSet = new java.util.HashSet[UTF8String](Math.max(8, b.numElements() * 2))
+    var bHasNull = false
+    var i = 0
+    while (i < b.numElements()) {
+      if (b.isNullAt(i)) bHasNull = true else bSet.add(b.getUTF8String(i))
+      i += 1
+    }
+    val seen = new java.util.HashSet[UTF8String](Math.max(8, a.numElements() * 2))
+    var aNullCounted = false
+    var count = 0
+    i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i)) {
+        if (bHasNull && !aNullCounted) { count += 1; aNullCounted = true }
+      } else {
+        val v = a.getUTF8String(i)
+        if (bSet.contains(v) && seen.add(v)) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+}
+
+/** `spark.sql.extensions` entry point registering the graft functions.
+  * Add `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * to the session builder.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(arrayA, arrayB)")
+        DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_intersect_size(arrayA, arrayB)")
+        IntersectSize(children.head, children(1))
+      }))
+  }
+}
+
+/** Column-level entry points (require [[GraftExtensions]] on the session). */
+object GraftFunctions {
+  val ExtensionsConf: (String, String) = "spark.sql.extensions" -> classOf[GraftExtensions].getName
+
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def intersectSize(a: Column, b: Column): Column = call_function("graft_intersect_size", a, b)
+
+  /** True when the graft extension functions are resolvable on `spark`. */
+  def installed(spark: SparkSession): Boolean = spark.catalog.functionExists("graft_dot")
+}

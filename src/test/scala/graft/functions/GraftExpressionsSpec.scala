@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkFunSuite
+import graft.ext.VectorSearch
+import org.apache.spark.sql.functions._
+
+class GraftExpressionsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("extensions are installed on the test session") {
+    assert(GraftFunctions.installed(spark))
+  }
+
+  test("graft_dot is bit-identical to the aggregate/zip_with fold") {
+    val vecs = Seq(
+      (1L, Array(1.0, 2.5, -3.0), Array(0.5, -1.0, 2.0)),
+      (2L, Array.empty[Double], Array.empty[Double]),
+      (3L, Array(1e-17, 1e17, 1.0), Array(1e17, 1e-17, 3.0)) // fold-order sensitive
+    ).toDF("id", "a", "b")
+    val r = vecs.select(
+      GraftFunctions.dot($"a", $"b").as("native"),
+      VectorSearch.dot($"a", $"b").as("hof")
+    ).collect()
+    r.foreach(row => assert(
+      java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1))))
+  }
+
+  test("graft_dot null semantics match the built-in composition") {
+    val df = Seq(
+      (1L, Some(Array(1.0, 2.0)), Some(Array(1.0))),        // length mismatch
+      (2L, None: Option[Array[Double]], Some(Array(1.0))),  // null input
+      (3L, Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0)))
+    ).toDF("id", "a", "b")
+    val r = df.select($"id", GraftFunctions.dot($"a", $"b").as("n"), VectorSearch.dot($"a", $"b").as("h"))
+      .collect().map(x => x.getLong(0) -> (x.isNullAt(1), x.isNullAt(2), if (x.isNullAt(1)) 0.0 else x.getDouble(1))).toMap
+    assert(r(1L)._1 && r(1L)._2)  // both null on mismatch
+    assert(r(2L)._1 && r(2L)._2)  // both null on null input
+    assert(!r(3L)._1 && r(3L)._3 == 11.0)
+  }
+
+  test("graft_intersect_size equals size(array_intersect)") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a")),         // dup in left counts once
+      (Seq.empty[String], Seq("x")),
+      (Seq("x", "y"), Seq.empty[String])
+    ).toDF("a", "b")
+    val r = df.select(
+      GraftFunctions.intersectSize($"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).as("builtin")).collect()
+    r.foreach(row => assert(row.getInt(0) == row.getInt(1)))
+    assert(r.map(_.getInt(0)).toSeq == Seq(2, 1, 0, 0))
+  }
+
+  test("native expressions run inside whole-stage codegen on real data") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val d = emb.select(GraftFunctions.dot(
+      VectorSearch.asDouble($"embedding"), VectorSearch.asDouble($"embedding")).as("sq"))
+    assert(d.agg(sum($"sq")).collect().head.getDouble(0) > 0)
+    // On a double-array scan (no HOF cast in the projection) graft_dot
+    // stays inside a WholeStageCodegen span — unlike aggregate/zip_with,
+    // which force the projection out of codegen. Parquet-backed input so
+    // constant folding can't collapse the plan.
+    val p = java.nio.file.Files.createTempDirectory("graft-dot").toString + "/v"
+    emb.select($"vec_id", VectorSearch.asDouble($"embedding").as("v")).write.parquet(p)
+    val dd = spark.read.parquet(p).select(GraftFunctions.dot($"v", $"v").as("d"))
+    // "*(1)" is the whole-stage-codegen marker on the Project
+    assert(dd.queryExecution.executedPlan.toString.contains("*(1) Project [graft_dot"))
+    assert(dd.agg(min($"d")).collect().head.getDouble(0) >= 0.0)
+  }
+
+  test("sql surface: graft_dot callable from spark.sql") {
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()
+    assert(r.head.getDouble(0) == 11.0)
+  }
+}
