@@ -150,6 +150,9 @@ object IntersectSizeUtil {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // hidden-partitioning predicate rewrite (graft.plans) — ts predicates
+    // imply <ts>_day partition predicates, unlocking partition pruning
+    ext.injectOptimizerRule(_ => graft.plans.PartitionPredicateRewrite)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),

@@ -26,6 +26,15 @@ object TableLayout {
   /** Iceberg-style partition transforms as derived columns. */
   def hoursOf(ts: Column): Column  = date_format(ts, "yyyy-MM-dd-HH")
   def daysOf(ts: Column): Column   = to_date(ts)
+
+  /** Day partition under the hidden-partitioning naming contract
+    * (`<ts>_day` = to_date(ts)): tables written with this partition get
+    * automatic partition pruning for predicates on the RAW timestamp via
+    * [[graft.plans.PartitionPredicateRewrite]] — the engine-native analog
+    * of Iceberg's transform-aware pruning.
+    */
+  def daysPartition(tsCol: String): (String, Column) =
+    s"${tsCol}_day" -> daysOf(col(tsCol))
   /** Stable 0..n-1 bucket (murmur3-based; stability, not Iceberg
     * bit-compatibility, is the contract — SURVEY.md §7.5 pitfall 5). */
   def bucketOf(n: Int, c: Column): Column = pmod(hash(c), lit(n))
