@@ -31,6 +31,20 @@ object StreamPipelines {
       .select(from_json(col(valueCol).cast("string"), schema).as("data"))
       .select(col("data.*"))
 
+  /** "Header + Body" bronze projection (reference stream_content.py:106-114,
+    * design_doc/MockEventGenerator.md:28-52): strict typed header columns
+    * stay top-level, everything else is folded back into a JSON-string
+    * `payload` body (schema-drift tolerant), plus an `ingested_at`
+    * processing-time stamp.
+    */
+  def headerBody(df: DataFrame, headerCols: Seq[String]): DataFrame = {
+    val bodyCols = df.columns.filterNot(headerCols.contains)
+    df.select(
+      headerCols.map(col) ++ Seq(
+        to_json(struct(bodyCols.map(col): _*)).as("payload"),
+        current_timestamp().as("ingested_at")): _*)
+  }
+
   /** T1/T2/A3 — the Gold 1-minute metrics pipeline: watermarked tumbling
     * window × one conditional count per event type
     * (reference stream_content.py:123-138). Append-mode-ready: a window row
@@ -114,16 +128,25 @@ object StreamPipelines {
       denseCols: Seq[String],
       sparseCols: Seq[String]
   ): Unit = {
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    val reduced = LatestWins.latestState(
-      batch, key, orderCol, tieBreak, denseCols, sparseCols, maxOrderAlias = "last_seen")
-    val merged =
-      if (pathExists(spark, targetPath)) {
-        val target = spark.read.parquet(targetPath)
-        LatestWins.merge(target, reduced, key, coalesceCols = sparseCols)
-      } else reduced
-    atomicSwapWrite(merged, targetPath)
+    // cache: the batch is consumed by two actions (emptiness gate + merge
+    // write) — same reason the reference caches around its dual writes
+    // (streaming_job.py:75, SURVEY.md S11)
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val reduced = LatestWins.latestState(
+        batch, key, orderCol, tieBreak, denseCols, sparseCols, maxOrderAlias = "last_seen")
+      val merged =
+        if (pathExists(spark, targetPath)) {
+          val target = spark.read.parquet(targetPath)
+          LatestWins.merge(target, reduced, key, coalesceCols = sparseCols)
+        } else reduced
+      atomicSwapWrite(merged, targetPath)
+    } finally {
+      batch.unpersist()
+      ()
+    }
   }
 
   /** T10 — CDC apply (Debezium-style envelope): keep creates/updates,

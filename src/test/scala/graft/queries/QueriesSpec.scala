@@ -16,6 +16,12 @@ class QueriesSpec extends SparkFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("temp-view SQL surface (S10): registered view queryable via spark.sql") {
+    graft.Tables.events(spark, sf).createOrReplaceTempView("events_v")
+    val n = spark.sql("SELECT count(DISTINCT user_id) AS u FROM events_v").collect().head.getLong(0)
+    assert(n > 0)
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)

@@ -117,6 +117,35 @@ class StreamPipelinesSpec extends SparkFunSuite {
     assert(s2 == Map("u1" -> "gold"))
   }
 
+  test("headerBody folds non-header columns into a JSON payload") {
+    val df = Seq(("e1", "u1", 42L, "ios")).toDF("event_id", "user_id", "watch_ms", "os")
+    val out = StreamPipelines.headerBody(df, Seq("event_id", "user_id")).collect().head
+    assert(out.getString(0) == "e1" && out.getString(1) == "u1")
+    assert(out.getString(2) == """{"watch_ms":42,"os":"ios"}""")
+    assert(!out.isNullAt(3)) // ingested_at stamped
+  }
+
+  test("dual-sink fan-out: one stream feeds bronze append and gold upsert") {
+    implicit val sql = spark.sqlContext
+    val dir   = tmpDir("dual")
+    val input = MemoryStream[Ord]
+    val src   = input.toDF()
+    val bronze = src.writeStream.format("parquet")
+      .option("path", s"$dir/bronze").option("checkpointLocation", s"$dir/ckptB")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    val gold = StreamPipelines.upsertSink(src, s"$dir/gold", s"$dir/ckptG",
+      Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"), Seq("amount"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        Ord("u1", t("2024-01-01 10:00:00"), 1L, "created", Some(10.0)),
+        Ord("u1", t("2024-01-01 10:01:00"), 2L, "paid", None))
+      bronze.processAllAvailable(); gold.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/bronze").count() == 2) // append keeps history
+      assert(spark.read.parquet(s"$dir/gold").count() == 1)   // upsert keeps state
+    } finally { bronze.stop(); gold.stop() }
+  }
+
   test("sessionMetrics groups by gap (batch-mode shape check)") {
     val ev = Seq(
       Ev(t("2024-01-01 10:00:00"), "u1", "view"),
