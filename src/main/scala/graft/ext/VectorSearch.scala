@@ -120,6 +120,41 @@ object VectorSearch {
       .select(col("qid"), col("id"), col("sim"), col("rnk"))
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer built from one sampled
+    * representative per `listCol` value (deterministic — no float-summed
+    * centroid training, so the same quantizer falls out on any engine);
+    * each query probes only the inverted list whose representative is most
+    * cosine-similar. The classic IVF trade: one cheap nprobe=1 routing step
+    * cuts the scanned corpus to ~1/nlists. At 100 TB the corpus would be
+    * partitioned (bucketBy) on the list id so a probe touches one partition.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String, listCol: String,
+      k: Int, roundDigits: Int = 4
+  ): DataFrame = {
+    val d = dotFn(queries.sparkSession)
+    // representative per list = the member with the smallest id
+    val reps = broadcast(
+      corpus.groupBy(col(listCol).as("__list"))
+        .agg(min(col(idCol)).as("__rep_id"))
+        .join(corpus.select(col(idCol).as("__rep_id"), asDouble(col(vecCol)).as("__rv")), "__rep_id")
+        .withColumn("__rn", sqrt(d(col("__rv"), col("__rv")))))
+    val q = queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"))
+      .withColumn("__qn", sqrt(d(col("__qv"), col("__qv"))))
+    // route each query to its best list (rounded sim, list id tiebreak)
+    val routed = broadcast(q.join(reps)
+      .withColumn("__rsim", round(d(col("__qv"), col("__rv")) / (col("__qn") * col("__rn")), roundDigits))
+      .withColumn("__rrnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("__rsim").desc, col("__list"))))
+      .filter(col("__rrnk") === 1)
+      .select(col("qid"), col("__qv"), col("__qn"), col("__list")))
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"),
+      col(listCol).as("__list"))
+      .withColumn("__cn", sqrt(d(col("__cv"), col("__cv"))))
+    rankTopK(routed.join(c, "__list"), k, roundDigits, d)
+  }
+
   /** Embedding near-duplicate pairs: same sign bucket AND rounded cosine >=
     * `threshold`. The bucket equi-join is the blocking step that makes this
     * feasible at scale; identical vectors always land in the same bucket, so

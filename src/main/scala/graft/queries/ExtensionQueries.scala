@@ -225,6 +225,67 @@ object ExtensionQueries {
       FROM scored QUALIFY rnk <= 3""")
   )
 
+  // Similarity search 4: IVF-style ANN — coarse quantizer from one sampled
+  // representative per label (deterministic), nprobe=1, top-3 in-list
+  private val q38 = Q(
+    "q38_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.ivfTopK(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", "label", k = 3)
+    },
+    Some(s"""WITH c AS (SELECT vec_id AS id, label AS list, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= 10),
+      reps AS (SELECT list, v AS rv FROM (
+        SELECT list, v, row_number() OVER (PARTITION BY list ORDER BY id) AS rn FROM c)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+      routed0 AS (SELECT q.qid, q.v AS qv, reps.list,
+          round(${duckCos("q.v", "reps.rv")}, 4) AS rsim
+        FROM q, reps),
+      routed AS (SELECT qid, qv, list FROM (
+        SELECT qid, qv, list, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, list) AS rrnk
+        FROM routed0) WHERE rrnk = 1),
+      scored AS (SELECT r.qid, c.id, round(${duckCos("r.qv", "c.v")}, 4) AS sim
+        FROM routed r JOIN c ON r.list = c.list)
+      SELECT qid, id, sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 3""")
+  )
+
+  // A7 — filtered-cohort percentage as an exact integer gauge: conversion
+  // share (basis points) among users whose first event is in the tail window
+  private val q39 = Q(
+    "q39_cold_start",
+    (s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(col("ts")).as("first_ts"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purch"))
+        .filter(col("first_ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      perUser.agg(
+        count(lit(1)).as("n_new"),
+        sum(when(col("n_purch") > 0, 1L).otherwise(0L)).as("n_converted")
+      ).select(
+        col("n_new"), col("n_converted"),
+        when(col("n_new") > 0, floor(col("n_converted") * 10000L / col("n_new")).cast("long"))
+          .otherwise(0L).as("conv_bp"))
+    },
+    Some("""WITH peruser AS (
+        SELECT user_id, min(ts) AS first_ts,
+               count(*) FILTER (event_type = 'purchase') AS n_purch
+        FROM events GROUP BY 1),
+      cohort AS (SELECT * FROM peruser WHERE first_ts >= TIMESTAMP '2024-01-15 00:00:00')
+      SELECT count(*) AS n_new,
+        CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        CAST(CASE WHEN count(*) > 0
+          THEN (CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*)
+          ELSE 0 END AS BIGINT) AS conv_bp
+      FROM cohort""")
+  )
+
   // ---------------------------------------------------------------------
   // Text analysis 1: token counting (whitespace + subword-regex)
   private val q29 = Q(
@@ -403,5 +464,5 @@ object ExtensionQueries {
   )
 
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
