@@ -28,6 +28,15 @@ object ExtensionQueries {
 
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** documents.parquet is one small file → one input partition, which
+    * serializes per-document compute (shingling, hashing). Spread it across
+    * the cores before CPU-heavy per-doc operators; at production scale the
+    * input is already many partitions and this wiring-level repartition
+    * would be dropped (deliberately NOT inside the operators).
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   /** Shared DuckDB CTE: whitespace tokens per document. */
   private val toksCte =
     """toks AS (SELECT doc_id, lang, source, text,
@@ -67,7 +76,7 @@ object ExtensionQueries {
   private val q22 = Q(
     "q22_minhash_sigs",
     (s, dir) =>
-      TextDedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", k = 8, shingleN = 2),
+      TextDedup.minhashSignatures(docsSpread(s, dir), "doc_id", "text", k = 8, shingleN = 2),
     Some(s"""WITH $toksCte,
       $shinglesFromToks
       SELECT doc_id,
@@ -79,7 +88,7 @@ object ExtensionQueries {
   private val q23 = Q(
     "q23_lsh_candidates",
     (s, dir) => {
-      val sigs = TextDedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", 8, 2)
+      val sigs = TextDedup.minhashSignatures(docsSpread(s, dir), "doc_id", "text", 8, 2)
       TextDedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 2)
     },
     Some {
@@ -127,7 +136,7 @@ object ExtensionQueries {
   // Dedup 5: 32-bit SimHash per document
   private val q25 = Q(
     "q25_simhash",
-    (s, dir) => TextDedup.simhash32(Tables.documents(s, dir), "doc_id", "text"),
+    (s, dir) => TextDedup.simhash32(docsSpread(s, dir), "doc_id", "text"),
     Some {
       // 8-hex-char prefix of md5(tok) as an unsigned 32-bit value, parsed
       // digit-by-digit (DuckDB has no hex→int cast)
@@ -353,7 +362,7 @@ object ExtensionQueries {
   // Text analysis 4: winnowing fingerprints (char 8-grams, window 4)
   private val q32 = Q(
     "q32_winnow_fingerprint",
-    (s, dir) => TextDedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4),
+    (s, dir) => TextDedup.winnowFingerprints(docsSpread(s, dir), "doc_id", "text", k = 8, w = 4),
     Some("""WITH pos AS (SELECT doc_id, i, md5(substr(text, CAST(i AS INTEGER), 8)) AS h
         FROM documents, UNNEST(range(1, greatest(length(text) - 6, 1))) AS t(i)),
       fps AS (SELECT doc_id,
