@@ -88,30 +88,37 @@ object TextDedup {
     * with the number of matching signature components and the implied
     * Jaccard estimate. Join is on (band, band_key) — shuffle-friendly.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+  /** @param broadcastSide broadcast the build side of the band join and the
+    *   signature lookups. Right for a corpus whose (id, 8×32B) signature
+    *   frame fits an executor (up to tens of millions of docs); set false at
+    *   full 100 TB scale to get plain shuffle joins on (band, band_key) /
+    *   id — same semantics, bounded memory.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
+                    broadcastSide: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastSide) broadcast(df) else df
     val bands = lshBands(sigs, idCol, k, rowsPerBand)
-    // broadcast one side: bands are skinny (id, band, 32B key) and the hash
-    // join avoids shuffling by the low-cardinality band column; the distinct
-    // then repartitions by pair id — full parallelism for everything after
+    // broadcasting the build side keeps the probe side's partitioning (no
+    // shuffle by the low-cardinality band column); the distinct then
+    // repartitions by pair id — full parallelism for everything after
     val pairs = bands.as("x")
       .join(
-        broadcast(bands.as("y")),
+        bc(bands.as("y")),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol")
       )
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
     // "__"-prefixed renames so they can't collide with pairs' id_a/id_b
-    // (they would, whenever idCol itself is named "id"); signature frames
-    // are one short row per doc → broadcast the lookups
+    // (they would, whenever idCol itself is named "id")
     val sa = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"__${c}_a"))
     val sb = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"__${c}_b"))
     val nMatch = (0 until k)
       .map(i => when(col(s"__sig${i}_a") === col(s"__sig${i}_b"), 1L).otherwise(0L))
       .reduce(_ + _)
     pairs
-      .join(broadcast(sa), col("id_a") === col(s"__${idCol}_a"))
-      .join(broadcast(sb), col("id_b") === col(s"__${idCol}_b"))
+      .join(bc(sa), col("id_a") === col(s"__${idCol}_a"))
+      .join(bc(sb), col("id_b") === col(s"__${idCol}_b"))
       .select(
         col("id_a"), col("id_b"),
         nMatch.as("n_sig_match"),

@@ -142,9 +142,12 @@ object VectorSearch {
         .withColumn("__rn", sqrt(d(col("__rv"), col("__rv")))))
     val q = queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"))
       .withColumn("__qn", sqrt(d(col("__qv"), col("__qv"))))
-    // route each query to its best list (rounded sim, list id tiebreak)
+    // route each query to its best list (rounded sim, list id tiebreak);
+    // zero-norm guard mirrors rankTopK so engines agree on degenerate vectors
+    val routeDenom = col("__qn") * col("__rn")
     val routed = broadcast(q.join(reps)
-      .withColumn("__rsim", round(d(col("__qv"), col("__rv")) / (col("__qn") * col("__rn")), roundDigits))
+      .withColumn("__rsim",
+        round(when(routeDenom =!= 0.0, d(col("__qv"), col("__rv")) / routeDenom), roundDigits))
       .withColumn("__rrnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("__rsim").desc, col("__list"))))
       .filter(col("__rrnk") === 1)

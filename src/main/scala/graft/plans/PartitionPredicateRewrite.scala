@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DateType, TimestampType}
 
 /** Hidden-partitioning predicate rewrite (SURVEY.md §4.1/§7.3) — the
@@ -25,20 +26,46 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   * which is the entire point of hidden partitioning. The added conjunct is
   * redundant for correctness (a superset range), so results are unchanged.
   *
+  * Safety gating: the rule pairs a timestamp column ONLY with a `<ts>_day`
+  * column that is an actual PARTITION column of a file relation — a data
+  * column that merely matches the naming pattern never triggers it. The
+  * `to_date` contract is evaluated in the session time zone, so tables
+  * must be written and read under the same zone (this engine pins UTC).
+  * Kill switch: `spark.graft.hiddenPartitioning.enabled=false`.
+  *
   * Injected through `SparkSessionExtensions.injectOptimizerRule` (runs in
   * the operator-optimization batch, before partition pruning).
   */
 object PartitionPredicateRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val Suffix = "_day"
+  private val EnabledKey = "spark.graft.hiddenPartitioning.enabled"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** DateType PARTITION columns of file relations in the subtree — the
+    * rewrite only pairs against these, never against an ordinary data
+    * column that merely shares the naming pattern (which could violate the
+    * to_date contract and silently drop rows).
+    */
+  private def partitionDateCols(plan: LogicalPlan): Set[String] =
+    plan.collect {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.partitionSchema.filter(_.dataType == DateType).map(_.name)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.toSet
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(EnabledKey, "true") != "true") return plan
+    plan.transform {
     case f @ Filter(cond, child) =>
-      // pair every timestamp attribute with its derived day column
+      // pair every timestamp attribute with its derived day PARTITION column
+      val partCols = partitionDateCols(child)
       val byName = child.output.groupBy(_.name).view.mapValues(_.head)
       val pairs: Map[ExprId, Attribute] = child.output.flatMap { a =>
         a.dataType match {
-          case TimestampType =>
+          case TimestampType if partCols.contains(a.name + Suffix) =>
             byName.get(a.name + Suffix).collect {
               case d if d.dataType == DateType => a.exprId -> d
             }
@@ -53,6 +80,7 @@ object PartitionPredicateRewrite extends Rule[LogicalPlan] with PredicateHelper 
         if (implied.isEmpty) f
         else Filter((conjuncts ++ implied).reduce(And), child)
       }
+    }
   }
 
   // timestamp→date needs the session zone; matches TableLayout.daysOf

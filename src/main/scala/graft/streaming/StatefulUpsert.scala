@@ -24,28 +24,41 @@ object StatefulUpsert {
     */
   final case class KeyedEvent(key: String, ts: Long, id: Long, status: String, amount: Option[Double])
 
-  /** Current state per key: latest dense fields, carried-forward sparse
-    * field, and the (ts, id) high-water mark that makes replay idempotent.
+  /** Current state per key. Dense fields carry a (lastTs, lastId)
+    * high-water mark; the sparse field carries its OWN (amtTs, amtId) mark
+    * — the newest NON-NULL occurrence — so a late-arriving event that is
+    * older than the dense state but newer than the last non-null amount
+    * still updates the amount, exactly like the batch IGNORE-NULLS
+    * carry-forward. Both marks also make replays no-ops.
     */
-  final case class KeyState(key: String, status: String, amount: Option[Double], lastTs: Long, lastId: Long)
+  final case class KeyState(key: String, status: String, amount: Option[Double],
+                            lastTs: Long, lastId: Long, amtTs: Long, amtId: Long)
 
   implicit val eventEnc: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
   implicit val stateEnc: Encoder[KeyState]   = Encoders.product[KeyState]
   implicit val keyEnc: Encoder[String]       = Encoders.STRING
 
-  private val tupleOrdering: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+  private val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
 
-  /** Fold a batch of events (any order) into the prior state. Pure —
-    * shared by the streaming operator and tests.
+  /** Fold a batch of events (any order, late arrivals included) into the
+    * prior state. Pure — shared by the streaming operator and tests.
+    * Agrees with `LatestWins.latestState` over the union of all events
+    * regardless of batching/ordering (property-tested).
     */
   def fold(key: String, prior: Option[KeyState], events: Iterator[KeyedEvent]): KeyState = {
-    val sorted = events.toSeq.sortBy(e => (e.ts, e.id))
-    var cur = prior.getOrElse(KeyState(key, null, None, Long.MinValue, Long.MinValue))
-    sorted.foreach { e =>
-      // replayed events at or below the high-water mark are no-ops
-      if (tupleOrdering.gt((e.ts, e.id), (cur.lastTs, cur.lastId))) {
-        cur = KeyState(key, e.status, e.amount.orElse(cur.amount), e.ts, e.id)
-      }
+    var cur = prior.getOrElse(
+      KeyState(key, null, None, Long.MinValue, Long.MinValue, Long.MinValue, Long.MinValue))
+    events.foreach { e =>
+      val newerDense = ord.gt((e.ts, e.id), (cur.lastTs, cur.lastId))
+      val newerAmt   = e.amount.isDefined && ord.gt((e.ts, e.id), (cur.amtTs, cur.amtId))
+      cur = KeyState(
+        key,
+        if (newerDense) e.status else cur.status,
+        if (newerAmt) e.amount else cur.amount,
+        if (newerDense) e.ts else cur.lastTs,
+        if (newerDense) e.id else cur.lastId,
+        if (newerAmt) e.ts else cur.amtTs,
+        if (newerAmt) e.id else cur.amtId)
     }
     cur
   }

@@ -194,7 +194,14 @@ object StreamPipelines {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
-  /** S8 — run several queries concurrently and block until one terminates. */
-  def awaitAny(spark: SparkSession, queries: Seq[StreamingQuery]): Unit =
-    spark.streams.awaitAnyTermination()
+  /** S8 — block until any of THESE queries terminates (unlike
+    * `spark.streams.awaitAnyTermination()`, which watches every query on
+    * the session, including unrelated ones).
+    */
+  def awaitAny(spark: SparkSession, queries: Seq[StreamingQuery], pollMs: Long = 100L): Unit = {
+    require(queries.nonEmpty, "awaitAny: no queries")
+    while (queries.forall(_.isActive)) Thread.sleep(pollMs)
+    // surface a failure like awaitTermination would
+    queries.find(q => !q.isActive).foreach(q => q.exception.foreach(throw _))
+  }
 }

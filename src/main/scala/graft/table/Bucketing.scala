@@ -27,13 +27,15 @@ object Bucketing {
       .saveAsTable(table)
 
   /** Join two same-bucketed tables on the bucket key — plans with zero
-    * Exchange when both sides' bucket specs line up.
+    * Exchange when both sides' bucket specs line up. Keys are resolved
+    * against their own side, so identically-named key columns (the common
+    * co-located case) don't hit an ambiguous-reference error.
     */
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
                    leftTable: String, rightTable: String,
-                   leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable).join(
-      spark.table(rightTable),
-      org.apache.spark.sql.functions.col(leftKey) ===
-        org.apache.spark.sql.functions.col(rightKey))
+                   leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -73,15 +73,26 @@ object TableLayout {
       targetFileBytes: Long = 128L * 1024 * 1024,
       minInputFiles: Int = 2
   ): Int = {
-    val fs   = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = spark.read.parquet(path)
+    import spark.implicits._
+    val root = new Path(path)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Enumerate partitions from the FILESYSTEM (escaped dir names), decode
+    // the value, and evaluate the predicate against it — reconstructing
+    // dir names from query values breaks on characters Spark %-escapes
+    // (space, ':', ...). Null partitions (__HIVE_DEFAULT_PARTITION__) are
+    // never compact targets here.
+    val prefix = s"$partitionCol="
+    val dirNames = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix))
+      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+    val dt = spark.read.parquet(path).schema(partitionCol).dataType
+    val keep = dirNames.map(n => n -> unescapePath(n)).toDF("__dir", partitionCol)
+      .withColumn(partitionCol, col(partitionCol).cast(dt))
       .filter(where)
-      .select(col(partitionCol).cast("string"))
-      .distinct()
-      .collect()
-      .map(_.getString(0))
+      .select("__dir").collect().map(_.getString(0))
     var rewritten = 0
-    parts.foreach { pv =>
+    keep.foreach { pv =>
       val partDir = new Path(s"$path/$partitionCol=$pv")
       val files = fs.listStatus(partDir).filter(f => f.getPath.getName.endsWith(".parquet"))
       if (files.length >= minInputFiles) {
@@ -119,6 +130,21 @@ object TableLayout {
       .filter(shouldDrop)
     dropped.foreach(pv => fs.delete(new Path(s"$path/$prefix$pv"), true))
     dropped
+  }
+
+  /** Decode Spark's %XX partition-directory escaping (escapePathName). */
+  private[table] def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Data-freshness lag in seconds (the reference's Grafana gauge on

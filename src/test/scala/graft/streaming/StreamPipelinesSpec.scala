@@ -146,17 +146,27 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally { bronze.stop(); gold.stop() }
   }
 
-  test("sessionMetrics groups by gap (batch-mode shape check)") {
-    val ev = Seq(
-      Ev(t("2024-01-01 10:00:00"), "u1", "view"),
-      Ev(t("2024-01-01 10:10:00"), "u1", "view"),  // same session (gap < 30m)
-      Ev(t("2024-01-01 11:30:00"), "u1", "view"),  // new session
-      Ev(t("2024-01-01 10:00:00"), "u2", "view")).toDF()
-    val out = ev
-      .groupBy(session_window(col("ts"), "30 minutes"), col("key"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("key"), col("n_events"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    assert(out.toSet == Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+  test("sessionMetrics groups by gap (streaming, append mode)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamPipelines.sessionMetrics(input.toDF(), "ts", "key", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sm").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 10:00:00"), "u1", "view"),
+        Ev(t("2024-01-01 10:10:00"), "u1", "view"),  // same session (gap < 30m)
+        Ev(t("2024-01-01 11:30:00"), "u1", "view"),  // new session
+        Ev(t("2024-01-01 10:00:00"), "u2", "view"))
+      q.processAllAvailable()
+      // close all sessions by advancing the watermark far past them
+      input.addData(Ev(t("2024-01-02 00:00:00"), "u3", "view"))
+      q.processAllAvailable()
+      val out = spark.table("sm").collect()
+        .map(r => (r.getString(0), r.getLong(3))) // key, n_events
+      assert(out.toSet == Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+      // schema from the helper itself: key, session_start, session_end, n_events
+      assert(spark.table("sm").columns.toSeq ==
+        Seq("key", "session_start", "session_end", "n_events"))
+    } finally q.stop()
   }
 }
