@@ -167,6 +167,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_intersect_size(arrayA, arrayB)")
         IntersectSize(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kmv_distinct(col, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_distinct: k must be an integer literal, got $other")
+        }
+        KmvDistinct(children.head, k).toAggregateExpression()
+      }))
   }
 }
 
@@ -176,6 +188,9 @@ object GraftFunctions {
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def intersectSize(a: Column, b: Column): Column = call_function("graft_intersect_size", a, b)
+  /** KMV distinct-count sketch aggregate (exact below k). */
+  def kmvDistinct(c: Column, k: Int): Column =
+    call_function("graft_kmv_distinct", c, org.apache.spark.sql.functions.lit(k))
 
   /** True when the graft extension functions are resolvable on `spark`. */
   def installed(spark: SparkSession): Boolean = spark.catalog.functionExists("graft_dot")

@@ -428,8 +428,9 @@ object ExtensionQueries {
       FROM lineitem GROUP BY 1""")
   )
 
-  // Sketch reach: approx_count_distinct beside the exact count. HLL estimates
-  // are implementation-specific → rows-only check (no oracle), by design.
+  // Sketch reach: built-in HLL and our KMV TypedImperativeAggregate beside
+  // the exact count. Sketch estimates are implementation-specific →
+  // rows-only check (no oracle), by design.
   private val q36 = Q(
     "q36_hll_reach",
     (s, dir) =>
@@ -437,6 +438,7 @@ object ExtensionQueries {
         .groupBy(to_date(col("ts")).as("day"))
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
+          graft.functions.GraftFunctions.kmvDistinct(col("user_id"), 256).as("kmv_users"),
           countDistinct(col("user_id")).as("exact_users")
         ),
     None
