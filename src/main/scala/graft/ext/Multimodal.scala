@@ -49,6 +49,33 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: `n` evenly-spaced fixed-size windows from the payload
+    * (a real video pipeline samples n frames; byte windows stand in — the
+    * partitioning/batching shape is identical). Pure column expressions.
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+                  n: Int, frameBytes: Int = 16): DataFrame = {
+    val len = octet_length(col(payloadCol))
+    val frames = (0 until n).map { i =>
+      // start of window i: 1 + floor(i * len / n), 1-indexed
+      val start = (lit(i) * len.cast("long") / lit(n)).cast("int") + lit(1)
+      col(payloadCol).substr(start, lit(frameBytes))
+    }
+    df.select(col(idCol), array(frames: _*).as("frames"))
+      .withColumn("n_frames", size(col("frames")).cast("long"))
+  }
+
+  /** Resize STUB: a real implementation would decode → scale → re-encode
+    * per partition; the deterministic stand-in truncates the payload to
+    * `targetBytes` and records the original size — preserving the
+    * (binary in → smaller binary out + metadata) contract.
+    */
+  def resizeStub(df: DataFrame, idCol: String, payloadCol: String, targetBytes: Int): DataFrame =
+    df.select(
+      col(idCol),
+      col(payloadCol).substr(lit(1), lit(targetBytes)).as("resized"),
+      octet_length(col(payloadCol)).cast("long").as("orig_bytes"))
+
   /** STUB — deterministic pseudo-decode from payload bytes. A real decoder
     * (??? in a codec-equipped build) would parse the container header for
     * dimensions and average the luma plane for brightness.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
 
 /** Hidden-partitioning predicate rewrite (SURVEY.md §4.1/§7.3) — the
   * engine-native analog of Iceberg's transform-aware pruning (reference
@@ -12,13 +12,16 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   * relies on time predicates pruning files,
   * design_doc/DataModel_SchemaDesign.md:111).
   *
-  * Contract (established by `graft.table.TableLayout.daysPartition`): a
-  * DateType column named `<ts>_day` holds exactly `to_date(<ts>)` for the
-  * TimestampType column `<ts>` in the same relation. Under that invariant,
-  * any range/equality predicate on `<ts>` implies one on `<ts>_day`:
+  * Contract (established by `graft.table.TableLayout.daysPartition` /
+  * `hoursPartition`): a DateType partition column named `<ts>_day` holds
+  * exactly `to_date(<ts>)`, and a StringType partition column `<ts>_hour`
+  * holds `date_format(<ts>, "yyyy-MM-dd-HH")` (fixed-width → lexicographic
+  * order is time order), for the TimestampType column `<ts>` in the same
+  * relation. Under that invariant, any range/equality predicate on `<ts>`
+  * implies one on the derived column:
   *
   *   ts >= T  ⟹  ts_day >= date(T)      ts <  T  ⟹  ts_day <= date(T)
-  *   ts =  T  ⟹  ts_day  = date(T)
+  *   ts =  T  ⟹  ts_day  = date(T)      (same for ts_hour at hour grain)
   *
   * The rule conjoins the implied predicate, and Spark's built-in
   * `PruneFileSourcePartitions` then prunes partition directories — queries
@@ -38,37 +41,50 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   */
 object PartitionPredicateRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val Suffix = "_day"
+  private val DaySuffix  = "_day"
+  private val HourSuffix = "_hour"
+  private val HourFormat = "yyyy-MM-dd-HH" // TableLayout.hoursOf — fixed width,
+                                           // so lexicographic order == time order
   private val EnabledKey = "spark.graft.hiddenPartitioning.enabled"
 
-  /** DateType PARTITION columns of file relations in the subtree — the
-    * rewrite only pairs against these, never against an ordinary data
+  /** Transform granularity for one derived partition column. */
+  private sealed trait Gran
+  private case object Day  extends Gran
+  private case object Hour extends Gran
+
+  /** Eligible PARTITION columns of file relations in the subtree, by name —
+    * the rewrite only pairs against these, never against an ordinary data
     * column that merely shares the naming pattern (which could violate the
-    * to_date contract and silently drop rows).
+    * derivation contract and silently drop rows).
     */
-  private def partitionDateCols(plan: LogicalPlan): Set[String] =
+  private def partitionCols(plan: LogicalPlan): Map[String, Gran] =
     plan.collect {
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.partitionSchema.filter(_.dataType == DateType).map(_.name)
-          case _ => Seq.empty[String]
+            fs.partitionSchema.flatMap { f =>
+              if (f.dataType == DateType && f.name.endsWith(DaySuffix)) Some(f.name -> (Day: Gran))
+              else if (f.dataType == StringType && f.name.endsWith(HourSuffix)) Some(f.name -> (Hour: Gran))
+              else None
+            }
+          case _ => Nil
         }
-    }.flatten.toSet
+    }.flatten.toMap
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(EnabledKey, "true") != "true") return plan
     plan.transform {
     case f @ Filter(cond, child) =>
-      // pair every timestamp attribute with its derived day PARTITION column
-      val partCols = partitionDateCols(child)
+      // pair every timestamp attribute with its derived PARTITION column(s)
+      val partCols = partitionCols(child)
       val byName = child.output.groupBy(_.name).view.mapValues(_.head)
-      val pairs: Map[ExprId, Attribute] = child.output.flatMap { a =>
+      val pairs: Map[ExprId, Seq[(Attribute, Gran)]] = child.output.flatMap { a =>
         a.dataType match {
-          case TimestampType if partCols.contains(a.name + Suffix) =>
-            byName.get(a.name + Suffix).collect {
-              case d if d.dataType == DateType => a.exprId -> d
+          case TimestampType =>
+            val cands = Seq(a.name + DaySuffix, a.name + HourSuffix).flatMap { n =>
+              partCols.get(n).flatMap(g => byName.get(n).map(_ -> g))
             }
+            if (cands.nonEmpty) Some(a.exprId -> cands) else None
           case _ => None
         }
       }.toMap
@@ -83,34 +99,44 @@ object PartitionPredicateRewrite extends Rule[LogicalPlan] with PredicateHelper 
     }
   }
 
-  // timestamp→date needs the session zone; matches TableLayout.daysOf
-  // (to_date), which also resolves in session time
-  private def dayOf(ts: Literal): Expression =
-    Cast(ts, DateType, Some(conf.sessionLocalTimeZone))
+  /** The derived-column value for a timestamp literal at the granularity:
+    * timestamp→date / date_format both resolve in the session zone,
+    * matching TableLayout.daysOf / hoursOf at write time.
+    */
+  private def bucketOf(ts: Literal, g: Gran): Expression = g match {
+    case Day  => Cast(ts, DateType, Some(conf.sessionLocalTimeZone))
+    case Hour => DateFormatClass(ts, Literal(HourFormat), Some(conf.sessionLocalTimeZone))
+  }
 
-  /** The day-column predicate implied by one timestamp conjunct, if any. */
-  private def derive(c: Expression, pairs: Map[ExprId, Attribute]): Option[Expression] = c match {
-    case GreaterThanOrEqual(a: Attribute, l @ Literal(_, TimestampType)) =>
-      pairs.get(a.exprId).map(d => GreaterThanOrEqual(d, dayOf(l)))
-    case GreaterThan(a: Attribute, l @ Literal(_, TimestampType)) =>
-      pairs.get(a.exprId).map(d => GreaterThanOrEqual(d, dayOf(l)))
-    case LessThanOrEqual(a: Attribute, l @ Literal(_, TimestampType)) =>
-      pairs.get(a.exprId).map(d => LessThanOrEqual(d, dayOf(l)))
-    case LessThan(a: Attribute, l @ Literal(_, TimestampType)) =>
-      pairs.get(a.exprId).map(d => LessThanOrEqual(d, dayOf(l)))
-    case EqualTo(a: Attribute, l @ Literal(_, TimestampType)) =>
-      pairs.get(a.exprId).map(d => EqualTo(d, dayOf(l)))
-    // literal-on-left mirrors
-    case GreaterThanOrEqual(l @ Literal(_, TimestampType), a: Attribute) =>
-      pairs.get(a.exprId).map(d => LessThanOrEqual(d, dayOf(l)))
-    case GreaterThan(l @ Literal(_, TimestampType), a: Attribute) =>
-      pairs.get(a.exprId).map(d => LessThanOrEqual(d, dayOf(l)))
-    case LessThanOrEqual(l @ Literal(_, TimestampType), a: Attribute) =>
-      pairs.get(a.exprId).map(d => GreaterThanOrEqual(d, dayOf(l)))
-    case LessThan(l @ Literal(_, TimestampType), a: Attribute) =>
-      pairs.get(a.exprId).map(d => GreaterThanOrEqual(d, dayOf(l)))
-    case EqualTo(l @ Literal(_, TimestampType), a: Attribute) =>
-      pairs.get(a.exprId).map(d => EqualTo(d, dayOf(l)))
-    case _ => None
+  /** Partition-column predicates implied by one timestamp conjunct.
+    * Truncation makes strict bounds inclusive on the bucket (ts > T still
+    * admits same-bucket later timestamps).
+    */
+  private def derive(c: Expression, pairs: Map[ExprId, Seq[(Attribute, Gran)]]): Seq[Expression] = {
+    def ge(a: Attribute) = pairs.getOrElse(a.exprId, Nil)
+    c match {
+      case GreaterThanOrEqual(a: Attribute, l @ Literal(_, TimestampType)) =>
+        ge(a).map { case (d, g) => GreaterThanOrEqual(d, bucketOf(l, g)) }
+      case GreaterThan(a: Attribute, l @ Literal(_, TimestampType)) =>
+        ge(a).map { case (d, g) => GreaterThanOrEqual(d, bucketOf(l, g)) }
+      case LessThanOrEqual(a: Attribute, l @ Literal(_, TimestampType)) =>
+        ge(a).map { case (d, g) => LessThanOrEqual(d, bucketOf(l, g)) }
+      case LessThan(a: Attribute, l @ Literal(_, TimestampType)) =>
+        ge(a).map { case (d, g) => LessThanOrEqual(d, bucketOf(l, g)) }
+      case EqualTo(a: Attribute, l @ Literal(_, TimestampType)) =>
+        ge(a).map { case (d, g) => EqualTo(d, bucketOf(l, g)) }
+      // literal-on-left mirrors
+      case GreaterThanOrEqual(l @ Literal(_, TimestampType), a: Attribute) =>
+        ge(a).map { case (d, g) => LessThanOrEqual(d, bucketOf(l, g)) }
+      case GreaterThan(l @ Literal(_, TimestampType), a: Attribute) =>
+        ge(a).map { case (d, g) => LessThanOrEqual(d, bucketOf(l, g)) }
+      case LessThanOrEqual(l @ Literal(_, TimestampType), a: Attribute) =>
+        ge(a).map { case (d, g) => GreaterThanOrEqual(d, bucketOf(l, g)) }
+      case LessThan(l @ Literal(_, TimestampType), a: Attribute) =>
+        ge(a).map { case (d, g) => GreaterThanOrEqual(d, bucketOf(l, g)) }
+      case EqualTo(l @ Literal(_, TimestampType), a: Attribute) =>
+        ge(a).map { case (d, g) => EqualTo(d, bucketOf(l, g)) }
+      case _ => Nil
+    }
   }
 }

@@ -35,6 +35,14 @@ object TableLayout {
     */
   def daysPartition(tsCol: String): (String, Column) =
     s"${tsCol}_day" -> daysOf(col(tsCol))
+
+  /** Hour partition under the same contract (`<ts>_hour` =
+    * date_format(ts, "yyyy-MM-dd-HH") — fixed-width, so lexicographic
+    * order is time order); the reference's bronze layout (hours(ts),
+    * streaming_job.py:37).
+    */
+  def hoursPartition(tsCol: String): (String, Column) =
+    s"${tsCol}_hour" -> hoursOf(col(tsCol))
   /** Stable 0..n-1 bucket (murmur3-based; stability, not Iceberg
     * bit-compatibility, is the contract — SURVEY.md §7.5 pitfall 5). */
   def bucketOf(n: Int, c: Column): Column = pmod(hash(c), lit(n))

@@ -40,6 +40,20 @@ class PartitionPredicateRewriteSpec extends SparkFunSuite {
     assert(df.count() == expected)
   }
 
+  test("hour-granularity partitions prune from raw-timestamp predicates") {
+    val p = Files.createTempDirectory("graft-hidden-h").toString + "/events"
+    TableLayout.partitionedWrite(
+      Tables.events(spark, sf), p,
+      partitions = Seq(TableLayout.hoursPartition("ts")))
+    val pred = col("ts") >= lit("2024-01-20 06:30:00").cast("timestamp")
+    val df = spark.read.parquet(p).filter(pred)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "ts_hour#\\d+ >= 2024-01-20-06".r.findFirstIn(plan).isDefined,
+      s"implied hour partition filter missing:\n$plan")
+    assert(df.count() == Tables.events(spark, sf).filter(pred).count())
+  }
+
   test("no ts_day column → rule is a no-op") {
     val df = Tables.events(spark, sf).filter(col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp"))
     // just runs; nothing to assert beyond correctness
