@@ -149,6 +149,26 @@ object StreamPipelines {
     }
   }
 
+  /** The streaming wrapper for [[applyCdcBatch]] — the dims pipeline
+    * (reference stream_dims.py:171-191): each micro-batch of CDC envelopes
+    * is applied to the dimension snapshot with latest-wins + deletes.
+    */
+  def cdcSink(
+      stream: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      key: Seq[String],
+      tsCol: String = "ts_ms",
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcBatch(batch, targetPath, key, tsCol)
+      }
+
   /** T10 — CDC apply (Debezium-style envelope): keep creates/updates,
     * latest per key by `ts_ms`, upsert into the dimension snapshot; deletes
     * ('d') remove the key (designed in the reference, implemented here).

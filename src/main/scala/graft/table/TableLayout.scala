@@ -155,6 +155,28 @@ object TableLayout {
     sb.toString
   }
 
+  /** File-health metadata per partition — the plain-parquet analog of
+    * Iceberg's `$files` metadata table that the reference's Grafana panels
+    * query for fragmentation/small-file monitoring
+    * (lakehouse_monitor.json:117,314; Dashboard.md:94-97). Driver-side
+    * directory listing only; no data files are read.
+    * Output: (partition, n_files, total_bytes, avg_bytes).
+    */
+  def fileStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(path)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        (d.getPath.getName, files.length.toLong, bytes,
+          if (files.nonEmpty) bytes / files.length else 0L)
+      }
+    rows.toDF("partition", "n_files", "total_bytes", "avg_bytes")
+  }
+
   /** Data-freshness lag in seconds (the reference's Grafana gauge on
     * max(event_timestamp), lakehouse_monitor.json:181; SURVEY.md F8).
     * `now` is injectable for deterministic tests.

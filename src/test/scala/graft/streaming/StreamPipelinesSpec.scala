@@ -97,6 +97,23 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("cdcSink: streaming CDC envelopes maintain the dim snapshot") {
+    implicit val sql = spark.sqlContext
+    val dir   = tmpDir("cdcsink")
+    val input = MemoryStream[Cdc]
+    val q = StreamPipelines.cdcSink(input.toDF(), s"$dir/dim", s"$dir/ckpt",
+      Seq("user_id"), trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Cdc("c", 1L, "u1", "bronze"), Cdc("c", 2L, "u2", "bronze"))
+      q.processAllAvailable()
+      input.addData(Cdc("u", 3L, "u1", "gold"), Cdc("d", 4L, "u2", "x"))
+      q.processAllAvailable()
+      val dim = spark.read.parquet(s"$dir/dim").collect()
+        .map(r => r.getAs[String]("user_id") -> r.getAs[String]("segment")).toMap
+      assert(dim == Map("u1" -> "gold"))
+    } finally q.stop()
+  }
+
   test("applyCdcBatch: creates/updates upsert, deletes remove, latest-wins per key") {
     val target = tmpDir("cdc") + "/dim"
     val b1 = Seq(

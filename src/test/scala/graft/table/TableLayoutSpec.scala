@@ -61,6 +61,15 @@ class TableLayoutSpec extends SparkFunSuite {
     assert(left.toSeq == Seq("2024-01-02", "2024-01-03"))
   }
 
+  test("fileStats reports per-partition file health without reading data") {
+    val path = tmp("stats") + "/t"
+    TableLayout.partitionedWrite(rows, path, Seq("day" -> TableLayout.daysOf(col("ts"))))
+    val stats = TableLayout.fileStats(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(stats.keySet == Set("day=2024-01-01", "day=2024-01-02", "day=2024-01-03"))
+    stats.values.foreach { case (n, avg) => assert(n >= 1 && avg > 0) }
+  }
+
   test("removeOrphans clears stray temp dirs only") {
     val path = tmp("orphan") + "/t"
     TableLayout.partitionedWrite(rows, path, Seq("day" -> TableLayout.daysOf(col("ts"))))
