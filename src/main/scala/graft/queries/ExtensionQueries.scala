@@ -88,7 +88,11 @@ object ExtensionQueries {
   private val q23 = Q(
     "q23_lsh_candidates",
     (s, dir) => {
-      val sigs = TextDedup.minhashSignatures(docsSpread(s, dir), "doc_id", "text", 8, 2)
+      // persist: the signature frame is referenced four times in one plan
+      // (band probe+build, two lookup joins) — materialize it once. At
+      // scale this is the "checkpoint the signatures" step every LSH
+      // pipeline has; the frame is (id, 8×32B), tiny relative to the corpus.
+      val sigs = TextDedup.minhashSignatures(docsSpread(s, dir), "doc_id", "text", 8, 2).persist()
       TextDedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 2)
     },
     Some {

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.KmvBuffer
+import graft.streaming.StatefulUpsert
+import graft.streaming.StatefulUpsert.{KeyedEvent, KeyState}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the pure (non-Spark) cores: the state fold
+  * and the KMV sketch buffer. These run hundreds of generated cases where
+  * the Spark suites run a handful of seeded ones.
+  */
+object PureProperties extends Properties("graft.pure") {
+
+  private val genEvent: Gen[KeyedEvent] = for {
+    ts  <- Gen.choose(0L, 50L)
+    id  <- Gen.choose(0L, 1000000L)
+    st  <- Gen.oneOf("a", "b", "c")
+    amt <- Gen.option(Gen.choose(0, 99).map(_.toDouble))
+  } yield KeyedEvent("k", ts, id, st, amt)
+
+  private val genEvents: Gen[List[KeyedEvent]] =
+    Gen.listOfN(30, genEvent).map(_.distinctBy(e => (e.ts, e.id)))
+
+  /** Reference model: latest-wins dense, newest-non-null sparse. */
+  private def model(ev: Seq[KeyedEvent]): (String, Option[Double]) = {
+    val sorted = ev.sortBy(e => (e.ts, e.id))
+    val status = sorted.lastOption.map(_.status).orNull
+    val amount = sorted.reverse.collectFirst { case e if e.amount.isDefined => e.amount }.flatten
+    (status, amount)
+  }
+
+  property("fold is order-insensitive and matches the latest-wins model") =
+    Prop.forAll(genEvents, Gen.long) { (ev, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(ev)
+      val s = StatefulUpsert.fold("k", None, shuffled.iterator)
+      ev.isEmpty || ((s.status, s.amount) == model(ev))
+    }
+
+  property("fold is batching-insensitive") =
+    Prop.forAll(genEvents, Gen.choose(1, 5)) { (ev, nb) =>
+      val batches = ev.grouped(math.max(1, ev.size / nb)).toList
+      val inc = batches.foldLeft(Option.empty[KeyState]) { (st, b) =>
+        Some(StatefulUpsert.fold("k", st, b.iterator))
+      }
+      val all = StatefulUpsert.fold("k", None, ev.iterator)
+      ev.isEmpty || inc.contains(all)
+    }
+
+  property("fold replay is idempotent") =
+    Prop.forAll(genEvents) { ev =>
+      val once  = StatefulUpsert.fold("k", None, ev.iterator)
+      val twice = StatefulUpsert.fold("k", Some(once), ev.iterator)
+      twice == once
+    }
+
+  property("KmvBuffer keeps the k unsigned-smallest distinct hashes") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.choose(16, 64)) { (hs, k) =>
+      val buf = new KmvBuffer(k)
+      hs.foreach(buf.add)
+      val expect = hs.distinct.sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0).take(k)
+      buf.values.sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0).toSeq == expect
+    }
+
+  property("KmvBuffer merge == bulk add") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (h1, h2) =>
+      val k = 32
+      val merged = new KmvBuffer(k); val bulk = new KmvBuffer(k); val other = new KmvBuffer(k)
+      h1.foreach(merged.add); h2.foreach(other.add); merged.mergeFrom(other)
+      (h1 ++ h2).foreach(bulk.add)
+      merged.values.sorted.toSeq == bulk.values.sorted.toSeq
+    }
+}
