@@ -97,6 +97,33 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("upsertSink resumes from checkpoint across restarts (file source, rate-limited)") {
+    val dir = tmpDir("resume")
+    import spark.implicits._
+    val wave1 = Seq(Ord("u1", t("2024-01-01 10:00:00"), 1L, "created", Some(10.0)))
+    val wave2 = Seq(Ord("u1", t("2024-01-01 10:05:00"), 2L, "paid", None),
+      Ord("u2", t("2024-01-01 10:06:00"), 3L, "created", Some(20.0)))
+    val schema = wave1.toDF().schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // T5 rate limiting
+        .json(s"$dir/in")
+      val q = StreamPipelines.upsertSink(stream, s"$dir/gold", s"$dir/ckpt",
+        Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"), Seq("amount"),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    wave1.toDF().write.json(s"$dir/in")
+    runOnce()
+    assert(spark.read.parquet(s"$dir/gold").count() == 1)
+    // restart with new input files: checkpoint skips wave1, applies wave2
+    wave2.toDF().write.mode("append").json(s"$dir/in")
+    runOnce()
+    val gold = spark.read.parquet(s"$dir/gold").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
+    assert(gold == Map("u1" -> ("paid", 10.0), "u2" -> ("created", 20.0)))
+  }
+
   test("cdcSink: streaming CDC envelopes maintain the dim snapshot") {
     implicit val sql = spark.sqlContext
     val dir   = tmpDir("cdcsink")
