@@ -45,6 +45,16 @@ object AsOfJoin {
       rightCols: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(rightCols.nonEmpty, "AsOfJoin: rightCols must not be empty")
+    val collisions = rightCols.filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"AsOfJoin: rightCols collide with left columns: ${collisions.mkString(", ")} — alias them first")
+    require(left.columns.contains(leftKey) && left.columns.contains(leftTime),
+      s"AsOfJoin: left is missing $leftKey/$leftTime")
+    require(right.columns.contains(rightKey) && right.columns.contains(rightTime),
+      s"AsOfJoin: right is missing $rightKey/$rightTime")
+    require(rightCols.forall(right.columns.contains),
+      s"AsOfJoin: right is missing some of ${rightCols.mkString(", ")}")
     // Carry ONE struct of all rightCols, not each column independently:
     // per-column last(ignoreNulls) could mix columns from different right
     // rows and would resurrect the previous version's value when a newer

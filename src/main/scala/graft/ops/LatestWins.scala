@@ -75,6 +75,11 @@ object LatestWins {
       sparseCols: Seq[String],
       maxOrderAlias: String = "last_seen"
   ): DataFrame = {
+    val missing = (key ++ (orderCol +: tieBreak) ++ denseCols ++ sparseCols)
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty, s"latestState: input is missing columns: ${missing.mkString(", ")}")
+    require(!(denseCols ++ sparseCols).contains(maxOrderAlias),
+      s"latestState: maxOrderAlias '$maxOrderAlias' collides with an output column")
     val desc  = (col(orderCol) +: tieBreak.map(col)).map(_.desc)
     val wOrd  = Window.partitionBy(key.map(col): _*).orderBy(desc: _*)
     val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
