@@ -478,6 +478,29 @@ object ExtensionQueries {
         SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')""")
   )
 
+  // Multimodal join: text modality (documents) ⋈ vector modality
+  // (embeddings) on the shared id — the doc↔embedding enriched view of
+  // SURVEY.md §7.4, combining per-doc text stats with vector geometry.
+  private val q40 = Q(
+    "q40_multimodal_join",
+    (s, dir) => {
+      val stats = TextStats.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+      val emb = Tables.embeddings(s, dir).select(
+        col("vec_id"), col("label").cast("long").as("label"),
+        round(sqrt(VectorSearch.dot(
+          VectorSearch.asDouble(col("embedding")),
+          VectorSearch.asDouble(col("embedding")))), 4).as("vec_norm"))
+      stats.join(emb, stats("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("vec_norm"), col("label"))
+    },
+    Some("""SELECT d.doc_id,
+      CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      CAST(length(d.text) AS BIGINT) AS n_chars,
+      round(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))), 4) AS vec_norm,
+      CAST(e.label AS BIGINT) AS label
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }
