@@ -55,6 +55,23 @@ class StatefulUpsertSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("typed Aggregator agrees with fold (partial-merge across partitions)") {
+    val rnd = new scala.util.Random(7)
+    val ev = Seq.tabulate(80) { i =>
+      KeyedEvent(s"k${rnd.nextInt(4)}", rnd.nextInt(40).toLong, i.toLong,
+        Seq("x", "y")(rnd.nextInt(2)),
+        if (rnd.nextBoolean()) Some(rnd.nextInt(50).toDouble) else None)
+    }
+    val viaAgg = ev.toDS().repartition(8) // force partial buffers + merge
+      .groupByKey(_.key)
+      .agg(LatestStateAggregator.toColumn)
+      .collect().map { case (k, s) => k -> (s.status, s.amount) }.toMap
+    val viaFold = ev.groupBy(_.key).map { case (k, es) =>
+      val s = StatefulUpsert.fold(k, None, es.iterator); k -> (s.status, s.amount)
+    }
+    assert(viaAgg == viaFold)
+  }
+
   test("agrees with the LatestWins batch reduction under any batching/order") {
     val rnd = new scala.util.Random(42)
     val ev = Seq.tabulate(60) { i =>
