@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Keyed mutable state via `mapGroupsWithState` — the state-store-native
@@ -77,4 +78,50 @@ object StatefulUpsert {
       }
 
   val outputMode: OutputMode = OutputMode.Update()
+
+  /** Sentinel status marking a state evicted by TTL. */
+  val ExpiredStatus = "__expired__"
+
+  /** Bounded-state variant via `flatMapGroupsWithState` + event-time TTL:
+    * a key idle for longer than `ttl` past the watermark is EVICTED from
+    * the state store (emitting a tombstone with [[ExpiredStatus]]), so
+    * state size tracks the ACTIVE key set, not the all-time key set — the
+    * property that keeps a 100 TB keyed-state job from growing without
+    * bound (the reference caps state differently: 10 s watermark + append
+    * windows; for current-state tables TTL eviction is the analog).
+    *
+    * `events.ts` is interpreted as epoch millis for watermarking.
+    */
+  def latestPerKeyWithTtl(
+      events: Dataset[KeyedEvent],
+      ttlMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 seconds"
+  ): Dataset[KeyState] = {
+    events
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[KeyedEventWithTime]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[KeyedEventWithTime], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            val tomb = state.get.copy(status = ExpiredStatus)
+            state.remove()
+            Iterator(tomb)
+          } else {
+            val next = fold(key, state.getOption,
+              it.map(e => KeyedEvent(e.key, e.ts, e.id, e.status, e.amount)))
+            state.update(next)
+            // evict once the watermark passes last activity + ttl
+            state.setTimeoutTimestamp(next.lastTs + ttlMs)
+            Iterator(next)
+          }
+      }
+  }
+
+  /** [[KeyedEvent]] plus the derived event-time column for watermarking. */
+  final case class KeyedEventWithTime(key: String, ts: Long, id: Long, status: String,
+                                      amount: Option[Double], eventTime: java.sql.Timestamp)
+  implicit val eventTimeEnc: Encoder[KeyedEventWithTime] = Encoders.product[KeyedEventWithTime]
 }

@@ -55,6 +55,28 @@ class StatefulUpsertSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("latestPerKeyWithTtl evicts idle keys once the watermark passes their TTL") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val q = StatefulUpsert.latestPerKeyWithTtl(input.toDS(), ttlMs = 60000L) // 1 min TTL
+      .writeStream.format("memory").queryName("ttl").outputMode("update").start()
+    try {
+      input.addData(KeyedEvent("idle", base, 1L, "created", Some(1.0)))
+      q.processAllAvailable()
+      // watermark far past idle's ttl → eviction fires on the next batch
+      input.addData(KeyedEvent("live", base + 10 * 60000L, 2L, "created", Some(2.0)))
+      q.processAllAvailable()
+      input.addData(KeyedEvent("live", base + 11 * 60000L, 3L, "paid", None))
+      q.processAllAvailable()
+      val rows = spark.table("ttl").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(rows.contains(("idle", StatefulUpsert.ExpiredStatus)), s"no tombstone in ${rows.toSeq}")
+      // live key keeps updating normally after the eviction
+      assert(rows.contains(("live", "paid")))
+    } finally q.stop()
+  }
+
   test("typed Aggregator agrees with fold (partial-merge across partitions)") {
     val rnd = new scala.util.Random(7)
     val ev = Seq.tabulate(80) { i =>
