@@ -51,7 +51,7 @@ object LatestWins {
     val ord     = struct((col(orderCol) +: tieBreak.map(col)): _*)
     val agg     = df
       .groupBy(key.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), ord).as("__latest"))
+      .agg(max_by(struct(payload.toIndexedSeq.map(col): _*), ord).as("__latest"))
     payload.foldLeft(agg)((d, c) => d.withColumn(c, col(s"__latest.$c"))).drop("__latest")
   }
 
@@ -121,7 +121,7 @@ object LatestWins {
     val cond    = key.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val joined  = t.join(s, cond, "full_outer")
     val matched = col("s.__s_present").isNotNull
-    val out = target.columns.map { c =>
+    val out = target.columns.toIndexedSeq.map { c =>
       val merged =
         if (key.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c"))
         else if (coalesceCols.contains(c)) when(matched, coalesce(col(s"s.$c"), col(s"t.$c"))).otherwise(col(s"t.$c"))

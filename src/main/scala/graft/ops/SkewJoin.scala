@@ -33,6 +33,6 @@ object SkewJoin {
     val cond: Column = (key :+ "__salt").map(c => l(c) === r(c)).reduce(_ && _)
     val rightOnly = right.columns.filterNot(key.contains)
     l.join(r, cond)
-      .select(left.columns.map(l(_)) ++ rightOnly.map(r(_)): _*)
+      .select(left.columns.toIndexedSeq.map(l(_)) ++ rightOnly.toIndexedSeq.map(r(_)): _*)
   }
 }

@@ -38,7 +38,7 @@ object StreamPipelines {
     * processing-time stamp.
     */
   def headerBody(df: DataFrame, headerCols: Seq[String]): DataFrame = {
-    val bodyCols = df.columns.filterNot(headerCols.contains)
+    val bodyCols = df.columns.toIndexedSeq.filterNot(headerCols.contains)
     df.select(
       headerCols.map(col) ++ Seq(
         to_json(struct(bodyCols.map(col): _*)).as("payload"),
