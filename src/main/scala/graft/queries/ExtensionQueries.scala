@@ -437,14 +437,22 @@ object ExtensionQueries {
   // rows-only check (no oracle), by design.
   private val q36 = Q(
     "q36_hll_reach",
-    (s, dir) =>
+    (s, dir) => {
+      // KMV sketch when the graft extensions are on the session; HLL
+      // stand-in otherwise so the query runs on any session (rows-only
+      // check — estimator values are implementation-specific either way)
+      val kmv =
+        if (graft.functions.GraftFunctions.installed(s))
+          graft.functions.GraftFunctions.kmvDistinct(col("user_id"), 256)
+        else approx_count_distinct(col("user_id"), 0.01)
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
-          graft.functions.GraftFunctions.kmvDistinct(col("user_id"), 256).as("kmv_users"),
+          kmv.as("kmv_users"),
           countDistinct(col("user_id")).as("exact_users")
-        ),
+        )
+    },
     None
   )
 
