@@ -52,20 +52,35 @@ object PartitionPredicateRewrite extends Rule[LogicalPlan] with PredicateHelper 
   private case object Day  extends Gran
   private case object Hour extends Gran
 
-  /** Eligible PARTITION columns of file relations in the subtree, by name —
-    * the rewrite only pairs against these, never against an ordinary data
-    * column that merely shares the naming pattern (which could violate the
-    * derivation contract and silently drop rows).
+  /** (ts-attribute exprId → derived partition attributes) pairs, built
+    * PER RELATION: a timestamp attribute is only ever paired with a
+    * partition column of ITS OWN file relation — a same-named column from
+    * another relation in the subtree (e.g. across a join) must never
+    * contribute a predicate, and an ordinary data column that merely
+    * shares the naming pattern never qualifies. Types are checked on the
+    * actual output attribute.
     */
-  private def partitionCols(plan: LogicalPlan): Map[String, Gran] =
+  private def relationPairs(plan: LogicalPlan): Map[ExprId, Seq[(Attribute, Gran)]] =
     plan.collect {
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.partitionSchema.flatMap { f =>
-              if (f.dataType == DateType && f.name.endsWith(DaySuffix)) Some(f.name -> (Day: Gran))
-              else if (f.dataType == StringType && f.name.endsWith(HourSuffix)) Some(f.name -> (Hour: Gran))
-              else None
+            val partNames = fs.partitionSchema.map(_.name).toSet
+            val byName    = lr.output.groupBy(_.name).view.mapValues(_.head)
+            lr.output.flatMap { a =>
+              a.dataType match {
+                case TimestampType =>
+                  val cands = Seq(
+                    (a.name + DaySuffix, DateType, Day: Gran),
+                    (a.name + HourSuffix, StringType, Hour: Gran)
+                  ).flatMap { case (n, dt, g) =>
+                    byName.get(n).collect {
+                      case d if partNames.contains(n) && d.dataType == dt => d -> g
+                    }
+                  }
+                  if (cands.nonEmpty) Some(a.exprId -> cands) else None
+                case _ => None
+              }
             }
           case _ => Nil
         }
@@ -75,19 +90,12 @@ object PartitionPredicateRewrite extends Rule[LogicalPlan] with PredicateHelper 
     if (conf.getConfString(EnabledKey, "true") != "true") return plan
     plan.transform {
     case f @ Filter(cond, child) =>
-      // pair every timestamp attribute with its derived PARTITION column(s)
-      val partCols = partitionCols(child)
-      val byName = child.output.groupBy(_.name).view.mapValues(_.head)
-      val pairs: Map[ExprId, Seq[(Attribute, Gran)]] = child.output.flatMap { a =>
-        a.dataType match {
-          case TimestampType =>
-            val cands = Seq(a.name + DaySuffix, a.name + HourSuffix).flatMap { n =>
-              partCols.get(n).flatMap(g => byName.get(n).map(_ -> g))
-            }
-            if (cands.nonEmpty) Some(a.exprId -> cands) else None
-          case _ => None
-        }
-      }.toMap
+      // only pairs whose BOTH attributes survive to this filter's input
+      val visible = AttributeSet(child.output)
+      val pairs = relationPairs(child).flatMap { case (ts, cands) =>
+        val kept = cands.filter { case (d, _) => visible.contains(d) }
+        if (kept.nonEmpty) Some(ts -> kept) else None
+      }
       if (pairs.isEmpty) f
       else {
         val conjuncts = splitConjunctivePredicates(cond)
@@ -101,11 +109,17 @@ object PartitionPredicateRewrite extends Rule[LogicalPlan] with PredicateHelper 
 
   /** The derived-column value for a timestamp literal at the granularity:
     * timestamp→date / date_format both resolve in the session zone,
-    * matching TableLayout.daysOf / hoursOf at write time.
+    * matching TableLayout.daysOf / hoursOf at write time. Evaluated
+    * EAGERLY to a literal — otherwise ConstantFolding rewrites the added
+    * conjunct and the semanticEquals dedup below stops recognizing it,
+    * re-deriving the same predicate every optimizer iteration.
     */
-  private def bucketOf(ts: Literal, g: Gran): Expression = g match {
-    case Day  => Cast(ts, DateType, Some(conf.sessionLocalTimeZone))
-    case Hour => DateFormatClass(ts, Literal(HourFormat), Some(conf.sessionLocalTimeZone))
+  private def bucketOf(ts: Literal, g: Gran): Expression = {
+    val e: Expression = g match {
+      case Day  => Cast(ts, DateType, Some(conf.sessionLocalTimeZone))
+      case Hour => DateFormatClass(ts, Literal(HourFormat), Some(conf.sessionLocalTimeZone))
+    }
+    Literal.create(e.eval(null), e.dataType)
   }
 
   /** Partition-column predicates implied by one timestamp conjunct.

@@ -56,7 +56,8 @@ object ServingSql {
         |         AS lag_s
         |FROM events""".stripMargin,
 
-    // reach panel using the engine's sketch aggregate from SQL
+    // reach panel using the engine's sketch aggregate from SQL (requires
+    // GraftExtensions on the session — run() substitutes HLL otherwise)
     "daily_reach_sketch" ->
       """SELECT to_date(ts) AS day,
         |       graft_kmv_distinct(user_id, 64) AS kmv_users,
@@ -72,5 +73,11 @@ object ServingSql {
         |FROM events GROUP BY user_id""".stripMargin
   )
 
-  def run(spark: SparkSession, name: String): DataFrame = spark.sql(panels(name))
+  def run(spark: SparkSession, name: String): DataFrame = {
+    val sql =
+      if (graft.functions.GraftFunctions.installed(spark)) panels(name)
+      else panels(name).replace("graft_kmv_distinct(user_id, 64)",
+        "approx_count_distinct(user_id, 0.01)")
+    spark.sql(sql)
+  }
 }

@@ -113,8 +113,12 @@ object StatefulUpsert {
             val next = fold(key, state.getOption,
               it.map(e => KeyedEvent(e.key, e.ts, e.id, e.status, e.amount)))
             state.update(next)
-            // evict once the watermark passes last activity + ttl
-            state.setTimeoutTimestamp(next.lastTs + ttlMs)
+            // evict once the watermark passes last activity + ttl; clamp
+            // above the current watermark — a just-admitted late event can
+            // otherwise produce a timeout at/below it, which Spark rejects
+            // and fails the query
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(next.lastTs + ttlMs, wm + 1))
             Iterator(next)
           }
       }

@@ -170,28 +170,35 @@ object StreamPipelines {
       }
 
   /** T10 — CDC apply (Debezium-style envelope): keep creates/updates,
-    * latest per key by `ts_ms`, upsert into the dimension snapshot; deletes
-    * ('d') remove the key (designed in the reference, implemented here).
-    * Reference stream_dims.py:65-141.
+    * latest per key by `tsCol` ACROSS batches — the snapshot keeps each
+    * row's `tsCol`, and an envelope older than the stored state is a no-op
+    * (replayed/backfilled topics deliver out of order; batch-local dedup
+    * alone would let stale envelopes overwrite newer state). Deletes ('d')
+    * remove the key, also ts-ordered: an old delete does not beat a newer
+    * upsert. Equal `tsCol` between snapshot and batch resolves to the
+    * batch (source precedence); ties WITHIN a batch need `tieBreak` to be
+    * total. Reference stream_dims.py:65-141.
     */
   def applyCdcBatch(
       batch: DataFrame,
       targetPath: String,
       key: Seq[String],
-      tsCol: String = "ts_ms"
+      tsCol: String = "ts_ms",
+      tieBreak: Seq[String] = Nil
   ): Unit = {
     if (batch.isEmpty) return
     val spark  = batch.sparkSession
-    val latest = LatestWins.latestRow(batch, key, tsCol, tieBreak = Nil)
-    val upserts = latest.filter(col("op").isin("c", "u")).drop("op")
-    val deletes = latest.filter(col("op") === "d").select(key.map(col): _*)
-    val merged =
+    val latest = LatestWins.latestRow(batch, key, tsCol, tieBreak)
+    val resolved =
       if (pathExists(spark, targetPath)) {
+        // snapshot rows re-enter as 'u' envelopes with source precedence 0;
+        // latest-wins over the union is the ts-ordered CDC apply
         val target = spark.read.parquet(targetPath)
-        val kept   = target.join(deletes, key, "left_anti")
-        LatestWins.merge(kept, upserts, key, coalesceCols = Nil)
-      } else upserts
-    atomicSwapWrite(merged, targetPath)
+          .withColumn("op", lit("u")).withColumn("__prec", lit(0))
+        val combined = target.unionByName(latest.withColumn("__prec", lit(1)))
+        LatestWins.latestRow(combined, key, tsCol, tieBreak :+ "__prec").drop("__prec")
+      } else latest
+    atomicSwapWrite(resolved.filter(col("op") =!= "d").drop("op"), targetPath)
   }
 
   /** Write a new snapshot beside the target, then swap via rename — the

@@ -169,10 +169,16 @@ object TableLayout {
     val rows = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map { d =>
-        val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
-        val bytes = files.map(_.getLen).sum
-        (d.getPath.getName, files.length.toLong, bytes,
-          if (files.nonEmpty) bytes / files.length else 0L)
+        // recursive: multi-level partition layouts nest further dirs under
+        // the top-level partition
+        var nFiles = 0L
+        var bytes  = 0L
+        val it = fs.listFiles(d.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) { nFiles += 1; bytes += f.getLen }
+        }
+        (d.getPath.getName, nFiles, bytes, if (nFiles > 0) bytes / nFiles else 0L)
       }
     rows.toDF("partition", "n_files", "total_bytes", "avg_bytes")
   }

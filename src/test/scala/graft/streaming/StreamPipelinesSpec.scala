@@ -159,6 +159,16 @@ class StreamPipelinesSpec extends SparkFunSuite {
     val s2 = spark.read.parquet(target).collect()
       .map(r => r.getAs[String]("user_id") -> r.getAs[String]("segment")).toMap
     assert(s2 == Map("u1" -> "gold"))
+
+    // cross-batch latest-wins: a REPLAYED older envelope must be a no-op,
+    // and an old delete must not beat the newer state
+    val b3 = Seq(
+      Cdc("u", 1500L, "u1", "stale"),  // older than stored ts 2001
+      Cdc("d", 1400L, "u1", "x")).toDF()
+    StreamPipelines.applyCdcBatch(b3, target, Seq("user_id"))
+    val s3 = spark.read.parquet(target).collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[String]("segment")).toMap
+    assert(s3 == Map("u1" -> "gold"), s"stale envelope overwrote newer state: $s3")
   }
 
   test("headerBody folds non-header columns into a JSON payload") {
