@@ -519,6 +519,34 @@ object ExtensionQueries {
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""")
   )
 
+  // Range join (point-in-interval): clicks attributed to the same user's
+  // 24h post-purchase windows — the bucket-replicated equi-join
+  // formulation (graft.ops.RangeJoin) vs the oracle's naive theta join.
+  private val q41 = Q(
+    "q41_range_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val windows = ev.filter(col("event_type") === "purchase").select(
+        col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 24 HOURS")).as("win_end"))
+      graft.ops.RangeJoin.pointInInterval(
+        ev.filter(col("event_type") === "click"), windows,
+        "user_id", "p_user", "ts", "win_start", "win_end",
+        Seq("purchase_id"), bucketWidthSeconds = 86400)
+        .select(col("event_id"), col("user_id"), col("purchase_id"))
+    },
+    Some("""WITH p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS win_start,
+               ts + INTERVAL 24 HOURS AS win_end
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.event_id, c.user_id, p.purchase_id
+      FROM events c JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.win_start AND c.ts < p.win_end
+      WHERE c.event_type = 'click'""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }
