@@ -130,52 +130,44 @@ object TextDedup {
     * (e.g. same `source`). Pairs with an empty intersection are omitted.
     * The blocking column is what keeps this from being an all-pairs join —
     * at scale, feed it LSH candidates or a coarse cluster id.
+    *
+    * Shape: shingle-level self-equi-join on (block, shingle) + pair count —
+    * |A∩B| falls out as the number of matching shingle rows per (id_a,
+    * id_b). Only pairs that actually SHARE a shingle ever materialize
+    * (exactly the output pair set), every row in flight is narrow (two ids
+    * + one shingle), and both the join and the count are plain
+    * shuffle/hash-agg operators with map-side combine — no per-pair set
+    * allocation. An earlier broadcast + per-pair `array_intersect` variant
+    * enumerated ALL candidate pairs in each block (quadratic in block size
+    * even when nothing matches) and built a hash set per comparison; under
+    * memory pressure its allocation rate collapsed into GC thrash.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String, shingleN: Int): DataFrame = {
-    // One row per doc carrying its DISTINCT shingle set; the block-scoped
-    // pair join then computes |A∩B| with array_intersect — same value as a
-    // shingle-level equi-join + count, but the heavy row explosion
-    // (sum over buckets of k² shingle matches) never materializes. The
-    // blocking column bounds the pair count; the per-pair work is
-    // O(|A|+|B|) hash-set intersection.
-    // No size(sh)>0 guard here: a doc with no shingles can only yield
-    // n_common=0 pairs, which the final filter drops — and the guard would
-    // be predicate-pushed below the projection, re-evaluating the whole
-    // shingle expression per row.
-    val side = df.select(
-      col(idCol).as("id"), col(blockCol).as("blk"),
-      array_distinct(wordShingles(tokens(col(textCol)), shingleN)).as("sh"))
-    // Both sides spread by id for parallel shingle computation; build side
-    // broadcast so the pair enumeration is a broadcast-hash join whose
-    // output never shuffles (a blk-equi shuffle join caps parallelism at
-    // the block count and re-shuffles wide array rows — measured 4×
-    // slower). When one block's shingle sets outgrow an executor, swap
-    // `broadcast` for a shuffle join; the operator semantics are unchanged.
+    // One narrow row per DISTINCT (doc, shingle). The input is spread by id
+    // first so per-doc shingling parallelizes even from a single input
+    // split; sizes are re-aggregated from the exploded frame (one extra
+    // cheap agg) instead of carrying the array through the join.
     val nPart = df.sparkSession.sparkContext.defaultParallelism
-    val probe = side.repartition(nPart, col("id")).as("a")
-    val build = broadcast(side.repartition(nPart, col("id")).as("b"))
-    // codegen'd native intersection count when the graft extensions are on
-    // the session (no intermediate array materialized), else the built-in
-    // composition — value-identical either way
-    val nCommon: (Column, Column) => Column =
-      if (graft.functions.GraftFunctions.installed(df.sparkSession))
-        (a, b) => graft.functions.GraftFunctions.intersectSize(a, b)
-      else (a, b) => size(array_intersect(a, b))
-    probe
-      .join(build, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    val ex = df
+      .repartition(nPart, col(idCol))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(array_distinct(wordShingles(tokens(col(textCol)), shingleN))).as("s"))
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = ex.as("a")
+      .join(ex.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // size lookups: two equi-joins on id; AQE broadcasts them when the
+    // per-doc size frame is small, and falls back to shuffle joins at scale
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        size(col("a.sh")).cast("long").as("n_a"),
-        size(col("b.sh")).cast("long").as("n_b"),
-        nCommon(col("a.sh"), col("b.sh")).cast("long").as("n_common"),
-        // nondeterministic barrier: keeps the n_common filter from being
-        // predicate-pushed into the join condition, which would evaluate
-        // array_intersect twice per candidate pair (measured 2-3× slower)
-        monotonically_increasing_id().as("__nd"))
-      .filter(col("n_common") >= 1)
-      .drop("__nd")
-      .withColumn("jaccard",
-        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
+        col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6)
+          .as("jaccard"))
   }
 
   /** 32-bit SimHash over the token multiset: for each bit, sum +1/-1 of the
