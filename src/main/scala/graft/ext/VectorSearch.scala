@@ -134,11 +134,14 @@ object VectorSearch {
       k: Int, roundDigits: Int = 4
   ): DataFrame = {
     val d = dotFn(queries.sparkSession)
-    // representative per list = the member with the smallest id
+    // representative per list = the member with the smallest id; min_by
+    // resolves it in ONE partial-aggregable shuffle (an earlier min-id
+    // groupBy + join-back variant cost an extra join and broadcast stage —
+    // pure scheduling overhead on the critical path)
     val reps = broadcast(
       corpus.groupBy(col(listCol).as("__list"))
-        .agg(min(col(idCol)).as("__rep_id"))
-        .join(corpus.select(col(idCol).as("__rep_id"), asDouble(col(vecCol)).as("__rv")), "__rep_id")
+        .agg(min_by(col(vecCol), col(idCol)).as("__rv0"))
+        .select(col("__list"), asDouble(col("__rv0")).as("__rv"))
         .withColumn("__rn", sqrt(d(col("__rv"), col("__rv")))))
     val q = queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"))
       .withColumn("__qn", sqrt(d(col("__qv"), col("__qv"))))
