@@ -1,13 +1,13 @@
 package graft
 
-import graft.queries.{ExtensionQueries, ParityQueries}
+import graft.queries.{ExtensionQueries, ParityQueries, TrainingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private def registered: Seq[ParityQueries.Q] =
-    ParityQueries.all ++ ExtensionQueries.all
+    ParityQueries.all ++ ExtensionQueries.all ++ TrainingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

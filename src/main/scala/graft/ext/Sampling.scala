@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-splitting operators (extension tier,
+  * SURVEY.md §7.4). Training pipelines need splits that are (a) stable
+  * across reruns and engines, (b) driven by a key, not row position, so
+  * resharding or re-ingesting the corpus never moves a document across the
+  * train/eval boundary. Both come from hashing the key, never from `rand()`.
+  *
+  * Everything is a pure projection (codegen'd md5 + arithmetic) — no
+  * shuffle, no state; the split column composes with any downstream
+  * partitioning (`partitionBy("split")` writes the datasets out directly).
+  */
+object Sampling {
+
+  /** 16-bit uniform hash bucket of a key: the first 4 hex chars of
+    * md5(key-as-string), as a value in [0, 65536). String form of the key
+    * keeps the digest engine-portable (DuckDB md5 hashes the same bytes).
+    */
+  def hashBucket16(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10).cast("long")
+
+  /** Deterministic train/validation split label: "train" for keys whose
+    * 16-bit hash bucket falls below `trainBp`/10000 of the space, else
+    * "val". `trainBp` is in basis points (9000 = 90% train).
+    */
+  def splitLabel(key: Column, trainBp: Int): Column = {
+    require(trainBp >= 0 && trainBp <= 10000, "trainBp must be in [0, 10000]")
+    // 65536 * trainBp / 10000 computed exactly in Long
+    val threshold = (65536L * trainBp) / 10000L
+    when(hashBucket16(key) < threshold, "train").otherwise("val")
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose hash bucket falls in
+    * the first `keepBp`/10000 of the space. Unlike `df.sample`, stable
+    * across engines, partitionings, and reruns.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, keepBp: Int): DataFrame =
+    df.filter(hashBucket16(col(keyCol)) < (65536L * keepBp) / 10000L)
+}

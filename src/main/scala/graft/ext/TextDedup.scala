@@ -170,6 +170,30 @@ object TextDedup {
           .as("jaccard"))
   }
 
+  /** Exact edit-distance verification of candidate pairs: joins each
+    * (id_a, id_b) candidate back to the corpus and computes the Levenshtein
+    * distance of the documents' first `prefixLen` chars. The prefix cap
+    * bounds the O(len²) DP per pair — the standard trick when candidates
+    * come from a recall-oriented blocker (LSH, SimHash buckets) and only a
+    * cheap high-precision confirmation is needed.
+    *
+    * Shape at scale: two equi-joins on id (shuffle or broadcast per AQE);
+    * the quadratic-ish Levenshtein runs once per CANDIDATE, never per
+    * corpus pair.
+    */
+  def editDistancePairs(candidates: DataFrame, docs: DataFrame,
+                        idCol: String, textCol: String, prefixLen: Int): DataFrame = {
+    val txt  = docs.select(col(idCol), substring(col(textCol), 1, prefixLen).as("__pfx"))
+    val txtA = txt.select(col(idCol).as("id_a"), col("__pfx").as("__pfx_a"))
+    val txtB = txt.select(col(idCol).as("id_b"), col("__pfx").as("__pfx_b"))
+    candidates
+      .join(txtA, "id_a")
+      .join(txtB, "id_b")
+      .withColumn("edit_dist", levenshtein(col("__pfx_a"), col("__pfx_b")).cast("long"))
+      // USING joins reorder columns — restore the candidate frame's layout
+      .select(candidates.columns.map(col) :+ col("edit_dist"): _*)
+  }
+
   /** 32-bit SimHash over the token multiset: for each bit, sum +1/-1 of the
     * token digest's bit, then set the result bit where the sum is positive.
     * One explode + one partial-aggregable hash-aggregate.

@@ -65,6 +65,55 @@ object TextStats {
     )
   }
 
+  /** Corpus vocabulary by document frequency: one row per token with the
+    * number of documents containing it (`df_docs`) and its total occurrence
+    * count (`tf_total`), top `k` by (df_docs desc, token asc).
+    *
+    * Shape at scale: explode → two partial-aggregable hash aggregates →
+    * TakeOrderedAndProject. The distinct-per-doc pass and the occurrence
+    * pass share one exploded scan; nothing wide ever shuffles (rows are
+    * (token) or (id, token)).
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(TextDedup.tokens(col(textCol))).as("token"))
+    ex.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_docs"), sum(col("tf")).as("tf_total"))
+      .orderBy(col("df_docs").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Top-`k` characteristic terms per document by an exact-integer tf-idf
+    * surrogate: `tfidf_bp = (tf * 10000 * N) intdiv df` — monotone in
+    * tf/df, computed entirely in BIGINT so every engine ranks identically
+    * (a float `ln`-idf differs in the last ulp across libm
+    * implementations, which a hash-compare oracle would catch).
+    * Output: (id, token, tf, df_docs, tfidf_bp, rnk).
+    *
+    * Shape: one exploded scan → per-(doc,token) tf agg → per-token df agg
+    * → equi-join tf⋈df on token → per-doc top-k window. The corpus size N
+    * joins in as a broadcast 1-row aggregate — no driver-side collect.
+    */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(TextDedup.tokens(col(textCol))).as("token"))
+    val tf   = ex.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+    val n    = df.agg(count(lit(1)).as("__n"))
+    // positive-int floor division, exact while the product stays < 2^53
+    // (tf ≤ doc length, N the corpus size: fine into the billions of docs)
+    val score = floor((col("tf") * 10000L * col("__n")) / col("df_docs")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tfidf_bp").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_bp", score)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("token"), col("tf"), col("df_docs"), col("tfidf_bp"), col("rnk"))
+  }
+
   /** Marker-stopword language-ID heuristic: count hits per language's
     * marker set, predict the argmax (ties and zero-hits fall back to "und").
     * A real system would use char-n-gram profiles; the *shape* (per-language

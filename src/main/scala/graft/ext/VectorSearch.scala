@@ -161,6 +161,30 @@ object VectorSearch {
     rankTopK(routed.join(c, "__list"), k, roundDigits, d)
   }
 
+  /** Per-label centroid of an embedding column, one output row per
+    * (label, dimension): the mean of each coordinate in exact-integer
+    * micro-units (each float is scaled by 1e6 and rounded to BIGINT before
+    * summing, so partial aggregation order can never change the sum; the
+    * single final division is the only float op). Output:
+    * (label, dim [1-based], n, centroid_micro).
+    *
+    * Shape at scale: posexplode (rows stay narrow: label, dim, long) → one
+    * partial-aggregable hash aggregate keyed by (label, dim) — the classic
+    * mean-pooling layout; dims × labels output rows regardless of corpus
+    * size. A float-summed `avg` would be partition-order-dependent;
+    * integer-scaled sums are reproducible bit-for-bit.
+    */
+  def labelCentroids(df: DataFrame, vecCol: String, labelCol: String,
+                     roundDigits: Int = 4): DataFrame =
+    df.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("label"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 1000000d, 0).cast("long").as("__micro"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__micro")).as("__sum"))
+      .select(col("label"), col("dim"), col("n"),
+        round(col("__sum").cast("double") / col("n"), roundDigits).as("centroid_micro"))
+
   /** Embedding near-duplicate pairs: same sign bucket AND rounded cosine >=
     * `threshold`. The bucket equi-join is the blocking step that makes this
     * feasible at scale; identical vectors always land in the same bucket, so

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Sampling, TextDedup, TextStats, VectorSearch}
+import graft.queries.ParityQueries.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third query tier: the dataset-curation operators a large-scale training
+  * pipeline runs between raw corpus and training shards — vocabulary and
+  * tf-idf statistics, deterministic splits/samples, candidate verification
+  * by edit distance, label centroids — plus the OLAP lattice operators
+  * (CUBE, pivot) the reference's dashboard tier stops short of.
+  *
+  * Same engine-portability discipline as the other suites: exact-integer
+  * scores (basis points, micro-units), md5-based determinism, explicit
+  * BIGINT casts in every DuckDB oracle sum (HUGEINT != int64 at the
+  * driver's hash compare).
+  */
+object TrainingQueries {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Spread the single-file documents input across cores before CPU-heavy
+    * per-doc work (same wiring note as ExtensionQueries.docsSpread).
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+
+  private val toksCte =
+    """toks AS (SELECT doc_id, lang, source, text,
+      |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // CUBE: full subtotal lattice over (returnflag, linestatus). NULL cells
+  // are subtotal markers (the data has no real NULLs) → labeled '(all)'.
+  private val q42 = Q(
+    "q42_cube",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("sum_qty"), col("sum_base_cents"), col("n")),
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS rflag,
+      coalesce(l_linestatus, '(all)') AS lstatus,
+      CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      count(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")
+  )
+
+  // Pivot: per-day event-type matrix (wide conditional-count layout)
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val q43 = Q(
+    "q43_pivot",
+    (s, dir) => {
+      // explicit value list → no extra distinct-values job, stable schema
+      val wide = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+      wide.select(col("day") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    },
+    Some("SELECT CAST(ts AS DATE) AS day, " +
+      eventTypes.map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ") +
+      " FROM events GROUP BY 1")
+  )
+
+  // ---------------------------------------------------------------------
+  // Vocabulary: top-50 tokens by document frequency
+  private val q44 = Q(
+    "q44_vocab_topk",
+    (s, dir) => TextStats.vocabulary(docsSpread(s, dir), "doc_id", "text", k = 50),
+    Some(s"""WITH $toksCte,
+      ex AS (SELECT doc_id, unnest(w) AS token FROM toks),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2)
+      SELECT token, count(*) AS df_docs, CAST(sum(tf) AS BIGINT) AS tf_total
+      FROM tf GROUP BY token
+      ORDER BY df_docs DESC, token LIMIT 50""")
+  )
+
+  // tf-idf surrogate in exact integers: top-3 terms per document
+  private val q45 = Q(
+    "q45_tfidf_top",
+    (s, dir) => TextStats.tfidfTop(docsSpread(s, dir), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id"),
+    Some(s"""WITH $toksCte,
+      ex AS (SELECT doc_id, unnest(w) AS token FROM toks),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+      dfreq AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT doc_id, token, tf, df_docs,
+        CAST((tf * 10000 * n.n) // df_docs AS BIGINT) AS tfidf_bp,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY (tf * 10000 * n.n) // df_docs DESC, token) AS BIGINT) AS rnk
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+      QUALIFY rnk <= 3""")
+  )
+
+  // ---------------------------------------------------------------------
+  // Deterministic hash split (90/10 train/val) — key-driven, engine-stable
+  private val trainBp    = 9000
+  private val threshold16 = (65536L * trainBp) / 10000L
+  private val q46 = Q(
+    "q46_hash_split",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("split", Sampling.splitLabel(col("doc_id"), trainBp))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id")),
+    Some {
+      // 16-bit bucket: first 4 hex chars of md5(doc_id as text), parsed
+      // digit-by-digit (DuckDB has no hex→int cast)
+      val hexVal = (0 until 4).map { p =>
+        val term = s"CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${p + 1}, 1)) - 1 AS BIGINT)"
+        val mult = 1L << (4 * (3 - p))
+        if (mult == 1L) term else s"$term * $mult"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, n_chars, $hexVal AS bkt FROM documents)
+      SELECT CASE WHEN bkt < $threshold16 THEN 'train' ELSE 'val' END AS split,
+        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM b GROUP BY 1"""
+    }
+  )
+
+  // ---------------------------------------------------------------------
+  // Edit-distance verification of LSH candidates: Levenshtein over the
+  // first 64 chars for every q23-style candidate pair
+  private val q47 = Q(
+    "q47_edit_distance",
+    (s, dir) => {
+      val sigs = TextDedup.minhashSignatures(docsSpread(s, dir), "doc_id", "text", 8, 2)
+      val cands = TextDedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 2)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      TextDedup.editDistancePairs(cands, Tables.documents(s, dir), "doc_id", "text", prefixLen = 64)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"), col("edit_dist"))
+    },
+    Some {
+      val shinglesFromToks =
+        """sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+          |  FROM toks, UNNEST(range(1, len(w))) AS t(i))""".stripMargin
+      val sigSelects = (0 until 8).map(i => s"min(md5('$i|' || s)) AS sig$i").mkString(",\n  ")
+      val nMatch = (0 until 8).map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $toksCte,
+      $shinglesFromToks,
+      sigs AS (SELECT doc_id, $sigSelects FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs),
+      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      scored AS (SELECT id_a, id_b, ($nMatch) / 8.0 AS est_jaccard
+        FROM pairs JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id)
+      SELECT id_a, id_b, est_jaccard,
+        CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) AS BIGINT) AS edit_dist
+      FROM scored
+      JOIN documents da ON id_a = da.doc_id
+      JOIN documents db ON id_b = db.doc_id"""
+    }
+  )
+
+  // ---------------------------------------------------------------------
+  // Mean-pooled per-label centroids in exact-integer micro-units
+  private val q48 = Q(
+    "q48_label_centroids",
+    (s, dir) => VectorSearch.labelCentroids(Tables.embeddings(s, dir), "embedding", "label"),
+    Some("""WITH v AS (SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e
+        FROM embeddings),
+      cells AS (SELECT label, CAST(i AS BIGINT) AS dim,
+        CAST(round(e[i] * 1000000, 0) AS BIGINT) AS micro
+        FROM v, UNNEST(range(1, len(e) + 1)) AS t(i))
+      SELECT label, dim, count(*) AS n,
+        round(CAST(sum(micro) AS DOUBLE) / count(*), 4) AS centroid_micro
+      FROM cells GROUP BY 1, 2""")
+  )
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48)
+}

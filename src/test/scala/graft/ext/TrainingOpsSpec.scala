@@ -1,0 +1,87 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Specs for the dataset-curation operators (vocabulary/tf-idf, hash
+  * split/sample, edit-distance verification, label centroids).
+  */
+class TrainingOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "apple banana"),
+    (3L, "cherry cherry cherry date"),
+    (4L, "")
+  ).toDF("id", "text")
+
+  test("vocabulary: document frequency and total occurrences") {
+    val v = TextStats.vocabulary(docs, "id", "text", k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("apple") == (2L, 3L))   // docs 1,2; 3 occurrences
+    assert(v("cherry") == (2L, 4L))  // docs 1,3; 4 occurrences
+    assert(v("date") == (1L, 1L))
+    assert(!v.contains(""))          // empty doc contributes nothing
+  }
+
+  test("vocabulary: top-k cuts on (df desc, token asc)") {
+    val top2 = TextStats.vocabulary(docs, "id", "text", k = 2).collect().map(_.getString(0))
+    // df: apple 2, banana 2, cherry 2, date 1 → ties broken by token order
+    assert(top2.toSeq == Seq("apple", "banana"))
+  }
+
+  test("tfidfTop: rare tokens outrank common ones at equal tf") {
+    val scored = TextStats.tfidfTop(docs, "id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    // doc 3: tf(cherry)=3 df=2 vs tf(date)=1 df=1 → cherry 3*10000*4/2=60000 > date 40000
+    assert(scored((3L, "cherry")) == 60000L)
+    assert(scored((3L, "date")) == 40000L)
+    // rnk within k and deterministic
+    val r3 = TextStats.tfidfTop(docs, "id", "text", k = 1)
+      .filter($"id" === 3L).collect()
+    assert(r3.length == 1 && r3.head.getString(1) == "cherry")
+  }
+
+  test("hash split: deterministic, exhaustive, key-stable under resharding") {
+    val ids = (1L to 1000L).toDF("k")
+    val s1 = ids.withColumn("split", Sampling.splitLabel($"k", 9000))
+    val s2 = ids.repartition(7).withColumn("split", Sampling.splitLabel($"k", 9000))
+    val m1 = s1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = s2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 == m2) // partitioning never moves a key across the boundary
+    val frac = m1.values.count(_ == "train").toDouble / m1.size
+    assert(frac > 0.85 && frac < 0.95) // ~90% within hash noise
+  }
+
+  test("deterministicSample: subset property — a smaller sample is contained in a larger one") {
+    val ids  = (1L to 500L).toDF("k")
+    val s10  = Sampling.deterministicSample(ids, "k", 1000).collect().map(_.getLong(0)).toSet
+    val s50  = Sampling.deterministicSample(ids, "k", 5000).collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s50))
+    assert(s10.nonEmpty && s50.size < 500)
+  }
+
+  test("editDistancePairs: zero for identical prefixes, exact DP distance otherwise") {
+    val corpus = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten")).toDF("id", "text")
+    val cands  = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val d = TextDedup.editDistancePairs(cands, corpus, "id", "text", prefixLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d((1L, 3L)) == 0L)
+    assert(d((1L, 2L)) == 3L) // canonical kitten→sitting
+  }
+
+  test("labelCentroids: exact integer-scaled means per (label, dim)") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 2.0f)),
+      (2L, 0, Array(3.0f, 4.0f)),
+      (3L, 1, Array(-1.0f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val c = VectorSearch.labelCentroids(emb, "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(c((0L, 1L)) == (2L, 2000000.0)) // mean(1,3) µ-units
+    assert(c((0L, 2L)) == (2L, 3000000.0)) // mean(2,4)
+    assert(c((1L, 1L)) == (1L, -1000000.0))
+    assert(c((1L, 2L)) == (1L, 500000.0))
+  }
+}
