@@ -89,6 +89,29 @@ object StreamPipelines {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming ingest dedup: drop redelivered events by key with
+    * watermark-bounded state (`dropDuplicatesWithinWatermark`). The state
+    * store keeps one entry per key only until the watermark passes — the
+    * bounded-memory form of at-least-once → effectively-once ingest (a
+    * plain `dropDuplicates` on a stream would grow state forever; the
+    * reference gets the same effect transactionally via MERGE-on-key,
+    * J1/T6 — this is the stateless-sink alternative).
+    *
+    * Keys re-delivered within the watermark horizon are suppressed;
+    * duplicates arriving later than the watermark are the same late rows
+    * the pipeline already drops (T9) — state and correctness share one
+    * event-time bound.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermark: String = "10 seconds"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** T6/J1 — the foreachBatch upsert sink: each micro-batch is reduced to
     * latest-state-per-key, merged into the parquet snapshot at `targetPath`
     * with per-column coalesce carry-forward, and the snapshot is atomically

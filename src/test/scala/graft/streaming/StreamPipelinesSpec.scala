@@ -200,6 +200,26 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally { bronze.stop(); gold.stop() }
   }
 
+  test("dedupWithinWatermark suppresses redelivery, keeps state bounded by watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ord]
+    val q = StreamPipelines.dedupWithinWatermark(
+        input.toDF(), "ts", Seq("event_id"), watermark = "10 seconds")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(
+        Ord("u1", t("2024-01-01 10:00:00"), 1L, "created", Some(10.0)),
+        Ord("u1", t("2024-01-01 10:00:00"), 1L, "created", Some(10.0)), // same-batch dup
+        Ord("u2", t("2024-01-01 10:00:01"), 2L, "created", Some(20.0)))
+      q.processAllAvailable()
+      // cross-batch redelivery within the watermark horizon
+      input.addData(Ord("u1", t("2024-01-01 10:00:00"), 1L, "created", Some(10.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dd").collect().map(_.getLong(2)).toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionMetrics groups by gap (streaming, append mode)") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
