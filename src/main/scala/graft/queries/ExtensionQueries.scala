@@ -40,7 +40,7 @@ object ExtensionQueries {
   /** Persisted minhash-signature frame, memoized per (session, dir). */
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sigCacheFor(s: SparkSession, dir: String): DataFrame =
+  private[queries] def sigCacheFor(s: SparkSession, dir: String): DataFrame =
     sigCache.computeIfAbsent((s, dir), { case (sess, d) =>
       TextDedup.minhashSignatures(docsSpread(sess, d), "doc_id", "text", 8, 2).persist()
     })

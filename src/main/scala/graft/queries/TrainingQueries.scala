@@ -141,7 +141,10 @@ object TrainingQueries {
   private val q47 = Q(
     "q47_edit_distance",
     (s, dir) => {
-      val sigs = TextDedup.minhashSignatures(docsSpread(s, dir), "doc_id", "text", 8, 2)
+      // reuse the persisted signature frame q23 memoizes — the plan
+      // references sigs five times; without it the whole minhash
+      // computation re-runs per reference
+      val sigs = ExtensionQueries.sigCacheFor(s, dir)
       val cands = TextDedup.lshCandidates(sigs, "doc_id", k = 8, rowsPerBand = 2)
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
       TextDedup.editDistancePairs(cands, Tables.documents(s, dir), "doc_id", "text", prefixLen = 64)

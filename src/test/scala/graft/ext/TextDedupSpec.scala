@@ -45,6 +45,25 @@ class TextDedupSpec extends SparkFunSuite {
     assert(pairs((1L, 3L)) > 0 && pairs((1L, 3L)) < 1.0)
   }
 
+  test("jaccardPairs matches a naive set-intersection model on random corpora") {
+    val rnd   = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpus = (1L to 30L).map { id =>
+      val len = 2 + rnd.nextInt(8)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "), s"blk${id % 3}")
+    }
+    def shingles(text: String): Set[String] =
+      text.split("\\s+").toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (ia, ta, ba) <- corpus; (ib, tb, bb) <- corpus
+      if ba == bb && ia < ib
+      common = (shingles(ta) intersect shingles(tb)).size if common >= 1
+    } yield (ia, ib) -> (shingles(ta).size.toLong, shingles(tb).size.toLong, common.toLong)).toMap
+    val got = TextDedup.jaccardPairs(corpus.toDF("id", "text", "blk"), "id", "text", "blk", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
+
   test("simhash32: identical text → distance 0; different text → > 0") {
     val sh = TextDedup.simhash32(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
