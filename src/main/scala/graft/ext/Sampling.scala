@@ -39,4 +39,19 @@ object Sampling {
     */
   def deterministicSample(df: DataFrame, keyCol: String, keepBp: Int): DataFrame =
     df.filter(hashBucket16(col(keyCol)) < (65536L * keepBp) / 10000L)
+
+  /** Deterministic stratified sample: the `n` rows of each stratum whose
+    * keys hash lowest (key as final tiebreak). Equal representation per
+    * stratum regardless of stratum skew — the eval-set construction
+    * pattern. One shuffle on the stratum column; rank state is one counter
+    * per stratum.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashBucket16(col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -185,6 +185,51 @@ object VectorSearch {
       .select(col("label"), col("dim"), col("n"),
         round(col("__sum").cast("double") / col("n"), roundDigits).as("centroid_micro"))
 
+  /** Per-label centroids in exact-integer basis points, long format
+    * (label, dim, c_bp) — the fixed-point companion to [[labelCentroids]]
+    * used by [[assignToNearestCentroid]]: coordinates scaled by 1e4 and
+    * rounded to BIGINT before summing (order-independent), one final
+    * division + round per cell.
+    */
+  def centroidsBp(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("label"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("__bp"))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("__bp")).cast("double") / count(lit(1)), 0).cast("long").as("c_bp"))
+
+  /** K-means assignment step (E-step), engine-distributed: each vector is
+    * assigned to the centroid minimizing squared L2 distance, computed in
+    * exact-integer basis points so the argmin is identical on every
+    * engine (float distance sums are partial-order-dependent; integer
+    * cells are not). Ties break toward the smallest label.
+    *
+    * Shape at scale: posexplode corpus (narrow (id, dim, bp) rows) →
+    * equi-join centroids on dim (broadcast: centroids are labels × dims
+    * cells, tiny by construction) → one hash aggregate keyed by
+    * (id, label) → per-id argmin window. No driver-side centroid
+    * materialization; iterate M-step ([[centroidsBp]] over the assigned
+    * frame) → E-step for full Lloyd's at any corpus size.
+    * Output: (id, label, dist_bp2) — one row per vector.
+    */
+  def assignToNearestCentroid(df: DataFrame, idCol: String, vecCol: String,
+                              centroids: DataFrame): DataFrame = {
+    val cells = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("id"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("x_bp"))
+    val diff = col("x_bp") - col("c_bp")
+    val w = Window.partitionBy(col("id")).orderBy(col("dist_bp2"), col("label"))
+    cells
+      .join(broadcast(centroids), "dim")
+      .groupBy(col("id"), col("label"))
+      .agg(sum(diff * diff).as("dist_bp2"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Embedding near-duplicate pairs: same sign bucket AND rounded cosine >=
     * `threshold`. The bucket equi-join is the blocking step that makes this
     * feasible at scale; identical vectors always land in the same bucket, so

@@ -192,5 +192,79 @@ object TrainingQueries {
       FROM cells GROUP BY 1, 2""")
   )
 
-  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48)
+  // ---------------------------------------------------------------------
+  // Stratified eval-set sampling: 10 hash-lowest docs per language
+  private val q49 = Q(
+    "q49_stratified_sample",
+    (s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", n = 10)
+        .select(col("lang"), col("doc_id"), col("source")),
+    Some {
+      val hexVal = (0 until 4).map { p =>
+        val term = s"CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${p + 1}, 1)) - 1 AS BIGINT)"
+        val mult = 1L << (4 * (3 - p))
+        if (mult == 1L) term else s"$term * $mult"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT lang, doc_id, source, $hexVal AS bkt FROM documents)
+      SELECT lang, doc_id, source FROM (
+        SELECT lang, doc_id, source,
+          row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rn
+        FROM b) WHERE rn <= 10"""
+    }
+  )
+
+  // K-means E-step: assign each embedding to its nearest per-label
+  // centroid (exact-integer basis points end to end)
+  private val q50 = Q(
+    "q50_centroid_assign",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.assignToNearestCentroid(
+          emb, "vec_id", "embedding",
+          VectorSearch.centroidsBp(emb, "embedding", "label"))
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("label", "assigned")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e
+        FROM embeddings),
+      cells AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+        CAST(round(e[i] * 10000, 0) AS BIGINT) AS bp
+        FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+      cent AS (SELECT label, dim,
+        CAST(round(CAST(sum(bp) AS DOUBLE) / count(*), 0) AS BIGINT) AS c_bp
+        FROM cells GROUP BY 1, 2),
+      dists AS (SELECT x.vec_id, c.label AS assigned,
+        CAST(sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS BIGINT) AS dist_bp2
+        FROM cells x JOIN cent c ON x.dim = c.dim
+        GROUP BY 1, 2)
+      SELECT vec_id, assigned, dist_bp2 FROM (
+        SELECT vec_id, assigned, dist_bp2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist_bp2, assigned) AS rn
+        FROM dists) WHERE rn = 1""")
+  )
+
+  // Percentile-based outlier trim: per-source p95 length bound
+  private val q51 = Q(
+    "q51_outlier_trim",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bounds = docs.groupBy(col("source"))
+        .agg(expr("round(percentile(n_chars, 0.95), 4)").as("p95_chars"))
+      docs.join(broadcast(bounds), "source")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") > col("p95_chars"), 1L).otherwise(0L)).as("n_outliers"),
+          first(col("p95_chars")).as("p95_chars"))
+    },
+    Some("""WITH b AS (SELECT source, round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+        FROM documents GROUP BY 1)
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN d.n_chars > b.p95_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        first(b.p95_chars) AS p95_chars
+      FROM documents d JOIN b ON d.source = b.source
+      GROUP BY 1""")
+  )
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }

@@ -71,6 +71,30 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(d((1L, 2L)) == 3L) // canonical kitten→sitting
   }
 
+  test("stratifiedSample: exactly n per stratum, deterministic across reruns") {
+    val df = (1L to 200L).map(i => (i, s"s${i % 4}")).toDF("k", "stratum")
+    val s1 = Sampling.stratifiedSample(df, "stratum", "k", n = 5)
+    val s2 = Sampling.stratifiedSample(df.repartition(9), "stratum", "k", n = 5)
+    val g1 = s1.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g1 == s2.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(s1.groupBy("stratum").count().collect().forall(_.getLong(1) == 5L))
+  }
+
+  test("assignToNearestCentroid: vectors go to their own tight cluster, ties to smallest label") {
+    val emb = Seq(
+      (1L, 0, Array(0.0f, 0.0f)), (2L, 0, Array(0.1f, 0.0f)),
+      (3L, 1, Array(5.0f, 5.0f)), (4L, 1, Array(5.1f, 5.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val cent = VectorSearch.centroidsBp(emb, "embedding", "label")
+    val got = VectorSearch.assignToNearestCentroid(emb, "vec_id", "embedding", cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // equidistant point → smallest label wins
+    val tie = Seq((9L, 9, Array(2.55f, 2.5f))).toDF("vec_id", "label", "embedding")
+    val t = VectorSearch.assignToNearestCentroid(tie, "vec_id", "embedding", cent).collect().head
+    assert(t.getLong(1) == 0L)
+  }
+
   test("labelCentroids: exact integer-scaled means per (label, dim)") {
     val emb = Seq(
       (1L, 0, Array(1.0f, 2.0f)),
