@@ -50,12 +50,27 @@ class PlanAuditSpec extends SparkFunSuite {
       s"as-of join must not fall back to a product join:\n$p")
   }
 
-  test("q24: pair enumeration is a broadcast hash join") {
+  test("q24: shingle pair join is an equi-join with partial+final pair count") {
     val p = plan("q24_ngram_jaccard")
-    assert(p.contains("BroadcastHashJoin"), s"pair join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair enumeration must stay an equi-join:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"pair count must map-side combine:\n$p")
   }
 
   test("q26: native graft_dot expression is in the plan") {
     assert(plan("q26_cosine_topk").contains("graft_dot"))
+  }
+
+  test("q45: tf/df aggregates are partial+final, join stays equi") {
+    val p = plan("q45_tfidf_top")
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final aggs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"tf⋈df must be an equi-join:\n$p")
+  }
+
+  test("q50: centroid cells join is broadcast; assignment is hash-agg + single argmin window") {
+    val p = plan("q50_centroid_assign")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must not fall back to a product join:\n$p")
   }
 }
