@@ -230,6 +230,57 @@ object VectorSearch {
       .drop("__rn")
   }
 
+  /** Full Lloyd's k-means over an embedding column, k-way, `iters`
+    * iterations: deterministic hash-lowest seeding, then alternating
+    * [[assignToNearestCentroid]] (E) and integer-basis-point centroid
+    * recomputation (M). Returns the final centroid cells
+    * (label ∈ [0, k), dim, c_bp).
+    *
+    * Scale shape: every iteration is two shuffles (assignment hash-agg +
+    * centroid hash-agg) over narrow rows; centroids (k × dims cells) are
+    * the only broadcast. Each iteration's centroids are persisted and
+    * materialized so the lineage stays one-iteration deep — without this
+    * the plan doubles per iteration. Nothing but k×dims cells ever sits
+    * on the driver's side of a barrier.
+    *
+    * A cluster that captures no points drops out of the next generation
+    * (standard Lloyd's behavior) — callers needing exactly-k should
+    * re-seed from the surviving centroids' farthest points.
+    */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    // deterministic seeds: the k corpus rows with the lowest (hash, id);
+    // TakeOrdered keeps the global sort distributed, then the k-row frame
+    // gets labels 0..k-1 (single-partition window over k rows only)
+    val seedW = Window.orderBy(Sampling.hashBucket16(col("id")), col("id"))
+    val seeds = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .orderBy(Sampling.hashBucket16(col("id")), col("id"))
+      .limit(k)
+      .withColumn("label", (row_number().over(seedW) - 1).cast("long"))
+    var cent = seeds
+      .select(col("label"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .select(col("label"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("c_bp"))
+      .persist()
+    cent.count()
+    val cells = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("id"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("x_bp"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToNearestCentroid(df, idCol, vecCol, cent)
+        .select(col("id"), col("label"))
+      val next = cells.join(assigned, "id")
+        .groupBy(col("label"), col("dim"))
+        .agg(round(sum(col("x_bp")).cast("double") / count(lit(1)), 0).cast("long").as("c_bp"))
+        .persist()
+      next.count() // materialize before dropping the previous generation
+      cent.unpersist()
+      cent = next
+    }
+    cent
+  }
+
   /** Embedding near-duplicate pairs: same sign bucket AND rounded cosine >=
     * `threshold`. The bucket equi-join is the blocking step that makes this
     * feasible at scale; identical vectors always land in the same bucket, so

@@ -95,6 +95,30 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(t.getLong(1) == 0L)
   }
 
+  test("kmeansFit separates well-separated blobs and is deterministic") {
+    val rnd = new scala.util.Random(7)
+    val blobA = (1L to 40L).map(i => (i, Array.fill(3)(0.0f + rnd.nextFloat() * 0.1f)))
+    val blobB = (41L to 80L).map(i => (i, Array.fill(3)(5.0f + rnd.nextFloat() * 0.1f)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val cent = VectorSearch.kmeansFit(df, "vec_id", "embedding", k = 2, iters = 3)
+    val cells = cent.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.size == 6) // 2 labels × 3 dims
+    // each converged centroid sits in one blob's range (≈0.05 or ≈5.05 in bp)
+    val mags = (0L to 1L).map(l => (1L to 3L).map(d => cells((l, d))).max)
+    assert(mags.count(_ < 2500L) == 1 && mags.count(_ > 47500L) == 1,
+      s"centroids did not converge to the two blobs: $cells")
+    // assignment under the fit centroids groups the blobs exactly
+    val assigned = VectorSearch.assignToNearestCentroid(df, "vec_id", "embedding", cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blobA.map(b => assigned(b._1)).toSet.size == 1)
+    assert(blobB.map(b => assigned(b._1)).toSet.size == 1)
+    assert(assigned(1L) != assigned(41L))
+    // rerun is bit-identical (hash seeding, integer math)
+    val again = VectorSearch.kmeansFit(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == cells)
+  }
+
   test("labelCentroids: exact integer-scaled means per (label, dim)") {
     val emb = Seq(
       (1L, 0, Array(1.0f, 2.0f)),
