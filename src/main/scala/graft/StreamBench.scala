@@ -1,0 +1,125 @@
+package graft
+
+import graft.streaming.StreamPipelines
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming-throughput benchmark for the three reference pipelines
+  * (SURVEY.md §3.1-§3.2): windowed gold aggregation, latest-wins order
+  * upsert, CDC dims apply — each driven from a MemoryStream in micro-batch
+  * chunks and reported as events/second end to end (including the
+  * foreachBatch merge + snapshot write for the stateful sinks).
+  *
+  * Context (BASELINE.md): the reference configures 50 events/sec for the
+  * content generator, designs for 1k-10k events/sec, and caps micro-batches
+  * at 5,000 offsets — the numbers printed here are directly comparable.
+  *
+  * Usage: sbt "runMain graft.StreamBench"; prints one JSON line.
+  */
+object StreamBench {
+
+  private case class ContentEv(ts: Timestamp, video_id: Long, event_type: String)
+  private case class OrderEv(user_id: String, ts: Timestamp, event_id: Long,
+                             event_type: String, amount: Option[Double])
+  private case class CdcEv(op: String, ts_ms: Long, user_id: String, segment: String)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val types = Array("impression", "play_start", "like", "share", "play_finish")
+    def contentWave(n: Int, tBase: Long, seed: Int): Seq[ContentEv] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        // Zipf-ish hot keys: low ids get most traffic (reference
+        // mock_content_generator.py Zipf s=1.5)
+        val vid = math.min(rnd.nextInt(1 + rnd.nextInt(1000)), rnd.nextInt(1000)).toLong
+        ContentEv(new Timestamp(tBase + i % 60000), vid, types(rnd.nextInt(types.length)))
+      }
+    }
+
+    // -------------------------------------------------------------------
+    // Pipeline 1: watermarked 1-minute window agg (gold metrics), append
+    val waves      = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVES", "10").toInt
+    val waveSize   = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVE_SIZE", "50000").toInt
+    val in1 = MemoryStream[ContentEv]
+    val q1 = StreamPipelines.minuteMetrics(in1.toDF(), "ts", "video_id", "event_type", types)
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // warm the stateful plan before timing
+    in1.addData(contentWave(1000, 0L, -1)); q1.processAllAvailable()
+    val t1 = System.nanoTime()
+    (0 until waves).foreach { w =>
+      in1.addData(contentWave(waveSize, w * 60000L, w))
+      q1.processAllAvailable()
+    }
+    val agg_eps = (waves.toLong * waveSize / ((System.nanoTime() - t1) / 1e9)).toLong
+    q1.stop()
+
+    // -------------------------------------------------------------------
+    // Pipeline 2: orders upsert sink (latest-wins merge + snapshot swap)
+    val dir2 = Files.createTempDirectory("graft-streambench-upsert").toString
+    val in2  = MemoryStream[OrderEv]
+    val q2 = StreamPipelines.upsertSink(in2.toDF(), s"$dir2/gold", s"$dir2/ckpt",
+      Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"), Seq("amount"),
+      Trigger.ProcessingTime(0)).start()
+    val statuses = Array("created", "paid", "shipped", "cancelled")
+    def orderWave(n: Int, base: Long, seed: Int): Seq[OrderEv] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val uid = rnd.nextInt(5000)
+        OrderEv(s"u$uid", new Timestamp(base + i), base + i,
+          statuses(rnd.nextInt(statuses.length)),
+          if (rnd.nextBoolean()) Some(rnd.nextInt(10000) / 100.0) else None)
+      }
+    }
+    in2.addData(orderWave(1000, 0L, -1)); q2.processAllAvailable()
+    val upsertWaves = 5
+    val upsertSize  = 5000 // the reference's maxOffsetsPerTrigger
+    val t2 = System.nanoTime()
+    (0 until upsertWaves).foreach { w =>
+      in2.addData(orderWave(upsertSize, 100000L + w * upsertSize, w))
+      q2.processAllAvailable()
+    }
+    val upsert_eps = (upsertWaves.toLong * upsertSize / ((System.nanoTime() - t2) / 1e9)).toLong
+    q2.stop()
+
+    // -------------------------------------------------------------------
+    // Pipeline 3: CDC dims apply (80/20 create/update + deletes)
+    val dir3 = Files.createTempDirectory("graft-streambench-cdc").toString
+    val in3  = MemoryStream[CdcEv]
+    val q3 = StreamPipelines.cdcSink(in3.toDF(), s"$dir3/dim", s"$dir3/ckpt",
+      Seq("user_id"), trigger = Trigger.ProcessingTime(0)).start()
+    def cdcWave(n: Int, base: Long, seed: Int): Seq[CdcEv] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val op = rnd.nextInt(100) match { case x if x < 78 => "c"; case x if x < 98 => "u"; case _ => "d" }
+        CdcEv(op, base + i, s"u${rnd.nextInt(2000)}", s"seg${rnd.nextInt(5)}")
+      }
+    }
+    in3.addData(cdcWave(1000, 0L, -1)); q3.processAllAvailable()
+    val cdcWaves = 5
+    val cdcSize  = 5000
+    val t3 = System.nanoTime()
+    (0 until cdcWaves).foreach { w =>
+      in3.addData(cdcWave(cdcSize, 100000L + w * cdcSize, w))
+      q3.processAllAvailable()
+    }
+    val cdc_eps = (cdcWaves.toLong * cdcSize / ((System.nanoTime() - t3) / 1e9)).toLong
+    q3.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"cdc_dims":$cdc_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    spark.stop()
+  }
+}
