@@ -172,6 +172,47 @@ object StreamPipelines {
     }
   }
 
+  /** [[upsertSink]] committing through [[graft.table.SnapshotLog]] instead
+    * of a bare swap: every micro-batch's merge becomes a table VERSION, so
+    * the gold state has history (time travel to any batch boundary),
+    * `$snapshots` metadata, and expire/GC maintenance — the shape the
+    * reference gets from Iceberg's merge-on-read commits
+    * (streaming_job.py:92-155 + compact_cold_data.py:66-92).
+    */
+  def upsertSinkVersioned(
+      stream: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      key: Seq[String],
+      orderCol: String,
+      tieBreak: Seq[String],
+      denseCols: Seq[String],
+      sparseCols: Seq[String],
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val reduced = LatestWins.latestState(
+              batch, key, orderCol, tieBreak, denseCols, sparseCols, maxOrderAlias = "last_seen")
+            val merged = graft.table.SnapshotLog.latestVersion(spark, targetPath) match {
+              case Some(_) =>
+                LatestWins.merge(graft.table.SnapshotLog.read(spark, targetPath),
+                  reduced, key, coalesceCols = sparseCols)
+              case None => reduced
+            }
+            graft.table.SnapshotLog.commitReplace(merged, targetPath)
+            ()
+          }
+        } finally { batch.unpersist(); () }
+      }
+
   /** The streaming wrapper for [[applyCdcBatch]] — the dims pipeline
     * (reference stream_dims.py:171-191): each micro-batch of CDC envelopes
     * is applied to the dimension snapshot with latest-wins + deletes.

@@ -200,6 +200,36 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally { bronze.stop(); gold.stop() }
   }
 
+  test("upsertSinkVersioned: each micro-batch is a table version; time travel + expiry work") {
+    implicit val sql = spark.sqlContext
+    val dir   = tmpDir("versink")
+    val input = MemoryStream[Ord]
+    val q = StreamPipelines.upsertSinkVersioned(
+      input.toDF(), s"$dir/gold", s"$dir/ckpt",
+      Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"), Seq("amount"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Ord("u1", t("2024-01-01 10:00:00"), 1L, "created", Some(10.0)))
+      q.processAllAvailable()
+      input.addData(Ord("u1", t("2024-01-01 10:05:00"), 2L, "paid", None),
+        Ord("u2", t("2024-01-01 10:06:00"), 3L, "created", Some(20.0)))
+      q.processAllAvailable()
+      import graft.table.SnapshotLog
+      assert(SnapshotLog.versions(spark, s"$dir/gold") == Seq(1, 2))
+      // v1 = state after batch 1; v2 = merged state with amount carried
+      val v1 = SnapshotLog.read(spark, s"$dir/gold", Some(1)).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(v1 == Map("u1" -> "created"))
+      val v2 = SnapshotLog.read(spark, s"$dir/gold", Some(2)).collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
+      assert(v2 == Map("u1" -> ("paid", 10.0), "u2" -> ("created", 20.0)))
+      // retention: keep only the newest snapshot, old segment GC'd
+      val (expired, deleted) = SnapshotLog.expireSnapshots(spark, s"$dir/gold", 1)
+      assert(expired == Seq(1) && deleted.nonEmpty)
+      assert(SnapshotLog.read(spark, s"$dir/gold").count() == 2)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark suppresses redelivery, keeps state bounded by watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ord]
