@@ -266,5 +266,27 @@ object TrainingQueries {
       GROUP BY 1""")
   )
 
-  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+  // ---------------------------------------------------------------------
+  // Fact ⋈ dimension revenue rollup over the one table the other suites
+  // don't touch (part): shuffle equi-join on the FK (AQE broadcasts the
+  // dim below threshold, keeps a shuffle join at scale)
+  private val q52 = Q(
+    "q52_part_revenue",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n_lines")),
+    Some("""SELECT p_brand, p_type,
+      CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2""")
+  )
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }
