@@ -288,5 +288,36 @@ object TrainingQueries {
       GROUP BY 1, 2""")
   )
 
-  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+  // Analytic window-function suite beyond row_number: lag/lead, dense_rank,
+  // ntile, percent_rank, cume_dist over per-user event sequences. One
+  // shuffle on user_id serves every function (shared window frame).
+  private val q53 = Q(
+    "q53_window_suite",
+    (s, dir) => {
+      val wSeq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wVal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        lag(col("event_type"), 1).over(wSeq).as("prev_type"),
+        lead(col("event_type"), 1).over(wSeq).as("next_type"),
+        dense_rank().over(wVal).cast("long").as("val_dense_rank"),
+        ntile(4).over(wVal).cast("long").as("val_quartile"),
+        round(percent_rank().over(wVal), 6).as("val_pct_rank"),
+        round(cume_dist().over(wVal), 6).as("val_cume_dist"))
+    },
+    Some("""SELECT user_id, event_id,
+      lag(event_type, 1) OVER wseq AS prev_type,
+      lead(event_type, 1) OVER wseq AS next_type,
+      CAST(dense_rank() OVER wval AS BIGINT) AS val_dense_rank,
+      CAST(ntile(4) OVER wval AS BIGINT) AS val_quartile,
+      round(percent_rank() OVER wval, 6) AS val_pct_rank,
+      round(cume_dist() OVER wval, 6) AS val_cume_dist
+      FROM events
+      WINDOW wseq AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wval AS (PARTITION BY user_id ORDER BY value, event_id)""")
+  )
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }
