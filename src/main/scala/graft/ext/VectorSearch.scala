@@ -278,7 +278,15 @@ object VectorSearch {
       cent.unpersist()
       cent = next
     }
-    cent
+    // hand back a frame with NO lineage into the iteration chain, then drop
+    // the last cached generation: k×dims cells is broadcast-sized by
+    // construction (it ships to every executor during assignment anyway),
+    // so localizing it is bounded — and leaving `cent` persisted would leak
+    // one cache entry per fit on a long-lived session
+    val spark  = df.sparkSession
+    val result = cent.collect()
+    cent.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(result.toIndexedSeq, 1), cent.schema)
   }
 
   /** Embedding near-duplicate pairs: same sign bucket AND rounded cosine >=

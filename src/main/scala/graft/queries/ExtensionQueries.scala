@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  import ParityQueries.cents
 
   /** documents.parquet is one small file → one input partition, which
     * serializes per-document compute (shingling, hashing). Spread it across
@@ -34,7 +34,7 @@ object ExtensionQueries {
     * input is already many partitions and this wiring-level repartition
     * would be dropped (deliberately NOT inside the operators).
     */
-  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docsSpread(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
 
   /** Persisted minhash-signature frame, memoized per (session, dir). */

@@ -21,8 +21,9 @@ object ParityQueries {
 
   final case class Q(name: String, fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
-  /** round(x*100) as exact bigint cents (order-independent to sum). */
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  /** round(x*100) as exact bigint cents (order-independent to sum);
+    * the one DuckDB-parity money convention shared by every suite. */
+  private[queries] def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
   // ---------------------------------------------------------------------
   // A2/A5 — pricing summary (hash aggregate with partial+final combine)

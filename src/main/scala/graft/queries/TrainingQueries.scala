@@ -19,13 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object TrainingQueries {
 
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  import ExtensionQueries.docsSpread
+  import ParityQueries.cents
 
-  /** Spread the single-file documents input across cores before CPU-heavy
-    * per-doc work (same wiring note as ExtensionQueries.docsSpread).
+  /** DuckDB side of [[Sampling.hashBucket16]]: first 4 hex chars of
+    * md5(key-as-text) parsed digit-by-digit (DuckDB has no hex→int cast).
+    * Single definition so the engine-parity bucket formula cannot drift
+    * between queries.
     */
-  private def docsSpread(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+  private def md5Bucket16Sql(keyCol: String): String =
+    (0 until 4).map { p =>
+      val term = s"CAST(strpos('0123456789abcdef', substr(md5(CAST($keyCol AS VARCHAR)), ${p + 1}, 1)) - 1 AS BIGINT)"
+      val mult = 1L << (4 * (3 - p))
+      if (mult == 1L) term else s"$term * $mult"
+    }.mkString(" + ")
 
   private val toksCte =
     """toks AS (SELECT doc_id, lang, source, text,
@@ -119,20 +126,11 @@ object TrainingQueries {
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id")),
-    Some {
-      // 16-bit bucket: first 4 hex chars of md5(doc_id as text), parsed
-      // digit-by-digit (DuckDB has no hex→int cast)
-      val hexVal = (0 until 4).map { p =>
-        val term = s"CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${p + 1}, 1)) - 1 AS BIGINT)"
-        val mult = 1L << (4 * (3 - p))
-        if (mult == 1L) term else s"$term * $mult"
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT doc_id, n_chars, $hexVal AS bkt FROM documents)
+    Some(s"""WITH b AS (SELECT doc_id, n_chars, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents)
       SELECT CASE WHEN bkt < $threshold16 THEN 'train' ELSE 'val' END AS split,
         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         min(doc_id) AS min_id, max(doc_id) AS max_id
-      FROM b GROUP BY 1"""
-    }
+      FROM b GROUP BY 1""")
   )
 
   // ---------------------------------------------------------------------
@@ -199,18 +197,11 @@ object TrainingQueries {
     (s, dir) =>
       Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", n = 10)
         .select(col("lang"), col("doc_id"), col("source")),
-    Some {
-      val hexVal = (0 until 4).map { p =>
-        val term = s"CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${p + 1}, 1)) - 1 AS BIGINT)"
-        val mult = 1L << (4 * (3 - p))
-        if (mult == 1L) term else s"$term * $mult"
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT lang, doc_id, source, $hexVal AS bkt FROM documents)
+    Some(s"""WITH b AS (SELECT lang, doc_id, source, ${md5Bucket16Sql("doc_id")} AS bkt FROM documents)
       SELECT lang, doc_id, source FROM (
         SELECT lang, doc_id, source,
           row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rn
-        FROM b) WHERE rn <= 10"""
-    }
+        FROM b) WHERE rn <= 10""")
   )
 
   // K-means E-step: assign each embedding to its nearest per-label

@@ -178,6 +178,11 @@ object StreamPipelines {
     * `$snapshots` metadata, and expire/GC maintenance — the shape the
     * reference gets from Iceberg's merge-on-read commits
     * (streaming_job.py:92-155 + compact_cold_data.py:66-92).
+    *
+    * Replay-idempotent via the manifest tag: each version is tagged with
+    * its micro-batch id, and a re-delivered batch (crash after commit,
+    * before the checkpoint offset write) is detected and skipped — one
+    * version per batch boundary, exactly once.
     */
   def upsertSinkVersioned(
       stream: DataFrame,
@@ -194,23 +199,27 @@ object StreamPipelines {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          if (!batch.isEmpty) {
-            val spark = batch.sparkSession
-            val reduced = LatestWins.latestState(
-              batch, key, orderCol, tieBreak, denseCols, sparseCols, maxOrderAlias = "last_seen")
-            val merged = graft.table.SnapshotLog.latestVersion(spark, targetPath) match {
-              case Some(_) =>
-                LatestWins.merge(graft.table.SnapshotLog.read(spark, targetPath),
-                  reduced, key, coalesceCols = sparseCols)
-              case None => reduced
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val tag   = s"batch-$batchId"
+        // replayed batch (restart between commit and checkpoint) → no-op
+        if (!graft.table.SnapshotLog.latestTag(spark, targetPath).contains(tag)) {
+          batch.persist()
+          try {
+            if (!batch.isEmpty) {
+              val reduced = LatestWins.latestState(
+                batch, key, orderCol, tieBreak, denseCols, sparseCols, maxOrderAlias = "last_seen")
+              val merged = graft.table.SnapshotLog.latestVersion(spark, targetPath) match {
+                case Some(_) =>
+                  LatestWins.merge(graft.table.SnapshotLog.read(spark, targetPath),
+                    reduced, key, coalesceCols = sparseCols)
+                case None => reduced
+              }
+              graft.table.SnapshotLog.commitReplace(merged, targetPath, Some(tag))
+              ()
             }
-            graft.table.SnapshotLog.commitReplace(merged, targetPath)
-            ()
-          }
-        } finally { batch.unpersist(); () }
+          } finally { batch.unpersist(); () }
+        }
       }
 
   /** The streaming wrapper for [[applyCdcBatch]] — the dims pipeline

@@ -14,24 +14,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   <table>/_log/v000000001.json            one manifest per version
   * }}}
   *
-  * A commit writes a NEW segment dir, then publishes a manifest listing the
-  * segment set for that version via create-exclusive rename — readers see
-  * either the old or the new version, never a partial write (the same
-  * commit protocol as a real table format, minus the catalog). Concurrent
-  * committers race on the manifest rename; the loser retries against the
-  * winner's version (optimistic concurrency).
+  * A commit writes a NEW segment dir, then publishes the manifest with a
+  * CREATE-EXCLUSIVE open on the final manifest path — the one primitive
+  * HDFS and local filesystems both make atomic (a rename-onto-target is
+  * NOT: Hadoop's LocalFileSystem silently overwrites, POSIX rename(2)
+  * semantics). Concurrent committers race on the create; the loser gets
+  * FileAlreadyExists and retries against the winner's version (optimistic
+  * concurrency). The loser-visible window where a manifest file exists but
+  * its bytes are not yet flushed is handled on the READ side: a manifest
+  * that does not parse yet is re-read briefly before failing. A real
+  * deployment would serialize commits through a catalog; the protocol here
+  * is the strongest a bare filesystem offers.
   *
   * Scale notes: manifests hold segment DIRECTORY names, not file lists —
   * a commit is O(1) metadata regardless of data size; reads hand Spark the
   * segment dirs and let the parquet source list/prune in parallel. Expiry
-  * is manifest deletion + mark-and-sweep segment GC (exactly
-  * remove_orphan_files semantics: a segment survives iff some retained
-  * manifest references it).
+  * is manifest deletion + mark-and-sweep segment GC guarded by an age
+  * cutoff (exactly remove_orphan_files(older_than): a fresh segment may
+  * belong to an in-flight commit whose manifest is not published yet, so
+  * only segments older than the cutoff are eligible).
   */
 object SnapshotLog {
 
   private val LogDir  = "_log"
   private val DataDir = "data"
+
+  private final case class Manifest(op: String, segments: Seq[String],
+                                    committedAtMs: Long, tag: Option[String])
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -53,15 +62,24 @@ object SnapshotLog {
   def latestVersion(spark: SparkSession, path: String): Option[Int] =
     versions(spark, path).lastOption
 
+  /** The `tag` recorded with the latest committed version (used by
+    * streaming sinks for replay idempotence — see
+    * [[graft.streaming.StreamPipelines.upsertSinkVersioned]]).
+    */
+  def latestTag(spark: SparkSession, path: String): Option[String] =
+    latestVersion(spark, path).flatMap(v => readManifest(spark, path, v).tag)
+
   /** Commit `df` as a full replacement of the table state. */
-  def commitReplace(df: DataFrame, path: String): Int = commit(df, path, "replace")
+  def commitReplace(df: DataFrame, path: String, tag: Option[String] = None): Int =
+    commit(df, path, "replace", tag)
 
   /** Commit `df` as an append: the new version references the previous
     * version's segments plus the new one.
     */
-  def commitAppend(df: DataFrame, path: String): Int = commit(df, path, "append")
+  def commitAppend(df: DataFrame, path: String, tag: Option[String] = None): Int =
+    commit(df, path, "append", tag)
 
-  private def commit(df: DataFrame, path: String, op: String): Int = {
+  private def commit(df: DataFrame, path: String, op: String, tag: Option[String]): Int = {
     val spark = df.sparkSession
     val f     = fs(spark, path)
     val seg   = s"$DataDir/seg-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -71,38 +89,55 @@ object SnapshotLog {
     while (attempts < 20) {
       attempts += 1
       val base = latestVersion(spark, path)
-      val prev = if (op == "append") base.map(readManifest(spark, path, _)._2).getOrElse(Nil) else Nil
+      val prev = if (op == "append") base.map(readManifest(spark, path, _).segments).getOrElse(Nil) else Nil
       val v    = base.getOrElse(0) + 1
+      val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
       val body =
-        s"""{"version":$v,"committedAtMs":${System.currentTimeMillis()},"op":"$op","segments":[${(prev :+ seg).map(s => "\"" + s + "\"").mkString(",")}]}"""
-      val tmp   = new Path(path, s"$LogDir/.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out   = f.create(tmp, false)
-      out.write(body.getBytes("UTF-8")); out.close()
-      // rename is the atomic publish: it fails if the target exists (a
-      // concurrent committer won) → re-read the log and retry on top
-      if (f.rename(tmp, new Path(path, s"$LogDir/${manifestName(v)}"))) return v
-      f.delete(tmp, false)
+        s"""{"version":$v,"committedAtMs":${System.currentTimeMillis()},"op":"$op"$tagField,"segments":[${(prev :+ seg).map(s => "\"" + s + "\"").mkString(",")}]}"""
+      // create-exclusive IS the atomic publish: exactly one committer can
+      // create vN.json; anyone else lands in the catch and retries on vN+1
+      try {
+        val out = f.create(new Path(path, s"$LogDir/${manifestName(v)}"), false)
+        out.write(body.getBytes("UTF-8")); out.close()
+        return v
+      } catch {
+        case _: java.io.IOException => // version claimed by a racer; retry
+      }
     }
     throw new IllegalStateException(s"snapshot commit lost the race $attempts times: $path")
   }
 
-  /** (op, segments) of a version's manifest. */
-  private def readManifest(spark: SparkSession, path: String, v: Int): (String, Seq[String]) = {
-    val p    = new Path(path, s"$LogDir/${manifestName(v)}")
-    val in   = fs(spark, path).open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val op   = "\"op\":\"([a-z]+)\"".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("replace")
-    val segs = "\"segments\":\\[([^\\]]*)\\]".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
-      .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-    (op, segs)
+  /** Parse a version's manifest; a just-created manifest whose bytes are
+    * not flushed yet is retried briefly (see commit protocol note above).
+    */
+  private def readManifest(spark: SparkSession, path: String, v: Int): Manifest = {
+    val p = new Path(path, s"$LogDir/${manifestName(v)}")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val in   = fs(spark, path).open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val verOk = body.contains("\"version\":") && body.trim.endsWith("}")
+      if (verOk) {
+        val op   = "\"op\":\"([a-z]+)\"".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("replace")
+        val ts   = "\"committedAtMs\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(0L)
+        val tag  = "\"tag\":\"([^\"]*)\"".r.findFirstMatchIn(body).map(_.group(1))
+        val segs = "\"segments\":\\[([^\\]]*)\\]".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+          .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        return Manifest(op, segs, ts, tag)
+      }
+      if (attempts >= 20)
+        throw new IllegalStateException(s"manifest $p unreadable after $attempts attempts")
+      Thread.sleep(25L)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read the table at `version` (time travel), or at the latest version. */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    val (_, segs) = readManifest(spark, path, v)
-    spark.read.parquet(segs.map(s => s"$path/$s"): _*)
+    spark.read.parquet(readManifest(spark, path, v).segments.map(s => s"$path/$s"): _*)
   }
 
   /** The `$snapshots` metadata view: (version, committed_at_ms, op,
@@ -111,32 +146,33 @@ object SnapshotLog {
   def snapshots(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     versions(spark, path).map { v =>
-      val p    = new Path(path, s"$LogDir/${manifestName(v)}")
-      val in   = fs(spark, path).open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val ts   = "\"committedAtMs\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(0L)
-      val (op, segs) = readManifest(spark, path, v)
-      (v, ts, op, segs.size)
+      val m = readManifest(spark, path, v)
+      (v, m.committedAtMs, m.op, m.segments.size)
     }.toDF("version", "committed_at_ms", "op", "n_segments")
   }
 
   /** M2 + M3 — expire old snapshots and GC unreferenced segments: keep the
     * newest `retainLast` manifests, delete the rest, then remove every
-    * segment no retained manifest references (mark-and-sweep; exactly
-    * expire_snapshots(retain_last=N) + remove_orphan_files).
+    * segment that (a) no retained manifest references AND (b) is older
+    * than `orphanOlderThanMs` — the age guard that keeps an in-flight
+    * commit's freshly-written segment (manifest not yet published) safe,
+    * exactly Iceberg's remove_orphan_files(older_than).
     * Returns (expired versions, deleted segment dirs).
     */
-  def expireSnapshots(spark: SparkSession, path: String, retainLast: Int): (Seq[Int], Seq[String]) = {
+  def expireSnapshots(spark: SparkSession, path: String, retainLast: Int,
+                      orphanOlderThanMs: Long = 60L * 60 * 1000): (Seq[Int], Seq[String]) = {
     require(retainLast >= 1, "retainLast must be >= 1")
     val f   = fs(spark, path)
     val all = versions(spark, path)
     val (expire, retain) = all.splitAt(math.max(0, all.size - retainLast))
     expire.foreach(v => f.delete(new Path(path, s"$LogDir/${manifestName(v)}"), false))
-    val live = retain.flatMap(v => readManifest(spark, path, v)._2).toSet
+    val live = retain.flatMap(v => readManifest(spark, path, v).segments).toSet
     val dataRoot = new Path(path, DataDir)
+    val cutoff   = System.currentTimeMillis() - orphanOlderThanMs
     val orphans =
       if (!f.exists(dataRoot)) Nil
       else f.listStatus(dataRoot).toSeq
+        .filter(_.getModificationTime < cutoff)
         .map(s => s"$DataDir/${s.getPath.getName}")
         .filterNot(live.contains)
     orphans.foreach(s => f.delete(new Path(path, s), true))

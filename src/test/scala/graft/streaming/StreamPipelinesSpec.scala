@@ -216,6 +216,8 @@ class StreamPipelinesSpec extends SparkFunSuite {
       q.processAllAvailable()
       import graft.table.SnapshotLog
       assert(SnapshotLog.versions(spark, s"$dir/gold") == Seq(1, 2))
+      // versions are tagged with their batch id (the replay-skip marker)
+      assert(SnapshotLog.latestTag(spark, s"$dir/gold").contains("batch-1"))
       // v1 = state after batch 1; v2 = merged state with amount carried
       val v1 = SnapshotLog.read(spark, s"$dir/gold", Some(1)).collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -224,7 +226,8 @@ class StreamPipelinesSpec extends SparkFunSuite {
         .map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
       assert(v2 == Map("u1" -> ("paid", 10.0), "u2" -> ("created", 20.0)))
       // retention: keep only the newest snapshot, old segment GC'd
-      val (expired, deleted) = SnapshotLog.expireSnapshots(spark, s"$dir/gold", 1)
+      // (orphanOlderThanMs=0 so the just-written segment is sweepable)
+      val (expired, deleted) = SnapshotLog.expireSnapshots(spark, s"$dir/gold", 1, orphanOlderThanMs = 0L)
       assert(expired == Seq(1) && deleted.nonEmpty)
       assert(SnapshotLog.read(spark, s"$dir/gold").count() == 2)
     } finally q.stop()

@@ -33,12 +33,22 @@ class SnapshotLogSpec extends SparkFunSuite {
     assert(snaps.map(_.getInt(3)).toSeq == Seq(1, 2, 1))
   }
 
+  test("expireSnapshots age guard protects a fresh unreferenced segment (in-flight commit)") {
+    val path = tmp()
+    SnapshotLog.commitReplace(Seq((1, "a")).toDF("id", "v"), path)
+    SnapshotLog.commitReplace(Seq((2, "b")).toDF("id", "v"), path)
+    // default cutoff (1h): v1's segment is unreferenced but too fresh to GC
+    val (expired, deleted) = SnapshotLog.expireSnapshots(spark, path, retainLast = 1)
+    assert(expired == Seq(1) && deleted.isEmpty)
+  }
+
   test("expireSnapshots retains last N, GCs exactly the unreferenced segments") {
     val path = tmp()
     SnapshotLog.commitReplace(Seq((1, "a")).toDF("id", "v"), path) // seg A
     SnapshotLog.commitReplace(Seq((2, "b")).toDF("id", "v"), path) // seg B
     SnapshotLog.commitAppend(Seq((3, "c")).toDF("id", "v"), path)  // segs B,C
-    val (expired, deleted) = SnapshotLog.expireSnapshots(spark, path, retainLast = 2)
+    // orphanOlderThanMs=0: in tests everything is "old enough" to sweep
+    val (expired, deleted) = SnapshotLog.expireSnapshots(spark, path, retainLast = 2, orphanOlderThanMs = 0L)
     assert(expired == Seq(1))
     assert(deleted.size == 1) // only v1's segment is unreferenced (B is shared)
     // surviving versions still read correctly after GC
