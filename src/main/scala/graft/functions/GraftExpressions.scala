@@ -179,6 +179,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvDistinct(children.head, k).toAggregateExpression()
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FreqItems].getName, "graft_freq_items"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_freq_items(col, m)")
+        val m = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_freq_items: m must be an integer literal, got $other")
+        }
+        FreqItems(children.head, m).toAggregateExpression()
+      }))
   }
 }
 
@@ -191,6 +203,9 @@ object GraftFunctions {
   /** KMV distinct-count sketch aggregate (exact below k). */
   def kmvDistinct(c: Column, k: Int): Column =
     call_function("graft_kmv_distinct", c, org.apache.spark.sql.functions.lit(k))
+  /** Misra-Gries heavy-hitters aggregate: map of ≤ m candidate items. */
+  def freqItems(c: Column, m: Int): Column =
+    call_function("graft_freq_items", c, org.apache.spark.sql.functions.lit(m))
 
   /** True when the graft extension functions are resolvable on `spark`. */
   def installed(spark: SparkSession): Boolean = spark.catalog.functionExists("graft_dot")

@@ -310,5 +310,26 @@ object TrainingQueries {
              wval AS (PARTITION BY user_id ORDER BY value, event_id)""")
   )
 
-  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+  // Heavy hitters per language via the engine's Misra-Gries aggregate —
+  // bounded state where exact vocab counting (q44) stops scaling. Rows-only
+  // check by design (like q36): sketch counts depend on the partial-merge
+  // tree, which is scheduler-order-specific; the MG *guarantee* (every
+  // token above N/(m+1) retained, undercount ≤ N/(m+1)) is property-tested
+  // in PurePropertiesSpec instead.
+  private val q54 = Q(
+    "q54_freq_tokens",
+    (s, dir) => {
+      val toks = docsSpread(s, dir).select(col("lang"),
+        explode(TextDedup.tokens(col("text"))).as("tok"))
+      val sketch =
+        if (graft.functions.GraftFunctions.installed(s))
+          graft.functions.GraftFunctions.freqItems(col("tok"), 16)
+        else map_from_arrays(array(), array()) // extension-free fallback
+      toks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sketch.as("top_tokens"))
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }

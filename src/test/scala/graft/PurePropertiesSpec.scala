@@ -69,4 +69,38 @@ object PureProperties extends Properties("graft.pure") {
       (h1 ++ h2).foreach(bulk.add)
       merged.values.sorted.toSeq == bulk.values.sorted.toSeq
     }
+
+  private val genStream: Gen[List[String]] = Gen.listOf(Gen.frequency(
+    5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+    4 -> Gen.choose(0, 500).map(i => s"t$i")))
+
+  /** Misra-Gries invariant checker: every kept count undercounts its true
+    * frequency by at most N/(m+1), and every item with true frequency
+    * above N/(m+1) is kept.
+    */
+  private def mgInvariant(buf: graft.functions.MgBuffer, stream: Seq[String], m: Int): Boolean = {
+    val n     = stream.size
+    val bound = n / (m + 1)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val kept = buf.entries.toMap
+    val countsOk = kept.forall { case (k, c) => c <= truth(k) && truth(k) - c <= bound }
+    val keepsHot = truth.forall { case (k, c) => c <= bound || kept.contains(k) }
+    countsOk && keepsHot && buf.size <= m
+  }
+
+  property("MgBuffer sequential stream satisfies the Misra-Gries guarantee") =
+    Prop.forAll(genStream, Gen.choose(2, 12)) { (stream, m) =>
+      val buf = new graft.functions.MgBuffer(m)
+      stream.foreach(buf.add(_))
+      mgInvariant(buf, stream, m)
+    }
+
+  property("MgBuffer merge of partitioned streams keeps the guarantee") =
+    Prop.forAll(genStream, Gen.choose(2, 12), Gen.choose(1, 6)) { (stream, m, parts) =>
+      val chunks = stream.grouped(math.max(1, stream.size / parts)).toList
+      val bufs = chunks.map { c => val b = new graft.functions.MgBuffer(m); c.foreach(b.add(_)); b }
+      val merged = bufs.headOption.getOrElse(new graft.functions.MgBuffer(m))
+      bufs.drop(1).foreach(merged.mergeFrom)
+      mgInvariant(merged, stream, m)
+    }
 }

@@ -74,4 +74,31 @@ class GraftExpressionsSpec extends SparkFunSuite {
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()
     assert(r.head.getDouble(0) == 11.0)
   }
+
+  test("graft_freq_items keeps every key above N/(m+1) with bounded undercount, across partitions") {
+    // skewed stream: "hot" 4000×, "warm" 1000×, 5000 singletons (N = 10000)
+    val rows = (Seq.fill(4000)("hot") ++ Seq.fill(1000)("warm") ++
+      (1 to 5000).map(i => s"cold$i"))
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 16).toDF("tok")
+    val m  = 16
+    val got = df.agg(GraftFunctions.freqItems($"tok", m).as("f"))
+      .collect().head.getMap[String, Long](0)
+    val bound = rows.size / (m + 1) // = 588
+    assert(got.contains("hot") && got.contains("warm"))
+    assert(got("hot") <= 4000 && got("hot") >= 4000 - bound)
+    assert(got("warm") <= 1000 && got("warm") >= 1000 - bound)
+    assert(got.size <= m)
+    // grouped usage: per-group heavy hitters in one pass
+    val g = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")).toDF("grp", "tok")
+      .groupBy($"grp").agg(GraftFunctions.freqItems($"tok", 4).as("f"))
+      .collect().map(r => r.getString(0) -> r.getMap[String, Long](1)).toMap
+    assert(g("a")("x") == 2L && g("a")("y") == 1L && g("b")("z") == 1L)
+  }
+
+  test("sql surface: graft_freq_items callable from spark.sql") {
+    val r = spark.sql(
+      "SELECT graft_freq_items(c, 4) AS f FROM VALUES ('a'),('a'),('b') AS t(c)")
+      .collect().head.getMap[String, Long](0)
+    assert(r("a") == 2L && r("b") == 1L)
+  }
 }
