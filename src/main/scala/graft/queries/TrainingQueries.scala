@@ -331,5 +331,24 @@ object TrainingQueries {
     None
   )
 
-  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+  // Left-semi join (the MERGE matched-half twin of q18's anti join):
+  // customers with at least one high-value order, existence-only — the
+  // build side never widens the output row
+  private val q55 = Q(
+    "q55_semi_join",
+    (s, dir) => {
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0)
+      Tables.customer(s, dir)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      GROUP BY 1""")
+  )
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 }
