@@ -1,0 +1,79 @@
+package graft
+
+import graft.ext.{TextDedup, TextStats, VectorSearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: runs the CPU/shuffle-heavy operators on 1×/2×/4×
+  * replications of the sf0.1 corpus and reports wall time per scale, so
+  * "would this survive a scale-up" is measured, not asserted. Replicas are
+  * re-keyed AND textually perturbed (a replica-tag token) so dedup
+  * operators see a realistically grown corpus, not a pile of exact
+  * duplicates with quadratic pair blowup.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe"; prints one JSON line
+  * {"op": [t1x, t2x, t4x], ...} — near-constant ratios t2x/t1x ≈ 2 and
+  * t4x/t2x ≈ 2 mean linear scaling.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docsAt(mult: Int): DataFrame = {
+      val base = Tables.documents(spark, sfDir)
+      (0 until mult).map { r =>
+        base.withColumn("doc_id", col("doc_id") + lit(r * 1000000L))
+          .withColumn("text", concat(col("text"), lit(s" replica$r")))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    def embAt(mult: Int): DataFrame = {
+      val base = Tables.embeddings(spark, sfDir)
+      (0 until mult).map { r =>
+        base.withColumn("vec_id", col("vec_id") + lit(r * 1000000L))
+      }.reduce(_ unionByName _)
+    }
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val ops: Seq[(String, Int => Long)] = Seq(
+      "token_stats"   -> (m => TextStats.tokenStats(docsAt(m), "doc_id", "text").count()),
+      "exact_dedup"   -> (m => docsAt(m).groupBy(md5(col("text").cast("binary"))).count().count()),
+      "minhash_sigs"  -> (m => TextDedup.minhashSignatures(docsAt(m), "doc_id", "text", 8, 2).count()),
+      "lsh_candidates" -> { m =>
+        val sigs = TextDedup.minhashSignatures(docsAt(m), "doc_id", "text", 8, 2).persist()
+        sigs.count()
+        val n = TextDedup.lshCandidates(sigs, "doc_id", 8, 2).count()
+        sigs.unpersist(); n
+      },
+      "tfidf_top"     -> (m => TextStats.tfidfTop(docsAt(m), "doc_id", "text", 3).count()),
+      "centroid_assign" -> { m =>
+        val e = embAt(m)
+        VectorSearch.assignToNearestCentroid(
+          e, "vec_id", "embedding", VectorSearch.centroidsBp(e, "embedding", "label")).count()
+      }
+    )
+
+    // warm each op once at 1× (JIT + codegen), then measure 1×/2×/4×
+    ops.foreach { case (_, f) => f(1) }
+    val results = ops.map { case (name, f) =>
+      name -> Seq(1, 2, 4).map(m => math.round(time(f(m)) * 1000) / 1000.0)
+    }
+    val json = results
+      .map { case (k, ts) => s"\"$k\":[${ts.mkString(",")}]" }
+      .mkString("{", ",", s""","multipliers":[1,2,4],"sf":"$sfDir"}""")
+    println(json)
+    spark.stop()
+  }
+}
