@@ -112,6 +112,35 @@ object StreamPipelines {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join: left events matched to right
+    * events with the same key whose event time falls in
+    * [left.ts, left.ts + within]. Beyond the reference's surface (it
+    * defers ALL enrichment to read time, SURVEY.md §2.3) — but the
+    * canonical streaming attribution shape (click ⋈ purchase-within-24h),
+    * and the streaming twin of the batch `RangeJoin`.
+    *
+    * State stays bounded by construction: both sides carry a watermark and
+    * the join condition bounds event time in both directions, which is
+    * exactly what Spark requires to evict join state — rows older than
+    * (watermark - within) are dropped from the state store. Column names
+    * must be disjoint across the two sides (standard stream-stream join
+    * requirement).
+    */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      within: String,
+      watermark: String = "10 seconds"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+  }
+
   /** T6/J1 — the foreachBatch upsert sink: each micro-batch is reduced to
     * latest-state-per-key, merged into the parquet snapshot at `targetPath`
     * with per-column coalesce carry-forward, and the snapshot is atomically

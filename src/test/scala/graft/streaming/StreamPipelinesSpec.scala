@@ -8,6 +8,8 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 final case class Ev(ts: Timestamp, key: String, event_type: String)
+final case class Click(c_user: String, c_ts: Timestamp, click_id: Long)
+final case class Purchase(p_user: String, p_ts: Timestamp, amount: Double)
 final case class Ord(user_id: String, ts: Timestamp, event_id: Long, event_type: String, amount: Option[Double])
 final case class Cdc(op: String, ts_ms: Long, user_id: String, segment: String)
 
@@ -250,6 +252,29 @@ class StreamPipelinesSpec extends SparkFunSuite {
       q.processAllAvailable()
       val ids = spark.table("dd").collect().map(_.getLong(2)).toSeq.sorted
       assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streamIntervalJoin matches within the window, excludes outside, both sides streaming") {
+    implicit val sql = spark.sqlContext
+    val clicks    = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val joined = StreamPipelines.streamIntervalJoin(
+      clicks.toDF(), purchases.toDF(),
+      "c_user", "p_user", "c_ts", "p_ts", within = "10 minutes")
+    val q = joined.select($"click_id", $"amount")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      clicks.addData(
+        Click("u1", t("2024-01-01 10:00:00"), 1L),
+        Click("u2", t("2024-01-01 10:00:00"), 2L))
+      purchases.addData(
+        Purchase("u1", t("2024-01-01 10:05:00"), 50.0),  // in window → match
+        Purchase("u1", t("2024-01-01 10:20:00"), 70.0),  // past window → no match
+        Purchase("u2", t("2024-01-01 09:55:00"), 30.0))  // before click → no match
+      q.processAllAvailable()
+      val got = spark.table("ssj").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 50.0)))
     } finally q.stop()
   }
 
