@@ -34,6 +34,12 @@ object AsOfJoin {
     * @param leftTime   event-time column on left
     * @param rightTime  validity-start column on right
     * @param rightCols  right columns to attach (must not collide with left)
+    * @param tolerance  optional max staleness: attach only when
+    *                   `leftTime - rightTime <= tolerance` (the pandas
+    *                   merge_asof `tolerance` semantics). Pass an interval
+    *                   for timestamps (`expr("INTERVAL 1 HOUR")`) or a
+    *                   numeric for numeric time columns; a match older
+    *                   than the tolerance yields NULL attached columns.
     */
   def apply(
       left: DataFrame,
@@ -42,7 +48,8 @@ object AsOfJoin {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      rightCols: Seq[String]
+      rightCols: Seq[String],
+      tolerance: Option[Column] = None
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightCols.nonEmpty, "AsOfJoin: rightCols must not be empty")
@@ -60,7 +67,10 @@ object AsOfJoin {
     // rows and would resurrect the previous version's value when a newer
     // version's attribute is legitimately NULL. The struct itself is
     // non-null for every right row, so ignoreNulls only skips left rows.
-    val rsType = org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))
+    // The right row's own time rides along as __rt for the tolerance test.
+    val rsType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rt", right.schema(rightTime).dataType))
 
     val l = left
       .withColumn("__k", col(leftKey))
@@ -74,7 +84,7 @@ object AsOfJoin {
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightCols.map(col): _*).as("__r")) ++
+        struct(rightCols.map(col) :+ col(rightTime).as("__rt"): _*).as("__r")) ++
         Seq(col("__k"), col("__t"), col("__side")): _*)
 
     val w = Window
@@ -85,8 +95,14 @@ object AsOfJoin {
     val carried = l.unionByName(r)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
 
+    // tolerance: a carried match staler than the bound attaches nothing
+    // (NULL when __r is null propagates through the comparison naturally)
+    val attach: String => Column = tolerance match {
+      case Some(tol) => c => when(col("__t") - col("__r.__rt") <= tol, col(s"__r.$c")).as(c)
+      case None      => c => col(s"__r.$c").as(c)
+    }
     carried
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
+      .select(leftCols.map(col) ++ rightCols.map(attach): _*)
   }
 }

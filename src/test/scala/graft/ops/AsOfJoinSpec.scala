@@ -29,6 +29,23 @@ class AsOfJoinSpec extends SparkFunSuite {
       4L -> Some("w1"), 5L -> None))
   }
 
+  test("tolerance bounds staleness: matches older than the bound attach NULL") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),  // 30 min after v1 → within 1h
+      (2L, "u1", ts("2024-01-01 13:00:00")),  // 2h after v2 → too stale
+      (3L, "u2", ts("2024-01-01 10:00:00"))   // no right row at all
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), "v1"),
+      ("u1", ts("2024-01-01 11:00:00"), "v2")
+    ).toDF("k", "valid_from", "version")
+    val out = AsOfJoin(left, right, "k", "k", "ts", "valid_from", Seq("version"),
+      tolerance = Some(org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR")))
+      .select("event_id", "version").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(1L -> Some("v1"), 2L -> None, 3L -> None))
+  }
+
   test("left columns and row count preserved") {
     val left  = Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("id", "k", "ts")
     val right = Seq(("a", ts("2023-01-01 00:00:00"), 9L)).toDF("k", "t", "x")
