@@ -41,6 +41,10 @@ object ScaleProbe {
       (0 until mult).map { r =>
         base.withColumn("vec_id", col("vec_id") + lit(r * 1000000L))
       }.reduce(_ unionByName _)
+        // same spread as docsAt: without it the input parallelism would
+        // grow with the multiplier (1 file → m scan partitions) and the
+        // ratio would measure a parallelism artifact, not the operator
+        .repartition(spark.sparkContext.defaultParallelism)
     }
 
     def time(f: => Long): Double = {
@@ -51,12 +55,9 @@ object ScaleProbe {
       "token_stats"   -> (m => TextStats.tokenStats(docsAt(m), "doc_id", "text").count()),
       "exact_dedup"   -> (m => docsAt(m).groupBy(md5(col("text").cast("binary"))).count().count()),
       "minhash_sigs"  -> (m => TextDedup.minhashSignatures(docsAt(m), "doc_id", "text", 8, 2).count()),
-      "lsh_candidates" -> { m =>
-        val sigs = TextDedup.minhashSignatures(docsAt(m), "doc_id", "text", 8, 2).persist()
-        sigs.count()
-        val n = TextDedup.lshCandidates(sigs, "doc_id", 8, 2).count()
-        sigs.unpersist(); n
-      },
+      // NOTE: signature build is excluded from this op's timing (it is
+      // measured separately as minhash_sigs) — see the custom loop below
+      "lsh_candidates" -> (m => m.toLong),
       "tfidf_top"     -> (m => TextStats.tfidfTop(docsAt(m), "doc_id", "text", 3).count()),
       "centroid_assign" -> { m =>
         val e = embAt(m)
@@ -65,10 +66,24 @@ object ScaleProbe {
       }
     )
 
+    // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
+    // the ratio isolates candidate-pair growth from the (separately
+    // measured) signature build
+    def lshTimed(m: Int): Double = {
+      val sigs = TextDedup.minhashSignatures(docsAt(m), "doc_id", "text", 8, 2).persist()
+      sigs.count()
+      val t = time(TextDedup.lshCandidates(sigs, "doc_id", 8, 2).count())
+      sigs.unpersist()
+      t
+    }
+
     // warm each op once at 1× (JIT + codegen), then measure 1×/2×/4×
-    ops.foreach { case (_, f) => f(1) }
+    ops.foreach { case (name, f) => if (name == "lsh_candidates") lshTimed(1) else f(1) }
     val results = ops.map { case (name, f) =>
-      name -> Seq(1, 2, 4).map(m => math.round(time(f(m)) * 1000) / 1000.0)
+      name -> Seq(1, 2, 4).map { m =>
+        val t = if (name == "lsh_candidates") lshTimed(m) else time(f(m))
+        math.round(t * 1000) / 1000.0
+      }
     }
     val json = results
       .map { case (k, ts) => s"\"$k\":[${ts.mkString(",")}]" }

@@ -116,11 +116,7 @@ case class FreqItems(
 
   override def eval(buffer: MgBuffer): Any = {
     // deterministic map layout: entries sorted by (count desc, item asc)
-    val entries = new Array[(String, Long)](buffer.counts.size)
-    val it = buffer.counts.entrySet().iterator()
-    var i  = 0
-    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
-    val sorted = entries.sortBy { case (k, c) => (-c, k) }
+    val sorted = buffer.entries.sortBy { case (k, c) => (-c, k) }
     new ArrayBasedMapData(
       new GenericArrayData(sorted.map(e => UTF8String.fromString(e._1)).toArray[Any]),
       new GenericArrayData(sorted.map(_._2).toArray[Any]))

@@ -62,6 +62,8 @@ object AsOfJoin {
       s"AsOfJoin: right is missing $rightKey/$rightTime")
     require(rightCols.forall(right.columns.contains),
       s"AsOfJoin: right is missing some of ${rightCols.mkString(", ")}")
+    require(!rightCols.contains("__rt"),
+      "AsOfJoin: \"__rt\" is reserved for the carried right-time field — alias the column first")
     // Carry ONE struct of all rightCols, not each column independently:
     // per-column last(ignoreNulls) could mix columns from different right
     // rows and would resurrect the previous version's value when a newer

@@ -324,7 +324,10 @@ object TrainingQueries {
       val sketch =
         if (graft.functions.GraftFunctions.installed(s))
           graft.functions.GraftFunctions.freqItems(col("tok"), 16)
-        else map_from_arrays(array(), array()) // extension-free fallback
+        // extension-free fallback: typed empty map so the schema is
+        // map<string,bigint> on every session (an untyped empty map is
+        // map<void,void> — unwritable and schema-divergent)
+        else map_from_arrays(array().cast("array<string>"), array().cast("array<bigint>"))
       toks.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_tokens"), sketch.as("top_tokens"))
     },

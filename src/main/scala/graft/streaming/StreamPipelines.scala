@@ -133,6 +133,9 @@ object StreamPipelines {
       within: String,
       watermark: String = "10 seconds"
   ): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"streamIntervalJoin: column names must be disjoint across sides, both have: ${overlap.mkString(", ")}")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
