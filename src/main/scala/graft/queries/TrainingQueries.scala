@@ -353,5 +353,30 @@ object TrainingQueries {
       GROUP BY 1""")
   )
 
-  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+  // Text scrubbing (PII/noise normalization): digit runs → a placeholder
+  // token, whitespace collapsed — the pre-training cleaning pass. Pure
+  // codegen'd projection; the regexes are deliberately dialect-neutral
+  // (character classes only) so both engines rewrite identically.
+  private val q56 = Q(
+    "q56_text_scrub",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"),
+          "[ ]+", " ")).cast("long").as("n_chars_clean"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num_runs"),
+        md5(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"),
+          "[ ]+", " ").cast("binary")).as("clean_hash")),
+    Some("""SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars_raw,
+      CAST(length(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+        '[ ]+', ' ', 'g')) AS BIGINT) AS n_chars_clean,
+      CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs,
+      md5(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+        '[ ]+', ' ', 'g')) AS clean_hash
+      FROM documents""")
+  )
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

@@ -255,6 +255,25 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: streaming events ⋈ broadcast dimension") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.broadcast
+    val dim = Seq(("u1", "gold"), ("u2", "bronze")).toDF("d_user", "segment")
+    val input = MemoryStream[Click]
+    val joined = input.toDF().join(broadcast(dim), $"c_user" === $"d_user", "left")
+    val q = joined.select($"click_id", $"segment")
+      .writeStream.format("memory").queryName("ssd").outputMode("append").start()
+    try {
+      input.addData(
+        Click("u1", t("2024-01-01 10:00:00"), 1L),
+        Click("u3", t("2024-01-01 10:00:01"), 2L)) // no dim row → null segment
+      q.processAllAvailable()
+      val got = spark.table("ssd").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("streamIntervalJoin matches within the window, excludes outside, both sides streaming") {
     implicit val sql = spark.sqlContext
     val clicks    = MemoryStream[Click]
