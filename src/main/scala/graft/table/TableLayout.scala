@@ -47,6 +47,40 @@ object TableLayout {
     * bit-compatibility, is the contract — SURVEY.md §7.5 pitfall 5). */
   def bucketOf(n: Int, c: Column): Column = pmod(hash(c), lit(n))
 
+  /** Z-value (Morton code) of two non-negative integer columns: the low 32
+    * bits of each are bit-interleaved (a → even bits, b → odd bits), so
+    * sorting by the result clusters rows that are close in BOTH dimensions
+    * — the Delta/Iceberg `OPTIMIZE ZORDER BY` layout primitive. A
+    * lexicographic sort on (a, b) gives perfect locality on `a` and none
+    * on `b`; the z-curve trades a little of `a`'s locality for bounded
+    * ranges of both, which is what lets parquet min/max stats skip files
+    * for predicates on EITHER column. Pure shift/mask expression tree —
+    * fully codegen'd, no UDF.
+    */
+  def zValue(a: Column, b: Column): Column = {
+    val an = a.cast("long")
+    val bn = b.cast("long")
+    (0 until 32)
+      .map { i =>
+        (shiftright(an, i).bitwiseAND(1) * lit(1L << (2 * i))) +
+          (shiftright(bn, i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
+      }
+      .reduce(_ + _)
+  }
+
+  /** Z-order clustered write: range-partition and sort by the interleaved
+    * z-value of `colA`/`colB`, then write `nFiles` parquet files whose
+    * min/max stats are tight in BOTH columns. The multi-dimensional
+    * companion to [[partitionedWrite]]'s one-dimensional cluster sort.
+    */
+  def zOrderedWrite(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int): Unit =
+    df.withColumn("__z", zValue(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Partitioned, cluster-sorted write (S9/O1): adds the derived partition
     * columns, repartitions on them, sorts within partitions by `sortCols`,
     * writes parquet.

@@ -70,6 +70,45 @@ class TableLayoutSpec extends SparkFunSuite {
     stats.values.foreach { case (n, avg) => assert(n >= 1 && avg > 0) }
   }
 
+  test("zValue interleaves bits; z-sort bounds per-chunk ranges in BOTH dimensions") {
+    import spark.implicits._
+    // known Morton codes: z(1,0)=1, z(0,1)=2, z(1,1)=3, z(2,2)=12, z(3,5)=39
+    val z = Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L)).toDF("a", "b")
+      .select(TableLayout.zValue(col("a"), col("b"))).collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(1L, 2L, 3L, 12L, 39L))
+
+    // locality: 64×64 grid, 16 chunks. Lexicographic sort on (a,b) gives
+    // chunks spanning b's FULL range; z-sort bounds both spans.
+    val grid = (for { a <- 0L until 64L; b <- 0L until 64L } yield (a, b)).toSeq
+    def chunkSpans(sorted: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      sorted.grouped(sorted.size / 16).map { c =>
+        (c.map(_._1).max - c.map(_._1).min, c.map(_._2).max - c.map(_._2).min)
+      }.toSeq
+    def morton(a: Long, b: Long): Long =
+      (0 until 32).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val lexSpans = chunkSpans(grid.sortBy(identity))
+    val zSpans   = chunkSpans(grid.sortBy { case (a, b) => morton(a, b) })
+    assert(lexSpans.forall(_._2 == 63L))        // lexicographic: b unbounded everywhere
+    assert(zSpans.forall { case (sa, sb) => sa <= 16L && sb <= 16L }) // z: both tight
+  }
+
+  test("zOrderedWrite produces files with tight min/max ranges on both columns") {
+    import spark.implicits._
+    val path = tmp("zorder") + "/t"
+    val grid = (for { a <- 0L until 64L; b <- 0L until 64L } yield (a, b)).toDF("a", "b")
+    TableLayout.zOrderedWrite(grid, path, "a", "b", nFiles = 16)
+    val fs = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(fs.length == 16)
+    // per-file spans are bounded in BOTH dims (the data-skipping property)
+    fs.foreach { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b"))).collect().head
+      assert(d.getLong(1) - d.getLong(0) <= 16L, s"a-span too wide in ${f.getName}")
+      assert(d.getLong(3) - d.getLong(2) <= 16L, s"b-span too wide in ${f.getName}")
+    }
+    assert(spark.read.parquet(path).count() == 64L * 64L)
+  }
+
   test("removeOrphans clears stray temp dirs only") {
     val path = tmp("orphan") + "/t"
     TableLayout.partitionedWrite(rows, path, Seq("day" -> TableLayout.daysOf(col("ts"))))
