@@ -65,4 +65,49 @@ object RangeJoin {
       .select(points.columns.map(c => col(s"p.$c")).toIndexedSeq ++
         rightCols.map(c => col(s"i.$c")): _*)
   }
+
+  /** Interval-overlap join: all (left, right) interval pairs with the same
+    * key and `[lStart, lEnd) ∩ [rStart, rEnd) ≠ ∅` — sessions × campaigns,
+    * downtime × deploys. Same bucket-replication idea as
+    * [[pointInInterval]], with the standard dedup trick: a pair sharing
+    * several buckets is emitted ONLY in the first bucket both sides
+    * occupy (`max(bucket(lStart), bucket(rStart))`), so no distinct pass
+    * and no duplicate rows — the join stays a pure hash equi-join with a
+    * residual filter.
+    *
+    * Column names must be disjoint across the two sides.
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidthSeconds: Long
+  ): DataFrame = {
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"RangeJoin.intervalOverlap: column names must be disjoint, both sides have: ${overlapCols.mkString(", ")}")
+    val w = bucketWidthSeconds * 1000000L
+
+    def bucketOf(c: Column): Column = floor(unix_micros(c) / w).cast("long")
+    def replicate(df: DataFrame, s: String, e: String): DataFrame = df
+      .withColumn("__first", bucketOf(col(s)))
+      .withColumn("__bkt", explode(sequence(
+        bucketOf(col(s)), floor((unix_micros(col(e)) - 1) / w).cast("long"))))
+
+    val l = replicate(left, lStart, lEnd)
+      .withColumnRenamed("__first", "__lfirst").as("l")
+    val r = replicate(right, rStart, rEnd)
+      .withColumnRenamed("__first", "__rfirst").as("r")
+    l.join(
+        r,
+        col(s"l.$leftKey") === col(s"r.$rightKey") &&
+          col("l.__bkt") === col("r.__bkt") &&
+          // emit only in the first shared bucket → exactly-once per pair
+          col("l.__bkt") === greatest(col("l.__lfirst"), col("r.__rfirst")) &&
+          // overlap residual for [start, end) intervals
+          col(s"l.$lStart") < col(s"r.$rEnd") &&
+          col(s"r.$rStart") < col(s"l.$lEnd"))
+      .select(left.columns.map(c => col(s"l.$c")).toIndexedSeq ++
+        right.columns.map(c => col(s"r.$c")): _*)
+  }
 }

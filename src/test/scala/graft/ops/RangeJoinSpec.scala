@@ -46,6 +46,27 @@ class RangeJoinSpec extends SparkFunSuite {
     assert(naivePlan.contains("Join"), "sanity")
   }
 
+  test("intervalOverlap: randomized equivalence with the naive overlap join, no duplicate pairs") {
+    val rnd  = new scala.util.Random(23)
+    val base = t("2024-01-01 00:00:00").getTime
+    def mkIntervals(n: Int, idCol: String, keyCol: String, sCol: String, eCol: String) =
+      Seq.tabulate(n) { i =>
+        val s = base + rnd.nextInt(86400) * 1000L
+        (i.toLong, s"k${rnd.nextInt(4)}", new Timestamp(s),
+          new Timestamp(s + (60 + rnd.nextInt(10800)) * 1000L))
+      }.toDF(idCol, keyCol, sCol, eCol)
+    val ls = mkIntervals(80, "lid", "lkey", "ls", "le")
+    val rs = mkIntervals(70, "rid", "rkey", "rs", "re")
+    val fast = RangeJoin.intervalOverlap(ls, rs, "lkey", "rkey", "ls", "le", "rs", "re", 1800)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = ls.join(rs,
+        col("lkey") === col("rkey") && col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.length == fast.toSet.size, "bucket replication produced duplicate pairs")
+    assert(fast.toSet == naive.toSet)
+    assert(naive.nonEmpty, "sanity: some overlaps exist")
+  }
+
   test("randomized equivalence with the naive join") {
     val rnd = new scala.util.Random(11)
     val base = t("2024-01-01 00:00:00").getTime
