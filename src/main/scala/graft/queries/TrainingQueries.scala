@@ -378,5 +378,35 @@ object TrainingQueries {
       FROM documents""")
   )
 
-  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
+  // Interval-overlap range join: purchase attribution windows (24h)
+  // overlapping error windows (1h) for the same user — the bucket-
+  // replicated exactly-once formulation vs the oracle's naive theta join
+  private val q57 = Q(
+    "q57_interval_overlap",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase").select(
+        col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_start"), (col("ts") + expr("INTERVAL 24 HOURS")).as("p_end"))
+      val errs = ev.filter(col("event_type") === "error").select(
+        col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("e_end"))
+      graft.ops.RangeJoin.intervalOverlap(purch, errs,
+          "p_user", "e_user", "p_start", "p_end", "e_start", "e_end",
+          bucketWidthSeconds = 86400)
+        .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
+    },
+    Some("""WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_start,
+          ts + INTERVAL 24 HOURS AS p_end
+        FROM events WHERE event_type = 'purchase'),
+      e AS (SELECT user_id, event_id AS error_id, ts AS e_start,
+          ts + INTERVAL 1 HOUR AS e_end
+        FROM events WHERE event_type = 'error')
+      SELECT p.purchase_id, e.error_id, p.user_id
+      FROM p JOIN e ON p.user_id = e.user_id
+        AND p.p_start < e.e_end AND e.e_start < p.p_end""")
+  )
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
+    q52, q53, q54, q55, q56, q57)
 }
