@@ -109,6 +109,30 @@ class TableLayoutSpec extends SparkFunSuite {
     assert(spark.read.parquet(path).count() == 64L * 64L)
   }
 
+  test("schema drift: upstream adds a column; mergeSchema read + header+body bronze both absorb it") {
+    import spark.implicits._
+    val path = tmp("drift") + "/bronze"
+    // generation 1: 3 columns
+    Seq((1L, "u1", 10.0)).toDF("event_id", "user_id", "value")
+      .write.mode("append").parquet(path)
+    // generation 2: upstream added a column
+    Seq((2L, "u2", 20.0, "ios")).toDF("event_id", "user_id", "value", "os")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("event_id", "user_id", "value", "os"))
+    val rows = merged.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("os"))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some("ios"))) // old rows read as NULL
+    // the header+body projection absorbs the same drift with NO schema
+    // change at all: the new column lands inside the JSON payload
+    val hb1 = graft.streaming.StreamPipelines.headerBody(
+      Seq((1L, "u1", 10.0)).toDF("event_id", "user_id", "value"), Seq("event_id", "user_id"))
+    val hb2 = graft.streaming.StreamPipelines.headerBody(
+      Seq((2L, "u2", 20.0, "ios")).toDF("event_id", "user_id", "value", "os"),
+      Seq("event_id", "user_id"))
+    assert(hb1.columns.toSeq == hb2.columns.toSeq)
+    assert(hb2.collect().head.getString(2).contains("\"os\":\"ios\""))
+  }
+
   test("removeOrphans clears stray temp dirs only") {
     val path = tmp("orphan") + "/t"
     TableLayout.partitionedWrite(rows, path, Seq("day" -> TableLayout.daysOf(col("ts"))))
