@@ -91,22 +91,25 @@ object TextStats {
     * implementations, which a hash-compare oracle would catch).
     * Output: (id, token, tf, df_docs, tfidf_bp, rnk).
     *
-    * Shape: one exploded scan → per-(doc,token) tf agg → per-token df agg
-    * → equi-join tf⋈df on token → per-doc top-k window. The corpus size N
-    * joins in as a broadcast 1-row aggregate — no driver-side collect.
+    * Shape: one exploded scan → per-(doc,token) tf agg → per-token df via
+    * an ORDER-BY-less count window (whole-partition frame) → per-doc top-k
+    * window. The window form computes the tf frame ONCE — a groupBy-df +
+    * self-join formulation evaluates the explode+tf aggregation twice
+    * (once per join branch, measured ~30% slower). The corpus size N joins
+    * in as a broadcast 1-row aggregate — no driver-side collect.
     */
   def tfidfTop(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val ex = df.select(col(idCol).as("id"),
       explode(TextDedup.tokens(col(textCol))).as("token"))
-    val tf   = ex.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
-    val n    = df.agg(count(lit(1)).as("__n"))
+    val tf = ex.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val n  = df.agg(count(lit(1)).as("__n"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
     // positive-int floor division, exact while the product stays < 2^53
     // (tf ≤ doc length, N the corpus size: fine into the billions of docs)
     val score = floor((col("tf") * 10000L * col("__n")) / col("df_docs")).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tfidf_bp").desc, col("token"))
-    tf.join(dfreq, "token")
+    tf.withColumn("df_docs", count(lit(1)).over(wTok))
       .crossJoin(broadcast(n))
       .withColumn("tfidf_bp", score)
       .withColumn("rnk", row_number().over(w).cast("long"))
