@@ -173,6 +173,25 @@ class StreamPipelinesSpec extends SparkFunSuite {
     assert(s3 == Map("u1" -> "gold"), s"stale envelope overwrote newer state: $s3")
   }
 
+  test("parseJsonEnvelope: typed parse, PERMISSIVE nulls for malformed/missing fields") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("order_id", StringType), StructField("amount", DoubleType)))
+    val raw = Seq(
+      """{"order_id":"o1","amount":12.5}""",
+      """{"order_id":"o2"}""",            // missing field → null column
+      """not json at all""",              // malformed → all-null row
+      """{"order_id":"o4","amount":"x"}""" // wrong type → null field
+    ).toDF("value").select($"value".cast("binary").as("value")) // Kafka-shaped
+    val out = StreamPipelines.parseJsonEnvelope(raw, schema)
+    assert(out.columns.toSeq == Seq("order_id", "amount"))
+    val rows = out.collect().map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(rows(0) == (Some("o1"), Some(12.5)))
+    assert(rows(1) == (Some("o2"), None))
+    assert(rows(2) == (None, None))      // malformed never kills the batch
+    assert(rows(3) == (Some("o4"), None))
+  }
+
   test("headerBody folds non-header columns into a JSON payload") {
     val df = Seq(("e1", "u1", 42L, "ios")).toDF("event_id", "user_id", "watch_ms", "os")
     val out = StreamPipelines.headerBody(df, Seq("event_id", "user_id")).collect().head
