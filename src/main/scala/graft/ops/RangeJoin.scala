@@ -21,6 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Internal working-column names — rejected on inputs (they would be
+    * silently clobbered by the replication projections otherwise). */
+  private val Reserved = Set("__bkt", "__first", "__lfirst", "__rfirst")
+
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val hit = df.columns.filter(Reserved.contains)
+    require(hit.isEmpty,
+      s"RangeJoin: $side columns ${hit.mkString(", ")} collide with internal names — alias them first")
+  }
+
+  /** One shared definition of the bucket math so both operators always
+    * agree on boundaries: width in microseconds, bucket of an instant, and
+    * the last bucket a half-open [start, end) interval touches.
+    */
+  private def microWidth(bucketWidthSeconds: Long): Long = bucketWidthSeconds * 1000000L
+  private def bucketOf(c: Column, w: Long): Column = floor(unix_micros(c) / w).cast("long")
+  private def lastBucket(end: Column, w: Long): Column =
+    floor((unix_micros(end) - 1) / w).cast("long")
+
   /** @param points      probe side (events)
     * @param intervals   build side with [startCol, endCol) validity
     * @param pointKey    join key on points
@@ -42,19 +61,17 @@ object RangeJoin {
     val collisions = rightCols.filter(points.columns.contains)
     require(collisions.isEmpty,
       s"RangeJoin: rightCols collide with point columns: ${collisions.mkString(", ")}")
-    val w = bucketWidthSeconds * 1000000L // microseconds
-
-    def bucketOf(c: Column): Column = floor(unix_micros(c) / w).cast("long")
+    requireNoReserved(points, "point"); requireNoReserved(intervals, "interval")
+    val w = microWidth(bucketWidthSeconds)
 
     val p = points
-      .withColumn("__bkt", bucketOf(col(pointTs)))
+      .withColumn("__bkt", bucketOf(col(pointTs), w))
       .as("p")
     // replicate each interval to every bucket it overlaps; [start, end)
     // touches buckets floor(start/w) .. floor((end-1us)/w)
     val i = intervals
       .withColumn("__bkt", explode(sequence(
-        bucketOf(col(startCol)),
-        floor((unix_micros(col(endCol)) - 1) / w).cast("long"))))
+        bucketOf(col(startCol), w), lastBucket(col(endCol), w))))
       .as("i")
     p.join(
         i,
@@ -86,13 +103,13 @@ object RangeJoin {
     val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
     require(overlapCols.isEmpty,
       s"RangeJoin.intervalOverlap: column names must be disjoint, both sides have: ${overlapCols.mkString(", ")}")
-    val w = bucketWidthSeconds * 1000000L
+    requireNoReserved(left, "left"); requireNoReserved(right, "right")
+    val w = microWidth(bucketWidthSeconds)
 
-    def bucketOf(c: Column): Column = floor(unix_micros(c) / w).cast("long")
     def replicate(df: DataFrame, s: String, e: String): DataFrame = df
-      .withColumn("__first", bucketOf(col(s)))
+      .withColumn("__first", bucketOf(col(s), w))
       .withColumn("__bkt", explode(sequence(
-        bucketOf(col(s)), floor((unix_micros(col(e)) - 1) / w).cast("long"))))
+        bucketOf(col(s), w), lastBucket(col(e), w))))
 
     val l = replicate(left, lStart, lEnd)
       .withColumnRenamed("__first", "__lfirst").as("l")

@@ -47,20 +47,27 @@ object TableLayout {
     * bit-compatibility, is the contract — SURVEY.md §7.5 pitfall 5). */
   def bucketOf(n: Int, c: Column): Column = pmod(hash(c), lit(n))
 
-  /** Z-value (Morton code) of two non-negative integer columns: the low 32
-    * bits of each are bit-interleaved (a → even bits, b → odd bits), so
-    * sorting by the result clusters rows that are close in BOTH dimensions
-    * — the Delta/Iceberg `OPTIMIZE ZORDER BY` layout primitive. A
-    * lexicographic sort on (a, b) gives perfect locality on `a` and none
-    * on `b`; the z-curve trades a little of `a`'s locality for bounded
-    * ranges of both, which is what lets parquet min/max stats skip files
-    * for predicates on EITHER column. Pure shift/mask expression tree —
-    * fully codegen'd, no UDF.
+  /** Z-value (Morton code) of two non-negative integer columns: the low 31
+    * bits of each are bit-interleaved (a → even bits, b → odd bits) into a
+    * 62-bit NON-NEGATIVE long, so sorting by the result clusters rows that
+    * are close in BOTH dimensions — the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * layout primitive. A lexicographic sort on (a, b) gives perfect
+    * locality on `a` and none on `b`; the z-curve trades a little of `a`'s
+    * locality for bounded ranges of both, which is what lets parquet
+    * min/max stats skip files for predicates on EITHER column. Pure
+    * shift/mask expression tree — fully codegen'd, no UDF.
+    *
+    * Domain: inputs are clamped to [0, 2^31 - 1] — 31 bits each keeps the
+    * sign bit clear (interleaving a 32nd bit would put b's bit 31 in the
+    * long's sign position and invert the sort at that boundary).
+    * Wide-domain columns (epoch millis/micros, ids beyond 2^31) should be
+    * pre-normalized by the caller, e.g. bucketed to a coarser unit.
     */
   def zValue(a: Column, b: Column): Column = {
-    val an = a.cast("long")
-    val bn = b.cast("long")
-    (0 until 32)
+    val max31 = lit((1L << 31) - 1)
+    val an = least(greatest(a.cast("long"), lit(0L)), max31)
+    val bn = least(greatest(b.cast("long"), lit(0L)), max31)
+    (0 until 31)
       .map { i =>
         (shiftright(an, i).bitwiseAND(1) * lit(1L << (2 * i))) +
           (shiftright(bn, i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
@@ -70,8 +77,11 @@ object TableLayout {
 
   /** Z-order clustered write: range-partition and sort by the interleaved
     * z-value of `colA`/`colB`, then write `nFiles` parquet files whose
-    * min/max stats are tight in BOTH columns. The multi-dimensional
-    * companion to [[partitionedWrite]]'s one-dimensional cluster sort.
+    * min/max stats are tight in BOTH columns for files inside a z-quadrant
+    * (a file straddling a high-level quadrant boundary spans both sides —
+    * the usual z-curve caveat; boundaries come from RangePartitioner
+    * sampling). The multi-dimensional companion to [[partitionedWrite]]'s
+    * one-dimensional cluster sort.
     */
   def zOrderedWrite(df: DataFrame, path: String, colA: String, colB: String,
                     nFiles: Int): Unit =

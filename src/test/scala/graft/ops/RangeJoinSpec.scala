@@ -46,6 +46,17 @@ class RangeJoinSpec extends SparkFunSuite {
     assert(naivePlan.contains("Join"), "sanity")
   }
 
+  test("intervalOverlap plans as a hash equi-join, not a nested-loop product") {
+    val ls = Seq((1L, "k1", t("2024-01-01 10:00:00"), t("2024-01-01 12:00:00")))
+      .toDF("lid", "lkey", "ls", "le")
+    val rs = Seq((2L, "k1", t("2024-01-01 11:00:00"), t("2024-01-01 13:00:00")))
+      .toDF("rid", "rkey", "rs", "re")
+    val p = RangeJoin.intervalOverlap(ls, rs, "lkey", "rkey", "ls", "le", "rs", "re", 3600)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap degraded to a product join:\n$p")
+  }
+
   test("intervalOverlap: randomized equivalence with the naive overlap join, no duplicate pairs") {
     val rnd  = new scala.util.Random(23)
     val base = t("2024-01-01 00:00:00").getTime

@@ -61,10 +61,13 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(plan("q26_cosine_topk").contains("graft_dot"))
   }
 
-  test("q45: tf/df aggregates are partial+final, join stays equi") {
+  test("q45: tf aggregate is partial+final; df comes from a token window, not a self-join") {
     val p = plan("q45_tfidf_top")
     assert(p.split("HashAggregate").length >= 3, s"expected partial+final aggs:\n$p")
-    assert(!p.contains("CartesianProduct"), s"tf⋈df must be an equi-join:\n$p")
+    assert(p.contains("Window"), s"df_docs must come from the token window:\n$p")
+    // the only join is the intentional 1-row corpus-size broadcast; a
+    // SortMergeJoin would mean the tf⋈df self-join crept back in
+    assert(!p.contains("SortMergeJoin"), s"tf frame must not be recomputed via a self-join:\n$p")
   }
 
   test("q50: centroid cells join is broadcast; assignment is hash-agg + single argmin window") {

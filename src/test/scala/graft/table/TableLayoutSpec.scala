@@ -76,6 +76,12 @@ class TableLayoutSpec extends SparkFunSuite {
     val z = Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L)).toDF("a", "b")
       .select(TableLayout.zValue(col("a"), col("b"))).collect().map(_.getLong(0)).toSeq
     assert(z == Seq(1L, 2L, 3L, 12L, 39L))
+    // sign-bit safety: out-of-domain values clamp, z stays non-negative
+    val big = Seq((0L, 1L << 31), (0L, (1L << 31) - 1), ((1L << 31) - 1, (1L << 31) - 1))
+      .toDF("a", "b")
+      .select(TableLayout.zValue(col("a"), col("b"))).collect().map(_.getLong(0)).toSeq
+    assert(big.forall(_ >= 0L))
+    assert(big(0) == big(1)) // 2^31 clamps to the max in-domain value
 
     // locality: 64×64 grid, 16 chunks. Lexicographic sort on (a,b) gives
     // chunks spanning b's FULL range; z-sort bounds both spans.
