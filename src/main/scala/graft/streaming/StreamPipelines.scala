@@ -274,6 +274,44 @@ object StreamPipelines {
         applyCdcBatch(batch, targetPath, key, tsCol)
       }
 
+  /** [[cdcSink]] committing through [[graft.table.SnapshotLog]]: every
+    * CDC micro-batch application becomes a dimension-table VERSION
+    * (time-travelable SCD1 — "what did dim_users look like at batch N"),
+    * batch-id tagged for replay idempotence like
+    * [[upsertSinkVersioned]].
+    */
+  def cdcSinkVersioned(
+      stream: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      key: Seq[String],
+      tsCol: String = "ts_ms",
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val tag   = s"batch-$batchId"
+        if (!graft.table.SnapshotLog.latestTag(spark, targetPath).contains(tag) &&
+            !batch.isEmpty) {
+          val latest = LatestWins.latestRow(batch, key, tsCol, Nil)
+          val resolved = graft.table.SnapshotLog.latestVersion(spark, targetPath) match {
+            case Some(_) =>
+              val target = graft.table.SnapshotLog.read(spark, targetPath)
+                .withColumn("op", lit("u")).withColumn("__prec", lit(0))
+              val combined = target.unionByName(latest.withColumn("__prec", lit(1)))
+              LatestWins.latestRow(combined, key, tsCol, Seq("__prec")).drop("__prec")
+            case None => latest
+          }
+          graft.table.SnapshotLog.commitReplace(
+            resolved.filter(col("op") =!= "d").drop("op"), targetPath, Some(tag))
+          ()
+        }
+      }
+
   /** T10 — CDC apply (Debezium-style envelope): keep creates/updates,
     * latest per key by `tsCol` ACROSS batches — the snapshot keeps each
     * row's `tsCol`, and an envelope older than the stored state is a no-op

@@ -151,6 +151,30 @@ object SnapshotLog {
     }.toDF("version", "committed_at_ms", "op", "n_segments")
   }
 
+  /** M1 on the versioned path — compaction as a COMMIT: rewrite the
+    * latest version's data into ~`targetFileBytes` files and publish the
+    * result as a new version (exactly Iceberg's rewrite_data_files, which
+    * commits a snapshot rather than mutating files in place). Readers of
+    * older versions are untouched; [[expireSnapshots]] reclaims the
+    * pre-compaction segments once they age out.
+    * Returns the committed version.
+    */
+  def compactLatest(spark: SparkSession, path: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val v = latestVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val m = readManifest(spark, path, v)
+    val f = fs(spark, path)
+    val bytes = m.segments.map { s =>
+      val it = f.listFiles(new Path(path, s), true)
+      var n = 0L
+      while (it.hasNext) { val st = it.next(); if (st.getPath.getName.endsWith(".parquet")) n += st.getLen }
+      n
+    }.sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    commitReplace(read(spark, path, Some(v)).coalesce(nFiles), path, Some(s"compact-v$v"))
+  }
+
   /** M2 + M3 — expire old snapshots and GC unreferenced segments: keep the
     * newest `retainLast` manifests, delete the rest, then remove every
     * segment that (a) no retained manifest references AND (b) is older

@@ -254,6 +254,35 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("cdcSinkVersioned: dim history per batch; compaction commits a version") {
+    implicit val sql = spark.sqlContext
+    val dir   = tmpDir("vercdc")
+    val input = MemoryStream[Cdc]
+    val q = StreamPipelines.cdcSinkVersioned(input.toDF(), s"$dir/dim", s"$dir/ckpt",
+      Seq("user_id"), trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Cdc("c", 1L, "u1", "bronze"), Cdc("c", 2L, "u2", "bronze"))
+      q.processAllAvailable()
+      input.addData(Cdc("u", 3L, "u1", "gold"), Cdc("d", 4L, "u2", "x"))
+      q.processAllAvailable()
+      import graft.table.SnapshotLog
+      assert(SnapshotLog.versions(spark, s"$dir/dim") == Seq(1, 2))
+      // time travel: u2 existed at v1, deleted by v2; u1 upgraded
+      val v1 = SnapshotLog.read(spark, s"$dir/dim", Some(1)).collect()
+        .map(r => r.getAs[String]("user_id") -> r.getAs[String]("segment")).toMap
+      assert(v1 == Map("u1" -> "bronze", "u2" -> "bronze"))
+      val v2 = SnapshotLog.read(spark, s"$dir/dim", Some(2)).collect()
+        .map(r => r.getAs[String]("user_id") -> r.getAs[String]("segment")).toMap
+      assert(v2 == Map("u1" -> "gold"))
+      // compaction publishes version 3 with identical data
+      val v3 = SnapshotLog.compactLatest(spark, s"$dir/dim")
+      assert(v3 == 3)
+      val after = SnapshotLog.read(spark, s"$dir/dim").collect()
+        .map(r => r.getAs[String]("user_id") -> r.getAs[String]("segment")).toMap
+      assert(after == v2)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark suppresses redelivery, keeps state bounded by watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ord]
