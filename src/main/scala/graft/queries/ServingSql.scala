@@ -23,6 +23,7 @@ object ServingSql {
     Tables.customer(spark, dir).createOrReplaceTempView("customer")
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
   }
 
   /** Dashboard panels (name → SQL). */
@@ -70,7 +71,30 @@ object ServingSql {
         |       round(count(IF(event_type = 'purchase', 1, NULL))
         |             / CAST(nullif(count(IF(event_type = 'click', 1, NULL)), 0) AS DOUBLE), 6)
         |         AS conversion
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // curation tier in pure SQL — same results as the DataFrame twins
+    // (asserted in ServingSqlSpec): corpus vocabulary by document
+    // frequency (q44) ...
+    "vocabulary" ->
+      """WITH ex AS (SELECT doc_id,
+        |    explode(filter(split(trim(text), '\\s+'), x -> x != '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2)
+        |SELECT token, count(*) AS df_docs, sum(tf) AS tf_total
+        |FROM tf GROUP BY token
+        |ORDER BY df_docs DESC, token LIMIT 50""".stripMargin,
+
+    // ... and the deterministic 90/10 hash split (q46)
+    "train_split" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10)
+        |      AS BIGINT) AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 58982 THEN 'train' ELSE 'val' END AS split,
+        |       count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY 1""".stripMargin
   )
 
   def run(spark: SparkSession, name: String): DataFrame = {

@@ -18,6 +18,16 @@ class ServingSqlSpec extends SparkFunSuite {
     assert(viaSql == viaDf)
   }
 
+  test("curation panels equal their DataFrame twins (q44 vocabulary, q46 hash split)") {
+    ServingSql.registerViews(spark, sf)
+    val vocabSql = ServingSql.run(spark, "vocabulary").collect().map(_.toSeq).toSet
+    val vocabDf  = SparkEntry.queries("q44_vocab_topk")(spark, sf).collect().map(_.toSeq).toSet
+    assert(vocabSql == vocabDf)
+    val splitSql = ServingSql.run(spark, "train_split").collect().map(_.toSeq).toSet
+    val splitDf  = SparkEntry.queries("q46_hash_split")(spark, sf).collect().map(_.toSeq).toSet
+    assert(splitSql == splitDf)
+  }
+
   test("extension functions are SQL citizens inside panels") {
     ServingSql.registerViews(spark, sf)
     val r = ServingSql.run(spark, "daily_reach_sketch").collect()
