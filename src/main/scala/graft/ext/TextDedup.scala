@@ -142,16 +142,37 @@ object TextDedup {
     * even when nothing matches) and built a hash set per comparison; under
     * memory pressure its allocation rate collapsed into GC thrash.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String, shingleN: Int): DataFrame = {
+  /** @param maxDocFreq drop shingles appearing in more than this many
+    *   documents of a block before the self-join. A shingle shared by d
+    *   documents contributes d·(d-1)/2 join rows, so Zipf-hot shingles
+    *   ("of the", "in a") make a block quadratic in |block| even when no
+    *   document pair is actually similar; they also carry ~zero Jaccard
+    *   discrimination. The cap bounds any single shingle's contribution to
+    *   maxDocFreq²/2 rows regardless of corpus size. Sizes are recomputed
+    *   AFTER the filter, so the reported jaccard is the exact Jaccard over
+    *   the discriminative (sub-cap) shingle sets — n_common ≤ min(n_a, n_b)
+    *   always holds. Default keeps every shingle.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                   shingleN: Int, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // One narrow row per DISTINCT (doc, shingle). The input is spread by id
     // first so per-doc shingling parallelizes even from a single input
     // split; sizes are re-aggregated from the exploded frame (one extra
     // cheap agg) instead of carrying the array through the join.
     val nPart = df.sparkSession.sparkContext.defaultParallelism
-    val ex = df
+    val exAll = df
       .repartition(nPart, col(idCol))
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         explode(array_distinct(wordShingles(tokens(col(textCol)), shingleN))).as("s"))
+    // Document-frequency cap: a whole-partition count over (blk, s) — the
+    // same key the self-join shuffles on, so the exchange is reused.
+    val ex =
+      if (maxDocFreq == Int.MaxValue) exAll
+      else exAll
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("blk"), col("s"))))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a")
       .join(ex.as("b"),

@@ -61,6 +61,18 @@ object VectorSearch {
       .map(i => when(element_at(v, i + 1) >= 0f, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
 
+  /** Sign bucket over dimensions offset+1 .. offset+bits (1-based) — the
+    * "next `bits` sign bits" used to split an over-full bucket. Identical
+    * vectors agree on every dimension, so they agree on any refinement.
+    * Dimensions past the vector's length contribute a 0 bit (try_element_at
+    * returns null → otherwise branch), so short vectors still refine
+    * deterministically instead of erroring.
+    */
+  def signBucketAt(v: Column, offset: Int, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(try_element_at(v, lit(offset + i + 1)) >= 0f, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
   /** Brute-force cosine top-k: for every query row, the `k` nearest corpus
     * rows. Similarity is rounded to `roundDigits` before ranking (with the
     * corpus id as tiebreak) so the ordering is total and portable.
@@ -84,22 +96,45 @@ object VectorSearch {
     * sign bucket as the query — an equi-join instead of a cross join.
     * Same output shape as [[bruteForceTopK]]; queries whose bucket is empty
     * produce no rows (the recall trade).
+    *
+    * @param maxBucketSize skew guard: corpus buckets larger than this are
+    *   refined by `extraBits` additional sign bits, and a query probing a
+    *   hot bucket only compares against its own sub-bucket. Sign buckets
+    *   over correlated embeddings skew badly — one hot bucket turns the
+    *   candidate join quadratic at 100× data; the guard caps any (query ×
+    *   hot-bucket) fan-out to ~1/2^extraBits of the bucket. The sub-bucket
+    *   predicate rides the bucket equi-join as a residual condition, so
+    *   non-candidates are dropped inside the join, never materialized.
+    *   Default keeps the plain single-level join (no corpus shuffle).
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
-      k: Int, bits: Int, roundDigits: Int = 4
+      k: Int, bits: Int, roundDigits: Int = 4,
+      maxBucketSize: Int = Int.MaxValue, extraBits: Int = 6
   ): DataFrame = {
     val d = dotFn(queries.sparkSession)
     val q = broadcast(queries.select(
       col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"),
-      signBucket(col(qVecCol), bits).as("__bkt"))
+      signBucket(col(qVecCol), bits).as("__bkt"),
+      signBucketAt(col(qVecCol), bits, extraBits).as("__qsub"))
       .withColumn("__qn", sqrt(d(col("__qv"), col("__qv")))))
     val c = corpus.select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"),
-      signBucket(col(vecCol), bits).as("__bkt"))
+      signBucket(col(vecCol), bits).as("__bkt"),
+      signBucketAt(col(vecCol), bits, extraBits).as("__csub"))
       .withColumn("__cn", sqrt(d(col("__cv"), col("__cv"))))
-    rankTopK(q.join(c, "__bkt"), k, roundDigits, d)
+    val joined =
+      if (maxBucketSize == Int.MaxValue)
+        q.drop("__qsub").join(c.drop("__csub"), "__bkt")
+      else {
+        val cc = c.withColumn("__cnt",
+          count(lit(1)).over(Window.partitionBy(col("__bkt"))))
+        q.join(cc,
+          q("__bkt") === cc("__bkt") &&
+            (cc("__cnt") <= maxBucketSize || cc("__csub") === q("__qsub")))
+      }
+    rankTopK(joined, k, roundDigits, d)
   }
 
   /** Norms (`__qn`/`__cn`) are precomputed per ROW before the pair join —
@@ -294,16 +329,37 @@ object VectorSearch {
     * feasible at scale; identical vectors always land in the same bucket, so
     * exact duplicates are never missed.
     * Output: (id_a, id_b, sim) with id_a < id_b.
+    *
+    * @param maxBucketSize skew guard: the within-bucket self-join is Σ|b|²
+    *   pairs, so one hot sign bucket (correlated embeddings guarantee them)
+    *   is quadratic at scale. Buckets larger than the cap are split on
+    *   `extraBits` further sign bits before the join, bounding the hot
+    *   bucket's pair count to ~(|b|/2^extraBits)² per sub-bucket. Identical
+    *   vectors agree on every sign bit, so exact duplicates are still never
+    *   missed; near-dups differing in a refinement bit are the (documented)
+    *   recall trade. The refined key keeps the join a pure equi-join.
+    *   Default keeps every bucket whole (no count shuffle).
     */
   def nearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      bits: Int, threshold: Double, roundDigits: Int = 4
+      bits: Int, threshold: Double, roundDigits: Int = 4,
+      maxBucketSize: Int = Int.MaxValue, extraBits: Int = 6
   ): DataFrame = {
     val d = dotFn(df.sparkSession)
-    val side = df.select(
+    val keyed = df.select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      signBucket(col(vecCol), bits).as("bkt"))
+      signBucket(col(vecCol), bits).as("__b"),
+      signBucketAt(col(vecCol), bits, extraBits).as("__s"))
       .withColumn("nrm", sqrt(d(col("v"), col("v"))))
+    val side =
+      if (maxBucketSize == Int.MaxValue)
+        keyed.withColumn("bkt", col("__b").cast("string")).drop("__b", "__s")
+      else keyed
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__b"))))
+        .withColumn("bkt", concat(col("__b").cast("string"),
+          when(col("__cnt") > maxBucketSize,
+            concat(lit("/"), col("__s").cast("string"))).otherwise(lit(""))))
+        .drop("__b", "__s", "__cnt")
     val denom = col("a.nrm") * col("b.nrm")
     side.as("a")
       .join(side.as("b"), col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))

@@ -127,17 +127,25 @@ object ExtensionQueries {
     }
   )
 
-  // Dedup 4: exact n-gram Jaccard within a blocking group (same source)
+  // Dedup 4: exact n-gram Jaccard within a blocking group (same source),
+  // with the hot-shingle document-frequency cap (64) that bounds any single
+  // shingle's join contribution to 64²/2 pair rows — the guard that keeps
+  // Zipf-hot shingles from making a block quadratic at 100× data. The
+  // oracle mirrors the cap with the same windowed DF filter.
   private val q24 = Q(
     "q24_ngram_jaccard",
     (s, dir) =>
-      TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", shingleN = 2),
+      TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source",
+        shingleN = 2, maxDocFreq = 64),
     Some(s"""WITH $toksCte,
       shd AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] AS s
         FROM toks, UNNEST(range(1, len(w))) AS t(i)),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1),
+      shf AS (SELECT doc_id, source, s FROM (
+        SELECT shd.*, count(*) OVER (PARTITION BY source, s) AS df FROM shd)
+        WHERE df <= 64),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1),
       common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        FROM shd a JOIN shd b
+        FROM shf a JOIN shf b
         ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
@@ -183,9 +191,9 @@ object ExtensionQueries {
        (sqrt(list_sum(list_transform($a, x -> x * x))) *
         sqrt(list_sum(list_transform($b, x -> x * x))))"""
 
-  private def duckSignBucket(col: String, bits: Int): String =
+  private def duckSignBucket(col: String, bits: Int, offset: Int = 0): String =
     (0 until bits)
-      .map(i => s"(CASE WHEN $col[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .map(i => s"(CASE WHEN $col[${offset + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
 
   // Similarity search 1: brute-force cosine top-5 (queries = vec_id < 10)
@@ -213,14 +221,23 @@ object ExtensionQueries {
     (s, dir) => {
       val emb  = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val dups = emb.filter(col("vec_id") % 20 === 0).withColumn("vec_id", col("vec_id") + 100000L)
-      VectorSearch.nearDupPairs(emb.union(dups), "vec_id", "embedding", bits = 6, threshold = 0.999)
+      // maxBucketSize=64: hot sign buckets split on 6 further sign bits
+      // before the self-join (the skew guard that keeps Σ|bucket|² bounded
+      // at 100× data); the oracle mirrors the refinement
+      VectorSearch.nearDupPairs(emb.union(dups), "vec_id", "embedding",
+        bits = 6, threshold = 0.999, maxBucketSize = 64)
     },
     Some(s"""WITH corpus AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0),
-      side AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-        ${duckSignBucket("embedding", 6)} AS bkt FROM corpus),
+      keyed AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS b0,
+        ${duckSignBucket("embedding", 6, offset = 6)} AS s0 FROM corpus),
+      side AS (SELECT id, v,
+        b0::VARCHAR || (CASE WHEN count(*) OVER (PARTITION BY b0) > 64
+          THEN '/' || s0::VARCHAR ELSE '' END) AS bkt
+        FROM keyed),
       scored AS (SELECT a.id AS id_a, b.id AS id_b,
         round(${duckCos("a.v", "b.v")}, 4) AS sim
         FROM side a JOIN side b ON a.bkt = b.bkt AND a.id < b.id)
@@ -233,16 +250,25 @@ object ExtensionQueries {
     "q28_ann_lsh",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // maxBucketSize=64: a query probing a hot corpus bucket only compares
+      // its own 6-bit sub-bucket (residual predicate on the equi-join);
+      // the oracle mirrors the refinement
       VectorSearch.lshTopK(
         emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
-        "vec_id", "embedding", "vec_id", "embedding", k = 3, bits = 6)
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, bits = 6,
+        maxBucketSize = 64)
     },
     Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v,
-        ${duckSignBucket("embedding", 6)} AS bkt FROM embeddings WHERE vec_id < 10),
-      c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-        ${duckSignBucket("embedding", 6)} AS bkt FROM embeddings WHERE vec_id >= 10),
+        ${duckSignBucket("embedding", 6)} AS bkt,
+        ${duckSignBucket("embedding", 6, offset = 6)} AS sub
+        FROM embeddings WHERE vec_id < 10),
+      c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS bkt,
+        ${duckSignBucket("embedding", 6, offset = 6)} AS sub
+        FROM embeddings WHERE vec_id >= 10),
+      c AS (SELECT c0.*, count(*) OVER (PARTITION BY bkt) AS cnt FROM c0),
       scored AS (SELECT qid, id, round(${duckCos("q.v", "c.v")}, 4) AS sim
-        FROM q JOIN c ON q.bkt = c.bkt)
+        FROM q JOIN c ON q.bkt = c.bkt AND (c.cnt <= 64 OR c.sub = q.sub))
       SELECT qid, id, sim,
         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
       FROM scored QUALIFY rnk <= 3""")
@@ -443,14 +469,17 @@ object ExtensionQueries {
   )
 
   // Sketch reach: built-in HLL and our KMV TypedImperativeAggregate beside
-  // the exact count. Sketch estimates are implementation-specific →
-  // rows-only check (no oracle), by design.
+  // the exact count. Raw estimates are engine-specific (DuckDB's sketch ≠
+  // Spark's), so the oracle-checked outputs are the exact count plus
+  // booleans asserting each estimate sits inside its guaranteed error
+  // envelope. Both HLL++ and KMV merge order-independently (register max /
+  // k-min over a set), so the booleans are deterministic — the oracle
+  // states them as literal TRUE.
   private val q36 = Q(
     "q36_hll_reach",
     (s, dir) => {
       // KMV sketch when the graft extensions are on the session; HLL
-      // stand-in otherwise so the query runs on any session (rows-only
-      // check — estimator values are implementation-specific either way)
+      // stand-in otherwise so the query runs on any session
       val kmv =
         if (graft.functions.GraftFunctions.installed(s))
           graft.functions.GraftFunctions.kmvDistinct(col("user_id"), 256)
@@ -458,12 +487,21 @@ object ExtensionQueries {
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           kmv.as("kmv_users"),
           countDistinct(col("user_id")).as("exact_users")
         )
+        .select(
+          col("day"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.1).as("hll_within_10pct"),
+          (abs(col("kmv_users") - col("exact_users")) <=
+            col("exact_users") * 0.25).as("kmv_within_25pct"))
     },
-    None
+    Some("""SELECT CAST(ts AS DATE) AS day,
+      count(DISTINCT user_id) AS exact_users,
+      TRUE AS hll_within_10pct, TRUE AS kmv_within_25pct
+      FROM events GROUP BY 1""")
   )
 
   // Set operations: INTERSECT / EXCEPT over user cohorts

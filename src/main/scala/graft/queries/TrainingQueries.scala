@@ -315,7 +315,9 @@ object TrainingQueries {
   // check by design (like q36): sketch counts depend on the partial-merge
   // tree, which is scheduler-order-specific; the MG *guarantee* (every
   // token above N/(m+1) retained, undercount ≤ N/(m+1)) is property-tested
-  // in PurePropertiesSpec instead.
+  // in PurePropertiesSpec instead. The sketch map is serialized to a
+  // canonically key-sorted JSON string so the harness can sort/hash the
+  // column (a raw map column is unsortable driver-side).
   private val q54 = Q(
     "q54_freq_tokens",
     (s, dir) => {
@@ -329,7 +331,9 @@ object TrainingQueries {
         // map<void,void> — unwritable and schema-divergent)
         else map_from_arrays(array().cast("array<string>"), array().cast("array<bigint>"))
       toks.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_tokens"), sketch.as("top_tokens"))
+        .agg(count(lit(1)).as("n_tokens"), sketch.as("sketch"))
+        .select(col("lang"), col("n_tokens"),
+          to_json(array_sort(map_entries(col("sketch")))).as("top_tokens"))
     },
     None
   )

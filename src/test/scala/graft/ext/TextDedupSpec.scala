@@ -64,6 +64,27 @@ class TextDedupSpec extends SparkFunSuite {
     assert(got == expected)
   }
 
+  test("jaccardPairs maxDocFreq drops hot shingles but keeps discriminative ones") {
+    // stop-word-heavy corpus: every doc shares the hot bigram "of the";
+    // docs 1/2 also share the discriminative "alpha beta".
+    val corpus = (1L to 20L).map { id =>
+      val rare = if (id <= 2) "alpha beta " else s"uniq$id tok$id "
+      (id, rare + "of the", "b")
+    }
+    val df = corpus.toDF("id", "text", "blk")
+    val unguarded = TextDedup.jaccardPairs(df, "id", "text", "blk", 2)
+    val guarded   = TextDedup.jaccardPairs(df, "id", "text", "blk", 2, maxDocFreq = 5)
+    // hot shingle ("of the", df=20 > 5) joins every pair unguarded: 190 pairs
+    assert(unguarded.count() == 190L)
+    // guarded: only the discriminative pair (1,2) survives, and its jaccard
+    // is exact over the SUB-CAP shingle sets (sizes recomputed post-filter)
+    val g = guarded.collect()
+    assert(g.length == 1)
+    val r = g.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getDouble(5) == 1.0) // both docs' sub-cap sets are exactly {"alpha beta", "beta of"}
+  }
+
   test("simhash32: identical text → distance 0; different text → > 0") {
     val sh = TextDedup.simhash32(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

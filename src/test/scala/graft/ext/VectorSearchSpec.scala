@@ -51,4 +51,47 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(hits.contains(2L))   // same bucket, found
     assert(!hits.contains(4L))  // negative first component → different bucket
   }
+
+  // Adversarially skewed corpus: every vector has positive first 2 dims, so
+  // with bits=2 ALL of them land in one sign bucket. Dims 3-8 alternate sign
+  // by id, so the 6-bit refinement splits the hot bucket.
+  private lazy val skewed = {
+    val rows = (0 until 64).map { i =>
+      val tail = (0 until 6).map(b => if (((i >> b) & 1) == 1) 1f else -1f)
+      (i.toLong, (Array(1f, 1f) ++ tail))
+    }
+    rows.toDF("id", "embedding")
+  }
+
+  test("nearDupPairs bucket guard splits a hot bucket but keeps exact dups") {
+    val planted = skewed.union(Seq((999L, Array(1f, 1f, 1f, -1f, -1f, -1f, -1f, -1f)))
+      .toDF("id", "embedding")) // exact sign-pattern twin of id=1
+    val unguarded = VectorSearch.nearDupPairs(planted, "id", "embedding",
+      bits = 2, threshold = -1.0)
+    val guarded = VectorSearch.nearDupPairs(planted, "id", "embedding",
+      bits = 2, threshold = -1.0, maxBucketSize = 8, extraBits = 6)
+    val nUnguarded = unguarded.count()
+    val nGuarded = guarded.count()
+    // 65 vectors in one bucket → 65*64/2 = 2080 pairs unguarded; the 6-bit
+    // refinement puts ≤2 vectors per sub-bucket → ≤65 pairs.
+    assert(nUnguarded == 2080L)
+    assert(nGuarded < nUnguarded / 10)
+    // the sign-identical planted twin is never lost by refinement
+    val g = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g.contains((1L, 999L)))
+  }
+
+  test("lshTopK bucket guard restricts a hot bucket to the query's sub-bucket") {
+    val q = skewed.filter($"id" === 1L)
+    val c = skewed.filter($"id" =!= 1L)
+    val guarded = VectorSearch.lshTopK(q, c, "id", "embedding", "id", "embedding",
+      k = 100, bits = 2, maxBucketSize = 8, extraBits = 6)
+    // only the query's own 6-bit sub-bucket survives the residual predicate:
+    // id=1's refinement bits are unique among ids 0..63 → zero candidates
+    assert(guarded.count() == 0L)
+    // small buckets are untouched: guard with a cap nothing exceeds
+    val loose = VectorSearch.lshTopK(q, c, "id", "embedding", "id", "embedding",
+      k = 100, bits = 2, maxBucketSize = 1000, extraBits = 6)
+    assert(loose.count() == 63L)
+  }
 }
