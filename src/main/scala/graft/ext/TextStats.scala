@@ -104,9 +104,12 @@ object TextStats {
     val tf = ex.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
     val n  = df.agg(count(lit(1)).as("__n"))
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
-    // positive-int floor division, exact while the product stays < 2^53
-    // (tf ≤ doc length, N the corpus size: fine into the billions of docs)
-    val score = floor((col("tf") * 10000L * col("__n")) / col("df_docs")).cast("long")
+    // TRUE integral division (SQL `div`), not floor(double-/): a double
+    // quotient can round up across an integer boundary once tf*10000*N is
+    // large, silently diverging from an engine that computes the exact
+    // floor quotient (DuckDB's `//`). `div` keeps both engines on the same
+    // integer arithmetic for any product < 2^63.
+    val score = expr("(tf * 10000L * __n) div df_docs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tfidf_bp").desc, col("token"))
     tf.withColumn("df_docs", count(lit(1)).over(wTok))

@@ -234,8 +234,11 @@ object StreamPipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val tag   = s"batch-$batchId"
-        // replayed batch (restart between commit and checkpoint) → no-op
-        if (!graft.table.SnapshotLog.latestTag(spark, targetPath).contains(tag)) {
+        // replayed batch (restart between commit and checkpoint) → no-op.
+        // Scans ALL retained tags, not just the latest: a compaction commit
+        // landing inside that window would otherwise mask the batch's tag
+        // and let the replay re-merge as a spurious extra version.
+        if (!graft.table.SnapshotLog.tags(spark, targetPath).contains(tag)) {
           batch.persist()
           try {
             if (!batch.isEmpty) {
@@ -295,7 +298,7 @@ object StreamPipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val tag   = s"batch-$batchId"
-        if (!graft.table.SnapshotLog.latestTag(spark, targetPath).contains(tag) &&
+        if (!graft.table.SnapshotLog.tags(spark, targetPath).contains(tag) &&
             !batch.isEmpty) {
           val latest = LatestWins.latestRow(batch, key, tsCol, Nil)
           val resolved = graft.table.SnapshotLog.latestVersion(spark, targetPath) match {

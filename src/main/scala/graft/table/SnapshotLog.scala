@@ -69,6 +69,15 @@ object SnapshotLog {
   def latestTag(spark: SparkSession, path: String): Option[String] =
     latestVersion(spark, path).flatMap(v => readManifest(spark, path, v).tag)
 
+  /** Tags of ALL retained manifests. Replay-idempotence checks must scan
+    * this, not [[latestTag]]: a maintenance commit (compaction tags
+    * `compact-vN`) can land between a batch's commit and the checkpoint
+    * offset write, so on crash-replay the batch's tag is no longer the
+    * latest one — but it is still present in the log.
+    */
+  def tags(spark: SparkSession, path: String): Set[String] =
+    versions(spark, path).flatMap(v => readManifest(spark, path, v).tag).toSet
+
   /** Commit `df` as a full replacement of the table state. */
   def commitReplace(df: DataFrame, path: String, tag: Option[String] = None): Int =
     commit(df, path, "replace", tag)
@@ -79,7 +88,14 @@ object SnapshotLog {
   def commitAppend(df: DataFrame, path: String, tag: Option[String] = None): Int =
     commit(df, path, "append", tag)
 
+  private val TagPattern = "[A-Za-z0-9._-]+".r
+
   private def commit(df: DataFrame, path: String, op: String, tag: Option[String]): Int = {
+    // the manifest is interpolated JSON parsed by regex: an unescaped
+    // quote/backslash/']' in a tag would corrupt it silently, so the public
+    // tag parameter is restricted to a safe charset instead of escaped
+    tag.foreach(t => require(TagPattern.matches(t),
+      s"tag must match [A-Za-z0-9._-]+, got: '$t'"))
     val spark = df.sparkSession
     val f     = fs(spark, path)
     val seg   = s"$DataDir/seg-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -95,13 +111,29 @@ object SnapshotLog {
       val body =
         s"""{"version":$v,"committedAtMs":${System.currentTimeMillis()},"op":"$op"$tagField,"segments":[${(prev :+ seg).map(s => "\"" + s + "\"").mkString(",")}]}"""
       // create-exclusive IS the atomic publish: exactly one committer can
-      // create vN.json; anyone else lands in the catch and retries on vN+1
+      // create vN.json; anyone else lands in the catch and retries on vN+1.
+      // ONLY already-exists retries — a create that succeeded but whose
+      // write/close failed (disk full, interrupt) must not be mistaken for
+      // a lost race: that would leave a truncated vN.json that readers spin
+      // on forever. Such partial manifests are deleted and the error
+      // propagates.
+      val manifestPath = new Path(path, s"$LogDir/${manifestName(v)}")
+      var created = false
       try {
-        val out = f.create(new Path(path, s"$LogDir/${manifestName(v)}"), false)
+        val out = f.create(manifestPath, false)
+        created = true
         out.write(body.getBytes("UTF-8")); out.close()
         return v
       } catch {
-        case _: java.io.IOException => // version claimed by a racer; retry
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException if !created =>
+          // version claimed by a racer; retry against the winner's version
+        case e: java.io.FileNotFoundException if !created =>
+          throw e // log dir vanished — not a race
+        case e: java.io.IOException =>
+          if (created) { try f.delete(manifestPath, false) catch { case _: java.io.IOException => () } }
+          if (created) throw e
+          // some local filesystems surface the exists-race as a plain
+          // IOException from create(); retry only in that (pre-create) case
       }
     }
     throw new IllegalStateException(s"snapshot commit lost the race $attempts times: $path")

@@ -58,6 +58,25 @@ class SnapshotLogSpec extends SparkFunSuite {
     intercept[Exception](SnapshotLog.read(spark, path, Some(1)).count())
   }
 
+  test("tags scans every retained manifest, not just the latest") {
+    val path = tmp()
+    SnapshotLog.commitReplace(Seq((1, "a")).toDF("id", "v"), path, Some("batch-0"))
+    SnapshotLog.compactLatest(spark, path) // tags "compact-v1", now the latest
+    assert(SnapshotLog.latestTag(spark, path).contains("compact-v1"))
+    assert(SnapshotLog.tags(spark, path) == Set("batch-0", "compact-v1"))
+  }
+
+  test("commit rejects tags outside the manifest-safe charset") {
+    val path = tmp()
+    val df = Seq((1, "a")).toDF("id", "v")
+    intercept[IllegalArgumentException](SnapshotLog.commitReplace(df, path, Some("""bad"tag""")))
+    intercept[IllegalArgumentException](SnapshotLog.commitReplace(df, path, Some("bad]tag")))
+    intercept[IllegalArgumentException](SnapshotLog.commitReplace(df, path, Some("")))
+    // the log is untouched by the rejected commits
+    assert(SnapshotLog.versions(spark, path).isEmpty)
+    assert(SnapshotLog.commitReplace(df, path, Some("ok.tag-1_x")) == 1)
+  }
+
   test("concurrent committers both land, versions stay distinct") {
     val path = tmp()
     SnapshotLog.commitReplace(Seq((0, "z")).toDF("id", "v"), path)
