@@ -22,6 +22,81 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamPipelines {
 
+  /** S1-S3 — the Kafka ingest option surface (reference
+    * streaming_job.py:190-196, stream_content.py:93-98,
+    * stream_dims.py:162-185): bootstrap servers, subscribed topic, starting
+    * offsets (`earliest` for replayable pipelines, `latest` for tail-only,
+    * or a per-partition JSON offset map), and the per-trigger rate limit
+    * (T5 — `maxOffsetsPerTrigger` bounds a micro-batch so recovery after
+    * downtime doesn't produce one giant batch). Pure map → unit-testable
+    * without a broker.
+    */
+  def kafkaOptions(
+      brokers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true
+  ): Map[String, String] = {
+    require(brokers.nonEmpty && topic.nonEmpty, "brokers and topic are required")
+    require(
+      startingOffsets == "earliest" || startingOffsets == "latest" ||
+        startingOffsets.trim.startsWith("{"),
+      s"startingOffsets must be 'earliest', 'latest', or a JSON offset map; got '$startingOffsets'")
+    maxOffsetsPerTrigger.foreach(n => require(n > 0, s"maxOffsetsPerTrigger must be > 0, got $n"))
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe"               -> topic,
+      "startingOffsets"         -> startingOffsets,
+      "failOnDataLoss"          -> failOnDataLoss.toString
+    ) ++ maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+  }
+
+  /** The `format("kafka")` reader carrying [[kafkaOptions]] — the entry
+    * point a user with a real cluster calls; `.load()` yields the standard
+    * wire frame (key, value, topic, partition, offset, timestamp) that
+    * [[parseJsonEnvelope]] consumes. This sandbox ships no Kafka connector
+    * or broker, so tests exercise the option plumbing and keep the
+    * file/MemoryStream twin (identical wire shape) as the executable path.
+    */
+  def kafkaReader(
+      spark: SparkSession,
+      brokers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true
+  ): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format("kafka")
+      .options(kafkaOptions(brokers, topic, startingOffsets, maxOffsetsPerTrigger, failOnDataLoss))
+
+  /** [[kafkaReader]].load(): the raw Kafka envelope frame (S1 earliest /
+    * S2 latest by `startingOffsets`). Requires the spark-sql-kafka
+    * connector on the classpath.
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      brokers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None
+  ): DataFrame =
+    kafkaReader(spark, brokers, topic, startingOffsets, maxOffsetsPerTrigger).load()
+
+  /** S3 — a CDC topic source: Kafka envelope → typed columns in one call
+    * (reference stream_dims.py:162-170's read+from_json+select chain).
+    */
+  def kafkaJsonSource(
+      spark: SparkSession,
+      brokers: String,
+      topic: String,
+      schema: StructType,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None
+  ): DataFrame =
+    parseJsonEnvelope(
+      kafkaSource(spark, brokers, topic, startingOffsets, maxOffsetsPerTrigger), schema)
+
   /** P1/P2 envelope parse: a raw `value` string column (Kafka-shaped) into
     * typed columns via an explicit schema — no inference, PERMISSIVE nulls
     * (reference streaming_job.py:200-202).

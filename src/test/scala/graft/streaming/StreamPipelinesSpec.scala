@@ -20,6 +20,35 @@ class StreamPipelinesSpec extends SparkFunSuite {
   private def tmpDir(tag: String): String =
     Files.createTempDirectory(s"graft-$tag").toString
 
+  test("kafkaOptions builds the reference's exact option surface") {
+    val opts = StreamPipelines.kafkaOptions(
+      "kafka:29092", "orders", "earliest", Some(5000L))
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "kafka:29092",
+      "subscribe"               -> "orders",
+      "startingOffsets"         -> "earliest",
+      "failOnDataLoss"          -> "true",
+      "maxOffsetsPerTrigger"    -> "5000"))
+    // tail-only (S2) drops the rate limit when unset
+    val tail = StreamPipelines.kafkaOptions("kafka:29092", "content_events", "latest")
+    assert(tail("startingOffsets") == "latest" && !tail.contains("maxOffsetsPerTrigger"))
+    // per-partition JSON offsets accepted; junk rejected
+    StreamPipelines.kafkaOptions("b", "t", """{"t":{"0":23}}""")
+    intercept[IllegalArgumentException](StreamPipelines.kafkaOptions("b", "t", "oldest"))
+    intercept[IllegalArgumentException](StreamPipelines.kafkaOptions("", "t"))
+    intercept[IllegalArgumentException](StreamPipelines.kafkaOptions("b", "t", "earliest", Some(0L)))
+  }
+
+  test("kafkaSource wires format(\"kafka\"): load fails by MISSING CONNECTOR, not wiring") {
+    // the sandbox ships no spark-sql-kafka jar — the precise failure mode
+    // proves the reader is bound to the kafka data source (a wiring bug
+    // would fail differently or not at all)
+    val e = intercept[Exception](
+      StreamPipelines.kafkaSource(spark, "kafka:29092", "orders", "earliest", Some(5000L)))
+    assert(e.getMessage.toLowerCase.contains("kafka"))
+    assert(e.getMessage.contains("Failed to find") || e.getMessage.contains("DATA_SOURCE_NOT_FOUND"))
+  }
+
   test("minuteMetrics: append mode emits closed windows once, drops late rows") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
