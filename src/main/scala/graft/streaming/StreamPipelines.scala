@@ -319,13 +319,21 @@ object StreamPipelines {
             if (!batch.isEmpty) {
               val reduced = LatestWins.latestState(
                 batch, key, orderCol, tieBreak, denseCols, sparseCols, maxOrderAlias = "last_seen")
-              val merged = graft.table.SnapshotLog.latestVersion(spark, targetPath) match {
+              // merge-on-read (reference streaming_job.py:55-60): after the
+              // first base version, each micro-batch commits ONLY its own
+              // reduced rows as a delta segment — O(batch) write cost, not
+              // O(table); SnapshotLog.read folds latest-wins by
+              // (last_seen, batch) with the sparse-column coalesce carry,
+              // and compactLatest folds deltas back into a base.
+              graft.table.SnapshotLog.latestVersion(spark, targetPath) match {
                 case Some(_) =>
-                  LatestWins.merge(graft.table.SnapshotLog.read(spark, targetPath),
-                    reduced, key, coalesceCols = sparseCols)
-                case None => reduced
+                  graft.table.SnapshotLog.commitDelta(reduced, targetPath,
+                    graft.table.SnapshotLog.MergeSpec(
+                      key, carryCols = sparseCols, orderCol = Some("last_seen")),
+                    Some(tag))
+                case None =>
+                  graft.table.SnapshotLog.commitReplace(reduced, targetPath, Some(tag))
               }
-              graft.table.SnapshotLog.commitReplace(merged, targetPath, Some(tag))
               ()
             }
           } finally { batch.unpersist(); () }
@@ -376,16 +384,23 @@ object StreamPipelines {
         if (!graft.table.SnapshotLog.tags(spark, targetPath).contains(tag) &&
             !batch.isEmpty) {
           val latest = LatestWins.latestRow(batch, key, tsCol, Nil)
-          val resolved = graft.table.SnapshotLog.latestVersion(spark, targetPath) match {
+          // merge-on-read CDC apply (reference stream_dims.py:26-29): after
+          // the base snapshot, each batch commits only its own envelopes
+          // with a delete marker; the read-time fold ranks by (ts, batch)
+          // so a stale delete never beats a newer upsert — the same
+          // ts-ordered semantics applyCdcBatch implements copy-on-write.
+          graft.table.SnapshotLog.latestVersion(spark, targetPath) match {
             case Some(_) =>
-              val target = graft.table.SnapshotLog.read(spark, targetPath)
-                .withColumn("op", lit("u")).withColumn("__prec", lit(0))
-              val combined = target.unionByName(latest.withColumn("__prec", lit(1)))
-              LatestWins.latestRow(combined, key, tsCol, Seq("__prec")).drop("__prec")
-            case None => latest
+              graft.table.SnapshotLog.commitDelta(
+                latest.withColumn("is_delete", col("op") === "d").drop("op"),
+                targetPath,
+                graft.table.SnapshotLog.MergeSpec(
+                  key, deleteCol = Some("is_delete"), orderCol = Some(tsCol)),
+                Some(tag))
+            case None =>
+              graft.table.SnapshotLog.commitReplace(
+                latest.filter(col("op") =!= "d").drop("op"), targetPath, Some(tag))
           }
-          graft.table.SnapshotLog.commitReplace(
-            resolved.filter(col("op") =!= "d").drop("op"), targetPath, Some(tag))
           ()
         }
       }

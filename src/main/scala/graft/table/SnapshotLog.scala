@@ -39,8 +39,26 @@ object SnapshotLog {
   private val LogDir  = "_log"
   private val DataDir = "data"
 
+  /** Merge-on-read spec recorded in a delta manifest: how readers fold the
+    * segment list back into table state.
+    *   - `key`: the merge key.
+    *   - `carryCols`: sparse columns — the fold takes the newest NON-NULL
+    *     value per key (the MERGE coalesce carry); all other columns come
+    *     from the newest row outright.
+    *   - `deleteCol`: optional boolean column marking delete rows; a key
+    *     whose newest row is a delete disappears, and values from before
+    *     the delete never carry into a later re-insert.
+    *   - `orderCol`: optional event-order column; the fold ranks rows by
+    *     (orderCol, segment position) so a stale row in a later batch does
+    *     not beat newer state (ts-ordered CDC apply). Without it, segment
+    *     position alone orders (batch-ordered upsert).
+    */
+  final case class MergeSpec(key: Seq[String], carryCols: Seq[String] = Nil,
+                             deleteCol: Option[String] = None, orderCol: Option[String] = None)
+
   private final case class Manifest(op: String, segments: Seq[String],
-                                    committedAtMs: Long, tag: Option[String])
+                                    committedAtMs: Long, tag: Option[String],
+                                    merge: Option[MergeSpec] = None)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,9 +106,35 @@ object SnapshotLog {
   def commitAppend(df: DataFrame, path: String, tag: Option[String] = None): Int =
     commit(df, path, "append", tag)
 
-  private val TagPattern = "[A-Za-z0-9._-]+".r
+  /** Merge-on-read commit (the reference's `write.merge.mode=merge-on-read`
+    * choice for gold/dims — streaming_job.py:55-60, stream_dims.py:26-29;
+    * rationale design_doc/PipelineArchitecture.md:235-238): write ONLY this
+    * batch's rows as a new delta segment and record `spec` in the manifest;
+    * [[read]] folds deltas over the base at scan time. A commit's write
+    * cost is O(batch), not O(table) — the difference copy-on-write exists
+    * to avoid at scale, where CoW rewrites the whole gold table every
+    * micro-batch. [[compactLatest]] folds the accumulated deltas back into
+    * a plain base version.
+    *
+    * Precondition: each delta segment holds at most one row per key
+    * (reduce the batch first — [[graft.ops.LatestWins.latestState]]).
+    */
+  def commitDelta(df: DataFrame, path: String, spec: MergeSpec,
+                  tag: Option[String] = None): Int = {
+    require(spec.key.nonEmpty, "commitDelta: merge key required")
+    (spec.key ++ spec.carryCols ++ spec.deleteCol ++ spec.orderCol).foreach(c =>
+      require(ColPattern.matches(c), s"column name must match [A-Za-z0-9_]+, got: '$c'"))
+    val reserved = Seq("__seq", "__mor_ord", "__mor_del", "__mor_lastdel", "__mor_rn")
+    require(!df.columns.exists(reserved.contains),
+      s"commitDelta: input must not use reserved columns ${reserved.mkString(", ")}")
+    commit(df, path, "delta", tag, Some(spec))
+  }
 
-  private def commit(df: DataFrame, path: String, op: String, tag: Option[String]): Int = {
+  private val TagPattern = "[A-Za-z0-9._-]+".r
+  private val ColPattern = "[A-Za-z0-9_]+".r
+
+  private def commit(df: DataFrame, path: String, op: String, tag: Option[String],
+                     merge: Option[MergeSpec] = None): Int = {
     // the manifest is interpolated JSON parsed by regex: an unescaped
     // quote/backslash/']' in a tag would corrupt it silently, so the public
     // tag parameter is restricted to a safe charset instead of escaped
@@ -105,11 +149,20 @@ object SnapshotLog {
     while (attempts < 20) {
       attempts += 1
       val base = latestVersion(spark, path)
-      val prev = if (op == "append") base.map(readManifest(spark, path, _).segments).getOrElse(Nil) else Nil
+      val prev =
+        if (op == "append" || op == "delta")
+          base.map(readManifest(spark, path, _).segments).getOrElse(Nil)
+        else Nil
       val v    = base.getOrElse(0) + 1
       val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
+      def strArr(xs: Seq[String]) = xs.map(s => "\"" + s + "\"").mkString(",")
+      val mergeField = merge.map { m =>
+        s""","mergeKey":[${strArr(m.key)}],"carryCols":[${strArr(m.carryCols)}]""" +
+          m.deleteCol.map(c => s""","deleteCol":"$c"""").getOrElse("") +
+          m.orderCol.map(c => s""","orderCol":"$c"""").getOrElse("")
+      }.getOrElse("")
       val body =
-        s"""{"version":$v,"committedAtMs":${System.currentTimeMillis()},"op":"$op"$tagField,"segments":[${(prev :+ seg).map(s => "\"" + s + "\"").mkString(",")}]}"""
+        s"""{"version":$v,"committedAtMs":${System.currentTimeMillis()},"op":"$op"$tagField$mergeField,"segments":[${strArr(prev :+ seg)}]}"""
       // create-exclusive IS the atomic publish: exactly one committer can
       // create vN.json; anyone else lands in the catch and retries on vN+1.
       // ONLY already-exists retries — a create that succeeded but whose
@@ -154,9 +207,17 @@ object SnapshotLog {
         val op   = "\"op\":\"([a-z]+)\"".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("replace")
         val ts   = "\"committedAtMs\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(0L)
         val tag  = "\"tag\":\"([^\"]*)\"".r.findFirstMatchIn(body).map(_.group(1))
-        val segs = "\"segments\":\\[([^\\]]*)\\]".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
-          .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-        return Manifest(op, segs, ts, tag)
+        def arr(field: String): Seq[String] =
+          s""""$field":\\[([^\\]]*)\\]""".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+            .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        val segs = arr("segments")
+        val merge =
+          if (op == "delta") Some(MergeSpec(
+            arr("mergeKey"), arr("carryCols"),
+            "\"deleteCol\":\"([^\"]*)\"".r.findFirstMatchIn(body).map(_.group(1)),
+            "\"orderCol\":\"([^\"]*)\"".r.findFirstMatchIn(body).map(_.group(1))))
+          else None
+        return Manifest(op, segs, ts, tag, merge)
       }
       if (attempts >= 20)
         throw new IllegalStateException(s"manifest $p unreadable after $attempts attempts")
@@ -165,11 +226,55 @@ object SnapshotLog {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Read the table at `version` (time travel), or at the latest version. */
+  /** Read the table at `version` (time travel), or at the latest version.
+    * A merge-on-read version folds its delta segments over the base at
+    * scan time (see [[commitDelta]]); readers always see merged state.
+    */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
-    spark.read.parquet(readManifest(spark, path, v).segments.map(s => s"$path/$s"): _*)
+    val m = readManifest(spark, path, v)
+    m.merge match {
+      case None       => spark.read.parquet(m.segments.map(s => s"$path/$s"): _*)
+      case Some(spec) => foldDeltas(spark, path, m.segments, spec)
+    }
+  }
+
+  /** The merge-on-read fold: one hash shuffle on the merge key, then
+    * windowed latest-wins. Rows rank by (orderCol, segment position) so a
+    * later segment wins ties and, with an orderCol, stale late arrivals
+    * lose to newer state. Delete-marked rows cut history: nothing at or
+    * before a key's newest delete survives or carries forward. Carry
+    * columns take the newest non-null value (MERGE coalesce); everything
+    * else comes from the newest surviving row.
+    *
+    * Scale: the fold is exactly the read-side cost merge-on-read trades
+    * for O(batch) commits — bounded by segment count between compactions,
+    * which [[compactLatest]] resets by folding into a plain base.
+    */
+  private def foldDeltas(spark: SparkSession, path: String,
+                         segments: Seq[String], spec: MergeSpec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val parts = segments.zipWithIndex.map { case (s, i) =>
+      spark.read.parquet(s"$path/$s").withColumn("__seq", lit(i))
+    }
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val keyCols = spec.key.map(col)
+    val ord  = struct(spec.orderCol.map(col).getOrElse(lit(0)).as("o"), col("__seq").as("s"))
+    val del  = spec.deleteCol.map(c => coalesce(col(c).cast("boolean"), lit(false))).getOrElse(lit(false))
+    val wAll  = Window.partitionBy(keyCols: _*)
+    val wDesc = Window.partitionBy(keyCols: _*).orderBy(col("__mor_ord").desc)
+    val wFull = wDesc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cut = all
+      .withColumn("__mor_ord", ord)
+      .withColumn("__mor_lastdel", max(when(del, col("__mor_ord"))).over(wAll))
+      .filter(col("__mor_lastdel").isNull || col("__mor_ord") > col("__mor_lastdel"))
+    val carried = spec.carryCols.foldLeft(cut.withColumn("__mor_rn", row_number().over(wDesc))) {
+      (d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(wFull))
+    }
+    val internal = Seq("__seq", "__mor_ord", "__mor_lastdel", "__mor_rn") ++ spec.deleteCol
+    carried.filter(col("__mor_rn") === 1).drop(internal: _*)
   }
 
   /** The `$snapshots` metadata view: (version, committed_at_ms, op,

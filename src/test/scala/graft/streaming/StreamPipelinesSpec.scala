@@ -275,10 +275,16 @@ class StreamPipelinesSpec extends SparkFunSuite {
       val v2 = SnapshotLog.read(spark, s"$dir/gold", Some(2)).collect()
         .map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
       assert(v2 == Map("u1" -> ("paid", 10.0), "u2" -> ("created", 20.0)))
-      // retention: keep only the newest snapshot, old segment GC'd
-      // (orphanOlderThanMs=0 so the just-written segment is sweepable)
+      // merge-on-read: batch 2 committed ONLY a delta segment, so v2's
+      // manifest still references v1's base — expiring v1 GCs nothing
       val (expired, deleted) = SnapshotLog.expireSnapshots(spark, s"$dir/gold", 1, orphanOlderThanMs = 0L)
-      assert(expired == Seq(1) && deleted.nonEmpty)
+      assert(expired == Seq(1) && deleted.isEmpty)
+      assert(SnapshotLog.read(spark, s"$dir/gold").count() == 2)
+      // compaction folds base+delta into a fresh base; expiring the delta
+      // version then releases BOTH old segments
+      SnapshotLog.compactLatest(spark, s"$dir/gold")
+      val (expired2, deleted2) = SnapshotLog.expireSnapshots(spark, s"$dir/gold", 1, orphanOlderThanMs = 0L)
+      assert(expired2 == Seq(2) && deleted2.size == 2)
       assert(SnapshotLog.read(spark, s"$dir/gold").count() == 2)
     } finally q.stop()
   }

@@ -58,6 +58,78 @@ class SnapshotLogSpec extends SparkFunSuite {
     intercept[Exception](SnapshotLog.read(spark, path, Some(1)).count())
   }
 
+  test("commitDelta: read folds latest-wins with carry, deletes cut history, time travel works") {
+    val path = tmp()
+    // base: two users
+    SnapshotLog.commitReplace(
+      Seq(("u1", 1L, "created", Some(10.0), false), ("u2", 2L, "created", Some(20.0), false))
+        .toDF("id", "ts", "status", "amount", "del"), path)
+    val spec = SnapshotLog.MergeSpec(Seq("id"), carryCols = Seq("amount"),
+      deleteCol = Some("del"), orderCol = Some("ts"))
+    // delta 1: u1 pays (sparse amount null → carried), u2 deleted at ts=5
+    SnapshotLog.commitDelta(
+      Seq(("u1", 3L, "paid", None: Option[Double], false), ("u2", 5L, null, None: Option[Double], true))
+        .toDF("id", "ts", "status", "amount", "del"), path, spec)
+    val v2 = SnapshotLog.read(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2), Option(r.get(3)))).toMap
+    assert(v2 == Map("u1" -> ((3L, "paid", Some(10.0)))))
+    // delta 2: stale delete (ts=0) must NOT beat u1's newer state;
+    // u2 re-inserted AFTER its delete — pre-delete amount must not carry
+    SnapshotLog.commitDelta(
+      Seq(("u1", 0L, null, None: Option[Double], true), ("u2", 7L, "created", None: Option[Double], false))
+        .toDF("id", "ts", "status", "amount", "del"), path, spec)
+    val v3 = SnapshotLog.read(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2), Option(r.get(3)))).toMap
+    assert(v3 == Map(
+      "u1" -> ((3L, "paid", Some(10.0))),
+      "u2" -> ((7L, "created", None)))) // 20.0 from before the delete does not resurrect
+    // time travel folds each version's own segment list
+    assert(SnapshotLog.read(spark, path, Some(1)).count() == 2)
+    assert(SnapshotLog.read(spark, path, Some(2)).collect().map(_.getString(0)).toSeq == Seq("u1"))
+    // compaction folds the deltas into a plain base version with same data
+    val cv = SnapshotLog.compactLatest(spark, path)
+    assert(cv == 4)
+    val v4 = SnapshotLog.read(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2), Option(r.get(3)))).toMap
+    assert(v4 == v3)
+    // post-compaction the manifest is a single plain segment (no fold)
+    val snaps = SnapshotLog.snapshots(spark, path).collect().map(r => r.getInt(0) -> r.getInt(3)).toMap
+    assert(snaps(4) == 1)
+  }
+
+  test("commitDelta writes O(batch) bytes, not O(table)") {
+    val path = tmp()
+    val base = spark.range(100000).selectExpr("id", "repeat('x', 64) AS pad")
+    SnapshotLog.commitReplace(base, path)
+    def dataBytes(seg: String): Long = {
+      val dir = new java.io.File(s"$path/$seg")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val before = new java.io.File(s"$path/data").listFiles().map(_.getName).toSet
+    SnapshotLog.commitDelta(
+      spark.range(10).selectExpr("id", "repeat('y', 64) AS pad"),
+      path, SnapshotLog.MergeSpec(Seq("id")))
+    val after = new java.io.File(s"$path/data").listFiles().map(_.getName).toSet
+    val newSegs = after -- before
+    assert(newSegs.size == 1) // the delta commit wrote exactly one new segment
+    val baseBytes  = before.map(s => dataBytes(s"data/$s")).sum
+    val deltaBytes = newSegs.map(s => dataBytes(s"data/$s")).sum
+    // 10 rows vs 100k rows: the delta is a sliver of the base, not a rewrite
+    assert(deltaBytes < baseBytes / 20, s"delta $deltaBytes vs base $baseBytes")
+    assert(SnapshotLog.read(spark, path).count() == 100000) // 10 upserts folded in
+  }
+
+  test("commitDelta validates merge-spec column names and reserved columns") {
+    val path = tmp()
+    SnapshotLog.commitReplace(Seq((1, "a")).toDF("id", "v"), path)
+    val df = Seq((1, "b")).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      SnapshotLog.commitDelta(df, path, SnapshotLog.MergeSpec(Seq("bad\"col"))))
+    intercept[IllegalArgumentException](
+      SnapshotLog.commitDelta(df.withColumn("__seq", org.apache.spark.sql.functions.lit(1)),
+        path, SnapshotLog.MergeSpec(Seq("id"))))
+  }
+
   test("tags scans every retained manifest, not just the latest") {
     val path = tmp()
     SnapshotLog.commitReplace(Seq((1, "a")).toDF("id", "v"), path, Some("batch-0"))
