@@ -40,7 +40,7 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }.mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warmup_sf":"$warmDir","reps":$reps,"estimator":"min"}""")
     spark.stop()
   }
 }

@@ -411,6 +411,55 @@ object TrainingQueries {
         AND p.p_start < e.e_end AND e.e_start < p.p_end""")
   )
 
+  // The Silver fact_user_engagement wide table end-to-end (reference
+  // design_doc/DataModel_SchemaDesign.md:35-62): payload extraction +
+  // 30-minute session stitching + point-in-time dimension enrichment +
+  // a derived consumption ratio, one row per event. Composes the q12/q13/
+  // q14 building blocks into the actual Silver table: session_seq is the
+  // LAG-gap running sum, the as-of join picks the user's newest order AT
+  // event time ("the user's segment at that moment"), and the
+  // completion-rate analog is exact integer basis points via `div`
+  // (engine-portable — no double division in the hashed output).
+  private val q58 = Q(
+    "q58_fact_user_engagement",
+    (s, dir) => {
+      val tagged = graft.ops.Sessionize.tag(Tables.events(s, dir), "user_id", "ts", 1800)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val ord = graft.ops.LatestWins.latestRowAgg(
+        Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"),
+        key = Seq("o_custkey", "o_orderdate"), orderCol = "o_orderkey", tieBreak = Nil)
+      graft.ops.AsOfJoin(tagged, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_orderstatus"))
+        .select(
+          col("event_id"), col("ts"), to_date(col("ts")).as("event_date"),
+          col("user_id"), col("event_type"), col("session_seq"), col("k"),
+          expr("(CAST(round(value*100,0) AS BIGINT) * 100) div nullif(k, 0)").as("value_bp_per_k"),
+          col("o_orderkey"), col("o_orderstatus"))
+    },
+    Some("""WITH g AS (
+        SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      tagged AS (
+        SELECT event_id, ts, user_id, event_type, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM g),
+      o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+               max_by(o_orderstatus, o_orderkey) AS o_orderstatus
+            FROM orders GROUP BY 1, 2)
+      SELECT t.event_id, t.ts, CAST(t.ts AS DATE) AS event_date,
+             t.user_id, t.event_type, t.session_seq, t.k,
+             CAST(round(t.value*100,0) AS BIGINT) * 100 // NULLIF(t.k, 0) AS value_bp_per_k,
+             o.o_orderkey, o.o_orderstatus
+      FROM tagged t ASOF LEFT JOIN o
+        ON t.user_id = o.o_custkey AND t.ts >= o.o_orderdate""")
+  )
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57)
+    q52, q53, q54, q55, q56, q57, q58)
 }
