@@ -460,6 +460,37 @@ object TrainingQueries {
         ON t.user_id = o.o_custkey AND t.ts >= o.o_orderdate""")
   )
 
+  // Layout demo end-to-end: hour-partitioned cluster-sorted write (the
+  // reference's bronze `hours(event_timestamp)` DDL, streaming_job.py:37)
+  // then a query against the RAW timestamp — hidden partitioning
+  // (PartitionPredicateRewrite, injected via GraftExtensions in the
+  // Verify/Bench sessions) derives the ts_hour bounds so the scan prunes
+  // partition directories, exactly Iceberg's transform-aware pruning. The
+  // oracle computes the same aggregate straight from the raw table: the
+  // layout must be invisible to results, only to I/O.
+  private val q59 = Q(
+    "q59_layout_pruning",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/events_hourly"
+      graft.table.TableLayout.partitionedWrite(Tables.events(s, dir), tmp,
+        Seq(graft.table.TableLayout.hoursPartition("ts")), sortCols = Seq("ts"))
+      s.read.parquet(tmp)
+        .filter(col("ts") >= lit("2024-01-03 06:30:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-04 18:15:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      count(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03 06:30:00' AND ts < TIMESTAMP '2024-01-04 18:15:00'
+      GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58)
+    q52, q53, q54, q55, q56, q57, q58, q59)
 }
