@@ -460,20 +460,23 @@ object TrainingQueries {
         ON t.user_id = o.o_custkey AND t.ts >= o.o_orderdate""")
   )
 
-  // Layout demo end-to-end: hour-partitioned cluster-sorted write (the
-  // reference's bronze `hours(event_timestamp)` DDL, streaming_job.py:37)
-  // then a query against the RAW timestamp — hidden partitioning
-  // (PartitionPredicateRewrite, injected via GraftExtensions in the
-  // Verify/Bench sessions) derives the ts_hour bounds so the scan prunes
-  // partition directories, exactly Iceberg's transform-aware pruning. The
-  // oracle computes the same aggregate straight from the raw table: the
-  // layout must be invisible to results, only to I/O.
+  // Layout demo end-to-end: day-partitioned cluster-sorted write (the
+  // reference's Silver `days(event_timestamp)` DDL,
+  // DataModel_SchemaDesign.md:44) then a query against the RAW timestamp —
+  // hidden partitioning (PartitionPredicateRewrite, injected via
+  // GraftExtensions in the Verify/Bench sessions) derives the ts_day
+  // bounds so the scan prunes partition directories, exactly Iceberg's
+  // transform-aware pruning. The oracle computes the same aggregate
+  // straight from the raw table: the layout must be invisible to results,
+  // only to I/O. Day grain keeps the write to one dir per day (hour grain
+  // would fan 720 dirs at a month of data — the hour path is covered by
+  // PartitionPredicateRewriteSpec).
   private val q59 = Q(
     "q59_layout_pruning",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/events_hourly"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/events_daily"
       graft.table.TableLayout.partitionedWrite(Tables.events(s, dir), tmp,
-        Seq(graft.table.TableLayout.hoursPartition("ts")), sortCols = Seq("ts"))
+        Seq(graft.table.TableLayout.daysPartition("ts")), sortCols = Seq("ts"))
       s.read.parquet(tmp)
         .filter(col("ts") >= lit("2024-01-03 06:30:00").cast("timestamp") &&
           col("ts") < lit("2024-01-04 18:15:00").cast("timestamp"))

@@ -70,13 +70,13 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("SortMergeJoin"), s"tf frame must not be recomputed via a self-join:\n$p")
   }
 
-  test("q59: raw-timestamp predicate prunes hour partitions via the hidden-partitioning rewrite") {
+  test("q59: raw-timestamp predicate prunes day partitions via the hidden-partitioning rewrite") {
     val p = plan("q59_layout_pruning")
-    // the rewrite must surface ts_hour bounds as PartitionFilters on the scan
-    assert(p.contains("PartitionFilters") && p.contains("ts_hour"),
-      s"expected derived ts_hour partition filters:\n$p")
-    assert(p.contains("2024-01-03-06") && p.contains("2024-01-04-18"),
-      s"expected hour-grain bounds from the timestamp literals:\n$p")
+    // the rewrite must surface ts_day bounds as PartitionFilters on the scan
+    assert(p.contains("PartitionFilters") && p.contains("ts_day"),
+      s"expected derived ts_day partition filters:\n$p")
+    assert(p.contains("(ts_day") && p.contains(">= 2024-01-03") && p.contains("<= 2024-01-04"),
+      s"expected day-grain bounds from the timestamp literals:\n$p")
   }
 
   test("q50: centroid cells join is broadcast; assignment is hash-agg + single argmin window") {
