@@ -51,6 +51,27 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Stop-word-heavy corpus for the jaccard probe: every document shares a
+    // hot leading phrase (df = |block| — the Zipf worst case where an
+    // uncapped shingle self-join is quadratic), while replica BODIES are
+    // made distinct by suffixing every token with the replica number. The
+    // end-tag perturbation docsAt uses is not enough here: it leaves all
+    // interior shingles identical, so every replica pair is a genuine
+    // near-duplicate and the TRUE answer grows quadratically in the
+    // multiplier — which would measure the corpus construction, not the
+    // operator. With distinct bodies, real matches grow linearly and the
+    // probe isolates the hot-shingle cap.
+    def docsStopHeavy(mult: Int): DataFrame = {
+      val base = Tables.documents(spark, sfDir)
+      (0 until mult).map { r =>
+        base.withColumn("doc_id", col("doc_id") + lit(r * 1000000L))
+          .withColumn("text",
+            concat(lit("the of and in a to is "),
+              regexp_replace(col("text"), "(\\S+)", "$1" + r)))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
     val ops: Seq[(String, Int => Long)] = Seq(
       "token_stats"   -> (m => TextStats.tokenStats(docsAt(m), "doc_id", "text").count()),
       "exact_dedup"   -> (m => docsAt(m).groupBy(md5(col("text").cast("binary"))).count().count()),
@@ -63,7 +84,18 @@ object ScaleProbe {
         val e = embAt(m)
         VectorSearch.assignToNearestCentroid(
           e, "vec_id", "embedding", VectorSearch.centroidsBp(e, "embedding", "label")).count()
-      }
+      },
+      // the hot-shingle document-frequency cap under its worst case: the
+      // hot phrase's shingles are dropped before the self-join, so growth
+      // tracks the discriminative-shingle pair count, not |block|²
+      "ngram_jaccard_capped" -> (m =>
+        TextDedup.jaccardPairs(docsStopHeavy(m), "doc_id", "text", "source",
+          shingleN = 2, maxDocFreq = 64).count()),
+      // the bucket-size guard on the real embedding distribution: hot sign
+      // buckets split on extra sign bits before the within-bucket pair join
+      "embedding_neardup_guarded" -> (m =>
+        VectorSearch.nearDupPairs(embAt(m), "vec_id", "embedding",
+          bits = 6, threshold = 0.5, maxBucketSize = 64, extraBits = 6).count())
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
