@@ -311,31 +311,68 @@ object TrainingQueries {
   )
 
   // Heavy hitters per language via the engine's Misra-Gries aggregate —
-  // bounded state where exact vocab counting (q44) stops scaling. Rows-only
-  // check by design (like q36): sketch counts depend on the partial-merge
-  // tree, which is scheduler-order-specific; the MG *guarantee* (every
-  // token above N/(m+1) retained, undercount ≤ N/(m+1)) is property-tested
-  // in PurePropertiesSpec instead. The sketch map is serialized to a
-  // canonically key-sorted JSON string so the harness can sort/hash the
-  // column (a raw map column is unsortable driver-side).
+  // bounded state where exact vocab counting (q44) stops scaling. The raw
+  // sketch counts depend on the partial-merge tree (scheduler-order-
+  // specific), so — like q36's sketch envelope — the oracle-checked
+  // outputs are the deterministic columns plus booleans asserting the MG
+  // guarantees, which hold for EVERY merge order (Agarwal et al.,
+  // "Mergeable Summaries"):
+  //   mg_guarantee — every token with true frequency > N/(m+1) is present
+  //                  in the sketch;
+  //   mg_bounds_ok — every sketch estimate e satisfies
+  //                  e ≤ true count  and  true − e ≤ N/(m+1).
+  // Both comparisons are done in exact integers (c*(m+1) vs N — no
+  // division), so they are engine-portable; the DuckDB oracle states them
+  // as literal TRUE. Exact per-token counts exist only on this
+  // verification path; production callers use the sketch alone.
   private val q54 = Q(
     "q54_freq_tokens",
     (s, dir) => {
+      val m = 16
       val toks = docsSpread(s, dir).select(col("lang"),
         explode(TextDedup.tokens(col("text"))).as("tok"))
-      val sketch =
-        if (graft.functions.GraftFunctions.installed(s))
-          graft.functions.GraftFunctions.freqItems(col("tok"), 16)
-        // extension-free fallback: typed empty map so the schema is
-        // map<string,bigint> on every session (an untyped empty map is
-        // map<void,void> — unwritable and schema-divergent)
-        else map_from_arrays(array().cast("array<string>"), array().cast("array<bigint>"))
-      toks.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_tokens"), sketch.as("sketch"))
-        .select(col("lang"), col("n_tokens"),
-          to_json(array_sort(map_entries(col("sketch")))).as("top_tokens"))
+      if (!graft.functions.GraftFunctions.installed(s)) {
+        // extension-free fallback: no sketch to check — the guarantee
+        // booleans are vacuously true and only the exact columns carry
+        // signal (the driver's Verify session always installs the
+        // extensions, so this path is never the graded one)
+        toks.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"))
+          .select(col("lang"), col("n_tokens"),
+            lit(true).as("mg_guarantee"), lit(true).as("mg_bounds_ok"))
+      } else {
+        val sketched = toks.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            graft.functions.GraftFunctions.freqItems(col("tok"), m).as("sketch"))
+        // sketch entries: ≤ m rows per language — broadcast side
+        val entries = sketched.select(col("lang"),
+          explode(map_entries(col("sketch"))).as("e"))
+          .select(col("lang"), col("e.key").as("tok"), col("e.value").as("est"))
+        val exact = toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val flags = exact
+          .join(broadcast(sketched.select(col("lang"), col("n_tokens"))), Seq("lang"))
+          .join(broadcast(entries), Seq("lang", "tok"), "left")
+          .groupBy(col("lang"))
+          .agg(
+            sum(when(col("c") * (m + 1) > col("n_tokens") && col("est").isNull, 1L)
+              .otherwise(0L)).as("heavy_missing"),
+            sum(when(col("est").isNotNull &&
+                (col("est") > col("c") ||
+                 (col("c") - col("est")) * (m + 1) > col("n_tokens")), 1L)
+              .otherwise(0L)).as("bound_viol"))
+        sketched.select(col("lang"), col("n_tokens"))
+          .join(broadcast(flags), Seq("lang"))
+          .select(col("lang"), col("n_tokens"),
+            (col("heavy_missing") === 0L).as("mg_guarantee"),
+            (col("bound_viol") === 0L).as("mg_bounds_ok"))
+      }
     },
-    None
+    Some(s"""WITH $toksCte,
+      ex AS (SELECT lang, unnest(w) AS tok FROM toks)
+      SELECT lang, count(*) AS n_tokens,
+        TRUE AS mg_guarantee, TRUE AS mg_bounds_ok
+      FROM ex GROUP BY 1""")
   )
 
   // Left-semi join (the MERGE matched-half twin of q18's anti join):
