@@ -128,8 +128,16 @@ object VectorSearch {
       if (maxBucketSize == Int.MaxValue)
         q.drop("__qsub").join(c.drop("__csub"), "__bkt")
       else {
-        val cc = c.withColumn("__cnt",
-          count(lit(1)).over(Window.partitionBy(col("__bkt"))))
+        // Bucket sizes come from a pre-aggregated BROADCAST frame, not a
+        // count(*) window: the window form exchanges+sorts the whole
+        // corpus by __bkt, while the aggregate reduces map-side to
+        // ≤ 2^bits narrow rows and the broadcast join leaves the corpus
+        // partitioning untouched. (Keep `bits` small enough that 2^bits
+        // rows broadcast — ≤ ~20 — which sign-LSH wants anyway: buckets
+        // must stay populous for recall.)
+        val cnt = corpus.select(signBucket(col(vecCol), bits).as("__bkt"))
+          .groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
+        val cc = c.join(broadcast(cnt), "__bkt")
         q.join(cc,
           q("__bkt") === cc("__bkt") &&
             (cc("__cnt") <= maxBucketSize || cc("__csub") === q("__qsub")))
@@ -354,12 +362,18 @@ object VectorSearch {
     val side =
       if (maxBucketSize == Int.MaxValue)
         keyed.withColumn("bkt", col("__b").cast("string")).drop("__b", "__s")
-      else keyed
-        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__b"))))
-        .withColumn("bkt", concat(col("__b").cast("string"),
-          when(col("__cnt") > maxBucketSize,
-            concat(lit("/"), col("__s").cast("string"))).otherwise(lit(""))))
-        .drop("__b", "__s", "__cnt")
+      else {
+        // pre-aggregated broadcast bucket counts instead of a count(*)
+        // window — same rationale as lshTopK: no corpus-wide
+        // exchange+sort just to learn ≤ 2^bits bucket sizes
+        val cnt = df.select(signBucket(col(vecCol), bits).as("__b"))
+          .groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+        keyed.join(broadcast(cnt), "__b")
+          .withColumn("bkt", concat(col("__b").cast("string"),
+            when(col("__cnt") > maxBucketSize,
+              concat(lit("/"), col("__s").cast("string"))).otherwise(lit(""))))
+          .drop("__b", "__s", "__cnt")
+      }
     val denom = col("a.nrm") * col("b.nrm")
     side.as("a")
       .join(side.as("b"), col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
