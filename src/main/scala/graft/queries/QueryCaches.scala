@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentHashMap
+
+/** Session-scoped memoization for query-suite inputs that are expensive to
+  * rebuild per invocation (bench warm-up + reps would otherwise rebuild —
+  * and, worse, leak — one per call):
+  *
+  *   - the persisted minhash-signature frame (q22/q23/q24 share it);
+  *   - q59's day-partitioned events layout on local disk.
+  *
+  * Both caches are LRU-1 per session: the suites run one data dir at a
+  * time (warm-up at sf0.01, then timed reps at sf0.1), so keeping exactly
+  * the latest dir's artifact gives full reuse within a phase while a dir
+  * switch releases the stale artifact instead of pinning it until the JVM
+  * exits. [[clear]] releases everything owned by a session — the
+  * Bench/Verify mains call it before `spark.stop()` — and a shutdown hook
+  * sweeps any layout directory that survives an abnormal exit.
+  */
+private[graft] object QueryCaches {
+
+  private val sigCache    = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
+  private val layoutCache = new ConcurrentHashMap[SparkSession, (String, Path)]()
+
+  def sigFor(s: SparkSession, dir: String): DataFrame = sigCache.synchronized {
+    sigCache.get(s) match {
+      case (d, df) if d == dir => df
+      case prev =>
+        if (prev != null) prev._2.unpersist()
+        val df = graft.ext.TextDedup
+          .minhashSignatures(ExtensionQueries.docsSpread(s, dir), "doc_id", "text", 8, 2)
+          .persist()
+        sigCache.put(s, (dir, df))
+        df
+    }
+  }
+
+  /** Path of the day-partitioned `events` layout for (s, dir), written on
+    * first request. The write is the demo's setup, not its subject — the
+    * pruned READ is what q59 measures — so it must happen once, not once
+    * per bench rep.
+    */
+  def layoutFor(s: SparkSession, dir: String)(write: String => Unit): String =
+    layoutCache.synchronized {
+      layoutCache.get(s) match {
+        case (d, root) if d == dir => s"$root/events_daily"
+        case prev =>
+          if (prev != null) deleteTree(prev._2)
+          val root = Files.createTempDirectory("graft-layout")
+          val path = s"$root/events_daily"
+          write(path)
+          layoutCache.put(s, (dir, root))
+          path
+      }
+    }
+
+  /** Release everything cached for `s`: unpersist the signature frame and
+    * delete the layout directory. Call before stopping the session.
+    */
+  def clear(s: SparkSession): Unit = {
+    sigCache.synchronized {
+      Option(sigCache.remove(s)).foreach(_._2.unpersist())
+    }
+    layoutCache.synchronized {
+      Option(layoutCache.remove(s)).foreach(e => deleteTree(e._2))
+    }
+  }
+
+  private def deleteTree(root: Path): Unit =
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+    }
+
+  // abnormal-exit sweep: whatever layout dirs are still registered when the
+  // JVM goes down get removed (persisted frames die with the JVM anyway)
+  sys.addShutdownHook {
+    layoutCache.synchronized {
+      layoutCache.values().forEach(e => deleteTree(e._2))
+      layoutCache.clear()
+    }
+  }
+}
