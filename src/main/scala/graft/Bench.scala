@@ -22,17 +22,25 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
-    // Two timed reps, report the min: the VM-level noise on this host can
-    // triple a single rep; min-of-2 is the standard least-noise estimator.
+    // Timed reps, report the min per query: the VM-level noise on this host
+    // can triple a single rep. Reps are INTERLEAVED (pass-major, not
+    // query-major): each pass visits every query once, so a sustained
+    // host-contention window inflates at most one rep of many queries —
+    // min-of-reps then discards it — instead of all reps of the queries
+    // that happen to sit in the alphabetical tail (BENCH_r05 showed 2-5×
+    // phantom regressions on unchanged tail queries from exactly that).
     // A query that throws reports -1.0 (NOT its time-to-exception — a fast
     // failure must never read as a fast success) and is listed in "failed".
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val timed: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        name -> (try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+                 catch { case _: Throwable => -1.0 })
       }
+    }
+    val results = queries.map { case (name, _) =>
+      val times = timed.map(_.find(_._1 == name).get._2)
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -40,7 +48,8 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }.mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warmup_sf":"$warmDir","reps":$reps,"estimator":"min"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warmup_sf":"$warmDir","reps":$reps,"estimator":"min-interleaved"}""")
+    graft.queries.QueryCaches.clear(spark)
     spark.stop()
   }
 }

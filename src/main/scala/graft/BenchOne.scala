@@ -34,6 +34,7 @@ object BenchOne {
       val best = times.map(_._1).min
       println(f"$name%-24s min=$best%8.3f s  rows=${times.head._2}  all=${times.map(t => f"${t._1}%.3f").mkString(",")}")
     }
+    graft.queries.QueryCaches.clear(spark)
     spark.stop()
   }
 }

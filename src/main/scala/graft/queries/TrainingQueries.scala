@@ -511,9 +511,10 @@ object TrainingQueries {
   private val q59 = Q(
     "q59_layout_pruning",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/events_daily"
-      graft.table.TableLayout.partitionedWrite(Tables.events(s, dir), tmp,
-        Seq(graft.table.TableLayout.daysPartition("ts")), sortCols = Seq("ts"))
+      val tmp = QueryCaches.layoutFor(s, dir) { path =>
+        graft.table.TableLayout.partitionedWrite(Tables.events(s, dir), path,
+          Seq(graft.table.TableLayout.daysPartition("ts")), sortCols = Seq("ts"))
+      }
       s.read.parquet(tmp)
         .filter(col("ts") >= lit("2024-01-03 06:30:00").cast("timestamp") &&
           col("ts") < lit("2024-01-04 18:15:00").cast("timestamp"))
