@@ -79,6 +79,46 @@ class PlanAuditSpec extends SparkFunSuite {
       s"expected day-grain bounds from the timestamp literals:\n$p")
   }
 
+  test("q28: LSH bucket guard is a broadcast count join, not a corpus-wide window") {
+    val p = plan("q28_ann_lsh")
+    // the withdrawn (regression) form computed bucket sizes as
+    // count(*) OVER (PARTITION BY __bkt) — a full corpus exchange+sort.
+    // The guard must never reintroduce a window keyed on the bucket:
+    assert(!p.contains("windowspecdefinition(__bkt"),
+      s"bucket guard reverted to a corpus-wide window:\n$p")
+    // exactly two row exchanges: the ≤2^bits pre-aggregated bucket counts
+    // (narrow rows, map-side partial first) and the final per-query top-k
+    // window on qid; the corpus branch itself is never repartitioned
+    val exchanges = p.split("Exchange hashpartitioning\\(").toSeq.drop(1).map(_.take(6))
+    assert(exchanges.length == 2 && exchanges.exists(_.startsWith("qid")) &&
+      exchanges.exists(_.startsWith("__bkt")),
+      s"expected exactly {bucket-count, qid-window} exchanges, got $exchanges:\n$p")
+    assert(p.contains("partial_count"), s"bucket counts must map-side combine:\n$p")
+    // the count frame reaches the corpus as a broadcast, and the sub-bucket
+    // predicate rides the equi-join as a residual (cnt<=cap OR csub=qsub)
+    assert(p.contains("BroadcastExchange") && p.contains("__cnt") && p.contains("__csub"),
+      s"guard must broadcast counts and keep the residual sub-bucket predicate:\n$p")
+    // per-partition top-k prune before the qid exchange: only ~k rows per
+    // (query, partition) are shuffled, not every candidate pair
+    assert(p.contains("WindowGroupLimit"), s"top-k must prune before the shuffle:\n$p")
+  }
+
+  test("q27: near-dup bucket guard broadcasts counts; pair join needs no corpus exchange") {
+    val p = plan("q27_embedding_neardup")
+    assert(!p.contains("windowspecdefinition"),
+      s"bucket guard reverted to a corpus-wide window:\n$p")
+    // the only row exchanges are the narrow bucket-count aggregates on __b
+    // (one per self-join side); the full-width corpus rows flow from scan
+    // to the pair join without repartitioning
+    val exchanges = p.split("Exchange hashpartitioning\\(").toSeq.drop(1).map(_.take(3))
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("__b")),
+      s"expected only __b bucket-count exchanges, got $exchanges:\n$p")
+    assert(p.contains("partial_count") && p.contains("BroadcastExchange"),
+      s"bucket counts must map-side combine and broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair enumeration must stay an equi-join:\n$p")
+  }
+
   test("q50: centroid cells join is broadcast; assignment is hash-agg + single argmin window") {
     val p = plan("q50_centroid_assign")
     assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")

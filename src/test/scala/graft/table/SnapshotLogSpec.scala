@@ -97,6 +97,39 @@ class SnapshotLogSpec extends SparkFunSuite {
     assert(snaps(4) == 1)
   }
 
+  test("merge-on-read read path: one key exchange; fold width tracks segments and resets on compaction") {
+    val path = tmp()
+    val spec = SnapshotLog.MergeSpec(Seq("id"), orderCol = Some("ts"))
+    SnapshotLog.commitReplace(
+      (1 to 50).map(i => (s"u$i", 0L, i)).toDF("id", "ts", "x"), path)
+    (1L to 3L).foreach { d =>
+      SnapshotLog.commitDelta(
+        (1 to 10).map(i => (s"u$i", d, i * 100)).toDF("id", "ts", "x"), path, spec)
+    }
+    def plan = SnapshotLog.read(spark, path).queryExecution.executedPlan.toString
+    // the entire fold (delete cut + carry + latest-wins rank, three windows
+    // all partitioned on the merge key) must cost exactly ONE exchange on
+    // that key — a second exchange means a window stopped sharing the
+    // key partitioning and the read path re-shuffles the table per scan
+    val p1 = plan
+    assert(p1.split("Exchange hashpartitioning\\(").length - 1 == 1,
+      s"fold must be a single key shuffle:\n$p1")
+    assert(p1.split("Exchange hashpartitioning\\(")(1).startsWith("id"),
+      s"the one exchange must be on the merge key:\n$p1")
+    // read-side cost is the fold width: base + 3 deltas = 4 scanned segments
+    assert(p1.split("FileScan parquet").length - 1 == 4,
+      s"expected base+3 delta scans:\n$p1")
+    // compaction folds the deltas into a plain base: the read plan collapses
+    // to one scan and needs no exchange at all (nothing left to fold)
+    SnapshotLog.compactLatest(spark, path)
+    val p2 = plan
+    assert(p2.split("FileScan parquet").length - 1 == 1,
+      s"post-compaction read must scan a single base segment:\n$p2")
+    assert(!p2.contains("Exchange hashpartitioning"),
+      s"post-compaction read must not shuffle:\n$p2")
+    assert(SnapshotLog.read(spark, path).count() == 50)
+  }
+
   test("commitDelta writes O(batch) bytes, not O(table)") {
     val path = tmp()
     val base = spark.range(100000).selectExpr("id", "repeat('x', 64) AS pad")
