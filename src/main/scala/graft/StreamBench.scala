@@ -96,6 +96,26 @@ object StreamBench {
     q2.stop()
 
     // -------------------------------------------------------------------
+    // Pipeline 2b: the same orders upsert through the VERSIONED
+    // merge-on-read sink — each micro-batch commits an O(batch) delta
+    // segment to the SnapshotLog instead of rewriting the gold table, so
+    // the delta vs upsertSink isolates what the manifest commit +
+    // time-travel history cost per event at the same batch shape.
+    val dir2b = Files.createTempDirectory("graft-streambench-upsert-mor").toString
+    val in2b  = MemoryStream[OrderEv]
+    val q2b = StreamPipelines.upsertSinkVersioned(in2b.toDF(), s"$dir2b/gold", s"$dir2b/ckpt",
+      Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"), Seq("amount"),
+      Trigger.ProcessingTime(0)).start()
+    in2b.addData(orderWave(1000, 0L, -1)); q2b.processAllAvailable()
+    val t2b = System.nanoTime()
+    (0 until upsertWaves).foreach { w =>
+      in2b.addData(orderWave(upsertSize, 100000L + w * upsertSize, w))
+      q2b.processAllAvailable()
+    }
+    val upsert_mor_eps = (upsertWaves.toLong * upsertSize / ((System.nanoTime() - t2b) / 1e9)).toLong
+    q2b.stop()
+
+    // -------------------------------------------------------------------
     // Pipeline 3: CDC dims apply (80/20 create/update + deletes)
     val dir3 = Files.createTempDirectory("graft-streambench-cdc").toString
     val in3  = MemoryStream[CdcEv]
@@ -119,7 +139,7 @@ object StreamBench {
     val cdc_eps = (cdcWaves.toLong * cdcSize / ((System.nanoTime() - t3) / 1e9)).toLong
     q3.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"cdc_dims":$cdc_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
   }
 }
