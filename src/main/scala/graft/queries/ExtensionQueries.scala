@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Multimodal, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Multimodal, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -586,6 +586,68 @@ object ExtensionQueries {
       WHERE c.event_type = 'click'""")
   )
 
+  // Dedup 7 (closure): duplicate CLUSTERS from the LSH candidate graph —
+  // connected components by pointer-jumped min-label propagation
+  // (ext.Components), then one canonical doc per cluster (min doc_id).
+  // Pairs say "A~B"; curation needs the transitive closure ("keep one of
+  // {A,B,C}" when A~B and B~C but A~C was never emitted). The oracle walks
+  // the same pair graph with a recursive min-label CTE — both engines
+  // converge to the unique fixpoint (component-min labels), so the result
+  // hash-compares despite the iteration orders differing.
+  private val q60 = Q(
+    "q60_dedup_clusters",
+    (s, dir) => {
+      // band-STAR edges, not pairwise candidates: within a band bucket all
+      // members are mutually candidates (a clique), and for connectivity a
+      // star to the bucket's min member carries the same information in
+      // |bucket| edges instead of |bucket|²/2. At 100 TB this is the
+      // difference between a linear edge list and a quadratic blowup on
+      // every hot bucket — and the components are provably identical
+      // (any within-bucket pair is connected through the bucket min).
+      val bands = TextDedup.lshBands(sigCacheFor(s, dir), "doc_id", k = 8, rowsPerBand = 2)
+      val roots = bands.groupBy(col("band"), col("band_key"))
+        .agg(min(col("doc_id")).as("root"))
+      val star = bands.join(roots, Seq("band", "band_key"))
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("root"), col("doc_id"))
+      val cc = Components.connectedComponents(star, "root", "doc_id")
+        .withColumnRenamed("node", "doc_id")
+      // singleton docs never enter the pair graph: coalesce to self
+      val lab = Tables.documents(s, dir).select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      // sizes via shuffle join, NOT broadcast: cluster count is O(n_docs)
+      val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    },
+    Some(s"""WITH RECURSIVE $toksCte,
+      $shinglesFromToks,
+      sigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs),
+      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src),
+      cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+      SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        (c.doc_id = c.cluster_id) AS is_canonical
+      FROM cc c JOIN sizes s USING (cluster_id)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60)
 }

@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.SparkFunSuite
+
+class ComponentsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 16): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"), "src", "dst", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference union-find: component = min node id. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // path-compress to true roots, then label every node by its root,
+    // which by the min-union above is the component min
+    parent.keys.toSeq.map(n => n -> find(n)).toMap
+  }
+
+  test("matches union-find on random graphs (multiple shapes)") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter { case (a, b) => a != b }
+      assert(cc(edges) == unionFind(edges), s"seed=$seed")
+    }
+  }
+
+  test("long chain converges within log2-ish rounds (pointer jumping, not O(diameter))") {
+    // a 300-node path has diameter 299: plain edge propagation would need
+    // ~300 rounds; the label-of-label jump must close it within 16
+    val edges = (0L until 299L).map(i => (i, i + 1))
+    val result = cc(edges, maxIter = 16)
+    assert(result.size == 300 && result.values.forall(_ == 0L))
+  }
+
+  test("disconnected components each get their own min label; non-edge nodes absent") {
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L))
+    assert(cc(edges) == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicate, reversed, and self-loop edges do not change the answer") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (7L, 7L), (2L, 4L))
+    assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+  }
+}
