@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (extension tier, SURVEY.md §7.4): flag
+  * training documents that share any word n-gram with a holdout / eval
+  * corpus, so evaluation data can be scrubbed from the training set before
+  * a run. This is the published n-gram overlap filter (Brown et al.,
+  * "Language Models are Few-Shot Learners", NeurIPS 2020, §C — 13-gram
+  * collision against benchmark sets; the n is a parameter here).
+  *
+  * Scale shape (the only one that survives 100 TB of train text):
+  *   - both sides shingle with the same [[TextDedup.wordShingles]]
+  *     projection and hash each shingle to a 16-byte md5 digest, so
+  *     nothing wider than a digest ever moves;
+  *   - the HOLDOUT side is reduced to its distinct digest set — eval
+  *     corpora are orders of magnitude smaller than train corpora, so this
+  *     set broadcasts (a broadcast hash join builds one hash table per
+  *     task, vs. re-scanning an array literal per row);
+  *   - the TRAIN side stays partitioned where it is: explode distinct
+  *     per-doc digests, broadcast-join, count hits per doc. One shuffle
+  *     (the per-doc count), no all-pairs anything.
+  *
+  * Output: one row per train document — total distinct shingles, how many
+  * collide with the holdout set, the collision fraction in basis points,
+  * and the scrub verdict (any collision ⇒ contaminated). Documents too
+  * short to have an n-gram are clean by definition (n_shingles = 0).
+  */
+object Decontaminate {
+
+  def contamination(
+      train: DataFrame, holdout: DataFrame,
+      idCol: String, textCol: String, shingleN: Int
+  ): DataFrame = {
+    def digests(df: DataFrame): DataFrame = df.select(
+      col(idCol),
+      array_distinct(transform(
+        TextDedup.wordShingles(TextDedup.tokens(col(textCol)), shingleN),
+        s => md5(s.cast("binary")))).as("__ds"))
+
+    val holdoutSet = digests(holdout)
+      .select(explode(col("__ds")).as("__d")).distinct()
+    val hits = digests(train)
+      .select(col(idCol), explode(col("__ds")).as("__d"))
+      .join(broadcast(holdoutSet), "__d")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+
+    val nOverlap = coalesce(col("__hits"), lit(0L))
+    digests(train)
+      .select(col(idCol), size(col("__ds")).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        nOverlap.as("n_overlap"),
+        when(col("n_shingles") > 0,
+          expr(s"(coalesce(__hits, 0L) * 10000L) div n_shingles"))
+          .otherwise(0L).as("overlap_bp"),
+        (nOverlap > 0).as("contaminated"))
+  }
+}

@@ -125,6 +125,31 @@ object TextStats {
     * A real system would use char-n-gram profiles; the *shape* (per-language
     * conditional counts + argmax, no shuffle) is what matters at scale.
     */
+  /** Within-document repetition (the Gopher/MassiveText duplicate-n-gram
+    * quality filter, Rae et al. 2021 §A1.1): what fraction of a document's
+    * word n-grams are repeats of an earlier n-gram in the same document.
+    * Boilerplate, scraped navigation, and degenerate generations score
+    * high; natural prose scores near zero. Pure per-document projection —
+    * the n-gram set never leaves the row, nothing shuffles.
+    *
+    * Output: id, n_shingles, n_distinct_shingles, rep_bp (repeated share
+    * ×10000, floor). Documents with no n-gram (fewer than n tokens) score
+    * rep_bp = 0.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int): DataFrame = {
+    val sh = TextDedup.wordShingles(TextDedup.tokens(col(textCol)), shingleN)
+    df.select(
+        col(idCol),
+        size(sh).cast("long").as("n_shingles"),
+        size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
+      .select(
+        col(idCol), col("n_shingles"), col("n_distinct_shingles"),
+        when(col("n_shingles") > 0,
+          expr("((n_shingles - n_distinct_shingles) * 10000L) div n_shingles"))
+          .otherwise(0L).as("rep_bp"))
+  }
+
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, Multimodal, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Decontaminate, Multimodal, Packing, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -648,6 +648,78 @@ object ExtensionQueries {
       FROM cc c JOIN sizes s USING (cluster_id)""")
   )
 
+  // Curation 8: benchmark decontamination — train docs sharing any word
+  // trigram with the held-out split (Sampling.splitLabel 90/10) are flagged
+  // for scrubbing. Holdout shingle set broadcasts; train side never
+  // re-partitions. Threshold 58982 = (65536*9000) div 10000, the exact
+  // integer splitLabel uses.
+  private val q61 = Q(
+    "q61_decontaminate",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val lbl  = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      Decontaminate.contamination(
+        docs.filter(lbl === "train"), docs.filter(lbl === "val"),
+        "doc_id", "text", shingleN = 3)
+    },
+    Some(s"""WITH $toksCte,
+      sh3 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+      lbl AS (SELECT doc_id, (${TrainingQueries.md5Bucket16Sql("doc_id")}) < 58982 AS is_train
+        FROM documents),
+      hold AS (SELECT DISTINCT s FROM sh3 JOIN lbl USING (doc_id) WHERE NOT is_train),
+      agg AS (SELECT sh3.doc_id, count(*) AS n_sh, count(h.s) AS n_ov
+        FROM sh3 JOIN lbl USING (doc_id) LEFT JOIN hold h USING (s)
+        WHERE lbl.is_train GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_shingles,
+        CAST(coalesce(a.n_ov, 0) AS BIGINT) AS n_overlap,
+        CAST(CASE WHEN coalesce(a.n_sh, 0) > 0
+          THEN (a.n_ov * 10000) // a.n_sh ELSE 0 END AS BIGINT) AS overlap_bp,
+        (coalesce(a.n_ov, 0) > 0) AS contaminated
+      FROM (SELECT doc_id FROM lbl WHERE is_train) t
+      LEFT JOIN agg a USING (doc_id)""")
+  )
+
+  // Curation 9: sequence packing — concat-and-chunk the token stream into
+  // 256-token training windows, sharded (16 md5 shards) so the prefix sum
+  // is a per-shard window, never a single-partition global sort.
+  private val q62 = Q(
+    "q62_seq_pack",
+    (s, dir) => Packing.packSequences(docsSpread(s, dir), "doc_id", "text", ctxLen = 256),
+    Some(s"""WITH $toksCte,
+      t AS (SELECT doc_id,
+          CAST((${TrainingQueries.md5Bucket16Sql("doc_id")}) // 4096 AS BIGINT) AS shard,
+          CAST(len(w) AS BIGINT) AS n_tokens
+        FROM toks WHERE len(w) > 0),
+      c AS (SELECT doc_id, shard, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      SELECT doc_id, shard, n_tokens,
+        CAST(cum - n_tokens AS BIGINT) AS tok_start,
+        CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+        CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
+        CAST((cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS BIGINT) AS n_seqs
+      FROM c""")
+  )
+
+  // Curation 10: within-doc repetition ratio (duplicate-2gram share in
+  // basis points) — the Gopher-style quality filter; pure projection.
+  private val q63 = Q(
+    "q63_repetition",
+    (s, dir) => TextStats.repetitionStats(docsSpread(s, dir), "doc_id", "text", shingleN = 2),
+    Some(s"""WITH $toksCte,
+      $shinglesFromToks,
+      a AS (SELECT doc_id, count(*) AS n_sh, count(DISTINCT s) AS n_d
+        FROM sh GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_shingles,
+        CAST(coalesce(a.n_d, 0) AS BIGINT) AS n_distinct_shingles,
+        CAST(CASE WHEN coalesce(a.n_sh, 0) > 0
+          THEN ((a.n_sh - a.n_d) * 10000) // a.n_sh ELSE 0 END AS BIGINT) AS rep_bp
+      FROM documents d LEFT JOIN a USING (doc_id)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62, q63)
 }

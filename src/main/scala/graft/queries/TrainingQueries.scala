@@ -27,7 +27,7 @@ object TrainingQueries {
     * Single definition so the engine-parity bucket formula cannot drift
     * between queries.
     */
-  private def md5Bucket16Sql(keyCol: String): String =
+  private[queries] def md5Bucket16Sql(keyCol: String): String =
     (0 until 4).map { p =>
       val term = s"CAST(strpos('0123456789abcdef', substr(md5(CAST($keyCol AS VARCHAR)), ${p + 1}, 1)) - 1 AS BIGINT)"
       val mult = 1L << (4 * (3 - p))
