@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, TextDedup, TextStats, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,7 +95,14 @@ object ScaleProbe {
       // buckets split on extra sign bits before the within-bucket pair join
       "embedding_neardup_guarded" -> (m =>
         VectorSearch.nearDupPairs(embAt(m), "vec_id", "embedding",
-          bits = 6, threshold = 0.5, maxBucketSize = 64, extraBits = 6).count())
+          bits = 6, threshold = 0.5, maxBucketSize = 64, extraBits = 6).count()),
+      // the iterative fixpoint: band-star edges + pointer-jumped min-label
+      // CC. docsAt replicas keep their interior shingles, so replicas of a
+      // doc land in the same buckets and components MERGE across replicas —
+      // edges grow linearly while component diameter grows with the
+      // multiplier, stressing the O(log diameter) round bound. Signature
+      // build is excluded (measured as minhash_sigs); see custom loop below
+      "dedup_clusters_cc" -> (m => m.toLong)
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
@@ -109,11 +116,29 @@ object ScaleProbe {
       t
     }
 
+    def ccTimed(m: Int): Double = {
+      val sigs = TextDedup.minhashSignatures(docsAt(m), "doc_id", "text", 8, 2).persist()
+      sigs.count()
+      val t = time {
+        val bands = TextDedup.lshBands(sigs, "doc_id", 8, 2)
+        val roots = bands.groupBy(col("band"), col("band_key"))
+          .agg(min(col("doc_id")).as("root"))
+        val star = bands.join(roots, Seq("band", "band_key"))
+          .filter(col("doc_id") =!= col("root"))
+          .select(col("root"), col("doc_id"))
+        Components.connectedComponents(star, "root", "doc_id").count()
+      }
+      sigs.unpersist(); t
+    }
+
+    val custom: Map[String, Int => Double] =
+      Map("lsh_candidates" -> lshTimed, "dedup_clusters_cc" -> ccTimed)
+
     // warm each op once at 1× (JIT + codegen), then measure 1×/2×/4×
-    ops.foreach { case (name, f) => if (name == "lsh_candidates") lshTimed(1) else f(1) }
+    ops.foreach { case (name, f) => custom.get(name).fold[Unit](f(1))(c => c(1)) }
     val results = ops.map { case (name, f) =>
       name -> Seq(1, 2, 4).map { m =>
-        val t = if (name == "lsh_candidates") lshTimed(m) else time(f(m))
+        val t = custom.get(name).fold(time(f(m)))(c => c(m))
         math.round(t * 1000) / 1000.0
       }
     }
