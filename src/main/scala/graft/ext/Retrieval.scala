@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval scoring (extension tier, SURVEY.md §7.4): rank documents
+  * against a query term set with BM25 (Robertson & Zaragoza, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond", 2009) — the
+  * standard lexical retriever a RAG-style data pipeline runs beside the
+  * embedding ANN operators (q26/q28/q38).
+  *
+  * Engine-exact arithmetic (house rule — no floats anywhere near a hash
+  * compare): with k1 = 1.2 and b = 0.75 as exact rationals (6/5, 3/4) and
+  * `avgdl` floored to an integer, the term score
+  *
+  *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * multiplies out to the integer quotient
+  *
+  *   (idf_micro · tf · 44 · avgdl) div (20·avgdl·tf + 6·avgdl + 18·dl)
+  *
+  * where idf_micro is the exp-free rational idf surrogate
+  * ((N − df + 1)·1e6) div (df + 1) — positive, monotone in the true
+  * Robertson idf, so per-term rankings are BM25 rankings; the absolute
+  * scale is a documented variant. All products stay < 2^63 for corpora to
+  * ~10^9 docs × tf ≤ 10^4; past that the same formula moves to
+  * DECIMAL(38,0) unchanged.
+  *
+  * Scale shape: per-doc tf for each query term is a PROJECTION
+  * (`size(filter(tokens, = term))` — the query term list is a literal,
+  * never a corpus-wide token explode); corpus stats (N, Σdl) are a 1-row
+  * broadcast; per-term document frequencies are a |terms|-row broadcast.
+  * One shuffle total: the per-term top-k rank window.
+  */
+object Retrieval {
+
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = TextDedup.tokens(col(textCol))
+    val perDoc = df.select(
+      col(idCol),
+      size(toks).cast("long").as("dl"),
+      array(queryTerms.map { t =>
+        struct(lit(t).as("term"),
+          size(filter(toks, x => x === t)).cast("long").as("tf"))
+      }: _*).as("__tfs"))
+
+    val scored = perDoc
+      .select(col(idCol), col("dl"), explode(col("__tfs")).as("__e"))
+      .select(col(idCol), col("dl"),
+        col("__e.term").as("term"), col("__e.tf").as("tf"))
+      .filter(col("tf") > 0)
+
+    val stats = perDoc
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+      .select(col("__n"), expr("__sumdl div __n").as("__avgdl"))
+    val dfT = scored.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score_micro").desc, col(idCol))
+    scored
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf_micro", expr("((__n - df_docs + 1L) * 1000000L) div (df_docs + 1L)"))
+      .withColumn("score_micro",
+        expr("(__idf_micro * tf * 44L * __avgdl) div (20L * __avgdl * tf + 6L * __avgdl + 18L * dl)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("term"), col("rnk"), col(idCol), col("tf"),
+        col("df_docs"), col("score_micro"))
+  }
+}

@@ -54,4 +54,36 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Token-budget subsample: per stratum (source/domain), admit documents
+    * in deterministic hash order until the stratum's token budget is
+    * reached — the "N tokens per domain" step that turns mixture WEIGHTS
+    * into an actual training set. A document is admitted iff the budget
+    * was not yet exhausted when its turn came (its cumulative predecessor
+    * total < budget), so the final admitted doc may overshoot — the
+    * standard greedy semantics, and the only prefix-local rule (admit
+    * decisions depend on a running sum, never on later rows).
+    *
+    * One shuffle (hash partition by stratum) + a per-stratum sort window —
+    * the same shape as [[stratifiedSample]]; at 100 TB strata are domains
+    * (tens to thousands), and a skewed mega-domain is bounded by its own
+    * budget: the window scans in admitted-order and everything past the
+    * budget is filtered on the spot.
+    *
+    * Output: the admitted rows plus `n_tokens` and `cum_tokens` (the
+    * stratum's running total INCLUDING this row, in admission order).
+    */
+  def tokenBudgetSample(
+      df: DataFrame, strataCol: String, keyCol: String, tokenCountCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashBucket16(col(keyCol)), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCountCol)).over(w))
+      .filter(col("cum_tokens") - col(tokenCountCol) < budget)
+  }
 }

@@ -120,11 +120,6 @@ object TextStats {
       .select(col("id"), col("token"), col("tf"), col("df_docs"), col("tfidf_bp"), col("rnk"))
   }
 
-  /** Marker-stopword language-ID heuristic: count hits per language's
-    * marker set, predict the argmax (ties and zero-hits fall back to "und").
-    * A real system would use char-n-gram profiles; the *shape* (per-language
-    * conditional counts + argmax, no shuffle) is what matters at scale.
-    */
   /** Within-document repetition (the Gopher/MassiveText duplicate-n-gram
     * quality filter, Rae et al. 2021 §A1.1): what fraction of a document's
     * word n-grams are repeats of an earlier n-gram in the same document.
@@ -150,6 +145,11 @@ object TextStats {
           .otherwise(0L).as("rep_bp"))
   }
 
+  /** Marker-stopword language-ID heuristic: count hits per language's
+    * marker set, predict the argmax (ties and zero-hits fall back to "und").
+    * A real system would use char-n-gram profiles; the *shape* (per-language
+    * conditional counts + argmax, no shuffle) is what matters at scale.
+    */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, Decontaminate, Multimodal, Packing, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Decontaminate, Multimodal, Packing, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -720,6 +720,62 @@ object ExtensionQueries {
       FROM documents d LEFT JOIN a USING (doc_id)""")
   )
 
+  // Retrieval 1: BM25 top-10 per query term, exact-integer house
+  // arithmetic (see Retrieval.bm25TopK scaladoc for the derivation — the
+  // oracle repeats the identical integer formula).
+  private val q64 = Q(
+    "q64_bm25_topk",
+    (s, dir) => Retrieval.bm25TopK(docsSpread(s, dir), "doc_id", "text",
+      queryTerms = Seq("table", "query", "join"), k = 10),
+    Some(s"""WITH $toksCte,
+      pd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toks),
+      stats AS (SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM pd),
+      tfs AS (
+        SELECT doc_id, dl, 'table' AS term,
+          CAST(len(list_filter(w, x -> x = 'table')) AS BIGINT) AS tf FROM pd
+        UNION ALL SELECT doc_id, dl, 'query',
+          CAST(len(list_filter(w, x -> x = 'query')) AS BIGINT) FROM pd
+        UNION ALL SELECT doc_id, dl, 'join',
+          CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) FROM pd),
+      sc AS (SELECT * FROM tfs WHERE tf > 0),
+      dft AS (SELECT term, count(*) AS df_docs FROM sc GROUP BY 1),
+      scored AS (SELECT s.doc_id, s.term, s.tf, d.df_docs,
+          ((((st.n - d.df_docs + 1) * 1000000) // (d.df_docs + 1))
+            * s.tf * 44 * st.avgdl)
+          // (20 * st.avgdl * s.tf + 6 * st.avgdl + 18 * s.dl) AS score_micro
+        FROM sc s JOIN dft d USING (term) CROSS JOIN stats st),
+      ranked AS (SELECT term,
+          CAST(row_number() OVER (PARTITION BY term
+            ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk,
+          doc_id, tf, CAST(df_docs AS BIGINT) AS df_docs,
+          CAST(score_micro AS BIGINT) AS score_micro
+        FROM scored)
+      SELECT term, rnk, doc_id, tf, df_docs, score_micro
+      FROM ranked WHERE rnk <= 10""")
+  )
+
+  // Curation 11: token-budget subsample — admit docs per source in
+  // deterministic hash order until 800 tokens; mixture weights → actual
+  // training set.
+  private val q65 = Q(
+    "q65_token_budget",
+    (s, dir) => {
+      val base = docsSpread(s, dir).select(
+        col("doc_id"), col("source"),
+        size(TextDedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.tokenBudgetSample(base, "source", "doc_id", "n_tokens", budget = 800L)
+    },
+    Some(s"""WITH $toksCte,
+      b AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+          (${TrainingQueries.md5Bucket16Sql("doc_id")}) AS h FROM toks),
+      c AS (SELECT doc_id, source, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+      SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+      FROM c WHERE cum - n_tokens < 800""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62, q63)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
+    q63, q64, q65)
 }

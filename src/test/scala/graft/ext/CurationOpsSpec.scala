@@ -76,6 +76,54 @@ class CurationOpsSpec extends SparkFunSuite {
     assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((0L, 2L, 3L)))
   }
 
+  // ---- Retrieval (BM25) ----
+
+  test("bm25TopK ranks higher-tf docs first and respects doc-length normalization") {
+    val docs = Seq(
+      (1L, "cat cat cat"),                         // tf=3, dl=3
+      (2L, "cat dog bird fish mouse horse"),       // tf=1, dl=6
+      (3L, "cat cat dog bird"),                    // tf=2, dl=4
+      (4L, "dog dog dog")                          // tf=0 → absent for 'cat'
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 10)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L)) // by tf density
+    // exact integer recomputation: N=4, sumdl=16, avgdl=4, df=3, idf=(4-3+1)*1e6/4=500000
+    val scores = out.map(r => r.getLong(2) -> r.getLong(5)).toMap
+    def s(tf: Long, dl: Long): Long =
+      (500000L * tf * 44 * 4) / (20 * 4 * tf + 6 * 4 + 18 * dl)
+    assert(scores(1L) == s(3, 3) && scores(3L) == s(2, 4) && scores(2L) == s(1, 6))
+  }
+
+  test("bm25TopK caps output at k per term with doc_id tiebreak") {
+    val docs = (0L until 20L).map(i => (i, "term filler")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("term"), k = 5).collect()
+    // all docs tie on (tf, dl) → scores equal → first 5 doc_ids win
+    assert(out.map(_.getLong(2)).sorted.toSeq == (0L until 5L))
+  }
+
+  // ---- tokenBudgetSample ----
+
+  test("tokenBudgetSample admits in hash order until the stratum budget") {
+    val docs = (0L until 30L).map(i => (i, if (i < 15) "a" else "b", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens", budget = 45L)
+      .collect()
+    // budget 45 at 10 tokens/doc → 5 docs per stratum (5th starts at 40 < 45)
+    assert(out.groupBy(_.getString(1)).view.mapValues(_.length).toMap == Map("a" -> 5, "b" -> 5))
+    // cum_tokens is the inclusive running total in admission order
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(10L, 20L, 30L, 40L, 50L))
+    }
+  }
+
+  test("tokenBudgetSample admits the budget-crossing doc, then stops") {
+    val docs = Seq((1L, "x", 100L), (2L, "x", 100L)).toDF("doc_id", "source", "n_tokens")
+    // budget 1: only the first doc in hash order is admitted (it overshoots)
+    val one = Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens", budget = 1L).collect()
+    assert(one.length == 1 && one.head.getLong(3) == 100L)
+  }
+
   // ---- repetitionStats ----
 
   test("repetitionStats measures duplicate-shingle share in basis points") {
