@@ -92,6 +92,36 @@ object VectorSearch {
     rankTopK(q.join(c), k, roundDigits, d)
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor, the
+    * `k` most cosine-similar corpus rows whose label DIFFERS from the
+    * anchor's — the near-miss negatives that make contrastive batches
+    * informative (easy negatives are already far away; hard ones sit just
+    * across the decision boundary). Same broadcast-anchor shape as
+    * [[bruteForceTopK]] — the anchor set is the small side (a curated
+    * probe set), the corpus streams by untouched — with the label
+    * inequality riding the join as a residual predicate, so same-label
+    * rows are dropped inside the join, never ranked. At corpus scale the
+    * same signature composes with the [[lshTopK]]/[[ivfTopK]] routing
+    * instead of the broadcast product.
+    * Output: (qid, id, sim, rank) — rank over different-label rows only.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, qLabelCol: String,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, roundDigits: Int = 4
+  ): DataFrame = {
+    val d = dotFn(queries.sparkSession)
+    val q = broadcast(
+      queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"),
+          col(qLabelCol).cast("long").as("__qlbl"))
+        .withColumn("__qn", sqrt(d(col("__qv"), col("__qv")))))
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"),
+        col(labelCol).cast("long").as("__clbl"))
+      .withColumn("__cn", sqrt(d(col("__cv"), col("__cv"))))
+    rankTopK(q.join(c, col("__qlbl") =!= col("__clbl")), k, roundDigits, d)
+  }
+
   /** LSH-bucketed approximate top-k: candidates are corpus rows in the same
     * sign bucket as the query — an equi-join instead of a cross join.
     * Same output shape as [[bruteForceTopK]]; queries whose bucket is empty

@@ -775,7 +775,30 @@ object ExtensionQueries {
       FROM c WHERE cum - n_tokens < 800""")
   )
 
+  // Retrieval 2: hard-negative mining — per anchor (vec_id < 10), the 5
+  // most similar corpus vectors with a DIFFERENT label (contrastive
+  // training negatives). Same broadcast-anchor shape as q26 with the
+  // label-inequality predicate riding the join.
+  private val q66 = Q(
+    "q66_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.hardNegatives(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS id, label AS cl, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= 10),
+      scored AS (SELECT qid, id, round(${duckCos("q.v", "c.v")}, 4) AS sim
+        FROM q, c WHERE q.ql <> c.cl)
+      SELECT qid, id, sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 5""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
-    q63, q64, q65)
+    q63, q64, q65, q66)
 }

@@ -34,6 +34,22 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(top.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("hardNegatives excludes same-label rows and ranks the rest") {
+    val lbl = Seq(
+      (1L, Array(1f, 0f, 0f), 0),  // anchor, label 0
+      (2L, Array(1f, 0f, 0f), 0),  // identical but SAME label → excluded
+      (3L, Array(0.9f, 0.1f, 0f), 1), // closest different-label
+      (4L, Array(0f, 1f, 0f), 1),
+      (5L, Array(-1f, 0f, 0f), 2)
+    ).toDF("id", "embedding", "label")
+    val out = VectorSearch.hardNegatives(
+      lbl.filter($"id" === 1L), lbl.filter($"id" =!= 1L),
+      "id", "embedding", "label", "id", "embedding", "label", k = 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 4L, 5L)) // 2L never appears
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("signBucket groups identical sign patterns; nearDupPairs finds planted dup") {
     val planted = vecs.union(Seq((100L, Array(1f, 0f, 0f))).toDF("id", "embedding"))
     val pairs = VectorSearch.nearDupPairs(planted, "id", "embedding", bits = 3, threshold = 0.999)
