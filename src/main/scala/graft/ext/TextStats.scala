@@ -145,6 +145,31 @@ object TextStats {
           .otherwise(0L).as("rep_bp"))
   }
 
+  /** PII detection (the scan half of a scrub pipeline — q56 is the rewrite
+    * half): count email addresses, URLs, and long digit runs (phone/ID
+    * shaped) per document and flag documents needing redaction. Patterns
+    * are deliberately conservative regexes that mean the same thing in
+    * any RE2-style engine; a production system would swap in a curated
+    * pattern pack, the *shape* (pure regex projection, no shuffle) is the
+    * scale contract.
+    * Output: id, n_emails, n_urls, n_digit_runs, has_pii.
+    */
+  val EmailPattern    = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+  val UrlPattern      = "https?://[^\\s]+"
+  val DigitRunPattern = "[0-9]{7,}"
+
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def hits(p: String) =
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast("long")
+    df.select(
+        col(idCol),
+        hits(EmailPattern).as("n_emails"),
+        hits(UrlPattern).as("n_urls"),
+        hits(DigitRunPattern).as("n_digit_runs"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_urls") + col("n_digit_runs") > 0)
+  }
+
   /** Marker-stopword language-ID heuristic: count hits per language's
     * marker set, predict the argmax (ties and zero-hits fall back to "und").
     * A real system would use char-n-gram profiles; the *shape* (per-language

@@ -234,6 +234,47 @@ object VectorSearch {
     rankTopK(routed.join(c, "__list"), k, roundDigits, d)
   }
 
+  /** Sign random projection (the Johnson–Lindenstrauss-style sketch with a
+    * ±1 matrix — Achlioptas, "Database-friendly random projections", PODS
+    * 2001): project each embedding onto `outDims` fixed ±1 directions,
+    * the cheap dimensionality reduction that shrinks vectors before ANN
+    * routing or coarse clustering. The projection matrix is DERIVED, not
+    * stored: sign(i,j) = parity of md5("i|j"), so any engine (and any
+    * re-run) reconstructs the identical matrix from the dimension indices
+    * alone.
+    *
+    * Exact-integer house arithmetic: coordinates are scaled to micro-units
+    * (round(x·1e6) as BIGINT, the [[labelCentroids]] pattern) before the
+    * signed sum, so results are bit-reproducible under any partitioning
+    * and engine. Pure projection — no shuffle, no state; |out| ≤
+    * inDims·1e6 per component, far inside BIGINT.
+    *
+    * Output: (id, dim [0-based output index], proj_micro).
+    */
+  def signRandomProjection(
+      df: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int
+  ): DataFrame = {
+    val micro = transform(asDouble(col(vecCol)), x => round(x * 1e6).cast("long"))
+    val projs = (0 until outDims).map { j =>
+      val signs = array((0 until inDims).map(i => lit(signAt(i, j).toLong)): _*)
+      aggregate(zip_with(micro, signs, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    }
+    df.select(col(idCol), posexplode(array(projs: _*)))
+      .select(col(idCol), col("pos").cast("long").as("dim"),
+        col("col").as("proj_micro"))
+  }
+
+  /** The ±1 entry (i, j) of the derived projection matrix: parity of the
+    * first byte of md5("i|j"). Deterministic and engine-free — the oracle
+    * recomputes the same literals from the same formula.
+    */
+  def signAt(i: Int, j: Int): Int = {
+    val b = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i|$j".getBytes("UTF-8")).head
+    if ((b & 1) == 1) 1 else -1
+  }
+
   /** Per-label centroid of an embedding column, one output row per
     * (label, dimension): the mean of each coordinate in exact-integer
     * micro-units (each float is scaled by 1e6 and rounded to BIGINT before

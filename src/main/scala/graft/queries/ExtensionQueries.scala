@@ -798,7 +798,59 @@ object ExtensionQueries {
       FROM scored QUALIFY rnk <= 5""")
   )
 
+  // Similarity 6: sign random projection (JL sketch) — 64-dim embeddings
+  // down to 8 ±1-projected components in exact micro-int arithmetic; the
+  // derived md5-parity matrix reconstructs identically in the oracle.
+  private val q67 = Q(
+    "q67_sign_projection",
+    (s, dir) => VectorSearch.signRandomProjection(
+      Tables.embeddings(s, dir), "vec_id", "embedding", inDims = 64, outDims = 8),
+    Some {
+      (0 until 8).map { j =>
+        val signs = (0 until 64).map(i => VectorSearch.signAt(i, j)).mkString(", ")
+        s"""SELECT vec_id, CAST($j AS BIGINT) AS dim,
+        CAST(list_sum(list_transform(range(1, 65),
+          i -> CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+            * list_extract([$signs], i))) AS BIGINT) AS proj_micro
+      FROM embeddings"""
+      }.mkString("\n      UNION ALL\n")
+    }
+  )
+
+  // Curation 12: PII detection (scan half of the q56 scrub pipeline). The
+  // corpus has no natural PII, so emails / URLs / digit runs are planted
+  // deterministically inside the query — both engines see the identical
+  // corpus (the q21/q27 pattern).
+  private val q68 = Q(
+    "q68_pii_scan",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), id, lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" see https://example.org/d/"), id)).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" ref 1234567"), id)).otherwise(lit(""))).as("text"))
+      TextStats.piiStats(planted, "doc_id", "text")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text ||
+        CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN ' see https://example.org/d/' || doc_id ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0 THEN ' ref 1234567' || doc_id ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs,
+        (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}'))
+          + len(regexp_extract_all(text, 'https?://[^\s]+'))
+          + len(regexp_extract_all(text, '[0-9]{7,}')) > 0) AS has_pii
+      FROM corpus""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
-    q63, q64, q65, q66)
+    q63, q64, q65, q66, q67, q68)
 }

@@ -124,6 +124,45 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(one.length == 1 && one.head.getLong(3) == 100L)
   }
 
+  // ---- signRandomProjection ----
+
+  test("signRandomProjection computes exact signed micro sums") {
+    val vecs = Seq((1L, Array(1.0f, -0.5f, 0.25f))).toDF("id", "embedding")
+    val out = VectorSearch.signRandomProjection(vecs, "id", "embedding", inDims = 3, outDims = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    for (j <- 0 until 4) {
+      val expected = Seq(1000000L, -500000L, 250000L).zipWithIndex
+        .map { case (m, i) => m * VectorSearch.signAt(i, j) }.sum
+      assert(out(j.toLong) == expected, s"dim $j")
+    }
+  }
+
+  test("signAt is a balanced-ish deterministic ±1 matrix") {
+    val entries = for (i <- 0 until 64; j <- 0 until 8) yield VectorSearch.signAt(i, j)
+    assert(entries.forall(s => s == 1 || s == -1))
+    // parity of md5 should not collapse to one sign
+    val pos = entries.count(_ == 1)
+    assert(pos > entries.size / 4 && pos < entries.size * 3 / 4)
+    assert(VectorSearch.signAt(3, 5) == VectorSearch.signAt(3, 5)) // stable
+  }
+
+  // ---- piiStats ----
+
+  test("piiStats counts emails, urls, digit runs and flags") {
+    val docs = Seq(
+      (1L, "write to alice.smith@corp.example.org today"),
+      (2L, "fetch https://a.example.com/x and http://b.example.net"),
+      (3L, "card 12345678901 and pin 9876543"),
+      (4L, "nothing suspicious here 123 456")
+    ).toDF("doc_id", "text")
+    val out = TextStats.piiStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, true)))
+    assert(out(2L) == ((0L, 2L, 0L, true)))
+    assert(out(3L) == ((0L, 0L, 2L, true)))
+    assert(out(4L) == ((0L, 0L, 0L, false)))
+  }
+
   // ---- repetitionStats ----
 
   test("repetitionStats measures duplicate-shingle share in basis points") {
