@@ -850,7 +850,110 @@ object ExtensionQueries {
       FROM corpus""")
   )
 
+  // Curation 13 (showpiece): the WHOLE curation pipeline end-to-end — the
+  // q58-style composition proof for the training-data tier. Stages, in
+  // drop-precedence order, each only judging survivors of the previous:
+  //   1. exact dedup (planted copies → keep the min-id canonical),
+  //   2. quality filter (n_tokens < 5 or duplicate-bigram share ≥ 6%),
+  //   3. decontamination (any 5-gram shared with the val split; 5-grams —
+  //      trigrams on this tiny-vocab corpus flag 96% of docs),
+  //   4. per-source token budget (700) in deterministic hash order.
+  // Output: one verdict row per corpus doc. The oracle chains the same
+  // stages as CTEs; every stage reuses an operator already oracle-proven
+  // alone (q21/q63/q61/q65), so this query pins their COMPOSITION.
+  private val q69 = Q(
+    "q69_curation_pipeline",
+    (s, dir) => {
+      val lbl  = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      val docs = docsSpread(s, dir)
+      val base = docs.filter(lbl === "train").select(col("doc_id"), col("source"), col("text"))
+      val holdout = docs.filter(lbl === "val").select(col("doc_id"), col("text"))
+      val corpus = base.union(base.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      // 1: canonical = min id per content hash (one digest-keyed shuffle)
+      val canon = corpus.groupBy(md5(col("text").cast("binary")).as("__h"))
+        .agg(min(col("doc_id")).as("__canon"))
+      val s1 = corpus.withColumn("__h", md5(col("text").cast("binary")))
+        .join(canon, "__h")
+        .withColumn("is_dup", col("doc_id") =!= col("__canon"))
+      // 2: quality — pure projection
+      val toks = TextDedup.tokens(col("text"))
+      val sh   = TextDedup.wordShingles(toks, 2)
+      val s2 = s1
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("__nsh", size(sh).cast("long"))
+        .withColumn("__nd", size(array_distinct(sh)).cast("long"))
+        .withColumn("rep_bp", when(col("__nsh") > 0,
+          expr("((__nsh - __nd) * 10000L) div __nsh")).otherwise(0L))
+        .withColumn("low_quality", col("n_tokens") < 5 || col("rep_bp") >= 600)
+      // 3: decontaminate the survivors (broadcast holdout digest set)
+      val cands = s2.filter(!col("is_dup") && !col("low_quality"))
+      val contam = Decontaminate.contamination(
+          cands.select(col("doc_id"), col("text")), holdout, "doc_id", "text", shingleN = 5)
+        .select(col("doc_id"), col("contaminated"))
+      val s3 = s2.join(contam, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      // 4: token budget over what's left
+      val surv = s3.filter(!col("is_dup") && !col("low_quality") && !col("contaminated"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+      val admitted = Sampling
+        .tokenBudgetSample(surv, "source", "doc_id", "n_tokens", budget = 700L)
+        .select(col("doc_id"), lit(true).as("__adm"))
+      s3.join(admitted, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          when(col("is_dup"), "dup")
+            .when(col("low_quality"), "low_quality")
+            .when(col("contaminated"), "contaminated")
+            .when(col("__adm").isNull, "over_budget")
+            .otherwise("kept").as("verdict"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, source, text FROM documents
+        WHERE (${TrainingQueries.md5Bucket16Sql("doc_id")}) < 58982),
+      hold_docs AS (SELECT doc_id, text FROM documents
+        WHERE (${TrainingQueries.md5Bucket16Sql("doc_id")}) >= 58982),
+      corpus AS (SELECT doc_id, source, text FROM base
+        UNION ALL SELECT doc_id + 100000, source, text FROM base WHERE doc_id % 10 = 0),
+      s1 AS (SELECT corpus.*,
+          (doc_id <> min(doc_id) OVER (PARTITION BY md5(text))) AS is_dup FROM corpus),
+      tk AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM corpus),
+      sh2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+        FROM tk, UNNEST(range(1, len(w))) AS t(i)),
+      rep AS (SELECT doc_id, count(*) AS nsh, count(DISTINCT s) AS nd FROM sh2 GROUP BY 1),
+      s2 AS (SELECT s1.doc_id, s1.source, CAST(len(tk.w) AS BIGINT) AS n_tokens, s1.is_dup,
+          (len(tk.w) < 5 OR COALESCE((rep.nsh - rep.nd) * 10000 // rep.nsh, 0) >= 600) AS low_quality
+        FROM s1 JOIN tk USING (doc_id) LEFT JOIN rep USING (doc_id)),
+      sh5c AS (SELECT DISTINCT tk.doc_id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        FROM tk JOIN s2 USING (doc_id), UNNEST(range(1, len(w)-3)) AS t(i)
+        WHERE NOT s2.is_dup AND NOT s2.low_quality),
+      htk AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM hold_docs),
+      hold5 AS (SELECT DISTINCT
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        FROM htk, UNNEST(range(1, len(w)-3)) AS t(i)),
+      contam AS (SELECT DISTINCT sh5c.doc_id FROM sh5c JOIN hold5 USING (s)),
+      s3 AS (SELECT s2.*,
+          (s2.doc_id IN (SELECT doc_id FROM contam)) AS contaminated FROM s2),
+      surv AS (SELECT doc_id, source, n_tokens,
+          (${TrainingQueries.md5Bucket16Sql("doc_id")}) AS hkey FROM s3
+        WHERE NOT is_dup AND NOT low_quality AND NOT contaminated),
+      adm AS (SELECT doc_id FROM (
+          SELECT doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY hkey, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM surv)
+        WHERE cum - n_tokens < 700)
+      SELECT doc_id, source, n_tokens,
+        CASE WHEN is_dup THEN 'dup'
+             WHEN low_quality THEN 'low_quality'
+             WHEN contaminated THEN 'contaminated'
+             WHEN doc_id NOT IN (SELECT doc_id FROM adm) THEN 'over_budget'
+             ELSE 'kept' END AS verdict
+      FROM s3""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68)
+    q63, q64, q65, q66, q67, q68, q69)
 }
