@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Components, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Decontaminate, TextDedup, TextStats, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,14 @@ object ScaleProbe {
       "embedding_neardup_guarded" -> (m =>
         VectorSearch.nearDupPairs(embAt(m), "vec_id", "embedding",
           bits = 6, threshold = 0.5, maxBucketSize = 64, extraBits = 6).count()),
+      // decontamination under MAXIMAL match density: docsAt replicas keep
+      // their interior shingles, so nearly every train trigram collides
+      // with the (fixed, unreplicated) holdout — the proof that the
+      // semi-join shape stays linear even when everything matches: holdout
+      // digests are distinct, so each train shingle joins at most one row
+      "decontaminate_matchheavy" -> (m =>
+        Decontaminate.contamination(docsAt(m), Tables.documents(spark, sfDir),
+          "doc_id", "text", shingleN = 3).count()),
       // the iterative fixpoint: band-star edges + pointer-jumped min-label
       // CC. docsAt replicas keep their interior shingles, so replicas of a
       // doc land in the same buckets and components MERGE across replicas —

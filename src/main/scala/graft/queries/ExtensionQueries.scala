@@ -870,12 +870,15 @@ object ExtensionQueries {
       val holdout = docs.filter(lbl === "val").select(col("doc_id"), col("text"))
       val corpus = base.union(base.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 100000L))
-      // 1: canonical = min id per content hash (one digest-keyed shuffle)
-      val canon = corpus.groupBy(md5(col("text").cast("binary")).as("__h"))
-        .agg(min(col("doc_id")).as("__canon"))
-      val s1 = corpus.withColumn("__h", md5(col("text").cast("binary")))
-        .join(canon, "__h")
-        .withColumn("is_dup", col("doc_id") =!= col("__canon"))
+      // 1: canonical = min id per content hash. A window over the digest
+      // (one shuffle, one corpus scan) instead of groupBy+self-join (which
+      // scans the corpus twice): every extra scan here re-runs the whole
+      // upstream projection chain, and this query's chain is the heaviest
+      // in the suite (tokenize + shingle + digest per doc).
+      val wDup = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val s1 = corpus
+        .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wDup))
       // 2: quality — pure projection
       val toks = TextDedup.tokens(col("text"))
       val sh   = TextDedup.wordShingles(toks, 2)
@@ -893,18 +896,24 @@ object ExtensionQueries {
         .select(col("doc_id"), col("contaminated"))
       val s3 = s2.join(contam, Seq("doc_id"), "left")
         .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
-      // 4: token budget over what's left
-      val surv = s3.filter(!col("is_dup") && !col("low_quality") && !col("contaminated"))
-        .select(col("doc_id"), col("source"), col("n_tokens"))
-      val admitted = Sampling
-        .tokenBudgetSample(surv, "source", "doc_id", "n_tokens", budget = 700L)
-        .select(col("doc_id"), lit(true).as("__adm"))
-      s3.join(admitted, Seq("doc_id"), "left")
+      // 4: token budget over what's left — as a survivor-filtered running
+      // sum in ONE window over s3 (non-survivors contribute 0, so survivor
+      // cum values equal the budget sampler's), not a separate admitted
+      // frame joined back: that join would re-evaluate the whole chain a
+      // second time.
+      val surviving = !col("is_dup") && !col("low_quality") && !col("contaminated")
+      val wBudget = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(Sampling.hashBucket16(col("doc_id")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = sum(when(surviving, col("n_tokens")).otherwise(0L)).over(wBudget)
+      s3.withColumn("__adm", surviving && (cum - col("n_tokens") < 700L))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           when(col("is_dup"), "dup")
             .when(col("low_quality"), "low_quality")
             .when(col("contaminated"), "contaminated")
-            .when(col("__adm").isNull, "over_budget")
+            .when(!col("__adm"), "over_budget")
             .otherwise("kept").as("verdict"))
     },
     Some(s"""WITH base AS (SELECT doc_id, source, text FROM documents
