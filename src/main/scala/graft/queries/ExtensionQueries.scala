@@ -505,6 +505,37 @@ object ExtensionQueries {
       FROM events GROUP BY 1""")
   )
 
+  // Quantile SKETCH beside the exact percentile (the scale path: q35's
+  // exact `percentile` buffers every value per group, the built-in GK
+  // sketch `approx_percentile` is bounded-memory and mergeable — the only
+  // shape that survives 100 TB groups). Envelope-checked like q36: the
+  // sketch guarantees rank error ≤ n/accuracy, so its value must sit
+  // between the exact interpolated quantiles at p ± 2/accuracy (2×
+  // margin swallows interpolation edge effects); the oracle states the
+  // booleans as literal TRUE, so a sketch outside its bound hash-fails.
+  private val q70 = Q(
+    "q70_quantile_sketch",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("price_cents", cents(col("l_extendedprice")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("round(percentile(price_cents, 0.5), 4)").as("med_exact"),
+          expr("approx_percentile(price_cents, 0.5, 1000)").as("__ap50"),
+          expr("approx_percentile(price_cents, 0.95, 1000)").as("__ap95"),
+          expr("percentile(price_cents, array(0.498, 0.502, 0.948, 0.952))").as("__b"))
+        .select(col("l_returnflag"), col("n"), col("med_exact"),
+          (col("__ap50") >= element_at(col("__b"), 1) &&
+            col("__ap50") <= element_at(col("__b"), 2)).as("p50_within_rank_bound"),
+          (col("__ap95") >= element_at(col("__b"), 3) &&
+            col("__ap95") <= element_at(col("__b"), 4)).as("p95_within_rank_bound")),
+    Some("""SELECT l_returnflag, count(*) AS n,
+      round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5), 4) AS med_exact,
+      TRUE AS p50_within_rank_bound, TRUE AS p95_within_rank_bound
+      FROM lineitem GROUP BY 1""")
+  )
+
   // Set operations: INTERSECT / EXCEPT over user cohorts
   private val q37 = Q(
     "q37_set_ops",
@@ -964,5 +995,5 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69)
+    q63, q64, q65, q66, q67, q68, q69, q70)
 }
