@@ -125,4 +125,35 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"assignment must not fall back to a product join:\n$p")
   }
+
+  test("q61: holdout digests and hit counts broadcast; train side never re-partitions") {
+    val p = plan("q61_decontaminate")
+    // two broadcasts: the distinct holdout digest set into the hit join,
+    // and the per-doc hit counts back onto the train frame
+    assert(p.split("BroadcastHashJoin").length >= 3, s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"train side must not shuffle for the joins:\n$p")
+  }
+
+  test("q62: sequence packing is one shard exchange + in-partition sort, never a global sort") {
+    val p = plan("q62_seq_pack")
+    assert(p.contains("Window"), s"expected a window plan:\n$p")
+    // hash partitioning on shard, not rangepartitioning (a global sort)
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"packing must hash-partition by shard:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"packing must not globally sort:\n$p")
+  }
+
+  test("q64: BM25 stats broadcast and top-k is rank-limited before the final window") {
+    val p = plan("q64_bm25_topk")
+    assert(p.contains("BroadcastExchange"), s"df/corpus stats must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must group-limit, not full-sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join belongs in this plan:\n$p")
+  }
+
+  test("q67: sign projection is a pure projection (no exchange at all)") {
+    val p = plan("q67_sign_projection")
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+  }
 }
