@@ -187,6 +187,48 @@ object StreamPipelines {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming ingest curation: the filter-at-ingest half of the batch
+    * curation pipeline (q69) applied to a document stream — junk is
+    * cheaper to drop before it is stored than to scrub after. Every
+    * quality signal is a pure projection (tokens / duplicate-shingle
+    * share / PII regexes — the [[graft.ext.TextStats]] formulas inlined on
+    * the stream), so the only state is the watermarked content-hash dedup,
+    * bounded by the same event-time horizon as everything else (T9).
+    *
+    * Emits admitted documents with their quality columns; drops exact
+    * re-deliveries (content digest within the watermark), documents under
+    * `minTokens`, documents whose duplicate-bigram share exceeds
+    * `maxRepBp`, and documents with detected PII.
+    */
+  def curateIngest(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String = "10 seconds",
+      minTokens: Int = 5,
+      maxRepBp: Long = 6000L
+  ): DataFrame = {
+    val toks = graft.ext.TextDedup.tokens(col(textCol))
+    val sh   = graft.ext.TextDedup.wordShingles(toks, 2)
+    val pii  = Seq(graft.ext.TextStats.EmailPattern, graft.ext.TextStats.UrlPattern,
+        graft.ext.TextStats.DigitRunPattern)
+      .map(p => size(regexp_extract_all(col(textCol), lit(p), lit(0))))
+      .reduce(_ + _)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("__nsh", size(sh).cast("long"))
+      .withColumn("__nd", size(array_distinct(sh)).cast("long"))
+      .withColumn("rep_bp", when(col("__nsh") > 0,
+        expr("((__nsh - __nd) * 10000L) div __nsh")).otherwise(0L))
+      .withColumn("__pii", pii)
+      .filter(col("n_tokens") >= minTokens && col("rep_bp") <= maxRepBp &&
+        col("__pii") === 0)
+      .withColumn("__digest", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__digest"))
+      .drop("__nsh", "__nd", "__pii", "__digest")
+  }
+
   /** Watermarked stream-stream interval join: left events matched to right
     * events with the same key whose event time falls in
     * [left.ts, left.ts + within]. Beyond the reference's surface (it

@@ -12,13 +12,14 @@ final case class Click(c_user: String, c_ts: Timestamp, click_id: Long)
 final case class Purchase(p_user: String, p_ts: Timestamp, amount: Double)
 final case class Ord(user_id: String, ts: Timestamp, event_id: Long, event_type: String, amount: Option[Double])
 final case class Cdc(op: String, ts_ms: Long, user_id: String, segment: String)
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 class StreamPipelinesSpec extends SparkFunSuite {
   import spark.implicits._
 
   private def t(s: String): Timestamp = Timestamp.valueOf(s)
   private def tmpDir(tag: String): String =
-    Files.createTempDirectory(s"graft-$tag").toString
+    graft.TestTmp.dir(tag)
 
   test("kafkaOptions builds the reference's exact option surface") {
     val opts = StreamPipelines.kafkaOptions(
@@ -335,6 +336,29 @@ class StreamPipelinesSpec extends SparkFunSuite {
       q.processAllAvailable()
       val ids = spark.table("dd").collect().map(_.getLong(2)).toSeq.sorted
       assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("curateIngest drops junk at ingest and dedups redelivered content") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamPipelines.curateIngest(input.toDF(), "ts", "text",
+        watermark = "10 seconds", minTokens = 3, maxRepBp = 5000L)
+      .writeStream.format("memory").queryName("cur").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:00"), "a clean document with enough words"),
+        Doc(2L, t("2024-01-01 10:00:00"), "too short"),                       // < 3 tokens
+        Doc(3L, t("2024-01-01 10:00:01"), "spam spam spam spam spam spam"),   // rep > 50%
+        Doc(4L, t("2024-01-01 10:00:01"), "mail me at bob@example.com now"),  // PII
+        Doc(5L, t("2024-01-01 10:00:02"), "a clean document with enough words")) // exact dup of 1
+      q.processAllAvailable()
+      val kept = spark.table("cur").collect().map(_.getLong(0)).toSeq.sorted
+      assert(kept == Seq(1L))
+      // a NEW clean document still flows after the dedup state is primed
+      input.addData(Doc(6L, t("2024-01-01 10:00:03"), "another clean and different document"))
+      q.processAllAvailable()
+      assert(spark.table("cur").collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 6L))
     } finally q.stop()
   }
 
