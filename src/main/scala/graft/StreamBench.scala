@@ -140,6 +140,14 @@ object StreamBench {
     q3.stop()
 
     println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // scratch tables + checkpoints are the bench's, not the user's: sweep
+    Seq(dir2, dir2b, dir3).foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(pp => Files.deleteIfExists(pp))
+    }
     spark.stop()
   }
 }

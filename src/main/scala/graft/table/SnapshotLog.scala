@@ -219,7 +219,12 @@ object SnapshotLog {
           else None
         return Manifest(op, segs, ts, tag, merge)
       }
-      if (attempts >= 20)
+      // 80 × 25 ms = 2 s of patience: a manifest that exists but is empty
+      // is usually a LIVE writer between create() and write() — a loser
+      // spinning here must outlast the winner's worst GC pause (a 500 ms
+      // window flaked under full-suite load), while a crash-truncated
+      // manifest still surfaces as an error rather than a hang.
+      if (attempts >= 80)
         throw new IllegalStateException(s"manifest $p unreadable after $attempts attempts")
       Thread.sleep(25L)
     }

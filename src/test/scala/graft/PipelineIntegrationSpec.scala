@@ -15,7 +15,7 @@ import java.nio.file.Files
 class PipelineIntegrationSpec extends SparkFunSuite {
 
   test("bronze → gold → serving → maintenance round trip") {
-    val root = Files.createTempDirectory("graft-e2e").toString
+    val root = TestTmp.dir("e2e")
     val ev = Tables.events(spark, sf)
 
     // 1. BRONZE: header+body projection, hour-partitioned append log

@@ -62,7 +62,7 @@ class GraftExpressionsSpec extends SparkFunSuite {
     // stays inside a WholeStageCodegen span — unlike aggregate/zip_with,
     // which force the projection out of codegen. Parquet-backed input so
     // constant folding can't collapse the plan.
-    val p = java.nio.file.Files.createTempDirectory("graft-dot").toString + "/v"
+    val p = graft.TestTmp.dir("dot") + "/v"
     emb.select($"vec_id", VectorSearch.asDouble($"embedding").as("v")).write.parquet(p)
     val dd = spark.read.parquet(p).select(GraftFunctions.dot($"v", $"v").as("d"))
     // "*(1)" is the whole-stage-codegen marker on the Project

@@ -8,7 +8,7 @@ import java.nio.file.Files
 class PartitionPredicateRewriteSpec extends SparkFunSuite {
 
   private lazy val tablePath: String = {
-    val p = Files.createTempDirectory("graft-hidden").toString + "/events"
+    val p = graft.TestTmp.dir("hidden") + "/events"
     TableLayout.partitionedWrite(
       Tables.events(spark, sf), p,
       partitions = Seq(TableLayout.daysPartition("ts")), sortCols = Seq("ts"))
@@ -41,7 +41,7 @@ class PartitionPredicateRewriteSpec extends SparkFunSuite {
   }
 
   test("hour-granularity partitions prune from raw-timestamp predicates") {
-    val p = Files.createTempDirectory("graft-hidden-h").toString + "/events"
+    val p = graft.TestTmp.dir("hidden-h") + "/events"
     TableLayout.partitionedWrite(
       Tables.events(spark, sf), p,
       partitions = Seq(TableLayout.hoursPartition("ts")))

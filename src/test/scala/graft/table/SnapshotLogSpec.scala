@@ -6,7 +6,7 @@ import java.nio.file.Files
 class SnapshotLogSpec extends SparkFunSuite {
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-snaplog").toString + "/t"
+  private def tmp(): String = graft.TestTmp.dir("snaplog") + "/t"
 
   test("commit/read round-trip with replace and append semantics") {
     val path = tmp()

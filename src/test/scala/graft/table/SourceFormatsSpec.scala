@@ -12,7 +12,7 @@ class SourceFormatsSpec extends SparkFunSuite {
   private lazy val orders = Tables.orders(spark, sf)
 
   test("csv round trip with explicit schema") {
-    val p = Files.createTempDirectory("graft-csv").toString + "/t"
+    val p = graft.TestTmp.dir("csv") + "/t"
     orders.write.option("header", "true").csv(p)
     val back = spark.read.option("header", "true").schema(orders.schema).csv(p)
     assert(back.count() == orders.count())
@@ -20,14 +20,14 @@ class SourceFormatsSpec extends SparkFunSuite {
   }
 
   test("json round trip with explicit schema") {
-    val p = Files.createTempDirectory("graft-json").toString + "/t"
+    val p = graft.TestTmp.dir("json") + "/t"
     orders.write.json(p)
     val back = spark.read.schema(orders.schema).json(p)
     assert(back.count() == orders.count())
   }
 
   test("orc round trip") {
-    val p = Files.createTempDirectory("graft-orc").toString + "/t"
+    val p = graft.TestTmp.dir("orc") + "/t"
     orders.write.orc(p)
     val back = spark.read.orc(p)
     assert(back.count() == orders.count())

@@ -7,7 +7,7 @@ import java.nio.file.Files
 class TableLayoutSpec extends SparkFunSuite {
   import spark.implicits._
 
-  private def tmp(tag: String): String = Files.createTempDirectory(s"graft-$tag").toString
+  private def tmp(tag: String): String = graft.TestTmp.dir(tag)
 
   private lazy val rows = Seq(
     ("2024-01-01 10:00:00", "a", 1.0), ("2024-01-01 11:00:00", "b", 2.0),
