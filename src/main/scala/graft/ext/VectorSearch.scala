@@ -197,15 +197,17 @@ object VectorSearch {
     * representative per `listCol` value (deterministic — no float-summed
     * centroid training, so the same quantizer falls out on any engine);
     * each query probes only the inverted list whose representative is most
-    * cosine-similar. The classic IVF trade: one cheap nprobe=1 routing step
+    * cosine-similar (`nprobe` lists for higher recall at `nprobe`/nlists
+    * of the scan cost). The classic IVF trade: a cheap routing step
     * cuts the scanned corpus to ~1/nlists. At 100 TB the corpus would be
     * partitioned (bucketBy) on the list id so a probe touches one partition.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       qIdCol: String, qVecCol: String, idCol: String, vecCol: String, listCol: String,
-      k: Int, roundDigits: Int = 4
+      k: Int, roundDigits: Int = 4, nprobe: Int = 1
   ): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val d = dotFn(queries.sparkSession)
     // representative per list = the member with the smallest id; min_by
     // resolves it in ONE partial-aggregable shuffle (an earlier min-id
@@ -226,7 +228,7 @@ object VectorSearch {
         round(when(routeDenom =!= 0.0, d(col("__qv"), col("__rv")) / routeDenom), roundDigits))
       .withColumn("__rrnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("__rsim").desc, col("__list"))))
-      .filter(col("__rrnk") === 1)
+      .filter(col("__rrnk") <= nprobe)
       .select(col("qid"), col("__qv"), col("__qn"), col("__list")))
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"),
       col(listCol).as("__list"))

@@ -993,7 +993,37 @@ object ExtensionQueries {
       FROM s3""")
   )
 
+  // Similarity 7: IVF with multi-probe — q38's router probing the TWO
+  // best lists per query (the recall knob: nprobe/nlists of the scan cost
+  // buys back the neighbors that sit just across a list boundary).
+  private val q71 = Q(
+    "q71_ann_ivf_multiprobe",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.ivfTopK(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", "label", k = 3, nprobe = 2)
+    },
+    Some(s"""WITH c AS (SELECT vec_id AS id, label AS list, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= 10),
+      reps AS (SELECT list, v AS rv FROM (
+        SELECT list, v, row_number() OVER (PARTITION BY list ORDER BY id) AS rn FROM c)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+      routed0 AS (SELECT q.qid, q.v AS qv, reps.list,
+          round(${duckCos("q.v", "reps.rv")}, 4) AS rsim
+        FROM q, reps),
+      routed AS (SELECT qid, qv, list FROM (
+        SELECT qid, qv, list, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, list) AS rrnk
+        FROM routed0) WHERE rrnk <= 2),
+      scored AS (SELECT r.qid, c.id, round(${duckCos("r.qv", "c.v")}, 4) AS sim
+        FROM routed r JOIN c ON r.list = c.list)
+      SELECT qid, id, sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 3""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }

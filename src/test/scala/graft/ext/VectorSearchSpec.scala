@@ -50,6 +50,25 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("ivfTopK nprobe=2 recovers a neighbor just across the list boundary") {
+    // list 0's rep is closest to the query AMONG REPS, but the true
+    // nearest member (id 21, an exact match) lives in list 1 behind a
+    // mediocre rep — nprobe=1 routes to list 0 only and misses it,
+    // nprobe=2 probes both lists and finds it
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f), 0),      // list 0 rep (min id): cos ≈ 0.995
+      (11L, Array(0.6f, 0.8f, 0f), 0),  // cos ≈ 0.68
+      (20L, Array(0.7f, 0.7f, 0f), 1),  // list 1 rep (min id): cos ≈ 0.77
+      (21L, Array(1f, 0.1f, 0f), 1)     // exact match: cos = 1.0
+    ).toDF("id", "embedding", "label")
+    val query = Seq((1L, Array(1f, 0.1f, 0f))).toDF("id", "embedding")
+    def top(nprobe: Int) = VectorSearch.ivfTopK(query, corpus,
+        "id", "embedding", "id", "embedding", "label", k = 1, nprobe = nprobe)
+      .collect().map(_.getLong(1)).toSeq
+    assert(top(1) == Seq(10L)) // routed to list 0 only: best member is its rep
+    assert(top(2) == Seq(21L)) // list 1's members join: the exact match wins
+  }
+
   test("signBucket groups identical sign patterns; nearDupPairs finds planted dup") {
     val planted = vecs.union(Seq((100L, Array(1f, 0f, 0f))).toDF("id", "embedding"))
     val pairs = VectorSearch.nearDupPairs(planted, "id", "embedding", bits = 3, threshold = 0.999)
