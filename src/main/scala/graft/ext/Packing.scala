@@ -29,6 +29,43 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Document chunking for retrieval pipelines: split each document's
+    * token stream into fixed-size windows advancing by `stride` tokens
+    * (overlap = chunkTokens − stride), the RAG-ingest sibling of
+    * [[packSequences]] — packing concatenates ACROSS documents for
+    * training, chunking splits WITHIN a document for retrieval, and a
+    * trailing partial window is kept (dropping it loses document ends).
+    * Pure per-document work: one `posexplode` over the chunk-start
+    * sequence, all offsets derived arithmetically — no shuffle, no state.
+    *
+    * Output: (id, chunk_id [0-based], tok_start, tok_end [exclusive],
+    * n_chunk_tokens, chunk_text).
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int
+  ): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val n = size(TextDedup.tokens(col(textCol))).cast("long")
+    df.select(col(idCol), col(textCol),
+        TextDedup.tokens(col(textCol)).as("__toks"), n.as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__nchunks", expr(s"(__n + ${stride - 1}L) div ${stride}L"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0L), col("__nchunks") - 1L)))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        (col("col") * stride).as("tok_start"),
+        least(col("col") * stride + chunkTokens, col("__n")).as("tok_end"),
+        (least(col("col") * stride + chunkTokens, col("__n")) - col("col") * stride)
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), (col("col") * stride + 1).cast("int"),
+          least(lit(chunkTokens.toLong), col("__n") - col("col") * stride).cast("int")))
+          .as("chunk_text"))
+  }
+
   def packSequences(
       df: DataFrame, idCol: String, textCol: String, ctxLen: Int
   ): DataFrame = {

@@ -1023,7 +1023,41 @@ object ExtensionQueries {
       FROM scored QUALIFY rnk <= 3""")
   )
 
+  // Curation 14: RAG-style document chunking — 40-token windows advancing
+  // by 30 (10-token overlap), trailing partial window kept.
+  private val q72 = Q(
+    "q72_doc_chunks",
+    (s, dir) => Packing.chunkDocuments(docsSpread(s, dir), "doc_id", "text",
+      chunkTokens = 40, stride = 30),
+    Some(s"""WITH $toksCte,
+      t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks WHERE len(w) > 0),
+      ch AS (SELECT doc_id, w, n, CAST(i AS BIGINT) AS cid
+        FROM t, UNNEST(range(0, (n + 29) // 30)) AS u(i))
+      SELECT doc_id, cid AS chunk_id,
+        cid * 30 AS tok_start,
+        least(cid * 30 + 40, n) AS tok_end,
+        least(cid * 30 + 40, n) - cid * 30 AS n_chunk_tokens,
+        array_to_string(w[CAST(cid * 30 + 1 AS INT) : CAST(least(cid * 30 + 40, n) AS INT)], ' ') AS chunk_text
+      FROM ch""")
+  )
+
+  // Similarity 8: int8 embedding quantization — exact micro-int min/max
+  // scaling, the 4× storage cut for a 100 TB embedding store.
+  private val q73 = Q(
+    "q73_quantize_int8",
+    (s, dir) => VectorSearch.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding"),
+    Some("""WITH m AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS mv
+        FROM embeddings),
+      b AS (SELECT vec_id, mv, list_min(mv) AS mn, list_max(mv) AS mx FROM m)
+      SELECT vec_id, CAST(i AS BIGINT) AS dim,
+        CAST(CASE WHEN mx = mn THEN 0
+          ELSE ((mv[i] - mn) * 254) // (mx - mn) - 127 END AS BIGINT) AS code,
+        mn AS mn_micro, mx AS mx_micro
+      FROM b, UNNEST(range(1, len(mv) + 1)) AS t(i)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

@@ -124,6 +124,48 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(one.length == 1 && one.head.getLong(3) == 100L)
   }
 
+  // ---- chunkDocuments ----
+
+  test("chunkDocuments tiles with overlap and keeps the partial tail") {
+    val docs = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, "doc_id", "text", chunkTokens = 10, stride = 7)
+      .orderBy("chunk_id").collect()
+    // 25 tokens, stride 7 → starts 0,7,14,21 (4 chunks; last is partial)
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 10L), (1L, 7L, 17L), (2L, 14L, 24L), (3L, 21L, 25L)))
+    // chunk text is the exact token slice
+    assert(out(1).getString(5) == (8 to 17).map(i => s"t$i").mkString(" "))
+    assert(out(3).getString(5) == (22 to 25).map(i => s"t$i").mkString(" "))
+    // consecutive chunks overlap by chunkTokens - stride = 3
+    assert(out(0).getLong(3) - out(1).getLong(2) == 3L)
+  }
+
+  test("chunkDocuments drops token-free docs; single short doc is one chunk") {
+    val docs = Seq((1L, "  "), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, "doc_id", "text", 10, 7).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    assert((out.head.getLong(2), out.head.getLong(3), out.head.getString(5)) == ((0L, 3L, "a b c")))
+  }
+
+  // ---- quantizeInt8 ----
+
+  test("quantizeInt8 codes are exact and dequantize within a half step") {
+    val vecs = Seq((1L, Array(-1.0f, 0.0f, 0.5f, 1.0f)), (2L, Array(0.3f, 0.3f))).toDF("id", "embedding")
+    val out = VectorSearch.quantizeInt8(vecs, "id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // vector 1: mn=-1e6, mx=1e6 → code = (m+1e6)*254/2e6 - 127
+    assert(out((1L, 1L))._1 == -127L)                      // min → -127
+    assert(out((1L, 4L))._1 == 127L)                       // max → 127
+    assert(out((1L, 2L))._1 == 0L)                         // midpoint → 0
+    assert(out((1L, 3L))._1 == ((1500000L * 254L) / 2000000L - 127L)) // 63
+    // constant vector codes to 0 with mn = mx
+    assert(out((2L, 1L)) == ((0L, 300000L, 300000L)))
+    // dequantization error ≤ half a quantization step
+    val (code, mn, mx) = out((1L, 3L))
+    val deq = mn + (code + 127L) * (mx - mn) / 254.0
+    assert(math.abs(deq - 500000.0) <= (mx - mn) / 254.0)
+  }
+
   // ---- signRandomProjection ----
 
   test("signRandomProjection computes exact signed micro sums") {
