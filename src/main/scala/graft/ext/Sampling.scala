@@ -86,4 +86,29 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(tokenCountCol)).over(w))
       .filter(col("cum_tokens") - col(tokenCountCol) < budget)
   }
+
+  /** Dataset-mixture reweighting: keep each row with a per-group Bernoulli
+    * rate (basis points), `defaultBp` for groups not in the map — the
+    * "upsample curated sources, downsample the crawl" step that applies
+    * mixture WEIGHTS as admission rates (vs [[tokenBudgetSample]], which
+    * applies absolute token CAPS). Hash-driven like every sampler here, so
+    * a document's fate is a pure function of its key and never changes
+    * across reruns or repartitioning; the keep test is the exact integer
+    * cross-comparison `bucket·10000 < rate·65536` — no division anywhere,
+    * so there is no floor-semantics edge to keep aligned across engines.
+    * Pure codegen projection+filter, no shuffle; the rate map is a CASE
+    * chain (mixtures have tens of sources, not millions — a map-scale
+    * rate table would broadcast-join instead).
+    */
+  def mixtureSample(
+      df: DataFrame, groupCol: String, keyCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int
+  ): DataFrame = {
+    require((defaultBp +: ratesBp.values.toSeq).forall(r => r >= 0 && r <= 10000),
+      "rates must be in [0, 10000] basis points")
+    val rate = ratesBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp.toLong)) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(r.toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket16(col(keyCol)) * 10000L < rate * 65536L)
+  }
 }

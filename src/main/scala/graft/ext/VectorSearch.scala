@@ -298,6 +298,53 @@ object VectorSearch {
         col("__mx").as("mx_micro"))
   }
 
+  /** Retrieval over the QUANTIZED representation: top-k by dot product
+    * computed entirely on int8-reconstructed integers — the search path
+    * that pairs with [[quantizeInt8]]'s storage cut (scan 1/4 the bytes,
+    * rank, optionally re-score survivors on the full floats). Same
+    * broadcast-query shape as [[bruteForceTopK]]; only the scoring
+    * representation changes.
+    *
+    * Exactness: coordinates are quantized at MILLI scale (round(x·1e3)),
+    * codes by the same min/max rule as [[quantizeInt8]], and each
+    * coordinate reconstructs as the integer `mn·254 + (code+127)·(mx−mn)`
+    * — i.e. the dequantized value ×254, with no division after the code
+    * step (the one `div` has a non-negative numerator, where Spark `div`
+    * and DuckDB `//` agree). Milli, not micro, is what keeps the dot
+    * exact: reconstructed magnitudes stay ≤ 254·2·|x|·1e3, so a 64-dim
+    * dot of unit-ish embeddings peaks ~1e13 ≪ 2^63, where micro-scale
+    * products would overflow BIGINT. The int8 step (254 levels) dominates
+    * the milli rounding (≥1000 levels), so ranking quality is unchanged.
+    *
+    * Output: (qid, id, qdot [reconstructed dot ×254², exact BIGINT], rnk).
+    */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      k: Int
+  ): DataFrame = {
+    def recon(df: DataFrame, id: String, vec: String, idAs: String, outAs: String): DataFrame =
+      df.select(col(id).as(idAs),
+          transform(asDouble(col(vec)), x => round(x * 1e3).cast("long")).as("__m"))
+        .withColumn("__mn", array_min(col("__m")))
+        .withColumn("__mx", array_max(col("__m")))
+        .select(col(idAs), expr(
+          """transform(__m, m -> __mn * 254L +
+            |  (CASE WHEN __mx = __mn THEN 0L
+            |        ELSE ((m - __mn) * 254L) div (__mx - __mn) END) * (__mx - __mn))"""
+            .stripMargin).as(outAs))
+    val q = broadcast(recon(queries, qIdCol, qVecCol, "qid", "__qr"))
+    val c = recon(corpus, idCol, vecCol, "id", "__cr")
+    val score = aggregate(zip_with(col("__qr"), col("__cr"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("id"))
+    q.join(c)
+      .withColumn("qdot", score)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("qdot"), col("rnk"))
+  }
+
   /** The ±1 entry (i, j) of the derived projection matrix: parity of the
     * first byte of md5("i|j"). Deterministic and engine-free — the oracle
     * recomputes the same literals from the same formula.

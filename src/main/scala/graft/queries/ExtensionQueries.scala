@@ -625,35 +625,40 @@ object ExtensionQueries {
   // the same pair graph with a recursive min-label CTE — both engines
   // converge to the unique fixpoint (component-min labels), so the result
   // hash-compares despite the iteration orders differing.
-  private val q60 = Q(
-    "q60_dedup_clusters",
-    (s, dir) => {
-      // band-STAR edges, not pairwise candidates: within a band bucket all
-      // members are mutually candidates (a clique), and for connectivity a
-      // star to the bucket's min member carries the same information in
-      // |bucket| edges instead of |bucket|²/2. At 100 TB this is the
-      // difference between a linear edge list and a quadratic blowup on
-      // every hot bucket — and the components are provably identical
-      // (any within-bucket pair is connected through the bucket min).
-      val bands = TextDedup.lshBands(sigCacheFor(s, dir), "doc_id", k = 8, rowsPerBand = 2)
-      val roots = bands.groupBy(col("band"), col("band_key"))
-        .agg(min(col("doc_id")).as("root"))
-      val star = bands.join(roots, Seq("band", "band_key"))
-        .filter(col("doc_id") =!= col("root"))
-        .select(col("root"), col("doc_id"))
-      val cc = Components.connectedComponents(star, "root", "doc_id")
-        .withColumnRenamed("node", "doc_id")
-      // singleton docs never enter the pair graph: coalesce to self
-      val lab = Tables.documents(s, dir).select(col("doc_id"))
-        .join(cc, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
-      // sizes via shuffle join, NOT broadcast: cluster count is O(n_docs)
-      val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-      lab.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-          (col("doc_id") === col("cluster_id")).as("is_canonical"))
-    },
-    Some(s"""WITH RECURSIVE $toksCte,
+  /** q60/q75 shared: the duplicate-cluster label per doc (singletons
+    * self-labeled).
+    *
+    * Band-STAR edges, not pairwise candidates: within a band bucket all
+    * members are mutually candidates (a clique), and for connectivity a
+    * star to the bucket's min member carries the same information in
+    * |bucket| edges instead of |bucket|²/2. At 100 TB this is the
+    * difference between a linear edge list and a quadratic blowup on
+    * every hot bucket — and the components are provably identical
+    * (any within-bucket pair is connected through the bucket min).
+    */
+  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val bands = TextDedup.lshBands(sigCacheFor(s, dir), "doc_id", k = 8, rowsPerBand = 2)
+    val roots = bands.groupBy(col("band"), col("band_key"))
+      .agg(min(col("doc_id")).as("root"))
+    val star = bands.join(roots, Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root"), col("doc_id"))
+    val cc = Components.connectedComponents(star, "root", "doc_id")
+      .withColumnRenamed("node", "doc_id")
+    // singleton docs never enter the pair graph: coalesce to self
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** q60/q75 shared oracle CTE chain (needs WITH RECURSIVE): the same pair
+    * graph walked by a recursive min-label CTE down to `cc(doc_id,
+    * cluster_id)` — both engines converge to the unique fixpoint
+    * (component-min labels), so results hash-compare despite the iteration
+    * orders differing.
+    */
+  private def ccOracleCtes: String =
+    s"""$toksCte,
       $shinglesFromToks,
       sigs AS (SELECT doc_id,
   ${minhashSigSelects(8)}
@@ -672,7 +677,19 @@ object ExtensionQueries {
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src),
-      cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+      cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1)"""
+
+  private val q60 = Q(
+    "q60_dedup_clusters",
+    (s, dir) => {
+      val lab = QueryCaches.labelsFor(s, dir)
+      // sizes via shuffle join, NOT broadcast: cluster count is O(n_docs)
+      val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    },
+    Some(s"""WITH RECURSIVE $ccOracleCtes,
       sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
       SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
         (c.doc_id = c.cluster_id) AS is_canonical
@@ -1057,7 +1074,88 @@ object ExtensionQueries {
       FROM b, UNNEST(range(1, len(mv) + 1)) AS t(i)""")
   )
 
+  // Similarity 9: retrieval over the int8-quantized representation — the
+  // search path that pairs with q73's storage cut. Same query/corpus split
+  // as q26; scores are exact BIGINT dots of milli-scale reconstructions,
+  // so both engines rank identical integers.
+  private val q74 = Q(
+    "q74_quantized_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.quantizedTopK(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    },
+    Some("""WITH m AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS mv
+        FROM embeddings),
+      b AS (SELECT vec_id, mv, list_min(mv) AS mn, list_max(mv) AS mx FROM m),
+      r AS (SELECT vec_id, list_transform(mv, e -> mn * 254 +
+        (CASE WHEN mx = mn THEN 0 ELSE ((e - mn) * 254) // (mx - mn) END) * (mx - mn)) AS rv
+        FROM b),
+      q AS (SELECT vec_id AS qid, rv AS qv FROM r WHERE vec_id < 10),
+      c AS (SELECT vec_id AS id, rv AS cv FROM r WHERE vec_id >= 10),
+      scored AS (SELECT qid, id,
+        CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS BIGINT) AS qdot
+        FROM q, c)
+      SELECT qid, id, qdot,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 5""")
+  )
+
+  // Dedup 8 (output stage): ONE representative per duplicate cluster — the
+  // doc a curation pipeline actually keeps. Best-quality wins (type-token
+  // ratio, then length), doc_id as final tiebreak; all-integer ordering so
+  // both engines pick the same winner.
+  private val q75 = Q(
+    "q75_cluster_rep",
+    (s, dir) => {
+      val lab = QueryCaches.labelsFor(s, dir)
+      val quality = TextStats.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("ttr_bp"))
+      val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+        .orderBy(col("ttr_bp").desc, col("n_tokens").desc, col("doc_id"))
+      lab.join(quality, "doc_id")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .join(sizes, "cluster_id")
+        .select(col("cluster_id"), col("doc_id").as("rep_doc_id"), col("cluster_size"),
+          col("n_tokens").as("rep_tokens"), col("ttr_bp").as("rep_ttr_bp"))
+    },
+    Some(s"""WITH RECURSIVE $ccOracleCtes,
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1),
+      qual AS (SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(CASE WHEN len(w) > 0 THEN (len(list_distinct(w)) * 10000) // len(w)
+             ELSE 0 END AS BIGINT) AS ttr_bp
+        FROM toks),
+      ranked AS (SELECT c.cluster_id, c.doc_id, q.n_tokens, q.ttr_bp,
+        row_number() OVER (PARTITION BY c.cluster_id
+          ORDER BY q.ttr_bp DESC, q.n_tokens DESC, c.doc_id) AS rn
+        FROM cc c JOIN qual q USING (doc_id))
+      SELECT r.cluster_id, r.doc_id AS rep_doc_id,
+        CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        r.n_tokens AS rep_tokens, r.ttr_bp AS rep_ttr_bp
+      FROM ranked r JOIN sizes s USING (cluster_id) WHERE rn = 1""")
+  )
+
+  // Curation 15: mixture reweighting — per-source hash-rate admission
+  // (upsample src0/src1, downsample src2, trickle the rest), the step that
+  // applies mixture weights to a multi-source corpus.
+  private val q76 = Q(
+    "q76_mixture_sample",
+    (s, dir) => Sampling.mixtureSample(Tables.documents(s, dir), "source", "doc_id",
+        Map("src0" -> 9000, "src1" -> 6000, "src2" -> 2500), defaultBp = 1000)
+      .select(col("source"), col("doc_id"), col("lang")),
+    Some(s"""WITH b AS (SELECT source, doc_id, lang,
+        ${TrainingQueries.md5Bucket16Sql("doc_id")} AS bkt FROM documents)
+      SELECT source, doc_id, lang FROM b
+      WHERE bkt * 10000 < (CASE source WHEN 'src0' THEN 9000 WHEN 'src1' THEN 6000
+        WHEN 'src2' THEN 2500 ELSE 1000 END) * 65536""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

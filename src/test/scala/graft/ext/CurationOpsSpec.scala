@@ -124,6 +124,27 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(one.length == 1 && one.head.getLong(3) == 100L)
   }
 
+  // ---- mixtureSample ----
+
+  test("mixtureSample applies per-group rates; 10000 keeps all, 0 drops all") {
+    val docs = (0L until 200L).map(i => (i, if (i < 100) "a" else "b")).toDF("doc_id", "source")
+    val all = Sampling.mixtureSample(docs, "source", "doc_id", Map("a" -> 10000), defaultBp = 0).collect()
+    assert(all.length == 100 && all.forall(_.getLong(0) < 100))
+  }
+
+  test("mixtureSample kept set is exactly the bucket rule and is rerun-stable") {
+    val docs = (0L until 200L).map(i => (i, if (i < 100) "a" else "b")).toDF("doc_id", "source")
+    def run() = Sampling.mixtureSample(docs, "source", "doc_id", Map("a" -> 5000), defaultBp = 2000)
+      .collect().map(_.getLong(0)).toSet
+    val kept = run()
+    assert(kept == run())
+    val expect = docs.select(col("doc_id"), Sampling.hashBucket16(col("doc_id")).as("b"), col("source"))
+      .collect()
+      .filter(r => r.getLong(1) * 10000L < (if (r.getString(2) == "a") 5000L else 2000L) * 65536L)
+      .map(_.getLong(0)).toSet
+    assert(kept == expect && kept.nonEmpty && kept.size < 200)
+  }
+
   // ---- chunkDocuments ----
 
   test("chunkDocuments tiles with overlap and keeps the partial tail") {

@@ -34,6 +34,23 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(top.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("quantizedTopK ranks by exact integer dot of the reconstructions") {
+    val q = Seq((100L, Array(1.0f, 0.5f))).toDF("id", "embedding")
+    val c = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.45f)),   // colinear with q, shorter → dot 1.125
+      (4L, Array(0.3f, 0.3f))     // constant vector → mx = mn branch
+    ).toDF("id", "embedding")
+    val out = VectorSearch.quantizedTopK(q, c, "id", "embedding", "id", "embedding", k = 4)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L, 2L, 4L))
+    // hand-computed: recon = milli·254 exactly for these inputs
+    // (each (m−mn)·254 is a multiple of mx−mn), e.g. q = (254000, 127000)
+    assert(out.map(_.getLong(2)).toSeq ==
+      Seq(72580500000L, 64516000000L, 32258000000L, 29032200000L))
+  }
+
   test("hardNegatives excludes same-label rows and ranks the rest") {
     val lbl = Seq(
       (1L, Array(1f, 0f, 0f), 0),  // anchor, label 0
