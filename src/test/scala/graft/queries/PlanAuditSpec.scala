@@ -156,4 +156,28 @@ class PlanAuditSpec extends SparkFunSuite {
     val p = plan("q67_sign_projection")
     assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
   }
+
+  test("q72/q73: chunking and quantization are per-row projections (no exchange)") {
+    val p72 = plan("q72_doc_chunks")
+    // docsSpread's deliberate wiring-level repartition is the ONLY exchange;
+    // the operator itself adds none
+    assert(p72.split("Exchange").length - 1 == 1, s"chunking must not shuffle:\n$p72")
+    assert(!plan("q73_quantize_int8").contains("Exchange"),
+      s"quantization must not shuffle:\n${plan("q73_quantize_int8")}")
+  }
+
+  test("q74: quantized retrieval broadcasts queries; corpus shuffles only for the rank") {
+    val p = plan("q74_quantized_topk")
+    assert(p.contains("BroadcastExchange") && !p.contains("SortMergeJoin"),
+      s"query side must broadcast:\n$p")
+    // the one shuffle is the per-query rank partition, not a corpus re-partition
+    assert(p.split("ShuffleExchange").length - 1 <= 1, s"corpus must not re-partition:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must group-limit, not full-sort:\n$p")
+  }
+
+  test("q76: mixture sampling is a pure filter (no exchange, no join)") {
+    val p = plan("q76_mixture_sample")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"rate table must fold into the filter:\n$p")
+  }
 }
