@@ -66,6 +66,33 @@ object Packing {
           .as("chunk_text"))
   }
 
+  /** Self-supervised contrastive pairs from adjacent chunks: anchor =
+    * chunk i, positive = chunk i+1 of the same document (with stride <
+    * chunkTokens they overlap, making them near-paraphrases — the inverse
+    * cloze / neighboring-span construction contrastive retrievers train
+    * on). Negatives are whatever batching puts beside them downstream —
+    * this operator only materializes the positives. One `lead` window per
+    * document on top of the stateless chunking — a single shuffle on the
+    * doc id, no self-join.
+    *
+    * Output: (id, anchor_chunk_id, positive_chunk_id, anchor_text,
+    * positive_text); single-chunk documents contribute no pair.
+    */
+  def contrastivePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("chunk_id"))
+    chunkDocuments(df, idCol, textCol, chunkTokens, stride)
+      .withColumn("positive_chunk_id", lead(col("chunk_id"), 1).over(w))
+      .withColumn("positive_text", lead(col("chunk_text"), 1).over(w))
+      .filter(col("positive_chunk_id").isNotNull)
+      .select(col(idCol), col("chunk_id").as("anchor_chunk_id"),
+        col("positive_chunk_id"), col("chunk_text").as("anchor_text"),
+        col("positive_text"))
+  }
+
   def packSequences(
       df: DataFrame, idCol: String, textCol: String, ctxLen: Int
   ): DataFrame = {

@@ -1040,22 +1040,31 @@ object ExtensionQueries {
       FROM scored QUALIFY rnk <= 3""")
   )
 
+  /** q72/q77 shared oracle CTE chain: 40-token chunks advancing by 30,
+    * down to `chunks(doc_id, chunk_id, tok_start, tok_end, n_chunk_tokens,
+    * chunk_text)`.
+    */
+  private def chunksOracleCtes: String =
+    s"""$toksCte,
+      t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks WHERE len(w) > 0),
+      ch AS (SELECT doc_id, w, n, CAST(i AS BIGINT) AS cid
+        FROM t, UNNEST(range(0, (n + 29) // 30)) AS u(i)),
+      chunks AS (SELECT doc_id, cid AS chunk_id,
+        cid * 30 AS tok_start,
+        least(cid * 30 + 40, n) AS tok_end,
+        least(cid * 30 + 40, n) - cid * 30 AS n_chunk_tokens,
+        array_to_string(w[CAST(cid * 30 + 1 AS INT) : CAST(least(cid * 30 + 40, n) AS INT)], ' ') AS chunk_text
+        FROM ch)"""
+
   // Curation 14: RAG-style document chunking — 40-token windows advancing
   // by 30 (10-token overlap), trailing partial window kept.
   private val q72 = Q(
     "q72_doc_chunks",
     (s, dir) => Packing.chunkDocuments(docsSpread(s, dir), "doc_id", "text",
       chunkTokens = 40, stride = 30),
-    Some(s"""WITH $toksCte,
-      t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks WHERE len(w) > 0),
-      ch AS (SELECT doc_id, w, n, CAST(i AS BIGINT) AS cid
-        FROM t, UNNEST(range(0, (n + 29) // 30)) AS u(i))
-      SELECT doc_id, cid AS chunk_id,
-        cid * 30 AS tok_start,
-        least(cid * 30 + 40, n) AS tok_end,
-        least(cid * 30 + 40, n) - cid * 30 AS n_chunk_tokens,
-        array_to_string(w[CAST(cid * 30 + 1 AS INT) : CAST(least(cid * 30 + 40, n) AS INT)], ' ') AS chunk_text
-      FROM ch""")
+    Some(s"""WITH $chunksOracleCtes
+      SELECT doc_id, chunk_id, tok_start, tok_end, n_chunk_tokens, chunk_text
+      FROM chunks""")
   )
 
   // Similarity 8: int8 embedding quantization — exact micro-int min/max
@@ -1155,7 +1164,71 @@ object ExtensionQueries {
         WHEN 'src2' THEN 2500 ELSE 1000 END) * 65536""")
   )
 
+  // Curation 16: contrastive anchor/positive pairs — adjacent overlapping
+  // chunks of the same doc (the neighboring-span construction retrievers
+  // train on). One lead window per doc, no self-join.
+  private val q77 = Q(
+    "q77_contrastive_pairs",
+    (s, dir) => Packing.contrastivePairs(docsSpread(s, dir), "doc_id", "text",
+      chunkTokens = 40, stride = 30),
+    Some(s"""WITH $chunksOracleCtes
+      SELECT doc_id, chunk_id AS anchor_chunk_id,
+        lead(chunk_id) OVER w AS positive_chunk_id,
+        chunk_text AS anchor_text,
+        lead(chunk_text) OVER w AS positive_text
+      FROM chunks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_id)
+      QUALIFY positive_chunk_id IS NOT NULL""")
+  )
+
+  // Curation 17: per-source×lang data card — the dataset report a curation
+  // run publishes: volume, token mass, quality share, duplicate share.
+  // Composes the cached cluster labels (q60/q75) with the quality bins.
+  private val q78 = Q(
+    "q78_data_card",
+    (s, dir) => {
+      val lab = QueryCaches.labelsFor(s, dir)
+      val sizes = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+      val dup = lab.join(sizes, "cluster_id")
+        .select(col("doc_id"), (col("__sz") > 1L).as("__is_dup"))
+      val qual = TextStats.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality_bin"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang"))
+        .join(qual, "doc_id")
+        .join(dup, "doc_id")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("quality_bin") === "good", 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("__is_dup"), 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("good_bp", expr("(n_good * 10000L) div n_docs"))
+        .withColumn("dup_bp", expr("(n_dup * 10000L) div n_docs"))
+    },
+    Some(s"""WITH RECURSIVE $ccOracleCtes,
+      sizes AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1),
+      dup AS (SELECT c.doc_id, s.sz > 1 AS is_dup FROM cc c JOIN sizes s USING (cluster_id)),
+      qual AS (SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CASE WHEN len(w) < 10 THEN 'short'
+             WHEN (CASE WHEN len(w) > 0 THEN (len(list_distinct(w)) * 10000) // len(w)
+                   ELSE 0 END) < 3000 THEN 'low_diversity'
+             ELSE 'good' END AS quality_bin
+        FROM toks),
+      agg AS (SELECT d.source, d.lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(CASE WHEN q.quality_bin = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        CAST(sum(CASE WHEN u.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM documents d JOIN qual q USING (doc_id) JOIN dup u USING (doc_id)
+        GROUP BY 1, 2)
+      SELECT source, lang, n_docs, total_tokens, n_good, n_dup,
+        (n_good * 10000) // n_docs AS good_bp,
+        (n_dup * 10000) // n_docs AS dup_bp
+      FROM agg""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
+    q77, q78)
 }

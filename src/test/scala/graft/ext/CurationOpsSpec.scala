@@ -168,6 +168,22 @@ class CurationOpsSpec extends SparkFunSuite {
     assert((out.head.getLong(2), out.head.getLong(3), out.head.getString(5)) == ((0L, 3L, "a b c")))
   }
 
+  // ---- contrastivePairs ----
+
+  test("contrastivePairs pairs each chunk with its successor; singles drop") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 4 chunks → 3 pairs
+      (2L, "a b c")                                   // 1 chunk → no pair
+    ).toDF("doc_id", "text")
+    val out = Packing.contrastivePairs(docs, "doc_id", "text", chunkTokens = 10, stride = 7)
+      .orderBy("doc_id", "anchor_chunk_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L)))
+    // anchor/positive texts are the adjacent chunk slices (3-token overlap)
+    assert(out(0).getString(3) == (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(out(0).getString(4) == (8 to 17).map(i => s"t$i").mkString(" "))
+  }
+
   // ---- quantizeInt8 ----
 
   test("quantizeInt8 codes are exact and dequantize within a half step") {

@@ -175,6 +175,13 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("WindowGroupLimit"), s"top-k must group-limit, not full-sort:\n$p")
   }
 
+  test("q77: contrastive pairs use a lead window, never a chunk self-join") {
+    val p = plan("q77_contrastive_pairs")
+    assert(!p.contains("Join"), s"adjacent pairing must not self-join:\n$p")
+    // docsSpread's wiring repartition + the per-doc window shuffle
+    assert(p.split("Exchange").length - 1 <= 2, s"expected at most 2 exchanges:\n$p")
+  }
+
   test("q76: mixture sampling is a pure filter (no exchange, no join)") {
     val p = plan("q76_mixture_sample")
     assert(!p.contains("Exchange") && !p.contains("Join"),
