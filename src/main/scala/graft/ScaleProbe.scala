@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Components, Decontaminate, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Decontaminate, Packing, TextDedup, TextStats, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,19 @@ object ScaleProbe {
       "decontaminate_matchheavy" -> (m =>
         Decontaminate.contamination(docsAt(m), Tables.documents(spark, sfDir),
           "doc_id", "text", shingleN = 3).count()),
+      // the explode-heaviest projection: chunk tiling (~n_tokens/stride
+      // rows per doc) plus the per-doc lead window — row inflation must
+      // stay a constant factor, not a growth term
+      "doc_chunk_pairs" -> (m =>
+        Packing.contrastivePairs(docsAt(m), "doc_id", "text",
+          chunkTokens = 40, stride = 30).count()),
+      // quantized retrieval with a FIXED query set against a growing
+      // corpus: broadcast product, so time must track corpus size only
+      "quantized_topk" -> { m =>
+        VectorSearch.quantizedTopK(
+          Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10), embAt(m),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5).count()
+      },
       // the iterative fixpoint: band-star edges + pointer-jumped min-label
       // CC. docsAt replicas keep their interior shingles, so replicas of a
       // doc land in the same buckets and components MERGE across replicas —

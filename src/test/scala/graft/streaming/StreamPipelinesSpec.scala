@@ -362,6 +362,25 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("mixtureSample composes with a stream: per-source admission at ingest") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Doc]
+    // stateless filter → works unchanged on a streaming frame
+    val docs = input.toDF()
+      .withColumn("source", when($"doc_id" < 100L, "curated").otherwise("crawl"))
+    val q = graft.ext.Sampling
+      .mixtureSample(docs, "source", "doc_id", Map("curated" -> 10000), defaultBp = 0)
+      .writeStream.format("memory").queryName("mix").outputMode("append").start()
+    try {
+      input.addData((1L to 10L).map(i =>
+        Doc(if (i <= 5) i else 100L + i, t("2024-01-01 10:00:00"), s"doc $i")): _*)
+      q.processAllAvailable()
+      // curated fully admitted, crawl fully dropped — same rule as batch
+      assert(spark.table("mix").collect().map(_.getLong(0)).toSeq.sorted ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: streaming events ⋈ broadcast dimension") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions.broadcast
