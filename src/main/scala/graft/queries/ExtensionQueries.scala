@@ -1227,8 +1227,59 @@ object ExtensionQueries {
       FROM agg""")
   )
 
+  // Similarity 10: index-quality report — recall@5 of the quantized
+  // retrieval (q74) against the exact float top-k (q26's ranking), per
+  // query. The eval every ANN deployment publishes; both sides are
+  // deterministic (rounded-cosine and exact-integer-dot rankings with id
+  // tiebreaks), so the recall itself is engine-exact.
+  private val q79 = Q(
+    "q79_ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs  = emb.filter(col("vec_id") < 10)
+      val cs  = emb.filter(col("vec_id") >= 10)
+      val exact = VectorSearch.bruteForceTopK(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"))
+      val quant = VectorSearch.quantizedTopK(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"))
+      val hits = exact.join(quant, Seq("qid", "id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_bp", expr("(n_hits * 10000L) div 5L"))
+    },
+    Some(s"""WITH qf AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+      cf AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+      es AS (SELECT qid, id, round(${duckCos("qf.v", "cf.v")}, 4) AS sim FROM qf, cf),
+      exact AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk FROM es)
+        WHERE rnk <= 5),
+      m AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS mv
+        FROM embeddings),
+      b AS (SELECT vec_id, mv, list_min(mv) AS mn, list_max(mv) AS mx FROM m),
+      r AS (SELECT vec_id, list_transform(mv, e -> mn * 254 +
+        (CASE WHEN mx = mn THEN 0 ELSE ((e - mn) * 254) // (mx - mn) END) * (mx - mn)) AS rv
+        FROM b),
+      qq AS (SELECT vec_id AS qid, rv AS qv FROM r WHERE vec_id < 10),
+      cc2 AS (SELECT vec_id AS id, rv AS cv FROM r WHERE vec_id >= 10),
+      qsc AS (SELECT qid, id,
+        CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS BIGINT) AS qdot
+        FROM qq, cc2),
+      quant AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id) AS rnk FROM qsc)
+        WHERE rnk <= 5),
+      hits AS (SELECT e.qid, count(*) AS n_hits FROM exact e JOIN quant USING (qid, id) GROUP BY 1)
+      SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // 5 AS recall_bp
+      FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78)
+    q77, q78, q79)
 }
