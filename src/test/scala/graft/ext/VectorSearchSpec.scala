@@ -51,6 +51,29 @@ class VectorSearchSpec extends SparkFunSuite {
       Seq(72580500000L, 64516000000L, 32258000000L, 29032200000L))
   }
 
+  test("quantizedTopK qdot matches the integer reference model on seeded random vectors") {
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(64)((rnd.nextDouble() * 8 - 4).toFloat)
+    def milli(x: Float): Long = // Spark round() is HALF_UP away from zero
+      BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def recon(v: Array[Float]): Array[Long] = {
+      val m  = v.map(milli)
+      val mn = m.min; val mx = m.max
+      // non-negative numerator, so Long / == Spark div == DuckDB //
+      m.map(e => mn * 254 + (if (mx == mn) 0L else ((e - mn) * 254) / (mx - mn)) * (mx - mn))
+    }
+    val qv  = vec()
+    val cvs = (1L to 200L).map(i => (i, vec()))
+    val expect = cvs.map { case (i, cv) =>
+      i -> recon(qv).zip(recon(cv)).map { case (a, b) => a * b }.sum
+    }.toMap
+    val out = VectorSearch.quantizedTopK(
+        Seq((0L, qv)).toDF("id", "embedding"), cvs.toDF("id", "embedding"),
+        "id", "embedding", "id", "embedding", k = 200)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == expect)
+  }
+
   test("hardNegatives excludes same-label rows and ranks the rest") {
     val lbl = Seq(
       (1L, Array(1f, 0f, 0f), 0),  // anchor, label 0
