@@ -170,6 +170,24 @@ object TextStats {
         col("n_emails") + col("n_urls") + col("n_digit_runs") > 0)
   }
 
+  /** Per-domain URL rollup — the signal behind C4-style domain filtering
+    * (Raffel et al. 2020 §2.2 curate by source domain; blocklists apply
+    * downstream as a join or isin filter on `domain`). Extract every URL
+    * ([[UrlPattern]]), take its authority component, and aggregate how
+    * many documents and how many URL mentions each domain has. Explode +
+    * one hash-aggregate on the domain key; n_docs needs the distinct
+    * (domain, doc) pairs, which the partial aggregate dedups map-side —
+    * at 100 TB the shuffle carries (domain, doc_id) pairs, not documents.
+    *
+    * Output: (domain, n_docs, n_urls).
+    */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("__url"))
+      .withColumn("domain", regexp_extract(col("__url"), "https?://([^/\\s]+)", 1))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("__id")).as("n_docs"), count(lit(1)).as("n_urls"))
+
   /** Marker-stopword language-ID heuristic: count hits per language's
     * marker set, predict the argmax (ties and zero-hits fall back to "und").
     * A real system would use char-n-gram profiles; the *shape* (per-language

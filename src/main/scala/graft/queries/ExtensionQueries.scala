@@ -1278,8 +1278,37 @@ object ExtensionQueries {
       FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)""")
   )
 
+  // Curation 18: per-domain URL rollup (the C4 domain-filter signal).
+  // URLs planted deterministically (the corpus has none naturally), five
+  // rotating domains plus an http mirror — both engines see identical text.
+  private val q80 = Q(
+    "q80_domain_stats",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" https://site"), (col("doc_id") % 5).cast("string"),
+              lit(".example/d/"), id)).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" http://mirror.example/x/"), id)).otherwise(lit(""))).as("text"))
+      TextStats.domainStats(planted, "doc_id", "text")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0
+          THEN ' https://site' || (doc_id % 5) || '.example/d/' || doc_id ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0
+          THEN ' http://mirror.example/x/' || doc_id ELSE '' END AS text
+        FROM documents),
+      u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM corpus),
+      d AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain FROM u)
+      SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_urls
+      FROM d GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79)
+    q77, q78, q79, q80)
 }

@@ -25,6 +25,17 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r(2L)._4 == "short")
   }
 
+  test("domainStats rolls up URL mentions and distinct docs per domain") {
+    val df = Seq(
+      (1L, "see https://a.example/x and https://a.example/y plus http://b.example/z"),
+      (2L, "again https://a.example/w"),
+      (3L, "no urls here")
+    ).toDF("id", "text")
+    val r = TextStats.domainStats(df, "id", "text")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("a.example" -> ((2L, 3L)), "b.example" -> ((1L, 1L))))
+  }
+
   test("langId predicts by marker hits, und on no hits") {
     val df = Seq(
       (1L, "the cat and the dog"),

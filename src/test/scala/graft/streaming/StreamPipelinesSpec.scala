@@ -381,6 +381,21 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("chunkDocuments composes with a stream: stateless chunk tiling at ingest") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = graft.ext.Packing
+      .chunkDocuments(input.toDF(), "doc_id", "text", chunkTokens = 5, stride = 3)
+      .writeStream.format("memory").queryName("chk").outputMode("append").start()
+    try {
+      input.addData(Doc(1L, t("2024-01-01 10:00:00"), "a b c d e f g h")) // 8 toks → starts 0,3,6
+      q.processAllAvailable()
+      val got = spark.table("chk").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      assert(got == Seq((0L, 0L, 5L), (1L, 3L, 8L), (2L, 6L, 8L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: streaming events ⋈ broadcast dimension") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions.broadcast
