@@ -262,4 +262,34 @@ object TextDedup {
       .groupBy(col(idCol))
       .agg(countDistinct(col("fp")).as("n_fingerprints"), min(col("fp")).as("min_fp"))
   }
+
+  /** Incremental dedup: probe a NEW ingest batch against the band index of
+    * an EXISTING corpus, instead of re-mining everything. The corpus-side
+    * bands are computed once and persisted as a table (at 100 TB, bucketed
+    * by (band, band_key) via [[graft.table.Bucketing]] so a daily batch
+    * probes it with a co-located join — only the batch, which is orders of
+    * magnitude smaller, shuffles). A new doc is a duplicate iff it shares
+    * any band bucket with an index doc; `dup_of` is the smallest matching
+    * index id (the canonical doc to dedup against), `n_index_hits` the
+    * count of distinct index docs hit. New docs too short to shingle never
+    * enter the index join and report is_dup = false via the left join.
+    *
+    * Output: (id, dup_of [null when fresh], n_index_hits, is_dup).
+    */
+  def incrementalDupCheck(
+      newDocs: DataFrame, indexBands: DataFrame,
+      idCol: String, textCol: String, k: Int, shingleN: Int, rowsPerBand: Int
+  ): DataFrame = {
+    val idx = indexBands.withColumnRenamed(idCol, "__idx_id")
+    val nb  = lshBands(minhashSignatures(newDocs, idCol, textCol, k, shingleN),
+      idCol, k, rowsPerBand)
+    val hits = nb.join(idx, Seq("band", "band_key"))
+      .groupBy(col(idCol))
+      .agg(min(col("__idx_id")).as("dup_of"),
+        countDistinct(col("__idx_id")).as("n_index_hits"))
+    newDocs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_index_hits", coalesce(col("n_index_hits"), lit(0L)))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
 }

@@ -1307,8 +1307,60 @@ object ExtensionQueries {
       FROM d GROUP BY 1""")
   )
 
+  // Dedup 9 (incremental): a new ingest batch probed against the EXISTING
+  // corpus's band index — exact re-keyed copies (expect dup) plus
+  // tail-perturbed docs, with the index side served by the same cached
+  // signature frame the other LSH queries share.
+  private val q81 = Q(
+    "q81_incremental_dedup",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .withColumn("text", concat(col("text"), lit(" zq81tail"))))
+        .select(col("doc_id"), col("text"))
+      val idxBands = TextDedup.lshBands(sigCacheFor(s, dir), "doc_id", k = 8, rowsPerBand = 2)
+      TextDedup.incrementalDupCheck(newBatch, idxBands, "doc_id", "text",
+        k = 8, shingleN = 2, rowsPerBand = 2)
+    },
+    Some(s"""WITH nb AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text || ' zq81tail' FROM documents WHERE doc_id % 10 = 1),
+      itoks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w FROM documents),
+      ntoks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w FROM nb),
+      ish AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s FROM itoks, UNNEST(range(1, len(w))) AS t(i)),
+      nsh AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s FROM ntoks, UNNEST(range(1, len(w))) AS t(i)),
+      isigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM ish GROUP BY doc_id),
+      nsigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM nsh GROUP BY doc_id),
+      ibands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM isigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM isigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM isigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM isigs),
+      nbands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM nsigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM nsigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM nsigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM nsigs),
+      hits AS (SELECT n.doc_id, min(x.doc_id) AS dup_of,
+          count(DISTINCT x.doc_id) AS n_index_hits
+        FROM nbands n JOIN ibands x ON n.band = x.band AND n.bkey = x.bkey
+        GROUP BY 1)
+      SELECT b.doc_id, h.dup_of,
+        CAST(coalesce(h.n_index_hits, 0) AS BIGINT) AS n_index_hits,
+        h.dup_of IS NOT NULL AS is_dup
+      FROM nb b LEFT JOIN hits h USING (doc_id)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80)
+    q77, q78, q79, q80, q81)
 }

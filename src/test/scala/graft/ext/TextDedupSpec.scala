@@ -101,4 +101,21 @@ class TextDedupSpec extends SparkFunSuite {
     assert(!fp1.contains(5L)) // len 1 < k=8 → no grams
     assert(fp1(1L)._1 > 0)
   }
+
+  test("incrementalDupCheck: exact copy hits the index, fresh and unshingleable docs do not") {
+    val index = docs.filter($"id" <= 4L)
+    val idxBands = TextDedup.lshBands(
+      TextDedup.minhashSignatures(index, "id", "text", 8, 2), "id", 8, 2)
+    val batch = Seq(
+      (10L, "the quick brown fox"),          // exact copy of index doc 1 (and 2)
+      (11L, "entirely novel content tokens"),// fresh
+      (12L, "y")                             // too short to shingle
+    ).toDF("id", "text")
+    val r = TextDedup.incrementalDupCheck(batch, idxBands, "id", "text", 8, 2, 2)
+      .collect().map(x => x.getLong(0) ->
+        ((Option(x.get(1)).map(_.asInstanceOf[Long]), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(10L)._3 && r(10L)._1.contains(1L) && r(10L)._2 >= 2L) // dup_of = min(1,2)
+    assert(r(11L) == ((None, 0L, false)))
+    assert(r(12L) == ((None, 0L, false)))
+  }
 }
