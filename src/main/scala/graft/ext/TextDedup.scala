@@ -191,6 +191,27 @@ object TextDedup {
           .as("jaccard"))
   }
 
+  /** Asymmetric containment on top of [[jaccardPairs]]: C(A⊆B) =
+    * |A∩B|/|A| — the quote/boilerplate detector symmetric Jaccard misses
+    * (a short doc fully contained in a long one has containment ≈ 1 but
+    * Jaccard ≈ |A|/|B| ≈ 0; MassiveText and C4 both scrub such inclusions
+    * separately from near-dup pairs). Pure projection over the pair frame
+    * — same blocked join, same cap, exact integer basis points (both
+    * `div` operands non-negative, so Spark and any floor/trunc engine
+    * agree).
+    *
+    * Output: (id_a, id_b, n_a, n_b, n_common, containment_a_bp,
+    * containment_b_bp, max_containment_bp).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                       shingleN: Int, maxDocFreq: Int = Int.MaxValue): DataFrame =
+    jaccardPairs(df, idCol, textCol, blockCol, shingleN, maxDocFreq)
+      .withColumn("containment_a_bp", expr("(n_common * 10000L) div n_a"))
+      .withColumn("containment_b_bp", expr("(n_common * 10000L) div n_b"))
+      .withColumn("max_containment_bp",
+        greatest(col("containment_a_bp"), col("containment_b_bp")))
+      .drop("jaccard")
+
   /** Exact edit-distance verification of candidate pairs: joins each
     * (id_a, id_b) candidate back to the corpus and computes the Levenshtein
     * distance of the documents' first `prefixLen` chars. The prefix cap

@@ -1359,8 +1359,53 @@ object ExtensionQueries {
       FROM nb b LEFT JOIN hits h USING (doc_id)""")
   )
 
+  // Dedup 10 (asymmetric): shingle containment — planted 10-token snippets
+  // of every 10th doc score ≈ 10000 bp against their source doc while
+  // their Jaccard stays tiny; pairs at ≥ 80% containment are the
+  // quote/boilerplate inclusions a symmetric threshold misses.
+  private val q82 = Q(
+    "q82_containment",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val snippets = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat_ws(" ", slice(TextDedup.tokens(col("text")), 1, 10)))
+      TextDedup.containmentPairs(docs.unionByName(snippets), "doc_id", "text", "source",
+        shingleN = 2, maxDocFreq = 64)
+        .filter(col("max_containment_bp") >= 8000)
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, source,
+          array_to_string(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')[1:10], ' ')
+        FROM documents WHERE doc_id % 10 = 0),
+      toks2 AS (SELECT doc_id, source,
+        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM corpus),
+      shd AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] AS s
+        FROM toks2, UNNEST(range(1, len(w))) AS t(i)),
+      shf AS (SELECT doc_id, source, s FROM (
+        SELECT shd.*, count(*) OVER (PARTITION BY source, s) AS df FROM shd)
+        WHERE df <= 64),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1),
+      common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shf a JOIN shf b
+        ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+          (n_common * 10000) // sa.n_sh AS containment_a_bp,
+          (n_common * 10000) // sb.n_sh AS containment_b_bp,
+          greatest((n_common * 10000) // sa.n_sh, (n_common * 10000) // sb.n_sh)
+            AS max_containment_bp
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id)
+      WHERE max_containment_bp >= 8000""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81)
+    q77, q78, q79, q80, q81, q82)
 }

@@ -102,6 +102,20 @@ class TextDedupSpec extends SparkFunSuite {
     assert(fp1(1L)._1 > 0)
   }
 
+  test("containmentPairs: a contained snippet scores 10000 bp while Jaccard stays low") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten", "s"),
+      (2L, "one two three", "s"), // all 2 snippet shingles inside doc 1
+      (3L, "alpha beta gamma delta", "s")
+    ).toDF("id", "text", "src")
+    val r = TextDedup.containmentPairs(corpus, "id", "text", "src", shingleN = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(5), x.getLong(6), x.getLong(7)))).toMap
+    // doc 2 (2 shingles) ⊆ doc 1 (9 shingles): containment_b = 10000,
+    // containment_a = 2*10000 div 9 = 2222
+    assert(r == Map((1L, 2L) -> ((2222L, 10000L, 10000L))))
+  }
+
   test("incrementalDupCheck: exact copy hits the index, fresh and unshingleable docs do not") {
     val index = docs.filter($"id" <= 4L)
     val idxBands = TextDedup.lshBands(
