@@ -60,4 +60,56 @@ object Decontaminate {
           .otherwise(0L).as("overlap_bp"),
         (nOverlap > 0).as("contaminated"))
   }
+
+  /** Per-side distinct shingle digests (id, __ds: array<string>). */
+  private def shingleDigests(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.select(
+      col(idCol),
+      array_distinct(transform(
+        TextDedup.wordShingles(TextDedup.tokens(col(textCol)), shingleN),
+        s => md5(s.cast("binary")))).as("__ds"))
+
+  /** Build the holdout-side Bloom filter: distinct shingle digests folded
+    * into a [[graft.functions.BloomAgg]] sketch, returned serialized.
+    *
+    * The one-row collect is the sketch itself (`numBits/8` bytes — e.g.
+    * 256 KB at 2²¹ bits), the same bounded-localization contract as the
+    * k×dims centroid collect in VectorSearch.kmeansFit: at 100 TB the
+    * holdout scan and the filter fold are fully distributed (partials
+    * OR-merge per partition), and only the finished bitset lands on the
+    * driver for re-broadcast. This replaces [[contamination]]'s exact
+    * broadcast digest SET when the holdout outgrows an executor hash table
+    * (~10 bits/item vs ~50 bytes/entry).
+    */
+  def holdoutBloom(holdout: DataFrame, idCol: String, textCol: String, shingleN: Int,
+                   numBits: Int, numHashes: Int): Array[Byte] =
+    shingleDigests(holdout, idCol, textCol, shingleN)
+      .select(explode(col("__ds")).as("__d")).distinct()
+      .agg(graft.functions.GraftFunctions.bloomAgg(col("__d"), numBits, numHashes).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
+  /** Decontamination verdicts against a serialized holdout Bloom filter:
+    * per train document, how many distinct shingle digests the filter
+    * flags, and whether any flag fired. ZERO joins and zero shuffles — the
+    * probe runs inside the per-document projection (`numHashes` word reads
+    * per digest, whole-stage codegen), so the train side never leaves its
+    * input partitioning. No false negatives: every truly contaminated
+    * shingle is flagged, so `flagged == false` is a SOUND clean verdict;
+    * flagged docs carry a small deterministic false-positive tail bounded
+    * by the filter's load factor — scrub on it directly, or exact-verify
+    * only the flagged ε when precision matters.
+    *
+    * Output: (id, n_shingles, n_flagged, flagged).
+    */
+  def bloomContamination(train: DataFrame, bloomBytes: Array[Byte],
+                         idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    val bf = lit(bloomBytes)
+    shingleDigests(train, idCol, textCol, shingleN)
+      .select(
+        col(idCol),
+        size(col("__ds")).cast("long").as("n_shingles"),
+        size(filter(col("__ds"),
+          d => graft.functions.GraftFunctions.bloomContains(bf, d))).cast("long").as("n_flagged"))
+      .withColumn("flagged", col("n_flagged") > 0)
+  }
 }

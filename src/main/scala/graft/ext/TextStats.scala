@@ -212,4 +212,38 @@ object TextStats {
     }
     df.select(col(idCol), pred.as("lang_pred"))
   }
+
+  /** Byte-pair merge statistics — the counting step of BPE tokenizer
+    * training (Sennrich et al., "Neural Machine Translation of Rare Words
+    * with Subword Units", ACL 2016): count adjacent symbol pairs inside
+    * words across the corpus and rank the top merge candidates. Symbols
+    * here are single characters, i.e. the FIRST merge round; iterating
+    * (merge the winner, re-count) is the full trainer, and every round is
+    * this same job shape.
+    *
+    * Shape at scale: explode words → explode adjacent char-pair positions
+    * (a per-word projection, same trick as [[TextDedup.winnowFingerprints]])
+    * → one partial+final hash aggregate on the pair. The ranked output is
+    * bounded by the SYMBOL-PAIR space (alphabet², thousands of rows at
+    * most — corpus-size-independent), so the final top-k sort is a
+    * TakeOrdered over an already-tiny frame, never a corpus sort.
+    *
+    * Output: (pair, n, rnk), rnk ≤ k, ranked by n desc then pair asc.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val words  = df.select(explode(TextDedup.tokens(col(textCol))).as("__w"))
+    val maxPos = length(col("__w")) - 1
+    val posSeq = when(maxPos < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), maxPos))
+    val counts = words
+      .select(col("__w"), explode(posSeq).as("__i"))
+      .select(col("__w").substr(col("__i"), lit(2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("pair")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -180,6 +180,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvDistinct(children.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_bloom_agg(col, numBits, numHashes)")
+        val args = children.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg: numBits/numHashes must be integer literals, got $other")
+        }
+        BloomAgg(children.head, args.head, args(1)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_bloom_contains(filterBinary, col)")
+        BloomContains(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_freq_items"),
       new ExpressionInfo(classOf[FreqItems].getName, "graft_freq_items"),
       (children: Seq[Expression]) => {
@@ -206,6 +225,13 @@ object GraftFunctions {
   /** Misra-Gries heavy-hitters aggregate: map of ≤ m candidate items. */
   def freqItems(c: Column, m: Int): Column =
     call_function("graft_freq_items", c, org.apache.spark.sql.functions.lit(m))
+  /** Bloom filter aggregate → BINARY (mergeable, no false negatives). */
+  def bloomAgg(c: Column, numBits: Int, numHashes: Int): Column =
+    call_function("graft_bloom_agg", c,
+      org.apache.spark.sql.functions.lit(numBits), org.apache.spark.sql.functions.lit(numHashes))
+  /** Membership probe against a foldable serialized bloom filter. */
+  def bloomContains(filter: Column, item: Column): Column =
+    call_function("graft_bloom_contains", filter, item)
 
   /** True when the graft extension functions are resolvable on `spark`. */
   def installed(spark: SparkSession): Boolean = spark.catalog.functionExists("graft_dot")

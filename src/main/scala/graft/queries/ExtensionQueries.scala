@@ -157,32 +157,37 @@ object ExtensionQueries {
   )
 
   // Dedup 5: 32-bit SimHash per document
+  // DuckDB simhash32 building blocks, shared by q25/q83.
+  // 8-hex-char prefix of md5(tok) as an unsigned 32-bit value, parsed
+  // digit-by-digit (DuckDB has no hex→int cast)
+  private val duckSimhashHexVal: String = (0 until 8).map { p =>
+    val term = s"CAST(strpos('0123456789abcdef', substr(md5(tok), ${p + 1}, 1)) - 1 AS BIGINT)"
+    val mult = 1L << (4 * (7 - p))
+    if (mult == 1L) term else s"$term * $mult"
+  }.mkString(" + ")
+  private val duckSimhashBitSums: String = (0 until 32)
+    .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+    .mkString(",\n  ")
+  private val duckSimhashRebuild: String = (0 until 32)
+    .map(i => s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+    .mkString(" + ")
+  /** CTE chain `tok_rows, h, bits, sh` computing (doc_id, simhash) from a
+    * preceding `corpus(doc_id, text)` CTE. */
+  private def duckSimhashCtes(corpus: String): String =
+    s"""tok_rows AS (SELECT doc_id,
+      unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+      FROM $corpus),
+    h AS (SELECT doc_id, $duckSimhashHexVal AS v FROM tok_rows),
+    bits AS (SELECT doc_id,
+  $duckSimhashBitSums
+      FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST($duckSimhashRebuild AS BIGINT) AS simhash FROM bits)"""
+
   private val q25 = Q(
     "q25_simhash",
     (s, dir) => TextDedup.simhash32(docsSpread(s, dir), "doc_id", "text"),
-    Some {
-      // 8-hex-char prefix of md5(tok) as an unsigned 32-bit value, parsed
-      // digit-by-digit (DuckDB has no hex→int cast)
-      val hexVal = (0 until 8).map { p =>
-        val term = s"CAST(strpos('0123456789abcdef', substr(md5(tok), ${p + 1}, 1)) - 1 AS BIGINT)"
-        val mult = 1L << (4 * (7 - p))
-        if (mult == 1L) term else s"$term * $mult"
-      }.mkString(" + ")
-      val bitSums = (0 until 32)
-        .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
-        .mkString(",\n  ")
-      val rebuild = (0 until 32)
-        .map(i => s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH tok_rows AS (SELECT doc_id,
-        unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
-        FROM documents),
-      h AS (SELECT doc_id, $hexVal AS v FROM tok_rows),
-      bits AS (SELECT doc_id,
-  $bitSums
-        FROM h GROUP BY doc_id)
-      SELECT doc_id, CAST($rebuild AS BIGINT) AS simhash FROM bits"""
-    }
+    Some(s"""WITH ${duckSimhashCtes("documents")}
+      SELECT doc_id, simhash FROM sh""")
   )
 
   // ---------------------------------------------------------------------
@@ -1404,8 +1409,93 @@ object ExtensionQueries {
       WHERE max_containment_bp >= 8000""")
   )
 
+  // Dedup 11 (fingerprint blocking): SimHash pigeonhole near-dup join —
+  // hamming ≤ 3 over 4 byte-bands means at least one band matches exactly
+  // (Manku et al., WWW 2007), so candidates are an equi-join on
+  // (band, band_val) and the hamming verify runs per candidate only.
+  // Corpus = documents ∪ exact copies (hamming 0) ∪ tail-perturbed copies
+  // (small but non-zero hamming), all synthesized deterministically.
+  private val q83 = Q(
+    "q83_simhash_neardup",
+    (s, dir) => {
+      val docs = docsSpread(s, dir).select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val near = docs.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", concat(col("text"), lit(" zq83tail")))
+      TextDedup.simhashNearDups(docs.unionByName(dups).unionByName(near),
+        "doc_id", "text", nBands = 4, maxHamming = 3)
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text || ' zq83tail' FROM documents WHERE doc_id % 10 = 5),
+      ${duckSimhashCtes("corpus")},
+      bands AS (
+        SELECT doc_id, simhash, 0 AS band, simhash & 255 AS bv FROM sh
+        UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sh
+        UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sh
+        UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sh),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+          x.simhash AS simhash_a, y.simhash AS simhash_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b, simhash_a, simhash_b,
+        CAST(bit_count(xor(simhash_a, simhash_b)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(simhash_a, simhash_b)) <= 3""")
+  )
+
+  // Curation 16: Bloom-filtered decontamination — the sketch-side scale
+  // path of q61. The holdout digest set folds into a 2²¹-bit mergeable
+  // Bloom filter (graft_bloom_agg) and the train side probes it inside its
+  // own projection: zero joins, zero shuffles, no broadcast hash SET. The
+  // oracle checks the exact columns plus the two sketch guarantees as
+  // envelope booleans (q36/q54 pattern): soundness (no false negatives —
+  // every exactly-overlapping digest is flagged) and a false-positive tail
+  // within max(2, 2%) of the doc's shingles at this load factor.
+  private val q84 = Q(
+    "q84_bloom_decontaminate",
+    (s, dir) => {
+      val docs  = docsSpread(s, dir)
+      val lbl   = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      val train = docs.filter(lbl === "train")
+      val hold  = docs.filter(lbl === "val")
+      val bloom = Decontaminate.holdoutBloom(hold, "doc_id", "text", shingleN = 3,
+        numBits = 1 << 21, numHashes = 5)
+      val flags = Decontaminate.bloomContamination(train, bloom, "doc_id", "text", shingleN = 3)
+        .select(col("doc_id"), col("n_flagged"))
+      Decontaminate.contamination(train, hold, "doc_id", "text", shingleN = 3)
+        .join(flags, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("n_shingles"), col("n_overlap"), col("contaminated"),
+          (col("n_flagged") >= col("n_overlap")).as("bloom_sound"),
+          (col("n_flagged") - col("n_overlap") <=
+            greatest(lit(2L), expr("n_shingles div 50"))).as("fp_within_bound"))
+    },
+    Some(s"""WITH $toksCte,
+      sh3 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+      lbl AS (SELECT doc_id, (${TrainingQueries.md5Bucket16Sql("doc_id")}) < 58982 AS is_train
+        FROM documents),
+      hold AS (SELECT DISTINCT s FROM sh3 JOIN lbl USING (doc_id) WHERE NOT is_train),
+      agg AS (SELECT sh3.doc_id, count(*) AS n_sh, count(h.s) AS n_ov
+        FROM sh3 JOIN lbl USING (doc_id) LEFT JOIN hold h USING (s)
+        WHERE lbl.is_train GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_shingles,
+        CAST(coalesce(a.n_ov, 0) AS BIGINT) AS n_overlap,
+        (coalesce(a.n_ov, 0) > 0) AS contaminated,
+        TRUE AS bloom_sound,
+        TRUE AS fp_within_bound
+      FROM (SELECT doc_id FROM lbl WHERE is_train) t
+      LEFT JOIN agg a USING (doc_id)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82)
+    q77, q78, q79, q80, q81, q82, q83, q84)
 }

@@ -29,6 +29,7 @@ private[graft] object QueryCaches {
   private val sigCache    = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val ccCache     = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val layoutCache = new ConcurrentHashMap[SparkSession, (String, Path)]()
+  private val snapCache   = new ConcurrentHashMap[SparkSession, (String, Path)]()
 
   def sigFor(s: SparkSession, dir: String): DataFrame = sigCache.synchronized {
     sigCache.get(s) match {
@@ -78,8 +79,28 @@ private[graft] object QueryCaches {
       }
     }
 
+  /** Committed demo snapshot table (SnapshotLog root) for (s, dir), built
+    * on first request — the version commits are q85's SETUP; the
+    * time-travel diff is what the query measures, so the table is written
+    * once per (session, dir), not once per invocation.
+    */
+  def snapshotTableFor(s: SparkSession, dir: String)(build: String => Unit): String =
+    snapCache.synchronized {
+      snapCache.get(s) match {
+        case (d, root) if d == dir => s"$root/table"
+        case prev =>
+          if (prev != null) deleteTree(prev._2)
+          val root = Files.createTempDirectory("graft-snap")
+          val path = s"$root/table"
+          build(path)
+          snapCache.put(s, (dir, root))
+          path
+      }
+    }
+
   /** Release everything cached for `s`: unpersist the signature frame and
-    * delete the layout directory. Call before stopping the session.
+    * delete the layout/snapshot directories. Call before stopping the
+    * session.
     */
   def clear(s: SparkSession): Unit = {
     sigCache.synchronized {
@@ -90,6 +111,9 @@ private[graft] object QueryCaches {
     }
     layoutCache.synchronized {
       Option(layoutCache.remove(s)).foreach(e => deleteTree(e._2))
+    }
+    snapCache.synchronized {
+      Option(snapCache.remove(s)).foreach(e => deleteTree(e._2))
     }
   }
 
@@ -106,6 +130,10 @@ private[graft] object QueryCaches {
     layoutCache.synchronized {
       layoutCache.values().forEach(e => deleteTree(e._2))
       layoutCache.clear()
+    }
+    snapCache.synchronized {
+      snapCache.values().forEach(e => deleteTree(e._2))
+      snapCache.clear()
     }
   }
 }

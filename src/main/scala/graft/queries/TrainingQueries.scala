@@ -532,6 +532,84 @@ object TrainingQueries {
       GROUP BY 1""")
   )
 
+  // Snapshot time-travel diff end-to-end: commit orders-current state as
+  // v1 (latest order per custkey before the split date), commit a
+  // merge-on-read delta as v2 (latest order on/after the date, plus
+  // designed deletes for custkey % 50 = 3), then diff the two VERSIONS —
+  // the changelog any pair of snapshots yields with no write-time change
+  // tracking. The commits are memoized setup (QueryCaches.snapshotTableFor,
+  // same contract as q59's layout); the diff — two pruned snapshot reads +
+  // one full-outer hash join on the key — is what the query measures. The
+  // oracle computes both states straight from `orders` and diffs them:
+  // the log must be invisible to results.
+  private val q85 = Q(
+    "q85_snapshot_diff",
+    (s, dir) => {
+      import graft.table.SnapshotLog
+      val tbl = QueryCaches.snapshotTableFor(s, dir) { path =>
+        val orders = Tables.orders(s, dir)
+        val split  = lit("1995-06-01").cast("date")
+        def latest(df: DataFrame): DataFrame = df.groupBy(col("o_custkey")).agg(
+          max(col("o_orderkey")).as("o_orderkey"),
+          expr("max_by(o_orderstatus, o_orderkey)").as("o_orderstatus"))
+        SnapshotLog.commitReplace(
+          latest(orders.filter(col("o_orderdate") < split)), path, Some("q85-base"))
+        val delKeys = orders.filter(col("o_custkey") % 50 === 3)
+          .select(col("o_custkey")).distinct()
+        val upserts = latest(orders.filter(col("o_orderdate") >= split))
+          .join(delKeys, Seq("o_custkey"), "left_anti")
+          .withColumn("is_del", lit(false))
+        val deletes = delKeys
+          .withColumn("o_orderkey", lit(null).cast("long"))
+          .withColumn("o_orderstatus", lit(null).cast("string"))
+          .withColumn("is_del", lit(true))
+        SnapshotLog.commitDelta(upserts.unionByName(deletes), path,
+          SnapshotLog.MergeSpec(key = Seq("o_custkey"), deleteCol = Some("is_del")),
+          Some("q85-delta"))
+      }
+      graft.table.SnapshotLog.diff(s, tbl, fromVersion = 1, toVersion = 2,
+        keyCols = Seq("o_custkey"))
+    },
+    Some("""WITH s1 AS (
+        SELECT o_custkey, max(o_orderkey) AS k, max_by(o_orderstatus, o_orderkey) AS st
+        FROM orders WHERE o_orderdate < DATE '1995-06-01' GROUP BY 1),
+      d AS (
+        SELECT o_custkey, max(o_orderkey) AS k, max_by(o_orderstatus, o_orderkey) AS st
+        FROM orders WHERE o_orderdate >= DATE '1995-06-01' GROUP BY 1),
+      del AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 50 = 3),
+      s2 AS (
+        SELECT * FROM d WHERE o_custkey NOT IN (SELECT o_custkey FROM del)
+        UNION ALL
+        SELECT * FROM s1 WHERE o_custkey NOT IN (SELECT o_custkey FROM d)
+          AND o_custkey NOT IN (SELECT o_custkey FROM del))
+      SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        CASE WHEN a.o_custkey IS NULL THEN 'added'
+             WHEN b.o_custkey IS NULL THEN 'removed'
+             WHEN a.k IS DISTINCT FROM b.k OR a.st IS DISTINCT FROM b.st
+               THEN 'changed' END AS change
+      FROM s1 a FULL JOIN s2 b ON a.o_custkey = b.o_custkey
+      WHERE (CASE WHEN a.o_custkey IS NULL THEN 'added'
+             WHEN b.o_custkey IS NULL THEN 'removed'
+             WHEN a.k IS DISTINCT FROM b.k OR a.st IS DISTINCT FROM b.st
+               THEN 'changed' END) IS NOT NULL""")
+  )
+
+  // BPE tokenizer-training statistics: top adjacent-char merge candidates
+  // inside words (the ACL'16 counting step). Output bounded by the symbol
+  // pair space, so ranking is a TakeOrdered over a tiny aggregate.
+  private val q86 = Q(
+    "q86_bpe_pairs",
+    (s, dir) => graft.ext.TextStats.bpePairStats(docsSpread(s, dir), "text", k = 30),
+    Some(s"""WITH $toksCte,
+      wd AS (SELECT unnest(w) AS word FROM toks),
+      p AS (SELECT substr(word, i, 2) AS pair
+        FROM wd, UNNEST(range(1, length(word))) AS t(i)),
+      c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1)
+      SELECT pair, CAST(n AS BIGINT) AS n,
+        CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+      FROM c QUALIFY rnk <= 30""")
+  )
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59)
+    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86)
 }

@@ -282,6 +282,42 @@ object SnapshotLog {
     carried.filter(col("__mor_rn") === 1).drop(internal: _*)
   }
 
+  /** Row-level diff between two committed versions (time-travel changelog
+    * — the read-side companion of Iceberg's `create_changelog_view` /
+    * Delta CDF, derivable from any pair of snapshots with no change
+    * tracking at write time): one row per key whose state differs between
+    * `fromVersion` and `toVersion`, tagged `change` ∈ 'added' | 'removed'
+    * | 'changed'. Keys with identical non-key state drop out.
+    *
+    * Scale shape: each side reads ONLY its snapshot's segment list (cost ∝
+    * the two snapshots, never the table history), then one full-outer hash
+    * join on the key — the single shuffle a keyed diff needs. Value
+    * comparison is a null-safe struct equality, so sparse columns diff
+    * correctly.
+    *
+    * Output: keyCols ++ (change: string).
+    */
+  def diff(spark: SparkSession, path: String, fromVersion: Int, toVersion: Int,
+           keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, path, Some(fromVersion))
+    val b = read(spark, path, Some(toVersion))
+    require(keyCols.nonEmpty && keyCols.forall(a.columns.contains),
+      s"diff: key columns ${keyCols.mkString(",")} must exist in the table")
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"diff: schemas differ between v$fromVersion and v$toVersion")
+    val valCols = a.columns.filterNot(keyCols.contains).toSeq
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as(as): _*)
+    packed(a, "__va").join(packed(b, "__vb"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__va").isNull, lit("added"))
+          .when(col("__vb").isNull, lit("removed"))
+          .when(!(col("__va") <=> col("__vb")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** The `$snapshots` metadata view: (version, committed_at_ms, op,
     * n_segments) per retained manifest.
     */

@@ -116,6 +116,30 @@ class TextDedupSpec extends SparkFunSuite {
     assert(r == Map((1L, 2L) -> ((2222L, 10000L, 10000L))))
   }
 
+  test("simhashNearDups equals the brute-force hamming filter (pigeonhole completeness)") {
+    // mixed corpus: exact copies (hamming 0), light perturbations (small
+    // hamming), unrelated docs — enough docs that band buckets collide
+    val rnd   = new scala.util.Random(7)
+    val vocab = Vector("red", "green", "blue", "fox", "wolf", "jumps", "over", "lazy", "dog", "cat")
+    val base = (1L to 25L).map { id =>
+      (id, Seq.fill(10 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val corpus = (base ++
+      base.filter(_._1 % 5 == 0).map { case (id, t) => (id + 100, t) } ++          // exact
+      base.filter(_._1 % 5 == 1).map { case (id, t) => (id + 200, t + " tail") })  // near
+      .toDF("id", "text")
+    val sh = TextDedup.simhash32(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib) -> java.lang.Long.bitCount(ha ^ hb).toLong).toMap
+    val got = TextDedup.simhashNearDups(corpus, "id", "text", nBands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got == expected)           // complete (pigeonhole) AND precise (verify step)
+    assert(expected.exists(_._2 == 0L)) // the planted exact copies are in there
+  }
+
   test("incrementalDupCheck: exact copy hits the index, fresh and unshingleable docs do not") {
     val index = docs.filter($"id" <= 4L)
     val idxBands = TextDedup.lshBands(

@@ -45,4 +45,12 @@ class TextStatsSpec extends SparkFunSuite {
     val r = TextStats.langId(df, "id", "text").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
+
+  test("bpePairStats matches a hand-counted model and ranks deterministically") {
+    // "abab" → ab, ba, ab ; "ab" → ab ; "cd" → cd ; single chars → none
+    val df = Seq((1L, "abab ab"), (2L, "cd x y")).toDF("id", "text")
+    val r = TextStats.bpePairStats(df, "text", k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("ab", 3L, 1L), ("ba", 1L, 2L), ("cd", 1L, 3L)))
+  }
 }

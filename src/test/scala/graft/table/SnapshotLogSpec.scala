@@ -182,6 +182,25 @@ class SnapshotLogSpec extends SparkFunSuite {
     assert(SnapshotLog.commitReplace(df, path, Some("ok.tag-1_x")) == 1)
   }
 
+  test("diff between versions: added/removed/changed, unchanged keys drop out") {
+    val path = tmp()
+    SnapshotLog.commitReplace(
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)).toDF("id", "v", "x"),
+      path)
+    // delta: change key 2, delete key 3, add key 5; keys 1/4 untouched
+    SnapshotLog.commitDelta(
+      Seq((2, Some("B"), Some(21), false), (3, None, None, true), (5, Some("e"), Some(50), false))
+        .toDF("id", "v", "x", "is_del"),
+      path, SnapshotLog.MergeSpec(key = Seq("id"), deleteCol = Some("is_del")))
+    val d = SnapshotLog.diff(spark, path, 1, 2, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(d == Map(2 -> "changed", 3 -> "removed", 5 -> "added"))
+    // schemas must line up
+    intercept[IllegalArgumentException](SnapshotLog.diff(spark, path, 1, 2, Seq("nope")))
+    // a self-diff is empty
+    assert(SnapshotLog.diff(spark, path, 2, 2, Seq("id")).count() == 0L)
+  }
+
   test("concurrent committers both land, versions stay distinct") {
     val path = tmp()
     SnapshotLog.commitReplace(Seq((0, "z")).toDF("id", "v"), path)
