@@ -187,4 +187,42 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("Exchange") && !p.contains("Join"),
       s"rate table must fold into the filter:\n$p")
   }
+
+  test("q83: simhash banding is an equi-join on (band, band_val), never a product") {
+    val p = plan("q83_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pigeonhole candidates must come from an equi-join:\n$p")
+    // the simhash bit sums must map-side combine before the per-doc agg
+    assert(p.split("HashAggregate").length >= 3, s"bit sums must partially aggregate:\n$p")
+  }
+
+  test("q84: bloom probe side has no join and no shuffle beyond the per-doc projection") {
+    // audit the OPERATOR (the sketch-side scale path), not the composed
+    // query (whose exact-overlap branch legitimately joins for the oracle)
+    val docs  = graft.Tables.documents(spark, sf)
+    val bloom = graft.ext.Decontaminate.holdoutBloom(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+      "doc_id", "text", shingleN = 3, numBits = 1 << 15, numHashes = 5)
+    val p = graft.ext.Decontaminate
+      .bloomContamination(docs, bloom, "doc_id", "text", shingleN = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"bloom contamination must be a zero-shuffle projection:\n$p")
+  }
+
+  test("q85: snapshot diff is one full-outer key join over the two snapshot reads") {
+    val p = plan("q85_snapshot_diff")
+    assert(p.contains("FullOuter"), s"diff must full-outer join the snapshots:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must stay a key equi-join:\n$p")
+  }
+
+  test("q86: BPE pair ranking sorts only the bounded pair aggregate") {
+    val p = plan("q86_bpe_pairs")
+    // partial+final count on the pair key, then a single-partition rank over
+    // the alphabet²-bounded aggregate — the corpus itself is never sorted
+    assert(p.split("HashAggregate").length >= 3, s"pair counts must map-side combine:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"ranking must not globally sort the corpus:\n$p")
+  }
 }
