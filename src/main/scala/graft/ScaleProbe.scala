@@ -123,7 +123,18 @@ object ScaleProbe {
       // edges grow linearly while component diameter grows with the
       // multiplier, stressing the O(log diameter) round bound. Signature
       // build is excluded (measured as minhash_sigs); see custom loop below
-      "dedup_clusters_cc" -> (m => m.toLong)
+      "dedup_clusters_cc" -> (m => m.toLong),
+      // the power-iteration loop: a graph growing linearly with the corpus
+      // (a 10-ary tree over doc ids plus everyone-cites-one-of-100-hubs
+      // edges, so in-degree skew grows with corpus size). Per-iteration
+      // cost is claimed O(E) with map-side partial aggregation absorbing
+      // the hub skew — the ratio must track edge growth, not hub in-degree
+      "pagerank_iter" -> { m =>
+        val docs = docsAt(m).select(col("doc_id"))
+        val edges = docs.select(col("doc_id").as("src"), expr("doc_id div 10").as("dst"))
+          .union(docs.select(col("doc_id").as("src"), (col("doc_id") % 100).as("dst")))
+        graft.ext.Graphs.pageRankInt(edges, "src", "dst", iters = 3).count()
+      }
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so

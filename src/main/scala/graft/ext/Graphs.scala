@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for crawl curation. Web-scale training corpora
+  * weight documents by the standing of the site that published them —
+  * Common Crawl publishes harmonic-centrality and PageRank rankings for
+  * exactly this purpose, and crawl frontiers seed from them (Page et al.
+  * 1999, "The PageRank Citation Ranking"; public). The reference engine
+  * stops at per-URL extraction; a curation pass needs the global signal:
+  * a domain linked by many well-linked domains outranks one nobody cites,
+  * regardless of either's raw document count (which spam inflates).
+  *
+  * Engine-portability: ranks are micro-units (1e6 = mass 1.0) and every
+  * step is BIGINT arithmetic with floor division — `rank div outdeg`
+  * shares, `(damping × inflow) div 100` mixing — so a DuckDB oracle
+  * running the same chained iterations reproduces the output bit-for-bit.
+  * Floating-point PageRank is merge-order-sensitive (sum order changes
+  * the low bits); integer mass is not.
+  */
+object Graphs {
+
+  /** Exact-integer PageRank over a string-keyed edge list, fixed
+    * `iters` power iterations.
+    *
+    * Semantics (deliberately simple and total):
+    *   - the graph is `edges.distinct()`; self-loops are kept (a
+    *     self-citation is a citation — and dropping them silently would
+    *     make the oracle's edge set diverge from the operator's);
+    *   - every node (source or target of any edge) starts at `scaleMu`
+    *     micro-units;
+    *   - each iteration: share(u) = rank(u) div outdeg(u) flows along
+    *     every out-edge, and rank'(v) = base + (dampingPct × Σ inflow)
+    *     div 100 with base = ((100 − dampingPct) × scaleMu) div 100;
+    *   - dangling nodes (no out-edges) KEEP their rank but contribute
+    *     nothing — their mass leaves the system, the standard "lost
+    *     mass" simplification. Total mass therefore shrinks toward the
+    *     teleport floor; rankings are unaffected, which is what the
+    *     curation weight consumes.
+    *
+    * Scale shape: per iteration exactly two shuffles — the rank⋈edges
+    * equi-join on the source key (sort-merge; both sides are node/edge
+    * sized, nothing is collected or broadcast) and the inflow hash-agg
+    * on the target key, whose partial aggregation absorbs in-degree
+    * skew map-side (a domain linked from everywhere sums locally before
+    * the exchange). The per-iteration cost is O(E) rows of (string,
+    * long) — at web scale, dictionary-encode node ids to longs upstream
+    * and the same plan holds. Each generation is persisted and
+    * materialized so lineage stays one iteration deep (the
+    * [[VectorSearch.kmeansFit]] pattern); `iters` is fixed and small
+    * (3-20 in practice), not a convergence loop.
+    *
+    * Overflow: Σ shares ≤ nodes × scaleMu, so dampingPct × inflow stays
+    * under 2^63 for corpora up to ~10^11 nodes at the default scale —
+    * beyond that, lower `scaleMu`.
+    *
+    * Output: (node, rank_mu) for every node in the edge list.
+    */
+  def pageRankInt(edges0: DataFrame, srcCol: String, dstCol: String,
+                  iters: Int, scaleMu: Long = 1000000L,
+                  dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct must be in [0, 100]")
+    val edges = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    // (src, dst, odeg): outdeg rides each edge row so an iteration's join
+    // against the rank frame is single — persisted once, reused every round
+    val outEdges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .persist()
+    val base = ((100L - dampingPct) * scaleMu) / 100L
+    var rank = nodes.withColumn("rank_mu", lit(scaleMu))
+    for (_ <- 1 to iters) {
+      val next = iteration(outEdges, nodes, rank, base, dampingPct).persist()
+      next.count() // materialize before dropping the previous generation
+      rank.unpersist()
+      rank = next
+    }
+    // sever lineage into the persisted edge frames before unpersisting them
+    val out = rank.localCheckpoint(true)
+    rank.unpersist()
+    outEdges.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /** One power iteration, exposed at package level so the plan audit can
+    * pin its physical shape: an equi-join of rank onto out-edges, a
+    * partial+final hash-agg of shares on the target key, and a left join
+    * back onto the node set — never a product join, never a window.
+    *
+    * `outEdges` must carry (src, dst, odeg); `rank` carries
+    * (node, rank_mu).
+    */
+  private[graft] def iteration(outEdges: DataFrame, nodes: DataFrame,
+                               rank: DataFrame, base: Long,
+                               dampingPct: Int): DataFrame = {
+    val inflow = outEdges.join(rank, col("src") === col("node"))
+      .select(col("dst").as("node"), expr("rank_mu div odeg").as("__share"))
+      .groupBy("node").agg(sum(col("__share")).as("__inflow"))
+    nodes.join(inflow, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + expr(s"(${dampingPct}L * coalesce(__inflow, 0L)) div 100"))
+          .as("rank_mu"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, Decontaminate, Multimodal, Packing, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Decontaminate, Graphs, Multimodal, Packing, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1494,8 +1494,76 @@ object ExtensionQueries {
       LEFT JOIN agg a USING (doc_id)""")
   )
 
+  /** One PageRank oracle iteration as a DuckDB CTE: `cur` from `prev`,
+    * same integer arithmetic as [[Graphs.pageRankInt]] (shares via `//`,
+    * 85/100 damping, 150000-µ teleport floor).
+    */
+  private def prIterCte(prev: String, cur: String): String =
+    s"""$cur AS (SELECT n.node,
+      CAST(150000 + (85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS rank_mu
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(r.rank_mu // o.odeg) AS BIGINT) AS inflow
+        FROM edges e JOIN $prev r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+        GROUP BY 1) f ON n.node = f.node)"""
+
+  // Curation 16: link-graph PageRank — the crawl-quality signal (Common
+  // Crawl publishes exactly this ranking for seed selection). The corpus
+  // plants the q80 URL scheme; the graph is (source → cited domain) plus
+  // within-doc domain co-citations (lexicographic low → high), and ranks
+  // are exact integer micro-units so 3 chained oracle iterations match
+  // bit-for-bit. The site domains — cited by every source AND co-cited by
+  // mirror.example (lexicographically lower, so the co-cite edge points
+  // mirror → site) — surface as the top-ranked nodes, above the sources
+  // that only emit mass.
+  private val q87 = Q(
+    "q87_pagerank",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val planted = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" https://site"), (col("doc_id") % 5).cast("string"),
+              lit(".example/d/"), id)).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" http://mirror.example/x/"), id)).otherwise(lit(""))).as("text"))
+      val d = planted
+        .select(col("doc_id"), col("source"),
+          explode(regexp_extract_all(col("text"), lit(TextStats.UrlPattern), lit(0))).as("__url"))
+        .select(col("doc_id"), col("source"),
+          regexp_extract(col("__url"), "https?://([^/\\s]+)", 1).as("domain"))
+        .distinct()
+      val cites = d.select(col("source").as("src"), col("domain").as("dst"))
+      val cocite = d.as("a").join(d.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.domain") < col("b.domain"))
+        .select(col("a.domain").as("src"), col("b.domain").as("dst"))
+      Graphs.pageRankInt(cites.union(cocite), "src", "dst", iters = 3)
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, source, text ||
+        CASE WHEN doc_id % 3 = 0
+          THEN ' https://site' || (doc_id % 5) || '.example/d/' || doc_id ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0
+          THEN ' http://mirror.example/x/' || doc_id ELSE '' END AS text
+        FROM documents),
+      u AS (SELECT doc_id, source, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url
+        FROM corpus),
+      d AS (SELECT DISTINCT doc_id, source,
+          regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain FROM u),
+      edges AS (
+        SELECT DISTINCT source AS src, domain AS dst FROM d
+        UNION
+        SELECT a.domain, b.domain FROM d a
+        JOIN d b ON a.doc_id = b.doc_id AND a.domain < b.domain),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM edges GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_mu FROM nodes),
+      ${prIterCte("r0", "r1")},
+      ${prIterCte("r1", "r2")},
+      ${prIterCte("r2", "r3")}
+      SELECT node, rank_mu FROM r3""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83, q84)
+    q77, q78, q79, q80, q81, q82, q83, q84, q87)
 }

@@ -1,0 +1,90 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.Row
+
+/** [[Graphs.pageRankInt]] against a pure-Scala integer reference model:
+  * the operator's contract is exact integer arithmetic, so the model and
+  * the distributed run must agree to the last micro-unit, not within a
+  * tolerance.
+  */
+class GraphsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  /** Reference PageRank with the operator's exact semantics: distinct
+    * edges, rank div outdeg shares, (85 × inflow) div 100 damping over a
+    * 150000-µ floor, dangling mass dropped.
+    */
+  private def ref(edges: Set[(String, String)], iters: Int,
+                  dampingPct: Long = 85L): Map[String, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = (100L - dampingPct) * 1000000L / 100L
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges.toSeq
+        .map { case (u, v) => v -> rank(u) / odeg(u) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+      rank = nodes.map(n => n -> (base + dampingPct * inflow.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    Graphs.pageRankInt(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map { case Row(n: String, r: Long) => n -> r }.toMap
+
+  private val chain = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d")
+
+  test("matches the integer reference model at 0 through 4 iterations") {
+    for (it <- 0 to 4)
+      assert(run(chain, it) === ref(chain.toSet, it), s"iteration $it")
+  }
+
+  test("duplicate edge rows collapse to the distinct graph") {
+    assert(run(chain ++ chain ++ chain.take(2), 3) === ref(chain.toSet, 3))
+  }
+
+  test("dangling node keeps teleport floor plus inflow but emits nothing") {
+    // d has no out-edges: its rank must still be base + damped inflow,
+    // and a's rank must NOT include any share from d
+    val got = run(chain, 2)
+    assert(got === ref(chain.toSet, 2))
+    assert(got("d") > 0L)
+  }
+
+  test("a hub cited by every node outranks its citers") {
+    val hub = Seq("a" -> "h", "b" -> "h", "c" -> "h", "a" -> "b", "b" -> "c")
+    val got = run(hub, 3)
+    assert(got === ref(hub.toSet, 3))
+    assert(got("h") > got("a") && got("h") > got("b") && got("h") > got("c"))
+  }
+
+  test("self-loops are kept, not dropped") {
+    val g = Seq("a" -> "a", "a" -> "b")
+    assert(run(g, 3) === ref(g.toSet, 3))
+  }
+
+  test("iteration plan: equi-joins + partial/final share agg, no product join, no window") {
+    import org.apache.spark.sql.functions._
+    val edges = chain.toDF("src", "dst")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outEdges = edges.join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+    val rank = nodes.withColumn("rank_mu", lit(1000000L))
+    val p = Graphs.iteration(outEdges, nodes, rank, 150000L, 85)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"iteration must never fall back to a product join:\n$p")
+    assert(!p.contains("Window"), s"no window in the iteration:\n$p")
+    // inflow sum is partial+final (map-side combine absorbs in-degree skew)
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+  }
+
+  test("deterministic under input partitioning") {
+    val df = chain.toDF("src", "dst").repartition(7)
+    val a = Graphs.pageRankInt(df, "src", "dst", 3)
+      .collect().map { case Row(n: String, r: Long) => n -> r }.toMap
+    assert(a === ref(chain.toSet, 3))
+  }
+}
