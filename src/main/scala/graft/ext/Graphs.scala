@@ -46,9 +46,10 @@ object Graphs {
     * skew map-side (a domain linked from everywhere sums locally before
     * the exchange). The per-iteration cost is O(E) rows of (string,
     * long) — at web scale, dictionary-encode node ids to longs upstream
-    * and the same plan holds. Each generation is persisted and
-    * materialized so lineage stays one iteration deep (the
-    * [[VectorSearch.kmeansFit]] pattern); `iters` is fixed and small
+    * and the same plan holds. A generation is persisted and materialized
+    * every 4th iteration (kept shallower than the ~7-deep cliff where
+    * iterative DataFrame plans start compounding — see [[Components]]),
+    * so short runs execute as a single job; `iters` is fixed and small
     * (3-20 in practice), not a convergence loop.
     *
     * Overflow: Σ shares ≤ nodes × scaleMu, so dampingPct × inflow stays
@@ -62,10 +63,14 @@ object Graphs {
                   dampingPct: Int = 85): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct must be in [0, 100]")
+    // edges feeds four downstream builds (both node branches, the out-deg
+    // agg, and the join probe) — persisted, or the upstream extraction
+    // (regexp scans, distinct shuffle) runs four times
     val edges = edges0
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .persist()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -76,18 +81,33 @@ object Graphs {
       .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
       .persist()
     val base = ((100L - dampingPct) * scaleMu) / 100L
+    // Materialize a generation only every 4th iteration: each barrier is a
+    // full job, and a 3-iteration run should be ONE job, not four. Four is
+    // safely below the lineage-depth cliff where per-round Catalyst
+    // re-planning and compounding size estimates start to bite (measured
+    // around depth ~7 on self-joining iterative plans — see
+    // [[Components]]'s rationale for leaving DataFrames entirely).
     var rank = nodes.withColumn("rank_mu", lit(scaleMu))
-    for (_ <- 1 to iters) {
-      val next = iteration(outEdges, nodes, rank, base, dampingPct).persist()
-      next.count() // materialize before dropping the previous generation
-      rank.unpersist()
-      rank = next
+    var lastMat: Option[DataFrame] = None
+    var depth = 0
+    for (i <- 1 to iters) {
+      rank = iteration(outEdges, nodes, rank, base, dampingPct)
+      depth += 1
+      if (depth >= 4 && i < iters) {
+        val m = rank.persist()
+        m.count() // materialize before dropping the previous generation
+        lastMat.foreach(_.unpersist())
+        lastMat = Some(m)
+        rank = m
+        depth = 0
+      }
     }
-    // sever lineage into the persisted edge frames before unpersisting them
+    // sever lineage into the persisted frames before unpersisting them
     val out = rank.localCheckpoint(true)
-    rank.unpersist()
+    lastMat.foreach(_.unpersist())
     outEdges.unpersist()
     nodes.unpersist()
+    edges.unpersist()
     out
   }
 
@@ -99,6 +119,27 @@ object Graphs {
     * `outEdges` must carry (src, dst, odeg); `rank` carries
     * (node, rank_mu).
     */
+  /** One UNEXECUTED power iteration over `edges0` from the uniform start
+    * state — the frame whose physical plan IS the operator's scale story
+    * (the public [[pageRankInt]] output is a checkpoint scan with no plan
+    * left to read). Used by the plan audit and `graft.Explain`.
+    */
+  private[graft] def iterationPlanFrame(edges0: DataFrame, srcCol: String,
+                                        dstCol: String, scaleMu: Long = 1000000L,
+                                        dampingPct: Int = 85): DataFrame = {
+    val edges = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val outEdges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+    val base = ((100L - dampingPct) * scaleMu) / 100L
+    iteration(outEdges, nodes, nodes.withColumn("rank_mu", lit(scaleMu)), base, dampingPct)
+  }
+
   private[graft] def iteration(outEdges: DataFrame, nodes: DataFrame,
                                rank: DataFrame, base: Long,
                                dampingPct: Int): DataFrame = {

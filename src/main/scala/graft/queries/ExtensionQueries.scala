@@ -1515,29 +1515,37 @@ object ExtensionQueries {
   // mirror.example (lexicographically lower, so the co-cite edge points
   // mirror → site) — surface as the top-ranked nodes, above the sources
   // that only emit mass.
+  /** The q87 citation graph: (source → cited domain) from the planted q80
+    * URL scheme, plus within-doc domain co-citations (lexicographic low →
+    * high). Shared with [[graft.Explain]], which renders one power
+    * iteration over it — the q87 output frame itself is a checkpoint scan
+    * with no plan to read.
+    */
+  private[graft] def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val planted = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" https://site"), (col("doc_id") % 5).cast("string"),
+            lit(".example/d/"), id)).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" http://mirror.example/x/"), id)).otherwise(lit(""))).as("text"))
+    val d = planted
+      .select(col("doc_id"), col("source"),
+        explode(regexp_extract_all(col("text"), lit(TextStats.UrlPattern), lit(0))).as("__url"))
+      .select(col("doc_id"), col("source"),
+        regexp_extract(col("__url"), "https?://([^/\\s]+)", 1).as("domain"))
+      .distinct()
+    val cites = d.select(col("source").as("src"), col("domain").as("dst"))
+    val cocite = d.as("a").join(d.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.domain") < col("b.domain"))
+      .select(col("a.domain").as("src"), col("b.domain").as("dst"))
+    cites.union(cocite)
+  }
+
   private val q87 = Q(
     "q87_pagerank",
-    (s, dir) => {
-      val id = col("doc_id").cast("string")
-      val planted = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" https://site"), (col("doc_id") % 5).cast("string"),
-              lit(".example/d/"), id)).otherwise(lit("")),
-          when(col("doc_id") % 4 === 0,
-            concat(lit(" http://mirror.example/x/"), id)).otherwise(lit(""))).as("text"))
-      val d = planted
-        .select(col("doc_id"), col("source"),
-          explode(regexp_extract_all(col("text"), lit(TextStats.UrlPattern), lit(0))).as("__url"))
-        .select(col("doc_id"), col("source"),
-          regexp_extract(col("__url"), "https?://([^/\\s]+)", 1).as("domain"))
-        .distinct()
-      val cites = d.select(col("source").as("src"), col("domain").as("dst"))
-      val cocite = d.as("a").join(d.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.domain") < col("b.domain"))
-        .select(col("a.domain").as("src"), col("b.domain").as("dst"))
-      Graphs.pageRankInt(cites.union(cocite), "src", "dst", iters = 3)
-    },
+    (s, dir) => Graphs.pageRankInt(pagerankEdges(s, dir), "src", "dst", iters = 3),
     Some(s"""WITH corpus AS (SELECT doc_id, source, text ||
         CASE WHEN doc_id % 3 = 0
           THEN ' https://site' || (doc_id % 5) || '.example/d/' || doc_id ELSE '' END ||

@@ -66,13 +66,7 @@ class GraphsSpec extends SparkFunSuite {
   }
 
   test("iteration plan: equi-joins + partial/final share agg, no product join, no window") {
-    import org.apache.spark.sql.functions._
-    val edges = chain.toDF("src", "dst")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val outEdges = edges.join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
-    val rank = nodes.withColumn("rank_mu", lit(1000000L))
-    val p = Graphs.iteration(outEdges, nodes, rank, 150000L, 85)
+    val p = Graphs.iterationPlanFrame(chain.toDF("src", "dst"), "src", "dst")
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"iteration must never fall back to a product join:\n$p")
