@@ -188,6 +188,38 @@ object TextStats {
       .groupBy(col("domain"))
       .agg(countDistinct(col("__id")).as("n_docs"), count(lit(1)).as("n_urls"))
 
+  /** Canonical URL form for crawl-level dedup grouping — the step before
+    * any URL-keyed dedup or revisit policy: the same page is crawled as
+    * `http://` and `https://`, with and without `www.`, with tracking
+    * query strings and trailing slashes, and those raw strings must
+    * collapse to one key. Rules (deliberately aggressive — canonical
+    * keys GROUP candidates; a content hash downstream verifies):
+    * scheme normalized to https, host lowercased with a leading `www.`
+    * stripped, query string and fragment dropped entirely, trailing
+    * slashes trimmed. Pure codegen projection, and every rule is a
+    * regexp DuckDB evaluates identically.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(u, "^https?://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(u, "^https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+    concat(lit("https://"), host, path)
+  }
+
+  /** Canonical-URL rollup over extracted URLs: how many raw mentions,
+    * documents, and distinct raw spellings each canonical page has. One
+    * hash-aggregate on the canonical key; the distinct counts dedup
+    * map-side like [[domainStats]].
+    *
+    * Output: (canonical_url, n_urls, n_docs, n_variants).
+    */
+  def canonicalUrlStats(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.groupBy(canonicalUrl(col(urlCol)).as("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"),
+        countDistinct(col(urlCol)).as("n_variants"))
+
   /** Marker-stopword language-ID heuristic: count hits per language's
     * marker set, predict the argmax (ties and zero-hits fall back to "und").
     * A real system would use char-n-gram profiles; the *shape* (per-language

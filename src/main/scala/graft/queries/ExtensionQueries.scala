@@ -1570,8 +1570,53 @@ object ExtensionQueries {
       SELECT node, rank_mu FROM r3""")
   )
 
+  // Curation 17: canonical-URL dedup — the crawl-level grouping step
+  // before content dedup. The planted corpus spells the same pages as
+  // http/https, with/without www., with tracking queries, mixed host
+  // case, and trailing slashes; the canonical key must collapse all of
+  // them. (doc_id%20==0 docs emit BOTH mirror spellings, so n_variants
+  // exercises the distinct-raw count inside one document too.)
+  private val q88 = Q(
+    "q88_url_canonical",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" https://Site"), (col("doc_id") % 5).cast("string"),
+              lit(".example/d/"), id)).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" http://www.mirror.example/x/"), id,
+              lit("?utm_source=feed&gclid=abc"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" https://mirror.example/x/"), id, lit("/")))
+            .otherwise(lit(""))).as("text"))
+      val urls = planted.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(TextStats.UrlPattern), lit(0))).as("url"))
+      TextStats.canonicalUrlStats(urls, "doc_id", "url")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0
+          THEN ' https://Site' || (doc_id % 5) || '.example/d/' || doc_id ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0
+          THEN ' http://www.mirror.example/x/' || doc_id || '?utm_source=feed&gclid=abc' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+          THEN ' https://mirror.example/x/' || doc_id || '/' ELSE '' END AS text
+        FROM documents),
+      u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM corpus),
+      c AS (SELECT doc_id, url,
+        'https://' ||
+          regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)), '^www\.', '') ||
+          regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '/+$', '')
+          AS canonical_url FROM u)
+      SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+      FROM c GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83, q84, q87)
+    q77, q78, q79, q80, q81, q82, q83, q84, q87, q88)
 }

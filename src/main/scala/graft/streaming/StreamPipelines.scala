@@ -164,6 +164,46 @@ object StreamPipelines {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Windowed sketch telemetry: per tumbling window, an approximate
+    * distinct count (KMV) and the Misra-Gries heavy-hitter candidates
+    * beside the exact row count. The scale point: both sketches are
+    * mergeable `TypedImperativeAggregate`s, so the streaming state store
+    * holds ONE bounded buffer per window (k hashes + m counters), partial
+    * states merge across micro-batches and shuffle partitions exactly as
+    * they merge across executors in batch, and the append-mode row emits
+    * once when the watermark closes the window. An exact streaming
+    * `countDistinct` over unbounded keys would hold every key in state;
+    * this holds O(k + m) per window regardless of cardinality.
+    *
+    * When the window's true cardinality is ≤ k (resp. ≤ m distinct
+    * items), both sketches are exact — the envelope semantics match the
+    * batch q36/q54 oracles.
+    *
+    * Requires [[graft.functions.GraftExtensions]] on the session (the
+    * sketch aggregates are extension-registered expressions).
+    */
+  def windowedSketchStats(
+      events: DataFrame,
+      tsCol: String,
+      valCol: String,
+      k: Int = 256,
+      m: Int = 8,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute"
+  ): DataFrame = {
+    require(graft.functions.GraftFunctions.installed(events.sparkSession),
+      "windowedSketchStats needs the graft extension (sketch aggregates)")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(
+        graft.functions.GraftFunctions.kmvDistinct(col(valCol), k).as("approx_distinct"),
+        graft.functions.GraftFunctions.freqItems(col(valCol), m).as("heavy_hitters"),
+        count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("window_start"),
+        col("approx_distinct"), col("heavy_hitters"), col("n_rows"))
+  }
+
   /** Streaming ingest dedup: drop redelivered events by key with
     * watermark-bounded state (`dropDuplicatesWithinWatermark`). The state
     * store keeps one entry per key only until the watermark passes — the

@@ -53,4 +53,24 @@ class TextStatsSpec extends SparkFunSuite {
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r.toSeq == Seq(("ab", 3L, 1L), ("ba", 1L, 2L), ("cd", 1L, 3L)))
   }
+
+  test("canonicalUrl collapses scheme, www, host case, query, fragment, trailing slash") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "http://www.Ex.COM/a/b"            -> "https://ex.com/a/b",
+      "https://ex.com/a/b/"              -> "https://ex.com/a/b",
+      "https://ex.com/a/b?utm_source=x"  -> "https://ex.com/a/b",
+      "https://ex.com/a/b#frag"          -> "https://ex.com/a/b",
+      "http://WWW.ex.com/a/b?q=1&r=2#f"  -> "https://ex.com/a/b",
+      "https://ex.com"                   -> "https://ex.com",
+      "https://ex.com/"                  -> "https://ex.com",
+      // www2 is a real host prefix, not the www. alias — must survive
+      "https://www2.ex.com/x"            -> "https://www2.ex.com/x")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), TextStats.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) == want, s"canonicalUrl($raw) = ${got(raw)}, want $want")
+    }
+  }
 }

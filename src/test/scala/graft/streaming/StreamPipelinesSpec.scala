@@ -79,6 +79,77 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("windowedSketchStats: sketch state merges across micro-batches; exact at low cardinality") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamPipelines.windowedSketchStats(
+      input.toDF(), "ts", "key", k = 256, m = 8)
+    val q = agg.writeStream.format("memory").queryName("wss").outputMode("append").start()
+    try {
+      // the 10:00 window's keys arrive over THREE micro-batches, so the
+      // per-window sketch buffers must survive the state store and merge
+      input.addData(
+        Ev(t("2024-01-01 10:00:05"), "a", "view"),
+        Ev(t("2024-01-01 10:00:10"), "b", "view"))
+      q.processAllAvailable()
+      input.addData(
+        Ev(t("2024-01-01 10:00:20"), "a", "view"),
+        Ev(t("2024-01-01 10:00:30"), "c", "view"))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 10:00:40"), "a", "view"))
+      q.processAllAvailable()
+      assert(spark.table("wss").count() == 0) // window still open
+
+      input.addData(Ev(t("2024-01-01 10:02:00"), "z", "view"))
+      q.processAllAvailable()
+      val rows = spark.table("wss").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      // cardinality 3 ≤ k and ≤ m → both sketches are exact
+      assert(r.getAs[Long]("approx_distinct") == 3L)
+      assert(r.getAs[Long]("n_rows") == 5L)
+      val hh = r.getAs[Map[String, Long]]("heavy_hitters")
+      assert(hh == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    } finally q.stop()
+  }
+
+  test("windowedSketchStats: Misra-Gries envelope holds under compression (m < cardinality)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamPipelines.windowedSketchStats(
+      input.toDF(), "ts", "key", k = 256, m = 2)
+    val q = agg.writeStream.format("memory").queryName("wss2").outputMode("append").start()
+    try {
+      // skewed window: 'hot' ×6 among 10 rows over two micro-batches,
+      // 4 distinct cold keys force counter evictions at m = 2
+      input.addData(
+        Ev(t("2024-01-01 10:00:01"), "hot", "v"), Ev(t("2024-01-01 10:00:02"), "hot", "v"),
+        Ev(t("2024-01-01 10:00:03"), "c1", "v"), Ev(t("2024-01-01 10:00:04"), "hot", "v"),
+        Ev(t("2024-01-01 10:00:05"), "c2", "v"))
+      q.processAllAvailable()
+      input.addData(
+        Ev(t("2024-01-01 10:00:06"), "hot", "v"), Ev(t("2024-01-01 10:00:07"), "c3", "v"),
+        Ev(t("2024-01-01 10:00:08"), "hot", "v"), Ev(t("2024-01-01 10:00:09"), "c4", "v"),
+        Ev(t("2024-01-01 10:00:10"), "hot", "v"))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 10:02:00"), "z", "v"))
+      q.processAllAvailable()
+      val r = spark.table("wss2").collect().head
+      val hh = r.getAs[Map[String, Long]]("heavy_hitters")
+      val n = r.getAs[Long]("n_rows")
+      assert(n == 10L)
+      // MG guarantee: any key with true count > N/(m+1) is present,
+      // and every estimate is within [c − N/(m+1), c]
+      val exact = Map("hot" -> 6L, "c1" -> 1L, "c2" -> 1L, "c3" -> 1L, "c4" -> 1L)
+      val slack = n / (2 + 1)
+      assert(hh.contains("hot"), s"heavy hitter evicted: $hh")
+      hh.foreach { case (key, est) =>
+        val c = exact.getOrElse(key, 0L)
+        assert(est <= c && est >= c - slack, s"estimate out of envelope for $key: $est vs $c")
+      }
+    } finally q.stop()
+  }
+
   test("upsertBatch: carry-forward merge converges and is replay-idempotent") {
     val target = tmpDir("upsert") + "/gold"
     val b1 = Seq(
