@@ -112,4 +112,37 @@ object Decontaminate {
           d => graft.functions.GraftFunctions.bloomContains(bf, d))).cast("long").as("n_flagged"))
       .withColumn("flagged", col("n_flagged") > 0)
   }
+
+  /** Corpus-overlap ESTIMATE by sketch composition — "how contaminated is
+    * this train split, roughly?" answered in ONE pass with O(k) state and
+    * no join at all: three KMV sketches (train, holdout, union — the
+    * union sketch reads the same stream, and a shingle present on both
+    * sides dedups by hash inside the buffer, so no `.distinct()` shuffle
+    * is needed anywhere) and inclusion–exclusion
+    * `|T∩H| ≈ est(T) + est(H) − est(T∪H)`. The exact-join answer
+    * ([[contamination]]) is per-document and precise; this is the
+    * corpus-level gauge you run FIRST at 100 TB to decide whether the
+    * precise pass is worth scheduling — the same
+    * telemetry-before-surgery split as q36 vs countDistinct. Per-side
+    * relative error ~1/√k; the overlap estimate compounds all three, so
+    * size k for the margin you need.
+    *
+    * Output (one row): est_train, est_holdout, est_union, est_overlap.
+    */
+  def overlapSketch(train: DataFrame, holdout: DataFrame,
+                    textCol: String, shingleN: Int, k: Int): DataFrame = {
+    require(graft.functions.GraftFunctions.installed(train.sparkSession),
+      "overlapSketch needs the graft extension (KMV aggregate)")
+    def sh(df: DataFrame, side: String) = df.select(lit(side).as("__side"),
+      explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), shingleN)).as("__s"))
+    sh(train, "t").unionByName(sh(holdout, "h"))
+      .agg(
+        graft.functions.GraftFunctions
+          .kmvDistinct(when(col("__side") === "t", col("__s")), k).as("est_train"),
+        graft.functions.GraftFunctions
+          .kmvDistinct(when(col("__side") === "h", col("__s")), k).as("est_holdout"),
+        graft.functions.GraftFunctions.kmvDistinct(col("__s"), k).as("est_union"))
+      .select(col("est_train"), col("est_holdout"), col("est_union"),
+        (col("est_train") + col("est_holdout") - col("est_union")).as("est_overlap"))
+  }
 }

@@ -1615,8 +1615,60 @@ object ExtensionQueries {
       FROM c GROUP BY 1""")
   )
 
+  // Curation 18: sketch-composed corpus-overlap gauge — the q36 pattern
+  // applied to decontamination. est(T∩H) = est(T) + est(H) − est(T∪H)
+  // from three one-pass KMV sketches (no join, no distinct shuffle); the
+  // oracle recomputes the EXACT trigram overlap and states the envelope
+  // booleans as literal TRUE, so a sketch outside its bound hash-fails.
+  // Margins: per-side σ ≈ 1/√1024 ≈ 3.1%; the overlap estimate compounds
+  // three estimates, so its slack is scaled by the union size.
+  private val q89 = Q(
+    "q89_sketch_overlap",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val lbl  = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      val train = docs.filter(lbl === "train")
+      val hold  = docs.filter(lbl === "val")
+      val est = Decontaminate.overlapSketch(train, hold, "text", shingleN = 3, k = 1024)
+      def shingleSet(df: DataFrame) = df
+        .select(explode(TextDedup.wordShingles(TextDedup.tokens(col("text")), 3)).as("s"))
+        .distinct()
+      val exact = shingleSet(train).withColumn("in_t", lit(1L))
+        .join(shingleSet(hold).withColumn("in_h", lit(1L)), Seq("s"), "full")
+        .agg(
+          sum(col("in_t")).as("exact_train"),
+          sum(col("in_h")).as("exact_holdout"),
+          sum(when(col("in_t").isNotNull && col("in_h").isNotNull, 1L).otherwise(0L))
+            .as("exact_overlap"))
+      exact.crossJoin(broadcast(est))
+        .select(
+          col("exact_train"), col("exact_holdout"), col("exact_overlap"),
+          (abs(col("est_train") - col("exact_train")) <=
+            col("exact_train") * 0.15).as("train_within_15pct"),
+          (abs(col("est_holdout") - col("exact_holdout")) <=
+            col("exact_holdout") * 0.15).as("holdout_within_15pct"),
+          (abs(col("est_overlap") - col("exact_overlap")) <=
+            (col("exact_train") + col("exact_holdout") - col("exact_overlap")) * 0.25 + 32L)
+            .as("overlap_within_envelope"))
+    },
+    Some(s"""WITH $toksCte,
+      sh3 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+      lbl AS (SELECT doc_id, (${TrainingQueries.md5Bucket16Sql("doc_id")}) < 58982 AS is_train
+        FROM documents),
+      t AS (SELECT DISTINCT s FROM sh3 JOIN lbl USING (doc_id) WHERE is_train),
+      h AS (SELECT DISTINCT s FROM sh3 JOIN lbl USING (doc_id) WHERE NOT is_train)
+      SELECT
+        CAST((SELECT count(*) FROM t) AS BIGINT) AS exact_train,
+        CAST((SELECT count(*) FROM h) AS BIGINT) AS exact_holdout,
+        CAST((SELECT count(*) FROM t JOIN h USING (s)) AS BIGINT) AS exact_overlap,
+        TRUE AS train_within_15pct,
+        TRUE AS holdout_within_15pct,
+        TRUE AS overlap_within_envelope""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83, q84, q87, q88)
+    q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89)
 }

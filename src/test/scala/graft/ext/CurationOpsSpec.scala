@@ -40,6 +40,29 @@ class CurationOpsSpec extends SparkFunSuite {
     assert((r.getLong(1), r.getLong(2)) == ((3L, 1L)))
   }
 
+  test("overlapSketch: exact when cardinality ≤ k; inclusion–exclusion identity holds") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),    // trigrams: a-b-g, b-g-d
+      (2L, "epsilon zeta eta theta")     // e-z-e, z-e-t
+    ).toDF("doc_id", "text")
+    val holdout = Seq(
+      (9L, "beta gamma delta epsilon"),  // b-g-d (shared), g-d-e
+      (10L, "iota kappa lambda")         // i-k-l
+    ).toDF("doc_id", "text")
+    val Array(r) = Decontaminate.overlapSketch(train, holdout, "text", shingleN = 3, k = 256)
+      .collect()
+    // cardinalities (4 train / 3 holdout distinct trigrams, 1 shared) are
+    // far below k = 256, so every KMV estimate is exact
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 3L, 6L, 1L)))
+  }
+
+  test("overlapSketch: disjoint corpora estimate zero overlap at low cardinality") {
+    val a = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val b = Seq((2L, "p q r s")).toDF("doc_id", "text")
+    val Array(r) = Decontaminate.overlapSketch(a, b, "text", shingleN = 3, k = 64).collect()
+    assert(r.getLong(3) == 0L)
+  }
+
   // ---- Packing ----
 
   test("packSequences tiles each shard's token stream exactly") {

@@ -73,4 +73,22 @@ class TextStatsSpec extends SparkFunSuite {
       assert(got(raw) == want, s"canonicalUrl($raw) = ${got(raw)}, want $want")
     }
   }
+
+  test("canonicalUrl: every scheme×host-case×www×suffix variant collapses; canonical form is a fixpoint") {
+    import org.apache.spark.sql.functions.col
+    val variants = for {
+      scheme <- Seq("http://", "https://")
+      host   <- Seq("ex.com", "www.ex.com", "EX.com", "WWW.Ex.CoM")
+      tail   <- Seq("/a/b", "/a/b/", "/a/b//", "/a/b?utm_source=x&gclid=1",
+                    "/a/b#frag", "/a/b/?q=1#f")
+    } yield scheme + host + tail
+    val out = variants.toDF("u")
+      .select(TextStats.canonicalUrl(col("u")).as("c"),
+        TextStats.canonicalUrl(TextStats.canonicalUrl(col("u"))).as("cc"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(0) == "https://ex.com/a/b", s"collapse broke: ${r.getString(0)}")
+      assert(r.getString(1) == r.getString(0), "canonical form must be a fixpoint")
+    }
+  }
 }
