@@ -139,7 +139,26 @@ object StreamBench {
     val cdc_eps = (cdcWaves.toLong * cdcSize / ((System.nanoTime() - t3) / 1e9)).toLong
     q3.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // -------------------------------------------------------------------
+    // Pipeline 4: windowed sketch telemetry (KMV distinct + Misra-Gries
+    // heavy hitters per 1-minute window) — the O(k+m)-state alternative to
+    // exact streaming countDistinct, timed at the same wave shape as the
+    // gold window agg so the sketch overhead per event is directly visible
+    val in4 = MemoryStream[ContentEv]
+    val q4 = StreamPipelines.windowedSketchStats(in4.toDF(), "ts", "video_id",
+        k = 256, m = 8)
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    in4.addData(contentWave(1000, 0L, -1)); q4.processAllAvailable()
+    val t4 = System.nanoTime()
+    (0 until waves).foreach { w =>
+      in4.addData(contentWave(waveSize, w * 60000L, w))
+      q4.processAllAvailable()
+    }
+    val sketch_eps = (waves.toLong * waveSize / ((System.nanoTime() - t4) / 1e9)).toLong
+    q4.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     // scratch tables + checkpoints are the bench's, not the user's: sweep
     Seq(dir2, dir2b, dir3).foreach { d =>
       import scala.jdk.CollectionConverters._

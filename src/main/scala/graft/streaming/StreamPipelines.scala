@@ -198,7 +198,9 @@ object StreamPipelines {
       .groupBy(window(col(tsCol), windowLength))
       .agg(
         graft.functions.GraftFunctions.kmvDistinct(col(valCol), k).as("approx_distinct"),
-        graft.functions.GraftFunctions.freqItems(col(valCol), m).as("heavy_hitters"),
+        // heavy-hitter keys surface as the MG map's string keys, so any
+        // atomic value column is accepted here via a cast
+        graft.functions.GraftFunctions.freqItems(col(valCol).cast("string"), m).as("heavy_hitters"),
         count(lit(1)).as("n_rows"))
       .select(col("window.start").as("window_start"),
         col("approx_distinct"), col("heavy_hitters"), col("n_rows"))
