@@ -26,6 +26,29 @@ object StreamBench {
                              event_type: String, amount: Option[Double])
   private case class CdcEv(op: String, ts_ms: Long, user_id: String, segment: String)
 
+  /** Scratch tables + checkpoints are the bench's, not the user's — swept
+    * by a shutdown hook so a CRASHED run cannot strand them in /tmp (a
+    * success-path-only sweep leaks three dirs per failed run).
+    */
+  private val scratch = scala.collection.mutable.ArrayBuffer[String]()
+  private def scratchDir(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-streambench-$tag").toString
+    scratch.synchronized { scratch += p }
+    p
+  }
+  sys.addShutdownHook {
+    import scala.jdk.CollectionConverters._
+    scratch.synchronized {
+      scratch.foreach { d =>
+        val root = java.nio.file.Paths.get(d)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverseIterator
+            .foreach(pp => Files.deleteIfExists(pp))
+      }
+      scratch.clear()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -69,7 +92,7 @@ object StreamBench {
 
     // -------------------------------------------------------------------
     // Pipeline 2: orders upsert sink (latest-wins merge + snapshot swap)
-    val dir2 = Files.createTempDirectory("graft-streambench-upsert").toString
+    val dir2 = scratchDir("upsert")
     val in2  = MemoryStream[OrderEv]
     val q2 = StreamPipelines.upsertSink(in2.toDF(), s"$dir2/gold", s"$dir2/ckpt",
       Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"), Seq("amount"),
@@ -101,7 +124,7 @@ object StreamBench {
     // segment to the SnapshotLog instead of rewriting the gold table, so
     // the delta vs upsertSink isolates what the manifest commit +
     // time-travel history cost per event at the same batch shape.
-    val dir2b = Files.createTempDirectory("graft-streambench-upsert-mor").toString
+    val dir2b = scratchDir("upsert-mor")
     val in2b  = MemoryStream[OrderEv]
     val q2b = StreamPipelines.upsertSinkVersioned(in2b.toDF(), s"$dir2b/gold", s"$dir2b/ckpt",
       Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"), Seq("amount"),
@@ -117,7 +140,7 @@ object StreamBench {
 
     // -------------------------------------------------------------------
     // Pipeline 3: CDC dims apply (80/20 create/update + deletes)
-    val dir3 = Files.createTempDirectory("graft-streambench-cdc").toString
+    val dir3 = scratchDir("cdc")
     val in3  = MemoryStream[CdcEv]
     val q3 = StreamPipelines.cdcSink(in3.toDF(), s"$dir3/dim", s"$dir3/ckpt",
       Seq("user_id"), trigger = Trigger.ProcessingTime(0)).start()
@@ -159,14 +182,6 @@ object StreamBench {
     q4.stop()
 
     println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
-    // scratch tables + checkpoints are the bench's, not the user's: sweep
-    Seq(dir2, dir2b, dir3).foreach { d =>
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(d)
-      if (Files.exists(root))
-        Files.walk(root).iterator().asScala.toSeq.reverseIterator
-          .foreach(pp => Files.deleteIfExists(pp))
-    }
     spark.stop()
   }
 }

@@ -63,6 +63,16 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(r.getLong(3) == 0L)
   }
 
+  test("overlapSketch plan: no join, no distinct shuffle — one single-partition aggregate") {
+    val a = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val b = Seq((2L, "p q r s")).toDF("doc_id", "text")
+    val p = Decontaminate.overlapSketch(a, b, "text", shingleN = 3, k = 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"the sketch gauge must not join:\n$p")
+    // the only exchange is the 1-row final aggregate's SinglePartition
+    assert(p.split("Exchange").length - 1 == 1, s"expected exactly 1 exchange:\n$p")
+  }
+
   // ---- Packing ----
 
   test("packSequences tiles each shard's token stream exactly") {
