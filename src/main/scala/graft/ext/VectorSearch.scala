@@ -345,6 +345,89 @@ object VectorSearch {
       .select(col("qid"), col("id"), col("qdot"), col("rnk"))
   }
 
+  /** Product-quantization codebooks: per (subspace, code) centroid cells.
+    * PQ splits the d dims into `m` contiguous subspaces and represents
+    * each vector by its nearest codeword PER SUBSPACE — m small codes
+    * instead of d floats (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"; public). Here the codewords are the
+    * per-label centroids restricted to each subspace ([[centroidsBp]]
+    * cells tagged with `subspace = (dim−1) div subDim`): deterministic,
+    * engine-reproducible (exact-integer cells), and exactly the
+    * label-structure ANN already exploits — where real systems run
+    * per-subspace k-means, the SHAPE (bounded codebook broadcast,
+    * per-subspace argmin, LUT search) is identical and that is the part
+    * that must survive 100 TB.
+    *
+    * Output: (subspace, code, dim, c_bp) — m × codewords × subDim cells.
+    */
+  def pqCodebooks(df: DataFrame, vecCol: String, labelCol: String,
+                  m: Int, dims: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    val subDim = dims / m
+    centroidsBp(df, vecCol, labelCol)
+      .select(expr(s"(dim - 1L) div $subDim").as("subspace"),
+        col("label").as("code"), col("dim"), col("c_bp"))
+  }
+
+  /** PQ encoding: each vector → its nearest codeword per subspace, in
+    * exact-integer basis points (argmin of squared L2 over the subspace's
+    * dims; ties break toward the smallest code). A d-dim float vector
+    * becomes m small integers — at d=64, m=4 that is a 64× storage cut,
+    * the representation a 100 TB embedding store actually scans.
+    *
+    * Shape at scale: posexplode corpus (narrow cells) ⋈ broadcast
+    * codebook cells on dim → hash-agg keyed (id, subspace, code) with
+    * map-side partials → per-(id, subspace) argmin window over ≤ codewords
+    * rows. The corpus shuffles once, on (id, subspace, code).
+    *
+    * Output: (id, subspace, code, dist_bp2).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame): DataFrame = {
+    val cells = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("id"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("x_bp"))
+    val diff = col("x_bp") - col("c_bp")
+    val w = Window.partitionBy(col("id"), col("subspace"))
+      .orderBy(col("dist_bp2"), col("code"))
+    cells.join(broadcast(codebooks), "dim")
+      .groupBy(col("id"), col("subspace"), col("code"))
+      .agg(sum(diff * diff).as("dist_bp2"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * exact, the corpus is its codes. Per query × subspace × codeword, a
+    * lookup table of exact-integer distances (queries × m × codewords
+    * rows — broadcast-sized by construction, the PQ trick that replaces
+    * d multiplications per corpus vector with m table reads); the
+    * corpus-code join against the LUT is map-side, and one hash-agg per
+    * (query, id) sums the m subspace reads. Ranking ties break on id.
+    *
+    * Output: (qid, id, adc_bp2, rnk ≤ k).
+    */
+  def pqAdcTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+                codes: DataFrame, codebooks: DataFrame, k: Int): DataFrame = {
+    val qCells = queries.select(col(qIdCol).as("qid"),
+        posexplode(col(qVecCol)).as(Seq("__pos", "__x")))
+      .select(col("qid"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("q_bp"))
+    val diff = col("q_bp") - col("c_bp")
+    val lut = qCells.join(codebooks, "dim")
+      .groupBy(col("qid"), col("subspace"), col("code"))
+      .agg(sum(diff * diff).as("lut_bp2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_bp2"), col("id"))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("lut_bp2")).as("adc_bp2"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("adc_bp2"), col("rnk"))
+  }
+
   /** The ±1 entry (i, j) of the derived projection matrix: parity of the
     * first byte of md5("i|j"). Deterministic and engine-free — the oracle
     * recomputes the same literals from the same formula.

@@ -1667,8 +1667,74 @@ object ExtensionQueries {
         TRUE AS overlap_within_envelope""")
   )
 
+  /** Shared DuckDB CTE chain for the PQ queries: exact-integer cells →
+    * per-label centroids (the q50 idiom) → subspace-tagged codebooks →
+    * per-(vec, subspace) nearest-code assignment. m = 4 subspaces × 16
+    * dims over the 64-dim embeddings.
+    */
+  private val pqOracleCtes =
+    """v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |cells AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+      |  CAST(round(e[i] * 10000, 0) AS BIGINT) AS bp
+      |  FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+      |cent AS (SELECT label AS code, dim,
+      |  CAST(round(CAST(sum(bp) AS DOUBLE) / count(*), 0) AS BIGINT) AS c_bp
+      |  FROM cells GROUP BY 1, 2),
+      |cb AS (SELECT (dim - 1) // 16 AS subspace, code, dim, c_bp FROM cent),
+      |dists AS (SELECT x.vec_id, c.subspace, c.code,
+      |  CAST(sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS BIGINT) AS dist_bp2
+      |  FROM cells x JOIN cb c ON x.dim = c.dim GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, subspace, code, dist_bp2 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |    ORDER BY dist_bp2, code) AS rn FROM dists) WHERE rn = 1)""".stripMargin
+
+  // Similarity 10: product quantization — each 64-dim vector becomes 4
+  // small codes (64× the int8 cut of q73). Codewords are the per-label
+  // centroids restricted to each subspace, so the whole chain is exact
+  // integer and the oracle reproduces the assignment bit-for-bit.
+  private val q90 = Q(
+    "q90_pq_encode",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.pqEncode(emb, "vec_id", "embedding",
+          VectorSearch.pqCodebooks(emb, "embedding", "label", m = 4, dims = 64))
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some(s"""WITH $pqOracleCtes
+      SELECT vec_id, subspace, code, dist_bp2 FROM codes""")
+  )
+
+  // Similarity 11: asymmetric-distance (ADC) search over the PQ codes —
+  // the query stays exact, the corpus is 4 codes/vector, and scoring is
+  // m lookup-table reads instead of d multiplications. The LUT (queries ×
+  // subspaces × codewords) broadcasts; one hash-agg per (query, vector).
+  private val q91 = Q(
+    "q91_pq_adc_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb  = VectorSearch.pqCodebooks(emb, "embedding", "label", m = 4, dims = 64)
+      VectorSearch.pqAdcTopK(
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        VectorSearch.pqEncode(emb, "vec_id", "embedding", cb).drop("dist_bp2"),
+        cb, k = 5)
+    },
+    Some(s"""WITH $pqOracleCtes,
+      qcells AS (SELECT vec_id AS qid, dim, bp FROM cells WHERE vec_id < 10),
+      lut AS (SELECT q.qid, c.subspace, c.code,
+        CAST(sum((q.bp - c.c_bp) * (q.bp - c.c_bp)) AS BIGINT) AS lut_bp2
+        FROM qcells q JOIN cb c ON q.dim = c.dim GROUP BY 1, 2, 3),
+      adc AS (SELECT l.qid, cd.vec_id AS id, CAST(sum(l.lut_bp2) AS BIGINT) AS adc_bp2
+        FROM codes cd JOIN lut l ON cd.subspace = l.subspace AND cd.code = l.code
+        GROUP BY 1, 2)
+      SELECT qid, id, adc_bp2, rnk FROM (
+        SELECT qid, id, adc_bp2,
+          row_number() OVER (PARTITION BY qid ORDER BY adc_bp2, id) AS rnk
+        FROM adc) WHERE rnk <= 5""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89)
+    q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91)
 }

@@ -225,4 +225,17 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("Exchange rangepartitioning"),
       s"ranking must not globally sort the corpus:\n$p")
   }
+
+  test("q90/q91: PQ codebooks broadcast; ADC LUT join is broadcast, never a product") {
+    val p90 = plan("q90_pq_encode")
+    assert(p90.contains("BroadcastHashJoin"),
+      s"codebook cells must broadcast into the encode join:\n$p90")
+    assert(!p90.contains("CartesianProduct") && !p90.contains("BroadcastNestedLoopJoin"),
+      s"PQ encode must stay an equi-join:\n$p90")
+    val p91 = plan("q91_pq_adc_topk")
+    assert(p91.contains("BroadcastHashJoin"),
+      s"the queries × subspaces × codewords LUT must broadcast:\n$p91")
+    assert(!p91.contains("CartesianProduct") && !p91.contains("BroadcastNestedLoopJoin"),
+      s"ADC must stay an equi-join on (subspace, code):\n$p91")
+  }
 }
