@@ -220,6 +220,43 @@ object TextStats {
         countDistinct(col(idCol)).as("n_docs"),
         countDistinct(col(urlCol)).as("n_variants"))
 
+  /** BPE ENCODE step with a fixed merge table — the consumer of
+    * [[bpePairStats]]'s training counts: each word is seeded as one unit
+    * per character, then every merge fuses its adjacent unit pair
+    * (left-to-right, non-overlapping, all occurrences — the greedy apply
+    * both `String.replace` engines implement identically), in priority
+    * order. One round of character-pair merges (the first BPE iteration
+    * batch; recursive unit-pair merges would need per-word iteration and
+    * belong in the tokenizer binary, not the corpus-stats engine). The
+    * point at scale: encoding is a PURE per-word projection — the merge
+    * table rides the closure as literals and nothing shuffles until the
+    * per-document count aggregate.
+    *
+    * Output: (id, n_words, n_char_units, n_bpe_units, saved_bp) —
+    * saved_bp = basis points of units eliminated by the merge table.
+    */
+  def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[String]): DataFrame = {
+    require(merges.nonEmpty && merges.forall(_.length == 2),
+      "each merge is a 2-character pair")
+    val sep = "·" // middle dot: not a corpus character, survives trim
+    val word = col("__w")
+    val seeded = rtrim(regexp_replace(word, "(.)", "$1" + sep), sep)
+    val enc = merges.foldLeft(seeded)((acc, m) =>
+      replace(acc, lit(s"${m(0)}$sep${m(1)}"), lit(m)))
+    df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("__w"))
+      .select(col(idCol),
+        length(word).cast("long").as("__chars"),
+        (length(enc) - length(replace(enc, lit(sep), lit(""))) + 1L)
+          .cast("long").as("__units"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__chars")).as("n_char_units"),
+        sum(col("__units")).as("n_bpe_units"))
+      .withColumn("saved_bp",
+        expr("((n_char_units - n_bpe_units) * 10000L) div n_char_units"))
+  }
+
   /** Marker-stopword language-ID heuristic: count hits per language's
     * marker set, predict the argmax (ties and zero-hits fall back to "und").
     * A real system would use char-n-gram profiles; the *shape* (per-language

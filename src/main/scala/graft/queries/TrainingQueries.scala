@@ -610,6 +610,36 @@ object TrainingQueries {
       FROM c QUALIFY rnk <= 30""")
   )
 
+  /** The q92 merge table: q86's top-8 pairs at sf0.01, frozen as literals
+    * (a tokenizer ships its merge table; the engine applies it). Priority
+    * order = training rank.
+    */
+  private val bpeMerges = Seq("er", "in", "ow", "or", "st", "me", "to", "at")
+
+  // BPE ENCODE — the apply step consuming q86's training counts: seed each
+  // word as one unit per character, fuse the merge-table pairs in priority
+  // order, count surviving units. Pure per-word projection + one per-doc
+  // aggregate; both engines run the identical replace chain.
+  private val q92 = Q(
+    "q92_bpe_encode",
+    (s, dir) => graft.ext.TextStats.bpeEncodeStats(
+      docsSpread(s, dir), "doc_id", "text", bpeMerges),
+    Some {
+      val seeded = """rtrim(regexp_replace(word, '(.)', '\1·', 'g'), '·')"""
+      val enc = bpeMerges.foldLeft(seeded)((acc, m) =>
+        s"replace($acc, '${m(0)}·${m(1)}', '$m')")
+      s"""WITH $toksCte,
+      u AS (SELECT doc_id, unnest(w) AS word FROM toks),
+      e AS (SELECT doc_id, length(word) AS chars,
+        length($enc) - length(replace($enc, '·', '')) + 1 AS units FROM u)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(chars) AS BIGINT) AS n_char_units,
+        CAST(sum(units) AS BIGINT) AS n_bpe_units,
+        CAST(((sum(chars) - sum(units)) * 10000) // sum(chars) AS BIGINT) AS saved_bp
+      FROM e GROUP BY 1"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86)
+    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92)
 }

@@ -54,6 +54,19 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r.toSeq == Seq(("ab", 3L, 1L), ("ba", 1L, 2L), ("cd", 1L, 3L)))
   }
 
+  test("bpeEncodeStats applies merges left-to-right, non-overlapping, in priority order") {
+    // "western": w·e·s·t·e·r·n → er fuses (6 units) → st fuses (5 units);
+    // "erer": e·r·e·r → er·er (2 units, non-overlapping);
+    // "key": no merge fires (3 units)
+    val df = Seq((1L, "western erer key")).toDF("doc_id", "text")
+    val Array(r) = TextStats.bpeEncodeStats(df, "doc_id", "text",
+      Seq("er", "in", "ow", "or", "st", "me", "to", "at")).collect()
+    val (words, chars, units, saved) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert((words, chars, units) == ((3L, 14L, 10L)))
+    assert(saved == (14L - 10L) * 10000L / 14L)
+  }
+
   test("canonicalUrl collapses scheme, www, host case, query, fragment, trailing slash") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
