@@ -369,6 +369,41 @@ object VectorSearch {
         col("label").as("code"), col("dim"), col("c_bp"))
   }
 
+  /** PQ codebooks from SIGN-BUCKET pseudo-labels — the finer, label-free
+    * codebook [[pqCodebooks]]'s label shortcut cannot give: per subspace,
+    * each vector lands in the bucket formed by the sign bits of its first
+    * `bits` subvector coordinates (up to 2^bits codewords per subspace),
+    * and the codeword is that bucket's centroid. Fully data-derived and
+    * engine-reproducible (the sign test and the integer centroid both
+    * replay exactly in SQL) — where real systems run per-subspace
+    * k-means, this is the deterministic stand-in at the same codebook
+    * cardinality, and empirically it is what makes ADC discriminate
+    * (label codewords collapse same-label vectors into identical code
+    * profiles; see q93's recall eval).
+    *
+    * Output: (subspace, code, dim, c_bp); empty buckets are simply
+    * absent.
+    */
+  def pqCodebooksSign(df: DataFrame, idCol: String, vecCol: String,
+                      m: Int, dims: Int, bits: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    val subDim = dims / m
+    require(bits > 0 && bits <= subDim, s"bits ($bits) must fit in a $subDim-dim subspace")
+    val cells = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("id"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("x_bp"))
+    val buckets = (0 until m).map { s =>
+      df.select(col(idCol).as("id"), lit(s.toLong).as("subspace"),
+        signBucketAt(col(vecCol), s * subDim, bits).as("code"))
+    }.reduce(_ unionByName _)
+    cells.withColumn("subspace", expr(s"(dim - 1L) div $subDim"))
+      .join(buckets, Seq("id", "subspace"))
+      .groupBy(col("subspace"), col("code"), col("dim"))
+      .agg(round(sum(col("x_bp")).cast("double") / count(lit(1)), 0)
+        .cast("long").as("c_bp"))
+  }
+
   /** PQ encoding: each vector → its nearest codeword per subspace, in
     * exact-integer basis points (argmin of squared L2 over the subspace's
     * dims; ties break toward the smallest code). A d-dim float vector

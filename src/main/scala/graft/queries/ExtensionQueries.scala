@@ -1668,9 +1668,10 @@ object ExtensionQueries {
   )
 
   /** Shared DuckDB CTE chain for the PQ queries: exact-integer cells →
-    * per-label centroids (the q50 idiom) → subspace-tagged codebooks →
-    * per-(vec, subspace) nearest-code assignment. m = 4 subspaces × 16
-    * dims over the 64-dim embeddings.
+    * sign-bucket pseudo-labels per subspace (first 8 subvector sign bits
+    * → up to 256 codewords) → bucket-centroid codebooks → per-(vec,
+    * subspace) nearest-code assignment. m = 4 subspaces × 16 dims over
+    * the 64-dim embeddings.
     */
   private val pqOracleCtes =
     """v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e
@@ -1678,10 +1679,16 @@ object ExtensionQueries {
       |cells AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
       |  CAST(round(e[i] * 10000, 0) AS BIGINT) AS bp
       |  FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
-      |cent AS (SELECT label AS code, dim,
-      |  CAST(round(CAST(sum(bp) AS DOUBLE) / count(*), 0) AS BIGINT) AS c_bp
-      |  FROM cells GROUP BY 1, 2),
-      |cb AS (SELECT (dim - 1) // 16 AS subspace, code, dim, c_bp FROM cent),
+      |bkt AS (SELECT vec_id, CAST(s AS BIGINT) AS subspace,
+      |  CAST(list_sum(list_transform(range(0, 8), i ->
+      |    CASE WHEN list_extract(e, CAST(s * 16 + i + 1 AS BIGINT)) >= 0
+      |      THEN 1 << i ELSE 0 END)) AS BIGINT) AS code
+      |  FROM v, UNNEST(range(0, 4)) AS t(s)),
+      |cent AS (SELECT b.subspace, b.code, c.dim,
+      |  CAST(round(CAST(sum(c.bp) AS DOUBLE) / count(*), 0) AS BIGINT) AS c_bp
+      |  FROM cells c JOIN bkt b ON c.vec_id = b.vec_id AND (c.dim - 1) // 16 = b.subspace
+      |  GROUP BY 1, 2, 3),
+      |cb AS (SELECT subspace, code, dim, c_bp FROM cent),
       |dists AS (SELECT x.vec_id, c.subspace, c.code,
       |  CAST(sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS BIGINT) AS dist_bp2
       |  FROM cells x JOIN cb c ON x.dim = c.dim GROUP BY 1, 2, 3),
@@ -1690,15 +1697,17 @@ object ExtensionQueries {
       |    ORDER BY dist_bp2, code) AS rn FROM dists) WHERE rn = 1)""".stripMargin
 
   // Similarity 10: product quantization — each 64-dim vector becomes 4
-  // small codes (64× the int8 cut of q73). Codewords are the per-label
-  // centroids restricted to each subspace, so the whole chain is exact
-  // integer and the oracle reproduces the assignment bit-for-bit.
+  // small codes (64× the int8 cut of q73). Codewords are sign-bucket
+  // centroids per subspace (up to 256 per subspace from 8 sign bits —
+  // the standard PQ codebook cardinality), so
+  // the whole chain is exact integer and the oracle reproduces the
+  // assignment bit-for-bit.
   private val q90 = Q(
     "q90_pq_encode",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorSearch.pqEncode(emb, "vec_id", "embedding",
-          VectorSearch.pqCodebooks(emb, "embedding", "label", m = 4, dims = 64))
+          VectorSearch.pqCodebooksSign(emb, "vec_id", "embedding", m = 4, dims = 64, bits = 8))
         .withColumnRenamed("id", "vec_id")
     },
     Some(s"""WITH $pqOracleCtes
@@ -1713,7 +1722,7 @@ object ExtensionQueries {
     "q91_pq_adc_topk",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cb  = VectorSearch.pqCodebooks(emb, "embedding", "label", m = 4, dims = 64)
+      val cb  = VectorSearch.pqCodebooksSign(emb, "vec_id", "embedding", m = 4, dims = 64, bits = 8)
       VectorSearch.pqAdcTopK(
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         VectorSearch.pqEncode(emb, "vec_id", "embedding", cb).drop("dist_bp2"),
@@ -1733,8 +1742,109 @@ object ExtensionQueries {
         FROM adc) WHERE rnk <= 5""")
   )
 
+  // Similarity 12: what does 64× compression cost, and what does the
+  // standard two-stage pipeline buy back? Per query: recall@5 of raw
+  // ADC-over-PQ-codes against exact integer-L2 top-5, AND recall@5 after
+  // the textbook refine step (ADC retrieves 50 candidates — a 10×
+  // candidate cut — then exact distances re-rank just those). Label
+  // codewords make the raw quantizer COARSE (same-label vectors share all
+  // codes), which is exactly what the eval shows and exactly why
+  // production PQ always re-ranks. Both metrics are deterministic
+  // integers, so the oracle reproduces the numbers, not an envelope.
+  private val q93 = Q(
+    "q93_pq_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs  = emb.filter(col("vec_id") < 10)
+      val cs  = emb.filter(col("vec_id") >= 10)
+      def cells(df: DataFrame, idAs: String, bpAs: String) =
+        df.select(col("vec_id").as(idAs),
+            posexplode(col("embedding")).as(Seq("__pos", "__x")))
+          .select(col(idAs), (col("__pos") + 1).cast("long").as("dim"),
+            round(col("__x").cast("double") * 10000d, 0).cast("long").as(bpAs))
+      val d = col("q_bp") - col("c_bp")
+      val wE = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+      val exactD2 = cells(qs, "qid", "q_bp").join(cells(cs, "id", "c_bp"), "dim")
+        .groupBy(col("qid"), col("id")).agg(sum(d * d).as("d2"))
+      val exact = exactD2
+        .withColumn("rnk", row_number().over(wE))
+        .filter(col("rnk") <= 5).select(col("qid"), col("id"))
+      val cb    = VectorSearch.pqCodebooksSign(cs, "vec_id", "embedding", m = 4, dims = 64, bits = 8)
+      val codes = VectorSearch.pqEncode(cs, "vec_id", "embedding", cb).drop("dist_bp2")
+      val adc = VectorSearch.pqAdcTopK(qs, "vec_id", "embedding", codes, cb, k = 5)
+        .select(col("qid"), col("id"))
+      // refine: ADC@50 candidates, exact distance on just those, top-5
+      val cand = VectorSearch.pqAdcTopK(qs, "vec_id", "embedding", codes, cb, k = 50)
+        .select(col("qid"), col("id"))
+      val rerank = exactD2.join(cand, Seq("qid", "id"))
+        .withColumn("rnk", row_number().over(wE))
+        .filter(col("rnk") <= 5).select(col("qid"), col("id"))
+      def hitsOf(approx: DataFrame, as: String) = exact.join(approx, Seq("qid", "id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as(as))
+      exact.select(col("qid")).distinct()
+        .join(hitsOf(adc, "n_hits"), Seq("qid"), "left")
+        .join(hitsOf(rerank, "n_hits_rerank"), Seq("qid"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("n_hits_rerank", coalesce(col("n_hits_rerank"), lit(0L)))
+        .withColumn("recall_bp", expr("(n_hits * 10000L) div 5L"))
+        .withColumn("recall_rerank_bp", expr("(n_hits_rerank * 10000L) div 5L"))
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e
+        FROM embeddings),
+      cells AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+        CAST(round(e[i] * 10000, 0) AS BIGINT) AS bp
+        FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+      bkt AS (SELECT vec_id, CAST(s AS BIGINT) AS subspace,
+        CAST(list_sum(list_transform(range(0, 8), i ->
+          CASE WHEN list_extract(e, CAST(s * 16 + i + 1 AS BIGINT)) >= 0
+            THEN 1 << i ELSE 0 END)) AS BIGINT) AS code
+        FROM v, UNNEST(range(0, 4)) AS t(s) WHERE vec_id >= 10),
+      cent AS (SELECT b.subspace, b.code, c.dim,
+        CAST(round(CAST(sum(c.bp) AS DOUBLE) / count(*), 0) AS BIGINT) AS c_bp
+        FROM cells c JOIN bkt b ON c.vec_id = b.vec_id AND (c.dim - 1) // 16 = b.subspace
+        GROUP BY 1, 2, 3),
+      cb AS (SELECT subspace, code, dim, c_bp FROM cent),
+      dists AS (SELECT x.vec_id, c.subspace, c.code,
+        CAST(sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS BIGINT) AS dist_bp2
+        FROM cells x JOIN cb c ON x.dim = c.dim WHERE x.vec_id >= 10 GROUP BY 1, 2, 3),
+      codes AS (SELECT vec_id, subspace, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+          ORDER BY dist_bp2, code) AS rn FROM dists) WHERE rn = 1),
+      qcells AS (SELECT vec_id AS qid, dim, bp FROM cells WHERE vec_id < 10),
+      lut AS (SELECT q.qid, c.subspace, c.code,
+        CAST(sum((q.bp - c.c_bp) * (q.bp - c.c_bp)) AS BIGINT) AS lut_bp2
+        FROM qcells q JOIN cb c ON q.dim = c.dim GROUP BY 1, 2, 3),
+      adcd AS (SELECT l.qid, cd.vec_id AS id, CAST(sum(l.lut_bp2) AS BIGINT) AS adc_bp2
+        FROM codes cd JOIN lut l ON cd.subspace = l.subspace AND cd.code = l.code
+        GROUP BY 1, 2),
+      adc AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY adc_bp2, id) AS rnk FROM adcd)
+        WHERE rnk <= 5),
+      cand AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY adc_bp2, id) AS rnk FROM adcd)
+        WHERE rnk <= 50),
+      ed AS (SELECT q.qid, c.vec_id AS id,
+        CAST(sum((q.bp - c.bp) * (q.bp - c.bp)) AS BIGINT) AS d2
+        FROM qcells q JOIN cells c ON q.dim = c.dim AND c.vec_id >= 10 GROUP BY 1, 2),
+      exact AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rnk FROM ed)
+        WHERE rnk <= 5),
+      rr AS (SELECT qid, id FROM (SELECT e.qid, e.id,
+        row_number() OVER (PARTITION BY e.qid ORDER BY e.d2, e.id) AS rnk
+        FROM ed e JOIN cand USING (qid, id)) WHERE rnk <= 5),
+      hits AS (SELECT e.qid, count(*) AS n_hits FROM exact e JOIN adc USING (qid, id) GROUP BY 1),
+      hits2 AS (SELECT e.qid, count(*) AS n_hits FROM exact e JOIN rr USING (qid, id) GROUP BY 1)
+      SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(h2.n_hits, 0) AS BIGINT) AS n_hits_rerank,
+        (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // 5 AS recall_bp,
+        (CAST(coalesce(h2.n_hits, 0) AS BIGINT) * 10000) // 5 AS recall_rerank_bp
+      FROM (SELECT DISTINCT qid FROM exact) q
+      LEFT JOIN hits h USING (qid) LEFT JOIN hits2 h2 USING (qid)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91)
+    q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93)
 }
