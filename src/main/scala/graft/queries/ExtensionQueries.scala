@@ -1704,12 +1704,7 @@ object ExtensionQueries {
   // assignment bit-for-bit.
   private val q90 = Q(
     "q90_pq_encode",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      VectorSearch.pqEncode(emb, "vec_id", "embedding",
-          VectorSearch.pqCodebooksSign(emb, "vec_id", "embedding", m = 4, dims = 64, bits = 8))
-        .withColumnRenamed("id", "vec_id")
-    },
+    (s, dir) => QueryCaches.pqIndexFor(s, dir)._2.withColumnRenamed("id", "vec_id"),
     Some(s"""WITH $pqOracleCtes
       SELECT vec_id, subspace, code, dist_bp2 FROM codes""")
   )
@@ -1721,12 +1716,10 @@ object ExtensionQueries {
   private val q91 = Q(
     "q91_pq_adc_topk",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val cb  = VectorSearch.pqCodebooksSign(emb, "vec_id", "embedding", m = 4, dims = 64, bits = 8)
+      val (cb, codes) = QueryCaches.pqIndexFor(s, dir)
       VectorSearch.pqAdcTopK(
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        VectorSearch.pqEncode(emb, "vec_id", "embedding", cb).drop("dist_bp2"),
-        cb, k = 5)
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+        codes.drop("dist_bp2"), cb, k = 5)
     },
     Some(s"""WITH $pqOracleCtes,
       qcells AS (SELECT vec_id AS qid, dim, bp FROM cells WHERE vec_id < 10),
@@ -1771,7 +1764,7 @@ object ExtensionQueries {
         .withColumn("rnk", row_number().over(wE))
         .filter(col("rnk") <= 5).select(col("qid"), col("id"))
       val cb    = VectorSearch.pqCodebooksSign(cs, "vec_id", "embedding", m = 4, dims = 64, bits = 8)
-      val codes = VectorSearch.pqEncode(cs, "vec_id", "embedding", cb).drop("dist_bp2")
+      val codes = VectorSearch.pqEncode(cs, "vec_id", "embedding", cb, m = 4, dims = 64).drop("dist_bp2")
       val adc = VectorSearch.pqAdcTopK(qs, "vec_id", "embedding", codes, cb, k = 5)
         .select(col("qid"), col("id"))
       // refine: ADC@50 candidates, exact distance on just those, top-5

@@ -181,7 +181,7 @@ class VectorSearchSpec extends SparkFunSuite {
 
   test("pqEncode assigns each vector m codes, each the true per-subspace argmin") {
     val cb = VectorSearch.pqCodebooks(pqCorpus, "embedding", "label", m = 2, dims = 4)
-    val codes = VectorSearch.pqEncode(pqCorpus, "vec_id", "embedding", cb)
+    val codes = VectorSearch.pqEncode(pqCorpus, "vec_id", "embedding", cb, m = 2, dims = 4)
     val rows = codes.collect().map(r =>
       (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     // exactly m = 2 codes per vector
@@ -208,7 +208,7 @@ class VectorSearchSpec extends SparkFunSuite {
 
   test("pqAdcTopK: ADC distance equals exact query-to-reconstruction distance") {
     val cb    = VectorSearch.pqCodebooks(pqCorpus, "embedding", "label", m = 2, dims = 4)
-    val codes = VectorSearch.pqEncode(pqCorpus, "vec_id", "embedding", cb).drop("dist_bp2")
+    val codes = VectorSearch.pqEncode(pqCorpus, "vec_id", "embedding", cb, m = 2, dims = 4).drop("dist_bp2")
     val topk = VectorSearch.pqAdcTopK(pqCorpus.filter(col("vec_id") === 1L),
         "vec_id", "embedding", codes, cb, k = 4)
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
