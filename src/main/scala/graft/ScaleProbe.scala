@@ -124,6 +124,17 @@ object ScaleProbe {
       // multiplier, stressing the O(log diameter) round bound. Signature
       // build is excluded (measured as minhash_sigs); see custom loop below
       "dedup_clusters_cc" -> (m => m.toLong),
+      // PQ encode at the standard 256-codeword cardinality: cost is
+      // inherently N × m × K distance folds, so time must track corpus
+      // size (the cell-exploded formulation this replaced was N × d × K
+      // rows and 16× slower — this row guards that regression)
+      "pq_encode" -> { m =>
+        val e = embAt(m)
+        graft.ext.VectorSearch.pqEncode(e, "vec_id", "embedding",
+          graft.ext.VectorSearch.pqCodebooksSign(e, "vec_id", "embedding",
+            m = 4, dims = 64, bits = 8),
+          m = 4, dims = 64).count()
+      },
       // the power-iteration loop: a graph growing linearly with the corpus
       // (a 10-ary tree over doc ids plus everyone-cites-one-of-100-hubs
       // edges, so in-degree skew grows with corpus size). Per-iteration
