@@ -36,18 +36,25 @@ object StreamBench {
     scratch.synchronized { scratch += p }
     p
   }
-  sys.addShutdownHook {
+  /** Deletes all registered scratch dirs now. Called on the success path
+    * (so repeated in-process invocations, e.g. from tests, don't accumulate
+    * dirs until JVM exit) and from the shutdown hook as the crash backstop.
+    */
+  private def sweepScratch(): Unit = {
     import scala.jdk.CollectionConverters._
     scratch.synchronized {
       scratch.foreach { d =>
         val root = java.nio.file.Paths.get(d)
         if (Files.exists(root))
-          Files.walk(root).iterator().asScala.toSeq.reverseIterator
-            .foreach(pp => Files.deleteIfExists(pp))
+          scala.util.Using.resource(Files.walk(root)) { st =>
+            st.iterator().asScala.toSeq.reverseIterator
+              .foreach(pp => Files.deleteIfExists(pp))
+          }
       }
       scratch.clear()
     }
   }
+  sys.addShutdownHook { sweepScratch() }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -183,5 +190,6 @@ object StreamBench {
 
     println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
+    sweepScratch()
   }
 }

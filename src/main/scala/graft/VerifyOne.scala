@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
 object VerifyOne {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, names) = (args(0), args(1), args.drop(2).toSet)
+    val unknown = names.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -222,28 +222,43 @@ object TextStats {
 
   /** BPE ENCODE step with a fixed merge table — the consumer of
     * [[bpePairStats]]'s training counts: each word is seeded as one unit
-    * per character, then every merge fuses its adjacent unit pair
-    * (left-to-right, non-overlapping, all occurrences — the greedy apply
-    * both `String.replace` engines implement identically), in priority
-    * order. One round of character-pair merges (the first BPE iteration
-    * batch; recursive unit-pair merges would need per-word iteration and
-    * belong in the tokenizer binary, not the corpus-stats engine). The
-    * point at scale: encoding is a PURE per-word projection — the merge
-    * table rides the closure as literals and nothing shuffles until the
-    * per-document count aggregate.
+    * per character, then every merge `(a, b)` fuses each adjacent unit pair
+    * whose units are EXACTLY `a` and `b` (left-to-right, non-overlapping,
+    * all occurrences — Sennrich et al. ACL 2016's greedy apply), in
+    * priority order. Each pass is a true per-word unit fold via the
+    * `aggregate` higher-order function: the previous pass's output is
+    * re-split into units and folded left, so a unit fused by an earlier
+    * merge can never be partially re-matched (a plain `replace` chain
+    * could: 'me' matches the 'm·e' prefix of the already-fused 'm·er·i·t').
+    * Merge sides may be multi-character units, so a learned table from an
+    * iterated trainer ([[bpeTrain]]) applies directly. The point at scale:
+    * encoding is a PURE per-word projection — the merge table rides the
+    * closure as literals and nothing shuffles until the per-document count
+    * aggregate.
     *
     * Output: (id, n_words, n_char_units, n_bpe_units, saved_bp) —
     * saved_bp = basis points of units eliminated by the merge table.
     */
   def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
-                     merges: Seq[String]): DataFrame = {
-    require(merges.nonEmpty && merges.forall(_.length == 2),
-      "each merge is a 2-character pair")
+                     merges: Seq[(String, String)]): DataFrame = {
     val sep = "·" // middle dot: not a corpus character, survives trim
+    require(merges.nonEmpty && merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !(a + b).contains(sep) },
+      "each merge is a pair of non-empty separator-free units")
     val word = col("__w")
     val seeded = rtrim(regexp_replace(word, "(.)", "$1" + sep), sep)
-    val enc = merges.foldLeft(seeded)((acc, m) =>
-      replace(acc, lit(s"${m(0)}$sep${m(1)}"), lit(m)))
+    // A pair fuses only when the accumulated string's LAST UNIT is exactly
+    // `a` (i.e. the string IS `a` or ends with `·a`) and the incoming unit
+    // is exactly `b`; fusing appends `b` without a separator. Greedy
+    // non-overlap falls out of the fold: the fused unit `ab` is no longer
+    // `a`, so 'aaaa' under ('a','a') folds to aa·aa, never aaa·a.
+    val enc = merges.foldLeft(seeded) { case (acc, (a, b)) =>
+      aggregate(split(acc, sep), lit(""),
+        (st, u) => when(st === "", u)
+          .when(u === b && (st === a || st.endsWith(sep + a)),
+            concat(st, lit(b)))
+          .otherwise(concat(st, lit(sep), u)))
+    }
     df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("__w"))
       .select(col(idCol),
         length(word).cast("long").as("__chars"),

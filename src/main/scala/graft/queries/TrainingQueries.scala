@@ -614,20 +614,34 @@ object TrainingQueries {
     * (a tokenizer ships its merge table; the engine applies it). Priority
     * order = training rank.
     */
-  private val bpeMerges = Seq("er", "in", "ow", "or", "st", "me", "to", "at")
+  private val bpeMerges: Seq[(String, String)] =
+    Seq("er", "in", "ow", "or", "st", "me", "to", "at")
+      .map(m => (m(0).toString, m(1).toString))
+
+  /** DuckDB replay of [[graft.ext.TextStats.bpeEncodeStats]]'s per-word
+    * unit fold: one `list_reduce` pass per merge over the re-split units,
+    * with the identical exact-last-unit fuse condition — so the oracle
+    * checks true BPE apply semantics, not a shared replace-chain shortcut.
+    */
+  private[queries] def bpeEncodeOracleExpr(merges: Seq[(String, String)]): String = {
+    val seeded = """rtrim(regexp_replace(word, '(.)', '\1·', 'g'), '·')"""
+    merges.foldLeft(seeded) { case (acc, (a, b)) =>
+      s"""list_reduce(string_split($acc, '·'),
+        (s, u) -> CASE WHEN u = '$b' AND (s = '$a' OR ends_with(s, '·$a'))
+          THEN s || '$b' ELSE s || '·' || u END)"""
+    }
+  }
 
   // BPE ENCODE — the apply step consuming q86's training counts: seed each
   // word as one unit per character, fuse the merge-table pairs in priority
-  // order, count surviving units. Pure per-word projection + one per-doc
-  // aggregate; both engines run the identical replace chain.
+  // order (true unit fold per pass), count surviving units. Pure per-word
+  // projection + one per-doc aggregate; the oracle folds units the same way.
   private val q92 = Q(
     "q92_bpe_encode",
     (s, dir) => graft.ext.TextStats.bpeEncodeStats(
       docsSpread(s, dir), "doc_id", "text", bpeMerges),
     Some {
-      val seeded = """rtrim(regexp_replace(word, '(.)', '\1·', 'g'), '·')"""
-      val enc = bpeMerges.foldLeft(seeded)((acc, m) =>
-        s"replace($acc, '${m(0)}·${m(1)}', '$m')")
+      val enc = bpeEncodeOracleExpr(bpeMerges)
       s"""WITH $toksCte,
       u AS (SELECT doc_id, unnest(w) AS word FROM toks),
       e AS (SELECT doc_id, length(word) AS chars,

@@ -54,17 +54,39 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r.toSeq == Seq(("ab", 3L, 1L), ("ba", 1L, 2L), ("cd", 1L, 3L)))
   }
 
+  private val q92Merges = Seq("er", "in", "ow", "or", "st", "me", "to", "at")
+    .map(m => (m(0).toString, m(1).toString))
+
   test("bpeEncodeStats applies merges left-to-right, non-overlapping, in priority order") {
     // "western": w·e·s·t·e·r·n → er fuses (6 units) → st fuses (5 units);
     // "erer": e·r·e·r → er·er (2 units, non-overlapping);
     // "key": no merge fires (3 units)
     val df = Seq((1L, "western erer key")).toDF("doc_id", "text")
-    val Array(r) = TextStats.bpeEncodeStats(df, "doc_id", "text",
-      Seq("er", "in", "ow", "or", "st", "me", "to", "at")).collect()
+    val Array(r) = TextStats.bpeEncodeStats(df, "doc_id", "text", q92Merges).collect()
     val (words, chars, units, saved) =
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
     assert((words, chars, units) == ((3L, 14L, 10L)))
     assert(saved == (14L - 10L) * 10000L / 14L)
+  }
+
+  test("bpeEncodeStats never merges across an already-fused unit boundary") {
+    // "merit": er fuses first → [m, er, i, t]; the later 'me' merge must NOT
+    // match the 'm·e' prefix inside the fused 'er' → 4 units, not 3.
+    // "town": ow fuses first → [t, ow, n]; 'to' must not fire → 3 units.
+    val df = Seq((1L, "merit"), (2L, "town")).toDF("doc_id", "text")
+    val r = TextStats.bpeEncodeStats(df, "doc_id", "text", q92Merges)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r == Map(1L -> 4L, 2L -> 3L))
+  }
+
+  test("bpeEncodeStats fuses multi-character units from a learned table") {
+    // Two rounds of a real trainer on "tester": ('e','r') → [t,e,s,t,er],
+    // then ('t','er') → [t,e,s,ter]; the pair ('s','t') must not fire on
+    // the 't' inside the fused 'ter'.
+    val df = Seq((1L, "tester")).toDF("doc_id", "text")
+    val Array(r) = TextStats.bpeEncodeStats(df, "doc_id", "text",
+      Seq(("e", "r"), ("t", "er"), ("s", "t"))).collect()
+    assert(r.getLong(3) == 4L)
   }
 
   test("canonicalUrl collapses scheme, www, host case, query, fragment, trailing slash") {
