@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Components, Decontaminate, Packing, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Decontaminate, Packing, Sampling, TextDedup, TextStats, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -134,6 +134,53 @@ object ScaleProbe {
           graft.ext.VectorSearch.pqCodebooksSign(e, "vec_id", "embedding",
             m = 4, dims = 64, bits = 8),
           m = 4, dims = 64).count()
+      },
+      // containment under a DEGENERATE blocking: the whole corpus in ONE
+      // block with the Zipf-hot shared phrase — blocking prunes nothing,
+      // so the only thing standing between the self-join and |corpus|² is
+      // the shingle document-frequency cap. Bodies are replica-distinct,
+      // so true matches grow linearly and the ratio isolates the cap
+      "containment_hotblock" -> (m =>
+        TextDedup.containmentPairs(
+          docsStopHeavy(m).withColumn("source", lit("hot")),
+          "doc_id", "text", "source", shingleN = 2, maxDocFreq = 64).count()),
+      // simhash banding with a CONSTANT-size low-hamming cluster (two
+      // 256-doc groups of identical fingerprints → permanently hot band
+      // buckets) inside a corpus whose replicas have per-token-perturbed
+      // bodies (spread fingerprints). Bands are 16-bit — the WWW'07 regime
+      // the operator doc prescribes at scale, keeping random bucket
+      // occupancy O(n/2^16) — so growth must track the corpus scan + agg,
+      // with the hot cluster contributing a fixed candidate count
+      "simhash_banding_cluster" -> { m =>
+        val diverse = {
+          val base = Tables.documents(spark, sfDir)
+          (0 until m).map { r =>
+            base.withColumn("doc_id", col("doc_id") + lit(r * 1000000L))
+              .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + r))
+          }.reduce(_ unionByName _)
+        }
+        val cluster = spark.range(512).select(
+          (col("id") + 900000000L).as("doc_id"),
+          concat(lit("alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            when(col("id") % 2 === 0, lit(" pad")).otherwise(lit(""))).as("text"))
+        TextDedup.simhashNearDups(
+          diverse.select(col("doc_id"), col("text")).unionByName(cluster)
+            .repartition(spark.sparkContext.defaultParallelism),
+          "doc_id", "text", nBands = 2, maxHamming = 1).count()
+      },
+      // the sharded budget sampler under maximal stratum skew: ONE stratum
+      // holds half the corpus. The in-shard windows spread it over 16
+      // tasks and the per-stratum exact-cum window only ever sees the
+      // budget-capped candidates, so growth must track the corpus scan —
+      // the single-window formulation this replaced sorted the hot
+      // stratum's entire slice in one task
+      "token_budget_hot_stratum" -> { m =>
+        val docs = docsAt(m)
+          .withColumn("source",
+            when(col("doc_id") % 2 === 0, lit("hot")).otherwise(col("source")))
+          .withColumn("n_tokens", size(TextDedup.tokens(col("text"))).cast("long"))
+        Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
+          budget = 20000L).count()
       },
       // the power-iteration loop: a graph growing linearly with the corpus
       // (a 10-ary tree over doc ids plus everyone-cites-one-of-100-hubs

@@ -64,27 +64,49 @@ object Sampling {
     * standard greedy semantics, and the only prefix-local rule (admit
     * decisions depend on a running sum, never on later rows).
     *
-    * One shuffle (hash partition by stratum) + a per-stratum sort window —
-    * the same shape as [[stratifiedSample]]; at 100 TB strata are domains
-    * (tens to thousands), and a skewed mega-domain is bounded by its own
-    * budget: the window scans in admitted-order and everything past the
-    * budget is filtered on the spot.
+    * SHARD-DECOMPOSED so a hot mega-stratum never sorts in one task. The
+    * admission order is (hash16(key), key), and the 16 shards
+    * `hash16 div 4096` are RANGE-CONTIGUOUS in that order — every row of
+    * shard s precedes every row of shard s+1. So the global running sum
+    * splits exactly: (1) a per-(stratum, shard) window computes the
+    * in-shard running sum over corpus-sized data with the stratum's rows
+    * spread across 16 tasks; (2) rows already past the budget INSIDE their
+    * own shard are pruned — a cross-shard offset is ≥ 0, so they can never
+    * be admitted, and (proof in the filter comment) no admitted row has a
+    * pruned predecessor; (3) a final per-stratum window over the pruned
+    * frame — now bounded by ~16 budgets' worth of rows per stratum,
+    * CORPUS-SIZE-INDEPENDENT — reproduces the exact global `cum_tokens`.
+    * One scan, two shuffles; the second moves only the bounded candidates.
     *
     * Output: the admitted rows plus `n_tokens` and `cum_tokens` (the
-    * stratum's running total INCLUDING this row, in admission order).
+    * stratum's running total INCLUDING this row, in admission order) —
+    * value-identical to the single-window formulation.
     */
   def tokenBudgetSample(
       df: DataFrame, strataCol: String, keyCol: String, tokenCountCol: String,
       budget: Long
   ): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(hashBucket16(col(keyCol)), col(keyCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokenCountCol)).over(w))
+    val W = org.apache.spark.sql.expressions.Window
+    val order = Seq(hashBucket16(col(keyCol)), col(keyCol))
+    val wShard = W.partitionBy(col(strataCol), col("__shard"))
+      .orderBy(order: _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wStratum = W.partitionBy(col(strataCol))
+      .orderBy(order: _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    df.withColumn("__shard", (hashBucket16(col(keyCol)) / 4096L).cast("long"))
+      .withColumn("__cum_shard", sum(col(tokenCountCol)).over(wShard))
+      // Prune rows that exhausted the budget within their own shard. Safe:
+      // if a pruned row p (shard s) preceded some admitted row r, then r in
+      // shard s after p has in-shard cum ≥ p's ≥ budget (pruned too), and r
+      // in a later shard has offset ≥ shard s's total ≥ budget (never
+      // admitted) — so admitted rows and their whole prefixes survive, and
+      // the per-stratum window below sees exactly the original prefix.
+      .filter(col("__cum_shard") - col(tokenCountCol) < budget)
+      .withColumn("cum_tokens", sum(col(tokenCountCol)).over(wStratum))
       .filter(col("cum_tokens") - col(tokenCountCol) < budget)
+      .drop("__shard", "__cum_shard")
   }
 
   /** Dataset-mixture reweighting: keep each row with a per-group Bernoulli

@@ -949,24 +949,39 @@ object ExtensionQueries {
         .select(col("doc_id"), col("contaminated"))
       val s3 = s2.join(contam, Seq("doc_id"), "left")
         .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
-      // 4: token budget over what's left — as a survivor-filtered running
-      // sum in ONE window over s3 (non-survivors contribute 0, so survivor
-      // cum values equal the budget sampler's), not a separate admitted
-      // frame joined back: that join would re-evaluate the whole chain a
-      // second time.
+      // 4: token budget over what's left — sharded like
+      // [[Sampling.tokenBudgetSample]] so a hot source never sorts in one
+      // task: survivors get an in-shard running sum (shards are range-
+      // contiguous in the admission order), rows past the budget inside
+      // their own shard are provably never admitted, and the exact
+      // per-source cum re-derives over the pruned candidates — a frame
+      // bounded by ~16 budgets per source, corpus-size-independent. The
+      // admitted ids (likewise budget-bounded) BROADCAST back onto s3, so
+      // the big side never shuffles for the verdict; s3's own exchanges
+      // (dedup window, contamination) are reused across the two branches.
       val surviving = !col("is_dup") && !col("low_quality") && !col("contaminated")
-      val wBudget = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(Sampling.hashBucket16(col("doc_id")), col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val cum = sum(when(surviving, col("n_tokens")).otherwise(0L)).over(wBudget)
-      s3.withColumn("__adm", surviving && (cum - col("n_tokens") < 700L))
+      val W = org.apache.spark.sql.expressions.Window
+      val order = Seq(Sampling.hashBucket16(col("doc_id")), col("doc_id"))
+      val wShard = W.partitionBy(col("source"), col("__shard"))
+        .orderBy(order: _*).rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wSource = W.partitionBy(col("source"))
+        .orderBy(order: _*).rowsBetween(W.unboundedPreceding, W.currentRow)
+      // non-survivors contribute 0 tokens, so dropping them first leaves
+      // every survivor's running sum unchanged
+      val admitted = s3.filter(surviving)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (Sampling.hashBucket16(col("doc_id")) / 4096L).cast("long").as("__shard"))
+        .withColumn("__cum_shard", sum(col("n_tokens")).over(wShard))
+        .filter(col("__cum_shard") - col("n_tokens") < 700L)
+        .withColumn("__cum", sum(col("n_tokens")).over(wSource))
+        .filter(col("__cum") - col("n_tokens") < 700L)
+        .select(col("doc_id"), lit(true).as("__adm"))
+      s3.join(broadcast(admitted), Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"), col("n_tokens"),
           when(col("is_dup"), "dup")
             .when(col("low_quality"), "low_quality")
             .when(col("contaminated"), "contaminated")
-            .when(!col("__adm"), "over_budget")
+            .when(col("__adm").isNull, "over_budget")
             .otherwise("kept").as("verdict"))
     },
     Some(s"""WITH base AS (SELECT doc_id, source, text FROM documents

@@ -157,6 +157,25 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(one.length == 1 && one.head.getLong(3) == 100L)
   }
 
+  test("tokenBudgetSample sharded decomposition equals the single-window formulation") {
+    // keys spread across all 16 shards, token counts varied so budget
+    // boundaries land mid-shard; 3 strata of different sizes
+    val docs = (0L until 400L).map(i => (i, s"s${i % 3}", 1L + i % 7))
+      .toDF("doc_id", "source", "n_tokens")
+    for (budget <- Seq(1L, 37L, 100L, 100000L)) {
+      val got = Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("source"))
+        .orderBy(Sampling.hashBucket16(col("doc_id")), col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val want = docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") - col("n_tokens") < budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(got == want, s"budget=$budget: admitted set or cum values diverge")
+    }
+  }
+
   // ---- mixtureSample ----
 
   test("mixtureSample applies per-group rates; 10000 keeps all, 0 drops all") {

@@ -226,6 +226,37 @@ class PlanAuditSpec extends SparkFunSuite {
       s"ranking must not globally sort the corpus:\n$p")
   }
 
+  test("q65: token budget windows the corpus per (stratum, shard), never per stratum alone") {
+    val p = plan("q65_token_budget")
+    // the corpus-scale exchange is keyed on (source, __shard) — a hot
+    // stratum spreads over 16 tasks instead of sorting in one
+    assert("hashpartitioning\\(source#\\d+, __shard#".r.findFirstIn(p).isDefined,
+      s"corpus window must hash-partition by (source, __shard):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"budget admission must never globally sort:\n$p")
+    // the per-source exact-cum window sits ABOVE the in-shard budget cap,
+    // so it only ever sorts the bounded candidate set (≤ ~16 budgets/stratum)
+    val iSrcOnly  = "hashpartitioning\\(source#\\d+, \\d+\\)".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    val iCap      = p.indexOf("__cum_shard")
+    val iSharded  = "hashpartitioning\\(source#\\d+, __shard#".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(iSrcOnly >= 0 && iCap >= 0 && iSrcOnly < iCap && iCap < iSharded,
+      s"per-source window must consume the in-shard-capped frame:\n$p")
+  }
+
+  test("q69: budget verdict broadcasts the bounded admitted set onto the corpus") {
+    val p = plan("q69_curation_pipeline")
+    assert("hashpartitioning\\(source#\\d+, __shard#".r.findFirstIn(p).isDefined,
+      s"budget stage must hash-partition by (source, __shard):\n$p")
+    // the admitted ids come back via broadcast — the corpus side never
+    // shuffles for the verdict join
+    assert(p.contains("BroadcastHashJoin"),
+      s"admitted-set join must broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort belongs in the curation plan:\n$p")
+  }
+
   test("q90/q91: PQ codebooks broadcast; ADC LUT join is broadcast, never a product") {
     val p90 = plan("q90_pq_encode")
     assert(p90.contains("BroadcastHashJoin"),
