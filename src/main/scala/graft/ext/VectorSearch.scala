@@ -404,6 +404,67 @@ object VectorSearch {
         .cast("long").as("c_bp"))
   }
 
+  /** PQ codebooks from per-subspace Lloyd's k-means — the trained codebook
+    * of Jégou et al. 2011 §III (each subspace gets its own k-means run),
+    * replacing [[pqCodebooksSign]]'s sign-bucket stand-in whose centroids
+    * cost recall (sign buckets split on coordinate signs, not data
+    * density). All m subspaces train SIMULTANEOUSLY in the same shuffles:
+    * points are (id, subspace) keyed subvector cells, the E-step is one
+    * [[pqEncode]] pass against the current generation (broadcast codebook
+    * arrays, codegen'd distance folds — never an exploded cell join), and
+    * the M-step is one hash-aggregate on (subspace, code, dim). Seeding is
+    * deterministic hash-lowest (the k corpus rows with the smallest
+    * (hash16(id), id) become codes 0..k-1, each contributing its
+    * subvectors), every centroid is an exact-integer basis-point cell, and
+    * ties break toward the smaller code — so an external engine replays
+    * the whole training chain bit-for-bit (q90/q91/q93's DuckDB oracles
+    * iterate the same CTEs). Like [[kmeansFit]], each generation is
+    * persisted and materialized to keep lineage one iteration deep, and
+    * the final m × k × subDim cell frame is localized (bounded — it
+    * broadcasts into every consumer anyway) so no caller drags the
+    * iteration chain in its plan. Empty codes drop out per standard
+    * Lloyd's.
+    *
+    * Output: (subspace, code, dim [global 1-based], c_bp).
+    */
+  def pqCodebooksKmeans(df: DataFrame, idCol: String, vecCol: String,
+                        m: Int, dims: Int, k: Int, iters: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val subDim = dims / m
+    val cells = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("id"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("x_bp"))
+      .withColumn("subspace", expr(s"(dim - 1L) div $subDim"))
+    val seedW = Window.orderBy(Sampling.hashBucket16(col("id")), col("id"))
+    val seeds = df.select(col(idCol).as("id"))
+      .orderBy(Sampling.hashBucket16(col("id")), col("id"))
+      .limit(k)
+      .withColumn("code", (row_number().over(seedW) - 1).cast("long"))
+    var cent = cells.join(seeds, "id")
+      .select(col("subspace"), col("code"), col("dim"), col("x_bp").as("c_bp"))
+      .persist()
+    cent.count()
+    for (_ <- 1 to iters) {
+      val assigned = pqEncode(df, idCol, vecCol, cent, m, dims)
+        .select(col("id"), col("subspace"), col("code"))
+      val next = cells.join(assigned, Seq("id", "subspace"))
+        .groupBy(col("subspace"), col("code"), col("dim"))
+        .agg(round(sum(col("x_bp")).cast("double") / count(lit(1)), 0)
+          .cast("long").as("c_bp"))
+        .persist()
+      next.count() // materialize before dropping the previous generation
+      cent.unpersist()
+      cent = next
+    }
+    val spark  = df.sparkSession
+    val result = cent.collect()
+    cent.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(result.toIndexedSeq, 1), cent.schema)
+  }
+
   /** PQ encoding: each vector → its nearest codeword per subspace, in
     * exact-integer basis points (argmin of squared L2 over the subspace's
     * dims; ties break toward the smallest code). A d-dim float vector

@@ -1683,49 +1683,69 @@ object ExtensionQueries {
   )
 
   /** Shared DuckDB CTE chain for the PQ queries: exact-integer cells →
-    * sign-bucket pseudo-labels per subspace (first 8 subvector sign bits
-    * → up to 256 codewords) → bucket-centroid codebooks → per-(vec,
-    * subspace) nearest-code assignment. m = 4 subspaces × 16 dims over
-    * the 64-dim embeddings.
+    * per-subspace Lloyd's k-means replayed as chained generation CTEs
+    * (hash-lowest seeding, `iters` assign/recompute rounds — the exact
+    * loop [[graft.ext.VectorSearch.pqCodebooksKmeans]] runs) → trained
+    * codebooks `cb` → per-(vec, subspace) nearest-code assignment
+    * `codes`. `subDim` dims per subspace over the 64-dim embeddings;
+    * `trainPred` restricts the training/encoded corpus (q93 trains on
+    * vec_id >= 10), `cells` always covers every vector so query cells
+    * stay available.
     */
-  private val pqOracleCtes =
-    """v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e
-      |  FROM embeddings),
-      |cells AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
-      |  CAST(round(e[i] * 10000, 0) AS BIGINT) AS bp
-      |  FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
-      |bkt AS (SELECT vec_id, CAST(s AS BIGINT) AS subspace,
-      |  CAST(list_sum(list_transform(range(0, 8), i ->
-      |    CASE WHEN list_extract(e, CAST(s * 16 + i + 1 AS BIGINT)) >= 0
-      |      THEN 1 << i ELSE 0 END)) AS BIGINT) AS code
-      |  FROM v, UNNEST(range(0, 4)) AS t(s)),
-      |cent AS (SELECT b.subspace, b.code, c.dim,
-      |  CAST(round(CAST(sum(c.bp) AS DOUBLE) / count(*), 0) AS BIGINT) AS c_bp
-      |  FROM cells c JOIN bkt b ON c.vec_id = b.vec_id AND (c.dim - 1) // 16 = b.subspace
-      |  GROUP BY 1, 2, 3),
-      |cb AS (SELECT subspace, code, dim, c_bp FROM cent),
-      |dists AS (SELECT x.vec_id, c.subspace, c.code,
-      |  CAST(sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS BIGINT) AS dist_bp2
-      |  FROM cells x JOIN cb c ON x.dim = c.dim GROUP BY 1, 2, 3),
-      |codes AS (SELECT vec_id, subspace, code, dist_bp2 FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-      |    ORDER BY dist_bp2, code) AS rn FROM dists) WHERE rn = 1)""".stripMargin
+  private def pqOracleCtes(trainPred: String, subDim: Int, k: Int, iters: Int): String = {
+    val b16 = TrainingQueries.md5Bucket16Sql("vec_id")
+    val head = s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      cells AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+        CAST((CAST(i AS BIGINT) - 1) // $subDim AS BIGINT) AS subspace,
+        CAST(round(e[i] * 10000, 0) AS BIGINT) AS bp
+        FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+      tcells AS (SELECT * FROM cells WHERE $trainPred),
+      seeds AS (SELECT vec_id,
+        CAST(row_number() OVER (ORDER BY $b16, vec_id) - 1 AS BIGINT) AS code
+        FROM (SELECT DISTINCT vec_id FROM tcells)
+        QUALIFY row_number() OVER (ORDER BY $b16, vec_id) <= $k),
+      cent0 AS (SELECT c.subspace, s.code, c.dim, c.bp AS c_bp
+        FROM tcells c JOIN seeds s USING (vec_id))"""
+    val gens = (1 to iters).map { i =>
+      s"""asg$i AS (SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+          row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2, code) AS rn
+        FROM (SELECT x.vec_id, c.subspace, c.code,
+            sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS d2
+          FROM tcells x JOIN cent${i - 1} c ON x.dim = c.dim
+          GROUP BY 1, 2, 3)) WHERE rn = 1),
+      cent$i AS (SELECT c.subspace, a.code, c.dim,
+        CAST(round(CAST(sum(c.bp) AS DOUBLE) / count(*), 0) AS BIGINT) AS c_bp
+        FROM tcells c JOIN asg$i a ON c.vec_id = a.vec_id AND c.subspace = a.subspace
+        GROUP BY 1, 2, 3)"""
+    }
+    val tail = s"""cb AS (SELECT subspace, code, dim, c_bp FROM cent$iters),
+      dists AS (SELECT x.vec_id, c.subspace, c.code,
+        CAST(sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS BIGINT) AS dist_bp2
+        FROM tcells x JOIN cb c ON x.dim = c.dim GROUP BY 1, 2, 3),
+      codes AS (SELECT vec_id, subspace, code, dist_bp2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+          ORDER BY dist_bp2, code) AS rn FROM dists) WHERE rn = 1)"""
+    (head +: gens :+ tail).mkString(",\n      ")
+  }
 
-  // Similarity 10: product quantization — each 64-dim vector becomes 4
-  // small codes (64× the int8 cut of q73). Codewords are sign-bucket
-  // centroids per subspace (up to 256 per subspace from 8 sign bits —
-  // the standard PQ codebook cardinality), so
-  // the whole chain is exact integer and the oracle reproduces the
-  // assignment bit-for-bit.
+  // Similarity 10: product quantization — each 64-dim vector becomes 16
+  // byte-sized codes (16 B vs 256 B float32; m is the recall/compression
+  // dial — the m=4 point is a 64× cut but its residual swamps this
+  // corpus's flat distance spectrum, see q93). Codewords are per-subspace
+  // k-means centroids (K = 256, the standard PQ cardinality, 2 Lloyd's
+  // rounds from hash-lowest seeds), and because every training step is
+  // exact-integer and deterministically tie-broken, the oracle replays
+  // the whole training chain and reproduces the assignment bit-for-bit.
   private val q90 = Q(
     "q90_pq_encode",
     (s, dir) => QueryCaches.pqIndexFor(s, dir)._2.withColumnRenamed("id", "vec_id"),
-    Some(s"""WITH $pqOracleCtes
+    Some(s"""WITH ${pqOracleCtes("TRUE", subDim = 4, k = 256, iters = 2)}
       SELECT vec_id, subspace, code, dist_bp2 FROM codes""")
   )
 
   // Similarity 11: asymmetric-distance (ADC) search over the PQ codes —
-  // the query stays exact, the corpus is 4 codes/vector, and scoring is
+  // the query stays exact, the corpus is 16 codes/vector, and scoring is
   // m lookup-table reads instead of d multiplications. The LUT (queries ×
   // subspaces × codewords) broadcasts; one hash-agg per (query, vector).
   private val q91 = Q(
@@ -1736,7 +1756,7 @@ object ExtensionQueries {
         Tables.embeddings(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
         codes.drop("dist_bp2"), cb, k = 5)
     },
-    Some(s"""WITH $pqOracleCtes,
+    Some(s"""WITH ${pqOracleCtes("TRUE", subDim = 4, k = 256, iters = 2)},
       qcells AS (SELECT vec_id AS qid, dim, bp FROM cells WHERE vec_id < 10),
       lut AS (SELECT q.qid, c.subspace, c.code,
         CAST(sum((q.bp - c.c_bp) * (q.bp - c.c_bp)) AS BIGINT) AS lut_bp2
@@ -1754,11 +1774,12 @@ object ExtensionQueries {
   // standard two-stage pipeline buy back? Per query: recall@5 of raw
   // ADC-over-PQ-codes against exact integer-L2 top-5, AND recall@5 after
   // the textbook refine step (ADC retrieves 50 candidates — a 10×
-  // candidate cut — then exact distances re-rank just those). Label
-  // codewords make the raw quantizer COARSE (same-label vectors share all
-  // codes), which is exactly what the eval shows and exactly why
-  // production PQ always re-ranks. Both metrics are deterministic
-  // integers, so the oracle reproduces the numbers, not an envelope.
+  // candidate cut — then exact distances re-rank just those). Codebooks
+  // are TRAINED (per-subspace Lloyd's, the Jégou et al. recipe) — the
+  // earlier sign-bucket codebooks put centroids where coordinate signs
+  // split, not where the data is dense, and cost ~2× raw recall. Both
+  // metrics are deterministic integers, so the oracle reproduces the
+  // numbers (replaying the training chain), not an envelope.
   private val q93 = Q(
     "q93_pq_recall",
     (s, dir) => {
@@ -1778,8 +1799,9 @@ object ExtensionQueries {
       val exact = exactD2
         .withColumn("rnk", row_number().over(wE))
         .filter(col("rnk") <= 5).select(col("qid"), col("id"))
-      val cb    = VectorSearch.pqCodebooksSign(cs, "vec_id", "embedding", m = 4, dims = 64, bits = 8)
-      val codes = VectorSearch.pqEncode(cs, "vec_id", "embedding", cb, m = 4, dims = 64).drop("dist_bp2")
+      val cb    = VectorSearch.pqCodebooksKmeans(cs, "vec_id", "embedding",
+        m = 16, dims = 64, k = 256, iters = 2)
+      val codes = VectorSearch.pqEncode(cs, "vec_id", "embedding", cb, m = 16, dims = 64).drop("dist_bp2")
       val adc = VectorSearch.pqAdcTopK(qs, "vec_id", "embedding", codes, cb, k = 5)
         .select(col("qid"), col("id"))
       // refine: ADC@50 candidates, exact distance on just those, top-5
@@ -1798,27 +1820,7 @@ object ExtensionQueries {
         .withColumn("recall_bp", expr("(n_hits * 10000L) div 5L"))
         .withColumn("recall_rerank_bp", expr("(n_hits_rerank * 10000L) div 5L"))
     },
-    Some(s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e
-        FROM embeddings),
-      cells AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
-        CAST(round(e[i] * 10000, 0) AS BIGINT) AS bp
-        FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
-      bkt AS (SELECT vec_id, CAST(s AS BIGINT) AS subspace,
-        CAST(list_sum(list_transform(range(0, 8), i ->
-          CASE WHEN list_extract(e, CAST(s * 16 + i + 1 AS BIGINT)) >= 0
-            THEN 1 << i ELSE 0 END)) AS BIGINT) AS code
-        FROM v, UNNEST(range(0, 4)) AS t(s) WHERE vec_id >= 10),
-      cent AS (SELECT b.subspace, b.code, c.dim,
-        CAST(round(CAST(sum(c.bp) AS DOUBLE) / count(*), 0) AS BIGINT) AS c_bp
-        FROM cells c JOIN bkt b ON c.vec_id = b.vec_id AND (c.dim - 1) // 16 = b.subspace
-        GROUP BY 1, 2, 3),
-      cb AS (SELECT subspace, code, dim, c_bp FROM cent),
-      dists AS (SELECT x.vec_id, c.subspace, c.code,
-        CAST(sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS BIGINT) AS dist_bp2
-        FROM cells x JOIN cb c ON x.dim = c.dim WHERE x.vec_id >= 10 GROUP BY 1, 2, 3),
-      codes AS (SELECT vec_id, subspace, code FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-          ORDER BY dist_bp2, code) AS rn FROM dists) WHERE rn = 1),
+    Some(s"""WITH ${pqOracleCtes("vec_id >= 10", subDim = 4, k = 256, iters = 2)},
       qcells AS (SELECT vec_id AS qid, dim, bp FROM cells WHERE vec_id < 10),
       lut AS (SELECT q.qid, c.subspace, c.code,
         CAST(sum((q.bp - c.c_bp) * (q.bp - c.c_bp)) AS BIGINT) AS lut_bp2

@@ -75,11 +75,15 @@ private[graft] object QueryCaches {
         case prev =>
           if (prev != null) { prev._2._1.unpersist(); prev._2._2.unpersist() }
           val emb = graft.Tables.embeddings(s, dir)
+          // trained codebooks (2 Lloyd's rounds, K = 256, PQ16): the
+          // training loop runs HERE, once per (session, dir), so bench
+          // reps and the three consuming queries never retrain
           val cb = graft.ext.VectorSearch
-            .pqCodebooksSign(emb, "vec_id", "embedding", m = 4, dims = 64, bits = 8)
+            .pqCodebooksKmeans(emb, "vec_id", "embedding",
+              m = 16, dims = 64, k = 256, iters = 2)
             .persist()
           val codes = graft.ext.VectorSearch
-            .pqEncode(emb, "vec_id", "embedding", cb, m = 4, dims = 64)
+            .pqEncode(emb, "vec_id", "embedding", cb, m = 16, dims = 64)
             .persist()
           pqCache.put(s, (dir, (cb, codes)))
           (cb, codes)

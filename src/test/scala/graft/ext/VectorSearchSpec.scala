@@ -229,4 +229,48 @@ class VectorSearchSpec extends SparkFunSuite {
     // the query's own cluster ranks above the other label's cluster
     assert(Seq(1L, 2L).map(topk).max < Seq(3L, 4L).map(topk).min)
   }
+
+  test("pqCodebooksKmeans runs exact-integer per-subspace Lloyd's (reference replay)") {
+    val data = Seq(
+      (1L, Array(1.0f, 0.9f, -1.0f, -0.8f)),
+      (2L, Array(0.8f, 1.1f, -0.9f, -1.1f)),
+      (3L, Array(-1.0f, -0.9f, 1.0f, 0.8f)),
+      (4L, Array(-0.8f, -1.2f, 0.9f, 1.1f)),
+      (5L, Array(0.9f, 1.0f, 1.0f, 1.0f)),
+      (6L, Array(-0.9f, -1.0f, -1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorSearch
+      .pqCodebooksKmeans(data, "vec_id", "embedding", m = 2, dims = 4, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+
+    // independent reference: same hash-lowest seeding, same E/M steps,
+    // HALF_UP integer rounding — every cell must match bit-for-bit
+    def half(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def h16(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val cells: Map[Long, Array[Long]] = data.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => half(x.toDouble * 10000d)).toArray
+    }.toMap
+    val ids = cells.keys.toSeq
+    var cent: Map[(Int, Int), Array[Long]] =
+      (for ((id, code) <- ids.sortBy(id => (h16(id), id)).take(2).zipWithIndex; sub <- 0 to 1)
+        yield (sub, code) -> cells(id).slice(sub * 2, sub * 2 + 2)).toMap
+    for (_ <- 1 to 2) {
+      val assigned = for (id <- ids; sub <- 0 to 1) yield {
+        val v = cells(id).slice(sub * 2, sub * 2 + 2)
+        (id, sub, cent.keys.filter(_._1 == sub).toSeq.map { case (s, c) =>
+          (v.zip(cent((s, c))).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }.min._2)
+      }
+      cent = assigned.groupBy(a => (a._2, a._3)).map { case ((sub, code), ms) =>
+        val vs = ms.map(mm => cells(mm._1).slice(sub * 2, sub * 2 + 2))
+        (sub, code) -> Array.tabulate(2)(i => half(vs.map(_(i)).sum.toDouble / vs.size))
+      }
+    }
+    val want = (for (((sub, code), arr) <- cent; i <- 0 until 2)
+      yield (sub.toLong, code.toLong, (sub * 2 + i + 1).toLong) -> arr(i)).toMap
+    assert(got == want)
+  }
 }
