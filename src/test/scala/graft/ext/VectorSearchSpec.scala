@@ -230,6 +230,37 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(Seq(1L, 2L).map(topk).max < Seq(3L, 4L).map(topk).min)
   }
 
+  test("ivfTopKTrained: routing metric agrees with list assignment; nprobe=all equals brute force") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.1f, 0.0f)), (11L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (12L, Array(1.1f, 0.0f, 0.0f, 0.1f)),
+      (20L, Array(0.0f, 1.0f, 0.0f, 0.1f)), (21L, Array(0.1f, 0.9f, 0.0f, 0.0f)),
+      (22L, Array(0.0f, 1.1f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = VectorSearch.kmeansFit(corpus, "vec_id", "embedding", k = 2, iters = 3)
+    val q = Seq((1L, Array(1.0f, 0.05f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // nprobe=1 scans exactly the members of the list the query routes to —
+    // the same list assignToNearestCentroid gives, since the router uses
+    // the identical integer metric
+    val got = VectorSearch.ivfTopKTrained(q, corpus,
+        "vec_id", "embedding", "vec_id", "embedding", cent, k = 10)
+      .collect().map(_.getLong(1)).toSet
+    val lists = VectorSearch.assignToNearestCentroid(corpus, "vec_id", "embedding", cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qList = VectorSearch.assignToNearestCentroid(q, "vec_id", "embedding", cent)
+      .collect().head.getLong(1)
+    assert(got.nonEmpty && got == lists.filter(_._2 == qList).keySet)
+    // probing every list degrades gracefully to exact brute-force top-k
+    val nLists = lists.values.toSet.size
+    val full = VectorSearch.ivfTopKTrained(q, corpus,
+        "vec_id", "embedding", "vec_id", "embedding", cent, k = 3, nprobe = nLists)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    val brute = VectorSearch.bruteForceTopK(q, corpus,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(full == brute)
+  }
+
   test("pqCodebooksKmeans runs exact-integer per-subspace Lloyd's (reference replay)") {
     val data = Seq(
       (1L, Array(1.0f, 0.9f, -1.0f, -0.8f)),

@@ -257,6 +257,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no global sort belongs in the curation plan:\n$p")
   }
 
+  test("q38: trained IVF broadcasts centroids and routed queries; no product join") {
+    val p = plan("q38_ann_ivf")
+    // centroid cells broadcast into assignment + routing, and the routed
+    // (qid, list) frame broadcasts into the in-list scan
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"centroids and routed queries must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF must stay equi-joins end to end:\n$p")
+  }
+
   test("q90/q91: PQ codebooks broadcast; ADC LUT join is broadcast, never a product") {
     val p90 = plan("q90_pq_encode")
     assert(p90.contains("BroadcastHashJoin"),
