@@ -49,6 +49,12 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }.mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warmup_sf":"$warmDir","reps":$reps,"estimator":"min-interleaved"}""")
+    // Compact headline AFTER the full JSON: tail-capture windows have
+    // truncated the per-query map before (BENCH_r06 lost q01-q34), so the
+    // numbers that matter most go LAST, where any tail keeps them.
+    val slowest = ok.sortBy(-_._2).take(5)
+      .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"mean_sec":${if (ok.nonEmpty) total / ok.size else 0.0}%.4f,"slowest5":$slowest}""")
     graft.queries.QueryCaches.clear(spark)
     spark.stop()
   }

@@ -272,6 +272,73 @@ object TextStats {
         expr("((n_char_units - n_bpe_units) * 10000L) div n_char_units"))
   }
 
+  /** Iterated BPE trainer (Sennrich et al. ACL 2016, Algorithm 1): for
+    * `rounds` rounds, count adjacent unit pairs across the corpus, take
+    * the most frequent pair (ties: lexicographic), fuse it everywhere,
+    * re-count. Returns the learned merge table (round, a, b, n) in
+    * priority order — feed `.map(m => (m._2, m._3))` to
+    * [[bpeEncodeStats]], whose per-word unit fold applies multi-character
+    * merges exactly.
+    *
+    * Scale shape: training runs over the VOCABULARY — one (word, count)
+    * row per distinct word, the standard trainer optimization — so every
+    * round is one explode + one weighted hash-aggregate over a frame
+    * bounded by vocabulary size, not corpus size; pair counts are weighted
+    * by word frequency and therefore equal the corpus counts
+    * ([[bpePairStats]] round 1 agrees by construction). Each generation's
+    * re-encoded vocabulary is persisted and materialized so lineage stays
+    * one round deep (the q87 generation pattern), and the only driver
+    * materialization is the single winner row per round. Deterministic end
+    * to end — an external engine replays the chain (q94's oracle iterates
+    * the same CTEs).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): Seq[(Long, String, String, Long)] = {
+    require(rounds > 0, "rounds must be positive")
+    val sep = "·"
+    val spark = df.sparkSession
+    var vocab = df
+      .select(explode(TextDedup.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .select(rtrim(regexp_replace(col("__w"), "(.)", "$1" + sep), sep).as("__enc"),
+        col("__cnt"))
+      .persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val units = split(col("__enc"), sep)
+        val prs = when(size(units) > 1,
+            expr(s"transform(sequence(1, size(split(__enc, '$sep')) - 1)," +
+              s" i -> struct(split(__enc, '$sep')[i-1] AS a, split(__enc, '$sep')[i] AS b))"))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val winner = vocab
+          .select(explode(prs).as("__p"), col("__cnt"))
+          .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+          .agg(sum(col("__cnt")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (winner.isEmpty) exhausted = true // vocabulary fully fused
+        else {
+          val (a, b, n) = (winner(0).getString(0), winner(0).getString(1), winner(0).getLong(2))
+          merges += ((r.toLong, a, b, n))
+          val fused = aggregate(units, lit(""),
+            (st, u) => when(st === "", u)
+              .when(u === b && (st === a || st.endsWith(sep + a)), concat(st, lit(b)))
+              .otherwise(concat(st, lit(sep), u)))
+          val next = vocab.select(fused.as("__enc"), col("__cnt")).persist()
+          next.count() // materialize before dropping the previous generation
+          vocab.unpersist()
+          vocab = next
+          r += 1
+        }
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
+
   /** Marker-stopword language-ID heuristic: count hits per language's
     * marker set, predict the argmax (ties and zero-hits fall back to "und").
     * A real system would use char-n-gram profiles; the *shape* (per-language

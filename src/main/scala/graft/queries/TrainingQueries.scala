@@ -654,6 +654,46 @@ object TrainingQueries {
     }
   )
 
+  /** DuckDB replay of [[graft.ext.TextStats.bpeTrain]]: the seeded
+    * vocabulary, then per round a weighted pair count → LIMIT-1 winner →
+    * list_reduce fuse, chained as generation CTEs (the q87 pattern).
+    */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val head = s"""$toksCte,
+      wd AS (SELECT unnest(w) AS word FROM toks),
+      v0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1·', 'g'), '·') AS enc,
+        count(*) AS cnt FROM wd GROUP BY 1)"""
+    val gens = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT u[i] AS a, u[i+1] AS b, sum(cnt) AS n
+        FROM (SELECT string_split(enc, '·') AS u, cnt FROM v${r - 1}) s$r,
+          UNNEST(range(1, len(u))) AS t(i)
+        GROUP BY 1, 2),
+      win$r AS (SELECT $r AS rnk, a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+      v$r AS (SELECT list_reduce(string_split(v.enc, '·'), (s, u) ->
+          CASE WHEN u = wn.b AND (s = wn.a OR ends_with(s, '·' || wn.a))
+            THEN s || wn.b ELSE s || '·' || u END) AS enc, v.cnt
+        FROM v${r - 1} v, win$r wn)"""
+    }
+    val unioned = (1 to rounds).map(r => s"SELECT * FROM win$r").mkString(" UNION ALL ")
+    s"""${(head +: gens).mkString(",\n      ")}
+      SELECT CAST(rnk AS BIGINT) AS rnk, a AS merge_a, b AS merge_b,
+        CAST(n AS BIGINT) AS n FROM ($unioned)"""
+  }
+
+  // The full BPE training loop — 6 rounds of count → winner → fuse →
+  // re-count over the weighted vocabulary, producing a LEARNED merge table
+  // (q92 applies a frozen one; q86 is this trainer's round-1 count). Later
+  // rounds can and do fuse multi-character units.
+  private val q94 = Q(
+    "q94_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      graft.ext.TextStats.bpeTrain(docsSpread(s, dir), "text", rounds = 6)
+        .toDF("rnk", "merge_a", "merge_b", "n")
+    },
+    Some(s"WITH ${bpeTrainOracle(6)}")
+  )
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92)
+    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92, q94)
 }

@@ -79,6 +79,19 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r == Map(1L -> 4L, 2L -> 3L))
   }
 
+  test("bpeTrain learns merges count → winner → fuse → re-count, weighted by word frequency") {
+    // vocab: banana×2, ana×1.
+    // r1 pairs: (a,n)=5, (n,a)=5, (b,a)=2 → tie broken lexicographically → (a,n,5)
+    // r2 over [b,an,an,a]×2 + [an,a]: (an,a)=3 beats (b,an)=2, (an,an)=2
+    // r3 over [b,an,ana]×2 + [ana]: (an,ana)=2 ties (b,an)=2 → 'an' < 'b'
+    val df = Seq((1L, "banana banana ana")).toDF("id", "text")
+    val got = TextStats.bpeTrain(df, "text", rounds = 3)
+    assert(got == Seq((1L, "a", "n", 5L), (2L, "an", "a", 3L), (3L, "an", "ana", 2L)))
+    // fewer fusable pairs than rounds → the table just ends early
+    val tiny = Seq((1L, "x y")).toDF("id", "text")
+    assert(TextStats.bpeTrain(tiny, "text", rounds = 2).isEmpty)
+  }
+
   test("bpeEncodeStats fuses multi-character units from a learned table") {
     // Two rounds of a real trainer on "tester": ('e','r') → [t,e,s,t,er],
     // then ('t','er') → [t,e,s,ter]; the pair ('s','t') must not fire on
