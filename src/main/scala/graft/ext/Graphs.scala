@@ -37,7 +37,12 @@ object Graphs {
     *     nothing — their mass leaves the system, the standard "lost
     *     mass" simplification. Total mass therefore shrinks toward the
     *     teleport floor; rankings are unaffected, which is what the
-    *     curation weight consumes.
+    *     curation weight consumes. `redistributeDangling = true` opts in
+    *     to the textbook conserved-mass formulation instead: each
+    *     iteration the dangling nodes' total rank is shared uniformly —
+    *     rank'(v) = base + (dampingPct × (inflow + danglingSum div N))
+    *     div 100 — as one bounded aggregate over the (precomputed)
+    *     dangling node set, broadcast as a single row into the update.
     *
     * Scale shape: per iteration exactly two shuffles — the rank⋈edges
     * equi-join on the source key (sort-merge; both sides are node/edge
@@ -60,7 +65,8 @@ object Graphs {
     */
   def pageRankInt(edges0: DataFrame, srcCol: String, dstCol: String,
                   iters: Int, scaleMu: Long = 1000000L,
-                  dampingPct: Int = 85): DataFrame = {
+                  dampingPct: Int = 85,
+                  redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct must be in [0, 100]")
     // edges feeds four downstream builds (both node branches, the out-deg
@@ -87,11 +93,21 @@ object Graphs {
     // re-planning and compounding size estimates start to bite (measured
     // around depth ~7 on self-joining iterative plans — see
     // [[Components]]'s rationale for leaving DataFrames entirely).
+    // dangling node set + node count: both fixed across iterations, so
+    // computed once; the count is a bounded driver scalar (like the
+    // kmeansFit materializations) and the set is a left-anti on the
+    // distinct source keys
+    val dangling =
+      if (!redistributeDangling) None
+      else Some((
+        nodes.join(edges.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti").persist(),
+        nodes.count()))
     var rank = nodes.withColumn("rank_mu", lit(scaleMu))
     var lastMat: Option[DataFrame] = None
     var depth = 0
     for (i <- 1 to iters) {
-      rank = iteration(outEdges, nodes, rank, base, dampingPct)
+      rank = iteration(outEdges, nodes, rank, base, dampingPct, dangling)
       depth += 1
       if (depth >= 4 && i < iters) {
         val m = rank.persist()
@@ -105,6 +121,7 @@ object Graphs {
     // sever lineage into the persisted frames before unpersisting them
     val out = rank.localCheckpoint(true)
     lastMat.foreach(_.unpersist())
+    dangling.foreach(_._1.unpersist())
     outEdges.unpersist()
     nodes.unpersist()
     edges.unpersist()
@@ -141,14 +158,26 @@ object Graphs {
   }
 
   private[graft] def iteration(outEdges: DataFrame, nodes: DataFrame,
-                               rank: DataFrame, base: Long,
-                               dampingPct: Int): DataFrame = {
+                               rank: DataFrame, base: Long, dampingPct: Int,
+                               dangling: Option[(DataFrame, Long)] = None): DataFrame = {
     val inflow = outEdges.join(rank, col("src") === col("node"))
       .select(col("dst").as("node"), expr("rank_mu div odeg").as("__share"))
       .groupBy("node").agg(sum(col("__share")).as("__inflow"))
-    nodes.join(inflow, Seq("node"), "left")
-      .select(col("node"),
-        (lit(base) + expr(s"(${dampingPct}L * coalesce(__inflow, 0L)) div 100"))
-          .as("rank_mu"))
+    val joined = nodes.join(inflow, Seq("node"), "left")
+    dangling match {
+      case None =>
+        joined.select(col("node"),
+          (lit(base) + expr(s"(${dampingPct}L * coalesce(__inflow, 0L)) div 100"))
+            .as("rank_mu"))
+      case Some((danglingNodes, nNodes)) =>
+        // one bounded aggregate (the dangling subset's rank total) rides
+        // into the update as a broadcast single row
+        val dSum = broadcast(rank.join(danglingNodes, "node")
+          .agg(coalesce(sum(col("rank_mu")), lit(0L)).as("__dsum")))
+        joined.crossJoin(dSum)
+          .select(col("node"),
+            (lit(base) + expr(s"(${dampingPct}L * (coalesce(__inflow, 0L)" +
+              s" + __dsum div ${nNodes}L)) div 100")).as("rank_mu"))
+    }
   }
 }

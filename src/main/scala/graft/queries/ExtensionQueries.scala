@@ -1521,6 +1521,44 @@ object ExtensionQueries {
         FROM edges e JOIN $prev r ON e.src = r.node JOIN outdeg o ON e.src = o.src
         GROUP BY 1) f ON n.node = f.node)"""
 
+  /** [[prIterCte]] with conserved mass: the dangling nodes' rank total is
+    * a per-iteration scalar CTE shared uniformly into every update.
+    */
+  private def prIterDanglingCte(prev: String, cur: String): String =
+    s"""${cur}d AS (SELECT CAST(coalesce(sum(r.rank_mu), 0) AS BIGINT) AS dsum
+      FROM $prev r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+    $cur AS (SELECT n.node,
+      CAST(150000 + (85 * (coalesce(f.inflow, 0)
+        + d.dsum // (SELECT count(*) FROM nodes))) // 100 AS BIGINT) AS rank_mu
+      FROM nodes n CROSS JOIN ${cur}d d LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(r.rank_mu // o.odeg) AS BIGINT) AS inflow
+        FROM edges e JOIN $prev r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+        GROUP BY 1) f ON n.node = f.node)"""
+
+  /** The q87/q96 DuckDB graph CTEs: planted-URL corpus → distinct
+    * (doc, source, domain) → cite + co-cite edges → nodes, out-degrees,
+    * uniform start state.
+    */
+  private val prGraphCtes =
+    """corpus AS (SELECT doc_id, source, text ||
+        CASE WHEN doc_id % 3 = 0
+          THEN ' https://site' || (doc_id % 5) || '.example/d/' || doc_id ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0
+          THEN ' http://mirror.example/x/' || doc_id ELSE '' END AS text
+        FROM documents),
+      u AS (SELECT doc_id, source, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        FROM corpus),
+      d AS (SELECT DISTINCT doc_id, source,
+          regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain FROM u),
+      edges AS (
+        SELECT DISTINCT source AS src, domain AS dst FROM d
+        UNION
+        SELECT a.domain, b.domain FROM d a
+        JOIN d b ON a.doc_id = b.doc_id AND a.domain < b.domain),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM edges GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_mu FROM nodes)"""
+
   // Curation 16: link-graph PageRank — the crawl-quality signal (Common
   // Crawl publishes exactly this ranking for seed selection). The corpus
   // plants the q80 URL scheme; the graph is (source → cited domain) plus
@@ -1561,27 +1599,28 @@ object ExtensionQueries {
   private val q87 = Q(
     "q87_pagerank",
     (s, dir) => Graphs.pageRankInt(pagerankEdges(s, dir), "src", "dst", iters = 3),
-    Some(s"""WITH corpus AS (SELECT doc_id, source, text ||
-        CASE WHEN doc_id % 3 = 0
-          THEN ' https://site' || (doc_id % 5) || '.example/d/' || doc_id ELSE '' END ||
-        CASE WHEN doc_id % 4 = 0
-          THEN ' http://mirror.example/x/' || doc_id ELSE '' END AS text
-        FROM documents),
-      u AS (SELECT doc_id, source, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url
-        FROM corpus),
-      d AS (SELECT DISTINCT doc_id, source,
-          regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain FROM u),
-      edges AS (
-        SELECT DISTINCT source AS src, domain AS dst FROM d
-        UNION
-        SELECT a.domain, b.domain FROM d a
-        JOIN d b ON a.doc_id = b.doc_id AND a.domain < b.domain),
-      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-      outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM edges GROUP BY 1),
-      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_mu FROM nodes),
+    Some(s"""WITH $prGraphCtes,
       ${prIterCte("r0", "r1")},
       ${prIterCte("r1", "r2")},
       ${prIterCte("r2", "r3")}
+      SELECT node, rank_mu FROM r3""")
+  )
+
+  // Curation 16b: PageRank with CONSERVED mass — the textbook
+  // dangling-node treatment (each iteration the dangling total is shared
+  // uniformly before damping) as an opt-in beside q87's lost-mass
+  // simplification. The co-citation construction leaves the
+  // lexicographically last domain with no out-edges, so the two
+  // formulations genuinely diverge and the oracle pins the redistribution
+  // arithmetic, not just the plumbing.
+  private val q96 = Q(
+    "q96_pagerank_dangling",
+    (s, dir) => Graphs.pageRankInt(pagerankEdges(s, dir), "src", "dst",
+      iters = 3, redistributeDangling = true),
+    Some(s"""WITH $prGraphCtes,
+      ${prIterDanglingCte("r0", "r1")},
+      ${prIterDanglingCte("r1", "r2")},
+      ${prIterDanglingCte("r2", "r3")}
       SELECT node, rank_mu FROM r3""")
   )
 
@@ -1935,5 +1974,5 @@ object ExtensionQueries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
-    q95)
+    q95, q96)
 }

@@ -75,6 +75,37 @@ class GraphsSpec extends SparkFunSuite {
     assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
   }
 
+  /** [[ref]] with the conserved-mass dangling treatment: each round the
+    * dangling total is shared uniformly before damping.
+    */
+  private def refDangling(edges: Set[(String, String)], iters: Int): Map[String, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = 15L * 1000000L / 100L
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges.toSeq
+        .map { case (u, v) => v -> rank(u) / odeg(u) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+      val dsum = nodes.filterNot(odeg.contains).toSeq.map(rank).sum
+      rank = nodes.map(n =>
+        n -> (base + 85L * (inflow.getOrElse(n, 0L) + dsum / nodes.size) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("redistributeDangling conserves mass and matches its reference model") {
+    val got = Graphs.pageRankInt(chain.toDF("src", "dst"), "src", "dst",
+        iters = 3, redistributeDangling = true)
+      .collect().map { case Row(n: String, r: Long) => n -> r }.toMap
+    assert(got === refDangling(chain.toSet, 3))
+    // mass stays within floor-division dust of N × 1e6; the lost-mass
+    // default decays well below it
+    val n = got.size
+    assert(got.values.sum > n * 1000000L - 100L * n && got.values.sum <= n * 1000000L)
+    assert(run(chain, 3).values.sum < got.values.sum)
+  }
+
   test("deterministic under input partitioning") {
     val df = chain.toDF("src", "dst").repartition(7)
     val a = Graphs.pageRankInt(df, "src", "dst", 3)
