@@ -93,23 +93,29 @@ object Graphs {
     // re-planning and compounding size estimates start to bite (measured
     // around depth ~7 on self-joining iterative plans — see
     // [[Components]]'s rationale for leaving DataFrames entirely).
-    // dangling node set + node count: both fixed across iterations, so
-    // computed once; the count is a bounded driver scalar (like the
-    // kmeansFit materializations) and the set is a left-anti on the
-    // distinct source keys
+    // dangling node set + node count: both fixed across iterations. The
+    // count rides as a broadcast 1-row frame, NOT a driver scalar — a
+    // nodes.count() here would cost a whole extra job per invocation just
+    // to fetch a number the plan can carry itself
     val dangling =
       if (!redistributeDangling) None
       else Some((
         nodes.join(edges.select(col("src").as("node")).distinct(),
           Seq("node"), "left_anti").persist(),
-        nodes.count()))
+        nodes.agg(count(lit(1)).as("__n"))))
     var rank = nodes.withColumn("rank_mu", lit(scaleMu))
     var lastMat: Option[DataFrame] = None
     var depth = 0
+    // With redistribution each generation is referenced TWICE (inflow join
+    // + dangling-sum aggregate), so an unmaterialized chain re-evaluates
+    // 2^depth times — cap the doubling at depth 2 there (4 evals of cheap
+    // narrow ops beats a materialization barrier per round at stage-floor
+    // scales); the single-reference default keeps the every-4th cadence
+    val matEvery = if (dangling.isDefined) 2 else 4
     for (i <- 1 to iters) {
       rank = iteration(outEdges, nodes, rank, base, dampingPct, dangling)
       depth += 1
-      if (depth >= 4 && i < iters) {
+      if (depth >= matEvery && i < iters) {
         val m = rank.persist()
         m.count() // materialize before dropping the previous generation
         lastMat.foreach(_.unpersist())
@@ -159,7 +165,7 @@ object Graphs {
 
   private[graft] def iteration(outEdges: DataFrame, nodes: DataFrame,
                                rank: DataFrame, base: Long, dampingPct: Int,
-                               dangling: Option[(DataFrame, Long)] = None): DataFrame = {
+                               dangling: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val inflow = outEdges.join(rank, col("src") === col("node"))
       .select(col("dst").as("node"), expr("rank_mu div odeg").as("__share"))
       .groupBy("node").agg(sum(col("__share")).as("__inflow"))
@@ -169,15 +175,15 @@ object Graphs {
         joined.select(col("node"),
           (lit(base) + expr(s"(${dampingPct}L * coalesce(__inflow, 0L)) div 100"))
             .as("rank_mu"))
-      case Some((danglingNodes, nNodes)) =>
-        // one bounded aggregate (the dangling subset's rank total) rides
-        // into the update as a broadcast single row
+      case Some((danglingNodes, nFrame)) =>
+        // two bounded aggregates (the dangling subset's rank total and the
+        // node count) ride into the update as broadcast single rows
         val dSum = broadcast(rank.join(danglingNodes, "node")
           .agg(coalesce(sum(col("rank_mu")), lit(0L)).as("__dsum")))
-        joined.crossJoin(dSum)
+        joined.crossJoin(dSum).crossJoin(broadcast(nFrame))
           .select(col("node"),
             (lit(base) + expr(s"(${dampingPct}L * (coalesce(__inflow, 0L)" +
-              s" + __dsum div ${nNodes}L)) div 100")).as("rank_mu"))
+              s" + __dsum div __n)) div 100")).as("rank_mu"))
     }
   }
 }

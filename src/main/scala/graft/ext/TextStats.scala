@@ -292,16 +292,41 @@ object TextStats {
     * to end — an external engine replays the chain (q94's oracle iterates
     * the same CTEs).
     */
-  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): Seq[(Long, String, String, Long)] = {
-    require(rounds > 0, "rounds must be positive")
-    val sep = "·"
-    val spark = df.sparkSession
-    var vocab = df
-      .select(explode(TextDedup.tokens(col(textCol))).as("__w"))
+  /** The seeded (one-unit-per-char) weighted vocabulary for [[bpeTrain]]. */
+  private def bpeSeedVocab(df: DataFrame, textCol: String, sep: String): DataFrame =
+    df.select(explode(TextDedup.tokens(col(textCol))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
       .select(rtrim(regexp_replace(col("__w"), "(.)", "$1" + sep), sep).as("__enc"),
         col("__cnt"))
-      .persist()
+
+  /** One trainer round's winner frame over an encoded vocabulary:
+    * weighted adjacent-pair count → (n desc, a, b) TakeOrdered limit 1.
+    */
+  private def bpeRoundWinner(vocab: DataFrame, sep: String): DataFrame = {
+    val units = split(col("__enc"), sep)
+    val prs = when(size(units) > 1,
+        expr(s"transform(sequence(1, size(split(__enc, '$sep')) - 1)," +
+          s" i -> struct(split(__enc, '$sep')[i-1] AS a, split(__enc, '$sep')[i] AS b))"))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    vocab.select(explode(prs).as("__p"), col("__cnt"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(sum(col("__cnt")).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(1)
+  }
+
+  /** One UNEXECUTED trainer round from the seeded vocabulary — the frame
+    * whose physical plan IS the operator's scale story (the q94 output is
+    * a driver-local merge table with no plan left to read; the q87
+    * situation). Used by `graft.Explain`.
+    */
+  private[graft] def bpeTrainRoundPlanFrame(df: DataFrame, textCol: String): DataFrame =
+    bpeRoundWinner(bpeSeedVocab(df, textCol, "·"), "·")
+
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): Seq[(Long, String, String, Long)] = {
+    require(rounds > 0, "rounds must be positive")
+    val sep = "·"
+    var vocab = bpeSeedVocab(df, textCol, sep).persist()
     vocab.count()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     try {
@@ -309,17 +334,7 @@ object TextStats {
       var exhausted = false
       while (r <= rounds && !exhausted) {
         val units = split(col("__enc"), sep)
-        val prs = when(size(units) > 1,
-            expr(s"transform(sequence(1, size(split(__enc, '$sep')) - 1)," +
-              s" i -> struct(split(__enc, '$sep')[i-1] AS a, split(__enc, '$sep')[i] AS b))"))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))
-        val winner = vocab
-          .select(explode(prs).as("__p"), col("__cnt"))
-          .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
-          .agg(sum(col("__cnt")).as("n"))
-          .orderBy(col("n").desc, col("a"), col("b"))
-          .limit(1)
-          .collect()
+        val winner = bpeRoundWinner(vocab, sep).collect()
         if (winner.isEmpty) exhausted = true // vocabulary fully fused
         else {
           val (a, b, n) = (winner(0).getString(0), winner(0).getString(1), winner(0).getLong(2))
