@@ -281,6 +281,95 @@ object VectorSearch {
     rankTopK(broadcast(q.join(routed, "qid")).join(c, "__list"), k, roundDigits, d)
   }
 
+  /** IVFADC — the composed FAISS-style billion-scale index (Jégou et al.
+    * 2011 §IV): a trained coarse quantizer prunes the corpus to `nprobe`
+    * inverted lists, and the surviving candidates are scored through
+    * their PQ codes with the asymmetric-distance LUT — so a query reads
+    * ~nprobe/nlists of the corpus, at m table lookups per candidate
+    * instead of d multiplications. All three sides broadcast (routed
+    * (qid, list) pairs, the queries × m × K LUT, the coarse centroids);
+    * the corpus side is the (id, list, codes) layout a 100 TB store
+    * scans, bucketBy'd on the list id so a probe touches one bucket.
+    * Routing uses the same exact-integer L2 as the coarse trainer
+    * ([[ivfTopKTrained]]); scoring ranks like [[pqAdcTopK]] (adc asc, id
+    * tiebreak).
+    *
+    * Output: (qid, id, adc_bp2, rnk ≤ k) — only ids in routed lists.
+    */
+  def ivfAdcTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+                 codes: DataFrame, codebooks: DataFrame,
+                 lists: DataFrame, centroids: DataFrame,
+                 k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val qCells = queries.select(col(qIdCol).as("qid"),
+        posexplode(col(qVecCol)).as(Seq("__pos", "__x")))
+      .select(col("qid"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("q_bp"))
+    val rDiff = col("q_bp") - col("c_bp")
+    val routed = broadcast(
+      qCells.join(broadcast(centroids), "dim")
+        .groupBy(col("qid"), col("label"))
+        .agg(sum(rDiff * rDiff).as("__d2"))
+        .withColumn("__rrnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("__d2"), col("label"))))
+        .filter(col("__rrnk") <= nprobe)
+        .select(col("qid"), col("label").as("__list")))
+    val lDiff = col("q_bp") - col("c_bp")
+    val lut = broadcast(qCells.join(broadcast(codebooks), "dim")
+      .groupBy(col("qid"), col("subspace"), col("code"))
+      .agg(sum(lDiff * lDiff).as("lut_bp2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_bp2"), col("id"))
+    codes.join(lists.select(col("id"), col("label").as("__list")), "id")
+      .join(routed, "__list")
+      .join(lut, Seq("qid", "subspace", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("lut_bp2")).as("adc_bp2"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("adc_bp2"), col("rnk"))
+  }
+
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540; public): cluster embeddings with k-means, then flag
+    * documents whose embedding scores rounded-cosine ≥ `threshold` against
+    * a LOWER-id document in the SAME cluster (keep-lowest-id
+    * canonicalization; duplicate CHAINS compose with
+    * [[graft.ext.Components]] for closure, the q60 pattern). The cluster
+    * blocking is what makes web-scale semantic dedup feasible: the pair
+    * join is an equi-join on the cluster id, never a corpus
+    * cross-product, and k scales with the corpus so cluster occupancy
+    * stays bounded — the paper's own posture; a [[nearDupPairs]]-style
+    * occupancy cap is the fallback for degenerate embedding collapse.
+    * Identical vectors always share a cluster (equal distances, same
+    * tie-break), so exact duplicates are never missed.
+    *
+    * Output: (id, cluster, n_dups, is_dup) — n_dups counts the smaller-id
+    * same-cluster neighbors at or above the threshold.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double,
+                    roundDigits: Int = 4): DataFrame = {
+    val d = dotFn(df.sparkSession)
+    val assigned = assignToNearestCentroid(df, idCol, vecCol, centroids)
+      .select(col("id"), col("label").as("cluster"))
+    val c = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .join(assigned, "id")
+      .withColumn("__n", sqrt(d(col("__v"), col("__v"))))
+    val denom = col("a.__n") * col("b.__n")
+    val dupCounts = c.as("a").join(c.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("__sim", round(
+        when(denom =!= 0.0, d(col("a.__v"), col("b.__v")) / denom), roundDigits))
+      .filter(col("__sim") >= threshold)
+      .groupBy(col("b.id").as("id"))
+      .agg(count(lit(1)).as("n_dups"))
+    c.select(col("id"), col("cluster"))
+      .join(dupCounts, Seq("id"), "left")
+      .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
+      .withColumn("is_dup", col("n_dups") > 0)
+  }
+
   /** Sign random projection (the Johnson–Lindenstrauss-style sketch with a
     * ±1 matrix — Achlioptas, "Database-friendly random projections", PODS
     * 2001): project each embedding onto `outDims` fixed ±1 directions,

@@ -1738,40 +1738,43 @@ object ExtensionQueries {
     * vec_id >= 10), `cells` always covers every vector so query cells
     * stay available.
     */
-  private def pqOracleCtes(trainPred: String, subDim: Int, k: Int, iters: Int): String = {
+  private def pqOracleCtes(trainPred: String, subDim: Int, k: Int, iters: Int,
+                           source: String = "embeddings",
+                           prefix: String = ""): String = {
     val b16 = TrainingQueries.md5Bucket16Sql("vec_id")
-    val head = s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      cells AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+    val P = prefix
+    val head = s"""${P}v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $source),
+      ${P}cells AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
         CAST((CAST(i AS BIGINT) - 1) // $subDim AS BIGINT) AS subspace,
         CAST(round(e[i] * 10000, 0) AS BIGINT) AS bp
-        FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
-      tcells AS (SELECT * FROM cells WHERE $trainPred),
-      seeds AS (SELECT vec_id,
+        FROM ${P}v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+      ${P}tcells AS (SELECT * FROM ${P}cells WHERE $trainPred),
+      ${P}seeds AS (SELECT vec_id,
         CAST(row_number() OVER (ORDER BY $b16, vec_id) - 1 AS BIGINT) AS code
-        FROM (SELECT DISTINCT vec_id FROM tcells)
+        FROM (SELECT DISTINCT vec_id FROM ${P}tcells)
         QUALIFY row_number() OVER (ORDER BY $b16, vec_id) <= $k),
-      cent0 AS (SELECT c.subspace, s.code, c.dim, c.bp AS c_bp
-        FROM tcells c JOIN seeds s USING (vec_id))"""
+      ${P}cent0 AS (SELECT c.subspace, s.code, c.dim, c.bp AS c_bp
+        FROM ${P}tcells c JOIN ${P}seeds s USING (vec_id))"""
     val gens = (1 to iters).map { i =>
-      s"""asg$i AS (SELECT vec_id, subspace, code FROM (
+      s"""${P}asg$i AS (SELECT vec_id, subspace, code FROM (
         SELECT vec_id, subspace, code,
           row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2, code) AS rn
         FROM (SELECT x.vec_id, c.subspace, c.code,
             sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS d2
-          FROM tcells x JOIN cent${i - 1} c ON x.dim = c.dim
+          FROM ${P}tcells x JOIN ${P}cent${i - 1} c ON x.dim = c.dim
           GROUP BY 1, 2, 3)) WHERE rn = 1),
-      cent$i AS (SELECT c.subspace, a.code, c.dim,
+      ${P}cent$i AS (SELECT c.subspace, a.code, c.dim,
         CAST(round(CAST(sum(c.bp) AS DOUBLE) / count(*), 0) AS BIGINT) AS c_bp
-        FROM tcells c JOIN asg$i a ON c.vec_id = a.vec_id AND c.subspace = a.subspace
+        FROM ${P}tcells c JOIN ${P}asg$i a ON c.vec_id = a.vec_id AND c.subspace = a.subspace
         GROUP BY 1, 2, 3)"""
     }
-    val tail = s"""cb AS (SELECT subspace, code, dim, c_bp FROM cent$iters),
-      dists AS (SELECT x.vec_id, c.subspace, c.code,
+    val tail = s"""${P}cb AS (SELECT subspace, code, dim, c_bp FROM ${P}cent$iters),
+      ${P}dists AS (SELECT x.vec_id, c.subspace, c.code,
         CAST(sum((x.bp - c.c_bp) * (x.bp - c.c_bp)) AS BIGINT) AS dist_bp2
-        FROM tcells x JOIN cb c ON x.dim = c.dim GROUP BY 1, 2, 3),
-      codes AS (SELECT vec_id, subspace, code, dist_bp2 FROM (
+        FROM ${P}tcells x JOIN ${P}cb c ON x.dim = c.dim GROUP BY 1, 2, 3),
+      ${P}codes AS (SELECT vec_id, subspace, code, dist_bp2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-          ORDER BY dist_bp2, code) AS rn FROM dists) WHERE rn = 1)"""
+          ORDER BY dist_bp2, code) AS rn FROM ${P}dists) WHERE rn = 1)"""
     (head +: gens :+ tail).mkString(",\n      ")
   }
 
@@ -1979,9 +1982,92 @@ object ExtensionQueries {
       LEFT JOIN hr USING (qid) LEFT JOIN ht USING (qid)""")
   )
 
+  /** The q97 planted corpus in DuckDB form: the embeddings table plus an
+    * exact-duplicate vector for every 20th id, re-keyed +100000 (the q27
+    * planting pattern — the base table has no semantic duplicates of its
+    * own at this scale).
+    */
+  private val semDedupSource =
+    """(SELECT vec_id, embedding FROM embeddings
+       UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+       WHERE vec_id % 20 = 0)"""
+
+  // Dedup 10: SEMANTIC deduplication (SemDeDup) — k-means clusters as the
+  // blocking step, then within-cluster rounded-cosine >= 0.8 against any
+  // lower-id member flags the doc. Identical planted vectors share a
+  // cluster by the deterministic tie-break, so the 25 exact semantic dups
+  // must all flag; the oracle replays the Lloyd's chain, the cluster
+  // assignment, and the pair join.
+  private val q97 = Q(
+    "q97_semantic_dedup",
+    (s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val corpus = base.unionByName(base.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+      val cent = QueryCaches.semDedupCentFor(s, dir)(
+        VectorSearch.kmeansFit(corpus, "vec_id", "embedding", k = 10, iters = 2))
+      VectorSearch.semanticDedup(corpus, "vec_id", "embedding", cent, threshold = 0.8)
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some(s"""WITH ${pqOracleCtes("TRUE", subDim = 64, k = 10, iters = 2, source = semDedupSource)},
+      cl AS (SELECT cd.vec_id AS id, cd.code AS cluster, v.e AS vv
+        FROM codes cd JOIN v ON cd.vec_id = v.vec_id),
+      p AS (SELECT b.id AS id, count(*) AS n
+        FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.id < b.id
+        WHERE round(${duckCos("a.vv", "b.vv")}, 4) >= 0.8 GROUP BY 1)
+      SELECT cl.id AS vec_id, cl.cluster,
+        CAST(coalesce(p.n, 0) AS BIGINT) AS n_dups,
+        coalesce(p.n, 0) > 0 AS is_dup
+      FROM cl LEFT JOIN p ON cl.id = p.id""")
+  )
+
+  // Similarity 14: IVFADC — the composed billion-scale index: the trained
+  // coarse quantizer (q38's, 10 lists) routes each query to its 2 nearest
+  // lists, and only those lists' vectors are scored, through their PQ16
+  // codes (q90's) with the ADC LUT. The oracle replays BOTH training
+  // chains side by side (prefixed CTEs: g* = coarse Lloyd's at subDim 64,
+  // p* = per-subspace PQ Lloyd's at subDim 4) plus the routing and the
+  // list-pruned ADC scan.
+  private val q98 = Q(
+    "q98_ivf_adc",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs  = emb.filter(col("vec_id") < 10)
+      val cs  = emb.filter(col("vec_id") >= 10)
+      val cent = QueryCaches.ivfCentFor(s, dir)
+      val lists = VectorSearch.assignToNearestCentroid(cs, "vec_id", "embedding", cent)
+        .select(col("id"), col("label"))
+      val (cb, codes0) = QueryCaches.pqRecallIndexFor(s, dir)
+      VectorSearch.ivfAdcTopK(qs, "vec_id", "embedding",
+        codes0.drop("dist_bp2"), cb, lists, cent, k = 5, nprobe = 2)
+    },
+    Some(s"""WITH ${pqOracleCtes("vec_id >= 10", subDim = 64, k = 10, iters = 2, prefix = "g")},
+      ${pqOracleCtes("vec_id >= 10", subDim = 4, k = 256, iters = 2, prefix = "p")},
+      qcells AS (SELECT vec_id AS qid, dim, bp FROM pcells WHERE vec_id < 10),
+      rd AS (SELECT q2.qid, c.code AS list,
+          CAST(sum((q2.bp - c.c_bp) * (q2.bp - c.c_bp)) AS BIGINT) AS d2
+        FROM qcells q2 JOIN gcb c ON q2.dim = c.dim GROUP BY 1, 2),
+      routed AS (SELECT qid, list FROM (SELECT qid, list,
+        row_number() OVER (PARTITION BY qid ORDER BY d2, list) AS rn FROM rd)
+        WHERE rn <= 2),
+      lut AS (SELECT q2.qid, c.subspace, c.code,
+          CAST(sum((q2.bp - c.c_bp) * (q2.bp - c.c_bp)) AS BIGINT) AS lut_bp2
+        FROM qcells q2 JOIN pcb c ON q2.dim = c.dim GROUP BY 1, 2, 3),
+      adcd AS (SELECT r.qid, cd.vec_id AS id, CAST(sum(l.lut_bp2) AS BIGINT) AS adc_bp2
+        FROM pcodes cd
+        JOIN gcodes g ON cd.vec_id = g.vec_id
+        JOIN routed r ON g.code = r.list
+        JOIN lut l ON l.qid = r.qid AND l.subspace = cd.subspace AND l.code = cd.code
+        GROUP BY 1, 2)
+      SELECT qid, id, adc_bp2, rnk FROM (
+        SELECT qid, id, adc_bp2,
+          row_number() OVER (PARTITION BY qid ORDER BY adc_bp2, id) AS rnk
+        FROM adcd) WHERE rnk <= 5""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
-    q95, q96)
+    q95, q96, q97, q98)
 }

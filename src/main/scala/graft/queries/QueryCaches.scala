@@ -31,6 +31,7 @@ private[graft] object QueryCaches {
   private val pqCache     = new ConcurrentHashMap[SparkSession, (String, (DataFrame, DataFrame))]()
   private val pqCsCache   = new ConcurrentHashMap[SparkSession, (String, (DataFrame, DataFrame))]()
   private val ivfCache    = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
+  private val semCache    = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val curationCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val layoutCache = new ConcurrentHashMap[SparkSession, (String, Path)]()
   private val snapCache   = new ConcurrentHashMap[SparkSession, (String, Path)]()
@@ -142,6 +143,21 @@ private[graft] object QueryCaches {
       }
     }
 
+  /** q97's semantic-dedup cluster centroids over the caller-built planted
+    * corpus — kmeansFit localizes its bounded result, so like
+    * [[ivfCentFor]] the cache only avoids re-TRAINING per invocation.
+    */
+  def semDedupCentFor(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    semCache.synchronized {
+      semCache.get(s) match {
+        case (d, df) if d == dir => df
+        case _ =>
+          val df = build
+          semCache.put(s, (dir, df))
+          df
+      }
+    }
+
   /** Trained IVF coarse-quantizer centroids (label, dim, c_bp) over the
     * corpus embeddings (vec_id >= 10) for (s, dir) — kmeansFit already
     * localizes its bounded result, so the cache only avoids re-TRAINING
@@ -222,6 +238,9 @@ private[graft] object QueryCaches {
     }
     ivfCache.synchronized {
       ivfCache.remove(s) // localized frame — nothing persisted to release
+    }
+    semCache.synchronized {
+      semCache.remove(s) // localized frame — nothing persisted to release
     }
     curationCache.synchronized {
       Option(curationCache.remove(s)).foreach(_._2.unpersist())

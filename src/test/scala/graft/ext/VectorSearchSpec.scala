@@ -261,6 +261,46 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(full == brute)
   }
 
+  test("ivfAdcTopK: nprobe=all lists degrades to full ADC; nprobe=1 scans only the routed list") {
+    val cent  = VectorSearch.kmeansFit(pqCorpus, "vec_id", "embedding", k = 2, iters = 3)
+    val lists = VectorSearch.assignToNearestCentroid(pqCorpus, "vec_id", "embedding", cent)
+      .select(col("id"), col("label"))
+    val cb    = VectorSearch.pqCodebooks(pqCorpus, "embedding", "label", m = 2, dims = 4)
+    val codes = VectorSearch.pqEncode(pqCorpus, "vec_id", "embedding", cb, m = 2, dims = 4)
+      .drop("dist_bp2")
+    val q = pqCorpus.filter(col("vec_id") === 1L)
+    val full = VectorSearch.ivfAdcTopK(q, "vec_id", "embedding", codes, cb, lists, cent,
+        k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val adc = VectorSearch.pqAdcTopK(q, "vec_id", "embedding", codes, cb, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(full == adc)
+    val one = VectorSearch.ivfAdcTopK(q, "vec_id", "embedding", codes, cb, lists, cent,
+        k = 4, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    val listOf = lists.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qList = VectorSearch.assignToNearestCentroid(q, "vec_id", "embedding", cent)
+      .collect().head.getLong(1)
+    assert(one.nonEmpty && one == listOf.filter(_._2 == qList).keySet)
+  }
+
+  test("semanticDedup flags near-identical lower-id neighbors within a cluster only") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // exact dup of 1
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // same cluster, cos ≈ 0.9939 < 1.0
+      (10L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f))  // exact dup of 10, other cluster
+    ).toDF("vec_id", "embedding")
+    val cent = VectorSearch.kmeansFit(corpus, "vec_id", "embedding", k = 2, iters = 3)
+    val got = VectorSearch.semanticDedup(corpus, "vec_id", "embedding", cent, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // only the HIGHER id of each exact-dup pair flags; the 0.9939 neighbor
+    // stays below the threshold; identical vectors always share a cluster
+    assert(got.filter(_._2._2).keySet == Set(2L, 11L), s"got $got")
+    assert(got(2L)._1 == 1L && got(3L)._1 == 0L)
+  }
+
   test("pqCodebooksKmeans runs exact-integer per-subspace Lloyd's (reference replay)") {
     val data = Seq(
       (1L, Array(1.0f, 0.9f, -1.0f, -0.8f)),

@@ -267,6 +267,26 @@ class PlanAuditSpec extends SparkFunSuite {
       s"IVF must stay equi-joins end to end:\n$p")
   }
 
+  test("q97: semantic dedup pairs come from a cluster equi-join, never a product") {
+    val p = plan("q97_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairs must stay a cluster-keyed equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid cells must broadcast into the assignment:\n$p")
+  }
+
+  test("q98: IVFADC routes, prunes, and scores through broadcast equi-joins only") {
+    val p = plan("q98_ivf_adc")
+    // routed lists, ADC LUT, and centroids all broadcast; the corpus-code
+    // side joins on (list) then (subspace, code) and never re-sorts
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      s"routing + LUT + list joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVFADC must stay equi-joins end to end:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort belongs in the scan path:\n$p")
+  }
+
   test("q90/q91: PQ codebooks broadcast; ADC LUT join is broadcast, never a product") {
     val p90 = plan("q90_pq_encode")
     assert(p90.contains("BroadcastHashJoin"),
