@@ -339,26 +339,52 @@ object VectorSearch {
     * blocking is what makes web-scale semantic dedup feasible: the pair
     * join is an equi-join on the cluster id, never a corpus
     * cross-product, and k scales with the corpus so cluster occupancy
-    * stays bounded — the paper's own posture; a [[nearDupPairs]]-style
-    * occupancy cap is the fallback for degenerate embedding collapse.
-    * Identical vectors always share a cluster (equal distances, same
-    * tie-break), so exact duplicates are never missed.
+    * stays bounded — the paper's own posture. For degenerate embedding
+    * collapse (a mode where one cluster swallows the corpus regardless of
+    * k), `maxClusterSize` sub-splits oversized clusters on `extraBits`
+    * further sign bits before the pair join — the [[nearDupPairs]] guard:
+    * the hot cluster's pair count drops to ~(|c|/2^extraBits)² per
+    * sub-bucket, the cluster sizes come from a ≤ k-row broadcast
+    * aggregate (never a corpus window), and identical vectors agree on
+    * every sign bit, so exact duplicates are STILL never missed (they
+    * always share a cluster — equal distances, same tie-break — and a
+    * sub-bucket); near-dups split across a refinement bit are the
+    * documented recall trade. Default keeps clusters whole.
     *
     * Output: (id, cluster, n_dups, is_dup) — n_dups counts the smaller-id
-    * same-cluster neighbors at or above the threshold.
+    * same-cluster(-and-sub-bucket) neighbors at or above the threshold.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double,
-                    roundDigits: Int = 4): DataFrame = {
+                    roundDigits: Int = 4,
+                    maxClusterSize: Int = Int.MaxValue,
+                    extraBits: Int = 6): DataFrame = {
     val d = dotFn(df.sparkSession)
     val assigned = assignToNearestCentroid(df, idCol, vecCol, centroids)
       .select(col("id"), col("label").as("cluster"))
-    val c = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+    // the refinement bits are only evaluated when the guard is on (they
+    // index vector elements the caller's dims may not have otherwise)
+    val refine =
+      if (maxClusterSize == Int.MaxValue) lit(0L)
+      else signBucket(col(vecCol), extraBits)
+    val keyed = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
+        refine.as("__s"))
       .join(assigned, "id")
       .withColumn("__n", sqrt(d(col("__v"), col("__v"))))
+    val c =
+      if (maxClusterSize == Int.MaxValue)
+        keyed.withColumn("__blk", col("cluster").cast("string")).drop("__s")
+      else {
+        val cnt = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("__cnt"))
+        keyed.join(broadcast(cnt), "cluster")
+          .withColumn("__blk", concat(col("cluster").cast("string"),
+            when(col("__cnt") > maxClusterSize,
+              concat(lit("/"), col("__s").cast("string"))).otherwise(lit(""))))
+          .drop("__s", "__cnt")
+      }
     val denom = col("a.__n") * col("b.__n")
     val dupCounts = c.as("a").join(c.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+        col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id"))
       .withColumn("__sim", round(
         when(denom =!= 0.0, d(col("a.__v"), col("b.__v")) / denom), roundDigits))
       .filter(col("__sim") >= threshold)

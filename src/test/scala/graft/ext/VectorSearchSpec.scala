@@ -301,6 +301,24 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(got(2L)._1 == 1L && got(3L)._1 == 0L)
   }
 
+  test("semanticDedup occupancy guard splits hot clusters but never misses exact duplicates") {
+    // k=1 collapses everything into one cluster (the degenerate-embedding
+    // mode the guard exists for); maxClusterSize=2 forces the sign-bit
+    // sub-split, and each exact-dup pair shares every sign bit, so both
+    // pairs are still found while the cross-group pairs are never scored
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (10L, Array(-1.0f, -0.2f, 0.1f, 0.0f)),
+      (11L, Array(-1.0f, -0.2f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = VectorSearch.kmeansFit(corpus, "vec_id", "embedding", k = 1, iters = 1)
+    val got = VectorSearch.semanticDedup(corpus, "vec_id", "embedding", cent,
+        threshold = 1.0, maxClusterSize = 2, extraBits = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 10L -> false, 11L -> true))
+  }
+
   test("pqCodebooksKmeans runs exact-integer per-subspace Lloyd's (reference replay)") {
     val data = Seq(
       (1L, Array(1.0f, 0.9f, -1.0f, -0.8f)),
