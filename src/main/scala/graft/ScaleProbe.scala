@@ -168,6 +168,23 @@ object ScaleProbe {
             .repartition(spark.sparkContext.defaultParallelism),
           "doc_id", "text", nBands = 2, maxHamming = 1).count()
       },
+      // semantic dedup under embedding collapse: a CONSTANT 512-vector
+      // identical cluster (the guard sub-splits oversized clusters, but
+      // identical vectors share every sign bit — their pair cost is the
+      // fixed price of never missing an exact dup) inside a growing
+      // corpus whose k-means clusters stay occupancy-bounded; training
+      // runs per multiplier (it IS part of the operator's scale story)
+      "semantic_dedup_guarded" -> { m =>
+        val hot = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+          .crossJoin(spark.range(512).select((col("id") + 900000000L).as("__hid")))
+          .select(col("__hid").as("vec_id"), col("embedding"))
+        val corpus = embAt(m).select(col("vec_id"), col("embedding"))
+          .unionByName(hot)
+        val cent = graft.ext.VectorSearch.kmeansFit(
+          corpus, "vec_id", "embedding", k = 10, iters = 2)
+        graft.ext.VectorSearch.semanticDedup(corpus, "vec_id", "embedding",
+          cent, threshold = 0.8, maxClusterSize = 64, extraBits = 6).count()
+      },
       // the sharded budget sampler under maximal stratum skew: ONE stratum
       // holds half the corpus. The in-shard windows spread it over 16
       // tasks and the per-stratum exact-cum window only ever sees the
