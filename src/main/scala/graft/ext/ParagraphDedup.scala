@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Paragraph-granularity dedup operators (extension tier, SURVEY.md §7.4).
+  *
+  * Web-scale curation pipelines dedup BELOW document granularity: CCNet
+  * (Wenzek et al. 2020) and RefinedWeb (Penedo et al. 2023) hash-dedup
+  * paragraphs/lines across the whole corpus, and Lee et al. 2022
+  * ("Deduplicating Training Data Makes Language Models Better") showed
+  * duplicated spans inside otherwise-unique documents are what inflate
+  * memorization. The reference engine stops at whole-document digests
+  * (dedup_processor.py); these operators extend the same digest-only
+  * discipline to sub-document units.
+  *
+  * The synthetic corpus has no newline structure (TESTDATA.md), so a
+  * "paragraph" is a deterministic fixed-width token window — the unit is a
+  * parameter, the dedup algebra is what's under test.
+  *
+  * Scale shape (the point at 100 TB):
+  *   - [[paragraphDedup]] never joins on the paragraph hash. First-occurrence
+  *     winners come from a `min(struct)` hash-aggregate — partial-aggregable,
+  *     so a boilerplate paragraph shared by a billion documents collapses
+  *     map-side instead of flooding one reducer. Everything after is keyed by
+  *     doc id, whose group size is bounded by a single document's length.
+  *   - [[dupShingleScore]] does join on the shingle digest (attribution back
+  *     to documents needs it), but both sides carry digest-width rows and the
+  *     doc-frequency side is pre-collapsed to one row per distinct shingle;
+  *     a corpus-wide hot shingle is an AQE skew-join split, not a plan
+  *     change.
+  *   - [[boilerplateParagraphs]] is one two-phase distinct-count on
+  *     (source, digest) — no join at all.
+  */
+object ParagraphDedup {
+
+  /** Explode documents into fixed-width token paragraphs, carrying `keep`
+    * columns through. Output: (idCol, keep..., idx, para); documents with
+    * zero tokens contribute no rows. The trailing partial window is kept.
+    * A pure projection + posexplode — no shuffle.
+    */
+  def paragraphs(df: DataFrame, idCol: String, textCol: String,
+                 paraTokens: Int, keep: Seq[String] = Nil): DataFrame = {
+    require(paraTokens > 0, "paraTokens must be positive")
+    val keepCols = keep.map(col)
+    df.select(col(idCol) +: keepCols :+ TextDedup.tokens(col(textCol)).as("__toks"): _*)
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      .select((col(idCol) +: keepCols) ++ Seq(col("__toks"),
+        posexplode(sequence(lit(0L), expr(s"(__n + ${paraTokens - 1}) div $paraTokens") - 1L))): _*)
+      .select((col(idCol) +: keepCols) ++ Seq(
+        col("col").cast("long").as("idx"),
+        concat_ws(" ", slice(col("__toks"), (col("col") * paraTokens + 1).cast("int"), lit(paraTokens)))
+          .as("para")): _*)
+  }
+
+  /** Corpus-wide paragraph-level exact dedup, first occurrence wins
+    * (CCNet/RefinedWeb line dedup; ref dedup_processor.py:24-41 is the
+    * document-granularity analogue).
+    *
+    * An occurrence (doc, idx) of a paragraph is KEPT iff it is the
+    * lexicographically-smallest (doc, idx) holding that paragraph's digest
+    * corpus-wide; every later occurrence — inside the same document or any
+    * other — is removed. Output per document: `(idCol, n_paras, n_kept,
+    * n_removed, kept_text)` where kept_text re-joins the surviving
+    * paragraphs in document order ('' when every paragraph first appeared
+    * elsewhere).
+    *
+    * Plan: winners = one hash-aggregate `min(struct(doc, idx, para))` per
+    * digest (map-side combinable — the hot-paragraph-safe formulation; see
+    * object doc), then two doc-keyed aggregates and one doc-keyed left join.
+    * The paragraph hash is never a join key.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String, paraTokens: Int): DataFrame = {
+    val paras = paragraphs(df, idCol, textCol, paraTokens)
+
+    val totals = paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+
+    val winners = paras
+      .groupBy(md5(col("para").cast("binary")).as("__h"))
+      .agg(min(struct(col(idCol), col("idx"), col("para"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.idx").as("idx"), col("w.para").as("para"))
+
+    val kept = winners.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("para")))), p => p.getField("para")),
+        " ").as("kept_text"))
+
+    totals.join(kept, Seq(idCol), "left").select(
+      col(idCol),
+      col("n_paras"),
+      coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+      (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+      coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Per-document duplicated-shingle fraction (Lee et al. 2022's signal:
+    * how much of a document is made of spans that also occur elsewhere).
+    *
+    * A document's distinct word-`shingleN`-grams are scored against the
+    * corpus shingle doc-frequency; output `(idCol, n_shingles, n_dup,
+    * dup_permille)` where n_dup counts the document's distinct shingles
+    * appearing in MORE than one document and dup_permille is the
+    * exact-integer `n_dup * 1000 div n_shingles` (the repo-wide
+    * engine-portable scoring convention — no doubles).
+    *
+    * Plan: distinct (doc, digest) → doc-frequency hash-aggregate (one row
+    * per distinct shingle) → digest equi-join back → per-doc aggregate.
+    * Rows crossing the wire are (id, 32-byte digest) — never shingle text.
+    * Documents shorter than shingleN tokens have no shingles and are absent.
+    */
+  def dupShingleScore(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol),
+        explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), shingleN)).as("__s"))
+      .select(col(idCol), md5(col("__s").cast("binary")).as("__h"))
+      .distinct()
+
+    val docFreq = sh.groupBy(col("__h")).agg(count(lit(1)).as("__n_docs"))
+
+    sh.join(docFreq, "__h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_permille", expr("n_dup * 1000 div n_shingles"))
+  }
+
+  /** Per-source boilerplate paragraphs: the fixed-width paragraphs that
+    * recur across at least `minDocs` DISTINCT documents of the same source
+    * (CCNet's per-shard repeated-line scrub / RefinedWeb's site-template
+    * removal, expressed source-locally so one site's nav bar doesn't need a
+    * corpus-global threshold).
+    *
+    * Output: `(sourceCol, para, n_docs)` for qualifying paragraphs.
+    *
+    * Plan: one two-phase distinct-count keyed on (source, digest) — the
+    * digest is the grouping key so the paragraph text shuffles once as
+    * `min(para)` (all values under a digest are equal; min is just the
+    * partial-aggregable way to carry one exemplar). No join anywhere.
+    */
+  def boilerplateParagraphs(df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+                            paraTokens: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "boilerplate needs a recurrence threshold >= 2")
+    paragraphs(df, idCol, textCol, paraTokens, keep = Seq(sourceCol))
+      .groupBy(col(sourceCol), md5(col("para").cast("binary")).as("__h"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col("para")).as("para"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col(sourceCol), col("para"), col("n_docs"))
+  }
+}

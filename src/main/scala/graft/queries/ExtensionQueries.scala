@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, Decontaminate, Graphs, Multimodal, Packing, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Decontaminate, Graphs, Multimodal, Packing, ParagraphDedup, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2065,9 +2065,92 @@ object ExtensionQueries {
         FROM adcd) WHERE rnk <= 5""")
   )
 
+  /** Shared oracle corpus for the paragraph-dedup family: documents plus
+    * re-keyed copies of every 10th (same construction as q21, but carrying
+    * `source` so the per-source boilerplate query sees the duplication).
+    * The copies guarantee cross-document duplicated paragraphs exist.
+    */
+  private val paraCorpusCtes =
+    """corpus AS (SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 10 = 0),
+      |ctoks AS (SELECT doc_id, source,
+      |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM corpus),
+      |pt AS (SELECT doc_id, source, w, CAST(len(w) AS BIGINT) AS n
+      |  FROM ctoks WHERE len(w) > 0),
+      |paras AS (SELECT doc_id, source, CAST(i AS BIGINT) AS idx,
+      |  array_to_string(w[CAST(i*10+1 AS INT) : CAST(least(i*10+10, n) AS INT)], ' ') AS para
+      |  FROM pt, UNNEST(range(0, (n + 9) // 10)) AS u(i))""".stripMargin
+
+  // Dedup 11: paragraph-level exact dedup, first occurrence wins (CCNet /
+  // RefinedWeb line dedup — sub-document granularity the reference's
+  // document-digest dedup_processor.py:24-41 can't see). The oracle
+  // replays first-occurrence with a row_number over (doc_id, idx) — the
+  // same total order as the operator's min(struct).
+  private val q99 = Q(
+    "q99_paragraph_dedup",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      ParagraphDedup.paragraphDedup(corpus, "doc_id", "text", paraTokens = 10)
+    },
+    Some(s"""WITH $paraCorpusCtes,
+      ranked AS (SELECT doc_id, idx, para,
+        row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn FROM paras),
+      win AS (SELECT doc_id, idx, para FROM ranked WHERE rn = 1),
+      kept AS (SELECT doc_id, count(*) AS n_kept,
+        string_agg(para, ' ' ORDER BY idx) AS kept_text FROM win GROUP BY 1),
+      tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1)
+      SELECT tot.doc_id, n_paras,
+        COALESCE(n_kept, 0) AS n_kept,
+        n_paras - COALESCE(n_kept, 0) AS n_removed,
+        COALESCE(kept_text, '') AS kept_text
+      FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id""")
+  )
+
+  // Dedup 12: per-document duplicated-shingle fraction (Lee et al. 2022's
+  // span-duplication signal). 3-gram shingles over the tiny synthetic
+  // vocabulary collide naturally, so the plain documents table already
+  // exercises both branches of the indicator. Exact-integer permille —
+  // the tfidfTop `div` convention.
+  private val q100 = Q(
+    "q100_dup_shingles",
+    (s, dir) => ParagraphDedup.dupShingleScore(docsSpread(s, dir), "doc_id", "text", shingleN = 3),
+    Some(s"""WITH $toksCte,
+      sh AS (SELECT DISTINCT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+        FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      df AS (SELECT h, count(*) AS n_docs FROM sh GROUP BY 1)
+      SELECT doc_id, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+          // count(*) AS dup_permille
+      FROM sh JOIN df USING (h) GROUP BY doc_id""")
+  )
+
+  // Dedup 13: per-source boilerplate paragraphs — the site-template scrub
+  // (CCNet repeated-line removal, source-local). The q99 corpus's re-keyed
+  // copies keep their source, so every paragraph of a copied doc recurs in
+  // >= 2 distinct docs of that source.
+  private val q101 = Q(
+    "q101_boilerplate",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      ParagraphDedup.boilerplateParagraphs(corpus, "doc_id", "text", "source",
+        paraTokens = 10, minDocs = 2)
+    },
+    Some(s"""WITH $paraCorpusCtes
+      SELECT source, min(para) AS para, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM paras GROUP BY source, md5(para)
+      HAVING count(DISTINCT doc_id) >= 2""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
-    q95, q96, q97, q98)
+    q95, q96, q97, q98, q99, q100, q101)
 }

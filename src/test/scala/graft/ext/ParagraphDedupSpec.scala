@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class ParagraphDedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // paraTokens = 2 throughout: two-token "paragraphs" keep fixtures legible.
+
+  test("paragraphs: fixed windows, trailing partial kept, empty docs absent, keep cols carried") {
+    val docs = Seq(
+      (1L, "s1", "a b c d e"), // 3 paras: "a b", "c d", "e"
+      (2L, "s2", "")           // zero tokens → absent
+    ).toDF("id", "src", "text")
+    val rows = ParagraphDedup.paragraphs(docs, "id", "text", paraTokens = 2, keep = Seq("src"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSet == Set((1L, "s1", 0L, "a b"), (1L, "s1", 1L, "c d"), (1L, "s1", 2L, "e")))
+  }
+
+  private lazy val corpus = Seq(
+    (1L, "x y x y"),   // para "x y" twice: within-doc dup
+    (2L, "x y z w"),   // "x y" first seen in doc 1 → removed; "z w" kept
+    (3L, "x y"),       // its only para first seen elsewhere → nothing kept
+    (4L, "p q r"),     // all unique, partial tail "r" kept
+    (5L, "m n z w")    // "z w" first seen in doc 2 → removed; "m n" kept
+  ).toDF("doc_id", "text")
+
+  test("paragraphDedup: global first occurrence wins, kept_text in document order") {
+    val out = ParagraphDedup.paragraphDedup(corpus, "doc_id", "text", paraTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 1L, "x y")))  // second in-doc occurrence removed
+    assert(out(2L) == ((2L, 1L, 1L, "z w")))
+    assert(out(3L) == ((1L, 0L, 1L, "")))     // every paragraph first appeared elsewhere
+    assert(out(4L) == ((2L, 2L, 0L, "p q r")))
+    assert(out(5L) == ((2L, 1L, 1L, "m n")))
+  }
+
+  test("paragraphDedup: kept paragraph counts are conserved corpus-wide") {
+    val out = ParagraphDedup.paragraphDedup(corpus, "doc_id", "text", paraTokens = 2)
+    val (kept, paras) = (out.agg(sum("n_kept")).head.getLong(0), out.agg(sum("n_paras")).head.getLong(0))
+    // distinct paragraphs: "x y", "z w", "p q", "r", "m n" — one keeper each
+    assert(kept == 5L)
+    assert(paras == 9L)
+  }
+
+  test("dupShingleScore: exact counts and integer permille") {
+    val docs = Seq(
+      (1L, "a b c d"),  // 3-grams: "a b c", "b c d"
+      (2L, "a b c e"),  // 3-grams: "a b c", "b c e" → shares "a b c" with doc 1
+      (3L, "q r")       // < 3 tokens → absent
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.dupShingleScore(docs, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 500L)))
+    assert(out(2L) == ((2L, 1L, 500L)))
+    assert(!out.contains(3L))
+  }
+
+  test("dupShingleScore: within-doc repeats count once (distinct shingles)") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "z z z")).toDF("doc_id", "text")
+    val out = ParagraphDedup.dupShingleScore(docs, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 distinct 3-grams: "a b c", "b c a", "c a b" (each once, repeats collapse)
+    assert(out(1L) == 3L)
+    assert(out(2L) == 1L)
+  }
+
+  test("boilerplateParagraphs: source-local distinct-doc threshold") {
+    val docs = Seq(
+      (1L, "s1", "x y a b"),
+      (2L, "s1", "x y c d"),  // "x y" in 2 distinct docs of s1 → boilerplate
+      (3L, "s2", "x y e f"),  // same para, different source: only 1 doc in s2
+      (4L, "s2", "q r q r")   // within-ONE-doc repeat: distinct docs = 1 → no row
+    ).toDF("doc_id", "src", "text")
+    val rows = ParagraphDedup.boilerplateParagraphs(docs, "doc_id", "text", "src",
+        paraTokens = 2, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("s1", "x y", 2L)))
+  }
+}

@@ -299,4 +299,33 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p91.contains("CartesianProduct") && !p91.contains("BroadcastNestedLoopJoin"),
       s"ADC must stay an equi-join on (subspace, code):\n$p91")
   }
+
+  test("q99: paragraph dedup never joins on the paragraph digest") {
+    val p = plan("q99_paragraph_dedup")
+    // winners come from a partial+final min(struct) aggregate — the
+    // hot-paragraph-safe shape; the ONLY join is the doc-keyed totals⋈kept
+    // left join, so a corpus-wide boilerplate paragraph can never flood a
+    // join reducer
+    assert(p.contains("partial_min(struct(doc_id"),
+      s"first-occurrence winners must be a map-side-combined min(struct):\n$p")
+    val joinKeys = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[([a-z_]+)#".r
+    val keys = joinKeys.findAllMatchIn(p).map(_.group(2)).toSet
+    assert(keys == Set("doc_id"), s"only doc-keyed joins belong in this plan, saw $keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q100: shingle doc-frequency is partial+final and joins back as an equi-join") {
+    val p = plan("q100_dup_shingles")
+    assert(p.split("HashAggregate").length >= 5,
+      s"distinct + doc-frequency aggregates must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the digest join-back must stay an equi-join:\n$p")
+  }
+
+  test("q101: boilerplate detection is one aggregation tree — no joins at all") {
+    val p = plan("q101_boilerplate")
+    assert(!p.contains("Join"), s"per-source recurrence needs no join:\n$p")
+    assert(p.contains("partial_count(distinct doc_id"),
+      s"distinct-doc count must be the two-phase expansion:\n$p")
+  }
 }
