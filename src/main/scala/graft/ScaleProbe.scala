@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Components, Decontaminate, Packing, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Decontaminate, Packing, ParagraphDedup, Sampling, TextDedup, TextStats, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -198,6 +198,27 @@ object ScaleProbe {
           .withColumn("n_tokens", size(TextDedup.tokens(col("text"))).cast("long"))
         Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
           budget = 20000L).count()
+      },
+      // paragraph dedup under total boilerplate: EVERY document (replicas
+      // included) opens with the same 10-token paragraph, so one digest's
+      // occurrence count equals the corpus size. The min(struct) winner
+      // aggregate collapses it map-side and the digest is never a join
+      // key, so growth must track the corpus scan — the join-back
+      // formulation this avoids would send every occurrence of the hot
+      // digest to a single reducer
+      "paragraph_dedup_hot_para" -> { m =>
+        val docs = docsAt(m).withColumn("text",
+          concat(lit("shared header line repeated on every page of this corpus "), col("text")))
+        ParagraphDedup.paragraphDedup(docs, "doc_id", "text", paraTokens = 10).count()
+      },
+      // duplicated-shingle scoring with one corpus-wide hot 3-gram: the
+      // doc-frequency side collapses the hot digest to ONE row (map-side
+      // combinable count), so the join-back is a skew-split/broadcast of a
+      // single hot build row, never a hot-reducer pile-up
+      "dup_shingle_hot" -> { m =>
+        val docs = docsAt(m).withColumn("text",
+          concat(lit("hot shared shingle "), col("text")))
+        ParagraphDedup.dupShingleScore(docs, "doc_id", "text", shingleN = 3).count()
       },
       // the power-iteration loop: a graph growing linearly with the corpus
       // (a 10-ary tree over doc ids plus everyone-cites-one-of-100-hubs

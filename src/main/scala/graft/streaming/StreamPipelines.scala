@@ -229,6 +229,32 @@ object StreamPipelines {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming twin of [[graft.ext.ParagraphDedup.paragraphDedup]]: explode
+    * arriving documents into fixed-width token paragraphs (a stateless
+    * projection — the same [[graft.ext.ParagraphDedup.paragraphs]] tiling
+    * as batch) and keep ONE occurrence per paragraph digest within the
+    * watermark horizon. State is one digest per distinct paragraph until
+    * the watermark passes — the bounded form of CCNet line dedup at ingest.
+    *
+    * Emits surviving `(idCol, tsCol, idx, para)` rows — a deduplicated
+    * paragraph stream for an append sink. Unlike batch, "first occurrence"
+    * among rows of the SAME micro-batch is whichever the state store sees
+    * first, not the min (doc, idx) — cross-batch suppression is exact.
+    */
+  def paragraphDedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      paraTokens: Int = 10,
+      watermark: String = "10 seconds"
+  ): DataFrame =
+    graft.ext.ParagraphDedup.paragraphs(docs, idCol, textCol, paraTokens, keep = Seq(tsCol))
+      .withColumn("__h", md5(col("para").cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__h"))
+      .drop("__h")
+
   /** Streaming ingest curation: the filter-at-ingest half of the batch
     * curation pipeline (q69) applied to a document stream — junk is
     * cheaper to drop before it is stored than to scrub after. Every

@@ -433,6 +433,27 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("paragraphDedupStream keeps one occurrence per paragraph within the watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamPipelines.paragraphDedupStream(
+        input.toDF(), "ts", "doc_id", "text", paraTokens = 2, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("pdd").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:00"), "x y a b"),   // paras "x y", "a b"
+        Doc(2L, t("2024-01-01 10:00:01"), "x y c d"))   // "x y" is a dup
+      q.processAllAvailable()
+      val firstBatch = spark.table("pdd").collect().map(_.getString(3)).toSeq.sorted
+      assert(firstBatch == Seq("a b", "c d", "x y"))    // 3 distinct paragraphs survive
+      // cross-batch redelivery of a known paragraph within the horizon
+      input.addData(Doc(3L, t("2024-01-01 10:00:02"), "a b e f"))
+      q.processAllAvailable()
+      val all = spark.table("pdd").collect().map(_.getString(3)).toSeq.sorted
+      assert(all == Seq("a b", "c d", "e f", "x y"))    // "a b" suppressed, "e f" new
+    } finally q.stop()
+  }
+
   test("mixtureSample composes with a stream: per-source admission at ingest") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Doc]
