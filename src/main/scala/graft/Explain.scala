@@ -63,7 +63,13 @@ object Explain {
     "q98_ivf_adc",         // IVFADC: routed lists prune the PQ-code scan
     "q99_paragraph_dedup", // min(struct) winners — digest never a join key
     "q100_dup_shingles",   // distinct → doc-freq → digest equi-join back
-    "q101_boilerplate"     // one (source, digest) distinct-count, no join
+    "q101_boilerplate",    // one (source, digest) distinct-count, no join
+    "q102_dup_spans",      // digest join back + doc-keyed islands window
+    "q103_source_overlap", // per-source sets; digest self-join capped at
+                           // |sources|^2 rows per digest
+    "q104_bigram_fluency", // train + score from one exploded scan; model
+                           // side pre-collapsed per distinct bigram
+    "q105_cluster_reps"    // shared CC labels + min(struct) argmax agg
   )
 
   def main(args: Array[String]): Unit = {

@@ -110,4 +110,38 @@ object Components {
       StructType(Seq(StructField("node", LongType, nullable = false),
         StructField("component", LongType, nullable = false))))
   }
+
+  /** Duplicate-cluster representative selection: given cluster labels
+    * (e.g. [[connectedComponents]] over LSH candidate pairs) and a
+    * per-item integer score, keep ONE item per cluster — the
+    * highest-scoring, smallest-id-on-ties member — and report what the
+    * choice discards. The "keep best, drop rest" step every dedup
+    * pipeline ends with (RefinedWeb keeps one URL per MinHash cluster;
+    * the longest-document heuristic is the common score).
+    *
+    * `labels`: (idCol, clusterCol); `scores`: (idCol, scoreCol). Output:
+    * `(clusterCol, cluster_size, rep_id, rep_score, n_removed)` — one row
+    * per cluster (singletons included, n_removed = 0).
+    *
+    * Plan: one doc-keyed equi-join (labels ⋈ scores — both sides one row
+    * per item) then ONE hash-aggregate per cluster whose argmax is a
+    * `min(struct(-score, id))` — partial-aggregable, so a degenerate
+    * cluster holding half the corpus (the boilerplate blob every web
+    * crawl has) collapses map-side instead of flooding one reducer. The
+    * window-rank formulation this replaces would sort that cluster in a
+    * single task.
+    */
+  def representatives(labels: DataFrame, scores: DataFrame,
+                      idCol: String, clusterCol: String, scoreCol: String): DataFrame =
+    labels.join(scores.select(col(idCol), col(scoreCol).cast("long").as("__score")), idCol)
+      .groupBy(col(clusterCol))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        min(struct((-col("__score")).as("ns"), col(idCol).as("id"))).as("__best"))
+      .select(
+        col(clusterCol),
+        col("cluster_size"),
+        col("__best.id").as("rep_id"),
+        (-col("__best.ns")).as("rep_score"),
+        (col("cluster_size") - 1L).as("n_removed"))
 }

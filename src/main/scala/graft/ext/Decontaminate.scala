@@ -145,4 +145,47 @@ object Decontaminate {
       .select(col("est_train"), col("est_holdout"), col("est_union"),
         (col("est_train") + col("est_holdout") - col("est_union")).as("est_overlap"))
   }
+
+  /** Pairwise cross-source content overlap: for every unordered pair of
+    * sources, how many distinct word-`shingleN`-grams they share, and the
+    * exact-integer Jaccard in permille. The leakage MATRIX form of
+    * [[contamination]] — where contamination asks "which train docs touch
+    * the holdout", this asks "which corpus components are copies of each
+    * other" (the mC4/Pile-style audit for aggregator sources that mirror
+    * one another), so a mixture builder can collapse near-identical
+    * sources before weighting them.
+    *
+    * Output: `(source_a, source_b, n_a, n_b, n_common, jaccard_permille)`
+    * with source_a < source_b, one row per pair that shares at least one
+    * shingle; `jaccard_permille = n_common * 1000 div (n_a + n_b -
+    * n_common)`.
+    *
+    * Plan: distinct (source, digest) — the per-source shingle SETS — then
+    * a digest self-equi-join producing at most |sources|² rows per
+    * digest (source cardinality is a catalog constant: dozens at 100 TB,
+    * never data-sized), then one hash-aggregate per pair and a broadcast
+    * join of the per-source totals. Digest-width rows on every wire; the
+    * all-pairs blowup the naive doc×doc formulation would hit is capped at
+    * the source-count square.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+                    shingleN: Int): DataFrame = {
+    val sets = df.select(col(sourceCol).as("__src"),
+        explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), shingleN)).as("__s"))
+      .select(col("__src"), md5(col("__s").cast("binary")).as("__h"))
+      .distinct()
+
+    val totals = sets.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+
+    val pairs = sets.as("a")
+      .join(sets.as("b"), col("a.__h") === col("b.__h") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    pairs
+      .join(broadcast(totals.withColumnRenamed("__src", "source_a").withColumnRenamed("__n", "n_a")), "source_a")
+      .join(broadcast(totals.withColumnRenamed("__src", "source_b").withColumnRenamed("__n", "n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("n_common * 1000 div (n_a + n_b - n_common)").as("jaccard_permille"))
+  }
 }

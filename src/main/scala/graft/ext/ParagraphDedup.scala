@@ -127,6 +127,59 @@ object ParagraphDedup {
       .withColumn("dup_permille", expr("n_dup * 1000 div n_shingles"))
   }
 
+  /** Longest duplicated span per document (the contiguous form of
+    * [[dupShingleScore]] — Lee et al. 2022's EXACTSUBSTR signal, which
+    * their suffix-array pipeline computes globally; here approximated as
+    * the longest run of consecutive word-`shingleN`-grams that each also
+    * occur in at least one OTHER document, so a copied passage of L tokens
+    * reports a span of exactly L while scattered single duplicated
+    * shingles report `shingleN`).
+    *
+    * Output `(idCol, n_shingles, n_dup, max_run, max_span_tokens)`:
+    * `max_run` is the longest consecutive duplicated-shingle run (0 when
+    * nothing is duplicated) and `max_span_tokens = max_run + shingleN - 1`
+    * (0 when max_run = 0) is the token length of that span.
+    *
+    * Plan: positioned shingles → distinct (doc, digest) → doc-frequency
+    * hash-aggregate (one row per distinct shingle, map-side combinable) →
+    * digest equi-join back (same skew posture as [[dupShingleScore]]) →
+    * gaps-and-islands over a DOC-keyed window (`idx - row_number`), whose
+    * partition size is bounded by one document's length — never by corpus
+    * duplication structure.
+    */
+  def longestDupRun(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df
+      .select(col(idCol), posexplode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), shingleN)))
+      .select(col(idCol), col("pos").cast("long").as("idx"), md5(col("col").cast("binary")).as("__h"))
+
+    val docFreq = sh.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__n_docs"))
+
+    val marked = sh.join(docFreq, "__h")
+      .select(col(idCol), col("idx"), (col("__n_docs") > 1).as("__dup"))
+
+    val totals = marked.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"))
+
+    // islands: consecutive duplicated positions share (idx - rank) within a doc
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("idx"))
+    val runs = marked.filter(col("__dup"))
+      .withColumn("__grp", col("idx") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("__grp")).agg(count(lit(1)).as("__run"))
+      .groupBy(col(idCol)).agg(max(col("__run")).as("max_run"))
+
+    totals.join(runs, Seq(idCol), "left").select(
+      col(idCol),
+      col("n_shingles"),
+      col("n_dup"),
+      coalesce(col("max_run"), lit(0L)).as("max_run"),
+      when(coalesce(col("max_run"), lit(0L)) > 0L,
+        coalesce(col("max_run"), lit(0L)) + lit(shingleN - 1).cast("long"))
+        .otherwise(0L).as("max_span_tokens"))
+  }
+
   /** Per-source boilerplate paragraphs: the fixed-width paragraphs that
     * recur across at least `minDocs` DISTINCT documents of the same source
     * (CCNet's per-shard repeated-line scrub / RefinedWeb's site-template

@@ -412,4 +412,47 @@ object TextStats {
         .cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Per-document bigram-LM fluency: score every word bigram occurrence by
+    * the corpus-trained conditional probability `P(w2 | w1)` and report the
+    * document mean. The self-supervised fluency filter — CCNet (Wenzek et
+    * al. 2020) ranks documents by a KenLM n-gram perplexity; this is the
+    * same signal with the LM trained ON the corpus itself, in the repo's
+    * exact-integer basis (`p_permille = c(w1,w2) * 1000 div c(w1 as
+    * prefix)`, so every engine ranks identically — a float log-prob
+    * differs in the last ulp across libm implementations). Gibberish and
+    * shuffled-token documents score low; template-heavy text scores high.
+    *
+    * Output: `(idCol, n_bigrams, sum_p_permille, fluency_permille)` with
+    * `fluency_permille = sum_p_permille div n_bigrams` (the mean
+    * conditional probability). Documents with < 2 tokens have no bigrams
+    * and are absent.
+    *
+    * Plan: one exploded bigram scan feeds both the model and the scoring
+    * pass. Model = bigram-count hash-aggregate joined (broadcast-eligible:
+    * vocab², not corpus-sized) with the prefix-count aggregate. Scoring =
+    * occurrence stream equi-joined to the model on the bigram key — the
+    * model side is pre-collapsed to one row per distinct bigram, so a
+    * corpus-wide hot bigram is an AQE skew split, never a hot reducer.
+    * Doc-keyed mean at the end. No UDFs, no windows, no floats.
+    */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = df
+      .select(col(idCol), explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("__bg"))
+
+    val bigramC = occ.groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
+    val prefixC = occ
+      .select(substring_index(col("__bg"), " ", 1).as("__w1"))
+      .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+
+    val model = bigramC
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+      .join(prefixC, "__w1")
+      .select(col("__bg"), expr("__c12 * 1000 div __c1").as("__p_permille"))
+
+    occ.join(model, "__bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p_permille")).as("sum_p_permille"))
+      .withColumn("fluency_permille", expr("sum_p_permille div n_bigrams"))
+  }
 }

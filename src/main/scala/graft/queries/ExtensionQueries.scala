@@ -2148,9 +2148,100 @@ object ExtensionQueries {
       HAVING count(DISTINCT doc_id) >= 2""")
   )
 
+  // Dedup 14: longest duplicated span per document — the contiguous form
+  // of q100 (Lee et al. 2022 EXACTSUBSTR, suffix-array-free). The oracle
+  // replays the gaps-and-islands window; 3-gram shingles over the tiny
+  // synthetic vocabulary duplicate naturally, so real runs exist.
+  private val q102 = Q(
+    "q102_dup_spans",
+    (s, dir) => ParagraphDedup.longestDupRun(docsSpread(s, dir), "doc_id", "text", shingleN = 3),
+    Some(s"""WITH $toksCte,
+      sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+        md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+        FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      dfq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1),
+      mk AS (SELECT doc_id, idx, (n_docs > 1) AS dup FROM sh JOIN dfq USING (h)),
+      tot AS (SELECT doc_id, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM mk GROUP BY 1),
+      isl AS (SELECT doc_id,
+        idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        FROM mk WHERE dup),
+      runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp),
+      mx AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY 1)
+      SELECT tot.doc_id, n_shingles, n_dup,
+        COALESCE(max_run, 0) AS max_run,
+        CASE WHEN COALESCE(max_run, 0) > 0 THEN COALESCE(max_run, 0) + 2
+             ELSE 0 END AS max_span_tokens
+      FROM tot LEFT JOIN mx ON tot.doc_id = mx.doc_id""")
+  )
+
+  // Curation 12: pairwise cross-source shingle overlap — the leakage
+  // matrix (which corpus components mirror each other). Pair count is
+  // bounded by the source-cardinality square, never data-sized.
+  private val q103 = Q(
+    "q103_source_overlap",
+    (s, dir) => Decontaminate.sourceOverlap(docsSpread(s, dir), "source", "text", shingleN = 2),
+    Some(s"""WITH $toksCte,
+      $shinglesFromToks,
+      sets AS (SELECT DISTINCT source, md5(s) AS h FROM sh),
+      tot AS (SELECT source, count(*) AS n FROM sets GROUP BY 1),
+      pr AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        FROM sets a JOIN sets b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+      SELECT source_a, source_b, ta.n AS n_a, tb.n AS n_b, n_common,
+        n_common * 1000 // (ta.n + tb.n - n_common) AS jaccard_permille
+      FROM pr JOIN tot ta ON pr.source_a = ta.source
+              JOIN tot tb ON pr.source_b = tb.source""")
+  )
+
+  // Quality 7: bigram-LM fluency — CCNet's perplexity filter with the LM
+  // trained on the corpus itself, in exact-integer permille (no floats,
+  // no KenLM). The oracle replays train + score from the same scan.
+  private val q104 = Q(
+    "q104_bigram_fluency",
+    (s, dir) => TextStats.bigramFluency(docsSpread(s, dir), "doc_id", "text"),
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+      bc AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY 1),
+      pc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM occ GROUP BY 1),
+      model AS (SELECT bg, c12 * 1000 // c1 AS p
+        FROM bc JOIN pc ON split_part(bc.bg, ' ', 1) = pc.w1)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(p) AS BIGINT) AS sum_p_permille,
+        CAST(sum(p) AS BIGINT) // count(*) AS fluency_permille
+      FROM occ JOIN model USING (bg) GROUP BY 1""")
+  )
+
+  // Dedup 15: duplicate-cluster representative selection — keep the
+  // longest member (ties → smallest id) of every q60 cluster. The
+  // composition every dedup pipeline ends with; the oracle replays the
+  // recursive-CTE closure plus a rank window over the same score.
+  private val q105 = Q(
+    "q105_cluster_reps",
+    (s, dir) => {
+      val lab = QueryCaches.labelsFor(s, dir)
+      val scores = TextStats.tokenStats(docsSpread(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      Components.representatives(lab, scores, "doc_id", "cluster_id", "n_tokens")
+    },
+    Some(s"""WITH RECURSIVE $ccOracleCtes,
+      sc AS (SELECT doc_id,
+        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
+          AS n_tokens
+        FROM documents),
+      j AS (SELECT c.cluster_id, c.doc_id, n_tokens FROM cc c JOIN sc USING (doc_id)),
+      rk AS (SELECT cluster_id, doc_id, n_tokens,
+        row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM j)
+      SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        doc_id AS rep_id, n_tokens AS rep_score,
+        CAST(cluster_size - 1 AS BIGINT) AS n_removed
+      FROM rk WHERE rn = 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
-    q95, q96, q97, q98, q99, q100, q101)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
 }

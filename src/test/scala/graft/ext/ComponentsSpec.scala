@@ -51,4 +51,16 @@ class ComponentsSpec extends SparkFunSuite {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (7L, 7L), (2L, 4L))
     assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
   }
+
+  test("representatives: highest score wins, smallest id on ties, singletons pass through") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L)).toDF("doc_id", "n_tokens")
+    val out = Components.representatives(labels, scores, "doc_id", "cluster_id", "n_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // cluster 1: docs 2 and 3 tie at 9 → smallest id 2 kept, 2 removed
+    assert(out(1L) == ((3L, 2L, 9L, 2L)))
+    assert(out(4L) == ((1L, 4L, 7L, 0L)))
+  }
 }

@@ -40,6 +40,20 @@ class CurationOpsSpec extends SparkFunSuite {
     assert((r.getLong(1), r.getLong(2)) == ((3L, 1L)))
   }
 
+  test("sourceOverlap: shared-shingle pairs with exact integer Jaccard; disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "A", "a b c"),   // A 2-gram set {a b, b c} ∪ {c d} (doc 2) = 3
+      (2L, "A", "c d"),
+      (3L, "B", "a b x"),   // B set {a b, b x} — shares "a b" with A
+      (4L, "C", "q r s")    // C set {q r, r s} — disjoint from both
+    ).toDF("doc_id", "src", "text")
+    val rows = Decontaminate.sourceOverlap(docs, "src", "text", shingleN = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // only (A, B) shares anything: 1 common of |A∪B| = 3 + 2 − 1 → 250‰
+    assert(rows.toSeq == Seq(("A", "B", 3L, 2L, 1L, 250L)))
+  }
+
   test("overlapSketch: exact when cardinality ≤ k; inclusion–exclusion identity holds") {
     val train = Seq(
       (1L, "alpha beta gamma delta"),    // trigrams: a-b-g, b-g-d

@@ -66,6 +66,27 @@ class ParagraphDedupSpec extends SparkFunSuite {
     assert(out(2L) == 1L)
   }
 
+  test("longestDupRun: contiguous copied passage vs scattered single dups") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // shares the 5-token prefix with doc 2
+      (2L, "a b c d e x q r"),
+      (3L, "z z z"),           // unique everywhere → no dup run
+      (4L, "a b c q q q c d e") // two SCATTERED dup shingles (pos 0 and 6)
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.longestDupRun(docs, "doc_id", "text", shingleN = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // docs 1/2: positions 0,1,2 ("a b c","b c d","c d e") duplicated → run 3,
+    // span = 3 + (3-1) = 5 tokens ("a b c d e")
+    assert(out(1L) == ((6L, 3L, 3L, 5L)))
+    assert(out(2L) == ((6L, 3L, 3L, 5L)))
+    assert(out(3L) == ((1L, 0L, 0L, 0L)))
+    // doc 4: dup at pos 0 ("a b c") and pos 6 ("c d e"), never adjacent →
+    // max_run 1, span 3 — the contiguity signal q100 can't see
+    assert(out(4L) == ((7L, 2L, 1L, 3L)))
+  }
+
   test("boilerplateParagraphs: source-local distinct-doc threshold") {
     val docs = Seq(
       (1L, "s1", "x y a b"),

@@ -102,6 +102,21 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r.getLong(3) == 4L)
   }
 
+  test("bigramFluency scores by corpus-trained conditional permille; short docs absent") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams "a b","b a","a b"
+      (2L, "a c"),     // bigram "a c"
+      (3L, "z")        // no bigram → absent
+    ).toDF("doc_id", "text")
+    // model: c("a b")=2, c("b a")=1, c("a c")=1; prefix c(a)=3, c(b)=1
+    // p("a b") = 2000 div 3 = 666; p("b a") = 1000; p("a c") = 333
+    val out = TextStats.bigramFluency(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 666L + 1000L + 666L, (666L + 1000L + 666L) / 3L)))
+    assert(out(2L) == ((1L, 333L, 333L)))
+    assert(!out.contains(3L))
+  }
+
   test("canonicalUrl collapses scheme, www, host case, query, fragment, trailing slash") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(

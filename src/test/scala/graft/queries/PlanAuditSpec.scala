@@ -328,4 +328,50 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("partial_count(distinct doc_id"),
       s"distinct-doc count must be the two-phase expansion:\n$p")
   }
+
+  test("q102: dup-span islands window is doc-keyed; joins are digest/doc equi-joins") {
+    val p = plan("q102_dup_spans")
+    // the gaps-and-islands row_number partitions by doc_id — its task size
+    // is bounded by one document's length, never by corpus duplication
+    assert(p.contains("row_number()") && p.contains("windowspecdefinition(doc_id"),
+      s"islands window must partition by doc_id:\n$p")
+    val joinKeys = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[([a-z_]+)#".r
+    val keys = joinKeys.findAllMatchIn(p).map(_.group(2)).toSet
+    assert(keys.subsetOf(Set("__h", "doc_id")),
+      s"only digest/doc equi-joins belong here, saw $keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q103: source overlap joins per-source SETS on the digest; totals broadcast") {
+    val p = plan("q103_source_overlap")
+    // per-source distinct sets self-join on __h (≤ |sources|² rows per
+    // digest); the two totals joins broadcast source-cardinality frames
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"totals must broadcast into the pair frame:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the digest self-join must stay an equi-join:\n$p")
+  }
+
+  test("q104: bigram model is pre-collapsed aggregates; scoring stays an equi-join") {
+    val p = plan("q104_bigram_fluency")
+    // train side: bigram counts + prefix counts, both partial+final
+    assert(p.split("HashAggregate").length >= 5,
+      s"model aggregates must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scoring must join on the bigram key only:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort belongs in a scoring pipeline:\n$p")
+  }
+
+  test("q105: cluster representative is a min(struct) argmax, not a rank window") {
+    val p = plan("q105_cluster_reps")
+    // the argmax must be partial-aggregable so a degenerate half-corpus
+    // cluster collapses map-side; a window formulation would sort that
+    // cluster in one task
+    assert(p.contains("partial_min(struct("),
+      s"argmax must be a map-side-combined min(struct):\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no per-cluster rank window belongs here:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
