@@ -69,7 +69,9 @@ object Explain {
                            // |sources|^2 rows per digest
     "q104_bigram_fluency", // train + score from one exploded scan; model
                            // side pre-collapsed per distinct bigram
-    "q105_cluster_reps"    // shared CC labels + min(struct) argmax agg
+    "q105_cluster_reps",   // shared CC labels + min(struct) argmax agg
+    "q106_token_spectrum", // two chained partial+final aggs, no join
+    "q107_lexical_diversity" // (source, token) agg → per-source roll-up
   )
 
   def main(args: Array[String]): Unit = {

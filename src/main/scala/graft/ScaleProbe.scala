@@ -220,6 +220,42 @@ object ScaleProbe {
           concat(lit("hot shared shingle "), col("text")))
         ParagraphDedup.dupShingleScore(docs, "doc_id", "text", shingleN = 3).count()
       },
+      // bigram fluency with one corpus-wide hot bigram: every document
+      // opens with the same word pair, so one bigram's occurrence count
+      // equals the corpus size. The model side pre-collapses it to ONE
+      // row (partial+final count), so the scoring join-back is a
+      // broadcast/skew-split of a single hot build row — growth must
+      // track the exploded scan, not the hot bigram's frequency
+      "bigram_fluency_hot" -> { m =>
+        val docs = docsAt(m).withColumn("text",
+          concat(lit("hota hotb "), col("text")))
+        TextStats.bigramFluency(docs, "doc_id", "text").count()
+      },
+      // representative selection over ONE giant cluster holding the whole
+      // corpus (the boilerplate-blob degenerate case): the min(struct)
+      // argmax must collapse map-side — a rank-window formulation would
+      // sort the entire corpus in a single task and the ratio would blow
+      // past linear
+      "cluster_reps_giant" -> { m =>
+        val docs = docsAt(m)
+        val labels = docs.select(col("doc_id"), lit(0L).as("cluster_id"))
+        val scores = docs.select(col("doc_id"),
+          size(TextDedup.tokens(col("text"))).cast("long").as("n_tokens"))
+        Components.representatives(labels, scores, "doc_id", "cluster_id", "n_tokens").count()
+      },
+      // source overlap with two sources and a corpus-wide hot phrase every
+      // document of BOTH sources shares (docsStopHeavy's leading stopword
+      // run): the hot digests are the max-density pair case — they occur
+      // in both sources, so every one emits a pair row — while the
+      // replica-suffixed bodies keep the distinct digest space growing
+      // linearly with the multiplier, so the probe isolates the
+      // distinct+self-join shape rather than re-measuring collapsing
+      // duplicate digests
+      "source_overlap_2src" -> { m =>
+        val docs = docsStopHeavy(m).withColumn("source",
+          when(col("doc_id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+        Decontaminate.sourceOverlap(docs, "source", "text", shingleN = 2).count()
+      },
       // the power-iteration loop: a graph growing linearly with the corpus
       // (a 10-ary tree over doc ids plus everyone-cites-one-of-100-hubs
       // edges, so in-degree skew grows with corpus size). Per-iteration

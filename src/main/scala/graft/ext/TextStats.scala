@@ -436,23 +436,73 @@ object TextStats {
     * corpus-wide hot bigram is an AQE skew split, never a hot reducer.
     * Doc-keyed mean at the end. No UDFs, no windows, no floats.
     */
-  def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The trained bigram model [[bigramFluency]] scores against, as a
+    * reusable frame `(bigram, p_permille)` — also the static side of the
+    * streaming twin ([[graft.streaming.StreamPipelines]]), where a model
+    * trained on yesterday's corpus scores today's ingest.
+    */
+  def bigramModel(df: DataFrame, textCol: String): DataFrame = {
     val occ = df
-      .select(col(idCol), explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("__bg"))
-
-    val bigramC = occ.groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
+      .select(explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
+    val bigramC = occ.groupBy(col("bigram")).agg(count(lit(1)).as("__c12"))
     val prefixC = occ
-      .select(substring_index(col("__bg"), " ", 1).as("__w1"))
+      .select(substring_index(col("bigram"), " ", 1).as("__w1"))
       .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
-
-    val model = bigramC
-      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+    bigramC
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
       .join(prefixC, "__w1")
-      .select(col("__bg"), expr("__c12 * 1000 div __c1").as("__p_permille"))
-
-    occ.join(model, "__bg")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p_permille")).as("sum_p_permille"))
-      .withColumn("fluency_permille", expr("sum_p_permille div n_bigrams"))
+      .select(col("bigram"), expr("__c12 * 1000 div __c1").as("p_permille"))
   }
+
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
+      .join(bigramModel(df, textCol), "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_permille")).as("sum_p_permille"))
+      .withColumn("fluency_permille", expr("sum_p_permille div n_bigrams"))
+
+  /** Token frequency spectrum (count of counts): for each occurrence count
+    * `n_occurrences`, how many distinct token types occur exactly that many
+    * times corpus-wide. The Zipf/Heaps audit run before tokenizer training —
+    * a healthy natural corpus shows the ~1/k² spectrum (Zipf's law implies
+    * hapax ≈ half the vocabulary); template-flooded or deduplicated-to-death
+    * corpora bend it, and the hapax mass decides merge-table and vocab-size
+    * budgets (Sennrich et al. 2016 §3 motivates BPE by exactly this tail).
+    *
+    * Output: `(n_occurrences, n_types)` — one row per distinct occurrence
+    * count (row count ≤ distinct occurrence VALUES, which grows like the
+    * square root of the max count, not like the vocabulary).
+    *
+    * Plan: explode → per-token partial+final count → count-of-counts
+    * partial+final count. Two map-side-combinable hash-aggregates; the
+    * corpus-wide hot token is one row after the first aggregate.
+    */
+  def tokenSpectrum(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextDedup.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("n_occurrences"))
+      .groupBy(col("n_occurrences")).agg(count(lit(1)).as("n_types"))
+
+  /** Per-source lexical diversity: token mass, vocabulary size, hapax count
+    * (types occurring exactly once WITHIN the source), and the derived
+    * exact-integer ratios `ttr_permille = vocab * 1000 div tokens` and
+    * `hapax_permille = hapax * 1000 div vocab`. The per-component corpus
+    * health card — a source whose TTR collapses is template spam, one whose
+    * hapax share collapses has been over-deduplicated (Rae et al. 2021 §A.2
+    * report exactly these per-subset diagnostics for MassiveText).
+    *
+    * Plan: explode → per-(source, token) partial+final count → per-source
+    * partial+final roll-up. Nothing wider than (source, token) shuffles,
+    * and a source holding half the corpus still combines map-side.
+    */
+  def lexicalDiversity(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    df.select(col(sourceCol), explode(TextDedup.tokens(col(textCol))).as("__t"))
+      .groupBy(col(sourceCol), col("__t")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(sourceCol))
+      .agg(
+        sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(sourceCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000 div n_tokens").as("ttr_permille"),
+        expr("n_hapax * 1000 div n_types").as("hapax_permille"))
 }

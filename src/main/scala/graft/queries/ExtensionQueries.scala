@@ -2239,9 +2239,37 @@ object ExtensionQueries {
       FROM rk WHERE rn = 1""")
   )
 
+  // Quality 8: token frequency spectrum (count of counts) — the Zipf
+  // audit run before tokenizer training; hapax mass sizes the BPE vocab.
+  private val q106 = Q(
+    "q106_token_spectrum",
+    (s, dir) => TextStats.tokenSpectrum(docsSpread(s, dir), "text"),
+    Some(s"""WITH $toksCte,
+      tok AS (SELECT unnest(w) AS t FROM toks),
+      c AS (SELECT t, count(*) AS n FROM tok GROUP BY 1)
+      SELECT n AS n_occurrences, count(*) AS n_types FROM c GROUP BY 1""")
+  )
+
+  // Quality 9: per-source lexical diversity (token mass, vocabulary,
+  // hapax share) — the per-component corpus health card.
+  private val q107 = Q(
+    "q107_lexical_diversity",
+    (s, dir) => TextStats.lexicalDiversity(docsSpread(s, dir), "source", "text"),
+    Some(s"""WITH $toksCte,
+      tok AS (SELECT source, unnest(w) AS t FROM toks),
+      c AS (SELECT source, t, count(*) AS n FROM tok GROUP BY 1, 2)
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        count(*) AS n_types,
+        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        count(*) * 1000 // CAST(sum(n) AS BIGINT) AS ttr_permille,
+        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // count(*)
+          AS hapax_permille
+      FROM c GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
-    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
 }

@@ -255,6 +255,37 @@ object StreamPipelines {
       .dropDuplicatesWithinWatermark(Seq("__h"))
       .drop("__h")
 
+  /** Streaming twin of [[graft.ext.TextStats.bigramFluency]]: score arriving
+    * documents against a PRE-TRAINED bigram model (built from yesterday's
+    * corpus with [[graft.ext.TextStats.bigramModel]]) — the deployment shape
+    * of the CCNet fluency filter, where the LM is frozen and only the ingest
+    * moves. The model join is stream-static (stateless, re-broadcast per
+    * micro-batch); the per-document roll-up is a watermarked aggregate that
+    * closes when the document's event time expires, so state is bounded by
+    * in-flight documents, not corpus history.
+    *
+    * Bigrams absent from the model are skipped by the inner join exactly as
+    * in batch; documents whose bigrams ALL miss the model emit nothing.
+    */
+  def fluencyScoreStream(
+      docs: DataFrame,
+      model: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      watermark: String = "10 seconds"
+  ): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(graft.ext.TextDedup.wordShingles(
+          graft.ext.TextDedup.tokens(col(textCol)), 2)).as("bigram"))
+      .join(model, "bigram")
+      .groupBy(window(col(tsCol), "1 minute"), col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_permille")).as("sum_p_permille"))
+      .select(col(idCol), col("n_bigrams"), col("sum_p_permille"),
+        expr("sum_p_permille div n_bigrams").as("fluency_permille"))
+
   /** Streaming ingest curation: the filter-at-ingest half of the batch
     * curation pipeline (q69) applied to a document stream — junk is
     * cheaper to drop before it is stored than to scrub after. Every

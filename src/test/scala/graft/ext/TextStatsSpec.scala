@@ -117,6 +117,27 @@ class TextStatsSpec extends SparkFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("tokenSpectrum counts types per occurrence count") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a=4, b=2, c=1, d=1 → spectrum {4→1, 2→1, 1→2}
+    val out = TextStats.tokenSpectrum(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(4L -> 1L, 2L -> 1L, 1L -> 2L))
+  }
+
+  test("lexicalDiversity: per-source mass, vocab, hapax, integer ratios") {
+    val docs = Seq(
+      (1L, "s1", "a a b"),   // s1: tokens 5, types {a:3, b:1, c:1} → hapax 2
+      (2L, "s1", "a c"),
+      (3L, "s2", "x x x x") // s2: tokens 4, types {x:4} → hapax 0
+    ).toDF("doc_id", "src", "text")
+    val out = TextStats.lexicalDiversity(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("s1") == ((5L, 3L, 2L, 600L, 666L)))
+    assert(out("s2") == ((4L, 1L, 0L, 250L, 0L)))
+  }
+
   test("canonicalUrl collapses scheme, www, host case, query, fragment, trailing slash") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(

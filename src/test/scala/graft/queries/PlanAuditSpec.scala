@@ -363,6 +363,19 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no global sort belongs in a scoring pipeline:\n$p")
   }
 
+  test("q106/q107: corpus audits are pure aggregation trees — no joins, no windows") {
+    val p106 = plan("q106_token_spectrum")
+    assert(!p106.contains("Join") && !p106.contains("windowspecdefinition"),
+      s"count-of-counts is two chained aggregates:\n$p106")
+    assert(p106.split("HashAggregate").length >= 5,
+      s"both aggregates must map-side combine:\n$p106")
+    val p107 = plan("q107_lexical_diversity")
+    assert(!p107.contains("Join") && !p107.contains("windowspecdefinition"),
+      s"per-source diversity is two chained aggregates:\n$p107")
+    assert(p107.split("HashAggregate").length >= 5,
+      s"both aggregates must map-side combine:\n$p107")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus

@@ -454,6 +454,34 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("fluencyScoreStream scores against a frozen model; unknown bigrams skipped") {
+    implicit val sql = spark.sqlContext
+    // model trained on a batch corpus: c("a b")=2, c("b a")=1 → prefix a=2+0…
+    // train corpus "a b a b": bigrams ab, ba, ab → p(ab)=2000 div 3? No:
+    // prefix counts over bigram occurrences: a first-word occs = 2 (ab×2),
+    // b = 1 (ba) → p(ab) = 2*1000 div 2 = 1000, p(ba) = 1000.
+    // Use a richer corpus so permilles differ: "a b a c" → bigrams ab, ba, ac
+    // → c12: ab=1, ba=1, ac=1; prefix a=2, b=1 → p(ab)=500, p(ba)=1000, p(ac)=500.
+    val trainCorpus = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val model = graft.ext.TextStats.bigramModel(trainCorpus, "text")
+    val input = MemoryStream[Doc]
+    val q = StreamPipelines.fluencyScoreStream(
+        input.toDF(), model, "ts", "doc_id", "text", watermark = "10 seconds")
+      .writeStream.format("memory").queryName("flsc").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:00"), "a b a c"),   // p: 500 + 1000 + 500
+        Doc(2L, t("2024-01-01 10:00:00"), "a b z q"))   // only "a b" known → 500
+      // advance the watermark past the window so the aggregate closes
+      input.addData(Doc(9L, t("2024-01-01 10:05:00"), "a b"))
+      q.processAllAvailable()
+      val rows = spark.table("flsc").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(rows(1L) == ((3L, 2000L, 666L)))
+      assert(rows(2L) == ((1L, 500L, 500L)))  // "b z","z q" miss the model
+    } finally q.stop()
+  }
+
   test("mixtureSample composes with a stream: per-source admission at ingest") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Doc]
