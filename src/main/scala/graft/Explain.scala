@@ -71,7 +71,8 @@ object Explain {
                            // side pre-collapsed per distinct bigram
     "q105_cluster_reps",   // shared CC labels + min(struct) argmax agg
     "q106_token_spectrum", // two chained partial+final aggs, no join
-    "q107_lexical_diversity" // (source, token) agg → per-source roll-up
+    "q107_lexical_diversity", // (source, token) agg → per-source roll-up
+    "q108_incr_paragraph_dedup" // min(struct) winners → one digest anti join
   )
 
   def main(args: Array[String]): Unit = {

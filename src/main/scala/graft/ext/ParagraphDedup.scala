@@ -127,6 +127,57 @@ object ParagraphDedup {
       .withColumn("dup_permille", expr("n_dup * 1000 div n_shingles"))
   }
 
+  /** The persistable paragraph-digest index of a corpus: one row per
+    * distinct paragraph digest (`para_digest`). Build once over the
+    * existing corpus, persist as a table, and probe every new ingest
+    * batch with [[incrementalParagraphDedup]] — the batch-incremental
+    * form of CCNet line dedup (same role as the LSH band index
+    * [[TextDedup.incrementalDupCheck]] probes, one granularity down).
+    */
+  def paragraphIndex(df: DataFrame, idCol: String, textCol: String, paraTokens: Int): DataFrame =
+    paragraphs(df, idCol, textCol, paraTokens)
+      .select(md5(col("para").cast("binary")).as("para_digest"))
+      .distinct()
+
+  /** Incremental paragraph dedup: dedup a NEW batch against itself AND a
+    * persisted corpus index, without touching the corpus text. A batch
+    * occurrence survives iff it is the batch-wide first occurrence of its
+    * digest ([[paragraphDedup]]'s min(struct) winner) and the digest is
+    * absent from `index`. Output matches [[paragraphDedup]]:
+    * `(idCol, n_paras, n_kept, n_removed, kept_text)`.
+    *
+    * Plan: the in-batch winner aggregate is the same map-side-combined
+    * min(struct); the index probe is ONE left-anti equi-join on the digest
+    * — batch-sized build against corpus-sized probe, digest-width rows
+    * only. At 100 TB the index dwarfs the batch, which is exactly the
+    * asymmetry an anti join wants (AQE broadcasts the batch side).
+    */
+  def incrementalParagraphDedup(batch: DataFrame, index: DataFrame,
+                                idCol: String, textCol: String, paraTokens: Int): DataFrame = {
+    val paras = paragraphs(batch, idCol, textCol, paraTokens)
+
+    val totals = paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+
+    val winners = paras
+      .groupBy(md5(col("para").cast("binary")).as("__h"))
+      .agg(min(struct(col(idCol), col("idx"), col("para"))).as("w"))
+      .join(index, col("__h") === index("para_digest"), "left_anti")
+      .select(col(s"w.$idCol").as(idCol), col("w.idx").as("idx"), col("w.para").as("para"))
+
+    val kept = winners.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("para")))), p => p.getField("para")),
+        " ").as("kept_text"))
+
+    totals.join(kept, Seq(idCol), "left").select(
+      col(idCol),
+      col("n_paras"),
+      coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+      (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+      coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Longest duplicated span per document (the contiguous form of
     * [[dupShingleScore]] — Lee et al. 2022's EXACTSUBSTR signal, which
     * their suffix-array pipeline computes globally; here approximated as

@@ -2267,9 +2267,55 @@ object ExtensionQueries {
       FROM c GROUP BY 1""")
   )
 
+  // Dedup 16: batch-incremental paragraph dedup — a new ingest batch
+  // probes the persisted corpus digest index (q81's shape one granularity
+  // down). The %10==0 batch docs are exact re-keys (every paragraph in
+  // the index); the %10==1 docs get one appended token, so only their
+  // final partial paragraph is fresh.
+  private val q108 = Q(
+    "q108_incr_paragraph_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .withColumn("text", concat(col("text"), lit(" zq108tail"))))
+      val index = ParagraphDedup.paragraphIndex(docs, "doc_id", "text", paraTokens = 10)
+      ParagraphDedup.incrementalParagraphDedup(batch, index, "doc_id", "text", paraTokens = 10)
+    },
+    Some(s"""WITH
+      itoks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w FROM documents),
+      ipt AS (SELECT w, CAST(len(w) AS BIGINT) AS n FROM itoks WHERE len(w) > 0),
+      iparas AS (SELECT array_to_string(w[CAST(i*10+1 AS INT) : CAST(least(i*10+10, n) AS INT)], ' ') AS para
+        FROM ipt, UNNEST(range(0, (n + 9) // 10)) AS u(i)),
+      idx AS (SELECT DISTINCT md5(para) AS h FROM iparas),
+      nb AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 200000, text || ' zq108tail' FROM documents WHERE doc_id % 10 = 1),
+      ntoks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w FROM nb),
+      npt AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM ntoks WHERE len(w) > 0),
+      nparas AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        array_to_string(w[CAST(i*10+1 AS INT) : CAST(least(i*10+10, n) AS INT)], ' ') AS para
+        FROM npt, UNNEST(range(0, (n + 9) // 10)) AS u(i)),
+      ranked AS (SELECT doc_id, idx, para,
+        row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn FROM nparas),
+      win AS (SELECT r.doc_id, r.idx, r.para FROM ranked r
+        LEFT JOIN idx ON md5(r.para) = idx.h
+        WHERE rn = 1 AND idx.h IS NULL),
+      kept AS (SELECT doc_id, count(*) AS n_kept,
+        string_agg(para, ' ' ORDER BY idx) AS kept_text FROM win GROUP BY 1),
+      tot AS (SELECT doc_id, count(*) AS n_paras FROM nparas GROUP BY 1)
+      SELECT tot.doc_id, n_paras,
+        COALESCE(n_kept, 0) AS n_kept,
+        n_paras - COALESCE(n_kept, 0) AS n_removed,
+        COALESCE(kept_text, '') AS kept_text
+      FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
-    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
+    q108)
 }

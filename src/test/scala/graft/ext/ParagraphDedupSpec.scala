@@ -66,6 +66,22 @@ class ParagraphDedupSpec extends SparkFunSuite {
     assert(out(2L) == 1L)
   }
 
+  test("incrementalParagraphDedup: index suppression composes with in-batch first occurrence") {
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text") // index: "a b", "c d"
+    val index = ParagraphDedup.paragraphIndex(corpus, "doc_id", "text", paraTokens = 2)
+    val batch = Seq(
+      (10L, "a b x y"), // "a b" indexed → removed; "x y" fresh → kept
+      (11L, "x y z w"), // "x y" first seen in batch doc 10 → removed; "z w" kept
+      (12L, "c d")      // fully indexed → nothing kept
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.incrementalParagraphDedup(batch, index, "doc_id", "text", paraTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(10L) == ((2L, 1L, 1L, "x y")))
+    assert(out(11L) == ((2L, 1L, 1L, "z w")))
+    assert(out(12L) == ((1L, 0L, 1L, "")))
+  }
+
   test("longestDupRun: contiguous copied passage vs scattered single dups") {
     val docs = Seq(
       (1L, "a b c d e f g h"), // shares the 5-token prefix with doc 2

@@ -376,6 +376,15 @@ class PlanAuditSpec extends SparkFunSuite {
       s"both aggregates must map-side combine:\n$p107")
   }
 
+  test("q108: incremental paragraph dedup probes the index with ONE anti join") {
+    val p = plan("q108_incr_paragraph_dedup")
+    assert(p.contains("partial_min(struct(doc_id"),
+      s"in-batch winners must stay a map-side-combined min(struct):\n$p")
+    assert("LeftAnti".r.findAllIn(p).length == 1,
+      s"exactly one digest anti join against the index:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
