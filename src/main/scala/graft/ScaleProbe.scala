@@ -220,6 +220,9 @@ object ScaleProbe {
           concat(lit("hot shared shingle "), col("text")))
         ParagraphDedup.dupShingleScore(docs, "doc_id", "text", shingleN = 3).count()
       },
+      // timed via the custom loop below (index materialized outside the
+      // timer — persisted production state)
+      "incr_para_probe" -> (m => m.toLong),
       // bigram fluency with one corpus-wide hot bigram: every document
       // opens with the same word pair, so one bigram's occurrence count
       // equals the corpus size. The model side pre-collapses it to ONE
@@ -295,12 +298,44 @@ object ScaleProbe {
       sigs.unpersist(); t
     }
 
+    // incr_para_probe: a FIXED ingest batch (the base corpus, re-keyed)
+    // probed against a paragraph-digest index that grows with the
+    // multiplier — the production shape, where the corpus index dwarfs the
+    // batch. The index is materialized OUTSIDE the timer (it is persisted
+    // state in production, built once); the timed probe is the in-batch
+    // winner aggregate plus the digest anti join, whose cost must track
+    // the index SCAN (linear), never an index-side shuffle blowup
+    def incrParaTimed(m: Int): Double = {
+      val idx = ParagraphDedup.paragraphIndex(docsAt(m), "doc_id", "text", 10).persist()
+      idx.count()
+      val batch = Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + 90000000L)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t = time(ParagraphDedup.incrementalParagraphDedup(
+        batch, idx, "doc_id", "text", paraTokens = 10).count())
+      idx.unpersist(); t
+    }
+
     val custom: Map[String, Int => Double] =
-      Map("lsh_candidates" -> lshTimed, "dedup_clusters_cc" -> ccTimed)
+      Map("lsh_candidates" -> lshTimed, "dedup_clusters_cc" -> ccTimed,
+        "incr_para_probe" -> incrParaTimed)
+
+    // optional arg filter: `runMain graft.ScaleProbe op1 op2` measures only
+    // the named rows (SCALING.md is updated per-op; a full 25-op sweep is
+    // ~20 min of Spark time this shouldn't cost a one-row refresh)
+    val selected =
+      if (args.isEmpty) ops
+      else {
+        val want    = args.toSet
+        val known   = ops.map(_._1).toSet
+        val unknown = want -- known
+        require(unknown.isEmpty, s"unknown probe ops: ${unknown.mkString(", ")} (known: ${known.toSeq.sorted.mkString(", ")})")
+        ops.filter(o => want.contains(o._1))
+      }
 
     // warm each op once at 1× (JIT + codegen), then measure 1×/2×/4×
-    ops.foreach { case (name, f) => custom.get(name).fold[Unit](f(1))(c => c(1)) }
-    val results = ops.map { case (name, f) =>
+    selected.foreach { case (name, f) => custom.get(name).fold[Unit](f(1))(c => c(1)) }
+    val results = selected.map { case (name, f) =>
       name -> Seq(1, 2, 4).map { m =>
         val t = custom.get(name).fold(time(f(m)))(c => c(m))
         math.round(t * 1000) / 1000.0
