@@ -72,7 +72,8 @@ object Explain {
     "q105_cluster_reps",   // shared CC labels + min(struct) argmax agg
     "q106_token_spectrum", // two chained partial+final aggs, no join
     "q107_lexical_diversity", // (source, token) agg → per-source roll-up
-    "q108_incr_paragraph_dedup" // min(struct) winners → one digest anti join
+    "q108_incr_paragraph_dedup", // min(struct) winners → one digest anti join
+    "q109_lsh_recall"      // sampled truth ⋈ band candidates, product-free
   )
 
   def main(args: Array[String]): Unit = {

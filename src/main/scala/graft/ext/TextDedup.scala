@@ -212,6 +212,39 @@ object TextDedup {
         greatest(col("containment_a_bp"), col("containment_b_bp")))
       .drop("jaccard")
 
+  /** LSH calibration curve: per exact-Jaccard decile, the fraction of true
+    * pairs the MinHash-LSH candidate stage recovers — the empirical trace
+    * of the banding S-curve P(candidate) = 1 − (1 − s^r)^b (Broder 1997;
+    * Leskovec-Rajaraman-Ullman ch. 3). The eval every LSH dedup deployment
+    * publishes before picking (k, r): it answers "what similarity level do
+    * I actually catch" with measurements instead of the formula.
+    *
+    * Ground truth is the exact shingle-Jaccard over all pairs sharing a
+    * shingle, which is inherently quadratic — so this operator is meant to
+    * run on a deterministic SAMPLE of the corpus (the caller pre-filters;
+    * calibration needs thousands of documents, not the corpus), while the
+    * production dedup path (lshCandidates) runs on everything. Buckets are
+    * exact-integer deciles ((10·|A∩B|) div |A∪B|, so bucket 10 = exact
+    * duplicates) — no float boundary can disagree between engines.
+    *
+    * Output: (bucket, n_true_pairs, n_found, recall_bp), one row per
+    * non-empty decile.
+    */
+  def lshRecallCurve(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, rowsPerBand: Int, shingleN: Int): DataFrame = {
+    val truth = jaccardPairs(df.withColumn("__blk", lit(0)), idCol, textCol, "__blk", shingleN)
+    val cands = lshCandidates(minhashSignatures(df, idCol, textCol, k, shingleN),
+        idCol, k, rowsPerBand)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__found"))
+    truth
+      .join(cands, Seq("id_a", "id_b"), "left")
+      .withColumn("bucket", expr("(n_common * 10L) div (n_a + n_b - n_common)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("__found"), lit(0L))).as("n_found"))
+      .withColumn("recall_bp", expr("(n_found * 10000L) div n_true_pairs"))
+  }
+
   /** Exact edit-distance verification of candidate pairs: joins each
     * (id_a, id_b) candidate back to the corpus and computes the Levenshtein
     * distance of the documents' first `prefixLen` chars. The prefix cap

@@ -2312,10 +2312,66 @@ object ExtensionQueries {
       FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id""")
   )
 
+  // Dedup 17: LSH calibration curve — per exact-Jaccard decile, the share
+  // of true pairs the banding candidate stage recovers (the empirical
+  // banding S-curve; the q79/q95/q93 recall-eval family, pointed at the
+  // dedup path). Ground truth is inherently all-pairs, so the eval runs on
+  // a deterministic 1-in-3 sample plus planted near-dup re-keys (one
+  // appended token → a bucket-9/10 pair per planted doc) so the curve's
+  // high end is populated; production dedup (q23) runs on the full corpus.
+  private val q109 = Q(
+    "q109_lsh_recall",
+    (s, dir) => {
+      val docs   = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sample = docs.filter(col("doc_id") % 3 === 0)
+      val nearDups = sample.filter(col("doc_id") % 30 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" zq109tail")))
+      TextDedup.lshRecallCurve(
+        sample.unionByName(nearDups).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", k = 8, rowsPerBand = 2, shingleN = 2)
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zq109tail' FROM documents WHERE doc_id % 30 = 0),
+      ctoks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM corpus),
+      shd AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+        FROM ctoks, UNNEST(range(1, len(w))) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+      common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id),
+      sigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM shd GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs),
+      cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT (n_common * 10) // (n_a + n_b - n_common) AS bucket,
+        count(*) AS n_true_pairs,
+        CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        (CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+          // count(*) AS recall_bp
+      FROM truth LEFT JOIN cands c USING (id_a, id_b)
+      GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108)
+    q108, q109)
 }

@@ -140,6 +140,39 @@ class TextDedupSpec extends SparkFunSuite {
     assert(expected.exists(_._2 == 0L)) // the planted exact copies are in there
   }
 
+  test("lshRecallCurve: exact duplicates land in bucket 10 with full recall; " +
+      "disjoint docs contribute no true pair") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // exact dup of 2 → bucket 10
+      (2L, "alpha beta gamma delta epsilon"),  //   (identical sigs → must be found)
+      (3L, "totally different words here now"),// disjoint from everything
+      (4L, "unrelated content stream tokens")  // disjoint from everything
+    ).toDF("id", "text")
+    val curve = TextDedup.lshRecallCurve(corpus, "id", "text",
+        k = 8, rowsPerBand = 2, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the only shingle-sharing pair is (1,2): jaccard 1 → bucket 10,
+    // identical signatures collide in every band → recall 10000 bp
+    assert(curve == Map(10L -> ((1L, 1L, 10000L))))
+  }
+
+  test("lshRecallCurve buckets by exact-integer decile and counts misses") {
+    // (1,2) share 2 of 6 distinct shingles: jaccard 2/(4+4-2)=1/3 → bucket 3.
+    // Whether LSH finds the pair is probabilistic per the fixed digests, so
+    // assert the truth-side columns and that n_found ∈ {0, 1}.
+    val corpus = Seq(
+      (1L, "a b c d e"),   // shingles: "a b","b c","c d","d e"
+      (2L, "a b c x y")    // shingles: "a b","b c","c x","x y" → 2 common
+    ).toDF("id", "text")
+    val rows = TextDedup.lshRecallCurve(corpus, "id", "text",
+        k = 8, rowsPerBand = 2, shingleN = 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)   // bucket 3, one true pair
+    assert(r.getLong(2) == 0L || r.getLong(2) == 1L)
+    assert(r.getLong(3) == r.getLong(2) * 10000L)
+  }
+
   test("incrementalDupCheck: exact copy hits the index, fresh and unshingleable docs do not") {
     val index = docs.filter($"id" <= 4L)
     val idxBands = TextDedup.lshBands(

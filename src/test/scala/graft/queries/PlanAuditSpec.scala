@@ -385,6 +385,16 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q109: LSH calibration stays product-free with map-side-combined aggregates") {
+    val p = plan("q109_lsh_recall")
+    // the truth side is a shingle equi-join, the candidate side a band
+    // equi-join, the curve a partial+final roll-up — a cartesian anywhere
+    // would mean the eval degenerated into all-pairs enumeration
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"decile roll-up must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
