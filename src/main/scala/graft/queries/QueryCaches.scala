@@ -33,6 +33,7 @@ private[graft] object QueryCaches {
   private val ivfCache    = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val semCache    = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val curationCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
+  private val bpeCache    = new ConcurrentHashMap[SparkSession, (String, Seq[(Long, String, String, Long)])]()
   private val layoutCache = new ConcurrentHashMap[SparkSession, (String, Path)]()
   private val snapCache   = new ConcurrentHashMap[SparkSession, (String, Path)]()
 
@@ -219,6 +220,23 @@ private[graft] object QueryCaches {
     * delete the layout/snapshot directories. Call before stopping the
     * session.
     */
+  /** Learned BPE merge table (6 trainer rounds) for (s, dir) — the trainer
+    * is an iterative job worth running once per corpus (q94 measures it
+    * live, deliberately uncached); the table itself is a driver-local
+    * handful of rows, so nothing is persisted.
+    */
+  def bpeMergesFor(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    bpeCache.synchronized {
+      bpeCache.get(s) match {
+        case (d, m) if d == dir => m
+        case _ =>
+          val m = graft.ext.TextStats.bpeTrain(
+            ExtensionQueries.docsSpread(s, dir), "text", rounds = 6)
+          bpeCache.put(s, (dir, m))
+          m
+      }
+    }
+
   def clear(s: SparkSession): Unit = {
     sigCache.synchronized {
       Option(sigCache.remove(s)).foreach(_._2.unpersist())
@@ -244,6 +262,9 @@ private[graft] object QueryCaches {
     }
     curationCache.synchronized {
       Option(curationCache.remove(s)).foreach(_._2.unpersist())
+    }
+    bpeCache.synchronized {
+      bpeCache.remove(s) // driver-local rows — nothing persisted to release
     }
     layoutCache.synchronized {
       Option(layoutCache.remove(s)).foreach(e => deleteTree(e._2))
