@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * paragraphs/lines across the whole corpus, and Lee et al. 2022
   * ("Deduplicating Training Data Makes Language Models Better") showed
   * duplicated spans inside otherwise-unique documents are what inflate
-  * memorization. The reference engine stops at whole-document digests
-  * (dedup_processor.py); these operators extend the same digest-only
+  * memorization. The reference engine's only dedup-shaped logic is
+  * record-granularity latest-wins (ref streaming_job.py:92-155, the
+  * rn=1-over-key MERGE); these operators extend the same key-digest
   * discipline to sub-document units.
   *
   * The synthetic corpus has no newline structure (TESTDATA.md), so a
@@ -55,8 +56,8 @@ object ParagraphDedup {
   }
 
   /** Corpus-wide paragraph-level exact dedup, first occurrence wins
-    * (CCNet/RefinedWeb line dedup; ref dedup_processor.py:24-41 is the
-    * document-granularity analogue).
+    * (CCNet/RefinedWeb line dedup; the reference's record-granularity
+    * analogue is the rn=1 latest-wins MERGE, ref streaming_job.py:92-155).
     *
     * An occurrence (doc, idx) of a paragraph is KEPT iff it is the
     * lexicographically-smallest (doc, idx) holding that paragraph's digest

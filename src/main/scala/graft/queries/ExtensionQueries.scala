@@ -2085,7 +2085,7 @@ object ExtensionQueries {
 
   // Dedup 11: paragraph-level exact dedup, first occurrence wins (CCNet /
   // RefinedWeb line dedup — sub-document granularity the reference's
-  // document-digest dedup_processor.py:24-41 can't see). The oracle
+  // record-level latest-wins MERGE, streaming_job.py:92-155, can't see). The oracle
   // replays first-occurrence with a row_number over (doc_id, idx) — the
   // same total order as the operator's min(struct).
   private val q99 = Q(
