@@ -73,7 +73,8 @@ object Explain {
     "q106_token_spectrum", // two chained partial+final aggs, no join
     "q107_lexical_diversity", // (source, token) agg → per-source roll-up
     "q108_incr_paragraph_dedup", // min(struct) winners → one digest anti join
-    "q109_lsh_recall"      // sampled truth ⋈ band candidates, product-free
+    "q109_lsh_recall",     // sampled truth ⋈ band candidates, product-free
+    "q110_ivf_nprobe_curve" // one widest-tier probe fans out via explode
   )
 
   def main(args: Array[String]): Unit = {

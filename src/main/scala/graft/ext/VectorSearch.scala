@@ -281,6 +281,65 @@ object VectorSearch {
     rankTopK(broadcast(q.join(routed, "qid")).join(c, "__list"), k, roundDigits, d)
   }
 
+  /** The [[ivfTopKTrained]] recall/cost frontier in ONE pass: top-k per
+    * query at EVERY probe width in `nprobes`, so a recall eval (or a
+    * capacity planner) reads the whole nprobe curve from a single plan.
+    * Routing ranks are computed once to `max(nprobes)`; each candidate is
+    * scored once (rounded cosine, id tiebreak — identical to
+    * [[ivfTopKTrained]] at the same nprobe); then one projection fans each
+    * scored candidate out to the probe tiers that include its list
+    * (`route_rank <= nprobe`) and one window ranks per (nprobe, qid).
+    * Running the curve costs one corpus probe at the WIDEST tier — not
+    * |nprobes| separate probes — which is what makes the calibration
+    * artifact affordable at 100 TB: the narrow tiers are subsets of the
+    * wide tier's candidates, so they ride the same scan.
+    *
+    * Output: (nprobe, qid, id, sim, rnk ≤ k), one block per probe width.
+    */
+  def ivfTopKTrainedCurve(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, nprobes: Seq[Int], roundDigits: Int = 4
+  ): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
+    val d = dotFn(queries.sparkSession)
+    val maxProbe = nprobes.max
+    val lists = assignToNearestCentroid(corpus, idCol, vecCol, centroids)
+      .select(col("id"), col("label").as("__list"))
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
+      .join(lists, "id")
+      .withColumn("__cn", sqrt(d(col("__cv"), col("__cv"))))
+    val qCells = queries.select(col(qIdCol).as("qid"),
+        posexplode(col(qVecCol)).as(Seq("__pos", "__x")))
+      .select(col("qid"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("q_bp"))
+    val diff = col("q_bp") - col("c_bp")
+    val routed = broadcast(
+      qCells.join(broadcast(centroids), "dim")
+        .groupBy(col("qid"), col("label"))
+        .agg(sum(diff * diff).as("__d2"))
+        .withColumn("__rrnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("__d2"), col("label"))))
+        .filter(col("__rrnk") <= maxProbe)
+        .select(col("qid"), col("__rrnk"), col("label").as("__list")))
+    val q = queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv"))
+      .withColumn("__qn", sqrt(d(col("__qv"), col("__qv"))))
+    val denom = col("__qn") * col("__cn")
+    val scored = broadcast(q.join(routed, "qid")).join(c, "__list")
+      .withColumn("sim",
+        round(when(denom =!= 0.0, d(col("__qv"), col("__cv")) / denom), roundDigits))
+      .select(col("qid"), col("__rrnk"), col("id"), col("sim"))
+    val w = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("nprobe",
+        explode(array(nprobes.map(n => lit(n.toLong)): _*)))
+      .filter(col("__rrnk") <= col("nprobe"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("nprobe"), col("qid"), col("id"), col("sim"), col("rnk"))
+  }
+
   /** IVFADC — the composed FAISS-style billion-scale index (Jégou et al.
     * 2011 §IV): a trained coarse quantizer prunes the corpus to `nprobe`
     * inverted lists, and the surviving candidates are scored through

@@ -2368,10 +2368,76 @@ object ExtensionQueries {
       GROUP BY 1""")
   )
 
+  // Similarity 16: the IVF recall/cost frontier — recall@5 of the trained
+  // router at nprobe ∈ {1,2,4,8} against exact-cosine truth, aggregated
+  // over the query set. q95 fixed nprobe=1 and isolated quantizer quality;
+  // this publishes the operating CURVE a user picks a recall/cost point
+  // from (the q109 calibration-artifact pattern pointed at the ANN path).
+  // One corpus probe at the widest tier serves all four rows
+  // ([[VectorSearch.ivfTopKTrainedCurve]]); the oracle replays the Lloyd's
+  // chain, the ranked routing, and each tier's top-5.
+  private val q110 = Q(
+    "q110_ivf_nprobe_curve",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qs  = emb.filter(col("vec_id") < 10)
+      val cs  = emb.filter(col("vec_id") >= 10)
+      val exact = VectorSearch.bruteForceTopK(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"))
+      val curve = VectorSearch.ivfTopKTrainedCurve(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding",
+        QueryCaches.ivfCentFor(s, dir), k = 5, nprobes = Seq(1, 2, 4, 8))
+        .select(col("nprobe"), col("qid"), col("id"))
+      val hits = curve.join(exact, Seq("qid", "id"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      Seq(1L, 2L, 4L, 8L).toDF("nprobe")
+        .join(hits, Seq("nprobe"), "left")
+        .crossJoin(broadcast(nExact))
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_bp", expr("(n_hits * 10000L) div n_exact"))
+        .select(col("nprobe"), col("n_hits"), col("n_exact"), col("recall_bp"))
+    },
+    Some(s"""WITH ${pqOracleCtes("vec_id >= 10", subDim = 64, k = 10, iters = 2)},
+      ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < 10),
+      qcells AS (SELECT vec_id AS qid, dim, bp FROM cells WHERE vec_id < 10),
+      rd AS (SELECT q2.qid, c.code AS list,
+          CAST(sum((q2.bp - c.c_bp) * (q2.bp - c.c_bp)) AS BIGINT) AS d2
+        FROM qcells q2 JOIN cb c ON q2.dim = c.dim GROUP BY 1, 2),
+      rr AS (SELECT qid, list,
+        row_number() OVER (PARTITION BY qid ORDER BY d2, list) AS rn FROM rd),
+      probes AS (SELECT CAST(nprobe AS BIGINT) AS nprobe
+        FROM (VALUES (1), (2), (4), (8)) t(nprobe)),
+      route AS (SELECT p.nprobe, rr.qid, rr.list
+        FROM probes p JOIN rr ON rr.rn <= p.nprobe),
+      tcl AS (SELECT cd.vec_id AS id, cd.code AS list, ev.v
+        FROM codes cd JOIN ev ON cd.vec_id = ev.vec_id),
+      tr AS (SELECT nprobe, qid, id FROM (SELECT r.nprobe, r.qid, tcl.id,
+          row_number() OVER (PARTITION BY r.nprobe, r.qid
+            ORDER BY round(${duckCos("q.v", "tcl.v")}, 4) DESC, tcl.id) AS rnk
+        FROM route r JOIN tcl ON r.list = tcl.list JOIN q ON q.qid = r.qid)
+        WHERE rnk <= 5),
+      es AS (SELECT q.qid, ev.vec_id AS id, round(${duckCos("q.v", "ev.v")}, 4) AS sim
+        FROM q, ev WHERE ev.vec_id >= 10),
+      exact AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk FROM es)
+        WHERE rnk <= 5),
+      nex AS (SELECT count(*) AS n_exact FROM exact),
+      hits AS (SELECT tr.nprobe, count(*) AS n_hits
+        FROM tr JOIN exact USING (qid, id) GROUP BY 1)
+      SELECT p.nprobe, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(nex.n_exact AS BIGINT) AS n_exact,
+        (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // nex.n_exact AS recall_bp
+      FROM probes p LEFT JOIN hits h USING (nprobe), nex""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109)
+    q108, q109, q110)
 }

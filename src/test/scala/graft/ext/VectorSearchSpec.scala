@@ -261,6 +261,32 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(full == brute)
   }
 
+  test("ivfTopKTrainedCurve: each tier equals the matching single-nprobe call; widest tier is exact") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.1f, 0.0f)), (11L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (12L, Array(1.1f, 0.0f, 0.0f, 0.1f)),
+      (20L, Array(0.0f, 1.0f, 0.0f, 0.1f)), (21L, Array(0.1f, 0.9f, 0.0f, 0.0f)),
+      (22L, Array(0.0f, 1.1f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = VectorSearch.kmeansFit(corpus, "vec_id", "embedding", k = 2, iters = 3)
+    val q = Seq((1L, Array(1.0f, 0.05f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val curve = VectorSearch.ivfTopKTrainedCurve(q, corpus,
+        "vec_id", "embedding", "vec_id", "embedding", cent, k = 3, nprobes = Seq(1, 2))
+      .collect().groupBy(_.getLong(0))
+      .map { case (np, rs) => np -> rs.map(r => (r.getLong(2), r.getLong(4))).toSet }
+    Seq(1, 2).foreach { np =>
+      val single = VectorSearch.ivfTopKTrained(q, corpus,
+          "vec_id", "embedding", "vec_id", "embedding", cent, k = 3, nprobe = np)
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(curve(np.toLong) == single, s"tier $np must equal the single-nprobe plan")
+    }
+    // widest tier covers every list → exact brute-force top-k
+    val brute = VectorSearch.bruteForceTopK(q, corpus,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(curve(2L) == brute)
+  }
+
   test("ivfAdcTopK: nprobe=all lists degrades to full ADC; nprobe=1 scans only the routed list") {
     val cent  = VectorSearch.kmeansFit(pqCorpus, "vec_id", "embedding", k = 2, iters = 3)
     val lists = VectorSearch.assignToNearestCentroid(pqCorpus, "vec_id", "embedding", cent)

@@ -287,6 +287,26 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no global sort belongs in the scan path:\n$p")
   }
 
+  test("q110: nprobe curve scores candidates once; routing broadcasts; only product is the 1-row total") {
+    val p = plan("q110_ivf_nprobe_curve")
+    // same shape as q38: centroid cells broadcast into assignment AND
+    // routing, routed (qid, rrnk, list) broadcasts into the in-list scan
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"centroids and routed queries must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the curve must stay equi-joins:\n$p")
+    // nested-loop joins: the exact-cosine TRUTH is brute force by design
+    // (broadcast queries × corpus, evaluated for hits and for the
+    // denominator) plus the 1-row n_exact frame — the IVF path itself
+    // contributes none
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 3,
+      s"only the brute-force truth + 1-row denominator may cross-join:\n$p")
+    // ONE corpus probe serves all four tiers: the tier fan-out is a
+    // generator projection, not four scans
+    assert(p.contains("Generate explode"),
+      s"probe tiers must fan out via explode, not re-scan:\n$p")
+  }
+
   test("q90/q91: PQ codebooks broadcast; ADC LUT join is broadcast, never a product") {
     val p90 = plan("q90_pq_encode")
     assert(p90.contains("BroadcastHashJoin"),
