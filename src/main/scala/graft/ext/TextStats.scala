@@ -428,13 +428,20 @@ object TextStats {
     * conditional probability). Documents with < 2 tokens have no bigrams
     * and are absent.
     *
-    * Plan: one exploded bigram scan feeds both the model and the scoring
-    * pass. Model = bigram-count hash-aggregate joined (broadcast-eligible:
-    * vocab², not corpus-sized) with the prefix-count aggregate. Scoring =
-    * occurrence stream equi-joined to the model on the bigram key — the
-    * model side is pre-collapsed to one row per distinct bigram, so a
-    * corpus-wide hot bigram is an AQE skew split, never a hot reducer.
-    * Doc-keyed mean at the end. No UDFs, no windows, no floats.
+    * Plan: two tokenize+shingle scans — one feeding the model aggregate,
+    * one feeding the scoring pass (the detail-join-aggregate shape is
+    * inherently two passes over the text; persisting the corpus-sized
+    * occurrence frame to save the second would trade bounded memory for
+    * one scan, the wrong trade at 100 TB). Model = ONE bigram-count
+    * hash-aggregate; the prefix counts derive from it by a vocab-sized
+    * roll-up (each bigram occurrence contributes exactly one prefix
+    * occurrence), so no second corpus pass. Scoring pre-collapses the
+    * occurrence stream to `(doc, bigram, n_occ)` BEFORE the model join —
+    * on a hot-bigram corpus the join input shrinks from occurrences to
+    * distinct per-doc bigrams, and the model side is one row per distinct
+    * bigram, so a corpus-wide hot bigram is an AQE skew split, never a
+    * hot reducer. Doc-keyed weighted mean at the end. No UDFs, no
+    * windows, no floats.
     */
   /** The trained bigram model [[bigramFluency]] scores against, as a
     * reusable frame `(bigram, p_permille)` — also the static side of the
@@ -442,23 +449,26 @@ object TextStats {
     * trained on yesterday's corpus scores today's ingest.
     */
   def bigramModel(df: DataFrame, textCol: String): DataFrame = {
-    val occ = df
+    val bigramC = df
       .select(explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
-    val bigramC = occ.groupBy(col("bigram")).agg(count(lit(1)).as("__c12"))
-    val prefixC = occ
-      .select(substring_index(col("bigram"), " ", 1).as("__w1"))
-      .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
-    bigramC
+      .groupBy(col("bigram")).agg(count(lit(1)).as("__c12"))
       .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+    // prefix counts roll up from the bigram aggregate (vocab-sized, not a
+    // second corpus scan): every bigram occurrence is one prefix occurrence
+    val prefixC = bigramC.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    bigramC
       .join(prefixC, "__w1")
       .select(col("bigram"), expr("__c12 * 1000 div __c1").as("p_permille"))
   }
 
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("__n_occ"))
       .join(bigramModel(df, textCol), "bigram")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_permille")).as("sum_p_permille"))
+      .agg(sum(col("__n_occ")).as("n_bigrams"),
+        sum(col("__n_occ") * col("p_permille")).as("sum_p_permille"))
       .withColumn("fluency_permille", expr("sum_p_permille div n_bigrams"))
 
   /** Token frequency spectrum (count of counts): for each occurrence count
