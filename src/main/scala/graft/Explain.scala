@@ -112,6 +112,17 @@ object Explain {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }
+    // q111 runs the same loop over idDictionary-encoded long keys; its
+    // load-bearing plan is the dictionary+encode+one-iteration frame
+    locally {
+      val it = graft.ext.Graphs.iterationPlanFrameEncoded(
+        graft.queries.ExtensionQueries.pagerankEdges(spark, sfDir), "src", "dst")
+      it.count()
+      sb.append(s"\n## q111_pagerank_encoded (dictionary + one power iteration)\n\n```\n")
+      sb.append(it.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
     // q94's returned frame is a driver-local merge table; the load-bearing
     // plan is one trainer round (weighted pair count + TakeOrdered winner)
     locally {

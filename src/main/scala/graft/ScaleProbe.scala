@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{Components, Decontaminate, Packing, ParagraphDedup, Sampling, TextDedup, TextStats, VectorSearch}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling probe: runs the CPU/shuffle-heavy operators on 1×/2×/4×
@@ -49,6 +49,73 @@ object ScaleProbe {
 
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // pagerank probe graph at crawl-realistic key width: each doc links to
+    // 100 pseudo-random pages, endpoints are ~45-char URL strings — an
+    // ITERATION-DOMINATED workload (500k edges at 1×), because that is the
+    // regime the id dictionary exists for: the encode cost is paid once,
+    // the width saving is paid back 2 shuffles × iters times
+    def urlEdgesAt(mult: Int): DataFrame = {
+      def urlNode(c: Column): Column =
+        concat(lit("https://site"), (c % 997).cast("string"),
+          lit(".crawl.example/path/segment/page-"), c.cast("string"))
+      val docs = docsAt(mult).select(col("doc_id"))
+      docs.select(col("doc_id"), explode(sequence(lit(0), lit(99))).as("k"))
+        .select(urlNode(col("doc_id")).as("src"),
+          urlNode(pmod(col("doc_id") * 31L + col("k") * 7919L, lit(50000L))).as("dst"))
+    }
+
+    // shuffle bytes written across an executed adaptive plan — the
+    // scale-stable metric for the key-width story (wall time at this
+    // host's stage-floor scale hides a 3-4× byte reduction)
+    def shuffledBytes(df: DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def walk(p: SparkPlan): Seq[Long] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: ShuffleExchangeLike =>
+          s.metrics.get("shuffleBytesWritten").map(_.value).toSeq ++ s.children.flatMap(walk)
+        case other => other.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).sum
+    }
+
+    // ONE power iteration's shuffle MB over the url graph, string keys vs
+    // idDictionary longs — graph prep and encode run OUTSIDE the measured
+    // frame; the reported value is MB written by the iteration's
+    // exchanges (rank⋈edges join + inflow agg + node join-back)
+    def prIterMB(encode: Boolean)(m: Int): Double = {
+      val edges = urlEdgesAt(m)
+        .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+        .distinct().persist()
+      edges.count()
+      var cached: Seq[DataFrame] = Seq(edges)
+      val g =
+        if (!encode) edges
+        else {
+          val dict = graft.ext.Graphs.idDictionary(
+            edges.select(col("src").as("node")).union(edges.select(col("dst").as("node"))),
+            "node").persist()
+          dict.count()
+          val e = edges
+            .join(dict.select(col("node").as("src"), col("node_id").as("__sid")), "src")
+            .join(dict.select(col("node").as("dst"), col("node_id").as("__did")), "dst")
+            .select(col("__sid").as("src"), col("__did").as("dst")).persist()
+          e.count()
+          cached = cached ++ Seq(dict, e)
+          e
+        }
+      val nodes = g.select(col("src").as("node")).union(g.select(col("dst").as("node"))).distinct()
+      val outEdges = g.join(g.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      val it = graft.ext.Graphs.iteration(outEdges, nodes,
+        nodes.withColumn("rank_mu", lit(150000L)), 150000L, 85)
+      it.collect() // collect drives it.queryExecution itself, so its metrics populate
+      val mb = shuffledBytes(it) / 1e6
+      cached.foreach(_.unpersist())
+      math.round(mb * 10) / 10.0
     }
 
     // Stop-word-heavy corpus for the jaccard probe: every document shares a
@@ -269,7 +336,24 @@ object ScaleProbe {
         val edges = docs.select(col("doc_id").as("src"), expr("doc_id div 10").as("dst"))
           .union(docs.select(col("doc_id").as("src"), (col("doc_id") % 100).as("dst")))
         graft.ext.Graphs.pageRankInt(edges, "src", "dst", iters = 3).count()
-      }
+      },
+      // the dictionary-encode trade at realistic key width: the fan-out
+      // url graph, 6 iterations, string-keyed vs idDictionary-encoded.
+      // The encoded run pays the dictionary build + two encode joins + one
+      // decode join ONCE; every iteration then shuffles (long, long) rows
+      // instead of url-width strings — 2 shuffles × 6 iterations of ~3.4×
+      // fewer bytes (the _mb rows below measure the reduction directly)
+      "pagerank_url_str" -> { m =>
+        graft.ext.Graphs.pageRankInt(urlEdgesAt(m), "src", "dst", iters = 6).count()
+      },
+      "pagerank_url_encoded" -> { m =>
+        graft.ext.Graphs.pageRankInt(urlEdgesAt(m), "src", "dst", iters = 6,
+          encodeIds = true).count()
+      },
+      // values are MB (shuffle bytes written by ONE iteration), not
+      // seconds — the width metric that survives this host's noise
+      "pagerank_iter_mb_str" -> (m => m.toLong),
+      "pagerank_iter_mb_enc" -> (m => m.toLong)
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
@@ -318,7 +402,9 @@ object ScaleProbe {
 
     val custom: Map[String, Int => Double] =
       Map("lsh_candidates" -> lshTimed, "dedup_clusters_cc" -> ccTimed,
-        "incr_para_probe" -> incrParaTimed)
+        "incr_para_probe" -> incrParaTimed,
+        "pagerank_iter_mb_str" -> prIterMB(encode = false),
+        "pagerank_iter_mb_enc" -> prIterMB(encode = true))
 
     // optional arg filter: `runMain graft.ScaleProbe op1 op2` measures only
     // the named rows (SCALING.md is updated per-op; a full 25-op sweep is

@@ -111,6 +111,45 @@ object Components {
         StructField("component", LongType, nullable = false))))
   }
 
+  /** [[connectedComponents]] for STRING node ids (canonical URLs, domain
+    * names) — encodes both endpoints through [[Graphs.idDictionary]]'s
+    * dense longs, runs the long-keyed pointer-jumping loop (every round
+    * shuffles (long, long) pairs, never url-width strings), then decodes
+    * and relabels so the output is dictionary-independent: component =
+    * MIN NODE STRING in the cluster (one hash-agg + one node-keyed join
+    * after the loop). Same contract as the long path: one row per node
+    * appearing in an edge, deterministic on any engine.
+    */
+  def connectedComponentsStr(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 16
+  ): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .persist()
+    val dict = Graphs.idDictionary(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))),
+      "node").persist()
+    val enc = e
+      .join(dict.select(col("node").as("src"), col("node_id").as("__sid")), "src")
+      .join(dict.select(col("node").as("dst"), col("node_id").as("__did")), "dst")
+      .select(col("__sid").as("src"), col("__did").as("dst"))
+    val cc = connectedComponents(enc, "src", "dst", maxIter)
+    val decoded = cc.join(dict, cc("node") === dict("node_id"))
+      .select(dict("node"), cc("component").as("__comp"))
+      .persist()
+    decoded.count() // materialize: referenced by both the relabel agg and the join-back
+    val out = decoded
+      .join(decoded.groupBy(col("__comp")).agg(min(col("node")).as("component")), "__comp")
+      .select(col("node"), col("component"))
+      .localCheckpoint(true)
+    decoded.unpersist()
+    dict.unpersist()
+    e.unpersist()
+    out
+  }
+
   /** Duplicate-cluster representative selection: given cluster labels
     * (e.g. [[connectedComponents]] over LSH candidate pairs) and a
     * per-item integer score, keep ONE item per cluster — the

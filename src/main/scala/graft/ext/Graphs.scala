@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality for crawl curation. Web-scale training corpora
@@ -20,6 +21,48 @@ import org.apache.spark.sql.functions._
   * the low bits); integer mass is not.
   */
 object Graphs {
+
+  /** Dense long ids for a (string) key column — the dictionary-encode
+    * step web-scale graph work does upstream so every iteration shuffles
+    * (long, long) rows instead of (url-string, long). GraphX requires
+    * long vertex ids for the same reason; Common Crawl's own graph
+    * releases ship as an id dictionary plus a long-keyed edge list.
+    *
+    * Assignment is deterministic (id = rank of the key in an arbitrary
+    * but fixed total order), dense (ids are exactly 0..n-1), and built
+    * WITHOUT a global sort or `zipWithIndex`: keys hash into `shards`
+    * buckets, a bounded window over the ≤`shards`-row per-bucket counts
+    * prefix-sums the bucket offsets, and a bucket-local `row_number`
+    * (each bucket sorts only its own slice, all buckets in parallel)
+    * adds the within-bucket rank — the same sharded-prefix-sum shape as
+    * [[Packing.packSequences]]. `zipWithIndex` would cost an RDD
+    * round-trip plus a barrier job; a global `row_number` window would
+    * sort the entire key set in ONE task.
+    *
+    * Output: (`nodeCol`, node_id LONG) — one row per distinct non-null
+    * key. Callers iterating against the dictionary should persist it
+    * (it is referenced once per encoded column plus once to decode).
+    */
+  def idDictionary(df: DataFrame, nodeCol: String, shards: Int = 1024): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val nodes = df.select(col(nodeCol).cast("string").as("node"))
+      .filter(col("node").isNotNull)
+      .distinct()
+      .withColumn("__shard", pmod(xxhash64(col("node")), lit(shards.toLong)))
+    // bucket offsets: a window over at most `shards` rows — a catalog
+    // constant, not data-sized — so the single-task sort is bounded
+    val offsets = nodes.groupBy(col("__shard")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__shard"), col("__offset"))
+    nodes.join(broadcast(offsets), "__shard")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__shard")).orderBy(col("node"))))
+      .select(col("node").as(nodeCol),
+        (col("__offset") + col("__rn") - lit(1L)).as("node_id"))
+  }
 
   /** Exact-integer PageRank over a string-keyed edge list, fixed
     * `iters` power iterations.
@@ -50,8 +93,10 @@ object Graphs {
     * on the target key, whose partial aggregation absorbs in-degree
     * skew map-side (a domain linked from everywhere sums locally before
     * the exchange). The per-iteration cost is O(E) rows of (string,
-    * long) — at web scale, dictionary-encode node ids to longs upstream
-    * and the same plan holds. A generation is persisted and materialized
+    * long) — at web scale, pass `encodeIds = true` to run the iterations
+    * over [[idDictionary]]-assigned dense longs (2 shuffles × iters of
+    * (long, long) rows; the encode/decode joins are paid once) with
+    * bit-identical output. A generation is persisted and materialized
     * every 4th iteration (kept shallower than the ~7-deep cliff where
     * iterative DataFrame plans start compounding — see [[Components]]),
     * so short runs execute as a single job; `iters` is fixed and small
@@ -66,7 +111,8 @@ object Graphs {
   def pageRankInt(edges0: DataFrame, srcCol: String, dstCol: String,
                   iters: Int, scaleMu: Long = 1000000L,
                   dampingPct: Int = 85,
-                  redistributeDangling: Boolean = false): DataFrame = {
+                  redistributeDangling: Boolean = false,
+                  encodeIds: Boolean = false): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct must be in [0, 100]")
     // edges feeds four downstream builds (both node branches, the out-deg
@@ -77,6 +123,46 @@ object Graphs {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist()
+    val out =
+      if (!encodeIds) runPageRank(edges, iters, scaleMu, dampingPct, redistributeDangling)
+      else {
+        // dictionary-encode once up front (two node-keyed equi-joins), so
+        // every ITERATION's join + hash-agg shuffles (long, long) rows
+        // instead of string keys — the web-scale posture Graphs.scala has
+        // documented since the string-keyed version: iterations dominate
+        // (2 shuffles × iters vs 2 encode joins + 1 decode join, paid once)
+        val dict = idDictionary(
+          edges.select(col("src").as("node")).union(edges.select(col("dst").as("node"))),
+          "node").persist()
+        dict.count() // materialize BEFORE the two encode joins scan it
+        val enc = edges
+          .join(dict.select(col("node").as("src"), col("node_id").as("__sid")), "src")
+          .join(dict.select(col("node").as("dst"), col("node_id").as("__did")), "dst")
+          .select(col("__sid").as("src"), col("__did").as("dst"))
+          .persist()
+        enc.count() // materialize the encoded graph before iterating
+        val ranked = runPageRank(enc, iters, scaleMu, dampingPct, redistributeDangling)
+        // decode back to the caller's key space; checkpoint severs the
+        // lineage into dict before it is unpersisted
+        val decoded = ranked.join(dict, ranked("node") === dict("node_id"))
+          .select(dict("node"), ranked("rank_mu"))
+          .localCheckpoint(true)
+        enc.unpersist()
+        dict.unpersist()
+        decoded
+      }
+    edges.unpersist()
+    out
+  }
+
+  /** The iteration loop over a normalized, persisted (src, dst) edge
+    * frame — key type is whatever the caller shuffles best (strings on
+    * the direct path, dense longs via [[idDictionary]] when
+    * `encodeIds`). Returns (node, rank_mu) checkpointed, internal
+    * frames unpersisted.
+    */
+  private def runPageRank(edges: DataFrame, iters: Int, scaleMu: Long,
+                          dampingPct: Int, redistributeDangling: Boolean): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -130,7 +216,6 @@ object Graphs {
     dangling.foreach(_._1.unpersist())
     outEdges.unpersist()
     nodes.unpersist()
-    edges.unpersist()
     out
   }
 
@@ -159,6 +244,34 @@ object Graphs {
       .distinct()
     val outEdges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+    val base = ((100L - dampingPct) * scaleMu) / 100L
+    iteration(outEdges, nodes, nodes.withColumn("rank_mu", lit(scaleMu)), base, dampingPct)
+  }
+
+  /** [[iterationPlanFrame]] with `encodeIds` semantics: the dictionary
+    * build, the encode joins, and one power iteration over the LONG-keyed
+    * graph, all unexecuted — so the audit can pin that every iteration
+    * exchange hashes dense long keys, not strings.
+    */
+  private[graft] def iterationPlanFrameEncoded(edges0: DataFrame, srcCol: String,
+                                               dstCol: String, scaleMu: Long = 1000000L,
+                                               dampingPct: Int = 85): DataFrame = {
+    val edges = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val dict = idDictionary(
+      edges.select(col("src").as("node")).union(edges.select(col("dst").as("node"))),
+      "node")
+    val enc = edges
+      .join(dict.select(col("node").as("src"), col("node_id").as("__sid")), "src")
+      .join(dict.select(col("node").as("dst"), col("node_id").as("__did")), "dst")
+      .select(col("__sid").as("src"), col("__did").as("dst"))
+    val nodes = enc.select(col("src").as("node"))
+      .union(enc.select(col("dst").as("node")))
+      .distinct()
+    val outEdges = enc
+      .join(enc.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
     val base = ((100L - dampingPct) * scaleMu) / 100L
     iteration(outEdges, nodes, nodes.withColumn("rank_mu", lit(scaleMu)), base, dampingPct)
   }

@@ -1613,6 +1613,25 @@ object ExtensionQueries {
       SELECT node, rank_mu FROM r3""")
   )
 
+  // Curation 16c: the same PageRank through the dictionary-encoded path —
+  // node ids become idDictionary dense longs before the loop, so every
+  // iteration shuffles (long, long) rows instead of domain strings, and
+  // the decode join restores the caller's key space. The oracle is q87's
+  // SQL verbatim: the contract is BIT-IDENTICAL output, which is exactly
+  // what makes the encode an upstream optimization rather than a new
+  // operator (Common Crawl's graph releases ship this same shape — an id
+  // dictionary plus a long-keyed edge list).
+  private val q111 = Q(
+    "q111_pagerank_encoded",
+    (s, dir) => Graphs.pageRankInt(pagerankEdges(s, dir), "src", "dst",
+      iters = 3, encodeIds = true),
+    Some(s"""WITH $prGraphCtes,
+      ${prIterCte("r0", "r1")},
+      ${prIterCte("r1", "r2")},
+      ${prIterCte("r2", "r3")}
+      SELECT node, rank_mu FROM r3""")
+  )
+
   // Curation 16b: PageRank with CONSERVED mass — the textbook
   // dangling-node treatment (each iteration the dangling total is shared
   // uniformly before damping) as an opt-in beside q87's lost-mass
@@ -2439,5 +2458,5 @@ object ExtensionQueries {
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110)
+    q108, q109, q110, q111)
 }

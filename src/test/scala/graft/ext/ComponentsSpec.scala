@@ -52,6 +52,20 @@ class ComponentsSpec extends SparkFunSuite {
     assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
   }
 
+  test("connectedComponentsStr: string nodes, component = min node string, dictionary-independent") {
+    // url-ish keys whose LEXICOGRAPHIC min differs from hash order, plus a
+    // reversed edge and a self-loop; clusters {a.example, m.example,
+    // z.example} and {beta.example, delta.example}
+    val edges = Seq(
+      "z.example" -> "m.example", "m.example" -> "a.example",
+      "a.example" -> "a.example", "delta.example" -> "beta.example")
+    val got = Components.connectedComponentsStr(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "a.example" -> "a.example", "m.example" -> "a.example", "z.example" -> "a.example",
+      "beta.example" -> "beta.example", "delta.example" -> "beta.example"))
+  }
+
   test("representatives: highest score wins, smallest id on ties, singletons pass through") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("doc_id", "cluster_id")

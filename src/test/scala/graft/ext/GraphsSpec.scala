@@ -106,6 +106,48 @@ class GraphsSpec extends SparkFunSuite {
     assert(run(chain, 3).values.sum < got.values.sum)
   }
 
+  test("idDictionary assigns exactly the dense ids 0..n-1, deterministically") {
+    val keys = ('a' to 'z').map(_.toString)
+    val df = scala.util.Random.shuffle(keys ++ keys.take(9)).toDF("k")
+    // shards = 3 << n so the multi-shard offset prefix-sum is exercised
+    val a = Graphs.idDictionary(df, "k", shards = 3)
+      .collect().map { case Row(k: String, id: Long) => k -> id }.toMap
+    assert(a.keySet === keys.toSet, "one row per distinct key")
+    assert(a.values.toSeq.sorted === (0L until 26L), "ids are dense 0..n-1")
+    val b = Graphs.idDictionary(df.repartition(5), "k", shards = 3)
+      .collect().map { case Row(k: String, id: Long) => k -> id }.toMap
+    assert(a === b, "assignment is independent of input partitioning")
+  }
+
+  test("encodeIds path is bit-identical to the string path") {
+    for (dangle <- Seq(false, true)) {
+      val direct = Graphs.pageRankInt(chain.toDF("src", "dst"), "src", "dst",
+          iters = 3, redistributeDangling = dangle)
+        .collect().map { case Row(n: String, r: Long) => n -> r }.toMap
+      val encoded = Graphs.pageRankInt(chain.toDF("src", "dst"), "src", "dst",
+          iters = 3, redistributeDangling = dangle, encodeIds = true)
+        .collect().map { case Row(n: String, r: Long) => n -> r }.toMap
+      assert(encoded === direct, s"redistributeDangling=$dangle")
+    }
+  }
+
+  test("encoded iteration exchanges hash LONG keys, never strings") {
+    val p = Graphs.iterationPlanFrameEncoded(chain.toDF("src", "dst"), "src", "dst")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"encoded iteration must never fall back to a product join:\n$p")
+    // the per-iteration hot aggregate — the inflow share sum — must key on
+    // a LONG node attribute (the #NNL suffix; a string key prints without
+    // L). The one-time dictionary/encode subtree legitimately hashes the
+    // string keys once, so the pin targets the iteration agg, not every
+    // exchange in the frame.
+    val inflowAggs = raw"HashAggregate\(keys=\[node#\d+(L?)[^\n]*sum\(__share".r
+      .findAllMatchIn(p).toSeq
+    assert(inflowAggs.nonEmpty, s"expected the inflow share agg in:\n$p")
+    assert(inflowAggs.forall(_.group(1) == "L"),
+      s"inflow agg keyed on a string node — encode did not reach the loop:\n$p")
+  }
+
   test("deterministic under input partitioning") {
     val df = chain.toDF("src", "dst").repartition(7)
     val a = Graphs.pageRankInt(df, "src", "dst", 3)
