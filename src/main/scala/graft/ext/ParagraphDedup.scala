@@ -187,10 +187,15 @@ object ParagraphDedup {
     * reports a span of exactly L while scattered single duplicated
     * shingles report `shingleN`).
     *
-    * Output `(idCol, n_shingles, n_dup, max_run, max_span_tokens)`:
-    * `max_run` is the longest consecutive duplicated-shingle run (0 when
-    * nothing is duplicated) and `max_span_tokens = max_run + shingleN - 1`
-    * (0 when max_run = 0) is the token length of that span.
+    * Output `(idCol, n_shingles, n_dup, max_run, max_span_tokens,
+    * max_run_start_idx)`: `max_run` is the longest consecutive
+    * duplicated-shingle run (0 when nothing is duplicated),
+    * `max_span_tokens = max_run + shingleN - 1` (0 when max_run = 0) is
+    * the token length of that span, and `max_run_start_idx` is the TOKEN
+    * OFFSET where it starts (earliest such run on ties; −1 when no run) —
+    * the cut position a remediation pass needs (Lee et al.'s pipeline
+    * emits positions, not just lengths: the span to remove is
+    * tokens [max_run_start_idx, max_run_start_idx + max_span_tokens)).
     *
     * Plan: positioned shingles → distinct (doc, digest) → doc-frequency
     * hash-aggregate (one row per distinct shingle, map-side combinable) →
@@ -215,12 +220,18 @@ object ParagraphDedup {
       count(lit(1)).as("n_shingles"),
       sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"))
 
-    // islands: consecutive duplicated positions share (idx - rank) within a doc
+    // islands: consecutive duplicated positions share (idx - rank) within a
+    // doc; per island keep (length, start), then argmax by (length desc,
+    // start asc) via the partial-aggregable min(struct) trick
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("idx"))
     val runs = marked.filter(col("__dup"))
       .withColumn("__grp", col("idx") - row_number().over(byDoc))
-      .groupBy(col(idCol), col("__grp")).agg(count(lit(1)).as("__run"))
-      .groupBy(col(idCol)).agg(max(col("__run")).as("max_run"))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"), min(col("idx")).as("__start"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__run")).as("nr"), col("__start").as("st"))).as("__best"))
+      .select(col(idCol), (-col("__best.nr")).as("max_run"),
+        col("__best.st").as("__start"))
 
     totals.join(runs, Seq(idCol), "left").select(
       col(idCol),
@@ -229,7 +240,8 @@ object ParagraphDedup {
       coalesce(col("max_run"), lit(0L)).as("max_run"),
       when(coalesce(col("max_run"), lit(0L)) > 0L,
         coalesce(col("max_run"), lit(0L)) + lit(shingleN - 1).cast("long"))
-        .otherwise(0L).as("max_span_tokens"))
+        .otherwise(0L).as("max_span_tokens"),
+      coalesce(col("__start"), lit(-1L)).as("max_run_start_idx"))
   }
 
   /** Per-source boilerplate paragraphs: the fixed-width paragraphs that

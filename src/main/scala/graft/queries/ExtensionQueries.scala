@@ -2182,15 +2182,20 @@ object ExtensionQueries {
       mk AS (SELECT doc_id, idx, (n_docs > 1) AS dup FROM sh JOIN dfq USING (h)),
       tot AS (SELECT doc_id, count(*) AS n_shingles,
         CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM mk GROUP BY 1),
-      isl AS (SELECT doc_id,
+      isl AS (SELECT doc_id, idx,
         idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
         FROM mk WHERE dup),
-      runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp),
-      mx AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY 1)
+      runs AS (SELECT doc_id, count(*) AS run, min(idx) AS st
+        FROM isl GROUP BY doc_id, grp),
+      mx AS (SELECT doc_id, run AS max_run, st FROM (
+        SELECT doc_id, run, st,
+          row_number() OVER (PARTITION BY doc_id ORDER BY run DESC, st ASC) AS rk
+        FROM runs) WHERE rk = 1)
       SELECT tot.doc_id, n_shingles, n_dup,
         COALESCE(max_run, 0) AS max_run,
         CASE WHEN COALESCE(max_run, 0) > 0 THEN COALESCE(max_run, 0) + 2
-             ELSE 0 END AS max_span_tokens
+             ELSE 0 END AS max_span_tokens,
+        COALESCE(st, -1) AS max_run_start_idx
       FROM tot LEFT JOIN mx ON tot.doc_id = mx.doc_id""")
   )
 

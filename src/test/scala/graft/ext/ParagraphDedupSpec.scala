@@ -91,16 +91,33 @@ class ParagraphDedupSpec extends SparkFunSuite {
     ).toDF("doc_id", "text")
     val out = ParagraphDedup.longestDupRun(docs, "doc_id", "text", shingleN = 3)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
       .toMap
     // docs 1/2: positions 0,1,2 ("a b c","b c d","c d e") duplicated → run 3,
-    // span = 3 + (3-1) = 5 tokens ("a b c d e")
-    assert(out(1L) == ((6L, 3L, 3L, 5L)))
-    assert(out(2L) == ((6L, 3L, 3L, 5L)))
-    assert(out(3L) == ((1L, 0L, 0L, 0L)))
+    // span = 3 + (3-1) = 5 tokens ("a b c d e") starting at token 0
+    assert(out(1L) == ((6L, 3L, 3L, 5L, 0L)))
+    assert(out(2L) == ((6L, 3L, 3L, 5L, 0L)))
+    assert(out(3L) == ((1L, 0L, 0L, 0L, -1L)))
     // doc 4: dup at pos 0 ("a b c") and pos 6 ("c d e"), never adjacent →
-    // max_run 1, span 3 — the contiguity signal q100 can't see
-    assert(out(4L) == ((7L, 2L, 1L, 3L)))
+    // max_run 1, span 3, EARLIEST start on ties (0, not 6) — the cut
+    // position [start, start + span) a remediation pass removes
+    assert(out(4L) == ((7L, 2L, 1L, 3L, 0L)))
+  }
+
+  test("longestDupRun: tie-break picks the earliest of equal-length runs") {
+    // doc 5's two dup runs both have length 1 ("m n o" at 2, "c d e" at 6);
+    // doc 6 has its LONGEST run late (start 4, len 2) with a shorter dup
+    // earlier (start 0, len 1) — longest must win over earliest
+    val docs = Seq(
+      (1L, "m n o p"), (2L, "c d e f"), (3L, "x c d e f y"),
+      (5L, "q r m n o z c d e"),
+      (6L, "m n o w c d e f q")
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.longestDupRun(docs, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5)))).toMap
+    assert(out(5L) == ((1L, 2L)))
+    assert(out(6L) == ((2L, 4L)))
   }
 
   test("boilerplateParagraphs: source-local distinct-doc threshold") {
