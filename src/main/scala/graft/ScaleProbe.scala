@@ -108,8 +108,15 @@ object ScaleProbe {
           cached = cached ++ Seq(dict, e)
           e
         }
-      val nodes = g.select(col("src").as("node")).union(g.select(col("dst").as("node"))).distinct()
-      val outEdges = g.join(g.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      // nodes-distinct and out-degree are one-time prep: persist+count them
+      // here so their exchanges execute OUTSIDE the measured frame and the
+      // reported MB is genuinely one iteration's shuffle
+      val nodes = g.select(col("src").as("node")).union(g.select(col("dst").as("node")))
+        .distinct().persist()
+      nodes.count()
+      val outEdges = g.join(g.groupBy("src").agg(count(lit(1)).as("odeg")), "src").persist()
+      outEdges.count()
+      cached = cached ++ Seq(nodes, outEdges)
       val it = graft.ext.Graphs.iteration(outEdges, nodes,
         nodes.withColumn("rank_mu", lit(150000L)), 150000L, 85)
       it.collect() // collect drives it.queryExecution itself, so its metrics populate

@@ -302,8 +302,11 @@ object VectorSearch {
       centroids: DataFrame, k: Int, nprobes: Seq[Int], roundDigits: Int = 4
   ): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
+    // a repeated tier would emit duplicate (nprobe, qid, id) blocks — the
+    // curve is keyed by probe width, so tiers are a set
+    val tiers = nprobes.distinct
     val d = dotFn(queries.sparkSession)
-    val maxProbe = nprobes.max
+    val maxProbe = tiers.max
     val lists = assignToNearestCentroid(corpus, idCol, vecCol, centroids)
       .select(col("id"), col("label").as("__list"))
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
@@ -333,7 +336,7 @@ object VectorSearch {
       .orderBy(col("sim").desc, col("id"))
     scored
       .withColumn("nprobe",
-        explode(array(nprobes.map(n => lit(n.toLong)): _*)))
+        explode(array(tiers.map(n => lit(n.toLong)): _*)))
       .filter(col("__rrnk") <= col("nprobe"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -2400,6 +2400,10 @@ object ExtensionQueries {
   // One corpus probe at the widest tier serves all four rows
   // ([[VectorSearch.ivfTopKTrainedCurve]]); the oracle replays the Lloyd's
   // chain, the ranked routing, and each tier's top-5.
+  // single source of truth for q110's probe tiers — the curve call, the
+  // join spine, and the oracle's VALUES list all derive from this Seq
+  private val ivfCurveNprobes = Seq(1, 2, 4, 8)
+
   private val q110 = Q(
     "q110_ivf_nprobe_curve",
     (s, dir) => {
@@ -2412,12 +2416,12 @@ object ExtensionQueries {
         .select(col("qid"), col("id"))
       val curve = VectorSearch.ivfTopKTrainedCurve(
         qs, cs, "vec_id", "embedding", "vec_id", "embedding",
-        QueryCaches.ivfCentFor(s, dir), k = 5, nprobes = Seq(1, 2, 4, 8))
+        QueryCaches.ivfCentFor(s, dir), k = 5, nprobes = ivfCurveNprobes)
         .select(col("nprobe"), col("qid"), col("id"))
       val hits = curve.join(exact, Seq("qid", "id"))
         .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
       val nExact = exact.agg(count(lit(1)).as("n_exact"))
-      Seq(1L, 2L, 4L, 8L).toDF("nprobe")
+      ivfCurveNprobes.map(_.toLong).toDF("nprobe")
         .join(hits, Seq("nprobe"), "left")
         .crossJoin(broadcast(nExact))
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
@@ -2434,7 +2438,7 @@ object ExtensionQueries {
       rr AS (SELECT qid, list,
         row_number() OVER (PARTITION BY qid ORDER BY d2, list) AS rn FROM rd),
       probes AS (SELECT CAST(nprobe AS BIGINT) AS nprobe
-        FROM (VALUES (1), (2), (4), (8)) t(nprobe)),
+        FROM (VALUES ${ivfCurveNprobes.map(n => s"($n)").mkString(", ")}) t(nprobe)),
       route AS (SELECT p.nprobe, rr.qid, rr.list
         FROM probes p JOIN rr ON rr.rn <= p.nprobe),
       tcl AS (SELECT cd.vec_id AS id, cd.code AS list, ev.v
