@@ -12,8 +12,18 @@ import org.apache.spark.sql.types.LongType
   * storage layout can change without touching the operator library.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** The test tables write naive (not UTC-adjusted) parquet timestamps;
+    * Spark's default NTZ inference would surface them as TIMESTAMP_NTZ,
+    * which `unix_micros`/interval arithmetic reject and the hidden-
+    * partitioning rewrite doesn't match. The session runs in UTC, so
+    * reading them as plain TimestampType (micros-since-epoch) preserves
+    * the wall clock exactly AND keeps scan-level predicate pushdown on
+    * the timestamp columns (a cast-on-top normalization would not).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
