@@ -74,7 +74,9 @@ object Explain {
     "q107_lexical_diversity", // (source, token) agg → per-source roll-up
     "q108_incr_paragraph_dedup", // min(struct) winners → one digest anti join
     "q109_lsh_recall",     // sampled truth ⋈ band candidates, product-free
-    "q110_ivf_nprobe_curve" // one widest-tier probe fans out via explode
+    "q110_ivf_nprobe_curve", // one widest-tier probe fans out via explode
+    "q112_curation_v2"     // RefinedWeb-ordered pipeline: budget windows +
+                           // broadcast verdict over the memoized v2 meta
   )
 
   def main(args: Array[String]): Unit = {

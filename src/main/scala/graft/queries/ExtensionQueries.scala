@@ -2462,10 +2462,188 @@ object ExtensionQueries {
       FROM probes p LEFT JOIN hits h USING (nprobe), nex""")
   )
 
+  // Pipelines 2: the RefinedWeb-ordered curation showpiece (Penedo et al.
+  // 2023's stage order) — q69's chain upgraded with the round-7 dedup
+  // tiers in production position: corpus-wide PARAGRAPH dedup first
+  // (q99's operator), quality scored on the DEDUPED text, exact-shingle
+  // decontamination against the holdout, SEMANTIC dedup (q97's SemDeDup)
+  // over the survivors' embeddings, then the per-source token budget
+  // (q65's shard-decomposed sampler, composed as the library operator).
+  // Planted duplicates exercise both dedup tiers deterministically: full
+  // copies die at the paragraph stage (every window already seen), near
+  // copies — same body plus a fresh unique tail — survive it shortened
+  // and die at the semantic stage (they inherit the original's embedding:
+  // emb key = doc_id % 100000, cosine exactly 1). Verdicts carry
+  // pipeline-order precedence; the narrow verdict-precursor frame is
+  // memoized like q69's, one stage deeper (the semantic stage self-joins
+  // stage-3 survivors, so the builder materializes stage 3 once before
+  // branching).
+  private val q112 = Q(
+    "q112_curation_v2",
+    (s, dir) => {
+      val lbl  = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      val docs = docsSpread(s, dir)
+      val base = docs.filter(lbl === "train").select(col("doc_id"), col("source"), col("text"))
+      val holdout = docs.filter(lbl === "val").select(col("doc_id"), col("text"))
+      val copiesA = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val tailCol = concat_ws(" ",
+        Seq("za", "zb", "zc", "zd", "ze", "zf", "zg", "zh")
+          .map(t => concat(lit(t), col("doc_id"))): _*)
+      val copiesB = base.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", concat(col("text"), lit(" "), tailCol))
+      val corpus = base.unionByName(copiesA).unionByName(copiesB)
+      val meta = QueryCaches.curationV2MetaFor(s, dir) {
+        // 1: corpus-wide paragraph dedup, first occurrence wins
+        val pd = ParagraphDedup.paragraphDedup(corpus, "doc_id", "text", paraTokens = 10)
+        // 2: quality on the deduped text
+        val toks = TextDedup.tokens(col("kept_text"))
+        val sh   = TextDedup.wordShingles(toks, 2)
+        val s2 = corpus.select(col("doc_id"), col("source"))
+          .join(pd.select(col("doc_id"), col("n_paras"), col("n_kept"), col("kept_text")),
+            Seq("doc_id"), "left")
+          .withColumn("kept_text", coalesce(col("kept_text"), lit("")))
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .withColumn("__nsh", size(sh).cast("long"))
+          .withColumn("__nd", size(array_distinct(sh)).cast("long"))
+          .withColumn("rep_bp", when(col("__nsh") > 0,
+            expr("((__nsh - __nd) * 10000L) div __nsh")).otherwise(0L))
+          .withColumn("para_dup",
+            coalesce(col("n_paras"), lit(0L)) > 0 && coalesce(col("n_kept"), lit(0L)) === 0)
+          .withColumn("low_quality", col("n_tokens") < 5 || col("rep_bp") >= 600)
+        // 3: decontaminate the survivors' KEPT text against the holdout
+        val cands = s2.filter(!col("para_dup") && !col("low_quality"))
+        val contam = Decontaminate.contamination(
+            cands.select(col("doc_id"), col("kept_text").as("text")),
+            holdout, "doc_id", "text", shingleN = 5)
+          .select(col("doc_id"), col("contaminated"))
+        val m3 = s2.join(contam, Seq("doc_id"), "left")
+          .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("para_dup"), col("low_quality"), col("contaminated"))
+          .persist()
+        m3.count() // materialize: the semantic stage self-joins this frame
+        // 4: semantic dedup over the survivors' embeddings
+        val survEmb = m3
+          .filter(!col("para_dup") && !col("low_quality") && !col("contaminated"))
+          .select(col("doc_id"), (col("doc_id") % 100000L).as("vec_id"))
+          .join(Tables.embeddings(s, dir), "vec_id")
+          .select(col("doc_id"), col("embedding"))
+        val sem = VectorSearch.semanticDedup(survEmb, "doc_id", "embedding",
+            QueryCaches.fullCentFor(s, dir), threshold = 0.8)
+          .select(col("id").as("doc_id"), col("is_dup").as("semantic_dup"))
+        val m4 = m3.join(sem, Seq("doc_id"), "left")
+          .withColumn("semantic_dup", coalesce(col("semantic_dup"), lit(false)))
+          .persist()
+        m4.count()
+        m3.unpersist()
+        m4
+      }
+      // 5: per-source token budget over what's left (the library sampler —
+      // admitted ids are budget-bounded, so they broadcast back)
+      val surviving = !col("para_dup") && !col("low_quality") &&
+        !col("contaminated") && !col("semantic_dup")
+      val admitted = Sampling.tokenBudgetSample(
+          meta.filter(surviving).select(col("doc_id"), col("source"), col("n_tokens")),
+          "source", "doc_id", "n_tokens", budget = 700L)
+        .select(col("doc_id"), lit(true).as("__adm"))
+      meta.join(broadcast(admitted), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          when(col("para_dup"), "para_dup")
+            .when(col("low_quality"), "low_quality")
+            .when(col("contaminated"), "contaminated")
+            .when(col("semantic_dup"), "semantic_dup")
+            .when(col("__adm").isNull, "over_budget")
+            .otherwise("kept").as("verdict"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, source, text FROM documents
+        WHERE (${TrainingQueries.md5Bucket16Sql("doc_id")}) < 58982),
+      hold_docs AS (SELECT doc_id, text FROM documents
+        WHERE (${TrainingQueries.md5Bucket16Sql("doc_id")}) >= 58982),
+      corpus AS (SELECT doc_id, source, text FROM base
+        UNION ALL SELECT doc_id + 100000, source, text FROM base WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 200000, source,
+          text || ' za' || (doc_id + 200000) || ' zb' || (doc_id + 200000) ||
+          ' zc' || (doc_id + 200000) || ' zd' || (doc_id + 200000) ||
+          ' ze' || (doc_id + 200000) || ' zf' || (doc_id + 200000) ||
+          ' zg' || (doc_id + 200000) || ' zh' || (doc_id + 200000)
+          FROM base WHERE doc_id % 10 = 5),
+      ctoks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM corpus),
+      pt AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+        FROM ctoks WHERE len(w) > 0),
+      paras AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        array_to_string(w[CAST(i*10+1 AS INT) : CAST(least(i*10+10, n) AS INT)], ' ') AS para
+        FROM pt, UNNEST(range(0, (n + 9) // 10)) AS u(i)),
+      ranked AS (SELECT doc_id, idx, para,
+        row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn FROM paras),
+      win AS (SELECT doc_id, idx, para FROM ranked WHERE rn = 1),
+      kept AS (SELECT doc_id, count(*) AS n_kept,
+        string_agg(para, ' ' ORDER BY idx) AS kept_text FROM win GROUP BY 1),
+      tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+      s1 AS (SELECT c.doc_id, c.source,
+          COALESCE(tot.n_paras, 0) AS n_paras,
+          COALESCE(kept.n_kept, 0) AS n_kept,
+          COALESCE(kept.kept_text, '') AS kept_text
+        FROM corpus c LEFT JOIN tot ON c.doc_id = tot.doc_id
+        LEFT JOIN kept ON c.doc_id = kept.doc_id),
+      ktk AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(kept_text), '\\s+'), x -> x <> '') AS w
+        FROM s1),
+      ksh AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s2g
+        FROM ktk, UNNEST(range(1, len(w))) AS t(i)),
+      rep AS (SELECT doc_id, count(*) AS nsh, count(DISTINCT s2g) AS nd FROM ksh GROUP BY 1),
+      s2 AS (SELECT s1.doc_id, s1.source, CAST(len(ktk.w) AS BIGINT) AS n_tokens,
+          (s1.n_paras > 0 AND s1.n_kept = 0) AS para_dup,
+          (len(ktk.w) < 5 OR COALESCE((rep.nsh - rep.nd) * 10000 // rep.nsh, 0) >= 600) AS low_quality
+        FROM s1 JOIN ktk USING (doc_id) LEFT JOIN rep USING (doc_id)),
+      sh5c AS (SELECT DISTINCT ktk.doc_id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s5
+        FROM ktk JOIN s2 USING (doc_id), UNNEST(range(1, len(w)-3)) AS t(i)
+        WHERE NOT s2.para_dup AND NOT s2.low_quality),
+      htk AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM hold_docs),
+      hold5 AS (SELECT DISTINCT
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s5
+        FROM htk, UNNEST(range(1, len(w)-3)) AS t(i)),
+      contam AS (SELECT DISTINCT sh5c.doc_id FROM sh5c JOIN hold5 USING (s5)),
+      s3 AS (SELECT s2.*,
+          (s2.doc_id IN (SELECT doc_id FROM contam)) AS contaminated FROM s2),
+      ${pqOracleCtes("TRUE", subDim = 64, k = 10, iters = 2)},
+      cl AS (SELECT s.doc_id AS id, cd.code AS cluster, v.e AS vv
+        FROM s3 s JOIN codes cd ON cd.vec_id = s.doc_id % 100000
+        JOIN v ON v.vec_id = cd.vec_id
+        WHERE NOT s.para_dup AND NOT s.low_quality AND NOT s.contaminated),
+      semp AS (SELECT b.id AS doc_id FROM cl a JOIN cl b
+        ON a.cluster = b.cluster AND a.id < b.id
+        WHERE round(${duckCos("a.vv", "b.vv")}, 4) >= 0.8
+        GROUP BY 1),
+      s4 AS (SELECT s3.*,
+          (s3.doc_id IN (SELECT doc_id FROM semp)) AS semantic_dup FROM s3),
+      surv AS (SELECT doc_id, source, n_tokens,
+          (${TrainingQueries.md5Bucket16Sql("doc_id")}) AS hkey FROM s4
+        WHERE NOT para_dup AND NOT low_quality AND NOT contaminated AND NOT semantic_dup),
+      adm AS (SELECT doc_id FROM (
+          SELECT doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY hkey, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM surv)
+        WHERE cum - n_tokens < 700)
+      SELECT doc_id, source, n_tokens,
+        CASE WHEN para_dup THEN 'para_dup'
+             WHEN low_quality THEN 'low_quality'
+             WHEN contaminated THEN 'contaminated'
+             WHEN semantic_dup THEN 'semantic_dup'
+             WHEN doc_id NOT IN (SELECT doc_id FROM adm) THEN 'over_budget'
+             ELSE 'kept' END AS verdict
+      FROM s4""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111)
+    q108, q109, q110, q111, q112)
 }

@@ -33,6 +33,8 @@ private[graft] object QueryCaches {
   private val ivfCache    = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val semCache    = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val curationCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
+  private val curationV2Cache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
+  private val fullCentCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val bpeCache    = new ConcurrentHashMap[SparkSession, (String, Seq[(Long, String, String, Long)])]()
   private val layoutCache = new ConcurrentHashMap[SparkSession, (String, Path)]()
   private val snapCache   = new ConcurrentHashMap[SparkSession, (String, Path)]()
@@ -140,6 +142,44 @@ private[graft] object QueryCaches {
           val df = build.persist()
           df.count()
           curationCache.put(s, (dir, df))
+          df
+      }
+    }
+
+  /** q112's curated-metadata frame (doc_id, source, n_tokens, para_dup,
+    * low_quality, contaminated, semantic_dup) for (s, dir). Unlike
+    * [[curationMetaFor]], the builder returns an ALREADY
+    * persisted+materialized frame — the v2 chain has an internal branch
+    * point (the semantic stage self-joins the stage-3 survivors), so the
+    * builder persists its own intermediate, materializes the final frame,
+    * and releases the intermediate before returning.
+    */
+  def curationV2MetaFor(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    curationV2Cache.synchronized {
+      curationV2Cache.get(s) match {
+        case (d, df) if d == dir => df
+        case prev =>
+          if (prev != null) prev._2.unpersist()
+          val df = build
+          curationV2Cache.put(s, (dir, df))
+          df
+      }
+    }
+
+  /** Coarse k-means centroids over the FULL embeddings table (k = 10, two
+    * Lloyd's rounds) for (s, dir) — the train-once router the v2 curation
+    * pipeline's semantic stage reuses across invocations. kmeansFit
+    * localizes its bounded (k × dims) result, so like [[ivfCentFor]] the
+    * cache only avoids re-TRAINING per invocation.
+    */
+  def fullCentFor(s: SparkSession, dir: String): DataFrame =
+    fullCentCache.synchronized {
+      fullCentCache.get(s) match {
+        case (d, df) if d == dir => df
+        case _ =>
+          val df = graft.ext.VectorSearch.kmeansFit(
+            graft.Tables.embeddings(s, dir), "vec_id", "embedding", k = 10, iters = 2)
+          fullCentCache.put(s, (dir, df))
           df
       }
     }
@@ -262,6 +302,12 @@ private[graft] object QueryCaches {
     }
     curationCache.synchronized {
       Option(curationCache.remove(s)).foreach(_._2.unpersist())
+    }
+    curationV2Cache.synchronized {
+      Option(curationV2Cache.remove(s)).foreach(_._2.unpersist())
+    }
+    fullCentCache.synchronized {
+      fullCentCache.remove(s) // localized frame — nothing persisted to release
     }
     bpeCache.synchronized {
       bpeCache.remove(s) // driver-local rows — nothing persisted to release

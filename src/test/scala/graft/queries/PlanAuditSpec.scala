@@ -257,6 +257,21 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no global sort belongs in the curation plan:\n$p")
   }
 
+  test("q112: v2 curation keeps the q69 shape with the semantic stage memoized") {
+    val p = plan("q112_curation_v2")
+    // the verdict plan reads the persisted v2 meta frame (the heavy
+    // paragraph/semantic chain ran once inside the cache builder), then
+    // runs the shard-decomposed budget windows + a broadcast verdict join
+    assert("hashpartitioning\\(source#\\d+, __shard#".r.findFirstIn(p).isDefined,
+      s"budget stage must hash-partition by (source, __shard):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"admitted-set join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product join belongs in the curation plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort belongs in the curation plan:\n$p")
+  }
+
   test("q38: trained IVF broadcasts centroids and routed queries; no product join") {
     val p = plan("q38_ann_ivf")
     // centroid cells broadcast into assignment + routing, and the routed
