@@ -458,6 +458,60 @@ object VectorSearch {
       .withColumn("is_dup", col("n_dups") > 0)
   }
 
+  /** Batch-incremental SemDeDup — the [[semanticDedup]] admission test run
+    * against a PERSISTED cluster index (the paragraph-dedup q108 pattern
+    * one tier up): admit only batch vectors with no semantic duplicate
+    * (cosine ≥ threshold) among (a) smaller-id batch rows in the same
+    * cluster and (b) already-indexed rows in the same cluster. Exact id
+    * re-deliveries are dropped first (anti join on id), which also makes
+    * replay idempotent: a re-delivered batch finds every prior admit in
+    * the index and admits nothing new.
+    *
+    * `index` carries (idCol, cluster, vec: array<double>) — the frame this
+    * function's own output accumulates into. Scale posture: both probes
+    * are cluster-keyed equi-joins (never a corpus product), the centroids
+    * stay a broadcast k×dims frame, and the batch is the build side while
+    * the corpus-sized index streams — per-batch cost is bounded by batch
+    * size times cluster occupancy, not corpus size.
+    *
+    * Output: admitted rows as (idCol, cluster, vec), ready to append to
+    * the index.
+    */
+  def semanticDedupIncremental(batch: DataFrame, index: DataFrame,
+                               idCol: String, vecCol: String,
+                               centroids: DataFrame, threshold: Double,
+                               roundDigits: Int = 4): DataFrame = {
+    val d = dotFn(batch.sparkSession)
+    val assigned = assignToNearestCentroid(batch, idCol, vecCol, centroids)
+      .select(col("id").as(idCol), col("label").as("cluster"))
+    val keyed = batch.select(col(idCol), asDouble(col(vecCol)).as("vec"))
+      .join(assigned, idCol)
+      .withColumn("__n", sqrt(d(col("vec"), col("vec"))))
+    // exact re-delivery drop: ids already indexed never re-admit
+    val fresh = keyed.join(index.select(col(idCol)), Seq(idCol), "left_anti")
+    val idx = index.select(col(idCol).as("__iid"), col("cluster"),
+      col("vec").as("__iv"))
+      .withColumn("__in", sqrt(d(col("__iv"), col("__iv"))))
+    def simAtLeast(va: Column, na: Column, vb: Column, nb: Column): Column = {
+      val denom = na * nb
+      round(when(denom =!= 0.0, d(va, vb) / denom), roundDigits) >= threshold
+    }
+    // (a) within-batch: smaller id in the same cluster wins
+    val batchDup = fresh.as("a").join(fresh.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(simAtLeast(col("a.vec"), col("a.__n"), col("b.vec"), col("b.__n")))
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    // (b) vs the persisted index: any same-cluster indexed neighbor kills
+    val indexDup = fresh.join(idx, "cluster")
+      .filter(simAtLeast(col("vec"), col("__n"), col("__iv"), col("__in")))
+      .select(col(idCol)).distinct()
+    fresh
+      .join(batchDup, Seq(idCol), "left_anti")
+      .join(indexDup, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"), col("vec"))
+  }
+
   /** Sign random projection (the Johnson–Lindenstrauss-style sketch with a
     * ±1 matrix — Achlioptas, "Database-friendly random projections", PODS
     * 2001): project each embedding onto `outDims` fixed ±1 directions,

@@ -389,6 +389,66 @@ object StreamPipelines {
         upsertBatch(batch, targetPath, key, orderCol, tieBreak, denseCols, sparseCols)
       }
 
+  /** Streaming twin of the v2 curation pipeline's semantic tier (q112) —
+    * [[graft.ext.VectorSearch.semanticDedupIncremental]] run per
+    * micro-batch against a PERSISTED cluster index: arriving embeddings
+    * are routed by the frozen centroids (trained offline, broadcast),
+    * compared only within their cluster against the batch and the index,
+    * and the admitted ones are appended to the index. The paragraph-dedup
+    * q108 asymmetry holds one tier up: the batch is the build side, the
+    * corpus-sized index streams, so per-batch latency is bounded by batch
+    * size times cluster occupancy, not corpus history.
+    *
+    * Replay-safe: a re-delivered batch finds its own prior admits in the
+    * index (anti join on id) and appends nothing — the index converges.
+    */
+  def semanticDedupSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      threshold: Double,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        semanticDedupIngestBatch(batch, idCol, vecCol, centroids, indexPath, threshold)
+      }
+
+  /** The batch body of [[semanticDedupSink]], callable directly (and from
+    * tests): admit against the index at `indexPath` (absent = empty) and
+    * append the admitted (id, cluster, vec) rows.
+    */
+  def semanticDedupIngestBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      indexPath: String,
+      threshold: Double
+  ): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val index =
+        if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
+        else batch.select(col(idCol), lit(0L).as("cluster"),
+          graft.ext.VectorSearch.asDouble(col(vecCol)).as("vec")).limit(0)
+      val admitted = graft.ext.VectorSearch.semanticDedupIncremental(
+        batch, index, idCol, vecCol, centroids, threshold)
+      admitted.write.mode("append").parquet(indexPath)
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
   /** The batch body of [[upsertSink]], callable directly (and from tests). */
   def upsertBatch(
       batch: DataFrame,

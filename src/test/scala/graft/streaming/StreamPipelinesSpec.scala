@@ -454,6 +454,51 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("semanticDedupSink admits per cluster vs batch AND persisted index; replay converges") {
+    // frozen 2-dim router: centroid 0 = (1, 0), centroid 1 = (0, 1)
+    val cents = Seq((0L, 1L, 10000L), (0L, 2L, 0L), (1L, 1L, 0L), (1L, 2L, 10000L))
+      .toDF("label", "dim", "c_bp")
+    val indexPath = tmpDir("semidx") + "/index"
+    def batchOf(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+    def indexIds = spark.read.parquet(indexPath).collect().map(_.getLong(0)).toSet
+
+    // batch 1: 2 is a near-dup of 1 (same cluster, cos ≈ 1); 3 and 4 land
+    // in cluster 1 but cos(3,4) = 0.8 < threshold → both admitted
+    StreamPipelines.semanticDedupIngestBatch(
+      batchOf(1L -> Seq(1.0, 0.0), 2L -> Seq(0.99, 0.01),
+        3L -> Seq(0.0, 1.0), 4L -> Seq(0.6, 0.8)),
+      "vec_id", "embedding", cents, indexPath, threshold = 0.95)
+    assert(indexIds == Set(1L, 3L, 4L))
+
+    // batch 2: 5 duplicates INDEXED 1 (killed by the index probe), 1 is an
+    // exact id re-delivery (killed by the anti join), 7 is genuinely fresh
+    val batch2 = batchOf(5L -> Seq(1.0, 0.005), 1L -> Seq(1.0, 0.0),
+      7L -> Seq(0.8, -0.6))
+    StreamPipelines.semanticDedupIngestBatch(
+      batch2, "vec_id", "embedding", cents, indexPath, threshold = 0.95)
+    assert(indexIds == Set(1L, 3L, 4L, 7L))
+
+    // replay batch 2 verbatim: every admit is already indexed → no growth
+    StreamPipelines.semanticDedupIngestBatch(
+      batch2, "vec_id", "embedding", cents, indexPath, threshold = 0.95)
+    assert(indexIds == Set(1L, 3L, 4L, 7L))
+    assert(spark.read.parquet(indexPath).count() == 4) // no duplicate rows either
+
+    // end-to-end through the streaming sink wiring
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamPipelines.semanticDedupSink(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cents, indexPath, tmpDir("semidx-ckpt"), threshold = 0.95,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      .start()
+    try {
+      input.addData(8L -> Seq(-1.0, 0.0), 9L -> Seq(0.01, 0.99)) // 9 dups indexed 3
+      q.processAllAvailable()
+      assert(indexIds == Set(1L, 3L, 4L, 7L, 8L))
+    } finally q.stop()
+  }
+
   test("fluencyScoreStream scores against a frozen model; unknown bigrams skipped") {
     implicit val sql = spark.sqlContext
     // model trained on a batch corpus: c("a b")=2, c("b a")=1 → prefix a=2+0…
