@@ -75,8 +75,11 @@ object Explain {
     "q108_incr_paragraph_dedup", // min(struct) winners → one digest anti join
     "q109_lsh_recall",     // sampled truth ⋈ band candidates, product-free
     "q110_ivf_nprobe_curve", // one widest-tier probe fans out via explode
-    "q112_curation_v2"     // RefinedWeb-ordered pipeline: budget windows +
+    "q112_curation_v2",    // RefinedWeb-ordered pipeline: budget windows +
                            // broadcast verdict over the memoized v2 meta
+    "q113_perplexity_buckets", // score-cutoff buckets from the per-source
+                           // histogram window (no corpus rank window)
+    "q114_gopher_rules"    // projection signals + doc-keyed top-2gram aggs
   )
 
   def main(args: Array[String]): Unit = {

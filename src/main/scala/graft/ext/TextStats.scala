@@ -471,6 +471,95 @@ object TextStats {
         sum(col("__n_occ") * col("p_permille")).as("sum_p_permille"))
       .withColumn("fluency_permille", expr("sum_p_permille div n_bigrams"))
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020 §4.3): score every
+    * document with the corpus-trained bigram LM ([[bigramFluency]], higher
+    * = more fluent = lower perplexity) and split each source into
+    * head / middle / tail thirds by score. CCNet sorts per language and
+    * cuts at percentiles; the scale-safe formulation here buckets by SCORE
+    * CUTOFF, not by rank: the per-(source, score) histogram is bounded at
+    * ≤ 1001 rows per source (scores are permille integers), so the
+    * cumulative window runs over the HISTOGRAM — a corpus-size-independent
+    * frame — never over the documents. Docs sharing a score share a bucket
+    * (the percentile approximation CCNet's value-cutoff variant makes);
+    * docs with no bigrams (< 2 tokens) score 0.
+    *
+    * Output: (idCol, sourceCol, fluency_permille, bucket).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, sourceCol: String,
+                        textCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol), col(sourceCol))
+      .join(bigramFluency(df, idCol, textCol).select(col(idCol), col("fluency_permille")),
+        Seq(idCol), "left")
+      .withColumn("fluency_permille", coalesce(col("fluency_permille"), lit(0L)))
+    val wCum = W.partitionBy(col(sourceCol)).orderBy(col("fluency_permille").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cuts = scored.groupBy(col(sourceCol), col("fluency_permille"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cum_before", sum(col("__n")).over(wCum) - col("__n"))
+      .withColumn("__total", sum(col("__n")).over(W.partitionBy(col(sourceCol))))
+      .select(col(sourceCol), col("fluency_permille"),
+        when(col("__cum_before") * 3 < col("__total"), "head")
+          .when(col("__cum_before") * 3 < col("__total") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    scored.join(cuts, Seq(sourceCol, "fluency_permille"))
+      .select(col(idCol), col(sourceCol), col("fluency_permille"), col("bucket"))
+  }
+
+  /** The Gopher quality-rule bundle (Rae et al. 2021 §A.1.1): the
+    * per-document heuristic signals MassiveText filters on, as exact
+    * integers, plus the combined pass flag. Signals: token count, mean
+    * word length (centichars), share of tokens containing a non-
+    * alphanumeric character, count of DISTINCT stopwords present (Gopher
+    * requires ≥ 2 of its 8; the list is a parameter because it is
+    * language-specific), and the mass of the most frequent 2-gram
+    * (permille of all 2-gram occurrences — the top repetition rule).
+    *
+    * Plan: everything except the top-2-gram is a pure codegen projection
+    * over the token array; the top-2-gram is two doc-keyed hash
+    * aggregates (per-(doc, bigram) count, then per-doc max + total) — no
+    * windows, no joins wider than the doc key.
+    */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String,
+                    stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "that"),
+                    minTokens: Long = 20L,
+                    meanWordLenRange: (Long, Long) = (100L, 1000L),
+                    maxSymbolPermille: Long = 100L,
+                    minStopTypes: Long = 2L,
+                    maxTop2gramPermille: Long = 200L): DataFrame = {
+    val base = df
+      .select(col(idCol), TextDedup.tokens(col(textCol)).as("__w"))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("__chars", aggregate(
+        transform(col("__w"), t => length(t).cast("long")), lit(0L), _ + _))
+      .withColumn("mean_word_len_c", when(col("n_tokens") > 0,
+        expr("__chars * 100 div n_tokens")).otherwise(0L))
+      .withColumn("__nsym",
+        size(filter(col("__w"), t => t.rlike("[^A-Za-z0-9]"))).cast("long"))
+      .withColumn("symbol_permille", when(col("n_tokens") > 0,
+        expr("__nsym * 1000 div n_tokens")).otherwise(0L))
+      .withColumn("n_stop_types",
+        size(array_intersect(col("__w"),
+          array(stopwords.map(lit): _*))).cast("long"))
+    val top2 = df
+      .select(col(idCol),
+        explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("__maxc"), sum(col("__c")).as("__nbg"))
+      .select(col(idCol), expr("__maxc * 1000 div __nbg").as("top2gram_permille"))
+    base.join(top2, Seq(idCol), "left")
+      .withColumn("top2gram_permille", coalesce(col("top2gram_permille"), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("mean_word_len_c"),
+        col("symbol_permille"), col("n_stop_types"), col("top2gram_permille"),
+        (col("n_tokens") >= minTokens &&
+          col("mean_word_len_c") >= meanWordLenRange._1 &&
+          col("mean_word_len_c") <= meanWordLenRange._2 &&
+          col("symbol_permille") <= maxSymbolPermille &&
+          col("n_stop_types") >= minStopTypes &&
+          col("top2gram_permille") <= maxTop2gramPermille).as("gopher_pass"))
+  }
+
   /** Token frequency spectrum (count of counts): for each occurrence count
     * `n_occurrences`, how many distinct token types occur exactly that many
     * times corpus-wide. The Zipf/Heaps audit run before tokenizer training —

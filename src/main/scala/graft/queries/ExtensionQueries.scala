@@ -2640,10 +2640,81 @@ object ExtensionQueries {
       FROM s4""")
   )
 
+  // Text 16: CCNet perplexity buckets (Wenzek et al. 2020 §4.3) — every
+  // document LM-scored (the q104 bigram model; higher fluency = lower
+  // perplexity) and each source split head/middle/tail. Scale-safe
+  // formulation: buckets come from SCORE CUTOFFS computed on the
+  // per-(source, score) histogram (≤ 1001 permille rows per source), so
+  // the cumulative window never touches a corpus-sized frame — the
+  // rank-based ntile it replaces would sort every source in one task.
+  private val q113 = Q(
+    "q113_perplexity_buckets",
+    (s, dir) => TextStats.perplexityBuckets(docsSpread(s, dir), "doc_id", "source", "text"),
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+      bc AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY 1),
+      pc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM occ GROUP BY 1),
+      model AS (SELECT bg, c12 * 1000 // c1 AS p
+        FROM bc JOIN pc ON split_part(bc.bg, ' ', 1) = pc.w1),
+      fl AS (SELECT doc_id, CAST(sum(p) AS BIGINT) // count(*) AS fp
+        FROM occ JOIN model USING (bg) GROUP BY 1),
+      scored AS (SELECT d.doc_id, d.source, COALESCE(fl.fp, 0) AS fluency_permille
+        FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id),
+      hist AS (SELECT source, fluency_permille, count(*) AS n
+        FROM scored GROUP BY 1, 2),
+      cum AS (SELECT source, fluency_permille,
+          sum(n) OVER (PARTITION BY source ORDER BY fluency_permille DESC
+            ROWS UNBOUNDED PRECEDING) - n AS cum_before,
+          sum(n) OVER (PARTITION BY source) AS total FROM hist),
+      cuts AS (SELECT source, fluency_permille,
+          CASE WHEN cum_before * 3 < total THEN 'head'
+               WHEN cum_before * 3 < total * 2 THEN 'middle'
+               ELSE 'tail' END AS bucket FROM cum)
+      SELECT s.doc_id, s.source, s.fluency_permille, c.bucket
+      FROM scored s JOIN cuts c USING (source, fluency_permille)""")
+  )
+
+  // Text 17: the Gopher quality-rule bundle (Rae et al. 2021 §A.1.1) —
+  // MassiveText's per-document heuristic signals as exact integers plus
+  // the combined pass flag. The corpus's own function words ('the', 'a')
+  // drive the stopword rule; symbol/numeric signals are computed honestly
+  // (≈ 0 on this alpha-only corpus). Everything is a projection except
+  // the top-2-gram repetition mass (two doc-keyed hash aggregates).
+  private val q114 = Q(
+    "q114_gopher_rules",
+    (s, dir) => TextStats.gopherSignals(docsSpread(s, dir), "doc_id", "text"),
+    Some(s"""WITH $toksCte,
+      st AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS chars,
+          CAST(len(list_filter(w, x -> regexp_matches(x, '[^A-Za-z0-9]'))) AS BIGINT) AS nsym
+        FROM toks),
+      bgc AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b, count(*) AS c
+        FROM toks, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1, 2),
+      t2 AS (SELECT doc_id,
+          CAST(max(c) * 1000 AS BIGINT) // CAST(sum(c) AS BIGINT) AS top2
+        FROM bgc GROUP BY 1),
+      sw AS (SELECT doc_id, CAST(len(list_filter(
+            ['the', 'a', 'of', 'to', 'and', 'in', 'is', 'that'],
+            x -> list_contains(w, x))) AS BIGINT) AS n_stop
+        FROM toks)
+      SELECT st.doc_id, st.n_tokens,
+        CASE WHEN st.n_tokens > 0 THEN st.chars * 100 // st.n_tokens ELSE 0 END AS mean_word_len_c,
+        CASE WHEN st.n_tokens > 0 THEN st.nsym * 1000 // st.n_tokens ELSE 0 END AS symbol_permille,
+        sw.n_stop AS n_stop_types,
+        COALESCE(t2.top2, 0) AS top2gram_permille,
+        (st.n_tokens >= 20
+          AND (CASE WHEN st.n_tokens > 0 THEN st.chars * 100 // st.n_tokens ELSE 0 END) BETWEEN 100 AND 1000
+          AND (CASE WHEN st.n_tokens > 0 THEN st.nsym * 1000 // st.n_tokens ELSE 0 END) <= 100
+          AND sw.n_stop >= 2
+          AND COALESCE(t2.top2, 0) <= 200) AS gopher_pass
+      FROM st JOIN sw USING (doc_id) LEFT JOIN t2 USING (doc_id)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112)
+    q108, q109, q110, q111, q112, q113, q114)
 }

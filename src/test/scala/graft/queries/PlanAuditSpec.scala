@@ -272,6 +272,27 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no global sort belongs in the curation plan:\n$p")
   }
 
+  test("q113: perplexity buckets window the histogram, never the corpus") {
+    val p = plan("q113_perplexity_buckets")
+    // the cumulative window partitions by source over the ≤1001-row
+    // per-source score histogram (post-aggregate), and the cutoff frame
+    // joins back broadcast — no rank/ntile window over document rows
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort belongs in the bucket plan:\n$p")
+    assert(!p.toLowerCase.contains("ntile"),
+      s"rank-based ntile would sort each source in one task:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"score-cutoff frame must broadcast back onto the scored corpus:\n$p")
+  }
+
+  test("q114: gopher signals are projections plus doc-keyed aggregates only") {
+    val p = plan("q114_gopher_rules")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product join belongs in the signal plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"),
+      s"signals must not sort or window the corpus:\n$p")
+  }
+
   test("q38: trained IVF broadcasts centroids and routed queries; no product join") {
     val p = plan("q38_ann_ivf")
     // centroid cells broadcast into assignment + routing, and the routed
