@@ -49,6 +49,9 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }.mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warmup_sf":"$warmDir","reps":$reps,"estimator":"min-interleaved"}""")
+    // Cache growth stays observable as the suite grows (the bench JVM
+    // holds every QueryCaches entry simultaneously by the end of a pass)
+    println(graft.queries.QueryCaches.footprint(spark))
     // Compact headline AFTER the full JSON: tail-capture windows have
     // truncated the per-query map before (BENCH_r06 lost q01-q34), so the
     // numbers that matter most go LAST, where any tail keeps them.

@@ -277,6 +277,29 @@ private[graft] object QueryCaches {
       }
     }
 
+  /** One-line JSON footprint of everything cached for `s`: which caches
+    * hold an entry, plus the session's persisted-RDD storage totals (the
+    * persisted frames dominate; the localized centroid/BPE tables are
+    * driver-local handfuls of rows). Printed at bench end so cache growth
+    * stays observable as the suite grows.
+    */
+  def footprint(s: SparkSession): String = {
+    val held = Seq(
+      "sig" -> sigCache.containsKey(s), "cc" -> ccCache.containsKey(s),
+      "pq" -> pqCache.containsKey(s), "pqCs" -> pqCsCache.containsKey(s),
+      "ivf" -> ivfCache.containsKey(s), "sem" -> semCache.containsKey(s),
+      "curation" -> curationCache.containsKey(s),
+      "curationV2" -> curationV2Cache.containsKey(s),
+      "fullCent" -> fullCentCache.containsKey(s),
+      "bpe" -> bpeCache.containsKey(s), "layout" -> layoutCache.containsKey(s),
+      "snapshot" -> snapCache.containsKey(s)
+    ).collect { case (n, true) => "\"" + n + "\"" }
+    val info = s.sparkContext.getRDDStorageInfo
+    val memMB = info.map(_.memSize).sum / 1e6
+    val diskMB = info.map(_.diskSize).sum / 1e6
+    f"""{"metric":"cache_footprint","caches":[${held.mkString(",")}],"n_cached_rdds":${info.length},"cached_mem_mb":$memMB%.1f,"cached_disk_mb":$diskMB%.1f}"""
+  }
+
   def clear(s: SparkSession): Unit = {
     sigCache.synchronized {
       Option(sigCache.remove(s)).foreach(_._2.unpersist())
