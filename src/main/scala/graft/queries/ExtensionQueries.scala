@@ -2481,20 +2481,26 @@ object ExtensionQueries {
   private val q112 = Q(
     "q112_curation_v2",
     (s, dir) => {
-      val lbl  = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
-      val docs = docsSpread(s, dir)
-      val base = docs.filter(lbl === "train").select(col("doc_id"), col("source"), col("text"))
-      val holdout = docs.filter(lbl === "val").select(col("doc_id"), col("text"))
-      val copiesA = base.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000L)
-      val tailCol = concat_ws(" ",
-        Seq("za", "zb", "zc", "zd", "ze", "zf", "zg", "zh")
-          .map(t => concat(lit(t), col("doc_id"))): _*)
-      val copiesB = base.filter(col("doc_id") % 10 === 5)
-        .withColumn("doc_id", col("doc_id") + 200000L)
-        .withColumn("text", concat(col("text"), lit(" "), tailCol))
-      val corpus = base.unionByName(copiesA).unionByName(copiesB)
+      // EVERYTHING heavy lives inside the memoized builder — including the
+      // corpus/holdout frame construction. On a cache hit the builder
+      // closure never evaluates, so the per-invocation plan is just
+      // meta → budget windows → verdict join (measured: the outside-the-
+      // builder variant paid ~0.9 s of driver-side plan construction per
+      // invocation rebuilding the full chain's DataFrame graph).
       val meta = QueryCaches.curationV2MetaFor(s, dir) {
+        val lbl  = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+        val docs = docsSpread(s, dir)
+        val base = docs.filter(lbl === "train").select(col("doc_id"), col("source"), col("text"))
+        val holdout = docs.filter(lbl === "val").select(col("doc_id"), col("text"))
+        val copiesA = base.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        val tailCol = concat_ws(" ",
+          Seq("za", "zb", "zc", "zd", "ze", "zf", "zg", "zh")
+            .map(t => concat(lit(t), col("doc_id"))): _*)
+        val copiesB = base.filter(col("doc_id") % 10 === 5)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .withColumn("text", concat(col("text"), lit(" "), tailCol))
+        val corpus = base.unionByName(copiesA).unionByName(copiesB)
         // 1: corpus-wide paragraph dedup, first occurrence wins
         val pd = ParagraphDedup.paragraphDedup(corpus, "doc_id", "text", paraTokens = 10)
         // 2: quality on the deduped text
@@ -2538,7 +2544,18 @@ object ExtensionQueries {
           .persist()
         m4.count()
         m3.unpersist()
-        m4
+        // serve the meta through a short-lineage anchor: the chain above is
+        // a very large DataFrame graph, and every post-hit invocation would
+        // re-traverse it during analysis (~0.6 s/invocation of pure driver
+        // time at sf0.1). Re-basing the persisted rows on their RDD gives
+        // downstream plans a LogicalRDD leaf; the anchor is persisted from
+        // the hot m4 cache (one cheap pass), then the chain cache is freed.
+        // NOT localCheckpoint: the anchor materializes from the ALREADY
+        // AQE-executed cache, so no plan demotion (see verify notes).
+        val served = s.createDataFrame(m4.rdd, m4.schema).persist()
+        served.count()
+        m4.unpersist()
+        served
       }
       // 5: per-source token budget over what's left (the library sampler —
       // admitted ids are budget-bounded, so they broadcast back)
