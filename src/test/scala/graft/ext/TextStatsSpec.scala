@@ -175,4 +175,39 @@ class TextStatsSpec extends SparkFunSuite {
       assert(r.getString(1) == r.getString(0), "canonical form must be a fixpoint")
     }
   }
+
+  test("perplexityBuckets: hand-computed scores, histogram-cutoff thirds per source") {
+    // model over the WHOLE corpus: "a b"×2, "a c"×1 → prefix a=3 →
+    // p(a b)=666, p(a c)=333; "p q"×1 → prefix p=1 → p(p q)=1000
+    val df = Seq(
+      (1L, "s", "a b"), (2L, "s", "a b"), (3L, "s", "a c"), (4L, "s", "x"),
+      (5L, "t", "p q"), (6L, "t", "r")
+    ).toDF("doc_id", "source", "text")
+    val r = TextStats.perplexityBuckets(df, "doc_id", "source", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getString(3)))).toMap
+    // source s histogram desc: 666 (n=2, cum_before 0 → head),
+    // 333 (cum_before 2, 6<8 → middle), 0 (cum_before 3 → tail)
+    assert(r(1L) == ((666L, "head")))
+    assert(r(2L) == ((666L, "head")))
+    assert(r(3L) == ((333L, "middle")))
+    assert(r(4L) == ((0L, "tail")))
+    // source t: 1000 (cum_before 0 → head), 0 (cum_before 1, 3<4 → middle)
+    assert(r(5L) == ((1000L, "head")))
+    assert(r(6L) == ((0L, "middle")))
+  }
+
+  test("gopherSignals: hand-computed integers and the combined pass flag") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"), // 6 toks, 17 chars, "the" only stopword, all bigrams unique
+      (2L, "go go go go"),            // top-2-gram "go go"×3 of 3 → 1000 permille
+      (3L, "a!")                      // symbol token; no bigrams → top2 coalesces to 0
+    ).toDF("doc_id", "text")
+    val r = TextStats.gopherSignals(df, "doc_id", "text",
+        minTokens = 5L, minStopTypes = 1L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getBoolean(6)))).toMap
+    assert(r(1L) == ((6L, 283L, 0L, 1L, 200L, true)))   // 1700 div 6 = 283; 1000 div 5 = 200
+    assert(r(2L) == ((4L, 200L, 0L, 0L, 1000L, false))) // short, no stopwords, repeated bigram
+    assert(r(3L) == ((1L, 200L, 1000L, 0L, 0L, false))) // "a!" ≠ stopword "a"; symbol ratio kills it
+  }
 }
