@@ -117,12 +117,20 @@ object Graphs {
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct must be in [0, 100]")
     // edges feeds four downstream builds (both node branches, the out-deg
     // agg, and the join probe) — persisted, or the upstream extraction
-    // (regexp scans, distinct shuffle) runs four times
-    val edges = edges0
+    // (regexp scans, distinct shuffle) runs four times. Materialized and
+    // re-based on its RDD up front: the iteration loop nests references to
+    // this frame (rank_i's plan contains rank_{i-1}'s), so leaving the
+    // caller's extraction subtree attached makes every action re-analyze
+    // and re-canonicalize it once per occurrence — pure driver time that
+    // measured multiples of the actual compute on small graphs
+    val edgesChain = edges0
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist()
+    edgesChain.count()
+    val edges = edgesChain.sparkSession
+      .createDataFrame(edgesChain.rdd, edgesChain.schema)
     val out =
       if (!encodeIds) runPageRank(edges, iters, scaleMu, dampingPct, redistributeDangling)
       else {
@@ -135,23 +143,37 @@ object Graphs {
           edges.select(col("src").as("node")).union(edges.select(col("dst").as("node"))),
           "node").persist()
         dict.count() // materialize BEFORE the two encode joins scan it
-        val enc = edges
+        val encChain = edges
           .join(dict.select(col("node").as("src"), col("node_id").as("__sid")), "src")
           .join(dict.select(col("node").as("dst"), col("node_id").as("__did")), "dst")
           .select(col("__sid").as("src"), col("__did").as("dst"))
           .persist()
-        enc.count() // materialize the encoded graph before iterating
+        encChain.count() // materialize the encoded graph before iterating
+        // serve the iterations from a short-lineage anchor: the loop
+        // references the encoded graph ~2× per iteration and nests those
+        // references (rank_i's plan contains rank_{i-1}'s), so with the
+        // full extract→distinct→dictionary→encode subtree still attached
+        // each action would re-analyze and re-canonicalize that tree at
+        // every occurrence — measured 12-24 s of pure DRIVER time on a
+        // 26-node sf0.1 graph, >10× the whole string-keyed run. Re-basing
+        // the materialized cache on its RDD gives the loop a LogicalRDD
+        // leaf reading through encChain's live cache (the q112 anchor
+        // pattern; NOT localCheckpoint, which would demote the
+        // AQE-executed plan — and no second cache copy, encChain stays
+        // persisted until the decoded output is checkpointed)
+        val enc = encChain.sparkSession
+          .createDataFrame(encChain.rdd, encChain.schema)
         val ranked = runPageRank(enc, iters, scaleMu, dampingPct, redistributeDangling)
         // decode back to the caller's key space; checkpoint severs the
         // lineage into dict before it is unpersisted
         val decoded = ranked.join(dict, ranked("node") === dict("node_id"))
           .select(dict("node"), ranked("rank_mu"))
           .localCheckpoint(true)
-        enc.unpersist()
+        encChain.unpersist()
         dict.unpersist()
         decoded
       }
-    edges.unpersist()
+    edgesChain.unpersist()
     out
   }
 
@@ -161,7 +183,7 @@ object Graphs {
     * `encodeIds`). Returns (node, rank_mu) checkpointed, internal
     * frames unpersisted.
     */
-  private def runPageRank(edges: DataFrame, iters: Int, scaleMu: Long,
+  private[graft] def runPageRank(edges: DataFrame, iters: Int, scaleMu: Long,
                           dampingPct: Int, redistributeDangling: Boolean): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
@@ -206,7 +228,11 @@ object Graphs {
         m.count() // materialize before dropping the previous generation
         lastMat.foreach(_.unpersist())
         lastMat = Some(m)
-        rank = m
+        // continue from a short-lineage anchor over the materialized
+        // cache, not from the chained plan — with redistribution each
+        // generation is referenced twice, so keeping the chain attached
+        // re-canonicalizes the whole prefix at every later action
+        rank = m.sparkSession.createDataFrame(m.rdd, m.schema)
         depth = 0
       }
     }
