@@ -79,7 +79,9 @@ object Explain {
                            // broadcast verdict over the memoized v2 meta
     "q113_perplexity_buckets", // score-cutoff buckets from the per-source
                            // histogram window (no corpus rank window)
-    "q114_gopher_rules"    // projection signals + doc-keyed top-2gram aggs
+    "q114_gopher_rules",   // projection signals + doc-keyed top-2gram aggs
+    "q115_dsir_weights",   // broadcast bucket model into doc-keyed scoring
+    "q116_priority_sample" // (source, shard) rank → per-source rank on ≤ shards·k
   )
 
   def main(args: Array[String]): Unit = {

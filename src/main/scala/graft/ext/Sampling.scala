@@ -133,4 +133,101 @@ object Sampling {
     }
     df.filter(hashBucket16(col(keyCol)) * 10000L < rate * 65536L)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw document
+    * by how target-like its hashed-token distribution is. DSIR's weight is
+    * the likelihood ratio Π p_target(f)/p_raw(f) over hashed n-gram
+    * features; the engine-portable exact-integer surrogate here is the
+    * per-token MEAN likelihood ratio in permille —
+    * `dsir_permille = Σ_b c_doc(b)·lr(b) div Σ_b c_doc(b)` with
+    * `lr(b) = pt_ppm(b)·1000 div max(pr_ppm(b), 1)` and Laplace-smoothed
+    * parts-per-million bucket probabilities
+    * `p*_ppm(b) = (count(b)+1)·1e6 div (N+buckets)` — an arithmetic (not
+    * geometric) mean, so no floats, no logs, and a DuckDB oracle
+    * reproduces it bit-for-bit. Ranking by it preserves DSIR's intent:
+    * documents whose tokens concentrate in target-heavy buckets score
+    * high.
+    *
+    * Rows with `isTargetCol` = true define the target distribution and are
+    * scored-against, not scored; output is one row per raw document that
+    * has ≥ 1 token: (idCol, n_tokens, dsir_permille).
+    *
+    * Scale shape: the model is exactly `buckets` rows (built by one
+    * hash-aggregate over the exploded token stream + a broadcast 1-row
+    * totals frame) and broadcasts into the scoring join; scoring is a
+    * per-(doc, bucket) hash-aggregate (map-side combinable, ≤ `buckets`
+    * rows per doc) followed by a doc-keyed roll-up. Two corpus scans
+    * total, no windows, no corpus-sized join sides.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTargetCol: String, buckets: Int = 128): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "buckets must be in [1, 65536]")
+    val feat = df.select(col(idCol), col(isTargetCol).as("__t"),
+        explode(TextDedup.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b", pmod(hashBucket16(col("__tok")), lit(buckets.toLong)))
+      .drop("__tok")
+    val counts = feat.groupBy(col("__b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))
+    val totals = counts.agg(
+      coalesce(sum(col("__ct")), lit(0L)).as("__nt"),
+      coalesce(sum(col("__cr")), lit(0L)).as("__nr"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("__pt", expr(s"((__ct + 1L) * 1000000L) div (__nt + ${buckets}L)"))
+      .withColumn("__pr", expr(s"((__cr + 1L) * 1000000L) div (__nr + ${buckets}L)"))
+      .select(col("__b"),
+        expr("(__pt * 1000L) div greatest(__pr, 1L)").as("__lr"))
+    val docFeat = feat.filter(!col("__t"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    docFeat.join(broadcast(model), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("__lr")).as("__score"))
+      .select(col(idCol), col("n_tokens"),
+        expr("__score div n_tokens").as("dsir_permille"))
+  }
+
+  /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    * sampling for estimation of arbitrary subset sums"): per stratum, the
+    * `k` rows with the largest priority `q_i = w_i / u_i`, with the
+    * uniform `u_i` derived deterministically from the key hash —
+    * `u_i = (h_i + 1) / 65536, h_i =` [[hashBucket16]] — so the sample is
+    * an exact-integer, rerun-stable weighted sample without replacement:
+    * `priority = (w · 65536) div (h + 1)`. Heavier rows draw larger
+    * priorities, every row keeps a nonzero chance, and (unlike top-k by
+    * raw weight) the sample is unbiased-estimable — the DLT estimator
+    * needs exactly this priority, which is why the column is emitted.
+    *
+    * Scale shape: the same shard decomposition as [[tokenBudgetSample]] —
+    * a per-(stratum, hash-shard) rank keeps ≤ `k` rows per shard (each
+    * shard sorts 1/`shards` of a stratum, all shards in parallel), then
+    * the per-stratum rank runs over ≤ `shards`·`k` survivors. A hot
+    * stratum holding half the corpus never sorts in one task.
+    *
+    * Weights must be positive; ties break on priority then key. Output:
+    * the input columns plus `priority`.
+    */
+  def prioritySample(df: DataFrame, strataCol: String, keyCol: String,
+                     weightCol: String, k: Int, shards: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(shards > 0 && 65536 % shards == 0, "shards must divide 65536")
+    val W = org.apache.spark.sql.expressions.Window
+    val width = 65536L / shards
+    val staged = df
+      .withColumn("__h", hashBucket16(col(keyCol)))
+      .withColumn("__prio", expr(s"($weightCol * 65536L) div (__h + 1L)"))
+      .withColumn("__shard", expr(s"__h div ${width}L"))
+    val wShard = W.partitionBy(col(strataCol), col("__shard"))
+      .orderBy(col("__prio").desc, col(keyCol))
+    val wStratum = W.partitionBy(col(strataCol))
+      .orderBy(col("__prio").desc, col(keyCol))
+    staged
+      .withColumn("__rs", row_number().over(wShard))
+      .filter(col("__rs") <= k) // ≤ shards·k rows per stratum survive
+      .withColumn("__rn", row_number().over(wStratum))
+      .filter(col("__rn") <= k)
+      .drop("__h", "__shard", "__rs", "__rn")
+      .withColumnRenamed("__prio", "priority")
+  }
 }

@@ -2728,10 +2728,74 @@ object ExtensionQueries {
       FROM st JOIN sw USING (doc_id) LEFT JOIN t2 USING (doc_id)""")
   )
 
+  // Sampling 5: DSIR importance weights (Xie et al. 2023) — every raw
+  // (train-split) document scored by how target-like (val-split) its
+  // hashed-token distribution is. The library operator's exact-integer
+  // surrogate (per-token mean likelihood-ratio permille over 128 hashed
+  // unigram buckets, Laplace-smoothed ppm probabilities) replays in
+  // DuckDB bit-for-bit; ranking by dsir_permille is the "select raw data
+  // that looks like the target" step ahead of [[q116]]-style sampling.
+  private val q115 = Q(
+    "q115_dsir_weights",
+    (s, dir) => {
+      val lbl = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      Sampling.importanceWeights(
+        docsSpread(s, dir).withColumn("__is_target", lbl === "val"),
+        "doc_id", "text", "__is_target", buckets = 128)
+    },
+    Some(s"""WITH $toksCte,
+      lbl AS (SELECT doc_id, (${TrainingQueries.md5Bucket16Sql("doc_id")}) >= 58982 AS is_t
+        FROM documents),
+      tok AS (SELECT t.doc_id, l.is_t, u.x AS tk
+        FROM toks t JOIN lbl l USING (doc_id), UNNEST(t.w) AS u(x)),
+      feat AS (SELECT doc_id, is_t,
+        (${TrainingQueries.md5Bucket16Sql("tk")}) % 128 AS b FROM tok),
+      counts AS (SELECT b,
+          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+          CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM feat GROUP BY 1),
+      tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+        FROM counts),
+      model AS (SELECT b,
+          ((((ct + 1) * 1000000) // (nt + 128)) * 1000)
+            // greatest(((cr + 1) * 1000000) // (nr + 128), 1) AS lr
+        FROM counts, tot),
+      df AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        FROM feat WHERE NOT is_t GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(sum(c * lr) AS BIGINT) // CAST(sum(c) AS BIGINT) AS dsir_permille
+      FROM df JOIN model USING (b) GROUP BY 1""")
+  )
+
+  // Sampling 6: priority sampling (Duffield, Lund & Thorup 2007) — the
+  // k highest-priority documents per source with priority = weight/u and
+  // u derived from the key hash, weight = token count + 1. The
+  // deterministic weighted-sample-without-replacement the DLT estimator
+  // needs; the emitted priority column is its input. The operator's
+  // shard decomposition (per-(source, hash-shard) rank → per-source rank
+  // over ≤ shards·k survivors) is pinned by PlanAuditSpec.
+  private val q116 = Q(
+    "q116_priority_sample",
+    (s, dir) => {
+      val weighted = docsSpread(s, dir).select(col("doc_id"), col("source"),
+        (size(TextDedup.tokens(col("text"))).cast("long") + 1L).as("weight"))
+      Sampling.prioritySample(weighted, "source", "doc_id", "weight", k = 5)
+    },
+    Some(s"""WITH $toksCte,
+      wt AS (SELECT doc_id, source, CAST(len(w) + 1 AS BIGINT) AS weight FROM toks),
+      pr AS (SELECT doc_id, source, weight,
+        (weight * 65536) // ((${TrainingQueries.md5Bucket16Sql("doc_id")}) + 1) AS priority
+        FROM wt),
+      rk AS (SELECT doc_id, source, weight, CAST(priority AS BIGINT) AS priority,
+        row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+        FROM pr)
+      SELECT doc_id, source, weight, priority FROM rk WHERE rn <= 5""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116)
 }

@@ -132,4 +132,49 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(c((1L, 1L)) == (1L, -1000000.0))
     assert(c((1L, 2L)) == (1L, 500000.0))
   }
+
+  test("importanceWeights: target-matching raw doc outscores off-target; target docs absent") {
+    // buckets = 65536 → bucket = raw 16-bit token hash, "aa" and "zz"
+    // land apart. Model: ct(aa)=4 cr(aa)=4, ct(zz)=0 cr(zz)=4, nt=4 nr=8.
+    // pt(aa) = 5e6 div 65540 = 76, pr(aa) = 5e6 div 65544 = 76 → lr 1000
+    // pt(zz) = 1e6 div 65540 = 15, pr(zz) = 5e6 div 65544 = 76 → lr 197
+    val df = Seq(
+      (10L, true, "aa aa aa aa"),  // defines the target distribution
+      (1L, false, "aa aa aa aa"),  // raw, exactly target-like
+      (2L, false, "zz zz zz zz")   // raw, fully off-target
+    ).toDF("doc_id", "is_t", "text")
+    val r = Sampling.importanceWeights(df, "doc_id", "text", "is_t", buckets = 65536)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(1L -> ((4L, 1000L)), 2L -> ((4L, 197L))))
+  }
+
+  test("prioritySample: heavy row always wins; constant weights reduce to lowest-hash pick") {
+    val rows = (1L to 40L).map(id => (id, if (id <= 20) "s" else "t", 1L))
+    val heavy = rows.map { case (id, st, _) => (id, st, if (id == 7L) 1000000000L else 1L) }
+      .toDF("id", "stratum", "w")
+    val winner = Sampling.prioritySample(heavy, "stratum", "id", "w", k = 1)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    // min heavy priority = 1e9·65536 div 65536 = 1e9 > max light = 65536
+    assert(winner("s") == 7L)
+    val flat = rows.toDF("id", "stratum", "w")
+    val picked = Sampling.prioritySample(flat, "stratum", "id", "w", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // exact local replay: priority = 65536 div (h+1), top-3 per stratum,
+    // ties by key — must match the operator bit-for-bit
+    val hs = flat.select(col("id"), col("stratum"), Sampling.hashBucket16(col("id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = hs.groupBy(_._2).toSeq.flatMap { case (st, g) =>
+      g.map { case (id, _, h) => (65536L / (h + 1L), id) }
+        .sortBy { case (p, id) => (-p, id) }.take(3).map { case (_, id) => (st, id) }
+    }.toSet
+    assert(picked == expected)
+  }
+
+  test("prioritySample: shard decomposition is invisible — shards=1 and shards=16 agree") {
+    val df = (1L to 60L).map(id => (id, "only", id % 7 + 1)).toDF("id", "stratum", "w")
+    def run(sh: Int) = Sampling.prioritySample(df, "stratum", "id", "w", k = 5, shards = sh)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(run(1) == run(16))
+    assert(run(16).size == 5)
+  }
 }

@@ -293,6 +293,32 @@ class PlanAuditSpec extends SparkFunSuite {
       s"signals must not sort or window the corpus:\n$p")
   }
 
+  test("q115: DSIR model broadcasts into scoring; no windows, no corpus-sized join") {
+    val p = plan("q115_dsir_weights")
+    // the ≤buckets-row likelihood-ratio model joins broadcast; scoring is
+    // (doc, bucket) + doc-keyed hash aggregates, map-side combinable
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket model must broadcast into the scoring join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join belongs in the scoring plan:\n$p")
+    assert(!p.contains("Window") && !p.contains("Exchange rangepartitioning"),
+      s"no window/global sort belongs in the scoring plan:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"scoring aggregates must map-side combine:\n$p")
+  }
+
+  test("q116: priority sample ranks per (source, shard) before per source") {
+    val p = plan("q116_priority_sample")
+    // stage 1 hash-partitions by (source, __shard); stage 2's per-source
+    // rank only ever sees ≤ shards·k survivors
+    assert("hashpartitioning\\(source#\\d+, __shard#".r.findFirstIn(p).isDefined,
+      s"first rank must hash-partition by (source, __shard):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort belongs in the sampling plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product join belongs in the sampling plan:\n$p")
+  }
+
   test("q38: trained IVF broadcasts centroids and routed queries; no product join") {
     val p = plan("q38_ann_ivf")
     // centroid cells broadcast into assignment + routing, and the routed
