@@ -273,6 +273,26 @@ object ScaleProbe {
         Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
           budget = 20000L).count()
       },
+      // priority sampling under the same maximal stratum skew: one
+      // stratum holds half the corpus, k = 100. The per-(stratum, shard)
+      // rank spreads the hot stratum's sort over 16 tasks and the
+      // per-stratum rank only ever sees ≤ shards·k survivors, so growth
+      // must track the corpus scan
+      "priority_sample_hot_stratum" -> { m =>
+        val docs = docsAt(m)
+          .withColumn("source",
+            when(col("doc_id") % 2 === 0, lit("hot")).otherwise(col("source")))
+          .withColumn("w", size(TextDedup.tokens(col("text"))).cast("long") + 1L)
+        Sampling.prioritySample(docs, "source", "doc_id", "w", k = 100).count()
+      },
+      // DSIR importance weighting end to end (model + scoring): the model
+      // is ≤128 rows no matter the corpus size and broadcasts into the
+      // (doc, bucket)-keyed scoring aggregate, so growth must track the
+      // two corpus scans — there is no corpus-sized join side to blow up
+      "dsir_weights" -> { m =>
+        val docs = docsAt(m).withColumn("__is_t", col("doc_id") % 10 === 0)
+        Sampling.importanceWeights(docs, "doc_id", "text", "__is_t", buckets = 128).count()
+      },
       // paragraph dedup under total boilerplate: EVERY document (replicas
       // included) opens with the same 10-token paragraph, so one digest's
       // occurrence count equals the corpus size. The min(struct) winner
