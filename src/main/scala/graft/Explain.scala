@@ -130,6 +130,22 @@ object Explain {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }
+    // q117's returned frame is a checkpoint scan (the bounded result is
+    // eagerly materialized so the candidate cache can be released); the
+    // load-bearing plan is the candidate broadcast + qid-keyed selection
+    locally {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val cv = graft.ext.VectorSearch.mmrCandidateVectors(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", candK = 10)
+      val sel = graft.ext.VectorSearch.mmrSelect(cv, k = 3, lambdaPermille = 700L)
+      sel.count()
+      sb.append(s"\n## q117_mmr_rerank (candidate attach + greedy selection)\n\n```\n")
+      sb.append(sel.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
     // q94's returned frame is a driver-local merge table; the load-bearing
     // plan is one trainer round (weighted pair count + TakeOrdered winner)
     locally {

@@ -92,6 +92,118 @@ object VectorSearch {
     rankTopK(q.join(c), k, roundDigits, d)
   }
 
+  /** MMR-diversified re-rank (Carbonell & Goldstein 1998, "The use of MMR,
+    * diversity-based reranking"): from each query's `candK` most relevant
+    * candidates, greedily select `k` maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the retrieval-side
+    * diversification step RAG pipelines run after ANN top-k, so near-
+    * duplicate passages don't crowd the context window. Exact-integer
+    * scoring: relevance and pair similarities are rounded to basis points
+    * (`round(round(cos, 4)·10000)`), λ is permille, and the emitted
+    * `mmr_score = λ·rel_bp − (1000−λ)·maxsim_bp` replays bit-for-bit in a
+    * DuckDB oracle (ties by id, seed = pure-relevance argmax).
+    *
+    * Shape: stage 1 is [[bruteForceTopK]] (at corpus scale, swap in
+    * [[ivfTopK]]/[[lshTopK]] routing — same output contract). The
+    * candidate set (queries × candK rows) broadcasts against the corpus
+    * once to re-attach vectors, pair similarities are a qid-keyed self-join
+    * of that bounded frame, and the greedy loop — inherently sequential
+    * per query, O(k·candK) with candK² similarity state — runs inside one
+    * per-query UDF over collected arrays: ONE shuffle keyed by qid, task
+    * state bounded by candK², parallel across queries. An unrolled
+    * DataFrame formulation would pay 3 shuffles per selection step.
+    *
+    * Output: (qid, id, mmr_score, rnk), `k` rows per query (fewer when
+    * the corpus has fewer than `k` candidates). The result is eagerly
+    * materialized (it is queries × k rows — bounded) so the internal
+    * candidate cache can be released.
+    */
+  def mmrRerank(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      candK: Int, k: Int, lambdaPermille: Long
+  ): DataFrame = {
+    require(candK >= k, "need candK >= k")
+    // persisted: the pair self-join and the relevance roll-up both read
+    // the bounded candidate-vector frame
+    val cv = mmrCandidateVectors(queries, corpus, qIdCol, qVecCol, idCol, vecCol, candK)
+      .persist()
+    cv.count()
+    val res = mmrSelect(cv, k, lambdaPermille)
+      .localCheckpoint(true) // eager: queries × k rows, severs into cv
+    cv.unpersist()
+    res
+  }
+
+  /** [[mmrRerank]]'s stage 1, unexecuted: candidates with vectors
+    * re-attached — the candidate set is the bounded build side, the
+    * corpus streams by once. Exposed at package level (with
+    * [[mmrSelect]]) so the plan audit can read the operator's physical
+    * shape; the public output is a checkpoint scan with no plan left.
+    */
+  private[graft] def mmrCandidateVectors(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      candK: Int
+  ): DataFrame = {
+    val d = dotFn(queries.sparkSession)
+    val cands = bruteForceTopK(queries, corpus, qIdCol, qVecCol, idCol, vecCol, candK)
+      .withColumn("rel_bp", round(col("sim") * 10000, 0).cast("long"))
+      .select(col("qid"), col("id"), col("rel_bp"))
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .join(broadcast(cands), "id")
+      .withColumn("__n", sqrt(d(col("__v"), col("__v"))))
+  }
+
+  /** [[mmrRerank]]'s stages 2-3, unexecuted: the qid-keyed pair self-join
+    * and the per-query greedy UDF over collected bounded arrays.
+    */
+  private[graft] def mmrSelect(cv: DataFrame, k: Int, lambdaPermille: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      "lambdaPermille must be in [0, 1000]")
+    val d = dotFn(cv.sparkSession)
+    val a = cv.select(col("qid"), col("id").as("__ia"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = cv.select(col("qid"), col("id").as("__ib"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val denom = col("__na") * col("__nb")
+    val pairs = a.join(b, Seq("qid")).filter(col("__ia") =!= col("__ib"))
+      .withColumn("__s", round(round(
+        when(denom =!= 0.0, d(col("__va"), col("__vb")) / denom), 4) * 10000, 0).cast("long"))
+      .select(col("qid"), col("__ia"), col("__ib"), col("__s"))
+    val kk = k; val lam = lambdaPermille
+    val greedy = udf((cs: Seq[org.apache.spark.sql.Row], sims: Seq[org.apache.spark.sql.Row]) => {
+      val rel  = cs.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val simM = Option(sims).getOrElse(Seq.empty)
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val chosen = scala.collection.mutable.LinkedHashSet[Long]()
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var rank = 1L
+      while (rank <= kk && chosen.size < rel.size) {
+        var bestId = Long.MinValue; var bestScore = Long.MinValue
+        rel.foreach { case (id, r) =>
+          if (!chosen.contains(id)) {
+            val ms = if (chosen.isEmpty) 0L
+              else chosen.iterator.map(s => simM.getOrElse((id, s), 0L)).max
+            val sc = lam * r - (1000L - lam) * ms
+            if (sc > bestScore) { bestScore = sc; bestId = id }
+          }
+        }
+        out += ((bestId, bestScore, rank))
+        chosen += bestId
+        rank += 1
+      }
+      out.result()
+    })
+    val candArr = cv.groupBy(col("qid"))
+      .agg(collect_list(struct(col("id"), col("rel_bp"))).as("__cs"))
+    val pairArr = pairs.groupBy(col("qid"))
+      .agg(collect_list(struct(col("__ia"), col("__ib"), col("__s"))).as("__ss"))
+    candArr.join(pairArr, Seq("qid"), "left")
+      .select(col("qid"), explode(greedy(col("__cs"), col("__ss"))).as("__m"))
+      .select(col("qid"), col("__m._1").as("id"), col("__m._2").as("mmr_score"),
+        col("__m._3").as("rnk"))
+  }
+
   /** Hard-negative mining for contrastive training: for every anchor, the
     * `k` most cosine-similar corpus rows whose label DIFFERS from the
     * anchor's — the near-miss negatives that make contrastive batches

@@ -2792,10 +2792,70 @@ object ExtensionQueries {
       SELECT doc_id, source, weight, priority FROM rk WHERE rn <= 5""")
   )
 
+  /** Unrolled MMR greedy-selection CTE chain for q117's oracle: sel1 is
+    * the pure-relevance seed; each later step scores the un-selected
+    * candidates `λ·rel − (1000−λ)·max sim to the selected prefix` and
+    * takes the per-query argmax (ties by id) — the same fixed-step
+    * unrolling as the PageRank oracle, no recursion.
+    */
+  private def mmrSelCtes(k: Int, lam: Long): String = {
+    val seed = s"""sel1 AS (SELECT qid, id, score, 1 AS rnk FROM (
+        SELECT qid, id, ${lam} * rel AS score,
+          row_number() OVER (PARTITION BY qid ORDER BY ${lam} * rel DESC, id) AS rn
+        FROM cand) WHERE rn = 1)"""
+    val steps = (2 to k).map { i =>
+      val prevAll = (1 until i).map(j => s"SELECT qid, id FROM sel$j").mkString(" UNION ALL ")
+      s"""prev$i AS ($prevAll),
+      ms$i AS (SELECT p.qid, p.ia AS id, max(p.s) AS m
+        FROM p JOIN prev$i sp ON p.qid = sp.qid AND p.ib = sp.id GROUP BY 1, 2),
+      sel$i AS (SELECT qid, id, score, $i AS rnk FROM (
+        SELECT cand.qid, cand.id,
+          ${lam} * cand.rel - ${1000 - lam} * COALESCE(ms$i.m, 0) AS score,
+          row_number() OVER (PARTITION BY cand.qid
+            ORDER BY ${lam} * cand.rel - ${1000 - lam} * COALESCE(ms$i.m, 0) DESC, cand.id) AS rn
+        FROM cand LEFT JOIN ms$i ON ms$i.qid = cand.qid AND ms$i.id = cand.id
+        WHERE NOT EXISTS (SELECT 1 FROM prev$i sp2
+          WHERE sp2.qid = cand.qid AND sp2.id = cand.id)) WHERE rn = 1)"""
+    }
+    (seed +: steps).mkString(",\n      ")
+  }
+
+  // Similarity 17: MMR-diversified re-ranking (Carbonell & Goldstein
+  // 1998) — the post-ANN diversification step that keeps near-duplicate
+  // passages from crowding a RAG context window. Exact-integer scoring
+  // (basis-point sims, permille λ), greedy loop inside one per-query UDF
+  // over the bounded candidate arrays; the oracle unrolls the k greedy
+  // steps as chained CTEs (the PageRank-oracle pattern).
+  private val q117 = Q(
+    "q117_mmr_rerank",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.mmrRerank(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        candK = 10, k = 3, lambdaPermille = 700L)
+    },
+    Some(s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < 10),
+      c AS (SELECT vec_id AS id, v FROM ev WHERE vec_id >= 10),
+      scored AS (SELECT qid, id, round(${duckCos("q.v", "c.v")}, 4) AS sim FROM q, c),
+      cand AS (SELECT qid, id, CAST(round(sim * 10000) AS BIGINT) AS rel FROM
+        (SELECT qid, id, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+         FROM scored) WHERE rn <= 10),
+      p AS (SELECT a.qid, a.id AS ia, b.id AS ib,
+          CAST(round(round(${duckCos("ca.v", "cb.v")}, 4) * 10000) AS BIGINT) AS s
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+        JOIN c ca ON ca.id = a.id JOIN c cb ON cb.id = b.id),
+      ${mmrSelCtes(k = 3, lam = 700L)}
+      SELECT qid, id, CAST(score AS BIGINT) AS mmr_score, CAST(rnk AS BIGINT) AS rnk
+      FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117)
 }

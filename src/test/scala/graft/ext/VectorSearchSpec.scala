@@ -388,4 +388,55 @@ class VectorSearchSpec extends SparkFunSuite {
       yield (sub.toLong, code.toLong, (sub * 2 + i + 1).toLong) -> arr(i)).toMap
     assert(got == want)
   }
+
+  test("mmrRerank: diversification flips the second pick; pure relevance keeps it") {
+    // q = [1,0]; A dup-direction of q, B a near-duplicate of A (cos 1.0
+    // after rounding), C diverse at cos 0.6. rel_bp: A 10000, B 10000,
+    // C 6000; sim_bp(A,B) = 10000, sim_bp(A,C) = sim_bp(B,C) = 6000.
+    val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (1L, Array(1f, 0f)),     // A
+      (2L, Array(1f, 0.01f)),  // B: cos(q,B)=0.99995 → rounds to 1.0
+      (3L, Array(0.6f, 0.8f))  // C
+    ).toDF("vec_id", "embedding")
+    def run(lam: Long) = VectorSearch.mmrRerank(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", candK = 3, k = 2, lambdaPermille = lam)
+      .collect().map(r => r.getLong(3) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // λ=400: step 2 scores B: 400·10000 − 600·10000 = −2e6,
+    //                       C: 400·6000 − 600·6000 = −1.2e6 → C wins
+    val diverse = run(400L)
+    assert(diverse(1L) == ((1L, 400L * 10000L)))   // seed: argmax rel, ties by id
+    assert(diverse(2L) == ((3L, -1200000L)))
+    // λ=1000: pure relevance — the near-duplicate B wins step 2
+    val flat = run(1000L)
+    assert(flat(1L) == ((1L, 1000L * 10000L)))
+    assert(flat(2L) == ((2L, 1000L * 10000L)))
+  }
+
+  test("mmr plan: candidate re-attach broadcasts; selection is qid-keyed, product-free") {
+    // the public output is a checkpoint scan (q87 pattern), so the audit
+    // reads the two unexecuted stage frames directly
+    val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val cv = VectorSearch.mmrCandidateVectors(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", candK = 2)
+    val pCv = cv.queryExecution.executedPlan.toString
+    assert(pCv.contains("BroadcastHashJoin"),
+      s"candidate set must broadcast against the corpus:\n$pCv")
+    val pSel = VectorSearch.mmrSelect(cv, k = 2, lambdaPermille = 700L)
+      .queryExecution.executedPlan.toString
+    // stage 1's brute-force product is upstream (and deliberate); the
+    // selection stages must stay qid-keyed equi-joins
+    assert(!pSel.contains("CartesianProduct"),
+      s"pair self-join must be a qid equi-join:\n$pSel")
+  }
+
+  test("mmrRerank: fewer candidates than k returns all, ranked") {
+    val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val r = VectorSearch.mmrRerank(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", candK = 5, k = 5, lambdaPermille = 700L)
+      .collect().map(x => x.getLong(3) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L))
+  }
 }
