@@ -2735,16 +2735,13 @@ object ExtensionQueries {
   // unigram buckets, Laplace-smoothed ppm probabilities) replays in
   // DuckDB bit-for-bit; ranking by dsir_permille is the "select raw data
   // that looks like the target" step ahead of [[q116]]-style sampling.
-  private val q115 = Q(
-    "q115_dsir_weights",
-    (s, dir) => {
-      val lbl = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
-      Sampling.importanceWeights(
-        docsSpread(s, dir).withColumn("__is_target", lbl === "val"),
-        "doc_id", "text", "__is_target", buckets = 128)
-    },
-    Some(s"""WITH $toksCte,
-      lbl AS (SELECT doc_id, (${TrainingQueries.md5Bucket16Sql("doc_id")}) >= 58982 AS is_t
+  /** Shared DuckDB CTE chain replaying [[Sampling.importanceWeights]]
+    * (val-split target, 128 buckets) down to the per-document weight
+    * frame `dsw (doc_id, n_tokens, dsir_permille)` — single source of
+    * truth for q115 and the q118 selection pipeline built on it.
+    */
+  private val dsirWeightCtes =
+    s"""lbl AS (SELECT doc_id, (${TrainingQueries.md5Bucket16Sql("doc_id")}) >= 58982 AS is_t
         FROM documents),
       tok AS (SELECT t.doc_id, l.is_t, u.x AS tk
         FROM toks t JOIN lbl l USING (doc_id), UNNEST(t.w) AS u(x)),
@@ -2760,11 +2757,23 @@ object ExtensionQueries {
           ((((ct + 1) * 1000000) // (nt + 128)) * 1000)
             // greatest(((cr + 1) * 1000000) // (nr + 128), 1) AS lr
         FROM counts, tot),
-      df AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-        FROM feat WHERE NOT is_t GROUP BY 1, 2)
-      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      dfx AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        FROM feat WHERE NOT is_t GROUP BY 1, 2),
+      dsw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
         CAST(sum(c * lr) AS BIGINT) // CAST(sum(c) AS BIGINT) AS dsir_permille
-      FROM df JOIN model USING (b) GROUP BY 1""")
+        FROM dfx JOIN model USING (b) GROUP BY 1)"""
+
+  private val q115 = Q(
+    "q115_dsir_weights",
+    (s, dir) => {
+      val lbl = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      Sampling.importanceWeights(
+        docsSpread(s, dir).withColumn("__is_target", lbl === "val"),
+        "doc_id", "text", "__is_target", buckets = 128)
+    },
+    Some(s"""WITH $toksCte,
+      $dsirWeightCtes
+      SELECT doc_id, n_tokens, dsir_permille FROM dsw""")
   )
 
   // Sampling 6: priority sampling (Duffield, Lund & Thorup 2007) — the
@@ -2852,10 +2861,48 @@ object ExtensionQueries {
       FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3)""")
   )
 
+  // Sampling 7: the DSIR selection pipeline — q115's importance weights
+  // driving q116's priority sampler, per source (Xie et al. 2023 §3:
+  // compute importance weights on the raw pool, then sample WITH those
+  // weights — resampling, not top-k truncation, so the selected set
+  // follows the target distribution instead of collapsing onto the few
+  // highest-ratio documents). Weight = dsir_permille + 1 keeps every
+  // document a live candidate; the oracle chains the shared q115 CTEs
+  // into the q116 rank replay.
+  private val q118 = Q(
+    "q118_dsir_select",
+    (s, dir) => {
+      val lbl = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      val docs = docsSpread(s, dir).withColumn("__is_target", lbl === "val")
+      val w = Sampling.importanceWeights(docs, "doc_id", "text", "__is_target",
+        buckets = 128)
+      val scored = docs.filter(!col("__is_target"))
+        .select(col("doc_id"), col("source"))
+        .join(w, Seq("doc_id"))
+        .withColumn("wt", col("dsir_permille") + 1L)
+      Sampling.prioritySample(scored, "source", "doc_id", "wt", k = 5)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("dsir_permille"), col("priority"))
+    },
+    Some(s"""WITH $toksCte,
+      $dsirWeightCtes,
+      src AS (SELECT d.doc_id, d.source, dsw.n_tokens, dsw.dsir_permille
+        FROM documents d JOIN dsw USING (doc_id)),
+      pr AS (SELECT doc_id, source, n_tokens, dsir_permille,
+        ((dsir_permille + 1) * 65536)
+          // ((${TrainingQueries.md5Bucket16Sql("doc_id")}) + 1) AS priority
+        FROM src),
+      rk AS (SELECT doc_id, source, n_tokens, dsir_permille,
+        CAST(priority AS BIGINT) AS priority,
+        row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+        FROM pr)
+      SELECT doc_id, source, n_tokens, dsir_permille, priority FROM rk WHERE rn <= 5""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
 }

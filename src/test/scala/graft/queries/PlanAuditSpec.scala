@@ -319,6 +319,20 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no product join belongs in the sampling plan:\n$p")
   }
 
+  test("q118: DSIR selection keeps both stages' shapes — broadcast model, sharded rank") {
+    val p = plan("q118_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket model must broadcast into the scoring join:\n$p")
+    assert("hashpartitioning\\(source#\\d+, __shard#".r.findFirstIn(p).isDefined,
+      s"the sampler's first rank must hash-partition by (source, __shard):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort belongs in the selection plan:\n$p")
+    // the only nested-loop join allowed is the 1-row totals broadcast
+    // into the bounded model build (counts × totals)
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product belongs in the selection plan:\n$p")
+  }
+
   test("q38: trained IVF broadcasts centroids and routed queries; no product join") {
     val p = plan("q38_ann_ivf")
     // centroid cells broadcast into assignment + routing, and the routed
