@@ -167,25 +167,39 @@ object Sampling {
         explode(TextDedup.tokens(col(textCol))).as("__tok"))
       .withColumn("__b", pmod(hashBucket16(col("__tok")), lit(buckets.toLong)))
       .drop("__tok")
-    val counts = feat.groupBy(col("__b")).agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
-      sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))
-    val totals = counts.agg(
-      coalesce(sum(col("__ct")), lit(0L)).as("__nt"),
-      coalesce(sum(col("__cr")), lit(0L)).as("__nr"))
-    val model = counts.crossJoin(broadcast(totals))
-      .withColumn("__pt", expr(s"((__ct + 1L) * 1000000L) div (__nt + ${buckets}L)"))
-      .withColumn("__pr", expr(s"((__cr + 1L) * 1000000L) div (__nr + ${buckets}L)"))
-      .select(col("__b"),
-        expr("(__pt * 1000L) div greatest(__pr, 1L)").as("__lr"))
     val docFeat = feat.filter(!col("__t"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
-    docFeat.join(broadcast(model), "__b")
+    docFeat.join(broadcast(importanceModel(df, textCol, isTargetCol, buckets)), "__b")
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_tokens"),
         sum(col("__c") * col("__lr")).as("__score"))
       .select(col(idCol), col("n_tokens"),
         expr("__score div n_tokens").as("dsir_permille"))
+  }
+
+  /** The frozen DSIR bucket model on its own: `(__b, __lr)` — one row per
+    * hashed-token bucket with the Laplace-smoothed likelihood ratio in
+    * permille (see [[importanceWeights]] for the arithmetic). Train once
+    * on a static corpus, then broadcast into batch scoring or a
+    * stream-static join ([[graft.streaming.StreamPipelines.dsirScoreStream]]).
+    */
+  def importanceModel(df: DataFrame, textCol: String, isTargetCol: String,
+                      buckets: Int = 128): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "buckets must be in [1, 65536]")
+    val counts = df.select(col(isTargetCol).as("__t"),
+        explode(TextDedup.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b", pmod(hashBucket16(col("__tok")), lit(buckets.toLong)))
+      .groupBy(col("__b")).agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))
+    val totals = counts.agg(
+      coalesce(sum(col("__ct")), lit(0L)).as("__nt"),
+      coalesce(sum(col("__cr")), lit(0L)).as("__nr"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__pt", expr(s"((__ct + 1L) * 1000000L) div (__nt + ${buckets}L)"))
+      .withColumn("__pr", expr(s"((__cr + 1L) * 1000000L) div (__nr + ${buckets}L)"))
+      .select(col("__b"),
+        expr("(__pt * 1000L) div greatest(__pr, 1L)").as("__lr"))
   }
 
   /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority

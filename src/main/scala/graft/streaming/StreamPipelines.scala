@@ -286,6 +286,38 @@ object StreamPipelines {
       .select(col(idCol), col("n_bigrams"), col("sum_p_permille"),
         expr("sum_p_permille div n_bigrams").as("fluency_permille"))
 
+  /** Streaming DSIR scoring against a frozen bucket model
+    * ([[graft.ext.Sampling.importanceModel]]) — the deployment shape of
+    * target-aware selection: train the likelihood-ratio model once on a
+    * static target/raw corpus, then score arriving documents with a
+    * stream-static broadcast join + a watermarked per-doc roll-up.
+    * `Σ tokens lr(bucket(token)) div n` equals the batch
+    * [[graft.ext.Sampling.importanceWeights]] score for the same text.
+    * Tokens hashing to buckets absent from the model are skipped (the
+    * [[fluencyScoreStream]] unknown-ngram convention); a document with
+    * no known tokens emits nothing.
+    */
+  def dsirScoreStream(
+      docs: DataFrame,
+      model: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 128,
+      watermark: String = "10 seconds"
+  ): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(graft.ext.TextDedup.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b",
+        pmod(graft.ext.Sampling.hashBucket16(col("__tok")), lit(buckets.toLong)))
+      .join(model, "__b")
+      .groupBy(window(col(tsCol), "1 minute"), col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__sum_lr"))
+      .select(col(idCol), col("n_tokens"),
+        expr("__sum_lr div n_tokens").as("dsir_permille"))
+
   /** Streaming ingest curation: the filter-at-ingest half of the batch
     * curation pipeline (q69) applied to a document stream — junk is
     * cheaper to drop before it is stored than to scrub after. Every

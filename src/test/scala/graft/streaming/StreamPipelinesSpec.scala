@@ -527,6 +527,35 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("dsirScoreStream scores with a frozen bucket model; matches the batch arithmetic") {
+    implicit val sql = spark.sqlContext
+    // same corpus as TrainingOpsSpec's importanceWeights test: at
+    // buckets=65536, lr(aa)=1000, lr(zz)=197
+    val corpus = Seq(
+      (10L, true, "aa aa aa aa"),
+      (1L, false, "aa aa aa aa"),
+      (2L, false, "zz zz zz zz")
+    ).toDF("doc_id", "is_t", "text")
+    val model = graft.ext.Sampling.importanceModel(corpus, "text", "is_t", buckets = 65536)
+    val input = MemoryStream[Doc]
+    val q = StreamPipelines.dsirScoreStream(
+        input.toDF(), model, "ts", "doc_id", "text", buckets = 65536)
+      .writeStream.format("memory").queryName("dsir").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:00"), "aa aa"),   // 1000
+        Doc(2L, t("2024-01-01 10:00:00"), "aa zz"),   // (1000+197) div 2 = 598
+        Doc(3L, t("2024-01-01 10:00:00"), "qq qq"))   // unknown bucket → no row
+      input.addData(Doc(9L, t("2024-01-01 10:05:00"), "aa")) // close the window
+      q.processAllAvailable()
+      val rows = spark.table("dsir").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rows(1L) == ((2L, 1000L)))
+      assert(rows(2L) == ((2L, 598L)))
+      assert(!rows.contains(3L))
+    } finally q.stop()
+  }
+
   test("mixtureSample composes with a stream: per-source admission at ingest") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Doc]
