@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.ops.LatestWins
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming assembly of the reference's three pipelines
@@ -699,5 +699,67 @@ object StreamPipelines {
     while (queries.forall(_.isActive)) Thread.sleep(pollMs)
     // surface a failure like awaitTermination would
     queries.find(q => !q.isActive).foreach(q => q.exception.foreach(throw _))
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming priority sampling (the incremental form of
+  // graft.ext.Sampling.prioritySample): per-stratum top-k priorities as
+  // flatMapGroupsWithState state. Priority sampling is uniquely suited to
+  // streams — q_i = w_i/u_i depends only on the row itself, so "the k
+  // largest priorities seen so far" is an exact, order-insensitive,
+  // replay-idempotent sample of everything that has arrived (Duffield,
+  // Lund & Thorup 2007 §2 notes exactly this reservoir property). State
+  // per stratum is k items, never the stream.
+
+  final case class PrioEvent(stratum: String, key: Long, weight: Long, priority: Long)
+  final case class PrioItem(priority: Long, key: Long, weight: Long)
+  final case class PrioState(seq: Long, items: List[PrioItem])
+  final case class PrioOut(stratum: String, seq: Long, rnk: Long, key: Long,
+                           weight: Long, priority: Long)
+
+  implicit private val prioEventEnc: Encoder[PrioEvent] = Encoders.product[PrioEvent]
+  implicit private val prioStateEnc: Encoder[PrioState] = Encoders.product[PrioState]
+  implicit private val prioOutEnc: Encoder[PrioOut]     = Encoders.product[PrioOut]
+  implicit private val stratumEnc: Encoder[String]      = Encoders.STRING
+
+  /** Pure fold shared with the spec: merge a batch of events into the
+    * prior top-k (exact key re-deliveries collapse — same key ⇒ same
+    * deterministic priority — then rank by priority desc, key asc).
+    */
+  def prioFold(prior: List[PrioItem], events: Seq[PrioItem], k: Int): List[PrioItem] =
+    (prior ++ events)
+      .groupBy(_.key).map(_._2.head)
+      .toList.sortBy(i => (-i.priority, i.key)).take(k)
+
+  /** Streaming weighted sample: maintains each stratum's current
+    * priority-sample of the whole stream history and emits it (with a
+    * per-stratum `seq` so a sink can keep the newest generation) every
+    * micro-batch that touches the stratum. Long keys (the typed state
+    * needs a concrete encoder); the batch operator stays generic.
+    */
+  def prioritySampleStream(docs: DataFrame, strataCol: String, keyCol: String,
+                           weightCol: String, k: Int): Dataset[PrioOut] = {
+    require(k > 0, "k must be positive")
+    val events = docs.select(
+        col(strataCol).cast("string").as("stratum"),
+        col(keyCol).cast("long").as("key"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("__h", graft.ext.Sampling.hashBucket16(col("key")))
+      .select(col("stratum"), col("key"), col("weight"),
+        expr("(weight * 65536L) div (__h + 1L)").as("priority"))
+      .as[PrioEvent]
+    events.groupByKey(_.stratum)
+      .flatMapGroupsWithState[PrioState, PrioOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (stratum: String, it: Iterator[PrioEvent], state: GroupState[PrioState]) =>
+          val prior  = state.getOption.getOrElse(PrioState(0L, Nil))
+          val merged = prioFold(prior.items,
+            it.map(e => PrioItem(e.priority, e.key, e.weight)).toSeq, k)
+          val st = PrioState(prior.seq + 1L, merged)
+          state.update(st)
+          merged.iterator.zipWithIndex.map { case (i, idx) =>
+            PrioOut(stratum, st.seq, idx + 1L, i.key, i.weight, i.priority)
+          }
+      }
   }
 }

@@ -556,6 +556,47 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("prioritySampleStream: k-bounded state converges to the batch sample across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val docs = input.toDF()
+      .withColumn("stratum", when($"doc_id" % 2 === 0, "even").otherwise("odd"))
+      .withColumn("w", $"doc_id" % 7 + 1)
+    val q = StreamPipelines.prioritySampleStream(docs, "stratum", "doc_id", "w", k = 3)
+      .writeStream.format("memory").queryName("prio").outputMode("update").start()
+    try {
+      input.addData((1L to 20L).map(i => Doc(i, t("2024-01-01 10:00:00"), s"d$i")): _*)
+      q.processAllAvailable()
+      input.addData((21L to 40L).map(i => Doc(i, t("2024-01-01 10:01:00"), s"d$i")): _*)
+      q.processAllAvailable()
+      // replay batch 1's rows: exact re-deliveries must not change the sample
+      input.addData((1L to 20L).map(i => Doc(i, t("2024-01-01 10:00:00"), s"d$i")): _*)
+      q.processAllAvailable()
+      val all = spark.table("prio").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // newest generation per stratum
+      val latest = all.groupBy(_._1).map { case (st, rows) =>
+        val maxSeq = rows.map(_._2).max
+        st -> rows.filter(_._2 == maxSeq).map(r => (r._3, r._4)).toSet // (rnk, key)
+      }
+      // must equal the batch operator over the full history
+      val batch = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd", i % 7 + 1))
+        .toDF("doc_id", "stratum", "w")
+      val expected = graft.ext.Sampling.prioritySample(batch, "stratum", "doc_id", "w", k = 3)
+        .collect().groupBy(_.getString(1)).map { case (st, rows) =>
+          // batch output carries no rank; recover it by priority desc, key
+          st -> rows.map(r => (r.getLong(3), r.getLong(0))).sortBy { case (p, id) => (-p, id) }
+            .zipWithIndex.map { case ((_, id), idx) => (idx + 1L, id) }.toSet
+        }
+      assert(latest == expected)
+      // the replay batch bumped seq but left every stratum's sample identical
+      val bySeq = all.groupBy(r => (r._1, r._2)).view.mapValues(_.map(r => (r._3, r._4)).toSet)
+      val evenGens = bySeq.collect { case ((st, seq), s) if st == "even" => seq -> s }.toMap
+      assert(evenGens(evenGens.keySet.max) == evenGens(evenGens.keySet.max - 1),
+        "exact re-delivery must not move the sample")
+    } finally q.stop()
+  }
+
   test("mixtureSample composes with a stream: per-source admission at ingest") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Doc]
