@@ -82,7 +82,8 @@ object Explain {
     "q114_gopher_rules",   // projection signals + doc-keyed top-2gram aggs
     "q115_dsir_weights",   // broadcast bucket model into doc-keyed scoring
     "q116_priority_sample", // (source, shard) rank → per-source rank on ≤ shards·k
-    "q118_dsir_select"     // q115 weights driving the q116 sampler per source
+    "q118_dsir_select",    // q115 weights driving the q116 sampler per source
+    "q119_retrieval_mrr"   // LSH top-k ⋈ exact truth → reciprocal ranks
   )
 
   def main(args: Array[String]): Unit = {

@@ -273,6 +273,18 @@ object ScaleProbe {
         Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
           budget = 20000L).count()
       },
+      // MMR re-rank with a growing corpus: the relevance stage is the
+      // broadcast-queries × corpus scan (linear); the pair self-join and
+      // greedy UDF only ever touch queries × candK² rows — a constant —
+      // so growth must track the corpus scan alone
+      "mmr_rerank" -> { m =>
+        val emb = embAt(m)
+        VectorSearch.mmrRerank(
+          Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10),
+          emb.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", "vec_id", "embedding",
+          candK = 10, k = 3, lambdaPermille = 700L).count()
+      },
       // priority sampling under the same maximal stratum skew: one
       // stratum holds half the corpus, k = 100. The per-(stratum, shard)
       // rank spreads the hot stratum's sort over 16 tasks and the

@@ -2899,10 +2899,60 @@ object ExtensionQueries {
       SELECT doc_id, source, n_tokens, dsir_permille, priority FROM rk WHERE rn <= 5""")
   )
 
+  // Similarity 18: retrieval MRR — mean-reciprocal-rank raw material for
+  // the sign-LSH ANN path against exact-cosine truth, per query (the
+  // position-sensitive complement to the q79/q95/q110 recall evals: recall
+  // asks "is the true neighbor in the list", MRR asks "how high"). Exact
+  // integers: rr_ppm = 1e6 div found_rank, 0 on a miss; the roll-up to a
+  // corpus MRR is one avg away, but the per-query frame is what an index
+  // regression hunt actually reads.
+  private val q119 = Q(
+    "q119_retrieval_mrr",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val cs = emb.filter(col("vec_id") >= 10)
+      val truth = VectorSearch.bruteForceTopK(qs, cs,
+          "vec_id", "embedding", "vec_id", "embedding", k = 1)
+        .select(col("qid"), col("id").as("truth_id"))
+      val sys = VectorSearch.lshTopK(qs, cs,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, bits = 6, maxBucketSize = 64)
+        .select(col("qid"), col("id").as("truth_id"), col("rnk"))
+      truth.join(sys, Seq("qid", "truth_id"), "left")
+        .select(col("qid"), col("truth_id"),
+          coalesce(col("rnk"), lit(0L)).as("found_rank"),
+          when(col("rnk").isNotNull, expr("1000000L div rnk"))
+            .otherwise(0L).as("rr_ppm"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS bkt,
+        ${duckSignBucket("embedding", 6, offset = 6)} AS sub
+        FROM embeddings WHERE vec_id < 10),
+      c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS bkt,
+        ${duckSignBucket("embedding", 6, offset = 6)} AS sub
+        FROM embeddings WHERE vec_id >= 10),
+      c AS (SELECT c0.*, count(*) OVER (PARTITION BY bkt) AS cnt FROM c0),
+      scored AS (SELECT qid, id, round(${duckCos("q.v", "c.v")}, 4) AS sim
+        FROM q JOIN c ON q.bkt = c.bkt AND (c.cnt <= 64 OR c.sub = q.sub)),
+      sys AS (SELECT qid, id, rnk FROM (SELECT qid, id,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rnk
+        FROM scored) WHERE rnk <= 10),
+      et AS (SELECT qid, id, round(${duckCos("q.v", "c0.v")}, 4) AS sim FROM q, c0),
+      truth AS (SELECT qid, id AS truth_id FROM (SELECT qid, id,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM et)
+        WHERE rn = 1)
+      SELECT t.qid, t.truth_id,
+        CAST(COALESCE(s.rnk, 0) AS BIGINT) AS found_rank,
+        CAST(CASE WHEN s.rnk IS NOT NULL THEN 1000000 // s.rnk ELSE 0 END AS BIGINT) AS rr_ppm
+      FROM truth t LEFT JOIN sys s ON s.qid = t.qid AND s.id = t.truth_id""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }
