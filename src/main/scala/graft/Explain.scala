@@ -83,7 +83,9 @@ object Explain {
     "q115_dsir_weights",   // broadcast bucket model into doc-keyed scoring
     "q116_priority_sample", // (source, shard) rank → per-source rank on ≤ shards·k
     "q118_dsir_select",    // q115 weights driving the q116 sampler per source
-    "q119_retrieval_mrr"   // LSH top-k ⋈ exact truth → reciprocal ranks
+    "q119_retrieval_mrr",  // LSH top-k ⋈ exact truth → reciprocal ranks
+    "q120_leakage_safe_split", // cluster-root hash split over memoized CC labels
+    "q121_cms_freq"        // CMS grid agg + broadcast probe min
   )
 
   def main(args: Array[String]): Unit = {

@@ -576,6 +576,53 @@ object TextStats {
     * partial+final count. Two map-side-combinable hash-aggregates; the
     * corpus-wide hot token is one row after the first aggregate.
     */
+  /** Count-Min sketch counter grid over the corpus token stream (Cormode &
+    * Muthukrishnan 2005): `depth` seeded hash rows × `width` buckets, each
+    * cell the total count of tokens hashing there. The grid is the
+    * BOUNDED-STATE frequency summary — depth×width cells regardless of
+    * vocabulary size — and it merges by cell-wise addition (here: the
+    * partial+final hash aggregate IS the merge), the property that lets
+    * per-executor partials combine exactly like per-day grids in an
+    * incremental pipeline. Hashing is seeded md5 (the minhash convention),
+    * so the grid — and therefore every estimate — is deterministic and
+    * replayable in any engine.
+    *
+    * Output: (seed, bucket, cnt), ≤ depth·width rows.
+    */
+  def cmsCounters(df: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    df.select(explode(TextDedup.tokens(col(textCol))).as("__tok"))
+      .select(col("__tok"), explode(array((0 until depth).map(s => lit(s.toLong)): _*)).as("seed"))
+      .select(col("seed"), pmod(Sampling.hashBucket16(
+          concat(col("seed").cast("string"), lit("|"), col("__tok"))),
+        lit(width.toLong)).as("bucket"))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the [[cmsCounters]] grid: for each probe token, the
+    * minimum over the `depth` rows of its bucket's count — the classic CMS
+    * estimate, which can only OVERcount (collisions add, never subtract):
+    * `est ≥ true`, with the overshoot bounded by the other tokens' mass
+    * landing in the same buckets. Probes broadcast (a probe list is
+    * human-sized); the grid side is ≤ depth·width rows.
+    *
+    * Output: (tokenCol, cms_est).
+    */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, tokenCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    val pb = probes.select(col(tokenCol))
+      .select(col(tokenCol), explode(array((0 until depth).map(s => lit(s.toLong)): _*)).as("seed"))
+      .select(col(tokenCol), col("seed"), pmod(Sampling.hashBucket16(
+          concat(col("seed").cast("string"), lit("|"), col(tokenCol))),
+        lit(width.toLong)).as("bucket"))
+    broadcast(pb).join(counters, Seq("seed", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(col(tokenCol))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
   def tokenSpectrum(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextDedup.tokens(col(textCol))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("n_occurrences"))

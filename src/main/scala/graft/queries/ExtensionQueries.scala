@@ -2899,6 +2899,71 @@ object ExtensionQueries {
       SELECT doc_id, source, n_tokens, dsir_permille, priority FROM rk WHERE rn <= 5""")
   )
 
+  // Curation 19: leakage-safe splitting — train/val assignment as a pure
+  // function of the near-dup CLUSTER id, not the document id, so a
+  // document and its near-duplicates can never straddle the split
+  // boundary (the contamination channel Lee et al. 2022 §6 measure:
+  // test-set near-dups of training documents inflate eval scores).
+  // Clusters are the q60 LSH + connected-components labels (memoized);
+  // the split is the q46 hash split applied to the cluster root.
+  private val q120 = Q(
+    "q120_leakage_safe_split",
+    (s, dir) => {
+      val lab = QueryCaches.labelsFor(s, dir)
+      lab.select(col("doc_id"), col("cluster_id"),
+        Sampling.splitLabel(col("cluster_id"), trainBp = 9000).as("split"))
+    },
+    Some(s"""WITH RECURSIVE $ccOracleCtes
+      SELECT doc_id, cluster_id,
+        CASE WHEN (${TrainingQueries.md5Bucket16Sql("cluster_id")}) < 58982
+          THEN 'train' ELSE 'val' END AS split
+      FROM cc""")
+  )
+
+  // Sketch 4: Count-Min frequency estimation (Cormode & Muthukrishnan
+  // 2005) — the bounded-state point-frequency summary beside KMV
+  // (distinct), Misra-Gries (heavy hitters), and Bloom (membership).
+  // Seeded-md5 hashing makes the grid deterministic, so unlike the
+  // envelope-checked sketches the oracle replays it EXACTLY: the exact
+  // top-20 tokens probed against a 4×256 grid, emitting true count, CMS
+  // estimate, and the one-sided soundness flag (est ≥ true, always — CMS
+  // collisions add, never subtract).
+  private val q121 = Q(
+    "q121_cms_freq",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val counters = TextStats.cmsCounters(docs, "text", depth = 4, width = 256)
+      val exact = docs.select(explode(TextDedup.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+      val top = exact.orderBy(col("true_count").desc, col("token")).limit(20)
+      val est = TextStats.cmsEstimate(counters, top.select(col("token")),
+        "token", depth = 4, width = 256)
+      top.join(est, "token")
+        .select(col("token"), col("true_count"), col("cms_est"),
+          (col("cms_est") >= col("true_count")).as("sound"))
+    },
+    Some(s"""WITH $toksCte,
+      tk AS (SELECT u.x AS token FROM toks, UNNEST(w) AS u(x)),
+      exact AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
+        FROM tk GROUP BY 1),
+      top AS (SELECT token, true_count FROM exact
+        ORDER BY true_count DESC, token LIMIT 20),
+      seeds AS (SELECT CAST(s AS BIGINT) AS seed
+        FROM (VALUES (0), (1), (2), (3)) v(s)),
+      grid AS (SELECT seed,
+          (${TrainingQueries.md5Bucket16Sql("seed || '|' || token")}) % 256 AS bucket,
+          CAST(count(*) AS BIGINT) AS c
+        FROM tk, seeds GROUP BY 1, 2),
+      pb AS (SELECT t.token, t.true_count, s.seed,
+          (${TrainingQueries.md5Bucket16Sql("s.seed || '|' || t.token")}) % 256 AS bucket
+        FROM top t, seeds s),
+      est AS (SELECT token, true_count,
+          CAST(min(COALESCE(c, 0)) AS BIGINT) AS cms_est
+        FROM pb LEFT JOIN grid USING (seed, bucket) GROUP BY 1, 2)
+      SELECT token, true_count, cms_est, (cms_est >= true_count) AS sound
+      FROM est""")
+  )
+
   // Similarity 18: retrieval MRR — mean-reciprocal-rank raw material for
   // the sign-LSH ANN path against exact-cosine truth, per query (the
   // position-sensitive complement to the q79/q95/q110 recall evals: recall
@@ -2954,5 +3019,5 @@ object ExtensionQueries {
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 }

@@ -196,6 +196,23 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r(6L) == ((0L, "middle")))
   }
 
+  test("cms: wide grid returns exact counts; width=1 collapses to total token mass") {
+    val df = Seq((1L, "a a a b"), (2L, "b c")).toDF("id", "text")
+    // width 65536 → collisions among {a,b,c}×4 seeds are practically
+    // impossible (deterministic for these fixed tokens) → est == true
+    val wide = TextStats.cmsCounters(df, "text", depth = 4, width = 65536)
+    val probes = Seq("a", "b", "c", "zz").toDF("token")
+    val est = TextStats.cmsEstimate(wide, probes, "token", depth = 4, width = 65536)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "zz" -> 0L))
+    // width 1: every token shares the one bucket per seed → est = 6 for
+    // every present token (total mass), still an overestimate, never under
+    val narrow = TextStats.cmsCounters(df, "text", depth = 4, width = 1)
+    val est1 = TextStats.cmsEstimate(narrow, probes, "token", depth = 4, width = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est1 == Map("a" -> 6L, "b" -> 6L, "c" -> 6L, "zz" -> 6L))
+  }
+
   test("gopherSignals: hand-computed integers and the combined pass flag") {
     val df = Seq(
       (1L, "the cat sat on the mat"), // 6 toks, 17 chars, "the" only stopword, all bigrams unique

@@ -333,6 +333,18 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no cartesian product belongs in the selection plan:\n$p")
   }
 
+  test("q121: CMS grid is partial+final aggregate; probes broadcast against it") {
+    val p = plan("q121_cms_freq")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the counter grid must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe list must broadcast against the grid:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product join belongs in the sketch plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the exact top-20 must fuse to TakeOrderedAndProject:\n$p")
+  }
+
   test("q38: trained IVF broadcasts centroids and routed queries; no product join") {
     val p = plan("q38_ann_ivf")
     // centroid cells broadcast into assignment + routing, and the routed
