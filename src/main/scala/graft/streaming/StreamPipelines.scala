@@ -701,6 +701,41 @@ object StreamPipelines {
     queries.find(q => !q.isActive).foreach(q => q.exception.foreach(throw _))
   }
 
+  /** Windowed Count-Min telemetry: per tumbling window, the
+    * [[graft.ext.TextStats.cmsCounters]] grid over the window's token
+    * stream — the bounded-state frequency summary as stream telemetry
+    * beside the KMV/Misra-Gries window aggregates. State per window is
+    * ≤ depth·width counter cells regardless of token volume (the grid's
+    * cell-wise-addition merge IS the streaming partial aggregation), and
+    * the append-mode rows emit once when the watermark closes the window;
+    * downstream, grids from adjacent windows (or days) merge by the same
+    * cell-wise addition.
+    */
+  def cmsTelemetry(
+      events: DataFrame,
+      tsCol: String,
+      textCol: String,
+      depth: Int,
+      width: Int,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute"
+  ): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(graft.ext.TextDedup.tokens(col(textCol))).as("__tok"))
+      .select(col(tsCol), col("__tok"),
+        explode(array((0 until depth).map(s => lit(s.toLong)): _*)).as("seed"))
+      .select(col(tsCol), col("seed"),
+        pmod(graft.ext.Sampling.hashBucket16(
+          concat(col("seed").cast("string"), lit("|"), col("__tok"))),
+          lit(width.toLong)).as("bucket"))
+      .groupBy(window(col(tsCol), windowLength), col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("seed"), col("bucket"), col("cnt"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming priority sampling (the incremental form of
   // graft.ext.Sampling.prioritySample): per-stratum top-k priorities as

@@ -213,6 +213,17 @@ class TextStatsSpec extends SparkFunSuite {
     assert(est1 == Map("a" -> 6L, "b" -> 6L, "c" -> 6L, "zz" -> 6L))
   }
 
+  test("cms: grids merge by cell-wise addition — grid(A) + grid(B) == grid(A ∪ B)") {
+    val a = Seq((1L, "a a b x"), (2L, "c y")).toDF("id", "text")
+    val b = Seq((3L, "a b z"), (4L, "c c q")).toDF("id", "text")
+    def grid(df: org.apache.spark.sql.DataFrame) =
+      TextStats.cmsCounters(df, "text", depth = 3, width = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (grid(a).toSeq ++ grid(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == grid(a.unionByName(b)))
+  }
+
   test("gopherSignals: hand-computed integers and the combined pass flag") {
     val df = Seq(
       (1L, "the cat sat on the mat"), // 6 toks, 17 chars, "the" only stopword, all bigrams unique

@@ -556,6 +556,28 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("cmsTelemetry: the closed window's grid equals the batch grid over the same rows") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamPipelines.cmsTelemetry(
+        input.toDF(), "ts", "text", depth = 3, width = 8)
+      .writeStream.format("memory").queryName("cmsw").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:00"), "a a b"),
+        Doc(2L, t("2024-01-01 10:00:30"), "c a"))
+      input.addData(Doc(9L, t("2024-01-01 10:05:00"), "x")) // close the window
+      q.processAllAvailable()
+      val streamed = spark.table("cmsw").collect()
+        .filter(_.getTimestamp(0).toString.startsWith("2024-01-01 10:00"))
+        .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val batch = graft.ext.TextStats.cmsCounters(
+          Seq((1L, "a a b"), (2L, "c a")).toDF("id", "text"), "text", depth = 3, width = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("prioritySampleStream: k-bounded state converges to the batch sample across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Doc]
