@@ -85,7 +85,8 @@ object Explain {
     "q118_dsir_select",    // q115 weights driving the q116 sampler per source
     "q119_retrieval_mrr",  // LSH top-k ⋈ exact truth → reciprocal ranks
     "q120_leakage_safe_split", // cluster-root hash split over memoized CC labels
-    "q121_cms_freq"        // CMS grid agg + broadcast probe min
+    "q121_cms_freq",       // CMS grid agg + broadcast probe min
+    "q122_frame_sample"    // pure-projection byte windows (posexplode, no shuffle)
   )
 
   def main(args: Array[String]): Unit = {

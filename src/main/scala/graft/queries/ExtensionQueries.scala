@@ -2920,6 +2920,32 @@ object ExtensionQueries {
       FROM cc""")
   )
 
+  // Multimodal 3: frame sampling through the oracle gate — n evenly-spaced
+  // fixed-size byte windows per payload (the video-pipeline access
+  // pattern; byte windows stand in for decoded frames, the partitioning
+  // shape is identical), each frame emitted as its md5 so the comparison
+  // is transport-safe. Pure codegen projections; the only subtlety is
+  // floor semantics on the window start, replicated with // in the oracle.
+  private val q122 = Q(
+    "q122_frame_sample",
+    (s, dir) => {
+      val payload = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.frameSample(payload, "doc_id", "payload", n = 4, frameBytes = 16)
+        .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+    },
+    // DuckDB substring() has no BLOB overload, so the oracle slices the
+    // HEX transcription (byte s ↔ hex chars 2s-1..2s) — same 16-byte
+    // windows, compared as hex strings on both sides
+    Some("""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents)
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        substring(hex(payload),
+          CAST(2 * ((i * octet_length(payload)) // 4 + 1) - 1 AS INT), 32) AS frame_hex
+      FROM p, UNNEST(range(0, 4)) AS t(i)""")
+  )
+
   // Sketch 4: Count-Min frequency estimation (Cormode & Muthukrishnan
   // 2005) — the bounded-state point-frequency summary beside KMV
   // (distinct), Misra-Gries (heavy hitters), and Bloom (membership).
@@ -3019,5 +3045,5 @@ object ExtensionQueries {
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }
