@@ -36,6 +36,32 @@ object PureProperties extends Properties("graft.pure") {
       ev.isEmpty || ((s.status, s.amount) == model(ev))
     }
 
+  private val genPrioItems: Gen[List[graft.streaming.StreamPipelines.PrioItem]] =
+    Gen.listOfN(40, for {
+      key <- Gen.choose(0L, 60L)
+      w   <- Gen.choose(1L, 9L)
+    } yield graft.streaming.StreamPipelines.PrioItem(w * 65536L / (key % 7L + 1L), key, w))
+      .map(_.distinctBy(_.key))
+
+  /** Reference model for the streaming priority-sample fold: top-k over
+    * the union by (priority desc, key asc).
+    */
+  private def prioModel(items: Seq[graft.streaming.StreamPipelines.PrioItem], k: Int) =
+    items.distinctBy(_.key).sortBy(i => (-i.priority, i.key)).take(k)
+
+  property("prioFold is batching- and order-insensitive; duplicates collapse") =
+    Prop.forAll(genPrioItems, Gen.choose(1, 6), Gen.choose(1, 5), Gen.long) {
+      (items, k, nb, seed) =>
+        val rnd = new scala.util.Random(seed)
+        // shuffle, re-deliver a random prefix, then split into nb batches
+        val redelivered = rnd.shuffle(items ++ items.take(rnd.nextInt(items.size + 1)))
+        val batches = redelivered.grouped(math.max(1, redelivered.size / nb)).toList
+        val folded = batches.foldLeft(List.empty[graft.streaming.StreamPipelines.PrioItem]) {
+          (st, b) => graft.streaming.StreamPipelines.prioFold(st, b, k)
+        }
+        folded == prioModel(items, k)
+    }
+
   property("fold is batching-insensitive") =
     Prop.forAll(genEvents, Gen.choose(1, 5)) { (ev, nb) =>
       val batches = ev.grouped(math.max(1, ev.size / nb)).toList

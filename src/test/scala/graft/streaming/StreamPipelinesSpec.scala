@@ -638,6 +638,29 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("bloomContamination composes with a stream: zero-join decontamination at ingest") {
+    implicit val sql = spark.sqlContext
+    // holdout filter built batch-side once; the stream probe is a pure
+    // codegen projection, so it runs on the streaming frame unchanged
+    val holdout = Seq((100L, "the secret eval answer key")).toDF("doc_id", "text")
+    val bf = graft.ext.Decontaminate.holdoutBloom(holdout, "doc_id", "text",
+      shingleN = 3, numBits = 1 << 16, numHashes = 3)
+    val input = MemoryStream[Doc]
+    val q = graft.ext.Decontaminate.bloomContamination(
+        input.toDF(), bf, "doc_id", "text", shingleN = 3)
+      .writeStream.format("memory").queryName("blmst").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:00"), "contains the secret eval answer inside"),
+        Doc(2L, t("2024-01-01 10:00:00"), "perfectly clean text with no overlap"))
+      q.processAllAvailable()
+      val rows = spark.table("blmst").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(rows(1L), "doc sharing a holdout trigram must flag")
+      assert(!rows(2L), "clean doc must pass — no false negatives means clean is sound")
+    } finally q.stop()
+  }
+
   test("chunkDocuments composes with a stream: stateless chunk tiling at ingest") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Doc]
