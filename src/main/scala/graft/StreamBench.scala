@@ -25,6 +25,8 @@ object StreamBench {
   private case class OrderEv(user_id: String, ts: Timestamp, event_id: Long,
                              event_type: String, amount: Option[Double])
   private case class CdcEv(op: String, ts_ms: Long, user_id: String, segment: String)
+  private case class WeightedEv(ts: Timestamp, stratum: String, key: Long, w: Long)
+  private case class DocEv(ts: Timestamp, text: String)
 
   /** Scratch tables + checkpoints are the bench's, not the user's — swept
     * by a shutdown hook so a CRASHED run cannot strand them in /tmp (a
@@ -188,7 +190,57 @@ object StreamBench {
     val sketch_eps = (waves.toLong * waveSize / ((System.nanoTime() - t4) / 1e9)).toLong
     q4.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // -------------------------------------------------------------------
+    // Pipeline 5: k-bounded streaming priority sample — per-stratum top-k
+    // state (k items each, 20 strata), timed at the gold-agg wave shape so
+    // the cost of the weighted-reservoir fold per event is visible
+    val in5 = MemoryStream[WeightedEv]
+    def weightWave(n: Int, base: Long, seed: Int): Seq[WeightedEv] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        WeightedEv(new Timestamp(base + i % 60000), s"s${rnd.nextInt(20)}",
+          base + i, 1L + rnd.nextInt(9))
+      }
+    }
+    val q5 = StreamPipelines.prioritySampleStream(in5.toDF(), "stratum", "key", "w", k = 100)
+      .writeStream.format("noop").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    in5.addData(weightWave(1000, 0L, -1)); q5.processAllAvailable()
+    val t5 = System.nanoTime()
+    (0 until waves).foreach { w =>
+      in5.addData(weightWave(waveSize, 1000000L + w.toLong * waveSize, w))
+      q5.processAllAvailable()
+    }
+    val prio_eps = (waves.toLong * waveSize / ((System.nanoTime() - t5) / 1e9)).toLong
+    q5.stop()
+
+    // -------------------------------------------------------------------
+    // Pipeline 6: windowed Count-Min telemetry — depth×width grid state
+    // per 1-minute window over an 8-token/doc stream; reported as
+    // DOCUMENTS/sec (token throughput is 8×)
+    val in6 = MemoryStream[DocEv]
+    def docWave(n: Int, tBase: Long, seed: Int): Seq[DocEv] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val toks = (0 until 8).map(_ => s"tok${rnd.nextInt(1000)}")
+        DocEv(new Timestamp(tBase + i % 60000), toks.mkString(" "))
+      }
+    }
+    val docWaves   = math.max(1, waves / 2)
+    val docWaveSz  = waveSize / 2 // 8 tokens/doc → comparable token volume
+    val q6 = StreamPipelines.cmsTelemetry(in6.toDF(), "ts", "text", depth = 4, width = 256)
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    in6.addData(docWave(1000, 0L, -1)); q6.processAllAvailable()
+    val t6 = System.nanoTime()
+    (0 until docWaves).foreach { w =>
+      in6.addData(docWave(docWaveSz, w * 60000L, w))
+      q6.processAllAvailable()
+    }
+    val cms_eps = (docWaves.toLong * docWaveSz / ((System.nanoTime() - t6) / 1e9)).toLong
+    q6.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }
