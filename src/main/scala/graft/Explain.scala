@@ -86,7 +86,8 @@ object Explain {
     "q119_retrieval_mrr",  // LSH top-k ⋈ exact truth → reciprocal ranks
     "q120_leakage_safe_split", // cluster-root hash split over memoized CC labels
     "q121_cms_freq",       // CMS grid agg + broadcast probe min
-    "q122_frame_sample"    // pure-projection byte windows (posexplode, no shuffle)
+    "q122_frame_sample",   // pure-projection byte windows (posexplode, no shuffle)
+    "q123_resize_stub"     // truncate + metadata projection, no shuffle
   )
 
   def main(args: Array[String]): Unit = {

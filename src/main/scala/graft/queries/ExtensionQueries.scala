@@ -2946,6 +2946,24 @@ object ExtensionQueries {
       FROM p, UNNEST(range(0, 4)) AS t(i)""")
   )
 
+  // Multimodal 4: the resize stub through the oracle gate — binary in →
+  // smaller binary out + original-size metadata (a real build swaps the
+  // truncation for decode→scale→re-encode; the contract and plumbing are
+  // identical). Hex-slice comparison, the q122 convention.
+  private val q123 = Q(
+    "q123_resize_stub",
+    (s, dir) => {
+      val payload = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.resizeStub(payload, "doc_id", "payload", targetBytes = 24)
+        .select(col("doc_id"), hex(col("resized")).as("resized_hex"), col("orig_bytes"))
+    },
+    Some("""SELECT doc_id,
+        substring(hex(encode(text)), 1, 48) AS resized_hex,
+        CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes
+      FROM documents""")
+  )
+
   // Sketch 4: Count-Min frequency estimation (Cormode & Muthukrishnan
   // 2005) — the bounded-state point-frequency summary beside KMV
   // (distinct), Misra-Gries (heavy hitters), and Bloom (membership).
@@ -3045,5 +3063,5 @@ object ExtensionQueries {
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }
