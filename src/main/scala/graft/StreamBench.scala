@@ -86,7 +86,7 @@ object StreamBench {
     val waves      = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVES", "10").toInt
     val waveSize   = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVE_SIZE", "50000").toInt
     val in1 = MemoryStream[ContentEv]
-    val q1 = StreamPipelines.minuteMetrics(in1.toDF(), "ts", "video_id", "event_type", types)
+    val q1 = StreamPipelines.minuteMetrics(in1.toDF(), "ts", "video_id", "event_type", types.toIndexedSeq)
       .writeStream.format("noop").outputMode("append")
       .trigger(Trigger.ProcessingTime(0)).start()
     // warm the stateful plan before timing

@@ -266,7 +266,7 @@ object TextDedup {
       .join(txtB, "id_b")
       .withColumn("edit_dist", levenshtein(col("__pfx_a"), col("__pfx_b")).cast("long"))
       // USING joins reorder columns — restore the candidate frame's layout
-      .select(candidates.columns.map(col) :+ col("edit_dist"): _*)
+      .select(candidates.columns.toIndexedSeq.map(col) :+ col("edit_dist"): _*)
   }
 
   /** 32-bit SimHash over the token multiset: for each bit, sum +1/-1 of the
