@@ -160,12 +160,20 @@ object Sampling {
     * rows per doc) followed by a doc-keyed roll-up. Two corpus scans
     * total, no windows, no corpus-sized join sides.
     */
+  /** The hashed-feature bucket shared by every DSIR surface (model
+    * training, batch scoring, the streaming scorer): bucket identity is
+    * DEFINED by this expression — all call sites must agree or scores
+    * silently diverge from the model.
+    */
+  def tokenBucket(tok: Column, buckets: Int): Column =
+    pmod(hashBucket16(tok), lit(buckets.toLong))
+
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         isTargetCol: String, buckets: Int = 128): DataFrame = {
     require(buckets > 0 && buckets <= 65536, "buckets must be in [1, 65536]")
     val feat = df.select(col(idCol), col(isTargetCol).as("__t"),
         explode(TextDedup.tokens(col(textCol))).as("__tok"))
-      .withColumn("__b", pmod(hashBucket16(col("__tok")), lit(buckets.toLong)))
+      .withColumn("__b", tokenBucket(col("__tok"), buckets))
       .drop("__tok")
     val docFeat = feat.filter(!col("__t"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
@@ -188,7 +196,7 @@ object Sampling {
     require(buckets > 0 && buckets <= 65536, "buckets must be in [1, 65536]")
     val counts = df.select(col(isTargetCol).as("__t"),
         explode(TextDedup.tokens(col(textCol))).as("__tok"))
-      .withColumn("__b", pmod(hashBucket16(col("__tok")), lit(buckets.toLong)))
+      .withColumn("__b", tokenBucket(col("__tok"), buckets))
       .groupBy(col("__b")).agg(
         sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
         sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))

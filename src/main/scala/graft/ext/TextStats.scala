@@ -589,13 +589,21 @@ object TextStats {
     *
     * Output: (seed, bucket, cnt), ≤ depth·width rows.
     */
+  /** The grid-cell hash shared by every CMS surface (batch counters,
+    * point estimates, the streaming telemetry): bucket of `tok` under
+    * `seed` — seeded md5, the minhash convention. Grid-cell identity is
+    * DEFINED by this expression; batch/stream mergeability and estimate
+    * correctness depend on all call sites using it.
+    */
+  private[graft] def cmsBucket(seed: Column, tok: Column, width: Int): Column =
+    pmod(Sampling.hashBucket16(concat(seed.cast("string"), lit("|"), tok)),
+      lit(width.toLong))
+
   def cmsCounters(df: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, "depth and width must be positive")
     df.select(explode(TextDedup.tokens(col(textCol))).as("__tok"))
       .select(col("__tok"), explode(array((0 until depth).map(s => lit(s.toLong)): _*)).as("seed"))
-      .select(col("seed"), pmod(Sampling.hashBucket16(
-          concat(col("seed").cast("string"), lit("|"), col("__tok"))),
-        lit(width.toLong)).as("bucket"))
+      .select(col("seed"), cmsBucket(col("seed"), col("__tok"), width).as("bucket"))
       .groupBy(col("seed"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -604,8 +612,10 @@ object TextStats {
     * minimum over the `depth` rows of its bucket's count — the classic CMS
     * estimate, which can only OVERcount (collisions add, never subtract):
     * `est ≥ true`, with the overshoot bounded by the other tokens' mass
-    * landing in the same buckets. Probes broadcast (a probe list is
-    * human-sized); the grid side is ≤ depth·width rows.
+    * landing in the same buckets. The GRID broadcasts — it is ≤
+    * depth·width rows by construction, and it must be the build side
+    * anyway: a left-outer join (needed so unseen tokens estimate 0, not
+    * disappear) can only broadcast-build its right side.
     *
     * Output: (tokenCol, cms_est).
     */
@@ -614,10 +624,8 @@ object TextStats {
     require(depth > 0 && width > 0, "depth and width must be positive")
     val pb = probes.select(col(tokenCol))
       .select(col(tokenCol), explode(array((0 until depth).map(s => lit(s.toLong)): _*)).as("seed"))
-      .select(col(tokenCol), col("seed"), pmod(Sampling.hashBucket16(
-          concat(col("seed").cast("string"), lit("|"), col(tokenCol))),
-        lit(width.toLong)).as("bucket"))
-    broadcast(pb).join(counters, Seq("seed", "bucket"), "left")
+      .select(col(tokenCol), col("seed"), cmsBucket(col("seed"), col(tokenCol), width).as("bucket"))
+    pb.join(broadcast(counters), Seq("seed", "bucket"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy(col(tokenCol))
       .agg(min(col("cnt")).as("cms_est"))

@@ -149,6 +149,12 @@ object VectorSearch {
     val d = dotFn(queries.sparkSession)
     val cands = bruteForceTopK(queries, corpus, qIdCol, qVecCol, idCol, vecCol, candK)
       .withColumn("rel_bp", round(col("sim") * 10000, 0).cast("long"))
+      // a zero-norm vector has null cosine with everything (rankTopK's
+      // convention); it cannot be meaningfully re-ranked, and a null
+      // rel_bp would NPE inside the greedy UDF — drop it here, which
+      // also guarantees every pair similarity downstream is non-null
+      // (both endpoints then have nonzero norms)
+      .filter(col("rel_bp").isNotNull)
       .select(col("qid"), col("id"), col("rel_bp"))
     corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
       .join(broadcast(cands), "id")

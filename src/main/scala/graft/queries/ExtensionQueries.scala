@@ -2975,11 +2975,17 @@ object ExtensionQueries {
   private val q121 = Q(
     "q121_cms_freq",
     (s, dir) => {
+      import s.implicits._
       val docs = docsSpread(s, dir)
       val counters = TextStats.cmsCounters(docs, "text", depth = 4, width = 256)
       val exact = docs.select(explode(TextDedup.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+      // bounded localization (the kmeansFit-centroid contract): the top-20
+      // rows land on the driver once, so the corpus token spectrum is
+      // computed ONCE — left lazy, the probe side and the final join would
+      // each re-run the explode+aggregate over the corpus
       val top = exact.orderBy(col("true_count").desc, col("token")).limit(20)
+        .as[(String, Long)].collect().toSeq.toDF("token", "true_count")
       val est = TextStats.cmsEstimate(counters, top.select(col("token")),
         "token", depth = 4, width = 256)
       top.join(est, "token")

@@ -291,11 +291,14 @@ object StreamPipelines {
     * target-aware selection: train the likelihood-ratio model once on a
     * static target/raw corpus, then score arriving documents with a
     * stream-static broadcast join + a watermarked per-doc roll-up.
-    * `Σ tokens lr(bucket(token)) div n` equals the batch
-    * [[graft.ext.Sampling.importanceWeights]] score for the same text.
     * Tokens hashing to buckets absent from the model are skipped (the
-    * [[fluencyScoreStream]] unknown-ngram convention); a document with
-    * no known tokens emits nothing.
+    * [[fluencyScoreStream]] unknown-ngram convention) and `n_tokens`
+    * counts only the SCORED tokens — so
+    * `Σ tokens lr(bucket(token)) div n` equals the batch
+    * [[graft.ext.Sampling.importanceWeights]] score exactly when every
+    * token's bucket exists in the model (always true when the model was
+    * trained on a corpus containing the document; approximate for novel
+    * vocabulary). A document with no known tokens emits nothing.
     */
   def dsirScoreStream(
       docs: DataFrame,
@@ -310,8 +313,7 @@ object StreamPipelines {
       .withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol),
         explode(graft.ext.TextDedup.tokens(col(textCol))).as("__tok"))
-      .withColumn("__b",
-        pmod(graft.ext.Sampling.hashBucket16(col("__tok")), lit(buckets.toLong)))
+      .withColumn("__b", graft.ext.Sampling.tokenBucket(col("__tok"), buckets))
       .join(model, "__b")
       .groupBy(window(col(tsCol), "1 minute"), col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__sum_lr"))
@@ -727,9 +729,7 @@ object StreamPipelines {
       .select(col(tsCol), col("__tok"),
         explode(array((0 until depth).map(s => lit(s.toLong)): _*)).as("seed"))
       .select(col(tsCol), col("seed"),
-        pmod(graft.ext.Sampling.hashBucket16(
-          concat(col("seed").cast("string"), lit("|"), col("__tok"))),
-          lit(width.toLong)).as("bucket"))
+        graft.ext.TextStats.cmsBucket(col("seed"), col("__tok"), width).as("bucket"))
       .groupBy(window(col(tsCol), windowLength), col("seed"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"),
@@ -758,12 +758,15 @@ object StreamPipelines {
   implicit private val stratumEnc: Encoder[String]      = Encoders.STRING
 
   /** Pure fold shared with the spec: merge a batch of events into the
-    * prior top-k (exact key re-deliveries collapse — same key ⇒ same
-    * deterministic priority — then rank by priority desc, key asc).
+    * prior top-k (rank by priority desc, key asc). Same-key occurrences
+    * collapse deterministically to the MAX (priority, weight) — for exact
+    * re-deliveries the occurrences are identical anyway (same key ⇒ same
+    * hash ⇒ same priority), and for an upstream weight correction the
+    * retained item no longer depends on partition arrival order.
     */
   def prioFold(prior: List[PrioItem], events: Seq[PrioItem], k: Int): List[PrioItem] =
     (prior ++ events)
-      .groupBy(_.key).map(_._2.head)
+      .groupBy(_.key).map(_._2.maxBy(i => (i.priority, i.weight)))
       .toList.sortBy(i => (-i.priority, i.key)).take(k)
 
   /** Streaming weighted sample: maintains each stratum's current

@@ -341,8 +341,11 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the probe list must broadcast against the grid:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no product join belongs in the sketch plan:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"the exact top-20 must fuse to TakeOrderedAndProject:\n$p")
+    // the top-20 probe list is localized once (bounded collect) so the
+    // corpus spectrum isn't recomputed per reference — the serving plan
+    // reads it as a local table
+    assert(p.contains("LocalTableScan"),
+      s"the probe list must be a localized bounded frame:\n$p")
   }
 
   test("q38: trained IVF broadcasts centroids and routed queries; no product join") {
