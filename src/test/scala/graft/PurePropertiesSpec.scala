@@ -62,6 +62,24 @@ object PureProperties extends Properties("graft.pure") {
         folded == prioModel(items, k)
     }
 
+  property("prioFold under weight corrections retains the max-(priority, weight) occurrence") =
+    Prop.forAll(genPrioItems, Gen.choose(1, 6), Gen.long) { (items, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // a random subset re-arrives upgraded (an upstream weight correction)
+      val corrected = items.collect {
+        case i if rnd.nextBoolean() => i.copy(weight = i.weight + 3, priority = i.priority * 2)
+      }
+      val all = rnd.shuffle(items ++ corrected)
+      val batches = all.grouped(math.max(1, all.size / 3)).toList
+      val folded = batches.foldLeft(List.empty[graft.streaming.StreamPipelines.PrioItem]) {
+        (st, b) => graft.streaming.StreamPipelines.prioFold(st, b, k)
+      }
+      val expect = all.groupBy(_.key).values
+        .map(_.maxBy(i => (i.priority, i.weight))).toList
+        .sortBy(i => (-i.priority, i.key)).take(k)
+      folded == expect
+    }
+
   property("fold is batching-insensitive") =
     Prop.forAll(genEvents, Gen.choose(1, 5)) { (ev, nb) =>
       val batches = ev.grouped(math.max(1, ev.size / nb)).toList
