@@ -87,7 +87,13 @@ object Explain {
     "q120_leakage_safe_split", // cluster-root hash split over memoized CC labels
     "q121_cms_freq",       // CMS grid agg + broadcast probe min
     "q122_frame_sample",   // pure-projection byte windows (posexplode, no shuffle)
-    "q123_resize_stub"     // truncate + metadata projection, no shuffle
+    "q123_resize_stub",    // truncate + metadata projection, no shuffle
+    "q125_quality_pr_curve", // frozen-weight codegen scoring; thresholds ride
+                           // a 9-row broadcast, confusion counts hash-agg
+                           // (q124's trainer round is rendered separately
+                           // below — its output frame is driver-local)
+    "q126_epoch_shuffle"   // seeded-hash shard shuffle + shard-keyed rank
+                           // window; never a global sort
   )
 
   def main(args: Array[String]): Unit = {
@@ -160,6 +166,23 @@ object Explain {
       rd.count()
       sb.append(s"\n## q94_bpe_train (one trainer round)\n\n```\n")
       sb.append(rd.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q124's returned frame is a driver-local weight table; the
+    // load-bearing plan is one gradient round — a single partial+final
+    // 6-column hash aggregate over the codegen'd sigmoid projection
+    locally {
+      val corpus = graft.ext.Classifier.weakLabelCorpus(
+        graft.Tables.documents(spark, sfDir), "doc_id", "text")
+      val feats = graft.ext.Classifier.lrFeatures(
+        corpus, "doc_id", "text",
+        org.apache.spark.sql.functions.col("y") === 1L)
+      val g = graft.ext.Classifier.lrGradientFrame(
+        feats, Seq.fill(graft.ext.Classifier.numFeatures)(0L))
+      g.count()
+      sb.append(s"\n## q124_quality_lr_train (one gradient round)\n\n```\n")
+      sb.append(g.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }

@@ -392,7 +392,25 @@ object ScaleProbe {
       // values are MB (shuffle bytes written by ONE iteration), not
       // seconds — the width metric that survives this host's noise
       "pagerank_iter_mb_str" -> (m => m.toLong),
-      "pagerank_iter_mb_enc" -> (m => m.toLong)
+      "pagerank_iter_mb_enc" -> (m => m.toLong),
+      // classifier training end to end (feature build + 6 GD rounds):
+      // per-round cost is ONE map-side-combinable 6-column aggregate over
+      // the persisted feature frame and a 1×6 collect — there is no join,
+      // window, or corpus-sized driver state anywhere in the loop, so
+      // growth must track the corpus scan × a constant round count
+      "lr_train" -> { m =>
+        val corpus = graft.ext.Classifier.weakLabelCorpus(docsAt(m), "doc_id", "text")
+        val feats = graft.ext.Classifier.lrFeatures(
+          corpus, "doc_id", "text", col("y") === 1L).persist()
+        try graft.ext.Classifier.lrTrain(feats, iters = 6).length.toLong
+        finally feats.unpersist()
+      },
+      // the epoch shuffle: seeded-hash shard exchange + per-shard rank
+      // window (corpus/16 rows per sort task at this shard constant) × 2
+      // epochs — growth must track the corpus scan; a global-sort
+      // formulation would range-partition the whole corpus per epoch
+      "epoch_shuffle" -> (m =>
+        Packing.epochShuffle(docsAt(m), "doc_id", Seq(1, 2)).count())
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so

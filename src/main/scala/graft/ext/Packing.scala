@@ -93,6 +93,37 @@ object Packing {
         col("positive_text"))
   }
 
+  /** Deterministic epoch shuffle: a replayable pseudorandom training
+    * order per epoch, realized as (shard, pos) — a reader streams shard 0
+    * ascending pos, then shard 1, … and sees a different uncorrelated
+    * permutation each epoch from the seed alone (no RNG state, no stored
+    * permutation table; rerunning epoch e reproduces epoch e's order
+    * bit-for-bit, the property data-loader audits need).
+    *
+    * shard = seeded 16-bit hash div 4096 (16 shards, the [[packSequences]]
+    * constant); pos = rank within the shard by (hash, id). Scale shape:
+    * the only wide ops are one hash shuffle on the shard key and a
+    * shard-partitioned window sorting corpus/shards rows — never a global
+    * sort. At 100 TB the divisor shrinks so shard count tracks partition
+    * count and each window stays executor-sized.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Seq[Int]): DataFrame = {
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val eps = broadcast(epochs.toDF("epoch"))
+    val h = Sampling.hashBucket16(
+      concat(col("epoch").cast("string"), lit("|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.select(col(idCol)).crossJoin(eps)
+      .withColumn("__h", h)
+      .withColumn("shard", (col("__h") / lit(4096L)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col("epoch").cast("long").as("epoch"), col(idCol),
+        col("shard"), col("pos"))
+  }
+
   def packSequences(
       df: DataFrame, idCol: String, textCol: String, ctxLen: Int
   ): DataFrame = {

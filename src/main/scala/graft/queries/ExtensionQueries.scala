@@ -3064,10 +3064,150 @@ object ExtensionQueries {
       FROM truth t LEFT JOIN sys s ON s.qid = t.qid AND s.id = t.truth_id""")
   )
 
+  // ---------------------------------------------------------------------
+  // Quality classifier (GPT-3 §A / CCNet / FineWeb lineage): logistic
+  // regression over exact-integer text features, trained by distributed
+  // full-batch gradient descent on the reference-vs-degraded weak-label
+  // corpus (positives = documents, negatives = synthesized template-spam
+  // twins — the in-query class construction, q21's dedup convention). The
+  // oracle replays the ENTIRE training chain — six gradient iterations as
+  // chained CTEs over the same ppm integer contract — so the driver's
+  // hash check certifies the trainer, not just a scoring pass.
+
+  /** DuckDB z_ppm polynomial for weight alias `w` and feature alias `f`. */
+  private def lrZSql(w: String, f: String): String =
+    (0 until graft.ext.Classifier.numFeatures)
+      .map(j => s"$w.w$j * $f.x$j").mkString(" + ")
+
+  /** DuckDB p_ppm sigmoid over [[lrZSql]] — the one float touch, rounded
+    * to a BIGINT exactly like [[graft.ext.Classifier]]. */
+  private def lrPSql(w: String, f: String): String =
+    s"CAST(round(1000000 / (1 + exp(-((${lrZSql(w, f)}) / 1000000.0))), 0) AS BIGINT)"
+
+  /** Shared DuckDB CTE chain replaying [[graft.ext.Classifier.lrTrain]]:
+    * `feats` (the exact-integer feature frame), `n`, then per iteration
+    * `e{i}` (per-doc err) → `g{i}` (gradient sums) → `w{i}` (sign-safe
+    * floor-division update). Terminal weights land in CTE `w{iters}`.
+    */
+  private def lrTrainCtes(iters: Int, stepDiv: Int): String = {
+    val d = graft.ext.Classifier.numFeatures
+    val stopList = graft.ext.Classifier.stopwords.map(w => s"'$w'").mkString(",")
+    val feats = s"""corpus AS (
+        SELECT doc_id, text, CAST(1 AS BIGINT) AS y FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+          CASE WHEN doc_id % 4 = 0
+            THEN array_to_string(flatten(list_transform(kept, x -> [x, x])), ' ')
+            ELSE array_to_string(kept, ' ') END,
+          CAST(0 AS BIGINT)
+        FROM (SELECT doc_id, list_filter(
+            list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+            x -> x NOT IN ($stopList)) AS kept
+          FROM documents WHERE doc_id % 2 = 0)),
+      ctoks AS (SELECT doc_id, y,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM corpus),
+      feats AS (SELECT doc_id, y,
+        CAST(1 AS BIGINT) AS x0,
+        least(CAST(len(w) AS BIGINT), 1000) // 10 AS x1,
+        CASE WHEN len(w) > 0 THEN ((CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) * 10000) // len(w)) // 100 ELSE 0 END AS x2,
+        CASE WHEN len(w) > 0 THEN ((CAST(len(list_distinct(w)) AS BIGINT) * 10000) // len(w)) // 100 ELSE 0 END AS x3,
+        CASE WHEN len(w) > 0 THEN least(((CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) * 100) // len(w)) // 10, 100) ELSE 0 END AS x4,
+        CASE WHEN len(w) > 0 THEN ((CAST(len(list_filter(w, x -> regexp_matches(x, '[^A-Za-z0-9]'))) AS BIGINT) * 1000) // len(w)) // 10 ELSE 0 END AS x5
+        FROM ctoks),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+      m AS (SELECT ${(1 until d).map(j => s"CAST(sum(x$j) // count(*) AS BIGINT) AS m$j").mkString(", ")} FROM feats),
+      cf AS (SELECT f.y, f.x0, ${(1 until d).map(j => s"f.x$j - m.m$j AS x$j").mkString(", ")} FROM feats f, m),
+      w0 AS (SELECT ${(0 until d).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"""
+    val steps = (1 to iters).map { i =>
+      s"""e$i AS (SELECT ${(0 until d).map(j => s"f.x$j").mkString(", ")},
+          (${lrPSql("w", "f")} - f.y * 1000000) AS err
+        FROM cf f, w${i - 1} w),
+      g$i AS (SELECT ${(0 until d).map(j => s"CAST(sum(err * x$j) AS BIGINT) AS g$j").mkString(", ")} FROM e$i),
+      w$i AS (SELECT ${(0 until d).map(j =>
+        s"CAST(w.w$j - (CASE WHEN g.g$j >= 0 THEN g.g$j // (n.n * $stepDiv) ELSE -((-g.g$j) // (n.n * $stepDiv)) END) AS BIGINT) AS w$j").mkString(", ")}
+        FROM w${i - 1} w, g$i g, n)"""
+    }
+    // fold the centering means back into the bias (exact) → raw-space weights
+    val fold = s"""wf AS (SELECT
+        CAST(w.w0 - (${(1 until d).map(j => s"w.w$j * m.m$j").mkString(" + ")}) AS BIGINT) AS w0,
+        ${(1 until d).map(j => s"w.w$j").mkString(", ")}
+      FROM w$iters w, m)"""
+    ((feats +: steps) :+ fold).mkString(",\n      ")
+  }
+
+  private val lrIters = 6
+
+  private val q124 = Q(
+    "q124_quality_lr_train",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = graft.ext.Classifier.weakLabelCorpus(
+        docsSpread(s, dir), "doc_id", "text")
+      val feats = graft.ext.Classifier.lrFeatures(
+        corpus, "doc_id", "text", col("y") === 1L).persist()
+      val w = try graft.ext.Classifier.lrTrain(feats, iters = lrIters)
+              finally feats.unpersist()
+      graft.ext.Classifier.featureNames.zip(w).toDF("feature", "w_ppm")
+    },
+    Some(s"""WITH ${lrTrainCtes(lrIters, 100)}
+      ${graft.ext.Classifier.featureNames.zipWithIndex.map { case (nm, j) =>
+        s"SELECT '$nm' AS feature, w$j AS w_ppm FROM wf"
+      }.mkString("\n      UNION ALL ")}""")
+  )
+
+  // Classifier calibration: apply the trained weights to the corpus and
+  // sweep ppm thresholds → exact-integer confusion counts + bp rates per
+  // threshold, the artifact a pipeline reads to pick its keep-cutoff
+  // (FineWeb publishes exactly this curve for its edu classifier).
+  private val q125 = Q(
+    "q125_quality_pr_curve",
+    (s, dir) => {
+      val corpus = graft.ext.Classifier.weakLabelCorpus(
+        docsSpread(s, dir), "doc_id", "text")
+      val feats = graft.ext.Classifier.lrFeatures(
+        corpus, "doc_id", "text", col("y") === 1L)
+      val scored = graft.ext.Classifier.lrScore(
+        feats, "doc_id", QueryCaches.lrWeightsFor(s, dir))
+      graft.ext.Classifier.prCurve(scored, (1L to 9L).map(_ * 100000L))
+    },
+    Some(s"""WITH ${lrTrainCtes(lrIters, 100)},
+      scored AS (SELECT f.y, ${lrPSql("w", "f")} AS p_ppm FROM feats f, wf w),
+      agg AS (SELECT CAST(t.i * 100000 AS BIGINT) AS thr_ppm,
+          CAST(sum(CASE WHEN s.p_ppm >= t.i * 100000 AND s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN s.p_ppm >= t.i * 100000 AND s.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN s.p_ppm <  t.i * 100000 AND s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN s.p_ppm <  t.i * 100000 AND s.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored s, range(1, 10) AS t(i) GROUP BY 1)
+      SELECT thr_ppm, tp, fp, fn, tn,
+        CAST(CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp) ELSE 0 END AS BIGINT) AS precision_bp,
+        CAST(CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn) ELSE 0 END AS BIGINT) AS recall_bp
+      FROM agg""")
+  )
+
+  // Training-order reproducibility: the deterministic epoch shuffle —
+  // each epoch a replayable pseudorandom (shard, pos) order derived from
+  // the seed alone. The oracle replays both epochs' full permutations, so
+  // the hash check certifies order, not just membership.
+  private val q126 = Q(
+    "q126_epoch_shuffle",
+    (s, dir) => Packing.epochShuffle(
+      Tables.documents(s, dir), "doc_id", Seq(1, 2)),
+    Some(s"""WITH e AS (SELECT i AS epoch FROM range(1, 3) AS t(i)),
+      h AS (SELECT e.epoch, d.doc_id,
+          (${TrainingQueries.md5Bucket16Sql("(e.epoch || '|' || d.doc_id)")}) AS hh
+        FROM documents d, e)
+      SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        CAST(hh // 4096 AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY epoch, hh // 4096 ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+      FROM h""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
+    q124, q125, q126)
 }

@@ -36,6 +36,7 @@ private[graft] object QueryCaches {
   private val curationV2Cache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val fullCentCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val bpeCache    = new ConcurrentHashMap[SparkSession, (String, Seq[(Long, String, String, Long)])]()
+  private val lrCache     = new ConcurrentHashMap[SparkSession, (String, Seq[Long])]()
   private val layoutCache = new ConcurrentHashMap[SparkSession, (String, Path)]()
   private val snapCache   = new ConcurrentHashMap[SparkSession, (String, Path)]()
 
@@ -277,6 +278,29 @@ private[graft] object QueryCaches {
       }
     }
 
+  /** Trained quality-classifier ppm weight vector (6 GD iterations over
+    * the reference-vs-degraded weak-label corpus) for (s, dir) — like the
+    * BPE merge table, an iterative training job worth running once per
+    * corpus (q124 measures it live, deliberately uncached); the vector is
+    * 6 driver-local longs, so nothing is persisted.
+    */
+  def lrWeightsFor(s: SparkSession, dir: String): Seq[Long] =
+    lrCache.synchronized {
+      lrCache.get(s) match {
+        case (d, w) if d == dir => w
+        case _ =>
+          val corpus = graft.ext.Classifier.weakLabelCorpus(
+            ExtensionQueries.docsSpread(s, dir), "doc_id", "text")
+          val feats = graft.ext.Classifier.lrFeatures(
+            corpus, "doc_id", "text",
+            org.apache.spark.sql.functions.col("y") === 1L).persist()
+          val w = try graft.ext.Classifier.lrTrain(feats, iters = 6)
+                  finally feats.unpersist()
+          lrCache.put(s, (dir, w))
+          w
+      }
+    }
+
   /** One-line JSON footprint of everything cached for `s`: which caches
     * hold an entry, plus the session's persisted-RDD storage totals (the
     * persisted frames dominate; the localized centroid/BPE tables are
@@ -291,7 +315,8 @@ private[graft] object QueryCaches {
       "curation" -> curationCache.containsKey(s),
       "curationV2" -> curationV2Cache.containsKey(s),
       "fullCent" -> fullCentCache.containsKey(s),
-      "bpe" -> bpeCache.containsKey(s), "layout" -> layoutCache.containsKey(s),
+      "bpe" -> bpeCache.containsKey(s), "lr" -> lrCache.containsKey(s),
+      "layout" -> layoutCache.containsKey(s),
       "snapshot" -> snapCache.containsKey(s)
     ).collect { case (n, true) => "\"" + n + "\"" }
     val info = s.sparkContext.getRDDStorageInfo
@@ -334,6 +359,9 @@ private[graft] object QueryCaches {
     }
     bpeCache.synchronized {
       bpeCache.remove(s) // driver-local rows — nothing persisted to release
+    }
+    lrCache.synchronized {
+      lrCache.remove(s) // driver-local longs — nothing persisted to release
     }
     layoutCache.synchronized {
       Option(layoutCache.remove(s)).foreach(e => deleteTree(e._2))

@@ -320,6 +320,33 @@ object StreamPipelines {
       .select(col(idCol), col("n_tokens"),
         expr("__sum_lr div n_tokens").as("dsir_permille"))
 
+  /** Streaming quality-classifier gate: frozen [[graft.ext.Classifier]]
+    * ppm weights applied to arriving documents — the deployment shape of
+    * the trained quality filter (train once in batch (q124), pick the
+    * threshold from the calibration curve (q125), gate the ingest stream
+    * with the frozen weights). The whole operator is a STATELESS codegen
+    * projection: features are per-row arithmetic, the weights are
+    * literals in the sigmoid expression — no state store, no shuffle, no
+    * watermark, so throughput scales with input partitions alone (at
+    * d ≫ 10³ features the weights would ride a broadcast frame instead
+    * of literals; at d = 6 literals keep the stage whole-codegen).
+    *
+    * Emits documents with `p_ppm >= thresholdPpm` as
+    * `(idCol, keep..., p_ppm)`.
+    */
+  def qualityGateStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[Long],
+      thresholdPpm: Long,
+      keep: Seq[String] = Nil
+  ): DataFrame =
+    graft.ext.Classifier.lrFeatures(docs, idCol, textCol, lit(false), keep)
+      .withColumn("p_ppm", graft.ext.Classifier.scoreColumn(weights))
+      .filter(col("p_ppm") >= thresholdPpm)
+      .select((col(idCol) +: keep.map(col)) :+ col("p_ppm"): _*)
+
   /** Streaming ingest curation: the filter-at-ingest half of the batch
     * curation pipeline (q69) applied to a document stream — junk is
     * cheaper to drop before it is stored than to scrub after. Every

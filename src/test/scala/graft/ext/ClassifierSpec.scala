@@ -1,0 +1,112 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Specs for the trained quality classifier (LR over exact-integer
+  * features) and the deterministic epoch shuffle.
+  */
+class ClassifierSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // Separable toy corpus: "english-looking" docs are stopword-dense,
+  // negatives are stopword-free symbol soup.
+  private lazy val docs = Seq(
+    (1L, "the quick fox of the hill and the dale went to a town", 1L),
+    (2L, "a cat and a dog sat on the mat of the house to rest", 1L),
+    (3L, "the rain of spain stays mainly and falls to a plain", 1L),
+    (4L, "xx1! yy2@ zz3# qq4$ ww5% vv6^ uu7& tt8* ss9( rr0)", 0L),
+    (5L, "zzz9 yyy8 xxx7 www6 vvv5 uuu4 ttt3 sss2 rrr1 qqq0", 0L),
+    (6L, "k9- j8- h7- g6- f5- d4- s3- a2- p1- o0-", 0L)
+  ).toDF("id", "text", "label")
+
+  private lazy val feats =
+    Classifier.lrFeatures(docs, "id", "text", col("label") === 1L)
+
+  test("lrFeatures: exact-integer features, bias 1, caps hold") {
+    val rows = feats.collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 1L) // x0 bias
+      (2 until 8).foreach(i => assert(r.getLong(i) >= 0L && r.getLong(i) <= 100L))
+    }
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // doc 1 has 5+ stopword occurrences in 13 tokens → stop share well over 20%
+    assert(byId(1L).getLong(4) > 20L)
+    // doc 4 is all-symbol tokens → x5 (symbol pct) = 100
+    assert(byId(4L).getLong(7) == 100L)
+  }
+
+  test("lrTrain separates the weak labels and is deterministic") {
+    val f = feats.persist()
+    try {
+      val w  = Classifier.lrTrain(f, iters = 6)
+      val w2 = Classifier.lrTrain(f, iters = 6)
+      assert(w == w2) // replayable: same corpus, same weights
+      val scored = Classifier.lrScore(f, "id", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val pos = Seq(1L, 2L, 3L).map(scored)
+      val neg = Seq(4L, 5L, 6L).map(scored)
+      assert(pos.min > neg.max,
+        s"trained scores must separate classes: pos=$pos neg=$neg")
+    } finally f.unpersist()
+  }
+
+  test("lrTrain one step matches the centered-GD + bias-fold arithmetic") {
+    // w = 0 → z = 0 → p_ppm = 500000 for every row; the first gradient on
+    // MEAN-CENTERED features is sum((500000 - y*1e6) * (x_j - μ_j)), and
+    // the returned weights fold the means back into the bias.
+    val f = feats.persist()
+    try {
+      val w1 = Classifier.lrTrain(f, iters = 1)
+      val local = f.collect().map(r =>
+        (r.getLong(1), (2 until 8).map(r.getLong).toSeq))
+      val n = local.length
+      val mu = 0L +: (1 until 6).map(j => local.map(_._2(j)).sum / n)
+      def sgnDiv(a: Long, b: Long) = if (a >= 0) a / b else -((-a) / b)
+      val centeredW = (0 until 6).map { j =>
+        val g = local.map { case (y, x) => (500000L - y * 1000000L) * (x(j) - mu(j)) }.sum
+        -sgnDiv(g, n * 100L)
+      }
+      val expected = centeredW.updated(0,
+        centeredW.head - (1 until 6).map(j => centeredW(j) * mu(j)).sum)
+      assert(w1 == expected)
+    } finally f.unpersist()
+  }
+
+  test("prCurve: exact confusion counts and bp rates") {
+    val scored = Seq(
+      (1L, 1L, 900000L), (2L, 1L, 600000L), (3L, 0L, 700000L), (4L, 0L, 100000L)
+    ).toDF("id", "y", "p_ppm")
+    val curve = Classifier.prCurve(scored, Seq(500000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // τ=0.5: tp=2 (ids 1,2), fp=1 (id 3), fn=0, tn=1
+    assert(curve.toSeq == Seq((2L, 1L, 0L, 1L, 6666L, 10000L)))
+  }
+
+  test("epochShuffle: dense per-shard positions, epoch-distinct order") {
+    val ids = (0L until 64L).toDF("id")
+    val out = Packing.epochShuffle(ids, "id", Seq(1, 2)).persist()
+    try {
+      assert(out.count() == 128L) // every doc appears once per epoch
+      // positions within (epoch, shard) are dense 0..n-1
+      val bad = out.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"),
+          countDistinct(col("pos")).as("nd"))
+        .filter(col("mn") =!= 0L || col("mx") =!= col("n") - 1L || col("nd") =!= col("n"))
+      assert(bad.count() == 0L)
+      // the two epochs give different orders (seeded hash actually varies)
+      val o1 = out.filter(col("epoch") === 1L).orderBy("shard", "pos")
+        .select("id").collect().map(_.getLong(0)).toSeq
+      val o2 = out.filter(col("epoch") === 2L).orderBy("shard", "pos")
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(o1.sorted == o2.sorted) // same membership
+      assert(o1 != o2)               // different permutation
+      // replay determinism
+      val o1b = Packing.epochShuffle(ids, "id", Seq(1)).orderBy("shard", "pos")
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(o1 == o1b)
+    } finally out.unpersist()
+  }
+}

@@ -506,6 +506,40 @@ class PlanAuditSpec extends SparkFunSuite {
       s"decile roll-up must map-side combine:\n$p")
   }
 
+  test("q124: a gradient round is ONE partial+final aggregate — no joins, no windows") {
+    // training cost per iteration must be a single map-side-combinable
+    // aggregate over the corpus; a join or window here would multiply by
+    // the iteration count at 100 TB
+    val corpus = graft.ext.Classifier.weakLabelCorpus(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    val feats = graft.ext.Classifier.lrFeatures(
+      corpus, "doc_id", "text", org.apache.spark.sql.functions.col("y") === 1L)
+    val p = graft.ext.Classifier.lrGradientFrame(
+      feats, Seq.fill(graft.ext.Classifier.numFeatures)(0L))
+      .queryExecution.executedPlan.toString
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final:\n$p")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"), p)
+  }
+
+  test("q125: scoring is codegen projection; only the 9-row threshold frame broadcasts") {
+    val p = plan("q125_quality_pr_curve")
+    // frozen weights are literals (no model join); the threshold fan-out
+    // is a broadcast of a 9-row local frame; confusion counts map-side
+    // combine on the threshold key
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"nothing here may shuffle-join:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"confusion counts must map-side combine:\n$p")
+  }
+
+  test("q126: epoch shuffle ranks inside hash shards — never a global sort") {
+    val p = plan("q126_epoch_shuffle")
+    assert(!p.contains("rangepartitioning"),
+      s"a global sort would single-task the corpus:\n$p")
+    assert(p.contains("hashpartitioning"),
+      s"expected the shard-keyed exchange:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus

@@ -527,6 +527,43 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("qualityGateStream gates with frozen LR weights; matches the batch scorer") {
+    implicit val sql = spark.sqlContext
+    // train on a separable static corpus (the q124 shape), then gate a
+    // stream with the frozen weights — admitted docs carry the same p_ppm
+    // the batch scorer assigns.
+    val corpus = Seq(
+      (1L, "the quick fox of the hill and the dale went to a town", 1L),
+      (2L, "a cat and a dog sat on the mat of the house to rest", 1L),
+      (3L, "xx1! yy2@ zz3# qq4$ ww5% vv6^ uu7& tt8* ss9( rr0)", 0L),
+      (4L, "zzz9 yyy8 xxx7 www6 vvv5 uuu4 ttt3 sss2 rrr1 qqq0", 0L)
+    ).toDF("doc_id", "text", "label")
+    val feats = graft.ext.Classifier.lrFeatures(corpus, "doc_id", "text",
+      col("label") === 1L).persist()
+    val w = try graft.ext.Classifier.lrTrain(feats, iters = 6)
+            finally feats.unpersist()
+    val batchP = graft.ext.Classifier.lrScore(
+        graft.ext.Classifier.lrFeatures(corpus, "doc_id", "text", lit(false)),
+        "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val thr = 500000L
+    val input = MemoryStream[Doc]
+    val q = StreamPipelines.qualityGateStream(
+        input.toDF(), "doc_id", "text", w, thr, keep = Seq("ts"))
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:00"), "the quick fox of the hill and the dale went to a town"),
+        Doc(3L, t("2024-01-01 10:00:01"), "xx1! yy2@ zz3# qq4$ ww5% vv6^ uu7& tt8* ss9( rr0)"))
+      q.processAllAvailable()
+      val rows = spark.table("qgate").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rows.keySet == Set(1L))          // stopword-dense doc admitted
+      assert(rows(1L) == batchP(1L))          // frozen weights = batch score
+      assert(batchP(3L) < thr)                // symbol soup gated out
+    } finally q.stop()
+  }
+
   test("dsirScoreStream scores with a frozen bucket model; matches the batch arithmetic") {
     implicit val sql = spark.sqlContext
     // same corpus as TrainingOpsSpec's importanceWeights test: at
