@@ -92,8 +92,12 @@ object Explain {
                            // a 9-row broadcast, confusion counts hash-agg
                            // (q124's trainer round is rendered separately
                            // below — its output frame is driver-local)
-    "q126_epoch_shuffle"   // seeded-hash shard shuffle + shard-keyed rank
+    "q126_epoch_shuffle",  // seeded-hash shard shuffle + shard-keyed rank
                            // window; never a global sort
+    "q127_filter_agreement", // gopher signals ⋈ frozen-weight scores on the
+                           // doc key; cross-tab is a partial+final agg
+    "q128_domain_reweight" // two corpus aggs; 1-row grand total + |sources|
+                           // rate frame ride broadcasts
   )
 
   def main(args: Array[String]): Unit = {

@@ -134,6 +134,53 @@ object Sampling {
     df.filter(hashBucket16(col(keyCol)) * 10000L < rate * 65536L)
   }
 
+  /** Target-matched domain reweighting (the mixture-construction step of
+    * pretraining pipelines — The Pile's per-set weights, DoReMi's domain
+    * reweighting, Llama's upsampling tables — reduced to the closed-form
+    * case of a UNIFORM token target): for each source, the sampling rate
+    * that equalizes post-sampling token mass across sources, capped at
+    * keep-everything (a filter cannot oversample; under-represented
+    * sources keep rate 10000 and the written plan upsamples them by
+    * repetition downstream). Rates are exact basis points —
+    * `rate_bp = min(10000, total_tokens·10000 div (|sources|·tokens_s))` —
+    * and admission reuses [[mixtureSample]]'s deterministic hash rule, so
+    * the same documents are kept on every engine and every rerun.
+    *
+    * Output: one row per source with the before/after audit —
+    * (source, n_docs_before, tokens_before, rate_bp, n_docs_after,
+    * tokens_after).
+    *
+    * Scale shape: two corpus-scan hash-aggregates (before-stats and
+    * admitted-stats), a 1-row grand-total frame and a |sources|-row rate
+    * frame riding broadcasts — no corpus-sized join side, no window, no
+    * driver collect.
+    */
+  def domainReweight(df: DataFrame, sourceCol: String, keyCol: String,
+                     nTokensCol: String): DataFrame = {
+    val tot = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs_before"),
+      sum(col(nTokensCol)).as("tokens_before"))
+    val grand = tot.agg(
+      sum(col("tokens_before")).as("__tt"), count(lit(1)).as("__ns"))
+    val rates = tot.crossJoin(broadcast(grand))
+      .withColumn("rate_bp",
+        when(col("tokens_before") > 0,
+          least(lit(10000L), expr("(__tt * 10000) div (__ns * tokens_before)")))
+          .otherwise(10000L))
+      .select(col(sourceCol), col("n_docs_before"), col("tokens_before"), col("rate_bp"))
+    val admitted = df
+      .join(broadcast(rates.select(col(sourceCol), col("rate_bp"))), sourceCol)
+      .filter(hashBucket16(col(keyCol)) * 10000L < col("rate_bp") * 65536L)
+      .groupBy(col(sourceCol)).agg(
+        count(lit(1)).as("n_docs_after"),
+        sum(col(nTokensCol)).as("tokens_after"))
+    rates.join(admitted, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs_before"), col("tokens_before"),
+        col("rate_bp"),
+        coalesce(col("n_docs_after"), lit(0L)).as("n_docs_after"),
+        coalesce(col("tokens_after"), lit(0L)).as("tokens_after"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each raw document
     * by how target-like its hashed-token distribution is. DSIR's weight is

@@ -3203,11 +3203,93 @@ object ExtensionQueries {
       FROM h""")
   )
 
+  // Filter-ensemble agreement audit: per source, how the heuristic rule
+  // bundle (Gopher, q114) and the trained classifier (q124, at the
+  // q125-calibrated 0.5 threshold) agree on the REAL documents — the
+  // cross-tab a pipeline reads before choosing/stacking quality filters
+  // (FineWeb's ablations publish exactly this comparison). The oracle
+  // replays both signals end to end, training chain included.
+  private val q127 = Q(
+    "q127_filter_agreement",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val gop = TextStats.gopherSignals(docs, "doc_id", "text")
+        .select(col("doc_id"), col("gopher_pass"))
+      val feats = graft.ext.Classifier.lrFeatures(docs, "doc_id", "text", lit(false))
+      val scored = graft.ext.Classifier.lrScore(
+          feats, "doc_id", QueryCaches.lrWeightsFor(s, dir))
+        .select(col("doc_id"), (col("p_ppm") >= 500000L).as("clf_pass"))
+      docs.select(col("doc_id"), col("source"))
+        .join(gop, "doc_id").join(scored, "doc_id")
+        .groupBy(col("source"), col("gopher_pass"), col("clf_pass"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some(s"""WITH $toksCte,
+      ${lrTrainCtes(lrIters, 100)},
+      st AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS chars,
+          CAST(len(list_filter(w, x -> regexp_matches(x, '[^A-Za-z0-9]'))) AS BIGINT) AS nsym
+        FROM toks),
+      bgc AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b, count(*) AS c
+        FROM toks, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1, 2),
+      t2 AS (SELECT doc_id,
+          CAST(max(c) * 1000 AS BIGINT) // CAST(sum(c) AS BIGINT) AS top2
+        FROM bgc GROUP BY 1),
+      sw AS (SELECT doc_id, CAST(len(list_filter(
+            ['the', 'a', 'of', 'to', 'and', 'in', 'is', 'that'],
+            x -> list_contains(w, x))) AS BIGINT) AS n_stop
+        FROM toks),
+      gsig AS (SELECT st.doc_id,
+          (st.n_tokens >= 20
+            AND (CASE WHEN st.n_tokens > 0 THEN st.chars * 100 // st.n_tokens ELSE 0 END) BETWEEN 100 AND 1000
+            AND (CASE WHEN st.n_tokens > 0 THEN st.nsym * 1000 // st.n_tokens ELSE 0 END) <= 100
+            AND sw.n_stop >= 2
+            AND COALESCE(t2.top2, 0) <= 200) AS gopher_pass
+        FROM st JOIN sw USING (doc_id) LEFT JOIN t2 USING (doc_id)),
+      clf AS (SELECT f.doc_id, (${lrPSql("w", "f")} >= 500000) AS clf_pass
+        FROM feats f, wf w WHERE f.doc_id < 100000)
+      SELECT d.source, g.gopher_pass, c.clf_pass, count(*) AS n_docs
+      FROM documents d JOIN gsig g USING (doc_id) JOIN clf c USING (doc_id)
+      GROUP BY 1, 2, 3""")
+  )
+
+  // Mixture construction: target-matched domain reweighting (uniform
+  // token target). The oracle replays rates AND the deterministic hash
+  // admission, so the hash check certifies which documents the mixture
+  // keeps, not just the rate arithmetic.
+  private val q128 = Q(
+    "q128_domain_reweight",
+    (s, dir) => Sampling.domainReweight(
+      docsSpread(s, dir).withColumn("n_tokens",
+        size(TextDedup.tokens(col("text"))).cast("long")),
+      "source", "doc_id", "n_tokens"),
+    Some(s"""WITH $toksCte,
+      dtk AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_before,
+          CAST(sum(n_tokens) AS BIGINT) AS tokens_before FROM dtk GROUP BY 1),
+      g AS (SELECT CAST(sum(tokens_before) AS BIGINT) AS tt,
+          CAST(count(*) AS BIGINT) AS ns FROM tot),
+      rates AS (SELECT source, n_docs_before, tokens_before,
+          CAST(CASE WHEN tokens_before > 0
+            THEN least(10000, (g.tt * 10000) // (g.ns * tokens_before))
+            ELSE 10000 END AS BIGINT) AS rate_bp
+        FROM tot, g),
+      adm AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_after,
+          CAST(sum(d.n_tokens) AS BIGINT) AS tokens_after
+        FROM dtk d JOIN rates r USING (source)
+        WHERE (${TrainingQueries.md5Bucket16Sql("d.doc_id")}) * 10000 < r.rate_bp * 65536
+        GROUP BY 1)
+      SELECT r.source, r.n_docs_before, r.tokens_before, r.rate_bp,
+        CAST(COALESCE(a.n_docs_after, 0) AS BIGINT) AS n_docs_after,
+        CAST(COALESCE(a.tokens_after, 0) AS BIGINT) AS tokens_after
+      FROM rates r LEFT JOIN adm a USING (source)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126)
+    q124, q125, q126, q127, q128)
 }

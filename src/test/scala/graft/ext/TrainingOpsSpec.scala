@@ -177,4 +177,26 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(run(1) == run(16))
     assert(run(16).size == 5)
   }
+
+  test("domainReweight: uniform-target rates, keep-all floor, admission matches mixtureSample") {
+    // heavy: 3 docs × 100 tokens = 300; light: 3 docs × 20 tokens = 60
+    // total 360, target per source 180 → heavy rate = 3600000 div 600
+    // capped... = min(10000, 360*10000 div (2*300)) = 6000; light = 10000
+    val rows = (1L to 3L).map(id => (id, "heavy", 100L)) ++
+               (4L to 6L).map(id => (id, "light", 20L))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.domainReweight(df, "source", "doc_id", "n_tokens")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (hb, ht, hr, _, _) = out("heavy")
+    assert((hb, ht, hr) == ((3L, 300L, 6000L)))
+    // under-represented source keeps everything (rate floor at 10000)
+    assert(out("light") == ((3L, 60L, 10000L, 3L, 60L)))
+    // admission replays mixtureSample's deterministic hash rule exactly
+    val admittedHeavy = Sampling.mixtureSample(
+      df.filter(col("source") === "heavy"), "source", "doc_id",
+      Map("heavy" -> 6000), defaultBp = 0).count()
+    assert(out("heavy")._4 == admittedHeavy)
+    assert(out("heavy")._5 == admittedHeavy * 100L)
+  }
 }

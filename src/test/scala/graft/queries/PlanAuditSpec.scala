@@ -540,6 +540,24 @@ class PlanAuditSpec extends SparkFunSuite {
       s"expected the shard-keyed exchange:\n$p")
   }
 
+  test("q127: agreement cross-tab is doc-keyed equi-joins + one partial+final agg") {
+    val p = plan("q127_filter_agreement")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"signal joins must stay doc-keyed equi-joins:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the cross-tab must map-side combine:\n$p")
+  }
+
+  test("q128: domain reweighting broadcasts the rate frame; corpus never joins wide") {
+    val p = plan("q128_domain_reweight")
+    // the grand total is a 1-row broadcast (the suite's aggregate-frame
+    // convention) and the per-source rates broadcast back onto the corpus
+    // scan — a shuffled corpus-side join here would defeat the point
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the corpus side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
