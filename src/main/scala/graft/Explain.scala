@@ -96,8 +96,17 @@ object Explain {
                            // window; never a global sort
     "q127_filter_agreement", // gopher signals ⋈ frozen-weight scores on the
                            // doc key; cross-tab is a partial+final agg
-    "q128_domain_reweight" // two corpus aggs; 1-row grand total + |sources|
+    "q128_domain_reweight", // two corpus aggs; 1-row grand total + |sources|
                            // rate frame ride broadcasts
+    "q129_knn_graph",      // bucket-keyed self-join + per-id rank window
+                           // (hot buckets split on extra sign bits)
+    "q131_temperature_mix", // q128's shape with isqrt-scaled targets
+    "q132_curriculum",     // per-source ntile + per-(source, stage) rank —
+                           // no corpus-global window
+    "q133_blocklist"       // literal isin inside the scan + one
+                           // |sources|-row agg; no join side at all
+                           // (q130's returned frame is a checkpoint scan —
+                           // one LPA round is rendered separately below)
   )
 
   def main(args: Array[String]): Unit = {
@@ -142,6 +151,17 @@ object Explain {
         graft.queries.ExtensionQueries.pagerankEdges(spark, sfDir), "src", "dst")
       it.count()
       sb.append(s"\n## q111_pagerank_encoded (dictionary + one power iteration)\n\n```\n")
+      sb.append(it.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q130's returned frame is a checkpoint scan; the load-bearing plan is
+    // ONE synchronous LPA round over the same graph
+    locally {
+      val it = graft.ext.Graphs.lpRoundPlanFrame(
+        graft.queries.ExtensionQueries.pagerankEdges(spark, sfDir), "src", "dst")
+      it.count()
+      sb.append(s"\n## q130_label_prop (one LPA round)\n\n```\n")
       sb.append(it.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")

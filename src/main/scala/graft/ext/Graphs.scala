@@ -302,6 +302,100 @@ object Graphs {
     iteration(outEdges, nodes, nodes.withColumn("rank_mu", lit(scaleMu)), base, dampingPct)
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, "Near linear time algorithm to detect community structures in
+    * large-scale networks"; public) over a string-keyed edge list, fixed
+    * `iters` rounds. The curation use: a domain-level community is a
+    * crawl neighborhood — a spam farm interlinks itself far more densely
+    * than it links out, so its members converge onto one label within a
+    * round or two, and a pipeline caps per-community document budgets the
+    * same way it caps per-domain budgets.
+    *
+    * Semantics (deterministic by construction — classic LPA tie-breaks
+    * randomly; here every choice is total-ordered):
+    *   - the graph is undirected: adjacency = edges ∪ reversed(edges),
+    *     distinct, self-loops dropped (a self-vote would just echo the
+    *     node's current label and damp convergence);
+    *   - labels start as the node's own key;
+    *   - each round, SYNCHRONOUSLY: label'(v) = the label with the most
+    *     occurrences among v's neighbors' current labels, ties broken by
+    *     the lexicographically smallest label. Every node in the edge
+    *     list has ≥1 neighbor (it is incident to an edge), so there is no
+    *     isolated-node branch.
+    *
+    * Scale shape: a round is one equi-join (labels onto adjacency, on the
+    * neighbor key) and TWO hash-aggregates — (node, label) vote counts,
+    * then per-node argmax via `min(struct(-count, label))`. The argmax is
+    * deliberately an aggregate, not a `row_number` window: partial
+    * aggregation absorbs vote skew map-side and nothing sorts. Same
+    * generation-anchor cadence as [[runPageRank]]: materialize every 4th
+    * round and re-base on the cached RDD so the self-nesting plan never
+    * re-canonicalizes its prefix.
+    *
+    * Output: (node, label) for every node in the edge list.
+    */
+  def labelPropagation(edges0: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val e = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val adjChain = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .select(col("src").as("node"), col("dst").as("nbr"))
+      .persist()
+    adjChain.count()
+    // short-lineage anchor: the loop references this frame once per round
+    // and nests the references, so the caller's extraction subtree must
+    // not ride along (see runPageRank's rationale)
+    val adj = adjChain.sparkSession.createDataFrame(adjChain.rdd, adjChain.schema)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    var lastMat: Option[DataFrame] = None
+    var depth = 0
+    for (i <- 1 to iters) {
+      labels = lpRound(adj, labels)
+      depth += 1
+      if (depth >= 4 && i < iters) {
+        val m = labels.persist()
+        m.count()
+        lastMat.foreach(_.unpersist())
+        lastMat = Some(m)
+        labels = m.sparkSession.createDataFrame(m.rdd, m.schema)
+        depth = 0
+      }
+    }
+    val out = labels.localCheckpoint(true)
+    lastMat.foreach(_.unpersist())
+    adjChain.unpersist()
+    out
+  }
+
+  /** One synchronous LPA round, exposed so the plan audit can pin its
+    * physical shape: an equi-join on the neighbor key and two
+    * hash-aggregates — never a window, never a sort.
+    */
+  private[graft] def lpRound(adj: DataFrame, labels: DataFrame): DataFrame =
+    adj.join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+      .groupBy(col("node"), col("label")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("__c")).as("__negc"), col("label").as("label"))).as("__best"))
+      .select(col("node"), col("__best.label").as("label"))
+
+  /** One unexecuted LPA round over `edges0` from the self-label start
+    * state, for `graft.Explain` and the plan audit.
+    */
+  private[graft] def lpRoundPlanFrame(edges0: DataFrame, srcCol: String,
+                                      dstCol: String): DataFrame = {
+    val e = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .select(col("src").as("node"), col("dst").as("nbr"))
+    lpRound(adj, adj.select(col("node")).distinct().withColumn("label", col("node")))
+  }
+
   private[graft] def iteration(outEdges: DataFrame, nodes: DataFrame,
                                rank: DataFrame, base: Long, dampingPct: Int,
                                dangling: Option[(DataFrame, DataFrame)] = None): DataFrame = {

@@ -181,6 +181,66 @@ object Sampling {
         coalesce(col("tokens_after"), lit(0L)).as("tokens_after"))
   }
 
+  /** Temperature-scaled mixture reweighting — the multilingual-corpus
+    * sampling rule (Devlin et al. 2019 BERT appendix; Conneau & Lample
+    * 2019 XLM; public): sample domain i proportional to p_i^α with
+    * α = 1/2, so low-resource domains are up-weighted relative to their
+    * raw share without letting any one domain dominate. [[domainReweight]]
+    * is the α → 0 limit (uniform targets); raw sampling is α = 1; this is
+    * the standard middle ground actual pretraining mixtures use.
+    *
+    * Exact-integer semantics (engine-portable): with n_i = domain token
+    * counts, s_i = isqrt(n_i) = floor(sqrt(n_i)) and S = Σ s_j, domain
+    * i's token target is `total · s_i / S`, so its admission rate is
+    * `rate_bp_i = min(10000, ((total · 10000 div S) · s_i) div n_i)` —
+    * the division by S happens BEFORE the multiply by s_i (pinned order,
+    * replayed verbatim by the oracle) so the widest intermediate is
+    * `total · 10000`, which holds in a BIGINT for corpora to ~10^14
+    * tokens (~petabytes of text); the naive `total·s_i·10000` would
+    * overflow three orders of magnitude earlier. After the isqrt every
+    * step is BIGINT floor arithmetic. isqrt itself
+    * is exact here: `floor(sqrt(double(n)))` is bit-stable across engines
+    * for n < 2^52 (IEEE sqrt is correctly rounded; token counts beyond
+    * 2^52 are not a thing). Admission reuses the [[hashBucket16]]
+    * keep-test, so WHICH documents survive is part of the contract, not
+    * just the rates.
+    *
+    * Output: (source, n_docs_before, tokens_before, sqrt_tokens, rate_bp,
+    * n_docs_after, tokens_after).
+    *
+    * Scale shape: identical to [[domainReweight]] — two corpus-scan
+    * hash-aggregates, a broadcast 1-row grand total and a broadcast
+    * |sources|-row rate frame; no window, no collect.
+    */
+  def temperatureReweight(df: DataFrame, sourceCol: String, keyCol: String,
+                          nTokensCol: String): DataFrame = {
+    val tot = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs_before"),
+      sum(col(nTokensCol)).as("tokens_before"))
+      .withColumn("sqrt_tokens", floor(sqrt(col("tokens_before").cast("double"))).cast("long"))
+    val grand = tot.agg(
+      sum(col("tokens_before")).as("__tt"), sum(col("sqrt_tokens")).as("__ss"))
+    val rates = tot.crossJoin(broadcast(grand))
+      .withColumn("rate_bp",
+        when(col("tokens_before") > 0 && col("__ss") > 0,
+          least(lit(10000L),
+            expr("(((__tt * 10000) div __ss) * sqrt_tokens) div tokens_before")))
+          .otherwise(10000L))
+      .select(col(sourceCol), col("n_docs_before"), col("tokens_before"),
+        col("sqrt_tokens"), col("rate_bp"))
+    val admitted = df
+      .join(broadcast(rates.select(col(sourceCol), col("rate_bp"))), sourceCol)
+      .filter(hashBucket16(col(keyCol)) * 10000L < col("rate_bp") * 65536L)
+      .groupBy(col(sourceCol)).agg(
+        count(lit(1)).as("n_docs_after"),
+        sum(col(nTokensCol)).as("tokens_after"))
+    rates.join(admitted, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs_before"), col("tokens_before"),
+        col("sqrt_tokens"), col("rate_bp"),
+        coalesce(col("n_docs_after"), lit(0L)).as("n_docs_after"),
+        coalesce(col("tokens_after"), lit(0L)).as("tokens_after"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each raw document
     * by how target-like its hashed-token distribution is. DSIR's weight is

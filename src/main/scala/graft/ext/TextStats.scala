@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (extension tier,
@@ -659,4 +660,90 @@ object TextStats {
       .select(col(sourceCol), col("n_tokens"), col("n_types"), col("n_hapax"),
         expr("n_types * 1000 div n_tokens").as("ttr_permille"),
         expr("n_hapax * 1000 div n_types").as("hapax_permille"))
+
+  /** Curriculum ordering (Bengio et al. 2009, "Curriculum Learning";
+    * public): assign every document a deterministic difficulty score,
+    * split each source into `stages` easy→hard tiers, and give each
+    * document a replayable position within its (source, stage) — the
+    * training loader then consumes stages in order, shuffled within.
+    *
+    * Difficulty is the exact-integer proxy
+    * `difficulty_milli = avg_token_len_milli + ttr_milli`
+    * (= `chars·1000 div tokens + distinct_tokens·1000 div tokens`):
+    * longer words and higher lexical diversity both read as "harder", and
+    * both terms are floor-division BIGINTs an oracle replays bit-for-bit.
+    * Stage is `ntile(stages)` over (difficulty, id) WITHIN each source —
+    * ANSI ntile, identical in Spark and DuckDB. Position within the
+    * stage is the md5-hash shuffle order (the [[graft.ext.Packing]]
+    * epoch-shuffle rule), so intra-stage order is decorrelated from
+    * difficulty but fully replayable.
+    *
+    * Output: (id, source, difficulty_milli, stage, pos).
+    *
+    * Scale shape: one narrow scan computes the score; both windows
+    * partition by source (ntile) or (source, stage) (position), so each
+    * sort is per-group and spreads across however many sources/stages the
+    * corpus has — there is no corpus-global sort. A corpus with ONE giant
+    * source would single-task its ntile; shard such a source upstream
+    * (stage cuts are per-source by contract, so sharding changes only the
+    * grouping grain, not the rule).
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, stages: Int): DataFrame = {
+    require(stages > 0, "stages must be positive")
+    val toks = TextDedup.tokens(col(textCol))
+    val scored = df.select(
+      col(idCol), col(sourceCol),
+      length(col(textCol)).cast("long").as("__chars"),
+      size(toks).cast("long").as("__tok"),
+      size(array_distinct(toks)).cast("long").as("__dist"))
+      .select(col(idCol), col(sourceCol),
+        when(col("__tok") > 0,
+          expr("__chars * 1000 div __tok + __dist * 1000 div __tok"))
+          .otherwise(0L).as("difficulty_milli"))
+    val staged = scored.withColumn("stage",
+      ntile(stages).over(Window.partitionBy(col(sourceCol))
+        .orderBy(col("difficulty_milli"), col(idCol))).cast("long"))
+    staged.withColumn("__h",
+      Sampling.hashBucket16(concat(col("stage").cast("string"), lit("|"), col(idCol).cast("string"))))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy(col(sourceCol), col("stage"))
+          .orderBy(col("__h"), col(idCol))) - 1).cast("long"))
+      .select(col(idCol), col(sourceCol), col("difficulty_milli"),
+        col("stage"), col("pos"))
+  }
+
+  /** Blocklist audit — the first-pass safety/NSFW filter every public
+    * corpus pipeline runs (C4 removed pages hitting the "List of Dirty,
+    * Naughty, Obscene..." wordlist, Raffel et al. 2020 §2.2; public).
+    * Matching is exact whole-token membership against a small lowercase
+    * wordlist, NOT substring search — substring blocklists famously
+    * over-fire ("Scunthorpe problem") and are not reproducible across
+    * tokenizers; token identity is.
+    *
+    * Output per source: (source, n_docs, n_flagged, n_hits,
+    * flagged_bp = n_flagged·10000 div n_docs) — the audit a pipeline
+    * reads before deciding whether a source's flag rate is noise or a
+    * reason to drop the source wholesale.
+    *
+    * Scale shape: the wordlist rides INSIDE the row expression (an
+    * `isin` over a literal list — codegen'd, no join side at all), so
+    * this is one narrow scan + one |sources|-row hash-aggregate. A
+    * 10k-word production list would become a broadcast-joined lookup
+    * instead; the contract (exact token membership) is unchanged.
+    */
+  def blocklistStats(df: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    val hits = size(filter(TextDedup.tokens(col(textCol)),
+      t => t.isin(words.map(lit): _*))).cast("long")
+    df.select(col(sourceCol), hits.as("__hits"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("__hits")).as("n_hits"))
+      .select(col(sourceCol), col("n_docs"), col("n_flagged"), col("n_hits"),
+        expr("n_flagged * 10000 div n_docs").as("flagged_bp"))
+  }
 }

@@ -1124,4 +1124,65 @@ object VectorSearch {
         round(when(denom =!= 0.0, d(col("a.v"), col("b.v")) / denom), roundDigits).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Approximate k-nearest-neighbor GRAPH over one embedding corpus: for
+    * every vector, its top-`k` most-cosine-similar LSH-bucket co-members.
+    * The kNN graph is the substrate for graph-based curation — SemDeDup
+    * prunes its edges, graph ANN indexes (HNSW/NSG families) refine it,
+    * and [[graft.ext.Components]] over its high-similarity edges yields
+    * near-duplicate clusters without a quadratic pass.
+    *
+    * Construction is [[nearDupPairs]]' bucketed self-join made DIRECTED
+    * (both (a,b) and (b,a) survive, a node ranks its own candidate list)
+    * with the same hot-bucket refinement: buckets over `maxBucketSize`
+    * members split on the next `extraBits` sign bits, capping the
+    * per-bucket quadratic term. Ranking is rounded-cosine with the
+    * neighbor id as tie-break (total order, engine-portable). Vectors
+    * whose bucket is a singleton emit no rows — a kNN graph over an LSH
+    * candidate set is approximate by contract (q109's recall-calibration
+    * curve measures exactly this trade).
+    *
+    * Output: (id, nbr_id, sim, rnk), rnk = 1..k per id.
+    *
+    * Scale shape: one narrow scan computes buckets, the self-join
+    * shuffles on the bucket key (candidate pairs never materialize
+    * corpus²: the equi-join key IS the blocking key), and the per-id
+    * top-k is a `row_number` window partitioned by id — each partition
+    * sorts only that node's ≤ bucket-cap candidates. Skew is bounded by
+    * `maxBucketSize` BEFORE the join, not discovered after.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               bits: Int, roundDigits: Int = 4,
+               maxBucketSize: Int = Int.MaxValue, extraBits: Int = 6): DataFrame = {
+    require(k > 0, "k must be positive")
+    val d = dotFn(df.sparkSession)
+    val keyed = df.select(
+      col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("__b"),
+      signBucketAt(col(vecCol), bits, extraBits).as("__s"))
+      .withColumn("nrm", sqrt(d(col("v"), col("v"))))
+    val side =
+      if (maxBucketSize == Int.MaxValue)
+        keyed.withColumn("bkt", col("__b").cast("string")).drop("__b", "__s")
+      else {
+        val cnt = df.select(signBucket(col(vecCol), bits).as("__b"))
+          .groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+        keyed.join(broadcast(cnt), "__b")
+          .withColumn("bkt", concat(col("__b").cast("string"),
+            when(col("__cnt") > maxBucketSize,
+              concat(lit("/"), col("__s").cast("string"))).otherwise(lit(""))))
+          .drop("__b", "__s", "__cnt")
+      }
+    val denom = col("a.nrm") * col("b.nrm")
+    val scored = side.as("a")
+      .join(side.as("b"), col("a.bkt") === col("b.bkt") && col("a.id") =!= col("b.id"))
+      .select(
+        col("a.id").as("id"), col("b.id").as("nbr_id"),
+        round(when(denom =!= 0.0, d(col("a.v"), col("b.v")) / denom), roundDigits).as("sim"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("nbr_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -3285,11 +3285,141 @@ object ExtensionQueries {
       FROM rates r LEFT JOIN adm a USING (source)""")
   )
 
+  // Similarity search 9: the approximate kNN GRAPH — every corpus vector's
+  // top-3 cosine neighbors among its LSH-bucket co-members (hot buckets
+  // refined on the next 6 sign bits, the q28 rule made symmetric). The
+  // substrate for graph-based curation: SemDeDup prunes its edges,
+  // Components over its high-sim edges is near-dup clustering without a
+  // quadratic pass.
+  private val q129 = Q(
+    "q129_knn_graph",
+    (s, dir) => VectorSearch.knnGraph(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 3, bits = 6, maxBucketSize = 64),
+    Some(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS bkt,
+        ${duckSignBucket("embedding", 6, offset = 6)} AS sub
+        FROM embeddings),
+      c AS (SELECT e.*, count(*) OVER (PARTITION BY bkt) AS cnt FROM e),
+      scored AS (SELECT a.id, b.id AS nbr_id, round(${duckCos("a.v", "b.v")}, 4) AS sim
+        FROM c a JOIN c b ON a.bkt = b.bkt AND (a.cnt <= 64 OR a.sub = b.sub)
+          AND a.id <> b.id)
+      SELECT id, nbr_id, sim,
+        CAST(row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr_id) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 3""")
+  )
+
+  /** One deterministic synchronous LPA round as a DuckDB CTE — votes are
+    * neighbor-label counts, the winner is (max count, min label), exactly
+    * [[graft.ext.Graphs.lpRound]]'s `min(struct(-count, label))`.
+    */
+  private def lpRoundCte(prev: String, cur: String): String =
+    s"""$cur AS (SELECT node, label FROM (
+      SELECT a.node, l.label, count(*) AS c,
+        row_number() OVER (PARTITION BY a.node ORDER BY count(*) DESC, l.label) AS rn
+      FROM adj a JOIN $prev l ON a.nbr = l.node GROUP BY a.node, l.label)
+      WHERE rn = 1)"""
+
+  // Curation 16d: label-propagation communities over the q87 link graph —
+  // the crawl-neighborhood signal (a spam farm interlinks itself densely
+  // and converges onto one label within a round or two; a pipeline caps
+  // per-community budgets like per-domain budgets). Two deterministic
+  // synchronous rounds; the oracle replays both, so the hash check pins
+  // the tie-break rule, not just membership.
+  private val q130 = Q(
+    "q130_label_prop",
+    (s, dir) => Graphs.labelPropagation(pagerankEdges(s, dir), "src", "dst", iters = 2),
+    Some(s"""WITH $prGraphCtes,
+      adj AS (SELECT src AS node, dst AS nbr FROM edges WHERE src <> dst
+        UNION SELECT dst, src FROM edges WHERE src <> dst),
+      l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+      ${lpRoundCte("l0", "l1")},
+      ${lpRoundCte("l1", "l2")}
+      SELECT node, label FROM l2""")
+  )
+
+  // Mixture construction 2: temperature-scaled domain sampling (α = 1/2,
+  // the BERT/XLM multilingual rule) beside q128's uniform-target limit —
+  // rates ∝ sqrt(domain tokens)/domain tokens, admission by the same
+  // deterministic hash, so the oracle certifies WHICH documents the
+  // mixture keeps under the up-weighting.
+  private val q131 = Q(
+    "q131_temperature_mix",
+    (s, dir) => Sampling.temperatureReweight(
+      docsSpread(s, dir).withColumn("n_tokens",
+        size(TextDedup.tokens(col("text"))).cast("long")),
+      "source", "doc_id", "n_tokens"),
+    Some(s"""WITH $toksCte,
+      dtk AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_before,
+          CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+          CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS sqrt_tokens
+        FROM dtk GROUP BY 1),
+      g AS (SELECT CAST(sum(tokens_before) AS BIGINT) AS tt,
+          CAST(sum(sqrt_tokens) AS BIGINT) AS ss FROM tot),
+      rates AS (SELECT source, n_docs_before, tokens_before, sqrt_tokens,
+          CAST(CASE WHEN tokens_before > 0 AND g.ss > 0
+            THEN least(10000, (((g.tt * 10000) // g.ss) * sqrt_tokens) // tokens_before)
+            ELSE 10000 END AS BIGINT) AS rate_bp
+        FROM tot, g),
+      adm AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_after,
+          CAST(sum(d.n_tokens) AS BIGINT) AS tokens_after
+        FROM dtk d JOIN rates r USING (source)
+        WHERE (${TrainingQueries.md5Bucket16Sql("d.doc_id")}) * 10000 < r.rate_bp * 65536
+        GROUP BY 1)
+      SELECT r.source, r.n_docs_before, r.tokens_before, r.sqrt_tokens, r.rate_bp,
+        CAST(COALESCE(a.n_docs_after, 0) AS BIGINT) AS n_docs_after,
+        CAST(COALESCE(a.tokens_after, 0) AS BIGINT) AS tokens_after
+      FROM rates r LEFT JOIN adm a USING (source)""")
+  )
+
+  // Training-order 2: curriculum staging — per-source easy→hard quartiles
+  // over the exact-integer difficulty proxy (avg token length + TTR, in
+  // milli), positions within a stage hash-shuffled (the q126 rule). The
+  // oracle replays score, ntile cuts, AND the intra-stage permutation.
+  private val q132 = Q(
+    "q132_curriculum",
+    (s, dir) => TextStats.curriculumOrder(
+      docsSpread(s, dir), "doc_id", "text", "source", stages = 4),
+    Some(s"""WITH $toksCte,
+      sc AS (SELECT doc_id, source,
+          CAST(CASE WHEN len(w) > 0
+            THEN length(text) * 1000 // len(w) + len(list_distinct(w)) * 1000 // len(w)
+            ELSE 0 END AS BIGINT) AS difficulty_milli
+        FROM toks),
+      st AS (SELECT doc_id, source, difficulty_milli,
+          CAST(ntile(4) OVER (PARTITION BY source ORDER BY difficulty_milli, doc_id) AS BIGINT) AS stage
+        FROM sc),
+      h AS (SELECT *, (${TrainingQueries.md5Bucket16Sql("(stage || '|' || doc_id)")}) AS hh FROM st)
+      SELECT doc_id, source, difficulty_milli, stage,
+        CAST(row_number() OVER (PARTITION BY source, stage ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+      FROM h""")
+  )
+
+  // Safety filter audit: exact whole-token blocklist hit rates per source
+  // (the C4 wordlist pass as an audit, not substring matching — the
+  // Scunthorpe rule). 'dup' hits ~5% of the planted corpus, 'stale' never
+  // fires, so the rates differentiate and the zero path is exercised.
+  private val q133 = Q(
+    "q133_blocklist",
+    (s, dir) => TextStats.blocklistStats(
+      docsSpread(s, dir), "doc_id", "text", "source", Seq("dup", "stale")),
+    Some(s"""WITH $toksCte,
+      h AS (SELECT source, CAST(len(list_filter(w,
+          x -> list_contains(['dup', 'stale'], x))) AS BIGINT) AS hits
+        FROM toks)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        CAST(sum(hits) AS BIGINT) AS n_hits,
+        CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS flagged_bp
+      FROM h GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
 }

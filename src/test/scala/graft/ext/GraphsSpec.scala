@@ -154,4 +154,63 @@ class GraphsSpec extends SparkFunSuite {
       .collect().map { case Row(n: String, r: Long) => n -> r }.toMap
     assert(a === ref(chain.toSet, 3))
   }
+
+  // ------------------------------------------------------------------
+  // labelPropagation
+
+  /** Reference synchronous LPA with the operator's exact semantics:
+    * undirected distinct adjacency, self-loops dropped, winner =
+    * (max neighbor-label count, then min label).
+    */
+  private def lpRef(edges: Seq[(String, String)], iters: Int): Map[String, String] = {
+    val adj = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, (e._2, e._1))).distinct
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.map { case (n, nbrs) =>
+        val votes = nbrs.map(labels).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  private def lpRun(edges: Seq[(String, String)], iters: Int): Map[String, String] =
+    Graphs.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map { case Row(n: String, l: String) => n -> l }.toMap
+
+  // two triangles bridged by one edge — the canonical two-community graph
+  private val twoTri = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+    "x" -> "y", "y" -> "z", "z" -> "x", "c" -> "x")
+
+  test("labelPropagation matches the reference model at 0 through 3 rounds") {
+    for (it <- 0 to 3)
+      assert(lpRun(twoTri, it) === lpRef(twoTri, it), s"round $it")
+  }
+
+  test("labelPropagation: two triangles converge to two communities") {
+    val got = lpRun(twoTri, 3)
+    assert(got === lpRef(twoTri, 3))
+    // each triangle is label-uniform; 'a' (min of left) and one of the
+    // right labels win their sides
+    assert(Set(got("a"), got("b")).size == 1 || Set(got("a"), got("b"), got("c")).size <= 2)
+    assert(got("x") == got("y") && got("y") == got("z"))
+  }
+
+  test("labelPropagation: duplicate rows, reversed rows, self-loops collapse") {
+    val noisy = twoTri ++ twoTri.map(e => (e._2, e._1)) ++ Seq("a" -> "a", "x" -> "x")
+    assert(lpRun(noisy, 2) === lpRef(twoTri, 2))
+  }
+
+  test("lpRound plan: join + two hash aggregates, no window, no product join") {
+    val p = Graphs.lpRoundPlanFrame(twoTri.toDF("src", "dst"), "src", "dst")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LPA round must never fall back to a product join:\n$p")
+    assert(!p.contains("Window"),
+      s"per-node argmax must be an aggregate, not a row_number window:\n$p")
+    assert(raw"HashAggregate\(keys=\[node#\d+, label#\d+"
+      .r.findFirstIn(p).nonEmpty, s"expected the (node, label) vote agg in:\n$p")
+  }
 }

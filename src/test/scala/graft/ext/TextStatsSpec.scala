@@ -238,4 +238,55 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r(2L) == ((4L, 200L, 0L, 0L, 1000L, false))) // short, no stopwords, repeated bigram
     assert(r(3L) == ((1L, 200L, 1000L, 0L, 0L, false))) // "a!" ≠ stopword "a"; symbol ratio kills it
   }
+
+  test("curriculumOrder: hand-computed difficulty, per-source ntile cuts, dense positions") {
+    // srcA, 4 docs with strictly increasing difficulty:
+    //   "aa aa"        chars=5  tok=2 dist=1 → 2500 + 500  = 3000
+    //   "abc abc"      chars=7  tok=2 dist=1 → 3500 + 500  = 4000
+    //   "abcd efgh"    chars=9  tok=2 dist=2 → 4500 + 1000 = 5500
+    //   "abcdef ghijkl" chars=13 tok=2 dist=2 → 6500 + 1000 = 7500
+    val df = Seq(
+      (1L, "aa aa", "srcA"), (2L, "abc abc", "srcA"),
+      (3L, "abcd efgh", "srcA"), (4L, "abcdef ghijkl", "srcA"),
+      (5L, "zz zz", "srcB"), (6L, "", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val r = TextStats.curriculumOrder(df, "doc_id", "text", "source", stages = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L)._1 == 3000L && r(2L)._1 == 4000L && r(3L)._1 == 5500L && r(4L)._1 == 7500L)
+    // srcA ntile(2) over 4 docs: two easiest → stage 1, two hardest → stage 2
+    assert(r(1L)._2 == 1L && r(2L)._2 == 1L && r(3L)._2 == 2L && r(4L)._2 == 2L)
+    // srcB: empty text scores 0 and sorts first
+    assert(r(6L) == ((0L, 1L, 0L)) && r(5L)._2 == 2L)
+    // positions are dense 0..n-1 within each (source, stage)
+    assert(Set(r(1L)._3, r(2L)._3) == Set(0L, 1L))
+    assert(Set(r(3L)._3, r(4L)._3) == Set(0L, 1L))
+  }
+
+  test("curriculumOrder: stage cuts are per-source, not global") {
+    // srcB's hardest doc is easier than srcA's easiest — it must still
+    // land in srcB's top stage
+    val df = Seq(
+      (1L, "abcdefgh ijklmnop", "srcA"), (2L, "abcdefghij klmnopqrst", "srcA"),
+      (3L, "a b", "srcB"), (4L, "ab cd", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val r = TextStats.curriculumOrder(df, "doc_id", "text", "source", stages = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(3L) == 1L && r(4L) == 2L)
+    assert(r(1L) == 1L && r(2L) == 2L)
+  }
+
+  test("blocklistStats: exact token membership, not substring") {
+    val df = Seq(
+      (1L, "clean text here", "a"),
+      (2L, "this has dup inside", "a"),
+      (3L, "dup dup everywhere dup", "a"),
+      (4L, "duplicate is NOT a hit", "b"), // substring must not fire
+      (5L, "stale data", "b")
+    ).toDF("doc_id", "text", "source")
+    val r = TextStats.blocklistStats(df, "doc_id", "text", "source", Seq("dup", "stale"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("a") == ((3L, 2L, 4L, 6666L)))
+    assert(r("b") == ((2L, 1L, 1L, 5000L)))
+  }
 }

@@ -199,4 +199,27 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(out("heavy")._4 == admittedHeavy)
     assert(out("heavy")._5 == admittedHeavy * 100L)
   }
+
+  test("temperatureReweight: sqrt-scaled rates, cap at keep-all, hash admission") {
+    // heavy 300 tokens, light 60: isqrt = 17 / 7, S = 24, total = 360
+    // heavy: ((360·10000 div 24)·17) div 300 = (150000·17) div 300 = 8500
+    // light: (150000·7) div 60 = 17500 → capped at 10000
+    val rows = (1L to 3L).map(id => (id, "heavy", 100L)) ++
+               (4L to 6L).map(id => (id, "light", 20L))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.temperatureReweight(df, "source", "doc_id", "n_tokens")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val (hb, ht, hs, hr, _, _) = out("heavy")
+    assert((hb, ht, hs, hr) == ((3L, 300L, 17L, 8500L)))
+    assert(out("light") == ((3L, 60L, 7L, 10000L, 3L, 60L)))
+    // between uniform (q128: 6000) and raw (10000): temperature softens,
+    // never inverts, the down-weighting of the over-represented source
+    assert(hr > 6000L && hr < 10000L)
+    // admission is the shared deterministic hash rule
+    val admittedHeavy = Sampling.mixtureSample(
+      df.filter(col("source") === "heavy"), "source", "doc_id",
+      Map("heavy" -> 8500), defaultBp = 0).count()
+    assert(out("heavy")._5 == admittedHeavy)
+  }
 }

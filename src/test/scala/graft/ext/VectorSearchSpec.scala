@@ -439,4 +439,46 @@ class VectorSearchSpec extends SparkFunSuite {
       .collect().map(x => x.getLong(3) -> x.getLong(1)).toMap
     assert(r == Map(1L -> 1L, 2L -> 2L))
   }
+
+  // ------------------------------------------------------------------
+  // knnGraph
+
+  test("knnGraph: directed top-k within a bucket, exact cosine order") {
+    // one bucket (all dims ≥ 0): 1 is closer to 2 than to 3; 4 is a twin of 1
+    val vs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(2f, 0f, 0f)))
+      .toDF("id", "embedding")
+    val g = VectorSearch.knnGraph(vs, "id", "embedding", k = 2, bits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    // 1's nearest is its scaled twin 4 (cos = 1), then 2
+    assert(g((1L, 1L)) == 4L && g((1L, 2L)) == 2L)
+    assert(g((4L, 1L)) == 1L && g((4L, 2L)) == 2L)
+    // the graph is directed: 3 still ranks ITS neighbors even though no
+    // node ranks 3 in its top-2
+    assert(g.contains((3L, 1L)) && g.contains((3L, 2L)))
+    // k bounds every adjacency list
+    assert(g.keys.map(_._2).max <= 2L)
+  }
+
+  test("knnGraph: cross-bucket neighbors are invisible; singleton bucket emits nothing") {
+    // bit 1 (sign of dim 1) splits: ids 1,2 positive; id 3 negative & alone
+    val vs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.5f, 0.5f)), (3L, Array(-1f, 0f)))
+      .toDF("id", "embedding")
+    val g = VectorSearch.knnGraph(vs, "id", "embedding", k = 3, bits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("knnGraph bucket guard splits a hot bucket like nearDupPairs") {
+    val g = VectorSearch.knnGraph(skewed, "id", "embedding",
+      k = 100, bits = 2, maxBucketSize = 8, extraBits = 6)
+    // 6-bit refinement isolates every id's unique sign pattern → no pairs
+    assert(g.count() == 0L)
+    val loose = VectorSearch.knnGraph(skewed, "id", "embedding",
+      k = 100, bits = 2, maxBucketSize = 1000)
+    // unguarded: all 64 in one bucket, 63 directed neighbors each
+    assert(loose.count() == 64L * 63L)
+  }
 }

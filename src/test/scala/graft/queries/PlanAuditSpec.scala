@@ -558,6 +558,40 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q129: kNN graph blocks on the bucket key — candidate pairs never go product") {
+    val p = plan("q129_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the self-join's equi-key IS the blocking key:\n$p")
+    // the per-bucket-size guard rides a broadcast (≤ 2^bits rows), never a
+    // corpus-wide count window
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket counts must broadcast onto the corpus:\n$p")
+  }
+
+  test("q131: temperature mix broadcasts rates like q128; corpus never joins wide") {
+    val p = plan("q131_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the corpus side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"before/after stats must map-side combine:\n$p")
+  }
+
+  test("q132: curriculum windows are per-source — never a corpus-global sort") {
+    val p = plan("q132_curriculum")
+    assert(!p.contains("rangepartitioning"),
+      s"a global sort would single-task the corpus:\n$p")
+    assert(p.contains("hashpartitioning"),
+      s"expected source-keyed exchanges for the stage/pos windows:\n$p")
+  }
+
+  test("q133: blocklist audit is one scan + one agg — no join side at all") {
+    val p = plan("q133_blocklist")
+    assert(!p.contains("Join"), s"the literal wordlist must ride in the row expression:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-source counts must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
