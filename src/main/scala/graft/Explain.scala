@@ -103,10 +103,14 @@ object Explain {
     "q131_temperature_mix", // q128's shape with isqrt-scaled targets
     "q132_curriculum",     // per-source ntile + per-(source, stage) rank —
                            // no corpus-global window
-    "q133_blocklist"       // literal isin inside the scan + one
+    "q133_blocklist",      // literal isin inside the scan + one
                            // |sources|-row agg; no join side at all
                            // (q130's returned frame is a checkpoint scan —
                            // one LPA round is rendered separately below)
+    "q134_tokenizer_fertility", // group key rides the explode — one scan,
+                           // one language-keyed agg, no join back
+    "q135_embedding_outliers" // broadcast trained centroids + 1-row mean;
+                           // corpus never shuffles into a join
   )
 
   def main(args: Array[String]): Unit = {

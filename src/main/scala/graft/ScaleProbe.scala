@@ -410,7 +410,39 @@ object ScaleProbe {
       // epochs — growth must track the corpus scan; a global-sort
       // formulation would range-partition the whole corpus per epoch
       "epoch_shuffle" -> (m =>
-        Packing.epochShuffle(docsAt(m), "doc_id", Seq(1, 2)).count())
+        Packing.epochShuffle(docsAt(m), "doc_id", Seq(1, 2)).count()),
+      // synchronous LPA over the fan-out url graph, 3 rounds: per round
+      // one labels⋈adjacency equi-join + two hash-aggs. The vote argmax is
+      // an aggregate (min(struct)), so the 997-site hub skew combines
+      // map-side — a window formulation would sort each hub's votes in
+      // one task and the 4× ratio would bend superlinear
+      "label_prop_url" -> (m =>
+        graft.ext.Graphs.labelPropagation(urlEdgesAt(m), "src", "dst", iters = 3).count()),
+      // kNN graph under the bucket cap: candidate pairs grow with
+      // Σ bucket², which the maxBucketSize guard re-shards — growth must
+      // track the guarded pair count, not corpus². (embAt replicas share
+      // sign patterns, so buckets GROW with m — the adversarial case the
+      // guard exists for.)
+      "knn_graph_guarded" -> (m =>
+        VectorSearch.knnGraph(embAt(m), "vec_id", "embedding",
+          k = 5, bits = 6, maxBucketSize = 64).count()),
+      // curriculum staging: both windows key on (source[, stage]), so the
+      // per-task sort is corpus/|sources| rows — linear growth with the
+      // corpus at a fixed source count, and never a global range exchange
+      "curriculum" -> (m =>
+        TextStats.curriculumOrder(docsAt(m), "doc_id", "text", "source",
+          stages = 4).count()),
+      // embedding-outlier audit: the corpus explodes to dims cells/vector
+      // and meets ONLY broadcasts (centroid cells, the 1-row mean) — the
+      // trained centroids are session state, built outside the frame
+      "embedding_outliers" -> { m =>
+        val cents = graft.queries.QueryCaches.ivfCentFor(spark, sfDir)
+        val assigned = VectorSearch.assignToNearestCentroid(
+          embAt(m), "vec_id", "embedding", cents)
+        val g = assigned.agg(expr("sum(dist_bp2) div count(1)").as("__avg2"))
+        assigned.crossJoin(broadcast(g))
+          .filter(col("dist_bp2") * 10L > col("__avg2") * 20L).count()
+      }
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so

@@ -242,24 +242,8 @@ object TextStats {
     */
   def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
                      merges: Seq[(String, String)]): DataFrame = {
-    val sep = "·" // middle dot: not a corpus character, survives trim
-    require(merges.nonEmpty && merges.forall { case (a, b) =>
-      a.nonEmpty && b.nonEmpty && !(a + b).contains(sep) },
-      "each merge is a pair of non-empty separator-free units")
-    val word = col("__w")
-    val seeded = rtrim(regexp_replace(word, "(.)", "$1" + sep), sep)
-    // A pair fuses only when the accumulated string's LAST UNIT is exactly
-    // `a` (i.e. the string IS `a` or ends with `·a`) and the incoming unit
-    // is exactly `b`; fusing appends `b` without a separator. Greedy
-    // non-overlap falls out of the fold: the fused unit `ab` is no longer
-    // `a`, so 'aaaa' under ('a','a') folds to aa·aa, never aaa·a.
-    val enc = merges.foldLeft(seeded) { case (acc, (a, b)) =>
-      aggregate(split(acc, sep), lit(""),
-        (st, u) => when(st === "", u)
-          .when(u === b && (st === a || st.endsWith(sep + a)),
-            concat(st, lit(b)))
-          .otherwise(concat(st, lit(sep), u)))
-    }
+    val (sep, word) = ("·", col("__w"))
+    val enc = bpeUnitFold(word, merges, sep)
     df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("__w"))
       .select(col(idCol),
         length(word).cast("long").as("__chars"),
@@ -271,6 +255,66 @@ object TextStats {
         sum(col("__units")).as("n_bpe_units"))
       .withColumn("saved_bp",
         expr("((n_char_units - n_bpe_units) * 10000L) div n_char_units"))
+  }
+
+  /** The BPE apply fold shared by [[bpeEncodeStats]] and [[bpeFertility]]:
+    * seed `word` as one unit per character, then fuse the merge-table
+    * pairs in priority order. A pair fuses only when the accumulated
+    * string's LAST UNIT is exactly `a` (i.e. the string IS `a` or ends
+    * with `·a`) and the incoming unit is exactly `b`; fusing appends `b`
+    * without a separator. Greedy non-overlap falls out of the fold: the
+    * fused unit `ab` is no longer `a`, so 'aaaa' under ('a','a') folds to
+    * aa·aa, never aaa·a.
+    */
+  private def bpeUnitFold(word: Column, merges: Seq[(String, String)],
+                          sep: String): Column = {
+    require(merges.nonEmpty && merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !(a + b).contains(sep) },
+      "each merge is a pair of non-empty separator-free units")
+    val seeded = rtrim(regexp_replace(word, "(.)", "$1" + sep), sep)
+    merges.foldLeft(seeded) { case (acc, (a, b)) =>
+      aggregate(split(acc, sep), lit(""),
+        (st, u) => when(st === "", u)
+          .when(u === b && (st === a || st.endsWith(sep + a)),
+            concat(st, lit(b)))
+          .otherwise(concat(st, lit(sep), u)))
+    }
+  }
+
+  /** Tokenizer fertility per corpus slice (language, source, ...): how
+    * many BPE units the frozen merge table spends per whitespace word,
+    * and how many characters each unit carries. THE cross-lingual
+    * tokenizer-equity audit — a language whose fertility is 2× pays
+    * double the sequence length for the same text (Ács 2019; Rust et al.
+    * ACL 2021, "How Good is Your Tokenizer?"; public), so pretraining
+    * mixtures report exactly this table before fixing a tokenizer.
+    *
+    * Output per group: (groupCol, n_words, n_char_units, n_bpe_units,
+    * fertility_milli = units·1000 div words, chars_per_unit_milli =
+    * chars·1000 div units).
+    *
+    * Scale shape: the group key rides the explode projection, so this is
+    * one narrow scan + ONE partial+final hash-aggregate on the group key
+    * — no join back to the corpus (the [[bpeEncodeStats]] per-doc grain
+    * would need one), and a language holding half the corpus combines
+    * map-side.
+    */
+  def bpeFertility(df: DataFrame, groupCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val (sep, word) = ("·", col("__w"))
+    val enc = bpeUnitFold(word, merges, sep)
+    df.select(col(groupCol), explode(TextDedup.tokens(col(textCol))).as("__w"))
+      .select(col(groupCol),
+        length(word).cast("long").as("__chars"),
+        (length(enc) - length(replace(enc, lit(sep), lit(""))) + 1L)
+          .cast("long").as("__units"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__chars")).as("n_char_units"),
+        sum(col("__units")).as("n_bpe_units"))
+      .select(col(groupCol), col("n_words"), col("n_char_units"), col("n_bpe_units"),
+        expr("n_bpe_units * 1000 div n_words").as("fertility_milli"),
+        expr("n_char_units * 1000 div n_bpe_units").as("chars_per_unit_milli"))
   }
 
   /** Iterated BPE trainer (Sennrich et al. ACL 2016, Algorithm 1): for

@@ -3415,11 +3415,43 @@ object ExtensionQueries {
       FROM h GROUP BY 1""")
   )
 
+  // Embedding-space outlier audit: squared distance to the assigned
+  // TRAINED centroid (the q38 quantizer, memoized), flagged at 2× the
+  // corpus mean — the cheap embedding-space anomaly pass a curation
+  // pipeline runs to catch mis-embedded / off-distribution rows before
+  // they seed ANN indexes or SemDeDup clusters (OpenAI's CLIP-filtering
+  // and DataComp both prune by exactly this distance-to-centroid shape).
+  // Exact integers end to end: bp-scaled cells, BIGINT d², floor-div mean.
+  private val q135 = Q(
+    "q135_embedding_outliers",
+    (s, dir) => {
+      val assigned = VectorSearch.assignToNearestCentroid(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        QueryCaches.ivfCentFor(s, dir))
+        .select(col("id").as("vec_id"), col("label"), col("dist_bp2"))
+      val g = assigned.agg(expr("sum(dist_bp2) div count(1)").as("__avg2"))
+      assigned.crossJoin(broadcast(g))
+        .select(col("vec_id"), col("label"), col("dist_bp2"),
+          (col("dist_bp2") * lit(10L) > col("__avg2") * lit(20L)).as("is_outlier"))
+    },
+    Some(s"""WITH ${pqOracleCtes("vec_id >= 10", subDim = 64, k = 10, iters = 2)},
+      d2 AS (SELECT c.vec_id, cb.code AS label,
+          CAST(sum((c.bp - cb.c_bp) * (c.bp - cb.c_bp)) AS BIGINT) AS dist_bp2
+        FROM cells c JOIN cb ON c.dim = cb.dim GROUP BY 1, 2),
+      asg AS (SELECT vec_id, label, dist_bp2 FROM (SELECT *,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist_bp2, label) AS rn
+        FROM d2) WHERE rn = 1),
+      g AS (SELECT CAST(sum(dist_bp2) // count(*) AS BIGINT) AS avg2 FROM asg)
+      SELECT vec_id, label, dist_bp2,
+        (dist_bp2 * 10 > avg2 * 20) AS is_outlier
+      FROM asg, g""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135)
 }

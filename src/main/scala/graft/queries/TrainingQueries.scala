@@ -654,6 +654,31 @@ object TrainingQueries {
     }
   )
 
+  // Tokenizer-equity audit: per-language fertility of the frozen q92
+  // merge table — BPE units per word and characters per unit, the table a
+  // multilingual mixture reads before fixing a tokenizer (a language at
+  // 2× fertility pays double sequence length for the same text). Same
+  // unit fold as q92, but the group key rides the explode projection so
+  // the whole query is one scan + one language-keyed aggregate, no join.
+  private val q134 = Q(
+    "q134_tokenizer_fertility",
+    (s, dir) => graft.ext.TextStats.bpeFertility(
+      docsSpread(s, dir), "lang", "text", bpeMerges),
+    Some {
+      val enc = bpeEncodeOracleExpr(bpeMerges)
+      s"""WITH $toksCte,
+      u AS (SELECT lang, unnest(w) AS word FROM toks),
+      e AS (SELECT lang, length(word) AS chars,
+        length($enc) - length(replace($enc, '·', '')) + 1 AS units FROM u)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(chars) AS BIGINT) AS n_char_units,
+        CAST(sum(units) AS BIGINT) AS n_bpe_units,
+        CAST(sum(units) * 1000 // count(*) AS BIGINT) AS fertility_milli,
+        CAST(sum(chars) * 1000 // sum(units) AS BIGINT) AS chars_per_unit_milli
+      FROM e GROUP BY 1"""
+    }
+  )
+
   /** DuckDB replay of [[graft.ext.TextStats.bpeTrain]]: the seeded
     * vocabulary, then per round a weighted pair count → LIMIT-1 winner →
     * list_reduce fuse, chained as generation CTEs (the q87 pattern).
@@ -695,5 +720,5 @@ object TrainingQueries {
   )
 
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92, q94)
+    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92, q94, q134)
 }

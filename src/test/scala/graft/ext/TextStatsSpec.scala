@@ -275,6 +275,28 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r(1L) == 1L && r(2L) == 2L)
   }
 
+  test("bpeFertility: hand-computed units per group; agrees with per-doc encode stats") {
+    // merges (e,r) then (i,n): "finer" → f·i·n·er → f·in·er (3 units);
+    // "er" → er (1 unit); "in" → in (1 unit); "xx" → x·x (2 units)
+    val df = Seq(
+      (1L, "finer er", "aa"),
+      (2L, "in xx", "bb")
+    ).toDF("doc_id", "text", "lang")
+    val merges = Seq(("e", "r"), ("i", "n"))
+    val r = TextStats.bpeFertility(df, "lang", "text", merges)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // aa: words 2, chars 7, units 3+1=4, fertility 4·1000 div 2 = 2000,
+    // chars/unit 7·1000 div 4 = 1750
+    assert(r("aa") == ((2L, 7L, 4L, 2000L, 1750L)))
+    // bb: words 2, chars 4, units 1+2=3 → 1500, 1333
+    assert(r("bb") == ((2L, 4L, 3L, 1500L, 1333L)))
+    // the group roll-up is exactly the per-doc stats re-aggregated
+    val perDoc = TextStats.bpeEncodeStats(df, "doc_id", "text", merges)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(perDoc(1L) == ((2L, 7L, 4L)) && perDoc(2L) == ((2L, 4L, 3L)))
+  }
+
   test("blocklistStats: exact token membership, not substring") {
     val df = Seq(
       (1L, "clean text here", "a"),

@@ -592,6 +592,24 @@ class PlanAuditSpec extends SparkFunSuite {
       s"per-source counts must map-side combine:\n$p")
   }
 
+  test("q134: fertility is one scan + one group-keyed agg — the key rides the explode") {
+    val p = plan("q134_tokenizer_fertility")
+    assert(!p.contains("Join"),
+      s"the per-doc grain would need a join back; the group grain must not:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-language sums must map-side combine:\n$p")
+  }
+
+  test("q135: outlier audit broadcasts centroids and the 1-row mean — never the corpus") {
+    val p = plan("q135_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid cells must broadcast onto the corpus side:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.split("CartesianProduct").length <= 2, // 1-row mean frame may cross-join
+      s"only the 1-row mean may cross the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized shuffle join belongs here:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
