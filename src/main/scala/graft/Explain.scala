@@ -109,8 +109,11 @@ object Explain {
                            // one LPA round is rendered separately below)
     "q134_tokenizer_fertility", // group key rides the explode — one scan,
                            // one language-keyed agg, no join back
-    "q135_embedding_outliers" // broadcast trained centroids + 1-row mean;
+    "q135_embedding_outliers", // broadcast trained centroids + 1-row mean;
                            // corpus never shuffles into a join
+    "q136_incr_knn_graph"  // batch probes the bucket-keyed index: anti
+                           // join on the id + two bucket equi-joins;
+                           // per-batch cost never scales with index size
   )
 
   def main(args: Array[String]): Unit = {

@@ -442,7 +442,8 @@ object ScaleProbe {
         val g = assigned.agg(expr("sum(dist_bp2) div count(1)").as("__avg2"))
         assigned.crossJoin(broadcast(g))
           .filter(col("dist_bp2") * 10L > col("__avg2") * 20L).count()
-      }
+      },
+      "incr_knn_probe" -> (m => m.toLong)
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
@@ -489,9 +490,27 @@ object ScaleProbe {
       idx.unpersist(); t
     }
 
+    // incr_knn_probe: a FIXED embedding batch against a kNN-graph index
+    // growing with the multiplier (the incr_para_probe shape for graphs).
+    // The index is persisted state, materialized outside the timer; the
+    // timed work is the id anti join + two bucket equi-joins, whose cost
+    // must track the batch's bucket occupancy scan — linear in the index
+    // at worst, never an index-side shuffle blowup
+    def incrKnnTimed(m: Int): Double = {
+      val idx = VectorSearch.knnGraphIndex(embAt(m), "vec_id", "embedding",
+        bits = 6).persist()
+      idx.count()
+      val batch = Tables.embeddings(spark, sfDir)
+        .withColumn("vec_id", col("vec_id") + 90000000L)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t = time(VectorSearch.knnGraphIncremental(
+        batch, idx, "vec_id", "embedding", k = 5, bits = 6).count())
+      idx.unpersist(); t
+    }
+
     val custom: Map[String, Int => Double] =
       Map("lsh_candidates" -> lshTimed, "dedup_clusters_cc" -> ccTimed,
-        "incr_para_probe" -> incrParaTimed,
+        "incr_para_probe" -> incrParaTimed, "incr_knn_probe" -> incrKnnTimed,
         "pagerank_iter_mb_str" -> prIterMB(encode = false),
         "pagerank_iter_mb_enc" -> prIterMB(encode = true))
 

@@ -1185,4 +1185,73 @@ object VectorSearch {
           .orderBy(col("sim").desc, col("nbr_id"))).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** The persisted state behind [[knnGraphIncremental]]: one row per
+    * indexed vector — (idCol, vec DOUBLE[], nrm, bkt) with the
+    * [[signBucket]] blocking key precomputed, so an ingest batch probes
+    * it by bucket without touching the raw corpus. Production keeps this
+    * frame partitioned/persisted; the hot-bucket refinement of
+    * [[knnGraph]] is a REBUILD-time concern (splitting needs corpus-wide
+    * bucket counts), mirroring q108's index-compaction story.
+    */
+  def knnGraphIndex(df: DataFrame, idCol: String, vecCol: String,
+                    bits: Int): DataFrame = {
+    val d = dotFn(df.sparkSession)
+    df.select(col(idCol), asDouble(col(vecCol)).as("vec"),
+        signBucket(col(vecCol), bits).as("bkt"))
+      .withColumn("nrm", sqrt(d(col("vec"), col("vec"))))
+  }
+
+  /** Batch-incremental kNN-graph maintenance — the ingest shape: a new
+    * embedding batch arrives, and the graph must gain the new nodes'
+    * adjacency WITHOUT re-ranking the corpus. Emits, per surviving batch
+    * vector, its top-`k` bucket co-members across index ∪ batch
+    * (direction `out`), and for every INDEXED vector sharing a bucket
+    * with the batch, its top-`k` candidates among the new vectors alone
+    * (direction `in`) — the consumer merges `in` rows against a node's
+    * stored adjacency by similarity, which is a monotone top-k merge, so
+    * replay converges (re-delivered ids are dropped exactly, the
+    * q81/q108 rule).
+    *
+    * Scale shape: one anti join on the id (re-delivery drop), then two
+    * bucket-keyed equi-joins whose probe side is the BATCH — per-batch
+    * cost tracks batch size × bucket occupancy, never index size; the
+    * index side streams. Rank windows partition by the probing node, so
+    * each sort holds one node's candidates.
+    *
+    * Output: (id, nbr_id, sim, rnk, direction).
+    */
+  def knnGraphIncremental(batch: DataFrame, index: DataFrame,
+                          idCol: String, vecCol: String, k: Int, bits: Int,
+                          roundDigits: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    val d = dotFn(batch.sparkSession)
+    val keyed = batch.select(col(idCol), asDouble(col(vecCol)).as("vec"),
+        signBucket(col(vecCol), bits).as("bkt"))
+      .withColumn("nrm", sqrt(d(col("vec"), col("vec"))))
+    val fresh = keyed.join(index.select(col(idCol)), Seq(idCol), "left_anti")
+    val cand = index.select(col(idCol), col("vec"), col("nrm"), col("bkt"))
+      .unionByName(fresh)
+    def sim(va: Column, na: Column, vb: Column, nb: Column): Column = {
+      val denom = na * nb
+      round(when(denom =!= 0.0, d(va, vb) / denom), roundDigits)
+    }
+    def ranked(df: DataFrame): DataFrame = df
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("nbr_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+    val out = ranked(fresh.as("a")
+      .join(cand.as("b"), col("a.bkt") === col("b.bkt") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id"), col(s"b.$idCol").as("nbr_id"),
+        sim(col("a.vec"), col("a.nrm"), col("b.vec"), col("b.nrm")).as("sim")))
+      .withColumn("direction", lit("out"))
+    val in = ranked(index.as("a")
+      .join(fresh.as("b"), col("a.bkt") === col("b.bkt"))
+      .select(col(s"a.$idCol").as("id"), col(s"b.$idCol").as("nbr_id"),
+        sim(col("a.vec"), col("a.nrm"), col("b.vec"), col("b.nrm")).as("sim")))
+      .withColumn("direction", lit("in"))
+    out.unionByName(in)
+  }
 }

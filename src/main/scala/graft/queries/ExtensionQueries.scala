@@ -3415,6 +3415,45 @@ object ExtensionQueries {
       FROM h GROUP BY 1""")
   )
 
+  // Similarity search 10: batch-incremental kNN-graph maintenance — a new
+  // embedding batch (100 new vectors + 10 re-delivered ids, which the
+  // anti join must drop exactly) probes the persisted bucket-keyed index:
+  // new nodes rank their bucket co-members across index ∪ batch ('out'),
+  // indexed nodes rank the new arrivals alone ('in', a monotone top-k
+  // merge against stored adjacency). Per-batch cost tracks batch size ×
+  // bucket occupancy, never index size — q108's contract for graphs.
+  private val q136 = Q(
+    "q136_incr_knn_graph",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = VectorSearch.knnGraphIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", bits = 6)
+      VectorSearch.knnGraphIncremental(
+        emb.filter(col("vec_id") >= 390), index, "vec_id", "embedding",
+        k = 3, bits = 6)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS bkt FROM embeddings),
+      idx AS (SELECT * FROM e WHERE vec_id < 400),
+      fresh AS (SELECT * FROM e WHERE vec_id >= 400),
+      cand AS (SELECT * FROM idx UNION ALL SELECT * FROM fresh),
+      outp AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+          round(${duckCos("a.v", "b.v")}, 4) AS sim
+        FROM fresh a JOIN cand b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+      outr AS (SELECT id, nbr_id, sim,
+          row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr_id) AS rnk
+        FROM outp QUALIFY rnk <= 3),
+      inp AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+          round(${duckCos("a.v", "b.v")}, 4) AS sim
+        FROM idx a JOIN fresh b ON a.bkt = b.bkt),
+      inr AS (SELECT id, nbr_id, sim,
+          row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr_id) AS rnk
+        FROM inp QUALIFY rnk <= 3)
+      SELECT id, nbr_id, sim, CAST(rnk AS BIGINT) AS rnk, 'out' AS direction FROM outr
+      UNION ALL
+      SELECT id, nbr_id, sim, CAST(rnk AS BIGINT) AS rnk, 'in' AS direction FROM inr""")
+  )
+
   // Embedding-space outlier audit: squared distance to the assigned
   // TRAINED centroid (the q38 quantizer, memoized), flagged at 2× the
   // corpus mean — the cheap embedding-space anomaly pass a curation
@@ -3453,5 +3492,5 @@ object ExtensionQueries {
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136)
 }

@@ -471,6 +471,29 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(g == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("knnGraphIncremental: re-delivery dropped, out ranks index∪batch, in ranks batch only") {
+    // one bucket: index = {1, 2}, batch = {2 (re-delivered), 3, 4}
+    val vs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0.8f, 0.2f, 0f)), (4L, Array(0.5f, 0.5f, 0f)))
+      .toDF("id", "embedding")
+    val index = VectorSearch.knnGraphIndex(
+      vs.filter($"id" <= 2), "id", "embedding", bits = 3)
+    val got = VectorSearch.knnGraphIncremental(
+      vs.filter($"id" >= 2), index, "id", "embedding", k = 2, bits = 3)
+      .collect().map(r =>
+        (r.getString(4), r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    // re-delivered id=2 emits no out rows
+    assert(!got.keys.exists { case (dir, id, _) => dir == "out" && id == 2L })
+    // 3's nearest among {1,2,4} is 2, then 1
+    assert(got(("out", 3L, 1L)) == 2L && got(("out", 3L, 2L)) == 1L)
+    // indexed nodes rank ONLY the new arrivals: 1's in-candidates are {3,4}
+    assert(got(("in", 1L, 1L)) == 3L && got(("in", 1L, 2L)) == 4L)
+    assert(got(("in", 2L, 1L)) == 3L)
+    // nothing ranks deeper than k
+    assert(got.keys.map(_._3).max <= 2L)
+  }
+
   test("knnGraph bucket guard splits a hot bucket like nearDupPairs") {
     val g = VectorSearch.knnGraph(skewed, "id", "embedding",
       k = 100, bits = 2, maxBucketSize = 8, extraBits = 6)

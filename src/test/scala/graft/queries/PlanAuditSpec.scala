@@ -610,6 +610,12 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no corpus-sized shuffle join belongs here:\n$p")
   }
 
+  test("q136: incremental kNN probes by bucket equi-join — never a product join") {
+    val p = plan("q136_incr_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the batch must meet the index on the bucket key:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
