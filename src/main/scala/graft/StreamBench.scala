@@ -240,7 +240,39 @@ object StreamBench {
     val cms_eps = (docWaves.toLong * docWaveSz / ((System.nanoTime() - t6) / 1e9)).toLong
     q6.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // -------------------------------------------------------------------
+    // Pipeline 7: kNN-graph ingest — each wave of 16-dim embeddings probes
+    // the persisted bucket index (growing across waves), appends its
+    // adjacency to the edge log and itself to the index. Reported as
+    // VECTORS/sec; the per-wave cost includes both parquet appends, the
+    // production artifact writes.
+    val in7 = MemoryStream[(Long, Seq[Double])]
+    def vecWave(n: Int, idBase: Long, seed: Int): Seq[(Long, Seq[Double])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(i =>
+        (idBase + i, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    }
+    val knnWaves  = math.max(1, waves / 2)
+    val knnWaveSz = math.max(1, waveSize / 8)
+    // index/edges are subpaths (not the created scratch dir itself): the
+    // sink treats an absent path as an empty index, but an existing EMPTY
+    // directory is not readable parquet
+    val knnScratch = scratchDir("knn")
+    val q7 = StreamPipelines.knnGraphSink(
+        in7.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 5, bits = 6, s"$knnScratch/index", s"$knnScratch/edges",
+        s"$knnScratch/ckpt", trigger = Trigger.ProcessingTime(0))
+      .start()
+    in7.addData(vecWave(1000, -1000000L, -1)); q7.processAllAvailable()
+    val t7 = System.nanoTime()
+    (0 until knnWaves).foreach { w =>
+      in7.addData(vecWave(knnWaveSz, w.toLong * knnWaveSz, w))
+      q7.processAllAvailable()
+    }
+    val knn_eps = (knnWaves.toLong * knnWaveSz / ((System.nanoTime() - t7) / 1e9)).toLong
+    q7.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"knn_graph_ingest_vecs":$knn_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }

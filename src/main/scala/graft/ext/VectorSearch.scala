@@ -1224,14 +1224,23 @@ object VectorSearch {
   def knnGraphIncremental(batch: DataFrame, index: DataFrame,
                           idCol: String, vecCol: String, k: Int, bits: Int,
                           roundDigits: Int = 4): DataFrame = {
-    require(k > 0, "k must be positive")
-    val d = dotFn(batch.sparkSession)
-    val keyed = batch.select(col(idCol), asDouble(col(vecCol)).as("vec"),
-        signBucket(col(vecCol), bits).as("bkt"))
-      .withColumn("nrm", sqrt(d(col("vec"), col("vec"))))
+    val keyed = knnGraphIndex(batch, idCol, vecCol, bits)
     val fresh = keyed.join(index.select(col(idCol)), Seq(idCol), "left_anti")
+    knnGraphIncrementalFromFresh(fresh, index, idCol, k, roundDigits)
+  }
+
+  /** [[knnGraphIncremental]] with the anti-joined fresh set precomputed —
+    * the streaming sink persists `fresh` because the edge emit and the
+    * index append both consume it. `fresh` and `index` must carry the
+    * [[knnGraphIndex]] layout (idCol, vec, nrm, bkt).
+    */
+  def knnGraphIncrementalFromFresh(fresh: DataFrame, index: DataFrame,
+                                   idCol: String, k: Int,
+                                   roundDigits: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    val d = dotFn(fresh.sparkSession)
     val cand = index.select(col(idCol), col("vec"), col("nrm"), col("bkt"))
-      .unionByName(fresh)
+      .unionByName(fresh.select(col(idCol), col("vec"), col("nrm"), col("bkt")))
     def sim(va: Column, na: Column, vb: Column, nb: Column): Column = {
       val denom = na * nb
       round(when(denom =!= 0.0, d(va, vb) / denom), roundDigits)

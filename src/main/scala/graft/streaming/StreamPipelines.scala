@@ -510,6 +510,80 @@ object StreamPipelines {
     }
   }
 
+  /** Streaming twin of q136 — [[graft.ext.VectorSearch.knnGraphIncremental]]
+    * run per micro-batch against a PERSISTED bucket-keyed vector index:
+    * arriving embeddings emit their top-k adjacency ('out' rows across
+    * index ∪ batch, 'in' candidate updates for indexed neighbors) to an
+    * append-only edge log, and the fresh vectors join the index. The
+    * q108/q136 ingest asymmetry: the batch is the probe side, the
+    * corpus-sized index streams — per-batch latency is bounded by batch
+    * size × bucket occupancy, not index history.
+    *
+    * Replay-safe: a re-delivered batch has no fresh vectors after the id
+    * anti join, so it appends neither edges nor index rows — both
+    * artifacts converge.
+    */
+  def knnGraphSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      indexPath: String,
+      edgesPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        knnGraphIngestBatch(batch, idCol, vecCol, k, bits, indexPath, edgesPath)
+      }
+
+  /** The batch body of [[knnGraphSink]], callable directly (and from
+    * tests): emit the batch's adjacency updates against the index at
+    * `indexPath` (absent = empty) to `edgesPath`, then append the fresh
+    * vectors to the index.
+    */
+  def knnGraphIngestBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      indexPath: String,
+      edgesPath: String
+  ): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val keyed = graft.ext.VectorSearch.knnGraphIndex(batch, idCol, vecCol, bits)
+      val index =
+        if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
+        else keyed.limit(0)
+      // the fresh set is computed once and persisted: the edge emit reads
+      // it up to three times (out probe, in build, union) and the index
+      // append once more
+      val fresh = keyed.join(index.select(col(idCol)), Seq(idCol), "left_anti")
+        .persist()
+      try {
+        val edges = graft.ext.VectorSearch.knnGraphIncrementalFromFresh(
+          fresh, index, idCol, k)
+        edges.write.mode("append").parquet(edgesPath)
+        fresh.write.mode("append").parquet(indexPath)
+      } finally {
+        fresh.unpersist()
+        ()
+      }
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
   /** The batch body of [[upsertSink]], callable directly (and from tests). */
   def upsertBatch(
       batch: DataFrame,

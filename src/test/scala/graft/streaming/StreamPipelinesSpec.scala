@@ -499,6 +499,60 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("knnGraphSink appends adjacency per batch vs persisted index; replay converges") {
+    val base = tmpDir("knnidx")
+    val (indexPath, edgesPath) = (base + "/index", base + "/edges")
+    def batchOf(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+    def indexIds = spark.read.parquet(indexPath).collect().map(_.getLong(0)).toSet
+    def edges = spark.read.parquet(edgesPath).collect()
+      .map(r => (r.getString(4), r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+
+    // batch 1 against an empty index: within-batch adjacency only
+    StreamPipelines.knnGraphIngestBatch(
+      batchOf(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1)),
+      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath)
+    assert(indexIds == Set(1L, 2L))
+    assert(edges(("out", 1L, 1L)) == 2L && edges(("out", 2L, 1L)) == 1L)
+    def outRowsFor2 = spark.read.parquet(edgesPath)
+      .filter($"direction" === "out" && $"id" === 2L).count()
+    val outFor2AfterBatch1 = outRowsFor2
+
+    // batch 2: 2 is re-delivered (no out rows, no index growth for it);
+    // 3 is fresh and nearest to 2 (cos ≈ 0.9999 vs 0.9925 to 1); indexed
+    // 1 and 2 gain 'in' candidates
+    val batch2 = batchOf(2L -> Seq(0.9, 0.1), 3L -> Seq(0.89, 0.11))
+    StreamPipelines.knnGraphIngestBatch(
+      batch2, "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath)
+    assert(indexIds == Set(1L, 2L, 3L))
+    val e2 = edges
+    assert(e2(("out", 3L, 1L)) == 2L && e2(("out", 3L, 2L)) == 1L)
+    assert(e2(("in", 1L, 1L)) == 3L && e2(("in", 2L, 1L)) == 3L)
+    // the re-delivered id emitted NO new out rows (batch 1's survive)
+    assert(outRowsFor2 == outFor2AfterBatch1)
+
+    // replay batch 2 verbatim: nothing fresh → neither artifact grows
+    val nEdges = spark.read.parquet(edgesPath).count()
+    StreamPipelines.knnGraphIngestBatch(
+      batch2, "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath)
+    assert(indexIds == Set(1L, 2L, 3L))
+    assert(spark.read.parquet(edgesPath).count() == nEdges)
+
+    // end-to-end through the streaming sink wiring
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamPipelines.knnGraphSink(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 2, bits = 1, indexPath, edgesPath, tmpDir("knnidx-ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      .start()
+    try {
+      input.addData(4L -> Seq(1.0, 0.01))
+      q.processAllAvailable()
+      assert(indexIds == Set(1L, 2L, 3L, 4L))
+      assert(edges.contains(("out", 4L, 1L)))
+    } finally q.stop()
+  }
+
   test("fluencyScoreStream scores against a frozen model; unknown bigrams skipped") {
     implicit val sql = spark.sqlContext
     // model trained on a batch corpus: c("a b")=2, c("b a")=1 → prefix a=2+0…
