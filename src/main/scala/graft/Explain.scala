@@ -111,9 +111,12 @@ object Explain {
                            // one language-keyed agg, no join back
     "q135_embedding_outliers", // broadcast trained centroids + 1-row mean;
                            // corpus never shuffles into a join
-    "q136_incr_knn_graph"  // batch probes the bucket-keyed index: anti
+    "q136_incr_knn_graph", // batch probes the bucket-keyed index: anti
                            // join on the id + two bucket equi-joins;
                            // per-batch cost never scales with index size
+    "q137_kmeans_update"   // mini-batch centroid update: batch cells meet
+                           // broadcast centroids; history rides a k-row
+                           // count frame, the corpus never re-enters
   )
 
   def main(args: Array[String]): Unit = {

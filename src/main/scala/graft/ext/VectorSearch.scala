@@ -1015,6 +1015,54 @@ object VectorSearch {
       .drop("__rn")
   }
 
+  /** Mini-batch k-means centroid update (Sculley 2010, "Web-scale k-means
+    * clustering"; public) — the maintenance step that keeps a trained
+    * quantizer (IVF router, SemDeDup clusters, PQ coarse level) tracking
+    * corpus drift WITHOUT retraining: assign the arriving batch to the
+    * frozen centroids, then move each centroid to the count-weighted mean
+    * of its history and its batch arrivals.
+    *
+    * Exact-integer semantics: with per-centroid history counts n (from
+    * [[assignToNearestCentroid]] over the corpus the quantizer was
+    * trained on — recomputable, deterministic), batch per-(label, dim)
+    * sums s_bp and batch counts b,
+    * `c_bp' = (c_bp · n + s_bp) div (n + b)` and `n' = n + b` —
+    * the running-mean update with floor division, replayed bit-for-bit
+    * by an oracle. Centroids with no batch arrivals pass through
+    * unchanged (including their counts).
+    *
+    * Output: (label, dim, c_bp, n) — the same cell layout the consumers
+    * take, plus the updated history count to feed the NEXT update.
+    *
+    * Scale shape: one batch-side explode to (id, dim, bp) cells meeting
+    * the broadcast centroid frame (the [[assignToNearestCentroid]]
+    * plan), one (label, dim) hash-aggregate over batch cells, and a
+    * k×dims-row join to produce the update — the history corpus never
+    * re-enters; its entire contribution is the k-row count frame.
+    * Overflow: |c_bp| ≤ 1e4·1e4, so c_bp·n holds to n ~ 10^10 vectors
+    * per centroid.
+    */
+  def kmeansUpdateBatch(batch: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, counts: DataFrame): DataFrame = {
+    val assigned = assignToNearestCentroid(batch, idCol, vecCol, centroids)
+      .select(col("id"), col("label"))
+    val batchCells = batch.select(col(idCol).as("id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("__pos", "__x")))
+      .select(col("id"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x") * 10000d, 0).cast("long").as("x_bp"))
+      .join(assigned, "id")
+    val upd = batchCells.groupBy(col("label"), col("dim"))
+      .agg(sum(col("x_bp")).as("__s"), count(lit(1)).as("__b"))
+    centroids.join(broadcast(counts.select(col("label"), col("n"))), Seq("label"), "left")
+      .join(upd, Seq("label", "dim"), "left")
+      .select(col("label"), col("dim"),
+        when(col("__b").isNotNull,
+          expr("(c_bp * coalesce(n, 0L) + __s) div (coalesce(n, 0L) + __b)"))
+          .otherwise(col("c_bp")).as("c_bp"),
+        (coalesce(col("n"), lit(0L)) +
+          coalesce(col("__b"), lit(0L))).as("n"))
+  }
+
   /** Full Lloyd's k-means over an embedding column, k-way, `iters`
     * iterations: deterministic hash-lowest seeding, then alternating
     * [[assignToNearestCentroid]] (E) and integer-basis-point centroid

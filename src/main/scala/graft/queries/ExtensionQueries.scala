@@ -3454,6 +3454,48 @@ object ExtensionQueries {
       SELECT id, nbr_id, sim, CAST(rnk AS BIGINT) AS rnk, 'in' AS direction FROM inr""")
   )
 
+  // Similarity search 11: mini-batch k-means centroid update (Sculley
+  // 2010) — quantizer drift maintenance. The frozen q38 centroids absorb
+  // an arriving batch (vec_id < 10) via the exact-integer running mean
+  // c' = (c·n + Σbatch) div (n + b), with history counts n recomputed
+  // deterministically as the train corpus's assignment sizes; untouched
+  // centroids pass through. `div`/`//` disagree on negative numerators
+  // across engines, so the oracle uses the q124 sign-explicit pattern.
+  private val q137 = Q(
+    "q137_kmeans_update",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = QueryCaches.ivfCentFor(s, dir)
+      val counts = VectorSearch.assignToNearestCentroid(
+          emb.filter(col("vec_id") >= 10), "vec_id", "embedding", cents)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      VectorSearch.kmeansUpdateBatch(
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", cents, counts)
+    },
+    Some(s"""WITH ${pqOracleCtes("vec_id >= 10", subDim = 64, k = 10, iters = 2)},
+      d2a AS (SELECT c.vec_id, cb.code AS label,
+          CAST(sum((c.bp - cb.c_bp) * (c.bp - cb.c_bp)) AS BIGINT) AS dist
+        FROM cells c JOIN cb ON c.dim = cb.dim GROUP BY 1, 2),
+      asg AS (SELECT vec_id, label FROM (SELECT *,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
+        FROM d2a) WHERE rn = 1),
+      cnts AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM asg
+        WHERE vec_id >= 10 GROUP BY 1),
+      bs AS (SELECT a.label, c.dim, CAST(sum(c.bp) AS BIGINT) AS s,
+          CAST(count(*) AS BIGINT) AS b
+        FROM asg a JOIN cells c ON a.vec_id = c.vec_id
+        WHERE a.vec_id < 10 GROUP BY 1, 2)
+      SELECT cb.code AS label, cb.dim,
+        CAST(CASE WHEN bs.b IS NULL THEN cb.c_bp
+          WHEN cb.c_bp * COALESCE(cn.n, 0) + bs.s >= 0
+            THEN (cb.c_bp * COALESCE(cn.n, 0) + bs.s) // (COALESCE(cn.n, 0) + bs.b)
+          ELSE -((-(cb.c_bp * COALESCE(cn.n, 0) + bs.s)) // (COALESCE(cn.n, 0) + bs.b))
+          END AS BIGINT) AS c_bp,
+        CAST(COALESCE(cn.n, 0) + COALESCE(bs.b, 0) AS BIGINT) AS n
+      FROM cb LEFT JOIN cnts cn ON cb.code = cn.label
+        LEFT JOIN bs ON cb.code = bs.label AND cb.dim = bs.dim""")
+  )
+
   // Embedding-space outlier audit: squared distance to the assigned
   // TRAINED centroid (the q38 quantizer, memoized), flagged at 2× the
   // corpus mean — the cheap embedding-space anomaly pass a curation
@@ -3492,5 +3534,6 @@ object ExtensionQueries {
     q77, q78, q79, q80, q81, q82, q83, q84, q87, q88, q89, q90, q91, q93,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
+    q137)
 }

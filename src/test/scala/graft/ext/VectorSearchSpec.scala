@@ -471,6 +471,34 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(g == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("kmeansUpdateBatch: running-mean update, untouched centroids pass through") {
+    // two 2-dim centroids: label 0 at (10000, 0) with history n=3,
+    // label 1 at (0, 10000) with history n=5
+    val cents = Seq((0L, 1L, 10000L), (0L, 2L, 0L), (1L, 1L, 0L), (1L, 2L, 10000L))
+      .toDF("label", "dim", "c_bp")
+    val counts = Seq((0L, 3L), (1L, 5L)).toDF("label", "n")
+    // both batch vectors assign to label 0; nothing arrives at label 1
+    val batch = Seq((101L, Array(0.8f, 0.2f)), (102L, Array(0.6f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorSearch.kmeansUpdateBatch(batch, "vec_id", "embedding", cents, counts)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // label 0 dim 1: (10000·3 + 8000 + 6000) div 5 = 44000 div 5 = 8800
+    // label 0 dim 2: (0·3 + 2000 + 0) div 5 = 400
+    assert(got((0L, 1L)) == ((8800L, 5L)))
+    assert(got((0L, 2L)) == ((400L, 5L)))
+    // label 1 untouched: cells and count unchanged
+    assert(got((1L, 1L)) == ((0L, 5L)) && got((1L, 2L)) == ((10000L, 5L)))
+  }
+
+  test("kmeansUpdateBatch: empty batch is the identity") {
+    val cents = Seq((0L, 1L, 7000L), (0L, 2L, -3000L)).toDF("label", "dim", "c_bp")
+    val counts = Seq((0L, 4L)).toDF("label", "n")
+    val batch = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val got = VectorSearch.kmeansUpdateBatch(batch, "vec_id", "embedding", cents, counts)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map((0L, 1L) -> ((7000L, 4L)), (0L, 2L) -> ((-3000L, 4L))))
+  }
+
   test("knnGraphIncremental: re-delivery dropped, out ranks index∪batch, in ranks batch only") {
     // one bucket: index = {1, 2}, batch = {2 (re-delivered), 3, 4}
     val vs = Seq(

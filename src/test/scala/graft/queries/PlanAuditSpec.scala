@@ -616,6 +616,13 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the batch must meet the index on the bucket key:\n$p")
   }
 
+  test("q137: centroid update joins only broadcasts and the k×dims frame") {
+    val p = plan("q137_kmeans_update")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids/counts must broadcast onto the batch side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
