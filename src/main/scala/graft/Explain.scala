@@ -114,9 +114,12 @@ object Explain {
     "q136_incr_knn_graph", // batch probes the bucket-keyed index: anti
                            // join on the id + two bucket equi-joins;
                            // per-batch cost never scales with index size
-    "q137_kmeans_update"   // mini-batch centroid update: batch cells meet
+    "q137_kmeans_update",  // mini-batch centroid update: batch cells meet
                            // broadcast centroids; history rides a k-row
                            // count frame, the corpus never re-enters
+    "q138_norm_dedup_audit", // digests in the scan projection; group
+                           // counts as aggregate chains, never Expand
+    "q139_license_scan"    // all flag regexes in one scan + one agg
   )
 
   def main(args: Array[String]): Unit = {

@@ -394,4 +394,44 @@ object TextDedup {
       .withColumn("n_index_hits", coalesce(col("n_index_hits"), lit(0L)))
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
+
+  /** The canonical text normalization for exact-dedup keys: lowercase,
+    * trim, collapse whitespace runs. Deliberately minimal and FIXED —
+    * the key's identity is part of the dedup contract (CCNet normalizes
+    * before hashing, C4 does not, and their duplicate counts differ for
+    * exactly this reason; Wenzek et al. 2020 §3.1).
+    */
+  def normalizeForDedup(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Normalization-sensitivity audit: per source, exact-duplicate mass
+    * under the RAW text key vs under [[normalizeForDedup]] — the
+    * before/after table a pipeline reads when choosing its dedup key
+    * (a large gap means near-identical pages differ only in case/
+    * whitespace and a raw-key dedup under-collapses).
+    *
+    * Output: (source, n_docs, n_raw_groups, n_norm_groups, raw_dup_bp,
+    * norm_dup_bp) with dup_bp = (n_docs − groups)·10000 div n_docs.
+    *
+    * Scale shape: documents collapse to 16-byte digests in the scan
+    * projection; the two distinct-group counts are per-(source, digest)
+    * hash-aggregates rolled up per source — two narrow aggregate chains,
+    * no expand, no join wider than |sources| rows.
+    */
+  def normalizedDupStats(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String): DataFrame = {
+    val keyed = df.select(col(sourceCol),
+      md5(col(textCol).cast("binary")).as("__raw"),
+      md5(normalizeForDedup(col(textCol)).cast("binary")).as("__norm"))
+    val total = keyed.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    def groups(c: String, as: String) = keyed
+      .groupBy(col(sourceCol), col(c)).agg(count(lit(1)).as("__g"))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as(as))
+    total
+      .join(groups("__raw", "n_raw_groups"), sourceCol)
+      .join(groups("__norm", "n_norm_groups"), sourceCol)
+      .select(col(sourceCol), col("n_docs"), col("n_raw_groups"), col("n_norm_groups"),
+        expr("(n_docs - n_raw_groups) * 10000 div n_docs").as("raw_dup_bp"),
+        expr("(n_docs - n_norm_groups) * 10000 div n_docs").as("norm_dup_bp"))
+  }
 }

@@ -776,6 +776,39 @@ object TextStats {
     * 10k-word production list would become a broadcast-joined lookup
     * instead; the contract (exact token membership) is unchanged.
     */
+  /** Named-regex policy flag audit — the generalized license/copyright
+    * scan (The Stack / StarCoder filter permissively-licensed code by
+    * exactly such marker regexes; Kocetkov et al. 2022, public). Each
+    * (name, pattern) flag is evaluated per document in ONE scan (all
+    * patterns ride the same projection), then melted to long format so
+    * adding a flag never changes the schema.
+    *
+    * Output per (source, flag): (source, flag, n_docs, n_flagged,
+    * n_hits, flagged_bp) — n_docs repeats per flag by design (each flag
+    * row is a self-contained audit line).
+    *
+    * Scale shape: one narrow scan computes every pattern's hit count,
+    * an inline explode of a |flags|-element struct array melts them
+    * (|flags| is a config constant), and one (source, flag)-keyed
+    * partial+final aggregate rolls up — no join side at all.
+    */
+  def regexFlagStats(df: DataFrame, textCol: String, sourceCol: String,
+                     flags: Seq[(String, String)]): DataFrame = {
+    require(flags.nonEmpty, "flags must be non-empty")
+    val melted = df.select(col(sourceCol), explode(array(flags.map { case (name, pat) =>
+      struct(lit(name).as("flag"),
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long").as("hits"))
+    }: _*)).as("__f"))
+      .select(col(sourceCol), col("__f.flag").as("flag"), col("__f.hits").as("__hits"))
+    melted.groupBy(col(sourceCol), col("flag"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("__hits")).as("n_hits"))
+      .select(col(sourceCol), col("flag"), col("n_docs"), col("n_flagged"), col("n_hits"),
+        expr("n_flagged * 10000 div n_docs").as("flagged_bp"))
+  }
+
   def blocklistStats(df: DataFrame, idCol: String, textCol: String,
                      sourceCol: String, words: Seq[String]): DataFrame = {
     require(words.nonEmpty, "blocklist must be non-empty")

@@ -3528,6 +3528,84 @@ object ExtensionQueries {
       FROM asg, g""")
   )
 
+  // Dedup 12: normalization-sensitivity audit — exact-dup mass under the
+  // raw text key vs the normalized (lower/trim/collapse-ws) key, per
+  // source. Every 10th doc gets a planted case+whitespace variant, so the
+  // raw key under-collapses and the gap is the audit's signal (CCNet
+  // normalizes before hashing, C4 does not — their dup counts differ for
+  // exactly this reason).
+  private val q138 = Q(
+    "q138_norm_dedup_audit",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val variants = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", concat(lit("  "), upper(col("text"))))
+      TextDedup.normalizedDupStats(docs.union(variants), "doc_id", "text", "source")
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, source, '  ' || upper(text) FROM documents
+        WHERE doc_id % 10 = 0),
+      k AS (SELECT source, md5(text) AS raw,
+          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS nrm
+        FROM corpus),
+      t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT raw) AS BIGINT) AS rg,
+          CAST(count(DISTINCT nrm) AS BIGINT) AS ng
+        FROM k GROUP BY 1)
+      SELECT source, n_docs, rg AS n_raw_groups, ng AS n_norm_groups,
+        CAST((n_docs - rg) * 10000 // n_docs AS BIGINT) AS raw_dup_bp,
+        CAST((n_docs - ng) * 10000 // n_docs AS BIGINT) AS norm_dup_bp
+      FROM t""")
+  )
+
+  // Policy filter audit: license/copyright marker scan (the Stack/
+  // StarCoder-style pass for code-adjacent corpora), as the generalized
+  // named-regex flag audit. Markers are planted deterministically (the
+  // q68 PII convention) — doc_id % 7 gets a copyright footer, % 11 an
+  // apache-license line — so both engines see the identical corpus and
+  // the % 77 overlap exercises multi-flag documents.
+  private val q139 = Q(
+    "q139_license_scan",
+    (s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" copyright (c) 2024 example corp all rights reserved")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" licensed under the apache license version 2.0")).otherwise(lit("")))
+          .as("text"))
+      TextStats.regexFlagStats(corpus, "text", "source", Seq(
+        "copyright" -> "copyright \\(c\\) [0-9]{4}",
+        "rights_reserved" -> "all rights reserved",
+        "spdx_license" -> "licensed under the [a-z]+ license"))
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, source, text ||
+        CASE WHEN doc_id % 7 = 0
+          THEN ' copyright (c) 2024 example corp all rights reserved' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+          THEN ' licensed under the apache license version 2.0' ELSE '' END AS text
+        FROM documents),
+      m AS (
+        SELECT source, 'copyright' AS flag,
+          CAST(len(regexp_extract_all(text, 'copyright \\(c\\) [0-9]{4}')) AS BIGINT) AS hits
+        FROM corpus
+        UNION ALL
+        SELECT source, 'rights_reserved',
+          CAST(len(regexp_extract_all(text, 'all rights reserved')) AS BIGINT) FROM corpus
+        UNION ALL
+        SELECT source, 'spdx_license',
+          CAST(len(regexp_extract_all(text, 'licensed under the [a-z]+ license')) AS BIGINT)
+        FROM corpus)
+      SELECT source, flag, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        CAST(sum(hits) AS BIGINT) AS n_hits,
+        CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS flagged_bp
+      FROM m GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -3535,5 +3613,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137)
+    q137, q138, q139)
 }

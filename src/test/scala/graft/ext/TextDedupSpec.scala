@@ -189,4 +189,31 @@ class TextDedupSpec extends SparkFunSuite {
     assert(r(11L) == ((None, 0L, false)))
     assert(r(12L) == ((None, 0L, false)))
   }
+
+  test("normalizedDupStats: raw key misses case/ws variants, normalized key collapses them") {
+    val df = Seq(
+      (1L, "hello world", "a"),
+      (2L, "  Hello   WORLD ", "a"), // normalizes to doc 1's key
+      (3L, "other text", "a"),
+      (4L, "unique", "b"),
+      (5L, "unique", "b")            // exact dup, caught by BOTH keys
+    ).toDF("doc_id", "text", "source")
+    val r = TextDedup.normalizedDupStats(df, "doc_id", "text", "source")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // a: 3 docs, 3 raw groups (variant differs raw), 2 norm groups
+    assert(r("a") == ((3L, 3L, 2L, 0L, 3333L)))
+    // b: exact dup collapses under both keys
+    assert(r("b") == ((2L, 1L, 1L, 5000L, 5000L)))
+  }
+
+  test("normalizeForDedup is a fixpoint and collapses only case/whitespace") {
+    val df = Seq((1L, "  A  b\tC ")).toDF("id", "t")
+      .select(TextDedup.normalizeForDedup(col("t")).as("n"))
+    val once = df.collect().head.getString(0)
+    assert(once == "a b c")
+    val twice = Seq((1L, once)).toDF("id", "t")
+      .select(TextDedup.normalizeForDedup(col("t")).as("n")).collect().head.getString(0)
+    assert(twice == once)
+  }
 }

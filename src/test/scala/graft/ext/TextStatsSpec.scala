@@ -297,6 +297,24 @@ class TextStatsSpec extends SparkFunSuite {
     assert(perDoc(1L) == ((2L, 7L, 4L)) && perDoc(2L) == ((2L, 4L, 3L)))
   }
 
+  test("regexFlagStats: per-flag counts from one corpus, multi-flag docs count in each") {
+    val df = Seq(
+      (1L, "copyright (c) 2020 acme", "a"),
+      (2L, "all rights reserved twice: all rights reserved", "a"),
+      (3L, "plain text", "a"),
+      (4L, "copyright (c) 1999 x, all rights reserved", "b")
+    ).toDF("doc_id", "text", "source")
+    val r = TextStats.regexFlagStats(df, "text", "source", Seq(
+      "copyright" -> "copyright \\(c\\) [0-9]{4}",
+      "rights" -> "all rights reserved"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r(("a", "copyright")) == ((3L, 1L, 1L, 3333L)))
+    assert(r(("a", "rights")) == ((3L, 1L, 2L, 3333L))) // doc 2 hits twice
+    assert(r(("b", "copyright")) == ((1L, 1L, 1L, 10000L)))
+    assert(r(("b", "rights")) == ((1L, 1L, 1L, 10000L)))
+  }
+
   test("blocklistStats: exact token membership, not substring") {
     val df = Seq(
       (1L, "clean text here", "a"),

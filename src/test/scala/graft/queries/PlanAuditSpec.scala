@@ -623,6 +623,20 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q138: dup audit ships 16-byte digests; group counts are aggregate chains") {
+    val p = plan("q138_norm_dedup_audit")
+    assert(!p.contains("Expand"),
+      s"two countDistincts via Expand would triple the scan rows; use agg chains:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q139: regex flags are one scan + one agg — no join side") {
+    val p = plan("q139_license_scan")
+    assert(!p.contains("Join"), s"flag patterns must ride the row expression:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
