@@ -119,7 +119,9 @@ object Explain {
                            // count frame, the corpus never re-enters
     "q138_norm_dedup_audit", // digests in the scan projection; group
                            // counts as aggregate chains, never Expand
-    "q139_license_scan"    // all flag regexes in one scan + one agg
+    "q139_license_scan",   // all flag regexes in one scan + one agg
+    "q140_cdc_chunks"      // doc-keyed running-sum window + digest-width
+                           // sharedness join — never a global sort
   )
 
   def main(args: Array[String]): Unit = {

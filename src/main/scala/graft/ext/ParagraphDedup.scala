@@ -268,4 +268,49 @@ object ParagraphDedup {
       .filter(col("n_docs") >= minDocs)
       .select(col(sourceCol), col("para"), col("n_docs"))
   }
+
+  /** Content-defined chunking at token granularity — the dedup unit that
+    * survives INSERTIONS. Fixed-width windows ([[paragraphs]]) shift all
+    * downstream chunk boundaries when one token is inserted, so an edited
+    * near-copy shares no digests with its original; content-defined
+    * boundaries re-synchronize at the next anchor (the rolling-hash CDC
+    * idea behind rsync/LBFS — Muthitacharoen et al. SOSP 2001 — at token
+    * grain, which keeps the anchor rule engine-portable: a token is an
+    * anchor iff `hashBucket16(token) % anchorMod == 0`, expected chunk
+    * length = anchorMod tokens).
+    *
+    * An anchor token STARTS a new chunk; tokens before the first anchor
+    * form chunk 0. Output: (idCol, chunk_idx, n_tokens, digest,
+    * is_shared) — is_shared marks digests appearing in ≥ 2 documents
+    * (the cross-doc dup signal).
+    *
+    * Scale shape: tokenize + anchor-flag is a projection; the chunk
+    * index is a doc-keyed running sum (each window partition holds ONE
+    * document's tokens); chunk text re-assembles via sort_array inside a
+    * doc-keyed aggregate; sharedness is the q100 shape — doc-frequency
+    * pre-collapsed per distinct digest, joined back on the digest key,
+    * both sides digest-width.
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           anchorMod: Int): DataFrame = {
+    require(anchorMod >= 2, "anchorMod must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        posexplode(TextDedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__a",
+        when(Sampling.hashBucket16(col("tok")) % anchorMod === 0, 1L).otherwise(0L))
+      .withColumn("chunk_idx",
+        sum(col("__a")).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val chunks = toks.groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").cast("binary")).as("digest"))
+    val shared = chunks.groupBy(col("digest"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    chunks.join(shared, "digest")
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"), col("digest"),
+        (col("__nd") > 1L).as("is_shared"))
+  }
 }

@@ -3606,6 +3606,46 @@ object ExtensionQueries {
       FROM m GROUP BY 1, 2""")
   )
 
+  // Dedup 13: content-defined chunking — the sub-document dedup unit
+  // that survives INSERTIONS (rsync/LBFS boundaries at token grain:
+  // anchor iff hash(token) % 8 == 0). Every 10th doc gets a copy with
+  // one token INSERTED at the front; fixed windows would shift every
+  // boundary and share nothing, while CDC chunks re-sync at the first
+  // anchor — the planted copies' tail chunks come back is_shared.
+  private val q140 = Q(
+    "q140_cdc_chunks",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val edited = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 400000L)
+        .withColumn("text", concat(lit("inserted "), col("text")))
+      ParagraphDedup.contentDefinedChunks(
+        docs.union(edited).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", anchorMod = 8)
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 400000, 'inserted ' || text FROM documents WHERE doc_id % 10 = 0),
+      toks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM corpus),
+      t AS (SELECT doc_id, i AS pos, w[i] AS tok
+        FROM toks, UNNEST(range(1, len(w) + 1)) AS r(i)),
+      f AS (SELECT doc_id, pos, tok,
+          CASE WHEN (${TrainingQueries.md5Bucket16Sql("tok")}) % 8 = 0 THEN 1 ELSE 0 END AS a
+        FROM t),
+      c AS (SELECT doc_id, pos, tok,
+          CAST(sum(a) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_idx
+        FROM f),
+      ch AS (SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+          md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+        FROM c GROUP BY 1, 2),
+      sh AS (SELECT digest, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+      SELECT ch.doc_id, ch.chunk_idx, ch.n_tokens, ch.digest,
+        (sh.nd > 1) AS is_shared
+      FROM ch JOIN sh USING (digest)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -3613,5 +3653,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139)
+    q137, q138, q139, q140)
 }

@@ -584,6 +584,82 @@ object StreamPipelines {
     }
   }
 
+  /** Seed the versioned quantizer state behind [[kmeansUpdateSink]]:
+    * writes `(label, dim, c_bp, n)` as version 0 (batch tag −1). Call
+    * once, before the stream starts, with offline-trained centroids and
+    * their assignment counts.
+    */
+  def seedKmeansState(centroids: DataFrame, counts: DataFrame,
+                      statePath: String): Unit =
+    centroids.join(counts.select(col("label"), col("n")), Seq("label"), "left")
+      .select(col("label"), col("dim"), col("c_bp"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .write.mode("errorifexists").parquet(s"$statePath/v0_b-1")
+
+  /** Streaming twin of q137 — mini-batch k-means centroid maintenance as
+    * a foreachBatch sink over versioned state: each micro-batch reads the
+    * latest `(label, dim, c_bp, n)` version, applies
+    * [[graft.ext.VectorSearch.kmeansUpdateBatch]], and commits the result
+    * as the next version DIRECTORY tagged with the micro-batch id.
+    *
+    * Unlike the append-only sinks ([[semanticDedupSink]],
+    * [[knnGraphSink]]), a running-mean update is NOT naturally
+    * replay-idempotent — re-applying a batch double-counts it — so
+    * idempotence is earned the versioned-upsert way (the S7 batch-id-tag
+    * convention): a replayed batch id finds its own version tag already
+    * present and skips. Versions are tiny (k × dims rows), so the log is
+    * the quantizer's time-travel history for free.
+    */
+  def kmeansUpdateSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      statePath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmeansUpdateIngestBatch(batch, idCol, vecCol, statePath, batchId)
+      }
+
+  /** The batch body of [[kmeansUpdateSink]], callable directly (and from
+    * tests). `statePath` must have been seeded via [[seedKmeansState]].
+    */
+  def kmeansUpdateIngestBatch(batch: DataFrame, idCol: String, vecCol: String,
+                              statePath: String, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val root = new Path(statePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val versions = fs.listStatus(root).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v"))
+        .map { name =>
+          val Array(v, b) = name.stripPrefix("v").split("_b", 2)
+          (v.toLong, b.toLong, name)
+        }
+      require(versions.nonEmpty,
+        s"$statePath has no seeded state — call seedKmeansState first")
+      if (versions.exists(_._2 == batchId)) return // replayed batch: no-op
+      val (latestSeq, _, latestName) = versions.maxBy(_._1)
+      val state = spark.read.parquet(s"$statePath/$latestName")
+      graft.ext.VectorSearch.kmeansUpdateBatch(
+          batch, idCol, vecCol,
+          state.select(col("label"), col("dim"), col("c_bp")),
+          state.select(col("label"), col("n")).distinct())
+        .write.mode("errorifexists")
+        .parquet(s"$statePath/v${latestSeq + 1}_b$batchId")
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
   /** The batch body of [[upsertSink]], callable directly (and from tests). */
   def upsertBatch(
       batch: DataFrame,

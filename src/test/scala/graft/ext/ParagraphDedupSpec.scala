@@ -132,4 +132,30 @@ class ParagraphDedupSpec extends SparkFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(rows.toSeq == Seq(("s1", "x y", 2L)))
   }
+
+  test("contentDefinedChunks: partition covers the doc; a front insertion re-syncs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "inserted " + base), // one-token front edit of doc 1
+      (3L, "completely different words entirely")
+    ).toDF("doc_id", "text")
+    val r = ParagraphDedup.contentDefinedChunks(docs, "doc_id", "text", anchorMod = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3), x.getBoolean(4)))
+    // chunks partition each document: token counts sum back
+    val perDoc = r.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDoc(1L) == 40L && perDoc(2L) == 41L && perDoc(3L) == 4L)
+    // chunk indices are contiguous from the first chunk
+    val idx1 = r.filter(_._1 == 1L).map(_._2).sorted
+    assert(idx1.toSeq == (idx1.min to idx1.max).toSeq)
+    // insertion-robustness: every doc-1 chunk AFTER its first boundary
+    // reappears verbatim in doc 2 (boundaries re-sync at the first anchor),
+    // so those chunks are is_shared
+    val d1 = r.filter(t => t._1 == 1L && t._2 > idx1.min)
+    val d2Digests = r.filter(_._1 == 2L).map(_._4).toSet
+    assert(d1.nonEmpty, "need at least one anchor in 40 tokens at mod 4")
+    assert(d1.forall(t => d2Digests.contains(t._4) && t._5))
+    // the unrelated doc shares nothing
+    assert(r.filter(_._1 == 3L).forall(!_._5))
+  }
 }

@@ -637,6 +637,13 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.split("HashAggregate").length >= 3, s"must map-side combine:\n$p")
   }
 
+  test("q140: CDC chunk windows are doc-keyed; sharedness joins on the digest only") {
+    val p = plan("q140_cdc_chunks")
+    assert(!p.contains("rangepartitioning"),
+      s"the running-sum window must stay doc-keyed, never a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus

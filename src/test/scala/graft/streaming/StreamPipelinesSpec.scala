@@ -553,6 +553,60 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("kmeansUpdateSink: versioned running-mean state; replayed batch id is a no-op") {
+    val statePath = tmpDir("kmstate") + "/state"
+    val cents = Seq((0L, 1L, 10000L), (0L, 2L, 0L), (1L, 1L, 0L), (1L, 2L, 10000L))
+      .toDF("label", "dim", "c_bp")
+    val counts = Seq((0L, 3L), (1L, 5L)).toDF("label", "n")
+    StreamPipelines.seedKmeansState(cents, counts, statePath)
+
+    def latest = {
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val name = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+        .map(_.getPath.getName).filter(_.startsWith("v"))
+        .maxBy(_.stripPrefix("v").split("_b")(0).toLong)
+      (name, spark.read.parquet(s"$statePath/$name").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap)
+    }
+
+    // batch 0: both vectors land on label 0 → the q137 hand computation
+    val b0 = Seq((101L, Array(0.8f, 0.2f)), (102L, Array(0.6f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    StreamPipelines.kmeansUpdateIngestBatch(b0, "vec_id", "embedding", statePath, 100L)
+    val (n1, s1) = latest
+    assert(n1 == "v1_b100")
+    assert(s1((0L, 1L)) == ((8800L, 5L)) && s1((0L, 2L)) == ((400L, 5L)))
+    assert(s1((1L, 1L)) == ((0L, 5L)))
+
+    // replay the same batch id verbatim: version tag found → state unchanged
+    StreamPipelines.kmeansUpdateIngestBatch(b0, "vec_id", "embedding", statePath, 100L)
+    assert(latest._1 == "v1_b100")
+
+    // a NEW batch advances the chain from the updated state
+    val b1 = Seq((103L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    StreamPipelines.kmeansUpdateIngestBatch(b1, "vec_id", "embedding", statePath, 101L)
+    val (n2, s2) = latest
+    assert(n2 == "v2_b101")
+    // label 1 at (0, 10000) with n=5 absorbs (0, 10000): mean unchanged, n=6
+    assert(s2((1L, 1L)) == ((0L, 6L)) && s2((1L, 2L)) == ((10000L, 6L)))
+    assert(s2((0L, 1L)) == ((8800L, 5L))) // untouched centroid passes through
+
+    // end-to-end through the streaming sink wiring
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamPipelines.kmeansUpdateSink(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        statePath, tmpDir("kmstate-ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      .start()
+    try {
+      input.addData(104L -> Seq(0.0, 1.0))
+      q.processAllAvailable()
+      assert(latest._2((1L, 1L)) == ((0L, 7L)))
+    } finally q.stop()
+  }
+
   test("fluencyScoreStream scores against a frozen model; unknown bigrams skipped") {
     implicit val sql = spark.sqlContext
     // model trained on a batch corpus: c("a b")=2, c("b a")=1 → prefix a=2+0…
