@@ -443,7 +443,16 @@ object ScaleProbe {
         assigned.crossJoin(broadcast(g))
           .filter(col("dist_bp2") * 10L > col("__avg2") * 20L).count()
       },
-      "incr_knn_probe" -> (m => m.toLong)
+      "incr_knn_probe" -> (m => m.toLong),
+      // content-defined chunking: tokenize + anchor flags are a
+      // projection, the chunk index is a doc-keyed running sum (one
+      // document per window partition), and sharedness joins digest-width
+      // rows — replicas share most chunks, so the digest side's distinct
+      // space stays ~constant while the probe side grows ×m (the
+      // dup_shingle_hot shape at chunk grain)
+      "cdc_chunks" -> (m =>
+        graft.ext.ParagraphDedup.contentDefinedChunks(
+          docsAt(m), "doc_id", "text", anchorMod = 8).count())
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
