@@ -120,8 +120,10 @@ object Explain {
     "q138_norm_dedup_audit", // digests in the scan projection; group
                            // counts as aggregate chains, never Expand
     "q139_license_scan",   // all flag regexes in one scan + one agg
-    "q140_cdc_chunks"      // doc-keyed running-sum window + digest-width
+    "q140_cdc_chunks",     // doc-keyed running-sum window + digest-width
                            // sharedness join — never a global sort
+    "q141_source_scorecard" // signal joins on the doc key, frozen-weight
+                           // codegen scoring, one |sources|-row agg
   )
 
   def main(args: Array[String]): Unit = {

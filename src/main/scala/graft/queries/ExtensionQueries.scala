@@ -3226,7 +3226,19 @@ object ExtensionQueries {
     },
     Some(s"""WITH $toksCte,
       ${lrTrainCtes(lrIters, 100)},
-      st AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+      $gopherSigCtes,
+      $clfPassCte
+      SELECT d.source, g.gopher_pass, c.clf_pass, count(*) AS n_docs
+      FROM documents d JOIN gsig g USING (doc_id) JOIN clf c USING (doc_id)
+      GROUP BY 1, 2, 3""")
+  )
+
+  /** The q114 Gopher rule bundle as a shared DuckDB CTE chain (needs
+    * `toks`): st/bgc/t2/sw → `gsig(doc_id, gopher_pass)`. Shared by q127
+    * and q141 so the rule replay cannot drift between them.
+    */
+  private lazy val gopherSigCtes =
+    """st AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
           CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS chars,
           CAST(len(list_filter(w, x -> regexp_matches(x, '[^A-Za-z0-9]'))) AS BIGINT) AS nsym
         FROM toks),
@@ -3245,12 +3257,69 @@ object ExtensionQueries {
             AND (CASE WHEN st.n_tokens > 0 THEN st.nsym * 1000 // st.n_tokens ELSE 0 END) <= 100
             AND sw.n_stop >= 2
             AND COALESCE(t2.top2, 0) <= 200) AS gopher_pass
-        FROM st JOIN sw USING (doc_id) LEFT JOIN t2 USING (doc_id)),
-      clf AS (SELECT f.doc_id, (${lrPSql("w", "f")} >= 500000) AS clf_pass
-        FROM feats f, wf w WHERE f.doc_id < 100000)
-      SELECT d.source, g.gopher_pass, c.clf_pass, count(*) AS n_docs
-      FROM documents d JOIN gsig g USING (doc_id) JOIN clf c USING (doc_id)
-      GROUP BY 1, 2, 3""")
+        FROM st JOIN sw USING (doc_id) LEFT JOIN t2 USING (doc_id))"""
+
+  /** Frozen-classifier verdict at the q125-calibrated 0.5 threshold over
+    * the REAL documents (needs `feats`/`wf` from [[lrTrainCtes]]):
+    * `clf(doc_id, clf_pass)`. Shared by q127 and q141.
+    */
+  private lazy val clfPassCte =
+    s"""clf AS (SELECT f.doc_id, (${lrPSql("w", "f")} >= 500000) AS clf_pass
+        FROM feats f, wf w WHERE f.doc_id < 100000)"""
+
+  // The per-source curation scorecard — the per-dump quality dashboard a
+  // pipeline publishes per crawl snapshot (FineWeb's per-dump tables):
+  // token mass, Gopher pass rate, trained-classifier pass rate, and
+  // blocklist hit rate, every rate an exact-integer basis-point column.
+  // A composition query: its oracle chains the SAME CTE text as the
+  // component queries (q114 rules via gopherSigCtes, q124/q125 training
+  // + threshold via lrTrainCtes/clfPassCte, q133's wordlist), so the
+  // scorecard cannot drift from the signals it summarizes.
+  private val q141 = Q(
+    "q141_source_scorecard",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val base = docs.select(col("doc_id"), col("source"),
+        size(TextDedup.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(filter(TextDedup.tokens(col("text")),
+          t => t.isin("dup", "stale"))).cast("long").as("__hits"))
+      val gop = TextStats.gopherSignals(docs, "doc_id", "text")
+        .select(col("doc_id"), col("gopher_pass"))
+      val feats = graft.ext.Classifier.lrFeatures(docs, "doc_id", "text", lit(false))
+      val scored = graft.ext.Classifier.lrScore(
+          feats, "doc_id", QueryCaches.lrWeightsFor(s, dir))
+        .select(col("doc_id"), (col("p_ppm") >= 500000L).as("clf_pass"))
+      base.join(gop, "doc_id").join(scored, "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("__g"),
+          sum(when(col("clf_pass"), 1L).otherwise(0L)).as("__c"),
+          sum(when(col("__hits") > 0, 1L).otherwise(0L)).as("__b"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("__g * 10000 div n_docs").as("gopher_pass_bp"),
+          expr("__c * 10000 div n_docs").as("clf_pass_bp"),
+          expr("__b * 10000 div n_docs").as("blocklist_bp"),
+          expr("n_tokens div n_docs").as("mean_doc_tokens"))
+    },
+    Some(s"""WITH $toksCte,
+      ${lrTrainCtes(lrIters, 100)},
+      $gopherSigCtes,
+      $clfPassCte,
+      blk AS (SELECT doc_id, CAST(len(list_filter(w,
+          x -> list_contains(['dup', 'stale'], x))) AS BIGINT) AS hits
+        FROM toks),
+      dtk AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+      SELECT k.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(k.n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS gopher_pass_bp,
+        CAST(sum(CASE WHEN c.clf_pass THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS clf_pass_bp,
+        CAST(sum(CASE WHEN b.hits > 0 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS blocklist_bp,
+        CAST(sum(k.n_tokens) // count(*) AS BIGINT) AS mean_doc_tokens
+      FROM dtk k JOIN gsig g USING (doc_id) JOIN clf c USING (doc_id)
+        JOIN blk b USING (doc_id)
+      GROUP BY 1""")
   )
 
   // Mixture construction: target-matched domain reweighting (uniform
@@ -3653,5 +3722,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140)
+    q137, q138, q139, q140, q141)
 }

@@ -644,6 +644,14 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q141: scorecard joins signals on the doc key; the roll-up map-side combines") {
+    val p = plan("q141_source_scorecard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"signal joins must stay doc-keyed equi-joins:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the per-source roll-up must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
