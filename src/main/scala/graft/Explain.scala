@@ -122,8 +122,10 @@ object Explain {
     "q139_license_scan",   // all flag regexes in one scan + one agg
     "q140_cdc_chunks",     // doc-keyed running-sum window + digest-width
                            // sharedness join — never a global sort
-    "q141_source_scorecard" // signal joins on the doc key, frozen-weight
+    "q141_source_scorecard", // signal joins on the doc key, frozen-weight
                            // codegen scoring, one |sources|-row agg
+    "q142_token_drift"     // one (source, bucket) agg over the token
+                           // stream; totals window on the bounded frame
   )
 
   def main(args: Array[String]): Unit = {

@@ -757,6 +757,52 @@ object TextStats {
         col("stage"), col("pos"))
   }
 
+  /** Token-distribution drift monitor: per source, the L1 distance (in
+    * ppm) between two cohorts' hashed-token distributions — the
+    * crawl-drift alarm a pipeline watches across snapshots (a source
+    * whose language suddenly shifts — spam takeover, template change,
+    * encoding break — moves probability mass between buckets long before
+    * any quality rule fires; the same population-stability intuition as
+    * PSI, with an L1 body so the arithmetic stays exact integer).
+    *
+    * Both cohorts' per-bucket shares are parts-per-million with floor
+    * division over the [[graft.ext.Sampling.tokenBucket]] hash buckets
+    * (the DSIR feature space), so a DuckDB oracle replays the number
+    * bit-for-bit. `drift_ppm` ranges 0 (identical distributions) to
+    * 2·10^6 (disjoint support).
+    *
+    * Output per source: (source, n_tokens_a, n_tokens_b, drift_ppm).
+    *
+    * Scale shape: ONE (source, bucket) hash-aggregate with conditional
+    * sums over the exploded token stream (cohort membership rides the
+    * row — no join, no pivot), then a per-source roll-up of ≤ `buckets`
+    * rows. A source holding half the corpus combines map-side.
+    */
+  def tokenDrift(df: DataFrame, textCol: String, sourceCol: String,
+                 cohortACol: String, buckets: Int = 64): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "buckets must be in [1, 65536]")
+    val perBucket = df.select(col(sourceCol), col(cohortACol).as("__a"),
+        explode(TextDedup.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b", Sampling.tokenBucket(col("__tok"), buckets))
+      .groupBy(col(sourceCol), col("__b"))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    perBucket
+      .withColumn("__ta", sum(col("__ca")).over(
+        Window.partitionBy(col(sourceCol))))
+      .withColumn("__tb", sum(col("__cb")).over(
+        Window.partitionBy(col(sourceCol))))
+      .select(col(sourceCol), col("__ta"), col("__tb"),
+        abs(when(col("__ta") > 0, expr("__ca * 1000000 div __ta")).otherwise(0L) -
+            when(col("__tb") > 0, expr("__cb * 1000000 div __tb")).otherwise(0L))
+          .as("__d"))
+      .groupBy(col(sourceCol))
+      .agg(first(col("__ta")).as("n_tokens_a"),
+        first(col("__tb")).as("n_tokens_b"),
+        sum(col("__d")).as("drift_ppm"))
+  }
+
   /** Blocklist audit — the first-pass safety/NSFW filter every public
     * corpus pipeline runs (C4 removed pages hitting the "List of Dirty,
     * Naughty, Obscene..." wordlist, Raffel et al. 2020 §2.2; public).

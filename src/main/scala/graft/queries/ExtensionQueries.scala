@@ -3715,6 +3715,31 @@ object ExtensionQueries {
       FROM ch JOIN sh USING (digest)""")
   )
 
+  // Monitoring: token-distribution drift between two cohorts (doc_id
+  // parity stands in for consecutive crawl snapshots) — per-source L1
+  // distance in ppm over the DSIR hash-bucket feature space. The alarm
+  // that fires on spam takeover / template change / encoding breaks
+  // before any per-document quality rule does.
+  private val q142 = Q(
+    "q142_token_drift",
+    (s, dir) => TextStats.tokenDrift(
+      docsSpread(s, dir).withColumn("__cohort_a", col("doc_id") % 2 === 0),
+      "text", "source", "__cohort_a", buckets = 64),
+    Some(s"""WITH $toksCte,
+      tk AS (SELECT source, (doc_id % 2 = 0) AS a, unnest(w) AS tok FROM toks),
+      pb AS (SELECT source, (${TrainingQueries.md5Bucket16Sql("tok")}) % 64 AS b,
+          CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM tk GROUP BY 1, 2),
+      tt AS (SELECT source, CAST(sum(ca) AS BIGINT) AS ta,
+          CAST(sum(cb) AS BIGINT) AS tb FROM pb GROUP BY 1)
+      SELECT p.source, t.ta AS n_tokens_a, t.tb AS n_tokens_b,
+        CAST(sum(abs(
+          (CASE WHEN t.ta > 0 THEN p.ca * 1000000 // t.ta ELSE 0 END)
+          - (CASE WHEN t.tb > 0 THEN p.cb * 1000000 // t.tb ELSE 0 END))) AS BIGINT) AS drift_ppm
+      FROM pb p JOIN tt t USING (source) GROUP BY 1, 2, 3""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -3722,5 +3747,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141)
+    q137, q138, q139, q140, q141, q142)
 }

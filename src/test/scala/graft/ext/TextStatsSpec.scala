@@ -297,6 +297,34 @@ class TextStatsSpec extends SparkFunSuite {
     assert(perDoc(1L) == ((2L, 7L, 4L)) && perDoc(2L) == ((2L, 4L, 3L)))
   }
 
+  test("tokenDrift: zero on identical distributions, ~2e6 on disjoint support") {
+    // cohorts with the SAME token multiset → every bucket share matches
+    val same = Seq(
+      (1L, "x y z x", "s", true), (2L, "x y z x", "s", false)
+    ).toDF("doc_id", "text", "source", "a")
+    val r0 = TextStats.tokenDrift(same, "text", "source", "a")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).head
+    assert(r0 == ((4L, 4L, 0L)))
+
+    // disjoint vocabularies → all mass moves: drift = ΣpA + ΣpB, which is
+    // 2e6 up to per-bucket floor loss (< buckets ppm per cohort)
+    val disjoint = Seq(
+      (1L, "aa bb cc dd ee", "s", true), (2L, "ff gg hh ii kk", "s", false)
+    ).toDF("doc_id", "text", "source", "a")
+    val r1 = TextStats.tokenDrift(disjoint, "text", "source", "a")
+      .collect().map(x => x.getLong(3)).head
+    assert(r1 > 2000000L - 128L && r1 <= 2000000L, s"drift_ppm = $r1")
+
+    // a one-token shift in one cohort moves exactly 2×(share delta)
+    val shifted = Seq(
+      (1L, "x x x y", "s", true), (2L, "x x x x", "s", false)
+    ).toDF("doc_id", "text", "source", "a")
+    val r2 = TextStats.tokenDrift(shifted, "text", "source", "a")
+      .collect().map(x => x.getLong(3)).head
+    // A: x 750000, y 250000; B: x 1000000 → |750000−1000000| + 250000
+    assert(r2 == 500000L)
+  }
+
   test("regexFlagStats: per-flag counts from one corpus, multi-flag docs count in each") {
     val df = Seq(
       (1L, "copyright (c) 2020 acme", "a"),

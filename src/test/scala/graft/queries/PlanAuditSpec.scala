@@ -652,6 +652,18 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the per-source roll-up must map-side combine:\n$p")
   }
 
+  test("q142: drift monitor is one token-stream agg; no corpus-sized join or window") {
+    val p = plan("q142_token_drift")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"the (source, bucket) agg must map-side combine:\n$p")
+    // the totals window runs over the bounded (source, bucket) frame,
+    // AFTER the corpus-collapsing aggregate — assert the aggregate comes
+    // first in execution order (appears deeper in the plan tree)
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      s"the window must sit above the bucket aggregate, not the token stream:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
