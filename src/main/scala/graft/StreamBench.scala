@@ -241,6 +241,24 @@ object StreamBench {
     q6.stop()
 
     // -------------------------------------------------------------------
+    // Pipeline 6b: windowed drift telemetry — 64 conditional counters per
+    // window (state = ONE row per window), drift computed in the
+    // window-close projection; same doc stream as the CMS pipeline
+    val in6b = MemoryStream[DocEv]
+    val uniformRef = Seq.fill(64)(1000000L / 64)
+    val q6b = StreamPipelines.driftTelemetry(in6b.toDF(), "ts", "text", uniformRef)
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    in6b.addData(docWave(1000, 0L, -1)); q6b.processAllAvailable()
+    val t6b = System.nanoTime()
+    (0 until docWaves).foreach { w =>
+      in6b.addData(docWave(docWaveSz, w * 60000L, w))
+      q6b.processAllAvailable()
+    }
+    val drift_eps = (docWaves.toLong * docWaveSz / ((System.nanoTime() - t6b) / 1e9)).toLong
+    q6b.stop()
+
+    // -------------------------------------------------------------------
     // Pipeline 7: kNN-graph ingest — each wave of 16-dim embeddings probes
     // the persisted bucket index (growing across waves), appends its
     // adjacency to the edge log and itself to the index. Reported as
@@ -272,7 +290,7 @@ object StreamBench {
     val knn_eps = (knnWaves.toLong * knnWaveSz / ((System.nanoTime() - t7) / 1e9)).toLong
     q7.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"knn_graph_ingest_vecs":$knn_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"knn_graph_ingest_vecs":$knn_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }

@@ -913,6 +913,55 @@ object StreamPipelines {
         col("seed"), col("bucket"), col("cnt"))
   }
 
+  /** Streaming twin of q142 — per-window token-distribution drift against
+    * a FROZEN reference distribution (ppm shares over the DSIR hash
+    * buckets, trained offline from a healthy corpus slice via
+    * [[graft.ext.TextStats.tokenDrift]]'s bucket rule): each closed
+    * tumbling window emits its token count and its L1 drift from the
+    * reference — the alarm row a monitor pages on when a crawl source
+    * shifts mid-stream.
+    *
+    * State per window is ONE row of `buckets` conditional counters (the
+    * counters ARE the partial aggregation — the cmsTelemetry posture one
+    * level denser), and the drift arithmetic runs in the window-close
+    * projection against the literal reference array, so there is no
+    * second stateful operator and no join. Append mode: a window row
+    * emits once, when the watermark passes.
+    *
+    * `refSharesPpm` must have exactly `buckets` entries (bucket b's
+    * reference share in ppm, floor-division normalized like the batch
+    * monitor).
+    */
+  def driftTelemetry(
+      events: DataFrame,
+      tsCol: String,
+      textCol: String,
+      refSharesPpm: Seq[Long],
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute"
+  ): DataFrame = {
+    val buckets = refSharesPpm.length
+    require(buckets > 0 && buckets <= 4096, "refSharesPpm must have 1..4096 entries")
+    require(refSharesPpm.forall(p => p >= 0L && p <= 1000000L),
+      "reference shares are ppm in [0, 1e6]")
+    val counters = (0 until buckets).map(b =>
+      sum(when(col("__b") === b.toLong, 1L).otherwise(0L)).as(s"__c$b"))
+    val total = (0 until buckets).map(b => col(s"__c$b")).reduce(_ + _)
+    val drift = (0 until buckets).map { b =>
+      abs(when(col("__n") > 0, expr(s"__c$b * 1000000 div __n")).otherwise(0L) -
+        lit(refSharesPpm(b)))
+    }.reduce(_ + _)
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(graft.ext.TextDedup.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b", graft.ext.Sampling.tokenBucket(col("__tok"), buckets))
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(counters.head, counters.tail: _*)
+      .withColumn("__n", total)
+      .select(col("window.start").as("window_start"),
+        col("__n").as("n_tokens"), drift.as("drift_ppm"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming priority sampling (the incremental form of
   // graft.ext.Sampling.prioritySample): per-stratum top-k priorities as

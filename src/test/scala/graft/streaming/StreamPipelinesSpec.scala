@@ -607,6 +607,38 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("driftTelemetry: window-close drift vs frozen reference; zero on match") {
+    implicit val sql = spark.sqlContext
+    // reference: 50% 'x' (bucket 20 of 64), 50% 'y' (bucket 18)
+    val ref = Seq.tabulate(64) {
+      case 20 => 500000L
+      case 18 => 500000L
+      case _  => 0L
+    }
+    val input = MemoryStream[Doc]
+    val q = StreamPipelines.driftTelemetry(
+        input.toDF(), "ts", "text", ref)
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    try {
+      // window 1 matches the reference exactly; window 2 is all-'x'
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:05"), "x y"),
+        Doc(2L, t("2024-01-01 10:00:30"), "y x"),
+        Doc(3L, t("2024-01-01 10:01:05"), "x x x x"))
+      q.processAllAvailable()
+      assert(spark.table("drift").count() == 0) // both windows still open
+
+      input.addData(Doc(4L, t("2024-01-01 10:03:00"), "z"))
+      q.processAllAvailable()
+      val rows = spark.table("drift").collect()
+        .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+      // 10:00 window: 4 tokens, distribution == reference → drift 0
+      assert(rows("2024-01-01 10:00:00.0") == ((4L, 0L)))
+      // 10:01 window: all mass on 'x' → |1e6−5e5| + |0−5e5| = 1e6
+      assert(rows("2024-01-01 10:01:00.0") == ((4L, 1000000L)))
+    } finally q.stop()
+  }
+
   test("fluencyScoreStream scores against a frozen model; unknown bigrams skipped") {
     implicit val sql = spark.sqlContext
     // model trained on a batch corpus: c("a b")=2, c("b a")=1 → prefix a=2+0…
