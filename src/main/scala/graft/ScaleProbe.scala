@@ -452,7 +452,14 @@ object ScaleProbe {
       // dup_shingle_hot shape at chunk grain)
       "cdc_chunks" -> (m =>
         graft.ext.ParagraphDedup.contentDefinedChunks(
-          docsAt(m), "doc_id", "text", anchorMod = 8).count())
+          docsAt(m), "doc_id", "text", anchorMod = 8).count()),
+      // drift monitor: one (source, bucket) conditional-sum aggregate
+      // over the exploded token stream + a roll-up of ≤ 64 rows/source —
+      // growth must track the token scan alone
+      "token_drift" -> (m =>
+        TextStats.tokenDrift(
+          docsAt(m).withColumn("__a", col("doc_id") % 2 === 0),
+          "text", "source", "__a").count())
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
