@@ -124,8 +124,10 @@ object Explain {
                            // sharedness join — never a global sort
     "q141_source_scorecard", // signal joins on the doc key, frozen-weight
                            // codegen scoring, one |sources|-row agg
-    "q142_token_drift"     // one (source, bucket) agg over the token
+    "q142_token_drift",    // one (source, bucket) agg over the token
                            // stream; totals window on the bounded frame
+    "q143_embedding_drift" // one (label, dim) conditional-sum agg over
+                           // exploded cells; no join, no window
   )
 
   def main(args: Array[String]): Unit = {

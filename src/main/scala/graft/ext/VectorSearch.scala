@@ -984,6 +984,45 @@ object VectorSearch {
       .groupBy(col("label"), col("dim"))
       .agg(round(sum(col("__bp")).cast("double") / count(lit(1)), 0).cast("long").as("c_bp"))
 
+  /** Embedding-space drift monitor — the vector twin of
+    * [[graft.ext.TextStats.tokenDrift]]: per label, the squared L2
+    * distance (in bp² cells) between two cohorts' mean embeddings. An
+    * embedding pipeline watches this across snapshots exactly like the
+    * token monitor: a label whose cohort means separate signals encoder
+    * drift / upstream distribution shift before any downstream recall eval
+    * catches it. Means use [[centroidsBp]]'s fixed-point arithmetic
+    * (bp-scaled cells, order-independent sums, one rounded division per
+    * cell), so the drift number replays bit-for-bit.
+    *
+    * Labels present in only one cohort are omitted (drift needs both
+    * means). Output: (label, n_a, n_b, drift_bp2).
+    *
+    * Scale shape: ONE corpus scan — cohort membership rides the exploded
+    * (label, dim, bp) cells into a single conditional-sum hash-aggregate
+    * — then a per-label roll-up of dims-width rows. No join, no window.
+    */
+  def embeddingDrift(df: DataFrame, vecCol: String, labelCol: String,
+                     cohortACol: String): DataFrame = {
+    val cells = df.select(col(labelCol).cast("long").as("label"),
+        col(cohortACol).as("__a"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("label"), col("__a"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("__bp"))
+    cells.groupBy(col("label"), col("dim"))
+      .agg(
+        sum(when(col("__a"), col("__bp"))).as("__sa"),
+        count(when(col("__a"), 1)).as("__ca"),
+        sum(when(!col("__a"), col("__bp"))).as("__sb"),
+        count(when(!col("__a"), 1)).as("__cb"))
+      .filter(col("__ca") > 0 && col("__cb") > 0)
+      .select(col("label"), col("__ca"), col("__cb"),
+        (round(col("__sa").cast("double") / col("__ca"), 0).cast("long") -
+          round(col("__sb").cast("double") / col("__cb"), 0).cast("long")).as("__d"))
+      .groupBy(col("label"))
+      .agg(max(col("__ca")).as("n_a"), max(col("__cb")).as("n_b"),
+        sum(col("__d") * col("__d")).as("drift_bp2"))
+  }
+
   /** K-means assignment step (E-step), engine-distributed: each vector is
     * assigned to the centroid minimizing squared L2 distance, computed in
     * exact-integer basis points so the argmin is identical on every

@@ -3740,6 +3740,37 @@ object ExtensionQueries {
       FROM pb p JOIN tt t USING (source) GROUP BY 1, 2, 3""")
   )
 
+  // Monitoring 2: embedding-space drift — the vector twin of q142. Per
+  // label, squared L2 between the two cohorts' fixed-point mean
+  // embeddings (vec_id parity stands in for consecutive snapshots); the
+  // encoder-drift alarm an embedding pipeline watches beside its recall
+  // evals. One corpus scan: cohort membership rides the exploded cells
+  // into a single conditional-sum aggregate.
+  private val q143 = Q(
+    "q143_embedding_drift",
+    (s, dir) => VectorSearch.embeddingDrift(
+      Tables.embeddings(s, dir).withColumn("__cohort_a", col("vec_id") % 2 === 0),
+      "embedding", "label", "__cohort_a"),
+    Some(s"""WITH ec AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+        CAST(round(embedding[i]::DOUBLE * 10000, 0) AS BIGINT) AS bp,
+        (vec_id % 2 = 0) AS a
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      pc AS (SELECT label, dim,
+          CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS ca,
+          CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS cb,
+          CAST(round(CAST(sum(CASE WHEN a THEN bp END) AS DOUBLE)
+            / count(CASE WHEN a THEN 1 END), 0) AS BIGINT) AS a_bp,
+          CAST(round(CAST(sum(CASE WHEN NOT a THEN bp END) AS DOUBLE)
+            / count(CASE WHEN NOT a THEN 1 END), 0) AS BIGINT) AS b_bp
+        FROM ec GROUP BY 1, 2
+        HAVING count(CASE WHEN a THEN 1 END) > 0
+          AND count(CASE WHEN NOT a THEN 1 END) > 0)
+      SELECT CAST(label AS BIGINT) AS label,
+        CAST(max(ca) AS BIGINT) AS n_a, CAST(max(cb) AS BIGINT) AS n_b,
+        CAST(sum((a_bp - b_bp) * (a_bp - b_bp)) AS BIGINT) AS drift_bp2
+      FROM pc GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -3747,5 +3778,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142)
+    q137, q138, q139, q140, q141, q142, q143)
 }

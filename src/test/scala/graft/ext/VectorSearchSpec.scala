@@ -471,6 +471,26 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(g == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("embeddingDrift: hand-computed means, single-cohort labels omitted") {
+    val df = Seq(
+      (0L, 0, Array(1f, 0f), true), (2L, 0, Array(0f, 1f), true), // A mean (5000, 5000)
+      (1L, 0, Array(1f, 0f), false),                              // B mean (10000, 0)
+      (4L, 1, Array(1f, 1f), true)                                // label 1: A only
+    ).toDF("vec_id", "label", "embedding", "a")
+    val r = VectorSearch.embeddingDrift(df, "embedding", "label", "a")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // drift = (5000−10000)² + (5000−0)² = 50,000,000
+    assert(r == Map(0L -> ((2L, 1L, 50000000L))))
+  }
+
+  test("embeddingDrift: identical cohorts drift zero") {
+    val df = Seq(
+      (0L, 7, Array(0.3f, -0.4f), true), (1L, 7, Array(0.3f, -0.4f), false))
+      .toDF("vec_id", "label", "embedding", "a")
+    val r = VectorSearch.embeddingDrift(df, "embedding", "label", "a").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(3))).toSeq == Seq((7L, 0L)))
+  }
+
   test("kmeansUpdateBatch: running-mean update, untouched centroids pass through") {
     // two 2-dim centroids: label 0 at (10000, 0) with history n=3,
     // label 1 at (0, 10000) with history n=5

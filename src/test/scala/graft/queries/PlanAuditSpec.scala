@@ -664,6 +664,15 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the window must sit above the bucket aggregate, not the token stream:\n$p")
   }
 
+  test("q143: embedding drift is one corpus scan — no join, no window") {
+    val p = plan("q143_embedding_drift")
+    assert(!p.contains("Join"),
+      s"cohort membership must ride the cell projection, not a join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"the (label, dim) agg must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
