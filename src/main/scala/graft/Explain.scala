@@ -126,8 +126,10 @@ object Explain {
                            // codegen scoring, one |sources|-row agg
     "q142_token_drift",    // one (source, bucket) agg over the token
                            // stream; totals window on the bounded frame
-    "q143_embedding_drift" // one (label, dim) conditional-sum agg over
+    "q143_embedding_drift", // one (label, dim) conditional-sum agg over
                            // exploded cells; no join, no window
+    "q144_cluster_spectrum" // two chained aggs over the memoized CC
+                           // labels — the q106 spectrum shape
   )
 
   def main(args: Array[String]): Unit = {

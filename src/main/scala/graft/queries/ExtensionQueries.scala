@@ -2920,6 +2920,25 @@ object ExtensionQueries {
       FROM cc""")
   )
 
+  // Dedup telemetry: the near-dup CLUSTER-SIZE spectrum (how many
+  // clusters of each size — the q106 token-spectrum shape one level up).
+  // The dashboard row dedup pipelines publish: a growing heavy tail means
+  // boilerplate/mirror growth, a collapsing one means over-dedup (Lee et
+  // al. 2022 report exactly this distribution). Reuses the memoized q60
+  // LSH+CC labels; two chained partial+final aggregates, no join.
+  private val q144 = Q(
+    "q144_cluster_spectrum",
+    (s, dir) => QueryCaches.labelsFor(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters")),
+    Some(s"""WITH RECURSIVE $ccOracleCtes,
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS c FROM cc GROUP BY 1)
+      SELECT c AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM sz GROUP BY 1""")
+  )
+
   // Multimodal 3: frame sampling through the oracle gate — n evenly-spaced
   // fixed-size byte windows per payload (the video-pipeline access
   // pattern; byte windows stand in for decoded frames, the partitioning
@@ -3778,5 +3797,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143)
+    q137, q138, q139, q140, q141, q142, q143, q144)
 }

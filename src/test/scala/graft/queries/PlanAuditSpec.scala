@@ -673,6 +673,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the (label, dim) agg must map-side combine:\n$p")
   }
 
+  test("q144: cluster spectrum is two chained aggregates over the label cache") {
+    // the label cache's BUILD plan (under InMemoryTableScan) legitimately
+    // joins; the spectrum itself — everything above the cache scan — must
+    // be pure aggregation
+    val p = plan("q144_cluster_spectrum").split("InMemoryTableScan").head
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"both levels must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
