@@ -65,6 +65,44 @@ object Multimodal {
       .withColumn("n_frames", size(col("frames")).cast("long"))
   }
 
+  /** Sampled-frame fingerprint near-dup — the video-dedup shape: each
+    * payload contributes `n` ALIGNED frame digests (md5 of the i-th
+    * evenly-spaced window from [[frameSample]]), and two payloads are
+    * near-dups when at least `minShared` of their n aligned frames are
+    * byte-identical (frame voting). Robustness property of sampled-frame
+    * fingerprints: an edit OUTSIDE the sampled windows — the overwhelming
+    * majority of bytes — leaves the fingerprint unchanged; an edit inside
+    * one window kills exactly that frame's vote.
+    *
+    * Scale shape: the pair join is blocked on (frame_idx, digest) — only
+    * payloads sharing an identical frame at the SAME sample position ever
+    * meet, so the join never degrades toward a cross product, and a
+    * corpus-popular frame (a black intro frame, a template header) pools
+    * only within its own (idx, digest) block. At 100 TB the standard
+    * hot-block cap (count digests, drop blocks past a bound — the
+    * [[TextDedup.jaccardPairs]] discipline) bolts on unchanged; a real
+    * build would also swap md5-of-window for a perceptual frame hash at
+    * the decode boundary, changing nothing downstream.
+    *
+    * Output: (id_a, id_b, n_shared_frames ≥ minShared, exact_fp_match).
+    */
+  def frameFingerprintNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                               n: Int, frameBytes: Int = 16,
+                               minShared: Int = 3): DataFrame = {
+    require(minShared >= 1 && minShared <= n, "need 1 <= minShared <= n")
+    val fp = frameSample(df, idCol, payloadCol, n, frameBytes)
+      .select(col(idCol).as("__id"), posexplode(col("frames")).as(Seq("frame_idx", "__f")))
+      .select(col("__id"), col("frame_idx"), md5(col("__f")).as("__d"))
+    val a = fp.select(col("__id").as("id_a"), col("frame_idx"), col("__d"))
+    val b = fp.select(col("__id").as("id_b"), col("frame_idx"), col("__d"))
+    a.join(b, Seq("frame_idx", "__d"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= minShared)
+      .withColumn("exact_fp_match", col("n_shared_frames") === n)
+  }
+
   /** Resize STUB: a real implementation would decode → scale → re-encode
     * per partition; the deterministic stand-in truncates the payload to
     * `targetBytes` and records the original size — preserving the

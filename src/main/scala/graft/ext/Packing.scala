@@ -124,6 +124,43 @@ object Packing {
         col("shard"), col("pos"))
   }
 
+  /** Packing-yield telemetry over [[packSequences]] — the report a
+    * training-data pipeline publishes beside its packed shards: how full
+    * the context windows are and how badly documents fragment across
+    * window boundaries (fragmented documents leak cross-document attention
+    * unless the trainer masks them, so split rate is a tracked cost).
+    *
+    * Concat-and-chunk packing is gapless within a shard, so the only
+    * waste is each shard's final partial window: n_windows =
+    * ceil(total/ctx), tail_waste = n_windows·ctx − total. Fragmentation
+    * is read off [[packSequences]]'s n_seqs (a document crossing k window
+    * boundaries spans k+1 windows).
+    *
+    * Scale shape: one shard-keyed partial+final aggregate over the
+    * packing output — the per-shard prefix-sum window is the only wide op
+    * inherited, and the result is shard-count rows.
+    *
+    * Output per shard: (shard, n_docs, total_tokens, n_doc_segments,
+    * n_split_docs, n_windows, tail_waste_tokens, fill_bp, split_bp).
+    */
+  def packEfficiency(
+      df: DataFrame, idCol: String, textCol: String, ctxLen: Int
+  ): DataFrame =
+    packSequences(df, idCol, textCol, ctxLen)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_seqs")).as("n_doc_segments"),
+        sum(when(col("n_seqs") > 1L, 1L).otherwise(0L)).as("n_split_docs"))
+      .withColumn("n_windows",
+        expr(s"(total_tokens + ${ctxLen - 1}L) div ${ctxLen}L"))
+      .withColumn("tail_waste_tokens",
+        col("n_windows") * ctxLen - col("total_tokens"))
+      .withColumn("fill_bp",
+        expr(s"(total_tokens * 10000L) div (n_windows * ${ctxLen}L)"))
+      .withColumn("split_bp", expr("(n_split_docs * 10000L) div n_docs"))
+
   def packSequences(
       df: DataFrame, idCol: String, textCol: String, ctxLen: Int
   ): DataFrame = {

@@ -506,6 +506,47 @@ object TextStats {
       .select(col("bigram"), expr("__c12 * 1000 div __c1").as("p_permille"))
   }
 
+  /** Corpus collocations by pointwise mutual information (Church & Hanks
+    * 1990): rank word bigrams by how much more often they co-occur than
+    * their unigram frequencies predict. Scored in the repo's exact-integer
+    * basis — `pmi_bp = (n_pair · N · 10000) div (n_w1 · n_w2)`, the
+    * linear-space PMI ratio in bp, monotone in log PMI, so every engine
+    * ranks identically where float log-probs differ in the last ulp.
+    * `minCount` drops the unstable low-count tail (the classic PMI
+    * pathology: hapax pairs score highest).
+    *
+    * Plan: one bigram hash-agg + one unigram hash-agg (both map-side
+    * combinable — a corpus-hot token collapses inside each task);
+    * marginals attach by two vocabulary-keyed shuffle joins (vocab-sized
+    * inputs, never corpus-sized); the token total N rides as a broadcast
+    * 1-row frame; the final top-k is TakeOrderedAndProject. At web scale
+    * the bp product `n_pair·N·10⁴` outgrows a long — drop the 10⁴ basis
+    * or pre-divide by gcd there; the shapes are unchanged.
+    *
+    * Output: (bigram, n_pair, n_w1, n_w2, pmi_bp), top `k` by
+    * (pmi_bp desc, bigram).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    val uni = df.select(explode(TextDedup.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val total = uni.agg(sum(col("__c")).as("__n"))
+    val bi = df
+      .select(explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("__w2", substring_index(col("bigram"), " ", -1))
+    bi
+      .join(uni.select(col("__w").as("__w1"), col("__c").as("n_w1")), "__w1")
+      .join(uni.select(col("__w").as("__w2"), col("__c").as("n_w2")), "__w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_bp", expr("(n_pair * __n * 10000L) div (n_w1 * n_w2)"))
+      .select(col("bigram"), col("n_pair"), col("n_w1"), col("n_w2"), col("pmi_bp"))
+      .orderBy(col("pmi_bp").desc, col("bigram"))
+      .limit(k)
+  }
+
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram"))

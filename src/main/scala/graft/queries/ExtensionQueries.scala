@@ -3790,6 +3790,107 @@ object ExtensionQueries {
       FROM pc GROUP BY 1""")
   )
 
+  // Packing telemetry: window-fill and document-fragmentation report over
+  // the q62 packing layout (trainers publish this beside the packed
+  // shards: tail waste says how many pad tokens each shard burns,
+  // split rate says how many documents leak across window boundaries and
+  // need cross-document attention masking). One shard-keyed aggregate on
+  // top of the q62 prefix sums; 16 rows out.
+  private val q145 = Q(
+    "q145_pack_efficiency",
+    (s, dir) => Packing.packEfficiency(docsSpread(s, dir), "doc_id", "text", ctxLen = 256),
+    Some(s"""WITH $toksCte,
+      t AS (SELECT doc_id,
+          CAST((${TrainingQueries.md5Bucket16Sql("doc_id")}) // 4096 AS BIGINT) AS shard,
+          CAST(len(w) AS BIGINT) AS n_tokens
+        FROM toks WHERE len(w) > 0),
+      c AS (SELECT doc_id, shard, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+      p AS (SELECT shard, n_tokens,
+          (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs FROM c),
+      g AS (SELECT shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          CAST(sum(n_seqs) AS BIGINT) AS n_doc_segments,
+          CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        FROM p GROUP BY 1)
+      SELECT shard, n_docs, total_tokens, n_doc_segments, n_split_docs,
+        CAST((total_tokens + 255) // 256 AS BIGINT) AS n_windows,
+        CAST(((total_tokens + 255) // 256) * 256 - total_tokens AS BIGINT) AS tail_waste_tokens,
+        CAST((total_tokens * 10000) // (((total_tokens + 255) // 256) * 256) AS BIGINT) AS fill_bp,
+        CAST((n_split_docs * 10000) // n_docs AS BIGINT) AS split_bp
+      FROM g""")
+  )
+
+  // Multimodal 5: sampled-frame fingerprint near-dup (frame voting — the
+  // video-dedup construction). Corpus = payloads ∪ tail-edited copies
+  // (last byte overwritten: outside every sampled window for typical
+  // lengths → all 4 frames still match) ∪ head-edited copies (byte 2
+  // overwritten: inside frame 0's window → exactly that vote dies).
+  // Pairs sharing ≥3 of 4 aligned frame digests are near-dups; the join
+  // is blocked on (frame_idx, digest), never a product. All-ASCII corpus
+  // makes DuckDB's VARCHAR windows byte-identical to Spark's BLOB windows.
+  private val q146 = Q(
+    "q146_frame_neardup",
+    (s, dir) => {
+      val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+      val tailEd = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          expr("concat(substring(text, 1, length(text) - 1), 'Q')").as("text"))
+      val headEd = base.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          expr("concat(substring(text, 1, 1), 'Q', substring(text, 3, length(text)))").as("text"))
+      val corpus = base.unionByName(tailEd).unionByName(headEd)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.frameFingerprintNearDups(corpus, "doc_id", "payload",
+        n = 4, frameBytes = 16, minShared = 3)
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, substring(text, 1, length(text) - 1) || 'Q'
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 400000, substring(text, 1, 1) || 'Q' || substring(text, 3)
+          FROM documents WHERE doc_id % 10 = 5),
+      fp AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+          md5(substring(text, CAST((i * length(text)) // 4 + 1 AS INT), 16)) AS d
+        FROM corpus, UNNEST(range(0, 4)) AS t(i)),
+      shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS n_shared_frames
+        FROM fp a JOIN fp b ON a.frame_idx = b.frame_idx AND a.d = b.d
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_shared_frames, (n_shared_frames = 4) AS exact_fp_match
+      FROM shared WHERE n_shared_frames >= 3""")
+  )
+
+  // Text 17: PMI collocations (Church & Hanks 1990) — the corpus's most
+  // over-represented word pairs, exact-integer PMI ratio, top 50. The
+  // tokenizer-curriculum artifact: collocations are merge candidates and
+  // phrase-vocabulary seeds. Two hash-aggs + vocab-keyed marginal joins;
+  // N broadcasts as a 1-row frame.
+  private val q147 = Q(
+    "q147_pmi_collocations",
+    (s, dir) => TextStats.pmiCollocations(docsSpread(s, dir), "text", minCount = 5L, k = 50),
+    Some(s"""WITH $toksCte,
+      uni AS (SELECT w[i] AS tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i) GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      bi AS (SELECT w[i] || ' ' || w[i+1] AS bigram, CAST(count(*) AS BIGINT) AS n_pair
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        GROUP BY 1 HAVING count(*) >= 5),
+      sc AS (SELECT bigram, n_pair, u1.c AS n_w1, u2.c AS n_w2,
+          (n_pair * tot.n * 10000) // (u1.c * u2.c) AS pmi_bp
+        FROM bi
+        JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.tok
+        JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.tok
+        CROSS JOIN tot)
+      SELECT bigram, n_pair, n_w1, n_w2, CAST(pmi_bp AS BIGINT) AS pmi_bp
+      FROM sc ORDER BY pmi_bp DESC, bigram LIMIT 50""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -3797,5 +3898,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
 }
