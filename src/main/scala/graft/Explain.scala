@@ -128,8 +128,14 @@ object Explain {
                            // stream; totals window on the bounded frame
     "q143_embedding_drift", // one (label, dim) conditional-sum agg over
                            // exploded cells; no join, no window
-    "q144_cluster_spectrum" // two chained aggs over the memoized CC
+    "q144_cluster_spectrum", // two chained aggs over the memoized CC
                            // labels — the q106 spectrum shape
+    "q145_pack_efficiency", // shard-keyed agg over the q62 prefix sums;
+                           // 16 rows out
+    "q146_frame_neardup",  // (frame_idx, digest)-blocked pair join +
+                           // pair-count agg — never a product
+    "q147_pmi_collocations" // two hash-aggs + vocab-keyed marginal joins;
+                           // N rides a broadcast 1-row frame; TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {

@@ -123,6 +123,27 @@ class CurationOpsSpec extends SparkFunSuite {
     assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((0L, 2L, 3L)))
   }
 
+  test("packEfficiency aggregates the packing layout per shard exactly") {
+    val docs = (0L until 40L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    // reference roll-up recomputed from the packing frame itself
+    val packed = Packing.packSequences(docs, "doc_id", "text", ctxLen = 5).collect()
+    val expect = packed.groupBy(_.getLong(1)).map { case (shard, rows) =>
+      val total = rows.map(_.getLong(2)).sum
+      val segs  = rows.map(_.getLong(6)).sum
+      val split = rows.count(_.getLong(6) > 1L).toLong
+      val nw    = (total + 4) / 5
+      shard -> ((rows.length.toLong, total, segs, split, nw, nw * 5 - total,
+        total * 10000 / (nw * 5), split * 10000 / rows.length))
+    }
+    val out = Packing.packEfficiency(docs, "doc_id", "text", ctxLen = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(out == expect)
+    // gapless packing: every shard wastes strictly less than one window
+    assert(out.values.forall(_._6 < 5))
+  }
+
   // ---- Retrieval (BM25) ----
 
   test("bm25TopK ranks higher-tf docs first and respects doc-length normalization") {

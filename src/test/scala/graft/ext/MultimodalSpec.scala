@@ -20,6 +20,31 @@ class MultimodalSpec extends SparkFunSuite {
     assert(m(3L)._1 == 0L)
   }
 
+  test("frameFingerprintNearDups votes on ALIGNED frames only") {
+    // n=2 windows of 2 bytes over 6-byte payloads: starts 1 and 4
+    val ps = Seq(
+      (1L, "abcdef"), // frames "ab", "de"
+      (2L, "abzdez"), // same sampled windows, different elsewhere → 2 votes
+      (3L, "xbcdef"), // frame 0 edited → only the idx-1 vote survives
+      (4L, "deabzz")  // id 1's idx-1 frame bytes, but at idx 0 → no vote
+    ).map { case (i, t) => (i, t.getBytes("UTF-8")) }.toDF("id", "payload")
+
+    def pairs(minShared: Int) =
+      Multimodal.frameFingerprintNearDups(ps, "id", "payload",
+          n = 2, frameBytes = 2, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getBoolean(3)))).toMap
+
+    // strict voting: only the all-frames match survives
+    assert(pairs(2) == Map((1L, 2L) -> ((2L, true))))
+    // one shared aligned frame: (1,3) and (2,3) join via idx-1 "de";
+    // id 4 never pairs — its "de" sits at the wrong frame index
+    assert(pairs(1) == Map(
+      (1L, 2L) -> ((2L, true)),
+      (1L, 3L) -> ((1L, false)),
+      (2L, 3L) -> ((1L, false))))
+  }
+
   test("decodeFeatures runs the batched stub decoder per partition") {
     val feats = Multimodal.decodeFeatures(media.repartition(2), "id", "payload")
       .collect().map(f => f.id -> f).toMap

@@ -357,4 +357,19 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r("a") == ((3L, 2L, 4L, 6666L)))
     assert(r("b") == ((2L, 1L, 1L, 5000L)))
   }
+
+  test("pmiCollocations: exact integer PMI ratio, minCount filter, tie order") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // unigrams: a×3, b×2, c×1, N=6; bigrams: "a b"×2, "a c"×1
+    val all = TextStats.pmiCollocations(docs, "text", minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // both score (c12·N·10⁴)/(c1·c2) = 20000 → tie broken by bigram asc
+    assert(all.toSeq == Seq(
+      ("a b", 2L, 3L, 2L, 20000L),
+      ("a c", 1L, 3L, 1L, 20000L)))
+    // the hapax pair drops under minCount = 2
+    val filtered = TextStats.pmiCollocations(docs, "text", minCount = 2L, k = 10)
+      .collect().map(_.getString(0))
+    assert(filtered.toSeq == Seq("a b"))
+  }
 }

@@ -683,6 +683,36 @@ class PlanAuditSpec extends SparkFunSuite {
       s"both levels must map-side combine:\n$p")
   }
 
+  test("q145: pack efficiency is a shard-keyed aggregate over the packing window") {
+    val p = plan("q145_pack_efficiency")
+    assert(!p.contains("Join"), s"no join belongs in the packing roll-up:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"the prefix-sum window must stay shard-keyed, never a global sort:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the shard roll-up must map-side combine:\n$p")
+  }
+
+  test("q146: frame voting is a (frame_idx, digest)-blocked equi-join") {
+    val p = plan("q146_frame_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay blocked on (frame_idx, digest):\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the pair vote count must map-side combine:\n$p")
+  }
+
+  test("q147: PMI marginals join vocab-sized frames; top-k fuses to TakeOrdered") {
+    val p = plan("q147_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must fuse, never a global sort:\n$p")
+    // the 1-row token total must broadcast, and the nested-loop join it
+    // rides is exactly that broadcast (both join inputs are aggregates,
+    // vocab-sized or 1-row — the corpus never enters a join)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross") ||
+      p.contains("BroadcastExchange"),
+      s"the token total must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
