@@ -134,8 +134,18 @@ object Explain {
                            // 16 rows out
     "q146_frame_neardup",  // (frame_idx, digest)-blocked pair join +
                            // pair-count agg — never a product
-    "q147_pmi_collocations" // two hash-aggs + vocab-keyed marginal joins;
+    "q147_pmi_collocations", // two hash-aggs + vocab-keyed marginal joins;
                            // N rides a broadcast 1-row frame; TakeOrdered
+    "q148_jl_curve",       // per-tier broadcast query × corpus rank; the
+                           // projections are pure codegen folds
+    "q149_cluster_purity", // broadcast centroids + min(struct) majority
+    "q150_curation_funnel", // verdict-keyed agg over the memoized q112
+                           // frame; cumulative window on the 5-row spine
+    "q152_feature_hashing", // one exploded scan + one (doc, dim) hash-agg
+                           // (q151's per-round TakeOrdered(1) plan is
+                           // driver-iterated — rendered separately below)
+    "q153_quality_cutoff"  // doc-keyed join → histogram agg → bounded
+                           // cumulative window → per-source agg
   )
 
   def main(args: Array[String]): Unit = {
@@ -208,6 +218,18 @@ object Explain {
       sel.count()
       sb.append(s"\n## q117_mmr_rerank (candidate attach + greedy selection)\n\n```\n")
       sb.append(sel.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q151's returned frame is driver-local (k collected rows); the
+    // load-bearing plan is one selection round: literal-chosen min-dist
+    // fold + TakeOrdered(1)
+    locally {
+      val rd = graft.ext.VectorSearch.kCenterRoundPlanFrame(
+        graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+      rd.count()
+      sb.append(s"\n## q151_kcenter_select (one selection round)\n\n```\n")
+      sb.append(rd.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }

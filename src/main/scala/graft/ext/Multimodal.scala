@@ -88,11 +88,26 @@ object Multimodal {
     */
   def frameFingerprintNearDups(df: DataFrame, idCol: String, payloadCol: String,
                                n: Int, frameBytes: Int = 16,
-                               minShared: Int = 3): DataFrame = {
+                               minShared: Int = 3,
+                               maxBlockSize: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1 && minShared <= n, "need 1 <= minShared <= n")
-    val fp = frameSample(df, idCol, payloadCol, n, frameBytes)
+    val fpAll = frameSample(df, idCol, payloadCol, n, frameBytes)
       .select(col(idCol).as("__id"), posexplode(col("frames")).as(Seq("frame_idx", "__f")))
       .select(col("__id"), col("frame_idx"), md5(col("__f")).as("__d"))
+    // hot-block cap (the [[TextDedup.jaccardPairs]] discipline): a frame
+    // shared by more than maxBlockSize payloads is boilerplate — a black
+    // intro frame, a template header — not dedup evidence, and its block
+    // would pair quadratically. The count window runs on the same
+    // (frame_idx, digest) key the self-join shuffles on, reusing the
+    // exchange.
+    val fp =
+      if (maxBlockSize == Int.MaxValue) fpAll
+      else fpAll
+        .withColumn("__blk", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("frame_idx"), col("__d"))))
+        .filter(col("__blk") <= maxBlockSize)
+        .drop("__blk")
     val a = fp.select(col("__id").as("id_a"), col("frame_idx"), col("__d"))
     val b = fp.select(col("__id").as("id_b"), col("frame_idx"), col("__d"))
     a.join(b, Seq("frame_idx", "__d"))

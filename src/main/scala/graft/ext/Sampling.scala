@@ -109,6 +109,49 @@ object Sampling {
       .drop("__shard", "__cum_shard")
   }
 
+  /** Quality-cutoff planner: for each stratum, the score threshold whose
+    * best-first survivors fit a token budget — the PLANNING twin of
+    * [[tokenBudgetSample]] (which admits in hash order regardless of
+    * quality): "if we keep only the highest-quality documents, where must
+    * the cutoff sit to hit B tokens?" — the number a curation dashboard
+    * publishes before anyone commits to a filter setting.
+    *
+    * Whole SCORE LEVELS are admitted best-first (every doc at a score
+    * shares its fate — the value-cutoff approximation CCNet's bucket
+    * variant makes, q113's discipline): the per-(stratum, score)
+    * histogram is aggregated first, the cumulative window runs over that
+    * bounded frame (≤ score-cardinality rows per stratum), and the
+    * per-stratum answer is one more aggregate. The corpus never enters a
+    * window.
+    *
+    * Output per stratum: (stratum, cutoff, n_docs_admitted,
+    * tokens_admitted) — `cutoff` is the LOWEST admitted score;  strata
+    * whose best score level alone overflows the budget admit nothing and
+    * report cutoff = scoreSentinel (one above any real score).
+    */
+  def qualityCutoff(
+      df: DataFrame, strataCol: String, scoreCol: String, tokenCountCol: String,
+      budget: Long, scoreSentinel: Long
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(col(strataCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    df.groupBy(col(strataCol), col(scoreCol))
+      .agg(count(lit(1)).as("__docs"), sum(col(tokenCountCol)).as("__toks"))
+      .withColumn("__cum", sum(col("__toks")).over(wCum))
+      .groupBy(col(strataCol))
+      .agg(
+        min(when(col("__cum") <= budget, col(scoreCol))).as("__cut"),
+        coalesce(sum(when(col("__cum") <= budget, col("__docs"))), lit(0L))
+          .as("n_docs_admitted"),
+        coalesce(sum(when(col("__cum") <= budget, col("__toks"))), lit(0L))
+          .as("tokens_admitted"))
+      .select(col(strataCol),
+        coalesce(col("__cut"), lit(scoreSentinel)).as("cutoff"),
+        col("n_docs_admitted"), col("tokens_admitted"))
+  }
+
   /** Dataset-mixture reweighting: keep each row with a per-group Bernoulli
     * rate (basis points), `defaultBp` for groups not in the map — the
     * "upsample curated sources, downsample the crawl" step that applies

@@ -685,6 +685,31 @@ object TextStats {
     pmod(Sampling.hashBucket16(concat(seed.cast("string"), lit("|"), tok)),
       lit(width.toLong))
 
+  /** Feature-hashing vectorizer (the "hashing trick", Weinberger et al.
+    * 2009): each document becomes a `dims`-dimensional signed-count
+    * vector with NO vocabulary — token t adds sign(t) ∈ {±1} to component
+    * h(t) mod dims. The unsupervised-embedding stand-in when no model
+    * embedding exists: collisions cancel in expectation thanks to the
+    * sign hash, and the output feeds the vector tier (cosine near-dup,
+    * k-means, kNN) directly.
+    *
+    * Scale shape: one exploded-token scan into one (doc, dim) hash-agg —
+    * map-side combinable, no vocabulary frame, no join, no window. Output
+    * is sparse rows (doc, dim, weight); components no token hashed into
+    * are absent (implicitly 0).
+    */
+  def featureHashing(df: DataFrame, idCol: String, textCol: String,
+                     dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        pmod(Sampling.hashBucket16(col("__t")), lit(dims.toLong)).as("dim"),
+        when(pmod(Sampling.hashBucket16(concat(lit("sign|"), col("__t"))), lit(2L)) === 0L,
+          1L).otherwise(-1L).as("__sg"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("__sg")).as("weight"))
+  }
+
   def cmsCounters(df: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, "depth and width must be positive")
     df.select(explode(TextDedup.tokens(col(textCol))).as("__tok"))

@@ -647,6 +647,45 @@ object VectorSearch {
     *
     * Output: (id, dim [0-based output index], proj_micro).
     */
+  /** [[signRandomProjection]] packaged as one reduced VECTOR per row
+    * (`proj: array<long>`, outDims components in order) — the shape the
+    * reduced-space distance computations consume. Same dense ±1
+    * Johnson–Lindenstrauss matrix ([[signAt]]), same micro-unit basis;
+    * pure projection, no shuffle.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                inDims: Int, outDims: Int): DataFrame = {
+    val micro = transform(asDouble(col(vecCol)), x => round(x * 1e6).cast("long"))
+    val projs = (0 until outDims).map { j =>
+      val signs = array((0 until inDims).map(i => lit(signAt(i, j).toLong)): _*)
+      aggregate(zip_with(micro, signs, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    }
+    df.select(col(idCol).as("id"), array(projs: _*).as("proj"))
+  }
+
+  /** Exact integer-L2 top-k over long-vector columns: queries broadcast
+    * (bounded query set — the [[quantizedTopK]] contract), every
+    * (query, candidate) distance is one codegen'd zip_with fold, and the
+    * per-query rank window sorts only that query's candidates. Ties break
+    * by (distance, id) so every engine ranks identically.
+    *
+    * Output: (qid, id, d2, rnk ≤ k).
+    */
+  def intL2TopK(queries: DataFrame, corpus: DataFrame,
+                qIdCol: String, qVecCol: String,
+                idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("qid"), col(qVecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val d2 = aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+    q.join(c)
+      .withColumn("d2", d2)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("d2"), col("rnk"))
+  }
+
   def signRandomProjection(
       df: DataFrame, idCol: String, vecCol: String,
       inDims: Int, outDims: Int
@@ -1119,6 +1158,79 @@ object VectorSearch {
     * (standard Lloyd's behavior) — callers needing exactly-k should
     * re-seed from the surviving centroids' farthest points.
     */
+  /** Greedy k-center (farthest-point) selection — Gonzalez (1985)'s
+    * 2-approximation of the k-center objective, the diversity-selection
+    * pass data pipelines run to pick maximally-spread exemplars (coreset
+    * seeding, eval-set diversification, k-means++-style init). Exact
+    * integer basis-point L2; the seed is the hash-lowest corpus row
+    * (deterministic), then k−1 rounds each pick the point farthest from
+    * everything already chosen.
+    *
+    * Scale shape: the chosen set is ≤ k rows and rides the scoring pass
+    * as LITERALS (a codegen'd `least` over ≤ k zip_with folds — no join
+    * side at all); each round is one corpus scan + one TakeOrdered(1);
+    * the only driver materialization is one row per round (the
+    * [[kmeansFit]] bounded-localization contract). The quantized points
+    * frame persists across the k rounds and unpersists before return.
+    *
+    * Output: (sel_idx 0-based, id, d2_bp2) — d2_bp2 is the squared
+    * distance to the nearest previously-chosen point at selection time,
+    * the decreasing coverage-radius sequence k-center publishes (0 for
+    * the seed).
+    */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        transform(asDouble(col(vecCol)), x => round(x * 10000d).cast("long")).as("__bp"),
+        Sampling.hashBucket16(col(idCol)).as("__bkt"))
+      .persist()
+    val seed = pts.orderBy(col("__bkt"), col("id")).limit(1)
+      .select(col("id"), col("__bp")).collect().head
+    var chosen = Vector((seed.getLong(0), seed.getSeq[Long](1), 0L))
+    for (_ <- 1 until k) {
+      val dists = chosen.map { case (_, v, _) =>
+        val litVec = array(v.map(lit): _*)
+        aggregate(zip_with(col("__bp"), litVec, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }
+      val minDist = dists.reduce(least(_, _))
+      val next = pts.filter(!col("id").isin(chosen.map(_._1): _*))
+        .withColumn("__md", minDist)
+        .orderBy(col("__md").desc, col("id"))
+        .limit(1)
+        .select(col("id"), col("__bp"), col("__md"))
+        .collect().head
+      chosen = chosen :+ ((next.getLong(0), next.getSeq[Long](1), next.getLong(2)))
+    }
+    pts.unpersist()
+    chosen.zipWithIndex.map { case ((id, _, d), i) => (i.toLong, id, d) }
+      .toDF("sel_idx", "id", "d2_bp2")
+  }
+
+  /** One k-center round's frame for plan audits: min-dist to a literal
+    * chosen set + TakeOrdered(1). [[kCenterSelect]]'s returned frame is
+    * driver-local (k collected rows), so the load-bearing per-round plan
+    * is exposed here for Explain/PlanAuditSpec.
+    */
+  private[graft] def kCenterRoundPlanFrame(df: DataFrame, idCol: String,
+                                           vecCol: String): DataFrame = {
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      transform(asDouble(col(vecCol)), x => round(x * 10000d).cast("long")).as("__bp"),
+      Sampling.hashBucket16(col(idCol)).as("__bkt"))
+    val seed = pts.orderBy(col("__bkt"), col("id")).limit(1)
+      .select(col("id"), col("__bp")).collect().head
+    val litVec = array(seed.getSeq[Long](1).map(lit): _*)
+    val d2c = aggregate(zip_with(col("__bp"), litVec, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    pts.filter(col("id") =!= seed.getLong(0))
+      .withColumn("__md", d2c)
+      .orderBy(col("__md").desc, col("id"))
+      .limit(1)
+      .select(col("id"), col("__md"))
+  }
+
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     // deterministic seeds: the k corpus rows with the lowest (hash, id);

@@ -206,6 +206,49 @@ object StreamPipelines {
         col("approx_distinct"), col("heavy_hitters"), col("n_rows"))
   }
 
+  /** Windowed ingest-funnel telemetry — the streaming twin of the q150
+    * batch funnel: per tumbling window, documents counted by the FIRST
+    * [[curateIngest]] gate they fail (too_short → repetitive → pii →
+    * pass), with the same thresholds, so the `pass` row is exactly what
+    * curateIngest would emit before its watermark dedup (digest-dedup
+    * drops are stateful and surface as the difference against the curated
+    * output count). One windowed hash-agg; state is one counter row per
+    * (window, stage) — bounded at 4 stages per window — and append mode
+    * emits each row once when the watermark closes the window.
+    */
+  def ingestFunnelStats(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute",
+      minTokens: Int = 5,
+      maxRepBp: Long = 6000L
+  ): DataFrame = {
+    val toks = graft.ext.TextDedup.tokens(col(textCol))
+    val sh   = graft.ext.TextDedup.wordShingles(toks, 2)
+    val pii  = Seq(graft.ext.TextStats.EmailPattern, graft.ext.TextStats.UrlPattern,
+        graft.ext.TextStats.DigitRunPattern)
+      .map(p => size(regexp_extract_all(col(textCol), lit(p), lit(0))))
+      .reduce(_ + _)
+    docs
+      .withColumn("__nt", size(toks).cast("long"))
+      .withColumn("__nsh", size(sh).cast("long"))
+      .withColumn("__nd", size(array_distinct(sh)).cast("long"))
+      .withColumn("__rep", when(col("__nsh") > 0,
+        expr("((__nsh - __nd) * 10000L) div __nsh")).otherwise(0L))
+      .withColumn("stage",
+        when(col("__nt") < minTokens, "too_short")
+          .when(col("__rep") > maxRepBp, "repetitive")
+          .when(pii > 0, "pii")
+          .otherwise("pass"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .select(col("window.start").as("window_start"), col("stage"),
+        col("n_docs"), col("n_tokens"))
+  }
+
   /** Streaming ingest dedup: drop redelivered events by key with
     * watermark-bounded state (`dropDuplicatesWithinWatermark`). The state
     * store keeps one entry per key only until the watermark passes — the

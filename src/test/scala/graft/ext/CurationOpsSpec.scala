@@ -144,6 +144,22 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(out.values.forall(_._6 < 5))
   }
 
+  test("qualityCutoff admits whole score levels best-first within the budget") {
+    val rows = Seq(
+      // source A: levels 90 (10 tok), 80 (25 tok over two docs), 70 (100 tok)
+      ("A", 90L, 10L), ("A", 80L, 10L), ("A", 80L, 15L), ("A", 70L, 100L),
+      // source B: the best level alone overflows
+      ("B", 95L, 500L), ("B", 50L, 5L)
+    ).toDF("source", "ttr_bp", "n_tokens").withColumn("doc_id", lit(0L))
+    val out = Sampling.qualityCutoff(rows, "source", "ttr_bp", "n_tokens",
+        budget = 40L, scoreSentinel = 101L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // A: 90 (cum 10) + 80 (cum 35) fit; 70 would hit 135 → cutoff 80
+    assert(out("A") == ((80L, 3L, 35L)))
+    // B: 95's level alone is 500 > 40 → nothing admitted, sentinel cutoff
+    assert(out("B") == ((101L, 0L, 0L)))
+  }
+
   // ---- Retrieval (BM25) ----
 
   test("bm25TopK ranks higher-tf docs first and respects doc-length normalization") {

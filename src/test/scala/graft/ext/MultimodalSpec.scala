@@ -45,6 +45,28 @@ class MultimodalSpec extends SparkFunSuite {
       (2L, 3L) -> ((1L, false))))
   }
 
+  test("frameFingerprintNearDups: the hot-block cap drops boilerplate frames") {
+    // 8-byte payloads, n=2 windows of 4 bytes at offsets 1 and 5; all five
+    // share the "AAAA" header frame (a template header), ids 1/2 also share
+    // the tail frame
+    val ps = Seq(
+      (1L, "AAAAtttt"), (2L, "AAAAtttt"), (3L, "AAAAxxxx"),
+      (4L, "AAAAyyyy"), (5L, "AAAAzzzz")
+    ).map { case (i, t) => (i, t.getBytes("UTF-8")) }.toDF("id", "payload")
+
+    def pairs(cap: Int) =
+      Multimodal.frameFingerprintNearDups(ps, "id", "payload",
+          n = 2, frameBytes = 4, minShared = 1, maxBlockSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // uncapped: the hot header block pairs everyone (C(5,2) = 10 pairs)
+    assert(pairs(Int.MaxValue).size == 10)
+    assert(pairs(Int.MaxValue)((1L, 2L)) == 2L)
+    // cap 3: the size-5 header block is dropped; only the tail-frame pair
+    // survives, with the header's vote gone
+    assert(pairs(3) == Map((1L, 2L) -> 1L))
+  }
+
   test("decodeFeatures runs the batched stub decoder per partition") {
     val feats = Multimodal.decodeFeatures(media.repartition(2), "id", "payload")
       .collect().map(f => f.id -> f).toMap

@@ -358,6 +358,23 @@ class TextStatsSpec extends SparkFunSuite {
     assert(r("b") == ((2L, 1L, 1L, 5000L)))
   }
 
+  test("featureHashing: deterministic dims/signs, counts add, no vocabulary") {
+    val docs = Seq((1L, "x"), (2L, "x x x"), (3L, "x y")).toDF("doc_id", "text")
+    val out = TextStats.featureHashing(docs, "doc_id", "text", dims = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // token x always lands on the same (dim, sign): doc 2 = 3 × doc 1
+    val d1 = out.collect { case ((1L, d), w) => (d, w) }
+    assert(d1.size == 1)
+    val (xDim, xW) = d1.head
+    assert(math.abs(xW) == 1L)
+    assert(out((2L, xDim)) == 3L * xW)
+    // doc 3 holds x's component plus y's (same dim → they sum; else two rows)
+    val d3 = out.collect { case ((3L, d), w) => (d, w) }
+    assert(d3.map(_._1).forall(d => d >= 0 && d < 32))
+    // total signed mass of doc 3 = x's sign + y's sign (y's is ±1)
+    assert(Set(xW - 1L, xW + 1L).contains(d3.map(_._2).sum))
+  }
+
   test("pmiCollocations: exact integer PMI ratio, minCount filter, tie order") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     // unigrams: a×3, b×2, c×1, N=6; bigrams: "a b"×2, "a c"×1

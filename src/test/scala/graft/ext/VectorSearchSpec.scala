@@ -552,4 +552,58 @@ class VectorSearchSpec extends SparkFunSuite {
     // unguarded: all 64 in one bucket, 63 directed neighbors each
     assert(loose.count() == 64L * 63L)
   }
+
+  test("kCenterSelect matches a driver-side greedy reference exactly") {
+    val pts = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0f, 1f)), (5L, Array(0.5f, 0.5f)), (6L, Array(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = VectorSearch.kCenterSelect(pts, "vec_id", "embedding", k = 4)
+      .orderBy("sel_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // reference: same integer basis, same hash seed, O(n·k) on the driver
+    val bp = pts.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"),
+        Sampling.hashBucket16(col("vec_id")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    def d2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seed = bp.minBy(p => (p._3, p._1))
+    var chosen = Vector((0L, seed._1, 0L)); var chosenVecs = Vector(seed._2)
+    for (i <- 1 until 4) {
+      val cand = bp.filter(p => !chosen.exists(_._2 == p._1))
+        .map(p => (p._1, chosenVecs.map(v => d2(p._2, v)).min))
+      val best = cand.minBy { case (id, md) => (-md, id) }
+      chosen :+= ((i.toLong, best._1, best._2))
+      chosenVecs :+= bp.find(_._1 == best._1).get._2
+    }
+    assert(out.toSeq == chosen)
+    // coverage radius is non-increasing after the seed
+    assert(out.drop(1).map(_._3).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+  }
+
+  test("jlProject packs signRandomProjection's components in dim order") {
+    val emb = Seq((1L, Array(0.5f, -0.25f, 1.0f)), (2L, Array(-1.0f, 0.0f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    val packed = VectorSearch.jlProject(emb, "vec_id", "embedding", inDims = 3, outDims = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed.values.forall(_.length == 4))
+    VectorSearch.signRandomProjection(emb, "vec_id", "embedding", inDims = 3, outDims = 4)
+      .collect().foreach { r =>
+        assert(packed(r.getLong(0))(r.getLong(1).toInt) == r.getLong(2))
+      }
+  }
+
+  test("intL2TopK: exact integer distances, (d2, id) tie order, k cap") {
+    val qs = Seq((100L, Array(0L, 0L))).toDF("qid", "v")
+    val cs = Seq(
+      (1L, Array(1L, 1L)),  // d2 = 2
+      (2L, Array(0L, 1L)),  // d2 = 1, wins the tie on id
+      (3L, Array(1L, 0L)),  // d2 = 1
+      (4L, Array(3L, 4L))   // d2 = 25, cut by k
+    ).toDF("id", "v")
+    val out = VectorSearch.intL2TopK(qs, cs, "qid", "v", "id", "v", k = 3)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 1L, 1L), (3L, 1L, 2L), (1L, 2L, 3L)))
+  }
 }

@@ -713,6 +713,63 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q148: every JL tier broadcasts queries and group-limits its rank") {
+    val p = plan("q148_jl_curve")
+    assert(p.contains("BroadcastExchange"), s"query sides must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must group-limit, not full-sort:\n$p")
+    // the only sort-merge joins allowed are on the bounded qid spine
+    // (AQE demotes them to broadcast at runtime); the distance passes
+    // themselves must stay keyless broadcast products, never keyed SMJs
+    val smjKeys = "SortMergeJoin \\[([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(smjKeys.subsetOf(Set("qid")), s"unexpected SMJ keys $smjKeys:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q149: purity argmax is a min(struct) aggregate over broadcast centroids") {
+    val p = plan("q149_cluster_purity")
+    assert(p.contains("partial_min(struct("),
+      s"majority label must be a map-side-combined min(struct):\n$p")
+    assert(p.contains("BroadcastExchange"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q150: funnel windows run over the 5-row stage spine, not the corpus") {
+    val p = plan("q150_curation_funnel")
+    // the cumulative window must sit above the verdict-keyed aggregate
+    // (bounded input), and corpus totals must ride broadcasts
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      s"the window must consume the aggregated stage frame:\n$p")
+    assert(p.contains("BroadcastExchange"), s"totals must broadcast:\n$p")
+  }
+
+  test("q151: a k-center round is one scan + TakeOrdered(1); the chosen set is literal") {
+    val p = graft.ext.VectorSearch.kCenterRoundPlanFrame(
+        graft.Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the round winner must be a TakeOrdered, never a global sort:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"the chosen set must ride as literals — no join, no shuffle:\n$p")
+  }
+
+  test("q152: feature hashing is one exploded scan into one hash-agg") {
+    val p = plan("q152_feature_hashing")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"no vocabulary join or window belongs here:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the (doc, dim) agg must map-side combine:\n$p")
+  }
+
+  test("q153: cutoff windows run over the score histogram, never the corpus") {
+    val p = plan("q153_quality_cutoff")
+    // execution order: doc-keyed join → histogram aggregate → cumulative
+    // window → per-source aggregate; the window must sit above the first
+    // (corpus-collapsing) aggregate
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      s"the cumulative window must consume the histogram:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus

@@ -433,6 +433,37 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("ingestFunnelStats classifies docs by first failing gate per window") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamPipelines.ingestFunnelStats(input.toDF(), "ts", "text",
+        watermark = "10 seconds", windowLength = "1 minute",
+        minTokens = 3, maxRepBp = 5000L)
+      .writeStream.format("memory").queryName("ifs").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:00"), "a clean document with enough words"),
+        Doc(2L, t("2024-01-01 10:00:00"), "too short"),                      // 2 tokens
+        Doc(3L, t("2024-01-01 10:00:01"), "spam spam spam spam spam spam"),  // repetitive
+        // PII *and* repetitive: the FIRST failing gate in order wins → repetitive
+        Doc(4L, t("2024-01-01 10:00:01"), "x@example.com x@example.com x@example.com x@example.com x@example.com x@example.com"),
+        Doc(5L, t("2024-01-01 10:00:02"), "mail me at bob@example.com now"), // pii only
+        Doc(6L, t("2024-01-01 10:00:03"), "another clean and different document"))
+      q.processAllAvailable()
+      assert(spark.table("ifs").count() == 0) // window still open
+
+      input.addData(Doc(9L, t("2024-01-01 10:02:00"), "late window closer document here")) // closes 10:00
+      q.processAllAvailable()
+      val rows = spark.table("ifs").collect()
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(rows == Map(
+        "pass"       -> ((2L, 11L)),  // docs 1 (6 tokens) + 6 (5 tokens)
+        "too_short"  -> ((1L, 2L)),
+        "repetitive" -> ((2L, 12L)),  // docs 3 and 4 (6 tokens each)
+        "pii"        -> ((1L, 5L))))
+    } finally q.stop()
+  }
+
   test("paragraphDedupStream keeps one occurrence per paragraph within the watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Doc]
