@@ -459,7 +459,31 @@ object ScaleProbe {
       "token_drift" -> (m =>
         TextStats.tokenDrift(
           docsAt(m).withColumn("__a", col("doc_id") % 2 === 0),
-          "text", "source", "__a").count())
+          "text", "source", "__a").count()),
+      // frame voting under its worst case: EVERY payload opens with the
+      // same 16-byte template header, so frame 0 is one corpus-sized
+      // (idx, digest) block — the maxBlockSize cap must drop it before
+      // the self-join, leaving growth to the (distinct) residual frames
+      "frame_vote_hot" -> { m =>
+        val payloads = docsAt(m).select(col("doc_id"),
+          concat(lit("TEMPLATEHEADER16"), col("text")).cast("binary").as("payload"))
+        graft.ext.Multimodal.frameFingerprintNearDups(payloads, "doc_id", "payload",
+          n = 4, frameBytes = 16, minShared = 1, maxBlockSize = 64).count()
+      },
+      // PMI on the stop-heavy corpus (corpus-hot bigrams + replica-grown
+      // vocabulary): both counting aggregates must map-side combine and
+      // the marginal joins stay vocab-sized
+      "pmi_collocations" -> (m =>
+        TextStats.pmiCollocations(docsStopHeavy(m), "text", minCount = 5L, k = 50).count()),
+      // vocabulary-free vectorizer: one exploded scan + one (doc, dim)
+      // hash-agg — the flattest curve in the text tier by construction
+      "feature_hashing" -> (m =>
+        TextStats.featureHashing(docsAt(m), "doc_id", "text", dims = 32).count()),
+      // full greedy k-center select (4 rounds, each one corpus scan +
+      // TakeOrdered(1)): time must track the corpus linearly — the chosen
+      // set rides as literals, so there is no join side to grow
+      "kcenter_select" -> (m =>
+        VectorSearch.kCenterSelect(embAt(m), "vec_id", "embedding", k = 4).count())
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
