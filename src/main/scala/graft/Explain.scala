@@ -144,8 +144,14 @@ object Explain {
     "q152_feature_hashing", // one exploded scan + one (doc, dim) hash-agg
                            // (q151's per-round TakeOrdered(1) plan is
                            // driver-iterated — rendered separately below)
-    "q153_quality_cutoff"  // doc-keyed join → histogram agg → bounded
+    "q153_quality_cutoff", // doc-keyed join → histogram agg → bounded
                            // cumulative window → per-source agg
+    "q154_ndcg",           // broadcast-query rank passes + (qid, id)
+                           // grade join; DCG is a map-side-combined sum
+    "q155_shingle_sweep",  // four joinless projection-aggregate tiers
+    "q156_heldout_lm",     // vocab-keyed model joins over pre-collapsed
+                           // occurrences; 1-row N rides a broadcast
+    "q157_knn_hubness"     // bucket-blocked graph → two chained aggs
   )
 
   def main(args: Array[String]): Unit = {

@@ -547,6 +547,55 @@ object TextStats {
       .limit(k)
   }
 
+  /** Unigram token model `(token, q_permille)` — the backoff distribution
+    * [[interpolatedFluency]] smooths with. One exploded-token hash-agg;
+    * the corpus total rides a broadcast 1-row frame.
+    */
+  def unigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val c = df.select(explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    c.crossJoin(broadcast(c.agg(sum(col("__c")).as("__n"))))
+      .select(col("token"), expr("__c * 1000 div __n").as("q_permille"))
+  }
+
+  /** Held-out interpolated bigram scoring — Jelinek–Mercer smoothing,
+    * `ip = (λ·P(w2|w1) + (1000−λ)·P(w2)) div 1000` in exact permille: the
+    * [[bigramFluency]] signal made honest for UNSEEN text, where a model
+    * trained on one split scores another and raw conditional probability
+    * would zero out every novel bigram (the backoff is what CCNet's KenLM
+    * gets from Kneser-Ney; this is the deterministic integer analogue).
+    * Bigrams and suffix tokens absent from the model contribute their
+    * component as 0.
+    *
+    * Plan: occurrences pre-collapse to (doc, bigram, n_occ) before two
+    * vocabulary-keyed LEFT joins (bigram model, unigram backoff); the
+    * doc-keyed weighted mean ends the chain. Same shapes as
+    * [[bigramFluency]], one extra bounded join.
+    *
+    * Output: (idCol, n_bigrams, interp_permille).
+    */
+  def interpolatedFluency(test: DataFrame, bigramM: DataFrame, unigramM: DataFrame,
+                          idCol: String, textCol: String,
+                          lambdaPermille: Long): DataFrame = {
+    require(lambdaPermille >= 0L && lambdaPermille <= 1000L, "λ must be in [0, 1000]")
+    test
+      .select(col(idCol),
+        explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("__n_occ"))
+      .withColumn("__w2", substring_index(col("bigram"), " ", -1))
+      .join(bigramM.select(col("bigram"), col("p_permille")), Seq("bigram"), "left")
+      .join(unigramM.select(col("token").as("__w2"), col("q_permille")), Seq("__w2"), "left")
+      .withColumn("__ip", expr(
+        s"($lambdaPermille * coalesce(p_permille, 0L) + " +
+        s"${1000L - lambdaPermille} * coalesce(q_permille, 0L)) div 1000L"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n_occ")).as("n_bigrams"),
+        sum(col("__n_occ") * col("__ip")).as("__sum_ip"))
+      .withColumn("interp_permille", expr("__sum_ip div n_bigrams"))
+      .drop("__sum_ip")
+  }
+
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram"))

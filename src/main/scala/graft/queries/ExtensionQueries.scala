@@ -4172,6 +4172,189 @@ object ExtensionQueries {
       FROM cum GROUP BY 1""")
   )
 
+  // Retrieval eval 3: nDCG@5 — the graded-relevance metric beside recall
+  // (q79) and MRR (q119). Truth = exact cosine top-5 with grades 5..1 by
+  // rank; system = int8-quantized retrieval; discounts are integer
+  // literals round(1e6/log2(i+1)), so the whole metric is exact permille
+  // (IDCG is the constant 10271927 micro-units — every query has exactly
+  // 5 graded docs). Broadcast-query passes + a (qid, id) join; no corpus
+  // self-join anywhere.
+  private val ndcgDiscMicro = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+  private val q154 = Q(
+    "q154_ndcg",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs  = emb.filter(col("vec_id") < 10)
+      val cs  = emb.filter(col("vec_id") >= 10)
+      val truth = VectorSearch.bruteForceTopK(
+          qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"), (lit(6L) - col("rnk")).as("grade"))
+      val disc = element_at(
+        array(ndcgDiscMicro.map(lit): _*), col("rnk").cast("int"))
+      val sys = VectorSearch.quantizedTopK(
+          qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"), disc.as("__disc"))
+      val idcg = ndcgDiscMicro.zip(Seq(5L, 4L, 3L, 2L, 1L))
+        .map { case (d, g) => d * g }.sum
+      sys.join(truth, Seq("qid", "id"), "left")
+        .withColumn("grade", coalesce(col("grade"), lit(0L)))
+        .groupBy(col("qid"))
+        .agg(sum(col("grade") * col("__disc")).as("dcg_micro"))
+        .withColumn("ndcg_permille", expr(s"(dcg_micro * 1000L) div ${idcg}L"))
+    },
+    Some {
+      val discList = ndcgDiscMicro.mkString(", ")
+      val idcg = ndcgDiscMicro.zip(Seq(5L, 4L, 3L, 2L, 1L)).map { case (d, g) => d * g }.sum
+      s"""WITH qf AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+      cf AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+      es AS (SELECT qid, id, round(${duckCos("qf.v", "cf.v")}, 4) AS sim FROM qf, cf),
+      truth AS (SELECT qid, id, 6 - rnk AS grade FROM (SELECT qid, id,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk FROM es)
+        WHERE rnk <= 5),
+      m AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS mv
+        FROM embeddings),
+      b AS (SELECT vec_id, mv, list_min(mv) AS mn, list_max(mv) AS mx FROM m),
+      r AS (SELECT vec_id, list_transform(mv, e -> mn * 254 +
+          (CASE WHEN mx = mn THEN 0 ELSE ((e - mn) * 254) // (mx - mn) END) * (mx - mn)) AS rv
+        FROM b),
+      qd AS (SELECT a.vec_id AS qid, c.vec_id AS id,
+          list_sum(list_transform(range(1, len(a.rv) + 1), i -> a.rv[i] * c.rv[i])) AS qdot
+        FROM r a JOIN r c ON a.vec_id < 10 AND c.vec_id >= 10),
+      sys AS (SELECT qid, id, rnk FROM (SELECT qid, id,
+          row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id) AS rnk FROM qd)
+        WHERE rnk <= 5),
+      sc AS (SELECT s.qid, COALESCE(t.grade, 0) AS grade,
+          list_extract([$discList], s.rnk) AS disc
+        FROM sys s LEFT JOIN truth t ON s.qid = t.qid AND s.id = t.id)
+      SELECT qid, CAST(sum(grade * disc) AS BIGINT) AS dcg_micro,
+        CAST((sum(grade * disc) * 1000) // $idcg AS BIGINT) AS ndcg_permille
+      FROM sc GROUP BY 1"""
+    }
+  )
+
+  // Dedup calibration: within-doc duplicated-shingle rate vs shingle size
+  // n ∈ {1,2,3,5} — the parameter-sweep artifact for choosing the dedup
+  // grain (unigrams overcount repetition, long shingles undercount; Lee
+  // et al. 2022 pick 50-grams for EXACTSUBSTR and 5-grams for near-dup
+  // for exactly this trade). Four pure-projection tiers, one aggregate
+  // each; no joins.
+  private val q155 = Q(
+    "q155_shingle_sweep",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      Seq(1, 2, 3, 5).map { n =>
+        val sh = TextDedup.wordShingles(TextDedup.tokens(col("text")), n)
+        docs.select(size(sh).cast("long").as("__nsh"),
+            size(array_distinct(sh)).cast("long").as("__nd"))
+          .filter(col("__nsh") > 0)
+          .select(when(col("__nsh") > col("__nd"), 1L).otherwise(0L).as("__hasdup"),
+            expr("((__nsh - __nd) * 10000L) div __nsh").as("__bp"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__hasdup")).as("n_docs_with_dup"),
+            expr("sum(__bp) div count(1)").as("mean_dup_bp"))
+          .select(lit(n.toLong).as("shingle_n"), col("n_docs"),
+            col("n_docs_with_dup"), col("mean_dup_bp"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      def tier(n: Int) = {
+        val parts = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+        s"""SELECT CAST($n AS BIGINT) AS shingle_n,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN nsh > nd THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+          CAST(sum((nsh - nd) * 10000 // nsh) // count(*) AS BIGINT) AS mean_dup_bp
+        FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh,
+            CAST(count(DISTINCT s) AS BIGINT) AS nd
+          FROM (SELECT doc_id, $parts AS s
+            FROM toks, UNNEST(range(1, len(w) + 2 - $n)) AS t(i)) GROUP BY 1)"""
+      }
+      s"""WITH $toksCte
+      ${Seq(1, 2, 3, 5).map(tier).mkString("\n      UNION ALL\n      ")}"""
+    }
+  )
+
+  // Text 19: held-out interpolated LM scoring (Jelinek–Mercer) — the
+  // bigram model trains on the 90% hash split and scores the held-out
+  // 10%, where unseen bigrams are real and the unigram backoff carries
+  // them (raw q104 conditional probability would zero them). Exact
+  // permille; model joins are vocabulary-keyed.
+  private val q156 = Q(
+    "q156_heldout_lm",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val lbl  = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      val train = docs.filter(lbl === "train")
+      val test  = docs.filter(lbl =!= "train")
+      TextStats.interpolatedFluency(test,
+        TextStats.bigramModel(train, "text"),
+        TextStats.unigramModel(train, "text"),
+        "doc_id", "text", lambdaPermille = 800L)
+    },
+    Some(s"""WITH $toksCte,
+      lbl AS (SELECT doc_id, (${TrainingQueries.md5Bucket16Sql("doc_id")}) < 58982 AS is_train
+        FROM documents),
+      trt AS (SELECT t.doc_id, w FROM toks t JOIN lbl USING (doc_id) WHERE is_train),
+      tst AS (SELECT t.doc_id, w FROM toks t JOIN lbl USING (doc_id) WHERE NOT is_train),
+      trb AS (SELECT w[i] || ' ' || w[i+1] AS bigram, CAST(count(*) AS BIGINT) AS c12
+        FROM trt, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1),
+      pre AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+        FROM trb GROUP BY 1),
+      bm AS (SELECT bigram, (c12 * 1000) // pre.c1 AS p
+        FROM trb JOIN pre ON split_part(bigram, ' ', 1) = pre.w1),
+      un AS (SELECT w[i] AS tok, CAST(count(*) AS BIGINT) AS c
+        FROM trt, UNNEST(range(1, len(w) + 1)) AS u(i) GROUP BY 1),
+      nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM un),
+      um AS (SELECT tok, (c * 1000) // nn.n AS q FROM un, nn),
+      occ AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram, CAST(count(*) AS BIGINT) AS n_occ
+        FROM tst, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1, 2),
+      sc AS (SELECT occ.doc_id, occ.n_occ,
+          (800 * COALESCE(bm.p, 0) + 200 * COALESCE(um.q, 0)) // 1000 AS ip
+        FROM occ LEFT JOIN bm USING (bigram)
+        LEFT JOIN um ON split_part(occ.bigram, ' ', 2) = um.tok)
+      SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+        CAST(sum(n_occ * ip) // sum(n_occ) AS BIGINT) AS interp_permille
+      FROM sc GROUP BY 1""")
+  )
+
+  // ANN diagnostics: kNN-graph in-degree spectrum (hubness) — skewed
+  // in-degree is THE failure signature of approximate neighbor structure
+  // in high dimensions (hub points absorb everyone's neighbor lists and
+  // recall collapses; Radovanović et al. 2010). Histogram of in-degrees
+  // over the q129 graph including the 0 bucket (nodes nobody points at).
+  // Two chained aggregates + one spine anti-shape (left join from the id
+  // universe).
+  private val q157 = Q(
+    "q157_knn_hubness",
+    (s, dir) => {
+      val g = VectorSearch.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 3, bits = 6, maxBucketSize = 64)
+      val indeg = g.groupBy(col("nbr_id").as("vec_id"))
+        .agg(count(lit(1)).as("__in"))
+      Tables.embeddings(s, dir).select(col("vec_id"))
+        .join(indeg, Seq("vec_id"), "left")
+        .select(coalesce(col("__in"), lit(0L)).as("in_degree"))
+        .groupBy(col("in_degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        ${duckSignBucket("embedding", 6)} AS bkt,
+        ${duckSignBucket("embedding", 6, offset = 6)} AS sub
+        FROM embeddings),
+      c AS (SELECT e.*, count(*) OVER (PARTITION BY bkt) AS cnt FROM e),
+      scored AS (SELECT a.id, b.id AS nbr_id, round(${duckCos("a.v", "b.v")}, 4) AS sim
+        FROM c a JOIN c b ON a.bkt = b.bkt AND (a.cnt <= 64 OR a.sub = b.sub)
+          AND a.id <> b.id),
+      g AS (SELECT id, nbr_id FROM (SELECT id, nbr_id,
+          row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr_id) AS rnk
+        FROM scored) WHERE rnk <= 3),
+      ind AS (SELECT nbr_id AS vec_id, CAST(count(*) AS BIGINT) AS indeg FROM g GROUP BY 1),
+      uni AS (SELECT emb.vec_id, COALESCE(ind.indeg, 0) AS in_degree
+        FROM embeddings emb LEFT JOIN ind USING (vec_id))
+      SELECT CAST(in_degree AS BIGINT) AS in_degree, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM uni GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -4179,5 +4362,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
 }

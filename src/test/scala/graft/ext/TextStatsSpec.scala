@@ -375,6 +375,19 @@ class TextStatsSpec extends SparkFunSuite {
     assert(Set(xW - 1L, xW + 1L).contains(d3.map(_._2).sum))
   }
 
+  test("interpolatedFluency: unigram backoff carries unseen bigrams") {
+    val train = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    val test  = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = TextStats.interpolatedFluency(test,
+        TextStats.bigramModel(train, "text"),
+        TextStats.unigramModel(train, "text"),
+        "doc_id", "text", lambdaPermille = 800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "a b": p = 1000, q(b) = 500 → (800·1000 + 200·500)/1000 = 900
+    // "b c": unseen bigram AND unseen suffix → 0; mean = 450
+    assert(out.toSeq == Seq((1L, 2L, 450L)))
+  }
+
   test("pmiCollocations: exact integer PMI ratio, minCount filter, tie order") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     // unigrams: a×3, b×2, c×1, N=6; bigrams: "a b"×2, "a c"×1

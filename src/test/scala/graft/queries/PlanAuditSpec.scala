@@ -770,6 +770,37 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q154: nDCG passes broadcast queries; grades attach by a (qid, id) equi-join") {
+    val p = plan("q154_ndcg")
+    assert(p.contains("BroadcastExchange"), s"query sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"the per-query DCG sum must map-side combine:\n$p")
+  }
+
+  test("q155: shingle sweep is four joinless projection-aggregate tiers") {
+    val p = plan("q155_shingle_sweep")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"each tier is a pure projection + aggregate:\n$p")
+  }
+
+  test("q156: held-out LM joins are vocabulary-keyed; no product, no window") {
+    val p = plan("q156_heldout_lm")
+    assert(!p.contains("CartesianProduct"),
+      s"model attachment must stay a vocab equi-join (the 1-row N total rides a broadcast):\n$p")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"occurrence pre-collapse and the doc mean must map-side combine:\n$p")
+  }
+
+  test("q157: hubness is two chained aggregates over the kNN graph") {
+    val p = plan("q157_knn_hubness")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the graph build must stay bucket-blocked:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"in-degree and histogram must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
