@@ -259,6 +259,23 @@ object StreamBench {
     q6b.stop()
 
     // -------------------------------------------------------------------
+    // Pipeline 6c: windowed ingest-funnel telemetry — per-window counts by
+    // first failing curation gate (state = ≤ 4 counter rows per window);
+    // same doc stream as the CMS pipeline
+    val in6c = MemoryStream[DocEv]
+    val q6c = StreamPipelines.ingestFunnelStats(in6c.toDF(), "ts", "text")
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    in6c.addData(docWave(1000, 0L, -1)); q6c.processAllAvailable()
+    val t6c = System.nanoTime()
+    (0 until docWaves).foreach { w =>
+      in6c.addData(docWave(docWaveSz, w * 60000L, w))
+      q6c.processAllAvailable()
+    }
+    val funnel_eps = (docWaves.toLong * docWaveSz / ((System.nanoTime() - t6c) / 1e9)).toLong
+    q6c.stop()
+
+    // -------------------------------------------------------------------
     // Pipeline 7: kNN-graph ingest — each wave of 16-dim embeddings probes
     // the persisted bucket index (growing across waves), appends its
     // adjacency to the edge log and itself to the index. Reported as
@@ -290,7 +307,7 @@ object StreamBench {
     val knn_eps = (knnWaves.toLong * knnWaveSz / ((System.nanoTime() - t7) / 1e9)).toLong
     q7.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"knn_graph_ingest_vecs":$knn_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"knn_graph_ingest_vecs":$knn_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }
