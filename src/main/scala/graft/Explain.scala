@@ -151,7 +151,11 @@ object Explain {
     "q155_shingle_sweep",  // four joinless projection-aggregate tiers
     "q156_heldout_lm",     // vocab-keyed model joins over pre-collapsed
                            // occurrences; 1-row N rides a broadcast
-    "q157_knn_hubness"     // bucket-blocked graph → two chained aggs
+    "q157_knn_hubness",    // bucket-blocked graph → two chained aggs
+    "q158_cooccurrence",   // positional pair tiers (no self-join) → one
+                           // hash-agg → TakeOrdered
+    "q159_burstiness",     // two chained aggregates + TakeOrdered
+    "q160_score_percentile" // histogram window + (source, score) join-back
   )
 
   def main(args: Array[String]): Unit = {

@@ -152,6 +152,36 @@ object Sampling {
         col("n_docs_admitted"), col("tokens_admitted"))
   }
 
+  /** Per-stratum percentile normalization: each row's score mapped to its
+    * stratum-relative rank position, `pct_permille = (rows strictly
+    * below)·1000 div stratum size` — the cross-source calibration step
+    * before one global threshold is applied to heterogeneous sources
+    * (CCNet cuts per-language percentiles, not absolute scores, for
+    * exactly this reason; a TTR of 6000 is elite in one crawl dump and
+    * median in another).
+    *
+    * Histogram-first (the [[qualityCutoff]] / q113 discipline): the
+    * cumulative window runs over the bounded per-(stratum, score)
+    * histogram, and the permille attaches back by a (stratum, score)
+    * equi-join — score-cardinality rows, never a corpus-sized window.
+    * Rows sharing a score share a percentile (the value-cutoff tie rule).
+    *
+    * Output: the input columns + pct_permille.
+    */
+  def scorePercentile(df: DataFrame, strataCol: String, scoreCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(col(strataCol)).orderBy(col(scoreCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wTot = W.partitionBy(col(strataCol))
+    val pct = df.groupBy(col(strataCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__tot", sum(col("__c")).over(wTot))
+      .select(col(strataCol), col(scoreCol),
+        expr("((__cum - __c) * 1000L) div __tot").as("pct_permille"))
+    df.join(pct, Seq(strataCol, scoreCol))
+  }
+
   /** Dataset-mixture reweighting: keep each row with a per-group Bernoulli
     * rate (basis points), `defaultBp` for groups not in the map — the
     * "upsample curated sources, downsample the crawl" step that applies

@@ -547,6 +547,66 @@ object TextStats {
       .limit(k)
   }
 
+  /** Windowed co-occurrence counts — the GloVe/word2vec data-prep matrix
+    * (Pennington et al. 2014): unordered token pairs within `window`
+    * positions, distance-weighted `1000/d` permille (GloVe's 1/d credit),
+    * top `k` by summed weight. Where [[pmiCollocations]] ranks ADJACENT
+    * pairs by surprise, this accumulates the wider context counts an
+    * embedding trainer consumes.
+    *
+    * Plan: one tier per distance (pure projection — pairs come off the
+    * token array positionally, never a self-join), one (w1, w2) hash-agg
+    * over the union, TakeOrdered top-k. A corpus-hot pair collapses
+    * map-side.
+    *
+    * Output: (w1 ≤ w2, n_cooc, weight_permille), top k by
+    * (weight desc, w1, w2).
+    */
+  def cooccurrenceTop(df: DataFrame, textCol: String,
+                      window: Int, k: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val tiers = (1 to window).map { d =>
+      val maxPos = size(col("__w")) - d
+      val posSeq = when(maxPos < 1, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), maxPos))
+      df.select(TextDedup.tokens(col(textCol)).as("__w"))
+        .select(explode(posSeq).as("__i"), col("__w"))
+        .select(element_at(col("__w"), col("__i")).as("__x"),
+          element_at(col("__w"), col("__i") + d).as("__y"))
+        .select(least(col("__x"), col("__y")).as("w1"),
+          greatest(col("__x"), col("__y")).as("w2"),
+          lit(1000L / d).as("__wt"))
+    }
+    tiers.reduce(_ unionByName _)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_cooc"), sum(col("__wt")).as("weight_permille"))
+      .orderBy(col("weight_permille").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Token burstiness (Church & Gale 1995): for the corpus's top-`k`
+    * tokens by total occurrences, the mean within-document frequency
+    * given presence — `burst_permille = total·1000 div n_docs_containing`.
+    * Function words spread thin (burstiness ≈ 1000·tf_mean ≈ low);
+    * topical/template tokens clump (high) — the signal behind
+    * document-frequency-capped dedup and stopword induction.
+    *
+    * Plan: two chained hash-aggs ((token, doc) → token), TakeOrdered
+    * top-k. No joins.
+    *
+    * Output: (token, n_docs, total_occ, burst_permille).
+    */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame =
+    df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("total_occ"))
+      .withColumn("burst_permille", expr("(total_occ * 1000L) div n_docs"))
+      .orderBy(col("total_occ").desc, col("token"))
+      .limit(k)
+
   /** Unigram token model `(token, q_permille)` — the backoff distribution
     * [[interpolatedFluency]] smooths with. One exploded-token hash-agg;
     * the corpus total rides a broadcast 1-row frame.

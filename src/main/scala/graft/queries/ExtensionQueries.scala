@@ -4355,6 +4355,81 @@ object ExtensionQueries {
       FROM uni GROUP BY 1""")
   )
 
+  // Text 20: windowed co-occurrence counts (GloVe data prep, Pennington
+  // et al. 2014) — unordered pairs within ±2 positions, 1000/d distance
+  // credit, top 50. Positional pair extraction off the token array (no
+  // self-join); one (w1, w2) hash-agg; TakeOrdered.
+  private val q158 = Q(
+    "q158_cooccurrence",
+    (s, dir) => TextStats.cooccurrenceTop(docsSpread(s, dir), "text", window = 2, k = 50),
+    Some(s"""WITH $toksCte,
+      pr AS (
+        SELECT least(w[i], w[i+1]) AS w1, greatest(w[i], w[i+1]) AS w2, 1000 AS wt
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        UNION ALL
+        SELECT least(w[i], w[i+2]), greatest(w[i], w[i+2]), 500
+        FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      g AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_cooc,
+          CAST(sum(wt) AS BIGINT) AS weight_permille
+        FROM pr GROUP BY 1, 2)
+      SELECT w1, w2, n_cooc, weight_permille FROM g
+      ORDER BY weight_permille DESC, w1, w2 LIMIT 50""")
+  )
+
+  // Text 21: token burstiness (Church & Gale 1995) — mean within-doc
+  // frequency given presence for the top-20 tokens; the clumping signal
+  // behind document-frequency caps and stopword induction. Two chained
+  // hash-aggs, no join.
+  private val q159 = Q(
+    "q159_burstiness",
+    (s, dir) => TextStats.tokenBurstiness(docsSpread(s, dir), "doc_id", "text", k = 20),
+    Some(s"""WITH $toksCte,
+      tk AS (SELECT doc_id, w[i] AS token FROM toks, UNNEST(range(1, len(w) + 1)) AS u(i)),
+      pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+      g AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(c) AS BIGINT) AS total_occ
+        FROM pd GROUP BY 1)
+      SELECT token, n_docs, total_occ,
+        CAST((total_occ * 1000) // n_docs AS BIGINT) AS burst_permille
+      FROM g ORDER BY total_occ DESC, token LIMIT 20""")
+  )
+
+  // Curation 21: per-source score percentile normalization — each doc's
+  // TTR mapped to its source-relative permille rank (docs strictly below
+  // / source size), the cross-source calibration CCNet applies before any
+  // global cutoff. Histogram-first; the permille attaches back by a
+  // (source, score) equi-join.
+  private val q160 = Q(
+    "q160_score_percentile",
+    (s, dir) => {
+      val sc = TextStats.qualityScore(docsSpread(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("ttr_bp"))
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(sc, "doc_id")
+      Sampling.scorePercentile(scored, "source", "ttr_bp")
+        .select(col("doc_id"), col("source"), col("ttr_bp"), col("pct_permille"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        FROM documents),
+      sc AS (SELECT doc_id, source,
+          CAST(CASE WHEN len(w) > 0
+            THEN (len(list_distinct(w)) * 10000) // len(w) ELSE 0 END AS BIGINT) AS ttr_bp
+        FROM t),
+      hist AS (SELECT source, ttr_bp, CAST(count(*) AS BIGINT) AS c
+        FROM sc GROUP BY 1, 2),
+      cum AS (SELECT source, ttr_bp, c,
+          sum(c) OVER (PARTITION BY source ORDER BY ttr_bp
+            ROWS UNBOUNDED PRECEDING) AS cm,
+          sum(c) OVER (PARTITION BY source) AS tot
+        FROM hist),
+      pct AS (SELECT source, ttr_bp,
+          CAST(((cm - c) * 1000) // tot AS BIGINT) AS pct_permille
+        FROM cum)
+      SELECT sc.doc_id, sc.source, sc.ttr_bp, pct.pct_permille
+      FROM sc JOIN pct USING (source, ttr_bp)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -4362,5 +4437,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 }

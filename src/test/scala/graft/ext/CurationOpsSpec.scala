@@ -160,6 +160,15 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(out("B") == ((101L, 0L, 0L)))
   }
 
+  test("scorePercentile: strict-below permille per stratum; ties share a value") {
+    val rows = Seq(("A", 10L, 1L), ("A", 10L, 2L), ("A", 20L, 3L), ("A", 30L, 4L),
+        ("B", 99L, 5L))
+      .toDF("source", "ttr_bp", "doc_id")
+    val out = Sampling.scorePercentile(rows, "source", "ttr_bp")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pct_permille")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 500L, 4L -> 750L, 5L -> 0L))
+  }
+
   // ---- Retrieval (BM25) ----
 
   test("bm25TopK ranks higher-tf docs first and respects doc-length normalization") {

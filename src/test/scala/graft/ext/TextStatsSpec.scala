@@ -375,6 +375,24 @@ class TextStatsSpec extends SparkFunSuite {
     assert(Set(xW - 1L, xW + 1L).contains(d3.map(_._2).sum))
   }
 
+  test("cooccurrenceTop: unordered pairs, 1000/d distance credit, tie order") {
+    val docs = Seq((1L, "a b c"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextStats.cooccurrenceTop(docs, "text", window = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 1: (a,b)@1000, (b,c)@1000, (a,c)@500; doc 2 adds (a,b)@1000 unordered
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 2000L),
+      ("b", "c", 1L, 1000L),
+      ("a", "c", 1L, 500L)))
+  }
+
+  test("tokenBurstiness: mean within-doc frequency given presence") {
+    val docs = Seq((1L, "x x x y"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextStats.tokenBurstiness(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("x", 2L, 4L, 2000L), ("y", 2L, 2L, 1000L)))
+  }
+
   test("interpolatedFluency: unigram backoff carries unseen bigrams") {
     val train = Seq((10L, "a b a b")).toDF("doc_id", "text")
     val test  = Seq((1L, "a b c")).toDF("doc_id", "text")

@@ -801,6 +801,27 @@ class PlanAuditSpec extends SparkFunSuite {
       s"in-degree and histogram must map-side combine:\n$p")
   }
 
+  test("q158: co-occurrence pairs come off the token array — no self-join") {
+    val p = plan("q158_cooccurrence")
+    assert(!p.contains("Join"), s"positional pair extraction must not self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must fuse:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the pair agg must map-side combine:\n$p")
+  }
+
+  test("q159: burstiness is two chained aggregates + TakeOrdered") {
+    val p = plan("q159_burstiness")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must fuse:\n$p")
+  }
+
+  test("q160: percentile windows run over the histogram; permille joins back by (source, score)") {
+    val p = plan("q160_score_percentile")
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      s"the cumulative window must consume the histogram aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
