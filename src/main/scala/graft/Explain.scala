@@ -155,7 +155,10 @@ object Explain {
     "q158_cooccurrence",   // positional pair tiers (no self-join) → one
                            // hash-agg → TakeOrdered
     "q159_burstiness",     // two chained aggregates + TakeOrdered
-    "q160_score_percentile" // histogram window + (source, score) join-back
+    "q160_score_percentile", // histogram window + (source, score) join-back
+    "q161_dedup_threshold_sweep", // banded candidate join → three agg tiers
+    "q162_zorder_layout",  // bit-interleave projection + one aggregate
+    "q163_ccnet_mix"       // q113 buckets + hash-rate admission roll-up
   )
 
   def main(args: Array[String]): Unit = {

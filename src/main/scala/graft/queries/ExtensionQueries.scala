@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.table.TableLayout
 import graft.ext.{Components, Decontaminate, Graphs, Multimodal, Packing, ParagraphDedup, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2685,7 +2686,16 @@ object ExtensionQueries {
   private val q113 = Q(
     "q113_perplexity_buckets",
     (s, dir) => TextStats.perplexityBuckets(docsSpread(s, dir), "doc_id", "source", "text"),
-    Some(s"""WITH $toksCte,
+    Some(s"""WITH $perplexityBucketCtes
+      SELECT s.doc_id, s.source, s.fluency_permille, c.bucket
+      FROM scored s JOIN cuts c USING (source, fluency_permille)""")
+  )
+
+  /** The q113 CCNet bucket pipeline as a reusable CTE chain (`scored` +
+    * `cuts`) — shared with the q163 bucket-mixture composition so the
+    * bucketing cannot drift between them.
+    */
+  private def perplexityBucketCtes: String = s"""$toksCte,
       occ AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
         FROM toks, UNNEST(range(1, len(w))) AS t(i)),
       bc AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY 1),
@@ -2705,10 +2715,7 @@ object ExtensionQueries {
       cuts AS (SELECT source, fluency_permille,
           CASE WHEN cum_before * 3 < total THEN 'head'
                WHEN cum_before * 3 < total * 2 THEN 'middle'
-               ELSE 'tail' END AS bucket FROM cum)
-      SELECT s.doc_id, s.source, s.fluency_permille, c.bucket
-      FROM scored s JOIN cuts c USING (source, fluency_permille)""")
-  )
+               ELSE 'tail' END AS bucket FROM cum)"""
 
   // Text 17: the Gopher quality-rule bundle (Rae et al. 2021 §A.1.1) —
   // MassiveText's per-document heuristic signals as exact integers plus
@@ -4430,6 +4437,120 @@ object ExtensionQueries {
       FROM sc JOIN pct USING (source, ttr_bp)""")
   )
 
+  // Dedup calibration 2: removal-impact sweep over the LSH candidate
+  // pairs — at signature-match thresholds 4/6/8 of 8, how many pairs
+  // qualify and how many documents a drop-the-larger-id policy would
+  // remove. The "what would this threshold delete" dashboard row a dedup
+  // rollout publishes before committing; reuses the memoized signature
+  // frame, three aggregate tiers over one bounded pair frame.
+  private val q161 = Q(
+    "q161_dedup_threshold_sweep",
+    (s, dir) => {
+      val pairs = TextDedup.lshCandidates(sigCacheFor(s, dir), "doc_id", k = 8, rowsPerBand = 2)
+        .select(col("id_b"), col("n_sig_match"))
+      Seq(4, 6, 8).map { t =>
+        pairs.filter(col("n_sig_match") >= t)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_b")).as("n_docs_dropped"))
+          .select(lit(t.toLong).as("min_sig_match"),
+            col("n_pairs"), col("n_docs_dropped"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val nMatch = (0 until 8).map(i => s"(CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END)").mkString(" + ")
+      def tier(t: Int) =
+        s"""SELECT CAST($t AS BIGINT) AS min_sig_match,
+          CAST(count(CASE WHEN nm >= $t THEN 1 END) AS BIGINT) AS n_pairs,
+          CAST(count(DISTINCT CASE WHEN nm >= $t THEN b END) AS BIGINT) AS n_docs_dropped
+        FROM m"""
+      s"""WITH $toksCte,
+      $shinglesFromToks,
+      sigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      m AS (SELECT cand.a, cand.b, ($nMatch) AS nm
+        FROM cand JOIN sigs sa ON cand.a = sa.doc_id
+        JOIN sigs sb ON cand.b = sb.doc_id)
+      ${Seq(4, 6, 8).map(tier).mkString("\n      UNION ALL\n      ")}"""
+    }
+  )
+
+  // Layout: Z-order locality report — interleave the low 8 bits of
+  // (user_id % 256, event_id % 256), bucket the z space into 16 ranges,
+  // and report each bucket's span in BOTH dimensions: bounded spans on
+  // both axes are exactly the property that lets min/max file stats prune
+  // on either predicate column (Delta/Iceberg ZORDER BY). Pure bit
+  // arithmetic + one aggregate.
+  private val q162 = Q(
+    "q162_zorder_layout",
+    (s, dir) => {
+      val x = pmod(col("user_id"), lit(256L))
+      val y = pmod(col("event_id"), lit(256L))
+      Tables.events(s, dir)
+        .select(x.as("__x"), y.as("__y"),
+          TableLayout.zValue(x, y, bits = 8).as("__z"))
+        .groupBy(expr("__z div 4096L").as("z_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+          min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+        .withColumn("x_span", col("max_x") - col("min_x"))
+        .withColumn("y_span", col("max_y") - col("min_y"))
+    },
+    Some {
+      val z = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+      s"""WITH d AS (SELECT user_id % 256 AS x, event_id % 256 AS y FROM events),
+      zc AS (SELECT x, y, ($z) AS z FROM d),
+      g AS (SELECT z // 4096 AS z_bucket, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+          CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+        FROM zc GROUP BY 1)
+      SELECT CAST(z_bucket AS BIGINT) AS z_bucket, n_events,
+        min_x, max_x, min_y, max_y,
+        max_x - min_x AS x_span, max_y - min_y AS y_span
+      FROM g"""
+    }
+  )
+
+  // Curation 22: CCNet bucket mixture — the q113 head/middle/tail buckets
+  // driving admission rates (head keeps all, middle hash-half, tail
+  // drops; Wenzek et al. 2020 keep head+middle). Composition of two
+  // proven stages; output is the per-(source, bucket) yield table.
+  private val q163 = Q(
+    "q163_ccnet_mix",
+    (s, dir) => {
+      val pb = TextStats.perplexityBuckets(docsSpread(s, dir), "doc_id", "source", "text")
+      val kept = Sampling.mixtureSample(pb, "bucket", "doc_id",
+        Map("head" -> 10000, "middle" -> 5000, "tail" -> 0), defaultBp = 0)
+      pb.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("__k")),
+          Seq("source", "bucket"), "left")
+        .withColumn("n_kept", coalesce(col("__k"), lit(0L)))
+        .withColumn("kept_bp", expr("(n_kept * 10000L) div n_docs"))
+        .select(col("source"), col("bucket"), col("n_docs"), col("n_kept"), col("kept_bp"))
+    },
+    Some(s"""WITH $perplexityBucketCtes,
+      pb AS (SELECT s.doc_id, s.source, c.bucket
+        FROM scored s JOIN cuts c USING (source, fluency_permille)),
+      kp AS (SELECT doc_id, source, bucket,
+          CASE bucket WHEN 'head' THEN (${TrainingQueries.md5Bucket16Sql("doc_id")}) * 10000 < 10000 * 65536
+               WHEN 'middle' THEN (${TrainingQueries.md5Bucket16Sql("doc_id")}) * 10000 < 5000 * 65536
+               ELSE FALSE END AS keep
+        FROM pb)
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        CAST((count(CASE WHEN keep THEN 1 END) * 10000) // count(*) AS BIGINT) AS kept_bp
+      FROM kp GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -4437,5 +4558,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
 }

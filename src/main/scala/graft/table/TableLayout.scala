@@ -27,6 +27,22 @@ object TableLayout {
   def hoursOf(ts: Column): Column  = date_format(ts, "yyyy-MM-dd-HH")
   def daysOf(ts: Column): Column   = to_date(ts)
 
+  /** Z-order key over two non-negative dimensions: interleave the low
+    * `bits` bits of x and y (x on even positions) — the multi-column
+    * clustering transform (Delta/Iceberg `ZORDER BY`): sorting by the
+    * z-value gives every contiguous key range a BOUNDED range in BOTH
+    * dimensions, so min/max file stats prune on either predicate column,
+    * where a plain sort clusters only its leading column. Pure integer
+    * expression (codegen'd shifts), identical in any engine with bit ops.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
   /** Day partition under the hidden-partitioning naming contract
     * (`<ts>_day` = to_date(ts)): tables written with this partition get
     * automatic partition pruning for predicates on the RAW timestamp via

@@ -822,6 +822,27 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q161: threshold sweep reuses the banded candidate join; no product") {
+    val p = plan("q161_dedup_threshold_sweep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate enumeration must stay a band equi-join:\n$p")
+    assert(p.contains("Union"), s"the three tiers union over one pair frame:\n$p")
+  }
+
+  test("q162: z-order layout is pure bit projection + one aggregate") {
+    val p = plan("q162_zorder_layout")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"the bucket stats must map-side combine:\n$p")
+  }
+
+  test("q163: bucket mixture inherits the histogram-window discipline") {
+    val p = plan("q163_ccnet_mix")
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      s"bucket cuts must come from the histogram window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus

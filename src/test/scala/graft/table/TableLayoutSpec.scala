@@ -147,4 +147,28 @@ class TableLayoutSpec extends SparkFunSuite {
     assert(removed.exists(_.contains(".compact-tmp-zzz")))
     assert(spark.read.parquet(path).count() == 4)
   }
+
+  test("zValue interleaves bits exactly (x even positions, y odd)") {
+    val rows = Seq((3L, 5L)).toDF("x", "y")
+    // x=0b011, y=0b101 at bits=3: z = x0<<0 + y0<<1 + x1<<2 + y1<<3 + x2<<4 + y2<<5
+    //   = 1 + 2 + 4 + 0 + 0 + 32 = 39
+    val z = rows.select(TableLayout.zValue(col("x"), col("y"), bits = 3)).head.getLong(0)
+    assert(z == 39L)
+  }
+
+  test("zValue buckets bound BOTH dimensions (the pruning property)") {
+    // exhaustive 64×64 grid at bits=6 → 12-bit z; 16 buckets of 256 keys.
+    // Each bucket fixes the top 2 bits of x AND y → spans ≤ 15 in both,
+    // where a plain x-sort would leave y's span at the full 63.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val spans = grid
+      .select(col("x"), col("y"), TableLayout.zValue(col("x"), col("y"), 6).as("z"))
+      .groupBy(expr("z div 256L")).agg(
+        (max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"))
+      .collect()
+    assert(spans.length == 16)
+    assert(spans.forall(r => r.getLong(1) <= 15L && r.getLong(2) <= 15L))
+  }
 }
