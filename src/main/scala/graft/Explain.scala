@@ -158,7 +158,10 @@ object Explain {
     "q160_score_percentile", // histogram window + (source, score) join-back
     "q161_dedup_threshold_sweep", // banded candidate join → three agg tiers
     "q162_zorder_layout",  // bit-interleave projection + one aggregate
-    "q163_ccnet_mix"       // q113 buckets + hash-rate admission roll-up
+    "q163_ccnet_mix",      // q113 buckets + hash-rate admission roll-up
+    "q164_cohort_retention", // broadcast anchor + user-keyed cohort join
+    "q165_rfm_segments"    // three histogram-percentile passes, one
+                           // bounded user frame
   )
 
   def main(args: Array[String]): Unit = {

@@ -4551,6 +4551,105 @@ object ExtensionQueries {
       FROM kp GROUP BY 1, 2""")
   )
 
+  // Serving analytics 1: weekly cohort retention — users grouped by
+  // first-active week, counted at each later week offset (the product
+  // dashboard every event lakehouse serves). Anchor = corpus-min day via
+  // a broadcast 1-row frame (no hardcoded dates); distinct (user, week)
+  // activity; two hash-aggs + one user-keyed join.
+  private val q164 = Q(
+    "q164_cohort_retention",
+    (s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr("datediff(to_date(ts), DATE '1970-01-01')").as("__d"))
+      val anchor = days.agg(min(col("__d")).as("__d0"))
+      val weeks = days.crossJoin(broadcast(anchor))
+        .select(col("user_id"), expr("(__d - __d0) div 7").cast("long").as("week"))
+        .distinct()
+      val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH d AS (SELECT user_id,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd
+        FROM events),
+      a AS (SELECT min(dd) AS d0 FROM d),
+      w AS (SELECT DISTINCT user_id, (dd - a.d0) // 7 AS week FROM d, a),
+      c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+      SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+        CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
+        CAST(count(*) AS BIGINT) AS n_users
+      FROM w JOIN c USING (user_id) GROUP BY 1, 2""")
+  )
+
+  // Serving analytics 2: RFM segmentation — recency/frequency/monetary
+  // terciles per purchasing user, each axis percentile-normalized through
+  // the q160 histogram machinery (scorePercentile with one global
+  // stratum), cents summed as exact integers. The classic marketing
+  // segmentation, here to exercise percentile reuse on a second domain.
+  private val q165 = Q(
+    "q165_rfm_segments",
+    (s, dir) => {
+      val pur = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), DATE '1970-01-01')").as("__d"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("__cents"))
+      val maxd = pur.agg(max(col("__d")).as("__dm"))
+      val rfm = pur.groupBy(col("user_id"))
+        .agg(max(col("__d")).as("__last"), count(lit(1)).as("n_purchases"),
+          sum(col("__cents")).as("monetary_cents"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("recency_days", col("__dm") - col("__last"))
+        .withColumn("__g", lit("all"))
+        .drop("__last", "__dm")
+      val withR = Sampling.scorePercentile(rfm, "__g", "recency_days")
+        .withColumnRenamed("pct_permille", "__rp")
+      val withF = Sampling.scorePercentile(withR, "__g", "n_purchases")
+        .withColumnRenamed("pct_permille", "__fp")
+      val withM = Sampling.scorePercentile(withF, "__g", "monetary_cents")
+        .withColumnRenamed("pct_permille", "__mp")
+      withM
+        .withColumn("r_t", expr("2L - (__rp div 334L)"))
+        .withColumn("f_t", expr("__fp div 334L"))
+        .withColumn("m_t", expr("__mp div 334L"))
+        .withColumn("segment", expr("r_t * 100L + f_t * 10L + m_t"))
+        .select(col("user_id"), col("recency_days"), col("n_purchases"),
+          col("monetary_cents"), col("r_t"), col("f_t"), col("m_t"), col("segment"))
+    },
+    Some {
+      def pctCte(scoreCol: String, tag: String) =
+        s"""h_$tag AS (SELECT $scoreCol AS sc, CAST(count(*) AS BIGINT) AS c
+          FROM rfm GROUP BY 1),
+      p_$tag AS (SELECT sc, ((sum(c) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - c) * 1000)
+          // (sum(c) OVER ()) AS pct
+        FROM h_$tag)"""
+      s"""WITH pur AS (SELECT user_id,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      mx AS (SELECT max(dd) AS dm FROM pur),
+      rfm AS (SELECT user_id,
+          mx.dm - max(dd) AS recency_days,
+          CAST(count(*) AS BIGINT) AS n_purchases,
+          CAST(sum(cents) AS BIGINT) AS monetary_cents
+        FROM pur, mx GROUP BY user_id, mx.dm),
+      ${pctCte("recency_days", "r")},
+      ${pctCte("n_purchases", "f")},
+      ${pctCte("monetary_cents", "m")},
+      sc AS (SELECT rfm.*,
+          2 - (p_r.pct // 334) AS r_t, p_f.pct // 334 AS f_t, p_m.pct // 334 AS m_t
+        FROM rfm
+        JOIN p_r ON rfm.recency_days = p_r.sc
+        JOIN p_f ON rfm.n_purchases = p_f.sc
+        JOIN p_m ON rfm.monetary_cents = p_m.sc)
+      SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, n_purchases,
+        monetary_cents, CAST(r_t AS BIGINT) AS r_t, CAST(f_t AS BIGINT) AS f_t,
+        CAST(m_t AS BIGINT) AS m_t,
+        CAST(r_t * 100 + f_t * 10 + m_t AS BIGINT) AS segment
+      FROM sc"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -4558,5 +4657,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
 }

@@ -14,15 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   <table>/_log/v000000001.json            one manifest per version
   * }}}
   *
-  * A commit writes a NEW segment dir, then publishes the manifest with a
-  * CREATE-EXCLUSIVE open on the final manifest path — the one primitive
-  * HDFS and local filesystems both make atomic (a rename-onto-target is
-  * NOT: Hadoop's LocalFileSystem silently overwrites, POSIX rename(2)
-  * semantics). Concurrent committers race on the create; the loser gets
-  * FileAlreadyExists and retries against the winner's version (optimistic
-  * concurrency). The loser-visible window where a manifest file exists but
-  * its bytes are not yet flushed is handled on the READ side: a manifest
-  * that does not parse yet is re-read briefly before failing. A real
+  * A commit writes a NEW segment dir, then publishes the manifest with an
+  * ATOMIC CLAIM on the final manifest path, per filesystem:
+  * on HDFS-like stores, a create-exclusive open (atomic at the NameNode);
+  * on local filesystems, a fully-flushed temp file HARD-LINKED into place
+  * (link(2) fails with EEXIST atomically — Hadoop's LocalFileSystem
+  * create(overwrite=false) is check-then-act and CAN double-claim under
+  * concurrency, and a rename-onto-target silently overwrites, POSIX
+  * rename(2) semantics). Concurrent committers race on the claim; the
+  * loser gets FileAlreadyExists and retries against the winner's version
+  * (optimistic concurrency). On the HDFS path there is a loser-visible
+  * window where a manifest exists but its bytes are not yet flushed;
+  * the READ side re-reads a manifest that does not parse yet briefly
+  * before failing (the link path never exposes partial bytes). A real
   * deployment would serialize commits through a catalog; the protocol here
   * is the strongest a bare filesystem offers.
   *
@@ -171,22 +175,51 @@ object SnapshotLog {
       // on forever. Such partial manifests are deleted and the error
       // propagates.
       val manifestPath = new Path(path, s"$LogDir/${manifestName(v)}")
-      var created = false
-      try {
-        val out = f.create(manifestPath, false)
-        created = true
-        out.write(body.getBytes("UTF-8")); out.close()
-        return v
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException if !created =>
-          // version claimed by a racer; retry against the winner's version
-        case e: java.io.FileNotFoundException if !created =>
-          throw e // log dir vanished — not a race
-        case e: java.io.IOException =>
-          if (created) { try f.delete(manifestPath, false) catch { case _: java.io.IOException => () } }
-          if (created) throw e
-          // some local filesystems surface the exists-race as a plain
-          // IOException from create(); retry only in that (pre-create) case
+      if (f.getScheme == "file") {
+        // Hadoop's LocalFileSystem create(overwrite=false) is CHECK-then-
+        // act, not atomic — two racers can both pass the exists check and
+        // both "claim" vN (observed as duplicate version numbers under
+        // concurrency). The local-filesystem atomic publish is the hard
+        // link: write the fully-flushed manifest to a temp name, then
+        // createLink(vN.json ← temp) — link(2) fails with EEXIST
+        // atomically, and readers can never observe a partial manifest.
+        val logDirLocal = java.nio.file.Paths.get(
+          new Path(path, LogDir).toUri.getPath)
+        val tmpFile = logDirLocal.resolve(
+          s".commit-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        java.nio.file.Files.write(tmpFile, body.getBytes("UTF-8"))
+        val target = logDirLocal.resolve(manifestName(v))
+        try {
+          java.nio.file.Files.createLink(target, tmpFile)
+          java.nio.file.Files.deleteIfExists(tmpFile)
+          return v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // version claimed by a racer; retry against the winner's version
+            java.nio.file.Files.deleteIfExists(tmpFile)
+          case e: Throwable =>
+            java.nio.file.Files.deleteIfExists(tmpFile)
+            throw e
+        }
+      } else {
+        // HDFS-like stores: create-exclusive is atomic at the NameNode
+        var created = false
+        try {
+          val out = f.create(manifestPath, false)
+          created = true
+          out.write(body.getBytes("UTF-8")); out.close()
+          return v
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException if !created =>
+            // version claimed by a racer; retry against the winner's version
+          case e: java.io.FileNotFoundException if !created =>
+            throw e // log dir vanished — not a race
+          case e: java.io.IOException =>
+            if (created) { try f.delete(manifestPath, false) catch { case _: java.io.IOException => () } }
+            if (created) throw e
+            // some stores surface the exists-race as a plain IOException
+            // from create(); retry only in that (pre-create) case
+        }
       }
     }
     throw new IllegalStateException(s"snapshot commit lost the race $attempts times: $path")

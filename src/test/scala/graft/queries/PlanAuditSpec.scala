@@ -843,6 +843,23 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q164: cohort retention is hash-aggs + a user-keyed join; anchor broadcasts") {
+    val p = plan("q164_cohort_retention")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row anchor must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"cohort and retention aggs must map-side combine:\n$p")
+  }
+
+  test("q165: RFM percentile windows run over histograms, never the user frame") {
+    val p = plan("q165_rfm_segments")
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      s"percentile windows must consume histogram aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
