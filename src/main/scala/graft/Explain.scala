@@ -160,8 +160,11 @@ object Explain {
     "q162_zorder_layout",  // bit-interleave projection + one aggregate
     "q163_ccnet_mix",      // q113 buckets + hash-rate admission roll-up
     "q164_cohort_retention", // broadcast anchor + user-keyed cohort join
-    "q165_rfm_segments"    // three histogram-percentile passes, one
+    "q165_rfm_segments",   // three histogram-percentile passes, one
                            // bounded user frame
+    "q166_decode_stats",   // the real mapPartitions decode boundary —
+                           // no join, no shuffle
+    "q167_event_spikes"    // daily agg → type totals → permille ratio
   )
 
   def main(args: Array[String]): Unit = {

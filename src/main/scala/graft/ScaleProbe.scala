@@ -483,7 +483,34 @@ object ScaleProbe {
       // TakeOrdered(1)): time must track the corpus linearly — the chosen
       // set rides as literals, so there is no join side to grow
       "kcenter_select" -> (m =>
-        VectorSearch.kCenterSelect(embAt(m), "vec_id", "embedding", k = 4).count())
+        VectorSearch.kCenterSelect(embAt(m), "vec_id", "embedding", k = 4).count()),
+      // held-out LM scoring on the stop-heavy corpus: hot bigrams inflate
+      // the model side's per-bigram counts, not its row count — the two
+      // vocab-keyed left joins must stay vocabulary-sized while the
+      // scoring side pre-collapses per (doc, bigram)
+      "heldout_lm" -> { m =>
+        val docs = docsStopHeavy(m)
+        val lbl  = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+        TextStats.interpolatedFluency(
+          docs.filter(lbl =!= "train"),
+          TextStats.bigramModel(docs.filter(lbl === "train"), "text"),
+          TextStats.unigramModel(docs.filter(lbl === "train"), "text"),
+          "doc_id", "text", lambdaPermille = 800L).count()
+      },
+      // windowed co-occurrence on the stop-heavy corpus: the hot pairs
+      // collapse map-side in the single (w1, w2) hash-agg; the positional
+      // tiers are pure projections, so growth tracks the token scan
+      "cooccurrence" -> (m =>
+        TextStats.cooccurrenceTop(docsStopHeavy(m), "text", window = 2, k = 50).count()),
+      // percentile normalization: the corpus enters one histogram
+      // aggregate; windows run over ≤ score-cardinality rows per source
+      // and the permille joins back on (source, score)
+      "score_percentile" -> { m =>
+        val sc = TextStats.qualityScore(docsAt(m), "doc_id", "text")
+          .select(col("doc_id"), col("ttr_bp"))
+        val scored = docsAt(m).select(col("doc_id"), col("source")).join(sc, "doc_id")
+        Sampling.scorePercentile(scored, "source", "ttr_bp").count()
+      }
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so

@@ -129,6 +129,38 @@ object Multimodal {
       col(payloadCol).substr(lit(1), lit(targetBytes)).as("resized"),
       octet_length(col(payloadCol)).cast("long").as("orig_bytes"))
 
+  /** Integer decode stats out (the exact-comparison twin of
+    * [[MediaFeatures]]: brightness as a num/den fraction, no floats).
+    */
+  final case class MediaStats(id: Long, width: Long, height: Long,
+                              bright_num: Long, bright_den: Long)
+
+  /** The decode path itself through the oracle gate: where q122/q123
+    * exercise pure column expressions, this runs the REAL batched
+    * mapPartitions boundary (Dataset encoder in → per-partition iterator →
+    * typed rows out — a codec would initialize once per partition here)
+    * with all-integer outputs, so the stub arithmetic replays exactly in
+    * SQL: width/height from the first two payload bytes ([[fakeDecode]]'s
+    * rule), brightness as the exact fraction (sum of the first 64 bytes,
+    * denominator n·255).
+    */
+  def decodeStats(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).cast("binary").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val b = r.payload
+          val w = if (b.length > 0) 1L + (b(0) & 0x7f) else 0L
+          val h = if (b.length > 1) 1L + (b(1) & 0x7f) else 0L
+          val n = math.min(b.length, 64)
+          val num = b.iterator.take(n).map(x => (x & 0xff).toLong).sum
+          MediaStats(r.id, w, h, num, n * 255L)
+        }
+      }
+  }
+
   /** STUB — deterministic pseudo-decode from payload bytes. A real decoder
     * (??? in a codec-equipped build) would parse the container header for
     * dimensions and average the luma plane for brightness.

@@ -4650,6 +4650,63 @@ object ExtensionQueries {
     }
   )
 
+  // Multimodal 6: the batched DECODE boundary through the oracle gate —
+  // q122/q123 are pure column expressions; this runs the real
+  // mapPartitions path (encoder → per-partition iterator → typed rows,
+  // where a codec initializes once per partition) with all-integer
+  // outputs, so the stub arithmetic replays exactly: width/height from
+  // the first two bytes, brightness as an exact num/den fraction over the
+  // first 64 bytes. All-ASCII corpus makes byte values = ascii codes.
+  private val q166 = Q(
+    "q166_decode_stats",
+    (s, dir) => {
+      val payload = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeStats(payload, "doc_id", "payload").toDF()
+    },
+    Some("""SELECT doc_id AS id,
+        CAST(1 + (ascii(substring(text, 1, 1)) % 128) AS BIGINT) AS width,
+        CAST(1 + (ascii(substring(text, 2, 1)) % 128) AS BIGINT) AS height,
+        CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+          i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS bright_num,
+        CAST(least(length(text), 64) * 255 AS BIGINT) AS bright_den
+      FROM documents""")
+  )
+
+  // Serving analytics 3: event-rate spike detection — per (event_type,
+  // day) counts against the type's 30-day mean, ratio in exact permille
+  // (n·n_days·1000 div total — one division, no compounding floor loss),
+  // flagged at 1.5×. The ops-dashboard anomaly row; two hash-aggs + a
+  // |event_types|-row join.
+  private val q167 = Q(
+    "q167_event_spikes",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val typ = daily.groupBy(col("event_type"))
+        .agg(sum(col("n_events")).as("__tot"), count(lit(1)).as("__nd"))
+      daily.join(typ, "event_type")
+        .withColumn("spike_permille", expr("(n_events * __nd * 1000L) div __tot"))
+        .withColumn("is_spike", col("spike_permille") >= 1500L)
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("spike_permille"), col("is_spike"))
+    },
+    Some("""WITH daily AS (SELECT event_type,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+      typ AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot,
+          CAST(count(*) AS BIGINT) AS nd
+        FROM daily GROUP BY 1)
+      SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.n_events,
+        CAST((d.n_events * t.nd * 1000) // t.tot AS BIGINT) AS spike_permille,
+        ((d.n_events * t.nd * 1000) // t.tot) >= 1500 AS is_spike
+      FROM daily d JOIN typ t USING (event_type)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -4657,5 +4714,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167)
 }

@@ -67,6 +67,21 @@ class MultimodalSpec extends SparkFunSuite {
     assert(pairs(3) == Map((1L, 2L) -> 1L))
   }
 
+  test("decodeStats agrees with decodeFeatures in exact integer form") {
+    val stats = Multimodal.decodeStats(media, "id", "payload")
+      .collect().map(s => s.id -> s).toMap
+    val feats = Multimodal.decodeFeatures(media, "id", "payload")
+      .collect().map(f => f.id -> f).toMap
+    assert(stats.keySet == feats.keySet)
+    stats.foreach { case (id, st) =>
+      assert(st.width == feats(id).width.toLong && st.height == feats(id).height.toLong)
+      val expected = if (st.bright_den == 0) 0.0 else st.bright_num.toDouble / st.bright_den
+      assert(math.abs(expected - feats(id).brightness) < 1e-12)
+    }
+    // empty payload: zero fraction, zero denominator
+    assert(stats(3L).bright_num == 0L && stats(3L).bright_den == 0L)
+  }
+
   test("decodeFeatures runs the batched stub decoder per partition") {
     val feats = Multimodal.decodeFeatures(media.repartition(2), "id", "payload")
       .collect().map(f => f.id -> f).toMap

@@ -860,6 +860,21 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q166: decode stats run through the real mapPartitions boundary, no shuffle") {
+    val p = plan("q166_decode_stats")
+    assert(p.contains("MapPartitions"),
+      s"the decode must be the batched per-partition path:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"decode is embarrassingly parallel — no join, no shuffle:\n$p")
+  }
+
+  test("q167: spike detection is two hash-aggs + a type-keyed join") {
+    val p = plan("q167_event_spikes")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"the daily agg must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
