@@ -164,7 +164,17 @@ object Explain {
                            // bounded user frame
     "q166_decode_stats",   // the real mapPartitions decode boundary —
                            // no join, no shuffle
-    "q167_event_spikes"    // daily agg → type totals → permille ratio
+    "q167_event_spikes",   // daily agg → type totals → permille ratio
+    "q168_prefix_filter_pairs", // df-ordered prefix equi-join + per-pair
+                           // array_intersect verify — exact, no product
+    "q169_copurchase_triangles", // degree-oriented wedge join + closing-
+                           // edge equi-join; per-node explode agg
+    "q170_touch_attribution", // as-of carry window + broadcast-able
+                           // first-touch frame; two model aggs
+    "q171_shipping_priority", // TPC-H Q3 shape: pushed date filters,
+                           // AQE-chosen join strategy, TakeOrdered top-10
+    "q172_returned_items", // TPC-H Q10 shape: 3 FK joins, TakeOrdered
+    "q173_promo_effect"    // TPC-H Q14 shape: one FK join, global agg
   )
 
   def main(args: Array[String]): Unit = {

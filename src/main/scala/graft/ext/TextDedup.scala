@@ -212,6 +212,72 @@ object TextDedup {
         greatest(col("containment_a_bp"), col("containment_b_bp")))
       .drop("jaccard")
 
+  /** Prefix-filtered EXACT all-pairs Jaccard self-join (AllPairs / PPJoin
+    * family — Bayardo et al., WWW 2007; Xiao et al., WWW 2008). The exact
+    * counterpart to MinHash-LSH: instead of a probabilistic candidate
+    * stage, it exploits the prefix-filter theorem — under ANY fixed global
+    * token order, two sets with J(A,B) ≥ t must share a token inside their
+    * first |X| − ⌈t·|X|⌉ + 1 tokens — so the candidate join touches only
+    * doc-frequency-ORDERED prefixes of each document's shingle set, and
+    * recall is 100% by construction (no banding S-curve, no missed pairs).
+    *
+    * Scale shape (the reason this exists next to lshCandidates):
+    *   - the global order is (df asc, shingle asc) — RAREST FIRST — so the
+    *     inverted-index join explodes on the rarest tokens of each doc; the
+    *     frequent tokens that make a naive shingle self-join quadratic
+    *     never enter the join. Stop-word-shaped skew is filtered by
+    *     construction, not by a maxDocFreq heuristic.
+    *   - the ordering is computed per-document (a window over id after one
+    *     df aggregate) — no global sort of the token universe.
+    *   - a length filter (⌈t·max⌉ ≤ min) prunes candidates before
+    *     verification; verification is one array_intersect per surviving
+    *     pair against collected shingle sets — per-pair work, no third
+    *     shuffle explosion.
+    *
+    * Output: (id_a, id_b, n_a, n_b, n_common, jaccard_bp) for EXACTLY the
+    * pairs with integer-exact Jaccard ≥ thresholdBp basis points.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int, thresholdBp: Int): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000, "thresholdBp in (0, 10000]")
+    val nPart = df.sparkSession.sparkContext.defaultParallelism
+    // one narrow row per DISTINCT (doc, shingle), spread before per-doc work
+    val ex = df
+      .repartition(nPart, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(wordShingles(tokens(col(textCol)), shingleN))).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rarest-first rank within each doc; n = |doc| from the same window pass
+    val ranked = ex.join(dfreq, "s")
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    // prefix length p = n − ⌈t·n⌉ + 1 (exact integer ceil in basis points)
+    val pref = ranked
+      .filter(col("rnk") <= col("n") - expr(s"(n * ${thresholdBp}L + 9999L) div 10000L") + 1)
+      .select(col("id"), col("n"), col("s"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          // length filter: J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)
+          least(col("a.n"), col("b.n")) * 10000L >=
+            lit(thresholdBp.toLong) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verification: exact |A∩B| per candidate pair via array_intersect
+    val sets = ex.groupBy(col("id"))
+      .agg(collect_set(col("s")).as("toks"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard_bp",
+        expr("(n_common * 10000L) div (n_a + n_b - n_common)"))
+      .filter(col("jaccard_bp") >= thresholdBp.toLong)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_bp"))
+  }
+
   /** LSH calibration curve: per exact-Jaccard decile, the fraction of true
     * pairs the MinHash-LSH candidate stage recovers — the empirical trace
     * of the banding S-curve P(candidate) = 1 − (1 − s^r)^b (Broder 1997;

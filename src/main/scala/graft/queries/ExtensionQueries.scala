@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.{AsOfJoin, LatestWins}
 import graft.table.TableLayout
 import graft.ext.{Components, Decontaminate, Graphs, Multimodal, Packing, ParagraphDedup, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
@@ -4707,6 +4708,252 @@ object ExtensionQueries {
       FROM daily d JOIN typ t USING (event_type)""")
   )
 
+  // Dedup 26: prefix-filtered EXACT all-pairs Jaccard (AllPairs/PPJoin) —
+  // the deterministic-recall counterpart to the LSH family. Corpus =
+  // documents ∪ exact re-keyed copies (every 10th) ∪ near-dup copies with
+  // two appended tokens (every 7th), so the output has both J=1.0 and
+  // J=n/(n+2) pairs. The oracle brute-forces ALL pairs; the engine runs
+  // the prefix-filter join — the prefix-filter theorem says they agree
+  // exactly, and the hash gate proves it.
+  private val q168 = Q(
+    "q168_prefix_filter_pairs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val exact = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+      val near = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", concat(col("text"), lit(" zq1 zq2")))
+      TextDedup.prefixFilterJaccardPairs(
+        docs.union(exact).union(near), "doc_id", "text",
+        shingleN = 2, thresholdBp = 8000)
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 300000, text || ' zq1 zq2' FROM documents WHERE doc_id % 7 = 0),
+      toks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        FROM corpus),
+      sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        CAST((n_common * 10000) // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_bp
+      FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE (n_common * 10000) // (sa.n + sb.n - n_common) >= 8000""")
+  )
+
+  // Graph 5: exact triangle counts + local clustering coefficient over the
+  // part co-purchase graph (parts sharing an order), via degree-ordered
+  // orientation — the O(m^1.5) classic. The oracle brute-forces the same
+  // a<b<c triangle enumeration; orientation changes the JOIN SHAPE, never
+  // the counts, which is exactly what the hash gate certifies.
+  private val q169 = Q(
+    "q169_copurchase_triangles",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x")
+        .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graphs.triangleCounts(edges, "src", "dst")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      ed AS (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT a AS node FROM ed UNION ALL SELECT b AS node FROM ed) t GROUP BY 1),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ed e1 JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+      pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+          SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+          UNION ALL SELECT z AS node FROM tri) t GROUP BY 1)
+      SELECT d.node, d.degree, COALESCE(p.n_triangles, 0) AS n_triangles,
+        CASE WHEN d.degree >= 2
+          THEN CAST((COALESCE(p.n_triangles, 0) * 20000) // (d.degree * (d.degree - 1)) AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS clustering_bp
+      FROM deg d LEFT JOIN pn p USING (node)""")
+  )
+
+  // Serving analytics 4: first-/last-touch revenue attribution — every
+  // purchase credits (a) the newest click/view at-or-before it (the as-of
+  // join, reused from q13's operator) and (b) the user's first touch ever,
+  // when it precedes the purchase; unattributable purchases land in
+  // 'none'. One as-of join + one broadcast-able per-user first-touch
+  // frame; revenue in exact integer cents.
+  private val q170 = Q(
+    "q170_touch_attribution",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val touches = LatestWins.latestRowAgg(
+        ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+            col("event_type").as("touch_type"), col("event_id")),
+        key = Seq("t_user", "t_ts"), orderCol = "event_id", tieBreak = Nil)
+        .drop("event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("cents_v"))
+      val last = AsOfJoin(purchases, touches,
+          leftKey = "user_id", rightKey = "t_user",
+          leftTime = "ts", rightTime = "t_ts", rightCols = Seq("touch_type"))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents_v")).as("revenue_cents"))
+        .withColumn("model", lit("last"))
+      val ft = touches
+        .groupBy(col("t_user").as("user_id"))
+        .agg(min(struct(col("t_ts").as("ts"), col("touch_type").as("tt"))).as("f"))
+        .select(col("user_id"), col("f.ts").as("ft_ts"), col("f.tt").as("ft_type"))
+      val first = purchases.join(ft, Seq("user_id"), "left")
+        .withColumn("touch_type",
+          when(col("ft_ts").isNotNull && col("ft_ts") <= col("ts"), col("ft_type"))
+            .otherwise(lit("none")))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents_v")).as("revenue_cents"))
+        .withColumn("model", lit("first"))
+      last.unionByName(first)
+        .select(col("model"), col("touch_type"), col("n_purchases"), col("revenue_cents"))
+    },
+    Some("""WITH t AS (SELECT user_id AS t_user, ts AS t_ts,
+          max_by(event_type, event_id) AS touch_type
+        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      p AS (SELECT user_id, ts, event_id,
+          CAST(round(value * 100, 0) AS BIGINT) AS cents_v
+        FROM events WHERE event_type = 'purchase'),
+      lt AS (SELECT p.event_id, p.cents_v, t.touch_type
+        FROM p ASOF LEFT JOIN t ON p.user_id = t.t_user AND p.ts >= t.t_ts),
+      ft AS (SELECT t_user AS user_id, min(t_ts) AS ft_ts,
+          min_by(touch_type, t_ts) AS ft_type
+        FROM t GROUP BY 1),
+      fa AS (SELECT p.event_id, p.cents_v,
+          CASE WHEN f.ft_ts IS NOT NULL AND f.ft_ts <= p.ts
+               THEN f.ft_type ELSE 'none' END AS touch_type
+        FROM p LEFT JOIN ft f USING (user_id))
+      SELECT 'last' AS model, coalesce(touch_type, 'none') AS touch_type,
+        CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(cents_v) AS BIGINT) AS revenue_cents
+      FROM lt GROUP BY 1, 2
+      UNION ALL
+      SELECT 'first' AS model, touch_type,
+        CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(cents_v) AS BIGINT) AS revenue_cents
+      FROM fa GROUP BY 1, 2""")
+  )
+
+  // OLAP classics (TPC-H shapes restated on the driver schema) — the
+  // multi-join plans a lakehouse serves daily; each leaves join-strategy
+  // choice to Catalyst/AQE (dims auto-broadcast at small SF, shuffle-join
+  // at scale) and keeps money in exact integer cents.
+
+  // TPC-H Q3 shape: shipping-priority top-10 — two FK joins, an agg, a
+  // total-ordered LIMIT (revenue desc, then date, then key).
+  private val q171 = Q(
+    "q171_shipping_priority",
+    (s, dir) => {
+      val cut = lit("1996-07-01")
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l.l_orderkey, o.o_orderdate,
+        CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY 1, 2
+      ORDER BY revenue_cents DESC, o.o_orderdate, l.l_orderkey
+      LIMIT 10""")
+  )
+
+  // TPC-H Q10 shape: returned-item report — who returned the most revenue
+  // in a quarter; three FK joins (lineitem→orders→customer→nation), top-20.
+  private val q172 = Q(
+    "q172_returned_items",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+      rev
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acctbal_cents"),
+          col("n_name"), col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c.c_custkey, c.c_name,
+        CAST(round(c.c_acctbal*100,0) AS BIGINT) AS acctbal_cents,
+        n.n_name,
+        CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1, 2, 3, 4
+      ORDER BY revenue_cents DESC, c.c_custkey
+      LIMIT 20""")
+  )
+
+  // TPC-H Q14 shape: promo-revenue share for one ship-month, in exact
+  // basis points (one conditional sum over a single FK join).
+  private val q173 = Q(
+    "q173_promo_effect",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
+      li.join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(lit(0L))).as("promo_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_cents"))
+        .withColumn("promo_bp", expr("(promo_cents * 10000L) div total_cents"))
+    },
+    Some("""SELECT
+        CAST(sum(CASE WHEN p.p_type = 'PROMO'
+          THEN CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS promo_cents,
+        CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT)) AS BIGINT) AS total_cents,
+        CAST((sum(CASE WHEN p.p_type = 'PROMO'
+          THEN CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT)
+          ELSE 0 END) * 10000)
+          // sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT)) AS BIGINT) AS promo_bp
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -4714,5 +4961,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
 }

@@ -203,6 +203,42 @@ class GraphsSpec extends SparkFunSuite {
     assert(lpRun(noisy, 2) === lpRef(twoTri, 2))
   }
 
+  test("triangleCounts: known graph, reversed/duplicate edges, pendant and square") {
+    // triangle 1-2-3, pendant 3-4, square 5-6-7-8 (no triangle); noise:
+    // reversed dup of (1,2), a self-loop, an exact dup of (5,6)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L),
+      (2L, 1L), (4L, 4L), (5L, 6L)
+    ).toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 10000L)))
+    assert(got(2L) == ((2L, 1L, 10000L)))
+    assert(got(3L) == ((3L, 1L, 3333L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+    for (n <- 5L to 8L) assert(got(n) == ((2L, 0L, 0L)), s"square node $n")
+    assert(got.size == 8)
+  }
+
+  test("triangleCounts equals the brute-force model on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(120)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val es = raw.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val nbr = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val want = nbr.map { case (n, ns) =>
+      val nsq = ns.toSeq
+      val tri = (for { a <- nsq; b <- nsq if a < b && nbr(a).contains(b) } yield 1).size.toLong
+      val d = ns.size.toLong
+      n -> ((d, tri, if (d >= 2) tri * 20000L / (d * (d - 1)) else 0L))
+    }
+    val got = Graphs.triangleCounts(raw.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
   test("lpRound plan: join + two hash aggregates, no window, no product join") {
     val p = Graphs.lpRoundPlanFrame(twoTri.toDF("src", "dst"), "src", "dst")
       .queryExecution.executedPlan.toString

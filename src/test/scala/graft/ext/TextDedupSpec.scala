@@ -85,6 +85,39 @@ class TextDedupSpec extends SparkFunSuite {
     assert(r.getDouble(5) == 1.0) // both docs' sub-cap sets are exactly {"alpha beta", "beta of"}
   }
 
+  test("prefixFilterJaccardPairs: exact dup at 10000 bp, sub-threshold pairs pruned") {
+    val pairs = TextDedup.prefixFilterJaccardPairs(docs, "id", "text", 2, thresholdBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(pairs((1L, 2L)) == 10000L)
+    // (1,3) share 2 of 4 distinct shingles → J = 2/4 = 5000 bp < 8000 → pruned
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("prefixFilterJaccardPairs is EXACT: equals brute-force all-pairs on random corpora") {
+    val rnd   = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (1L to 40L).map { id =>
+      val n = 3 + rnd.nextInt(8)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = corpus.toDF("id", "text")
+    for (t <- Seq(3000, 5000, 8000)) {
+      val got = TextDedup.prefixFilterJaccardPairs(df, "id", "text", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+      // brute-force model: distinct 2-gram shingle sets, all pairs
+      val sets = corpus.map { case (id, text) =>
+        id -> text.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size if inter > 0
+        bp = inter.toLong * 10000L / (sa.size + sb.size - inter).toLong if bp >= t
+      } yield (ia, ib) -> bp).toMap
+      assert(got == want, s"threshold $t")
+    }
+  }
+
   test("simhash32: identical text → distance 0; different text → > 0") {
     val sh = TextDedup.simhash32(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -875,6 +875,48 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the daily agg must map-side combine:\n$p")
   }
 
+  test("q168: prefix-filter join stays an equi-join; verification is per-pair array_intersect") {
+    val p = plan("q168_prefix_filter_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the candidate stage must be an equi-join on the prefix token:\n$p")
+    assert(p.contains("array_intersect"),
+      s"verification must be per-pair set intersection, not a third shuffle join:\n$p")
+  }
+
+  test("q169: triangle enumeration is wedge + closing-edge equi-joins, never a product") {
+    val p = plan("q169_copurchase_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closing joins must stay equi-joins:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no rank window belongs in triangle counting:\n$p")
+  }
+
+  test("q170: last-touch is the as-of carry window; aggs map-side combine") {
+    val p = plan("q170_touch_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("last("), s"as-of must be the carry-forward window:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"attribution aggs must map-side combine:\n$p")
+  }
+
+  test("q171/q172: top-k fuses into TakeOrderedAndProject (no global sort)") {
+    val p1 = plan("q171_shipping_priority")
+    assert(p1.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p1")
+    assert(p1.contains("PushedFilters") && p1.contains("GreaterThan(l_shipdate"),
+      s"the ship-date filter must reach the lineitem scan:\n$p1")
+    val p2 = plan("q172_returned_items")
+    assert(p2.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p2")
+    assert(p2.contains("EqualTo(l_returnflag,R)"),
+      s"the returnflag filter must reach the lineitem scan:\n$p2")
+  }
+
+  test("q173: promo share is one partial+final agg over the FK join") {
+    val p = plan("q173_promo_effect")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"the conditional sums must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
