@@ -510,6 +510,35 @@ object ScaleProbe {
           .select(col("doc_id"), col("ttr_bp"))
         val scored = docsAt(m).select(col("doc_id"), col("source")).join(sc, "doc_id")
         Sampling.scorePercentile(scored, "source", "ttr_bp").count()
+      },
+      // exact prefix-filter all-pairs join: replicas of one base doc are
+      // TRUE near-dups of each other (they differ by one replica tag), so
+      // the true-pair count itself grows ~m² per doc group — the probe
+      // certifies that candidate+verify work tracks the TRUE pairs, while
+      // the frequent-shingle mass (df-ordered out of every prefix) never
+      // re-enters the join as the corpus grows
+      "prefix_filter_pairs" -> (m =>
+        TextDedup.prefixFilterJaccardPairs(docsAt(m), "doc_id", "text",
+          shingleN = 2, thresholdBp = 8000).count()),
+      // triangle counting under worst-case degree skew: m disjoint copies
+      // of the co-purchase graph PLUS one hub adjacent to every part
+      // (deg(hub) = 20k·m). Degree-ordered orientation must keep the hub
+      // wedge-free (all its edges point IN), so growth tracks the edge
+      // count, never deg(hub)²
+      "triangles_hub" -> { m =>
+        val li = (0 until m).map { r =>
+          Tables.lineitem(spark, sfDir)
+            .select((col("l_orderkey") + lit(r * 100000000L)).as("o"),
+              (col("l_partkey") + lit(r * 10000000L)).as("p"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .distinct()
+        val edges = li.as("x")
+          .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+        val hub = li.select(col("p").as("src")).distinct()
+          .withColumn("dst", lit(-1L))
+        graft.ext.Graphs.triangleCounts(edges.unionByName(hub), "src", "dst").count()
       }
     )
 
