@@ -174,7 +174,11 @@ object Explain {
     "q171_shipping_priority", // TPC-H Q3 shape: pushed date filters,
                            // AQE-chosen join strategy, TakeOrdered top-10
     "q172_returned_items", // TPC-H Q10 shape: 3 FK joins, TakeOrdered
-    "q173_promo_effect"    // TPC-H Q14 shape: one FK join, global agg
+    "q173_promo_effect",   // TPC-H Q14 shape: one FK join, global agg
+    "q174_bootstrap_ci",   // Poisson-bootstrap explode collapses map-side;
+                           // only B partials/partition shuffle; B-row rank
+    "q175_calibration"     // one hash-agg reliability diagram over the
+                           // literal-weight scored projection
   )
 
   def main(args: Array[String]): Unit = {

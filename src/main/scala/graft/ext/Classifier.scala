@@ -208,4 +208,27 @@ object Classifier {
         when(col("tp") + col("fn") > 0, expr("tp * 10000 div (tp + fn)"))
           .otherwise(0L).as("recall_bp"))
   }
+
+  /** Reliability diagram over equal-width probability bins — per bin the
+    * mean predicted probability (confidence) vs the empirical positive
+    * rate (accuracy), the gap whose n-weighted sum is the Expected
+    * Calibration Error (Guo et al., ICML 2017). One hash-aggregate over
+    * the scored frame; everything in exact integer ppm so an external
+    * engine replays it bit-for-bit.
+    *
+    * Input: a [[lrScore]]-shaped frame with `y` ∈ {0,1} and `p_ppm`.
+    * Output: (bin, n, conf_ppm, acc_ppm, gap_ppm), bin = ⌊p·bins⌋ clamped
+    * to bins−1.
+    */
+  def calibrationBins(scored: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val width = 1000000L / bins
+    scored
+      .groupBy(least(expr(s"p_ppm div ${width}L"), lit((bins - 1).toLong)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p_ppm")).as("__sp"), sum(col("y")).as("__sy"))
+      .select(col("bin"), col("n"),
+        expr("__sp div n").as("conf_ppm"),
+        expr("(__sy * 1000000L) div n").as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+  }
 }

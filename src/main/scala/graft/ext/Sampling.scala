@@ -410,6 +410,68 @@ object Sampling {
     * Weights must be positive; ties break on priority then key. Output:
     * the input columns plus `priority`.
     */
+  /** Integer Poisson(1) thresholds in the 16-bit hash space: cumulative
+    * ⌊65536·P(W ≤ k)⌋ for k = 0..6 — shared by the Spark expression and
+    * (verbatim) the DuckDB oracle, so the weight draw is engine-exact.
+    */
+  private[graft] val Pois1Cdf16: Seq[Long] =
+    Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L)
+
+  /** Deterministic Poisson(1) weight for one (replicate, key) pair, by
+    * inverse-CDF lookup on the 16-bit key hash. Mass above the last
+    * threshold (≈ 9e-5) truncates to 7 — identically in both engines.
+    */
+  private[graft] def poissonWeight(h: Column): Column =
+    Pois1Cdf16.zipWithIndex.foldRight(lit(7L): Column) {
+      case ((t, k), rest) => when(h < t, lit(k.toLong)).otherwise(rest)
+    }
+
+  /** Poisson-bootstrap confidence interval for a mean — the resampling
+    * scheme that actually runs at corpus scale (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): instead of B
+    * materialized with-replacement resamples (B·n rows shuffled), every row
+    * draws an independent Poisson(1) multiplicity per replicate from its own
+    * key hash, and each replicate's mean is Σw·x / Σw. The explode is a
+    * pure projection; partial aggregation collapses it map-side, so only
+    * B partial rows per input partition ever shuffle — no resample is
+    * materialized, no row leaves its partition.
+    *
+    * Everything is exact-integer: the weight comes from an integer
+    * inverse-CDF on the 16-bit hash, replicate means are computed in
+    * permille with floor division, and the CI bounds are rank statistics
+    * (rank ⌈α·B⌉ and ⌈(1−α)·B⌉ over (mean, replicate) — a total order).
+    *
+    * Output: one row (n_reps, point_permille, lo_permille, hi_permille).
+    */
+  def poissonBootstrapCI(df: DataFrame, keyCol: String, valueCol: String,
+                         reps: Int, alphaBp: Int = 250): DataFrame = {
+    require(reps > 1, "reps must be > 1")
+    require(alphaBp > 0 && alphaBp < 5000, "alphaBp in (0, 5000)")
+    val loRank = (alphaBp * reps + 9999) / 10000          // ⌈α·B⌉
+    val hiRank = ((10000 - alphaBp) * reps + 9999) / 10000 // ⌈(1−α)·B⌉
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_permille"), col("__b"))
+    val rep = df
+      .select(col(keyCol).cast("string").as("__k"), col(valueCol).cast("long").as("__x"))
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", poissonWeight(
+        hashBucket16(concat(col("__b").cast("string"), lit("|"), col("__k")))))
+    val means = rep.groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__x")).as("__wx"), sum(col("__w")).as("__ws"))
+      .withColumn("mean_permille", expr("(__wx * 1000L) div __ws"))
+    // B rows total — the global rank window is driver-scale by construction
+    val ranked = means
+      .withColumn("__rnk", row_number().over(W))
+      .filter(col("__rnk") === loRank || col("__rnk") === hiRank)
+      .agg(min(col("mean_permille")).as("lo_permille"),
+        max(col("mean_permille")).as("hi_permille"))
+    val point = df.agg(
+      expr(s"(sum(CAST($valueCol AS BIGINT)) * 1000L) div count(1)").as("point_permille"))
+    point.crossJoin(ranked).select(
+      lit(reps.toLong).as("n_reps"), col("point_permille"),
+      col("lo_permille"), col("hi_permille"))
+  }
+
   def prioritySample(df: DataFrame, strataCol: String, keyCol: String,
                      weightCol: String, k: Int, shards: Int = 16): DataFrame = {
     require(k > 0, "k must be positive")

@@ -4954,6 +4954,65 @@ object ExtensionQueries {
         AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""")
   )
 
+  // Eval stats 1: Poisson-bootstrap CI for the corpus mean doc length —
+  // the resampling scheme that runs at corpus scale (no resample is ever
+  // materialized; every row draws a deterministic Poisson(1) multiplicity
+  // per replicate from its own hash). B=64 replicates, 95% rank CI,
+  // everything exact-integer so the oracle replays it bit-for-bit.
+  private val q174 = Q(
+    "q174_bootstrap_ci",
+    (s, dir) =>
+      Sampling.poissonBootstrapCI(Tables.documents(s, dir),
+        keyCol = "doc_id", valueCol = "n_chars", reps = 64),
+    Some(s"""WITH rep AS (SELECT t.b, doc_id, n_chars,
+        ${TrainingQueries.md5Bucket16Sql("(CAST(t.b AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents, UNNEST(range(0, 64)) AS t(b)),
+      w AS (SELECT b, n_chars,
+          CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1
+               WHEN h < 60273 THEN 2 WHEN h < 64291 THEN 3
+               WHEN h < 65296 THEN 4 WHEN h < 65497 THEN 5
+               WHEN h < 65530 THEN 6 ELSE 7 END AS w
+        FROM rep),
+      m AS (SELECT b, (sum(w * n_chars) * 1000) // sum(w) AS mean_permille
+        FROM w GROUP BY 1),
+      r AS (SELECT b, mean_permille,
+          row_number() OVER (ORDER BY mean_permille, b) AS rnk FROM m),
+      ci AS (SELECT min(mean_permille) AS lo, max(mean_permille) AS hi
+        FROM r WHERE rnk IN (2, 63)),
+      pt AS (SELECT (sum(n_chars) * 1000) // count(*) AS point FROM documents)
+      SELECT CAST(64 AS BIGINT) AS n_reps,
+        CAST(pt.point AS BIGINT) AS point_permille,
+        CAST(ci.lo AS BIGINT) AS lo_permille,
+        CAST(ci.hi AS BIGINT) AS hi_permille
+      FROM pt, ci""")
+  )
+
+  // Eval stats 2: reliability diagram of the q124 quality classifier —
+  // per probability decile, mean predicted probability (confidence) vs
+  // empirical positive rate; the per-bin gap is the ECE integrand (Guo et
+  // al. 2017). One hash-aggregate over the scored frame; the oracle
+  // replays the whole training chain and the binning in exact ppm.
+  private val q175 = Q(
+    "q175_calibration",
+    (s, dir) => {
+      val corpus = graft.ext.Classifier.weakLabelCorpus(
+        docsSpread(s, dir), "doc_id", "text")
+      val feats = graft.ext.Classifier.lrFeatures(
+        corpus, "doc_id", "text", col("y") === 1L)
+      val scored = graft.ext.Classifier.lrScore(
+        feats, "doc_id", QueryCaches.lrWeightsFor(s, dir))
+      graft.ext.Classifier.calibrationBins(scored, bins = 10)
+    },
+    Some(s"""WITH ${lrTrainCtes(lrIters, 100)},
+      scored AS (SELECT f.y, ${lrPSql("w", "f")} AS p_ppm FROM feats f, wf w),
+      b AS (SELECT least(p_ppm // 100000, 9) AS bin, y, p_ppm FROM scored)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(p_ppm) // count(*) AS BIGINT) AS conf_ppm,
+        CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS acc_ppm,
+        CAST(abs(sum(p_ppm) // count(*) - (sum(y) * 1000000) // count(*)) AS BIGINT) AS gap_ppm
+      FROM b GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -4961,5 +5020,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175)
 }

@@ -85,6 +85,52 @@ class ClassifierSpec extends SparkFunSuite {
     assert(curve.toSeq == Seq((2L, 1L, 0L, 1L, 6666L, 10000L)))
   }
 
+  test("calibrationBins: exact ppm bins, clamp at the top bin") {
+    val scored = Seq(
+      (1L, 1L, 950000L), (2L, 0L, 980000L),  // bin 9
+      (3L, 1L, 1000000L),                     // p=1.0 clamps into bin 9
+      (4L, 0L, 120000L), (5L, 0L, 140000L),  // bin 1
+      (6L, 1L, 50000L)                        // bin 0
+    ).toDF("id", "y", "p_ppm")
+    val got = Classifier.calibrationBins(scored, bins = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // bin 9: n=3, conf=(950000+980000+1000000)/3=976666, acc=2/3=666666
+    assert(got(9L) == ((3L, 976666L, 666666L, 310000L)))
+    assert(got(1L) == ((2L, 130000L, 0L, 130000L)))
+    assert(got(0L) == ((1L, 50000L, 1000000L, 950000L)))
+    assert(got.size == 3)
+  }
+
+  test("poissonBootstrapCI matches an md5-replaying model and brackets the point") {
+    val df = (1L to 200L).map(i => (i, 10L + (i % 17L))).toDF("doc_id", "v")
+    val out = Sampling.poissonBootstrapCI(df, "doc_id", "v", reps = 16).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (nReps, point, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nReps == 16L)
+    assert(lo <= point && point <= hi, s"CI [$lo, $hi] must bracket point $point")
+    // exact replay: same md5-derived Poisson weights, same rank statistics
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cdf = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L)
+    def w(h: Long): Long = cdf.indexWhere(h < _) match { case -1 => 7L; case k => k.toLong }
+    val means = (0 until 16).map { b =>
+      val (wx, ws) = (1L to 200L).foldLeft((0L, 0L)) { case ((ax, as), i) =>
+        val wi = w(h16(s"$b|$i"))
+        (ax + wi * (10L + (i % 17L)), as + wi)
+      }
+      (wx * 1000L / ws, b.toLong)
+    }.sorted
+    assert(lo == means(0)._1, "lo must be the rank-⌈0.025·16⌉=1 statistic")
+    assert(hi == means(15)._1, "hi must be the rank-⌈0.975·16⌉=16 statistic")
+    val expectedPoint = (1L to 200L).map(i => 10L + (i % 17L)).sum * 1000L / 200L
+    assert(point == expectedPoint)
+  }
+
   test("epochShuffle: dense per-shard positions, epoch-distinct order") {
     val ids = (0L until 64L).toDF("id")
     val out = Packing.epochShuffle(ids, "id", Seq(1, 2)).persist()

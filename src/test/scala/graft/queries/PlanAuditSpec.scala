@@ -917,6 +917,27 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the conditional sums must map-side combine:\n$p")
   }
 
+  test("q174: bootstrap explode collapses map-side; no resample is materialized") {
+    val p = plan("q174_bootstrap_ci")
+    assert(p.contains("Generate explode"),
+      s"replicates must come from an explode projection, not a join:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"replicate means must partial-aggregate before shuffling:\n$p")
+    // the only join in the plan is the final 1-row × 1-row CI attach —
+    // a nested-loop there is fine; what must NOT appear is a join with
+    // the exploded corpus on either side
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized join belongs in the bootstrap:\n$p")
+  }
+
+  test("q175: reliability diagram is one partial+final agg over a literal-weight projection") {
+    val p = plan("q175_calibration")
+    assert(p.split("HashAggregate").length >= 3,
+      s"bin aggregate must map-side combine:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in the binning:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
