@@ -177,8 +177,12 @@ object Explain {
     "q173_promo_effect",   // TPC-H Q14 shape: one FK join, global agg
     "q174_bootstrap_ci",   // Poisson-bootstrap explode collapses map-side;
                            // only B partials/partition shuffle; B-row rank
-    "q175_calibration"     // one hash-agg reliability diagram over the
+    "q175_calibration",    // one hash-agg reliability diagram over the
                            // literal-weight scored projection
+    "q176_bbit_minhash",   // band equi-join candidates + two low-bit
+                           // lookup joins on the memoized signatures
+    "q177_shard_balance"   // histogram offsets + per-size-class windows —
+                           // global ranks with no global sort
   )
 
   def main(args: Array[String]): Unit = {

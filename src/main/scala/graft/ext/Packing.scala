@@ -124,6 +124,42 @@ object Packing {
         col("shard"), col("pos"))
   }
 
+  /** Size-balanced round-robin output sharding: rank every row by
+    * (size desc, id) and deal rank r to shard r mod k — the static
+    * balancing scheme whose worst shard exceeds the mean by at most one
+    * max-size row (the LPT-style guarantee training-shard writers rely
+    * on, vs hash sharding's √-law skew).
+    *
+    * The global rank is computed WITHOUT a global single-partition window:
+    * a size histogram (one hash-agg) gets cumulative offsets over its
+    * |distinct sizes|-row spine, each row adds its offset to a rank
+    * WITHIN its size class (a per-size window — parallel across sizes),
+    * exactly the histogram-first decomposition of q153/q160/q165. The
+    * one caveat inherent to the scheme: a size class is one window
+    * partition, so a corpus where half the rows share one exact size
+    * sorts that class in one task — token counts at corpus scale are
+    * spread enough that classes stay executor-sized.
+    *
+    * Output: one row per input row — (idCol, sizeCol, rank, shard).
+    */
+  def roundRobinShards(df: DataFrame, idCol: String, sizeCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hist = df.groupBy(col(sizeCol)).agg(count(lit(1)).as("__n"))
+    val wCum = Window.orderBy(col(sizeCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("__before", coalesce(sum(col("__n")).over(wCum), lit(0L)))
+      .select(col(sizeCol), col("__before"))
+    val wIn = Window.partitionBy(col(sizeCol)).orderBy(col(idCol))
+    df.select(col(idCol), col(sizeCol))
+      .join(offsets, Seq(sizeCol))
+      .withColumn("rank",
+        col("__before") + row_number().over(wIn).cast("long") - 1L)
+      .withColumn("shard", pmod(col("rank"), lit(k.toLong)))
+      .select(col(idCol), col(sizeCol), col("rank"), col("shard"))
+  }
+
   /** Packing-yield telemetry over [[packSequences]] — the report a
     * training-data pipeline publishes beside its packed shards: how full
     * the context windows are and how badly documents fragment across

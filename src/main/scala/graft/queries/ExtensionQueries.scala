@@ -5013,6 +5013,61 @@ object ExtensionQueries {
       FROM b GROUP BY 1""")
   )
 
+  // Dedup 27: b-bit minhash estimates (Li & König 2010) over the q23
+  // candidate pairs — only the lowest 2 bits of each of the 8 minhashes
+  // survive (16× signature compression), and the collision rate is
+  // unbiased analytically in exact basis points. The storage-scale form
+  // of the dedup index; reuses the memoized signature frame.
+  private val q176 = Q(
+    "q176_bbit_minhash",
+    (s, dir) => TextDedup.bBitEstimates(
+      sigCacheFor(s, dir), "doc_id", k = 8, rowsPerBand = 2, b = 2),
+    Some {
+      def nib(side: String, i: Int) =
+        s"(strpos('0123456789abcdef', substr($side.sig$i, 32, 1)) - 1) % 4"
+      val mSum = (0 until 8)
+        .map(i => s"(CASE WHEN ${nib("a", i)} = ${nib("b", i)} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $toksCte,
+      $shinglesFromToks,
+      sigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs),
+      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b,
+        CAST($mSum AS BIGINT) AS m_low,
+        CAST((greatest(($mSum) * 4 - 8, 0) * 10000) // 24 AS BIGINT) AS est_bp
+      FROM pairs JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id"""
+    }
+  )
+
+  // Packing 5: size-balanced round-robin training shards — rank by
+  // (token count desc, id), deal rank r to shard r mod 8. The oracle
+  // replays the FULL permutation, certifying the rank decomposition
+  // (histogram offsets + per-size-class windows, never a global
+  // single-partition sort) produces exactly the global-sort ranks.
+  private val q177 = Q(
+    "q177_shard_balance",
+    (s, dir) => {
+      val sz = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextDedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      Packing.roundRobinShards(sz, "doc_id", "n_tokens", k = 8)
+    },
+    Some(s"""WITH $toksCte,
+      sz AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+      r AS (SELECT doc_id, n_tokens,
+        CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS rank
+        FROM sz)
+      SELECT doc_id, n_tokens, rank, CAST(rank % 8 AS BIGINT) AS shard FROM r""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5020,5 +5075,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
 }

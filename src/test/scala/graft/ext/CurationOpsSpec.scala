@@ -368,4 +368,18 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(out(2L) == ((4L, 4L, 0L)))
     assert(out(3L) == ((0L, 0L, 0L)))
   }
+
+  test("roundRobinShards ranks exactly like a global sort and deals r mod k") {
+    val rnd  = new scala.util.Random(5)
+    val rows = (1L to 97L).map(i => (i, 10L + rnd.nextInt(6).toLong)) // heavy size ties
+    val got = Packing.roundRobinShards(rows.toDF("id", "sz"), "id", "sz", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val want = rows.sortBy { case (id, sz) => (-sz, id) }.zipWithIndex
+      .map { case ((id, _), r) => id -> ((r.toLong, r.toLong % 4L)) }.toMap
+    assert(got == want)
+    // balance: shard totals differ by at most one max-size row
+    val totals = rows.map { case (id, sz) => (want(id)._2, sz) }
+      .groupBy(_._1).values.map(_.map(_._2).sum)
+    assert(totals.max - totals.min <= 15L)
+  }
 }

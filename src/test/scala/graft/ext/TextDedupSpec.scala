@@ -118,6 +118,29 @@ class TextDedupSpec extends SparkFunSuite {
     }
   }
 
+  test("bBitEstimates: exact dup estimates 10000 bp; sub-floor collision clamps to 0") {
+    val sigs = TextDedup.minhashSignatures(docs, "id", "text", k = 8, shingleN = 2)
+    val est = TextDedup.bBitEstimates(sigs, "id", k = 8, rowsPerBand = 2, b = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(est((1L, 2L)) == ((8L, 10000L))) // identical sigs → all low bits match
+    // clamp path: a crafted pair band-matches on (sig0, sig1) but the low
+    // bits of the other six signatures all differ → m=2, 2·4−8=0 → 0 bp
+    val fake = Seq(
+      Seq(1L) ++ Seq.fill(8)("0" * 32),
+      Seq(2L) ++ Seq("0" * 32, "0" * 32) ++ Seq.fill(6)("0" * 31 + "1")
+    )
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType) +:
+        (0 until 8).map(i => org.apache.spark.sql.types.StructField(s"sig$i",
+          org.apache.spark.sql.types.StringType)))
+    val fakeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(fake.map(org.apache.spark.sql.Row.fromSeq)), schema)
+    val clamp = TextDedup.bBitEstimates(fakeDf, "id", k = 8, rowsPerBand = 2, b = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(clamp((1L, 2L)) == ((2L, 0L)))
+  }
+
   test("simhash32: identical text → distance 0; different text → > 0") {
     val sh = TextDedup.simhash32(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

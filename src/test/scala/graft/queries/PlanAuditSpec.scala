@@ -938,6 +938,24 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no window belongs in the binning:\n$p")
   }
 
+  test("q176: b-bit estimates stay on equi-joins over the signature frame") {
+    val p = plan("q176_bbit_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate and lookup joins must be equi-joins:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in the estimator:\n$p")
+  }
+
+  test("q177: global ranks come from histogram offsets, never a global single-partition sort") {
+    val p = plan("q177_shard_balance")
+    // two windows appear: the |distinct sizes|-row cumulative spine and the
+    // per-size-class rank — but the corpus-sized one must be PARTITIONED
+    assert(p.contains("windowspecdefinition(n_tokens#"),
+      s"the corpus rank window must partition by the size class:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the size histogram must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
