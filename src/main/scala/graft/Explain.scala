@@ -181,8 +181,12 @@ object Explain {
                            // literal-weight scored projection
     "q176_bbit_minhash",   // band equi-join candidates + two low-bit
                            // lookup joins on the memoized signatures
-    "q177_shard_balance"   // histogram offsets + per-size-class windows —
+    "q177_shard_balance",  // histogram offsets + per-size-class windows —
                            // global ranks with no global sort
+    "q178_pareto_front",   // histogram-decomposed 2-D skyline: level agg
+                           // + spine running-min + join-back, no O(n²)
+    "q179_shard_stability" // mod vs rendezvous relocation audit — pure
+                           // projections + one global aggregate
   )
 
   def main(args: Array[String]): Unit = {

@@ -410,6 +410,52 @@ object Sampling {
     * Weights must be positive; ties break on priority then key. Output:
     * the input columns plus `priority`.
     */
+  /** 2-D Pareto front (skyline): the rows not dominated under (maximize
+    * `maximizeCol`, minimize `minimizeCol`) — the curation frontier
+    * "best quality at every cost level" selection. A row is dominated iff
+    * some other row is ≥ in the maximized dimension, ≤ in the minimized
+    * one, and strictly better in at least one.
+    *
+    * Never the naive quadratic dominance join: one histogram aggregate
+    * per maximize-level (min of the minimized column), a running min over
+    * the |distinct levels|-row spine (strictly-higher levels only), and a
+    * join-back. A row survives iff it achieves its level's min AND beats
+    * every strictly better level's best — the exact 2-D skyline, with
+    * ties kept (equal (q, t) rows don't dominate each other).
+    */
+  def paretoFront(df: DataFrame, idCol: String,
+                  maximizeCol: String, minimizeCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(maximizeCol)).agg(min(col(minimizeCol)).as("__mt"))
+    val wAbove = W.orderBy(col(maximizeCol).desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val spine = hist.withColumn("__above", min(col("__mt")).over(wAbove))
+    df.join(spine, Seq(maximizeCol))
+      .filter(col(minimizeCol) === col("__mt") &&
+        (col("__above").isNull || col(minimizeCol) < col("__above")))
+      .select(col(idCol), col(maximizeCol), col(minimizeCol))
+  }
+
+  /** Rendezvous (highest-random-weight) shard for a key: argmax over
+    * shard candidates j < k of the 16-bit hash of `key|j`, ties to the
+    * smallest j (a deterministic CASE-order rule both engines share).
+    * Unlike `hash % k`, growing k to k+1 relocates only the keys the NEW
+    * shard wins — ~1/(k+1) of them — instead of ~k/(k+1); this is the
+    * sharding that lets a 100 TB keyed layout add capacity without
+    * rewriting everything (Thaler-Ravishankar HRW).
+    */
+  def rendezvousShard(key: Column, k: Int): Column = {
+    require(k > 1, "k must be > 1")
+    val hs = (0 until k).map(j =>
+      hashBucket16(concat(key.cast("string"), lit(s"|$j"))))
+    val mx = greatest(hs: _*)
+    hs.zipWithIndex.tail
+      .foldLeft(when(hs.head === mx, 0L)) { case (acc, (h, j)) =>
+        acc.when(h === mx, j.toLong)
+      }
+      .otherwise(lit((k - 1).toLong))
+  }
+
   /** Integer Poisson(1) thresholds in the 16-bit hash space: cumulative
     * ⌊65536·P(W ≤ k)⌋ for k = 0..6 — shared by the Spark expression and
     * (verbatim) the DuckDB oracle, so the weight draw is engine-exact.

@@ -5068,6 +5068,81 @@ object ExtensionQueries {
       SELECT doc_id, n_tokens, rank, CAST(rank % 8 AS BIGINT) AS shard FROM r""")
   )
 
+  // Curation 8: the quality/cost Pareto front — docs not dominated under
+  // (maximize type-token ratio, minimize token count). Histogram-
+  // decomposed 2-D skyline: a per-level min, a running min over the level
+  // spine, a join-back — never the quadratic dominance join.
+  private val q178 = Q(
+    "q178_pareto_front",
+    (s, dir) => {
+      val q = TextStats.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("ttr_bp"), col("n_tokens"))
+      Sampling.paretoFront(q, "doc_id", "ttr_bp", "n_tokens")
+    },
+    Some(s"""WITH $toksCte,
+      q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(CASE WHEN len(w) > 0
+          THEN (len(list_distinct(w)) * 10000) // len(w) ELSE 0 END AS BIGINT) AS ttr_bp
+        FROM toks),
+      h AS (SELECT ttr_bp, min(n_tokens) AS mt FROM q GROUP BY 1),
+      sp AS (SELECT ttr_bp, mt, min(mt) OVER (ORDER BY ttr_bp DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS above FROM h)
+      SELECT q.doc_id, q.ttr_bp, q.n_tokens
+      FROM q JOIN sp USING (ttr_bp)
+      WHERE q.n_tokens = sp.mt AND (sp.above IS NULL OR q.n_tokens < sp.above)""")
+  )
+
+  // Layout 4: shard-stability audit — what fraction of keys RELOCATE when
+  // the shard count grows 8 → 9, mod-hash vs rendezvous (HRW). The
+  // measured argument for consistent placement at 100 TB: mod moves ~8/9
+  // of all keys, HRW only the ~1/9 the new shard wins. Pure projections +
+  // one global aggregate.
+  private val q179 = Q(
+    "q179_shard_stability",
+    (s, dir) => {
+      val h = Sampling.hashBucket16(col("doc_id"))
+      val shards = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("m8", pmod(h, lit(8L))).withColumn("m9", pmod(h, lit(9L)))
+        .withColumn("r8", Sampling.rendezvousShard(col("doc_id"), 8))
+        .withColumn("r9", Sampling.rendezvousShard(col("doc_id"), 9))
+      val agg = shards.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("m8") =!= col("m9"), 1L).otherwise(0L)).as("mod_moved"),
+        sum(when(col("r8") =!= col("r9"), 1L).otherwise(0L)).as("hrw_moved"))
+      agg.select(lit("mod").as("scheme"), col("n").as("n_keys"),
+          col("mod_moved").as("n_moved"),
+          expr("(mod_moved * 10000L) div n").as("moved_bp"))
+        .unionByName(agg.select(lit("rendezvous").as("scheme"),
+          col("n").as("n_keys"), col("hrw_moved").as("n_moved"),
+          expr("(hrw_moved * 10000L) div n").as("moved_bp")))
+    },
+    Some {
+      def hj(j: Int) =
+        TrainingQueries.md5Bucket16Sql(s"(CAST(doc_id AS VARCHAR) || '|$j')")
+      def hrwCase(k: Int) = {
+        val g = (0 until k).map(i => s"h$i").mkString("greatest(", ", ", ")")
+        (0 until k).map(i => s"WHEN h$i = $g THEN $i").mkString("CASE ", " ", s" ELSE ${k - 1} END")
+      }
+      s"""WITH hs AS (SELECT doc_id,
+        ${TrainingQueries.md5Bucket16Sql("doc_id")} AS h,
+        ${(0 until 9).map(j => s"${hj(j)} AS h$j").mkString(",\n        ")}
+        FROM documents),
+      r AS (SELECT doc_id, h % 8 AS m8, h % 9 AS m9,
+          ${hrwCase(8)} AS r8,
+          ${hrwCase(9)} AS r9
+        FROM hs),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+          CAST(sum(CASE WHEN r8 <> r9 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved
+        FROM r)
+      SELECT 'mod' AS scheme, n AS n_keys, mod_moved AS n_moved,
+        CAST((mod_moved * 10000) // n AS BIGINT) AS moved_bp FROM a
+      UNION ALL
+      SELECT 'rendezvous' AS scheme, n AS n_keys, hrw_moved AS n_moved,
+        CAST((hrw_moved * 10000) // n AS BIGINT) AS moved_bp FROM a"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5075,5 +5150,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
 }

@@ -222,4 +222,44 @@ class TrainingOpsSpec extends SparkFunSuite {
       Map("heavy" -> 8500), defaultBp = 0).count()
     assert(out("heavy")._5 == admittedHeavy)
   }
+
+  test("paretoFront equals the brute-force dominance model, keeps ties, drops dominated") {
+    val rnd  = new scala.util.Random(13)
+    val rows = (1L to 80L).map(i => (i, rnd.nextInt(6).toLong, rnd.nextInt(10).toLong))
+    val got = Sampling.paretoFront(rows.toDF("id", "q", "t"), "id", "q", "t")
+      .collect().map(r => r.getLong(0)).toSet
+    def dominated(a: (Long, Long, Long)) = rows.exists { b =>
+      b._1 != a._1 && b._2 >= a._2 && b._3 <= a._3 && (b._2 > a._2 || b._3 < a._3)
+    }
+    val want = rows.filterNot(dominated).map(_._1).toSet
+    assert(got == want)
+    // equal (q, t) twins both survive
+    val twins = Seq((1L, 5L, 1L), (2L, 5L, 1L), (3L, 4L, 2L)).toDF("id", "q", "t")
+    val tw = Sampling.paretoFront(twins, "id", "q", "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(tw == Set(1L, 2L))
+  }
+
+  test("rendezvousShard: in-range, md5-replayable, and stable under k -> k+1") {
+    val keys = (1L to 300L).toDF("id")
+    val out = keys.select(col("id"),
+        Sampling.rendezvousShard(col("id"), 8).as("r8"),
+        Sampling.rendezvousShard(col("id"), 9).as("r9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, r8, r9) => r8 >= 0 && r8 < 8 && r9 >= 0 && r9 < 9 })
+    // exact md5 replay of the argmax-with-smallest-j rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    def hrw(id: Long, k: Int): Long = {
+      val hs = (0 until k).map(j => h16(s"$id|$j"))
+      hs.indexOf(hs.max).toLong
+    }
+    assert(out.forall { case (id, r8, r9) => r8 == hrw(id, 8) && r9 == hrw(id, 9) })
+    // the HRW guarantee: a key moves iff the NEW shard wins it — so the
+    // only moves are to shard 8, and far fewer keys move than under mod
+    assert(out.forall { case (_, r8, r9) => r8 == r9 || r9 == 8L })
+    val moved = out.count { case (_, r8, r9) => r8 != r9 }
+    assert(moved < 300 / 4, s"HRW moved $moved of 300 — expected ~1/9")
+  }
 }

@@ -956,6 +956,21 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the size histogram must map-side combine:\n$p")
   }
 
+  test("q178: skyline is histogram + spine window + join-back, never a dominance product") {
+    val p = plan("q178_pareto_front")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no quadratic dominance join belongs in the skyline:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the level histogram must map-side combine:\n$p")
+  }
+
+  test("q179: shard-stability audit is projections + one aggregate, no join, no window") {
+    val p = plan("q179_shard_stability")
+    assert(!p.contains("windowspecdefinition"), s"no window belongs here:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"per-key shard math is a projection, not a join:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
