@@ -185,8 +185,14 @@ object Explain {
                            // global ranks with no global sort
     "q178_pareto_front",   // histogram-decomposed 2-D skyline: level agg
                            // + spine running-min + join-back, no O(n²)
-    "q179_shard_stability" // mod vs rendezvous relocation audit — pure
+    "q179_shard_stability", // mod vs rendezvous relocation audit — pure
                            // projections + one global aggregate
+    "q180_quality_auc",    // histogram rank-sum AUC — window only over
+                           // the distinct-score spine, corpus never sorts
+    "q181_local_supplier_volume", // TPC-H Q5 shape: 6-table join with the
+                           // c=s nation co-location predicate
+    "q182_large_orders"    // TPC-H Q18 shape: fact agg → HAVING →
+                           // dim joins → TakeOrdered top-20
   )
 
   def main(args: Array[String]): Unit = {

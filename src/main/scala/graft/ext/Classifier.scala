@@ -209,6 +209,32 @@ object Classifier {
           .otherwise(0L).as("recall_bp"))
   }
 
+  /** Exact ROC-AUC by histogram rank-sum (the Mann–Whitney U identity:
+    * AUC = P(score⁺ > score⁻) + ½P(=)). Never sorts the corpus: one
+    * hash-aggregate builds the per-score histogram (n_pos, n_neg), a
+    * running negative count over the |distinct scores|-row spine gives
+    * each score level its "beaten negatives", and wins/ties fold in one
+    * more aggregate. Ties carry the ½ weight exactly by keeping the
+    * numerator doubled: AUC = (2·wins + ties) / (2·n₁·n₀), emitted in
+    * exact integer ppm.
+    *
+    * Output: one row (n_pos, n_neg, n_wins, n_ties, auc_ppm).
+    */
+  def aucStats(scored: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col("p_ppm")).agg(
+      sum(col("y")).as("__np"), sum(lit(1L) - col("y")).as("__nn"))
+    val spine = hist.withColumn("__cnn",
+      coalesce(sum(col("__nn")).over(
+        W.orderBy(col("p_ppm")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    spine.agg(
+        sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * col("__cnn")).as("n_wins"),
+        sum(col("__np") * col("__nn")).as("n_ties"))
+      .withColumn("auc_ppm",
+        expr("((2L * n_wins + n_ties) * 1000000L) div (2L * n_pos * n_neg)"))
+  }
+
   /** Reliability diagram over equal-width probability bins — per bin the
     * mean predicted probability (confidence) vs the empirical positive
     * rate (accuracy), the gap whose n-weighted sum is the Expected

@@ -5143,6 +5143,109 @@ object ExtensionQueries {
     }
   )
 
+  // Eval stats 3: exact ROC-AUC of the quality classifier by histogram
+  // rank-sum (Mann–Whitney) — completes the eval family (q125 PR, q154
+  // nDCG, q175 calibration). The corpus never sorts; the only window runs
+  // over the distinct-score spine.
+  private val q180 = Q(
+    "q180_quality_auc",
+    (s, dir) => {
+      val corpus = graft.ext.Classifier.weakLabelCorpus(
+        docsSpread(s, dir), "doc_id", "text")
+      val feats = graft.ext.Classifier.lrFeatures(
+        corpus, "doc_id", "text", col("y") === 1L)
+      val scored = graft.ext.Classifier.lrScore(
+        feats, "doc_id", QueryCaches.lrWeightsFor(s, dir))
+      graft.ext.Classifier.aucStats(scored)
+    },
+    Some(s"""WITH ${lrTrainCtes(lrIters, 100)},
+      scored AS (SELECT f.y, ${lrPSql("w", "f")} AS p_ppm FROM feats f, wf w),
+      h AS (SELECT p_ppm, CAST(sum(y) AS BIGINT) AS np,
+          CAST(sum(1 - y) AS BIGINT) AS nn
+        FROM scored GROUP BY 1),
+      sp AS (SELECT np, nn, COALESCE(sum(nn) OVER (ORDER BY p_ppm
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnn FROM h),
+      a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          CAST(sum(nn) AS BIGINT) AS n_neg,
+          CAST(sum(np * cnn) AS BIGINT) AS n_wins,
+          CAST(sum(np * nn) AS BIGINT) AS n_ties
+        FROM sp)
+      SELECT n_pos, n_neg, n_wins, n_ties,
+        CAST(((2 * n_wins + n_ties) * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+      FROM a""")
+  )
+
+  // TPC-H Q5 shape: local-supplier volume by nation within one region-year
+  // — the 6-table join with the co-location predicate (customer and
+  // supplier share a nation). Dims flow through Catalyst/AQE unhinted.
+  private val q181 = Q(
+    "q181_local_supplier_volume",
+    (s, dir) => {
+      val nat = Tables.nation(s, dir)
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue_cents"))
+    },
+    Some("""SELECT n.n_name,
+        CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1""")
+  )
+
+  // TPC-H Q18 shape: large-volume orders — the HAVING-subquery join
+  // (aggregate once on the fact, semi-join the survivors back through
+  // orders/customer), top-20 total-ordered.
+  private val q182 = Q(
+    "q182_large_orders",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 300L)
+      big
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), cents(col("o_totalprice")).as("total_cents"),
+          col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+      SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        CAST(round(o.o_totalprice*100,0) AS BIGINT) AS total_cents, b.sum_qty
+      FROM big b
+      JOIN orders o ON b.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY b.sum_qty DESC, o.o_orderkey
+      LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5150,5 +5253,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }

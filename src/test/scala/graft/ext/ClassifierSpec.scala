@@ -102,6 +102,20 @@ class ClassifierSpec extends SparkFunSuite {
     assert(got.size == 3)
   }
 
+  test("aucStats: exact Mann-Whitney wins/ties arithmetic") {
+    val scored = Seq(
+      (1L, 1L, 900000L), (2L, 1L, 600000L), (3L, 1L, 500000L),
+      (4L, 0L, 700000L), (5L, 0L, 500000L), (6L, 0L, 100000L)
+    ).toDF("id", "y", "p_ppm")
+    val r = Classifier.aucStats(scored).collect().head
+    // wins: 900k beats 3 negs, 600k beats 2, 500k beats 1 → 6; one tie at 500k
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 3L, 6L, 1L, 722222L))) // (2·6+1)/(2·9) = 13/18 → 722222 ppm
+    // perfect separation → AUC exactly 1
+    val perfect = Seq((1L, 1L, 900000L), (2L, 0L, 100000L)).toDF("id", "y", "p_ppm")
+    assert(Classifier.aucStats(perfect).collect().head.getLong(4) == 1000000L)
+  }
+
   test("poissonBootstrapCI matches an md5-replaying model and brackets the point") {
     val df = (1L to 200L).map(i => (i, 10L + (i % 17L))).toDF("doc_id", "v")
     val out = Sampling.poissonBootstrapCI(df, "doc_id", "v", reps = 16).collect()

@@ -971,6 +971,28 @@ class PlanAuditSpec extends SparkFunSuite {
       s"per-key shard math is a projection, not a join:\n$p")
   }
 
+  test("q180: AUC histogram rank-sum — aggregates combine map-side, corpus never product-joins") {
+    val p = plan("q180_quality_auc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"the score histogram must map-side combine:\n$p")
+  }
+
+  test("q181: the 6-table volume join never falls back to a product join") {
+    val p = plan("q181_local_supplier_volume")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all joins are equi-joins (the nation co-location predicate rides the supplier join):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small dims should broadcast at this scale:\n$p")
+  }
+
+  test("q182: large-order filter aggregates the fact first; top-20 fuses to TakeOrdered") {
+    val p = plan("q182_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the per-order quantity agg must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
