@@ -191,8 +191,12 @@ object Explain {
                            // the distinct-score spine, corpus never sorts
     "q181_local_supplier_volume", // TPC-H Q5 shape: 6-table join with the
                            // c=s nation co-location predicate
-    "q182_large_orders"    // TPC-H Q18 shape: fact agg → HAVING →
+    "q182_large_orders",   // TPC-H Q18 shape: fact agg → HAVING →
                            // dim joins → TakeOrdered top-20
+    "q183_oov_curve",      // vocab ranks via histogram offsets + per-
+                           // freq-class windows; tier roll-up vocab-sized
+    "q184_ordered_funnel"  // three chained keyed aggregates, each join
+                           // side key-sized after the first
   )
 
   def main(args: Array[String]): Unit = {

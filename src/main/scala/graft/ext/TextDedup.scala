@@ -302,9 +302,12 @@ object TextDedup {
             lit(thresholdBp.toLong) * greatest(col("a.n"), col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verification: exact |A∩B| per candidate pair via array_intersect
-    val sets = ex.groupBy(col("id"))
-      .agg(collect_set(col("s")).as("toks"), count(lit(1)).as("n"))
+    // verification: exact |A∩B| per candidate pair via array_intersect.
+    // Sets are collected from `ranked`, NOT from `ex`: ranked is already
+    // id-partitioned by its windows, so this groupBy adds no exchange
+    // (from `ex` it would re-shuffle the whole exploded frame).
+    val sets = ranked.groupBy(col("id"))
+      .agg(collect_set(col("s")).as("toks"), max(col("n")).as("n"))
     cand
       .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b")), "id_b")

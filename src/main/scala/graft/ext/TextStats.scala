@@ -1044,4 +1044,42 @@ object TextStats {
       .select(col(sourceCol), col("n_docs"), col("n_flagged"), col("n_hits"),
         expr("n_flagged * 10000 div n_docs").as("flagged_bp"))
   }
+
+  /** Out-of-vocabulary curve: the share of token OCCURRENCES that fall
+    * outside a frequency-ranked vocabulary of size V, for each tier in
+    * `tiers` — the table read before fixing a tokenizer's vocab budget
+    * (coverage vs size, the Heaps'-law operating curve).
+    *
+    * Ranking is (corpus frequency desc, token asc) and is computed
+    * WITHOUT a global sort: a frequency histogram gets cumulative offsets
+    * over its |distinct frequencies|-row spine, and each token ranks
+    * within its frequency class by token (per-class windows, parallel) —
+    * the q177 decomposition on the vocabulary frame, which is itself the
+    * output of one corpus hash-aggregate. The tier roll-up then touches
+    * only vocabulary rows, never occurrences.
+    *
+    * Output: (vocab_size, n_total, n_oov, oov_bp), one row per tier.
+    */
+  def oovCurve(df: DataFrame, textCol: String, tiers: Seq[Int]): DataFrame = {
+    require(tiers.nonEmpty, "tiers must be non-empty")
+    val W = org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val freq = df.select(explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+    val hist = freq.groupBy(col("f")).agg(count(lit(1)).as("__nt"))
+    val wCum = W.orderBy(col("f").desc).rowsBetween(W.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("__before", coalesce(sum(col("__nt")).over(wCum), lit(0L)))
+      .select(col("f"), col("__before"))
+    val wIn = W.partitionBy(col("f")).orderBy(col("token"))
+    val ranked = freq.join(offsets, Seq("f"))
+      .withColumn("rnk", col("__before") + row_number().over(wIn).cast("long"))
+    val tierDf = broadcast(tiers.map(_.toLong).toDF("vocab_size"))
+    ranked.crossJoin(tierDf)
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("f")).as("n_total"),
+        sum(when(col("rnk") > col("vocab_size"), col("f")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("(n_oov * 10000L) div n_total"))
+  }
 }

@@ -5246,6 +5246,83 @@ object ExtensionQueries {
       LIMIT 20""")
   )
 
+  // Text analysis 23: the out-of-vocabulary curve — occurrence share
+  // outside a frequency-ranked vocab at V ∈ {256,512,1024,2048}, the
+  // coverage-vs-size table behind a tokenizer's vocab budget. Vocabulary
+  // ranks come from the q177 histogram decomposition (no global sort);
+  // the tier roll-up touches vocabulary rows only.
+  private val q183 = Q(
+    "q183_oov_curve",
+    (s, dir) => TextStats.oovCurve(docsSpread(s, dir), "text",
+      tiers = Seq(256, 512, 1024, 2048)),
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT unnest(w) AS token FROM toks),
+      f AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM occ GROUP BY 1),
+      r AS (SELECT token, f, row_number() OVER (ORDER BY f DESC, token) AS rnk FROM f),
+      t AS (SELECT CAST(v AS BIGINT) AS vocab_size
+        FROM (VALUES (256), (512), (1024), (2048)) AS tv(v))
+      SELECT vocab_size, CAST(sum(f) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN rnk > vocab_size THEN f ELSE 0 END) AS BIGINT) AS n_oov,
+        CAST((sum(CASE WHEN rnk > vocab_size THEN f ELSE 0 END) * 10000) // sum(f) AS BIGINT) AS oov_bp
+      FROM r, t GROUP BY 1""")
+  )
+
+  // Serving analytics 5: the strict ORDERED funnel — per (user, day), a
+  // click counts only at-or-after the first view, a purchase only
+  // at-or-after that click. Three chained keyed aggregates (each join
+  // side is key-sized after the first), vs q10's unordered ratio funnel.
+  private val q184 = Q(
+    "q184_ordered_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
+        col("event_type"), col("ts"))
+      val k1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("t1"))
+      val k2 = ev.filter(col("event_type") === "click")
+        .join(k1, Seq("user_id", "day")).filter(col("ts") >= col("t1"))
+        .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("t2"))
+      val k3 = ev.filter(col("event_type") === "purchase")
+        .join(k2, Seq("user_id", "day")).filter(col("ts") >= col("t2"))
+        .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("t3"))
+      ev.select(col("user_id"), col("day")).distinct()
+        .join(k1, Seq("user_id", "day"), "left")
+        .join(k2, Seq("user_id", "day"), "left")
+        .join(k3, Seq("user_id", "day"), "left")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_click_after"),
+          count(col("t3")).as("n_purchase_after"))
+        .withColumn("conv_bp",
+          when(col("n_view") > 0,
+            expr("(n_purchase_after * 10000L) div n_view")).otherwise(lit(0L)))
+    },
+    Some("""WITH ev AS (SELECT user_id,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+          event_type, ts FROM events),
+      k1 AS (SELECT user_id, day, min(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY 1, 2),
+      k2 AS (SELECT e.user_id, e.day, min(e.ts) AS t2 FROM ev e
+        JOIN k1 USING (user_id, day)
+        WHERE e.event_type = 'click' AND e.ts >= k1.t1 GROUP BY 1, 2),
+      k3 AS (SELECT e.user_id, e.day, min(e.ts) AS t3 FROM ev e
+        JOIN k2 USING (user_id, day)
+        WHERE e.event_type = 'purchase' AND e.ts >= k2.t2 GROUP BY 1, 2),
+      act AS (SELECT DISTINCT user_id, day FROM ev)
+      SELECT CAST(a.day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_active,
+        CAST(count(k1.t1) AS BIGINT) AS n_view,
+        CAST(count(k2.t2) AS BIGINT) AS n_click_after,
+        CAST(count(k3.t3) AS BIGINT) AS n_purchase_after,
+        CAST(CASE WHEN count(k1.t1) > 0
+          THEN (count(k3.t3) * 10000) // count(k1.t1) ELSE 0 END AS BIGINT) AS conv_bp
+      FROM act a
+      LEFT JOIN k1 USING (user_id, day)
+      LEFT JOIN k2 USING (user_id, day)
+      LEFT JOIN k3 USING (user_id, day)
+      GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5253,5 +5330,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
 }

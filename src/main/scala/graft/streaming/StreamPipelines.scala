@@ -249,6 +249,48 @@ object StreamPipelines {
         col("n_docs"), col("n_tokens"))
   }
 
+  /** Windowed Poisson-bootstrap CI telemetry — the streaming twin of the
+    * q174 batch operator: per tumbling window, the mean event value (in
+    * exact cents) plus a rank-statistic CI over `reps` deterministic
+    * Poisson(1) resampling replicates. The replicates are 2·reps
+    * CONDITIONAL-SUM COLUMNS inside the one windowed aggregate (no
+    * explode, no second stateful operator — append-mode-safe with a
+    * single state store); the CI is a row-local sort of the reps replicate
+    * means at window close. Weights replay from the event key hash, so a
+    * replayed window emits the identical CI.
+    *
+    * Output per window: (window_start, n, mean_cents, lo_cents, hi_cents).
+    */
+  def windowedBootstrapCI(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      reps: Int = 16,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute"
+  ): DataFrame = {
+    require(reps > 1, "reps must be > 1")
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val repAggs = (0 until reps).flatMap { b =>
+      val h = graft.ext.Sampling.hashBucket16(
+        concat(lit(s"$b|"), col(keyCol).cast("string")))
+      val w = graft.ext.Sampling.poissonWeight(h)
+      Seq(sum(w * cents).as(s"__wx$b"), sum(w).as(s"__ws$b"))
+    }
+    val means = array((0 until reps).map(b =>
+      expr(s"CASE WHEN __ws$b > 0 THEN __wx$b div __ws$b END")): _*)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(count(lit(1)).as("n"), (sum(cents).as("__sc") +: repAggs): _*)
+      .withColumn("__sorted", array_sort(array_compact(means)))
+      .select(col("window.start").as("window_start"), col("n"),
+        expr("__sc div n").as("mean_cents"),
+        element_at(col("__sorted"), 1).as("lo_cents"),
+        element_at(col("__sorted"), size(col("__sorted"))).as("hi_cents"))
+  }
+
   /** Streaming ingest dedup: drop redelivered events by key with
     * watermark-bounded state (`dropDuplicatesWithinWatermark`). The state
     * store keeps one entry per key only until the watermark passes — the

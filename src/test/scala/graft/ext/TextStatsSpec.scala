@@ -420,4 +420,14 @@ class TextStatsSpec extends SparkFunSuite {
       .collect().map(_.getString(0))
     assert(filtered.toSeq == Seq("a b"))
   }
+
+  test("oovCurve: frequency-ranked coverage with alphabetical tie-break") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "d d")).toDF("id", "text")
+    // freqs: a=3, d=2, b=2, c=1; ranks (freq desc, token asc): a,b,d,c; N=8
+    val got = TextStats.oovCurve(docs, "text", tiers = Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((8L, 5L, 6250L))) // only 'a' in vocab → b,d,c OOV
+    assert(got(2L) == ((8L, 3L, 3750L))) // a,b in → d,c OOV (tie b<d)
+    assert(got(3L) == ((8L, 1L, 1250L))) // only c OOV
+  }
 }

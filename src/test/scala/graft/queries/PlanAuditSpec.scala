@@ -993,6 +993,22 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the per-order quantity agg must map-side combine:\n$p")
   }
 
+  test("q183: vocab ranking windows are partitioned by frequency class") {
+    val p = plan("q183_oov_curve")
+    assert(p.contains("windowspecdefinition(f#"),
+      s"the vocabulary rank window must partition by the frequency class:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the tier attach must be a broadcast, not a product:\n$p")
+  }
+
+  test("q184: ordered funnel is chained keyed aggregates, no window, no product") {
+    val p = plan("q184_ordered_funnel")
+    assert(!p.contains("windowspecdefinition"), s"no window belongs here:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("HashAggregate").length >= 5,
+      s"each funnel step must be its own map-side-combined aggregate:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus

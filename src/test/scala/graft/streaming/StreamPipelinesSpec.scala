@@ -13,6 +13,7 @@ final case class Purchase(p_user: String, p_ts: Timestamp, amount: Double)
 final case class Ord(user_id: String, ts: Timestamp, event_id: Long, event_type: String, amount: Option[Double])
 final case class Cdc(op: String, ts_ms: Long, user_id: String, segment: String)
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+final case class Val(ts: Timestamp, key: String, value: Double)
 
 class StreamPipelinesSpec extends SparkFunSuite {
   import spark.implicits._
@@ -76,6 +77,41 @@ class StreamPipelinesSpec extends SparkFunSuite {
       input.addData(Ev(t("2024-01-01 10:00:30"), "k1", "view"))
       q.processAllAvailable()
       assert(spark.table("mm").count() == 2) // unchanged
+    } finally q.stop()
+  }
+
+  test("windowedBootstrapCI: one windowed agg, md5-replayable CI, emits on close") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Val]
+    val agg = StreamPipelines.windowedBootstrapCI(
+      input.toDF(), "ts", "key", "value", reps = 16)
+    val q = agg.writeStream.format("memory").queryName("wbc").outputMode("append").start()
+    try {
+      val evs = (1 to 30).map(i => Val(t(s"2024-01-01 10:00:${10 + i}"), s"e$i", i.toDouble))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      assert(spark.table("wbc").count() == 0) // window open
+      input.addData(Val(t("2024-01-01 10:02:00"), "z", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wbc").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("n") == 30L)
+      assert(r.getAs[Long]("mean_cents") == (1 to 30).map(_ * 100L).sum / 30L)
+      // exact md5 replay of the 16 replicate means
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h16(s: String): Long = java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+      val cdf = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L)
+      def pw(h: Long): Long = cdf.indexWhere(h < _) match { case -1 => 7L; case k => k.toLong }
+      val means = (0 until 16).flatMap { b =>
+        val ws = (1 to 30).map(i => pw(h16(s"$b|e$i")))
+        val tot = ws.sum
+        if (tot == 0) None
+        else Some(ws.zipWithIndex.map { case (w, i) => w * (i + 1) * 100L }.sum / tot)
+      }
+      assert(r.getAs[Long]("lo_cents") == means.min)
+      assert(r.getAs[Long]("hi_cents") == means.max)
     } finally q.stop()
   }
 
