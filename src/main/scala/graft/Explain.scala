@@ -195,8 +195,10 @@ object Explain {
                            // dim joins → TakeOrdered top-20
     "q183_oov_curve",      // vocab ranks via histogram offsets + per-
                            // freq-class windows; tier roll-up vocab-sized
-    "q184_ordered_funnel"  // three chained keyed aggregates, each join
+    "q184_ordered_funnel", // three chained keyed aggregates, each join
                            // side key-sized after the first
+    "q185_rrf_fusion"      // hybrid RRF: corpus work in the retrievers,
+                           // fusion windows over ≤ Σk candidate rows
   )
 
   def main(args: Array[String]): Unit = {

@@ -73,4 +73,69 @@ object Retrieval {
       .select(col("term"), col("rnk"), col(idCol), col("tf"),
         col("df_docs"), col("score_micro"))
   }
+
+  /** Whole-query BM25 ranking: sum of per-term `score_micro` over the
+    * per-term top-`perTermK` lists (BM25 of a multi-term query IS the sum
+    * of its per-term scores; restricting to per-term top lists is the
+    * standard WAND-style candidate pruning — a document outside every
+    * term's top list cannot enter the fused top-k unless `perTermK` is
+    * too small, which the caller sizes as k × |terms|).
+    *
+    * Scale shape: the global rank window runs over ≤ |terms|·perTermK
+    * candidate rows — a bounded frame, so the unpartitioned window is a
+    * deliberate single-task finisher, not a scale hazard. The corpus-wide
+    * work is all inside [[bm25TopK]].
+    */
+  def bm25QueryTopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], perTermK: Int, k: Int
+  ): DataFrame = {
+    val w = Window.orderBy(col("bm25_micro").desc, col(idCol))
+    bm25TopK(df, idCol, textCol, queryTerms, perTermK)
+      .groupBy(col(idCol))
+      .agg(sum(col("score_micro")).as("bm25_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * fuse N retrieval systems' rank lists into one ranking by
+    * `Σ_systems 1/(k0 + rank)` — the standard hybrid-retrieval merge (BM25
+    * lexical + dense ANN) that "outperforms Condorcet and individual rank
+    * learning methods" with no score calibration between systems, exactly
+    * because it only consumes RANKS. House integer rule: the fused score is
+    * `Σ 1000000 div (k0 + rnk)` in BIGINT micro-units, ties broken by id,
+    * so the ranking replays bit-for-bit on any engine.
+    *
+    * Input: `(systemName, df)` pairs where each df carries `idCol` and a
+    * rank column (1-based, ≤ its own top-k). Output: one row per candidate
+    * id with per-system `rnk_<system>` columns (NULL when that system did
+    * not rank the id), `rrf_micro`, and the fused `fused_rnk ≤ topK`.
+    *
+    * Scale shape: inputs are per-query BOUNDED rank lists (k rows each),
+    * so the union + groupBy + global window all run over ≤ Σk rows — the
+    * heavy corpus-side work lives in the upstream retrievers. For fusing
+    * many queries at once, rank lists carry a query column and the same
+    * fold runs with the window partitioned by it (the per-query frames
+    * stay bounded either way).
+    */
+  def rrfFuse(
+      systems: Seq[(String, DataFrame)], idCol: String, rankCol: String,
+      k0: Int, topK: Int
+  ): DataFrame = {
+    require(systems.nonEmpty, "need at least one system")
+    require(systems.map(_._1).distinct.size == systems.size, "duplicate system name")
+    val tagged = systems.map { case (nm, df) =>
+      df.select(col(idCol), col(rankCol).cast("long").as("__rnk"),
+        lit(nm).as("__sys"))
+    }.reduce(_ unionByName _)
+    val perSys = systems.map { case (nm, _) =>
+      min(when(col("__sys") === nm, col("__rnk"))).as(s"rnk_$nm")
+    }
+    val w = Window.orderBy(col("rrf_micro").desc, col(idCol))
+    tagged.groupBy(col(idCol))
+      .agg(sum(expr(s"1000000L div (${k0}L + __rnk)")).as("rrf_micro"), perSys: _*)
+      .withColumn("fused_rnk", row_number().over(w).cast("long"))
+      .filter(col("fused_rnk") <= topK)
+  }
 }

@@ -5323,6 +5323,71 @@ object ExtensionQueries {
       GROUP BY 1""")
   )
 
+  // Similarity 24: HYBRID retrieval — reciprocal-rank fusion (Cormack et
+  // al., SIGIR 2009) of the BM25 lexical top-20 (q64's scorer, summed to a
+  // whole-query ranking) with the dense cosine top-20 (q26's retriever,
+  // query vector vec_id=0). The standard RAG hybrid-search merge: no score
+  // calibration, ranks only, k0=60. Ids overlap partially by construction
+  // (dense ids are vec_ids ≥ 10) — RRF handles one-sided candidates.
+  private val q185 = Q(
+    "q185_rrf_fusion",
+    (s, dir) => {
+      val lex = Retrieval.bm25QueryTopK(docsSpread(s, dir), "doc_id", "text",
+        queryTerms = Seq("table", "query", "join"), perTermK = 20, k = 20)
+      val emb = Tables.embeddings(s, dir)
+      val dense = VectorSearch.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 20)
+        .select(col("id").as("doc_id"), col("rnk"))
+      Retrieval.rrfFuse(
+        Seq("lex" -> lex.select(col("doc_id"), col("rnk")),
+            "dense" -> dense),
+        "doc_id", "rnk", k0 = 60, topK = 15)
+    },
+    Some(s"""WITH $toksCte,
+      pd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toks),
+      stats AS (SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM pd),
+      tfs AS (
+        SELECT doc_id, dl, 'table' AS term,
+          CAST(len(list_filter(w, x -> x = 'table')) AS BIGINT) AS tf FROM pd
+        UNION ALL SELECT doc_id, dl, 'query',
+          CAST(len(list_filter(w, x -> x = 'query')) AS BIGINT) FROM pd
+        UNION ALL SELECT doc_id, dl, 'join',
+          CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) FROM pd),
+      sc AS (SELECT * FROM tfs WHERE tf > 0),
+      dft AS (SELECT term, count(*) AS df_docs FROM sc GROUP BY 1),
+      scored AS (SELECT s.doc_id, s.term,
+          ((((st.n - d.df_docs + 1) * 1000000) // (d.df_docs + 1))
+            * s.tf * 44 * st.avgdl)
+          // (20 * st.avgdl * s.tf + 6 * st.avgdl + 18 * s.dl) AS score_micro
+        FROM sc s JOIN dft d USING (term) CROSS JOIN stats st),
+      perterm AS (SELECT term, doc_id, score_micro,
+          row_number() OVER (PARTITION BY term
+            ORDER BY score_micro DESC, doc_id) AS trnk
+        FROM scored),
+      lex AS (SELECT doc_id, sum(score_micro) AS bm25_micro
+        FROM perterm WHERE trnk <= 20 GROUP BY 1),
+      lexr AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rnk
+        FROM lex QUALIFY rnk <= 20),
+      qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+      cv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+      dscored AS (SELECT id, round(${duckCos("qv.v", "cv.v")}, 4) AS sim FROM qv, cv),
+      denser AS (SELECT id AS doc_id,
+          CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rnk
+        FROM dscored QUALIFY rnk <= 20),
+      u AS (SELECT doc_id, rnk, 'lex' AS sys FROM lexr
+        UNION ALL SELECT doc_id, rnk, 'dense' FROM denser),
+      f AS (SELECT doc_id,
+          CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro,
+          min(CASE WHEN sys = 'lex' THEN rnk END) AS rnk_lex,
+          min(CASE WHEN sys = 'dense' THEN rnk END) AS rnk_dense
+        FROM u GROUP BY 1)
+      SELECT doc_id, rrf_micro, rnk_lex, rnk_dense,
+        CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS fused_rnk
+      FROM f QUALIFY fused_rnk <= 15""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5330,5 +5395,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
 }

@@ -195,6 +195,38 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(out.map(_.getLong(2)).sorted.toSeq == (0L until 5L))
   }
 
+  test("bm25QueryTopK sums per-term scores into one whole-query ranking") {
+    val docs = Seq(
+      (1L, "cat dog"),   // matches both terms
+      (2L, "cat cat"),   // one term, double tf
+      (3L, "dog fish"),  // one term
+      (4L, "fish fish")  // neither
+    ).toDF("doc_id", "text")
+    val perTerm = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat", "dog"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(5)).toMap
+    val out = Retrieval.bm25QueryTopK(docs, "doc_id", "text", Seq("cat", "dog"),
+        perTermK = 10, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bm25_micro")).toMap
+    assert(out(1L) == perTerm(("cat", 1L)) + perTerm(("dog", 1L)))
+    assert(out(2L) == perTerm(("cat", 2L)) && out(3L) == perTerm(("dog", 3L)))
+    assert(!out.contains(4L))
+  }
+
+  test("rrfFuse sums 1e6 div (k0+rank) across systems with per-system rank columns") {
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rnk")
+    val b = Seq((11L, 1L), (13L, 2L)).toDF("doc_id", "rnk")
+    val out = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id", "rnk",
+        k0 = 60, topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Any]("rnk_a")), Option(r.getAs[Any]("rnk_b")),
+          r.getAs[Long]("rrf_micro"), r.getAs[Long]("fused_rnk")))).toMap
+    // doc 11 is ranked by both systems → highest fused score
+    assert(out(11L) == ((Some(2L), Some(1L), 1000000L / 62 + 1000000L / 61, 1L)))
+    assert(out(10L) == ((Some(1L), None, 1000000L / 61, 2L)))
+    assert(out(13L) == ((None, Some(2L), 1000000L / 62, 3L)))
+    assert(out(12L)._4 == 4L) // 1/(60+3), lowest
+  }
+
   // ---- tokenBudgetSample ----
 
   test("tokenBudgetSample admits in hash order until the stratum budget") {

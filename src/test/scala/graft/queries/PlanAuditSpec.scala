@@ -1009,6 +1009,18 @@ class PlanAuditSpec extends SparkFunSuite {
       s"each funnel step must be its own map-side-combined aggregate:\n$p")
   }
 
+  test("q185: RRF fusion keeps corpus stats broadcast and no product joins") {
+    val p = plan("q185_rrf_fusion")
+    // the BM25 per-term document frequencies and the 1-row corpus stats
+    // attach by broadcast — the corpus-sized side never shuffles for them
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"corpus stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled product belongs here:\n$p")
+    // the fused global rank runs over the bounded candidate union — a
+    // single window, not a corpus-wide sort
+    assert(!p.contains("Sort [bm25_micro"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
