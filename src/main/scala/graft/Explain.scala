@@ -197,8 +197,10 @@ object Explain {
                            // freq-class windows; tier roll-up vocab-sized
     "q184_ordered_funnel", // three chained keyed aggregates, each join
                            // side key-sized after the first
-    "q185_rrf_fusion"      // hybrid RRF: corpus work in the retrievers,
+    "q185_rrf_fusion",     // hybrid RRF: corpus work in the retrievers,
                            // fusion windows over ≤ Σk candidate rows
+    "q186_waiting_suppliers" // TPC-H Q21 shape: broadcast dim →
+                           // semi-join → anti-join → TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {

@@ -5388,6 +5388,62 @@ object ExtensionQueries {
       FROM f QUALIFY fused_rnk <= 15""")
   )
 
+  // Serving analytics 6: TPC-H Q21's join shape — suppliers who were the
+  // SOLE late shipper in a finished multi-supplier order ("kept orders
+  // waiting"). Adaptation: the corpus has no l_commitdate/l_receiptdate, so
+  // "late" = shipped > 60 days after o_orderdate (documented variant; the
+  // shape is the point). Catalyst shape under test: fact⋈fact semi-join
+  // (EXISTS other-supplier line) + anti-join (NOT EXISTS other late
+  // supplier) with the nation-filtered supplier dim broadcast and pushed
+  // BEFORE the semi/anti pair so the probe side shrinks 25× first.
+  private val q186 = Q(
+    "q186_waiting_suppliers",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val fo = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = li
+        .join(fo, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11", "NATION_19"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val cand = late.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("s_name"))
+      val withOther = cand.join(
+        li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      val sole = withOther.join(
+        late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+        col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      sole.groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+    Some("""WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderstatus = 'F'),
+      l1 AS (SELECT l.l_orderkey, l.l_suppkey FROM lineitem l
+        JOIN fo ON l.l_orderkey = fo.o_orderkey
+        WHERE l.l_shipdate > fo.o_orderdate + INTERVAL 60 DAY),
+      sn AS (SELECT s_suppkey, s_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19')),
+      cand AS (SELECT l1.l_orderkey, l1.l_suppkey, sn.s_name
+        FROM l1 JOIN sn ON l1.l_suppkey = sn.s_suppkey),
+      w AS (SELECT c.* FROM cand c
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = c.l_orderkey AND l2.l_suppkey <> c.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l1 l3
+            WHERE l3.l_orderkey = c.l_orderkey AND l3.l_suppkey <> c.l_suppkey))
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM w
+      GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5395,5 +5451,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
 }

@@ -1021,6 +1021,17 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("Sort [bm25_micro"), p)
   }
 
+  test("q186: Q21 shape runs as semi+anti joins with a broadcast dim and TakeOrdered") {
+    val p = plan("q186_waiting_suppliers")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nation-filtered supplier dim must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
