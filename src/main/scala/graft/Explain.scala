@@ -199,8 +199,12 @@ object Explain {
                            // side key-sized after the first
     "q185_rrf_fusion",     // hybrid RRF: corpus work in the retrievers,
                            // fusion windows over ≤ Σk candidate rows
-    "q186_waiting_suppliers" // TPC-H Q21 shape: broadcast dim →
+    "q186_waiting_suppliers", // TPC-H Q21 shape: broadcast dim →
                            // semi-join → anti-join → TakeOrdered
+    "q187_zipf_fit",       // vocab hash-agg → TakeOrdered top-200 →
+                           // bounded OLS fold (no global vocab sort)
+    "q188_heaps_curve"     // first-appearance MIN agg + broadcast
+                           // checkpoint range join at vocab size
   )
 
   def main(args: Array[String]): Unit = {

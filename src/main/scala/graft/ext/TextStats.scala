@@ -1082,4 +1082,80 @@ object TextStats {
         sum(when(col("rnk") > col("vocab_size"), col("f")).otherwise(0L)).as("n_oov"))
       .withColumn("oov_bp", expr("(n_oov * 10000L) div n_total"))
   }
+
+  /** Zipf's-law fit: OLS regression of ln(frequency) on ln(rank) over the
+    * top-`topN` vocabulary — the standard corpus-health check (natural text
+    * fits slope ≈ −1; a far-off slope flags boilerplate floods or synthetic
+    * spam). Fixed-point house arithmetic: x = round(ln(rank)·1000),
+    * y = round(ln(f)·1000) as BIGINT milli-nats, so every OLS sum is exact
+    * integer math and `slope_micro = (n·Σxy − Σx·Σy)·10^6 div
+    * (n·Σxx − (Σx)²)` replays bit-for-bit (both engines truncate integer
+    * division toward zero — verified). R² is computed in doubles FROM the
+    * exact integer sums (deterministic inputs → deterministic rounding)
+    * and reported in basis points. Magnitudes: topN ≤ 10³ and corpus
+    * frequencies ≤ 10¹² keep n·Σxy·10^6 under 2^63.
+    *
+    * Scale shape: the vocabulary is one corpus hash-aggregate; the
+    * top-`topN` cut is a TakeOrdered (no global vocabulary sort), and the
+    * rank window + OLS fold run over the bounded topN-row frame.
+    *
+    * Output: one row — (n_points, slope_micro, intercept_micro, r2_bp).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+    val top = freq.orderBy(col("f").desc, col("token")).limit(topN)
+    val xy = top
+      .withColumn("rnk", row_number().over(
+        W.orderBy(col("f").desc, col("token"))).cast("long"))
+      .select(
+        round(log(col("rnk").cast("double")) * 1000).cast("long").as("x"),
+        round(log(col("f").cast("double")) * 1000).cast("long").as("y"))
+    xy.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("slope_micro", expr("(num * 1000000L) div den"))
+      .withColumn("intercept_micro",
+        expr("(sy * 1000000L div n - slope_micro * sx div n) div 1000"))
+      .select(col("n").as("n_points"), col("slope_micro"),
+        col("intercept_micro"),
+        round(col("num").cast("double") * col("num").cast("double") * 10000.0
+          / (col("den").cast("double")
+             * expr("CAST(n * syy - sy * sy AS DOUBLE)")))
+          .cast("long").as("r2_bp"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve: distinct vocabulary size after the
+    * first `cp` documents (in doc-id order), for each checkpoint — the
+    * companion audit to [[zipfFit]] (natural text grows V ∝ N^β, β≈0.5;
+    * a plateau flags template spam, a straight line flags random noise).
+    *
+    * Shape: one corpus explode → per-token MIN first-position hash
+    * aggregate (the "first appearance" is an agg, not a sort), one
+    * per-prefix token-count aggregate, then both roll up against the
+    * broadcast checkpoint spine at vocabulary/checkpoint size — the
+    * occurrence frame is never windowed or re-sorted.
+    *
+    * Output: (n_docs, vocab, n_tokens) per checkpoint with docs present.
+    */
+  def heapsCurve(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "checkpoints must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cps = broadcast(checkpoints.distinct.sorted.toDF("n_docs"))
+    val occ = df.select(col(idCol).cast("long").as("__pos"),
+      explode(TextDedup.tokens(col(textCol))).as("token"))
+    val firstPos = occ.groupBy(col("token")).agg(min(col("__pos")).as("__first"))
+    val vocabAt = firstPos.join(cps, col("__first") < col("n_docs"))
+      .groupBy(col("n_docs")).agg(count(lit(1)).as("vocab"))
+    val perDoc = occ.groupBy(col("__pos")).agg(count(lit(1)).as("__nt"))
+    val tokensAt = perDoc.join(cps, col("__pos") < col("n_docs"))
+      .groupBy(col("n_docs")).agg(sum(col("__nt")).as("n_tokens"))
+    vocabAt.join(tokensAt, Seq("n_docs"))
+  }
 }

@@ -5444,6 +5444,57 @@ object ExtensionQueries {
       GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""")
   )
 
+  // Text analysis 25: Zipf's-law OLS fit over the top-200 vocabulary —
+  // slope ≈ −1 for natural text; exact-integer milli-nat sums, one
+  // corpus aggregate + a TakeOrdered cut (the vocabulary never
+  // globally sorts).
+  private val q187 = Q(
+    "q187_zipf_fit",
+    (s, dir) => TextStats.zipfFit(docsSpread(s, dir), "text", topN = 200),
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT unnest(w) AS token FROM toks),
+      f AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM occ GROUP BY 1),
+      top AS (SELECT f, row_number() OVER (ORDER BY f DESC, token) AS rnk
+        FROM f QUALIFY rnk <= 200),
+      xy AS (SELECT CAST(round(ln(rnk) * 1000) AS BIGINT) AS x,
+          CAST(round(ln(f) * 1000) AS BIGINT) AS y FROM top),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(y * y) AS BIGINT) AS syy FROM xy),
+      d AS (SELECT n, sx, sy, syy, n * sxy - sx * sy AS num,
+          n * sxx - sx * sx AS den FROM s)
+      SELECT n AS n_points,
+        CAST((num * 1000000) // den AS BIGINT) AS slope_micro,
+        CAST((sy * 1000000 // n - ((num * 1000000) // den) * sx // n) // 1000
+          AS BIGINT) AS intercept_micro,
+        CAST(round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 10000.0
+          / (CAST(den AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
+          AS BIGINT) AS r2_bp
+      FROM d""")
+  )
+
+  // Text analysis 26: Heaps'-law vocabulary growth — distinct vocabulary
+  // after the first N docs, per checkpoint. First-appearance is a MIN
+  // aggregate (never a sort); checkpoints attach by broadcast range join
+  // at vocabulary size.
+  private val q188 = Q(
+    "q188_heaps_curve",
+    (s, dir) => TextStats.heapsCurve(docsSpread(s, dir), "doc_id", "text",
+      checkpoints = Seq(64L, 125L, 250L, 500L)),
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT CAST(doc_id AS BIGINT) AS pos, unnest(w) AS token FROM toks),
+      fp AS (SELECT token, min(pos) AS first FROM occ GROUP BY 1),
+      cps AS (SELECT CAST(v AS BIGINT) AS n_docs
+        FROM (VALUES (64), (125), (250), (500)) AS t(v)),
+      v AS (SELECT n_docs, CAST(count(*) AS BIGINT) AS vocab
+        FROM fp JOIN cps ON first < n_docs GROUP BY 1),
+      pd AS (SELECT pos, count(*) AS nt FROM occ GROUP BY 1),
+      tk AS (SELECT n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM pd JOIN cps ON pos < n_docs GROUP BY 1)
+      SELECT n_docs, vocab, n_tokens FROM v JOIN tk USING (n_docs)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5451,5 +5502,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188)
 }

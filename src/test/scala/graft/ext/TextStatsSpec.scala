@@ -430,4 +430,35 @@ class TextStatsSpec extends SparkFunSuite {
     assert(got(2L) == ((8L, 3L, 3750L))) // a,b in → d,c OOV (tie b<d)
     assert(got(3L) == ((8L, 1L, 1250L))) // only c OOV
   }
+
+  test("zipfFit reproduces the exact-integer OLS from milli-nat points") {
+    // freqs: a=8, b=4, c=2, d=1 at ranks 1..4
+    val docs = Seq((1L, ("a " * 8 + "b " * 4 + "c c d").trim)).toDF("id", "text")
+    val r = TextStats.zipfFit(docs, "text", topN = 4).collect().head
+    // independent recomputation of the documented fixed-point formula
+    val pts = Seq(1L -> 8L, 2L -> 4L, 3L -> 2L, 4L -> 1L).map { case (rk, f) =>
+      (math.round(math.log(rk.toDouble) * 1000), math.round(math.log(f.toDouble) * 1000))
+    }
+    val n  = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    val slope = num * 1000000L / den
+    assert(r.getAs[Long]("n_points") == 4L)
+    assert(r.getAs[Long]("slope_micro") == slope)
+    assert(slope < -1000000L && slope > -2000000L) // steeper than -1: f halves per rank step
+    assert(r.getAs[Long]("intercept_micro") ==
+      (sy * 1000000L / n - slope * sx / n) / 1000L)
+    val r2 = num.toDouble * num.toDouble * 10000.0 / (den.toDouble * (n * syy - sy * sy).toDouble)
+    assert(r.getAs[Long]("r2_bp") == math.round(r2))
+  }
+
+  test("heapsCurve counts first-appearance vocabulary per doc-count checkpoint") {
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "d")).toDF("doc_id", "text")
+    val got = TextStats.heapsCurve(docs, "doc_id", "text", Seq(1L, 2L, 3L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((3L, 4L)), 3L -> ((4L, 5L))))
+  }
 }

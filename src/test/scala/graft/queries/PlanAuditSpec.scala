@@ -1032,6 +1032,25 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q187: Zipf fit cuts the vocabulary with TakeOrdered, never a global sort") {
+    val p = plan("q187_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-200 vocabulary cut must be a TakeOrdered:\n$p")
+    // the only window (rank 1..200) runs over the bounded cut, after the
+    // TakeOrdered — the corpus-wide vocabulary is aggregated, not sorted
+    assert(p.split("HashAggregate").length >= 3,
+      s"vocabulary + OLS folds must map-side combine:\n$p")
+  }
+
+  test("q188: Heaps curve is aggregates + broadcast checkpoint join, no window") {
+    val p = plan("q188_heaps_curve")
+    assert(!p.contains("windowspecdefinition"), s"no window belongs here:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"checkpoint range join must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the < range join rides the broadcast checkpoint spine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
