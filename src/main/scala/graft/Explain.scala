@@ -203,8 +203,10 @@ object Explain {
                            // semi-join → anti-join → TakeOrdered
     "q187_zipf_fit",       // vocab hash-agg → TakeOrdered top-200 →
                            // bounded OLS fold (no global vocab sort)
-    "q188_heaps_curve"     // first-appearance MIN agg + broadcast
+    "q188_heaps_curve",    // first-appearance MIN agg + broadcast
                            // checkpoint range join at vocab size
+    "q189_dp_release"      // one hash-aggregate; seeded Laplace noise
+                           // is a projection on the released cells
   )
 
   def main(args: Array[String]): Unit = {

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{AsOfJoin, LatestWins}
 import graft.table.TableLayout
-import graft.ext.{Components, Decontaminate, Graphs, Multimodal, Packing, ParagraphDedup, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Components, Decontaminate, Graphs, Multimodal, Packing, ParagraphDedup, Privacy, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -5495,6 +5495,38 @@ object ExtensionQueries {
       SELECT n_docs, vocab, n_tokens FROM v JOIN tk USING (n_docs)""")
   )
 
+  // DuckDB: first 8 md5 hex digits of `e` as a 32-bit BIGINT (no hex→int
+  // cast in DuckDB — parsed digit-by-digit like duckSimhashHexVal).
+  private def duckHex32(e: String): String = (0 until 8).map { p =>
+    val term = s"CAST(strpos('0123456789abcdef', substr(md5($e), ${p + 1}, 1)) - 1 AS BIGINT)"
+    val mult = 1L << (4 * (7 - p))
+    if (mult == 1L) term else s"$term * $mult"
+  }.mkString(" + ")
+
+  // Privacy 1: ε-differentially-private per-(source, lang) doc counts —
+  // seeded Laplace(1/ε) noise (ε=1) via the inverse CDF on a
+  // md5-seeded uniform, plus the census-style small-cell suppression
+  // floor. The noise attaches as a projection on the aggregated frame;
+  // the corpus pays one hash-aggregate.
+  private val q189 = Q(
+    "q189_dp_release",
+    (s, dir) => Privacy.noisyCounts(Tables.documents(s, dir),
+      Seq("source", "lang"), salt = "q189", bMicro = 1000000L,
+      suppressBelow = 5L),
+    Some(s"""WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS true_n
+        FROM documents GROUP BY 1, 2),
+      k AS (SELECT source, lang, true_n,
+          'q189|' || source || '/' || lang AS seed
+        FROM g WHERE true_n >= 5),
+      v AS (SELECT source, lang, true_n,
+          (${duckHex32("seed")} + 0.5) / 4294967296.0 - 0.5 AS w FROM k),
+      n AS (SELECT source, lang, true_n,
+          CAST(round(-1000000 * sign(w) * ln(1 - 2 * abs(w))) AS BIGINT)
+            AS noise_micro FROM v)
+      SELECT source, lang, true_n, noise_micro,
+        true_n * 1000000 + noise_micro AS released_micro FROM n""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5502,5 +5534,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189)
 }

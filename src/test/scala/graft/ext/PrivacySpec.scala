@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("seededUniform is the md5-32-bit value with the half-step offset") {
+    val got = Seq("k1", "k2").toDF("key")
+      .select(col("key"), Privacy.seededUniform(col("key"), "salt").as("u"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (k <- Seq("k1", "k2")) {
+      val v = java.lang.Long.parseLong(md5hex(s"salt|$k").take(8), 16)
+      assert(got(k) == (v + 0.5) / 4294967296.0)
+      assert(got(k) > 0.0 && got(k) < 1.0)
+    }
+  }
+
+  test("laplaceNoiseMicro replays the inverse CDF exactly and bounds the tail") {
+    val keys = (0 until 50).map(i => s"key$i")
+    val got = keys.toDF("key")
+      .select(col("key"), Privacy.laplaceNoiseMicro(col("key"), "s", 1000000L).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      val v = java.lang.Long.parseLong(md5hex(s"s|$k").take(8), 16)
+      val w = (v + 0.5) / 4294967296.0 - 0.5
+      val expect = math.round(-1000000.0 * math.signum(w) * math.log(1 - 2 * math.abs(w)))
+      assert(got(k) == expect, s"key $k")
+      // |noise| ≤ b·ln(2^33) ≈ 22.9·b
+      assert(math.abs(got(k)) <= 22900000L)
+    }
+    // a seeded draw is two-sided: both signs appear across 50 keys
+    assert(got.values.exists(_ > 0) && got.values.exists(_ < 0))
+  }
+
+  test("noisyCounts suppresses small cells and releases true_n·1e6 + noise") {
+    val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b")).toDF("g")
+    val out = Privacy.noisyCounts(df, Seq("g"), "t", 1000000L, suppressBelow = 5L)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a")) // b's cell of 3 suppressed
+    val r = out.head
+    assert(r.getAs[Long]("true_n") == 7L)
+    assert(r.getAs[Long]("released_micro") ==
+      7L * 1000000L + r.getAs[Long]("noise_micro"))
+  }
+}

@@ -1051,6 +1051,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the < range join rides the broadcast checkpoint spine:\n$p")
   }
 
+  test("q189: DP release is one aggregate with noise as a projection") {
+    val p = plan("q189_dp_release")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"noise must attach as a projection on the aggregated cells:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the count must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
