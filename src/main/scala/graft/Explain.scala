@@ -205,8 +205,12 @@ object Explain {
                            // bounded OLS fold (no global vocab sort)
     "q188_heaps_curve",    // first-appearance MIN agg + broadcast
                            // checkpoint range join at vocab size
-    "q189_dp_release"      // one hash-aggregate; seeded Laplace noise
+    "q189_dp_release",     // one hash-aggregate; seeded Laplace noise
                            // is a projection on the released cells
+    "q190_join_size_est",  // per-key counts built once (exchange reuse),
+                           // totals + TakeOrdered HH branches roll up
+    "q191_pass_at_k"       // two chained hash-aggregates; the binomial
+                           // ratio is an exact-integer projection
   )
 
   def main(args: Array[String]): Unit = {

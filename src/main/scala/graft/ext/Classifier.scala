@@ -257,4 +257,39 @@ object Classifier {
         expr("(__sy * 1000000L) div n").as("acc_ppm"))
       .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
   }
+
+  /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
+    * Trained on Code", 2021, eq. 1): per task with `n` attempts and `c`
+    * successes, `pass@k = 1 − C(n−c, k)/C(n, k)` — the expectation of
+    * "at least one success in k draws without replacement", the standard
+    * eval-harness estimator. Exact-integer form: the binomial ratio
+    * collapses to the falling-factorial quotient
+    * `Π_{i=0..k−1} (n−c−i) / Π_{i=0..k−1} (n−i)`, computed in micro-units
+    * with one integer division LAST (products ≤ n^k stay in BIGINT for
+    * n ≤ ~10^6 at k=3; tasks with n < k are excluded — the estimator is
+    * undefined there).
+    *
+    * Output: per-`groupCol` mean pass@k in micro-units plus the task and
+    * attempt tallies — one hash-aggregate over attempts, one over tasks.
+    */
+  def passAtK(attempts: DataFrame, taskCol: String, groupCol: String,
+      successCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val perTask = attempts.groupBy(col(groupCol), col(taskCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= k)
+    val failNum = (0 until k).map(i => greatest(col("n") - col("c") - i, lit(0L)))
+      .reduce(_ * _)
+    val failDen = (0 until k).map(i => col("n") - i).reduce(_ * _)
+    perTask
+      .withColumn("__fn", failNum).withColumn("__fd", failDen)
+      .withColumn("__pass_micro",
+        expr("1000000L - (__fn * 1000000L) div __fd"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tasks"), sum(col("n")).as("n_attempts"),
+        sum(col("__pass_micro")).as("__sp"))
+      .withColumn("mean_pass_micro", expr("__sp div n_tasks"))
+      .drop("__sp")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{AsOfJoin, LatestWins}
 import graft.table.TableLayout
-import graft.ext.{Components, Decontaminate, Graphs, Multimodal, Packing, ParagraphDedup, Privacy, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Classifier, Components, Decontaminate, Graphs, Multimodal, OptimizerStats, Packing, ParagraphDedup, Privacy, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -5527,6 +5527,70 @@ object ExtensionQueries {
         true_n * 1000000 + noise_micro AS released_micro FROM n""")
   )
 
+  // Optimizer-stats 1: join-cardinality estimation audit — System R
+  // uniformity vs the end-biased-histogram (top-20 exact) estimate,
+  // both against the EXACT self-join size on the skewed events.user_id
+  // key. One corpus aggregate feeds both roll-ups (exchange reuse,
+  // plan-pinned).
+  private val q190 = Q(
+    "q190_join_size_est",
+    (s, dir) => OptimizerStats.selfJoinSizeAudit(
+      Tables.events(s, dir), "user_id", hh = 20),
+    Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM c),
+      h AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS hh_n,
+          CAST(coalesce(sum(c * c), 0) AS BIGINT) AS hh_sq,
+          CAST(count(*) AS BIGINT) AS hh_d
+        FROM (SELECT user_id, c FROM c ORDER BY c DESC, user_id LIMIT 20)),
+      e AS (SELECT exact_pairs, n_rows, n_distinct,
+          (n_rows * n_rows) // n_distinct AS est_uniform,
+          hh_sq + (CASE WHEN n_distinct > hh_d
+            THEN ((n_rows - hh_n) * (n_rows - hh_n)) // (n_distinct - hh_d)
+            ELSE 0 END) AS est_hh
+        FROM t, h)
+      SELECT exact_pairs, n_rows, n_distinct,
+        CAST(est_uniform AS BIGINT) AS est_uniform,
+        CAST(est_hh AS BIGINT) AS est_hh,
+        CAST((abs(est_uniform - exact_pairs) * 10000) // exact_pairs AS BIGINT)
+          AS err_uniform_bp,
+        CAST((abs(est_hh - exact_pairs) * 10000) // exact_pairs AS BIGINT)
+          AS err_hh_bp
+      FROM e""")
+  )
+
+  // Eval 1: unbiased pass@3 (Chen et al. 2021) per day over
+  // (user, day) "tasks" — attempts = events, success = purchase;
+  // the falling-factorial exact-integer form, tasks with n < k excluded.
+  private val q191 = Q(
+    "q191_pass_at_k",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
+        (col("event_type") === "purchase").as("ok"))
+      Classifier.passAtK(ev, taskCol = "user_id", groupCol = "day",
+        successCol = "ok", k = 3)
+    },
+    Some("""WITH ev AS (SELECT user_id,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+          event_type = 'purchase' AS ok FROM events),
+      pt AS (SELECT day, user_id, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM ev GROUP BY 1, 2),
+      f AS (SELECT day, n, c FROM pt WHERE n >= 3),
+      p AS (SELECT day, n,
+          1000000 - (greatest(n - c, 0) * greatest(n - c - 1, 0)
+            * greatest(n - c - 2, 0) * 1000000)
+            // (n * (n - 1) * (n - 2)) AS pm
+        FROM f)
+      SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_tasks,
+        CAST(sum(n) AS BIGINT) AS n_attempts,
+        CAST(sum(pm) // count(*) AS BIGINT) AS mean_pass_micro
+      FROM p GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5534,5 +5598,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
 }

@@ -169,4 +169,28 @@ class ClassifierSpec extends SparkFunSuite {
       assert(o1 == o1b)
     } finally out.unpersist()
   }
+
+  test("passAtK: falling-factorial estimator, n<k tasks excluded") {
+    import spark.implicits._
+    val attempts = (
+      Seq.fill(3)(("g", "t1", false)) ++ Seq(("g", "t1", true)) ++ // n=4, c=1
+      Seq.fill(3)(("g", "t2", false)) ++                           // n=3, c=0
+      Seq.fill(2)(("g", "t3", true))                               // n=2 → excluded
+    ).toDF("grp", "task", "ok")
+    val r = Classifier.passAtK(attempts, "task", "grp", "ok", k = 3).collect().head
+    assert(r.getAs[Long]("n_tasks") == 2L)
+    assert(r.getAs[Long]("n_attempts") == 7L)
+    // t1: 1e6 − (3·2·1)·1e6/(4·3·2) = 750000; t2: 0 → mean 375000
+    assert(r.getAs[Long]("mean_pass_micro") == 375000L)
+  }
+
+  test("passAtK: all-success and all-fail edges") {
+    import spark.implicits._
+    val attempts = (Seq.fill(3)(("g", "t1", true)) ++ Seq.fill(4)(("g", "t2", false)))
+      .toDF("grp", "task", "ok")
+    val byTask = Classifier.passAtK(attempts, "task", "grp", "ok", k = 3)
+      .collect().head
+    // t1: c=n → pass 1e6 exactly; t2: c=0, n=4 → 1e6 − 24e5/24 → 0
+    assert(byTask.getAs[Long]("mean_pass_micro") == 500000L)
+  }
 }

@@ -1059,6 +1059,27 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the count must map-side combine:\n$p")
   }
 
+  test("q190: both estimator branches reuse the one per-key aggregate exchange") {
+    // exchange reuse is an AQE runtime decision — execute, then read the
+    // final adaptive plan (the static plan still shows two subtrees)
+    val df = SparkEntry.queries("q190_join_size_est")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the totals and heavy-hitter branches must share the per-key count exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-H cut must be a TakeOrdered:\n$p")
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q191: pass@k is chained aggregates with a projection-only estimator") {
+    val p = plan("q191_pass_at_k")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"no window or join belongs here:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"both aggregates must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
