@@ -291,6 +291,44 @@ object StreamPipelines {
         element_at(col("__sorted"), size(col("__sorted"))).as("hi_cents"))
   }
 
+  /** Streaming twin of q189 — ε-DP noisy counts per tumbling window: one
+    * windowed aggregate, then the seeded Laplace draw attaches as a
+    * PROJECTION keyed by (window_start, group) — so a REPLAYED window
+    * re-emits the identical release (the determinism that prevents
+    * noise-averaging across retries is exactly what makes the sink
+    * idempotent), and the small-cell suppression floor applies per
+    * window. Append-mode-safe: a single stateful operator, noise added
+    * after the aggregate closes.
+    *
+    * Output per window row: (window_start, group, true_n, noise_micro,
+    * released_micro) — `true_n` kept for the calibration audit, as in
+    * the batch operator.
+    */
+  def windowedDpRelease(
+      events: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      salt: String,
+      bMicro: Long = 1000000L,
+      suppressBelow: Long = 1L,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute"
+  ): DataFrame = {
+    val key = concat_ws("/",
+      unix_micros(col("window.start")).cast("string"),
+      col(groupCol).cast("string"))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(groupCol))
+      .agg(count(lit(1)).as("true_n"))
+      .filter(col("true_n") >= suppressBelow)
+      .withColumn("noise_micro",
+        graft.ext.Privacy.laplaceNoiseMicro(key, salt, bMicro))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("true_n"), col("noise_micro"),
+        (col("true_n") * lit(1000000L) + col("noise_micro")).as("released_micro"))
+  }
+
   /** Streaming ingest dedup: drop redelivered events by key with
     * watermark-bounded state (`dropDuplicatesWithinWatermark`). The state
     * store keeps one entry per key only until the watermark passes — the

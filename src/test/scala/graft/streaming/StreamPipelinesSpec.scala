@@ -115,6 +115,37 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("windowedDpRelease: seeded per-window noise replays exactly; small cells suppressed") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamPipelines.windowedDpRelease(
+      input.toDF(), "ts", "event_type", salt = "s9", suppressBelow = 3L)
+    val q = agg.writeStream.format("memory").queryName("wdp").outputMode("append").start()
+    try {
+      val evs = (1 to 5).map(i => Ev(t(s"2024-01-01 10:00:0$i"), s"k$i", "view")) ++
+        (1 to 2).map(i => Ev(t(s"2024-01-01 10:00:1$i"), s"c$i", "click"))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 10:02:00"), "z", "view")) // close the window
+      q.processAllAvailable()
+      val rows = spark.table("wdp").collect()
+      assert(rows.length == 1) // click cell (n=2) suppressed
+      val r = rows.head
+      assert(r.getAs[String]("event_type") == "view")
+      assert(r.getAs[Long]("true_n") == 5L)
+      // exact replay of the seeded draw: key = unix_micros(start)/group
+      val startMicros = t("2024-01-01 10:00:00").getTime * 1000L
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val v = java.lang.Long.parseLong(
+        md.digest(s"s9|$startMicros/view".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+      val w = (v + 0.5) / 4294967296.0 - 0.5
+      val expect = math.round(-1000000.0 * math.signum(w) * math.log(1 - 2 * math.abs(w)))
+      assert(r.getAs[Long]("noise_micro") == expect)
+      assert(r.getAs[Long]("released_micro") == 5000000L + expect)
+    } finally q.stop()
+  }
+
   test("windowedSketchStats: sketch state merges across micro-batches; exact at low cardinality") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
