@@ -209,8 +209,12 @@ object Explain {
                            // is a projection on the released cells
     "q190_join_size_est",  // per-key counts built once (exchange reuse),
                            // totals + TakeOrdered HH branches roll up
-    "q191_pass_at_k"       // two chained hash-aggregates; the binomial
+    "q191_pass_at_k",      // two chained hash-aggregates; the binomial
                            // ratio is an exact-integer projection
+    "q192_mad_outliers",   // two key-shuffled percentile aggs with
+                           // broadcast group-stat joins back
+    "q193_benford_audit"   // one hash-aggregate; digits + χ² are
+                           // projections with literal expectations
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust / forensic statistics over value columns — the data-quality
+  * audits that survive the heavy-tailed, occasionally-corrupt value
+  * distributions a 100 TB ingest actually has (a trimmed mean exists at
+  * q51; these are the breakdown-point-0.5 and digit-law members of the
+  * family).
+  *
+  * House determinism: medians come from the linear-interpolation
+  * `percentile` both engines define identically on integer inputs (any
+  * interpolated value is k or k+½, so doubling yields an EXACT integer);
+  * every derived comparison is integer arithmetic.
+  */
+object RobustStats {
+
+  /** MAD-based robust outlier audit (Hampel's rule): per group, the
+    * median m and the median absolute deviation MAD of `valueCol`, and
+    * the count of rows with |x − m| > 3σ̂ where σ̂ = 1.4826·MAD (the
+    * Gaussian-consistency constant). Unlike mean/stddev z-scores, both
+    * estimators have breakdown point ½ — the outliers cannot mask
+    * themselves. Exact-integer encoding: the median is emitted doubled
+    * (`med_x2`, half-units), the MAD quadrupled (`mad_x4`,
+    * quarter-units), and the cut is `4·|x−m| · 10000 > mad_x4 · 44478`
+    * (44478 = 3·1.4826·10⁴). Degenerate groups (MAD = 0, over half the
+    * values identical) flag every differing row — the documented Hampel
+    * behavior.
+    *
+    * Shape: one per-group percentile aggregate, a group-key join back
+    * (group-cardinality build side → broadcast under AQE), a second
+    * percentile aggregate for the MAD, and one final conditional count.
+    * The corpus shuffles twice on the group key; nothing global.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = df.select(col(groupCol), col(valueCol).cast("long").as("__x"))
+    val med = vals.groupBy(col(groupCol))
+      .agg(round(expr("percentile(__x, 0.5) * 2"), 0).cast("long").as("med_x2"))
+    val diffs = vals.join(med, groupCol)
+      .withColumn("__d2", abs(col("__x") * 2 - col("med_x2")))
+    val mad = diffs.groupBy(col(groupCol))
+      .agg(round(expr("percentile(__d2, 0.5) * 2"), 0).cast("long").as("mad_x4"))
+    diffs.join(mad, groupCol)
+      .groupBy(col(groupCol), col("med_x2"), col("mad_x4"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(expr("__d2 * 2 * 10000 > mad_x4 * 44478"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_bp", expr("(n_outliers * 10000L) div n"))
+  }
+
+  /** Benford first-digit audit (Benford 1938; the fraud/synthetic-data
+    * screen): per group, the observed first-significant-digit counts of
+    * `valueCol` against the Benford expectation
+    * P(d) = log₁₀(1 + 1/d), and the chi-square distance. The expected
+    * per-digit probabilities are FIXED integer constants (basis points) —
+    * no cross-engine transcendental math anywhere. Values ≤ 0 carry no
+    * leading digit and are excluded; pass an already-integral column
+    * (e.g. cents) — integral-from-double conversion is the CALLER's
+    * responsibility because engines disagree on double→int cast rounding.
+    *
+    * Output per group: n, d1..d9 observed counts, chi2_centi =
+    * Σ (obs·10⁴ − n·exp_bp)² div (n·exp_bp·10²) — the χ² statistic in
+    * centi-units (10⁻² of the conventional value). The squared term
+    * stays under 2^63 for groups to ~3·10⁵ rows; beyond that the same
+    * formula moves to DECIMAL(38,0) unchanged. One hash-aggregate; the
+    * digit extraction is a string projection.
+    */
+  def benfordAudit(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // Benford probabilities in basis points: log10(1+1/d) · 10^4
+    val expBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+    val digit = substring(col(valueCol).cast("long").cast("string"), 1, 1)
+    val aggs = count(lit(1)).as("n") +:
+      (1 to 9).map(d => sum(when(col("__d") === d, 1L).otherwise(0L)).as(s"d$d"))
+    val counted = df
+      .filter(col(valueCol).cast("long") > 0)
+      .withColumn("__d", digit.cast("int"))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val chi2 = (1 to 9).map { d =>
+      val e = expBp(d - 1)
+      expr(s"((d$d * 10000L - n * ${e}L) * (d$d * 10000L - n * ${e}L)) div (n * ${e}L * 100L)")
+    }.reduce(_ + _)
+    counted.withColumn("chi2_centi", chi2)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{AsOfJoin, LatestWins}
 import graft.table.TableLayout
-import graft.ext.{Classifier, Components, Decontaminate, Graphs, Multimodal, OptimizerStats, Packing, ParagraphDedup, Privacy, Retrieval, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Classifier, Components, Decontaminate, Graphs, Multimodal, OptimizerStats, Packing, ParagraphDedup, Privacy, Retrieval, RobustStats, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -5591,6 +5591,61 @@ object ExtensionQueries {
       FROM p GROUP BY 1""")
   )
 
+  // Robust stats 1: Hampel MAD outlier audit per event type — breakdown-
+  // point-½ median/MAD in exact half/quarter-cent units, 3·1.4826·σ̂ cut.
+  private val q192 = Q(
+    "q192_mad_outliers",
+    (s, dir) => RobustStats.madOutliers(
+      Tables.events(s, dir).withColumn("value_cents", cents(col("value"))),
+      "event_type", "value_cents"),
+    Some("""WITH v AS (SELECT event_type,
+          CAST(round(value * 100, 0) AS BIGINT) AS x FROM events),
+      m AS (SELECT event_type,
+          CAST(round(quantile_cont(x, 0.5) * 2, 0) AS BIGINT) AS med_x2
+        FROM v GROUP BY 1),
+      d AS (SELECT v.event_type, med_x2, abs(x * 2 - med_x2) AS d2
+        FROM v JOIN m USING (event_type)),
+      md AS (SELECT event_type,
+          CAST(round(quantile_cont(d2, 0.5) * 2, 0) AS BIGINT) AS mad_x4
+        FROM d GROUP BY 1),
+      agg AS (SELECT d.event_type, med_x2, mad_x4,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN d2 * 2 * 10000 > mad_x4 * 44478
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM d JOIN md USING (event_type) GROUP BY 1, 2, 3)
+      SELECT event_type, med_x2, mad_x4, n, n_outliers,
+        (n_outliers * 10000) // n AS outlier_bp FROM agg""")
+  )
+
+  // Robust stats 2: Benford first-digit audit of line-item prices per
+  // return flag — fixed basis-point expectations, χ² in centi-units,
+  // one hash-aggregate.
+  private val q193 = Q(
+    "q193_benford_audit",
+    (s, dir) => RobustStats.benfordAudit(
+      Tables.lineitem(s, dir).withColumn("price_cents", cents(col("l_extendedprice"))),
+      "l_returnflag", "price_cents"),
+    Some {
+      val expBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+      val digitSums = (1 to 9).map(d =>
+        s"CAST(sum(CASE WHEN d = $d THEN 1 ELSE 0 END) AS BIGINT) AS d$d").mkString(",\n          ")
+      val chi2 = (1 to 9).map { d =>
+        val e = expBp(d - 1)
+        s"((d$d * 10000 - n * $e) * (d$d * 10000 - n * $e)) // (n * $e * 100)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT l_returnflag,
+          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x FROM lineitem),
+        dg AS (SELECT l_returnflag,
+            CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS d
+          FROM v WHERE x > 0),
+        c AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          $digitSums
+          FROM dg GROUP BY 1)
+        SELECT l_returnflag, n, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+          CAST($chi2 AS BIGINT) AS chi2_centi FROM c"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5598,5 +5653,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
 }

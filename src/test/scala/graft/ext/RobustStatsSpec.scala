@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkFunSuite
+
+class RobustStatsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("madOutliers: exact half/quarter-unit median and MAD, Hampel cut") {
+    val df = Seq(1L, 2L, 3L, 4L, 5L, 6L, 1000L).map(("A", _)).toDF("g", "x")
+    val r = RobustStats.madOutliers(df, "g", "x").collect().head
+    assert(r.getAs[Long]("med_x2") == 8L)   // median 4
+    assert(r.getAs[Long]("mad_x4") == 8L)   // MAD 2
+    // only |1000−4| = 996 > 3·1.4826·2 ≈ 8.9
+    assert(r.getAs[Long]("n") == 7L && r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Long]("outlier_bp") == 10000L / 7L)
+  }
+
+  test("madOutliers: even-count group interpolates to a half-unit median") {
+    val df = Seq(1L, 2L, 3L, 10L).map(("A", _)).toDF("g", "x")
+    val r = RobustStats.madOutliers(df, "g", "x").collect().head
+    assert(r.getAs[Long]("med_x2") == 5L)   // median 2.5 → ×2 = 5, exact
+    // d2 = |2x−5| = [3,1,1,15] → median 2 → mad_x4 = 4 (MAD 1)
+    assert(r.getAs[Long]("mad_x4") == 4L)
+    // cut: d2·2·10⁴ > 4·44478 → d2 > 8.9 → only x=10
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("benfordAudit: digit counts and centi-χ², non-positive rows excluded") {
+    val df = Seq(10L, 20L, 25L, 300L, 4L, 0L, -7L).map(("g", _)).toDF("g", "x")
+    val r = RobustStats.benfordAudit(df, "g", "x").collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    val obs = (1 to 9).map(d => r.getAs[Long](s"d$d"))
+    assert(obs == Seq(1L, 2L, 1L, 1L, 0L, 0L, 0L, 0L, 0L))
+    val expBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+    val chi2 = (1 to 9).map { d =>
+      val e = expBp(d - 1); val diff = obs(d - 1) * 10000L - 5L * e
+      diff * diff / (5L * e * 100L)
+    }.sum
+    assert(r.getAs[Long]("chi2_centi") == chi2)
+  }
+}

@@ -1080,6 +1080,21 @@ class PlanAuditSpec extends SparkFunSuite {
       s"both aggregates must map-side combine:\n$p")
   }
 
+  test("q192: MAD audit joins group stats back by broadcast, no window") {
+    val p = plan("q192_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-cardinality median/MAD frames must broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition") && !p.contains("SortMergeJoin"),
+      s"no window or corpus-side sort-merge belongs here:\n$p")
+  }
+
+  test("q193: Benford audit is one aggregate with projection-only χ²") {
+    val p = plan("q193_benford_audit")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      s"the digit counts must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
