@@ -146,8 +146,54 @@ object ScaleProbe {
         .repartition(spark.sparkContext.defaultParallelism)
     }
 
+    // replicated fact tables for the Q21 semi/anti probe: orderkeys re-key
+    // per replica so the order population (and its late-line structure)
+    // grows linearly, never colliding across replicas
+    def liAt(mult: Int): DataFrame = {
+      val base = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      (0 until mult).map(r =>
+          base.withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L)))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    def foAt(mult: Int): DataFrame = {
+      val base = Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      (0 until mult).map(r =>
+          base.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L)))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
     val ops: Seq[(String, Int => Long)] = Seq(
       "token_stats"   -> (m => TextStats.tokenStats(docsAt(m), "doc_id", "text").count()),
+      // the q186 Q21 shape: fact⋈fact semi + anti joins on the orderkey —
+      // both probe sides grow with m, so the join must stay key-partitioned
+      // linear (no pair blowup inside an order: ≤ 7 lines each)
+      "q21_semi_anti" -> { m =>
+        val li = liAt(m); val fo = foAt(m)
+        val late = li.join(fo, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        late
+          .join(li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+            col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+            col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+            "left_anti")
+          .groupBy(col("l_suppkey")).agg(count(lit(1))).count()
+      },
+      // whole-query BM25 over a growing corpus: per-term tf is a
+      // projection, so time must track the scan, not the term count
+      "bm25_query_topk" -> (m =>
+        graft.ext.Retrieval.bm25QueryTopK(docsAt(m), "doc_id", "text",
+          Seq("table", "query", "join"), perTermK = 20, k = 20).count()),
+      // Zipf fit: vocabulary hash-agg + TakeOrdered(200) + bounded OLS —
+      // the cut must keep the cost at the aggregate, not a sort
+      "zipf_fit" -> (m => TextStats.zipfFit(docsAt(m), "text", 200).count()),
       "exact_dedup"   -> (m => docsAt(m).groupBy(md5(col("text").cast("binary"))).count().count()),
       "minhash_sigs"  -> (m => TextDedup.minhashSignatures(docsAt(m), "doc_id", "text", 8, 2).count()),
       // NOTE: signature build is excluded from this op's timing (it is
