@@ -213,8 +213,12 @@ object Explain {
                            // ratio is an exact-integer projection
     "q192_mad_outliers",   // two key-shuffled percentile aggs with
                            // broadcast group-stat joins back
-    "q193_benford_audit"   // one hash-aggregate; digits + χ² are
+    "q193_benford_audit",  // one hash-aggregate; digits + χ² are
                            // projections with literal expectations
+    "q194_fuzzy_match",    // blocked equi-join + codegen'd JW projection
+                           // + per-record argmax window
+    "q195_rolling_window"  // interval RANGE frame, one customer-key
+                           // shuffle, no join
   )
 
   def main(args: Array[String]): Unit = {

@@ -144,6 +144,84 @@ object IntersectSizeUtil {
   }
 }
 
+/** Jaro-Winkler similarity (Winkler 1990) as a native codegen'd
+  * expression — Spark ships `levenshtein` but not the record-linkage
+  * standard JW; a Scala UDF here would box both strings per row and fall
+  * out of whole-stage codegen, so this is the custom-`Expression` path
+  * (SURVEY.md §7.3 preference order). Canonical semantics: match window
+  * ⌊max/2⌋−1, transpositions halved, prefix bonus 0.1·min(prefix,4)
+  * applied only when jaro > 0.7 — verified value-identical to DuckDB's
+  * `jaro_winkler_similarity` (the oracle side). Comparison is by UTF-16
+  * code unit — identical to DuckDB for ASCII corpora; for non-BMP text
+  * both engines' definitions diverge anyway (bytes vs code units), so
+  * keys should be normalized upstream.
+  */
+case class JaroWinklerSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerUtil.compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaroWinklerUtil.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerUtil {
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString; val s2 = b.toString
+    if (s1 == s2) return 1.0
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(l1, l2) / 2 - 1
+    val f1 = new Array[Boolean](l1); val f2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window); val hi = math.min(i + window + 1, l2)
+      var j = lo
+      var hit = false
+      while (j < hi && !hit) {
+        if (!f2(j) && s1.charAt(i) == s2.charAt(j)) {
+          f1(i) = true; f2(j) = true; m += 1; hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (f1(i)) {
+        while (!f2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val tr = t / 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - tr).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+    jaro + 0.1 * p * (1.0 - jaro)
+  }
+}
+
 /** `spark.sql.extensions` entry point registering the graft functions.
   * Add `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * to the session builder.
@@ -166,6 +244,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_intersect_size(arrayA, arrayB)")
         IntersectSize(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_jaro_winkler(stringA, stringB)")
+        JaroWinklerSim(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kmv_distinct"),
@@ -219,6 +304,8 @@ object GraftFunctions {
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def intersectSize(a: Column, b: Column): Column = call_function("graft_intersect_size", a, b)
+  /** Jaro-Winkler similarity in [0,1] (codegen'd native expression). */
+  def jaroWinkler(a: Column, b: Column): Column = call_function("graft_jaro_winkler", a, b)
   /** KMV distinct-count sketch aggregate (exact below k). */
   def kmvDistinct(c: Column, k: Int): Column =
     call_function("graft_kmv_distinct", c, org.apache.spark.sql.functions.lit(k))

@@ -5646,6 +5646,67 @@ object ExtensionQueries {
     }
   )
 
+  // Record linkage 1: fuzzy match via the native Jaro-Winkler expression
+  // (graft_jaro_winkler — codegen'd; Spark has levenshtein but not the
+  // linkage-standard JW). Dirty records are synthesized deterministically
+  // (drop the 10th character of each supplier name); each links to its
+  // best clean match by (rounded JW desc, key) — the argmax window runs
+  // per dirty record over the blocked candidate set.
+  private val q194 = Q(
+    "q194_fuzzy_match",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      val dirty = sup.select((col("s_suppkey") + 100000L).as("d_id"),
+        expr("concat(substring(s_name, 1, 9), substring(s_name, 11))").as("d_name"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d_id")).orderBy(col("jw").desc, col("s_suppkey"))
+      dirty
+        .join(sup, expr("substring(d_name, 1, 9) = substring(s_name, 1, 9)"))
+        .withColumn("jw", round(
+          graft.functions.GraftFunctions.jaroWinkler(col("d_name"), col("s_name")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("d_id"), col("s_suppkey").as("matched_id"), col("jw"))
+    },
+    Some("""WITH sup AS (SELECT s_suppkey, s_name FROM supplier),
+      d AS (SELECT s_suppkey + 100000 AS d_id,
+          substr(s_name, 1, 9) || substr(s_name, 11) AS d_name FROM sup),
+      p AS (SELECT d_id, s_suppkey,
+          round(jaro_winkler_similarity(d_name, s_name), 4) AS jw
+        FROM d JOIN sup ON substr(d_name, 1, 9) = substr(s_name, 1, 9))
+      SELECT d_id, s_suppkey AS matched_id, jw FROM p
+      QUALIFY row_number() OVER (PARTITION BY d_id ORDER BY jw DESC, s_suppkey) = 1""")
+  )
+
+  // Serving analytics 7: trailing 30-day spend per customer — the
+  // event-time RANGE window frame (interval-bounded, not row-bounded),
+  // the one window-frame family the suite had not yet exercised. One
+  // shuffle on the customer key; ties on the same date aggregate
+  // identically regardless of intra-date order (RANGE semantics).
+  private val q195 = Q(
+    "q195_rolling_window",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("__sec"))
+        .rangeBetween(-30L * 86400L, 0L)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .withColumn("__sec", expr("unix_micros(o_orderdate) div 1000000"))
+        .withColumn("trail_cents", sum(col("price_cents")).over(w))
+        .withColumn("trail_n", count(lit(1)).over(w).cast("long"))
+        .select(col("o_custkey"), col("o_orderdate"), col("price_cents"),
+          col("trail_cents"), col("trail_n"))
+    },
+    Some("""SELECT o_custkey, o_orderdate,
+        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS trail_cents,
+        CAST(count(*) OVER w AS BIGINT) AS trail_n
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5653,5 +5714,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
 }

@@ -101,4 +101,40 @@ class GraftExpressionsSpec extends SparkFunSuite {
       .collect().head.getMap[String, Long](0)
     assert(r("a") == 2L && r("b") == 1L)
   }
+
+  test("graft_jaro_winkler matches the canonical worked examples") {
+    import spark.implicits._
+    // the Winkler-paper / DuckDB-verified reference values
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.961111),   // one transposition + prefix bonus
+      ("DIXON", "DICKSONX", 0.813333),  // boost applies (jaro 0.766… > 0.7)
+      ("JELLYFISH", "SMELLYFISH", 0.896296), // no common prefix → no boost
+      ("DWAYNE", "DUANE", 0.84),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("a", "", 0.0))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select($"a", $"b",
+        round(GraftFunctions.jaroWinkler($"a", $"b"), 6).as("jw"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    cases.foreach { case (a, b, want) =>
+      assert(got((a, b)) == want, s"jw($a, $b)")
+    }
+  }
+
+  test("graft_jaro_winkler is null-safe and codegen-compatible") {
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler(a, b) FROM VALUES ('x', NULL), (NULL, 'y'), ('ab', 'ab') AS t(a, b)")
+      .collect()
+    assert(r(0).isNullAt(0) && r(1).isNullAt(0) && r(2).getDouble(0) == 1.0)
+    // inside WholeStageCodegen on a non-local projection (a local relation
+    // constant-folds to LocalTableScan, which proves nothing)
+    import spark.implicits._
+    val plan = spark.range(8)
+      .select(GraftFunctions.jaroWinkler(
+        concat(lit("a"), $"id".cast("string")), lit("ab")))
+      .queryExecution.executedPlan.toString
+    // "*(1)" is the whole-stage-codegen marker on the Project
+    assert(plan.contains("*(1) Project [graft_jaro_winkler"), plan)
+  }
 }

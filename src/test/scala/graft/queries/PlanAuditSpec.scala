@@ -1095,6 +1095,27 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the digit counts must map-side combine:\n$p")
   }
 
+  test("q194: fuzzy match is a blocked equi-join with a codegen'd JW projection") {
+    val p = plan("q194_fuzzy_match")
+    // the blocking key is an equi-join condition — never a cartesian
+    // product with a similarity filter
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must plan as an equi-join:\n$p")
+    assert(p.contains("graft_jaro_winkler"),
+      s"the native JW expression must appear in the projection:\n$p")
+    assert(p.contains("windowspecdefinition(d_id"),
+      s"the argmax window must partition by the dirty record:\n$p")
+  }
+
+  test("q195: rolling spend uses an interval RANGE frame on one key shuffle") {
+    val p = plan("q195_rolling_window")
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      s"the trailing-30-day frame must be a RANGE frame:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"exactly one customer-key shuffle:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
