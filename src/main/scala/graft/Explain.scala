@@ -217,8 +217,15 @@ object Explain {
                            // projections with literal expectations
     "q194_fuzzy_match",    // blocked equi-join + codegen'd JW projection
                            // + per-record argmax window
-    "q195_rolling_window"  // interval RANGE frame, one customer-key
+    "q195_rolling_window", // interval RANGE frame, one customer-key
                            // shuffle, no join
+    "q196_lsh_tuning",     // literal-only S-curve integral — no scan,
+                           // few-row aggregate
+    "q197_loo_source_value", // one corpus agg + 1-row broadcast;
+                           // group algebra, no per-source rescan
+    "q198_phrase_match",   // HOF projection + filter — zero shuffles
+    "q199_audio_vad"       // mapPartitions decode boundary, per-row
+                           // integer gate — zero shuffles
   )
 
   def main(args: Array[String]): Unit = {

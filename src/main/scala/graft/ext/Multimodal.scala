@@ -161,6 +161,44 @@ object Multimodal {
       }
   }
 
+  /** Integer VAD output row: window tally, voiced tally/ratio, and the
+    * silence-trim bounds (first/last voiced window index, −1 when the
+    * payload never crosses the energy floor).
+    */
+  final case class VadStats(id: Long, n_windows: Long, n_voiced: Long,
+                            voiced_bp: Long, first_voiced: Long, last_voiced: Long)
+
+  /** Audio VAD-style energy windowing: treat the payload as 8-bit PCM
+    * centered at 128, split into `windowBytes`-sample windows (tail
+    * window partial), per-window energy = Σ(x−128)², voiced when energy
+    * ≥ `threshold` — the classic energy-gate voice-activity detector
+    * whose voiced span bounds drive silence trimming in an audio ingest
+    * pipeline. A codec-equipped build would decode the audio container
+    * to PCM at this same mapPartitions boundary ([[decodeStats]]'s
+    * pattern); everything downstream of the byte array is
+    * codec-independent and all-integer, so it replays exactly in SQL.
+    */
+  def vadStats(df: DataFrame, idCol: String, payloadCol: String,
+      windowBytes: Int, threshold: Long): Dataset[VadStats] = {
+    require(windowBytes > 0, "windowBytes must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).cast("binary").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val energies = r.payload.grouped(windowBytes).map { w =>
+            w.iterator.map { x => val d = (x & 0xff) - 128L; d * d }.sum
+          }.toArray
+          val voiced = energies.map(_ >= threshold)
+          val n = energies.length.toLong
+          val nv = voiced.count(identity).toLong
+          VadStats(r.id, n, nv, if (n > 0) nv * 10000L / n else 0L,
+            voiced.indexOf(true).toLong, voiced.lastIndexOf(true).toLong)
+        }
+      }
+  }
+
   /** STUB — deterministic pseudo-decode from payload bytes. A real decoder
     * (??? in a codec-equipped build) would parse the container header for
     * dimensions and average the luma plane for brightness.

@@ -98,6 +98,41 @@ object Retrieval {
       .filter(col("rnk") <= k)
   }
 
+  /** Positional phrase match: per document, the number of token positions
+    * where the full `phrase` token sequence starts — the inverted-index
+    * phrase-query primitive, expressed as a pure HIGHER-ORDER-FUNCTION
+    * projection (`filter` over the valid start offsets testing each
+    * phrase term by `element_at`): no explode, no position self-joins, no
+    * shuffle at all before the final match filter. Token-boundary exact,
+    * unlike a LIKE scan (no substring false hits).
+    *
+    * Output: (phrase, idCol, carryCols..., n_matches) for documents with
+    * ≥ `minMatches` matches (`carryCols` pass extra columns through —
+    * e.g. the event time for the streaming telemetry twin, which also
+    * sets `minMatches = 0`: in a stream, the match filter would push
+    * BELOW the watermark node and non-matching events would stop
+    * advancing the watermark, so the twin gates after its aggregate).
+    */
+  def phraseMatches(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[Seq[String]], carryCols: Seq[String] = Nil,
+      minMatches: Long = 1L): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty), "phrases must be non-empty")
+    val toks = TextDedup.tokens(col(textCol))
+    phrases.map { phrase =>
+      val L = phrase.size
+      val upper = size(toks) - (L - 1)
+      // sequence(1, u) counts DOWN when u < 1 — guard short docs to zero
+      val nMatches = when(upper >= 1,
+        size(filter(sequence(lit(1), upper),
+          i => phrase.zipWithIndex.map { case (term, off) =>
+            element_at(toks, i + off) === term
+          }.reduce(_ && _)))).otherwise(0).cast("long")
+      df.select(lit(phrase.mkString(" ")).as("phrase") +: col(idCol) +:
+          (carryCols.map(col) :+ nMatches.as("n_matches")): _*)
+        .filter(col("n_matches") >= minMatches)
+    }.reduce(_ unionByName _)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * fuse N retrieval systems' rank lists into one ranking by
     * `Σ_systems 1/(k0 + rank)` — the standard hybrid-retrieval merge (BM25

@@ -502,6 +502,42 @@ object TextDedup {
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
 
+  /** LSH banding-parameter optimizer (Leskovec/Rajaraman/Ullman, "Mining
+    * of Massive Datasets" §3.4.3): for every factorization k = b·r of the
+    * signature budget, integrate the S-curve P(candidate | s) = 1−(1−sʳ)ᵇ
+    * over a similarity grid to get the false-positive area below the
+    * target threshold and the false-negative area above it; the chosen
+    * (b, r) minimizes their sum. The ANALYTIC companion to the empirical
+    * q161 sweep — it needs no candidate pairs at all, so re-tuning after
+    * a threshold change is free.
+    *
+    * Pure bounded compute: |divisors(k)| × 99 grid rows built from
+    * literals — no table scan, no shuffle beyond the few-row aggregate.
+    * Areas are micro-units of similarity mass (grid step 0.01 → each
+    * grid point contributes P·10⁴ micro).
+    */
+  def lshParameterSweep(spark: org.apache.spark.sql.SparkSession, k: Int,
+      thresholdBp: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    import spark.implicits._
+    val cands = (1 to k).filter(k % _ == 0).map(r => ((k / r).toLong, r.toLong))
+      .toDF("b", "r")
+    val spine = (1 until 100).map(_.toLong).toDF("s_cp") // similarity in 1/100s
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cost_micro"), col("b"))
+    cands.crossJoin(broadcast(spine))
+      .withColumn("__p",
+        lit(1.0) - pow(lit(1.0) - pow(col("s_cp") / lit(100.0), col("r")), col("b")))
+      .groupBy(col("b"), col("r"))
+      .agg(
+        round(sum(when(col("s_cp") * 100 < thresholdBp, col("__p"))
+          .otherwise(0.0)) * 10000).cast("long").as("fp_micro"),
+        round(sum(when(col("s_cp") * 100 >= thresholdBp, lit(1.0) - col("__p"))
+          .otherwise(0.0)) * 10000).cast("long").as("fn_micro"))
+      .withColumn("cost_micro", col("fp_micro") + col("fn_micro"))
+      .withColumn("chosen", row_number().over(w) === 1)
+  }
+
   /** The canonical text normalization for exact-dedup keys: lowercase,
     * trim, collapse whitespace runs. Deliberately minimal and FIXED —
     * the key's identity is part of the dedup contract (CCNet normalizes

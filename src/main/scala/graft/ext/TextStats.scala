@@ -1083,6 +1083,39 @@ object TextStats {
       .withColumn("oov_bp", expr("(n_oov * 10000L) div n_total"))
   }
 
+  /** Leave-one-out source valuation: for each source, the corpus-mean
+    * quality metric (type-token ratio in basis points, the [[qualityScore]]
+    * `ttr_bp` formula) WITH and WITHOUT that source — the Shapley-style
+    * "marginal contribution of a data source" a curation pipeline ranks
+    * acquisition/retirement decisions by, computed by GROUP ALGEBRA
+    * (total-minus-group), never by rescoring the corpus per source.
+    *
+    * `delta_bp = overall − leave-one-out`: positive means the source
+    * pulls the corpus metric up. One corpus aggregate + a 1-row
+    * broadcast; sources = all-but-one corpus (null loo for a single
+    * source).
+    */
+  def looSourceValue(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val toks = TextDedup.tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val ttrBp = when(nTok > 0,
+      floor(size(array_distinct(toks)).cast("long") * 10000L / nTok).cast("long"))
+      .otherwise(0L)
+    val bySrc = df
+      .select(col(sourceCol).as("source"), ttrBp.as("__ttr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ttr")).as("__s"))
+    val tot = bySrc.agg(sum(col("n_docs")).as("__tot_n"), sum(col("__s")).as("__tot_s"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("mean_bp", expr("__s div n_docs"))
+      .withColumn("overall_bp", expr("__tot_s div __tot_n"))
+      .withColumn("loo_bp",
+        expr("CASE WHEN __tot_n > n_docs THEN (__tot_s - __s) div (__tot_n - n_docs) END"))
+      .withColumn("delta_bp", col("overall_bp") - col("loo_bp"))
+      .select(col("source"), col("n_docs"), col("mean_bp"),
+        col("overall_bp"), col("loo_bp"), col("delta_bp"))
+  }
+
   /** Zipf's-law fit: OLS regression of ln(frequency) on ln(rank) over the
     * top-`topN` vocabulary — the standard corpus-health check (natural text
     * fits slope ≈ −1; a far-off slope flags boilerplate floods or synthetic

@@ -5707,6 +5707,107 @@ object ExtensionQueries {
         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""")
   )
 
+  // Dedup design tool: the ANALYTIC LSH banding optimizer — S-curve
+  // FP/FN areas per factorization of the 16-permutation budget at the
+  // 0.5 target threshold; the chosen (b, r) minimizes their sum. Pure
+  // bounded compute from literals (no scan) — the companion to q161's
+  // empirical sweep.
+  private val q196 = Q(
+    "q196_lsh_tuning",
+    (s, dir) => TextDedup.lshParameterSweep(s, k = 16, thresholdBp = 5000L),
+    Some("""WITH cands AS (SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r
+        FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16)) AS t(b, r)),
+      g AS (SELECT CAST(v AS BIGINT) AS s_cp FROM generate_series(1, 99) AS t(v)),
+      p AS (SELECT b, r, s_cp,
+          1 - pow(1 - pow(s_cp / 100.0, r), b) AS pc FROM cands, g),
+      a AS (SELECT b, r,
+          CAST(round(sum(CASE WHEN s_cp * 100 < 5000 THEN pc ELSE 0 END) * 10000)
+            AS BIGINT) AS fp_micro,
+          CAST(round(sum(CASE WHEN s_cp * 100 >= 5000 THEN 1 - pc ELSE 0 END) * 10000)
+            AS BIGINT) AS fn_micro
+        FROM p GROUP BY 1, 2)
+      SELECT b, r, fp_micro, fn_micro, fp_micro + fn_micro AS cost_micro,
+        row_number() OVER (ORDER BY fp_micro + fn_micro, b) = 1 AS chosen
+      FROM a""")
+  )
+
+  // Data valuation 1: leave-one-out source contribution to the corpus
+  // type-token-ratio metric — group algebra (total minus group), one
+  // corpus aggregate + a 1-row broadcast, no per-source rescoring.
+  private val q197 = Q(
+    "q197_loo_source_value",
+    (s, dir) => TextStats.looSourceValue(docsSpread(s, dir), "source", "text"),
+    Some(s"""WITH $toksCte,
+      t AS (SELECT source, CASE WHEN len(w) > 0
+          THEN (len(list_distinct(w)) * 10000) // len(w) ELSE 0 END AS ttr
+        FROM toks),
+      b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(ttr) AS BIGINT) AS s FROM t GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+          CAST(sum(s) AS BIGINT) AS ss FROM b)
+      SELECT source, n_docs,
+        CAST(s // n_docs AS BIGINT) AS mean_bp,
+        CAST(ss // nn AS BIGINT) AS overall_bp,
+        CAST(CASE WHEN nn > n_docs THEN (ss - s) // (nn - n_docs) END AS BIGINT) AS loo_bp,
+        CAST(ss // nn - (CASE WHEN nn > n_docs
+          THEN (ss - s) // (nn - n_docs) END) AS BIGINT) AS delta_bp
+      FROM b, tot""")
+  )
+
+  // Retrieval 3: positional phrase query — exact token-boundary phrase
+  // occurrence counts as a pure higher-order-function projection (no
+  // explode, no position self-join).
+  private val q198 = Q(
+    "q198_phrase_match",
+    (s, dir) => Retrieval.phraseMatches(docsSpread(s, dir), "doc_id", "text",
+      Seq(Seq("slow", "hash", "batch"), Seq("stream", "table", "hash"))),
+    Some(s"""WITH $toksCte,
+      m AS (
+        SELECT 'slow hash batch' AS phrase, doc_id,
+          CAST(len(list_filter(range(1, len(w) - 1),
+            i -> w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch'))
+            AS BIGINT) AS n_matches
+        FROM toks WHERE len(w) >= 3
+        UNION ALL
+        SELECT 'stream table hash', doc_id,
+          CAST(len(list_filter(range(1, len(w) - 1),
+            i -> w[i] = 'stream' AND w[i+1] = 'table' AND w[i+2] = 'hash'))
+            AS BIGINT)
+        FROM toks WHERE len(w) >= 3)
+      SELECT phrase, doc_id, n_matches FROM m WHERE n_matches > 0""")
+  )
+
+  // Multimodal 6: VAD-style energy windowing over the opaque payload —
+  // 8-byte PCM windows, energy gate at 16000, silence-trim bounds. The
+  // decode boundary is the q166 mapPartitions pattern; the gate itself is
+  // all-integer and replays in SQL.
+  private val q199 = Q(
+    "q199_audio_vad",
+    (s, dir) => Multimodal.vadStats(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload", windowBytes = 8, threshold = 16000L).toDF(),
+    Some("""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text,
+        CAST(ceil(length(text) / 8.0) AS BIGINT) AS nw FROM documents),
+      e AS (SELECT id, nw,
+          list_transform(range(0, nw), j ->
+            list_sum(list_transform(
+              range(CAST(j * 8 + 1 AS BIGINT),
+                CAST(least((j + 1) * 8, length(text)) + 1 AS BIGINT)),
+              i -> (ascii(substring(text, CAST(i AS INT), 1)) - 128)
+                 * (ascii(substring(text, CAST(i AS INT), 1)) - 128)))) AS en
+        FROM base),
+      v AS (SELECT id, nw, en,
+          list_filter(range(0, nw), j -> en[CAST(j + 1 AS INT)] >= 16000) AS vj
+        FROM e)
+      SELECT id, nw AS n_windows, CAST(len(vj) AS BIGINT) AS n_voiced,
+        CASE WHEN nw > 0 THEN (len(vj) * 10000) // nw ELSE 0 END AS voiced_bp,
+        CAST(CASE WHEN len(vj) > 0 THEN vj[1] ELSE -1 END AS BIGINT) AS first_voiced,
+        CAST(CASE WHEN len(vj) > 0 THEN vj[CAST(len(vj) AS INT)] ELSE -1 END
+          AS BIGINT) AS last_voiced
+      FROM v""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5714,5 +5815,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
 }

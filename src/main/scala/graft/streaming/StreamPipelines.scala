@@ -1003,6 +1003,45 @@ object StreamPipelines {
     queries.find(q => !q.isActive).foreach(q => q.exception.foreach(throw _))
   }
 
+  /** Windowed phrase-hit telemetry — the streaming twin of q198: per
+    * tumbling window, how many documents contain each watch phrase and
+    * the total occurrence count. The phrase gate is
+    * [[graft.ext.Retrieval.phraseMatches]]'s HOF projection running
+    * BEFORE the aggregate, so the stateful operator only ever sees
+    * (phrase, n_matches) rows for matching docs — the
+    * filter-then-aggregate discipline that keeps window state at
+    * |phrases| cells, not |docs|.
+    *
+    * Output per closed window: (window_start, phrase, n_docs, n_hits).
+    *
+    * Watermark subtlety: a `n_matches > 0` PRE-aggregate filter would be
+    * pushed below the EventTimeWatermark node, so windows whose tail
+    * events match no phrase would never close. The gate therefore runs
+    * with `minMatches = 0` (every doc contributes a row per phrase —
+    * the aggregate state is still |phrases| cells per window) and
+    * match-less (window, phrase) cells drop AFTER the aggregate.
+    */
+  def phraseTelemetry(
+      docs: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[Seq[String]],
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute"
+  ): DataFrame = {
+    val matched = graft.ext.Retrieval.phraseMatches(
+      docs.withWatermark(tsCol, watermark), idCol, textCol, phrases,
+      carryCols = Seq(tsCol), minMatches = 0L)
+    matched
+      .groupBy(window(col(tsCol), windowLength), col("phrase"))
+      .agg(sum(when(col("n_matches") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("n_matches")).as("n_hits"))
+      .filter(col("n_docs") > 0)
+      .select(col("window.start").as("window_start"), col("phrase"),
+        col("n_docs"), col("n_hits"))
+  }
+
   /** Windowed Count-Min telemetry: per tumbling window, the
     * [[graft.ext.TextStats.cmsCounters]] grid over the window's token
     * stream — the bounded-state frequency summary as stream telemetry

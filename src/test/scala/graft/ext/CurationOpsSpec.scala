@@ -212,6 +212,23 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("phraseMatches counts overlapping starts; short docs guard to zero") {
+    val docs = Seq(
+      (1L, "a a a b"),     // "a a" starts at 1 and 2
+      (2L, "x a a y a a"), // starts at 2 and 5
+      (3L, "a"),           // shorter than the phrase
+      (4L, "b c")          // no match
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseMatches(docs, "doc_id", "text", Seq(Seq("a", "a")))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L))
+    // multi-phrase union tags rows by phrase
+    val multi = Retrieval.phraseMatches(docs, "doc_id", "text",
+      Seq(Seq("a", "a"), Seq("b", "c")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(multi == Set(("a a", 1L), ("a a", 2L), ("b c", 4L)))
+  }
+
   test("rrfFuse sums 1e6 div (k0+rank) across systems with per-system rank columns") {
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rnk")
     val b = Seq((11L, 1L), (13L, 2L)).toDF("doc_id", "rnk")

@@ -92,4 +92,21 @@ class MultimodalSpec extends SparkFunSuite {
     val again = Multimodal.decodeFeatures(media, "id", "payload").collect().map(f => f.id -> f).toMap
     assert(again == feats)
   }
+
+  test("vadStats: energy gate, partial tail window, trim bounds, silent payload") {
+    import spark.implicits._
+    // bytes: 'a' (97) → (97−128)² = 961 per sample; ' ' (32) → 9216
+    // window 4: "aaaa" = 3844 (quiet), "a  a" = 20354 (voiced)
+    val rows = Seq(
+      (1L, "aaaa" + "a  a" + "aaaa" + "a  a" + "aa"), // windows: q,V,q,V,q(tail)
+      (2L, "aaaaaaaa"),                               // fully silent
+      (3L, "  ")                                      // one partial voiced window
+    ).toDF("doc_id", "t").select(col("doc_id"), col("t").cast("binary").as("payload"))
+    val got = Multimodal.vadStats(rows, "doc_id", "payload",
+        windowBytes = 4, threshold = 10000L)
+      .collect().map(v => v.id -> v).toMap
+    assert(got(1L) == Multimodal.VadStats(1L, 5L, 2L, 4000L, 1L, 3L))
+    assert(got(2L) == Multimodal.VadStats(2L, 2L, 0L, 0L, -1L, -1L))
+    assert(got(3L) == Multimodal.VadStats(3L, 1L, 1L, 10000L, 0L, 0L))
+  }
 }

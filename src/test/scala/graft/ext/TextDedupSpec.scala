@@ -272,4 +272,29 @@ class TextDedupSpec extends SparkFunSuite {
       .select(TextDedup.normalizeForDedup(col("t")).as("n")).collect().head.getString(0)
     assert(twice == once)
   }
+
+  test("lshParameterSweep: S-curve areas match the closed form; chosen minimizes cost") {
+    val out = TextDedup.lshParameterSweep(spark, k = 4, thresholdBp = 5000L)
+      .collect().map(r => (r.getAs[Long]("b"), r.getAs[Long]("r")) ->
+        ((r.getAs[Long]("fp_micro"), r.getAs[Long]("fn_micro"), r.getAs[Boolean]("chosen"))))
+      .toMap
+    assert(out.keySet == Set((4L, 1L), (2L, 2L), (1L, 4L)))
+    // independent recomputation of each integral
+    def areas(b: Int, r: Int): (Long, Long) = {
+      val ps = (1 until 100).map { cp =>
+        val s = cp / 100.0
+        cp -> (1.0 - math.pow(1.0 - math.pow(s, r), b))
+      }
+      (math.round(ps.filter(_._1 * 100 < 5000).map(_._2).sum * 10000),
+       math.round(ps.filter(_._1 * 100 >= 5000).map(p => 1.0 - p._2).sum * 10000))
+    }
+    for (((b, r), (fp, fn, _)) <- out)
+      assert((fp, fn) == areas(b.toInt, r.toInt), s"(b=$b, r=$r)")
+    // exactly one chosen row, and it has the minimal cost
+    val costs = out.map { case (k, (fp, fn, ch)) => (k, fp + fn, ch) }
+    val minCost = costs.map(_._2).min
+    assert(costs.count(_._3) == 1 && costs.filter(_._3).forall(_._2 == minCost))
+    // banding beats both degenerate extremes at a mid threshold
+    assert(out((2L, 2L))._3)
+  }
 }

@@ -461,4 +461,20 @@ class TextStatsSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == Map(1L -> ((2L, 2L)), 2L -> ((3L, 4L)), 3L -> ((4L, 5L))))
   }
+
+  test("looSourceValue: total-minus-group algebra, null loo for a lone source") {
+    // A: ttrs 10000 ("a b") and 5000 ("a a"); B: 10000 ("c")
+    val docs = Seq(("A", "a b"), ("A", "a a"), ("B", "c")).toDF("source", "text")
+    val got = TextStats.looSourceValue(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A"); val b = got("B")
+    assert(a.getAs[Long]("n_docs") == 2L && a.getAs[Long]("mean_bp") == 7500L)
+    assert(a.getAs[Long]("overall_bp") == 25000L / 3L)
+    assert(a.getAs[Long]("loo_bp") == 10000L)   // B alone
+    assert(a.getAs[Long]("delta_bp") == 25000L / 3L - 10000L) // A drags TTR down
+    assert(b.getAs[Long]("loo_bp") == 7500L && b.getAs[Long]("delta_bp") == 833L)
+    val lone = TextStats.looSourceValue(
+      Seq(("only", "x y")).toDF("source", "text"), "source", "text").collect().head
+    assert(lone.isNullAt(lone.fieldIndex("loo_bp")))
+  }
 }

@@ -1116,6 +1116,38 @@ class PlanAuditSpec extends SparkFunSuite {
       s"exactly one customer-key shuffle:\n$p")
   }
 
+  test("q196: LSH tuner never scans a table") {
+    val p = plan("q196_lsh_tuning")
+    assert(!p.contains("FileScan"), s"the analytic sweep must be scan-free:\n$p")
+  }
+
+  test("q197: LOO valuation broadcasts totals and reuses the per-source aggregate") {
+    // like q190: exchange reuse is an AQE runtime decision — execute first
+    val df = SparkEntry.queries("q197_loo_source_value")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus totals must attach by broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("ReusedExchange"),
+      s"the totals branch must reuse the per-source aggregate exchange:\n$p")
+  }
+
+  test("q198: phrase match is a shuffle-free projection") {
+    val p = plan("q198_phrase_match")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"phrase counting must stay a per-row projection:\n$p")
+    assert(!p.contains("Generate"), s"no explode belongs here:\n$p")
+  }
+
+  test("q199: VAD runs at the mapPartitions decode boundary with no shuffle") {
+    val p = plan("q199_audio_vad")
+    assert(p.contains("MapPartitions"),
+      s"the decode boundary must be a per-partition iterator:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"per-payload gating must not shuffle:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus

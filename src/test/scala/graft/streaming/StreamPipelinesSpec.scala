@@ -146,6 +146,30 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("phraseTelemetry: HOF gate before the window agg; emits per-phrase tallies") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // Ev.key carries the document text for this twin
+    val agg = StreamPipelines.phraseTelemetry(
+      input.toDF().withColumnRenamed("key", "text"),
+      "ts", "event_type", "text", Seq(Seq("a", "b"), Seq("c", "c")))
+    val q = agg.writeStream.format("memory").queryName("pht").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 10:00:01"), "a b x a b", "d1"), // "a b" ×2
+        Ev(t("2024-01-01 10:00:02"), "a b", "d2"),       // "a b" ×1
+        Ev(t("2024-01-01 10:00:03"), "c c c", "d3"),     // "c c" ×2 (overlap)
+        Ev(t("2024-01-01 10:00:04"), "z z", "d4"))       // no match
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 10:02:00"), "q", "z")) // close window
+      q.processAllAvailable()
+      val rows = spark.table("pht").collect()
+        .map(r => r.getAs[String]("phrase") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_hits")))).toMap
+      assert(rows == Map("a b" -> ((2L, 3L)), "c c" -> ((1L, 2L))))
+    } finally q.stop()
+  }
+
   test("windowedSketchStats: sketch state merges across micro-batches; exact at low cardinality") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
