@@ -224,8 +224,12 @@ object Explain {
     "q197_loo_source_value", // one corpus agg + 1-row broadcast;
                            // group algebra, no per-source rescan
     "q198_phrase_match",   // HOF projection + filter — zero shuffles
-    "q199_audio_vad"       // mapPartitions decode boundary, per-row
+    "q199_audio_vad",      // mapPartitions decode boundary, per-row
                            // integer gate — zero shuffles
+    "q200_column_profile", // one melt explode + two partial-aggregable
+                           // hash aggregates; modal value is max(struct)
+    "q201_merkle_diff"     // per-side bucket XOR digests + a
+                           // |buckets|-row reconciliation join
   )
 
   def main(args: Array[String]): Unit = {

@@ -56,4 +56,40 @@ object OptimizerStats {
         col("est_uniform"), col("est_hh"),
         col("err_uniform_bp"), col("err_hh_bp"))
   }
+
+  /** ANALYZE-style column profile: per listed column, the non-null/null
+    * tallies, EXACT distinct-value count, lexicographic min/max of the
+    * canonical string form, and the modal value with its count — the
+    * statistics table a CBO ingests (Spark's `ANALYZE TABLE ... FOR
+    * COLUMNS`, with exact NDV instead of its HLL estimate).
+    *
+    * Shape: the table MELTS to (col_name, value) rows — one explode, a
+    * deliberate |cols|× row multiplication (exactly the cost a
+    * multi-column `count(distinct)` pays via Expand, but in a form where
+    * BOTH aggregates stay plain partial-aggregable hash aggregates: one
+    * shuffle on (col_name, value), one on col_name; the modal value is a
+    * map-side `max(struct(cnt, value))` argmax, never a rank window).
+    * Values compare in canonical string form (numerics documented as
+    * lexicographic in min/max_str).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+    val perVal = melted.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    perVal.groupBy(col("col_name"))
+      .agg(
+        sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("ndv"),
+        min(col("v")).as("min_str"), max(col("v")).as("max_str"),
+        max(when(col("v").isNotNull,
+          struct(col("cnt").as("cnt"), col("v").as("v")))).as("__top"))
+      .select(col("col_name"), col("n_nonnull"), col("n_null"), col("ndv"),
+        col("min_str"), col("max_str"),
+        col("__top.v").as("top_value"), col("__top.cnt").as("top_count"))
+  }
 }

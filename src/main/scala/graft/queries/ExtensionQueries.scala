@@ -5495,13 +5495,14 @@ object ExtensionQueries {
       SELECT n_docs, vocab, n_tokens FROM v JOIN tk USING (n_docs)""")
   )
 
-  // DuckDB: first 8 md5 hex digits of `e` as a 32-bit BIGINT (no hex→int
-  // cast in DuckDB — parsed digit-by-digit like duckSimhashHexVal).
-  private def duckHex32(e: String): String = (0 until 8).map { p =>
+  // DuckDB: first `n` md5 hex digits of `e` as a BIGINT (no hex→int cast
+  // in DuckDB — parsed digit-by-digit like duckSimhashHexVal).
+  private def duckHexN(e: String, n: Int): String = (0 until n).map { p =>
     val term = s"CAST(strpos('0123456789abcdef', substr(md5($e), ${p + 1}, 1)) - 1 AS BIGINT)"
-    val mult = 1L << (4 * (7 - p))
+    val mult = 1L << (4 * (n - 1 - p))
     if (mult == 1L) term else s"$term * $mult"
   }.mkString(" + ")
+  private def duckHex32(e: String): String = duckHexN(e, 8)
 
   // Privacy 1: ε-differentially-private per-(source, lang) doc counts —
   // seeded Laplace(1/ε) noise (ε=1) via the inverse CDF on a
@@ -5808,6 +5809,71 @@ object ExtensionQueries {
       FROM v""")
   )
 
+  // Optimizer-stats 2: ANALYZE-style column profile of lineitem — exact
+  // NDV, null tallies, lexicographic min/max, and the modal value via a
+  // map-side max(struct) argmax; the melt is one explode, both
+  // aggregates partial-aggregable.
+  private val q200 = Q(
+    "q200_column_profile",
+    (s, dir) => OptimizerStats.columnProfile(Tables.lineitem(s, dir),
+      Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_orderkey")),
+    Some("""WITH m AS (
+        SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
+        UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem),
+      pv AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY 1, 2)
+      SELECT col_name,
+        CAST(sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nonnull,
+        CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
+        min(v) AS min_str, max(v) AS max_str,
+        (max(CASE WHEN v IS NOT NULL THEN {'cnt': cnt, 'v': v} END)).v AS top_value,
+        CAST((max(CASE WHEN v IS NOT NULL THEN {'cnt': cnt, 'v': v} END)).cnt
+          AS BIGINT) AS top_count
+      FROM pv GROUP BY 1""")
+  )
+
+  // Table tier: Merkle-segment anti-entropy diff — version B of lineitem
+  // is synthesized (order 19's lines re-suppliered, order 77's lines
+  // dropped); the reconciliation compares 64 XOR digests and emits only
+  // the drifted segments.
+  private val q201 = Q(
+    "q201_merkle_diff",
+    (s, dir) => {
+      import graft.table.SegmentDigest
+      val cols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
+      val a = Tables.lineitem(s, dir)
+      val b = a.filter(col("l_orderkey") =!= 77L)
+        .withColumn("l_suppkey",
+          when(col("l_orderkey") === 19L, col("l_suppkey") + 1L)
+            .otherwise(col("l_suppkey")))
+      SegmentDigest.diff(
+        SegmentDigest.digests(a, "l_orderkey", cols, nBuckets = 64),
+        SegmentDigest.digests(b, "l_orderkey", cols, nBuckets = 64))
+    },
+    Some {
+      def side(name: String, extra: String) =
+        s"""$name AS (SELECT
+          (${duckHexN("CAST(l_orderkey AS VARCHAR)", 4)}) % 64 AS bucket,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(bit_xor(${duckHexN(
+            "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(sk AS VARCHAR) || '|' || l_returnflag", 8)})
+            AS BIGINT) AS digest
+        FROM (SELECT l_orderkey, l_linenumber, l_returnflag, $extra AS sk
+          FROM lineitem ${if (name == "b") "WHERE l_orderkey <> 77" else ""}) t
+        GROUP BY 1)"""
+      s"""WITH ${side("a", "l_suppkey")},
+        ${side("b", "CASE WHEN l_orderkey = 19 THEN l_suppkey + 1 ELSE l_suppkey END")}
+      SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+        a.digest AS digest_a, b.digest AS digest_b
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+      WHERE a.digest IS NULL OR b.digest IS NULL
+        OR a.digest <> b.digest OR a.n_rows <> b.n_rows"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5815,5 +5881,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
 }

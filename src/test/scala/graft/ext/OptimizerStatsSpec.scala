@@ -22,4 +22,20 @@ class OptimizerStatsSpec extends SparkFunSuite {
     val r = OptimizerStats.selfJoinSizeAudit(rows, "k", hh = 10).collect().head
     assert(r.getAs[Long]("exact_pairs") == 5L && r.getAs[Long]("est_hh") == 5L)
   }
+
+  test("columnProfile: exact ndv, null tallies, modal value with max-value tiebreak") {
+    val rows = Seq(
+      (Some("x"), 1L), (Some("x"), 2L), (Some("y"), 2L), (None, 3L)
+    ).toDF("s", "k")
+    val got = OptimizerStats.columnProfile(rows, Seq("s", "k"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sCol = got("s"); val kCol = got("k")
+    assert(sCol.getAs[Long]("n_nonnull") == 3L && sCol.getAs[Long]("n_null") == 1L)
+    assert(sCol.getAs[Long]("ndv") == 2L)
+    assert(sCol.getAs[String]("top_value") == "x" && sCol.getAs[Long]("top_count") == 2L)
+    assert(sCol.getAs[String]("min_str") == "x" && sCol.getAs[String]("max_str") == "y")
+    assert(kCol.getAs[Long]("n_null") == 0L && kCol.getAs[Long]("ndv") == 3L)
+    // counts tie at 1,1 for k=1,3 vs 2 at cnt 2 → modal is ("2", 2)
+    assert(kCol.getAs[String]("top_value") == "2" && kCol.getAs[Long]("top_count") == 2L)
+  }
 }

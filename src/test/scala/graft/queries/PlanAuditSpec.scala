@@ -1148,6 +1148,29 @@ class PlanAuditSpec extends SparkFunSuite {
       s"per-payload gating must not shuffle:\n$p")
   }
 
+  test("q200: column profile is melt + two map-side aggregates, argmax not a window") {
+    val p = plan("q200_column_profile")
+    assert(!p.contains("windowspecdefinition"),
+      s"the modal value must be a max(struct) argmax, not a rank window:\n$p")
+    assert(p.contains("partial_max(CASE WHEN") || p.contains("partial_max(casewhen"),
+      s"the argmax must map-side combine:\n$p")
+    // the struct-argmax stage plans as a partial+final SortAggregate (struct
+    // max is not hash-aggregable) — still map-side combined, and the sort
+    // runs over the value-cardinality frame, never the source rows
+    assert(p.split("Aggregate").length >= 5,
+      s"both aggregates must be partial+final:\n$p")
+  }
+
+  test("q201: merkle diff folds each side to bucket digests before the join") {
+    val p = plan("q201_merkle_diff")
+    assert(!p.contains("SortMergeJoin") || p.contains("FullOuter"),
+      s"only the |buckets|-row reconciliation may sort-merge:\n$p")
+    assert(p.contains("bit_xor"), s"the digest must be the XOR fold:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"per-side digests must map-side combine:\n$p")
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
