@@ -293,13 +293,25 @@ object TextDedup {
     // prefix length p = n − ⌈t·n⌉ + 1 (exact integer ceil in basis points)
     val pref = ranked
       .filter(col("rnk") <= col("n") - expr(s"(n * ${thresholdBp}L + 9999L) div 10000L") + 1)
-      .select(col("id"), col("n"), col("s"))
+      .select(col("id"), col("n"), col("s"), col("rnk"))
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           // length filter: J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)
           least(col("a.n"), col("b.n")) * 10000L >=
-            lit(thresholdBp.toLong) * greatest(col("a.n"), col("b.n")))
+            lit(thresholdBp.toLong) * greatest(col("a.n"), col("b.n")) &&
+          // positional filter (PPJoin, Xiao et al. 2008 §3.2): a match at
+          // prefix ranks (i, j) caps the overlap at 1 + min(nₐ−i, n_b−j);
+          // J ≥ t needs overlap ≥ ⌈t·(nₐ+n_b)/(1+t)⌉ — candidates whose
+          // matching token sits too deep in both prefixes never reach
+          // verification
+          lit(1L) + least(col("a.n") - col("a.rnk"), col("b.n") - col("b.rnk")) >= {
+            // ⌈t·(nₐ+n_b)/(1+t)⌉ in exact integer basis points (the operands
+            // stay ≪ 2^53, so the double floor is exact)
+            val num = lit(thresholdBp.toLong) * (col("a.n") + col("b.n")) +
+              lit(10000L + thresholdBp - 1L)
+            floor(num / lit(10000L + thresholdBp)).cast("long")
+          })
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verification: exact |A∩B| per candidate pair via array_intersect.
