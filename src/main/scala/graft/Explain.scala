@@ -228,8 +228,12 @@ object Explain {
                            // integer gate — zero shuffles
     "q200_column_profile", // one melt explode + two partial-aggregable
                            // hash aggregates; modal value is max(struct)
-    "q201_merkle_diff"     // per-side bucket XOR digests + a
+    "q201_merkle_diff",    // per-side bucket XOR digests + a
                            // |buckets|-row reconciliation join
+    "q202_deletion_audit", // broadcast deletion list → semi/anti counts
+                           // per fact table, no subject-key shuffle
+    "q203_k_anonymity",    // class hash-agg → one-row risk fold
+    "q204_l_diversity"     // two chained aggregates, all partial
   )
 
   def main(args: Array[String]): Unit = {

@@ -49,6 +49,79 @@ object Privacy {
       .cast("long")
   }
 
+  /** Right-to-be-forgotten impact audit: for each (table, df, keyCol),
+    * how many rows reference a subject on the deletion list, and how
+    * many would survive the purge — the pre-deletion blast-radius report
+    * plus the post-purge verification in one pass per table. The
+    * deletion list broadcasts into a semi-join (count referenced) and an
+    * anti-join (count surviving); each fact table scans once per count,
+    * never shuffles on the subject key.
+    *
+    * Output: (table_name, n_rows, n_referencing, n_after_purge) — the
+    * audit invariant n_rows = n_referencing + n_after_purge holds by
+    * construction and a violation flags a non-deterministic source.
+    */
+  def deletionImpact(tables: Seq[(String, DataFrame, String)],
+      deleted: DataFrame, delKeyCol: String): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    val del = broadcast(deleted.select(col(delKeyCol)).distinct())
+    tables.map { case (name, df, keyCol) =>
+      val refs = df.join(del, df(keyCol) === del(delKeyCol), "left_semi")
+        .agg(count(lit(1)).as("n_referencing"))
+      val kept = df.join(del, df(keyCol) === del(delKeyCol), "left_anti")
+        .agg(count(lit(1)).as("n_after_purge"))
+      val total = df.agg(count(lit(1)).as("n_rows"))
+      total.crossJoin(refs).crossJoin(kept)
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("n_referencing"), col("n_after_purge"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** k-anonymity audit (Sweeney 2002): equivalence classes over the
+    * quasi-identifier columns, the minimum class size, and the rows at
+    * re-identification risk (in classes smaller than k). One
+    * hash-aggregate to class granularity; the summary folds the
+    * class-cardinality frame.
+    *
+    * Output (one row): n_classes, min_class_size, n_small_classes,
+    * rows_at_risk, at_risk_bp.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__sz"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("__sz")).as("min_class_size"),
+        sum(when(col("__sz") < k, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("__sz")).as("__n"))
+      .withColumn("at_risk_bp", expr("(rows_at_risk * 10000L) div __n"))
+      .drop("__n")
+  }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007): per
+    * quasi-identifier class, the number of DISTINCT sensitive values;
+    * classes below `l` are vulnerable to homogeneity attacks even when
+    * k-anonymous. Two chained aggregates (class+sensitive → class →
+    * summary), all partial-aggregable.
+    *
+    * Output (one row): n_classes, min_diversity, n_low_classes,
+    * rows_in_low_classes.
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    val perClassValue = df
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    perClassValue
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__div"), sum(col("__cnt")).as("__sz"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("__div")).as("min_diversity"),
+        sum(when(col("__div") < l, 1L).otherwise(0L)).as("n_low_classes"),
+        sum(when(col("__div") < l, col("__sz")).otherwise(0L)).as("rows_in_low_classes"))
+  }
+
   /** ε-DP noisy group counts: one Laplace(1/ε) draw per group, seeded by
     * the group key. `suppressBelow` additionally drops groups whose TRUE
     * count is under the floor (the k-anonymity-style small-cell rule

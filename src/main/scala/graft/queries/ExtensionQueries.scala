@@ -5874,6 +5874,76 @@ object ExtensionQueries {
     }
   )
 
+  // Privacy 2: right-to-be-forgotten blast radius — subjects with
+  // user_id % 7 = 3 deleted; per fact table, referenced vs surviving
+  // rows via broadcast semi/anti joins.
+  private val q202 = Q(
+    "q202_deletion_audit",
+    (s, dir) => {
+      val deleted = Tables.events(s, dir)
+        .select(col("user_id")).distinct().filter(col("user_id") % 7 === 3)
+        .withColumnRenamed("user_id", "del_key")
+      Privacy.deletionImpact(
+        Seq(("events", Tables.events(s, dir), "user_id"),
+            ("orders", Tables.orders(s, dir), "o_custkey")),
+        deleted, "del_key")
+    },
+    Some("""WITH del AS (SELECT DISTINCT user_id AS k FROM events
+        WHERE user_id % 7 = 3)
+      SELECT 'events' AS table_name,
+        CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
+        CAST((SELECT count(*) FROM events WHERE user_id IN (SELECT k FROM del))
+          AS BIGINT) AS n_referencing,
+        CAST((SELECT count(*) FROM events WHERE user_id NOT IN (SELECT k FROM del))
+          AS BIGINT) AS n_after_purge
+      UNION ALL
+      SELECT 'orders',
+        CAST((SELECT count(*) FROM orders) AS BIGINT),
+        CAST((SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM del))
+          AS BIGINT),
+        CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM del))
+          AS BIGINT)""")
+  )
+
+  // Privacy 3: k-anonymity over the (nation, market-segment) quasi-
+  // identifier at k=5 — class histogram folded to the risk summary.
+  private val q203 = Q(
+    "q203_k_anonymity",
+    (s, dir) => Privacy.kAnonymityAudit(Tables.customer(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), k = 5L),
+    Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+          CAST(count(*) AS BIGINT) AS sz FROM customer GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        min(sz) AS min_class_size,
+        CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+        CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        CAST((sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000) // sum(sz)
+          AS BIGINT) AS at_risk_bp
+      FROM cls""")
+  )
+
+  // Privacy 4: l-diversity of the account-balance bucket (the sensitive
+  // attribute) within the same QI classes at l=3.
+  private val q204 = Q(
+    "q204_l_diversity",
+    (s, dir) => Privacy.lDiversityAudit(
+      Tables.customer(s, dir)
+        .withColumn("bal_bucket", expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", l = 3L),
+    Some("""WITH pcv AS (SELECT c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY 1, 2, 3),
+      cls AS (SELECT c_nationkey, c_mktsegment,
+          CAST(count(*) AS BIGINT) AS div, CAST(sum(cnt) AS BIGINT) AS sz
+        FROM pcv GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        min(div) AS min_diversity,
+        CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_classes,
+        CAST(sum(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT) AS rows_in_low_classes
+      FROM cls""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5881,5 +5951,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
 }

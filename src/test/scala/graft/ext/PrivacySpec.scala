@@ -38,6 +38,33 @@ class PrivacySpec extends SparkFunSuite {
     assert(got.values.exists(_ > 0) && got.values.exists(_ < 0))
   }
 
+  test("deletionImpact: semi/anti counts hold the partition invariant") {
+    val events = Seq((1L, "a"), (2L, "b"), (3L, "c"), (1L, "d")).toDF("uid", "x")
+    val orders = Seq((2L, "o1"), (4L, "o2")).toDF("cust", "o")
+    val del = Seq(1L, 2L).toDF("del_key")
+    val got = Privacy.deletionImpact(
+        Seq(("events", events, "uid"), ("orders", orders, "cust")), del, "del_key")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_referencing"),
+          r.getAs[Long]("n_after_purge")))).toMap
+    assert(got("events") == ((4L, 3L, 1L)))
+    assert(got("orders") == ((2L, 1L, 1L)))
+  }
+
+  test("kAnonymityAudit and lDiversityAudit summarize class risk exactly") {
+    // classes: (n1,A)×3 homogeneous, (n1,B)×1, (n2,A)×5 diverse
+    val df = (Seq.fill(3)((1L, "A", 7L)) ++ Seq((1L, "B", 1L)) ++
+      (1L to 5L).map(i => (2L, "A", i))).toDF("nat", "seg", "sens")
+    val k = Privacy.kAnonymityAudit(df, Seq("nat", "seg"), k = 3L).collect().head
+    assert(k.getAs[Long]("n_classes") == 3L && k.getAs[Long]("min_class_size") == 1L)
+    assert(k.getAs[Long]("n_small_classes") == 1L && k.getAs[Long]("rows_at_risk") == 1L)
+    assert(k.getAs[Long]("at_risk_bp") == 10000L / 9L)
+    val l = Privacy.lDiversityAudit(df, Seq("nat", "seg"), "sens", l = 2L).collect().head
+    // diversities: (n1,A)=1, (n1,B)=1, (n2,A)=5 → two classes below l=2
+    assert(l.getAs[Long]("min_diversity") == 1L && l.getAs[Long]("n_low_classes") == 2L)
+    assert(l.getAs[Long]("rows_in_low_classes") == 4L)
+  }
+
   test("noisyCounts suppresses small cells and releases true_n·1e6 + noise") {
     val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b")).toDF("g")
     val out = Privacy.noisyCounts(df, Seq("g"), "t", 1000000L, suppressBelow = 5L)

@@ -1171,6 +1171,26 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q202: deletion audit is broadcast semi/anti joins, no subject-key shuffle") {
+    val p = plan("q202_deletion_audit")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"referenced/surviving must be semi/anti joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the deletion list must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact tables must not shuffle on the subject key:\n$p")
+  }
+
+  test("q203/q204: anonymity audits are chained map-side aggregates only") {
+    for (q <- Seq("q203_k_anonymity", "q204_l_diversity")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("windowspecdefinition"),
+        s"$q must be pure aggregation:\n$p")
+      assert(p.split("HashAggregate").length >= 5,
+        s"$q aggregates must map-side combine:\n$p")
+    }
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
