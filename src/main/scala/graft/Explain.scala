@@ -233,7 +233,9 @@ object Explain {
     "q202_deletion_audit", // broadcast deletion list → semi/anti counts
                            // per fact table, no subject-key shuffle
     "q203_k_anonymity",    // class hash-agg → one-row risk fold
-    "q204_l_diversity"     // two chained aggregates, all partial
+    "q204_l_diversity",    // two chained aggregates, all partial
+    "q205_span_corruption" // position explode → doc-keyed island window
+                           // + span agg → doc-keyed join back
   )
 
   def main(args: Array[String]): Unit = {

@@ -220,4 +220,48 @@ object Packing {
         expr(s"(__cum - 1L) div ${ctxLen}L - (__cum - n_tokens) div ${ctxLen}L + 1L")
           .as("n_seqs"))
   }
+
+  /** Span-corruption mask statistics (T5, Raffel et al. 2020 §3.1.4 /
+    * UL2 denoiser mixtures): each token position masks independently with
+    * probability `maskBp`/10⁴ — SEEDED by md5(doc|position), so the mask
+    * a trainer regenerates from the same seed is byte-identical — and
+    * consecutive masked positions merge into spans (the sentinel-token
+    * unit). Reports, per document: token count, masked count, span
+    * count, longest span, and the realized corruption rate.
+    *
+    * Shape: one position explode, the island-grouping window and span
+    * aggregate keyed by doc (no cross-doc state), and a doc-keyed join
+    * back onto the projection-computed token counts — fully-unmasked
+    * docs surface with zero spans via the left join. The window
+    * partitions by document, so task state is one document's masked
+    * positions.
+    */
+  def spanCorruptionStats(df: DataFrame, idCol: String, textCol: String,
+      maskBp: Long): DataFrame = {
+    require(maskBp > 0 && maskBp < 10000, "maskBp in (0, 10000)")
+    val threshold = 65536L * maskBp / 10000L
+    val toks = TextDedup.tokens(col(textCol))
+    val base = df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+      toks.as("__toks"))
+    val masked = base
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "__t")))
+      .filter(Sampling.hashBucket16(
+        concat(col(idCol).cast("string"), lit("|"), col("pos").cast("string")))
+        < threshold)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = masked
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp")).agg(count(lit(1)).as("__len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__len")).as("n_masked"), count(lit(1)).as("n_spans"),
+        max(col("__len")).as("max_span"))
+    base.drop("__toks")
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+      .withColumn("corruption_bp",
+        expr("CASE WHEN n_tokens > 0 THEN (n_masked * 10000L) div n_tokens ELSE 0 END"))
+  }
 }

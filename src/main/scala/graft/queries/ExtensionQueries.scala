@@ -5944,6 +5944,38 @@ object ExtensionQueries {
       FROM cls""")
   )
 
+  // Training prep: T5-style span-corruption mask stats at 15% — seeded
+  // per (doc, position), islands merged into spans per doc, unmasked
+  // docs kept with zeros.
+  private val q205 = Q(
+    "q205_span_corruption",
+    (s, dir) => Packing.spanCorruptionStats(docsSpread(s, dir), "doc_id", "text",
+      maskBp = 1500L),
+    Some(s"""WITH $toksCte,
+      base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM toks),
+      pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+        FROM base, UNNEST(range(1, len(w) + 1)) AS t(i)),
+      msk AS (SELECT doc_id, pos FROM pos
+        WHERE (${duckHexN("CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)", 4)})
+          < ${65536L * 1500L / 10000L}),
+      isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM msk),
+      sp AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_masked,
+          CAST(count(*) AS BIGINT) AS n_spans, max(len) AS max_span
+        FROM sp GROUP BY 1)
+      SELECT b.doc_id, b.n_tokens,
+        coalesce(a.n_masked, 0) AS n_masked,
+        coalesce(a.n_spans, 0) AS n_spans,
+        coalesce(a.max_span, 0) AS max_span,
+        CASE WHEN b.n_tokens > 0
+          THEN (coalesce(a.n_masked, 0) * 10000) // b.n_tokens ELSE 0 END
+          AS corruption_bp
+      FROM base b LEFT JOIN agg a USING (doc_id)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5951,5 +5983,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
 }

@@ -212,6 +212,34 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("spanCorruptionStats: islands merge, unmasked docs keep zeros, mask replays") {
+    import graft.ext.{Packing, Sampling}
+    val docs = Seq((7L, ("w " * 40).trim), (8L, "x")).toDF("doc_id", "text")
+    val got = Packing.spanCorruptionStats(docs, "doc_id", "text", maskBp = 3000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // independent replay of the seeded mask for doc 7
+    val thr = 65536L * 3000L / 10000L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val maskedPos = (0 until 40).filter(p => h16(s"7|$p") < thr)
+    val spans = maskedPos.foldLeft(List.empty[List[Int]]) {
+      case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 => (p :: acc.head) :: acc.tail
+      case (acc, p) => List(p) :: acc
+    }
+    val r7 = got(7L)
+    assert(r7.getAs[Long]("n_tokens") == 40L)
+    assert(r7.getAs[Long]("n_masked") == maskedPos.size.toLong)
+    assert(r7.getAs[Long]("n_spans") == spans.size.toLong)
+    assert(r7.getAs[Long]("max_span") == spans.map(_.size).max.toLong)
+    assert(r7.getAs[Long]("corruption_bp") == maskedPos.size * 10000L / 40L)
+    // the 1-token doc: either fully masked (1 span) or zeros — and real
+    // zeros must surface, not drop
+    val r8 = got(8L)
+    assert(r8.getAs[Long]("n_tokens") == 1L)
+    assert(Set(0L, 1L).contains(r8.getAs[Long]("n_masked")))
+  }
+
   test("phraseMatches counts overlapping starts; short docs guard to zero") {
     val docs = Seq(
       (1L, "a a a b"),     // "a a" starts at 1 and 2

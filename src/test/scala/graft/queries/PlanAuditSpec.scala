@@ -1191,6 +1191,14 @@ class PlanAuditSpec extends SparkFunSuite {
     }
   }
 
+  test("q205: span corruption windows and joins stay doc-keyed") {
+    val p = plan("q205_span_corruption")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"the island window must partition by document:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the join back must stay a doc-keyed equi-join:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
