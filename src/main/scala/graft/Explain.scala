@@ -234,8 +234,10 @@ object Explain {
                            // per fact table, no subject-key shuffle
     "q203_k_anonymity",    // class hash-agg → one-row risk fold
     "q204_l_diversity",    // two chained aggregates, all partial
-    "q205_span_corruption" // position explode → doc-keyed island window
+    "q205_span_corruption", // position explode → doc-keyed island window
                            // + span agg → doc-keyed join back
+    "q206_late_interaction" // bounded query chunks broadcast into a
+                           // dim-keyed join; MaxSim + Σ folds
   )
 
   def main(args: Array[String]): Unit = {

@@ -133,6 +133,50 @@ object Retrieval {
     }.reduce(_ unionByName _)
   }
 
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia, SIGIR
+    * 2020): score(q, d) = Σ_{query chunks} max_{doc chunks} sim — the
+    * MaxSim operator over per-chunk sparse vectors in TALL form
+    * (doc, chunk, dim, weight), e.g. [[TextStats.featureHashing]] output.
+    * Cosine is exact-integer until one final rounded division
+    * (`sim_bp = round(dot·10⁴/√(n2_q·n2_c))`); chunk pairs sharing no
+    * dimension have sim exactly 0, so MaxSim is RELU'd
+    * (`greatest(max, 0)`) — absent pairs and negative affinities both
+    * contribute nothing, keeping the sparse join complete.
+    *
+    * Scale shape: the query side is bounded (a query's chunks) and
+    * BROADCASTS into the dimension-keyed join against the corpus side —
+    * the corpus is scanned once, grouped by (query chunk, corpus chunk)
+    * with map-side partial sums, then folded twice (MaxSim, Σ). No
+    * corpus self-join, no dense vector materialization.
+    *
+    * Output: (qdoc, cdoc, li_score_bp, rnk ≤ k) per query document.
+    */
+  def lateInteractionTopK(qVecs: DataFrame, cVecs: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(qVecs.select(col("doc").as("qdoc"), col("chunk").as("qchunk"),
+      col("dim"), col("weight").as("qw")))
+    val c = cVecs.select(col("doc").as("cdoc"), col("chunk").as("cchunk"),
+      col("dim"), col("weight").as("cw"))
+    def norms(v: DataFrame, d: String, ch: String, w: String, as: String) =
+      v.groupBy(col(d), col(ch)).agg(sum(col(w) * col(w)).as(as))
+        .filter(col(as) > 0)
+    val qn = broadcast(norms(q, "qdoc", "qchunk", "qw", "qn2"))
+    val cn = norms(c, "cdoc", "cchunk", "cw", "cn2")
+    val sims = q.join(c, "dim")
+      .groupBy(col("qdoc"), col("qchunk"), col("cdoc"), col("cchunk"))
+      .agg(sum(col("qw") * col("cw")).as("dot"))
+      .join(qn, Seq("qdoc", "qchunk"))
+      .join(cn, Seq("cdoc", "cchunk"))
+      .withColumn("sim_bp",
+        round(col("dot") * 10000.0 / sqrt(col("qn2") * col("cn2"))).cast("long"))
+    val w = Window.partitionBy(col("qdoc"))
+      .orderBy(col("li_score_bp").desc, col("cdoc"))
+    sims.groupBy(col("qdoc"), col("qchunk"), col("cdoc"))
+      .agg(greatest(max(col("sim_bp")), lit(0L)).as("ms"))
+      .groupBy(col("qdoc"), col("cdoc")).agg(sum(col("ms")).as("li_score_bp"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * fuse N retrieval systems' rank lists into one ranking by
     * `Σ_systems 1/(k0 + rank)` — the standard hybrid-retrieval merge (BM25

@@ -5976,6 +5976,59 @@ object ExtensionQueries {
       FROM base b LEFT JOIN agg a USING (doc_id)""")
   )
 
+  // Retrieval 4: ColBERT-style late interaction — MaxSim over
+  // feature-hashed chunk vectors (40-token non-overlapping chunks,
+  // 32 dims); query docs 0-1 against the rest of the corpus, top-10.
+  private val q206 = Q(
+    "q206_late_interaction",
+    (s, dir) => {
+      val chunks = Packing.chunkDocuments(docsSpread(s, dir), "doc_id", "text",
+          chunkTokens = 40, stride = 40)
+        .select(concat_ws("#", col("doc_id"), col("chunk_id")).as("cid"),
+          col("chunk_text"))
+      val tall = TextStats.featureHashing(chunks, "cid", "chunk_text", dims = 32)
+        .select(split(col("cid"), "#").getItem(0).cast("long").as("doc"),
+          split(col("cid"), "#").getItem(1).cast("long").as("chunk"),
+          col("dim"), col("weight"))
+      Retrieval.lateInteractionTopK(
+        tall.filter(col("doc") < 2), tall.filter(col("doc") >= 2), k = 10)
+    },
+    Some(s"""WITH $toksCte,
+      tk AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+          CAST((i - 1) // 40 AS BIGINT) AS chunk, w[i] AS t
+        FROM toks, UNNEST(range(1, len(w) + 1)) AS u(i)),
+      h AS (SELECT doc, chunk,
+          CAST((${graft.queries.TrainingQueries.md5Bucket16Sql("t")}) % 32 AS BIGINT) AS dim,
+          CASE WHEN (${graft.queries.TrainingQueries.md5Bucket16Sql("'sign|' || t")}) % 2 = 0
+            THEN 1 ELSE -1 END AS sg
+        FROM tk),
+      v AS (SELECT doc, chunk, dim, CAST(sum(sg) AS BIGINT) AS w
+        FROM h GROUP BY 1, 2, 3),
+      qv AS (SELECT * FROM v WHERE doc < 2),
+      cv AS (SELECT * FROM v WHERE doc >= 2),
+      qn AS (SELECT doc, chunk, CAST(sum(w * w) AS BIGINT) AS n2
+        FROM qv GROUP BY 1, 2 HAVING sum(w * w) > 0),
+      cn AS (SELECT doc, chunk, CAST(sum(w * w) AS BIGINT) AS n2
+        FROM cv GROUP BY 1, 2 HAVING sum(w * w) > 0),
+      dots AS (SELECT q.doc AS qdoc, q.chunk AS qchunk,
+          c.doc AS cdoc, c.chunk AS cchunk,
+          CAST(sum(q.w * c.w) AS BIGINT) AS dot
+        FROM qv q JOIN cv c USING (dim) GROUP BY 1, 2, 3, 4),
+      sims AS (SELECT d.qdoc, d.qchunk, d.cdoc,
+          CAST(round(d.dot * 10000.0 / sqrt(qn.n2 * cn.n2)) AS BIGINT) AS sim_bp
+        FROM dots d
+        JOIN qn ON qn.doc = d.qdoc AND qn.chunk = d.qchunk
+        JOIN cn ON cn.doc = d.cdoc AND cn.chunk = d.cchunk),
+      mx AS (SELECT qdoc, qchunk, cdoc, greatest(max(sim_bp), 0) AS ms
+        FROM sims GROUP BY 1, 2, 3),
+      sc AS (SELECT qdoc, cdoc, CAST(sum(ms) AS BIGINT) AS li_score_bp
+        FROM mx GROUP BY 1, 2)
+      SELECT qdoc, cdoc, li_score_bp,
+        CAST(row_number() OVER (PARTITION BY qdoc
+          ORDER BY li_score_bp DESC, cdoc) AS BIGINT) AS rnk
+      FROM sc QUALIFY rnk <= 10""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -5983,5 +6036,5 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
 }

@@ -1199,6 +1199,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the join back must stay a doc-keyed equi-join:\n$p")
   }
 
+  test("q206: late interaction broadcasts the query side; corpus never self-joins") {
+    val p = plan("q206_late_interaction")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded query chunks must broadcast into the dim join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no product join belongs here:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"dot/MaxSim/score folds must map-side combine:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
