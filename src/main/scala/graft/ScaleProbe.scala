@@ -191,6 +191,33 @@ object ScaleProbe {
       "bm25_query_topk" -> (m =>
         graft.ext.Retrieval.bm25QueryTopK(docsAt(m), "doc_id", "text",
           Seq("table", "query", "join"), perTermK = 20, k = 20).count()),
+      // late interaction with a FIXED 2-doc query side against a growing
+      // chunked corpus: the query side broadcasts, so cost must track the
+      // corpus chunk scan (the dim join fans each corpus entry out to the
+      // bounded query entries of its dim — a constant factor)
+      "late_interaction" -> { m =>
+        val chunks = graft.ext.Packing.chunkDocuments(docsAt(m), "doc_id", "text",
+            chunkTokens = 40, stride = 40)
+          .select(concat_ws("#", col("doc_id"), col("chunk_id")).as("cid"),
+            col("chunk_text"))
+        val tall = TextStats.featureHashing(chunks, "cid", "chunk_text", dims = 32)
+          .select(split(col("cid"), "#").getItem(0).cast("long").as("doc"),
+            split(col("cid"), "#").getItem(1).cast("long").as("chunk"),
+            col("dim"), col("weight"))
+        graft.ext.Retrieval.lateInteractionTopK(
+          tall.filter(col("doc") < 2), tall.filter(col("doc") >= 2), k = 10).count()
+      },
+      // span corruption: the position explode is the row-inflation hazard
+      // (×n_tokens); the island window stays doc-keyed so growth must be
+      // the explode scan, never a cross-doc sort
+      "span_corruption" -> (m =>
+        graft.ext.Packing.spanCorruptionStats(docsAt(m), "doc_id", "text",
+          maskBp = 1500L).count()),
+      // ANALYZE column profile: the melt multiplies rows ×3 — cost must
+      // track that constant-factor scan plus the value-cardinality agg
+      "column_profile" -> (m =>
+        graft.ext.OptimizerStats.columnProfile(liAt(m),
+          Seq("l_orderkey", "l_suppkey", "l_shipdate")).count()),
       // Zipf fit: vocabulary hash-agg + TakeOrdered(200) + bounded OLS —
       // the cut must keep the cost at the aggregate, not a sort
       "zipf_fit" -> (m => TextStats.zipfFit(docsAt(m), "text", 200).count()),
