@@ -276,6 +276,28 @@ object StreamBench {
     q6c.stop()
 
     // -------------------------------------------------------------------
+    // Pipeline 6d: watch-phrase telemetry — the HOF phrase gate runs
+    // BEFORE the window aggregate (state = |phrases| cells per window);
+    // same doc stream, two 2-token watch phrases
+    val in6d = MemoryStream[DocEv]
+    val q6d = StreamPipelines.phraseTelemetry(
+        in6d.toDF().withColumn("doc_id",
+          org.apache.spark.sql.functions.monotonically_increasing_id()),
+        "ts", "doc_id", "text",
+        Seq(Seq("tok1", "tok2"), Seq("tok3", "tok4")))
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    in6d.addData(docWave(1000, 0L, -1)); q6d.processAllAvailable()
+    val t6d = System.nanoTime()
+    (0 until docWaves).foreach { w =>
+      in6d.addData(docWave(docWaveSz, w * 60000L, w))
+      q6d.processAllAvailable()
+    }
+    val phrase_eps = (docWaves.toLong * docWaveSz / ((System.nanoTime() - t6d) / 1e9)).toLong
+    q6d.stop()
+
+    // -------------------------------------------------------------------
+    // -------------------------------------------------------------------
     // Pipeline 7: kNN-graph ingest — each wave of 16-dim embeddings probes
     // the persisted bucket index (growing across waves), appends its
     // adjacency to the edge log and itself to the index. Reported as
@@ -307,7 +329,7 @@ object StreamBench {
     val knn_eps = (knnWaves.toLong * knnWaveSz / ((System.nanoTime() - t7) / 1e9)).toLong
     q7.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"knn_graph_ingest_vecs":$knn_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }
