@@ -236,8 +236,25 @@ object Explain {
     "q204_l_diversity",    // two chained aggregates, all partial
     "q205_span_corruption", // position explode → doc-keyed island window
                            // + span agg → doc-keyed join back
-    "q206_late_interaction" // bounded query chunks broadcast into a
+    "q206_late_interaction", // bounded query chunks broadcast into a
                            // dim-keyed join; MaxSim + Σ folds
+    "q207_order_priority", // TPC-H Q4 shape: non-equi EXISTS → semi join
+                           // over quarter-pruned orders
+    "q208_volume_shipping", // TPC-H Q7 shape: broadcast supplier dim,
+                           // shuffled customer side, pair filter post-join
+    "q209_market_share",   // TPC-H Q8 shape: 2 broadcast dims + shuffled
+                           // market side; conditional share in one agg
+    "q210_customer_distribution", // TPC-H Q13 shape: outer join kept,
+                           // count → histogram double aggregate
+    "q211_small_qty_revenue", // TPC-H Q17 shape: de-correlated per-part
+                           // stats broadcast back onto the lines
+    "q212_disjunctive_join", // TPC-H Q19 shape: extracted equi-key join,
+                           // per-side conjuncts pushed, OR post-filter
+    "q213_sales_opportunity", // TPC-H Q22 shape: 1-row avg broadcast +
+                           // date-pruned anti join
+    "q214_fellegi_sunter"  // FS linkage: blocked pair join + 1-row u-stat
+                           // broadcast; weights are pure projections
+    // q215_textrank: checkpoint scan — rendered as a special frame below
   )
 
   def main(args: Array[String]): Unit = {
@@ -282,6 +299,19 @@ object Explain {
         graft.queries.ExtensionQueries.pagerankEdges(spark, sfDir), "src", "dst")
       it.count()
       sb.append(s"\n## q111_pagerank_encoded (dictionary + one power iteration)\n\n```\n")
+      sb.append(it.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q215's returned frame is a checkpoint scan (the q87 pattern); the
+    // load-bearing plan is ONE power iteration over the word graph
+    locally {
+      val it = graft.ext.Graphs.iterationPlanFrame(
+        graft.ext.TextStats.wordCoocEdges(
+          graft.Tables.documents(spark, sfDir), "text", window = 2),
+        "src", "dst")
+      it.count()
+      sb.append(s"\n## q215_textrank (one power iteration over the word graph)\n\n```\n")
       sb.append(it.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")

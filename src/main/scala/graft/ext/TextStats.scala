@@ -1191,4 +1191,49 @@ object TextStats {
       .groupBy(col("n_docs")).agg(sum(col("__nt")).as("n_tokens"))
     vocabAt.join(tokensAt, Seq("n_docs"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, §3.1 unweighted
+    * variant): the word co-occurrence graph — an edge between tokens
+    * within `window` positions of each other — ranked by
+    * [[Graphs.pageRankInt]], top `k` tokens. The corpus-wide graph (one
+    * shared vocabulary graph, not per-document) is the keyphrase-seed
+    * formulation; scores are the same exact-integer micro-units as the
+    * citation PageRank, so the oracle replays every iteration.
+    *
+    * Scale shape: co-occurrence pairs come off the token array
+    * POSITIONALLY (one projection tier per distance — never a token
+    * self-join), collapse to distinct directed edges in one hash-agg, and
+    * the iterations inherit [[Graphs.pageRankInt]]'s 2-shuffles-per-round
+    * posture. The top-k cut is a TakeOrdered, not a vocabulary sort.
+    *
+    * Output: (token, rank_mu), top `k` by (rank desc, token).
+    */
+  def textRankKeywords(df: DataFrame, textCol: String,
+                       window: Int, iters: Int, k: Int): DataFrame =
+    Graphs.pageRankInt(wordCoocEdges(df, textCol, window), "src", "dst", iters)
+      .orderBy(col("rank_mu").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("token"), col("rank_mu"))
+
+  /** The [[textRankKeywords]] word graph: directed (src, dst) token edges
+    * — one row per co-occurrence per direction, NOT yet distinct
+    * ([[Graphs.pageRankInt]] normalizes). Exposed so the plan audit can
+    * pin the positional-tier construction (never a token self-join).
+    */
+  def wordCoocEdges(df: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val tiers = (1 to window).map { d =>
+      val maxPos = size(col("__w")) - d
+      val posSeq = when(maxPos < 1, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), maxPos))
+      df.select(TextDedup.tokens(col(textCol)).as("__w"))
+        .select(explode(posSeq).as("__i"), col("__w"))
+        .select(element_at(col("__w"), col("__i")).as("w1"),
+          element_at(col("__w"), col("__i") + d).as("w2"))
+    }
+    val pairs = tiers.reduce(_ unionByName _).filter(col("w1") =!= col("w2"))
+    // undirected graph: each co-occurrence contributes both directions
+    pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{AsOfJoin, LatestWins}
 import graft.table.TableLayout
-import graft.ext.{Classifier, Components, Decontaminate, Graphs, Multimodal, OptimizerStats, Packing, ParagraphDedup, Privacy, Retrieval, RobustStats, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Classifier, Components, Decontaminate, Graphs, Linkage, Multimodal, OptimizerStats, Packing, ParagraphDedup, Privacy, Retrieval, RobustStats, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -6029,6 +6029,474 @@ object ExtensionQueries {
       FROM sc QUALIFY rnk <= 10""")
   )
 
+  // ------------------------------------------------------------------
+  // Serving analytics 7-13: the remaining TPC-H join shapes expressible
+  // on this star schema (no partsupp table in the corpus, so Q2/Q9/Q11/
+  // Q16/Q20 are out of reach; Q3/Q5/Q10/Q14/Q18/Q21 already live as
+  // q171/q181/q172/q173/q182/q186). Schema adaptations are documented
+  // per query; the SHAPE under test — the Catalyst plan family — is the
+  // point, and each oracle replays the adapted semantics exactly.
+
+  // TPC-H Q4 shape: order-priority checking — EXISTS(late line) as a
+  // left-semi join whose condition carries a non-equi date predicate
+  // (l_shipdate > o_orderdate + 45 days stands in for the missing
+  // l_commitdate/l_receiptdate pair). The quarter filter prunes orders
+  // BEFORE the semi-join probe, so the build side is one quarter's keys.
+  private val q207 = Q(
+    "q207_order_priority",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+      GROUP BY 1 ORDER BY 1""")
+  )
+
+  // TPC-H Q7 shape: volume shipping between two nations by ship year —
+  // the bidirectional nation-pair filter over a fact⋈fact join. Supplier
+  // (dim-sized) rides broadcast into lineitem; the nation-filtered
+  // customer side shuffles into orders (at scale customer is a fact — a
+  // broadcast there would be the classic Q7 OOM); the pair predicate is
+  // applied after the orderkey join because either side of the OR needs
+  // columns from both branches.
+  private val q208 = Q(
+    "q208_volume_shipping",
+    (s, dir) => {
+      val nations = Seq("NATION_5", "NATION_12")
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name").isin(nations: _*))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name").isin(nations: _*))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val shipped = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val ordc = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      shipped.join(ordc, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === "NATION_5" && col("cust_nation") === "NATION_12") ||
+          (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_5"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).as("revenue_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT)) AS BIGINT)
+          AS revenue_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_12')
+          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_5'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+  )
+
+  // TPC-H Q8 shape: national market share — NATION_5's share of STANDARD-
+  // part revenue sold into the ASIA market, by order year, in exact basis
+  // points. The two conditional sums ride ONE aggregation over the
+  // five-way join; part (type-filtered) and supplier⋈nation broadcast,
+  // the region-filtered customer side shuffles into orders.
+  private val q209 = Q(
+    "q209_market_share",
+    (s, dir) => {
+      val pt = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val asiaCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", col("rev")).otherwise(lit(0L)))
+            .as("nation_cents"),
+          sum(col("rev")).as("total_cents"))
+        .withColumn("share_bp", expr("(nation_cents * 10000L) div total_cents"))
+        .orderBy(col("o_year"))
+    },
+    Some("""WITH j AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+          n1.n_name AS supp_nation,
+          CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT) AS rev
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        WHERE p.p_type = 'STANDARD' AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      SELECT o_year,
+        CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END) AS BIGINT)
+          AS nation_cents,
+        CAST(sum(rev) AS BIGINT) AS total_cents,
+        CAST((sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END) * 10000)
+          // sum(rev) AS BIGINT) AS share_bp
+      FROM j GROUP BY 1 ORDER BY 1""")
+  )
+
+  // TPC-H Q13 shape: customer order-count distribution — the LEFT OUTER
+  // join that must keep zero-order customers, aggregated twice (per
+  // customer, then a histogram of the counts). The priority predicate
+  // lives on the orders side BEFORE the join (Q13 puts it in the ON
+  // clause — same semantics for a left join). count(o_orderkey) over the
+  // outer join counts only matched rows, which is what makes the zero
+  // bucket appear.
+  private val q210 = Q(
+    "q210_customer_distribution",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""WITH co AS (SELECT c.c_custkey,
+          CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY 1)
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")
+  )
+
+  // TPC-H Q17 shape: small-quantity-order revenue — the per-part
+  // correlated average subquery (l_quantity < 0.2 × avg over the part's
+  // lines), de-correlated into one grouped aggregate joined back onto
+  // the lines. The comparison is exact-integer (qty × 5 × cnt < Σqty —
+  // quantities are integral in this corpus) so both engines decide every
+  // boundary row identically. Brand+size stands in for the missing
+  // container column; the filtered part list broadcasts twice.
+  private val q211 = Q(
+    "q211_small_qty_revenue",
+    (s, dir) => {
+      val pk = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#13" && col("p_size") <= 10)
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey").as("sp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"))
+      li.join(broadcast(stats), col("l_partkey") === col("sp"))
+        .filter(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+        .agg(coalesce(sum(cents(col("l_extendedprice"))), lit(0L)).as("total_cents"),
+          count(lit(1)).as("n_lines"))
+        .withColumn("avg_yearly_cents", expr("total_cents div 7L"))
+    },
+    Some("""WITH pk AS (SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#13' AND p_size <= 10),
+      li AS (SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+          l.l_extendedprice
+        FROM lineitem l JOIN pk ON l.l_partkey = pk.p_partkey),
+      st AS (SELECT l_partkey AS sp, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM li GROUP BY 1),
+      sel AS (SELECT li.* FROM li JOIN st ON li.l_partkey = st.sp
+        WHERE li.qty * 5 * st.cnt < st.sum_qty)
+      SELECT coalesce(CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT), 0)
+          AS total_cents,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        coalesce(CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT), 0) // 7
+          AS avg_yearly_cents
+      FROM sel""")
+  )
+
+  // TPC-H Q19 shape: disjunctive predicate join — three OR'd
+  // brand/size/quantity branches over one lineitem⋈part equi-join.
+  // Catalyst extracts the common p_partkey equi-condition and keeps the
+  // disjunction as a post-join filter with the per-side conjuncts
+  // (p_brand/p_size bounds, l_quantity bounds) pushed below the join —
+  // the plan shape this query exists to pin.
+  private val q212 = Q(
+    "q212_disjunctive_join",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 30))))
+        .agg(sum(col("rev")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT
+        CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100,0) AS BIGINT)) AS BIGINT)
+          AS revenue_cents,
+        CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+          AND l.l_quantity BETWEEN 1 AND 11)
+        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+          AND l.l_quantity BETWEEN 10 AND 20)
+        OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+          AND l.l_quantity BETWEEN 20 AND 30)""")
+  )
+
+  // TPC-H Q22 shape: global sales opportunity — customers above the
+  // positive-balance average with no RECENT orders (this corpus gives
+  // every customer at least one lifetime order, so the literal
+  // "never ordered" variant is empty; the 1999+ window keeps the
+  // anti-join non-degenerate — dormant high-balance accounts). The
+  // global average rides as a broadcast 1-row aggregate frame (never a
+  // driver scalar), the comparison is cross-multiplied into exact
+  // integers (bal × n > Σbal), and the recency predicate prunes the
+  // anti-join build side BEFORE the shuffle. Nation key stands in for
+  // the missing phone country code.
+  private val q213 = Q(
+    "q213_sales_opportunity",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      val avgF = cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("s"), count(lit(1)).as("n"))
+      cust.crossJoin(broadcast(avgF))
+        .filter(col("bal_cents") * col("n") > col("s"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1999-01-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+          CAST(round(c_acctbal*100,0) AS BIGINT) AS bal FROM customer),
+      a AS (SELECT CAST(sum(bal) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM c WHERE bal > 0),
+      r AS (SELECT c.* FROM c, a
+        WHERE c.bal * a.n > a.s
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        CAST(sum(bal) AS BIGINT) AS totacctbal_cents
+      FROM r GROUP BY 1 ORDER BY 1""")
+  )
+
+  // Record linkage 2: Fellegi–Sunter probabilistic scoring — the model
+  // behind Splink, over MULTI-PASS blocked candidates (name-suffix block
+  // ∪ (nation, balance-bucket) block — never the q194 prefix block,
+  // which degenerates to one all-pairs block on this name scheme).
+  // Three agreement fields: name via the native Jaro-Winkler expression
+  // (threshold 0.97 — true pairs span 0.977-0.989 on this corpus while
+  // random pairs reach 0.989 too, exactly the noisy-evidence regime the
+  // model exists for), nation, rounded balance. u-probabilities are
+  // estimated on a LINEAR deterministic hash-pairing (each dirty record
+  // against one hash-picked clean record), not the blocked candidates —
+  // blocking concentrates matches and would inflate u. The dirty twin
+  // perturbs all three fields deterministically (char drop; nation bump
+  // for every 7th key; balance rounded to the nearest 1000 cents via an
+  // offset so floor == truncate on negatives).
+  private val q214 = Q(
+    "q214_fellegi_sunter",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey"), cents(col("s_acctbal")).as("bal"))
+        .withColumn("s_bkt", expr("(bal + 10000500L) div 1000L"))
+      val dirty = sup.select(
+          (col("s_suppkey") + 100000L).as("d_id"),
+          expr("concat(substring(s_name, 1, 9), substring(s_name, 11))").as("d_name"),
+          when(col("s_suppkey") % 7 === 0, (col("s_nationkey") + 1) % 25)
+            .otherwise(col("s_nationkey")).as("d_nation"),
+          expr("((bal + 10000500L) div 1000L) * 1000L - 10000000L").as("d_bal"))
+        .withColumn("d_bkt", expr("(d_bal + 10000500L) div 1000L"))
+      def withAgree(df: DataFrame): DataFrame = df
+        .withColumn("a_name", round(
+          graft.functions.GraftFunctions.jaroWinkler(col("d_name"), col("s_name"))
+            * 10000).cast("long") >= 9700)
+        .withColumn("a_nation", col("d_nation") === col("s_nationkey"))
+        .withColumn("a_bal", abs(col("d_bal") - col("bal")) <= 1000)
+      val b1 = dirty.withColumn("__k", expr("right(d_name, 4)"))
+        .join(sup.withColumn("__k", expr("right(s_name, 4)")), "__k").drop("__k")
+      val b2 = dirty.join(sup,
+        col("d_nation") === col("s_nationkey") && col("d_bkt") === col("s_bkt"))
+      // the same-nation block is the one that would run hot (n/25 per
+      // block → quadratic pairs) — capped to the 20 lowest-keyed clean
+      // records per nation, the TextDedup hot-block discipline applied
+      // to linkage blocking; it exists to surface COMPETING candidates
+      // so the decision bands below carry real negative evidence
+      val supCapped = sup.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("s_nationkey")).orderBy(col("s_suppkey"))))
+        .filter(col("__rn") <= 20).drop("__rn")
+      val b3 = dirty.join(supCapped, col("d_nation") === col("s_nationkey"))
+      val cand = b1.unionByName(b2).unionByName(b3)
+        .dropDuplicates("d_id", "s_suppkey")
+      // u-sample: each dirty record pairs with ONE hash-picked clean
+      // record — linear in the corpus, replayable, match-dilute
+      val uPairs = withAgree(dirty
+        .crossJoin(broadcast(sup.agg(count(lit(1)).as("__n"))))
+        .withColumn("__pick", pmod(Sampling.hashBucket16(col("d_id")), col("__n")))
+        .join(sup, col("s_suppkey") === col("__pick")))
+      Linkage.fellegiSunterScores(withAgree(cand), uPairs,
+          Seq(("a_name", 9500L), ("a_nation", 9500L), ("a_bal", 9000L)))
+        .select(col("d_id"), col("s_suppkey").as("cand_id"),
+          col("n_agree"), col("score_milli"),
+          when(col("score_milli") >= 2000L, "link")
+            .when(col("score_milli") <= -2000L, "non_link")
+            .otherwise("possible").as("decision"))
+    },
+    Some(s"""WITH sup AS (SELECT s_suppkey, s_name, s_nationkey,
+          CAST(round(s_acctbal*100,0) AS BIGINT) AS bal,
+          ((CAST(round(s_acctbal*100,0) AS BIGINT) + 10000500) // 1000) AS s_bkt
+        FROM supplier),
+      d AS (SELECT s_suppkey + 100000 AS d_id,
+          substr(s_name, 1, 9) || substr(s_name, 11) AS d_name,
+          CASE WHEN s_suppkey % 7 = 0 THEN (s_nationkey + 1) % 25
+            ELSE s_nationkey END AS d_nation,
+          ((bal + 10000500) // 1000) * 1000 - 10000000 AS d_bal,
+          (((bal + 10000500) // 1000) * 1000 - 10000000 + 10000500) // 1000 AS d_bkt
+        FROM sup),
+      sn AS (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+          ORDER BY s_suppkey) AS rn FROM sup),
+      cand AS (
+        SELECT d.d_id, d.d_name, d.d_nation, d.d_bal,
+          s.s_suppkey, s.s_name, s.s_nationkey, s.bal
+        FROM d JOIN sup s ON right(d.d_name, 4) = right(s.s_name, 4)
+        UNION
+        SELECT d.d_id, d.d_name, d.d_nation, d.d_bal,
+          s.s_suppkey, s.s_name, s.s_nationkey, s.bal
+        FROM d JOIN sup s
+          ON d.d_nation = s.s_nationkey AND d.d_bkt = s.s_bkt
+        UNION
+        SELECT d.d_id, d.d_name, d.d_nation, d.d_bal,
+          s.s_suppkey, s.s_name, s.s_nationkey, s.bal
+        FROM d JOIN sn s
+          ON d.d_nation = s.s_nationkey AND s.rn <= 20),
+      p AS (SELECT d_id, s_suppkey,
+          CAST(round(jaro_winkler_similarity(d_name, s_name)*10000) AS BIGINT) >= 9700
+            AS a_name,
+          d_nation = s_nationkey AS a_nation,
+          abs(d_bal - bal) <= 1000 AS a_bal
+        FROM cand),
+      up AS (SELECT
+          CAST(round(jaro_winkler_similarity(d.d_name, s.s_name)*10000) AS BIGINT) >= 9700
+            AS a_name,
+          d.d_nation = s.s_nationkey AS a_nation,
+          abs(d.d_bal - s.bal) <= 1000 AS a_bal
+        FROM d JOIN sup s ON s.s_suppkey =
+          (${TrainingQueries.md5Bucket16Sql("d.d_id")}) % (SELECT count(*) FROM sup)),
+      u AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          greatest(1, least(9999,
+            (CAST(sum(CASE WHEN a_name THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*)))
+            AS u_name,
+          greatest(1, least(9999,
+            (CAST(sum(CASE WHEN a_nation THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*)))
+            AS u_nation,
+          greatest(1, least(9999,
+            (CAST(sum(CASE WHEN a_bal THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*)))
+            AS u_bal
+        FROM up),
+      sc AS (SELECT d_id, s_suppkey,
+          (CASE WHEN a_name
+            THEN CAST(round(log2(CAST(9500 AS DOUBLE) / CAST(u_name AS DOUBLE)) * 1000) AS BIGINT)
+            ELSE CAST(round(log2(CAST(500 AS DOUBLE) / CAST(10000 - u_name AS DOUBLE)) * 1000) AS BIGINT) END)
+          + (CASE WHEN a_nation
+            THEN CAST(round(log2(CAST(9500 AS DOUBLE) / CAST(u_nation AS DOUBLE)) * 1000) AS BIGINT)
+            ELSE CAST(round(log2(CAST(500 AS DOUBLE) / CAST(10000 - u_nation AS DOUBLE)) * 1000) AS BIGINT) END)
+          + (CASE WHEN a_bal
+            THEN CAST(round(log2(CAST(9000 AS DOUBLE) / CAST(u_bal AS DOUBLE)) * 1000) AS BIGINT)
+            ELSE CAST(round(log2(CAST(1000 AS DOUBLE) / CAST(10000 - u_bal AS DOUBLE)) * 1000) AS BIGINT) END)
+            AS score_milli,
+          CAST((CASE WHEN a_name THEN 1 ELSE 0 END)
+            + (CASE WHEN a_nation THEN 1 ELSE 0 END)
+            + (CASE WHEN a_bal THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM p, u)
+      SELECT d_id, s_suppkey AS cand_id, n_agree, score_milli,
+        CASE WHEN score_milli >= 2000 THEN 'link'
+          WHEN score_milli <= -2000 THEN 'non_link'
+          ELSE 'possible' END AS decision
+      FROM sc""")
+  )
+
+  // Text 26: TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+  // corpus word co-occurrence graph (window 2, positional tiers, never a
+  // token self-join) ranked by the same exact-integer PageRank as q87,
+  // top-20 tokens. The oracle replays all 3 iterations over the
+  // identically-constructed word graph.
+  private val q215 = Q(
+    "q215_textrank",
+    (s, dir) => TextStats.textRankKeywords(docsSpread(s, dir), "text",
+      window = 2, iters = 3, k = 20),
+    Some(s"""WITH $toksCte,
+      pr AS (SELECT w[i] AS a, w[i+1] AS b
+          FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        UNION ALL SELECT w[i], w[i+2]
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      e0 AS (SELECT a, b FROM pr WHERE a <> b),
+      edges AS (SELECT a AS src, b AS dst FROM e0
+        UNION SELECT b, a FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM edges GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_mu FROM nodes),
+      ${prIterCte("r0", "r1")},
+      ${prIterCte("r1", "r2")},
+      ${prIterCte("r2", "r3")}
+      SELECT node AS token, rank_mu FROM r3
+      ORDER BY rank_mu DESC, token LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -6036,5 +6504,6 @@ object ExtensionQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
+    q207, q208, q209, q210, q211, q212, q213, q214, q215)
 }

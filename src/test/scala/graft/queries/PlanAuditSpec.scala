@@ -1209,6 +1209,101 @@ class PlanAuditSpec extends SparkFunSuite {
       s"dot/MaxSim/score folds must map-side combine:\n$p")
   }
 
+  test("q207: Q4 EXISTS plans as a semi join with the quarter filter pushed") {
+    val p = plan("q207_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("PushedFilters"),
+      s"the quarter filter must reach the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q208/q209: Q7/Q8 broadcast the dims; the date filter reaches the scan") {
+    val p8 = plan("q208_volume_shipping")
+    assert(p8.contains("BroadcastHashJoin"),
+      s"the nation-filtered supplier dim must broadcast:\n$p8")
+    assert(p8.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the ship-date window must reach the lineitem scan:\n$p8")
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"), p8)
+    val p9 = plan("q209_market_share")
+    assert(p9.split("BroadcastHashJoin").length >= 3,
+      s"part and supplier⋈nation must both broadcast:\n$p9")
+    assert(p9.split("HashAggregate").length >= 3,
+      s"the two conditional sums must map-side combine:\n$p9")
+    assert(!p9.contains("CartesianProduct") && !p9.contains("BroadcastNestedLoopJoin"), p9)
+  }
+
+  test("q210: Q13 keeps the outer join and double-aggregates with map-side combine") {
+    val p = plan("q210_customer_distribution")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"zero-order customers must survive via an outer join:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the count histogram must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q211: Q17 de-correlates into a broadcast stats join, no window") {
+    val p = plan("q211_small_qty_revenue")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"the part list and the per-part stats must both broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"the per-part average must be an aggregate, not a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q212: Q19 extracts the equi-key; the disjunction filters both scans") {
+    val p = plan("q212_disjunctive_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part side must broadcast on the extracted equi-key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the OR must not degrade the join to a product:\n$p")
+    // each branch's per-side conjuncts prune the scans: quantity bounds
+    // reach lineitem, brand/size bounds reach part
+    assert(p.contains("l_quantity") && p.contains("p_brand"),
+      s"per-side conjuncts must survive extraction:\n$p")
+  }
+
+  test("q213: Q22 anti-joins a date-pruned build side; the avg rides broadcast") {
+    val p = plan("q213_sales_opportunity")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    // the only nested-loop is the 1-row global-average attach (the q174
+    // pattern); the anti join itself must stay a hash/merge equi-join
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the recency predicate must prune the anti-join build scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q214: FS scoring is a blocked pair join + 1-row broadcast; weights are projections") {
+    val p = plan("q214_fellegi_sunter")
+    // the only nested-loop is the 1-row u-statistics attach; the pair
+    // candidates themselves must come from the blocking equi-join
+    assert(!p.contains("CartesianProduct"),
+      s"candidate pairs must come from the blocking join:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"u-statistics must map-side combine:\n$p")
+    // the only window is the per-nation block cap — partitioned, never
+    // a global sort; the scoring itself is pure projection
+    assert(p.contains("windowspecdefinition(s_nationkey"),
+      s"the block cap must partition by nation:\n$p")
+    assert(!p.contains("windowspecdefinition(score"),
+      s"scoring is pure projection — no score window belongs here:\n$p")
+  }
+
+  test("q215: TextRank pairs are positional tiers; top-k is a TakeOrdered") {
+    // the returned frame is a checkpoint scan (the q87 pattern), so the
+    // edge construction is pinned on the exposed word-graph frame
+    val pe = graft.ext.TextStats.wordCoocEdges(
+      graft.Tables.documents(spark, sf), "text", window = 2)
+      .queryExecution.executedPlan.toString
+    assert(pe.contains("Generate explode"),
+      s"co-occurrence pairs must come off the token array positionally:\n$pe")
+    assert(!pe.contains("Join"),
+      s"the word graph must never token-self-join:\n$pe")
+    val p = plan("q215_textrank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 keywords must not global-sort the vocabulary:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
