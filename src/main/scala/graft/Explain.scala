@@ -252,9 +252,11 @@ object Explain {
                            // per-side conjuncts pushed, OR post-filter
     "q213_sales_opportunity", // TPC-H Q22 shape: 1-row avg broadcast +
                            // date-pruned anti join
-    "q214_fellegi_sunter"  // FS linkage: blocked pair join + 1-row u-stat
+    "q214_fellegi_sunter", // FS linkage: blocked pair join + 1-row u-stat
                            // broadcast; weights are pure projections
     // q215_textrank: checkpoint scan — rendered as a special frame below
+    "q216_kneser_ney"      // KN smoothing: three chained model hash-aggs,
+                           // vocabulary-keyed LEFT joins, 1-row total
   )
 
   def main(args: Array[String]): Unit = {

@@ -612,6 +612,105 @@ object ScaleProbe {
         val hub = li.select(col("p").as("src")).distinct()
           .withColumn("dst", lit(-1L))
         graft.ext.Graphs.triangleCounts(edges.unionByName(hub), "src", "dst").count()
+      },
+      // the q208 TPC-H Q7 fact⋈fact shape with facts replicated and dims
+      // FIXED (production growth: lineitem and orders scale, supplier and
+      // nation do not) — the supplier side must stay a broadcast at every
+      // multiplier and the orderkey join must track fact size
+      "tpch_volume_join" -> { m =>
+        val li = (0 until m).map { r =>
+          Tables.lineitem(spark, sfDir).select(
+            (col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
+            col("l_suppkey"), col("l_shipdate"),
+            col("l_extendedprice"), col("l_discount"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val ord = (0 until m).map { r =>
+          Tables.orders(spark, sfDir).select(
+            (col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
+            col("o_custkey"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val nations = Seq("NATION_5", "NATION_12")
+        val sup = Tables.supplier(spark, sfDir)
+          .join(broadcast(Tables.nation(spark, sfDir)
+            .filter(col("n_name").isin(nations: _*))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = Tables.customer(spark, sfDir)
+          .join(broadcast(Tables.nation(spark, sfDir)
+            .filter(col("n_name").isin(nations: _*))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        li.filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+              .cast("long").as("rev"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(ord.join(cust, col("o_custkey") === col("c_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(col("rev")).as("revenue_cents"))
+          .count()
+      },
+      // Fellegi-Sunter linkage with the record sets replicated (names
+      // perturbed per replica so the suffix blocks stay selective — the
+      // realistic growth, not m identical twins per block) — the capped
+      // same-nation block is what keeps the hot blocking pass linear as
+      // both sides grow
+      "fs_linkage_blocked" -> { m =>
+        val sup0 = (0 until m).map { r =>
+          Tables.supplier(spark, sfDir).select(
+            (col("s_suppkey") + lit(r * 1000000L)).as("s_suppkey"),
+            concat(col("s_name"), lit(r.toString)).as("s_name"),
+            col("s_nationkey"),
+            round(col("s_acctbal") * 100, 0).cast("long").as("bal"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .withColumn("s_bkt", expr("(bal + 10000500L) div 1000L"))
+        val dirty = sup0.select(
+            (col("s_suppkey") + 100000000L).as("d_id"),
+            expr("concat(substring(s_name, 1, 9), substring(s_name, 11))").as("d_name"),
+            when(col("s_suppkey") % 7 === 0, (col("s_nationkey") + 1) % 25)
+              .otherwise(col("s_nationkey")).as("d_nation"),
+            expr("((bal + 10000500L) div 1000L) * 1000L - 10000000L").as("d_bal"))
+          .withColumn("d_bkt", expr("(d_bal + 10000500L) div 1000L"))
+        val b1 = dirty.withColumn("__k", expr("right(d_name, 4)"))
+          .join(sup0.withColumn("__k", expr("right(s_name, 4)")), "__k").drop("__k")
+        val b2 = dirty.join(sup0,
+          col("d_nation") === col("s_nationkey") && col("d_bkt") === col("s_bkt"))
+        val supCapped = sup0.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("s_nationkey")).orderBy(col("s_suppkey"))))
+          .filter(col("__rn") <= 20).drop("__rn")
+        val b3 = dirty.join(supCapped, col("d_nation") === col("s_nationkey"))
+        val cand = b1.unionByName(b2).unionByName(b3)
+          .dropDuplicates("d_id", "s_suppkey")
+          .withColumn("a_name", graft.functions.GraftFunctions
+            .jaroWinkler(col("d_name"), col("s_name")) >= 0.97)
+          .withColumn("a_nation", col("d_nation") === col("s_nationkey"))
+          .withColumn("a_bal", abs(col("d_bal") - col("bal")) <= 1000)
+        val uPairs = dirty
+          .crossJoin(broadcast(sup0.agg(count(lit(1)).as("__n"))))
+          .withColumn("__pick", pmod(Sampling.hashBucket16(col("d_id")), col("__n")))
+          .join(sup0, col("s_suppkey") === col("__pick"))
+          .withColumn("a_name", graft.functions.GraftFunctions
+            .jaroWinkler(col("d_name"), col("s_name")) >= 0.97)
+          .withColumn("a_nation", col("d_nation") === col("s_nationkey"))
+          .withColumn("a_bal", abs(col("d_bal") - col("bal")) <= 1000)
+        graft.ext.Linkage.fellegiSunterScores(cand, uPairs,
+          Seq(("a_name", 9500L), ("a_nation", 9500L), ("a_bal", 9000L))).count()
+      },
+      // ONE power iteration over the TextRank word graph (edge build +
+      // join + inflow agg) as the corpus grows — the word graph's edge
+      // count tracks token count while its NODE set (the vocabulary)
+      // grows sublinearly, so the curve must track the token scan
+      "textrank_wordgraph" -> { m =>
+        graft.ext.Graphs.iterationPlanFrame(
+          TextStats.wordCoocEdges(docsAt(m), "text", window = 2),
+          "src", "dst").count()
       }
     )
 

@@ -656,6 +656,68 @@ object TextStats {
       .drop("__sum_ip")
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form) — the smoothing KenLM
+    * actually ships, beside [[interpolatedFluency]]'s Jelinek–Mercer
+    * stand-in. Absolute discount `dMilli`/1000 off every seen bigram;
+    * the freed mass re-enters via the CONTINUATION distribution
+    * (how many distinct contexts a word follows — the "San Francisco"
+    * correction: "Francisco" is frequent but only ever follows "San",
+    * so its continuation probability is tiny):
+    *
+    *   P(w|u) = max(c(u,w)−D, 0)/c(u) + D·N1+(u·)/c(u) · Pcont(w)
+    *   Pcont(w) = N1+(·w) / N1+(··)
+    *
+    * all in exact integer micro-units with floor division. Test bigrams
+    * with an UNSEEN context u back off to Pcont(w) alone; unseen w
+    * contributes 0 — every boundary decided identically by both engines.
+    *
+    * Scale shape: model statistics are three chained hash-aggs off one
+    * bigram frame (bigram counts → context totals / fan-out, →
+    * continuation counts) plus a broadcast 1-row type total; test
+    * occurrences pre-collapse to (doc, bigram, n_occ) before three
+    * vocabulary-keyed LEFT joins; the doc-keyed weighted mean ends the
+    * chain — [[interpolatedFluency]]'s shapes, one extra bounded join.
+    *
+    * Output: (idCol, n_bigrams, kn_micro_mean).
+    */
+  def kneserNeyFluency(train: DataFrame, test: DataFrame,
+                       idCol: String, textCol: String,
+                       dMilli: Long): DataFrame = {
+    require(dMilli > 0L && dMilli < 1000L, "discount must be in (0, 1000) milli")
+    val trainBi = train
+      .select(explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("__w2", substring_index(col("bigram"), " ", -1))
+    val biCounts = trainBi.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("c_uw"))
+    val uStats = biCounts.groupBy(col("__w1"))
+      .agg(sum(col("c_uw")).as("c_u"), count(lit(1)).as("n1f"))
+    val contW = biCounts.groupBy(col("__w2")).agg(count(lit(1)).as("n1b"))
+    val total = biCounts.agg(count(lit(1)).as("n1tot"))
+    test
+      .select(col(idCol),
+        explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("__n_occ"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("__w2", substring_index(col("bigram"), " ", -1))
+      .join(biCounts, Seq("__w1", "__w2"), "left")
+      .join(uStats, Seq("__w1"), "left")
+      .join(contW, Seq("__w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__pcont", expr("coalesce((n1b * 1000000L) div n1tot, 0L)"))
+      .withColumn("__kn", expr(
+        s"""CASE WHEN c_u IS NULL THEN __pcont
+           ELSE coalesce((greatest(c_uw * 1000L - $dMilli, 0L) * 1000L) div c_u, 0L)
+             + ($dMilli * n1f * __pcont) div (1000L * c_u) END"""))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n_occ")).as("n_bigrams"),
+        sum(col("__n_occ") * col("__kn")).as("__s"))
+      .withColumn("kn_micro_mean", expr("__s div n_bigrams"))
+      .drop("__s")
+  }
+
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(TextDedup.wordShingles(TextDedup.tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram"))

@@ -6497,6 +6497,50 @@ object ExtensionQueries {
       ORDER BY rank_mu DESC, token LIMIT 20""")
   )
 
+  // Text 27: interpolated Kneser–Ney held-out scoring — the smoothing
+  // KenLM actually ships (q156's Jelinek–Mercer is the simpler stand-in;
+  // this adds absolute discounting + the continuation distribution).
+  // Same 90/10 hash split as q156; D = 0.75; everything exact-integer
+  // micro-units so the oracle replays every backoff branch.
+  private val q216 = Q(
+    "q216_kneser_ney",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val lbl  = Sampling.splitLabel(col("doc_id"), trainBp = 9000)
+      TextStats.kneserNeyFluency(
+        docs.filter(lbl === "train"), docs.filter(lbl =!= "train"),
+        "doc_id", "text", dMilli = 750L)
+    },
+    Some(s"""WITH $toksCte,
+      lbl AS (SELECT doc_id, (${TrainingQueries.md5Bucket16Sql("doc_id")}) < 58982 AS is_train
+        FROM documents),
+      trt AS (SELECT t.doc_id, w FROM toks t JOIN lbl USING (doc_id) WHERE is_train),
+      tst AS (SELECT t.doc_id, w FROM toks t JOIN lbl USING (doc_id) WHERE NOT is_train),
+      trb AS (SELECT w[i] AS w1, w[i+1] AS w2, CAST(count(*) AS BIGINT) AS c_uw
+        FROM trt, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1, 2),
+      us AS (SELECT w1, CAST(sum(c_uw) AS BIGINT) AS c_u,
+          CAST(count(*) AS BIGINT) AS n1f FROM trb GROUP BY 1),
+      cw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM trb GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM trb),
+      occ AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2,
+          CAST(count(*) AS BIGINT) AS n_occ
+        FROM tst, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1, 2, 3),
+      sc AS (SELECT occ.doc_id, occ.n_occ,
+          CASE WHEN us.c_u IS NULL
+            THEN coalesce((cw.n1b * 1000000) // tot.n1tot, 0)
+          ELSE coalesce((greatest(b.c_uw * 1000 - 750, 0) * 1000) // us.c_u, 0)
+            + (750 * us.n1f * coalesce((cw.n1b * 1000000) // tot.n1tot, 0))
+              // (1000 * us.c_u) END AS kn
+        FROM occ
+        LEFT JOIN trb b ON occ.w1 = b.w1 AND occ.w2 = b.w2
+        LEFT JOIN us ON occ.w1 = us.w1
+        LEFT JOIN cw ON occ.w2 = cw.w2
+        CROSS JOIN tot)
+      SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+        CAST(sum(n_occ * kn) // sum(n_occ) AS BIGINT) AS kn_micro_mean
+      FROM sc GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -6505,5 +6549,5 @@ object ExtensionQueries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
-    q207, q208, q209, q210, q211, q212, q213, q214, q215)
+    q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
 }

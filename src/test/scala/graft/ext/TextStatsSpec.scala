@@ -477,4 +477,38 @@ class TextStatsSpec extends SparkFunSuite {
       Seq(("only", "x y")).toDF("source", "text"), "source", "text").collect().head
     assert(lone.isNullAt(lone.fieldIndex("loo_bp")))
   }
+
+  test("wordCoocEdges: positional pairs both directions, self-pairs dropped") {
+    val docs = Seq("a b", "a c").toDF("text")
+    val edges = TextStats.wordCoocEdges(docs, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(edges == Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")))
+    // window 2 over "x y x": (x,y),(y,x) twice from d=1; (x,x) filtered
+    val rep = TextStats.wordCoocEdges(Seq("x y x").toDF("text"), "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(rep == Seq(("x", "y"), ("x", "y"), ("y", "x"), ("y", "x")))
+  }
+
+  test("kneserNeyFluency: discount, continuation backoff, and unseen-context branches") {
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val test = Seq((10L, "a b x"), (11L, "c a")).toDF("doc_id", "text")
+    // model: c(a,b)=2 c(b,a)=1 c(b,c)=1; c_u(a)=2 n1f(a)=1; c_u(b)=2
+    // n1f(b)=2; N1+(·a)=N1+(·b)=N1+(·c)=1; N1+(··)=3 → pcont = 333333 µ
+    val got = TextStats.kneserNeyFluency(train, test, "doc_id", "text", 750L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // (a,b): (2000−750)·1000÷2 + 750·1·333333÷2000 = 625000+124999 = 749999
+    // (b,x): seen context, unseen w → 0 ; doc mean = 749999 ÷ 2
+    assert(got(10L) == ((2L, 374999L)))
+    // (c,a): unseen context → pure continuation 333333
+    assert(got(11L) == ((1L, 333333L)))
+  }
+
+  test("textRankKeywords: one exact-integer iteration over the star graph") {
+    // graph a↔b, a↔c: odeg(a)=2, odeg(b)=odeg(c)=1; after one iteration
+    // a = 150000 + 85%·(2·1000000) = 1850000, b = c = 150000 + 85%·500000
+    val docs = Seq("a b", "a c").toDF("text")
+    val got = TextStats.textRankKeywords(docs, "text", window = 2, iters = 1, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 1850000L), ("b", 575000L), ("c", 575000L)))
+  }
 }

@@ -1304,6 +1304,17 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q216: KN model joins stay vocabulary-keyed; occurrences pre-collapse") {
+    val p = plan("q216_kneser_ney")
+    // the only nested-loop is the 1-row bigram-type-total attach
+    assert(!p.contains("CartesianProduct"),
+      s"model joins must stay vocabulary-keyed equi-joins:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"model statistics and doc means must map-side combine:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in KN scoring:\n$p")
+  }
+
   test("q105: cluster representative is a min(struct) argmax, not a rank window") {
     val p = plan("q105_cluster_reps")
     // the argmax must be partial-aggregable so a degenerate half-corpus
