@@ -255,8 +255,14 @@ object Explain {
     "q214_fellegi_sunter", // FS linkage: blocked pair join + 1-row u-stat
                            // broadcast; weights are pure projections
     // q215_textrank: checkpoint scan — rendered as a special frame below
-    "q216_kneser_ney"      // KN smoothing: three chained model hash-aggs,
+    "q216_kneser_ney",     // KN smoothing: three chained model hash-aggs,
                            // vocabulary-keyed LEFT joins, 1-row total
+    "q217_rouge_pairs",    // clipped-overlap: (id, gram) equi-joins off
+                           // one collapsed gram-count frame
+    "q218_mrl_dim_curve",  // prefix-dim recall: one scan, tier explode,
+                           // (tier, qid) rank window
+    "q219_unimax_alloc"    // water-filling: one corpus agg, then
+                           // |languages|-row window + 1-row broadcasts
   )
 
   def main(args: Array[String]): Unit = {

@@ -540,4 +540,62 @@ object Sampling {
       .drop("__h", "__shard", "__rs", "__rn")
       .withColumnRenamed("__prio", "priority")
   }
+
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total token budget across groups
+    * (languages) as uniformly as possible, subject to a per-group cap of
+    * `maxEpochs` passes over its data — the allocation that avoids both
+    * proportional sampling's head-language dominance and temperature
+    * sampling's unbounded tail-language repetition. Greedy water-filling:
+    * groups ascending by cap; each takes min(cap, remaining ÷ remaining
+    * groups). With ascending caps the capped set is a prefix, so the
+    * whole allocation is a closed form over prefix sums: group i is
+    * capped iff cap_i · (k−i+1) ≤ B − Σ_{j<i} cap_j, and every uncapped
+    * group gets (B − Σ_capped) div |uncapped| — exact integers, replayed
+    * branch-for-branch by a SQL oracle.
+    *
+    * Scale shape: the corpus enters ONE map-side-combinable token-count
+    * aggregate; everything after runs on |groups| rows (languages — a
+    * bounded, human-scale cardinality), so the global prefix-sum window
+    * and the two 1-row broadcast joins never see corpus-sized data.
+    *
+    * Output: one row per group — (groupCol, n_tokens, cap_tokens,
+    * capped, alloc_tokens, epochs_milli) with epochs_milli =
+    * alloc·1000 div n_tokens (the per-group repetition factor the
+    * sampler downstream turns into weights).
+    */
+  def unimaxBudget(df: DataFrame, groupCol: String, textCol: String,
+                   budgetTokens: Long, maxEpochs: Int): DataFrame = {
+    require(budgetTokens > 0L, "budget must be positive")
+    require(maxEpochs >= 1, "epoch cap must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val tok = df
+      .select(col(groupCol).as("__grp"),
+        size(graft.ext.TextDedup.tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(col("__grp")).agg(sum(col("__n")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+    val w = W.orderBy(col("cap_tokens"), col("__grp"))
+    val ranked = tok
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__s_prev", coalesce(
+        sum(col("cap_tokens")).over(w.rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+    val kTot = ranked.agg(count(lit(1)).as("__k"))
+    val flagged = ranked.crossJoin(broadcast(kTot))
+      .withColumn("capped",
+        col("cap_tokens") * (col("__k") - col("__i") + 1L) <=
+          lit(budgetTokens) - col("__s_prev"))
+    val tStats = flagged.agg(
+      coalesce(max(when(col("capped"), col("__i"))), lit(0L)).as("__t"),
+      coalesce(sum(when(col("capped"), col("cap_tokens"))), lit(0L)).as("__st"),
+      max(col("__k")).as("__kk"))
+    flagged.crossJoin(broadcast(tStats))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr(s"(${budgetTokens}L - __st) div (__kk - __t)")))
+      .withColumn("epochs_milli", expr("(alloc_tokens * 1000L) div n_tokens"))
+      .select(col("__grp").as(groupCol), col("n_tokens"), col("cap_tokens"),
+        col("capped"), col("alloc_tokens"), col("epochs_milli"))
+  }
 }

@@ -589,4 +589,58 @@ object TextDedup {
         expr("(n_docs - n_raw_groups) * 10000 div n_docs").as("raw_dup_bp"),
         expr("(n_docs - n_norm_groups) * 10000 div n_docs").as("norm_dup_bp"))
   }
+
+  /** ROUGE-N overlap scores (Lin 2004, "ROUGE: A Package for Automatic
+    * Evaluation of Summaries") for candidate document pairs — the
+    * CLIPPED n-gram overlap Σ_g min(c_a(g), c_b(g)) over each side's
+    * n-gram multiset, reported as precision (÷|a|), recall (÷|b|) and F1
+    * in exact basis points. Beside the set-based Jaccard family this is
+    * the multiset-aware overlap: a document that repeats a shared phrase
+    * ten times counts it min(10, c_b) times, not once — the score
+    * summarization/dedup-eval pipelines actually compare against.
+    *
+    * Pairs come from the caller (LSH candidates, a blocking join) — the
+    * all-pairs form deliberately does not exist, matching [[jaccardPairs]].
+    *
+    * Scale shape: each side collapses ONCE to a (doc, gram, count)
+    * hash-aggregate; the overlap is pairs ⋈ grams(a) on id_a (rows per
+    * pair bounded by ONE document's length) then an equi-join on
+    * (id_b, gram) — never a per-pair set allocation — and one pair-keyed
+    * sum. Totals join back per side from the same collapsed frame.
+    * Zero-overlap candidate pairs are kept (score 0) via the left joins.
+    *
+    * Output: (id_a, id_b, n_a, n_b, n_overlap, rouge_p_bp, rouge_r_bp,
+    * rouge_f_bp) with f = 2pr/(p+r) in integer bp, 0 when p + r = 0.
+    */
+  def rougeNPairs(candidates: DataFrame, docs: DataFrame,
+                  idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val grams = docs.select(col(idCol).as("__id"),
+        explode(wordShingles(tokens(col(textCol)), n)).as("__g"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__c"))
+    val totals = grams.groupBy(col("__id")).agg(sum(col("__c")).as("__t"))
+    val pairs = candidates.select(col("id_a"), col("id_b"))
+    val overlap = pairs
+      .join(grams.select(col("__id").as("id_a"), col("__g"), col("__c").as("__ca")), "id_a")
+      .join(grams.select(col("__id").as("id_b"), col("__g"), col("__c").as("__cb")),
+        Seq("id_b", "__g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("n_overlap"))
+    pairs
+      .join(overlap, Seq("id_a", "id_b"), "left")
+      .join(totals.select(col("__id").as("id_a"), col("__t").as("n_a")), Seq("id_a"), "left")
+      .join(totals.select(col("__id").as("id_b"), col("__t").as("n_b")), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("rouge_p_bp",
+        when(col("n_a") > 0, expr("(n_overlap * 10000L) div n_a")).otherwise(0L))
+      .withColumn("rouge_r_bp",
+        when(col("n_b") > 0, expr("(n_overlap * 10000L) div n_b")).otherwise(0L))
+      .withColumn("rouge_f_bp",
+        when(col("rouge_p_bp") + col("rouge_r_bp") > 0,
+          expr("(2L * rouge_p_bp * rouge_r_bp) div (rouge_p_bp + rouge_r_bp)"))
+        .otherwise(0L))
+  }
 }

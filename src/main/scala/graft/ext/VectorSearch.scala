@@ -311,6 +311,52 @@ object VectorSearch {
       .select(col("qid"), col("id"), col("sim"), col("rnk"))
   }
 
+  /** Matryoshka-style prefix-dimension top-k (Kusupati et al. 2022, MRL:
+    * nested representations rank usefully with only a PREFIX of the
+    * dimensions): for every tier d in `dims`, the corpus is ranked by
+    * cosine over the FIRST d components and the per-(tier, query) top-k
+    * emitted. Joined against the full-dimension exact top-k this yields
+    * the recall-vs-dimension calibration curve — the artifact that tells
+    * a serving stack how many leading dimensions its coarse pass can
+    * truncate to (shrinking index bytes and scan cost d/D-fold) before
+    * recall drops below target.
+    *
+    * Scale shape: ONE broadcast-queries × corpus scan computes every
+    * tier's prefix dot products per row (tiers are a per-row explode of a
+    * literal array, never a join), then one rank window keyed by
+    * (dim_tier, qid). At corpus scale the scan stage swaps for a routed
+    * index ([[ivfTopKTrained]]) built on the truncated prefix — the
+    * output contract is the same.
+    *
+    * Output: (dim_tier, qid, id, sim, rnk), `k` rows per (tier, query);
+    * sim rounded to `roundDigits` with id tie-break, the engine-portable
+    * ranking convention used across this file.
+    */
+  def prefixDimTopK(queries: DataFrame, corpus: DataFrame,
+                    qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+                    k: Int, dims: Seq[Int], roundDigits: Int = 4): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be >= 1")
+    val tiers = dims.distinct.sorted
+    val d = dotFn(queries.sparkSession)
+    val q = broadcast(queries.select(col(qIdCol).as("qid"), asDouble(col(qVecCol)).as("__qv")))
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
+    val tierSims = tiers.map { t =>
+      val qs  = slice(col("__qv"), 1, t)
+      val cs  = slice(col("__cv"), 1, t)
+      val den = sqrt(d(qs, qs)) * sqrt(d(cs, cs))
+      struct(lit(t.toLong).as("dim_tier"),
+        round(when(den =!= 0.0, d(qs, cs) / den), roundDigits).as("sim"))
+    }
+    val w = Window.partitionBy(col("dim_tier"), col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    q.join(c)
+      .select(col("qid"), col("id"), explode(array(tierSims: _*)).as("__t"))
+      .select(col("qid"), col("id"), col("__t.dim_tier").as("dim_tier"), col("__t.sim").as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("dim_tier"), col("qid"), col("id"), col("sim"), col("rnk"))
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer built from one sampled
     * representative per `listCol` value (deterministic — no float-summed
     * centroid training, so the same quantizer falls out on any engine);

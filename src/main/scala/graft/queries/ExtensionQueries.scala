@@ -6541,6 +6541,140 @@ object ExtensionQueries {
       FROM sc GROUP BY 1""")
   )
 
+  // Dedup 30: ROUGE-2 overlap scores on the LSH candidate pairs (Lin 2004)
+  // — the multiset-CLIPPED overlap Σ min(c_a, c_b) beside the set-based
+  // Jaccard family: a repeated shared phrase counts min-of-counts times,
+  // not once. Candidates replay q23's band join; scores are exact bp.
+  private val q217 = Q(
+    "q217_rouge_pairs",
+    (s, dir) => TextDedup.rougeNPairs(
+      TextDedup.lshCandidates(sigCacheFor(s, dir), "doc_id", k = 8, rowsPerBand = 2),
+      docsSpread(s, dir), "doc_id", "text", n = 2),
+    Some(s"""WITH $toksCte,
+      $shinglesFromToks,
+      sigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs),
+      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      cg AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2),
+      tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM cg GROUP BY 1),
+      ov AS (SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS n_overlap
+        FROM pairs p JOIN cg a ON p.id_a = a.doc_id
+        JOIN cg b ON p.id_b = b.doc_id AND a.s = b.s
+        GROUP BY 1, 2),
+      base AS (SELECT p.id_a, p.id_b,
+          CAST(coalesce(ta.t, 0) AS BIGINT) AS n_a,
+          CAST(coalesce(tb.t, 0) AS BIGINT) AS n_b,
+          CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+        FROM pairs p LEFT JOIN ov ON p.id_a = ov.id_a AND p.id_b = ov.id_b
+        LEFT JOIN tt ta ON p.id_a = ta.doc_id
+        LEFT JOIN tt tb ON p.id_b = tb.doc_id),
+      pr AS (SELECT *,
+          CASE WHEN n_a > 0 THEN (n_overlap * 10000) // n_a ELSE 0 END AS p_bp,
+          CASE WHEN n_b > 0 THEN (n_overlap * 10000) // n_b ELSE 0 END AS r_bp
+        FROM base)
+      SELECT id_a, id_b, n_a, n_b, n_overlap,
+        CAST(p_bp AS BIGINT) AS rouge_p_bp,
+        CAST(r_bp AS BIGINT) AS rouge_r_bp,
+        CAST(CASE WHEN p_bp + r_bp > 0
+          THEN (2 * p_bp * r_bp) // (p_bp + r_bp) ELSE 0 END AS BIGINT) AS rouge_f_bp
+      FROM pr""")
+  )
+
+  // Vectors 25: Matryoshka prefix-dimension recall curve (Kusupati et al.
+  // 2022) — recall@5 of cosine ranking over the FIRST d ∈ {8,16,32,64}
+  // dimensions vs the full-dim exact truth: the q110 calibration-curve
+  // pattern for dimension truncation instead of probe width. The 64 tier
+  // IS the full dimension, so its row must read 10000 bp — a built-in
+  // sanity anchor the oracle checks too.
+  private val mrlDims = Seq(8, 16, 32, 64)
+  private val q218 = Q(
+    "q218_mrl_dim_curve",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qs  = emb.filter(col("vec_id") < 10)
+      val cs  = emb.filter(col("vec_id") >= 10)
+      val exact = VectorSearch.bruteForceTopK(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"))
+      val curve = VectorSearch.prefixDimTopK(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5, dims = mrlDims)
+        .select(col("dim_tier"), col("qid"), col("id"))
+      val hits = curve.join(exact, Seq("qid", "id"))
+        .groupBy(col("dim_tier")).agg(count(lit(1)).as("n_hits"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      mrlDims.map(_.toLong).toDF("dim_tier")
+        .join(hits, Seq("dim_tier"), "left")
+        .crossJoin(broadcast(nExact))
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_bp", expr("(n_hits * 10000L) div n_exact"))
+        .select(col("dim_tier"), col("n_hits"), col("n_exact"), col("recall_bp"))
+    },
+    Some(s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < 10),
+      c AS (SELECT vec_id AS id, v FROM ev WHERE vec_id >= 10),
+      tiers AS (SELECT CAST(d AS BIGINT) AS dim_tier
+        FROM (VALUES ${mrlDims.map(d => s"($d)").mkString(", ")}) t(d)),
+      scored AS (SELECT t.dim_tier, q.qid, c.id,
+          round(${duckCos("list_slice(q.v, 1, CAST(t.dim_tier AS INT))",
+                          "list_slice(c.v, 1, CAST(t.dim_tier AS INT))")}, 4) AS sim
+        FROM tiers t, q, c),
+      tk AS (SELECT dim_tier, qid, id FROM (SELECT dim_tier, qid, id,
+          row_number() OVER (PARTITION BY dim_tier, qid ORDER BY sim DESC, id) AS rnk
+        FROM scored) WHERE rnk <= 5),
+      es AS (SELECT q.qid, c.id, round(${duckCos("q.v", "c.v")}, 4) AS sim FROM q, c),
+      exact AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk FROM es)
+        WHERE rnk <= 5),
+      nex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+      hits AS (SELECT tk.dim_tier, CAST(count(*) AS BIGINT) AS n_hits
+        FROM tk JOIN exact USING (qid, id) GROUP BY 1)
+      SELECT t.dim_tier, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, nex.n_exact,
+        (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // nex.n_exact AS recall_bp
+      FROM tiers t LEFT JOIN hits h USING (dim_tier), nex""")
+  )
+
+  // Sampling 12: UniMax language-budget allocation (Chung et al. 2023) —
+  // water-fill a 40k-token budget across languages with a 2-epoch cap:
+  // tail languages cap at 2 epochs, the head language absorbs the
+  // remainder at < 1 epoch. Every branch (capped prefix, residual share)
+  // is exact-integer and replayed by the oracle.
+  private val q219 = Q(
+    "q219_unimax_alloc",
+    (s, dir) => Sampling.unimaxBudget(Tables.documents(s, dir), "lang", "text",
+      budgetTokens = 40000L, maxEpochs = 2),
+    Some(s"""WITH $toksCte,
+      lt AS (SELECT lang, CAST(sum(len(w)) AS BIGINT) AS n_tokens FROM toks GROUP BY 1),
+      ct AS (SELECT lang, n_tokens, n_tokens * 2 AS cap_tokens FROM lt),
+      rk AS (SELECT lang, n_tokens, cap_tokens,
+          CAST(row_number() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS i,
+          CAST(coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_prev
+        FROM ct),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM rk),
+      fl AS (SELECT rk.*, kk.k,
+          (cap_tokens * (kk.k - i + 1) <= 40000 - s_prev) AS capped
+        FROM rk, kk),
+      ts AS (SELECT CAST(coalesce(max(CASE WHEN capped THEN i END), 0) AS BIGINT) AS t,
+          CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS BIGINT) AS st,
+          max(k) AS kk2 FROM fl),
+      al AS (SELECT fl.lang, fl.n_tokens, fl.cap_tokens, fl.capped,
+          CAST(CASE WHEN fl.capped THEN fl.cap_tokens
+            ELSE (40000 - ts.st) // (ts.kk2 - ts.t) END AS BIGINT) AS alloc_tokens
+        FROM fl, ts)
+      SELECT lang, n_tokens, cap_tokens, capped, alloc_tokens,
+        CAST((alloc_tokens * 1000) // n_tokens AS BIGINT) AS epochs_milli
+      FROM al""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -6549,5 +6683,6 @@ object ExtensionQueries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
-    q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
+    q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
+    q219)
 }

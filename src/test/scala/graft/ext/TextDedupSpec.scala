@@ -297,4 +297,23 @@ class TextDedupSpec extends SparkFunSuite {
     // banding beats both degenerate extremes at a mid threshold
     assert(out((2L, 2L))._3)
   }
+
+  test("rougeNPairs: clipped multiset overlap, asymmetric p/r, zero-overlap pairs kept") {
+    val d = Seq(
+      (1L, "a b a b a b"),  // bigrams: "a b"x3, "b a"x2 -> n_a = 5
+      (2L, "a b c d"),      // bigrams: "a b", "b c", "c d" -> n_b = 3
+      (3L, "x y z")         // no shared bigram with 1
+    ).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = TextDedup.rougeNPairs(pairs, d, "id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // columns after the two pair-id join keys: (n_a, n_b, n_overlap, p, r, f)
+    // overlap(1,2) = min(3, 1) = 1 -- CLIPPED: the 3 repeats of "a b" in
+    // doc 1 count once against doc 2's single copy
+    // p = 10000/5 = 2000, r = 10000/3 = 3333, f = 2*2000*3333 div 5333 = 2499
+    assert(out((1L, 2L)) == ((5L, 3L, 1L, 2000L, 3333L, 2499L)))
+    // zero-overlap candidate pair is KEPT with score 0, not dropped
+    assert(out((1L, 3L)) == ((5L, 2L, 0L, 0L, 0L, 0L)))
+  }
 }

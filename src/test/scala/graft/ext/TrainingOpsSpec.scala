@@ -262,4 +262,28 @@ class TrainingOpsSpec extends SparkFunSuite {
     val moved = out.count { case (_, r8, r9) => r8 != r9 }
     assert(moved < 300 / 4, s"HRW moved $moved of 300 — expected ~1/9")
   }
+
+  test("unimaxBudget: capped prefix + water-filled head, and both degenerate budgets") {
+    val df = Seq(
+      ("a", "t1 t2"),                                   // 2 tokens, cap 4
+      ("b", "t1 t2 t3"),                                // 3 tokens, cap 6
+      ("c", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")           // 10 tokens, cap 20
+    ).toDF("lang", "text")
+    // B=16, E=2, k=3: a capped (4*3 <= 16), b capped (6*2 <= 12),
+    // c uncapped -> (16-10) div 1 = 6 tokens = 0.6 epochs
+    val out = Sampling.unimaxBudget(df, "lang", "text", budgetTokens = 16L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") == ((true, 4L, 2000L)))
+    assert(out("b") == ((true, 6L, 2000L)))
+    assert(out("c") == ((false, 6L, 600L)))
+    // budget below the smallest fair share: NOBODY capped, equal split
+    val lo = Sampling.unimaxBudget(df, "lang", "text", budgetTokens = 9L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(lo == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
+    // budget above the cap total: EVERYONE capped at maxEpochs, leftover unspent
+    val hi = Sampling.unimaxBudget(df, "lang", "text", budgetTokens = 1000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(3), r.getLong(4)))).toMap
+    assert(hi == Map("a" -> ((true, 4L)), "b" -> ((true, 6L)), "c" -> ((true, 20L))))
+  }
 }

@@ -606,4 +606,22 @@ class VectorSearchSpec extends SparkFunSuite {
       .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((2L, 1L, 1L), (3L, 1L, 2L), (1L, 2L, 3L)))
   }
+
+  test("prefixDimTopK: prefix tiers genuinely re-rank; full tier equals bruteForceTopK") {
+    val qs = Seq((0L, Array(1f, 0f, 0f, 1f))).toDF("vid", "v")
+    val cs = Seq(
+      (1L, Array(1f, 0f, 0f, -1f)), // prefix-2 cos = 1.0, full cos = 0.0
+      (2L, Array(0f, 1f, 0f, 1f))   // prefix-2 cos = 0.0, full cos = 0.5
+    ).toDF("vid", "v")
+    val top = VectorSearch.prefixDimTopK(qs, cs, "vid", "v", "vid", "v",
+        k = 1, dims = Seq(2, 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top == Map(2L -> 1L, 4L -> 2L))
+    // the full-dimension tier must agree with bruteForceTopK row-for-row
+    val full = VectorSearch.bruteForceTopK(qs, cs, "vid", "v", "vid", "v", k = 2)
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val t4 = VectorSearch.prefixDimTopK(qs, cs, "vid", "v", "vid", "v", k = 2, dims = Seq(4))
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(full.toSeq == t4.toSeq)
+  }
 }

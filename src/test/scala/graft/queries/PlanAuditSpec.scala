@@ -1326,4 +1326,46 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no per-cluster rank window belongs here:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q217: ROUGE overlap stays gram-keyed equi-joins; pair sums map-side combine") {
+    val p = plan("q217_rouge_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap must be (id, gram)-keyed equi-joins, never a product:\n$p")
+    // gram counts, totals, overlap sum: all partial+final hash aggregates
+    assert(p.split("HashAggregate").length >= 5,
+      s"gram counts and pair sums must map-side combine:\n$p")
+  }
+
+  test("q218: MRL curve scans the corpus ONCE for all tiers; tier fan-out is a generator") {
+    val p = plan("q218_mrl_dim_curve")
+    // tier fan-out must be an explode projection over one scan, never a
+    // per-tier re-scan or a tier join against the corpus
+    assert(p.contains("Generate explode"),
+      s"dim tiers must fan out via explode:\n$p")
+    // nested-loop joins: broadcast queries x corpus for the tiered scan,
+    // the exact truth (whose subplan appears twice: once under the hits
+    // join and once under the 1-row n_exact denominator), plus that
+    // denominator's broadcast attach -- nothing else
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 4,
+      s"only the bounded-query scans + 1-row denominator may cross:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
+  }
+
+  test("q219: UniMax corpus work is ONE aggregate; windows run on group-cardinality rows") {
+    val p = plan("q219_unimax_alloc")
+    // the token count is the only corpus-sized operator: partial+final agg
+    assert(p.split("HashAggregate").length >= 3,
+      s"token totals must map-side combine:\n$p")
+    // the prefix-sum window exists but runs AFTER the per-group collapse --
+    // its input is |languages| rows; the two 1-row stat frames broadcast
+    assert(p.contains("Window"), s"prefix-sum window missing:\n$p")
+    // the two 1-row stat attaches (k-count and capped-prefix totals); the
+    // flagged frame's own attach re-evaluates inside the broadcast tStats
+    // side, so the pattern appears three times -- all on |languages|-row
+    // or 1-row inputs
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 3,
+      s"only the 1-row stat attaches may cross-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
+  }
+
 }
