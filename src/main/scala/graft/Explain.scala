@@ -261,8 +261,12 @@ object Explain {
                            // one collapsed gram-count frame
     "q218_mrl_dim_curve",  // prefix-dim recall: one scan, tier explode,
                            // (tier, qid) rank window
-    "q219_unimax_alloc"    // water-filling: one corpus agg, then
+    "q219_unimax_alloc",   // water-filling: one corpus agg, then
                            // |languages|-row window + 1-row broadcasts
+    "q220_token_entropy",  // two chained hash-aggs, no join/window
+    "q221_padding_waste",  // length-histogram agg; explodes/windows on
+                           // |distinct lengths| rows only
+    "q222_source_jsd"      // one (source, bucket) agg; broadcast spine
   )
 
   def main(args: Array[String]): Unit = {

@@ -264,4 +264,69 @@ object Packing {
       .withColumn("corruption_bp",
         expr("CASE WHEN n_tokens > 0 THEN (n_masked * 10000L) div n_tokens ELSE 0 END"))
   }
+
+  /** Padding-waste-vs-bucket-count curve for length-bucketed batching —
+    * the calibration artifact behind "how many length buckets does my
+    * batcher need": with documents grouped into B equal-frequency length
+    * buckets and every sequence in a bucket padded to the bucket's max
+    * length, what fraction of the padded tokens is padding? B = 1 is the
+    * pad-everything-to-global-max anchor; waste falls monotonically as B
+    * grows (the alternative to padding entirely is [[packSequences]];
+    * real batchers pick B where this curve flattens — the technique
+    * behind every bucketed-batching loader since Seq2Seq, e.g. the
+    * bucketing in Vaswani et al. 2017's training setup).
+    *
+    * Everything is exact integers over the LENGTH HISTOGRAM: the corpus
+    * enters one (len → n_docs) hash-aggregate, and bucket assignment is
+    * closed-form rank arithmetic on histogram rows. A doc at sorted rank
+    * r (0-based, ties broken by contiguity — same-length docs are
+    * interchangeable) lands in bucket r·B div N; a length group occupying
+    * ranks [s, s+c) therefore spans buckets s·B div N .. (s+c−1)·B div N,
+    * and its row overlap with bucket b is
+    * min(s+c, rend_b+1) − max(s, rstart_b) with
+    * rstart_b = ceil(bN/B), rend_b = ceil((b+1)N/B) − 1.
+    *
+    * Scale shape: the only corpus-sized operator is the length histogram
+    * (map-side-combinable; distinct lengths are bounded by the max
+    * document length, a catalog-scale cardinality). The prefix-sum
+    * window, tier explode (|tiers| per row) and bucket-span explode
+    * (≤ B rows per straddling group) all run on histogram rows; the
+    * doc-count/token totals attach as a broadcast 1-row frame.
+    *
+    * Output per tier: (n_buckets, n_docs, total_tokens, padded_tokens,
+    * waste_bp = (padded − total)·10000 div padded).
+    */
+  def paddingWasteCurve(df: DataFrame, textCol: String,
+                        tiers: Seq[Int]): DataFrame = {
+    require(tiers.nonEmpty && tiers.forall(_ >= 1), "tiers must be >= 1")
+    val W = Window.orderBy(col("len"))
+    val hist = df
+      .select(size(TextDedup.tokens(col(textCol))).cast("long").as("len"))
+      .filter(col("len") > 0L)
+      .groupBy(col("len")).agg(count(lit(1)).as("c"))
+    val withStart = hist.withColumn("s",
+      coalesce(sum(col("c")).over(W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = withStart.agg(sum(col("c")).as("n_docs"),
+      sum(col("len") * col("c")).as("total_tokens"))
+    val tierArr = array(tiers.distinct.sorted.map(b => lit(b.toLong)): _*)
+    withStart.crossJoin(broadcast(tot))
+      .select(col("len"), col("c"), col("s"), col("n_docs"), col("total_tokens"),
+        explode(tierArr).as("n_buckets"))
+      // buckets this length group touches (never empty: c >= 1)
+      .select(col("*"), explode(sequence(
+        expr("(s * n_buckets) div n_docs"),
+        expr("((s + c - 1) * n_buckets) div n_docs"))).as("b"))
+      .withColumn("__overlap",
+        expr("""least(s + c, ((b + 1) * n_docs + n_buckets - 1) div n_buckets)
+               - greatest(s, (b * n_docs + n_buckets - 1) div n_buckets)"""))
+      .groupBy(col("n_buckets"), col("b"))
+      .agg(max(col("len")).as("__maxlen"), sum(col("__overlap")).as("__nb"),
+        first(col("n_docs")).as("n_docs"), first(col("total_tokens")).as("total_tokens"))
+      .groupBy(col("n_buckets"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("total_tokens")).as("total_tokens"),
+        sum(col("__maxlen") * col("__nb")).as("padded_tokens"))
+      .withColumn("waste_bp",
+        expr("(padded_tokens - total_tokens) * 10000L div padded_tokens"))
+  }
 }

@@ -1298,4 +1298,104 @@ object TextStats {
     pairs.select(col("w1").as("src"), col("w2").as("dst"))
       .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst")))
   }
+
+  /** Per-document Shannon entropy of the token distribution, in quantized
+    * milli-nats — the classical low-diversity signal quality pipelines
+    * threshold on (a near-zero entropy means the document is one token
+    * stamped n times: keyword-stuffing, log spam, degenerate templates;
+    * see Shannon 1948 for the measure, and e.g. Rae et al. 2021's Gopher
+    * rules for the repetition-family filters it generalizes).
+    *
+    * Engine portability (the [[zipfFit]] convention): each per-count log
+    * is quantized to an integer FIRST — lnc_milli = round(1000·ln c) —
+    * and all arithmetic after that is exact BIGINT, so DuckDB replays the
+    * sum bit-for-bit. H = ln n − (Σ c·ln c)/n becomes
+    * `entropy_milli = lnn_milli − (Σ c·lnc_milli) div n`.
+    * entropy_ratio_bp divides by the doc's max possible entropy
+    * (ln n_distinct), clamped to [0, 10000] against quantization jitter;
+    * single-token-type docs report ratio 0 by convention.
+    *
+    * Scale shape: one explode → (doc, token) partial+final hash-agg →
+    * doc-keyed partial+final hash-agg. No join, no window — a hot token
+    * collapses map-side inside its document's partition.
+    *
+    * Output: (idCol, n_tokens, n_distinct, entropy_milli,
+    * entropy_ratio_bp), one row per document with ≥ 1 token.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lnMilli = (c: Column) => round(log(c.cast("double")) * 1000).cast("long")
+    df.select(col(idCol).as("__id"),
+        explode(TextDedup.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__id"), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c") * lnMilli(col("__c"))).as("__clc"))
+      .withColumn("__lnn", lnMilli(col("n_tokens")))
+      .withColumn("entropy_milli",
+        greatest(lit(0L), expr("__lnn - (__clc div n_tokens)")))
+      .withColumn("__lnv", lnMilli(col("n_distinct")))
+      .withColumn("entropy_ratio_bp",
+        when(col("n_distinct") > 1,
+          least(lit(10000L), expr("entropy_milli * 10000L div __lnv")))
+        .otherwise(0L))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_distinct"),
+        col("entropy_milli"), col("entropy_ratio_bp"))
+  }
+
+  /** Jensen–Shannon divergence between every pair of sources' hashed-token
+    * unigram distributions, in quantized micro-nats — the corpus-mixing
+    * diagnostic (how far apart two sources' token statistics sit; 0 =
+    * identical distributions, ln 2 ≈ 693147 µnats = disjoint supports).
+    * Complements [[graft.ext.Decontaminate.sourceOverlap]] (set overlap of
+    * shingle digests — "do they share content?") with the distributional
+    * question ("do they LOOK alike statistically?"), and [[tokenDrift]]
+    * (L1 drift between time cohorts WITHIN a source) with the
+    * cross-source axis.
+    *
+    * JS(p, q) = ½ Σ_b [p_b·ln(2p_b/(p_b+q_b)) + q_b·ln(2q_b/(p_b+q_b))],
+    * computed on integer ppm probabilities with each log quantized to
+    * milli-nats before the exact-BIGINT sum (the [[zipfFit]] convention),
+    * so the oracle replays it bit-for-bit. Zero-probability terms
+    * contribute 0 (the measure-theoretic limit).
+    *
+    * Scale shape: the corpus enters ONE (source, bucket) hash-aggregate
+    * (buckets ≤ 65536 — model-sized, not corpus-sized); the pair matrix is
+    * a broadcast spine of |sources|²·buckets rows with two broadcast
+    * lookup joins — corpus-sized data never reaches a join.
+    *
+    * Output: (source_a, source_b, n_tokens_a, n_tokens_b, js_micro_nats)
+    * for source_a < source_b.
+    */
+  def sourceDivergence(df: DataFrame, sourceCol: String, textCol: String,
+                       buckets: Int = 64): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "buckets must be in [1, 65536]")
+    val lnMilli = (c: Column) => round(log(c.cast("double")) * 1000).cast("long")
+    val pb = df.select(col(sourceCol).as("__src"),
+        explode(TextDedup.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b", Sampling.tokenBucket(col("__tok"), buckets))
+      .groupBy(col("__src"), col("__b")).agg(count(lit(1)).as("__c"))
+    val totals = pb.groupBy(col("__src")).agg(sum(col("__c")).as("__t"))
+    val ppm = pb.join(broadcast(totals), "__src")
+      .select(col("__src"), col("__b"), expr("__c * 1000000 div __t").as("__p"))
+    val spine = broadcast(
+      totals.select(col("__src").as("source_a"), col("__t").as("n_tokens_a"))
+        .crossJoin(totals.select(col("__src").as("source_b"), col("__t").as("n_tokens_b")))
+        .filter(col("source_a") < col("source_b")))
+      .crossJoin(broadcast(ppm.select(col("__b")).distinct()))
+    val term = (p: Column, q: Column) =>
+      when(p > 0L, p * (lnMilli(p * 2L) - lnMilli(p + q))).otherwise(0L)
+    spine
+      .join(broadcast(ppm.select(col("__src").as("source_a"), col("__b"),
+        col("__p").as("__pa"))), Seq("source_a", "__b"), "left")
+      .join(broadcast(ppm.select(col("__src").as("source_b"), col("__b"),
+        col("__p").as("__pb"))), Seq("source_b", "__b"), "left")
+      .withColumn("__pa", coalesce(col("__pa"), lit(0L)))
+      .withColumn("__pb", coalesce(col("__pb"), lit(0L)))
+      .withColumn("__j", term(col("__pa"), col("__pb")) + term(col("__pb"), col("__pa")))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(first(col("n_tokens_a")).as("n_tokens_a"),
+        first(col("n_tokens_b")).as("n_tokens_b"),
+        expr("sum(__j) div 2000").as("js_micro_nats"))
+  }
 }

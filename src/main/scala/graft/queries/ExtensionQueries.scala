@@ -6675,6 +6675,107 @@ object ExtensionQueries {
       FROM al""")
   )
 
+  // Text 40: per-document token-entropy quality signal (Shannon 1948) —
+  // the low-diversity filter: entropy in quantized milli-nats with the
+  // zipf-fit log convention (per-count logs quantized to integers BEFORE
+  // the sum), so every row is exact BIGINT arithmetic the oracle replays.
+  private val q220 = Q(
+    "q220_token_entropy",
+    (s, dir) => TextStats.tokenEntropy(docsSpread(s, dir), "doc_id", "text"),
+    Some(s"""WITH $toksCte,
+      tc AS (SELECT doc_id, u.x AS tk FROM toks, UNNEST(w) AS u(x)),
+      cnt AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c FROM tc GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(c * CAST(round(ln(c) * 1000) AS BIGINT)) AS BIGINT) AS clc
+        FROM cnt GROUP BY 1),
+      ent AS (SELECT doc_id, n_tokens, n_distinct,
+          greatest(0, CAST(round(ln(n_tokens) * 1000) AS BIGINT) - clc // n_tokens)
+            AS entropy_milli
+        FROM agg)
+      SELECT doc_id, n_tokens, n_distinct, entropy_milli,
+        CASE WHEN n_distinct > 1 THEN least(10000,
+          (entropy_milli * 10000) // CAST(round(ln(n_distinct) * 1000) AS BIGINT))
+        ELSE 0 END AS entropy_ratio_bp
+      FROM ent""")
+  )
+
+  // Packing 7: padding-waste-vs-bucket-count curve — for B ∈ {1,2,4,8,16}
+  // equal-frequency length buckets, the exact share of batch tokens that
+  // is padding. Closed-form rank arithmetic over the length histogram:
+  // the corpus enters ONE hash-agg; every window/explode after runs on
+  // |distinct lengths| rows. The B=1 row anchors at pad-to-global-max.
+  private val padTiers = Seq(1, 2, 4, 8, 16)
+  private val q221 = Q(
+    "q221_padding_waste",
+    (s, dir) => Packing.paddingWasteCurve(docsSpread(s, dir), "text", padTiers),
+    Some(s"""WITH $toksCte,
+      hist AS (SELECT CAST(len(w) AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE len(w) > 0 GROUP BY 1),
+      st AS (SELECT l, c, CAST(coalesce(sum(c) OVER (ORDER BY l
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        FROM hist),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+          CAST(sum(l * c) AS BIGINT) AS total_tokens FROM hist),
+      spans AS (SELECT st.*, tot.n_docs, tot.total_tokens,
+          CAST(t.nb AS BIGINT) AS n_buckets
+        FROM st, tot, (VALUES ${padTiers.map(b => s"($b)").mkString(", ")}) t(nb)),
+      bk AS (SELECT *, CAST(u.x AS BIGINT) AS b FROM spans,
+          UNNEST(range((s * n_buckets) // n_docs,
+                       ((s + c - 1) * n_buckets) // n_docs + 1)) AS u(x)),
+      ov AS (SELECT n_buckets, b,
+          max(l) AS maxlen,
+          sum(least(s + c, ((b + 1) * n_docs + n_buckets - 1) // n_buckets)
+            - greatest(s, (b * n_docs + n_buckets - 1) // n_buckets)) AS nb,
+          max(n_docs) AS n_docs, max(total_tokens) AS total_tokens
+        FROM bk GROUP BY 1, 2),
+      pt AS (SELECT n_buckets, max(n_docs) AS n_docs,
+          max(total_tokens) AS total_tokens,
+          CAST(sum(maxlen * nb) AS BIGINT) AS padded_tokens
+        FROM ov GROUP BY 1)
+      SELECT n_buckets, n_docs, total_tokens, padded_tokens,
+        (padded_tokens - total_tokens) * 10000 // padded_tokens AS waste_bp
+      FROM pt""")
+  )
+
+  // Text 41: source-pair Jensen–Shannon divergence over hashed-token
+  // unigram distributions (64 buckets) — the corpus-mixing diagnostic:
+  // 0 = statistically identical sources, ~693k µnats = disjoint. Logs
+  // quantized to milli-nats per bucket, then exact-integer sums.
+  private val q222 = Q(
+    "q222_source_jsd",
+    (s, dir) => TextStats.sourceDivergence(docsSpread(s, dir), "source", "text",
+      buckets = 64),
+    Some(s"""WITH $toksCte,
+      tc AS (SELECT source, u.x AS tk FROM toks, UNNEST(w) AS u(x)),
+      pb AS (SELECT source, (${TrainingQueries.md5Bucket16Sql("tk")}) % 64 AS b,
+          CAST(count(*) AS BIGINT) AS c
+        FROM tc GROUP BY 1, 2),
+      tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM pb GROUP BY 1),
+      ppm AS (SELECT pb.source, pb.b, (pb.c * 1000000) // tt.t AS p
+        FROM pb JOIN tt USING (source)),
+      spine AS (SELECT a.source AS source_a, a.t AS n_tokens_a,
+          b2.source AS source_b, b2.t AS n_tokens_b, bb.b
+        FROM tt a JOIN tt b2 ON a.source < b2.source,
+          (SELECT DISTINCT b FROM ppm) bb),
+      terms AS (SELECT source_a, source_b, n_tokens_a, n_tokens_b,
+          CAST(coalesce(pa.p, 0) AS BIGINT) AS pa,
+          CAST(coalesce(pbx.p, 0) AS BIGINT) AS pb
+        FROM spine
+        LEFT JOIN ppm pa ON pa.source = spine.source_a AND pa.b = spine.b
+        LEFT JOIN ppm pbx ON pbx.source = spine.source_b AND pbx.b = spine.b),
+      js AS (SELECT source_a, source_b, n_tokens_a, n_tokens_b,
+          (CASE WHEN pa > 0 THEN pa * (CAST(round(ln(pa * 2) * 1000) AS BIGINT)
+             - CAST(round(ln(pa + pb) * 1000) AS BIGINT)) ELSE 0 END)
+          + (CASE WHEN pb > 0 THEN pb * (CAST(round(ln(pb * 2) * 1000) AS BIGINT)
+             - CAST(round(ln(pa + pb) * 1000) AS BIGINT)) ELSE 0 END) AS j
+        FROM terms)
+      SELECT source_a, source_b, max(n_tokens_a) AS n_tokens_a,
+        max(n_tokens_b) AS n_tokens_b,
+        CAST(sum(j) AS BIGINT) // 2000 AS js_micro_nats
+      FROM js GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -6684,5 +6785,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219)
+    q219, q220, q221, q222)
 }

@@ -459,4 +459,33 @@ class CurationOpsSpec extends SparkFunSuite {
       .groupBy(_._1).values.map(_.map(_._2).sum)
     assert(totals.max - totals.min <= 15L)
   }
+
+  test("paddingWasteCurve: exact waste per tier, monotone toward zero") {
+    // lengths 2, 2, 4, 10 -> total 18 tokens, 4 docs
+    val docs = Seq("a b", "c d", "a b c d", "a b c d e f g h i j").toDF("text")
+    val got = Packing.paddingWasteCurve(docs, "text", Seq(1, 2, 4))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // B=1: pad all to 10 -> 40 padded, waste (40-18)*10000 div 40 = 5500
+    assert(got(1L) == ((4L, 18L, 40L, 5500L)))
+    // B=2: [2,2]->max 2 (4 padded), [4,10]->max 10 (20) -> 24, waste 2500
+    assert(got(2L) == ((4L, 18L, 24L, 2500L)))
+    // B=4: every doc its own bucket -> zero waste
+    assert(got(4L) == ((4L, 18L, 18L, 0L)))
+  }
+
+  test("paddingWasteCurve: a length group straddling bucket boundaries splits exactly") {
+    // three equal-length docs, B=2: the single length group spans both
+    // buckets (2 rows + 1 row), both padded to the same max -> zero waste
+    val eq = Seq("a b c d e", "f g h i j", "k l m n o").toDF("text")
+    val g1 = Packing.paddingWasteCurve(eq, "text", Seq(2))
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).head
+    assert(g1 == ((3L, 15L, 0L)))
+    // lengths 1, 2, 3 with B=2: bucket0 = [1,2] pad to 2 (4), bucket1 =
+    // [3] (3) -> padded 7, total 6, waste 10000 div 7 = 1428
+    val mix = Seq("a", "a b", "a b c").toDF("text")
+    val g2 = Packing.paddingWasteCurve(mix, "text", Seq(2))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    assert(g2 == ((6L, 7L, 1428L)))
+  }
 }

@@ -511,4 +511,35 @@ class TextStatsSpec extends SparkFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("a", 1850000L), ("b", 575000L), ("c", 575000L)))
   }
+
+  test("tokenEntropy: degenerate, uniform, and skewed docs in exact milli-nats") {
+    val docs = Seq(
+      (1L, "a a a a"), // one token type: H = 0, ratio 0 by convention
+      (2L, "a b c d"), // uniform: H = ln 4 = 1386 m-nats, ratio 10000
+      (3L, "a a b")    // skewed: 1099 - (2*693) div 3 = 1099 - 462 = 637
+    ).toDF("doc_id", "text")
+    val got = TextStats.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((4L, 1L, 0L, 0L)))
+    assert(got(2L) == ((4L, 4L, 1386L, 10000L)))
+    // ratio = 637*10000 div round(ln(2)*1000) = 6370000 div 693 = 9191
+    assert(got(3L) == ((3L, 2L, 637L, 9191L)))
+  }
+
+  test("sourceDivergence: identical sources read 0; disjoint supports read ~ln 2") {
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta"),
+      ("s2", "alpha beta gamma delta"),  // identical distribution to s1
+      ("s3", "epsilon zeta eta theta")   // disjoint token support
+    ).toDF("source", "text")
+    // 65536 buckets so these 8 fixed tokens cannot plausibly collide
+    val got = TextStats.sourceDivergence(docs, "source", "text", buckets = 65536)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got(("s1", "s2")) == 0L)
+    // disjoint: each side contributes Sum p*(ln 2p - ln p) ~ ln 2 per
+    // distribution; quantization moves each bucket's log delta by <= 1
+    assert(got(("s1", "s3")) > 690000L && got(("s1", "s3")) < 696000L)
+    assert(got(("s2", "s3")) == got(("s1", "s3")))
+  }
 }

@@ -1368,4 +1368,37 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
   }
 
+  test("q220: token entropy is two chained hash-aggs — no join, no window") {
+    val p = plan("q220_token_entropy")
+    assert(p.split("HashAggregate").length >= 5,
+      s"(doc, token) and doc-keyed aggs must both map-side combine:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"entropy needs no join side and no window:\n$p")
+  }
+
+  test("q221: padding-waste corpus work is ONE histogram agg; spans explode on histogram rows") {
+    val p = plan("q221_padding_waste")
+    // the (len -> count) histogram is the only corpus-sized operator
+    assert(p.split("HashAggregate").length >= 3,
+      s"length histogram must map-side combine:\n$p")
+    // tier and bucket-span fan-outs are generators over histogram rows
+    assert(p.split("Generate explode").length - 1 >= 2,
+      s"tier + bucket-span fan-out must be explodes:\n$p")
+    // one 1-row totals attach; prefix-sum window runs post-collapse
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      s"only the 1-row totals frame may cross-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
+  }
+
+  test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
+    val p = plan("q222_source_jsd")
+    assert(p.split("HashAggregate").length >= 3,
+      s"(source, bucket) counts must map-side combine:\n$p")
+    // the ppm lookups are broadcast equi-joins keyed (source, bucket)
+    assert(p.contains("BroadcastHashJoin"),
+      s"ppm lookups must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"nothing corpus-sized may reach a join:\n$p")
+  }
+
 }
