@@ -711,7 +711,40 @@ object ScaleProbe {
         graft.ext.Graphs.iterationPlanFrame(
           TextStats.wordCoocEdges(docsAt(m), "text", window = 2),
           "src", "dst").count()
-      }
+      },
+      // ROUGE on a FIXED candidate list as the corpus grows — the
+      // batch-shaped contract: the semi-join prefilter must keep the
+      // shingling work candidate-sized, so the curve should stay flat
+      // (the only growth term is the id semi-join's corpus-side scan)
+      "rouge_fixed_pairs" -> { m =>
+        val pairs = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1L).as("id_b"))
+        TextDedup.rougeNPairs(pairs, docsAt(m), "doc_id", "text", n = 2).count()
+      },
+      // Matryoshka prefix-tier scan: 10 fixed queries, 4 dim tiers in ONE
+      // corpus pass — cost must track the corpus scan (linear), never
+      // tiers × corpus re-scans
+      "mrl_prefix_scan" -> { m =>
+        val qs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+        VectorSearch.prefixDimTopK(qs, embAt(m).filter(col("vec_id") >= 10),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, dims = Seq(8, 16, 32, 64)).count()
+      },
+      // padding-waste curve: the corpus enters one length-histogram agg;
+      // every window/explode after runs on |distinct lengths| rows, so
+      // the curve must track the token scan
+      "padding_hist" -> (m =>
+        Packing.paddingWasteCurve(docsAt(m), "text", Seq(1, 2, 4, 8, 16)).count()),
+      // UniMax allocation: one corpus token-count agg + |languages|-row
+      // windows — must track the scan
+      "unimax_alloc" -> (m =>
+        Sampling.unimaxBudget(docsAt(m), "lang", "text", 40000L, 2).count()),
+      // source-pair JSD: one (source, bucket) agg + a broadcast pair
+      // spine — must track the scan
+      "source_jsd" -> (m =>
+        TextStats.sourceDivergence(docsAt(m), "source", "text", 64).count())
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so

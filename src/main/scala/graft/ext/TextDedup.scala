@@ -602,12 +602,16 @@ object TextDedup {
     * Pairs come from the caller (LSH candidates, a blocking join) — the
     * all-pairs form deliberately does not exist, matching [[jaccardPairs]].
     *
-    * Scale shape: each side collapses ONCE to a (doc, gram, count)
-    * hash-aggregate; the overlap is pairs ⋈ grams(a) on id_a (rows per
-    * pair bounded by ONE document's length) then an equi-join on
-    * (id_b, gram) — never a per-pair set allocation — and one pair-keyed
-    * sum. Totals join back per side from the same collapsed frame.
-    * Zero-overlap candidate pairs are kept (score 0) via the left joins.
+    * Scale shape: the corpus first shrinks to the documents the candidate
+    * set actually references (one left-semi join on id — at 100 TB with a
+    * bounded candidate list this is the difference between shingling the
+    * corpus and shingling the candidates); each surviving side collapses
+    * ONCE to a (doc, gram, count) hash-aggregate; the overlap is
+    * pairs ⋈ grams(a) on id_a (rows per pair bounded by ONE document's
+    * length) then an equi-join on (id_b, gram) — never a per-pair set
+    * allocation — and one pair-keyed sum. Totals join back per side from
+    * the same collapsed frame. Zero-overlap candidate pairs are kept
+    * (score 0) via the left joins.
     *
     * Output: (id_a, id_b, n_a, n_b, n_overlap, rouge_p_bp, rouge_r_bp,
     * rouge_f_bp) with f = 2pr/(p+r) in integer bp, 0 when p + r = 0.
@@ -615,7 +619,11 @@ object TextDedup {
   def rougeNPairs(candidates: DataFrame, docs: DataFrame,
                   idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n-gram order must be >= 1")
-    val grams = docs.select(col(idCol).as("__id"),
+    val wanted = candidates.select(col("id_a").as("__want"))
+      .unionByName(candidates.select(col("id_b").as("__want")))
+      .distinct()
+    val needed = docs.join(wanted, col(idCol) === col("__want"), "left_semi")
+    val grams = needed.select(col(idCol).as("__id"),
         explode(wordShingles(tokens(col(textCol)), n)).as("__g"))
       .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__c"))
     val totals = grams.groupBy(col("__id")).agg(sum(col("__c")).as("__t"))
