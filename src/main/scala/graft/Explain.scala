@@ -267,6 +267,8 @@ object Explain {
     "q221_padding_waste",  // length-histogram agg; explodes/windows on
                            // |distinct lengths| rows only
     "q222_source_jsd"      // one (source, bucket) agg; broadcast spine
+    // q223/q224 graph-ANN: checkpoint scans — rendered as a special
+    // frame below (one unexecuted beam-search round)
   )
 
   def main(args: Array[String]): Unit = {
@@ -324,6 +326,24 @@ object Explain {
         "src", "dst")
       it.count()
       sb.append(s"\n## q215_textrank (one power iteration over the word graph)\n\n```\n")
+      sb.append(it.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q223/q224's returned frames are checkpoint scans; the load-bearing
+    // plan is ONE beam-search round (entry scoring → beam window →
+    // adjacency expand → candidate re-score)
+    locally {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val cs = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 10)
+      val it = graft.ext.VectorSearch.graphSearchRoundPlanFrame(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), cs,
+        graft.ext.VectorSearch.knnGraph(cs,
+          "vec_id", "embedding", k = 3, bits = 6, maxBucketSize = 64),
+        graft.ext.VectorSearch.bucketEntryPoints(cs, "vec_id", "embedding", 6),
+        "vec_id", "embedding", "vec_id", "embedding", beam = 8)
+      it.count()
+      sb.append(s"\n## q223_graph_ann (one beam-search round)\n\n```\n")
       sb.append(it.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")

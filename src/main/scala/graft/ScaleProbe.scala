@@ -744,7 +744,8 @@ object ScaleProbe {
       // source-pair JSD: one (source, bucket) agg + a broadcast pair
       // spine — must track the scan
       "source_jsd" -> (m =>
-        TextStats.sourceDivergence(docsAt(m), "source", "text", 64).count())
+        TextStats.sourceDivergence(docsAt(m), "source", "text", 64).count()),
+      "graph_ann_walk" -> (m => m.toLong) // timed via `custom` below
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
@@ -809,9 +810,31 @@ object ScaleProbe {
       idx.unpersist(); t
     }
 
+    // graph_ann_walk: the neighbor graph and entry points are persisted
+    // index state (built outside the timer, the incr_knn_probe pattern);
+    // the timed walk is rounds × (beam-probed adjacency join + candidate
+    // re-score against the corpus) — per-query distance evals are
+    // O(rounds·beam·degree) regardless of corpus size, so growth must
+    // come only from the streamed index-side scans
+    def gannTimed(m: Int): Double = {
+      val corpus = embAt(m).filter(col("vec_id") >= 10)
+      val graph = VectorSearch.knnGraph(corpus, "vec_id", "embedding",
+        k = 3, bits = 6, maxBucketSize = 64).persist()
+      graph.count()
+      val entries = VectorSearch.bucketEntryPoints(
+        corpus, "vec_id", "embedding", bits = 6).persist()
+      entries.count()
+      val qs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      val t = time(VectorSearch.graphSearchCurve(qs, corpus, graph,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 16, rounds = 3, entryIds = entries).count())
+      graph.unpersist(); entries.unpersist(); t
+    }
+
     val custom: Map[String, Int => Double] =
       Map("lsh_candidates" -> lshTimed, "dedup_clusters_cc" -> ccTimed,
         "incr_para_probe" -> incrParaTimed, "incr_knn_probe" -> incrKnnTimed,
+        "graph_ann_walk" -> gannTimed,
         "pagerank_iter_mb_str" -> prIterMB(encode = false),
         "pagerank_iter_mb_enc" -> prIterMB(encode = true))
 

@@ -1508,4 +1508,176 @@ object VectorSearch {
       .withColumn("direction", lit("in"))
     out.unionByName(in)
   }
+
+  /** Graph-based ANN beam search over a prebuilt neighbor graph — the
+    * navigable-small-world family (Malkov & Yashunin 2018, HNSW layer-0
+    * analog; DiskANN/Vamana use the same greedy-expand loop): start every
+    * query at a fixed entry set, and for `rounds` synchronous rounds
+    * expand the current per-query top-`beam` candidates through the
+    * (symmetrized) adjacency, re-rank, and keep the beam. Emits the
+    * per-query top-`k` AFTER EVERY round as a `round_tier` column — the
+    * recall-vs-rounds calibration curve (the q110/q218 artifact shape):
+    * round 0 is entry-points-only, and recall climbs as the walk
+    * approaches the query's graph neighborhood.
+    *
+    * Entry points come from the caller (`entryIds`, a 1-column id frame;
+    * the Int overload takes the `entries` smallest corpus ids). A
+    * bucket-blocked neighbor graph ([[knnGraph]]) is DISCONNECTED across
+    * buckets, so navigable seeding means one representative per bucket —
+    * the IVF-flavored seeding production graph indexes use when the
+    * graph has no long-range links; with it the walk explores the best
+    * buckets' neighborhoods instead of being trapped in the entry's.
+    *
+    * Determinism: sims round to `roundDigits` with id tie-breaks, entry
+    * selection is caller-deterministic, and rounds are synchronous
+    * whole-frontier expansions — no data-dependent ordering, so an
+    * unrolled SQL replay reproduces every tier bit-for-bit.
+    *
+    * Scale shape: per round, ONE adjacency equi-join probed by the
+    * (queries × beam)-sized frontier and ONE corpus equi-join probed by
+    * the bounded candidate set (≤ entries + rounds·beam·degree per
+    * query) — the candidate side broadcasts, the corpus/graph sides
+    * stream. At 100 TB both sides are persisted state id-partitioned by
+    * [[knnGraphIndex]], so each round is a co-partitioned lookup, and
+    * distance evaluations per query are O(rounds·beam·degree), not O(N) —
+    * the whole point of graph ANN.
+    *
+    * Output: (round_tier ∈ [0, rounds], qid, id, sim, rnk ≤ k).
+    */
+  def graphSearchCurve(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+                       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+                       k: Int, beam: Int, rounds: Int, entries: Int,
+                       roundDigits: Int): DataFrame =
+    graphSearchCurve(queries, corpus, graph, qIdCol, qVecCol, idCol, vecCol,
+      k, beam, rounds,
+      corpus.select(col(idCol).as("id")).orderBy(col("id")).limit(entries),
+      roundDigits)
+
+  def graphSearchCurve(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+                       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+                       k: Int, beam: Int, rounds: Int, entries: Int): DataFrame =
+    graphSearchCurve(queries, corpus, graph, qIdCol, qVecCol, idCol, vecCol,
+      k, beam, rounds, entries, 4)
+
+  def graphSearchCurve(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+                       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+                       k: Int, beam: Int, rounds: Int, entryIds: DataFrame,
+                       roundDigits: Int = 4): DataFrame = {
+    require(k > 0 && beam >= k, "need beam >= k > 0")
+    require(rounds >= 0, "need rounds >= 0")
+    val spark = queries.sparkSession
+    val d = dotFn(spark)
+    // short-lineage anchor over a materialized cache (the Graphs
+    // convention): each round references the previous generation TWICE
+    // (frontier + candidate union), so an unmaterialized chain
+    // re-evaluates 2^rounds — and would rebuild the adjacency (a bucket
+    // self-join) with it
+    def anchor(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
+    val q = broadcast(queries.select(col(qIdCol).as("qid"),
+      asDouble(col(qVecCol)).as("__qv")))
+    val adjChain = graph.select(col("id"), col("nbr_id"))
+      .unionByName(graph.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+      .distinct()
+      .persist()
+    adjChain.count()
+    val adj = anchor(adjChain)
+    val entry = broadcast(entryIds.select(col(entryIds.columns.head).as("id")))
+    def score(cands: DataFrame): DataFrame = {
+      val den = sqrt(d(col("__qv"), col("__qv"))) * sqrt(d(col("__cv"), col("__cv")))
+      cands.join(c, "id").join(q, "qid")
+        .select(col("qid"), col("id"),
+          round(when(den =!= 0.0, d(col("__qv"), col("__cv")) / den),
+            roundDigits).as("sim"))
+    }
+    val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    def topN(scored: DataFrame, n: Int): DataFrame = scored
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .filter(col("rnk") <= n)
+    val persisted = Seq.newBuilder[DataFrame]
+    persisted += adjChain
+    def materialize(df: DataFrame): DataFrame = {
+      val m = df.persist(); m.count(); persisted += m; anchor(m)
+    }
+    var scored = materialize(score(q.select(col("qid")).crossJoin(entry)))
+    val tiers = Seq.newBuilder[DataFrame]
+    tiers += topN(scored, k).withColumn("round_tier", lit(0L))
+    for (r <- 1 to rounds) {
+      val frontier = topN(scored, beam).select(col("qid"), col("id"))
+      val expand = frontier.join(adj, "id")
+        .select(col("qid"), col("nbr_id").as("id"))
+      val cands = scored.select(col("qid"), col("id"))
+        .unionByName(expand).distinct()
+      scored = materialize(score(cands))
+      tiers += topN(scored, k).withColumn("round_tier", lit(r.toLong))
+    }
+    // final output checkpointed off the per-round caches (all tiers are
+    // windows over persisted beam-sized frames), then everything internal
+    // unpersisted — the runPageRank lifecycle
+    val out = tiers.result().reduce(_ unionByName _)
+      .select(col("round_tier"), col("qid"), col("id"), col("sim"), col("rnk"))
+      .localCheckpoint(true)
+    persisted.result().foreach(_.unpersist())
+    out
+  }
+
+  /** One UNEXECUTED beam-search round from the entry state — the frame
+    * whose physical plan IS the operator's scale story (the public
+    * [[graphSearchCurve]] output is a checkpoint scan with no plan left
+    * to read; the Graphs `iterationPlanFrame` pattern). Shape to pin:
+    * entry scoring, a per-query rank window, an id-keyed adjacency
+    * equi-join, the candidate union, and the re-score corpus equi-join —
+    * no product beyond the bounded query × entry seeding.
+    */
+  private[graft] def graphSearchRoundPlanFrame(
+      queries: DataFrame, corpus: DataFrame, graph: DataFrame, entries: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      beam: Int, roundDigits: Int = 4): DataFrame = {
+    val d = dotFn(queries.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
+    val q = broadcast(queries.select(col(qIdCol).as("qid"),
+      asDouble(col(qVecCol)).as("__qv")))
+    val adj = graph.select(col("id"), col("nbr_id"))
+      .unionByName(graph.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+      .distinct()
+    val entryIds = broadcast(entries.select(col(entries.columns.head).as("id")))
+    def score(cands: DataFrame): DataFrame = {
+      val den = sqrt(d(col("__qv"), col("__qv"))) * sqrt(d(col("__cv"), col("__cv")))
+      cands.join(c, "id").join(q, "qid")
+        .select(col("qid"), col("id"),
+          round(when(den =!= 0.0, d(col("__qv"), col("__cv")) / den),
+            roundDigits).as("sim"))
+    }
+    val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    val s0 = score(q.select(col("qid")).crossJoin(entryIds))
+    val frontier = s0
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .filter(col("rnk") <= beam).select(col("qid"), col("id"))
+    val expand = frontier.join(adj, "id")
+      .select(col("qid"), col("nbr_id").as("id"))
+    score(s0.select(col("qid"), col("id")).unionByName(expand).distinct())
+  }
+
+  /** [[graphSearchCurve]]'s final tier only: the per-query top-`k` after
+    * all `rounds` expansions — the serving-path call.
+    */
+  def graphSearchTopK(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+                      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+                      k: Int, beam: Int, rounds: Int, entries: Int,
+                      roundDigits: Int = 4): DataFrame =
+    graphSearchCurve(queries, corpus, graph, qIdCol, qVecCol, idCol, vecCol,
+      k, beam, rounds, entries, roundDigits)
+      .filter(col("round_tier") === rounds.toLong)
+      .drop("round_tier")
+
+  /** Per-bucket entry points for [[graphSearchCurve]] over a
+    * [[knnGraph]]-style bucket-blocked graph: the smallest id per
+    * [[signBucket]] value — one navigable seed per connected region.
+    */
+  def bucketEntryPoints(corpus: DataFrame, idCol: String, vecCol: String,
+                        bits: Int): DataFrame =
+    corpus.select(col(idCol).as("id"), signBucket(col(vecCol), bits).as("__b"))
+      .groupBy(col("__b")).agg(min(col("id")).as("id"))
+      .select(col("id"))
 }

@@ -6776,6 +6776,124 @@ object ExtensionQueries {
       FROM js GROUP BY 1, 2""")
   )
 
+  /** Unrolled DuckDB CTE chain replaying [[VectorSearch.graphSearchCurve]]:
+    * the q129 kNN-graph construction over the corpus half (k=3, bits=6,
+    * maxBucketSize=64), symmetrized adjacency, 4 smallest-id entry
+    * points, then per round: top-`beam` frontier → adjacency expand →
+    * candidate union → re-score. Synchronous rounds + rounded sims +
+    * id tie-breaks make the unroll bit-exact.
+    */
+  private def gannCtes(rounds: Int, beam: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < 10),
+      e AS (SELECT vec_id AS id, v, ${duckSignBucket("v", 6)} AS bkt,
+        ${duckSignBucket("v", 6, offset = 6)} AS sub FROM ev WHERE vec_id >= 10),
+      eb AS (SELECT e.*, count(*) OVER (PARTITION BY bkt) AS cnt FROM e),
+      g AS (SELECT id, nbr_id FROM (SELECT a.id, b.id AS nbr_id,
+          row_number() OVER (PARTITION BY a.id
+            ORDER BY round(${duckCos("a.v", "b.v")}, 4) DESC, b.id) AS rn
+        FROM eb a JOIN eb b ON a.bkt = b.bkt AND (a.cnt <= 64 OR a.sub = b.sub)
+          AND a.id <> b.id) WHERE rn <= 3),
+      adj AS (SELECT id, nbr_id FROM g UNION SELECT nbr_id, id FROM g),
+      ent AS (SELECT min(id) AS id FROM e GROUP BY bkt),
+      s0 AS (SELECT q.qid, e.id, round(${duckCos("q.v", "e.v")}, 4) AS sim
+        FROM q, ent JOIN e ON ent.id = e.id)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+      t${r - 1} AS (SELECT qid, id FROM (SELECT qid, id,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+        FROM s${r - 1}) WHERE rn <= $beam),
+      c$r AS (SELECT qid, id FROM s${r - 1}
+        UNION SELECT t.qid, a.nbr_id FROM t${r - 1} t JOIN adj a ON t.id = a.id),
+      s$r AS (SELECT cd.qid, cd.id, round(${duckCos("q.v", "e.v")}, 4) AS sim
+        FROM c$r cd JOIN q ON cd.qid = q.qid JOIN e ON cd.id = e.id)"""
+    }
+    sb.result()
+  }
+
+  private def gannTier(r: Int, k: Int): String =
+    s"""SELECT CAST($r AS BIGINT) AS round_tier, qid, id, sim,
+      CAST(rn AS BIGINT) AS rnk FROM (SELECT qid, id, sim,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+      FROM s$r) WHERE rn <= $k"""
+
+  private def gannInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+    val cs = emb.filter(col("vec_id") >= 10)
+    val graph = VectorSearch.knnGraph(cs, "vec_id", "embedding",
+      k = 3, bits = 6, maxBucketSize = 64)
+    // bucket-blocked graphs are disconnected across buckets — seed the
+    // walk with one representative per bucket (min id, replayable)
+    val entries = VectorSearch.bucketEntryPoints(cs, "vec_id", "embedding", bits = 6)
+    (qs, cs, graph, entries)
+  }
+
+  // Vectors 26: graph-based ANN beam search (Malkov & Yashunin 2018 —
+  // the NSW/HNSW expand-and-rerank loop) over the q129 kNN graph: every
+  // per-round top-5 tier hash-checked against the unrolled SQL replay,
+  // so the oracle pins the walk itself, not just the final answer.
+  private val q223 = Q(
+    "q223_graph_ann",
+    (s, dir) => {
+      val (qs, cs, graph, entries) = gannInputs(s, dir)
+      VectorSearch.graphSearchCurve(qs, cs, graph,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 8, rounds = 2, entryIds = entries)
+    },
+    Some(s"""WITH ${gannCtes(rounds = 2, beam = 8)}
+      ${(0 to 2).map(r => gannTier(r, 5)).mkString(" UNION ALL ")}""")
+  )
+
+  // Vectors 27: graph-ANN recall-vs-rounds curve — recall@5 of the beam
+  // walk after 0..3 expansion rounds against exact cosine truth (the
+  // q110/q218 calibration-artifact shape, third member: probe width,
+  // dimension prefix, and now walk depth). beam = 16 (the efSearch
+  // knob): measured 14% → 32% → 34% → 36% at sf0.01, monotone and
+  // still climbing at the last round — above IVF nprobe=1 (q110).
+  private val gannRounds = 3
+  private val q224 = Q(
+    "q224_graph_ann_recall",
+    (s, dir) => {
+      import s.implicits._
+      val (qs, cs, graph, entries) = gannInputs(s, dir)
+      val curve = VectorSearch.graphSearchCurve(qs, cs, graph,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 16, rounds = gannRounds, entryIds = entries)
+        .select(col("round_tier"), col("qid"), col("id"))
+      val exact = VectorSearch.bruteForceTopK(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"))
+      val hits = curve.join(exact, Seq("qid", "id"))
+        .groupBy(col("round_tier")).agg(count(lit(1)).as("n_hits"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      (0 to gannRounds).map(_.toLong).toDF("round_tier")
+        .join(hits, Seq("round_tier"), "left")
+        .crossJoin(broadcast(nExact))
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_bp", expr("(n_hits * 10000L) div n_exact"))
+        .select(col("round_tier"), col("n_hits"), col("n_exact"), col("recall_bp"))
+    },
+    Some(s"""WITH ${gannCtes(rounds = gannRounds, beam = 16)},
+      tiers AS (${(0 to gannRounds).map(r => gannTier(r, 5)).mkString(" UNION ALL ")}),
+      es AS (SELECT q.qid, e.id, round(${duckCos("q.v", "e.v")}, 4) AS sim
+        FROM q, e),
+      exact AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk FROM es)
+        WHERE rnk <= 5),
+      nex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+      hits AS (SELECT t.round_tier, CAST(count(*) AS BIGINT) AS n_hits
+        FROM tiers t JOIN exact USING (qid, id) GROUP BY 1),
+      spine AS (SELECT CAST(r AS BIGINT) AS round_tier
+        FROM (VALUES ${(0 to gannRounds).map(r => s"($r)").mkString(", ")}) v(r))
+      SELECT s.round_tier, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        nex.n_exact,
+        (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // nex.n_exact AS recall_bp
+      FROM spine s LEFT JOIN hits h USING (round_tier), nex""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -6785,5 +6903,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222)
+    q219, q220, q221, q222, q223, q224)
 }

@@ -624,4 +624,26 @@ class VectorSearchSpec extends SparkFunSuite {
       .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
     assert(full.toSeq == t4.toSeq)
   }
+
+  test("graphSearchCurve: the beam walk reaches the true neighbor hop by hop") {
+    // path graph 1 - 2 - 3; query (0,1): sims are 0 / 0.7071 / 1.0 —
+    // entry (smallest id) is the WORST node, each round advances one hop
+    val qs = Seq((0L, Array(0f, 1f))).toDF("vid", "v")
+    val cs = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.7f, 0.7f)),
+      (3L, Array(0f, 1f))
+    ).toDF("vid", "v")
+    val graph = Seq((1L, 2L), (2L, 3L)).toDF("id", "nbr_id")
+    val out = VectorSearch.graphSearchCurve(qs, cs, graph,
+        "vid", "v", "vid", "v", k = 1, beam = 2, rounds = 2, entries = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 2L, 2L -> 3L))
+    // graphSearchTopK returns the final tier only, and it must agree
+    // with exact truth once the walk has reached the neighborhood
+    val top = VectorSearch.graphSearchTopK(qs, cs, graph,
+        "vid", "v", "vid", "v", k = 1, beam = 2, rounds = 2, entries = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(top.toSeq == Seq((0L, 3L, 1L)))
+  }
 }

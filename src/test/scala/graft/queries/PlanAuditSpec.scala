@@ -1390,6 +1390,31 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
   }
 
+  test("q223/q224: a beam-search round is windows + id-keyed equi-joins; seeding is the only product") {
+    // the returned frames are checkpoint scans (the q87 pattern), so the
+    // walk's shape is pinned on the exposed one-round plan frame
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val cs = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 10)
+    val p = graft.ext.VectorSearch.graphSearchRoundPlanFrame(
+      qs, cs,
+      graft.ext.VectorSearch.knnGraph(cs, "vec_id", "embedding",
+        k = 3, bits = 6, maxBucketSize = 64),
+      graft.ext.VectorSearch.bucketEntryPoints(cs, "vec_id", "embedding", 6),
+      "vec_id", "embedding", "vec_id", "embedding", beam = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
+    // the only nested loops: bounded-query × entry seeding and the
+    // broadcast query attach inside each scoring pass (2 passes here)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 3,
+      s"only the bounded seeding/query attaches may cross:\n$p")
+    // frontier selection is a per-query rank window, adjacency expand and
+    // corpus re-score are id-keyed joins
+    assert(p.contains("Window"), s"beam window missing:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the beam filter must push into a group-limit:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
