@@ -267,7 +267,7 @@ object Explain {
     "q221_padding_waste",  // length-histogram agg; explodes/windows on
                            // |distinct lengths| rows only
     "q222_source_jsd"      // one (source, bucket) agg; broadcast spine
-    // q223/q224 graph-ANN: checkpoint scans — rendered as a special
+    // q223/q224/q225 graph-ANN: checkpoint scans — rendered as a special
     // frame below (one unexecuted beam-search round)
   )
 

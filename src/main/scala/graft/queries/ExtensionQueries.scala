@@ -6783,9 +6783,8 @@ object ExtensionQueries {
     * candidate union → re-score. Synchronous rounds + rounded sims +
     * id tie-breaks make the unroll bit-exact.
     */
-  private def gannCtes(rounds: Int, beam: Int): String = {
-    val sb = new StringBuilder
-    sb ++= s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private val gannBaseCtes: String =
+    s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < 10),
       e AS (SELECT vec_id AS id, v, ${duckSignBucket("v", 6)} AS bkt,
         ${duckSignBucket("v", 6, offset = 6)} AS sub FROM ev WHERE vec_id >= 10),
@@ -6799,24 +6798,35 @@ object ExtensionQueries {
       ent AS (SELECT min(id) AS id FROM e GROUP BY bkt),
       s0 AS (SELECT q.qid, e.id, round(${duckCos("q.v", "e.v")}, 4) AS sim
         FROM q, ent JOIN e ON ent.id = e.id)"""
-    for (r <- 1 to rounds) {
-      sb ++= s""",
-      t${r - 1} AS (SELECT qid, id FROM (SELECT qid, id,
+
+  /** Per-walk round CTEs; `sfx` namespaces a walk so several beam widths
+    * can share [[gannBaseCtes]] (graph, entries, round-0 scoring) in one
+    * statement.
+    */
+  private def gannWalkCtes(rounds: Int, beam: Int, sfx: String = ""): String = {
+    def sN(r: Int) = if (r == 0) "s0" else s"s$r$sfx"
+    (1 to rounds).map { r =>
+      s""",
+      t${r - 1}$sfx AS (SELECT qid, id FROM (SELECT qid, id,
           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
-        FROM s${r - 1}) WHERE rn <= $beam),
-      c$r AS (SELECT qid, id FROM s${r - 1}
-        UNION SELECT t.qid, a.nbr_id FROM t${r - 1} t JOIN adj a ON t.id = a.id),
-      s$r AS (SELECT cd.qid, cd.id, round(${duckCos("q.v", "e.v")}, 4) AS sim
-        FROM c$r cd JOIN q ON cd.qid = q.qid JOIN e ON cd.id = e.id)"""
-    }
-    sb.result()
+        FROM ${sN(r - 1)}) WHERE rn <= $beam),
+      c$r$sfx AS (SELECT qid, id FROM ${sN(r - 1)}
+        UNION SELECT t.qid, a.nbr_id FROM t${r - 1}$sfx t JOIN adj a ON t.id = a.id),
+      ${sN(r)} AS (SELECT cd.qid, cd.id, round(${duckCos("q.v", "e.v")}, 4) AS sim
+        FROM c$r$sfx cd JOIN q ON cd.qid = q.qid JOIN e ON cd.id = e.id)"""
+    }.mkString
   }
 
-  private def gannTier(r: Int, k: Int): String =
+  private def gannCtes(rounds: Int, beam: Int): String =
+    gannBaseCtes + gannWalkCtes(rounds, beam)
+
+  private def gannTier(r: Int, k: Int, sfx: String = ""): String = {
+    val src = if (r == 0) "s0" else s"s$r$sfx"
     s"""SELECT CAST($r AS BIGINT) AS round_tier, qid, id, sim,
       CAST(rn AS BIGINT) AS rnk FROM (SELECT qid, id, sim,
         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
-      FROM s$r) WHERE rn <= $k"""
+      FROM $src) WHERE rn <= $k"""
+  }
 
   private def gannInputs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -6894,6 +6904,67 @@ object ExtensionQueries {
       FROM spine s LEFT JOIN hits h USING (round_tier), nex""")
   )
 
+  // Vectors 28: graph-ANN beam-width sweep — recall@5 at beam ∈
+  // {5,8,16,32} (beam ≥ k by contract) after 3 rounds: the efSearch knob
+  // HNSW deployments tune (Malkov & Yashunin 2018 §4.2 — recall rises
+  // monotonically with ef at linear cost; measured here 14% → 22% →
+  // 36% → 56% at sf0.01). All four walks share one graph/entry/round-0
+  // CTE block in the oracle; Spark shares one persisted graph across
+  // the walks.
+  private val gannBeams = Seq(5, 8, 16, 32)
+  private def gannBeamTier(beam: Int, rounds: Int, k: Int): String =
+    s"""SELECT CAST($beam AS BIGINT) AS beam_tier, qid, id FROM (SELECT qid, id,
+      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+      FROM s$rounds${"_b" + beam}) WHERE rn <= $k"""
+  private val q225 = Q(
+    "q225_graph_ann_beam_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val (qs, cs, graph, entries) = gannInputs(s, dir)
+      // the graph and entry state are shared by all four walks; each walk
+      // checkpoints its output, so the shares can be dropped right after
+      val g = graph.persist(); g.count()
+      val ent = entries.persist(); ent.count()
+      val walks = gannBeams.map { b =>
+        VectorSearch.graphSearchCurve(qs, cs, g,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, beam = b, rounds = gannRounds, entryIds = ent)
+          .filter(col("round_tier") === gannRounds.toLong)
+          .select(lit(b.toLong).as("beam_tier"), col("qid"), col("id"))
+      }.reduce(_ unionByName _)
+      g.unpersist(); ent.unpersist()
+      val exact = VectorSearch.bruteForceTopK(
+        qs, cs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"))
+      val hits = walks.join(exact, Seq("qid", "id"))
+        .groupBy(col("beam_tier")).agg(count(lit(1)).as("n_hits"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      gannBeams.map(_.toLong).toDF("beam_tier")
+        .join(hits, Seq("beam_tier"), "left")
+        .crossJoin(broadcast(nExact))
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_bp", expr("(n_hits * 10000L) div n_exact"))
+        .select(col("beam_tier"), col("n_hits"), col("n_exact"), col("recall_bp"))
+    },
+    Some(s"""WITH $gannBaseCtes
+      ${gannBeams.map(b => gannWalkCtes(gannRounds, b, s"_b$b")).mkString},
+      bt AS (${gannBeams.map(b => gannBeamTier(b, gannRounds, 5)).mkString(" UNION ALL ")}),
+      es AS (SELECT q.qid, e.id, round(${duckCos("q.v", "e.v")}, 4) AS sim
+        FROM q, e),
+      exact AS (SELECT qid, id FROM (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk FROM es)
+        WHERE rnk <= 5),
+      nex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+      hits AS (SELECT bt.beam_tier, CAST(count(*) AS BIGINT) AS n_hits
+        FROM bt JOIN exact USING (qid, id) GROUP BY 1),
+      spine AS (SELECT CAST(b AS BIGINT) AS beam_tier
+        FROM (VALUES ${gannBeams.map(b => s"($b)").mkString(", ")}) v(b))
+      SELECT s.beam_tier, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        nex.n_exact,
+        (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // nex.n_exact AS recall_bp
+      FROM spine s LEFT JOIN hits h USING (beam_tier), nex""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -6903,5 +6974,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224)
+    q219, q220, q221, q222, q223, q224, q225)
 }
