@@ -1562,7 +1562,8 @@ object VectorSearch {
   def graphSearchCurve(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
                        qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
                        k: Int, beam: Int, rounds: Int, entryIds: DataFrame,
-                       roundDigits: Int = 4): DataFrame = {
+                       roundDigits: Int = 4,
+                       graphIsAdjacency: Boolean = false): DataFrame = {
     require(k > 0 && beam >= k, "need beam >= k > 0")
     require(rounds >= 0, "need rounds >= 0")
     val spark = queries.sparkSession
@@ -1570,19 +1571,29 @@ object VectorSearch {
     // short-lineage anchor over a materialized cache (the Graphs
     // convention): each round references the previous generation TWICE
     // (frontier + candidate union), so an unmaterialized chain
-    // re-evaluates 2^rounds — and would rebuild the adjacency (a bucket
-    // self-join) with it
+    // re-evaluates 2^depth — materialization runs on the matEvery=2
+    // cadence runPageRank uses for double-referenced generations (4
+    // evals of cached narrow ops beat a barrier per round)
     def anchor(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
     val q = broadcast(queries.select(col(qIdCol).as("qid"),
       asDouble(col(qVecCol)).as("__qv")))
-    val adjChain = graph.select(col("id"), col("nbr_id"))
-      .unionByName(graph.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
-      .distinct()
-      .persist()
-    adjChain.count()
-    val adj = anchor(adjChain)
+    val persisted = Seq.newBuilder[DataFrame]
+    // callers sweeping a parameter (the q225 beam sweep) pass the
+    // symmetrized adjacency once via graphIsAdjacency — ONE distinct
+    // shuffle shared by every walk instead of one per walk
+    val adj =
+      if (graphIsAdjacency) graph
+      else {
+        val adjChain = graph.select(col("id"), col("nbr_id"))
+          .unionByName(graph.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+          .distinct()
+          .persist()
+        adjChain.count()
+        persisted += adjChain
+        anchor(adjChain)
+      }
     val entry = broadcast(entryIds.select(col(entryIds.columns.head).as("id")))
     def score(cands: DataFrame): DataFrame = {
       val den = sqrt(d(col("__qv"), col("__qv"))) * sqrt(d(col("__cv"), col("__cv")))
@@ -1595,12 +1606,11 @@ object VectorSearch {
     def topN(scored: DataFrame, n: Int): DataFrame = scored
       .withColumn("rnk", row_number().over(wq).cast("long"))
       .filter(col("rnk") <= n)
-    val persisted = Seq.newBuilder[DataFrame]
-    persisted += adjChain
     def materialize(df: DataFrame): DataFrame = {
       val m = df.persist(); m.count(); persisted += m; anchor(m)
     }
     var scored = materialize(score(q.select(col("qid")).crossJoin(entry)))
+    var depth = 0
     val tiers = Seq.newBuilder[DataFrame]
     tiers += topN(scored, k).withColumn("round_tier", lit(0L))
     for (r <- 1 to rounds) {
@@ -1609,14 +1619,86 @@ object VectorSearch {
         .select(col("qid"), col("nbr_id").as("id"))
       val cands = scored.select(col("qid"), col("id"))
         .unionByName(expand).distinct()
-      scored = materialize(score(cands))
+      scored = score(cands)
+      depth += 1
+      if (depth >= 2 && r < rounds) {
+        scored = materialize(scored)
+        depth = 0
+      }
       tiers += topN(scored, k).withColumn("round_tier", lit(r.toLong))
     }
-    // final output checkpointed off the per-round caches (all tiers are
-    // windows over persisted beam-sized frames), then everything internal
-    // unpersisted — the runPageRank lifecycle
+    // final output checkpointed off the per-round caches (tiers are
+    // windows over beam-sized frames at most depth 2 from a cache), then
+    // everything internal unpersisted — the runPageRank lifecycle
     val out = tiers.result().reduce(_ unionByName _)
       .select(col("round_tier"), col("qid"), col("id"), col("sim"), col("rnk"))
+      .localCheckpoint(true)
+    persisted.result().foreach(_.unpersist())
+    out
+  }
+
+  /** [[graphSearchCurve]] for a WHOLE beam sweep in one walk: `beam_tier`
+    * rides as a column (the [[prefixDimTopK]] tier trick), so the sweep
+    * pays one set of per-round jobs instead of |beams| walks — each
+    * round's frontier filter is `rnk <= beam_tier` under a
+    * (beam_tier, qid)-keyed rank window, and every tier's candidate set
+    * evolves exactly as its standalone walk would (verified against
+    * per-beam [[graphSearchCurve]] runs by the q225 oracle). Returns the
+    * FINAL round's top-`k` per (beam_tier, qid).
+    *
+    * `adj` must be the symmetrized adjacency (the [[graphSearchCurve]]
+    * `graphIsAdjacency` contract), persisted by the caller.
+    */
+  def graphSearchBeamSweep(queries: DataFrame, corpus: DataFrame, adj: DataFrame,
+                           qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+                           k: Int, beams: Seq[Int], rounds: Int, entryIds: DataFrame,
+                           roundDigits: Int = 4): DataFrame = {
+    require(beams.nonEmpty && beams.forall(_ >= k) && k > 0, "need every beam >= k > 0")
+    require(rounds >= 0, "need rounds >= 0")
+    val spark = queries.sparkSession
+    val d = dotFn(spark)
+    def anchor(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__cv"))
+    val q = broadcast(queries.select(col(qIdCol).as("qid"),
+      asDouble(col(qVecCol)).as("__qv")))
+    val entry = broadcast(entryIds.select(col(entryIds.columns.head).as("id")))
+    val tierArr = array(beams.distinct.sorted.map(b => lit(b.toLong)): _*)
+    def score(cands: DataFrame): DataFrame = {
+      val den = sqrt(d(col("__qv"), col("__qv"))) * sqrt(d(col("__cv"), col("__cv")))
+      cands.join(c, "id").join(q, "qid")
+        .select(col("beam_tier"), col("qid"), col("id"),
+          round(when(den =!= 0.0, d(col("__qv"), col("__cv")) / den),
+            roundDigits).as("sim"))
+    }
+    val wq = Window.partitionBy(col("beam_tier"), col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    def ranked(scored: DataFrame): DataFrame = scored
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+    val persisted = Seq.newBuilder[DataFrame]
+    def materialize(df: DataFrame): DataFrame = {
+      val m = df.persist(); m.count(); persisted += m; anchor(m)
+    }
+    var scored = materialize(score(q.select(col("qid")).crossJoin(entry)
+      .select(explode(tierArr).as("beam_tier"), col("qid"), col("id"))))
+    var depth = 0
+    for (r <- 1 to rounds) {
+      val frontier = ranked(scored)
+        .filter(col("rnk") <= col("beam_tier"))
+        .select(col("beam_tier"), col("qid"), col("id"))
+      val expand = frontier.join(adj, "id")
+        .select(col("beam_tier"), col("qid"), col("nbr_id").as("id"))
+      val cands = scored.select(col("beam_tier"), col("qid"), col("id"))
+        .unionByName(expand).distinct()
+      scored = score(cands)
+      depth += 1
+      if (depth >= 2 && r < rounds) {
+        scored = materialize(scored)
+        depth = 0
+      }
+    }
+    val out = ranked(scored).filter(col("rnk") <= k)
+      .select(col("beam_tier"), col("qid"), col("id"), col("sim"), col("rnk"))
       .localCheckpoint(true)
     persisted.result().foreach(_.unpersist())
     out

@@ -35,6 +35,7 @@ private[graft] object QueryCaches {
   private val curationCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val curationV2Cache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val fullCentCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
+  private val gannCache   = new ConcurrentHashMap[SparkSession, (String, (DataFrame, DataFrame))]()
   private val bpeCache    = new ConcurrentHashMap[SparkSession, (String, Seq[(Long, String, String, Long)])]()
   private val lrCache     = new ConcurrentHashMap[SparkSession, (String, Seq[Long])]()
   private val layoutCache = new ConcurrentHashMap[SparkSession, (String, Path)]()
@@ -200,6 +201,37 @@ private[graft] object QueryCaches {
       }
     }
 
+  /** The q223-q225 graph-ANN index state for (s, dir): the SYMMETRIZED
+    * adjacency of the corpus-half kNN graph (k=3, bits=6,
+    * maxBucketSize=64) and the per-bucket entry points, both persisted
+    * and materialized — production keeps exactly this pair as persisted
+    * index state, and the three gann queries plus bench reps should
+    * probe one build, not rebuild the bucket self-join (or re-shuffle
+    * the symmetrize-distinct) per walk.
+    */
+  def gannIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    gannCache.synchronized {
+      gannCache.get(s) match {
+        case (d, pair) if d == dir => pair
+        case prev =>
+          if (prev != null) { prev._2._1.unpersist(); prev._2._2.unpersist() }
+          import org.apache.spark.sql.functions.col
+          val cs = graft.Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+          val g = graft.ext.VectorSearch.knnGraph(cs, "vec_id", "embedding",
+            k = 3, bits = 6, maxBucketSize = 64)
+          val adj = g.select(col("id"), col("nbr_id"))
+            .unionByName(g.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+            .distinct()
+            .persist()
+          adj.count()
+          val entries = graft.ext.VectorSearch.bucketEntryPoints(
+            cs, "vec_id", "embedding", bits = 6).persist()
+          entries.count()
+          gannCache.put(s, (dir, (adj, entries)))
+          (adj, entries)
+      }
+    }
+
   /** Trained IVF coarse-quantizer centroids (label, dim, c_bp) over the
     * corpus embeddings (vec_id >= 10) for (s, dir) — kmeansFit already
     * localizes its bounded result, so the cache only avoids re-TRAINING
@@ -315,6 +347,7 @@ private[graft] object QueryCaches {
       "curation" -> curationCache.containsKey(s),
       "curationV2" -> curationV2Cache.containsKey(s),
       "fullCent" -> fullCentCache.containsKey(s),
+      "gann" -> gannCache.containsKey(s),
       "bpe" -> bpeCache.containsKey(s), "lr" -> lrCache.containsKey(s),
       "layout" -> layoutCache.containsKey(s),
       "snapshot" -> snapCache.containsKey(s)
@@ -356,6 +389,11 @@ private[graft] object QueryCaches {
     }
     fullCentCache.synchronized {
       fullCentCache.remove(s) // localized frame — nothing persisted to release
+    }
+    gannCache.synchronized {
+      Option(gannCache.remove(s)).foreach { e =>
+        e._2._1.unpersist(); e._2._2.unpersist()
+      }
     }
     bpeCache.synchronized {
       bpeCache.remove(s) // driver-local rows — nothing persisted to release

