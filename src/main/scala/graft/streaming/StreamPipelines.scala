@@ -992,6 +992,50 @@ object StreamPipelines {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
+  /** Streaming ANN serving — the deployment shape of the graph-ANN tier
+    * (q223-q225): query vectors arrive on a stream, and each micro-batch
+    * runs [[graft.ext.VectorSearch.graphSearchCurve]]'s beam walk against
+    * PERSISTED index state (the symmetrized adjacency + per-bucket entry
+    * points the batch queries memoize) via foreachBatch — the walk is an
+    * iterative job with its own materialization barriers, so it cannot be
+    * a continuous stream transform; per-batch invocation is exactly how a
+    * serving layer drives an index (q108's batch-vs-index asymmetry, one
+    * tier up).
+    *
+    * Replay idempotence: each batch writes `outPath/batch-<id>` with
+    * overwrite, so a redelivered batch replaces its own output instead of
+    * appending duplicates — the q81/q108 redelivery rule in sink form.
+    *
+    * Per-batch cost tracks batch size × rounds·beam·degree (the
+    * graph_ann_walk probe's flat curve), never index size.
+    */
+  def annServeSink(
+      queryStream: DataFrame,
+      corpus: DataFrame,
+      adjacency: DataFrame,
+      entryIds: DataFrame,
+      outPath: String,
+      checkpointDir: String,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      k: Int, beam: Int, rounds: Int,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.VectorSearch.graphSearchCurve(
+              batch, corpus, adjacency, qIdCol, qVecCol, idCol, vecCol,
+              k, beam, rounds, entryIds, roundDigits = 4,
+              graphIsAdjacency = true)
+            .filter(col("round_tier") === rounds.toLong)
+            .drop("round_tier")
+            .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+        }
+      }
+
   /** S8 — block until any of THESE queries terminates (unlike
     * `spark.streams.awaitAnyTermination()`, which watches every query on
     * the session, including unrelated ones).

@@ -13,6 +13,7 @@ final case class Purchase(p_user: String, p_ts: Timestamp, amount: Double)
 final case class Ord(user_id: String, ts: Timestamp, event_id: Long, event_type: String, amount: Option[Double])
 final case class Cdc(op: String, ts_ms: Long, user_id: String, segment: String)
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+final case class Vec(vec_id: Long, embedding: Seq[Double])
 final case class Val(ts: Timestamp, key: String, value: Double)
 
 class StreamPipelinesSpec extends SparkFunSuite {
@@ -574,6 +575,40 @@ class StreamPipelinesSpec extends SparkFunSuite {
       val all = spark.table("pdd").collect().map(_.getString(3)).toSeq.sorted
       assert(all == Seq("a b", "c d", "e f", "x y"))    // "a b" suppressed, "e f" new
     } finally q.stop()
+  }
+
+  test("annServeSink answers each query batch from the persisted graph index; replay overwrites") {
+    implicit val sql = spark.sqlContext
+    val cs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.7, 0.7)), (3L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val graph = Seq((1L, 2L), (2L, 3L)).toDF("id", "nbr_id")
+    val adj = graph.select(col("id"), col("nbr_id"))
+      .unionByName(graph.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+      .distinct().persist()
+    adj.count()
+    val entries = cs.select(col("vec_id").as("id")).orderBy(col("id")).limit(1)
+    val out = tmpDir("annserve")
+    val input = MemoryStream[Vec]
+    val q = StreamPipelines.annServeSink(input.toDF(), cs, adj, entries,
+        out + "/res", out + "/ckpt",
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 1, beam = 2, rounds = 2,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      input.addData(Vec(100L, Seq(0.0, 1.0)))   // true neighbor is node 3
+      q.processAllAvailable()
+      val got = spark.read.parquet(out + "/res/batch-0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(got.toSeq == Seq((100L, 3L, 1L)))
+      // second batch: a different query lands in its own batch directory
+      input.addData(Vec(101L, Seq(1.0, 0.0)))   // true neighbor is node 1
+      q.processAllAvailable()
+      val got2 = spark.read.parquet(out + "/res/batch-1")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got2.toSeq == Seq((101L, 1L)))
+    } finally { q.stop(); adj.unpersist() }
   }
 
   test("semanticDedupSink admits per cluster vs batch AND persisted index; replay converges") {
