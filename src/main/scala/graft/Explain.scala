@@ -266,9 +266,12 @@ object Explain {
     "q220_token_entropy",  // two chained hash-aggs, no join/window
     "q221_padding_waste",  // length-histogram agg; explodes/windows on
                            // |distinct lengths| rows only
-    "q222_source_jsd"      // one (source, bucket) agg; broadcast spine
+    "q222_source_jsd",     // one (source, bucket) agg; broadcast spine
     // q223/q224/q225 graph-ANN: checkpoint scans — rendered as a special
     // frame below (one unexecuted beam-search round)
+    "q226_filter_agreement" // two rater projections, one doc_id join,
+                            // label-marginal aggs + 1-row attaches
+    // q227 BT: checkpoint scan — special frame below (one MM round)
   )
 
   def main(args: Array[String]): Unit = {
@@ -344,6 +347,21 @@ object Explain {
         "vec_id", "embedding", "vec_id", "embedding", beam = 8)
       it.count()
       sb.append(s"\n## q223_graph_ann (one beam-search round)\n\n```\n")
+      sb.append(it.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q227's returned frame is a checkpoint scan; the load-bearing plan
+    // is ONE Bradley–Terry MM round over the preference pairs
+    locally {
+      val pairs = graft.ext.TextDedup.lshCandidates(
+        graft.queries.QueryCaches.sigFor(spark, sfDir), "doc_id",
+        k = 8, rowsPerBand = 2)
+        .select(org.apache.spark.sql.functions.col("id_a").as("w"),
+          org.apache.spark.sql.functions.col("id_b").as("l"))
+      val it = graft.ext.Preference.btRoundPlanFrame(pairs, "w", "l")
+      it.count()
+      sb.append(s"\n## q227_bt_preferences (one MM round)\n\n```\n")
       sb.append(it.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{AsOfJoin, LatestWins}
 import graft.table.TableLayout
-import graft.ext.{Classifier, Components, Decontaminate, Graphs, Linkage, Multimodal, OptimizerStats, Packing, ParagraphDedup, Privacy, Retrieval, RobustStats, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Classifier, Components, Decontaminate, Graphs, Linkage, Multimodal, OptimizerStats, Packing, ParagraphDedup, Preference, Privacy, Retrieval, RobustStats, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -6962,6 +6962,130 @@ object ExtensionQueries {
       FROM spine s LEFT JOIN hits h USING (beam_tier), nex""")
   )
 
+  // Eval 10: inter-FILTER agreement (Cohen 1960's kappa, applied the way
+  // curation pipelines actually use it): does the entropy-threshold bin
+  // agree with the rule-based quality bin beyond chance? kappa ~1000 =
+  // the second filter is redundant; ~0 = independent signal.
+  private val q226 = Q(
+    "q226_filter_agreement",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val ratersA = TextStats.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_bin").as("label_a"))
+      val ratersB = TextStats.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          when(col("n_tokens") < 10, "short")
+            .when(col("entropy_ratio_bp") < 9000, "low_diversity")
+            .otherwise("good").as("label_b"))
+      Preference.agreementStats(
+        ratersA.join(ratersB, "doc_id"), "label_a", "label_b")
+    },
+    Some(s"""WITH $toksCte,
+      qa AS (SELECT doc_id, CASE WHEN len(w) < 10 THEN 'short'
+          WHEN (CASE WHEN len(w) > 0
+            THEN (CAST(len(list_distinct(w)) AS BIGINT) * 10000) // len(w)
+            ELSE 0 END) < 3000 THEN 'low_diversity'
+          ELSE 'good' END AS la FROM toks),
+      tc AS (SELECT doc_id, u.x AS tk FROM toks, UNNEST(w) AS u(x)),
+      cnt AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c FROM tc GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(c * CAST(round(ln(c) * 1000) AS BIGINT)) AS BIGINT) AS clc
+        FROM cnt GROUP BY 1),
+      ent AS (SELECT doc_id, n_tokens, n_distinct,
+          greatest(0, CAST(round(ln(n_tokens) * 1000) AS BIGINT) - clc // n_tokens)
+            AS em FROM agg),
+      tb AS (SELECT doc_id, CASE WHEN n_tokens < 10 THEN 'short'
+          WHEN (CASE WHEN n_distinct > 1 THEN least(10000,
+              (em * 10000) // CAST(round(ln(n_distinct) * 1000) AS BIGINT))
+            ELSE 0 END) < 9000 THEN 'low_diversity'
+          ELSE 'good' END AS lb FROM ent),
+      base AS (SELECT la AS a, lb AS b FROM qa JOIN tb USING (doc_id)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END), 0) AS BIGINT) AS agree
+        FROM base),
+      ma AS (SELECT a AS l, CAST(count(*) AS BIGINT) AS na FROM base GROUP BY 1),
+      mb AS (SELECT b AS l, CAST(count(*) AS BIGINT) AS nb FROM base GROUP BY 1),
+      pe AS (SELECT CAST(coalesce(sum(((na * 1000000) // n_items) * nb // n_items), 0)
+          AS BIGINT) AS p_e_ppm FROM ma JOIN mb USING (l), tot),
+      po AS (SELECT n_items, (agree * 1000000) // n_items AS p_o_ppm FROM tot)
+      SELECT po.n_items, CAST(po.p_o_ppm AS BIGINT) AS p_o_ppm, pe.p_e_ppm,
+        CAST(CASE WHEN pe.p_e_ppm >= 1000000 THEN 1000
+          WHEN po.p_o_ppm >= pe.p_e_ppm
+            THEN ((po.p_o_ppm - pe.p_e_ppm) * 1000) // (1000000 - pe.p_e_ppm)
+          ELSE -(((pe.p_e_ppm - po.p_o_ppm) * 1000) // (1000000 - pe.p_e_ppm))
+        END AS BIGINT) AS kappa_milli
+      FROM po, pe""")
+  )
+
+  // Eval 11: Bradley–Terry preference strengths (Bradley & Terry 1952;
+  // Hunter 2004's MM updates) — the leaderboard model, fit over a
+  // deterministic preference set: LSH candidate pairs with the longer
+  // document preferred (length as the stand-in judge; ties to the
+  // smaller id). Three exact-integer MM rounds, every round replayed by
+  // the oracle, so the hash pins the fitting arithmetic itself.
+  private def btRoundCtes(r: Int): String = s""",
+      p$r AS (SELECT g.i, g.j, (g.n * 1000000000000) // (wa.s + wb.s) AS c
+        FROM games g JOIN w${r - 1} wa ON g.i = wa.id JOIN w${r - 1} wb ON g.j = wb.id),
+      d$r AS (SELECT id, CAST(sum(c) AS BIGINT) AS d FROM (
+        SELECT i AS id, c FROM p$r UNION ALL SELECT j, c FROM p$r) GROUP BY 1),
+      w$r AS (SELECT s.id,
+          CAST(greatest(1, (s.n_wins * 1000000000000) // d.d) AS BIGINT) AS s
+        FROM stats s JOIN d$r d ON s.id = d.id)"""
+  private val q227 = Q(
+    "q227_bt_preferences",
+    (s, dir) => {
+      val pairs = TextDedup.lshCandidates(sigCacheFor(s, dir), "doc_id",
+          k = 8, rowsPerBand = 2)
+        .select(col("id_a"), col("id_b"))
+      val lens = docsSpread(s, dir).select(col("doc_id"),
+        size(TextDedup.tokens(col("text"))).cast("long").as("__n"))
+      val aWins = col("__na") > col("__nb") ||
+        (col("__na") === col("__nb") && col("id_a") < col("id_b"))
+      val cmp = pairs
+        .join(lens.select(col("doc_id").as("id_a"), col("__n").as("__na")), "id_a")
+        .join(lens.select(col("doc_id").as("id_b"), col("__n").as("__nb")), "id_b")
+        .select(when(aWins, col("id_a")).otherwise(col("id_b")).as("winner"),
+          when(aWins, col("id_b")).otherwise(col("id_a")).as("loser"))
+      Preference.btStrengths(cmp, "winner", "loser", iters = 3)
+    },
+    Some {
+      s"""WITH $toksCte,
+      $shinglesFromToks,
+      sigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs),
+      pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM toks),
+      cmp AS (SELECT
+          CASE WHEN la.n > lb.n OR (la.n = lb.n AND p.id_a < p.id_b)
+            THEN p.id_a ELSE p.id_b END AS w,
+          CASE WHEN la.n > lb.n OR (la.n = lb.n AND p.id_a < p.id_b)
+            THEN p.id_b ELSE p.id_a END AS l
+        FROM pairs p JOIN lens la ON p.id_a = la.doc_id
+          JOIN lens lb ON p.id_b = lb.doc_id),
+      games AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wi
+        FROM cmp GROUP BY 1, 2),
+      stats AS (SELECT id, CAST(sum(wn) AS BIGINT) AS n_wins,
+          CAST(sum(n) AS BIGINT) AS n_games FROM (
+        SELECT i AS id, wi AS wn, n FROM games
+        UNION ALL SELECT j, n - wi, n FROM games) GROUP BY 1),
+      w0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM stats)
+      ${(1 to 3).map(btRoundCtes).mkString}
+      SELECT s.id, s.n_wins, s.n_games, w3.s AS bt_micro
+      FROM stats s JOIN w3 ON s.id = w3.id"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -6971,5 +7095,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227)
 }

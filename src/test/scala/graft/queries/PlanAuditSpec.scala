@@ -1415,6 +1415,33 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the beam filter must push into a group-limit:\n$p")
   }
 
+  test("q226: kappa is aggregates + 1-row attaches — no window, no wide join") {
+    val p = plan("q226_filter_agreement")
+    assert(p.split("HashAggregate").length >= 5,
+      s"corpus totals and label marginals must map-side combine:\n$p")
+    assert(!p.contains("Window"), s"kappa needs no window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
+    // the only per-doc join is the two-rater equi-join on doc_id; the
+    // 1-row totals frames broadcast
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 3,
+      s"only 1-row stat frames may cross:\n$p")
+  }
+
+  test("q227: a BT MM round is two id-keyed equi-joins + one item hash-agg") {
+    // btStrengths returns a checkpoint scan; pin the exposed round frame
+    val pairs = graft.ext.TextDedup.lshCandidates(
+      graft.queries.QueryCaches.sigFor(spark, sf), "doc_id", k = 8, rowsPerBand = 2)
+      .select(org.apache.spark.sql.functions.col("id_a").as("w"),
+        org.apache.spark.sql.functions.col("id_b").as("l"))
+    val p = graft.ext.Preference.btRoundPlanFrame(pairs, "w", "l")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"BT rounds are id-keyed equi-joins only:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in an MM round:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"pair collapse and denominators must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
