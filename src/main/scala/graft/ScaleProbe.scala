@@ -745,7 +745,27 @@ object ScaleProbe {
       // spine — must track the scan
       "source_jsd" -> (m =>
         TextStats.sourceDivergence(docsAt(m), "source", "text", 64).count()),
-      "graph_ann_walk" -> (m => m.toLong) // timed via `custom` below
+      "graph_ann_walk" -> (m => m.toLong), // timed via `custom` below
+      // Bradley–Terry MM fitting as the preference list grows: pairs come
+      // from the grown corpus's LSH candidates (winner = longer doc), so
+      // both the game list and the item set grow ~linearly — each round
+      // is two id-keyed equi-joins + one hash-agg, and the curve must
+      // track the pair scan, never a pair blowup
+      "bt_fit" -> { m =>
+        val lens = docsAt(m).select(col("doc_id"),
+          size(graft.ext.TextDedup.tokens(col("text"))).cast("long").as("__n"))
+        val sigs = TextDedup.minhashSignatures(docsAt(m), "doc_id", "text", 8, 2)
+        val pairs = TextDedup.lshCandidates(sigs, "doc_id", 8, 2)
+          .select(col("id_a"), col("id_b"))
+        val aWins = col("__na") > col("__nb") ||
+          (col("__na") === col("__nb") && col("id_a") < col("id_b"))
+        val cmp = pairs
+          .join(lens.select(col("doc_id").as("id_a"), col("__n").as("__na")), "id_a")
+          .join(lens.select(col("doc_id").as("id_b"), col("__n").as("__nb")), "id_b")
+          .select(when(aWins, col("id_a")).otherwise(col("id_b")).as("w"),
+            when(aWins, col("id_b")).otherwise(col("id_a")).as("l"))
+        graft.ext.Preference.btStrengths(cmp, "w", "l", iters = 3).count()
+      }
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
