@@ -269,9 +269,11 @@ object Explain {
     "q222_source_jsd",     // one (source, bucket) agg; broadcast spine
     // q223/q224/q225 graph-ANN: checkpoint scans — rendered as a special
     // frame below (one unexecuted beam-search round)
-    "q226_filter_agreement" // two rater projections, one doc_id join,
+    "q226_filter_agreement", // two rater projections, one doc_id join,
                             // label-marginal aggs + 1-row attaches
     // q227 BT: checkpoint scan — special frame below (one MM round)
+    "q228_paired_bootstrap" // replicate explode projection, map-side
+                            // combined per-replicate sums, B-row window
   )
 
   def main(args: Array[String]): Unit = {

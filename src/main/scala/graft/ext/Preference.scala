@@ -56,6 +56,64 @@ object Preference {
             ELSE -(((p_e_ppm - p_o_ppm) * 1000) div (1000000 - p_e_ppm)) END""")))
   }
 
+  /** Paired Poisson-bootstrap comparison of two per-item scores — the
+    * standard "is system A actually better than system B" significance
+    * artifact (paired bootstrap over per-item deltas; Koehn 2004 for the
+    * MT-eval form, Chamandy et al. 2012 for the Poisson-bootstrap
+    * mechanics that run at corpus scale): every item draws a
+    * deterministic Poisson(1) multiplicity per replicate from its key
+    * hash ([[Sampling.poissonWeight]] — no resample is materialized),
+    * each replicate's mean DELTA (a − b) is an exact-integer permille,
+    * and the report is the point delta, the rank CI, and the share of
+    * replicates where A wins.
+    *
+    * Deltas can be negative, so every division is explicit
+    * truncate-toward-zero (Spark `div` truncates, DuckDB `//` floors —
+    * the sign is handled on both sides).
+    *
+    * Scale shape: the replicate explode is a pure projection and the
+    * per-replicate sums collapse map-side (B partial rows per partition
+    * shuffle); the rank window runs on B rows. Identical to
+    * [[Sampling.poissonBootstrapCI]]'s shape, with the pairing fused
+    * into the delta before any aggregation.
+    *
+    * Output: one row (n_reps, delta_permille, lo_permille, hi_permille,
+    * a_wins_bp).
+    */
+  def pairedBootstrap(df: DataFrame, keyCol: String,
+                      scoreACol: String, scoreBCol: String,
+                      reps: Int, alphaBp: Int = 250): DataFrame = {
+    require(reps > 1, "reps must be > 1")
+    require(alphaBp > 0 && alphaBp < 5000, "alphaBp in (0, 5000)")
+    val loRank = (alphaBp * reps + 9999) / 10000
+    val hiRank = ((10000 - alphaBp) * reps + 9999) / 10000
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_permille"), col("__b"))
+    val base = df.select(col(keyCol).cast("string").as("__k"),
+      (col(scoreACol).cast("long") - col(scoreBCol).cast("long")).as("__d"))
+    val rep = base
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", Sampling.poissonWeight(Sampling.hashBucket16(
+        concat(col("__b").cast("string"), lit("|"), col("__k")))))
+    val means = rep.groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__d")).as("__wd"), sum(col("__w")).as("__ws"))
+      .withColumn("mean_permille", expr("""CASE WHEN __ws = 0 THEN 0
+        WHEN __wd >= 0 THEN (__wd * 1000) div __ws
+        ELSE -((-__wd * 1000) div __ws) END"""))
+    val ci = means
+      .withColumn("__rnk", row_number().over(W))
+      .agg(min(when(col("__rnk") === loRank, col("mean_permille"))).as("lo_permille"),
+        min(when(col("__rnk") === hiRank, col("mean_permille"))).as("hi_permille"),
+        expr("sum(CASE WHEN mean_permille > 0 THEN 1 ELSE 0 END) * 10000 div count(1)")
+          .as("a_wins_bp"))
+    val point = base.agg(sum(col("__d")).as("__sd"), count(lit(1)).as("__n"))
+      .select(expr("""CASE WHEN __sd >= 0 THEN (__sd * 1000) div __n
+        ELSE -((-__sd * 1000) div __n) END""").as("delta_permille"))
+    point.crossJoin(broadcast(ci)).select(
+      lit(reps.toLong).as("n_reps"), col("delta_permille"),
+      col("lo_permille"), col("hi_permille"), col("a_wins_bp"))
+  }
+
   /** Bradley–Terry strength fitting (Bradley & Terry 1952) by `iters`
     * rounds of the minorization–maximization update (Hunter 2004): from
     * pairwise comparisons `(winner, loser)`, each item's strength

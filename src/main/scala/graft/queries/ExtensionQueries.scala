@@ -7086,6 +7086,69 @@ object ExtensionQueries {
     }
   )
 
+  // Eval 12: paired Poisson-bootstrap significance — does the TTR quality
+  // signal score this corpus higher than the entropy-ratio signal, and is
+  // the gap real? (Koehn 2004's paired bootstrap, Poisson-ized per
+  // Chamandy et al. 2012.) B = 64 replicates, 95% rank CI on the mean
+  // per-document delta, plus the share of replicates where A wins — the
+  // report every eval comparison should ship instead of a bare delta.
+  private val q228 = Q(
+    "q228_paired_bootstrap",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val ttr = TextStats.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("ttr_bp"))
+      val ent = TextStats.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("entropy_ratio_bp"))
+      Preference.pairedBootstrap(ttr.join(ent, "doc_id"),
+        "doc_id", "ttr_bp", "entropy_ratio_bp", reps = 64)
+    },
+    Some(s"""WITH $toksCte,
+      qa AS (SELECT doc_id, CAST(CASE WHEN len(w) > 0
+          THEN (CAST(len(list_distinct(w)) AS BIGINT) * 10000) // len(w)
+          ELSE 0 END AS BIGINT) AS ttr FROM toks),
+      tc AS (SELECT doc_id, u.x AS tk FROM toks, UNNEST(w) AS u(x)),
+      cnt AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c FROM tc GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(c * CAST(round(ln(c) * 1000) AS BIGINT)) AS BIGINT) AS clc
+        FROM cnt GROUP BY 1),
+      ent AS (SELECT doc_id,
+          CAST(CASE WHEN n_distinct > 1 THEN least(10000,
+            (greatest(0, CAST(round(ln(n_tokens) * 1000) AS BIGINT)
+              - clc // n_tokens) * 10000)
+            // CAST(round(ln(n_distinct) * 1000) AS BIGINT))
+          ELSE 0 END AS BIGINT) AS er FROM agg),
+      base AS (SELECT qa.doc_id AS k, qa.ttr - ent.er AS d
+        FROM qa JOIN ent ON qa.doc_id = ent.doc_id),
+      rep AS (SELECT t.b, k, d,
+          ${TrainingQueries.md5Bucket16Sql("(CAST(t.b AS VARCHAR) || '|' || CAST(k AS VARCHAR))")} AS h
+        FROM base, UNNEST(range(0, 64)) AS t(b)),
+      wts AS (SELECT b, d,
+          CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1
+               WHEN h < 60273 THEN 2 WHEN h < 64291 THEN 3
+               WHEN h < 65296 THEN 4 WHEN h < 65497 THEN 5
+               WHEN h < 65530 THEN 6 ELSE 7 END AS w
+        FROM rep),
+      m AS (SELECT b, CAST(sum(w * d) AS BIGINT) AS wd, CAST(sum(w) AS BIGINT) AS ws
+        FROM wts GROUP BY 1),
+      mm AS (SELECT b, CAST(CASE WHEN ws = 0 THEN 0
+          WHEN wd >= 0 THEN (wd * 1000) // ws
+          ELSE -((-wd * 1000) // ws) END AS BIGINT) AS mp FROM m),
+      r AS (SELECT b, mp, row_number() OVER (ORDER BY mp, b) AS rnk FROM mm),
+      ci AS (SELECT max(CASE WHEN rnk = 2 THEN mp END) AS lo,
+          max(CASE WHEN rnk = 63 THEN mp END) AS hi,
+          CAST(sum(CASE WHEN mp > 0 THEN 1 ELSE 0 END) * 10000 // 64 AS BIGINT) AS aw
+        FROM r),
+      pt AS (SELECT CAST(sum(d) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS n FROM base)
+      SELECT CAST(64 AS BIGINT) AS n_reps,
+        CAST(CASE WHEN pt.sd >= 0 THEN (pt.sd * 1000) // pt.n
+          ELSE -((-pt.sd * 1000) // pt.n) END AS BIGINT) AS delta_permille,
+        CAST(ci.lo AS BIGINT) AS lo_permille, CAST(ci.hi AS BIGINT) AS hi_permille,
+        ci.aw AS a_wins_bp
+      FROM pt, ci""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7095,5 +7158,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
 }

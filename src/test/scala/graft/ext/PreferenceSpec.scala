@@ -25,6 +25,24 @@ class PreferenceSpec extends SparkFunSuite {
     assert(kd == -1000L)
   }
 
+  test("pairedBootstrap: constant deltas give exact point/CI/win-rate in both signs") {
+    val df = (1L to 40L).map(i => (i, 50L + i % 7, 50L + i % 7)).toDF("k", "a", "b")
+    // identical systems: delta 0 everywhere, no replicate where A wins
+    val eq = Preference.pairedBootstrap(df, "k", "a", "b", reps = 32).collect().head
+    assert((eq.getLong(1), eq.getLong(2), eq.getLong(3), eq.getLong(4)) ==
+      ((0L, 0L, 0L, 0L)))
+    // A = B + 3 everywhere: every replicate mean is exactly 3000 permille
+    val up = Preference.pairedBootstrap(
+      df.withColumn("a", col("a") + 3L), "k", "a", "b", reps = 32).collect().head
+    assert((up.getLong(1), up.getLong(2), up.getLong(3), up.getLong(4)) ==
+      ((3000L, 3000L, 3000L, 10000L)))
+    // A = B - 3: the negative-division branch, zero wins
+    val dn = Preference.pairedBootstrap(
+      df.withColumn("a", col("a") - 3L), "k", "a", "b", reps = 32).collect().head
+    assert((dn.getLong(1), dn.getLong(2), dn.getLong(3), dn.getLong(4)) ==
+      ((-3000L, -3000L, -3000L, 0L)))
+  }
+
   test("btStrengths: one exact MM round; more rounds keep the ranking and stay deterministic") {
     // 1 beats 2 twice, 2 beats 3 twice, 1 beats 3 once
     val cmp = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L), (1L, 3L)).toDF("w", "l")

@@ -1442,6 +1442,20 @@ class PlanAuditSpec extends SparkFunSuite {
       s"pair collapse and denominators must map-side combine:\n$p")
   }
 
+  test("q228: bootstrap replicates are an explode projection; sums map-side combine") {
+    val p = plan("q228_paired_bootstrap")
+    // the B-replicate fan-out must be a generator over the delta frame,
+    // never a materialized resample join
+    assert(p.contains("Generate explode"),
+      s"replicates must fan out via explode:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-replicate weighted sums must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
+    // the rank window runs on B rows (replicate means), a driver-scale
+    // frame by construction
+    assert(p.contains("Window"), s"rank-CI window missing:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
