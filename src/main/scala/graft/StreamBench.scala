@@ -21,12 +21,12 @@ import java.sql.Timestamp
   */
 object StreamBench {
 
-  private case class ContentEv(ts: Timestamp, video_id: Long, event_type: String)
-  private case class OrderEv(user_id: String, ts: Timestamp, event_id: Long,
+  case class ContentEv(ts: Timestamp, video_id: Long, event_type: String)
+  case class OrderEv(user_id: String, ts: Timestamp, event_id: Long,
                              event_type: String, amount: Option[Double])
-  private case class CdcEv(op: String, ts_ms: Long, user_id: String, segment: String)
-  private case class WeightedEv(ts: Timestamp, stratum: String, key: Long, w: Long)
-  private case class DocEv(ts: Timestamp, text: String)
+  case class CdcEv(op: String, ts_ms: Long, user_id: String, segment: String)
+  case class WeightedEv(ts: Timestamp, stratum: String, key: Long, w: Long)
+  case class DocEv(ts: Timestamp, text: String)
 
   /** Scratch tables + checkpoints are the bench's, not the user's — swept
     * by a shutdown hook so a CRASHED run cannot strand them in /tmp (a
@@ -280,9 +280,14 @@ object StreamBench {
     // BEFORE the window aggregate (state = |phrases| cells per window);
     // same doc stream, two 2-token watch phrases
     val in6d = MemoryStream[DocEv]
+    // doc ids must be a stream-safe projection (monotonically_increasing_id
+    // is rejected on streaming frames): a content hash is deterministic
+    // and collision-safe enough for a throughput wave
     val q6d = StreamPipelines.phraseTelemetry(
         in6d.toDF().withColumn("doc_id",
-          org.apache.spark.sql.functions.monotonically_increasing_id()),
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.col("text"))),
         "ts", "doc_id", "text",
         Seq(Seq("tok1", "tok2"), Seq("tok3", "tok4")))
       .writeStream.format("noop").outputMode("append")
@@ -311,6 +316,7 @@ object StreamBench {
     }
     val knnWaves  = math.max(1, waves / 2)
     val knnWaveSz = math.max(1, waveSize / 8)
+    var ann_qps   = 0L
     // index/edges are subpaths (not the created scratch dir itself): the
     // sink treats an absent path as an empty index, but an existing EMPTY
     // directory is not readable parquet
@@ -329,7 +335,47 @@ object StreamBench {
     val knn_eps = (knnWaves.toLong * knnWaveSz / ((System.nanoTime() - t7) / 1e9)).toLong
     q7.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // -------------------------------------------------------------------
+    // Pipeline 8: graph-ANN serving — query vectors arrive on a stream and
+    // each micro-batch runs the beam walk against a PERSISTED corpus
+    // index (adjacency + per-bucket entries built once, outside the
+    // timer). Reported as QUERIES/sec; per-batch cost is the walk's
+    // rounds × beam × degree work, independent of index size (the
+    // graph_ann_walk probe's flat curve).
+    locally {
+      import org.apache.spark.sql.functions.col
+      val corpus = vecWave(2000, 0L, 42).toDF("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val g = graft.ext.VectorSearch.knnGraph(corpus, "vec_id", "embedding",
+        k = 3, bits = 6, maxBucketSize = 64)
+      val adj = g.select(col("id"), col("nbr_id"))
+        .unionByName(g.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+        .distinct().persist()
+      adj.count()
+      val entries = graft.ext.VectorSearch.bucketEntryPoints(
+        corpus, "vec_id", "embedding", bits = 6).persist()
+      entries.count()
+      val in8 = MemoryStream[(Long, Seq[Double])]
+      val annScratch = scratchDir("annserve")
+      val q8 = StreamPipelines.annServeSink(
+          in8.toDF().toDF("vec_id", "embedding"), corpus, adj, entries,
+          s"$annScratch/res", s"$annScratch/ckpt",
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, beam = 8, rounds = 2, trigger = Trigger.ProcessingTime(0))
+        .start()
+      in8.addData(vecWave(8, 9000000L, -2)); q8.processAllAvailable()
+      val annWaves  = math.max(1, waves / 4)
+      val annWaveSz = math.max(1, waveSize / 32)
+      val t8 = System.nanoTime()
+      (0 until annWaves).foreach { w =>
+        in8.addData(vecWave(annWaveSz, 9100000L + w.toLong * annWaveSz, 100 + w))
+        q8.processAllAvailable()
+      }
+      ann_qps = (annWaves.toLong * annWaveSz / ((System.nanoTime() - t8) / 1e9)).toLong
+      q8.stop(); adj.unpersist(); entries.unpersist()
+    }
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"graph_ann_serve_queries":$ann_qps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }
