@@ -272,8 +272,9 @@ object Explain {
     "q226_filter_agreement", // two rater projections, one doc_id join,
                             // label-marginal aggs + 1-row attaches
     // q227 BT: checkpoint scan — special frame below (one MM round)
-    "q228_paired_bootstrap" // replicate explode projection, map-side
+    "q228_paired_bootstrap", // replicate explode projection, map-side
                             // combined per-replicate sums, B-row window
+    "q229_bpe_fertility_curve" // one scan, tier explode, tier-keyed agg
   )
 
   def main(args: Array[String]): Unit = {

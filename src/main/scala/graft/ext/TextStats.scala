@@ -281,6 +281,51 @@ object TextStats {
     }
   }
 
+  /** Fertility-vs-merge-count curve: corpus-level BPE units per word when
+    * only the FIRST m merges of the table are applied, for every tier m
+    * in `tiers` — the vocab-size-selection artifact (how much compression
+    * each additional block of merges buys; Sennrich et al. 2016 tune the
+    * merge count against exactly this diminishing-returns curve, and
+    * Gowda & May 2020 "Finding the Optimal Vocabulary Size" formalize the
+    * stopping rule). Tier 0 is the character-level anchor (units =
+    * chars); fertility falls monotonically as merges are added.
+    *
+    * Scale shape: ONE corpus scan — every tier's unit count is a per-word
+    * expression (merge prefixes are literals), the tier fan-out is a
+    * per-row explode of a literal struct array (the [[graft.ext
+    * .VectorSearch.prefixDimTopK]] tier trick), and the rollup is one
+    * tier-keyed partial+final hash-aggregate.
+    *
+    * Output per tier: (merge_tier, n_words, n_char_units, n_bpe_units,
+    * fertility_milli = units·1000 div words, saved_bp).
+    */
+  def bpeFertilityCurve(df: DataFrame, textCol: String,
+                        merges: Seq[(String, String)],
+                        tiers: Seq[Int]): DataFrame = {
+    require(tiers.nonEmpty && tiers.forall(t => t >= 0 && t <= merges.size),
+      "tiers must be within [0, merges.size]")
+    val (sep, word) = ("·", col("__w"))
+    val tierCols = tiers.distinct.sorted.map { t =>
+      val units =
+        if (t == 0) length(word).cast("long")
+        else {
+          val enc = bpeUnitFold(word, merges.take(t), sep)
+          (length(enc) - length(replace(enc, lit(sep), lit(""))) + 1L).cast("long")
+        }
+      struct(lit(t.toLong).as("merge_tier"), units.as("__units"))
+    }
+    df.select(explode(TextDedup.tokens(col(textCol))).as("__w"))
+      .select(col("__w"), explode(array(tierCols: _*)).as("__t"))
+      .select(length(col("__w")).cast("long").as("__chars"),
+        col("__t.merge_tier").as("merge_tier"), col("__t.__units").as("__units"))
+      .groupBy(col("merge_tier"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__chars")).as("n_char_units"),
+        sum(col("__units")).as("n_bpe_units"))
+      .withColumn("fertility_milli", expr("n_bpe_units * 1000 div n_words"))
+      .withColumn("saved_bp",
+        expr("((n_char_units - n_bpe_units) * 10000L) div n_char_units"))
+  }
+
   /** Tokenizer fertility per corpus slice (language, source, ...): how
     * many BPE units the frozen merge table spends per whitespace word,
     * and how many characters each unit carries. THE cross-lingual

@@ -719,6 +719,39 @@ object TrainingQueries {
     Some(s"WITH ${bpeTrainOracle(6)}")
   )
 
+  // Fertility-vs-merge-count curve — q134's audit swept over merge-table
+  // PREFIXES m ∈ {0, 2, 4, 8}: the diminishing-returns curve a tokenizer
+  // build reads to pick its merge count (Sennrich et al. 2016; Gowda &
+  // May 2020). Tier 0 anchors at character level; one scan, tier fan-out
+  // by explode, the q218/q221 calibration-artifact shape.
+  private val bpeCurveTiers = Seq(0, 2, 4, 8)
+  private val q229 = Q(
+    "q229_bpe_fertility_curve",
+    (s, dir) => graft.ext.TextStats.bpeFertilityCurve(
+      ExtensionQueries.docsSpread(s, dir), "text", bpeMerges, bpeCurveTiers),
+    Some {
+      val tierSelects = bpeCurveTiers.map { t =>
+        if (t == 0)
+          "SELECT 0 AS mt, length(word) AS chars, length(word) AS units FROM u"
+        else {
+          val enc = bpeEncodeOracleExpr(bpeMerges.take(t))
+          s"""SELECT $t, length(word),
+            length($enc) - length(replace($enc, '·', '')) + 1 FROM u"""
+        }
+      }.mkString("\n        UNION ALL ")
+      s"""WITH $toksCte,
+      u AS (SELECT unnest(w) AS word FROM toks),
+      e AS ($tierSelects)
+      SELECT CAST(mt AS BIGINT) AS merge_tier,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(chars) AS BIGINT) AS n_char_units,
+        CAST(sum(units) AS BIGINT) AS n_bpe_units,
+        CAST(sum(units) * 1000 // count(*) AS BIGINT) AS fertility_milli,
+        CAST(((sum(chars) - sum(units)) * 10000) // sum(chars) AS BIGINT) AS saved_bp
+      FROM e GROUP BY 1"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92, q94, q134)
+    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92, q94, q134, q229)
 }

@@ -527,6 +527,23 @@ class TextStatsSpec extends SparkFunSuite {
     assert(got(3L) == ((3L, 2L, 637L, 9191L)))
   }
 
+  test("bpeFertilityCurve: exact per-tier fertility, monotone down from the char anchor") {
+    val docs = Seq("lower lowest").toDF("text")
+    val merges = Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+      ("s", "t"), ("m", "e"), ("t", "o"), ("a", "t"))
+    val got = TextStats.bpeFertilityCurve(docs, "text", merges, Seq(0, 2, 4, 8))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // tier 0: character anchor — 11 units over 2 words
+    assert(got(0L) == ((2L, 11L, 5500L, 0L)))
+    // tier 2 ((e,r),(i,n)): lower -> l·o·w·er (4), lowest unchanged (6)
+    assert(got(2L) == ((2L, 10L, 5000L, 909L)))
+    // tier 4 adds (o,w): lower -> l·ow·er (3), lowest -> l·ow·e·s·t (5)
+    assert(got(4L) == ((2L, 8L, 4000L, 2727L)))
+    // tier 8 adds (s,t): lowest -> l·ow·e·st (4)
+    assert(got(8L) == ((2L, 7L, 3500L, 3636L)))
+  }
+
   test("sourceDivergence: identical sources read 0; disjoint supports read ~ln 2") {
     val docs = Seq(
       ("s1", "alpha beta gamma delta"),

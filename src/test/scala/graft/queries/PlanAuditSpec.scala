@@ -1456,6 +1456,15 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Window"), s"rank-CI window missing:\n$p")
   }
 
+  test("q229: fertility tiers ride ONE scan as an explode; rollup is a tier-keyed agg") {
+    val p = plan("q229_bpe_fertility_curve")
+    assert(p.split("Generate explode").length - 1 >= 2,
+      s"word and tier fan-outs must both be generators over one scan:\n$p")
+    assert(!p.contains("Join"), s"the curve needs no join side at all:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the tier rollup must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
