@@ -274,7 +274,9 @@ object Explain {
     // q227 BT: checkpoint scan — special frame below (one MM round)
     "q228_paired_bootstrap", // replicate explode projection, map-side
                             // combined per-replicate sums, B-row window
-    "q229_bpe_fertility_curve" // one scan, tier explode, tier-keyed agg
+    "q229_bpe_fertility_curve", // one scan, tier explode, tier-keyed agg
+    "q230_cluster_audit"   // size-gated (blk, shingle) self-join +
+                           // cluster-keyed aggs; shortfall arithmetic
   )
 
   def main(args: Array[String]): Unit = {

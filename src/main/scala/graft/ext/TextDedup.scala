@@ -590,6 +590,56 @@ object TextDedup {
         expr("(n_docs - n_norm_groups) * 10000 div n_docs").as("norm_dup_bp"))
   }
 
+  /** Dedup-cluster quality audit — for every multi-member cluster, the
+    * exact n-gram Jaccard statistics over its internal pairs: the QC pass
+    * that catches FALSE MERGES before a dedup run deletes real content (a
+    * cluster whose minimum intra-pair similarity is near 0 was chained
+    * together by LSH false positives / transitive closure, the known
+    * failure mode of connected-component dedup — MinHash band collisions
+    * are probabilistic, and CC gladly glues two unrelated groups through
+    * one bad pair).
+    *
+    * Pairs sharing no shingle never materialize ([[jaccardPairs]] omits
+    * them), so the audit reconstructs them arithmetically: a cluster of n
+    * members owes n·(n−1)/2 pairs; any shortfall is zero-similarity pairs,
+    * which forces min_jaccard_bp to 0 and weights the mean accordingly.
+    *
+    * Scale shape: cluster sizes gate the input (2 ≤ n ≤ maxClusterSize —
+    * the capped-block convention; dedup clusters are small by nature, and
+    * a corpus-sized cluster means the dedup upstream already failed), so
+    * the shingle self-join is bounded per cluster; everything else is
+    * cluster-keyed hash-aggregates.
+    *
+    * Output per audited cluster: (clusterCol, n_members, n_pairs,
+    * n_pairs_nonzero, min_jaccard_bp, mean_jaccard_bp).
+    */
+  def dedupClusterAudit(df: DataFrame, idCol: String, textCol: String,
+                        clusterCol: String, shingleN: Int,
+                        maxClusterSize: Int = 64): DataFrame = {
+    require(shingleN >= 1, "shingle order must be >= 1")
+    require(maxClusterSize >= 2, "maxClusterSize must be >= 2")
+    val sizes = df.groupBy(col(clusterCol).as("__cl"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2 && col("n_members") <= maxClusterSize)
+    val member = df.join(sizes, col(clusterCol) === col("__cl"))
+    val pairs = jaccardPairs(member, idCol, textCol, clusterCol, shingleN)
+      .withColumn("__bp", expr("n_common * 10000L div (n_a + n_b - n_common)"))
+    val lab = member.select(col(idCol).as("id_a"), col("__cl"))
+    val scored = pairs.join(lab, "id_a")
+      .groupBy(col("__cl"))
+      .agg(count(lit(1)).as("__nz"), min(col("__bp")).as("__mn"),
+        sum(col("__bp")).as("__sm"))
+    sizes.join(scored, Seq("__cl"), "left")
+      .withColumn("n_pairs", expr("n_members * (n_members - 1) div 2"))
+      .withColumn("n_pairs_nonzero", coalesce(col("__nz"), lit(0L)))
+      .withColumn("min_jaccard_bp",
+        when(col("n_pairs_nonzero") < col("n_pairs"), 0L)
+          .otherwise(col("__mn")))
+      .withColumn("mean_jaccard_bp", expr("coalesce(__sm, 0L) div n_pairs"))
+      .select(col("__cl").as(clusterCol), col("n_members"), col("n_pairs"),
+        col("n_pairs_nonzero"), col("min_jaccard_bp"), col("mean_jaccard_bp"))
+  }
+
   /** ROUGE-N overlap scores (Lin 2004, "ROUGE: A Package for Automatic
     * Evaluation of Summaries") for candidate document pairs — the
     * CLIPPED n-gram overlap Σ_g min(c_a(g), c_b(g)) over each side's

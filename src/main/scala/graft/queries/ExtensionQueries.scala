@@ -7149,6 +7149,48 @@ object ExtensionQueries {
       FROM pt, ci""")
   )
 
+  // Dedup 31: cluster-quality audit over the q60 dedup clusters — exact
+  // intra-cluster Jaccard stats with zero-similarity pairs reconstructed
+  // arithmetically: the false-merge detector (a CC cluster glued through
+  // one LSH false positive shows min_jaccard_bp ≈ 0 here, BEFORE the
+  // dedup pass deletes real content on its strength).
+  private val q230 = Q(
+    "q230_cluster_audit",
+    (s, dir) => {
+      val lab = QueryCaches.labelsFor(s, dir)
+      TextDedup.dedupClusterAudit(
+        docsSpread(s, dir).join(lab, "doc_id"),
+        "doc_id", "text", "cluster_id", shingleN = 2, maxClusterSize = 64)
+    },
+    Some(s"""WITH RECURSIVE $ccOracleCtes,
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM cc GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+      ds AS (SELECT DISTINCT doc_id, s FROM sh),
+      mds AS (SELECT c.cluster_id, d.doc_id, d.s
+        FROM ds d JOIN cc c USING (doc_id) JOIN sz USING (cluster_id)),
+      nsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM mds GROUP BY 1),
+      pc AS (SELECT a.cluster_id, a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS n_common
+        FROM mds a JOIN mds b ON a.cluster_id = b.cluster_id AND a.s = b.s
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3),
+      pj AS (SELECT pc.cluster_id,
+          (pc.n_common * 10000) // (na.n + nb.n - pc.n_common) AS bp
+        FROM pc JOIN nsz na ON pc.id_a = na.doc_id
+          JOIN nsz nb ON pc.id_b = nb.doc_id),
+      ag AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS nz,
+          CAST(min(bp) AS BIGINT) AS mn, CAST(sum(bp) AS BIGINT) AS sm
+        FROM pj GROUP BY 1)
+      SELECT sz.cluster_id, sz.n_members,
+        CAST(sz.n_members * (sz.n_members - 1) // 2 AS BIGINT) AS n_pairs,
+        CAST(coalesce(ag.nz, 0) AS BIGINT) AS n_pairs_nonzero,
+        CAST(CASE WHEN coalesce(ag.nz, 0) < sz.n_members * (sz.n_members - 1) // 2
+          THEN 0 ELSE ag.mn END AS BIGINT) AS min_jaccard_bp,
+        CAST(coalesce(ag.sm, 0) // (sz.n_members * (sz.n_members - 1) // 2)
+          AS BIGINT) AS mean_jaccard_bp
+      FROM sz LEFT JOIN ag USING (cluster_id)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7158,5 +7200,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230)
 }

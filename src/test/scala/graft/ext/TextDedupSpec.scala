@@ -298,6 +298,31 @@ class TextDedupSpec extends SparkFunSuite {
     assert(out((2L, 2L))._3)
   }
 
+  test("dedupClusterAudit: zero-sim pairs reconstructed, singletons and oversized clusters gated") {
+    val df = Seq(
+      (1L, 10L, "a b c"),   // cluster 10: 1~2 identical, 3 unrelated
+      (2L, 10L, "a b c"),
+      (3L, 10L, "x y z"),
+      (4L, 20L, "p q r s"), // cluster 20: one near-dup pair
+      (5L, 20L, "p q r t"),
+      (6L, 30L, "solo doc here"),          // singleton: excluded
+      (7L, 40L, "m n"), (8L, 40L, "m n"),  // oversized vs cap=3? no — 2 ok
+      (9L, 50L, "k1 k2"), (10L, 50L, "k1 k2"),
+      (11L, 50L, "k1 k2"), (12L, 50L, "k1 k2") // 4 members > cap 3: excluded
+    ).toDF("id", "cluster", "text")
+    val got = TextDedup.dedupClusterAudit(df, "id", "text", "cluster",
+        shingleN = 2, maxClusterSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // cluster 10: 3 pairs owed, only (1,2) materializes (bp 10000) ->
+    // min forced to 0 by the shortfall, mean = 10000 div 3
+    assert(got(10L) == ((3L, 3L, 1L, 0L, 3333L)))
+    // cluster 20: {p q, q r, r s} vs {p q, q r, r t}: 2/4 -> 5000 bp
+    assert(got(20L) == ((2L, 1L, 1L, 5000L, 5000L)))
+    assert(got(40L) == ((2L, 1L, 1L, 10000L, 10000L)))
+    assert(!got.contains(30L) && !got.contains(50L))
+  }
+
   test("rougeNPairs: clipped multiset overlap, asymmetric p/r, zero-overlap pairs kept") {
     val d = Seq(
       (1L, "a b a b a b"),  // bigrams: "a b"x3, "b a"x2 -> n_a = 5

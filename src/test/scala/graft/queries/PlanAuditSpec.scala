@@ -1465,6 +1465,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the tier rollup must map-side combine:\n$p")
   }
 
+  test("q230: cluster audit pairs stay (cluster, shingle)-keyed equi-joins behind the size gate") {
+    val p = plan("q230_cluster_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"intra-cluster pairs must come from the keyed shingle self-join:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"sizes, pair counts and cluster rollups must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
