@@ -275,8 +275,9 @@ object Explain {
     "q228_paired_bootstrap", // replicate explode projection, map-side
                             // combined per-replicate sums, B-row window
     "q229_bpe_fertility_curve", // one scan, tier explode, tier-keyed agg
-    "q230_cluster_audit"   // size-gated (blk, shingle) self-join +
+    "q230_cluster_audit",  // size-gated (blk, shingle) self-join +
                            // cluster-keyed aggs; shortfall arithmetic
+    "q231_simhash_calibration" // sampled truth join + fingerprint lookups
   )
 
   def main(args: Array[String]): Unit = {

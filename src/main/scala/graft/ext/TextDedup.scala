@@ -364,6 +364,44 @@ object TextDedup {
       .withColumn("recall_bp", expr("(n_found * 10000L) div n_true_pairs"))
   }
 
+  /** SimHash hamming-threshold calibration curve — the [[lshRecallCurve]]
+    * artifact for the OTHER fingerprint family: per exact-Jaccard decile
+    * of the true pair set, the mean 32-bit simhash hamming distance and
+    * the recall a `hamming ≤ t` near-dup rule achieves at each threshold
+    * in `thresholds`. This is how a deployment picks the Manku et al.
+    * (WWW 2007) cutoff: simhash distance correlates with similarity only
+    * statistically, and the curve shows where the correlation is tight
+    * enough to act on (high deciles) versus noise (low deciles).
+    *
+    * Ground truth is quadratic by nature — run on a deterministic SAMPLE
+    * (the [[lshRecallCurve]] contract); the production path
+    * ([[simhashNearDups]]) stays banded and linear.
+    *
+    * Output per non-empty decile: (bucket, n_true_pairs,
+    * mean_hamming_milli, recall_at_<t>_bp for each threshold).
+    */
+  def simhashDistanceCurve(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 0 && t <= 32),
+      "thresholds must be within [0, 32]")
+    val truth = jaccardPairs(df.withColumn("__blk", lit(0)), idCol, textCol,
+      "__blk", shingleN)
+    val sh = simhash32(df, idCol, textCol)
+    val recallCols = thresholds.distinct.sorted.map { t =>
+      expr(s"(sum(CASE WHEN __ham <= $t THEN 1L ELSE 0L END) * 10000L) div count(1)")
+        .as(s"recall_at_${t}_bp")
+    }
+    truth
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("__sa")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("__sb")), "id_b")
+      .withColumn("__ham", hamming(col("__sa"), col("__sb")).cast("long"))
+      .withColumn("bucket", expr("(n_common * 10L) div (n_a + n_b - n_common)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        expr("sum(__ham) * 1000L div count(1)").as("mean_hamming_milli")
+          +: recallCols: _*)
+  }
+
   /** Exact edit-distance verification of candidate pairs: joins each
     * (id_a, id_b) candidate back to the corpus and computes the Levenshtein
     * distance of the documents' first `prefixLen` chars. The prefix cap

@@ -7191,6 +7191,57 @@ object ExtensionQueries {
       FROM sz LEFT JOIN ag USING (cluster_id)""")
   )
 
+  // Dedup 32: simhash hamming-threshold calibration — the q109 artifact
+  // for the Manku et al. fingerprint family: per exact-Jaccard decile,
+  // mean 32-bit hamming distance and recall of `hamming <= t` at
+  // t ∈ {3, 6, 10}, on the q109 sampled truth corpus (planted near-dups
+  // populate the high deciles).
+  private val shCurveThresholds = Seq(3, 6, 10)
+  private val q231 = Q(
+    "q231_simhash_calibration",
+    (s, dir) => {
+      val docs   = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sample = docs.filter(col("doc_id") % 3 === 0)
+      val nearDups = sample.filter(col("doc_id") % 30 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" zq109tail")))
+      TextDedup.simhashDistanceCurve(
+        sample.unionByName(nearDups).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", shingleN = 2, thresholds = shCurveThresholds)
+    },
+    Some {
+      val recallSelects = shCurveThresholds.map(t =>
+        s"""CAST((sum(CASE WHEN ham <= $t THEN 1 ELSE 0 END) * 10000) // count(*)
+           AS BIGINT) AS recall_at_${t}_bp""").mkString(",\n        ")
+      s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zq109tail' FROM documents WHERE doc_id % 30 = 0),
+      ctoks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM corpus),
+      shd AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+        FROM ctoks, UNNEST(range(1, len(w))) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+      common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id),
+      ${duckSimhashCtes("corpus")},
+      hp AS (SELECT t.*, bit_count(xor(ha.simhash, hb.simhash)) AS ham
+        FROM truth t JOIN sh ha ON t.id_a = ha.doc_id
+          JOIN sh hb ON t.id_b = hb.doc_id)
+      SELECT (n_common * 10) // (n_a + n_b - n_common) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_true_pairs,
+        CAST(sum(ham) * 1000 // count(*) AS BIGINT) AS mean_hamming_milli,
+        $recallSelects
+      FROM hp GROUP BY 1"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7200,5 +7251,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231)
 }

@@ -323,6 +323,21 @@ class TextDedupSpec extends SparkFunSuite {
     assert(!got.contains(30L) && !got.contains(50L))
   }
 
+  test("simhashDistanceCurve: exact dups land in bucket 10 at hamming 0 and full recall") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),        // exact dup pair
+      (3L, "a b q r"), (4L, "m n q r")         // partial-overlap pair (via "q r")
+    ).toDF("id", "text")
+    val got = TextDedup.simhashDistanceCurve(docs, "id", "text",
+        shingleN = 2, thresholds = Seq(0, 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the exact-dup pair: jaccard 1 -> bucket 10, hamming 0, both recalls
+    assert(got(10L) == ((1L, 0L, 10000L, 10000L)))
+    // every decile's recall at t=3 is >= recall at t=0 (monotone in t)
+    got.values.foreach { case (_, _, r0, r3) => assert(r3 >= r0) }
+  }
+
   test("rougeNPairs: clipped multiset overlap, asymmetric p/r, zero-overlap pairs kept") {
     val d = Seq(
       (1L, "a b a b a b"),  // bigrams: "a b"x3, "b a"x2 -> n_a = 5

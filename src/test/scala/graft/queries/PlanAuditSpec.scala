@@ -1473,6 +1473,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"sizes, pair counts and cluster rollups must map-side combine:\n$p")
   }
 
+  test("q231: simhash calibration joins stay id/shingle-keyed; fingerprints aggregate map-side") {
+    val p = plan("q231_simhash_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"truth pairs and fingerprint lookups must be keyed equi-joins:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"bit sums, pair counts and decile rollup must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
