@@ -277,7 +277,8 @@ object Explain {
     "q229_bpe_fertility_curve", // one scan, tier explode, tier-keyed agg
     "q230_cluster_audit",  // size-gated (blk, shingle) self-join +
                            // cluster-keyed aggs; shortfall arithmetic
-    "q231_simhash_calibration" // sampled truth join + fingerprint lookups
+    "q231_simhash_calibration", // sampled truth join + fingerprint lookups
+    "q232_incr_simhash"    // id anti join + band equi-join vs the index
   )
 
   def main(args: Array[String]): Unit = {

@@ -746,6 +746,7 @@ object ScaleProbe {
       "source_jsd" -> (m =>
         TextStats.sourceDivergence(docsAt(m), "source", "text", 64).count()),
       "graph_ann_walk" -> (m => m.toLong), // timed via `custom` below
+      "incr_simhash_probe" -> (m => m.toLong), // timed via `custom` below
       // Bradley–Terry MM fitting as the preference list grows: pairs come
       // from the grown corpus's LSH candidates (winner = longer doc), so
       // both the game list and the item set grow ~linearly — each round
@@ -830,6 +831,22 @@ object ScaleProbe {
       idx.unpersist(); t
     }
 
+    // incr_simhash_probe: a FIXED ingest batch against a fingerprint
+    // index growing with the multiplier (the incr_para/incr_knn contract
+    // at the simhash tier). Index built outside the timer; the timed
+    // probe is the anti join + band equi-joins, whose cost must track
+    // band-bucket occupancy (linear in the index scan at worst)
+    def incrSimhashTimed(m: Int): Double = {
+      val idx = TextDedup.simhashIndex(docsAt(m), "doc_id", "text").persist()
+      idx.count()
+      val batch = Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + 90000000L)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t = time(TextDedup.simhashIncremental(
+        batch, idx, "doc_id", "text").count())
+      idx.unpersist(); t
+    }
+
     // graph_ann_walk: the neighbor graph and entry points are persisted
     // index state (built outside the timer, the incr_knn_probe pattern);
     // the timed walk is rounds × (beam-probed adjacency join + candidate
@@ -855,6 +872,7 @@ object ScaleProbe {
       Map("lsh_candidates" -> lshTimed, "dedup_clusters_cc" -> ccTimed,
         "incr_para_probe" -> incrParaTimed, "incr_knn_probe" -> incrKnnTimed,
         "graph_ann_walk" -> gannTimed,
+        "incr_simhash_probe" -> incrSimhashTimed,
         "pagerank_iter_mb_str" -> prIterMB(encode = false),
         "pagerank_iter_mb_enc" -> prIterMB(encode = true))
 

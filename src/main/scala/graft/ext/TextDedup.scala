@@ -500,6 +500,63 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The persisted state behind [[simhashIncremental]]: one row per
+    * indexed document — (idCol, simhash) — so an ingest batch probes
+    * fingerprints without touching corpus text (the
+    * [[graft.ext.ParagraphDedup.paragraphIndex]] /
+    * [[graft.ext.VectorSearch.knnGraphIndex]] shape at the simhash tier).
+    */
+  def simhashIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash32(df, idCol, textCol)
+
+  /** Batch-incremental simhash near-dup detection — the ingest shape: a
+    * new document batch arrives and must be checked for near-duplicates
+    * against itself AND a persisted fingerprint index, without
+    * re-fingerprinting the corpus. Re-delivered ids drop via one anti
+    * join (the q81/q108 redelivery rule); surviving batch fingerprints
+    * probe index ∪ batch through the same pigeonhole band equi-join as
+    * [[simhashNearDups]] (complete for hamming ≤ maxHamming < nBands),
+    * with the exact hamming check once per CANDIDATE. The caller appends
+    * the fresh fingerprints to the index — merge is a union, no rebuild.
+    *
+    * Scale shape: per-batch cost tracks batch size × band-bucket
+    * occupancy — the index side streams through the band join and is
+    * never re-hashed; the asymmetry the incr_para/incr_knn probes
+    * measure, one fingerprint family over.
+    *
+    * Output: (id, nbr_id, hamming) with `id` always the fresh batch
+    * document and hamming ≤ maxHamming.
+    */
+  def simhashIncremental(batch: DataFrame, index: DataFrame,
+                         idCol: String, textCol: String,
+                         nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(32 % nBands == 0, "nBands must divide 32")
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < nBands, got $maxHamming >= $nBands")
+    val bandBits = 32 / nBands
+    val mask     = (1L << bandBits) - 1
+    def toBands(sh: DataFrame) = sh
+      .select(col(idCol), col("simhash"), posexplode(array(
+        (0 until nBands).map(b =>
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val fresh = simhash32(batch, idCol, textCol)
+      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+    val cand = index.select(col(idCol), col("simhash"))
+      .unionByName(fresh.select(col(idCol), col("simhash")))
+    toBands(fresh).as("x")
+      .join(toBands(cand).as("y"),
+        col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id"), col(s"y.$idCol").as("nbr_id"),
+        col("x.simhash").as("__sa"), col("y.simhash").as("__sb"))
+      .distinct()
+      .withColumn("hamming", hamming(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id"), col("nbr_id"), col("hamming"))
+  }
+
   /** Winnowing fingerprints: char-`k`-gram digests, minimum per sliding
     * window of `w` consecutive positions, distinct per document. Output:
     * (id, n_fingerprints, min_fp). Robust-winnowing document signature —

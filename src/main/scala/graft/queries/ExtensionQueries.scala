@@ -7242,6 +7242,48 @@ object ExtensionQueries {
     }
   )
 
+  // Dedup 33: batch-incremental simhash near-dup detection — the
+  // q108/q136 ingest contract at the fingerprint tier: index = even docs'
+  // fingerprints; batch = odd docs + redelivered evens (must drop) +
+  // re-keyed copies of every 10th even doc (must surface at hamming 0
+  // against their indexed originals).
+  private val q232 = Q(
+    "q232_incr_simhash",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val index = TextDedup.simhashIndex(corpus, "doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(corpus.filter(col("doc_id") % 20 === 0))
+        .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L))
+        .repartition(s.sparkContext.defaultParallelism)
+      TextDedup.simhashIncremental(batch, index, "doc_id", "text",
+        nBands = 4, maxHamming = 3)
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, text FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+      ${duckSimhashCtes("corpus")},
+      fresh AS (SELECT doc_id, simhash FROM sh
+        WHERE doc_id % 2 = 1 OR doc_id >= 500000),
+      cand AS (SELECT doc_id, simhash FROM sh
+        WHERE doc_id % 2 = 0 AND doc_id < 500000
+        UNION ALL SELECT doc_id, simhash FROM fresh),
+      fb AS (SELECT doc_id, simhash, t.b, (simhash >> (CAST(t.b AS INT) * 8)) & 255 AS bv
+        FROM fresh, UNNEST(range(0, 4)) t(b)),
+      cb AS (SELECT doc_id, simhash, t.b, (simhash >> (CAST(t.b AS INT) * 8)) & 255 AS bv
+        FROM cand, UNNEST(range(0, 4)) t(b)),
+      pr AS (SELECT DISTINCT x.doc_id AS id, y.doc_id AS nbr_id,
+          x.simhash AS sa, y.simhash AS sb
+        FROM fb x JOIN cb y ON x.b = y.b AND x.bv = y.bv
+          AND x.doc_id <> y.doc_id)
+      SELECT id, nbr_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM pr WHERE bit_count(xor(sa, sb)) <= 3""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7251,5 +7293,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232)
 }

@@ -298,6 +298,22 @@ class TextDedupSpec extends SparkFunSuite {
     assert(out((2L, 2L))._3)
   }
 
+  test("simhashIncremental: redelivery dropped, index and in-batch near-dups both surface") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val index = TextDedup.simhashIndex(corpus, "id", "text").persist()
+    index.count()
+    val batch = Seq(
+      (1L, "a b c d e f"),  // redelivered id: must not re-emit
+      (2L, "a b c d e f"),  // near-dup of INDEXED 1 (hamming 0)
+      (3L, "z y x w v u"),  // genuinely fresh, unrelated
+      (4L, "a b c d e f")   // in-batch dup of 2
+    ).toDF("id", "text")
+    val got = TextDedup.simhashIncremental(batch, index, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    index.unpersist()
+    assert(got == Set((2L, 1L, 0L), (2L, 4L, 0L), (4L, 1L, 0L), (4L, 2L, 0L)))
+  }
+
   test("dedupClusterAudit: zero-sim pairs reconstructed, singletons and oversized clusters gated") {
     val df = Seq(
       (1L, 10L, "a b c"),   // cluster 10: 1~2 identical, 3 unrelated

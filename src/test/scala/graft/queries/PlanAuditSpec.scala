@@ -1481,6 +1481,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"bit sums, pair counts and decile rollup must map-side combine:\n$p")
   }
 
+  test("q232: incremental simhash is an id anti join + band equi-joins, never a product") {
+    val p = plan("q232_incr_simhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the index probe must stay band-keyed:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"redelivery must drop via one anti join on the id:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"fingerprint bit sums must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
