@@ -530,6 +530,21 @@ object TextDedup {
   def simhashIncremental(batch: DataFrame, index: DataFrame,
                          idCol: String, textCol: String,
                          nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val fresh = simhash32(batch, idCol, textCol)
+      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+    simhashIncrementalFromFresh(fresh, index, idCol, nBands, maxHamming)
+  }
+
+  /** [[simhashIncremental]] with the anti-joined fresh fingerprints
+    * precomputed — the streaming sink persists `fresh` because the
+    * near-dup check and the index append both consume it (the
+    * [[graft.ext.VectorSearch.knnGraphIncrementalFromFresh]] convention).
+    * `fresh` and `index` carry the [[simhashIndex]] layout
+    * (idCol, simhash).
+    */
+  def simhashIncrementalFromFresh(fresh: DataFrame, index: DataFrame,
+                                  idCol: String,
+                                  nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(32 % nBands == 0, "nBands must divide 32")
     require(maxHamming < nBands,
       s"pigeonhole completeness needs maxHamming < nBands, got $maxHamming >= $nBands")
@@ -541,8 +556,6 @@ object TextDedup {
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
-    val fresh = simhash32(batch, idCol, textCol)
-      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
     val cand = index.select(col(idCol), col("simhash"))
       .unionByName(fresh.select(col(idCol), col("simhash")))
     toBands(fresh).as("x")

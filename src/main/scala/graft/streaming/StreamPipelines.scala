@@ -992,6 +992,77 @@ object StreamPipelines {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
+  /** Streaming twin of q232 — [[graft.ext.TextDedup.simhashIncremental]]
+    * run per micro-batch against a PERSISTED fingerprint index: the
+    * Manku et al. (WWW 2007) use case IS crawl ingest. An arriving
+    * document is DROPPED when its fingerprint near-dups an indexed
+    * fingerprint or a smaller-id document of the same batch (first-wins,
+    * the [[curateIngest]] rule one fingerprint family over); survivors
+    * append their fingerprints to the index. Replay-safe: a re-delivered
+    * batch has no fresh fingerprints after the id anti join, so it
+    * appends nothing — the index converges.
+    */
+  def simhashDedupIngestBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      nBands: Int = 4,
+      maxHamming: Int = 3
+  ): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val index =
+        if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
+        else graft.ext.TextDedup.simhashIndex(batch, idCol, textCol).limit(0)
+      val fresh = graft.ext.TextDedup.simhashIndex(batch, idCol, textCol)
+        .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+        .persist()
+      try {
+        val dups = graft.ext.TextDedup.simhashIncrementalFromFresh(
+          fresh, index, idCol, nBands, maxHamming)
+        // a near-dup partner kills the fresh doc when the partner is
+        // indexed (absent from the fresh set) or an earlier batch doc
+        val dropIds = dups
+          .join(fresh.select(col(idCol).as("nbr_id"), lit(1).as("__f")),
+            Seq("nbr_id"), "left")
+          .filter(col("__f").isNull || col("nbr_id") < col("id"))
+          .select(col("id").as(idCol))
+          .distinct()
+        val admitted = fresh.join(dropIds, Seq(idCol), "left_anti")
+        admitted.write.mode("append").parquet(indexPath)
+      } finally {
+        fresh.unpersist()
+        ()
+      }
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
+  /** [[simhashDedupIngestBatch]] as a foreachBatch sink. */
+  def simhashDedupSink(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      nBands: Int = 4,
+      maxHamming: Int = 3,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        simhashDedupIngestBatch(batch, idCol, textCol, indexPath,
+          nBands, maxHamming)
+      }
+
   /** Streaming ANN serving — the deployment shape of the graph-ANN tier
     * (q223-q225): query vectors arrive on a stream, and each micro-batch
     * runs [[graft.ext.VectorSearch.graphSearchCurve]]'s beam walk against

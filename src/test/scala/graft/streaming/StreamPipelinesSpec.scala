@@ -611,6 +611,31 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally { q.stop(); adj.unpersist() }
   }
 
+  test("simhashDedupIngestBatch drops near-dups vs batch AND index; replay converges") {
+    val indexPath = tmpDir("shidx") + "/index"
+    def indexIds = spark.read.parquet(indexPath).collect().map(_.getLong(0)).toSet
+    // batch 1: 2 is an exact dup of 1 (dropped, first-wins by id);
+    // 3 is unrelated (admitted)
+    StreamPipelines.simhashDedupIngestBatch(
+      Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "z y x w v u"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", indexPath)
+    assert(indexIds == Set(1L, 3L))
+    // batch 2: 5 duplicates INDEXED 1 (dropped), 1 redelivers (no-op),
+    // 7 is fresh
+    StreamPipelines.simhashDedupIngestBatch(
+      Seq((5L, "a b c d e f"), (1L, "a b c d e f"), (7L, "q w e r t y"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", indexPath)
+    assert(indexIds == Set(1L, 3L, 7L))
+    // replay of batch 2 appends nothing
+    StreamPipelines.simhashDedupIngestBatch(
+      Seq((5L, "a b c d e f"), (1L, "a b c d e f"), (7L, "q w e r t y"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", indexPath)
+    assert(indexIds == Set(1L, 3L, 7L))
+  }
+
   test("semanticDedupSink admits per cluster vs batch AND persisted index; replay converges") {
     // frozen 2-dim router: centroid 0 = (1, 0), centroid 1 = (0, 1)
     val cents = Seq((0L, 1L, 10000L), (0L, 2L, 0L), (1L, 1L, 0L), (1L, 2L, 10000L))
