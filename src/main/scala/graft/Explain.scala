@@ -278,7 +278,9 @@ object Explain {
     "q230_cluster_audit",  // size-gated (blk, shingle) self-join +
                            // cluster-keyed aggs; shortfall arithmetic
     "q231_simhash_calibration", // sampled truth join + fingerprint lookups
-    "q232_incr_simhash"    // id anti join + band equi-join vs the index
+    "q232_incr_simhash",   // id anti join + band equi-join vs the index
+    "q233_dedup_method_comparison" // three banded/keyed candidate joins
+                           // vs one shared truth frame
   )
 
   def main(args: Array[String]): Unit = {

@@ -7284,6 +7284,112 @@ object ExtensionQueries {
       FROM pr WHERE bit_count(xor(sa, sb)) <= 3""")
   )
 
+  // Dedup 34: candidate-method comparison — minhash-LSH banding, simhash
+  // pigeonhole banding, and the exact prefix-filter join, all run against
+  // the SAME planted truth (exact Jaccard ≥ 5000 bp on the q109 sampled
+  // corpus), reported as one recall/precision table: the method-selection
+  // artifact that sits above the per-method calibration curves
+  // (q109/q231). prefix_filter anchors at recall = precision = 10000 by
+  // construction (Bayardo et al. 2007's exactness theorem — which is
+  // exactly what its oracle certifies).
+  private val q233 = Q(
+    "q233_dedup_method_comparison",
+    (s, dir) => {
+      val docs   = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sample = docs.filter(col("doc_id") % 3 === 0)
+      val nearDups = sample.filter(col("doc_id") % 30 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" zq109tail")))
+      val corpus = sample.unionByName(nearDups)
+        .repartition(s.sparkContext.defaultParallelism)
+      val truth = TextDedup.jaccardPairs(
+          corpus.withColumn("__blk", lit(0)), "doc_id", "text", "__blk", 2)
+        .withColumn("__bp", expr("n_common * 10000L div (n_a + n_b - n_common)"))
+        .filter(col("__bp") >= 5000L)
+        .select(col("id_a"), col("id_b"))
+        .persist()
+      truth.count()
+      val lsh = TextDedup.lshCandidates(
+          TextDedup.minhashSignatures(corpus, "doc_id", "text", 8, 2),
+          "doc_id", k = 8, rowsPerBand = 2)
+        .select(col("id_a"), col("id_b"))
+      val sim = TextDedup.simhashNearDups(corpus, "doc_id", "text",
+          nBands = 4, maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val pf = TextDedup.prefixFilterJaccardPairs(corpus, "doc_id", "text",
+          shingleN = 2, thresholdBp = 5000)
+        .select(col("id_a"), col("id_b"))
+      val tagged = lsh.withColumn("method", lit("minhash_lsh"))
+        .unionByName(sim.withColumn("method", lit("simhash_band")))
+        .unionByName(pf.withColumn("method", lit("prefix_filter")))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      tagged
+        .join(truth.withColumn("__t", lit(1L)), Seq("id_a", "id_b"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("__t"), lit(0L))).as("n_found"))
+        .crossJoin(broadcast(nTruth))
+        .withColumn("recall_bp", expr("(n_found * 10000L) div n_truth"))
+        .withColumn("precision_bp", expr("(n_found * 10000L) div n_candidates"))
+        .select(col("method"), col("n_truth"), col("n_candidates"),
+          col("n_found"), col("recall_bp"), col("precision_bp"))
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zq109tail' FROM documents WHERE doc_id % 30 = 0),
+      ctoks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM corpus),
+      shd AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+        FROM ctoks, UNNEST(range(1, len(w))) AS t(i)),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY 1),
+      common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS n_common
+        FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (SELECT id_a, id_b FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE (n_common * 10000) // (sa.n + sb.n - n_common) >= 5000),
+      sigs AS (SELECT doc_id,
+  ${minhashSigSelects(8)}
+        FROM shd GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bkey FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs),
+      lshc AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      ${duckSimhashCtes("corpus")},
+      sb2 AS (SELECT doc_id, simhash, t.b,
+          (simhash >> (CAST(t.b AS INT) * 8)) & 255 AS bv
+        FROM sh, UNNEST(range(0, 4)) t(b)),
+      simc AS (SELECT id_a, id_b FROM (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+          x.simhash AS sa, y.simhash AS sb
+        FROM sb2 x JOIN sb2 y ON x.b = y.b AND x.bv = y.bv
+          AND x.doc_id < y.doc_id)
+        WHERE bit_count(xor(sa, sb)) <= 3),
+      pfc AS (SELECT id_a, id_b FROM truth),
+      tagged AS (
+        SELECT 'minhash_lsh' AS method, id_a, id_b FROM lshc
+        UNION ALL SELECT 'simhash_band', id_a, id_b FROM simc
+        UNION ALL SELECT 'prefix_filter', id_a, id_b FROM pfc),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+      SELECT tg.method, nt.n_truth,
+        CAST(count(*) AS BIGINT) AS n_candidates,
+        CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        (CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+          // nt.n_truth AS recall_bp,
+        (CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+          // count(*) AS precision_bp
+      FROM tagged tg LEFT JOIN truth t USING (id_a, id_b), nt
+      GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7293,5 +7399,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233)
 }

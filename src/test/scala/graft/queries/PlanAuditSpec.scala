@@ -1491,6 +1491,15 @@ class PlanAuditSpec extends SparkFunSuite {
       s"fingerprint bit sums must map-side combine:\n$p")
   }
 
+  test("q233: every method's candidates come from keyed joins; truth attaches once") {
+    val p = plan("q233_dedup_method_comparison")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast product anywhere in the comparison:\n$p")
+    // the only nested-loop is the 1-row n_truth attach
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      s"only the 1-row truth-count frame may cross:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
