@@ -279,8 +279,10 @@ object Explain {
                            // cluster-keyed aggs; shortfall arithmetic
     "q231_simhash_calibration", // sampled truth join + fingerprint lookups
     "q232_incr_simhash",   // id anti join + band equi-join vs the index
-    "q233_dedup_method_comparison" // three banded/keyed candidate joins
+    "q233_dedup_method_comparison", // three banded/keyed candidate joins
                            // vs one shared truth frame
+    "q234_span_remediation" // q102's islands chain + one id join back
+                           // onto token arrays; the cut is a projection
   )
 
   def main(args: Array[String]): Unit = {

@@ -244,6 +244,50 @@ object ParagraphDedup {
       coalesce(col("__start"), lit(-1L)).as("max_run_start_idx"))
   }
 
+  /** Duplicated-span REMEDIATION — the step after [[longestDupRun]]'s
+    * attribution: documents whose longest corpus-duplicated span reaches
+    * `minSpanTokens` get that span CUT (tokens
+    * [max_run_start_idx, max_run_start_idx + max_span_tokens) removed,
+    * prefix and suffix rejoined), everything else passes through
+    * untouched — Lee et al. 2022's pipeline emits cut positions for
+    * exactly this scrub, and this operator closes the loop from signal
+    * to cleaned text.
+    *
+    * Scale shape: the run attribution is [[longestDupRun]]'s
+    * doc-frequency join + doc-keyed islands window; the cut itself is a
+    * pure per-row array-slice projection after ONE id-keyed equi-join of
+    * the (id, start, span) stats back onto the token arrays.
+    *
+    * Output: (idCol, n_tokens, cut_start, cut_tokens, kept_text) with
+    * cut_start = −1 / cut_tokens = 0 / kept_text = original tokens for
+    * unremediated documents.
+    */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int, minSpanTokens: Int): DataFrame = {
+    require(minSpanTokens >= shingleN,
+      "a cut must be at least one shingle long")
+    val runs = longestDupRun(df, idCol, textCol, shingleN)
+      .select(col(idCol), col("max_span_tokens"), col("max_run_start_idx"))
+    df.select(col(idCol), TextDedup.tokens(col(textCol)).as("__w"))
+      .join(runs, Seq(idCol), "left")
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("__cut",
+        coalesce(col("max_span_tokens"), lit(0L)) >= minSpanTokens)
+      .withColumn("cut_start",
+        when(col("__cut"), col("max_run_start_idx")).otherwise(-1L))
+      .withColumn("cut_tokens",
+        when(col("__cut"), col("max_span_tokens")).otherwise(0L))
+      .withColumn("kept_text",
+        when(col("__cut"), array_join(concat(
+            slice(col("__w"), lit(1), col("cut_start").cast("int")),
+            slice(col("__w"),
+              (col("cut_start") + col("cut_tokens") + 1L).cast("int"),
+              size(col("__w")))), " "))
+          .otherwise(array_join(col("__w"), " ")))
+      .select(col(idCol), col("n_tokens"), col("cut_start"),
+        col("cut_tokens"), col("kept_text"))
+  }
+
   /** Per-source boilerplate paragraphs: the fixed-width paragraphs that
     * recur across at least `minDocs` DISTINCT documents of the same source
     * (CCNet's per-shard repeated-line scrub / RefinedWeb's site-template

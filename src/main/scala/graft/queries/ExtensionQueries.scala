@@ -7390,6 +7390,46 @@ object ExtensionQueries {
       GROUP BY 1, 2""")
   )
 
+  // Dedup 35: duplicated-span remediation — q102's attribution turned
+  // into CLEANED TEXT: documents whose longest corpus-duplicated span
+  // reaches 6 tokens get it cut (prefix + suffix rejoined), the Lee et
+  // al. 2022 scrub closed end-to-end. The oracle replays the islands
+  // chain AND the list-slice cut, so the hash certifies the surgery.
+  private val q234 = Q(
+    "q234_span_remediation",
+    (s, dir) => ParagraphDedup.cutDupSpans(docsSpread(s, dir), "doc_id", "text",
+      shingleN = 3, minSpanTokens = 6),
+    Some(s"""WITH $toksCte,
+      sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+        md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+        FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      dfq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1),
+      mk AS (SELECT doc_id, idx, (n_docs > 1) AS dup FROM sh JOIN dfq USING (h)),
+      isl AS (SELECT doc_id, idx,
+        idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        FROM mk WHERE dup),
+      runs AS (SELECT doc_id, count(*) AS run, min(idx) AS st
+        FROM isl GROUP BY doc_id, grp),
+      mx AS (SELECT doc_id, CAST(run + 2 AS BIGINT) AS span,
+          CAST(st AS BIGINT) AS st FROM (
+        SELECT doc_id, run, st,
+          row_number() OVER (PARTITION BY doc_id ORDER BY run DESC, st ASC) AS rk
+        FROM runs) WHERE rk = 1),
+      base AS (SELECT t.doc_id, t.w,
+          CAST(len(t.w) AS BIGINT) AS n_tokens,
+          coalesce(mx.span, 0) >= 6 AS docut,
+          coalesce(mx.st, -1) AS st, coalesce(mx.span, 0) AS span
+        FROM toks t LEFT JOIN mx ON t.doc_id = mx.doc_id)
+      SELECT doc_id, n_tokens,
+        CAST(CASE WHEN docut THEN st ELSE -1 END AS BIGINT) AS cut_start,
+        CAST(CASE WHEN docut THEN span ELSE 0 END AS BIGINT) AS cut_tokens,
+        CASE WHEN docut THEN coalesce(array_to_string(
+            list_slice(w, 1, CAST(st AS INT))
+              || list_slice(w, CAST(st + span + 1 AS INT), len(w)), ' '), '')
+          ELSE coalesce(array_to_string(w, ' '), '') END AS kept_text
+      FROM base""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7399,5 +7439,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234)
 }

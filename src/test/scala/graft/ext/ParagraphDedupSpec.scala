@@ -158,4 +158,24 @@ class ParagraphDedupSpec extends SparkFunSuite {
     // the unrelated doc shares nothing
     assert(r.filter(_._1 == 3L).forall(!_._5))
   }
+
+  test("cutDupSpans removes exactly the attributed span; short spans and clean docs pass") {
+    val docs = Seq(
+      (1L, "u1 u2 p q r s u3"),  // shared passage at token idx 2
+      (2L, "p q r s v1 v2"),     // same passage at idx 0
+      (3L, "w1 w2 w3")           // clean
+    ).toDF("doc_id", "text")
+    val got = ParagraphDedup.cutDupSpans(docs, "doc_id", "text",
+        shingleN = 2, minSpanTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((7L, 2L, 4L, "u1 u2 u3")))
+    assert(got(2L) == ((6L, 0L, 4L, "v1 v2")))
+    assert(got(3L) == ((3L, -1L, 0L, "w1 w2 w3")))
+    // a higher cut threshold leaves everything untouched
+    val hi = ParagraphDedup.cutDupSpans(docs, "doc_id", "text",
+        shingleN = 2, minSpanTokens = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(hi(1L) == "u1 u2 p q r s u3" && hi(2L) == "p q r s v1 v2")
+  }
 }

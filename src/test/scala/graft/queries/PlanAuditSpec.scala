@@ -1500,6 +1500,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"only the 1-row truth-count frame may cross:\n$p")
   }
 
+  test("q234: the remediation cut is a projection behind one id-keyed stats join") {
+    val p = plan("q234_span_remediation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span stats must join back on the id, never a product:\n$p")
+    // islands run detection: doc-keyed window only
+    assert(p.contains("Window"), s"the islands window is load-bearing:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"doc-frequency and run aggregates must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
