@@ -281,8 +281,10 @@ object Explain {
     "q232_incr_simhash",   // id anti join + band equi-join vs the index
     "q233_dedup_method_comparison", // three banded/keyed candidate joins
                            // vs one shared truth frame
-    "q234_span_remediation" // q102's islands chain + one id join back
+    "q234_span_remediation", // q102's islands chain + one id join back
                            // onto token arrays; the cut is a projection
+    "q235_dedup_yield_curve" // one exact pair frame, tier explode filter,
+                           // victim-id join onto token counts
   )
 
   def main(args: Array[String]): Unit = {

@@ -364,6 +364,55 @@ object TextDedup {
       .withColumn("recall_bp", expr("(n_found * 10000L) div n_true_pairs"))
   }
 
+  /** Dedup yield-vs-threshold planning curve: for every Jaccard cutoff
+    * tier, how many documents and tokens SURVIVE the greedy smaller-id-
+    * wins near-dup drop (for each exact pair with jaccard ≥ t, the larger
+    * id is removed — the policy MinHash-LSH dedup deployments apply to
+    * their candidate pairs). The budgeting artifact a pipeline reads
+    * before fixing its threshold: each tightening of t buys cleanliness
+    * at a measured cost in data volume.
+    *
+    * Pairs come from [[prefixFilterJaccardPairs]] at the LOOSEST tier —
+    * exact and complete by the prefix-filter theorem — so every tier's
+    * victim set is a FILTER over one shared pair frame (bp ≥ t), never a
+    * re-join. Victims are distinct larger-side ids; kept tokens follow
+    * from one id-keyed join of the victim set onto per-doc token counts.
+    *
+    * Output per tier: (threshold_bp, n_docs, n_docs_kept, n_tokens,
+    * n_tokens_kept, kept_docs_bp).
+    */
+  def dedupYieldCurve(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, tiers: Seq[Int]): DataFrame = {
+    require(tiers.nonEmpty && tiers.forall(t => t > 0 && t <= 10000),
+      "tiers are jaccard cutoffs in (0, 10000]")
+    val ts = tiers.distinct.sorted
+    val pairs = prefixFilterJaccardPairs(df, idCol, textCol, shingleN, ts.min)
+    val tierArr = array(ts.map(t => lit(t.toLong)): _*)
+    // per tier, the docs removed: distinct larger-side ids of pairs >= t
+    val victims = pairs
+      .select(col("id_b"), col("jaccard_bp"), explode(tierArr).as("threshold_bp"))
+      .filter(col("jaccard_bp") >= col("threshold_bp"))
+      .select(col("threshold_bp"), col("id_b")).distinct()
+    val lens = df.select(col(idCol).as("id_b"),
+      size(tokens(col(textCol))).cast("long").as("__n"))
+    val removed = victims.join(lens, "id_b")
+      .groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("__rm_docs"), sum(col("__n")).as("__rm_toks"))
+    val totals = lens.agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    import df.sparkSession.implicits._
+    ts.map(_.toLong).toDF("threshold_bp")
+      .join(removed, Seq("threshold_bp"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__rm_docs", coalesce(col("__rm_docs"), lit(0L)))
+      .withColumn("__rm_toks", coalesce(col("__rm_toks"), lit(0L)))
+      .select(col("threshold_bp"), col("n_docs"),
+        (col("n_docs") - col("__rm_docs")).as("n_docs_kept"),
+        col("n_tokens"),
+        (col("n_tokens") - col("__rm_toks")).as("n_tokens_kept"))
+      .withColumn("kept_docs_bp",
+        expr("(n_docs_kept * 10000L) div n_docs"))
+  }
+
   /** SimHash hamming-threshold calibration curve — the [[lshRecallCurve]]
     * artifact for the OTHER fingerprint family: per exact-Jaccard decile
     * of the true pair set, the mean 32-bit simhash hamming distance and

@@ -7430,6 +7430,67 @@ object ExtensionQueries {
       FROM base""")
   )
 
+  // Dedup 36: yield-vs-threshold planning curve — on the q168 corpus
+  // (planted exact + near dups), the documents/tokens surviving the
+  // greedy smaller-id-wins drop at jaccard cutoffs {6000, 8000, 9500}:
+  // the budgeting table a pipeline reads before fixing its threshold.
+  // One exact prefix-filter pair frame at the loosest tier feeds every
+  // tier's victim filter.
+  private val yieldTiers = Seq(6000, 8000, 9500)
+  private val q235 = Q(
+    "q235_dedup_yield_curve",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val exact = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+      val near = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", concat(col("text"), lit(" zq1 zq2")))
+      TextDedup.dedupYieldCurve(
+        docs.union(exact).union(near)
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", shingleN = 2, tiers = yieldTiers)
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 300000, text || ' zq1 zq2' FROM documents WHERE doc_id % 7 = 0),
+      ctoks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM corpus),
+      shd AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+        FROM ctoks, UNNEST(range(1, len(w))) AS t(i)),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS n_common
+        FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      scored AS (SELECT id_b,
+          (n_common * 10000) // (sa.n + sb.n - n_common) AS bp
+        FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+        WHERE (n_common * 10000) // (sa.n + sb.n - n_common) >= ${yieldTiers.min}),
+      tiers AS (SELECT CAST(t AS BIGINT) AS threshold_bp
+        FROM (VALUES ${yieldTiers.map(t => s"($t)").mkString(", ")}) v(t)),
+      victims AS (SELECT DISTINCT t.threshold_bp, s.id_b
+        FROM tiers t JOIN scored s ON s.bp >= t.threshold_bp),
+      lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM ctoks),
+      rm AS (SELECT v.threshold_bp, CAST(count(*) AS BIGINT) AS rm_docs,
+          CAST(sum(l.n) AS BIGINT) AS rm_toks
+        FROM victims v JOIN lens l ON v.id_b = l.doc_id GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n) AS BIGINT) AS n_tokens FROM lens)
+      SELECT t.threshold_bp, tot.n_docs,
+        tot.n_docs - CAST(coalesce(rm.rm_docs, 0) AS BIGINT) AS n_docs_kept,
+        tot.n_tokens,
+        tot.n_tokens - CAST(coalesce(rm.rm_toks, 0) AS BIGINT) AS n_tokens_kept,
+        ((tot.n_docs - CAST(coalesce(rm.rm_docs, 0) AS BIGINT)) * 10000)
+          // tot.n_docs AS kept_docs_bp
+      FROM tiers t LEFT JOIN rm USING (threshold_bp), tot""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7439,5 +7500,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235)
 }

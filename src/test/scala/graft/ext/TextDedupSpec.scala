@@ -298,6 +298,24 @@ class TextDedupSpec extends SparkFunSuite {
     assert(out((2L, 2L))._3)
   }
 
+  test("dedupYieldCurve: victims are larger ids per tier; yield is monotone in the cutoff") {
+    val docs = Seq(
+      (1L, "a b c d e"),  // kept at every tier
+      (2L, "a b c d e"),  // exact dup of 1 (jaccard 10000): dropped everywhere
+      (3L, "p q r s t"),
+      (4L, "p q r s t x") // near-dup of 3: shingles 4/... -> 4 common, union 6 -> 6666
+    ).toDF("id", "text")
+    val got = TextDedup.dedupYieldCurve(docs, "id", "text",
+        shingleN = 2, tiers = Seq(6000, 9000))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // loose tier 6000: both 2 and 4 are victims -> 2 of 4 docs kept,
+    // tokens kept = 21 - 5 - 6 = 10
+    assert(got(6000L) == ((4L, 2L, 21L, 10L, 5000L)))
+    // tight tier 9000: only the exact dup drops
+    assert(got(9000L) == ((4L, 3L, 21L, 16L, 7500L)))
+  }
+
   test("simhashIncremental: redelivery dropped, index and in-batch near-dups both surface") {
     val corpus = Seq((1L, "a b c d e f")).toDF("id", "text")
     val index = TextDedup.simhashIndex(corpus, "id", "text").persist()

@@ -1510,6 +1510,17 @@ class PlanAuditSpec extends SparkFunSuite {
       s"doc-frequency and run aggregates must map-side combine:\n$p")
   }
 
+  test("q235: every yield tier filters ONE shared pair frame; victims join ids only") {
+    val p = plan("q235_dedup_yield_curve")
+    assert(p.contains("Generate explode"),
+      s"tiers must fan out via explode over the shared pair frame:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast product:\n$p")
+    // the 1-row totals attach is the only nested loop
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      s"only the 1-row totals frame may cross:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
