@@ -336,6 +336,39 @@ object StreamBench {
     q7.stop()
 
     // -------------------------------------------------------------------
+    // Pipeline 7b: simhash ingest dedup — each wave of documents is
+    // near-dup-checked against the growing persisted fingerprint index
+    // (first-wins in batch, index survivors appended). Reported as
+    // DOCS/sec including the index append.
+    var simdedup_eps = 0L
+    locally {
+      val in7b = MemoryStream[(Long, String)]
+      val shScratch = scratchDir("simdedup")
+      val q7b = StreamPipelines.simhashDedupSink(
+          in7b.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$shScratch/index", s"$shScratch/ckpt",
+          trigger = Trigger.ProcessingTime(0))
+        .start()
+      def docWave2(n: Int, idBase: Long, seed: Int): Seq[(Long, String)] = {
+        val rnd = new scala.util.Random(seed)
+        (0 until n).map { i =>
+          val toks = (0 until 20).map(_ => s"w${rnd.nextInt(5000)}")
+          (idBase + i, toks.mkString(" "))
+        }
+      }
+      in7b.addData(docWave2(500, -500000L, -3)); q7b.processAllAvailable()
+      val sdWaves  = math.max(1, waves / 2)
+      val sdWaveSz = math.max(1, waveSize / 8)
+      val t7b = System.nanoTime()
+      (0 until sdWaves).foreach { w =>
+        in7b.addData(docWave2(sdWaveSz, w.toLong * sdWaveSz, 200 + w))
+        q7b.processAllAvailable()
+      }
+      simdedup_eps = (sdWaves.toLong * sdWaveSz / ((System.nanoTime() - t7b) / 1e9)).toLong
+      q7b.stop()
+    }
+
+    // -------------------------------------------------------------------
     // Pipeline 8: graph-ANN serving — query vectors arrive on a stream and
     // each micro-batch runs the beam walk against a PERSISTED corpus
     // index (adjacency + per-bucket entries built once, outside the
@@ -375,7 +408,7 @@ object StreamBench {
       q8.stop(); adj.unpersist(); entries.unpersist()
     }
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"graph_ann_serve_queries":$ann_qps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }
