@@ -283,8 +283,9 @@ object Explain {
                            // vs one shared truth frame
     "q234_span_remediation", // q102's islands chain + one id join back
                            // onto token arrays; the cut is a projection
-    "q235_dedup_yield_curve" // one exact pair frame, tier explode filter,
+    "q235_dedup_yield_curve", // one exact pair frame, tier explode filter,
                            // victim-id join onto token counts
+    "q236_semantic_yield_curve" // cluster-blocked pair join, tier explode
   )
 
   def main(args: Array[String]): Unit = {

@@ -641,6 +641,57 @@ object VectorSearch {
     * Output: admitted rows as (idCol, cluster, vec), ready to append to
     * the index.
     */
+  /** Semantic-dedup yield-vs-threshold planning curve — [[graft.ext
+    * .TextDedup.dedupYieldCurve]]'s sibling on the embedding side: for
+    * every cosine cutoff tier (basis points), how many vectors survive
+    * the greedy smaller-id-wins drop under [[semanticDedup]]'s
+    * cluster-blocked pair rule. SemDeDup's epsilon is THE knob its paper
+    * tunes against retained-data volume (Abbas et al. 2023 §4 sweep
+    * exactly this curve); this emits it as a table.
+    *
+    * One cluster-blocked pair join at the LOOSEST tier feeds every
+    * tier's victim filter (a per-row explode + filter, never a re-join);
+    * victims are distinct larger-side ids.
+    *
+    * Output per tier: (threshold_bp, n_vectors, n_vectors_kept, kept_bp).
+    */
+  def semanticYieldCurve(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, tiersBp: Seq[Int],
+                         roundDigits: Int = 4): DataFrame = {
+    require(tiersBp.nonEmpty && tiersBp.forall(t => t > 0 && t <= 10000),
+      "tiers are cosine cutoffs in (0, 10000] basis points")
+    val ts = tiersBp.distinct.sorted
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = dotFn(spark)
+    val assigned = assignToNearestCentroid(df, idCol, vecCol, centroids)
+      .select(col("id"), col("label").as("cluster"))
+    val keyed = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .join(assigned, "id")
+      .withColumn("__n", sqrt(d(col("__v"), col("__v"))))
+    val denom = col("a.__n") * col("b.__n")
+    val tierArr = array(ts.map(t => lit(t.toLong)): _*)
+    val victims = keyed.as("a").join(keyed.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("__sim", round(
+        when(denom =!= 0.0, d(col("a.__v"), col("b.__v")) / denom), roundDigits))
+      .filter(col("__sim") * 10000.0 >= lit(ts.min.toDouble))
+      .select(col("b.id").as("id"), col("__sim"),
+        explode(tierArr).as("threshold_bp"))
+      .filter(col("__sim") * 10000.0 >= col("threshold_bp").cast("double"))
+      .select(col("threshold_bp"), col("id")).distinct()
+    val removed = victims.groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("__rm"))
+    val totals = df.agg(count(lit(1)).as("n_vectors"))
+    ts.map(_.toLong).toDF("threshold_bp")
+      .join(removed, Seq("threshold_bp"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__rm", coalesce(col("__rm"), lit(0L)))
+      .select(col("threshold_bp"), col("n_vectors"),
+        (col("n_vectors") - col("__rm")).as("n_vectors_kept"))
+      .withColumn("kept_bp", expr("(n_vectors_kept * 10000L) div n_vectors"))
+  }
+
   def semanticDedupIncremental(batch: DataFrame, index: DataFrame,
                                idCol: String, vecCol: String,
                                centroids: DataFrame, threshold: Double,

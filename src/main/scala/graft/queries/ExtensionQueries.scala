@@ -7491,6 +7491,46 @@ object ExtensionQueries {
       FROM tiers t LEFT JOIN rm USING (threshold_bp), tot""")
   )
 
+  // Dedup 37: SemDeDup epsilon sweep — q235's planning curve on the
+  // embedding side: vectors surviving the greedy smaller-id-wins drop at
+  // cosine cutoffs {7000, 8000, 9500} bp under the q97 cluster blocking
+  // (Abbas et al. 2023 §4 tune epsilon against exactly this
+  // retained-volume curve). One cluster-blocked pair join at the loosest
+  // tier feeds every tier's victim filter.
+  private val semYieldTiers = Seq(7000, 8000, 9500)
+  private val q236 = Q(
+    "q236_semantic_yield_curve",
+    (s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val corpus = base.unionByName(base.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+      val cent = QueryCaches.semDedupCentFor(s, dir)(
+        VectorSearch.kmeansFit(corpus, "vec_id", "embedding", k = 10, iters = 2))
+      VectorSearch.semanticYieldCurve(corpus, "vec_id", "embedding", cent,
+        tiersBp = semYieldTiers)
+    },
+    Some(s"""WITH ${pqOracleCtes("TRUE", subDim = 64, k = 10, iters = 2, source = semDedupSource)},
+      cl AS (SELECT cd.vec_id AS id, cd.code AS cluster, v.e AS vv
+        FROM codes cd JOIN v ON cd.vec_id = v.vec_id),
+      tiers AS (SELECT CAST(t AS BIGINT) AS threshold_bp
+        FROM (VALUES ${semYieldTiers.map(t => s"($t)").mkString(", ")}) v2(t)),
+      pr AS (SELECT b.id AS id, round(${duckCos("a.vv", "b.vv")}, 4) AS sim
+        FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.id < b.id
+        WHERE round(${duckCos("a.vv", "b.vv")}, 4) * 10000
+          >= ${semYieldTiers.min}),
+      victims AS (SELECT DISTINCT t.threshold_bp, p.id
+        FROM tiers t JOIN pr p
+        ON p.sim * 10000 >= CAST(t.threshold_bp AS DOUBLE)),
+      rm AS (SELECT threshold_bp, CAST(count(*) AS BIGINT) AS rm_n
+        FROM victims GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM cl)
+      SELECT t.threshold_bp, tot.n_vectors,
+        tot.n_vectors - CAST(coalesce(rm.rm_n, 0) AS BIGINT) AS n_vectors_kept,
+        ((tot.n_vectors - CAST(coalesce(rm.rm_n, 0) AS BIGINT)) * 10000)
+          // tot.n_vectors AS kept_bp
+      FROM tiers t LEFT JOIN rm USING (threshold_bp), tot""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7500,5 +7540,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236)
 }

@@ -647,6 +647,22 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(top.toSeq == Seq((0L, 3L, 1L)))
   }
 
+  test("semanticYieldCurve: victims per cosine tier, monotone yield toward tight cutoffs") {
+    val vs = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(1f, 0f)),   // cos(1,2) = 1.0: victim everywhere
+      (3L, Array(2f, 1f)),   // cos(1,3) = 0.8944: victim below 8944 only
+      (4L, Array(0f, 1f))    // unrelated
+    ).toDF("vid", "v")
+    // single centroid: everything lands in one blocking cluster
+    val cent = Seq((0L, 1L, 10000L), (0L, 2L, 0L)).toDF("label", "dim", "c_bp")
+    val got = VectorSearch.semanticYieldCurve(vs, "vid", "v", cent,
+        tiersBp = Seq(8000, 9500))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(8000L) == ((4L, 2L, 5000L)))
+    assert(got(9500L) == ((4L, 3L, 7500L)))
+  }
+
   test("graphSearchBeamSweep: every tier equals its standalone walk row-for-row") {
     val qs = Seq((0L, Array(0f, 1f)), (1L, Array(1f, 0.2f))).toDF("vid", "v")
     val cs = Seq(

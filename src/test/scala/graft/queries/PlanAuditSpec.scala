@@ -1521,6 +1521,17 @@ class PlanAuditSpec extends SparkFunSuite {
       s"only the 1-row totals frame may cross:\n$p")
   }
 
+  test("q236: semantic yield pairs stay cluster-blocked; tiers are an explode filter") {
+    val p = plan("q236_semantic_yield_curve")
+    assert(!p.contains("CartesianProduct"),
+      s"pairs must stay cluster-keyed, never a product:\n$p")
+    assert(p.contains("Generate explode"),
+      s"tiers must fan out via explode over the shared pair frame:\n$p")
+    // 1-row totals attach is the only nested loop
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      s"only the 1-row totals frame may cross:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
