@@ -285,7 +285,8 @@ object Explain {
                            // onto token arrays; the cut is a projection
     "q235_dedup_yield_curve", // one exact pair frame, tier explode filter,
                            // victim-id join onto token counts
-    "q236_semantic_yield_curve" // cluster-blocked pair join, tier explode
+    "q236_semantic_yield_curve", // cluster-blocked pair join, tier explode
+    "q237_temperature_sweep" // one corpus agg, alpha explode, |groups| rows
   )
 
   def main(args: Array[String]): Unit = {

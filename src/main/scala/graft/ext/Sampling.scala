@@ -541,6 +541,47 @@ object Sampling {
       .withColumnRenamed("__prio", "priority")
   }
 
+  /** Temperature-sampling α-sweep table: for every α tier, each group's
+    * sampling share under rate ∝ tokens^α — the mixing knob multilingual
+    * pretraining sweeps (α = 1 is proportional, α → 0 uniform; mT5 (Xue
+    * et al. 2021) and XLM-R tune α against exactly this share table, and
+    * [[temperatureReweight]] applies the α = 1/2 point). Weights quantize
+    * to integer milli via the [[graft.ext.TextStats.zipfFit]] log
+    * convention — w_milli = round(1000·exp(α·ln n)) — so shares are
+    * exact-integer after the one float step and the oracle replays them.
+    *
+    * Scale shape: the corpus enters ONE map-side-combinable token-count
+    * aggregate; the α spine is a literal explode over |groups| rows, and
+    * the per-α normalizer is a |groups|-row aggregate joined back — no
+    * corpus-sized operator after the first.
+    *
+    * Output per (alpha_milli, groupCol): (n_tokens, weight_milli,
+    * share_bp).
+    */
+  def temperatureSweep(df: DataFrame, groupCol: String, textCol: String,
+                       alphasMilli: Seq[Int]): DataFrame = {
+    require(alphasMilli.nonEmpty && alphasMilli.forall(a => a >= 0 && a <= 2000),
+      "alphas are milli-exponents in [0, 2000]")
+    val ts = alphasMilli.distinct.sorted
+    val tok = df
+      .select(col(groupCol).as("__grp"),
+        size(graft.ext.TextDedup.tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(col("__grp")).agg(sum(col("__n")).as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+    val alphaArr = array(ts.map(a => lit(a.toLong)): _*)
+    val weighted = tok
+      .select(col("__grp"), col("n_tokens"), explode(alphaArr).as("alpha_milli"))
+      .withColumn("weight_milli",
+        round(exp(log(col("n_tokens").cast("double"))
+          * (col("alpha_milli").cast("double") / 1000.0)) * 1000).cast("long"))
+    val norms = weighted.groupBy(col("alpha_milli"))
+      .agg(sum(col("weight_milli")).as("__tot"))
+    weighted.join(norms, "alpha_milli")
+      .withColumn("share_bp", expr("(weight_milli * 10000L) div __tot"))
+      .select(col("alpha_milli"), col("__grp").as(groupCol),
+        col("n_tokens"), col("weight_milli"), col("share_bp"))
+  }
+
   /** UniMax language-budget allocation (Chung et al. 2023, "UniMax: Fairer
     * and More Effective Language Sampling for Large-Scale Multilingual
     * Pretraining"): distribute a total token budget across groups

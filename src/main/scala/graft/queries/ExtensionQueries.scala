@@ -7531,6 +7531,32 @@ object ExtensionQueries {
       FROM tiers t LEFT JOIN rm USING (threshold_bp), tot""")
   )
 
+  // Sampling 13: temperature α-sweep — per-language sampling shares at
+  // α ∈ {0, 300, 500, 700, 1000} milli (uniform → proportional): the
+  // mixing-knob table mT5/XLM-R tune before fixing a corpus mixture
+  // (q131 applies the α = 1/2 point; this sweeps the knob).
+  private val tempAlphas = Seq(0, 300, 500, 700, 1000)
+  private val q237 = Q(
+    "q237_temperature_sweep",
+    (s, dir) => Sampling.temperatureSweep(Tables.documents(s, dir),
+      "lang", "text", tempAlphas),
+    Some(s"""WITH $toksCte,
+      lt AS (SELECT lang, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY 1 HAVING sum(len(w)) > 0),
+      sp AS (SELECT CAST(a AS BIGINT) AS alpha_milli
+        FROM (VALUES ${tempAlphas.map(a => s"($a)").mkString(", ")}) v(a)),
+      wt AS (SELECT sp.alpha_milli, lt.lang, lt.n_tokens,
+          CAST(round(exp(ln(lt.n_tokens)
+            * (CAST(sp.alpha_milli AS DOUBLE) / 1000.0)) * 1000) AS BIGINT)
+            AS weight_milli
+        FROM sp, lt),
+      nm AS (SELECT alpha_milli, CAST(sum(weight_milli) AS BIGINT) AS tot
+        FROM wt GROUP BY 1)
+      SELECT wt.alpha_milli, wt.lang, wt.n_tokens, wt.weight_milli,
+        (wt.weight_milli * 10000) // nm.tot AS share_bp
+      FROM wt JOIN nm USING (alpha_milli)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7540,5 +7566,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237)
 }

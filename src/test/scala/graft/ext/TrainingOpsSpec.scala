@@ -263,6 +263,16 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(moved < 300 / 4, s"HRW moved $moved of 300 — expected ~1/9")
   }
 
+  test("temperatureSweep: uniform at alpha 0, proportional at 1000, sqrt between") {
+    val df = Seq(("a", "t1 t2"), ("b", "t1 t2 t3 t4 t5 t6 t7 t8")).toDF("lang", "text")
+    val got = Sampling.temperatureSweep(df, "lang", "text", Seq(0, 500, 1000))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got((0L, "a")) == 5000L && got((0L, "b")) == 5000L)
+    // sqrt(2)*1000 = 1414, sqrt(8)*1000 = 2828 -> 3333 / 6666 bp
+    assert(got((500L, "a")) == 3333L && got((500L, "b")) == 6666L)
+    assert(got((1000L, "a")) == 2000L && got((1000L, "b")) == 8000L)
+  }
+
   test("unimaxBudget: capped prefix + water-filled head, and both degenerate budgets") {
     val df = Seq(
       ("a", "t1 t2"),                                   // 2 tokens, cap 4

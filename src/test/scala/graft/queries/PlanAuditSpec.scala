@@ -1532,6 +1532,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"only the 1-row totals frame may cross:\n$p")
   }
 
+  test("q237: temperature sweep's corpus work is ONE agg; alpha spine is an explode") {
+    val p = plan("q237_temperature_sweep")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-language token totals must map-side combine:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the alpha spine must be a per-row explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"nothing corpus-sized may reach a join:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
