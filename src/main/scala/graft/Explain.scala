@@ -286,7 +286,8 @@ object Explain {
     "q235_dedup_yield_curve", // one exact pair frame, tier explode filter,
                            // victim-id join onto token counts
     "q236_semantic_yield_curve", // cluster-blocked pair join, tier explode
-    "q237_temperature_sweep" // one corpus agg, alpha explode, |groups| rows
+    "q237_temperature_sweep", // one corpus agg, alpha explode, |groups| rows
+    "q238_scd2_history"    // two window passes on ONE key partitioning
   )
 
   def main(args: Array[String]): Unit = {

@@ -130,4 +130,39 @@ object LatestWins {
     }
     joined.select(out: _*)
   }
+
+  /** SCD TYPE 2 history builder — the dimension-history sibling of
+    * [[merge]]'s SCD1 (Kimball's slowly-changing-dimension taxonomy; the
+    * reference stops at SCD1, but a lakehouse serving "what did this
+    * dimension look like at time T" needs the interval form): from a
+    * change log `(key, orderCol, attrs...)`, emit one VERSION row per
+    * change with its validity interval — `valid_from` = the change's
+    * timestamp, `valid_to` = the NEXT change's timestamp (null while
+    * current), `is_current` on the open row. Consecutive rows with
+    * identical tracked attributes collapse first (a re-delivered
+    * unchanged value must not open a new version — the idempotence rule
+    * every SCD2 loader carries).
+    *
+    * Scale shape: one key-partitioned window pass ordered by
+    * (orderCol, tieBreak) for the change-collapse lag and one more for
+    * the lead — both on the same partitioning, so ONE exchange total;
+    * no join, no global sort.
+    *
+    * Output: input columns + (valid_from, valid_to, is_current).
+    */
+  def scd2History(df: DataFrame, key: Seq[String], orderCol: String,
+                  tracked: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(key.nonEmpty && tracked.nonEmpty, "need key and tracked columns")
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy((orderCol +: tieBreak).map(col): _*)
+    val trackedStruct = struct(tracked.map(col): _*)
+    val changes = df
+      .withColumn("__prev", lag(trackedStruct, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= trackedStruct)
+      .drop("__prev")
+    changes
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

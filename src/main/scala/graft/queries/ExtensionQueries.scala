@@ -7557,6 +7557,35 @@ object ExtensionQueries {
       FROM wt JOIN nm USING (alpha_milli)""")
   )
 
+  // Table tier: SCD TYPE 2 history — the dimension-history sibling of the
+  // SCD1 merge path (the reference stops at SCD1): per customer, each
+  // order-status CHANGE opens a version with a validity interval;
+  // unchanged consecutive statuses collapse (the loader-idempotence
+  // rule). One key-partitioned window pass, no join.
+  private val q238 = Q(
+    "q238_scd2_history",
+    (s, dir) => LatestWins.scd2History(
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"), col("o_orderstatus")),
+      key = Seq("o_custkey"), orderCol = "o_orderdate",
+      tracked = Seq("o_orderstatus"), tieBreak = Seq("o_orderkey")),
+    Some("""WITH src AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        FROM orders),
+      lg AS (SELECT *, lag(o_orderstatus) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM src),
+      ch AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        FROM lg WHERE prev IS NULL OR prev <> o_orderstatus)
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        o_orderdate AS valid_from,
+        lead(o_orderdate) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        lead(o_orderdate) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+          AS is_current
+      FROM ch""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7566,5 +7595,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238)
 }

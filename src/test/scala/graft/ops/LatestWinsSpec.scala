@@ -80,4 +80,22 @@ class LatestWinsSpec extends SparkFunSuite {
     val direct = state(ev)
     assert(merged.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
   }
+
+  test("scd2History: versions carry validity intervals; unchanged redeliveries collapse") {
+    val log = Seq(
+      ("u1", 1L, "bronze"),
+      ("u1", 5L, "bronze"),  // unchanged redelivery: must NOT open a version
+      ("u1", 10L, "gold"),
+      ("u1", 20L, "silver"),
+      ("u2", 3L, "gold")
+    ).toDF("k", "ts", "tier")
+    val got = LatestWins.scd2History(log, Seq("k"), "ts", Seq("tier"))
+      .collect().map(r => (r.getString(0), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5), r.getString(2))).toSet
+    assert(got == Set(
+      ("u1", 1L, Some(10L), false, "bronze"),
+      ("u1", 10L, Some(20L), false, "gold"),
+      ("u1", 20L, None, true, "silver"),
+      ("u2", 3L, None, true, "gold")))
+  }
 }

@@ -1542,6 +1542,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"nothing corpus-sized may reach a join:\n$p")
   }
 
+  test("q238: SCD2 history is two window passes on one key partitioning — no join") {
+    val p = plan("q238_scd2_history")
+    assert(!p.contains("Join"), s"version intervals need no join side:\n$p")
+    // the collapse lag and the interval lead share the key partitioning:
+    // exactly one exchange
+    assert(p.split("Exchange").length - 1 <= 2,
+      s"both windows must reuse one hash partitioning:\n$p")
+    assert(p.contains("Window"), s"the interval windows are load-bearing:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
