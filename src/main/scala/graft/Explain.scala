@@ -287,7 +287,8 @@ object Explain {
                            // victim-id join onto token counts
     "q236_semantic_yield_curve", // cluster-blocked pair join, tier explode
     "q237_temperature_sweep", // one corpus agg, alpha explode, |groups| rows
-    "q238_scd2_history"    // two window passes on ONE key partitioning
+    "q238_scd2_history",   // two window passes on ONE key partitioning
+    "q239_scd2_asof"       // interval predicate + one status rollup
   )
 
   def main(args: Array[String]): Unit = {

@@ -165,4 +165,14 @@ object LatestWins {
       .withColumn("valid_to", lead(col(orderCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Point-in-time read over an [[scd2History]] table: the version of each
+    * key valid AT `asOf` — `valid_from <= asOf < valid_to` (open rows
+    * match everything from their valid_from on). A pure filter: at scale
+    * this is the partition-prunable predicate the interval layout exists
+    * for, and the reason SCD2 beats snapshot-per-day storage.
+    */
+  def scd2AsOf(history: DataFrame, asOf: Column): DataFrame =
+    history.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || asOf < col("valid_to")))
 }

@@ -7586,6 +7586,40 @@ object ExtensionQueries {
       FROM ch""")
   )
 
+  // Table tier: point-in-time dimension read off the q238 SCD2 history —
+  // "what did every customer's status look like on 1996-01-01", rolled
+  // up per status. The interval filter is a pure predicate (the
+  // partition-prunable shape SCD2 storage exists for); no join anywhere.
+  private val q239 = Q(
+    "q239_scd2_asof",
+    (s, dir) => {
+      val hist = LatestWins.scd2History(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_orderstatus")),
+        key = Seq("o_custkey"), orderCol = "o_orderdate",
+        tracked = Seq("o_orderstatus"), tieBreak = Seq("o_orderkey"))
+      LatestWins.scd2AsOf(hist, lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""WITH src AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        FROM orders),
+      lg AS (SELECT *, lag(o_orderstatus) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM src),
+      ch AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        FROM lg WHERE prev IS NULL OR prev <> o_orderstatus),
+      hist AS (SELECT *, o_orderdate AS valid_from,
+          lead(o_orderdate) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        FROM ch)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_customers
+      FROM hist
+      WHERE valid_from <= TIMESTAMP '1996-01-01 00:00:00'
+        AND (valid_to IS NULL OR TIMESTAMP '1996-01-01 00:00:00' < valid_to)
+      GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7595,5 +7629,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239)
 }
