@@ -288,7 +288,9 @@ object Explain {
     "q236_semantic_yield_curve", // cluster-blocked pair join, tier explode
     "q237_temperature_sweep", // one corpus agg, alpha explode, |groups| rows
     "q238_scd2_history",   // two window passes on ONE key partitioning
-    "q239_scd2_asof"       // interval predicate + one status rollup
+    "q239_scd2_asof",      // interval predicate + one status rollup
+    "q240_rank_correlation" // histogram ranks (windows on |values| rows),
+                           // value-keyed lookups, centered 1-row sums
   )
 
   def main(args: Array[String]): Unit = {

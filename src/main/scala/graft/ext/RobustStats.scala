@@ -83,4 +83,56 @@ object RobustStats {
     }.reduce(_ + _)
     counted.withColumn("chi2_centi", chi2)
   }
+
+  /** Spearman rank correlation between two integer metric columns,
+    * WITHOUT a global sort — the monotone-association audit ("does doc
+    * length track quality?") every metric dashboard wants, made
+    * 100 TB-shaped: average ranks come from each metric's VALUE
+    * HISTOGRAM (a value tied c times after p smaller rows has average
+    * rank p + (c+1)/2, so DOUBLED ranks 2p + c + 1 are exact integers),
+    * the prefix sums run on |distinct values| rows (bounded by the
+    * metric's range, not the corpus), and the correlation is Pearson
+    * over the doubled ranks (the tie-correct Spearman definition) with
+    * exact BIGINT sums — one double sqrt at the very end, rounded to
+    * milli (the zipfFit r² convention, signed).
+    *
+    * Scale shape: two histogram aggregates + two value-keyed lookup
+    * joins (histogram build sides broadcast under AQE) + one 1-row sum
+    * aggregate. The corpus never sorts and never self-joins.
+    *
+    * Output: one row (n_items, rho_milli) with rho in [−1000, 1000].
+    */
+  def spearmanRank(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"))
+    def ranks(c: String): DataFrame = {
+      val W = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__p", coalesce(
+          sum(col("__c")).over(W.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("__v").as(c), (col("__p") * 2L + col("__c") + 1L).as(s"${c}_r2"))
+    }
+    // center on the doubled mean rank (n+1): deviations are ≤ n in
+    // magnitude, so every sum stays under n³ — exact in BIGINT to
+    // corpora of ~2M rows per call (beyond that, sample or bucket ranks)
+    val nFrame = base.agg(count(lit(1)).as("n_items"))
+    val ranked = base.join(ranks("__x"), "__x").join(ranks("__y"), "__y")
+      .crossJoin(broadcast(nFrame))
+      .withColumn("__dx", col("__x_r2") - (col("n_items") + 1L))
+      .withColumn("__dy", col("__y_r2") - (col("n_items") + 1L))
+    val sums = ranked.agg(
+      max(col("n_items")).as("n_items"),
+      sum(col("__dx") * col("__dx")).as("__sxx"),
+      sum(col("__dy") * col("__dy")).as("__syy"),
+      sum(col("__dx") * col("__dy")).as("__sxy"))
+    sums.select(col("n_items"),
+      when(col("__sxx") <= 0L || col("__syy") <= 0L, lit(0L))
+      .otherwise(round(
+        col("__sxy").cast("double") * 1000.0 /
+          sqrt(col("__sxx").cast("double") * col("__syy").cast("double")))
+        .cast("long"))
+      .as("rho_milli"))
+  }
 }

@@ -7620,6 +7620,50 @@ object ExtensionQueries {
       GROUP BY 1""")
   )
 
+  // Stats tier: exact Spearman rank correlation WITHOUT a global sort —
+  // does document length track token entropy? Average ranks come from
+  // each metric's value histogram (doubled ranks are exact integers,
+  // tie-correct), prefix sums run on |distinct values| rows, and the
+  // final Pearson-of-ranks uses centered BIGINT sums with one rounded
+  // sqrt (the zipfFit convention, signed).
+  private val q240 = Q(
+    "q240_rank_correlation",
+    (s, dir) => {
+      val m = TextStats.tokenEntropy(docsSpread(s, dir), "doc_id", "text")
+        .select(col("n_tokens"), col("entropy_milli"))
+      RobustStats.spearmanRank(m, "n_tokens", "entropy_milli")
+    },
+    Some(s"""WITH $toksCte,
+      tc AS (SELECT doc_id, u.x AS tk FROM toks, UNNEST(w) AS u(x)),
+      cnt AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c FROM tc GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(sum(c * CAST(round(ln(c) * 1000) AS BIGINT)) AS BIGINT) AS clc
+        FROM cnt GROUP BY 1),
+      m AS (SELECT n_tokens AS x,
+          greatest(0, CAST(round(ln(n_tokens) * 1000) AS BIGINT) - clc // n_tokens)
+            AS y FROM agg),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+      hx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1),
+      rx AS (SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+        AS BIGINT) AS r2 FROM hx),
+      hy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1),
+      ry AS (SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+        AS BIGINT) AS r2 FROM hy),
+      d AS (SELECT rx.r2 - (nn.n + 1) AS dx, ry.r2 - (nn.n + 1) AS dy
+        FROM m JOIN rx ON m.x = rx.v JOIN ry ON m.y = ry.v, nn),
+      sm AS (SELECT CAST(sum(dx * dx) AS BIGINT) AS sxx,
+          CAST(sum(dy * dy) AS BIGINT) AS syy,
+          CAST(sum(dx * dy) AS BIGINT) AS sxy FROM d)
+      SELECT nn.n AS n_items,
+        CAST(CASE WHEN sm.sxx <= 0 OR sm.syy <= 0 THEN 0
+          ELSE round(sm.sxy * 1000.0
+            / sqrt(CAST(sm.sxx AS DOUBLE) * CAST(sm.syy AS DOUBLE)))
+        END AS BIGINT) AS rho_milli
+      FROM nn, sm""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7629,5 +7673,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240)
 }

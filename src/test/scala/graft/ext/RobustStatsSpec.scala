@@ -38,4 +38,16 @@ class RobustStatsSpec extends SparkFunSuite {
     }.sum
     assert(r.getAs[Long]("chi2_centi") == chi2)
   }
+
+  test("spearmanRank: +/-1000 on monotone data, 0 under independence, tie-correct") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 25L), (4L, 90L), (5L, 91L)).toDF("x", "y")
+    assert(RobustStats.spearmanRank(up, "x", "y").collect().head.getLong(1) == 1000L)
+    val dn = up.withColumn("y", -org.apache.spark.sql.functions.col("y"))
+    assert(RobustStats.spearmanRank(dn, "x", "y").collect().head.getLong(1) == -1000L)
+    // balanced 2x2 with ties: average ranks make every deviation +/-2,
+    // products cancel -> exactly 0
+    val ind = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val r = RobustStats.spearmanRank(ind, "x", "y").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 0L)))
+  }
 }

@@ -1552,6 +1552,17 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Window"), s"the interval windows are load-bearing:\n$p")
   }
 
+  test("q240: rank correlation never global-sorts the corpus; ranks ride value lookups") {
+    val p = plan("q240_rank_correlation")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row count frame may cross:\n$p")
+    // the rank windows run on the VALUE histograms (|distinct values|
+    // rows); the corpus itself is never windowed or sorted globally
+    assert(p.contains("Window"), s"histogram prefix windows missing:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"histograms and final sums must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
