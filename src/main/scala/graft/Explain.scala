@@ -289,8 +289,9 @@ object Explain {
     "q237_temperature_sweep", // one corpus agg, alpha explode, |groups| rows
     "q238_scd2_history",   // two window passes on ONE key partitioning
     "q239_scd2_asof",      // interval predicate + one status rollup
-    "q240_rank_correlation" // histogram ranks (windows on |values| rows),
+    "q240_rank_correlation", // histogram ranks (windows on |values| rows),
                            // value-keyed lookups, centered 1-row sums
+    "q241_mixture_concentration" // one corpus agg, |groups|-row windows
   )
 
   def main(args: Array[String]): Unit = {

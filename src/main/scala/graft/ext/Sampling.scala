@@ -541,6 +541,57 @@ object Sampling {
       .withColumnRenamed("__prio", "priority")
   }
 
+  /** Mixture-concentration report — one row of corpus-composition health:
+    * how concentrated is the token mass across groups (sources /
+    * languages / domains)? Emits the Shannon entropy of the group shares
+    * (quantized milli-nats, the zipfFit log convention), the EFFECTIVE
+    * group count exp(H) (Hill number of order 1 — "this 40-source corpus
+    * behaves like 7 sources"), the exact Gini coefficient over the
+    * sorted group masses, and the top-1/top-5 mass shares. The table a
+    * mixture review reads before debating per-source budgets.
+    *
+    * Scale shape: the corpus enters ONE map-side-combinable token-count
+    * aggregate; the sort behind Gini/top-k is a window over |groups|
+    * rows (a catalog-scale cardinality), and the totals ride 1-row
+    * broadcasts.
+    *
+    * Output: (n_groups, n_tokens, entropy_milli, effective_groups_milli,
+    * gini_milli, top1_share_bp, top5_share_bp).
+    */
+  def mixtureConcentration(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val lnMilli = (c: Column) => round(log(c.cast("double")) * 1000).cast("long")
+    val tok = df
+      .select(col(groupCol).as("__grp"),
+        size(graft.ext.TextDedup.tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(col("__grp")).agg(sum(col("__n")).as("__c"))
+      .filter(col("__c") > 0L)
+    val w = W.orderBy(col("__c"), col("__grp"))
+    val wd = W.orderBy(col("__c").desc, col("__grp"))
+    val ranked = tok
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__rd", row_number().over(wd).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * lnMilli(col("__c"))).as("__clc"),
+        sum(col("__i") * col("__c")).as("__iwx"),
+        sum(when(col("__rd") === 1L, col("__c")).otherwise(0L)).as("__t1"),
+        sum(when(col("__rd") <= 5L, col("__c")).otherwise(0L)).as("__t5"))
+      .withColumn("entropy_milli",
+        greatest(lit(0L), lnMilli(col("n_tokens")) - expr("__clc div n_tokens")))
+      .withColumn("effective_groups_milli",
+        round(exp(col("entropy_milli").cast("double") / 1000.0) * 1000).cast("long"))
+      .withColumn("gini_milli",
+        expr("""(2L * __iwx - (n_groups + 1L) * n_tokens) * 1000L
+               div (n_groups * n_tokens)"""))
+      .withColumn("top1_share_bp", expr("(__t1 * 10000L) div n_tokens"))
+      .withColumn("top5_share_bp", expr("(__t5 * 10000L) div n_tokens"))
+      .select(col("n_groups"), col("n_tokens"), col("entropy_milli"),
+        col("effective_groups_milli"), col("gini_milli"),
+        col("top1_share_bp"), col("top5_share_bp"))
+  }
+
   /** Temperature-sampling α-sweep table: for every α tier, each group's
     * sampling share under rate ∝ tokens^α — the mixing knob multilingual
     * pretraining sweeps (α = 1 is proportional, α → 0 uniform; mT5 (Xue

@@ -7664,6 +7664,40 @@ object ExtensionQueries {
       FROM nn, sm""")
   )
 
+  // Sampling 14: mixture-concentration report over sources — entropy,
+  // effective source count (Hill number), exact Gini, top-k shares: the
+  // one-row corpus-composition health check a mixing review reads first.
+  private val q241 = Q(
+    "q241_mixture_concentration",
+    (s, dir) => Sampling.mixtureConcentration(Tables.documents(s, dir),
+      "source", "text"),
+    Some(s"""WITH $toksCte,
+      st AS (SELECT source, CAST(sum(len(w)) AS BIGINT) AS c
+        FROM toks GROUP BY 1 HAVING sum(len(w)) > 0),
+      rk AS (SELECT c,
+          CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i,
+          CAST(row_number() OVER (ORDER BY c DESC, source) AS BIGINT) AS rd
+        FROM st),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(sum(c * CAST(round(ln(c) * 1000) AS BIGINT)) AS BIGINT) AS clc,
+          CAST(sum(i * c) AS BIGINT) AS iwx,
+          CAST(sum(CASE WHEN rd = 1 THEN c ELSE 0 END) AS BIGINT) AS t1,
+          CAST(sum(CASE WHEN rd <= 5 THEN c ELSE 0 END) AS BIGINT) AS t5
+        FROM rk),
+      h AS (SELECT *, greatest(0,
+          CAST(round(ln(n_tokens) * 1000) AS BIGINT) - clc // n_tokens)
+          AS entropy_milli FROM ag)
+      SELECT n_groups, n_tokens, entropy_milli,
+        CAST(round(exp(CAST(entropy_milli AS DOUBLE) / 1000.0) * 1000)
+          AS BIGINT) AS effective_groups_milli,
+        (2 * iwx - (n_groups + 1) * n_tokens) * 1000
+          // (n_groups * n_tokens) AS gini_milli,
+        (t1 * 10000) // n_tokens AS top1_share_bp,
+        (t5 * 10000) // n_tokens AS top5_share_bp
+      FROM h""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7673,5 +7707,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241)
 }

@@ -273,6 +273,23 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(got((1000L, "a")) == 2000L && got((1000L, "b")) == 8000L)
   }
 
+  test("mixtureConcentration: uniform mixture reads zero Gini; skew concentrates every metric") {
+    val even = Seq(("a", "t1 t2"), ("b", "t1 t2"), ("c", "t1 t2"), ("d", "t1 t2"))
+      .toDF("src", "text")
+    val e = Sampling.mixtureConcentration(even, "src", "text").collect().head
+    // H = ln 4 = 1386 m-nats, eff = round(1000*e^1.386) = 3999, gini 0
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3),
+      e.getLong(4), e.getLong(5), e.getLong(6)) ==
+      ((4L, 8L, 1386L, 3999L, 0L, 2500L, 10000L)))
+    val skew = Seq(("a", "t1 t2"), ("b", "t1 t2 t3 t4 t5 t6 t7 t8"))
+      .toDF("src", "text")
+    val s2 = Sampling.mixtureConcentration(skew, "src", "text").collect().head
+    // H = 2303 - (2*693 + 8*2079) div 10 = 502; eff = e^0.502 -> 1652;
+    // gini = (2*(1*2+2*8) - 3*10)*1000 div 20 = 300; top1 = 8000 bp
+    assert((s2.getLong(2), s2.getLong(3), s2.getLong(4), s2.getLong(5)) ==
+      ((502L, 1652L, 300L, 8000L)))
+  }
+
   test("unimaxBudget: capped prefix + water-filled head, and both degenerate budgets") {
     val df = Seq(
       ("a", "t1 t2"),                                   // 2 tokens, cap 4

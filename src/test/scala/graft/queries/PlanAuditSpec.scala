@@ -1563,6 +1563,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"histograms and final sums must map-side combine:\n$p")
   }
 
+  test("q241: concentration report's corpus work is ONE agg; sorts touch |groups| rows") {
+    val p = plan("q241_mixture_concentration")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-group token totals must map-side combine:\n$p")
+    assert(p.contains("Window"), s"the |groups|-row rank windows are load-bearing:\n$p")
+    assert(!p.contains("Join"), s"the report needs no join side at all:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
