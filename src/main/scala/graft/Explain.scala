@@ -291,7 +291,9 @@ object Explain {
     "q239_scd2_asof",      // interval predicate + one status rollup
     "q240_rank_correlation", // histogram ranks (windows on |values| rows),
                            // value-keyed lookups, centered 1-row sums
-    "q241_mixture_concentration" // one corpus agg, |groups|-row windows
+    "q241_mixture_concentration", // one corpus agg, |groups|-row windows
+    "q242_good_turing",    // two hash-aggs, then broadcast-only lookups
+    "q243_burstiness"      // (term,doc) pre-collapse → term agg → TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {

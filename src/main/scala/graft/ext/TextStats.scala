@@ -963,6 +963,91 @@ object TextStats {
       .groupBy(col("__t")).agg(count(lit(1)).as("n_occurrences"))
       .groupBy(col("n_occurrences")).agg(count(lit(1)).as("n_types"))
 
+  /** Good-Turing frequency re-estimation (Good 1953; Gale & Sampson 1995,
+    * "Good-Turing frequency estimation without tears"; public): from the
+    * count-of-counts spectrum, the smoothed count for a frequency r is
+    * r* = (r+1)·N_{r+1}/N_r, and the total probability mass reserved for
+    * UNSEEN types is P0 = N_1/N. This is the Katz-backoff ingredient: LM
+    * smoothing only ever applies it at small r (the spectrum is dense
+    * there and noisy above), so the frame is cut at `maxR` rows.
+    *
+    * Exact integers, replayable bit-for-bit:
+    * `r_star_milli = (r+1)·N_{r+1}·1000 div N_r`,
+    * `unseen_mass_ppm = N_1·1e6 div N` (constant across rows — the report
+    * header riding along).
+    *
+    * Plan: explode → per-token hash-agg → spectrum hash-agg, both map-side
+    * combinable; the frame is vocabulary-sized after the first and
+    * |distinct frequencies|-sized (O(√N) by a counting argument: distinct
+    * positive counts summing to N) after the second. The r+1 lookup and
+    * the one-row totals both attach by broadcast — nothing corpus-sized
+    * ever joins or sorts, so the post-aggregation stage costs the same at
+    * 100 TB as at 100 MB.
+    *
+    * Output: (r, n_types, n_types_next, r_star_milli, unseen_mass_ppm)
+    * for 1 ≤ r ≤ maxR (only frequencies present in the corpus).
+    */
+  def goodTuring(df: DataFrame, textCol: String, maxR: Int): DataFrame =
+    goodTuringTerms(
+      df.select(explode(TextDedup.tokens(col(textCol))).as("__t")), "__t", maxR)
+
+  /** [[goodTuring]] over an arbitrary term frame (one row per occurrence):
+    * the smoothing applies to whatever the LM's event space is — words,
+    * shingles, merge units — so the spectrum source is a parameter.
+    */
+  def goodTuringTerms(terms: DataFrame, termCol: String, maxR: Int): DataFrame = {
+    require(maxR >= 1, "maxR must be >= 1")
+    val spec = terms
+      .groupBy(col(termCol)).agg(count(lit(1)).as("n_occurrences"))
+      .groupBy(col("n_occurrences")).agg(count(lit(1)).as("n_types"))
+    val totals = spec.agg(
+      sum(col("n_occurrences") * col("n_types")).as("n_tokens"),
+      sum(when(col("n_occurrences") === 1L, col("n_types")).otherwise(0L))
+        .as("n_hapax"))
+    val cur = spec.filter(col("n_occurrences") <= maxR)
+      .select(col("n_occurrences").as("r"), col("n_types"))
+    val next = spec.select((col("n_occurrences") - 1L).as("r"),
+      col("n_types").as("n_types_next"))
+    cur.join(broadcast(next), Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("r"), col("n_types"),
+        coalesce(col("n_types_next"), lit(0L)).as("n_types_next"),
+        expr("(r + 1) * coalesce(n_types_next, 0) * 1000 div n_types")
+          .as("r_star_milli"),
+        expr("n_hapax * 1000000 div n_tokens").as("unseen_mass_ppm"))
+  }
+
+  /** Token burstiness audit (Church & Gale 1995 "Poisson mixtures";
+    * Katz 1996; public): content words are BURSTY — a document that uses
+    * one tends to reuse it — while function words spread uniformly. For
+    * every token with document frequency ≥ `minDf`: collection frequency
+    * CF, document frequency DF, and the mean within-document repetition
+    * `burstiness_milli = CF·1000 div DF`. Read the corners: high-CF,
+    * burstiness ≈ 1000 is the stopword list; high-DF with high burstiness
+    * flags boilerplate templates repeating inside pages.
+    *
+    * Returns the top-k by CF (ties broken by token) — a TakeOrdered, not
+    * a global sort. Plan: explode → (token, doc) pre-collapse hash-agg
+    * (bounds any one doc's contribution to a token at one row before the
+    * wider shuffle) → per-token hash-agg (DF = row count, CF = sum) →
+    * filter → TakeOrdered(k).
+    */
+  def burstiness(df: DataFrame, idCol: String, textCol: String,
+                 minDf: Long, k: Int): DataFrame = {
+    require(k >= 1 && minDf >= 1, "k and minDf must be >= 1")
+    df.select(col(idCol).as("__id"),
+        explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("__id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("cf"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("df"), col("cf"),
+        expr("cf * 1000 div df").as("burstiness_milli"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(k)
+  }
+
   /** Per-source lexical diversity: token mass, vocabulary size, hapax count
     * (types occurring exactly once WITHIN the source), and the derived
     * exact-integer ratios `ttr_permille = vocab * 1000 div tokens` and

@@ -7698,6 +7698,56 @@ object ExtensionQueries {
       FROM h""")
   )
 
+  // Stats tier: Good-Turing re-estimation over the bigram event space —
+  // smoothed counts r* = (r+1)·N_{r+1}/N_r for small r plus the unseen-type
+  // mass N_1/N, the Katz-smoothing ingredient (bigrams, not unigrams: GT
+  // smooths the sparse tail, and the n-gram space is where the tail lives);
+  // everything past the two corpus hash-aggs is broadcast-sized.
+  private val q242 = Q(
+    "q242_good_turing",
+    (s, dir) => {
+      val d = docsSpread(s, dir)
+      val sh = d.select(explode(TextDedup.wordShingles(
+        TextDedup.tokens(col("text")), 2)).as("s"))
+      TextStats.goodTuringTerms(sh, "s", maxR = 20)
+    },
+    Some(s"""WITH $toksCte,
+      $shinglesFromToks,
+      cnt AS (SELECT s AS tk, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1),
+      spec AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_types
+        FROM cnt GROUP BY 1),
+      tot AS (SELECT CAST(sum(r * n_types) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN r = 1 THEN n_types ELSE 0 END) AS BIGINT)
+            AS n_hapax
+        FROM spec)
+      SELECT s.r, s.n_types,
+        CAST(coalesce(nx.n_types, 0) AS BIGINT) AS n_types_next,
+        (s.r + 1) * coalesce(nx.n_types, 0) * 1000 // s.n_types
+          AS r_star_milli,
+        t.n_hapax * 1000000 // t.n_tokens AS unseen_mass_ppm
+      FROM spec s LEFT JOIN spec nx ON nx.r = s.r + 1, tot t
+      WHERE s.r <= 20""")
+  )
+
+  // Stats tier: token burstiness (Church & Gale) — CF·1000 div DF for the
+  // top-50 tokens by collection frequency with DF ≥ 3; separates stopwords
+  // (burstiness ≈ 1000) from within-page template repeats.
+  private val q243 = Q(
+    "q243_burstiness",
+    (s, dir) => TextStats.burstiness(docsSpread(s, dir), "doc_id", "text",
+      minDf = 3L, k = 50),
+    Some(s"""WITH $toksCte,
+      tc AS (SELECT doc_id, u.x AS tk FROM toks, UNNEST(w) AS u(x)),
+      pc AS (SELECT tk AS token, doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM tc GROUP BY 1, 2),
+      ag AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+          CAST(sum(c) AS BIGINT) AS cf
+        FROM pc GROUP BY 1)
+      SELECT token, df, cf, cf * 1000 // df AS burstiness_milli
+      FROM ag WHERE df >= 3
+      ORDER BY cf DESC, token LIMIT 50""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7707,5 +7757,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243)
 }

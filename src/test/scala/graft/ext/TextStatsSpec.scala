@@ -125,6 +125,42 @@ class TextStatsSpec extends SparkFunSuite {
     assert(out == Map(4L -> 1L, 2L -> 1L, 1L -> 2L))
   }
 
+  test("goodTuring: r* from the spectrum, unseen mass, absent r+1 → 0") {
+    val docs = Seq((1L, "a a a a b b c"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a=5, b=2, c=1, d=1 → spectrum {5→1, 2→1, 1→2}; N=9, N1=2
+    val out = TextStats.goodTuring(docs, "text", maxR = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // r=1: r* = 2·N2·1000/N1 = 2·1·1000/2 = 1000; p0 = 2e6/9 = 222222
+    assert(out(1L) == ((2L, 1L, 1000L, 222222L)))
+    // r=2: N3 = 0 → r* = 0
+    assert(out(2L) == ((1L, 0L, 0L, 222222L)))
+    // r=5: N6 = 0 → r* = 0
+    assert(out(5L) == ((1L, 0L, 0L, 222222L)))
+    assert(out.size == 3)
+  }
+
+  test("goodTuring: maxR cuts the frame") {
+    val docs = Seq((1L, "a a a a b")).toDF("doc_id", "text")
+    val out = TextStats.goodTuring(docs, "text", maxR = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L)) // a=4 is above the cut, b=1 stays
+  }
+
+  test("burstiness: cf/df permille, minDf filter, cf-desc tie-broken order") {
+    val docs = Seq(
+      (1L, "the the cat"), (2L, "the dog"), (3L, "the zz zz zz")
+    ).toDF("doc_id", "text")
+    // the: df=3 cf=4 → 1333; zz: df=1 (cut at minDf=2); cat/dog: df=1 (cut)
+    val out = TextStats.burstiness(docs, "doc_id", "text", minDf = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("the", 3L, 4L, 1333L)))
+    val all = TextStats.burstiness(docs, "doc_id", "text", minDf = 1L, k = 3)
+      .collect().map(_.getString(0)).toSeq
+    // cf: the=4, zz=3, cat=dog=1 → top-3 tie on cf=1 resolves by token
+    assert(all == Seq("the", "zz", "cat"))
+  }
+
   test("lexicalDiversity: per-source mass, vocab, hapax, integer ratios") {
     val docs = Seq(
       (1L, "s1", "a a b"),   // s1: tokens 5, types {a:3, b:1, c:1} → hapax 2

@@ -1571,6 +1571,29 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("Join"), s"the report needs no join side at all:\n$p")
   }
 
+  test("q242: Good-Turing corpus work is two hash-aggs; spectrum lookups broadcast") {
+    val p = plan("q242_good_turing")
+    assert(p.split("HashAggregate").length >= 5,
+      s"term counts and the spectrum must map-side combine:\n$p")
+    // the r+1 lookup and the 1-row totals attach on the O(sqrt N)-row
+    // spectrum — never a corpus-sized shuffle join
+    assert(p.contains("BroadcastHashJoin"),
+      s"the r+1 spectrum lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may reach a join (1-row totals broadcast):\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"no window or global sort anywhere:\n$p")
+  }
+
+  test("q243: burstiness pre-collapses (token, doc) and cuts via TakeOrdered") {
+    val p = plan("q243_burstiness")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must be a TakeOrdered, not a global sort:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"(token, doc) pre-collapse and the token agg must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"the audit needs no join side:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
