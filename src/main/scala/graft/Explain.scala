@@ -293,7 +293,8 @@ object Explain {
                            // value-keyed lookups, centered 1-row sums
     "q241_mixture_concentration", // one corpus agg, |groups|-row windows
     "q242_good_turing",    // two hash-aggs, then broadcast-only lookups
-    "q243_burstiness"      // (term,doc) pre-collapse → term agg → TakeOrdered
+    "q243_burstiness",     // (term,doc) pre-collapse → term agg → TakeOrdered
+    "q244_keyness"         // one (source,token) shuffle; marginals post-agg
   )
 
   def main(args: Array[String]): Unit = {

@@ -1048,6 +1048,55 @@ object TextStats {
       .limit(k)
   }
 
+  /** Corpus keyness by Dunning's log-likelihood ratio (Dunning 1993,
+    * "Accurate methods for the statistics of surprise and coincidence";
+    * public): for every (source, token), the G² statistic of the 2×2
+    * contingency table [token in source | token elsewhere] — the standard
+    * corpus-linguistics answer to "which tokens characterize this source",
+    * robust at low counts where PMI and chi-square blow up. Emits each
+    * source's top-k tokens by G².
+    *
+    * Exact integers: every x·ln(x) term uses the repo's milli-nat
+    * convention `x · round(ln(x)·1000)` (0 at x = 0), so
+    * `g2_milli = 2·(Σ cell terms + N·lnN − Σ margin terms)` replays
+    * bit-for-bit in any engine with the same rounding.
+    *
+    * Plan: explode → (source, token) hash-agg; the token marginals attach
+    * by a vocabulary-keyed join, the source totals and the 1-row N
+    * broadcast, and the per-source top-k window runs on the
+    * |sources|×|vocab| post-aggregation frame — the corpus is touched by
+    * exactly one scan and one shuffle.
+    */
+  def keyness(df: DataFrame, sourceCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val xlnx = (c: Column) => when(c <= 0L, lit(0L))
+      .otherwise(c * round(log(c.cast("double")) * 1000).cast("long"))
+    val ast = df.select(col(sourceCol).as("source"),
+        explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("a"))
+    val tokTot = ast.groupBy(col("token")).agg(sum(col("a")).as("t"))
+    val srcTot = ast.groupBy(col("source")).agg(sum(col("a")).as("s"))
+    val total  = ast.agg(sum(col("a")).as("n"))
+    val cells = ast
+      .join(tokTot, Seq("token"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("b", col("t") - col("a"))
+      .withColumn("c", col("s") - col("a"))
+      .withColumn("d", col("n") - col("t") - col("s") + col("a"))
+      .withColumn("g2_milli", lit(2L) * (
+        xlnx(col("a")) + xlnx(col("b")) + xlnx(col("c")) + xlnx(col("d")) +
+        xlnx(col("n")) -
+        xlnx(col("a") + col("b")) - xlnx(col("c") + col("d")) -
+        xlnx(col("a") + col("c")) - xlnx(col("b") + col("d"))))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("g2_milli").desc, col("token"))
+    cells.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("source"), col("token"), col("a").as("c_st"),
+        col("t").as("c_token"), col("s").as("c_source"), col("g2_milli"))
+  }
+
   /** Per-source lexical diversity: token mass, vocabulary size, hapax count
     * (types occurring exactly once WITHIN the source), and the derived
     * exact-integer ratios `ttr_permille = vocab * 1000 div tokens` and

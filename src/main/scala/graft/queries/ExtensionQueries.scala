@@ -7748,6 +7748,46 @@ object ExtensionQueries {
       ORDER BY cf DESC, token LIMIT 50""")
   )
 
+  /** DuckDB text of the milli-nat x·ln(x) term (0 at x ≤ 0) — the q244
+    * oracle's cell/margin helper, matching [[TextStats.keyness]]'s
+    * convention exactly.
+    */
+  private def xlnxSql(e: String): String =
+    s"(CASE WHEN ($e) <= 0 THEN 0 ELSE ($e) * CAST(round(ln($e) * 1000) AS BIGINT) END)"
+
+  // Stats tier: Dunning log-likelihood keyness — per source, the top-5
+  // tokens by the G² statistic of the [in-source | elsewhere] contingency
+  // table (exact milli-nat integers); the domain-signature audit that is
+  // robust at low counts where PMI blows up. One corpus scan + one
+  // (source, token) shuffle; marginals attach vocab-keyed/broadcast and
+  // the top-k window runs on the post-agg frame.
+  private val q244 = Q(
+    "q244_keyness",
+    (s, dir) => TextStats.keyness(docsSpread(s, dir), "source", "text", k = 5),
+    Some(s"""WITH $toksCte,
+      tc AS (SELECT source, u.x AS tk FROM toks, UNNEST(w) AS u(x)),
+      ast AS (SELECT source, tk AS token, CAST(count(*) AS BIGINT) AS a
+        FROM tc GROUP BY 1, 2),
+      tt AS (SELECT token, CAST(sum(a) AS BIGINT) AS t FROM ast GROUP BY 1),
+      st AS (SELECT source, CAST(sum(a) AS BIGINT) AS s FROM ast GROUP BY 1),
+      nn AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM ast),
+      j AS (SELECT ast.source, ast.token, ast.a, tt.t, st.s, nn.n,
+          tt.t - ast.a AS b, st.s - ast.a AS c,
+          nn.n - tt.t - st.s + ast.a AS d
+        FROM ast JOIN tt USING (token) JOIN st USING (source), nn),
+      g AS (SELECT source, token, a, t, s,
+          2 * (${xlnxSql("a")} + ${xlnxSql("b")} + ${xlnxSql("c")}
+             + ${xlnxSql("d")} + ${xlnxSql("n")}
+             - ${xlnxSql("a + b")} - ${xlnxSql("c + d")}
+             - ${xlnxSql("a + c")} - ${xlnxSql("b + d")}) AS g2_milli
+        FROM j),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY source ORDER BY g2_milli DESC, token) AS rn
+        FROM g)
+      SELECT source, token, a AS c_st, t AS c_token, s AS c_source, g2_milli
+      FROM r WHERE rn <= 5""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7757,5 +7797,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
 }

@@ -161,6 +161,22 @@ class TextStatsSpec extends SparkFunSuite {
     assert(all == Seq("the", "zz", "cat"))
   }
 
+  test("keyness: hand-computed G² in milli-nats, per-source top-k, tie order") {
+    val docs = Seq(
+      (1L, "s1", "x x x y"), (2L, "s2", "y y y y")
+    ).toDF("doc_id", "src", "text")
+    // contingency for (s1, x): a=3 b=0 c=1 d=4, margins a+b=3 c+d=5 a+c=4
+    // b+d=4, N=8. milli-nat xlnx: 3·1099=3297, 0, 0, 4·1386=5544,
+    // 8·2079=16632; margins 3297, 5·1609=8045, 4·1386=5544, 5544.
+    // G² = 2·(3297+0+0+5544+16632−3297−8045−5544−5544) = 2·3043 = 6086
+    val out = TextStats.keyness(docs, "src", "text", k = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("s1") == (("x", 3L, 3L, 4L, 6086L)))
+    // (s2, y): a=4 b=1 c=0 d=3 → same table transposed → same G²
+    assert(out("s2") == (("y", 4L, 5L, 4L, 6086L)))
+  }
+
   test("lexicalDiversity: per-source mass, vocab, hapax, integer ratios") {
     val docs = Seq(
       (1L, "s1", "a a b"),   // s1: tokens 5, types {a:3, b:1, c:1} → hapax 2

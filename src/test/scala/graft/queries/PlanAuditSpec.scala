@@ -1594,6 +1594,20 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("Join"), s"the audit needs no join side:\n$p")
   }
 
+  test("q244: keyness touches the corpus once; marginals attach post-agg") {
+    val p = plan("q244_keyness")
+    assert(p.split("HashAggregate").length >= 3,
+      s"(source, token) counts must map-side combine:\n$p")
+    // source totals and the 1-row N broadcast; only the vocab-keyed token
+    // marginal may shuffle — and it is post-aggregation-sized
+    assert(p.contains("BroadcastHashJoin"),
+      s"source totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row total may cross:\n$p")
+    // the top-k window partitions by source on the post-agg frame
+    assert(p.contains("Window"), s"the per-source rank window is load-bearing:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
