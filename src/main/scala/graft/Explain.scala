@@ -294,7 +294,8 @@ object Explain {
     "q241_mixture_concentration", // one corpus agg, |groups|-row windows
     "q242_good_turing",    // two hash-aggs, then broadcast-only lookups
     "q243_burstiness",     // (term,doc) pre-collapse → term agg → TakeOrdered
-    "q244_keyness"         // one (source,token) shuffle; marginals post-agg
+    "q244_keyness",        // one (source,token) shuffle; marginals post-agg
+    "q245_rank_agreement"  // broadcast-sized past the shared retrievers
   )
 
   def main(args: Array[String]): Unit = {

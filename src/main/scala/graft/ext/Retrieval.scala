@@ -217,4 +217,38 @@ object Retrieval {
       .withColumn("fused_rnk", row_number().over(w).cast("long"))
       .filter(col("fused_rnk") <= topK)
   }
+
+  /** Rank-agreement curve between two retrievers: for every cut depth in
+    * `ks`, the size of top-k(a) ∩ top-k(b) and its exact permille of k —
+    * the standard IR overlap@k audit (the set-agreement backbone of
+    * rank-biased overlap, Webber et al. 2010; public) a pipeline reads
+    * before swapping a lexical retriever for a dense one: high agreement
+    * at small k means the cheap retriever can pre-filter for the
+    * expensive one.
+    *
+    * Both inputs are already-ranked result lists (id, rank) — at most
+    * their topK rows each. The id equi-join and the per-k conditional
+    * counts therefore run on ≤ topK rows: the depth spine attaches with a
+    * broadcast left join so every requested k emits a row even when the
+    * retrievers share nothing (n_common = 0), and the whole audit is
+    * driver-trivial at any corpus scale because the corpus never enters.
+    *
+    * Output: (k, n_common, overlap_permille), one row per distinct k.
+    */
+  def overlapAtK(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+                 ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "cut depths must be >= 1")
+    val j = a.select(col(idCol), col(rankCol).cast("long").as("__ra"))
+      .join(b.select(col(idCol), col(rankCol).cast("long").as("__rb")),
+        Seq(idCol))
+    val spine = a.sparkSession.range(1)
+      .select(explode(array(ks.distinct.sorted.map(k => lit(k.toLong)): _*))
+        .as("k"))
+    broadcast(spine).join(j, lit(true), "left")
+      .groupBy(col("k"))
+      .agg(sum(when(col("__ra") <= col("k") && col("__rb") <= col("k"), 1L)
+        .otherwise(0L)).as("n_common"))
+      .select(col("k"), col("n_common"),
+        expr("n_common * 1000 div k").as("overlap_permille"))
+  }
 }

@@ -5329,23 +5329,12 @@ object ExtensionQueries {
   // query vector vec_id=0). The standard RAG hybrid-search merge: no score
   // calibration, ranks only, k0=60. Ids overlap partially by construction
   // (dense ids are vec_ids ≥ 10) — RRF handles one-sided candidates.
-  private val q185 = Q(
-    "q185_rrf_fusion",
-    (s, dir) => {
-      val lex = Retrieval.bm25QueryTopK(docsSpread(s, dir), "doc_id", "text",
-        queryTerms = Seq("table", "query", "join"), perTermK = 20, k = 20)
-      val emb = Tables.embeddings(s, dir)
-      val dense = VectorSearch.bruteForceTopK(
-        emb.filter(col("vec_id") === 0), emb.filter(col("vec_id") >= 10),
-        "vec_id", "embedding", "vec_id", "embedding", k = 20)
-        .select(col("id").as("doc_id"), col("rnk"))
-      Retrieval.rrfFuse(
-        Seq("lex" -> lex.select(col("doc_id"), col("rnk")),
-            "dense" -> dense),
-        "doc_id", "rnk", k0 = 60, topK = 15)
-    },
-    Some(s"""WITH $toksCte,
-      pd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toks),
+  /** DuckDB twin of [[retrieverPair]] — the q185/q245 oracle CTE chain
+    * producing `lexr` (BM25 top-20) and `denser` (dense cosine top-20),
+    * both (doc_id, rnk). Expects `toks` in scope.
+    */
+  private def retrieverPairCtes: String =
+    s"""pd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toks),
       stats AS (SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM pd),
       tfs AS (
         SELECT doc_id, dl, 'table' AS term,
@@ -5375,7 +5364,34 @@ object ExtensionQueries {
       dscored AS (SELECT id, round(${duckCos("qv.v", "cv.v")}, 4) AS sim FROM qv, cv),
       denser AS (SELECT id AS doc_id,
           CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rnk
-        FROM dscored QUALIFY rnk <= 20),
+        FROM dscored QUALIFY rnk <= 20)"""
+
+  /** The shared retriever pair behind q185/q245: BM25 top-20 for
+    * ("table", "query", "join") and dense cosine top-20 for query vector 0
+    * over corpus vectors ≥ 10 — both as (doc_id, rnk). One definition so
+    * the fusion and the agreement audit cannot drift.
+    */
+  private def retrieverPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val lex = Retrieval.bm25QueryTopK(docsSpread(s, dir), "doc_id", "text",
+      queryTerms = Seq("table", "query", "join"), perTermK = 20, k = 20)
+      .select(col("doc_id"), col("rnk"))
+    val emb = Tables.embeddings(s, dir)
+    val dense = VectorSearch.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb.filter(col("vec_id") >= 10),
+      "vec_id", "embedding", "vec_id", "embedding", k = 20)
+      .select(col("id").as("doc_id"), col("rnk"))
+    (lex, dense)
+  }
+
+  private val q185 = Q(
+    "q185_rrf_fusion",
+    (s, dir) => {
+      val (lex, dense) = retrieverPair(s, dir)
+      Retrieval.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+        "doc_id", "rnk", k0 = 60, topK = 15)
+    },
+    Some(s"""WITH $toksCte,
+      $retrieverPairCtes,
       u AS (SELECT doc_id, rnk, 'lex' AS sys FROM lexr
         UNION ALL SELECT doc_id, rnk, 'dense' FROM denser),
       f AS (SELECT doc_id,
@@ -7788,6 +7804,48 @@ object ExtensionQueries {
       FROM r WHERE rn <= 5""")
   )
 
+  // Retrieval-eval tier: rank-agreement curve between the q185 retriever
+  // pair — overlap@k (size and exact permille of top-k(lexical) ∩
+  // top-k(dense)) at k ∈ {1, 5, 10, 20}; the audit read before letting the
+  // cheap retriever pre-filter for the expensive one. On this synthetic
+  // corpus the embeddings are independent of the token stream, so the
+  // honest cross-system reading is ≈ chance (20·20/490 < 1 doc); the
+  // lex~lex self-agreement spine rides along as the exact anchor
+  // (n_common = k), so the output cannot be faked by an all-zero bug.
+  // Both inputs are ≤ 20-row ranked lists — past the shared retrievers
+  // the whole query is broadcast-sized at any corpus scale.
+  private val q245 = Q(
+    "q245_rank_agreement",
+    (s, dir) => {
+      val (lex, dense) = retrieverPair(s, dir)
+      val ks = Seq(1, 5, 10, 20)
+      Retrieval.overlapAtK(lex, dense, "doc_id", "rnk", ks)
+        .withColumn("pair", lit("lex~dense"))
+        .unionByName(Retrieval.overlapAtK(lex, lex, "doc_id", "rnk", ks)
+          .withColumn("pair", lit("lex~lex")))
+        .select(col("pair"), col("k"), col("n_common"), col("overlap_permille"))
+    },
+    Some(s"""WITH $toksCte,
+      $retrieverPairCtes,
+      ks AS (SELECT CAST(u.x AS BIGINT) AS k FROM UNNEST([1, 5, 10, 20]) AS u(x)),
+      j1 AS (SELECT l.rnk AS ra, d.rnk AS rb
+        FROM lexr l JOIN denser d USING (doc_id)),
+      j2 AS (SELECT l.rnk AS ra, r.rnk AS rb
+        FROM lexr l JOIN lexr r USING (doc_id)),
+      ov AS (
+        SELECT 'lex~dense' AS pair, ks.k,
+          CAST(coalesce(sum(CASE WHEN j1.ra <= ks.k AND j1.rb <= ks.k
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_common
+        FROM ks LEFT JOIN j1 ON TRUE GROUP BY 1, 2
+        UNION ALL
+        SELECT 'lex~lex', ks.k,
+          CAST(coalesce(sum(CASE WHEN j2.ra <= ks.k AND j2.rb <= ks.k
+            THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM ks LEFT JOIN j2 ON TRUE GROUP BY 1, 2)
+      SELECT pair, k, n_common, n_common * 1000 // k AS overlap_permille
+      FROM ov""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7797,5 +7855,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245)
 }

@@ -272,6 +272,19 @@ class CurationOpsSpec extends SparkFunSuite {
     assert(out(12L)._4 == 4L) // 1/(60+3), lowest
   }
 
+  test("overlapAtK counts top-k intersections per depth; empty join → 0 rows kept") {
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rnk")
+    val b = Seq((11L, 1L), (10L, 2L), (13L, 3L)).toDF("doc_id", "rnk")
+    val out = Retrieval.overlapAtK(a, b, "doc_id", "rnk", ks = Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // k=1: {10} vs {11} → 0; k=2: {10,11} vs {11,10} → 2; k=3: adds 12 vs 13 → 2
+    assert(out == Map(1L -> ((0L, 0L)), 2L -> ((2L, 1000L)), 3L -> ((2L, 666L))))
+    val disjoint = Retrieval.overlapAtK(a,
+        Seq((99L, 1L)).toDF("doc_id", "rnk"), "doc_id", "rnk", ks = Seq(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(disjoint.toSeq == Seq((2L, 0L, 0L))) // the depth row survives
+  }
+
   // ---- tokenBudgetSample ----
 
   test("tokenBudgetSample admits in hash order until the stratum budget") {

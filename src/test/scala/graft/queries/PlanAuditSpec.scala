@@ -1608,6 +1608,16 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Window"), s"the per-source rank window is load-bearing:\n$p")
   }
 
+  test("q245: rank agreement is broadcast-sized past the retrievers") {
+    val p = plan("q245_rank_agreement")
+    // the ≤20-row ranked lists meet the depth spine via broadcast joins;
+    // nothing list-sized may sort-merge
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the depth spine must broadcast onto the joined lists:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast product:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
