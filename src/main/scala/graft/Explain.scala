@@ -295,7 +295,9 @@ object Explain {
     "q242_good_turing",    // two hash-aggs, then broadcast-only lookups
     "q243_burstiness",     // (term,doc) pre-collapse → term agg → TakeOrdered
     "q244_keyness",        // one (source,token) shuffle; marginals post-agg
-    "q245_rank_agreement"  // broadcast-sized past the shared retrievers
+    "q245_rank_agreement", // broadcast-sized past the shared retrievers
+    // q246_hits: checkpoint scan — one phase rendered as a special frame
+    "q247_adamic_adar"     // capped wedge centers → anti-join → TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {
@@ -329,6 +331,17 @@ object Explain {
         graft.queries.ExtensionQueries.pagerankEdges(spark, sfDir), "src", "dst")
       it.count()
       sb.append(s"\n## q87_pagerank (one power iteration)\n\n```\n")
+      sb.append(it.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q246's returned frame is a checkpoint scan (the q87 pattern); the
+    // load-bearing plan is ONE HITS phase over the same citation graph
+    locally {
+      val it = graft.ext.Graphs.hitsPhasePlanFrame(
+        graft.queries.ExtensionQueries.pagerankEdges(spark, sfDir), "src", "dst")
+      it.count()
+      sb.append(s"\n## q246_hits (one auth phase + L1 normalize)\n\n```\n")
       sb.append(it.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")

@@ -452,6 +452,145 @@ object Graphs {
           .otherwise(lit(0L)))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment"; public): on a directed link graph, a good
+    * HUB points at good authorities and a good AUTHORITY is pointed at by
+    * good hubs — the complementary pair of signals next to PageRank for
+    * crawl-frontier curation (a hub page is a harvest list; an authority
+    * is content worth keeping).
+    *
+    * Iteration k: `auth ← Σ_{j→i} hub(j)`, `hub ← Σ_{j→i} auth(i)`, each
+    * phase L1-normalized to `scaleMu` total mass. All arithmetic is BIGINT
+    * with floor division (`raw · scaleMu div Σraw`) — the L1 norm replaces
+    * the textbook L2 (same ranking, exact integers an oracle replays
+    * bit-for-bit; documented variant). Nodes with no in-edges hold
+    * authority 0, no out-edges hub 0.
+    *
+    * Scale: each phase is one edge join + one node-keyed hash-agg — the
+    * PageRank iteration shape exactly, so the same posture applies (the
+    * edge frame is materialized once and iterations shuffle only
+    * (node, mass) rows; `iters` is fixed and small, not a convergence
+    * loop). The Σraw totals are 1-row broadcasts.
+    *
+    * Output: (node, hub_mu, auth_mu) for every node in the edge list.
+    */
+  def hitsInt(edges0: DataFrame, srcCol: String, dstCol: String,
+              iters: Int, scaleMu: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val edgesChain = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    edgesChain.count()
+    val edges = edgesChain.sparkSession
+      .createDataFrame(edgesChain.rdd, edgesChain.schema)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    def normalize(raw: DataFrame, massCol: String): DataFrame = {
+      val total = broadcast(raw.agg(
+        coalesce(sum(col(massCol)), lit(0L)).as("__tot")))
+      nodes.join(raw, Seq("node"), "left").crossJoin(total)
+        .select(col("node"),
+          when(col("__tot") > 0L,
+            expr(s"coalesce($massCol, 0L) * ${scaleMu}L div __tot"))
+            .otherwise(lit(0L)).as(massCol))
+    }
+    var hub = nodes.select(col("node"), lit(scaleMu).as("hub_mu"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = normalize(
+        edges.join(hub, col("src") === col("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hub_mu")).as("auth_mu"))
+          .select(col("node"), col("auth_mu")),
+        "auth_mu")
+      hub = normalize(
+        edges.join(auth, col("dst") === col("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("auth_mu")).as("hub_mu"))
+          .select(col("node"), col("hub_mu")),
+        "hub_mu")
+    }
+    val out = hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub_mu"), col("auth_mu"))
+      .localCheckpoint(true)
+    edgesChain.unpersist()
+    out
+  }
+
+  /** ONE HITS phase (auth update + L1 normalize) as a plannable frame —
+    * [[hitsInt]]'s returned frame is a checkpoint scan, so plan audits and
+    * Explain read the load-bearing per-phase plan from here (the
+    * [[iterationPlanFrame]] pattern).
+    */
+  private[graft] def hitsPhasePlanFrame(edges0: DataFrame, srcCol: String,
+                                        dstCol: String): DataFrame = {
+    val edges = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val hub = nodes.select(col("node"), lit(1000000L).as("hub_mu"))
+    val raw = edges.join(hub, col("src") === col("node"))
+      .groupBy(col("dst").as("node")).agg(sum(col("hub_mu")).as("auth_mu"))
+      .select(col("node"), col("auth_mu"))
+    val total = broadcast(raw.agg(
+      coalesce(sum(col("auth_mu")), lit(0L)).as("__tot")))
+    nodes.join(raw, Seq("node"), "left").crossJoin(total)
+      .select(col("node"),
+        when(col("__tot") > 0L,
+          expr("coalesce(auth_mu, 0L) * 1000000L div __tot"))
+          .otherwise(lit(0L)).as("auth_mu"))
+  }
+
+  /** Adamic-Adar link prediction (Adamic & Adar 2003; Liben-Nowell &
+    * Kleinberg 2003, "The link prediction problem for social networks";
+    * public): for every NON-adjacent node pair sharing at least one
+    * neighbor, `score = Σ_{z ∈ Γ(u)∩Γ(v)} 1/ln(deg(z))` — rare shared
+    * neighbors are strong evidence, ubiquitous ones are nearly none. The
+    * densification signal for a co-occurrence graph: which pairs are one
+    * observation away from being an edge.
+    *
+    * Exact integers: each common neighbor contributes
+    * `1e9 div round(ln(deg)·1000)` (the milli-nat convention; a shared
+    * neighbor always has deg ≥ 2, so the divisor is ≥ 693 — never zero).
+    *
+    * Scale: the two-hop self-join is quadratic in neighbor-list length,
+    * so hubs above `maxDeg` are EXCLUDED as wedge centers before the pair
+    * join (documented truncation, the standard practice — a hub's
+    * 1/ln(deg) contribution is asymptotically negligible exactly when its
+    * d² pair cost explodes). Existing edges leave by an anti-join on the
+    * canonical (a < b) key; the final cut is a TakeOrdered, not a global
+    * sort.
+    *
+    * Output: top-k (u, v, common_neighbors, aa_micro) by score.
+    */
+  def adamicAdar(edges0: DataFrame, srcCol: String, dstCol: String,
+                 maxDeg: Int, k: Int): DataFrame = {
+    require(maxDeg >= 2 && k >= 1, "maxDeg must be >= 2 and k >= 1")
+    val e = edges0
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("zdeg"))
+    val centers = adj.join(deg.filter(col("zdeg") <= maxDeg), Seq("z"))
+    val pairs = centers.as("x")
+      .join(centers.as("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"), col("x.zdeg").as("zdeg"))
+    pairs
+      .join(e, pairs("u") === e("a") && pairs("v") === e("b"), "left_anti")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000000L div cast(round(ln(zdeg) * 1000) as long)"))
+          .as("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
   private[graft] def iteration(outEdges: DataFrame, nodes: DataFrame,
                                rank: DataFrame, base: Long, dampingPct: Int,
                                dangling: Option[(DataFrame, DataFrame)] = None): DataFrame = {

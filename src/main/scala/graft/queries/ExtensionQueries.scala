@@ -4757,16 +4757,20 @@ object ExtensionQueries {
   // orientation — the O(m^1.5) classic. The oracle brute-forces the same
   // a<b<c triangle enumeration; orientation changes the JOIN SHAPE, never
   // the counts, which is exactly what the hash gate certifies.
+  /** The part co-purchase graph shared by q169/q247: parts appearing in
+    * the same order, canonical low < high.
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("x")
+      .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+  }
+
   private val q169 = Q(
     "q169_copurchase_triangles",
-    (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = li.as("x")
-        .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst"))
-      Graphs.triangleCounts(edges, "src", "dst")
-    },
+    (s, dir) => Graphs.triangleCounts(copurchaseEdges(s, dir), "src", "dst"),
     Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       ed AS (SELECT DISTINCT x.p AS a, y.p AS b
         FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
@@ -7846,6 +7850,68 @@ object ExtensionQueries {
       FROM ov""")
   )
 
+  /** One HITS phase as oracle CTE text: sum `prev` mass over edges joined
+    * on `joinKey`, grouped by `groupKey`, then L1-normalize to 1e6 over
+    * `nodes` (absent nodes → 0) — [[graft.ext.Graphs.hitsInt]]'s exact
+    * arithmetic. Emits CTEs `<out>r`, `<out>t`, `<out>`.
+    */
+  private def hitsPhaseCtes(prev: String, out: String,
+                            joinKey: String, groupKey: String): String =
+    s"""${out}r AS (SELECT e.$groupKey AS node, CAST(sum(p.m) AS BIGINT) AS m
+        FROM edges e JOIN $prev p ON e.$joinKey = p.node GROUP BY 1),
+      ${out}t AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS tot FROM ${out}r),
+      $out AS (SELECT n.node, CASE WHEN t.tot > 0
+          THEN coalesce(r.m, 0) * 1000000 // t.tot ELSE CAST(0 AS BIGINT)
+        END AS m
+        FROM nodes n LEFT JOIN ${out}r r USING (node), ${out}t t)"""
+
+  // Graph tier: HITS hubs & authorities on the q87 citation graph
+  // (Kleinberg 1999) — the complementary centrality pair next to
+  // PageRank: sources that point at well-cited domains read as hubs,
+  // the cited domains as authorities. Two exact-integer iterations,
+  // L1-normalized each phase, oracle-replayed phase by phase.
+  private val q246 = Q(
+    "q246_hits",
+    (s, dir) => Graphs.hitsInt(pagerankEdges(s, dir), "src", "dst", iters = 2),
+    Some(s"""WITH $prGraphCtes,
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS m FROM nodes),
+      ${hitsPhaseCtes("h0", "a1", "src", "dst")},
+      ${hitsPhaseCtes("a1", "h1", "dst", "src")},
+      ${hitsPhaseCtes("h1", "a2", "src", "dst")},
+      ${hitsPhaseCtes("a2", "h2", "dst", "src")}
+      SELECT n.node, h2.m AS hub_mu, a2.m AS auth_mu
+      FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)""")
+  )
+
+  // Graph tier: Adamic-Adar link prediction on the part co-purchase graph
+  // (Liben-Nowell & Kleinberg 2003) — which part pairs are one
+  // co-occurrence away from being an edge, rare shared neighbors weighted
+  // 1/ln(deg). Wedge centers above deg 150 are excluded before the
+  // quadratic pair join (the hub cap that bounds the two-hop blow-up at
+  // scale); existing edges leave by anti-join; top-30 by exact micro score.
+  private val q247 = Q(
+    "q247_adamic_adar",
+    (s, dir) => Graphs.adamicAdar(copurchaseEdges(s, dir), "src", "dst",
+      maxDeg = 150, k = 30),
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      ed AS (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      adj AS (SELECT a AS z, b AS n FROM ed UNION ALL SELECT b, a FROM ed),
+      deg AS (SELECT z, CAST(count(*) AS BIGINT) AS zdeg FROM adj GROUP BY 1),
+      ctr AS (SELECT adj.z, adj.n, deg.zdeg FROM adj JOIN deg USING (z)
+        WHERE deg.zdeg <= 150),
+      pr AS (SELECT x.n AS u, y.n AS v, x.zdeg
+        FROM ctr x JOIN ctr y ON x.z = y.z AND x.n < y.n),
+      nw AS (SELECT u, v, zdeg FROM pr
+        WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.a = pr.u AND ed.b = pr.v)),
+      ag AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+          CAST(sum(1000000000 // CAST(round(ln(zdeg) * 1000) AS BIGINT))
+            AS BIGINT) AS aa_micro
+        FROM nw GROUP BY 1, 2)
+      SELECT u, v, common_neighbors, aa_micro FROM ag
+      ORDER BY aa_micro DESC, u, v LIMIT 30""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7855,5 +7921,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247)
 }

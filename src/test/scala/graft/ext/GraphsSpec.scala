@@ -239,6 +239,55 @@ class GraphsSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("hitsInt: hand-computed L1-normalized hubs/authorities, one iteration") {
+    val edges = Seq(("1", "3"), ("2", "3"), ("3", "4")).toDF("src", "dst")
+    val out = Graphs.hitsInt(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // auth_raw: 3←2e6, 4←1e6, Σ=3e6 → auth 3=666666, 4=333333
+    // hub_raw: 1←666666, 2←666666, 3←333333, Σ=1666665
+    //   → hub 1=2=400000 exact, 3=200000 exact, 4=0
+    assert(out == Map(
+      "1" -> ((400000L, 0L)), "2" -> ((400000L, 0L)),
+      "3" -> ((200000L, 666666L)), "4" -> ((0L, 333333L))))
+  }
+
+  test("hitsInt: duplicate/reversed-free distinct edges; masses stay normalized") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("src", "dst")
+    val out = Graphs.hitsInt(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // symmetric 2-cycle: every phase spreads all mass evenly
+    assert(out == Map("a" -> ((500000L, 500000L)), "b" -> ((500000L, 500000L))))
+  }
+
+  test("adamicAdar: path graph predicts the two-hop pairs, skips existing edges") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = Graphs.adamicAdar(edges, "src", "dst", maxDeg = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (1,3) via z=2 (deg 2), (2,4) via z=1 (deg 2); 1e9 div 693 = 1443001
+    assert(out.toSeq == Seq((1L, 3L, 1L, 1443001L), (2L, 4L, 1L, 1443001L)))
+  }
+
+  test("adamicAdar: hub centers above maxDeg are excluded as wedge centers") {
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graphs.adamicAdar(star, "src", "dst", maxDeg = 3, k = 10).count() == 0L)
+    // with the cap lifted, the 6 leaf pairs appear via center 0 (deg 4)
+    val lifted = Graphs.adamicAdar(star, "src", "dst", maxDeg = 4, k = 10).collect()
+    assert(lifted.length == 6)
+    // 1e9 div round(ln(4)·1000=1386) = 721500
+    assert(lifted.forall(r => r.getLong(2) == 1L && r.getLong(3) == 721500L))
+  }
+
+  test("hitsPhase plan: edge join + node agg, 1-row total broadcast, no window") {
+    val p = Graphs.hitsPhasePlanFrame(twoTri.toDF("src", "dst"), "src", "dst")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"normalization must be arithmetic, not a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the broadcast 1-row total may cross:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"the phase sum must map-side combine:\n$p")
+  }
+
   test("lpRound plan: join + two hash aggregates, no window, no product join") {
     val p = Graphs.lpRoundPlanFrame(twoTri.toDF("src", "dst"), "src", "dst")
       .queryExecution.executedPlan.toString

@@ -1618,6 +1618,18 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no unbroadcast product:\n$p")
   }
 
+  test("q247: Adamic-Adar caps wedge centers, anti-joins edges, cuts via TakeOrdered") {
+    val p = plan("q247_adamic_adar")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must be a TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"existing edges must leave by anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay an equi-join on the wedge center:\n$p")
+    assert(!p.contains("Window"),
+      s"no window anywhere — scores are one hash-agg:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
