@@ -613,6 +613,27 @@ object ScaleProbe {
           .withColumn("dst", lit(-1L))
         graft.ext.Graphs.triangleCounts(edges.unionByName(hub), "src", "dst").count()
       },
+      // Adamic-Adar under the q247 hub cap: m disjoint copies of the
+      // co-purchase graph PLUS one hub adjacent to every part
+      // (deg(hub) = 20k·m). The cap must exclude the hub as a wedge
+      // center BEFORE the quadratic pair join, so growth tracks the
+      // capped wedge mass (linear in disjoint copies), never deg(hub)²
+      "adamic_adar_cap" -> { m =>
+        val li = (0 until m).map { r =>
+          Tables.lineitem(spark, sfDir)
+            .select((col("l_orderkey") + lit(r * 100000000L)).as("o"),
+              (col("l_partkey") + lit(r * 10000000L)).as("p"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .distinct()
+        val edges = li.as("x")
+          .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+        val hub = li.select(col("p").as("src")).distinct()
+          .withColumn("dst", lit(-1L))
+        graft.ext.Graphs.adamicAdar(edges.unionByName(hub), "src", "dst",
+          maxDeg = 150, k = 30).count()
+      },
       // the q208 TPC-H Q7 fact⋈fact shape with facts replicated and dims
       // FIXED (production growth: lineitem and orders scale, supplier and
       // nation do not) — the supplier side must stay a broadcast at every
