@@ -297,6 +297,9 @@ object Explain {
     "q244_keyness",        // one (source,token) shuffle; marginals post-agg
     "q245_rank_agreement", // broadcast-sized past the shared retrievers
     // q246_hits: checkpoint scan — one phase rendered as a special frame
+    // q248_personalized_pagerank: checkpoint scan — per-iteration shape is
+    // q87's special frame with the uniform base swapped for a node-keyed
+    // base-frame join (same shuffle count)
     "q247_adamic_adar"     // capped wedge centers → anti-join → TakeOrdered
   )
 

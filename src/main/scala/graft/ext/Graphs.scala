@@ -452,6 +452,101 @@ object Graphs {
           .otherwise(lit(0L)))
   }
 
+  /** Personalized PageRank (topic-sensitive teleport, Haveliwala 2002;
+    * public): the random surfer teleports only to the `seeds0` node set,
+    * so mass concentrates around the seeds' neighborhoods — "standing
+    * relative to OUR trusted sources" rather than global standing; the
+    * seed-proximity signal a curation pass reads next to q87's global
+    * rank (TrustRank uses exactly this shape for spam demotion).
+    *
+    * Arithmetic is [[pageRankInt]]'s exact-BIGINT convention with the
+    * uniform base replaced by a per-node base FRAME: seeds hold
+    * `(100−damping)% · scaleMu · N div |S|` (total teleport mass equals
+    * the uniform case, so ranks are comparable across the two),
+    * non-seeds hold 0; the start state puts all `N · scaleMu` mass on the
+    * seeds. N and |S| ride as a broadcast 1-row frame, never driver
+    * scalars.
+    *
+    * Scale: identical per-iteration shape to [[pageRankInt]] — one edge
+    * join + one node-keyed hash-agg — plus one node-keyed left join onto
+    * the base frame (which replaces the uniform-base node join, so the
+    * shuffle count per iteration is unchanged). The base frame is
+    * materialized once and served through a short-lineage anchor.
+    *
+    * Output: (node, rank_mu) for every node in the edge list.
+    */
+  def personalizedPageRankInt(edges0: DataFrame, srcCol: String, dstCol: String,
+                              seeds0: DataFrame, seedCol: String, iters: Int,
+                              scaleMu: Long = 1000000L,
+                              dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct must be in [0, 100]")
+    val edgesChain = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    edgesChain.count()
+    val edges = edgesChain.sparkSession
+      .createDataFrame(edgesChain.rdd, edgesChain.schema)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    val outEdges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .persist()
+    val sd = nodes.join(
+      seeds0.select(col(seedCol).cast("string").as("node")).distinct(),
+      Seq("node"))
+    require(!sd.isEmpty, "no seed node appears in the edge list")
+    val totals = broadcast(nodes.agg(count(lit(1)).as("__n"))
+      .crossJoin(sd.agg(count(lit(1)).as("__s"))))
+    val baseChain = nodes
+      .join(sd.select(col("node"), lit(1L).as("__seed")), Seq("node"), "left")
+      .crossJoin(totals)
+      .select(col("node"),
+        when(col("__seed").isNotNull,
+          expr(s"((100L - ${dampingPct}L) * ${scaleMu}L * __n) div (100L * __s)"))
+          .otherwise(lit(0L)).as("base_mu"),
+        when(col("__seed").isNotNull, expr(s"(${scaleMu}L * __n) div __s"))
+          .otherwise(lit(0L)).as("rank0_mu"))
+      .persist()
+    baseChain.count()
+    // the loop references the base frame every round — serve it through a
+    // short-lineage anchor (the q112 pattern) so later generations do not
+    // re-analyze the seed-join subtree at every action
+    val baseF = baseChain.sparkSession
+      .createDataFrame(baseChain.rdd, baseChain.schema)
+    var rank = baseF.select(col("node"), col("rank0_mu").as("rank_mu"))
+    var lastMat: Option[DataFrame] = None
+    var depth = 0
+    for (i <- 1 to iters) {
+      val inflow = outEdges.join(rank, col("src") === col("node"))
+        .select(col("dst").as("node"), expr("rank_mu div odeg").as("__share"))
+        .groupBy("node").agg(sum(col("__share")).as("__inflow"))
+      rank = baseF.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (col("base_mu") +
+            expr(s"(${dampingPct}L * coalesce(__inflow, 0L)) div 100"))
+            .as("rank_mu"))
+      depth += 1
+      if (depth >= 4 && i < iters) {
+        val m = rank.persist()
+        m.count()
+        lastMat.foreach(_.unpersist())
+        lastMat = Some(m)
+        rank = m.sparkSession.createDataFrame(m.rdd, m.schema)
+        depth = 0
+      }
+    }
+    val out = rank.localCheckpoint(true)
+    lastMat.foreach(_.unpersist())
+    baseChain.unpersist()
+    outEdges.unpersist()
+    nodes.unpersist()
+    edgesChain.unpersist()
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
     * hyperlinked environment"; public): on a directed link graph, a good
     * HUB points at good authorities and a good AUTHORITY is pointed at by

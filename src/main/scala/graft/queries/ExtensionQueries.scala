@@ -7912,6 +7912,48 @@ object ExtensionQueries {
       ORDER BY aa_micro DESC, u, v LIMIT 30""")
   )
 
+  /** One personalized-PageRank oracle iteration: [[prIterCte]] with the
+    * uniform 150000 base replaced by `basef`'s per-node base column.
+    */
+  private def pprIterCte(prev: String, cur: String): String =
+    s"""$cur AS (SELECT b.node,
+      CAST(b.base_mu + (85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS rank_mu
+      FROM basef b LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(r.rank_mu // o.odeg) AS BIGINT) AS inflow
+        FROM edges e JOIN $prev r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+        GROUP BY 1) f ON b.node = f.node)"""
+
+  // Graph tier: personalized PageRank (Haveliwala 2002) on the q87
+  // citation graph, teleport restricted to the corpus SOURCE nodes — the
+  // TrustRank-shaped "standing relative to our trusted seeds" signal
+  // beside q87's global rank. Same exact-BIGINT iterations; the per-node
+  // base frame replaces the uniform constant, total teleport mass
+  // unchanged so the two rankings are directly comparable.
+  private val q248 = Q(
+    "q248_personalized_pagerank",
+    (s, dir) => Graphs.personalizedPageRankInt(pagerankEdges(s, dir),
+      "src", "dst",
+      Tables.documents(s, dir).select(col("source")).distinct(), "source",
+      iters = 3),
+    Some(s"""WITH $prGraphCtes,
+      sd AS (SELECT DISTINCT n.node FROM nodes n
+        JOIN (SELECT DISTINCT source FROM corpus) s ON n.node = s.source),
+      tt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n,
+        (SELECT CAST(count(*) AS BIGINT) FROM sd) AS s),
+      basef AS (SELECT n.node,
+          CASE WHEN sd.node IS NOT NULL
+            THEN (15 * 1000000 * t.n) // (100 * t.s)
+            ELSE CAST(0 AS BIGINT) END AS base_mu,
+          CASE WHEN sd.node IS NOT NULL THEN (1000000 * t.n) // t.s
+            ELSE CAST(0 AS BIGINT) END AS rank_mu
+        FROM nodes n LEFT JOIN sd ON n.node = sd.node, tt t),
+      p0 AS (SELECT node, rank_mu FROM basef),
+      ${pprIterCte("p0", "p1")},
+      ${pprIterCte("p1", "p2")},
+      ${pprIterCte("p2", "p3")}
+      SELECT node, rank_mu FROM p3""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7921,5 +7963,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248)
 }

@@ -277,6 +277,29 @@ class GraphsSpec extends SparkFunSuite {
     assert(lifted.forall(r => r.getLong(2) == 1L && r.getLong(3) == 721500L))
   }
 
+  test("personalizedPageRankInt: seed-only teleport, hand-computed two rounds") {
+    val edges = Seq(("1", "2"), ("2", "1"), ("2", "3")).toDF("src", "dst")
+    val seeds = Seq("1").toDF("s")
+    // N=3, |S|=1: base(1)=15e5·3/100=450000, rank0(1)=3e6, others 0
+    val r1 = Graphs.personalizedPageRankInt(edges, "src", "dst", seeds, "s", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // inflow: 2←3e6 (odeg(1)=1); rank1 = base + 85%·inflow
+    assert(r1 == Map("1" -> 450000L, "2" -> 2550000L, "3" -> 0L))
+    val r2 = Graphs.personalizedPageRankInt(edges, "src", "dst", seeds, "s", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shares: 1→2: 450000; 2→{1,3}: 2550000 div 2 = 1275000 each
+    assert(r2 == Map("1" -> (450000L + 85L * 1275000L / 100L),
+      "2" -> (85L * 450000L / 100L), "3" -> (85L * 1275000L / 100L)))
+  }
+
+  test("personalizedPageRankInt rejects a seed set disjoint from the graph") {
+    val edges = Seq(("1", "2")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRankInt(edges, "src", "dst",
+        Seq("99").toDF("s"), "s", iters = 1)
+    }
+  }
+
   test("hitsPhase plan: edge join + node agg, 1-row total broadcast, no window") {
     val p = Graphs.hitsPhasePlanFrame(twoTri.toDF("src", "dst"), "src", "dst")
       .queryExecution.executedPlan.toString
