@@ -300,7 +300,8 @@ object Explain {
     // q248_personalized_pagerank: checkpoint scan — per-iteration shape is
     // q87's special frame with the uniform base swapped for a node-keyed
     // base-frame join (same shuffle count)
-    "q247_adamic_adar"     // capped wedge centers → anti-join → TakeOrdered
+    "q247_adamic_adar",    // capped wedge centers → anti-join → TakeOrdered
+    "q249_rfm_segments"    // nation-grain ntile windows, no range exchange
   )
 
   def main(args: Array[String]): Unit = {

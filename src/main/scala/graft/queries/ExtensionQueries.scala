@@ -7954,6 +7954,60 @@ object ExtensionQueries {
       SELECT node, rank_mu FROM p3""")
   )
 
+  // Serving analytics: RFM customer segmentation (Hughes 1994; the
+  // classic direct-marketing triad — recency, frequency, monetary) —
+  // per-nation quintile codes so the windows stay at the (nation,
+  // customer) post-aggregation grain (each market ranks independently;
+  // no global sort of the customer base). Monetary is exact integer
+  // cents summed per row (merge-order-invariant), code 111 = champions.
+  private val q249 = Q(
+    "q249_rfm_segments",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(
+          datediff(lit("2001-09-01").cast("timestamp"),
+            max(col("o_orderdate"))).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(expr("cast(round(o_totalprice * 100) as long)"))
+            .as("monetary_cents"))
+      val j = cust.join(
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("nation")),
+        col("o_custkey") === col("c_custkey"))
+      def w(o: Column*) = Window.partitionBy(col("nation")).orderBy(o: _*)
+      j.select(col("nation"), col("monetary_cents"),
+          ntile(5).over(w(col("recency_days"), col("o_custkey"))).as("r"),
+          ntile(5).over(w(col("frequency").desc, col("o_custkey"))).as("f"),
+          ntile(5).over(w(col("monetary_cents").desc, col("o_custkey"))).as("m"))
+        .groupBy(col("nation"),
+          (col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("rfm_code"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_cents")).as("monetary_cents"))
+    },
+    Some("""WITH cust AS (SELECT o_custkey,
+        date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01 00:00:00')
+          AS recency_days,
+        CAST(count(*) AS BIGINT) AS frequency,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS monetary_cents
+      FROM orders GROUP BY 1),
+      j AS (SELECT c_nationkey AS nation, cust.*
+        FROM cust JOIN customer ON o_custkey = c_custkey),
+      sc AS (SELECT nation, monetary_cents,
+          ntile(5) OVER (PARTITION BY nation
+            ORDER BY recency_days, o_custkey) AS r,
+          ntile(5) OVER (PARTITION BY nation
+            ORDER BY frequency DESC, o_custkey) AS f,
+          ntile(5) OVER (PARTITION BY nation
+            ORDER BY monetary_cents DESC, o_custkey) AS m
+        FROM j)
+      SELECT nation, CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code,
+        CAST(count(*) AS BIGINT) AS n_customers,
+        CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents
+      FROM sc GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -7963,5 +8017,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249)
 }

@@ -1630,6 +1630,15 @@ class PlanAuditSpec extends SparkFunSuite {
       s"no window anywhere — scores are one hash-agg:\n$p")
   }
 
+  test("q249: RFM quintile windows stay at the nation grain — no range partitioning") {
+    val p = plan("q249_rfm_segments")
+    assert(!p.contains("rangepartitioning"),
+      s"per-nation ntile must hash-partition, never globally range-sort:\n$p")
+    assert(p.contains("Window"), s"the quintile windows are load-bearing:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the per-customer roll-up must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
