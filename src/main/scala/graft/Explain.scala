@@ -301,7 +301,8 @@ object Explain {
     // q87's special frame with the uniform base swapped for a node-keyed
     // base-frame join (same shuffle count)
     "q247_adamic_adar",    // capped wedge centers → anti-join → TakeOrdered
-    "q249_rfm_segments"    // nation-grain ntile windows, no range exchange
+    "q249_rfm_segments",   // nation-grain ntile windows, no range exchange
+    "q250_event_acf"       // minute-grain shift joins, 1-row totals broadcast
   )
 
   def main(args: Array[String]): Unit = {

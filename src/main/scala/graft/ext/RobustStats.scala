@@ -102,6 +102,60 @@ object RobustStats {
     *
     * Output: one row (n_items, rho_milli) with rho in [−1000, 1000].
     */
+  /** Lag-k autocorrelation of an integer time series (Box & Jenkins;
+    * public): `r_k = Σ_{t≤N−k} (x_t−x̄)(x_{t+k}−x̄) / Σ_t (x_t−x̄)²` for
+    * every lag 1..maxLag — the periodicity/burst diagnosis read off an
+    * ingest-rate series before alerting on raw spikes. Gaps in the index
+    * are FILLED WITH ZERO first (a missing minute is a zero-count minute,
+    * and skipping it would silently splice distant points together).
+    *
+    * Exact integers until the last step: centered values are scaled by N
+    * (`dx = x·N − Σx`, still BIGINT), numerator and denominator then carry
+    * N² each so the ratio is unchanged, and the single final division is
+    * one IEEE double `round(num·1000/den)` — the q240 signed-ratio
+    * convention.
+    *
+    * Plan: one hash-agg for the span + totals (broadcast 1-row), a
+    * sequence-explode span frame at |index| rows, one left join to fill
+    * gaps, and one equi-join of the series onto itself shifted by the
+    * broadcast lag spine — everything past the caller's aggregation is
+    * |index|·maxLag-sized, never input-sized.
+    *
+    * Output: (lag, n_pairs, acf_milli), one row per lag.
+    */
+  def autocorrelation(series: DataFrame, tCol: String, vCol: String,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val src = series.select(col(tCol).cast("long").as("__t"),
+      col(vCol).cast("long").as("__v"))
+    val span = broadcast(src.agg(min(col("__t")).as("__mn"),
+      max(col("__t")).as("__mx")))
+    val filled = span
+      .select(explode(expr("sequence(__mn, __mx)")).as("__t"))
+      .join(src, Seq("__t"), "left")
+      .select(col("__t"), coalesce(col("__v"), lit(0L)).as("__v"))
+    val tot = broadcast(filled.agg(count(lit(1)).as("__n"),
+      sum(col("__v")).as("__s")))
+    val ctr = filled.crossJoin(tot)
+      .select(col("__t"), expr("__v * __n - __s").as("__dx"))
+    val lagSpine = broadcast(src.sparkSession.range(1)
+      .select(explode(array((1 to maxLag).map(l => lit(l.toLong)): _*)).as("lag")))
+    val pairs = ctr.crossJoin(lagSpine)
+      .select(col("lag"), (col("__t") + col("lag")).as("__t"),
+        col("__dx").as("__dxa"))
+      .join(ctr.select(col("__t"), col("__dx").as("__dxb")), Seq("__t"))
+    val den = broadcast(ctr.agg(sum(expr("__dx * __dx")).as("__den")))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("__dxa * __dxb")).as("__num"))
+      .crossJoin(den)
+      .select(col("lag"), col("n_pairs"),
+        when(col("__den") <= 0L, lit(0L))
+          .otherwise(expr(
+            "cast(round(__num * 1000.0 / cast(__den as double)) as long)"))
+          .as("acf_milli"))
+  }
+
   def spearmanRank(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y"))

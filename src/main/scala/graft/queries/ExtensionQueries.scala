@@ -8008,6 +8008,43 @@ object ExtensionQueries {
       FROM sc GROUP BY 1, 2""")
   )
 
+  // Stats tier: lag-1..8 autocorrelation of the per-minute ingest-rate
+  // series (Box-Jenkins ACF) — the periodicity/burst diagnosis read
+  // before alerting on raw spikes; zero-count minutes are filled in, so
+  // gaps don't splice distant points together. Everything past the
+  // per-minute count is |minutes|·maxLag-sized.
+  private val q250 = Q(
+    "q250_event_acf",
+    (s, dir) => {
+      val mc = Tables.events(s, dir)
+        .groupBy(expr("cast(ts as long) div 60").as("minute"))
+        .agg(count(lit(1)).as("n_events"))
+      RobustStats.autocorrelation(mc, "minute", "n_events", maxLag = 8)
+    },
+    Some("""WITH mc AS (SELECT epoch_us(ts) // 60000000 AS t,
+        CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      sp AS (SELECT CAST(min(t) AS BIGINT) AS mn, CAST(max(t) AS BIGINT) AS mx
+        FROM mc),
+      fl AS (SELECT u.x AS t, CAST(coalesce(mc.v, 0) AS BIGINT) AS v
+        FROM sp, UNNEST(range(sp.mn, sp.mx + 1)) AS u(x)
+        LEFT JOIN mc ON mc.t = u.x),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+        FROM fl),
+      ctr AS (SELECT t, v * tt.n - tt.s AS dx FROM fl, tt),
+      dn AS (SELECT CAST(sum(dx * dx) AS BIGINT) AS den FROM ctr),
+      ks AS (SELECT CAST(u.x AS BIGINT) AS lag FROM UNNEST(range(1, 9)) AS u(x)),
+      pr AS (SELECT ks.lag, a.dx AS dxa, b.dx AS dxb
+        FROM ks, ctr a, ctr b WHERE b.t = a.t + ks.lag),
+      ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(dxa * dxb) AS BIGINT) AS num
+        FROM pr GROUP BY 1)
+      SELECT lag, n_pairs,
+        CASE WHEN dn.den <= 0 THEN 0
+          ELSE CAST(round(num * 1000.0 / CAST(dn.den AS DOUBLE)) AS BIGINT)
+        END AS acf_milli
+      FROM ag, dn""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8017,5 +8054,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
 }

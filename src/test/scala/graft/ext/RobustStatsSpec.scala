@@ -39,6 +39,23 @@ class RobustStatsSpec extends SparkFunSuite {
     assert(r.getAs[Long]("chi2_centi") == chi2)
   }
 
+  test("autocorrelation: hand-computed lags on a ramp, signed rounding") {
+    val s = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("t", "v")
+    val out = RobustStats.autocorrelation(s, "t", "v", maxLag = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // dx = v·4 − 10 = [-6,-2,2,6], den = 80
+    // lag1: 12−4+12 = 20 → 250; lag2: −12−12 = −24 → −300
+    assert(out == Map(1L -> ((3L, 250L)), 2L -> ((2L, -300L))))
+  }
+
+  test("autocorrelation fills index gaps with zero before shifting") {
+    val s = Seq((0L, 3L), (2L, 3L)).toDF("t", "v")
+    val out = RobustStats.autocorrelation(s, "t", "v", maxLag = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // filled [3,0,3]: dx = [3,−6,3], den 54; lag1: −18−18 = −36 → −667
+    assert(out.toSeq == Seq((1L, 2L, -667L)))
+  }
+
   test("spearmanRank: +/-1000 on monotone data, 0 under independence, tie-correct") {
     val up = Seq((1L, 10L), (2L, 20L), (3L, 25L), (4L, 90L), (5L, 91L)).toDF("x", "y")
     assert(RobustStats.spearmanRank(up, "x", "y").collect().head.getLong(1) == 1000L)

@@ -1639,6 +1639,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the per-customer roll-up must map-side combine:\n$p")
   }
 
+  test("q250: ACF touches events once; shifts are equi-joins on the minute grain") {
+    val p = plan("q250_event_acf")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the per-minute count must map-side combine:\n$p")
+    assert(!p.contains("Window") && !p.contains("rangepartitioning"),
+      s"no window, no global sort — shifts are joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast 1-row totals and the lag spine may cross:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
