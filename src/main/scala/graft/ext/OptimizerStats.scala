@@ -72,6 +72,48 @@ object OptimizerStats {
     * Values compare in canonical string form (numerics documented as
     * lexicographic in min/max_str).
     */
+  /** MCV selectivity audit (the Postgres `pg_stats` estimation model;
+    * public): keep the k most-common values EXACT, assume every other
+    * value takes an equal share of the remaining mass — then score the
+    * model against the truth for every distinct value as an equality
+    * predicate. The table an optimizer review reads to decide whether k
+    * MCV slots are enough for this column's skew: `err_bp` spikes exactly
+    * where a common-but-not-kept value got the uniform guess.
+    *
+    * Exact integers: `actual_bp = c·10000 div N`; non-MCV estimate =
+    * `(N − Σmcv)·10000 div ((ndv − k)·N)` (the uniform remainder share);
+    * MCV rows estimate at their exact share by construction.
+    *
+    * Plan: one hash-agg to the |distinct|-row value histogram; the MCV
+    * set is a TakeOrdered k and rides back as a broadcast, totals as
+    * broadcast 1-rows — past the first aggregate nothing is input-sized.
+    *
+    * Output: (value, cnt, is_mcv, actual_bp, est_bp, err_bp) per
+    * distinct value.
+    */
+  def mcvSelectivity(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val vh = df.select(col(valueCol).cast("long").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(vh.agg(sum(col("cnt")).as("__n"),
+      count(lit(1)).as("__ndv")))
+    val mcv = vh.orderBy(col("cnt").desc, col("value")).limit(k)
+      .select(col("value"), lit(1L).as("__mcv"))
+    val mcvMass = broadcast(vh.join(mcv, Seq("value"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("__mcvsum")))
+    vh.join(broadcast(mcv), Seq("value"), "left")
+      .crossJoin(tot).crossJoin(mcvMass)
+      .select(col("value"), col("cnt"),
+        col("__mcv").isNotNull.as("is_mcv"),
+        expr("cnt * 10000 div __n").as("actual_bp"),
+        when(col("__mcv").isNotNull, expr("cnt * 10000 div __n"))
+          .otherwise(when(col("__ndv") > k,
+            expr(s"(__n - __mcvsum) * 10000 div ((__ndv - ${k}L) * __n)"))
+            .otherwise(lit(0L))).as("est_bp"))
+      .withColumn("err_bp", abs(col("actual_bp") - col("est_bp")))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val melted = df

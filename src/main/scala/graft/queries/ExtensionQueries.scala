@@ -8045,6 +8045,36 @@ object ExtensionQueries {
       FROM ag, dn""")
   )
 
+  // Optimizer-stats tier: MCV selectivity audit (the Postgres pg_stats
+  // estimation model) over l_quantity — 5 most-common values kept exact,
+  // the remainder assumed uniform, every distinct value scored as an
+  // equality predicate (est vs actual in exact bp). err_bp spikes exactly
+  // where a common-but-not-kept value got the uniform guess — the table
+  // read to size the MCV list for this column's skew.
+  private val q251 = Q(
+    "q251_mcv_selectivity",
+    (s, dir) => OptimizerStats.mcvSelectivity(
+      Tables.lineitem(s, dir), "l_quantity", k = 5),
+    Some("""WITH vh AS (SELECT CAST(l_quantity AS BIGINT) AS value,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS ndv FROM vh),
+      mcv AS (SELECT value FROM vh ORDER BY cnt DESC, value LIMIT 5),
+      mm AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS mcvsum
+        FROM vh JOIN mcv USING (value))
+      SELECT vh.value, vh.cnt, mcv.value IS NOT NULL AS is_mcv,
+        vh.cnt * 10000 // t.n AS actual_bp,
+        CASE WHEN mcv.value IS NOT NULL THEN vh.cnt * 10000 // t.n
+          WHEN t.ndv > 5 THEN (t.n - m.mcvsum) * 10000 // ((t.ndv - 5) * t.n)
+          ELSE CAST(0 AS BIGINT) END AS est_bp,
+        abs(vh.cnt * 10000 // t.n -
+          CASE WHEN mcv.value IS NOT NULL THEN vh.cnt * 10000 // t.n
+            WHEN t.ndv > 5 THEN (t.n - m.mcvsum) * 10000 // ((t.ndv - 5) * t.n)
+            ELSE CAST(0 AS BIGINT) END) AS err_bp
+      FROM vh LEFT JOIN mcv USING (value), tot t, mm m""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8054,5 +8084,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251)
 }

@@ -23,6 +23,26 @@ class OptimizerStatsSpec extends SparkFunSuite {
     assert(r.getAs[Long]("exact_pairs") == 5L && r.getAs[Long]("est_hh") == 5L)
   }
 
+  test("mcvSelectivity: MCVs exact, remainder uniform, hand-computed bp") {
+    // counts: 10→6, 20→2, 30→1, 40→1; N=10, ndv=4, k=2 → MCV {10, 20},
+    // Σmcv=8; uniform remainder share = 2·10000 div (2·10) = 1000 bp
+    val rows = (Seq.fill(6)(10L) ++ Seq.fill(2)(20L) ++ Seq(30L, 40L)).toDF("v")
+    val out = OptimizerStats.mcvSelectivity(rows, "v", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(10L) == ((6L, true, 6000L, 6000L, 0L)))
+    assert(out(20L) == ((2L, true, 2000L, 2000L, 0L)))
+    assert(out(30L) == ((1L, false, 1000L, 1000L, 0L)))
+    assert(out(40L) == ((1L, false, 1000L, 1000L, 0L)))
+    // skewed tail: the uniform guess misses — 50→3 vs 60→1 share one est
+    val skew = (Seq.fill(6)(10L) ++ Seq.fill(3)(50L) ++ Seq(60L)).toDF("v")
+    val o2 = OptimizerStats.mcvSelectivity(skew, "v", k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    // non-MCV est = (10−6)·10000 div (2·10) = 2000 bp for both 50 and 60
+    assert(o2(50L) == ((2000L, 1000L))) // actual 3000 → err 1000
+    assert(o2(60L) == ((2000L, 1000L))) // actual 1000 → err 1000
+  }
+
   test("columnProfile: exact ndv, null tallies, modal value with max-value tiebreak") {
     val rows = Seq(
       (Some("x"), 1L), (Some("x"), 2L), (Some("y"), 2L), (None, 3L)

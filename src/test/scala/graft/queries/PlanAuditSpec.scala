@@ -1649,6 +1649,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"only broadcast 1-row totals and the lag spine may cross:\n$p")
   }
 
+  test("q251: MCV audit scans once; MCV set and totals ride back as broadcasts") {
+    val p = plan("q251_mcv_selectivity")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the value histogram must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the MCV flag join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"past the histogram nothing is input-sized:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
