@@ -303,7 +303,8 @@ object Explain {
     "q247_adamic_adar",    // capped wedge centers → anti-join → TakeOrdered
     "q249_rfm_segments",   // nation-grain ntile windows, no range exchange
     "q250_event_acf",      // minute-grain shift joins, 1-row totals broadcast
-    "q251_mcv_selectivity" // one histogram agg; MCV set rides a broadcast
+    "q251_mcv_selectivity", // one histogram agg; MCV set rides a broadcast
+    "q252_event_transitions" // user-grain LAG + broadcast from-totals
   )
 
   def main(args: Array[String]): Unit = {

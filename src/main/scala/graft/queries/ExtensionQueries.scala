@@ -8075,6 +8075,45 @@ object ExtensionQueries {
       FROM vh LEFT JOIN mcv USING (value), tot t, mm m""")
   )
 
+  // Serving analytics: first-order Markov transition matrix over each
+  // user's event stream — P(next type | current type) in exact conditional
+  // permille, the clickstream behavior model behind next-action prediction
+  // and funnel-drop diagnosis. One user-partitioned LAG window (the q12
+  // sessionize grain — never a global sort) + two map-side-combinable
+  // aggregates; the per-row denominator attaches by a |types|-row
+  // broadcast join.
+  private val q252 = Q(
+    "q252_event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val fromTot = tr.groupBy(col("prev_type"))
+        .agg(sum(col("n_transitions")).as("__from_total"))
+      tr.join(broadcast(fromTot), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n_transitions"),
+          expr("n_transitions * 1000 div __from_total").as("p_permille"))
+    },
+    Some("""WITH lg AS (SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events),
+      tr AS (SELECT prev_type, event_type AS next_type,
+          CAST(count(*) AS BIGINT) AS n_transitions
+        FROM lg WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      ft AS (SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS tot
+        FROM tr GROUP BY 1)
+      SELECT tr.prev_type, tr.next_type, tr.n_transitions,
+        tr.n_transitions * 1000 // ft.tot AS p_permille
+      FROM tr JOIN ft USING (prev_type)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8084,5 +8123,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252)
 }

@@ -1659,6 +1659,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"past the histogram nothing is input-sized:\n$p")
   }
 
+  test("q252: transition matrix lags at the user grain; denominator broadcasts") {
+    val p = plan("q252_event_transitions")
+    assert(!p.contains("rangepartitioning"),
+      s"the LAG window must hash-partition by user, never globally sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|-row from-totals must broadcast:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"transition counts must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
