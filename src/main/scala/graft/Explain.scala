@@ -304,7 +304,8 @@ object Explain {
     "q249_rfm_segments",   // nation-grain ntile windows, no range exchange
     "q250_event_acf",      // minute-grain shift joins, 1-row totals broadcast
     "q251_mcv_selectivity", // one histogram agg; MCV set rides a broadcast
-    "q252_event_transitions" // user-grain LAG + broadcast from-totals
+    "q252_event_transitions", // user-grain LAG + broadcast from-totals
+    "q253_churn_survival"  // KM windows on the duration histogram
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust / forensic statistics over value columns — the data-quality
@@ -154,6 +154,61 @@ object RobustStats {
           .otherwise(expr(
             "cast(round(__num * 1000.0 / cast(__den as double)) as long)"))
           .as("acf_milli"))
+  }
+
+  /** Kaplan-Meier survival estimator (Kaplan & Meier 1958; public): from
+    * per-subject (duration, event) observations — `eventCol` true = the
+    * terminal event happened at `durationCol`, false = censored (still
+    * alive when observation ended) — the survival curve
+    * `S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)` at every distinct event time.
+    * The churn-analysis backbone: censoring is what distinguishes "left
+    * at day 30" from "observed only 30 days so far", and ignoring it
+    * biases every retention number down.
+    *
+    * Determinism: the running product is carried as a SUM of per-step
+    * `round(ln((n−d)/n)·1e6)` micro-nat terms (exact BIGINTs), and the
+    * single `exp` at the end is the q241 fixed-point convention
+    * (`survival_ppm = round(exp(cum/1e6)·1e6)`). A step that kills
+    * everyone at risk (n = d, only possible at the last event time)
+    * forces survival 0 from that step on.
+    *
+    * Plan: one subject-grain hash-agg to the |distinct durations|
+    * histogram; at-risk counts come from a suffix sum and the product
+    * from a prefix sum — two windows over the HISTOGRAM rows, never the
+    * subject frame.
+    *
+    * Output: (t, n_at_risk, d_events, survival_ppm) per distinct event
+    * time, ascending.
+    */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lnMicro = (c: Column) => round(log(c.cast("double")) * 1e6).cast("long")
+    val hist = subjects.select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("__e"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("__all"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("d_events"))
+    val wSuffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrefix = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_at_risk", sum(col("__all")).over(wSuffix))
+      .filter(col("d_events") > 0L)
+      .withColumn("__term",
+        when(col("n_at_risk") === col("d_events"), lit(0L))
+          .otherwise(lnMicro(col("n_at_risk") - col("d_events")) -
+            lnMicro(col("n_at_risk"))))
+      .withColumn("__cum", sum(col("__term")).over(wPrefix))
+      .withColumn("__dead",
+        sum(when(col("n_at_risk") === col("d_events"), 1L).otherwise(0L))
+          .over(wPrefix))
+      .select(col("t"), col("n_at_risk"), col("d_events"),
+        when(col("__dead") > 0L, lit(0L))
+          .otherwise(expr(
+            "cast(round(exp(cast(__cum as double) / 1e6) * 1e6) as long)"))
+          .as("survival_ppm"))
   }
 
   def spearmanRank(df: DataFrame, xCol: String, yCol: String): DataFrame = {

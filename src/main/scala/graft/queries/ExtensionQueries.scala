@@ -8114,6 +8114,55 @@ object ExtensionQueries {
       FROM tr JOIN ft USING (prev_type)""")
   )
 
+  // Serving analytics: user-churn survival curve (Kaplan-Meier) — per-user
+  // observed lifetime in days, right-censored when the user was still
+  // active in the corpus's final day (observation ended, no churn
+  // event); the retention statement that does NOT bias down by counting
+  // the still-active as churned. Everything past the per-user lifetime
+  // agg runs on the |distinct durations| histogram.
+  private val q253 = Q(
+    "q253_churn_survival",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val life = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"), max(col("ts")).as("__last"))
+      val subj = life.crossJoin(broadcast(ev.agg(max(col("ts")).as("__cmax"))))
+        .select(
+          datediff(col("__last"), col("__first")).cast("long").as("dur"),
+          (col("__last") < expr("__cmax - INTERVAL 1 DAYS")).as("churned"))
+      RobustStats.kaplanMeier(subj, "dur", "churned")
+    },
+    Some("""WITH life AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+        FROM events GROUP BY 1),
+      cm AS (SELECT max(ts) AS mx FROM events),
+      subj AS (SELECT date_diff('day', f, l) AS t,
+          (l < cm.mx - INTERVAL 1 DAY) AS e
+        FROM life, cm),
+      hist AS (SELECT t, CAST(count(*) AS BIGINT) AS alln,
+          CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM subj GROUP BY 1),
+      wr AS (SELECT t, d, CAST(sum(alln) OVER (ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+        FROM hist),
+      tm AS (SELECT t, n, d,
+          CASE WHEN n = d THEN 0
+            ELSE CAST(round(ln(n - d) * 1000000) AS BIGINT)
+               - CAST(round(ln(n) * 1000000) AS BIGINT) END AS term,
+          CASE WHEN n = d THEN 1 ELSE 0 END AS dead
+        FROM wr WHERE d > 0),
+      cu AS (SELECT t, n, d,
+          CAST(sum(term) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(sum(dead) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS dd
+        FROM tm)
+      SELECT t, n AS n_at_risk, d AS d_events,
+        CASE WHEN dd > 0 THEN 0
+          ELSE CAST(round(exp(CAST(cum AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+        END AS survival_ppm
+      FROM cu""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8123,5 +8172,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253)
 }

@@ -56,6 +56,28 @@ class RobustStatsSpec extends SparkFunSuite {
     assert(out.toSeq == Seq((1L, 2L, -667L)))
   }
 
+  test("kaplanMeier: censoring shrinks at-risk, exhaustion zeroes the tail") {
+    val subj = Seq((1L, true), (2L, true), (2L, false), (3L, true))
+      .toDF("dur", "ev")
+    val out = RobustStats.kaplanMeier(subj, "dur", "ev")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // S(1) = 3/4, S(2) = 3/4 · 2/3 = 1/2 (the censored subject left the
+    // risk set WITHOUT a death), S(3): n = d = 1 → 0
+    assert(out == Map(1L -> ((4L, 1L, 750000L)),
+      2L -> ((3L, 1L, 500000L)), 3L -> ((1L, 1L, 0L))))
+  }
+
+  test("kaplanMeier: censor-only times emit no row but stay in earlier risk sets") {
+    val subj = Seq((1L, true), (5L, false), (9L, true)).toDF("dur", "ev")
+    val out = RobustStats.kaplanMeier(subj, "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // t=5 is censoring-only → no curve row; t=1 risk set still counts it
+    assert(out.map(_._1).toSet == Set(1L, 9L))
+    assert(out.find(_._1 == 1L).get == ((1L, 3L, 1L, 666667L))) // 2/3
+    assert(out.find(_._1 == 9L).get == ((9L, 1L, 1L, 0L)))
+  }
+
   test("spearmanRank: +/-1000 on monotone data, 0 under independence, tie-correct") {
     val up = Seq((1L, 10L), (2L, 20L), (3L, 25L), (4L, 90L), (5L, 91L)).toDF("x", "y")
     assert(RobustStats.spearmanRank(up, "x", "y").collect().head.getLong(1) == 1000L)

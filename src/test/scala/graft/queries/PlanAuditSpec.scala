@@ -1669,6 +1669,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"transition counts must map-side combine:\n$p")
   }
 
+  test("q253: KM curve windows run on the duration histogram, not the user frame") {
+    val p = plan("q253_churn_survival")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the per-user lifetime agg must map-side combine:\n$p")
+    assert(p.contains("Window"),
+      s"the suffix/prefix histogram windows are load-bearing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"only the broadcast corpus-max may join:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
