@@ -305,7 +305,8 @@ object Explain {
     "q250_event_acf",      // minute-grain shift joins, 1-row totals broadcast
     "q251_mcv_selectivity", // one histogram agg; MCV set rides a broadcast
     "q252_event_transitions", // user-grain LAG + broadcast from-totals
-    "q253_churn_survival"  // KM windows on the duration histogram
+    "q253_churn_survival", // KM windows on the duration histogram
+    "q254_time_to_convert" // user-keyed firsts, MIN aggs, 1-row totals
   )
 
   def main(args: Array[String]): Unit = {

@@ -8163,6 +8163,55 @@ object ExtensionQueries {
       FROM cu""")
   )
 
+  // Serving analytics: signup→purchase time-to-convert — per user, minutes
+  // from FIRST signup to the FIRST purchase at-or-after it, reported as
+  // conversion rate (exact bp) plus median/p90 latency (the q35 percentile
+  // convention). The activation-funnel statement product reviews read
+  // first. One conditional agg per user + one user-keyed join; the
+  // percentile runs on the |converted users| frame.
+  private val q254 = Q(
+    "q254_time_to_convert",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val d = su.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts")),
+          Seq("user_id"))
+        .filter(col("p_ts") >= col("signup_ts"))
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(col("p_ts")).as("conv_ts"))
+        .select(expr(
+          "(cast(conv_ts as long) - cast(signup_ts as long)) div 60")
+          .as("delta_min"))
+      d.agg(count(lit(1)).as("n_converted"),
+          expr("round(percentile(delta_min, 0.5), 4)").as("p50_min"),
+          expr("round(percentile(delta_min, 0.9), 4)").as("p90_min"))
+        .crossJoin(broadcast(su.agg(count(lit(1)).as("n_signups"))))
+        .select(col("n_signups"), col("n_converted"),
+          expr("n_converted * 10000 div n_signups").as("conversion_bp"),
+          col("p50_min"), col("p90_min"))
+    },
+    Some("""WITH su AS (SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      d AS (SELECT su.user_id,
+          (epoch_us(min(e.ts)) // 1000000 - epoch_us(su.signup_ts) // 1000000)
+            // 60 AS delta_min
+        FROM su JOIN events e ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+        GROUP BY 1, su.signup_ts),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+          round(quantile_cont(delta_min, 0.5), 4) AS p50_min,
+          round(quantile_cont(delta_min, 0.9), 4) AS p90_min
+        FROM d),
+      ns AS (SELECT CAST(count(*) AS BIGINT) AS n_signups FROM su)
+      SELECT ns.n_signups, ag.n_converted,
+        ag.n_converted * 10000 // ns.n_signups AS conversion_bp,
+        ag.p50_min, ag.p90_min
+      FROM ag, ns""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8172,5 +8221,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254)
 }

@@ -1679,6 +1679,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"only the broadcast corpus-max may join:\n$p")
   }
 
+  test("q254: time-to-convert joins once on the user key; totals broadcast") {
+    val p = plan("q254_time_to_convert")
+    assert(p.split("HashAggregate").length >= 3,
+      s"first-signup and first-purchase must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row signup total may cross:\n$p")
+    assert(!p.contains("Window"),
+      s"firsts are MIN aggregates, not rank windows:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
