@@ -1278,6 +1278,61 @@ object StreamPipelines {
     * micro-batch that touches the stratum. Long keys (the typed state
     * needs a concrete encoder); the batch operator stays generic.
     */
+  // ---------------------------------------------------------------------
+  // Streaming transition extraction (the incremental form of q252's
+  // Markov matrix): per-user last-event state, each arriving event emits
+  // the (prev → next) transition row. In-order per-user delivery is the
+  // contract (the Kafka-partition-by-user deployment); the sink
+  // aggregates counts, exactly as the batch matrix does after LAG.
+
+  final case class TransEvent(user: Long, tsMs: Long, eventId: Long, typ: String)
+  final case class TransState(tsMs: Long, eventId: Long, typ: String)
+  final case class TransOut(user: Long, prev_type: String, next_type: String)
+
+  implicit private val transEventEnc: Encoder[TransEvent] = Encoders.product[TransEvent]
+  implicit private val transStateEnc: Encoder[TransState] = Encoders.product[TransState]
+  implicit private val transOutEnc: Encoder[TransOut]     = Encoders.product[TransOut]
+  implicit private val userKeyEnc: Encoder[Long]          = Encoders.scalaLong
+
+  /** Streaming twin of the q252 transition matrix: state is ONE row per
+    * user (the last event seen); each micro-batch sorts ITS OWN rows per
+    * user by (ts, event_id) — the same tie-break as the batch LAG — folds
+    * from the prior state, and emits one transition row per arrival.
+    * Late rows older than the retained state are DROPPED, not spliced out
+    * of order (counted upstream by the watermark metrics); the union of
+    * emitted transitions over in-order batches equals the batch LAG
+    * extraction exactly.
+    */
+  def transitionStream(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): Dataset[TransOut] = {
+    val typed = events.select(
+        col(userCol).cast("long").as("user"),
+        (col(tsCol).cast("double") * 1000).cast("long").as("tsMs"),
+        col(idCol).cast("long").as("eventId"),
+        col(typeCol).cast("string").as("typ"))
+      .as[TransEvent]
+    typed.groupByKey(_.user)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[TransEvent], state: GroupState[TransState]) =>
+          val batch = it.toSeq.sortBy(e => (e.tsMs, e.eventId))
+          var prior = state.getOption
+          val out   = Seq.newBuilder[TransOut]
+          batch.foreach { e =>
+            prior match {
+              case Some(p) if e.tsMs < p.tsMs ||
+                  (e.tsMs == p.tsMs && e.eventId <= p.eventId) =>
+              // late duplicate/out-of-order arrival: state already ahead
+              case _ =>
+                prior.foreach(p => out += TransOut(user, p.typ, e.typ))
+                prior = Some(TransState(e.tsMs, e.eventId, e.typ))
+            }
+          }
+          prior.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def prioritySampleStream(docs: DataFrame, strataCol: String, keyCol: String,
                            weightCol: String, k: Int): Dataset[PrioOut] = {
     require(k > 0, "k must be positive")

@@ -15,6 +15,7 @@ final case class Cdc(op: String, ts_ms: Long, user_id: String, segment: String)
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 final case class Vec(vec_id: Long, embedding: Seq[Double])
 final case class Val(ts: Timestamp, key: String, value: Double)
+final case class UEv(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
 
 class StreamPipelinesSpec extends SparkFunSuite {
   import spark.implicits._
@@ -934,6 +935,35 @@ class StreamPipelinesSpec extends SparkFunSuite {
           Seq((1L, "a a b"), (2L, "c a")).toDF("id", "text"), "text", depth = 3, width = 8)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("transitionStream: in-order batches reproduce the batch LAG extraction; late rows drop") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[UEv]
+    val q = StreamPipelines.transitionStream(input.toDF(),
+        "user_id", "ts", "event_id", "event_type")
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      input.addData(
+        UEv(1L, t("2024-01-01 10:00:00"), 1L, "view"),
+        UEv(1L, t("2024-01-01 10:01:00"), 2L, "click"),
+        UEv(2L, t("2024-01-01 10:00:30"), 3L, "signup"))
+      q.processAllAvailable()
+      input.addData( // crosses the micro-batch boundary via state
+        UEv(1L, t("2024-01-01 10:02:00"), 4L, "purchase"),
+        UEv(2L, t("2024-01-01 10:03:00"), 5L, "click"))
+      q.processAllAvailable()
+      // a late duplicate of event 2 and a pre-state stale row: both dropped
+      input.addData(
+        UEv(1L, t("2024-01-01 10:01:00"), 2L, "click"),
+        UEv(2L, t("2024-01-01 10:00:00"), 0L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("trans").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+      assert(got == Seq(
+        (1L, "click", "purchase"), (1L, "view", "click"),
+        (2L, "signup", "click")))
     } finally q.stop()
   }
 
