@@ -306,7 +306,9 @@ object Explain {
     "q251_mcv_selectivity", // one histogram agg; MCV set rides a broadcast
     "q252_event_transitions", // user-grain LAG + broadcast from-totals
     "q253_churn_survival", // KM windows on the duration histogram
-    "q254_time_to_convert" // user-keyed firsts, MIN aggs, 1-row totals
+    "q254_time_to_convert", // user-keyed firsts, MIN aggs, 1-row totals
+    "q255_reorder_intervals", // customer-grain LAG, no join side
+    "q256_basket_lift"     // pair agg + keyed part totals + TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {

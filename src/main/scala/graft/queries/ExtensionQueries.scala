@@ -8212,6 +8212,86 @@ object ExtensionQueries {
       FROM ag, ns""")
   )
 
+  // Serving analytics: reorder-interval distribution — days between a
+  // customer's consecutive orders (LAG at the customer grain, tie-broken
+  // by orderkey), summarized as interval count, median/p90 (the q35
+  // convention) and the exact ≤ 7-day reorder share in bp — the
+  // repeat-purchase cadence a replenishment forecast starts from.
+  private val q255 = Q(
+    "q255_reorder_intervals",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val iv = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("__prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(datediff(col("o_orderdate"), col("__prev")).cast("long")
+          .as("gap_days"))
+      iv.agg(count(lit(1)).as("n_intervals"),
+          expr("round(percentile(gap_days, 0.5), 4)").as("p50_days"),
+          expr("round(percentile(gap_days, 0.9), 4)").as("p90_days"),
+          sum(when(col("gap_days") <= 7L, 1L).otherwise(0L)).as("__fast"))
+        .select(col("n_intervals"), col("p50_days"), col("p90_days"),
+          expr("__fast * 10000 div n_intervals").as("within_week_bp"))
+    },
+    Some("""WITH lg AS (SELECT o_custkey, o_orderdate,
+        lag(o_orderdate) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+      iv AS (SELECT date_diff('day', prev, o_orderdate) AS gap_days
+        FROM lg WHERE prev IS NOT NULL)
+      SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+        round(quantile_cont(gap_days, 0.5), 4) AS p50_days,
+        round(quantile_cont(gap_days, 0.9), 4) AS p90_days,
+        CAST(sum(CASE WHEN gap_days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+          * 10000 // count(*) AS within_week_bp
+      FROM iv""")
+  )
+
+  // Serving analytics: basket-affinity rules (Agrawal et al. 1993,
+  // association-rule support/confidence/lift at the pair level) over the
+  // part co-purchase baskets — which part pairs co-occur MORE than their
+  // popularities explain. Exact integers: support counts, confidence and
+  // lift in fixed point (`lift_milli = co·N·1000 div (cA·cB)`), minimum
+  // pair support 3, top-20 by lift. The pair join reuses the q169/q247
+  // co-purchase spine; part totals attach by key, the basket count N by
+  // 1-row broadcast; the cut is a TakeOrdered.
+  private val q256 = Q(
+    "q256_basket_lift",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pc = li.groupBy(col("p")).agg(count(lit(1)).as("__c"))
+      val nb = broadcast(li.agg(countDistinct(col("o")).as("__n")))
+      copurchaseEdges(s, dir)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("co_baskets"))
+        .filter(col("co_baskets") >= 3L)
+        .join(pc.select(col("p").as("src"), col("__c").as("__ca")), "src")
+        .join(pc.select(col("p").as("dst"), col("__c").as("__cb")), "dst")
+        .crossJoin(nb)
+        .select(col("src").as("part_a"), col("dst").as("part_b"),
+          col("co_baskets"),
+          expr("co_baskets * 1000 div __ca").as("conf_a_to_b_milli"),
+          expr("co_baskets * __n * 1000 div (__ca * __cb)").as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem),
+      pc AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+      nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM li),
+      pr AS (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS co
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT pr.a AS part_a, pr.b AS part_b, pr.co AS co_baskets,
+        pr.co * 1000 // ca.c AS conf_a_to_b_milli,
+        pr.co * nb.n * 1000 // (ca.c * cb.c) AS lift_milli
+      FROM pr JOIN pc ca ON pr.a = ca.p JOIN pc cb ON pr.b = cb.p, nb
+      ORDER BY lift_milli DESC, part_a, part_b LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8221,5 +8301,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256)
 }

@@ -1689,6 +1689,23 @@ class PlanAuditSpec extends SparkFunSuite {
       s"firsts are MIN aggregates, not rank windows:\n$p")
   }
 
+  test("q255: reorder LAG stays at the customer grain") {
+    val p = plan("q255_reorder_intervals")
+    assert(!p.contains("rangepartitioning"),
+      s"the LAG window must hash-partition by customer:\n$p")
+    assert(!p.contains("Join"), s"intervals need no join side:\n$p")
+  }
+
+  test("q256: basket lift counts pairs once; totals attach by key and broadcast") {
+    val p = plan("q256_basket_lift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be a TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row basket total may cross:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"pair counts and part totals must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
