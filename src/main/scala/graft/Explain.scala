@@ -308,7 +308,8 @@ object Explain {
     "q253_churn_survival", // KM windows on the duration histogram
     "q254_time_to_convert", // user-keyed firsts, MIN aggs, 1-row totals
     "q255_reorder_intervals", // customer-grain LAG, no join side
-    "q256_basket_lift"     // pair agg + keyed part totals + TakeOrdered
+    "q256_basket_lift",    // pair agg + keyed part totals + TakeOrdered
+    "q257_abc_classes"     // brand-grain Pareto windows, broadcast dim
   )
 
   def main(args: Array[String]): Unit = {

@@ -8292,6 +8292,65 @@ object ExtensionQueries {
       ORDER BY lift_milli DESC, part_a, part_b LIMIT 20""")
   )
 
+  // Serving analytics: ABC inventory classification (the Pareto cut every
+  // ops review runs: A = parts covering the first 80% of revenue, B to
+  // 95%, C the tail) — per brand, so the running-share window stays at
+  // the (brand, part) post-aggregation grain like q249's quintiles; no
+  // global sort of the part catalog. Revenue in exact per-row cents,
+  // boundaries in exact permille of the brand total.
+  private val q257 = Q(
+    "q257_abc_classes",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("cast(round(l_extendedprice * 100) as long)"))
+          .as("rev_cents"))
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand").as("brand")),
+          col("l_partkey") === col("p_partkey"))
+      val ord = Window.partitionBy(col("brand"))
+        .orderBy(col("rev_cents").desc, col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rev
+        .withColumn("__cum", sum(col("rev_cents")).over(ord))
+        .withColumn("__tot", sum(col("rev_cents")).over(all))
+        .withColumn("abc_class",
+          when(col("__cum") * 1000 <= col("__tot") * 800, "A")
+            .when(col("__cum") * 1000 <= col("__tot") * 950, "B")
+            .otherwise("C"))
+        .groupBy(col("brand"), col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev_cents")).as("revenue_cents"),
+          max(col("__tot")).as("__tot"))
+        .select(col("brand"), col("abc_class"), col("n_parts"),
+          col("revenue_cents"),
+          expr("revenue_cents * 10000 div __tot").as("revenue_share_bp"))
+    },
+    Some("""WITH rev AS (SELECT l_partkey,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          AS rev_cents
+      FROM lineitem GROUP BY 1),
+      j AS (SELECT p.p_brand AS brand, p.p_partkey, rev.rev_cents
+        FROM rev JOIN part p ON rev.l_partkey = p.p_partkey),
+      c AS (SELECT brand, rev_cents,
+          CAST(sum(rev_cents) OVER (PARTITION BY brand
+            ORDER BY rev_cents DESC, p_partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(sum(rev_cents) OVER (PARTITION BY brand) AS BIGINT) AS tot
+        FROM j),
+      cl AS (SELECT brand, rev_cents, tot,
+          CASE WHEN cum * 1000 <= tot * 800 THEN 'A'
+            WHEN cum * 1000 <= tot * 950 THEN 'B' ELSE 'C' END AS abc_class
+        FROM c)
+      SELECT brand, abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+        CAST(sum(rev_cents) AS BIGINT) * 10000 // max(tot) AS revenue_share_bp
+      FROM cl GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8301,5 +8360,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257)
 }

@@ -1706,6 +1706,15 @@ class PlanAuditSpec extends SparkFunSuite {
       s"pair counts and part totals must map-side combine:\n$p")
   }
 
+  test("q257: ABC running shares stay at the brand grain") {
+    val p = plan("q257_abc_classes")
+    assert(!p.contains("rangepartitioning"),
+      s"the Pareto windows must hash-partition by brand, never global-sort:\n$p")
+    assert(p.contains("Window"), s"the running-share windows are load-bearing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dimension must broadcast onto the revenue agg:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
