@@ -309,7 +309,8 @@ object Explain {
     "q254_time_to_convert", // user-keyed firsts, MIN aggs, 1-row totals
     "q255_reorder_intervals", // customer-grain LAG, no join side
     "q256_basket_lift",    // pair agg + keyed part totals + TakeOrdered
-    "q257_abc_classes"     // brand-grain Pareto windows, broadcast dim
+    "q257_abc_classes",    // brand-grain Pareto windows, broadcast dim
+    "q258_ship_delay_sla"  // one fact-key join, priority-grain percentiles
   )
 
   def main(args: Array[String]): Unit = {

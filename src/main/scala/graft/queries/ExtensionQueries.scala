@@ -8351,6 +8351,42 @@ object ExtensionQueries {
       FROM cl GROUP BY 1, 2""")
   )
 
+  // Serving analytics: shipping-delay SLA by order priority — days from
+  // order to line shipment per priority class: median/p90 (the q35
+  // convention) and the exact >30-day breach share in bp. The
+  // fact⋈fact-key join ships the orderdate onto lineitem; percentiles
+  // run per priority group.
+  private val q258 = Q(
+    "q258_ship_delay_sla",
+    (s, dir) => {
+      val d = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("delay_days"))
+      d.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("round(percentile(delay_days, 0.5), 4)").as("p50_days"),
+          expr("round(percentile(delay_days, 0.9), 4)").as("p90_days"),
+          sum(when(col("delay_days") > 30L, 1L).otherwise(0L)).as("__late"))
+        .select(col("o_orderpriority"), col("n_lines"), col("p50_days"),
+          col("p90_days"),
+          expr("__late * 10000 div n_lines").as("breach_bp"))
+    },
+    Some("""WITH d AS (SELECT o.o_orderpriority,
+        date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        round(quantile_cont(delay_days, 0.5), 4) AS p50_days,
+        round(quantile_cont(delay_days, 0.9), 4) AS p90_days,
+        CAST(sum(CASE WHEN delay_days > 30 THEN 1 ELSE 0 END) AS BIGINT)
+          * 10000 // count(*) AS breach_bp
+      FROM d GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8360,5 +8396,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258)
 }

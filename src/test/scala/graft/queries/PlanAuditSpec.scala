@@ -1715,6 +1715,15 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the part dimension must broadcast onto the revenue agg:\n$p")
   }
 
+  test("q258: ship-delay SLA joins the facts once on the order key") {
+    val p = plan("q258_ship_delay_sla")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"percentiles are aggregates at the priority grain, no products:\n$p")
+    // the scan must prune to the 2+3 needed columns
+    assert(!p.contains("l_extendedprice") && !p.contains("o_totalprice"),
+      s"columns not pruned:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
