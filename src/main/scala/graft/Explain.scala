@@ -310,7 +310,8 @@ object Explain {
     "q255_reorder_intervals", // customer-grain LAG, no join side
     "q256_basket_lift",    // pair agg + keyed part totals + TakeOrdered
     "q257_abc_classes",    // brand-grain Pareto windows, broadcast dim
-    "q258_ship_delay_sla"  // one fact-key join, priority-grain percentiles
+    "q258_ship_delay_sla", // one fact-key join, priority-grain percentiles
+    "q259_error_rate_wilson" // one hour-grain agg + closed-form projection
   )
 
   def main(args: Array[String]): Unit = {

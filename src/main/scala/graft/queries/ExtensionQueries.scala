@@ -8387,6 +8387,38 @@ object ExtensionQueries {
       FROM d GROUP BY 1""")
   )
 
+  // Stats tier: hourly error rate with Wilson 95% score intervals (Wilson
+  // 1927) — the analytic twin of q174's bootstrap CI: closed-form bounds
+  // from (k, n) alone, the "is the 3am spike significant" table. Counts
+  // are exact; the interval arithmetic is plain IEEE doubles built from
+  // the exact counts with literal z constants (z = 1.96, z² = 3.8416), so
+  // both engines produce the identical rounded bp. One hash-agg at the
+  // hour-of-day grain; no join side at all.
+  private val q259 = Q(
+    "q259_error_rate_wilson",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("k"))
+      .select(col("hour_of_day"), col("n"), col("k"),
+        expr("k * 10000 div n").as("rate_bp"),
+        expr("cast(round(10000 * ((k + 1.9208) - 1.96 * sqrt((cast(k as double) * (n - k)) / n + 0.9604)) / (n + 3.8416)) as long)")
+          .as("wilson_lo_bp"),
+        expr("cast(round(10000 * ((k + 1.9208) + 1.96 * sqrt((cast(k as double) * (n - k)) / n + 0.9604)) / (n + 3.8416)) as long)")
+          .as("wilson_hi_bp")),
+    Some("""WITH h AS (SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+          AS k
+      FROM events GROUP BY 1)
+      SELECT hour_of_day, n, k, k * 10000 // n AS rate_bp,
+        CAST(round(10000 * ((k + 1.9208) - 1.96 * sqrt((CAST(k AS DOUBLE) * (n - k)) / n + 0.9604)) / (n + 3.8416)) AS BIGINT)
+          AS wilson_lo_bp,
+        CAST(round(10000 * ((k + 1.9208) + 1.96 * sqrt((CAST(k AS DOUBLE) * (n - k)) / n + 0.9604)) / (n + 3.8416)) AS BIGINT)
+          AS wilson_hi_bp
+      FROM h""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8396,5 +8428,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259)
 }

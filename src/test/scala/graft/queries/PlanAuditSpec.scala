@@ -1724,6 +1724,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"columns not pruned:\n$p")
   }
 
+  test("q259: Wilson intervals are one hash-agg and a projection — no join, no window") {
+    val p = plan("q259_error_rate_wilson")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"closed-form CI needs no join or window:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"hour counts must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
