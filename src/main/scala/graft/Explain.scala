@@ -311,7 +311,8 @@ object Explain {
     "q256_basket_lift",    // pair agg + keyed part totals + TakeOrdered
     "q257_abc_classes",    // brand-grain Pareto windows, broadcast dim
     "q258_ship_delay_sla", // one fact-key join, priority-grain percentiles
-    "q259_error_rate_wilson" // one hour-grain agg + closed-form projection
+    "q259_error_rate_wilson", // one hour-grain agg + closed-form projection
+    "q260_length_ks"       // (group,value)-spine ECDF windows + pair join
   )
 
   def main(args: Array[String]): Unit = {

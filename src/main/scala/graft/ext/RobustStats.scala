@@ -211,6 +211,53 @@ object RobustStats {
           .as("survival_ppm"))
   }
 
+  /** Pairwise two-sample Kolmogorov-Smirnov distance (Smirnov 1939;
+    * public): for every group pair, the maximum ECDF gap
+    * `D = max_v |F_a(v) − F_b(v)|` over the shared value spine — the
+    * classic distribution-shift test, sensitive to location AND shape
+    * where a mean comparison sees nothing.
+    *
+    * Exact integers: the max runs over the CROSS-MULTIPLIED gap
+    * `|cumA·n_b − cumB·n_a|` (BIGINT; fits while n_a·n_b < 2^63 — at
+    * larger group sizes pre-aggregate counts to a coarser value grid),
+    * and `ks_milli = D_scaled·1000 div (n_a·n_b)`.
+    *
+    * Plan: one (group, value) hash-agg; the ECDF fill is a
+    * |groups|·|distinct values| spine (cross of two post-agg frames) with
+    * one cum-sum window PER GROUP partition; the pair join runs on the
+    * filled spine keyed by value. Nothing input-sized past the first agg.
+    *
+    * Output: (group_a, group_b, n_a, n_b, ks_milli) for a < b.
+    */
+  def ksPairwise(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val spine = h.select(col("v")).distinct()
+    val groups = h.select(col("g")).distinct()
+    val filled = groups.crossJoin(spine)
+      .join(h, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ecdf = filled
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wTot))
+      .select(col("g"), col("v"), col("cum"), col("n"))
+    ecdf.as("a")
+      .join(ecdf.as("b"),
+        col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"),
+        max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")))
+          .as("__d"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        expr("__d * 1000 div (n_a * n_b)").as("ks_milli"))
+  }
+
   def spearmanRank(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y"))

@@ -8419,6 +8419,38 @@ object ExtensionQueries {
       FROM h""")
   )
 
+  // Stats tier: pairwise two-sample KS distance over per-source document
+  // lengths — the distribution-shift test beside q222's JSD: KS reads the
+  // max ECDF gap (location + shape), JSD the average log-ratio; a source
+  // whose length profile silently shifts fires here first. Exact
+  // cross-multiplied integers end to end.
+  private val q260 = Q(
+    "q260_length_ks",
+    (s, dir) => {
+      val dl = docsSpread(s, dir).select(col("source"),
+        size(TextDedup.tokens(col("text"))).cast("long").as("len"))
+      RobustStats.ksPairwise(dl, "source", "len")
+    },
+    Some(s"""WITH $toksCte,
+      dl AS (SELECT source AS g, CAST(len(w) AS BIGINT) AS v FROM toks),
+      h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM dl GROUP BY 1, 2),
+      sp AS (SELECT DISTINCT v FROM h),
+      gs AS (SELECT DISTINCT g FROM h),
+      fl AS (SELECT gs.g, sp.v, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+        FROM gs CROSS JOIN sp LEFT JOIN h ON h.g = gs.g AND h.v = sp.v),
+      ec AS (SELECT g, v,
+          CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM fl)
+      SELECT a.g AS group_a, b.g AS group_b,
+        CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b,
+        CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) * 1000
+          // (max(a.n) * max(b.n)) AS ks_milli
+      FROM ec a JOIN ec b ON a.v = b.v AND a.g < b.g
+      GROUP BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8428,5 +8460,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260)
 }

@@ -78,6 +78,19 @@ class RobustStatsSpec extends SparkFunSuite {
     assert(out.find(_._1 == 9L).get == ((9L, 1L, 1L, 0L)))
   }
 
+  test("ksPairwise: disjoint→1000, identical→0, shifted→exact max ECDF gap") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 1L), ("c", 2L)).toDF("g", "v")
+    val out = RobustStats.ksPairwise(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(out(("a", "b")) == 1000L) // disjoint supports
+    assert(out(("a", "c")) == 0L)    // identical distributions
+    val shifted = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val o2 = RobustStats.ksPairwise(shifted, "g", "v").collect().head
+    assert(o2.getLong(4) == 333L) // D = 1/3 exactly, floored milli
+  }
+
   test("spearmanRank: +/-1000 on monotone data, 0 under independence, tie-correct") {
     val up = Seq((1L, 10L), (2L, 20L), (3L, 25L), (4L, 90L), (5L, 91L)).toDF("x", "y")
     assert(RobustStats.spearmanRank(up, "x", "y").collect().head.getLong(1) == 1000L)

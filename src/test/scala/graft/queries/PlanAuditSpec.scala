@@ -1732,6 +1732,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"hour counts must map-side combine:\n$p")
   }
 
+  test("q260: KS ECDFs run on the (group, value) spine, never the corpus") {
+    val p = plan("q260_length_ks")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the (source, length) histogram must map-side combine:\n$p")
+    assert(p.contains("Window"),
+      s"the per-group cum-sum windows are load-bearing:\n$p")
+    assert(!p.contains("SortMergeJoin") || !p.contains("rangepartitioning"),
+      s"the pair join is value-keyed on the post-agg spine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
