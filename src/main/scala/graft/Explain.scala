@@ -312,7 +312,9 @@ object Explain {
     "q257_abc_classes",    // brand-grain Pareto windows, broadcast dim
     "q258_ship_delay_sla", // one fact-key join, priority-grain percentiles
     "q259_error_rate_wilson", // one hour-grain agg + closed-form projection
-    "q260_length_ks"       // (group,value)-spine ECDF windows + pair join
+    "q260_length_ks",      // (group,value)-spine ECDF windows + pair join
+    "q261_activity_streaks", // user-grain islands window, no join
+    "q262_ordered_funnel"  // chained user-keyed MIN aggregates
   )
 
   def main(args: Array[String]): Unit = {

@@ -8451,6 +8451,84 @@ object ExtensionQueries {
       GROUP BY 1, 2""")
   )
 
+  // Serving analytics: longest consecutive-day activity streak per user,
+  // rolled up as a streak-length histogram — the gaps-and-islands pattern
+  // at the user grain (epoch-day minus per-user ROW_NUMBER is constant
+  // within a run), the engagement-loop health metric. Distinct activity
+  // days collapse first, every window stays user-partitioned.
+  private val q261 = Q(
+    "q261_activity_streaks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("cast(ts as long) div 86400").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = days
+        .withColumn("__grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("user_id")).agg(max(col("__len")).as("best_streak"))
+      streaks.groupBy(col("best_streak"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id,
+        epoch_us(ts) // 86400000000 AS day FROM events),
+      g AS (SELECT user_id, day,
+          day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM days),
+      runs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        FROM g GROUP BY user_id, grp),
+      best AS (SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak
+        FROM runs GROUP BY 1)
+      SELECT best_streak, CAST(count(*) AS BIGINT) AS n_users
+      FROM best GROUP BY 1""")
+  )
+
+  // Serving analytics: strictly-ordered view→click→purchase funnel — each
+  // stage's first timestamp must FOLLOW the previous stage's (min-ts
+  // chaining, the q254 shape twice), so a purchase before any click does
+  // not count; reports per-stage user counts and step conversion in exact
+  // bp. Three conditional MIN aggregates + two user-keyed joins.
+  private val q262 = Q(
+    "q262_ordered_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = v.join(ev.filter(col("event_type") === "click"), Seq("user_id"))
+        .filter(col("ts") >= col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+      val pu = c.join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+        .filter(col("ts") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val n1 = v.agg(count(lit(1)).as("n_viewed"))
+      val n2 = broadcast(c.agg(count(lit(1)).as("n_clicked")))
+      val n3 = broadcast(pu.agg(count(lit(1)).as("n_purchased")))
+      n1.crossJoin(n2).crossJoin(n3)
+        .select(col("n_viewed"), col("n_clicked"), col("n_purchased"),
+          expr("n_clicked * 10000 div n_viewed").as("view_to_click_bp"),
+          expr("n_purchased * 10000 div n_clicked").as("click_to_purchase_bp"))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT v.user_id, min(e.ts) AS t2
+        FROM v JOIN events e ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1),
+      p AS (SELECT c.user_id, min(e.ts) AS t3
+        FROM c JOIN events e ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+        (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+        (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased,
+        (SELECT CAST(count(*) AS BIGINT) FROM c) * 10000
+          // (SELECT count(*) FROM v) AS view_to_click_bp,
+        (SELECT CAST(count(*) AS BIGINT) FROM p) * 10000
+          // (SELECT count(*) FROM c) AS click_to_purchase_bp""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8460,5 +8538,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262)
 }

@@ -1742,6 +1742,23 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the pair join is value-keyed on the post-agg spine:\n$p")
   }
 
+  test("q261: streak islands window stays at the user grain") {
+    val p = plan("q261_activity_streaks")
+    assert(!p.contains("rangepartitioning"),
+      s"the ROW_NUMBER must hash-partition by user:\n$p")
+    assert(!p.contains("Join"), s"islands need no join side:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"distinct days, runs, bests and the histogram must map-side combine:\n$p")
+  }
+
+  test("q262: ordered funnel is min-ts chaining on the user key — no window") {
+    val p = plan("q262_ordered_funnel")
+    assert(!p.contains("Window"),
+      s"stage firsts are MIN aggregates:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the user-keyed stage joins stay hash/broadcast at this shape:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
