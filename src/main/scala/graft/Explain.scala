@@ -314,7 +314,8 @@ object Explain {
     "q259_error_rate_wilson", // one hour-grain agg + closed-form projection
     "q260_length_ks",      // (group,value)-spine ECDF windows + pair join
     "q261_activity_streaks", // user-grain islands window, no join
-    "q262_ordered_funnel"  // chained user-keyed MIN aggregates
+    "q262_ordered_funnel", // chained user-keyed MIN aggregates
+    "q263_dim_profile"     // posexplode + one |dims|-row moment agg
   )
 
   def main(args: Array[String]): Unit = {

@@ -8529,6 +8529,42 @@ object ExtensionQueries {
           // (SELECT count(*) FROM c) AS click_to_purchase_bp""")
   )
 
+  // Vector tier: per-dimension embedding profile — mean, variance, min,
+  // max per coordinate in fixed point (cells ×1e4, variance in 1e8 units
+  // via the cross-multiplied (n·Σx² − (Σx)²) div n² form, exact BIGINTs)
+  // — the dimension-collapse / anisotropy audit (a dead dimension's
+  // variance reads ~0; one dominating dimension explains cosine
+  // saturation) an encoder review runs before any recall eval. One
+  // posexplode + one |dims|-row hash-agg; sums stay under 2^63 to ~1e9
+  // vectors at this scale, pre-shard beyond.
+  private val q263 = Q(
+    "q263_dim_profile",
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "__x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("cast(round(cast(__x as double) * 10000) as long)").as("__v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).as("__s"),
+        sum(expr("__v * __v")).as("__ss"),
+        min(col("__v")).as("min_e4"),
+        max(col("__v")).as("max_e4"))
+      .select(col("dim"), col("n"),
+        expr("cast(round(cast(__s as double) / n) as long)").as("mean_e4"),
+        expr("(n * __ss - __s * __s) div (n * n)").as("var_e8"),
+        col("min_e4"), col("max_e4")),
+    Some("""WITH c AS (SELECT CAST(t.i - 1 AS BIGINT) AS dim,
+        CAST(round(CAST(embedding[t.i] AS DOUBLE) * 10000) AS BIGINT) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      ag AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss,
+          CAST(min(v) AS BIGINT) AS min_e4, CAST(max(v) AS BIGINT) AS max_e4
+        FROM c GROUP BY 1)
+      SELECT dim, n, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_e4,
+        (n * ss - s * s) // (n * n) AS var_e8, min_e4, max_e4
+      FROM ag""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8538,5 +8574,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263)
 }

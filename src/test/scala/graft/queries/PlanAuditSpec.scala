@@ -1759,6 +1759,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the user-keyed stage joins stay hash/broadcast at this shape:\n$p")
   }
 
+  test("q263: dimension profile is one posexplode + one |dims|-row agg") {
+    val p = plan("q263_dim_profile")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"moment sums need no join or window:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-dimension moments must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
