@@ -315,7 +315,8 @@ object Explain {
     "q260_length_ks",      // (group,value)-spine ECDF windows + pair join
     "q261_activity_streaks", // user-grain islands window, no join
     "q262_ordered_funnel", // chained user-keyed MIN aggregates
-    "q263_dim_profile"     // posexplode + one |dims|-row moment agg
+    "q263_dim_profile",    // posexplode + one |dims|-row moment agg
+    "q264_dim_correlation" // hash-gated pair join + broadcast marginals
   )
 
   def main(args: Array[String]): Unit = {

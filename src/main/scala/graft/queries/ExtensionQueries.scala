@@ -8565,6 +8565,67 @@ object ExtensionQueries {
       FROM ag""")
   )
 
+  // Vector tier: strongest inter-dimension correlations — q263's
+  // companion whitening audit: Pearson corr per dimension pair in milli
+  // (the q240 signed-ratio convention over exact fixed-point moment
+  // sums), top-20 by |corr|. The cross-term Σxy needs the per-vector
+  // pair join (quadratic in dims), so the corpus enters through a
+  // DETERMINISTIC 1-in-4 hash gate on vec_id (documented sampling — at
+  // fleet scale this audit always samples); dim marginals attach by
+  // 64-row broadcast joins and the cut is a TakeOrdered.
+  private val q264 = Q(
+    "q264_dim_correlation",
+    (s, dir) => {
+      val cells = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "__x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          expr("cast(round(cast(__x as double) * 10000) as long)").as("v"))
+      val marg = cells.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(expr("v * v")).as("ss"))
+      val sxy = cells.as("a")
+        .join(cells.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.dim") < col("b.dim"))
+        .groupBy(col("a.dim").as("dim_a"), col("b.dim").as("dim_b"))
+        .agg(sum(expr("a.v * b.v")).as("sab"))
+      sxy
+        .join(broadcast(marg.select(col("dim").as("dim_a"), col("n"),
+          col("s").as("sa"), col("ss").as("ssa"))), "dim_a")
+        .join(broadcast(marg.select(col("dim").as("dim_b"),
+          col("s").as("sb"), col("ss").as("ssb"))), "dim_b")
+        .select(col("dim_a"), col("dim_b"),
+          expr("""cast(round((n * sab - sa * sb) * 1000.0 /
+            sqrt((cast(n as double) * ssa - cast(sa as double) * sa) *
+                 (cast(n as double) * ssb - cast(sb as double) * sb)))
+            as long)""").as("corr_milli"))
+        .orderBy(abs(col("corr_milli")).desc, col("dim_a"), col("dim_b"))
+        .limit(20)
+    },
+    Some("""WITH cells AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,
+        CAST(round(CAST(embedding[t.i] AS DOUBLE) * 10000) AS BIGINT) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      WHERE vec_id % 4 = 0),
+      marg AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+        FROM cells GROUP BY 1),
+      sxy AS (SELECT a.dim AS dim_a, b.dim AS dim_b,
+          CAST(sum(a.v * b.v) AS BIGINT) AS sab
+        FROM cells a JOIN cells b
+          ON a.vec_id = b.vec_id AND a.dim < b.dim
+        GROUP BY 1, 2),
+      j AS (SELECT sxy.dim_a, sxy.dim_b,
+          CAST(round((ma.n * sxy.sab - ma.s * mb.s) * 1000.0 /
+            sqrt((CAST(ma.n AS DOUBLE) * ma.ss - CAST(ma.s AS DOUBLE) * ma.s) *
+                 (CAST(ma.n AS DOUBLE) * mb.ss - CAST(mb.s AS DOUBLE) * mb.s)))
+            AS BIGINT) AS corr_milli
+        FROM sxy JOIN marg ma ON sxy.dim_a = ma.dim
+        JOIN marg mb ON sxy.dim_b = mb.dim)
+      SELECT dim_a, dim_b, corr_milli FROM j
+      ORDER BY abs(corr_milli) DESC, dim_a, dim_b LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8574,5 +8635,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264)
 }

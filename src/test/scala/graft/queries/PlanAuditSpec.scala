@@ -1767,6 +1767,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"per-dimension moments must map-side combine:\n$p")
   }
 
+  test("q264: dim correlation gates the corpus, broadcasts marginals, TakeOrdereds") {
+    val p = plan("q264_dim_correlation")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be a TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row marginals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the pair join is vec_id-keyed, never a product:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
