@@ -316,7 +316,8 @@ object Explain {
     "q261_activity_streaks", // user-grain islands window, no join
     "q262_ordered_funnel", // chained user-keyed MIN aggregates
     "q263_dim_profile",    // posexplode + one |dims|-row moment agg
-    "q264_dim_correlation" // hash-gated pair join + broadcast marginals
+    "q264_dim_correlation", // hash-gated pair join + broadcast marginals
+    "q265_frequent_triples" // Apriori semi-join prune + broadcast verify
   )
 
   def main(args: Array[String]): Unit = {

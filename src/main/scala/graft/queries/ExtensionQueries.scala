@@ -8626,6 +8626,56 @@ object ExtensionQueries {
       ORDER BY abs(corr_milli) DESC, dim_a, dim_b LIMIT 20""")
   )
 
+  // Serving analytics: Apriori frequent triples (Agrawal & Srikant 1994
+  // step k=3 — the classic distributed itemset shape): candidate triples
+  // join frequent PAIRS on a shared head, the third 2-subset prunes by
+  // semi-join (the Apriori property — no candidate survives whose subset
+  // is infrequent), and only then do baskets verify support. The prune is
+  // the scale story: support counting touches |candidates|·baskets, not
+  // the 3-subset cube. Min support 2 at both levels; semi-joins keep the
+  // verify side narrow.
+  private val q265 = Q(
+    "q265_frequent_triples",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pr = li.as("x")
+        .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("__co")).filter(col("__co") >= 2L)
+        .select(col("a"), col("b"))
+      val cand = pr.as("x")
+        .join(pr.as("y"), col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+        .join(pr.select(col("a").as("b"), col("b").as("c")),
+          Seq("b", "c"), "left_semi")
+      broadcast(cand)
+        .join(li.select(col("p").as("a"), col("o")), Seq("a"))
+        .join(li.select(col("p").as("b"), col("o")), Seq("b", "o"), "left_semi")
+        .join(li.select(col("p").as("c"), col("o")), Seq("c", "o"), "left_semi")
+        .groupBy(col("a").as("part_a"), col("b").as("part_b"),
+          col("c").as("part_c"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2L)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem),
+      pr AS (SELECT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      cand AS (SELECT x.a, x.b, y.b AS c
+        FROM pr x JOIN pr y ON x.a = y.a AND x.b < y.b
+        WHERE EXISTS (SELECT 1 FROM pr z WHERE z.a = x.b AND z.b = y.b)),
+      tri AS (SELECT c1.a AS part_a, c1.b AS part_b, c1.c AS part_c,
+          CAST(count(*) AS BIGINT) AS support
+        FROM cand c1
+        JOIN li l1 ON l1.p = c1.a
+        JOIN li l2 ON l2.o = l1.o AND l2.p = c1.b
+        JOIN li l3 ON l3.o = l1.o AND l3.p = c1.c
+        GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      SELECT part_a, part_b, part_c, support FROM tri""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8635,5 +8685,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265)
 }

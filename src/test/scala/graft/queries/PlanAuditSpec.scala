@@ -1777,6 +1777,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the pair join is vec_id-keyed, never a product:\n$p")
   }
 
+  test("q265: Apriori prune is a semi-join; candidates broadcast into the verify") {
+    val p = plan("q265_frequent_triples")
+    assert(p.contains("LeftSemi"),
+      s"the subset prune and the basket verify must be semi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the candidate set must broadcast into the basket scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation is head-keyed, never a product:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
