@@ -317,7 +317,8 @@ object Explain {
     "q262_ordered_funnel", // chained user-keyed MIN aggregates
     "q263_dim_profile",    // posexplode + one |dims|-row moment agg
     "q264_dim_correlation", // hash-gated pair join + broadcast marginals
-    "q265_frequent_triples" // Apriori semi-join prune + broadcast verify
+    "q265_frequent_triples", // Apriori semi-join prune + broadcast verify
+    "q266_grouping_sets"   // one Expand pass for three grouping sets
   )
 
   def main(args: Array[String]): Unit = {

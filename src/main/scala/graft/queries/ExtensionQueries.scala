@@ -8676,6 +8676,36 @@ object ExtensionQueries {
       SELECT part_a, part_b, part_c, support FROM tri""")
   )
 
+  // OLAP lattice: explicit GROUPING SETS — the third member beside ROLLUP
+  // (q34) and CUBE (q42): two independent single-dimension summaries plus
+  // the grand total in ONE Expand pass over the joined facts (three scans
+  // replaced by one), with grouping_id() disambiguating a genuine NULL
+  // from a rolled-up dimension. Runs through spark.sql over the
+  // registered views (the S10 surface).
+  private val q266 = Q(
+    "q266_grouping_sets",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("gs_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("gs_customer")
+      s.sql("""SELECT c.c_nationkey AS nation, o.o_orderpriority AS priority,
+          CAST(grouping_id(c.c_nationkey, o.o_orderpriority) AS BIGINT)
+            AS gid,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+        FROM gs_orders o JOIN gs_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((c.c_nationkey), (o.o_orderpriority), ())""")
+    },
+    Some("""SELECT c.c_nationkey AS nation, o.o_orderpriority AS priority,
+        CAST(grouping(c.c_nationkey) * 2 + grouping(o.o_orderpriority)
+          AS BIGINT) AS gid,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS revenue_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY GROUPING SETS ((c.c_nationkey), (o.o_orderpriority), ())""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8685,5 +8715,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266)
 }

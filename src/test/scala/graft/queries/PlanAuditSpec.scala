@@ -1787,6 +1787,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"candidate generation is head-keyed, never a product:\n$p")
   }
 
+  test("q266: grouping sets run as ONE Expand pass over the joined facts") {
+    val p = plan("q266_grouping_sets")
+    assert(p.contains("Expand"),
+      s"the three sets must share one Expand, not three scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer dim must broadcast:\n$p")
+    assert(p.split("FileScan").length - 1 <= 2,
+      s"each table is scanned exactly once:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
