@@ -318,7 +318,8 @@ object Explain {
     "q263_dim_profile",    // posexplode + one |dims|-row moment agg
     "q264_dim_correlation", // hash-gated pair join + broadcast marginals
     "q265_frequent_triples", // Apriori semi-join prune + broadcast verify
-    "q266_grouping_sets"   // one Expand pass for three grouping sets
+    "q266_grouping_sets",  // one Expand pass for three grouping sets
+    "q267_type_hour_chi2"  // one cell agg; margin-sized spine, no SMJ
   )
 
   def main(args: Array[String]): Unit = {

@@ -258,6 +258,47 @@ object RobustStats {
         expr("__d * 1000 div (n_a * n_b)").as("ks_milli"))
   }
 
+  /** Chi-square test of independence for two categorical columns
+    * (Pearson 1900; public): `χ² = Σ_cells (o − e)²/e` with
+    * `e = rowTotal·colTotal/N` — "is the error rate independent of the
+    * hour", the contingency-table sibling of [[benfordAudit]]'s
+    * goodness-of-fit form.
+    *
+    * Exact integers: the per-cell term is computed on the
+    * cross-multiplied form `100·(o·N − r·c)² div (N·r·c)` (χ² in
+    * centi-units). The squared numerator stays under 2^63 while
+    * `o·N < 3·10⁹` — per-cell counts times total rows; beyond that
+    * pre-aggregate to coarser categories, as [[benfordAudit]] documents.
+    * Cells are the FULL cross product (absent combinations count o = 0
+    * via the margin spine), or χ² would be silently understated.
+    *
+    * Plan: one (a, b) hash-agg; margins are two post-agg roll-ups that
+    * join back on their keys; the cell spine is the cross of the two
+    * margin frames (|A|·|B| rows). One row out: (n, dof, chi2_centi).
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = broadcast(cells.agg(sum(col("o")).as("n")))
+    ra.crossJoin(cb)
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("ra"), col("cb"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(tot)
+      .select(expr(
+        "100 * (o * n - ra * cb) * (o * n - ra * cb) div (n * ra * cb)")
+        .as("__t"), col("n"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("__cells"),
+        sum(col("__t")).as("chi2_centi"))
+      .crossJoin(broadcast(ra.agg(count(lit(1)).as("__na"))))
+      .crossJoin(broadcast(cb.agg(count(lit(1)).as("__nb"))))
+      .select(col("n"), expr("(__na - 1) * (__nb - 1)").as("dof"),
+        col("chi2_centi"))
+  }
+
   def spearmanRank(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y"))

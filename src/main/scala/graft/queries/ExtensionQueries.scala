@@ -8706,6 +8706,35 @@ object ExtensionQueries {
       GROUP BY GROUPING SETS ((c.c_nationkey), (o.o_orderpriority), ())""")
   )
 
+  // Stats tier: chi-square independence of event type × hour-of-day —
+  // "does the event mix shift by hour" as one exact-integer statistic
+  // (centi-χ², the Benford convention) beside q259's per-hour rates;
+  // absent cells charge their expectation through the margin spine.
+  private val q267 = Q(
+    "q267_type_hour_chi2",
+    (s, dir) => RobustStats.chiSquareIndependence(
+      Tables.events(s, dir)
+        .select(col("event_type"), hour(col("ts")).as("hod")),
+      "event_type", "hod"),
+    Some("""WITH cells AS (SELECT event_type AS a,
+        CAST(hour(ts) AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+      ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      sp AS (SELECT ra.a, cb.b, ra.ra, cb.cb,
+          CAST(coalesce(cells.o, 0) AS BIGINT) AS o
+        FROM ra CROSS JOIN cb LEFT JOIN cells USING (a, b)),
+      tm AS (SELECT 100 * (o * n - ra * cb) * (o * n - ra * cb)
+          // (n * ra * cb) AS t, n
+        FROM sp, nn)
+      SELECT CAST(max(n) AS BIGINT) AS n,
+        CAST((SELECT count(*) FROM ra) - 1 AS BIGINT)
+          * CAST((SELECT count(*) FROM cb) - 1 AS BIGINT) AS dof,
+        CAST(sum(t) AS BIGINT) AS chi2_centi
+      FROM tm""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8715,5 +8744,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267)
 }

@@ -91,6 +91,30 @@ class RobustStatsSpec extends SparkFunSuite {
     assert(o2.getLong(4) == 333L) // D = 1/3 exactly, floored milli
   }
 
+  test("chiSquareIndependence: hand-computed 2x2, zero under independence") {
+    val rows = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))).toDF("a", "b")
+    val r = RobustStats.chiSquareIndependence(rows, "a", "b").collect().head
+    // e = 20 per cell → χ² = 4·(10²/20) = 20.00 → 2000 centi, dof 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((80L, 1L, 2000L)))
+    val indep = (Seq.fill(20)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(20)(("y", "q"))).toDF("a", "b")
+    assert(RobustStats.chiSquareIndependence(indep, "a", "b")
+      .collect().head.getLong(2) == 0L)
+  }
+
+  test("chiSquareIndependence counts absent cells as zero observations") {
+    // (y, q) never occurs; the spine must still charge its expectation
+    val rows = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p"))).toDF("a", "b")
+    val r = RobustStats.chiSquareIndependence(rows, "a", "b").collect().head
+    // margins: x=20, y=10, p=20, q=10, N=30; cells o·N−r·c:
+    // (x,p): 300−400=−100 → 100·10000/(30·400)=83; (x,q): 300−200=100
+    // → 100·10000/(30·200)=166; (y,p): 300−200=100 → 166;
+    // (y,q): 0−100=−100 → 100·10000/(30·100)=333 → Σ=748
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((30L, 1L, 748L)))
+  }
+
   test("spearmanRank: +/-1000 on monotone data, 0 under independence, tie-correct") {
     val up = Seq((1L, 10L), (2L, 20L), (3L, 25L), (4L, 90L), (5L, 91L)).toDF("x", "y")
     assert(RobustStats.spearmanRank(up, "x", "y").collect().head.getLong(1) == 1000L)

@@ -1797,6 +1797,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"each table is scanned exactly once:\n$p")
   }
 
+  test("q267: chi-square cells aggregate once; the spine is margin-sized") {
+    val p = plan("q267_type_hour_chi2")
+    assert(p.split("HashAggregate").length >= 3,
+      s"(type, hour) cells must map-side combine:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"margins join back on their keys — no window, no SMJ:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
