@@ -8735,6 +8735,59 @@ object ExtensionQueries {
       FROM tm""")
   )
 
+  // Stats tier: naive-forecast backtest over the per-minute ingest series
+  // — mean absolute error of "predict minute t by minute t−L" for the
+  // last-value (L=1), hourly (L=60) and daily (L=1440) baselines, in
+  // exact permille of the actual volume. The seasonality-strength check
+  // beside q250's ACF: if the daily baseline beats last-value, the series
+  // has structure a capacity forecast must model. Shifts are equi-joins
+  // on the minute key against a broadcast lag spine; the series is the
+  // per-minute post-agg frame (gaps count as zero via q250's fill
+  // convention — both sides of every pair exist on the filled spine).
+  private val q268 = Q(
+    "q268_forecast_backtest",
+    (s, dir) => {
+      val mc = Tables.events(s, dir)
+        .groupBy(expr("cast(ts as long) div 60").as("t"))
+        .agg(count(lit(1)).as("v"))
+      val span = broadcast(mc.agg(min(col("t")).as("__mn"), max(col("t")).as("__mx")))
+      val filled = span
+        .select(explode(expr("sequence(__mn, __mx)")).as("t"))
+        .join(mc, Seq("t"), "left")
+        .select(col("t"), coalesce(col("v"), lit(0L)).as("v"))
+      val lags = broadcast(s.range(1)
+        .select(explode(array(lit(1L), lit(60L), lit(1440L))).as("lag")))
+      filled.crossJoin(lags)
+        .select(col("lag"), (col("t") + col("lag")).as("t"), col("v").as("pred"))
+        .join(filled.select(col("t"), col("v").as("actual")), Seq("t"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(abs(col("actual") - col("pred"))).as("__ae"),
+          sum(col("actual")).as("__vol"))
+        .select(col("lag"), col("n_points"),
+          when(col("__vol") > 0L, expr("__ae * 1000 div __vol"))
+            .otherwise(lit(0L)).as("mae_permille"))
+    },
+    Some("""WITH mc AS (SELECT epoch_us(ts) // 60000000 AS t,
+        CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      sp AS (SELECT CAST(min(t) AS BIGINT) AS mn, CAST(max(t) AS BIGINT) AS mx
+        FROM mc),
+      fl AS (SELECT u.x AS t, CAST(coalesce(mc.v, 0) AS BIGINT) AS v
+        FROM sp, UNNEST(range(sp.mn, sp.mx + 1)) AS u(x)
+        LEFT JOIN mc ON mc.t = u.x),
+      ks AS (SELECT CAST(u.x AS BIGINT) AS lag
+        FROM UNNEST([1, 60, 1440]) AS u(x)),
+      pr AS (SELECT ks.lag, a.v AS pred, b.v AS actual
+        FROM ks, fl a, fl b WHERE b.t = a.t + ks.lag),
+      ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_points,
+          CAST(sum(abs(actual - pred)) AS BIGINT) AS ae,
+          CAST(sum(actual) AS BIGINT) AS vol
+        FROM pr GROUP BY 1)
+      SELECT lag, n_points,
+        CASE WHEN vol > 0 THEN ae * 1000 // vol ELSE 0 END AS mae_permille
+      FROM ag""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8744,5 +8797,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268)
 }

@@ -1805,6 +1805,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"margins join back on their keys — no window, no SMJ:\n$p")
   }
 
+  test("q268: backtest shifts are minute-keyed equi-joins on the filled spine") {
+    val p = plan("q268_forecast_backtest")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"shifts are joins; only the 1-row span and lag spine may cross:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the per-minute count must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
