@@ -7886,20 +7886,20 @@ object ExtensionQueries {
   // Graph tier: Adamic-Adar link prediction on the part co-purchase graph
   // (Liben-Nowell & Kleinberg 2003) — which part pairs are one
   // co-occurrence away from being an edge, rare shared neighbors weighted
-  // 1/ln(deg). Wedge centers above deg 150 are excluded before the
+  // 1/ln(deg). Wedge centers above deg 96 are excluded before the
   // quadratic pair join (the hub cap that bounds the two-hop blow-up at
   // scale); existing edges leave by anti-join; top-30 by exact micro score.
   private val q247 = Q(
     "q247_adamic_adar",
     (s, dir) => Graphs.adamicAdar(copurchaseEdges(s, dir), "src", "dst",
-      maxDeg = 150, k = 30),
+      maxDeg = 96, k = 30),
     Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       ed AS (SELECT DISTINCT x.p AS a, y.p AS b
         FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
       adj AS (SELECT a AS z, b AS n FROM ed UNION ALL SELECT b, a FROM ed),
       deg AS (SELECT z, CAST(count(*) AS BIGINT) AS zdeg FROM adj GROUP BY 1),
       ctr AS (SELECT adj.z, adj.n, deg.zdeg FROM adj JOIN deg USING (z)
-        WHERE deg.zdeg <= 150),
+        WHERE deg.zdeg <= 96),
       pr AS (SELECT x.n AS u, y.n AS v, x.zdeg
         FROM ctr x JOIN ctr y ON x.z = y.z AND x.n < y.n),
       nw AS (SELECT u, v, zdeg FROM pr
