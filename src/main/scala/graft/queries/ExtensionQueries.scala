@@ -8788,6 +8788,50 @@ object ExtensionQueries {
       FROM ag""")
   )
 
+  // Serving analytics: top second-order paths — the 3-event sequences
+  // (two chained LAGs at the q252 user grain) ranked by frequency with
+  // exact permille share; the sequence-mining view of the transition
+  // matrix, where "view→click→purchase" and "error→error→error" read
+  // directly. One window pass, two aggs, a 1-row total broadcast, and a
+  // TakeOrdered cut.
+  private val q269 = Q(
+    "q269_top_paths",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tri = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("e3"),
+          lag(col("event_type"), 1).over(w).as("e2"),
+          lag(col("event_type"), 2).over(w).as("e1"))
+        .filter(col("e1").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n_paths"))
+      // the share total comes from a global window over the ≤ |types|³-row
+      // POST-AGG frame — a second reference to `tri` (agg + cross join)
+      // would re-evaluate the whole corpus scan
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tri.withColumn("__tot", sum(col("n_paths")).over(wAll))
+        .select(col("e1"), col("e2"), col("e3"), col("n_paths"),
+          expr("n_paths * 1000 div __tot").as("share_permille"))
+        .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    },
+    Some("""WITH lg AS (SELECT
+        lag(event_type, 2) OVER w AS e1,
+        lag(event_type, 1) OVER w AS e2,
+        event_type AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      tri AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+        FROM lg WHERE e1 IS NOT NULL GROUP BY 1, 2, 3),
+      tt AS (SELECT CAST(sum(n_paths) AS BIGINT) AS tot FROM tri)
+      SELECT e1, e2, e3, n_paths, n_paths * 1000 // tt.tot AS share_permille
+      FROM tri, tt
+      ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8797,5 +8841,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269)
 }

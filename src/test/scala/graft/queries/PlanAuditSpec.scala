@@ -1813,6 +1813,18 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the per-minute count must map-side combine:\n$p")
   }
 
+  test("q269: path mining is one user-grain window pass and a TakeOrdered") {
+    val p = plan("q269_top_paths")
+    assert(!p.contains("rangepartitioning"),
+      s"both LAGs share the user partitioning:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be a TakeOrdered:\n$p")
+    // one corpus scan: the share total is a window over the post-agg
+    // frame, not a second reference to the trigram subtree
+    assert(p.split("FileScan").length - 1 <= 1,
+      s"the events scan must run exactly once:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
