@@ -321,7 +321,8 @@ object Explain {
     "q266_grouping_sets",  // one Expand pass for three grouping sets
     "q267_type_hour_chi2", // one cell agg; margin-sized spine, no SMJ
     "q268_forecast_backtest", // filled-spine shift joins per lag tier
-    "q269_top_paths"       // one fused user-grain window + TakeOrdered
+    "q269_top_paths",      // one fused user-grain window + TakeOrdered
+    "q270_backlog_curve"   // delta-histogram running sum, facts never sort
   )
 
   def main(args: Array[String]): Unit = {

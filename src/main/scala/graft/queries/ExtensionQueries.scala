@@ -8832,6 +8832,52 @@ object ExtensionQueries {
       ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""")
   )
 
+  // Serving analytics: order-backlog concurrency curve — how many orders
+  // are OPEN (placed, not yet fully shipped) at once, as each month's
+  // peak. The interval-stabbing count: +1 at the order date, −1 the day
+  // after the order's LAST line ships, running-summed over the ±1 delta
+  // histogram (|distinct days| rows — the corpus never sorts; the q57
+  // interval-overlap pair join answers "which pairs", this answers "how
+  // many at once"). Exact integers end to end.
+  private val q270 = Q(
+    "q270_backlog_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val closes = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("__close"))
+      val spans = Tables.orders(s, dir)
+        .join(closes, col("o_orderkey") === col("l_orderkey"))
+        .select(expr("cast(o_orderdate as long) div 86400").as("open_day"),
+          (expr("cast(__close as long) div 86400") + 1L).as("close_day"))
+      val deltas = spans.select(col("open_day").as("day"), lit(1L).as("d"))
+        .unionAll(spans.select(col("close_day").as("day"), lit(-1L).as("d")))
+        .groupBy(col("day")).agg(sum(col("d")).as("delta"))
+      val wRun = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("backlog", sum(col("delta")).over(wRun))
+        .groupBy(expr("day div 31").as("month_bucket"))
+        .agg(max(col("backlog")).as("peak_backlog"),
+          count(lit(1)).as("n_change_days"))
+    },
+    Some("""WITH closes AS (SELECT l_orderkey, max(l_shipdate) AS cl
+        FROM lineitem GROUP BY 1),
+      spans AS (SELECT epoch_us(o.o_orderdate) // 86400000000 AS open_day,
+          epoch_us(c.cl) // 86400000000 + 1 AS close_day
+        FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey),
+      deltas AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+          SELECT open_day AS day, 1 AS d FROM spans
+          UNION ALL SELECT close_day, -1 FROM spans) t GROUP BY 1),
+      run AS (SELECT day, CAST(sum(delta) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS backlog
+        FROM deltas)
+      SELECT day // 31 AS month_bucket,
+        CAST(max(backlog) AS BIGINT) AS peak_backlog,
+        CAST(count(*) AS BIGINT) AS n_change_days
+      FROM run GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8841,5 +8887,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270)
 }

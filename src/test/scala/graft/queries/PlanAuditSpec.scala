@@ -1825,6 +1825,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the events scan must run exactly once:\n$p")
   }
 
+  test("q270: backlog running sum runs on the delta histogram, not the facts") {
+    val p = plan("q270_backlog_curve")
+    assert(p.split("HashAggregate").length >= 5,
+      s"closes, deltas and the monthly peak must map-side combine:\n$p")
+    assert(p.contains("Window"),
+      s"the |days|-row running sum is load-bearing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the close lookup is an orderkey equi-join:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
