@@ -322,7 +322,8 @@ object Explain {
     "q267_type_hour_chi2", // one cell agg; margin-sized spine, no SMJ
     "q268_forecast_backtest", // filled-spine shift joins per lag tier
     "q269_top_paths",      // one fused user-grain window + TakeOrdered
-    "q270_backlog_curve"   // delta-histogram running sum, facts never sort
+    "q270_backlog_curve",  // delta-histogram running sum, facts never sort
+    "q271_theil_decomposition" // chained hash-aggs, milli-nat terms
   )
 
   def main(args: Array[String]): Unit = {

@@ -8878,6 +8878,69 @@ object ExtensionQueries {
       FROM run GROUP BY 1""")
   )
 
+  // Stats tier: Theil-T inequality decomposition (Theil 1967; public) of
+  // customer revenue — total inequality split EXACTLY into between-nation
+  // and within-nation components (T_total = T_between + T_within, the
+  // property Gini lacks): is revenue concentration a market story or an
+  // inside-market story? Milli-nat convention throughout:
+  // T = Σ x·(lnM(x) + lnM(N) − lnM(S)) div S over customers, the between
+  // term the same shape over nation totals; within = total − between
+  // (exact integer subtraction); numerators clamp at 0 (the q240
+  // greatest-convention — inequality is non-negative, and a negative
+  // rounding residue would floor-vs-truncate differently across
+  // engines). Two hash-aggs + one one-row combine.
+  private val q271 = Q(
+    "q271_theil_decomposition",
+    (s, dir) => {
+      val lnM = (c: Column) => round(log(c.cast("double")) * 1000).cast("long")
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as long)")).as("x"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("g")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("g"), col("x"))
+      val grp = cust.groupBy(col("g"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+          sum(col("x") * lnM(col("x"))).as("xlx"))
+      grp.agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+          count(lit(1)).as("n_groups"),
+          sum(col("xlx")).as("__xlx"),
+          sum(col("sg") * lnM(col("sg"))).as("__sls"),
+          sum(col("sg") * lnM(col("ng"))).as("__sln"))
+        .select(col("n").as("n_customers"), col("n_groups"),
+          expr("greatest(0L, __xlx + s * (cast(round(ln(n) * 1000) as long) - cast(round(ln(s) * 1000) as long))) div s")
+            .as("theil_total_milli"),
+          expr("greatest(0L, __sls - __sln + s * (cast(round(ln(n) * 1000) as long) - cast(round(ln(s) * 1000) as long))) div s")
+            .as("theil_between_milli"))
+        .withColumn("theil_within_milli",
+          col("theil_total_milli") - col("theil_between_milli"))
+    },
+    Some("""WITH cust AS (SELECT c.c_nationkey AS g,
+        CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey, c.c_nationkey),
+      grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+          CAST(sum(x) AS BIGINT) AS sg,
+          CAST(sum(x * CAST(round(ln(x) * 1000) AS BIGINT)) AS BIGINT) AS xlx
+        FROM cust GROUP BY 1),
+      ag AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+          CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(xlx) AS BIGINT) AS xlx,
+          CAST(sum(sg * CAST(round(ln(sg) * 1000) AS BIGINT)) AS BIGINT) AS sls,
+          CAST(sum(sg * CAST(round(ln(ng) * 1000) AS BIGINT)) AS BIGINT) AS sln
+        FROM grp),
+      res AS (SELECT n AS n_customers, n_groups,
+          greatest(0, xlx + s * (CAST(round(ln(n) * 1000) AS BIGINT)
+            - CAST(round(ln(s) * 1000) AS BIGINT))) // s AS theil_total_milli,
+          greatest(0, sls - sln + s * (CAST(round(ln(n) * 1000) AS BIGINT)
+            - CAST(round(ln(s) * 1000) AS BIGINT))) // s AS theil_between_milli
+        FROM ag)
+      SELECT n_customers, n_groups, theil_total_milli, theil_between_milli,
+        theil_total_milli - theil_between_milli AS theil_within_milli
+      FROM res""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8887,5 +8950,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271)
 }

@@ -1835,6 +1835,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the close lookup is an orderkey equi-join:\n$p")
   }
 
+  test("q271: Theil terms are two chained hash-aggs; no window, no product") {
+    val p = plan("q271_theil_decomposition")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the decomposition is pure aggregation:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"customer, group and corpus terms must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
