@@ -323,7 +323,8 @@ object Explain {
     "q268_forecast_backtest", // filled-spine shift joins per lag tier
     "q269_top_paths",      // one fused user-grain window + TakeOrdered
     "q270_backlog_curve",  // delta-histogram running sum, facts never sort
-    "q271_theil_decomposition" // chained hash-aggs, milli-nat terms
+    "q271_theil_decomposition", // chained hash-aggs, milli-nat terms
+    "q272_order_dispersion" // two chained hash-aggs, one row out
   )
 
   def main(args: Array[String]): Unit = {

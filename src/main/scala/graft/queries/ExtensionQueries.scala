@@ -8941,6 +8941,32 @@ object ExtensionQueries {
       FROM res""")
   )
 
+  // Stats tier: Poisson overdispersion check — the variance-to-mean ratio
+  // of orders-per-customer in exact milli (`(N·Σx² − S²)·1000 div
+  // (S·(N−1))`, non-negative by Cauchy-Schwarz so floor-div is
+  // engine-safe): VMR ≈ 1000 reads Poisson demand, larger reads bursty /
+  // heterogeneous customers — the distributional sanity check behind any
+  // per-customer rate model. Two chained hash-aggs, one row out.
+  private val q272 = Q(
+    "q272_order_dispersion",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("__s"),
+        sum(expr("x * x")).as("__ss"))
+      .select(col("n_customers"),
+        expr("__s * 1000 div n_customers").as("mean_milli"),
+        expr("(n_customers * __ss - __s * __s) * 1000 div (__s * (n_customers - 1))")
+          .as("vmr_milli")),
+    Some("""WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+          CAST(sum(x * x) AS BIGINT) AS ss
+        FROM c)
+      SELECT n AS n_customers, s * 1000 // n AS mean_milli,
+        (n * ss - s * s) * 1000 // (s * (n - 1)) AS vmr_milli
+      FROM ag""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -8950,5 +8976,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272)
 }

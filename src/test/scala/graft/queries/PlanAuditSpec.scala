@@ -1843,6 +1843,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"customer, group and corpus terms must map-side combine:\n$p")
   }
 
+  test("q272: dispersion is two chained hash-aggs, nothing else") {
+    val p = plan("q272_order_dispersion")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"moment sums need no join or window:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"per-customer counts and the moment roll-up must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
