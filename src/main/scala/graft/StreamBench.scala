@@ -27,6 +27,8 @@ object StreamBench {
   case class CdcEv(op: String, ts_ms: Long, user_id: String, segment: String)
   case class WeightedEv(ts: Timestamp, stratum: String, key: Long, w: Long)
   case class DocEv(ts: Timestamp, text: String)
+  case class TransBenchEv(user_id: Long, ts: Timestamp, event_id: Long,
+                          event_type: String)
 
   /** Scratch tables + checkpoints are the bench's, not the user's — swept
     * by a shutdown hook so a CRASHED run cannot strand them in /tmp (a
@@ -408,7 +410,33 @@ object StreamBench {
       q8.stop(); adj.unpersist(); entries.unpersist()
     }
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // -------------------------------------------------------------------
+    // Pipeline 9: per-user transition extraction (q252's streaming twin) —
+    // one last-event state row per user, one emitted transition per
+    // arrival; noop sink isolates the stateful operator itself
+    val inT = MemoryStream[TransBenchEv]
+    val qT = StreamPipelines.transitionStream(inT.toDF(),
+        "user_id", "ts", "event_id", "event_type")
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def transWave(n: Int, base: Long, seed: Int): Seq[TransBenchEv] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        TransBenchEv(rnd.nextInt(5000).toLong, new Timestamp(base + i),
+          base + i, statuses(rnd.nextInt(statuses.length)))
+      }
+    }
+    inT.addData(transWave(1000, 0L, -1)); qT.processAllAvailable()
+    val transWaves = 5
+    val tT = System.nanoTime()
+    (0 until transWaves).foreach { w =>
+      inT.addData(transWave(upsertSize, 10000000L + w.toLong * upsertSize, w))
+      qT.processAllAvailable()
+    }
+    val trans_eps = (transWaves.toLong * upsertSize / ((System.nanoTime() - tT) / 1e9)).toLong
+    qT.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }
