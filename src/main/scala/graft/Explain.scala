@@ -324,7 +324,8 @@ object Explain {
     "q269_top_paths",      // one fused user-grain window + TakeOrdered
     "q270_backlog_curve",  // delta-histogram running sum, facts never sort
     "q271_theil_decomposition", // chained hash-aggs, milli-nat terms
-    "q272_order_dispersion" // two chained hash-aggs, one row out
+    "q272_order_dispersion", // two chained hash-aggs, one row out
+    "q273_calibration"     // frozen-weight scoring + one bin hash-agg
   )
 
   def main(args: Array[String]): Unit = {

@@ -209,6 +209,31 @@ object Classifier {
           .otherwise(0L).as("recall_bp"))
   }
 
+  /** Reliability diagram as a table (Murphy & Winkler 1977; the
+    * calibration check beside [[prCurve]] and the AUC): scored rows bin
+    * by predicted probability into `buckets` equal-width bins, each bin
+    * reporting its count, MEAN predicted probability and OBSERVED
+    * positive rate — a well-calibrated scorer reads mean ≈ observed per
+    * bin; `gap_ppm` is the per-bin |difference| (the ECE integrand).
+    * All exact integers: floor-division means over ppm scores.
+    *
+    * One hash-aggregate over the scored frame; the bin id is a
+    * projection (`least(buckets−1, p·buckets div 1e6)`).
+    *
+    * Output: (bucket, n, mean_p_ppm, obs_rate_ppm, gap_ppm).
+    */
+  def calibrationTable(scored: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least 2 bins")
+    scored.select(col("y"), col("p_ppm"),
+        least(lit(buckets - 1L),
+          expr(s"p_ppm * ${buckets}L div 1000000")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(p_ppm) div count(1)").as("mean_p_ppm"),
+        expr("sum(y) * 1000000 div count(1)").as("obs_rate_ppm"))
+      .withColumn("gap_ppm", abs(col("mean_p_ppm") - col("obs_rate_ppm")))
+  }
+
   /** Exact ROC-AUC by histogram rank-sum (the Mann–Whitney U identity:
     * AUC = P(score⁺ > score⁻) + ½P(=)). Never sorts the corpus: one
     * hash-aggregate builds the per-score histogram (n_pos, n_neg), a

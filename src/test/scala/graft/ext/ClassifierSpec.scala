@@ -170,6 +170,19 @@ class ClassifierSpec extends SparkFunSuite {
     } finally out.unpersist()
   }
 
+  test("calibrationTable: bin means and observed rates, top bin absorbs p=1e6") {
+    val scored = Seq(
+      (1L, 150000L), (0L, 180000L),   // bin 1: mean 165000, obs 500000
+      (1L, 950000L), (1L, 1000000L)   // p=1e6 would index bin 10 → capped 9
+    ).toDF("y", "p_ppm")
+    val out = Classifier.calibrationTable(scored, buckets = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((2L, 165000L, 500000L, 335000L)))
+    assert(out(9L) == ((2L, 975000L, 1000000L, 25000L)))
+    assert(out.size == 2)
+  }
+
   test("passAtK: falling-factorial estimator, n<k tasks excluded") {
     import spark.implicits._
     val attempts = (

@@ -1851,6 +1851,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"per-customer counts and the moment roll-up must map-side combine:\n$p")
   }
 
+  test("q273: calibration is one hash-agg over the scored projection") {
+    val p = plan("q273_calibration")
+    assert(!p.contains("Window"),
+      s"bins are a projection, never a rank window:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"bin stats must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
