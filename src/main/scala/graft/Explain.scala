@@ -325,7 +325,8 @@ object Explain {
     "q270_backlog_curve",  // delta-histogram running sum, facts never sort
     "q271_theil_decomposition", // chained hash-aggs, milli-nat terms
     "q272_order_dispersion", // two chained hash-aggs, one row out
-    "q273_calibration"     // frozen-weight scoring + one bin hash-agg
+    "q273_calibration",    // frozen-weight scoring + one bin hash-agg
+    "q274_brier_decomposition" // rows + bins + one-row combine
   )
 
   def main(args: Array[String]): Unit = {

@@ -234,6 +234,43 @@ object Classifier {
       .withColumn("gap_ppm", abs(col("mean_p_ppm") - col("obs_rate_ppm")))
   }
 
+  /** Brier score with the Murphy (1973) decomposition: the direct mean
+    * squared probability error plus its three-way split over the
+    * [[calibrationTable]] bins — reliability (how far bin means sit from
+    * bin outcomes; lower is better), resolution (how far bin outcomes
+    * spread from the base rate; higher is better), uncertainty (the base
+    * rate's own variance). All in micro-units of probability²
+    * (`Σ(p − y·1e6)² div (N·1e6)` and the bin sums likewise), computed
+    * FROM the table's floored integers — so the decomposition identity
+    * BS ≈ REL − RES + UNC holds to rounding, and every term replays
+    * bit-for-bit.
+    *
+    * Two hash-aggs (rows → bins → one row); nothing wider than the
+    * scored projection shuffles.
+    */
+  def brierDecomposition(scored: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least 2 bins")
+    val bins = calibrationTable(scored, buckets)
+    val direct = scored.agg(
+      count(lit(1)).as("n"),
+      expr("sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000))").as("__se"),
+      sum(col("y")).as("__pos"))
+    val parts = bins.agg(
+      sum(expr("n * (mean_p_ppm - obs_rate_ppm) * (mean_p_ppm - obs_rate_ppm)"))
+        .as("__rel"),
+      sum(expr("n * obs_rate_ppm")).as("__osum"),
+      sum(expr("n * obs_rate_ppm * obs_rate_ppm")).as("__osq"))
+    direct.crossJoin(broadcast(parts))
+      .select(col("n"),
+        expr("__se div (n * 1000000)").as("brier_micro"),
+        expr("__rel div (n * 1000000)").as("reliability_micro"),
+        // Σn(o_b − ō)² = Σn·o² − N·ō² with ō = Σn·o div N (floored base)
+        expr("(__osq - (__osum div n) * __osum) div (n * 1000000)")
+          .as("resolution_micro"),
+        expr("((__pos * 1000000 div n) * (1000000 - __pos * 1000000 div n)) div 1000000")
+          .as("uncertainty_micro"))
+  }
+
   /** Exact ROC-AUC by histogram rank-sum (the Mann–Whitney U identity:
     * AUC = P(score⁺ > score⁻) + ½P(=)). Never sorts the corpus: one
     * hash-aggregate builds the per-score histogram (n_pos, n_neg), a

@@ -8999,6 +8999,49 @@ object ExtensionQueries {
       FROM ag""")
   )
 
+  // Classifier-eval tier: Brier score with the Murphy decomposition over
+  // the q273 bins — BS ≈ reliability − resolution + uncertainty, the
+  // proper-scoring-rule summary that says WHY a probability scorer is
+  // good or bad (miscalibrated vs uninformative) where AUC says only how
+  // it ranks. Exact micro-units end to end.
+  private val q274 = Q(
+    "q274_brier_decomposition",
+    (s, dir) => {
+      val corpus = graft.ext.Classifier.weakLabelCorpus(
+        docsSpread(s, dir), "doc_id", "text")
+      val feats = graft.ext.Classifier.lrFeatures(
+        corpus, "doc_id", "text", col("y") === 1L)
+      val scored = graft.ext.Classifier.lrScore(
+        feats, "doc_id", QueryCaches.lrWeightsFor(s, dir))
+      graft.ext.Classifier.brierDecomposition(scored, buckets = 10)
+    },
+    Some(s"""WITH ${lrTrainCtes(lrIters, 100)},
+      scored AS (SELECT f.y, ${lrPSql("w", "f")} AS p_ppm FROM feats f, wf w),
+      b AS (SELECT y, p_ppm,
+          least(9, p_ppm * 10 // 1000000) AS bucket FROM scored),
+      ag AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(p_ppm) // count(*) AS BIGINT) AS mp,
+          CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS ob
+        FROM b GROUP BY 1),
+      direct AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000)) AS BIGINT)
+            AS se,
+          CAST(sum(y) AS BIGINT) AS pos
+        FROM scored),
+      parts AS (SELECT
+          CAST(sum(n * (mp - ob) * (mp - ob)) AS BIGINT) AS rel,
+          CAST(sum(n * ob) AS BIGINT) AS osum,
+          CAST(sum(n * ob * ob) AS BIGINT) AS osq
+        FROM ag)
+      SELECT d.n, d.se // (d.n * 1000000) AS brier_micro,
+        p.rel // (d.n * 1000000) AS reliability_micro,
+        (p.osq - (p.osum // d.n) * p.osum) // (d.n * 1000000)
+          AS resolution_micro,
+        ((d.pos * 1000000 // d.n) * (1000000 - d.pos * 1000000 // d.n))
+          // 1000000 AS uncertainty_micro
+      FROM direct d, parts p""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9008,5 +9051,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274)
 }

@@ -183,6 +183,16 @@ class ClassifierSpec extends SparkFunSuite {
     assert(out.size == 2)
   }
 
+  test("brierDecomposition: hand-computed terms satisfy BS = REL − RES + UNC") {
+    val scored = Seq((1L, 800000L), (0L, 200000L), (1L, 900000L), (0L, 100000L))
+      .toDF("y", "p_ppm")
+    val r = Classifier.brierDecomposition(scored, buckets = 10).collect().head
+    // brier 25000; rel 25000; res 250000; unc 250000 → identity exact here
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((4L, 25000L, 25000L, 250000L, 250000L)))
+    assert(r.getLong(1) == r.getLong(2) - r.getLong(3) + r.getLong(4))
+  }
+
   test("passAtK: falling-factorial estimator, n<k tasks excluded") {
     import spark.implicits._
     val attempts = (

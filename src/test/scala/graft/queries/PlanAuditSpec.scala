@@ -1859,6 +1859,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"bin stats must map-side combine:\n$p")
   }
 
+  test("q274: Brier terms are chained hash-aggs over the scored projection") {
+    val p = plan("q274_brier_decomposition")
+    assert(!p.contains("Window"),
+      s"the decomposition needs no window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the one-row combine must broadcast:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
