@@ -326,7 +326,8 @@ object Explain {
     "q271_theil_decomposition", // chained hash-aggs, milli-nat terms
     "q272_order_dispersion", // two chained hash-aggs, one row out
     "q273_calibration",    // frozen-weight scoring + one bin hash-agg
-    "q274_brier_decomposition" // rows + bins + one-row combine
+    "q274_brier_decomposition", // rows + bins + one-row combine
+    "q275_referential_integrity" // distinct-key anti-joins per FK edge
   )
 
   def main(args: Array[String]): Unit = {

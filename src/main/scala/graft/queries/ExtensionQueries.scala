@@ -9042,6 +9042,81 @@ object ExtensionQueries {
       FROM direct d, parts p""")
   )
 
+  // Data-quality tier: referential-integrity audit — orphan counts for
+  // every FK edge of the star schema (child rows whose key matches no
+  // parent, parent keys never referenced) in one table: the constraint
+  // check a lakehouse must run itself because parquet enforces nothing.
+  // Each edge is a pair of DISTINCT-key anti-joins on post-agg key sets —
+  // the facts collapse to their key sets before any join.
+  private val q275 = Q(
+    "q275_referential_integrity",
+    (s, dir) => {
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String) = {
+        val cks = child.select(col(ck).as("k")).distinct()
+        val pks = parent.select(col(pk).as("k")).distinct()
+        val orphans  = cks.join(pks, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("orphan_keys"))
+        val unused   = pks.join(cks, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("unreferenced_parents"))
+        val totals = cks.agg(count(lit(1)).as("child_keys"))
+        totals.crossJoin(broadcast(orphans)).crossJoin(broadcast(unused))
+          .select(lit(name).as("fk_edge"), col("child_keys"),
+            col("orphan_keys"), col("unreferenced_parents"),
+            expr("orphan_keys * 10000 div child_keys").as("orphan_bp"))
+      }
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("lineitem->part", li, "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"))
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("customer->nation", c, "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"))
+    },
+    Some("""WITH e1 AS (SELECT 'lineitem->orders' AS fk_edge,
+        (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ck,
+        (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) t
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orph,
+        (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders) t
+          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS unref),
+      e2 AS (SELECT 'lineitem->part',
+        (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) t
+          WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+        (SELECT count(*) FROM (SELECT DISTINCT p_partkey FROM part) t
+          WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))),
+      e3 AS (SELECT 'lineitem->supplier',
+        (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) t
+          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+        (SELECT count(*) FROM (SELECT DISTINCT s_suppkey FROM supplier) t
+          WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))),
+      e4 AS (SELECT 'orders->customer',
+        (SELECT count(DISTINCT o_custkey) FROM orders),
+        (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) t
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer) t
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))),
+      e5 AS (SELECT 'customer->nation',
+        (SELECT count(DISTINCT c_nationkey) FROM customer),
+        (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer) t
+          WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+        (SELECT count(*) FROM (SELECT DISTINCT n_nationkey FROM nation) t
+          WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer))),
+      u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        UNION ALL SELECT * FROM e5)
+      SELECT fk_edge, CAST(ck AS BIGINT) AS child_keys,
+        CAST(orph AS BIGINT) AS orphan_keys,
+        CAST(unref AS BIGINT) AS unreferenced_parents,
+        CAST(orph AS BIGINT) * 10000 // ck AS orphan_bp
+      FROM u""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9051,5 +9126,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275)
 }

@@ -1867,6 +1867,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the one-row combine must broadcast:\n$p")
   }
 
+  test("q275: FK audit anti-joins distinct key sets, never raw facts") {
+    val p = plan("q275_referential_integrity")
+    assert(p.contains("LeftAnti"),
+      s"orphans and unreferenced parents are anti-joins:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"only 1-row edge counts may cross (broadcast):\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
