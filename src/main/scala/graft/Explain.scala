@@ -327,7 +327,8 @@ object Explain {
     "q272_order_dispersion", // two chained hash-aggs, one row out
     "q273_calibration",    // frozen-weight scoring + one bin hash-agg
     "q274_brier_decomposition", // rows + bins + one-row combine
-    "q275_referential_integrity" // distinct-key anti-joins per FK edge
+    "q275_referential_integrity", // distinct-key anti-joins per FK edge
+    "q276_vocab_coverage"  // vocab-frame rank windows + broadcast spine
   )
 
   def main(args: Array[String]): Unit = {

@@ -9117,6 +9117,48 @@ object ExtensionQueries {
       FROM u""")
   )
 
+  // Text tier: vocabulary-coverage curve — token mass covered by the
+  // top-k vocabulary for k ∈ {4, 8, 16, 24}, i.e. the OOV rate a k-entry
+  // tokenizer would pay (the vocab-size planning table; Zipf's law makes
+  // this curve the whole sizing argument). One corpus hash-agg; the rank
+  // and cumulative-mass windows run on the VOCABULARY-sized frame, the
+  // cutoff spine broadcasts.
+  private val q276 = Q(
+    "q276_vocab_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vh = docsSpread(s, dir)
+        .select(explode(TextDedup.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val wRank = Window.orderBy(col("c").desc, col("tok"))
+      val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val ranked = vh
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("total", sum(col("c")).over(wAll))
+      val ks = broadcast(s.range(1).select(explode(array(
+        lit(4L), lit(8L), lit(16L), lit(24L))).as("vocab_k")))
+      ranked.join(ks, col("rnk") === col("vocab_k"))
+        .select(col("vocab_k"), col("cum").as("covered_tokens"),
+          col("total").as("n_tokens"),
+          expr("(total - cum) * 10000 div total").as("oov_bp"))
+    },
+    Some(s"""WITH $toksCte,
+      tc AS (SELECT u.x AS tok FROM toks, UNNEST(w) AS u(x)),
+      vh AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tc GROUP BY 1),
+      rk AS (SELECT c,
+          CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk,
+          CAST(sum(c) OVER (ORDER BY c DESC, tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(sum(c) OVER () AS BIGINT) AS total
+        FROM vh)
+      SELECT CAST(u.x AS BIGINT) AS vocab_k, rk.cum AS covered_tokens,
+        rk.total AS n_tokens, (rk.total - rk.cum) * 10000 // rk.total AS oov_bp
+      FROM UNNEST([4, 8, 16, 24]) AS u(x) JOIN rk ON rk.rnk = u.x""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9126,5 +9168,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276)
 }

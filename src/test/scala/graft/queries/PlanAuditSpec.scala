@@ -1875,6 +1875,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"only 1-row edge counts may cross (broadcast):\n$p")
   }
 
+  test("q276: coverage-curve windows run on the vocabulary frame") {
+    val p = plan("q276_vocab_coverage")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the token counts must map-side combine:\n$p")
+    assert(p.contains("Window"),
+      s"the rank/cumulative windows are load-bearing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cutoff spine must broadcast:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
