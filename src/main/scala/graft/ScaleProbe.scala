@@ -169,6 +169,18 @@ object ScaleProbe {
 
     val ops: Seq[(String, Int => Long)] = Seq(
       "token_stats"   -> (m => TextStats.tokenStats(docsAt(m), "doc_id", "text").count()),
+      // q244's G²: the corpus grows, the 20 sources do not — the
+      // (source, token) agg must scale with the scan while the marginal
+      // joins and the top-k window stay post-agg-sized
+      "keyness_g2"    -> (m => TextStats.keyness(docsAt(m), "source", "text", k = 5).count()),
+      // q260's KS: ECDF windows and the pair join run on the
+      // (group, value) spine — replicas widen the length support only via
+      // the " replicaN" suffix, so growth must track the one corpus scan
+      "ks_pairwise_len" -> { m =>
+        val dl = docsAt(m).select(col("source"),
+          size(graft.ext.TextDedup.tokens(col("text"))).cast("long").as("len"))
+        graft.ext.RobustStats.ksPairwise(dl, "source", "len").count()
+      },
       // the q186 Q21 shape: fact⋈fact semi + anti joins on the orderkey —
       // both probe sides grow with m, so the join must stay key-partitioned
       // linear (no pair blowup inside an order: ≤ 7 lines each)
