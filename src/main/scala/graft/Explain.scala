@@ -328,7 +328,8 @@ object Explain {
     "q273_calibration",    // frozen-weight scoring + one bin hash-agg
     "q274_brier_decomposition", // rows + bins + one-row combine
     "q275_referential_integrity", // distinct-key anti-joins per FK edge
-    "q276_vocab_coverage"  // vocab-frame rank windows + broadcast spine
+    "q276_vocab_coverage", // vocab-frame rank windows + broadcast spine
+    "q277_partition_skew"  // two chained hash-aggs, one summary row
   )
 
   def main(args: Array[String]): Unit = {

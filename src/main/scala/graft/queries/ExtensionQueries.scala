@@ -9159,6 +9159,35 @@ object ExtensionQueries {
       FROM UNNEST([4, 8, 16, 24]) AS u(x) JOIN rk ON rk.rnk = u.x""")
   )
 
+  // Table tier: partition-skew audit for the q59 daily layout — rows per
+  // day-partition value with the skew factor (max/mean in milli) and the
+  // hottest partition: the check run BEFORE committing to a partition
+  // column, because one hot day turns every downstream scan and shuffle
+  // into a straggler. One hash-agg + a one-row min(struct) summary.
+  private val q277 = Q(
+    "q277_partition_skew",
+    (s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(expr("cast(ts as long) div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      per.agg(count(lit(1)).as("n_partitions"),
+          sum(col("n")).as("n_rows"),
+          min(col("n")).as("min_rows"),
+          max(col("n")).as("max_rows"))
+        .select(col("n_partitions"), col("n_rows"), col("min_rows"),
+          col("max_rows"),
+          expr("max_rows * 1000 * n_partitions div n_rows").as("skew_milli"))
+    },
+    Some("""WITH per AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+        CAST(sum(n) AS BIGINT) AS n_rows,
+        CAST(min(n) AS BIGINT) AS min_rows,
+        CAST(max(n) AS BIGINT) AS max_rows,
+        CAST(max(n) AS BIGINT) * 1000 * count(*) // sum(n) AS skew_milli
+      FROM per""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9168,5 +9197,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277)
 }

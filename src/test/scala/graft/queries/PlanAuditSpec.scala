@@ -1885,6 +1885,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the cutoff spine must broadcast:\n$p")
   }
 
+  test("q277: partition-skew audit is two chained hash-aggs") {
+    val p = plan("q277_partition_skew")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the audit is pure aggregation:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-partition counts must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
