@@ -329,7 +329,8 @@ object Explain {
     "q274_brier_decomposition", // rows + bins + one-row combine
     "q275_referential_integrity", // distinct-key anti-joins per FK edge
     "q276_vocab_coverage", // vocab-frame rank windows + broadcast spine
-    "q277_partition_skew"  // two chained hash-aggs, one summary row
+    "q277_partition_skew", // two chained hash-aggs, one summary row
+    "q278_nearest_click"   // one key shuffle, two-direction window carry
   )
 
   def main(args: Array[String]): Unit = {

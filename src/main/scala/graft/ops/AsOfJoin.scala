@@ -107,4 +107,74 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ rightCols.map(attach): _*)
   }
+
+  /** Nearest-event join (the pandas `merge_asof direction='nearest'`
+    * semantics; public): for each left row, attach the right row with the
+    * SMALLEST |leftTime − rightTime| within `tolerance` — backward wins
+    * ties (the pandas convention). The sensor-alignment join: "the
+    * reading closest to this event", where plain as-of silently prefers a
+    * stale past reading over a fresher future one.
+    *
+    * Same scale shape as [[apply]]: ONE shuffle on the key, one sorted
+    * window pass computing BOTH candidates — the backward carry
+    * (`last(…, ignoreNulls)` over preceding rows) and the forward carry
+    * (`first(…, ignoreNulls)` over following rows) share the (key, time)
+    * partitioning, so the forward direction costs no extra exchange.
+    *
+    * `tolerance` is REQUIRED (an unbounded nearest join attaches
+    * arbitrarily distant readings — at 100 TB that is a correctness bug,
+    * not a convenience). Equal-timestamp right rows match through the
+    * backward branch.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      tolerance: Column
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(rightCols.nonEmpty, "AsOfJoin.nearest: rightCols must not be empty")
+    val collisions = rightCols.filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"AsOfJoin.nearest: rightCols collide with left columns: ${collisions.mkString(", ")} — alias them first")
+    val rsType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rt", right.schema(rightTime).dataType))
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+ lit(null).cast(rsType).as("__r")) ++
+        Seq(col("__k"), col("__t"), col("__side")): _*)
+    val r = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col) :+ col(rightTime).as("__rt"): _*).as("__r")) ++
+        Seq(col("__k"), col("__t"), col("__side")): _*)
+    val ord = Window.partitionBy(col("__k")).orderBy(col("__t").asc, col("__side").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.unionByName(r)
+      .withColumn("__rb", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__rf", first(col("__r"), ignoreNulls = true).over(wf))
+    // distances (NULL candidate → NULL distance → loses every comparison)
+    val db = col("__t") - col("__rb.__rt")
+    val df = col("__rf.__rt") - col("__t")
+    val bOk = col("__rb").isNotNull && db <= tolerance
+    val fOk = col("__rf").isNotNull && df <= tolerance
+    val useB = bOk && (!fOk || db <= df) // backward wins ties
+    val attach: String => Column = c =>
+      when(useB, col(s"__rb.$c"))
+        .otherwise(when(fOk, col(s"__rf.$c")).otherwise(lit(null)))
+        .as(c)
+    carried
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(attach): _*)
+  }
 }

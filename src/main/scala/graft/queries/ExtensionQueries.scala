@@ -9188,6 +9188,48 @@ object ExtensionQueries {
       FROM per""")
   )
 
+  // Serving analytics: nearest-event attribution — each purchase attaches
+  // the user's click CLOSEST in time within ±2 h (pandas merge_asof
+  // direction='nearest'; backward wins ties), where the plain as-of q13
+  // would prefer an followed stale past click over a fresher future one.
+  // One key shuffle, one window pass computing both direction candidates
+  // (AsOfJoin.nearest); clicks pre-deduped per (user, ts) so the carry is
+  // deterministic.
+  private val q278 = Q(
+    "q278_nearest_click",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(min(col("event_id")).as("click_id"))
+      graft.ops.AsOfJoin.nearest(purchases, clicks,
+          "user_id", "c_user", "ts", "c_ts",
+          Seq("click_id", "c_ts"), expr("INTERVAL 2 HOURS"))
+        .select(col("event_id"), col("click_id"),
+          when(col("c_ts").isNotNull,
+            expr("cast(c_ts as long) - cast(ts as long)"))
+            .as("delta_seconds"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      c AS (SELECT user_id AS c_user, ts AS c_ts,
+          CAST(min(event_id) AS BIGINT) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, n.click_id,
+        CASE WHEN n.click_id IS NOT NULL
+          THEN epoch_us(n.c_ts) // 1000000 - epoch_us(p.ts) // 1000000
+        END AS delta_seconds
+      FROM p LEFT JOIN LATERAL (
+        SELECT c.click_id, c.c_ts FROM c
+        WHERE c.c_user = p.user_id
+          AND abs(epoch_us(c.c_ts) - epoch_us(p.ts)) <= 7200000000
+        ORDER BY abs(epoch_us(c.c_ts) - epoch_us(p.ts)),
+          CASE WHEN c.c_ts <= p.ts THEN 0 ELSE 1 END
+        LIMIT 1) n ON TRUE""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9197,5 +9239,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278)
 }

@@ -1893,6 +1893,17 @@ class PlanAuditSpec extends SparkFunSuite {
       s"per-partition counts must map-side combine:\n$p")
   }
 
+  test("q278: nearest join is ONE key shuffle; both directions share the sort") {
+    val p = plan("q278_nearest_click")
+    assert(p.split("Window").length - 1 >= 1,
+      s"the two-direction carry is a window pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the union-tag formulation joins nothing:\n$p")
+    // both carries run on ONE (key, time) exchange
+    assert(p.split("Exchange").length - 1 <= 3,
+      s"backward and forward candidates must share the key partitioning:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
