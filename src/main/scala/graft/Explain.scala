@@ -330,7 +330,8 @@ object Explain {
     "q275_referential_integrity", // distinct-key anti-joins per FK edge
     "q276_vocab_coverage", // vocab-frame rank windows + broadcast spine
     "q277_partition_skew", // two chained hash-aggs, one summary row
-    "q278_nearest_click"   // one key shuffle, two-direction window carry
+    "q278_nearest_click",  // one key shuffle, two-direction window carry
+    "q279_dau_mau"         // (day,user) collapse + two roll-ups, no window
   )
 
   def main(args: Array[String]): Unit = {

@@ -9230,6 +9230,42 @@ object ExtensionQueries {
         LIMIT 1) n ON TRUE""")
   )
 
+  // Serving analytics: DAU/MAU stickiness per calendar month — mean daily
+  // actives over monthly actives in exact permille ("what fraction of the
+  // month's users show up on an average day"), the engagement ratio every
+  // product review opens with. Distinct-user sets collapse at the
+  // (day, user) grain first, so both aggregates are exact and
+  // map-side-combinable from there.
+  private val q279 = Q(
+    "q279_dau_mau",
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(date_trunc("month", col("ts")).as("month"),
+          expr("cast(ts as long) div 86400").as("day"), col("user_id"))
+        .distinct()
+      val daily = du.groupBy(col("month"), col("day"))
+        .agg(count(lit(1)).as("dau"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("__dau_sum"))
+      val monthly = du.select(col("month"), col("user_id")).distinct()
+        .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+      daily.join(monthly, Seq("month"))
+        .select(col("month"), col("n_days"), col("mau"),
+          expr("__dau_sum * 1000 div (n_days * mau)").as("stickiness_permille"))
+    },
+    Some("""WITH du AS (SELECT DISTINCT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+        epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+      daily AS (SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(dau) AS BIGINT) AS dau_sum
+        FROM (SELECT month, day, CAST(count(*) AS BIGINT) AS dau
+          FROM du GROUP BY 1, 2) t GROUP BY 1),
+      monthly AS (SELECT month, CAST(count(*) AS BIGINT) AS mau
+        FROM (SELECT DISTINCT month, user_id FROM du) t GROUP BY 1)
+      SELECT d.month, d.n_days, m.mau,
+        d.dau_sum * 1000 // (d.n_days * m.mau) AS stickiness_permille
+      FROM daily d JOIN monthly m USING (month)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9239,5 +9275,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279)
 }

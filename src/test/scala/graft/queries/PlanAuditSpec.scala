@@ -1904,6 +1904,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"backward and forward candidates must share the key partitioning:\n$p")
   }
 
+  test("q279: stickiness collapses to (day, user) first; no window anywhere") {
+    val p = plan("q279_dau_mau")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"both actives counts are aggregates:\n$p")
+    assert(p.split("HashAggregate").length >= 5,
+      s"distinct collapse and both roll-ups must map-side combine:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
