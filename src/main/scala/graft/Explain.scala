@@ -331,7 +331,8 @@ object Explain {
     "q276_vocab_coverage", // vocab-frame rank windows + broadcast spine
     "q277_partition_skew", // two chained hash-aggs, one summary row
     "q278_nearest_click",  // one key shuffle, two-direction window carry
-    "q279_dau_mau"         // (day,user) collapse + two roll-ups, no window
+    "q279_dau_mau",        // (day,user) collapse + two roll-ups, no window
+    "q280_rolling_return"  // offset-spine semi-join on the (day,user) set
   )
 
   def main(args: Array[String]): Unit = {

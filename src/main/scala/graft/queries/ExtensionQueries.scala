@@ -9266,6 +9266,48 @@ object ExtensionQueries {
       FROM daily d JOIN monthly m USING (month)""")
   )
 
+  // Serving analytics: rolling day-7 return rate — of the users active on
+  // day D, the share active again within [D+1, D+7] (exact bp per day);
+  // the bounded-window retention beside q16's fixed weekly cohorts. The
+  // "returned" test is a semi-join against the (user, day) set shifted by
+  // a broadcast 1..7 offset spine — everything runs on the
+  // (day, user)-distinct frame.
+  private val q280 = Q(
+    "q280_rolling_return",
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(expr("cast(ts as long) div 86400").as("day"), col("user_id"))
+        .distinct()
+      val offsets = broadcast(s.range(1)
+        .select(explode(array((1 to 7).map(k => lit(k.toLong)): _*)).as("k")))
+      val returned = du.crossJoin(offsets)
+        .select(col("user_id"), col("day"), (col("day") + col("k")).as("day2"))
+        .join(du.select(col("user_id"), col("day").as("day2")),
+          Seq("user_id", "day2"), "left_semi")
+        .select(col("day"), col("user_id")).distinct()
+      du.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+        .join(returned.groupBy(col("day")).agg(count(lit(1)).as("n_returned")),
+          Seq("day"), "left")
+        .select(col("day"), col("n_active"),
+          coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+          expr("coalesce(n_returned, 0) * 10000 div n_active").as("return_bp"))
+    },
+    Some("""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        user_id FROM events),
+      ret AS (SELECT DISTINCT a.day, a.user_id
+        FROM du a, UNNEST(range(1, 8)) AS t(k)
+        WHERE EXISTS (SELECT 1 FROM du b
+          WHERE b.user_id = a.user_id AND b.day = a.day + t.k)),
+      act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+        FROM du GROUP BY 1),
+      rr AS (SELECT day, CAST(count(*) AS BIGINT) AS n_returned
+        FROM ret GROUP BY 1)
+      SELECT act.day, act.n_active,
+        CAST(coalesce(rr.n_returned, 0) AS BIGINT) AS n_returned,
+        coalesce(rr.n_returned, 0) * 10000 // act.n_active AS return_bp
+      FROM act LEFT JOIN rr USING (day)""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9275,5 +9317,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280)
 }

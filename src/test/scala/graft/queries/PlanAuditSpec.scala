@@ -1912,6 +1912,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"distinct collapse and both roll-ups must map-side combine:\n$p")
   }
 
+  test("q280: rolling return runs on the (day, user) set; returns are semi-joins") {
+    val p = plan("q280_rolling_return")
+    assert(p.contains("LeftSemi"),
+      s"the returned test is a semi-join against the shifted set:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"only the 7-row offset spine may cross (broadcast):\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
