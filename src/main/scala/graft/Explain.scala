@@ -332,7 +332,8 @@ object Explain {
     "q277_partition_skew", // two chained hash-aggs, one summary row
     "q278_nearest_click",  // one key shuffle, two-direction window carry
     "q279_dau_mau",        // (day,user) collapse + two roll-ups, no window
-    "q280_rolling_return"  // offset-spine semi-join on the (day,user) set
+    "q280_rolling_return", // offset-spine semi-join on the (day,user) set
+    "q281_change_points"   // filled-frame prefix windows + TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {

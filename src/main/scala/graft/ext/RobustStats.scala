@@ -299,6 +299,51 @@ object RobustStats {
         col("chi2_centi"))
   }
 
+  /** Page-Hinkley change-point statistic (Page 1954; the sequential
+    * mean-shift detector behind most stream-drift monitors): per index t,
+    * `PH_t = max_{i≤t} M_i − M_t` with `M_t = Σ_{i≤t} (x_i·1000 − x̄ᵐ_i)`
+    * and `x̄ᵐ_i` the running prefix mean in MILLI units (`S_i·1000 div i`
+    * — fixed point, so a sub-1-per-tick rate still resolves instead of
+    * flooring to zero) — a sustained DOWNWARD shift makes
+    * M fall away from its high-water mark and PH grow; the top rows are
+    * the change-point candidates a rate monitor alerts on.
+    *
+    * Exact integers: the milli mean is the floor `S_i·1000 div i` (both
+    * operands non-negative, so floor and truncate agree across engines)
+    * and everything after is addition — no rounding anywhere else. Gaps
+    * are zero-filled first (the q250 convention).
+    *
+    * Plan: the caller's aggregation produces the |index|-row series; the
+    * prefix sums and the running max are windows over that frame (the
+    * histogram-window precedent), and the cut is a TakeOrdered.
+    *
+    * Output: top-k (t, v, ph_milli) by the statistic, ties on earlier t.
+    */
+  def pageHinkley(series: DataFrame, tCol: String, vCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val src = series.select(col(tCol).cast("long").as("t"),
+      col(vCol).cast("long").as("v"))
+    val span = broadcast(src.agg(min(col("t")).as("__mn"),
+      max(col("t")).as("__mx")))
+    val filled = span
+      .select(explode(expr("sequence(__mn, __mx)")).as("t"))
+      .join(src, Seq("t"), "left")
+      .select(col("t"), coalesce(col("v"), lit(0L)).as("v"))
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled
+      .withColumn("__i", row_number().over(Window.orderBy(col("t"))).cast("long"))
+      .withColumn("__s", sum(col("v")).over(wCum))
+      .withColumn("__term", col("v") * 1000L - expr("(__s * 1000) div __i"))
+      .withColumn("__m", sum(col("__term")).over(wCum))
+      .withColumn("__hwm", max(col("__m")).over(wCum))
+      .select(col("t"), col("v"), (col("__hwm") - col("__m")).as("ph_milli"))
+      .orderBy(col("ph_milli").desc, col("t"))
+      .limit(k)
+  }
+
   def spearmanRank(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y"))

@@ -9308,6 +9308,42 @@ object ExtensionQueries {
       FROM act LEFT JOIN rr USING (day)""")
   )
 
+  // Stats tier: Page-Hinkley change-point scan over the per-minute ingest
+  // rate — the sequential mean-shift detector (downward drops pull the
+  // cumulative deviation away from its high-water mark) reporting the
+  // top-10 candidate minutes; the alert primitive beside q250's ACF and
+  // q268's backtest. Exact integers (milli fixed-point running mean, then
+  // pure addition), windows on the filled minute frame, TakeOrdered cut.
+  private val q281 = Q(
+    "q281_change_points",
+    (s, dir) => {
+      val mc = Tables.events(s, dir)
+        .groupBy(expr("cast(ts as long) div 60").as("minute"))
+        .agg(count(lit(1)).as("n_events"))
+      RobustStats.pageHinkley(mc, "minute", "n_events", k = 10)
+    },
+    Some("""WITH mc AS (SELECT epoch_us(ts) // 60000000 AS t,
+        CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      sp AS (SELECT CAST(min(t) AS BIGINT) AS mn, CAST(max(t) AS BIGINT) AS mx
+        FROM mc),
+      fl AS (SELECT u.x AS t, CAST(coalesce(mc.v, 0) AS BIGINT) AS v
+        FROM sp, UNNEST(range(sp.mn, sp.mx + 1)) AS u(x)
+        LEFT JOIN mc ON mc.t = u.x),
+      st AS (SELECT t, v,
+          CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+          CAST(sum(v) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        FROM fl),
+      m AS (SELECT t, v, CAST(sum(v * 1000 - (s * 1000) // i) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mm
+        FROM st),
+      h AS (SELECT t, v, CAST(max(mm) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - mm
+          AS ph_milli
+        FROM m)
+      SELECT t, v, ph_milli FROM h ORDER BY ph_milli DESC, t LIMIT 10""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9317,5 +9353,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281)
 }

@@ -115,6 +115,17 @@ class RobustStatsSpec extends SparkFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((30L, 1L, 748L)))
   }
 
+  test("pageHinkley: level drop grows the statistic; gaps fill as zero") {
+    val s = Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 0L), (4L, 0L)).toDF("t", "v")
+    val out = RobustStats.pageHinkley(s, "t", "v", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // after the drop: M falls −3750 then −6750 (milli) from the high mark
+    assert(out.toSeq == Seq((4L, 0L, 6750L), (3L, 0L, 3750L)))
+    val gap = Seq((0L, 4L), (2L, 0L)).toDF("t", "v") // t=1 filled as 0
+    val g = RobustStats.pageHinkley(gap, "t", "v", k = 1).collect().head
+    assert((g.getLong(0), g.getLong(2)) == ((2L, 3333L)))
+  }
+
   test("spearmanRank: +/-1000 on monotone data, 0 under independence, tie-correct") {
     val up = Seq((1L, 10L), (2L, 20L), (3L, 25L), (4L, 90L), (5L, 91L)).toDF("x", "y")
     assert(RobustStats.spearmanRank(up, "x", "y").collect().head.getLong(1) == 1000L)

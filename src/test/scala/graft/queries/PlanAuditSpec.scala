@@ -1920,6 +1920,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"only the 7-row offset spine may cross (broadcast):\n$p")
   }
 
+  test("q281: Page-Hinkley windows run on the filled minute frame") {
+    val p = plan("q281_change_points")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must be a TakeOrdered:\n$p")
+    assert(p.contains("Window"),
+      s"the prefix/high-water windows are load-bearing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"only the broadcast span may cross; the gap fill joins on the key:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
