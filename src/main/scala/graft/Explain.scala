@@ -333,7 +333,9 @@ object Explain {
     "q278_nearest_click",  // one key shuffle, two-direction window carry
     "q279_dau_mau",        // (day,user) collapse + two roll-ups, no window
     "q280_rolling_return", // offset-spine semi-join on the (day,user) set
-    "q281_change_points"   // filled-frame prefix windows + TakeOrdered
+    "q281_change_points",  // filled-frame prefix windows + TakeOrdered
+    "q282_simhash64",      // one explode + one 64-bit-sum hash-agg
+    "q283_incr_simhash64"  // id anti join + 16-bit band equi-joins
   )
 
   def main(args: Array[String]): Unit = {

@@ -780,6 +780,7 @@ object ScaleProbe {
         TextStats.sourceDivergence(docsAt(m), "source", "text", 64).count()),
       "graph_ann_walk" -> (m => m.toLong), // timed via `custom` below
       "incr_simhash_probe" -> (m => m.toLong), // timed via `custom` below
+      "incr_simhash64_probe" -> (m => m.toLong), // timed via `custom` below
       // Bradley–Terry MM fitting as the preference list grows: pairs come
       // from the grown corpus's LSH candidates (winner = longer doc), so
       // both the game list and the item set grow ~linearly — each round
@@ -880,6 +881,23 @@ object ScaleProbe {
       idx.unpersist(); t
     }
 
+    // incr_simhash64_probe: the SAME fixed batch against the 64-bit
+    // fingerprint index with 16-bit bands — the regime fix SCALING.md
+    // names for the 32-bit curve: bucket occupancy n/2¹⁶ instead of
+    // n/2⁸, so the fixed-batch cost must flatten while the 32-bit row
+    // above bends (the two rows together are the width-vs-occupancy
+    // receipt)
+    def incrSimhash64Timed(m: Int): Double = {
+      val idx = TextDedup.simhash64Index(docsAt(m), "doc_id", "text").persist()
+      idx.count()
+      val batch = Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + 90000000L)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t = time(TextDedup.simhash64Incremental(
+        batch, idx, "doc_id", "text").count())
+      idx.unpersist(); t
+    }
+
     // graph_ann_walk: the neighbor graph and entry points are persisted
     // index state (built outside the timer, the incr_knn_probe pattern);
     // the timed walk is rounds × (beam-probed adjacency join + candidate
@@ -906,6 +924,7 @@ object ScaleProbe {
         "incr_para_probe" -> incrParaTimed, "incr_knn_probe" -> incrKnnTimed,
         "graph_ann_walk" -> gannTimed,
         "incr_simhash_probe" -> incrSimhashTimed,
+        "incr_simhash64_probe" -> incrSimhash64Timed,
         "pagerank_iter_mb_str" -> prIterMB(encode = false),
         "pagerank_iter_mb_enc" -> prIterMB(encode = true))
 

@@ -136,8 +136,18 @@ object Privacy {
   def noisyCounts(df: DataFrame, groupCols: Seq[String], salt: String,
       bMicro: Long, suppressBelow: Long): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    // "/" separator keeps adjacent keys unambiguous (("a","bc") vs ("ab","c"))
-    val key = concat_ws("/", groupCols.map(c => col(c).cast("string")): _*)
+    // The seed key must be INJECTIVE in the group tuple: concat_ws skips
+    // NULL cells, so (NULL,'x') and ('x',NULL) would draw IDENTICAL,
+    // correlated noise — breaking the one-independent-draw-per-cell
+    // discipline. Encode each cell as `n` (NULL) or `v` + value with `\`
+    // doubled and the `/` separator escaped, keeping adjacent keys
+    // unambiguous (("a","bc") vs ("ab","c")) AND null-distinct.
+    val key = concat_ws("/", groupCols.map { c =>
+      val escaped = concat(lit("v"),
+        replace(replace(col(c).cast("string"), lit("\\"), lit("\\\\")),
+          lit("/"), lit("\\/")))
+      when(col(c).isNull, lit("n")).otherwise(escaped)
+    }: _*)
     df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("true_n"))
       .filter(col("true_n") >= suppressBelow)
       .withColumn("noise_micro", laplaceNoiseMicro(key, salt, bMicro))

@@ -619,6 +619,104 @@ object TextDedup {
       .select(col("id"), col("nbr_id"), col("hamming"))
   }
 
+  /** 64-bit SimHash, carried as TWO unsigned 32-bit halves (sh_hi, sh_lo)
+    * so every value stays comfortably inside a signed 64-bit integer in
+    * any engine — no sign-bit or shift-overflow edge at bit 63, and the
+    * oracle replays the identical md5-derived bits digit-by-digit. Bits
+    * 0–31 of the fingerprint live in `sh_lo`, bits 32–63 in `sh_hi`; the
+    * per-token digest is the FIRST 16 md5 hex chars (hi = chars 1–8,
+    * lo = chars 9–16).
+    *
+    * This is the 100 TB regime fingerprint named in SCALING.md: with
+    * 32-bit fingerprints and 8-bit bands, band-bucket occupancy grows as
+    * n/2⁸ and the incremental probe curve bends (measured 1.9× per
+    * doubling); at 64 bits with 16-bit bands occupancy is n/2¹⁶ — the
+    * WWW'07 (Manku et al.) production regime — and the same band
+    * equi-join flattens. Plan shape is width-independent: one explode +
+    * one partial-aggregable hash-aggregate (64 bit-sums instead of 32).
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val digest = md5(col("__tok").cast("binary"))
+    val withV = toks
+      .withColumn("__vh", conv(substring(digest, 1, 8), 16, 10).cast("long"))
+      .withColumn("__vl", conv(substring(digest, 9, 8), 16, 10).cast("long"))
+    def bitSum(src: String, i: Int, as: String) =
+      sum(when(shiftright(col(src), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(as)
+    val aggs = (0 until 32).map(i => bitSum("__vh", i, s"h$i")) ++
+      (0 until 32).map(i => bitSum("__vl", i, s"l$i"))
+    val bitSums = withV.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    def rebuild(prefix: String) = (0 until 32)
+      .map(i => when(col(s"$prefix$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col(idCol), rebuild("h").as("sh_hi"), rebuild("l").as("sh_lo"))
+  }
+
+  /** Hamming distance between two (hi, lo) 64-bit fingerprints. */
+  def hamming64(hiA: Column, loA: Column, hiB: Column, loB: Column): Column =
+    bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
+
+  /** The persisted state behind [[simhash64Incremental]] — one row per
+    * indexed document: (idCol, sh_hi, sh_lo).
+    */
+  def simhash64Index(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash64(df, idCol, textCol)
+
+  /** [[simhashIncremental]] at the 64-bit width: identical ingest contract
+    * (anti-join re-delivery drop, band equi-join against index ∪ batch,
+    * exact hamming once per candidate), but bands carry 64/nBands bits —
+    * 16-bit bands at the default nBands = 4, the occupancy regime where
+    * the fixed-batch probe curve stays flat as the index grows.
+    * Pigeonhole completeness for hamming ≤ maxHamming < nBands holds at
+    * any width. Output: (id, nbr_id, hamming).
+    */
+  def simhash64Incremental(batch: DataFrame, index: DataFrame,
+                           idCol: String, textCol: String,
+                           nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val fresh = simhash64(batch, idCol, textCol)
+      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+    simhash64IncrementalFromFresh(fresh, index, idCol, nBands, maxHamming)
+  }
+
+  /** [[simhash64Incremental]] with the anti-joined fresh fingerprints
+    * precomputed (the streaming-sink convention). `fresh` and `index`
+    * carry the [[simhash64Index]] layout (idCol, sh_hi, sh_lo).
+    */
+  def simhash64IncrementalFromFresh(fresh: DataFrame, index: DataFrame,
+                                    idCol: String,
+                                    nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % nBands == 0, "nBands must divide 64")
+    val bandBits = 64 / nBands
+    require(bandBits <= 32 && 32 % bandBits == 0,
+      s"bands must tile the 32-bit halves; got $bandBits-bit bands")
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < nBands, got $maxHamming >= $nBands")
+    val mask = (1L << bandBits) - 1
+    def toBands(sh: DataFrame) = sh
+      .select(col(idCol), col("sh_hi"), col("sh_lo"), posexplode(array(
+        (0 until nBands).map { b =>
+          val half  = if (b * bandBits < 32) "sh_lo" else "sh_hi"
+          val shift = (b * bandBits) % 32
+          shiftright(col(half), shift).bitwiseAND(lit(mask))
+        }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val cand = index.select(col(idCol), col("sh_hi"), col("sh_lo"))
+      .unionByName(fresh.select(col(idCol), col("sh_hi"), col("sh_lo")))
+    toBands(fresh).as("x")
+      .join(toBands(cand).as("y"),
+        col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id"), col(s"y.$idCol").as("nbr_id"),
+        col("x.sh_hi").as("__ha"), col("x.sh_lo").as("__la"),
+        col("y.sh_hi").as("__hb"), col("y.sh_lo").as("__lb"))
+      .distinct()
+      .withColumn("hamming",
+        hamming64(col("__ha"), col("__la"), col("__hb"), col("__lb")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id"), col("nbr_id"), col("hamming"))
+  }
+
   /** Winnowing fingerprints: char-`k`-gram digests, minimum per sliding
     * window of `w` consecutive positions, distinct per document. Output:
     * (id, n_fingerprints, min_fp). Robust-winnowing document signature —

@@ -1483,20 +1483,25 @@ object VectorSearch {
   }
 
   /** The persisted state behind [[knnGraphIncremental]]: one row per
-    * indexed vector — (idCol, vec DOUBLE[], nrm, bkt) with the
+    * indexed vector — (idCol, vec DOUBLE[], mv BIGINT[], n2, bkt) with the
     * [[signBucket]] blocking key precomputed, so an ingest batch probes
-    * it by bucket without touching the raw corpus. Production keeps this
-    * frame partitioned/persisted; the hot-bucket refinement of
-    * [[knnGraph]] is a REBUILD-time concern (splitting needs corpus-wide
-    * bucket counts), mirroring q108's index-compaction story.
+    * it by bucket without touching the raw corpus. `mv` is the
+    * milli-fixed-point cell array (the q73/q74 quantization) and `n2` its
+    * exact BIGINT squared norm — similarity ranking downstream is computed
+    * from these exact integers, never from a float fold, so the rank
+    * order is bit-identical across engines. Production keeps this frame
+    * partitioned/persisted; the hot-bucket refinement of [[knnGraph]] is
+    * a REBUILD-time concern (splitting needs corpus-wide bucket counts),
+    * mirroring q108's index-compaction story.
     */
   def knnGraphIndex(df: DataFrame, idCol: String, vecCol: String,
-                    bits: Int): DataFrame = {
-    val d = dotFn(df.sparkSession)
+                    bits: Int): DataFrame =
     df.select(col(idCol), asDouble(col(vecCol)).as("vec"),
         signBucket(col(vecCol), bits).as("bkt"))
-      .withColumn("nrm", sqrt(d(col("vec"), col("vec"))))
-  }
+      .withColumn("mv", transform(col("vec"), x => round(x * 1e3).cast("long")))
+      .withColumn("n2",
+        aggregate(zip_with(col("mv"), col("mv"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
 
   /** Batch-incremental kNN-graph maintenance — the ingest shape: a new
     * embedding batch arrives, and the graph must gain the new nodes'
@@ -1518,44 +1523,54 @@ object VectorSearch {
     * Output: (id, nbr_id, sim, rnk, direction).
     */
   def knnGraphIncremental(batch: DataFrame, index: DataFrame,
-                          idCol: String, vecCol: String, k: Int, bits: Int,
-                          roundDigits: Int = 4): DataFrame = {
+                          idCol: String, vecCol: String, k: Int,
+                          bits: Int): DataFrame = {
     val keyed = knnGraphIndex(batch, idCol, vecCol, bits)
     val fresh = keyed.join(index.select(col(idCol)), Seq(idCol), "left_anti")
-    knnGraphIncrementalFromFresh(fresh, index, idCol, k, roundDigits)
+    knnGraphIncrementalFromFresh(fresh, index, idCol, k)
   }
 
   /** [[knnGraphIncremental]] with the anti-joined fresh set precomputed —
     * the streaming sink persists `fresh` because the edge emit and the
     * index append both consume it. `fresh` and `index` must carry the
-    * [[knnGraphIndex]] layout (idCol, vec, nrm, bkt).
+    * [[knnGraphIndex]] layout (idCol, vec, mv, n2, bkt).
+    *
+    * Similarity is `sim_bp`: the exact BIGINT milli-cell dot over the
+    * exact integer squared norms, scaled to basis points in ONE scalar
+    * double expression — `round(dot * 10000.0 / sqrt(n2a * n2b))`. Both
+    * engines evaluate the identical IEEE op sequence on identical exact
+    * integers, so rank boundaries can never flip on a last-ulp float
+    * disagreement (the suite's exact-integer similarity convention;
+    * previously this ranked a `round(double, 4)` cosine and was the one
+    * similarity query off the convention).
     */
   def knnGraphIncrementalFromFresh(fresh: DataFrame, index: DataFrame,
-                                   idCol: String, k: Int,
-                                   roundDigits: Int = 4): DataFrame = {
+                                   idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val d = dotFn(fresh.sparkSession)
-    val cand = index.select(col(idCol), col("vec"), col("nrm"), col("bkt"))
-      .unionByName(fresh.select(col(idCol), col("vec"), col("nrm"), col("bkt")))
-    def sim(va: Column, na: Column, vb: Column, nb: Column): Column = {
-      val denom = na * nb
-      round(when(denom =!= 0.0, d(va, vb) / denom), roundDigits)
+    val cand = index.select(col(idCol), col("mv"), col("n2"), col("bkt"))
+      .unionByName(fresh.select(col(idCol), col("mv"), col("n2"), col("bkt")))
+    def sim(ma: Column, na: Column, mb: Column, nb: Column): Column = {
+      val dotL = aggregate(zip_with(ma, mb, (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      when(na =!= 0L && nb =!= 0L,
+        round(dotL * lit(10000.0) /
+          sqrt(na.cast("double") * nb.cast("double"))).cast("long"))
     }
     def ranked(df: DataFrame): DataFrame = df
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("sim").desc, col("nbr_id"))).cast("long"))
+          .orderBy(col("sim_bp").desc, col("nbr_id"))).cast("long"))
       .filter(col("rnk") <= k)
     val out = ranked(fresh.as("a")
       .join(cand.as("b"), col("a.bkt") === col("b.bkt") &&
         col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id"), col(s"b.$idCol").as("nbr_id"),
-        sim(col("a.vec"), col("a.nrm"), col("b.vec"), col("b.nrm")).as("sim")))
+        sim(col("a.mv"), col("a.n2"), col("b.mv"), col("b.n2")).as("sim_bp")))
       .withColumn("direction", lit("out"))
     val in = ranked(index.as("a")
       .join(fresh.as("b"), col("a.bkt") === col("b.bkt"))
       .select(col(s"a.$idCol").as("id"), col(s"b.$idCol").as("nbr_id"),
-        sim(col("a.vec"), col("a.nrm"), col("b.vec"), col("b.nrm")).as("sim")))
+        sim(col("a.mv"), col("a.n2"), col("b.mv"), col("b.n2")).as("sim_bp")))
       .withColumn("direction", lit("in"))
     out.unionByName(in)
   }

@@ -3536,6 +3536,10 @@ object ExtensionQueries {
   // indexed nodes rank the new arrivals alone ('in', a monotone top-k
   // merge against stored adjacency). Per-batch cost tracks batch size ×
   // bucket occupancy, never index size — q108's contract for graphs.
+  // Similarity is the exact-integer sim_bp convention: BIGINT milli-cell
+  // dot + exact n2, scaled by ONE scalar round(dot*10000/sqrt(n2a*n2b))
+  // so neither engine's float fold can flip a rank boundary (the r9
+  // hash-fail fix — this was the one similarity query ranking raw floats).
   private val q136 = Q(
     "q136_incr_knn_graph",
     (s, dir) => {
@@ -3546,26 +3550,35 @@ object ExtensionQueries {
         emb.filter(col("vec_id") >= 390), index, "vec_id", "embedding",
         k = 3, bits = 6)
     },
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    Some(s"""WITH e AS (SELECT vec_id,
+        list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS mv,
         ${duckSignBucket("embedding", 6)} AS bkt FROM embeddings),
-      idx AS (SELECT * FROM e WHERE vec_id < 400),
-      fresh AS (SELECT * FROM e WHERE vec_id >= 400),
+      en AS (SELECT vec_id, mv, bkt,
+        CAST(list_sum(list_transform(mv, x -> x * x)) AS BIGINT) AS n2 FROM e),
+      idx AS (SELECT * FROM en WHERE vec_id < 400),
+      fresh AS (SELECT * FROM en WHERE vec_id >= 400),
       cand AS (SELECT * FROM idx UNION ALL SELECT * FROM fresh),
       outp AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
-          round(${duckCos("a.v", "b.v")}, 4) AS sim
+          CASE WHEN a.n2 <> 0 AND b.n2 <> 0 THEN CAST(round(
+            CAST(list_sum(list_transform(list_zip(a.mv, b.mv), x -> x[1] * x[2])) AS BIGINT)
+            * 10000.0 / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))) AS BIGINT)
+          END AS sim_bp
         FROM fresh a JOIN cand b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
-      outr AS (SELECT id, nbr_id, sim,
-          row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr_id) AS rnk
+      outr AS (SELECT id, nbr_id, sim_bp,
+          row_number() OVER (PARTITION BY id ORDER BY sim_bp DESC, nbr_id) AS rnk
         FROM outp QUALIFY rnk <= 3),
       inp AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
-          round(${duckCos("a.v", "b.v")}, 4) AS sim
+          CASE WHEN a.n2 <> 0 AND b.n2 <> 0 THEN CAST(round(
+            CAST(list_sum(list_transform(list_zip(a.mv, b.mv), x -> x[1] * x[2])) AS BIGINT)
+            * 10000.0 / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))) AS BIGINT)
+          END AS sim_bp
         FROM idx a JOIN fresh b ON a.bkt = b.bkt),
-      inr AS (SELECT id, nbr_id, sim,
-          row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr_id) AS rnk
+      inr AS (SELECT id, nbr_id, sim_bp,
+          row_number() OVER (PARTITION BY id ORDER BY sim_bp DESC, nbr_id) AS rnk
         FROM inp QUALIFY rnk <= 3)
-      SELECT id, nbr_id, sim, CAST(rnk AS BIGINT) AS rnk, 'out' AS direction FROM outr
+      SELECT id, nbr_id, sim_bp, CAST(rnk AS BIGINT) AS rnk, 'out' AS direction FROM outr
       UNION ALL
-      SELECT id, nbr_id, sim, CAST(rnk AS BIGINT) AS rnk, 'in' AS direction FROM inr""")
+      SELECT id, nbr_id, sim_bp, CAST(rnk AS BIGINT) AS rnk, 'in' AS direction FROM inr""")
   )
 
   // Similarity search 11: mini-batch k-means centroid update (Sculley
@@ -4600,7 +4613,7 @@ object ExtensionQueries {
         .agg(max(col("__d")).as("__last"), count(lit(1)).as("n_purchases"),
           sum(col("__cents")).as("monetary_cents"))
         .crossJoin(broadcast(maxd))
-        .withColumn("recency_days", col("__dm") - col("__last"))
+        .withColumn("recency_days", (col("__dm") - col("__last")).cast("long"))
         .withColumn("__g", lit("all"))
         .drop("__last", "__dm")
       val withR = Sampling.scorePercentile(rfm, "__g", "recency_days")
@@ -5537,7 +5550,7 @@ object ExtensionQueries {
     Some(s"""WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS true_n
         FROM documents GROUP BY 1, 2),
       k AS (SELECT source, lang, true_n,
-          'q189|' || source || '/' || lang AS seed
+          'q189|v' || source || '/v' || lang AS seed
         FROM g WHERE true_n >= 5),
       v AS (SELECT source, lang, true_n,
           (${duckHex32("seed")} + 0.5) / 4294967296.0 - 0.5 AS w FROM k),
@@ -5878,7 +5891,11 @@ object ExtensionQueries {
           (${duckHexN("CAST(l_orderkey AS VARCHAR)", 4)}) % 64 AS bucket,
           CAST(count(*) AS BIGINT) AS n_rows,
           CAST(bit_xor(${duckHexN(
-            "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(sk AS VARCHAR) || '|' || l_returnflag", 8)})
+            Seq("CAST(l_orderkey AS VARCHAR)", "CAST(l_linenumber AS VARCHAR)",
+                "CAST(sk AS VARCHAR)", "l_returnflag")
+              .map(v =>
+                s"CASE WHEN $v IS NULL THEN 'n' ELSE 'v' || replace(replace($v, '\\', '\\\\'), '|', '\\|') END")
+              .mkString(" || '|' || "), 8)})
             AS BIGINT) AS digest
         FROM (SELECT l_orderkey, l_linenumber, l_returnflag, $extra AS sk
           FROM lineitem ${if (name == "b") "WHERE l_orderkey <> 77" else ""}) t
@@ -7306,18 +7323,30 @@ object ExtensionQueries {
 
   // Dedup 34: candidate-method comparison — minhash-LSH banding, simhash
   // pigeonhole banding, and the exact prefix-filter join, all run against
-  // the SAME planted truth (exact Jaccard ≥ 5000 bp on the q109 sampled
-  // corpus), reported as one recall/precision table: the method-selection
-  // artifact that sits above the per-method calibration curves
-  // (q109/q231). prefix_filter anchors at recall = precision = 10000 by
-  // construction (Bayardo et al. 2007's exactness theorem — which is
-  // exactly what its oracle certifies).
+  // the SAME planted truth (exact Jaccard ≥ 5000 bp), reported as one
+  // recall/precision table: the method-selection artifact that sits above
+  // the per-method calibration curves (q109/q231). prefix_filter anchors
+  // at recall = precision = 10000 by construction (Bayardo et al. 2007's
+  // exactness theorem — which is exactly what its oracle certifies).
+  //
+  // Scale bound (the r9 scale-killer fix): the comparison corpus is a
+  // FIXED-SIZE hash-cut sample — the 400 documents with the smallest
+  // (md5-bucket, doc_id), a TakeOrdered that never widens — so the exact
+  // all-pairs truth stage is O(400²) at ANY corpus scale instead of
+  // growing with a 1/3 proportional sample. The per-method operators are
+  // certified at full corpus scale by their own queries (q109/q168/q231);
+  // this query's job is the method-vs-truth table, and truth over a
+  // fixed calibration sample is the standard recall-estimation trade
+  // (documented in SCALING.md).
   private val q233 = Q(
     "q233_dedup_method_comparison",
     (s, dir) => {
       val docs   = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val sample = docs.filter(col("doc_id") % 3 === 0)
-      val nearDups = sample.filter(col("doc_id") % 30 === 0)
+      val sample = docs
+        .withColumn("__h", Sampling.hashBucket16(col("doc_id")))
+        .orderBy(col("__h"), col("doc_id")).limit(400)
+        .drop("__h")
+      val nearDups = sample.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 100000L)
         .withColumn("text", concat(col("text"), lit(" zq109tail")))
       val corpus = sample.unionByName(nearDups)
@@ -7354,10 +7383,13 @@ object ExtensionQueries {
         .select(col("method"), col("n_truth"), col("n_candidates"),
           col("n_found"), col("recall_bp"), col("precision_bp"))
     },
-    Some(s"""WITH corpus AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    Some(s"""WITH samp AS (
+        SELECT doc_id, text FROM documents
+        ORDER BY (${TrainingQueries.md5Bucket16Sql("doc_id")}), doc_id LIMIT 400),
+      corpus AS (
+        SELECT doc_id, text FROM samp
         UNION ALL
-        SELECT doc_id + 100000, text || ' zq109tail' FROM documents WHERE doc_id % 30 = 0),
+        SELECT doc_id + 100000, text || ' zq109tail' FROM samp WHERE doc_id % 10 = 0),
       ctoks AS (SELECT doc_id,
         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
         FROM corpus),
@@ -9184,7 +9216,8 @@ object ExtensionQueries {
         CAST(sum(n) AS BIGINT) AS n_rows,
         CAST(min(n) AS BIGINT) AS min_rows,
         CAST(max(n) AS BIGINT) AS max_rows,
-        CAST(max(n) AS BIGINT) * 1000 * count(*) // sum(n) AS skew_milli
+        CAST(CAST(max(n) AS BIGINT) * 1000 * CAST(count(*) AS BIGINT)
+          // CAST(sum(n) AS BIGINT) AS BIGINT) AS skew_milli
       FROM per""")
   )
 
@@ -9344,6 +9377,98 @@ object ExtensionQueries {
       SELECT t, v, ph_milli FROM h ORDER BY ph_milli DESC, t LIMIT 10""")
   )
 
+  // DuckDB simhash64 building blocks (q282/q283): the fingerprint lives
+  // in two unsigned 32-bit halves (bits 32–63 in sh_hi from md5 hex chars
+  // 1–8, bits 0–31 in sh_lo from chars 9–16), so every intermediate fits
+  // a signed BIGINT in both engines — no bit-63 sign edge to replay.
+  private def duckSimhash64HexVal(offset: Int): String = (0 until 8).map { p =>
+    val term = s"CAST(strpos('0123456789abcdef', substr(md5(tok), ${offset + p + 1}, 1)) - 1 AS BIGINT)"
+    val mult = 1L << (4 * (7 - p))
+    if (mult == 1L) term else s"$term * $mult"
+  }.mkString(" + ")
+  private val duckSimhash64BitSums: String =
+    ((0 until 32).map(i => s"sum(CASE WHEN (vh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS hb$i") ++
+     (0 until 32).map(i => s"sum(CASE WHEN (vl >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS lb$i"))
+      .mkString(",\n  ")
+  private def duckSimhash64Rebuild(prefix: String): String = (0 until 32)
+    .map(i => s"(CASE WHEN $prefix$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+    .mkString(" + ")
+  /** CTE chain `tok_rows64, h64, bits64, sh64` computing
+    * (doc_id, sh_hi, sh_lo) from a preceding `corpus(doc_id, text)` CTE.
+    */
+  private def duckSimhash64Ctes(corpus: String): String =
+    s"""tok_rows64 AS (SELECT doc_id,
+      unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+      FROM $corpus),
+    h64 AS (SELECT doc_id, ${duckSimhash64HexVal(0)} AS vh,
+      ${duckSimhash64HexVal(8)} AS vl FROM tok_rows64),
+    bits64 AS (SELECT doc_id,
+  $duckSimhash64BitSums
+      FROM h64 GROUP BY doc_id),
+    sh64 AS (SELECT doc_id, CAST(${duckSimhash64Rebuild("hb")} AS BIGINT) AS sh_hi,
+      CAST(${duckSimhash64Rebuild("lb")} AS BIGINT) AS sh_lo FROM bits64)"""
+
+  // Dedup 35: 64-bit SimHash fingerprints — the 100 TB regime width
+  // SCALING.md names as the fix for the 32-bit band-occupancy curve
+  // (8-bit bands put n/2⁸ docs in a bucket; 16-bit bands put n/2¹⁶).
+  // Same one-explode + one-hash-aggregate plan as q25, twice the bit
+  // sums; carried as two 32-bit halves so both engines stay in exact
+  // signed-BIGINT arithmetic.
+  private val q282 = Q(
+    "q282_simhash64",
+    (s, dir) => TextDedup.simhash64(docsSpread(s, dir), "doc_id", "text"),
+    Some(s"""WITH ${duckSimhash64Ctes("documents")}
+      SELECT doc_id, sh_hi, sh_lo FROM sh64""")
+  )
+
+  // Dedup 36: batch-incremental near-dup detection on the 64-bit
+  // fingerprint with 16-bit bands — the q232 ingest contract at the
+  // width where a fixed batch's candidate count stays flat as the index
+  // grows (incr_simhash64_probe measures the curve). Index = even docs;
+  // batch = odd docs + redelivered evens (anti-join must drop) +
+  // re-keyed copies of every 10th even doc (must surface at hamming 0).
+  private val q283 = Q(
+    "q283_incr_simhash64",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val index = TextDedup.simhash64Index(corpus, "doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(corpus.filter(col("doc_id") % 20 === 0))
+        .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L))
+        .repartition(s.sparkContext.defaultParallelism)
+      TextDedup.simhash64Incremental(batch, index, "doc_id", "text",
+        nBands = 4, maxHamming = 3)
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, text FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+      ${duckSimhash64Ctes("corpus")},
+      fresh AS (SELECT doc_id, sh_hi, sh_lo FROM sh64
+        WHERE doc_id % 2 = 1 OR doc_id >= 500000),
+      cand AS (SELECT doc_id, sh_hi, sh_lo FROM sh64
+        WHERE doc_id % 2 = 0 AND doc_id < 500000
+        UNION ALL SELECT doc_id, sh_hi, sh_lo FROM fresh),
+      fb AS (SELECT doc_id, sh_hi, sh_lo, t.b,
+          ((CASE WHEN t.b < 2 THEN sh_lo ELSE sh_hi END)
+            >> (CAST(t.b AS INT) % 2 * 16)) & 65535 AS bv
+        FROM fresh, UNNEST(range(0, 4)) t(b)),
+      cb AS (SELECT doc_id, sh_hi, sh_lo, t.b,
+          ((CASE WHEN t.b < 2 THEN sh_lo ELSE sh_hi END)
+            >> (CAST(t.b AS INT) % 2 * 16)) & 65535 AS bv
+        FROM cand, UNNEST(range(0, 4)) t(b)),
+      pr AS (SELECT DISTINCT x.doc_id AS id, y.doc_id AS nbr_id,
+          x.sh_hi AS ha, x.sh_lo AS la, y.sh_hi AS hb, y.sh_lo AS lb
+        FROM fb x JOIN cb y ON x.b = y.b AND x.bv = y.bv
+          AND x.doc_id <> y.doc_id)
+      SELECT id, nbr_id,
+        CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+      FROM pr WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9353,5 +9478,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283)
 }

@@ -436,7 +436,7 @@ object ParityQueries {
       val ranked = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
       Tables.events(s, dir)
         .withColumn("max_value", max(col("value")).over(byUser))
-        .withColumn("rnk", row_number().over(ranked))
+        .withColumn("rnk", row_number().over(ranked).cast("long"))
         .filter(col("rnk") <= 3)
         .select(
           col("event_id"), col("user_id"),

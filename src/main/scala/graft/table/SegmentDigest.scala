@@ -28,6 +28,13 @@ object SegmentDigest {
     * bucket = 16-bit md5 of the key (string form) mod `nBuckets`; row
     * hash = first 8 md5 hex digits of the `|`-joined canonical string
     * of `contentCols`. Both replay exactly in any engine with md5.
+    *
+    * The canonical string is INJECTIVE per row: every cell encodes as
+    * `n` for NULL or `v` + value with `\` doubled and `|` escaped, so
+    * (x, NULL) vs (NULL, x), ('a|b', NULL) vs ('a', 'b'), and NULL vs
+    * 'n' all digest differently — a plain concat_ws would silently skip
+    * NULL cells and let an anti-entropy diff certify a divergent
+    * segment as clean, the one failure a sync tool must never have.
     */
   def digests(df: DataFrame, keyCol: String, contentCols: Seq[String],
       nBuckets: Int): DataFrame = {
@@ -37,9 +44,14 @@ object SegmentDigest {
       conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 4), 16, 10)
         .cast("long"),
       lit(nBuckets.toLong))
+    val cells = contentCols.map { c =>
+      val escaped = concat(lit("v"),
+        replace(replace(col(c).cast("string"), lit("\\"), lit("\\\\")),
+          lit("|"), lit("\\|")))
+      when(col(c).isNull, lit("n")).otherwise(escaped)
+    }
     val rowHash = conv(substring(
-      md5(concat_ws("|", contentCols.map(c => col(c).cast("string")): _*)
-        .cast("binary")), 1, 8), 16, 10).cast("long")
+      md5(concat_ws("|", cells: _*).cast("binary")), 1, 8), 16, 10).cast("long")
     df.select(bucket.as("bucket"), rowHash.as("__h"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("digest"))

@@ -75,4 +75,18 @@ class PrivacySpec extends SparkFunSuite {
     assert(r.getAs[Long]("released_micro") ==
       7L * 1000000L + r.getAs[Long]("noise_micro"))
   }
+
+  test("noisyCounts seed key is injective: NULL-position and separator-collision groups draw independently") {
+    // (NULL,'x') vs ('x',NULL) collapse under concat_ws; ("a/b", null-ish
+    // tail) vs ("a","b") collapse without separator escaping — all four
+    // groups must draw DISTINCT noise
+    val df = (Seq.fill(6)((null: String, "x")) ++ Seq.fill(6)(("x", null: String)) ++
+      Seq.fill(6)(("a/b", "c")) ++ Seq.fill(6)(("a", "b/c")))
+      .toDF("g1", "g2")
+    val out = Privacy.noisyCounts(df, Seq("g1", "g2"), "t", 1000000L, suppressBelow = 1L)
+      .collect()
+    assert(out.length == 4)
+    val draws = out.map(_.getAs[Long]("noise_micro")).toSet
+    assert(draws.size == 4, s"correlated draws across distinct groups: $draws")
+  }
 }

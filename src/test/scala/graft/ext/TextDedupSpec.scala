@@ -332,6 +332,37 @@ class TextDedupSpec extends SparkFunSuite {
     assert(got == Set((2L, 1L, 0L), (2L, 4L, 0L), (4L, 1L, 0L), (4L, 2L, 0L)))
   }
 
+  test("simhash64: halves stay unsigned-32-bit; identical text → hamming 0, disjoint > 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww vv uu tt ss")).toDF("id", "text")
+    val sh = TextDedup.simhash64(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    sh.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(3L)) > 0)
+  }
+
+  test("simhash64Incremental: redelivery dropped, 16-bit-band probe surfaces index and in-batch dups") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val index = TextDedup.simhash64Index(corpus, "id", "text").persist()
+    index.count()
+    val batch = Seq(
+      (1L, "a b c d e f"),  // redelivered id: must not re-emit
+      (2L, "a b c d e f"),  // near-dup of INDEXED 1 (hamming 0)
+      (3L, "z y x w v u"),  // genuinely fresh, unrelated
+      (4L, "a b c d e f")   // in-batch dup of 2
+    ).toDF("id", "text")
+    val got = TextDedup.simhash64Incremental(batch, index, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    index.unpersist()
+    assert(got == Set((2L, 1L, 0L), (2L, 4L, 0L), (4L, 1L, 0L), (4L, 2L, 0L)))
+  }
+
   test("dedupClusterAudit: zero-sim pairs reconstructed, singletons and oversized clusters gated") {
     val df = Seq(
       (1L, 10L, "a b c"),   // cluster 10: 1~2 identical, 3 unrelated

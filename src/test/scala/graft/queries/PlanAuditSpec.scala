@@ -1930,6 +1930,30 @@ class PlanAuditSpec extends SparkFunSuite {
       s"only the broadcast span may cross; the gap fill joins on the key:\n$p")
   }
 
+  test("q282: simhash64 is one explode + one map-side-combinable 64-bit-sum agg") {
+    val p = plan("q282_simhash64")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"fingerprinting never joins:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the 64 bit sums must map-side combine before the shuffle:\n$p")
+  }
+
+  test("q283: incremental simhash64 is an id anti join + 16-bit band equi-joins, never a product") {
+    val p = plan("q283_incr_simhash64")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the index probe must stay band-keyed:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"redelivery must drop via one anti join on the id:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"fingerprint bit sums must map-side combine:\n$p")
+  }
+
+  test("q233: the truth corpus is a fixed-size TakeOrdered hash-cut, not a proportional sample") {
+    val p = plan("q233_dedup_method_comparison")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the 400-doc hash-cut must compile to a TakeOrdered (map-side top-k):\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,

@@ -37,4 +37,27 @@ class SegmentDigestSpec extends SparkFunSuite {
     // identical inputs → empty drift
     assert(SegmentDigest.diff(a, a).collect().isEmpty)
   }
+
+  test("row canonicalization is NULL-safe and separator-safe: divergent replicas never digest clean") {
+    // every pair below collapses to the same concat_ws string; the
+    // injective encoding must keep them apart so the diff reports drift
+    val cases = Seq(
+      (Seq(("x", null: String)), Seq((null: String, "x"))),
+      (Seq(("a|b", null: String)), Seq(("a", "b"))),
+      (Seq(("a", null: String)), Seq(("a", "n"))) // NULL vs literal sentinel
+    )
+    for (((l, r), i) <- cases.zipWithIndex) {
+      val la = l.map { case (x, y) => (1L, x, y) }.toDF("k", "c1", "c2")
+      val rb = r.map { case (x, y) => (1L, x, y) }.toDF("k", "c1", "c2")
+      val drift = SegmentDigest.diff(
+        SegmentDigest.digests(la, "k", Seq("c1", "c2"), nBuckets = 4),
+        SegmentDigest.digests(rb, "k", Seq("c1", "c2"), nBuckets = 4)).collect()
+      assert(drift.nonEmpty, s"case $i digested clean: $l vs $r")
+    }
+    // and a genuinely identical pair (with NULLs present) stays clean
+    val same = Seq((1L, null: String, "x"), (2L, "a|b", null: String))
+      .toDF("k", "c1", "c2")
+    val d = SegmentDigest.digests(same, "k", Seq("c1", "c2"), nBuckets = 4)
+    assert(SegmentDigest.diff(d, d).collect().isEmpty)
+  }
 }

@@ -12,6 +12,8 @@ import json, sys, glob, os
 import duckdb
 
 def norm_cell(v):
+    # Mirror the driver: values are hashed RAW (floats compared exactly,
+    # not rounded) — a local pass must never be weaker than the driver's.
     import datetime, math
     if isinstance(v, datetime.datetime):
         return int(v.timestamp() * 1_000_000)
@@ -20,7 +22,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        return v
     return v
 
 def frame_key(rows, cols):
@@ -50,16 +52,22 @@ def main():
             print(f"[FAIL] {name}: no spark result parquet")
             failures += 1
             continue
-        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+        got_q = f"SELECT * FROM '{res_dir}/*.parquet'"
+        got = con.execute(got_q)
         got_cols = [d[0] for d in got.description]
-        # capture types NOW: `got` is the connection, so its .description is
-        # overwritten once the oracle SQL executes below
-        got_types = {d[0]: d[1] for d in got.description}
         got_rows = got.fetchall()
+        # Exact logical types via DESCRIBE: the DB-API .description type
+        # code collapses BIGINT and HUGEINT into one code ('NUMBER'), which
+        # is exactly how the r9 local sweep certified q277 while the driver
+        # (hashing raw arrow values, where HUGEINT != int64) failed it.
+        got_types = dict(
+            (r[0], r[1]) for r in con.execute(f"DESCRIBE {got_q}").fetchall())
         if sql is None:
             print(f"[rows-only] {name}: {len(got_rows)} rows")
             continue
         try:
+            exp_types = dict(
+                (r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall())
             exp = con.execute(sql)
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
@@ -71,10 +79,14 @@ def main():
             print(f"[FAIL] {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             failures += 1
             continue
-        # Type check: the driver hashes arrow values, so a DuckDB HUGEINT /
-        # DECIMAL vs Spark BIGINT diverges even when cell values are equal
-        # (round-1 q12 failure mode). Compare DuckDB's view of both sides.
-        exp_types = {d[0]: d[1] for d in exp.description}
+        # Any HUGEINT/DECIMAL in the ORACLE output is an unconditional fail:
+        # no Spark type can hash-match it at the driver, whatever the values.
+        bad_oracle = {c: t for c, t in exp_types.items()
+                      if "HUGEINT" in str(t) or "DECIMAL" in str(t)}
+        if bad_oracle:
+            print(f"[FAIL] {name}: oracle emits driver-unhashable types: {bad_oracle}")
+            failures += 1
+            continue
         ty_diff = {c: (got_types[c], exp_types[c]) for c in got_types
                    if got_types[c] != exp_types[c]
                    # TIMESTAMP_NS vs TIMESTAMP etc. normalize in norm_cell
