@@ -335,7 +335,10 @@ object Explain {
     "q280_rolling_return", // offset-spine semi-join on the (day,user) set
     "q281_change_points",  // filled-frame prefix windows + TakeOrdered
     "q282_simhash64",      // one explode + one 64-bit-sum hash-agg
-    "q283_incr_simhash64"  // id anti join + 16-bit band equi-joins
+    "q283_incr_simhash64", // id anti join + 16-bit band equi-joins
+    "q284_unigram_train",  // vocab-sized rounds: match grid + walk + prune
+    "q285_unigram_fertility", // distinct words segment once, counts re-attach
+    "q286_tokenizer_compare"  // three bounded fertility aggregates
   )
 
   def main(args: Array[String]): Unit = {

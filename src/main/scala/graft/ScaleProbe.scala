@@ -169,6 +169,11 @@ object ScaleProbe {
 
     val ops: Seq[(String, Int => Long)] = Seq(
       "token_stats"   -> (m => TextStats.tokenStats(docsAt(m), "doc_id", "text").count()),
+      // unigram-LM trainer (q284): ONE corpus scan builds the word-count
+      // frame; candidate generation, all three segment rounds and the
+      // prunes run over distinct words × a ≤(chars+48)-piece vocab — the
+      // curve must track the scan, with the vocab-sized rounds flat
+      "unigram_train" -> (m => TextStats.unigramTrain(docsAt(m), "text").count()),
       // q244's G²: the corpus grows, the 20 sources do not — the
       // (source, token) agg must scale with the scan while the marginal
       // joins and the top-k window stay post-agg-sized
@@ -781,6 +786,20 @@ object ScaleProbe {
       "graph_ann_walk" -> (m => m.toLong), // timed via `custom` below
       "incr_simhash_probe" -> (m => m.toLong), // timed via `custom` below
       "incr_simhash64_probe" -> (m => m.toLong), // timed via `custom` below
+      // q233's truth stage after the r10 bound: the exact all-pairs
+      // Jaccard runs over a FIXED-SIZE hash-cut sample (400 docs by
+      // smallest md5 bucket) of the m×-grown corpus — the timed cost is
+      // the sample cut (a TakeOrdered over the scan) + a constant-size
+      // all-pairs join, so the curve must track the scan, never Σdf²
+      "dedup_truth_sample" -> { m =>
+        val sample = docsAt(m)
+          .withColumn("__h", Sampling.hashBucket16(col("doc_id")))
+          .orderBy(col("__h"), col("doc_id")).limit(400)
+          .drop("__h")
+        TextDedup.jaccardPairs(
+          sample.withColumn("__blk", lit(0)), "doc_id", "text", "__blk", 2)
+          .count()
+      },
       // Bradley–Terry MM fitting as the preference list grows: pairs come
       // from the grown corpus's LSH candidates (winner = longer doc), so
       // both the game list and the item set grow ~linearly — each round

@@ -444,6 +444,163 @@ object TextStats {
     } finally vocab.unpersist()
   }
 
+  // -----------------------------------------------------------------
+  // Unigram-LM tokenizer trainer (Kudo, ACL 2018 — the SentencePiece
+  // unigram model): start from a LARGE candidate vocabulary of frequent
+  // substrings, iteratively re-estimate piece usage under the current
+  // segmentation and PRUNE the lowest-contribution pieces, keeping
+  // single characters forever so coverage never breaks. This is the
+  // deterministic hard-EM variant: the E-step segments each distinct
+  // word by greedy maximal munch (longest vocab piece at each position
+  // — the WordPiece-style deterministic stand-in for the Viterbi path,
+  // chosen so BOTH engines replay the identical integer-only
+  // segmentation with zero float ops), and the M-step recounts
+  // occurrence-weighted piece usage; pruning by usage then plays the
+  // role of Kudo's loss-ranked prune. Everything downstream of one
+  // corpus word-count aggregate is VOCABULARY-sized: candidate
+  // generation, the per-round match table, the walk, and the prune all
+  // run over distinct words × a bounded vocab, never corpus rows.
+
+  /** Distinct-word frame (word, count) for the trainer — words longer
+    * than `maxWordLen` are excluded (the candidate/segmentation bound;
+    * SentencePiece applies the same kind of length cap).
+    */
+  private def unigramWords(df: DataFrame, textCol: String,
+                           maxWordLen: Int): DataFrame =
+    df.select(explode(TextDedup.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) <= maxWordLen)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+
+  /** Greedy maximal-munch segmentation of every distinct word against a
+    * bounded piece vocabulary: per (word, position) the LONGEST matching
+    * piece wins (single chars are always in the vocab, so every position
+    * matches), and the per-word walk chains matches left to right.
+    * Output: one row per word — (__w, __cnt, __used array<string>).
+    *
+    * Plan shape: one bounded explode of the (pos, len) match grid over
+    * DISTINCT words, one broadcast equi-join against the vocab on the
+    * substring, one (word, pos) rank window, then a per-word fold of at
+    * most `maxWordLen` steps. Nothing corpus-sized is touched.
+    */
+  private def munchSegments(words: DataFrame, vocab: DataFrame,
+                            maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val grid = expr(
+      s"""filter(flatten(transform(sequence(1, length(__w)),
+         |  p -> transform(sequence(1, $maxPieceLen),
+         |    l -> CASE WHEN p + l - 1 <= length(__w)
+         |         THEN named_struct('pos', p, 'len', l,
+         |                           'piece', substr(__w, p, l)) END))),
+         |  x -> x IS NOT NULL)""".stripMargin)
+    val matches = words
+      .select(col("__w"), col("__cnt"), explode(grid).as("__g"))
+      .select(col("__w"), col("__cnt"), col("__g.pos").as("__pos"),
+        col("__g.len").as("__len"), col("__g.piece").as("__piece"))
+      .join(broadcast(vocab.select(col("piece").as("__piece"))), Seq("__piece"))
+    val w = Window.partitionBy(col("__w"), col("__pos"))
+      .orderBy(col("__len").desc)
+    val steps = matches
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__w"), col("__cnt"))
+      .agg(sort_array(collect_list(
+        struct(col("__pos"), col("__len"), col("__piece")))).as("__steps"))
+    // every pos 1..len(word) has exactly one winning match (chars cover),
+    // so __steps is indexable by position and the walk is a plain fold
+    steps.select(col("__w"), col("__cnt"), expr(
+      s"""aggregate(sequence(1, $maxWordLen),
+         |  named_struct('pos', 1, 'used', CAST(array() AS array<string>)),
+         |  (acc, i) -> CASE WHEN acc.pos <= length(__w)
+         |    THEN named_struct(
+         |      'pos', acc.pos + element_at(__steps, acc.pos).__len,
+         |      'used', array_append(acc.used, element_at(__steps, acc.pos).__piece))
+         |    ELSE acc END).used""".stripMargin).as("__used"))
+  }
+
+  /** Occurrence-weighted usage of each vocab piece under the greedy
+    * segmentation: (piece, usage). Pieces never used do not appear.
+    */
+  private def munchUsage(segments: DataFrame): DataFrame =
+    segments.select(explode(col("__used")).as("piece"), col("__cnt"))
+      .groupBy(col("piece")).agg(sum(col("__cnt")).as("usage"))
+
+  /** Train the unigram vocabulary. Candidates: all substrings of length
+    * 2..`maxPieceLen` of in-bound words, top `candK` by occurrence
+    * weight (ties: piece asc), plus EVERY single character (never
+    * pruned). Then one segment+prune round per entry of `keepKs`: after
+    * round r only the `keepKs(r)` highest-usage multi-char pieces
+    * survive. A final segmentation with the surviving vocabulary
+    * produces the reported usage.
+    *
+    * Output: (piece, piece_len, usage, vocab_rank) — ranked by (usage
+    * desc, piece asc) across the final vocabulary; chars with zero usage
+    * keep usage 0 (coverage floor).
+    */
+  def unigramTrain(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                   candK: Int = 48, keepKs: Seq[Int] = Seq(32, 24),
+                   maxWordLen: Int = 32): DataFrame = {
+    require(maxPieceLen >= 2, "maxPieceLen must be >= 2")
+    require(keepKs.nonEmpty && keepKs.forall(_ > 0), "keepKs must be positive")
+    val words = unigramWords(df, textCol, maxWordLen)
+    val chars = words
+      .select(explode(expr(
+        "transform(sequence(1, length(__w)), p -> substr(__w, p, 1))")).as("piece"),
+        col("__cnt"))
+      .groupBy(col("piece")).agg(sum(col("__cnt")).as("w"))
+      .select(col("piece"))
+    val subs = words
+      .select(explode(expr(
+        s"""filter(flatten(transform(sequence(1, length(__w)),
+           |  p -> transform(sequence(2, $maxPieceLen),
+           |    l -> CASE WHEN p + l - 1 <= length(__w)
+           |         THEN substr(__w, p, l) END))),
+           |  x -> x IS NOT NULL)""".stripMargin)).as("piece"), col("__cnt"))
+      .groupBy(col("piece")).agg(sum(col("__cnt")).as("w"))
+      .orderBy(col("w").desc, col("piece")).limit(candK)
+      .select(col("piece"))
+    var vocab = chars.unionByName(subs)
+    for (keepK <- keepKs) {
+      val usage = munchUsage(munchSegments(words, vocab, maxPieceLen, maxWordLen))
+      val keptMulti = usage.filter(length(col("piece")) >= 2)
+        .orderBy(col("usage").desc, col("piece")).limit(keepK)
+        .select(col("piece"))
+      vocab = chars.unionByName(keptMulti)
+    }
+    val finalUsage = munchUsage(munchSegments(words, vocab, maxPieceLen, maxWordLen))
+    vocab.join(broadcast(finalUsage), Seq("piece"), "left")
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        coalesce(col("usage"), lit(0L)).as("usage"))
+      .withColumn("vocab_rank", row_number().over(
+        Window.orderBy(col("usage").desc, col("piece"))).cast("long"))
+  }
+
+  /** Per-group encode stats under a frozen unigram vocabulary (the
+    * [[bpeFertility]] shape for the unigram model): greedy maximal-munch
+    * units per word, occurrence-weighted per `groupCol`. Output:
+    * (groupCol, n_words, n_char_units, n_units, fertility_milli,
+    * chars_per_unit_milli).
+    */
+  def unigramFertility(df: DataFrame, groupCol: String, textCol: String,
+                       vocab: DataFrame, maxPieceLen: Int = 4,
+                       maxWordLen: Int = 32): DataFrame = {
+    val words = df
+      .select(col(groupCol), explode(TextDedup.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) <= maxWordLen)
+      .groupBy(col(groupCol), col("__w")).agg(count(lit(1)).as("__cnt"))
+    // segment DISTINCT words once, then re-attach per-group counts
+    val segs = munchSegments(
+        words.groupBy(col("__w")).agg(sum(col("__cnt")).as("__cnt")),
+        vocab, maxPieceLen, maxWordLen)
+      .select(col("__w"), size(col("__used")).cast("long").as("__units"))
+    words.join(segs, Seq("__w"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__cnt")).as("n_words"),
+        sum(length(col("__w")) * col("__cnt")).as("n_char_units"),
+        sum(col("__units") * col("__cnt")).as("n_units"))
+      .select(col(groupCol), col("n_words"), col("n_char_units"), col("n_units"),
+        expr("n_units * 1000 div n_words").as("fertility_milli"),
+        expr("n_char_units * 1000 div n_units").as("chars_per_unit_milli"))
+  }
+
   /** Marker-stopword language-ID heuristic: count hits per language's
     * marker set, predict the argmax (ties and zero-hits fall back to "und").
     * A real system would use char-n-gram profiles; the *shape* (per-language

@@ -752,6 +752,159 @@ object TrainingQueries {
     }
   )
 
+  // -------------------------------------------------------------------
+  // Unigram-LM tokenizer oracle (q284-q286): replays
+  // TextStats.unigramTrain — candidate top-K substrings + all chars,
+  // then per round a (word, pos) longest-match table and a RECURSIVE
+  // left-to-right walk whose piece usage drives the prune. Integer-only
+  // end to end, so both engines produce the identical vocabulary.
+  private def unigramRoundCtes(r: Int, vocabCte: String): String =
+    s"""bm$r AS (SELECT w, cnt, pos, len, piece FROM (
+        SELECT u.w, u.cnt, CAST(t.p AS BIGINT) AS pos, CAST(s.l AS BIGINT) AS len,
+          substr(u.w, CAST(t.p AS INT), CAST(s.l AS INT)) AS piece,
+          row_number() OVER (PARTITION BY u.w, t.p ORDER BY s.l DESC) AS rn
+        FROM uwords u, UNNEST(range(1, length(u.w) + 1)) t(p),
+          UNNEST(range(1, 5)) s(l)
+        WHERE t.p + s.l - 1 <= length(u.w)
+          AND substr(u.w, CAST(t.p AS INT), CAST(s.l AS INT))
+            IN (SELECT piece FROM $vocabCte)
+      ) WHERE rn = 1),
+      wk$r AS (
+        SELECT w, cnt, pos, len, piece FROM bm$r WHERE pos = 1
+        UNION ALL
+        SELECT b.w, b.cnt, b.pos, b.len, b.piece
+        FROM wk$r k JOIN bm$r b ON b.w = k.w AND b.pos = k.pos + k.len),
+      us$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage
+        FROM wk$r GROUP BY 1)"""
+
+  private def unigramPruneCte(r: Int, keepK: Int): String =
+    s"""v$r AS (SELECT piece FROM uchars
+      UNION ALL
+      SELECT piece FROM (SELECT piece FROM us$r WHERE length(piece) >= 2
+        ORDER BY usage DESC, piece LIMIT $keepK))"""
+
+  /** CTE chain up to the FINAL vocabulary `v2` and its usage `us3` —
+    * candK = 48, keepKs = (32, 24), maxPieceLen = 4, the
+    * [[graft.ext.TextStats.unigramTrain]] defaults. Callers must open
+    * the query with WITH RECURSIVE (the walks recurse).
+    */
+  private def unigramOracleCtes: String =
+    s"""$toksCte,
+      uwords AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(w) AS word FROM toks)
+        WHERE length(word) <= 32 GROUP BY 1),
+      uchars AS (SELECT DISTINCT substr(w, CAST(t.p AS INT), 1) AS piece
+        FROM uwords, UNNEST(range(1, length(w) + 1)) t(p)),
+      usubs AS (SELECT piece FROM (
+          SELECT substr(w, CAST(t.p AS INT), CAST(s.l AS INT)) AS piece,
+            CAST(sum(cnt) AS BIGINT) AS wt
+          FROM uwords, UNNEST(range(1, length(w) + 1)) t(p),
+            UNNEST(range(2, 5)) s(l)
+          WHERE t.p + s.l - 1 <= length(w)
+          GROUP BY 1)
+        ORDER BY wt DESC, piece LIMIT 48),
+      v0 AS (SELECT piece FROM uchars UNION ALL SELECT piece FROM usubs),
+      ${unigramRoundCtes(1, "v0")},
+      ${unigramPruneCte(1, 32)},
+      ${unigramRoundCtes(2, "v1")},
+      ${unigramPruneCte(2, 24)},
+      ${unigramRoundCtes(3, "v2")}"""
+
+  // Tokenizer tier 4: the unigram-LM trainer (Kudo, ACL 2018 — the
+  // SentencePiece unigram model), deterministic hard-EM variant: greedy
+  // maximal-munch E-step over distinct words, occurrence-weighted usage
+  // M-step, usage-ranked prune of the 48-candidate vocabulary down to 24
+  // multi-char pieces over two rounds, chars protected for coverage.
+  // Every round is vocabulary-sized (distinct words × bounded vocab);
+  // the corpus is scanned once for the word counts.
+  private val q284 = Q(
+    "q284_unigram_train",
+    (s, dir) => TextStats.unigramTrain(docsSpread(s, dir), "text"),
+    Some(s"""WITH RECURSIVE $unigramOracleCtes
+      SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+        CAST(coalesce(us3.usage, 0) AS BIGINT) AS usage,
+        CAST(row_number() OVER (ORDER BY coalesce(us3.usage, 0) DESC, piece)
+          AS BIGINT) AS vocab_rank
+      FROM v2 LEFT JOIN us3 USING (piece)""")
+  )
+
+  // Tokenizer tier 5: per-language fertility under the TRAINED unigram
+  // vocabulary (the q92 encode-stats shape) — distinct words segment
+  // once, per-language counts re-attach by equi-join.
+  private val q285 = Q(
+    "q285_unigram_fertility",
+    (s, dir) => {
+      val vocab = TextStats.unigramTrain(docsSpread(s, dir), "text")
+        .select(col("piece"))
+      TextStats.unigramFertility(docsSpread(s, dir), "lang", "text", vocab)
+    },
+    Some(s"""WITH RECURSIVE $unigramOracleCtes,
+      lw AS (SELECT lang, u.x AS w, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks, UNNEST(w) u(x) WHERE length(u.x) <= 32 GROUP BY 1, 2),
+      units AS (SELECT w, CAST(count(*) AS BIGINT) AS n_units
+        FROM wk3 GROUP BY 1)
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+        CAST(sum(length(lw.w) * cnt) AS BIGINT) AS n_char_units,
+        CAST(sum(units.n_units * cnt) AS BIGINT) AS n_units,
+        CAST(sum(units.n_units * cnt) * 1000 // sum(cnt) AS BIGINT) AS fertility_milli,
+        CAST(sum(length(lw.w) * cnt) * 1000 // sum(units.n_units * cnt) AS BIGINT)
+          AS chars_per_unit_milli
+      FROM lw JOIN units ON lw.w = units.w GROUP BY 1""")
+  )
+
+  // Tokenizer tier 6: fertility head-to-head — character baseline, the
+  // frozen 8-merge BPE, and the trained unigram vocabulary over the SAME
+  // corpus (the q229 curve shape, compared across tokenizer families
+  // instead of along one family's merge count).
+  private val q286 = Q(
+    "q286_tokenizer_compare",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val vocab = TextStats.unigramTrain(docs, "text").select(col("piece"))
+      val char = docs
+        .select(explode(TextDedup.tokens(col("text"))).as("__w"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("__w")).cast("long")).as("n_char_units"))
+        .select(lit("char").as("tokenizer"), col("n_words"),
+          col("n_char_units"), col("n_char_units").as("n_units"),
+          expr("n_char_units * 1000 div n_words").as("fertility_milli"))
+      val bpe = TextStats.bpeFertility(
+          docs.withColumn("__tk", lit("bpe8")), "__tk", "text", bpeMerges)
+        .select(col("__tk").as("tokenizer"), col("n_words"),
+          col("n_char_units"), col("n_bpe_units").as("n_units"),
+          col("fertility_milli"))
+      val uni = TextStats.unigramFertility(
+          docs.withColumn("__tk", lit("unigram")), "__tk", "text", vocab)
+        .select(col("__tk").as("tokenizer"), col("n_words"),
+          col("n_char_units"), col("n_units"), col("fertility_milli"))
+      char.unionByName(bpe).unionByName(uni)
+    },
+    Some {
+      val enc = bpeEncodeOracleExpr(bpeMerges)
+      s"""WITH RECURSIVE $unigramOracleCtes,
+      u AS (SELECT unnest(w) AS word FROM toks),
+      ch AS (SELECT 'char' AS tokenizer, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(length(word)) AS BIGINT) AS n_char_units,
+          CAST(sum(length(word)) AS BIGINT) AS n_units
+        FROM u),
+      bp AS (SELECT 'bpe8', CAST(count(*) AS BIGINT),
+          CAST(sum(length(word)) AS BIGINT),
+          CAST(sum(length($enc) - length(replace($enc, '·', '')) + 1) AS BIGINT)
+        FROM u),
+      uw AS (SELECT w, cnt FROM uwords),
+      un AS (SELECT 'unigram', CAST(sum(cnt) AS BIGINT),
+          CAST(sum(length(uw.w) * cnt) AS BIGINT),
+          CAST(sum(t.n_units * cnt) AS BIGINT)
+        FROM uw JOIN (SELECT w, CAST(count(*) AS BIGINT) AS n_units
+          FROM wk3 GROUP BY 1) t ON uw.w = t.w)
+      SELECT tokenizer, n_words, n_char_units, n_units,
+        CAST(n_units * 1000 // n_words AS BIGINT) AS fertility_milli
+      FROM (SELECT * FROM ch UNION ALL SELECT * FROM bp
+        UNION ALL SELECT * FROM un)"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92, q94, q134, q229)
+    q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92, q94, q134, q229,
+    q284, q285, q286)
 }

@@ -611,4 +611,27 @@ class TextStatsSpec extends SparkFunSuite {
     assert(got(("s1", "s3")) > 690000L && got(("s1", "s3")) < 696000L)
     assert(got(("s2", "s3")) == got(("s1", "s3")))
   }
+
+  test("unigramTrain: frequent whole-word pieces absorb their substrings; chars survive with zero usage") {
+    val docs = Seq(("d1", "abab abab"), ("d2", "abab cd cd")).toDF("id", "text")
+    val v = TextStats.unigramTrain(docs, "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // maximal munch covers 'abab' in one piece, so ab/ba/aba/bab get zero
+    // usage in round 1 and the prune drops them; chars are never pruned
+    assert(v.keySet == Set("a", "b", "c", "d", "abab", "cd"))
+    assert(v("abab") == ((3L, 1L)) && v("cd") == ((2L, 2L)))
+    assert(Seq("a", "b", "c", "d").forall(c => v(c)._1 == 0L))
+  }
+
+  test("unigramFertility: greedy maximal munch counts units left to right") {
+    val vocab = Seq("a", "b", "c", "ab").toDF("piece")
+    val docs = Seq(("g", "abcab abcab"), ("g", "cc")).toDF("grp", "text")
+    val got = TextStats.unigramFertility(docs, "grp", "text", vocab)
+      .collect().head
+    // 'abcab' → ab|c|ab = 3 units (×2 words), 'cc' → c|c = 2 units
+    assert(got.getAs[Long]("n_words") == 3L)
+    assert(got.getAs[Long]("n_char_units") == 12L)
+    assert(got.getAs[Long]("n_units") == 8L)
+    assert(got.getAs[Long]("fertility_milli") == 8000L / 3L)
+  }
 }

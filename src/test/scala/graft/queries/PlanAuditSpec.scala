@@ -1954,6 +1954,22 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the 400-doc hash-cut must compile to a TakeOrdered (map-side top-k):\n$p")
   }
 
+  test("q284: unigram trainer rounds are vocab-sized — match grid joins broadcast, corpus aggregates once") {
+    val p = plan("q284_unigram_train")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"vocab lookups must be piece-keyed equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded vocab must broadcast into the match grid:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the trainer is big enough to sort-merge:\n$p")
+  }
+
+  test("q286: tokenizer comparison is three bounded aggregates, no corpus-sized join") {
+    val p = plan("q286_tokenizer_compare")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the three fertility frames union; nothing crosses:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
