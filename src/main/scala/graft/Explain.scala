@@ -338,7 +338,8 @@ object Explain {
     "q283_incr_simhash64", // id anti join + 16-bit band equi-joins
     "q284_unigram_train",  // vocab-sized rounds: match grid + walk + prune
     "q285_unigram_fertility", // distinct words segment once, counts re-attach
-    "q286_tokenizer_compare"  // three bounded fertility aggregates
+    "q286_tokenizer_compare", // three bounded fertility aggregates
+    "q287_knn_maintain_search" // incr edges → monotone merge → beam walk
   )
 
   def main(args: Array[String]): Unit = {

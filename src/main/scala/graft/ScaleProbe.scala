@@ -786,6 +786,7 @@ object ScaleProbe {
       "graph_ann_walk" -> (m => m.toLong), // timed via `custom` below
       "incr_simhash_probe" -> (m => m.toLong), // timed via `custom` below
       "incr_simhash64_probe" -> (m => m.toLong), // timed via `custom` below
+      "knn_maintain_probe" -> (m => m.toLong), // timed via `custom` below
       // q233's truth stage after the r10 bound: the exact all-pairs
       // Jaccard runs over a FIXED-SIZE hash-cut sample (400 docs by
       // smallest md5 bucket) of the m×-grown corpus — the timed cost is
@@ -917,6 +918,45 @@ object ScaleProbe {
       idx.unpersist(); t
     }
 
+    // knn_maintain_probe: the composed q287 loop — a FIXED embedding
+    // batch's maintenance edges merge into a persisted adjacency grown
+    // with the multiplier, and the beam walk runs over the merged graph.
+    // Index, base adjacency, and entries are state built OUTSIDE the
+    // timer; the timed work is anti join + bucket probes + the k-bounded
+    // merge + the walk — per-batch cost tracks bucket occupancy and the
+    // O(rounds·beam·degree) walk, never index size
+    def knnMaintainTimed(m: Int): Double = {
+      val idx = VectorSearch.knnGraphIndex(embAt(m), "vec_id", "embedding",
+        bits = 6).persist()
+      idx.count()
+      val adj0 = VectorSearch.knnGraphIncrementalFromFresh(
+          idx, idx.limit(0), "vec_id", k = 3)
+        .select(col("id"), col("nbr_id"), col("sim_bp")).persist()
+      adj0.count()
+      val entries = VectorSearch.bucketEntryPoints(
+        embAt(m), "vec_id", "embedding", bits = 6).persist()
+      entries.count()
+      val batch = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") >= 10)
+        .withColumn("vec_id", col("vec_id") + 90000000L)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val qs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      val t = time {
+        val edges = VectorSearch.knnGraphIncremental(
+            batch, idx, "vec_id", "embedding", k = 3, bits = 6)
+          .select(col("id"), col("nbr_id"), col("sim_bp"))
+        val merged = VectorSearch.mergeAdjacency(adj0, edges, k = 3)
+        val adj = merged.select(col("id"), col("nbr_id"))
+          .unionByName(merged.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+          .distinct()
+        VectorSearch.graphSearchCurve(qs, embAt(m).unionByName(batch), adj,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, beam = 8, rounds = 2, entryIds = entries,
+          graphIsAdjacency = true).count()
+      }
+      idx.unpersist(); adj0.unpersist(); entries.unpersist(); t
+    }
+
     // graph_ann_walk: the neighbor graph and entry points are persisted
     // index state (built outside the timer, the incr_knn_probe pattern);
     // the timed walk is rounds × (beam-probed adjacency join + candidate
@@ -944,6 +984,7 @@ object ScaleProbe {
         "graph_ann_walk" -> gannTimed,
         "incr_simhash_probe" -> incrSimhashTimed,
         "incr_simhash64_probe" -> incrSimhash64Timed,
+        "knn_maintain_probe" -> knnMaintainTimed,
         "pagerank_iter_mb_str" -> prIterMB(encode = false),
         "pagerank_iter_mb_enc" -> prIterMB(encode = true))
 

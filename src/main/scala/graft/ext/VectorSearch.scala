@@ -1575,6 +1575,32 @@ object VectorSearch {
     out.unionByName(in)
   }
 
+  /** Monotone top-k merge of maintenance edges into a persisted
+    * adjacency — the consumer side of [[knnGraphIncrementalFromFresh]]'s
+    * contract: 'out' rows carry a fresh node's full adjacency, 'in' rows
+    * carry candidate updates for indexed nodes, and both fold into the
+    * stored (id, nbr_id, sim_bp) edge set by rank. Re-delivered edges
+    * collapse exactly (same key ⇒ same exact-integer sim_bp ⇒ the
+    * groupBy max is the identity), so replaying a batch is a no-op and
+    * the merge is convergent — the q81/q108 idempotence rule at the
+    * graph tier.
+    *
+    * Scale shape: one (id, nbr_id) hash-aggregate + one per-id rank
+    * window over adjacency ∪ edges — both frames are k-bounded per node,
+    * so the shuffle is O(nodes × k), never corpus².
+    */
+  def mergeAdjacency(adj: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = adj.select(col("id"), col("nbr_id"), col("sim_bp"))
+      .unionByName(edges.select(col("id"), col("nbr_id"), col("sim_bp")))
+      .groupBy(col("id"), col("nbr_id")).agg(max(col("sim_bp")).as("sim_bp"))
+    u.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("sim_bp").desc, col("nbr_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("nbr_id"), col("sim_bp"))
+  }
+
   /** Graph-based ANN beam search over a prebuilt neighbor graph — the
     * navigable-small-world family (Malkov & Yashunin 2018, HNSW layer-0
     * analog; DiskANN/Vamana use the same greedy-expand loop): start every

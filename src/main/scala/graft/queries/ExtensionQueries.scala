@@ -9469,6 +9469,95 @@ object ExtensionQueries {
       FROM pr WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""")
   )
 
+  // Vectors 29: the index-maintenance → search loop END TO END — the
+  // round-10 composition ask: a fresh embedding batch (vec_id ≥ 440;
+  // 440-449 re-delivered and dropped by the anti join) probes the
+  // persisted bucket index (vec_id 10..449), its incremental 'out'/'in'
+  // edges merge monotonically into the base adjacency
+  // (VectorSearch.mergeAdjacency, all sims exact-integer sim_bp), and
+  // the beam search (q223's walk, beam 8, 2 rounds) runs over the
+  // MAINTAINED graph covering index ∪ batch. Every per-round tier is
+  // hash-checked, so the oracle pins maintenance, merge, AND walk.
+  private val q287 = Q(
+    "q287_knn_maintain_search",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 450)
+      val batch = emb.filter(col("vec_id") >= 440)
+      val index0 = VectorSearch.knnGraphIndex(base, "vec_id", "embedding", bits = 6)
+      // base adjacency in the SAME sim_bp units as the maintenance
+      // edges: the 'out' edges of an incremental run against an empty
+      // index rank every base node's bucket co-members
+      val adj0 = VectorSearch.knnGraphIncrementalFromFresh(
+          index0, index0.limit(0), "vec_id", k = 3)
+        .select(col("id"), col("nbr_id"), col("sim_bp"))
+      val edges = VectorSearch.knnGraphIncremental(
+          batch, index0, "vec_id", "embedding", k = 3, bits = 6)
+        .select(col("id"), col("nbr_id"), col("sim_bp"))
+      val merged = VectorSearch.mergeAdjacency(adj0, edges, k = 3)
+      val adj = merged.select(col("id"), col("nbr_id"))
+        .unionByName(merged.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+        .distinct()
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val entries = VectorSearch.bucketEntryPoints(
+        corpus, "vec_id", "embedding", bits = 6)
+      VectorSearch.graphSearchCurve(qs, corpus, adj,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 8, rounds = 2, entryIds = entries,
+        graphIsAdjacency = true)
+    },
+    Some {
+      val simBp =
+        """CASE WHEN a.n2 <> 0 AND b.n2 <> 0 THEN CAST(round(
+          CAST(list_sum(list_transform(list_zip(a.mv, b.mv), x -> x[1] * x[2])) AS BIGINT)
+          * 10000.0 / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))) AS BIGINT)
+        END"""
+      s"""WITH mz AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS mv,
+        ${duckSignBucket("embedding", 6)} AS bkt FROM embeddings),
+      mn AS (SELECT vec_id, v, mv, bkt,
+        CAST(list_sum(list_transform(mv, x -> x * x)) AS BIGINT) AS n2 FROM mz),
+      q AS (SELECT vec_id AS qid, v FROM mn WHERE vec_id < 10),
+      e AS (SELECT vec_id AS id, v FROM mn WHERE vec_id >= 10),
+      ib AS (SELECT * FROM mn WHERE vec_id >= 10 AND vec_id < 450),
+      fb AS (SELECT * FROM mn WHERE vec_id >= 450),
+      a0 AS (SELECT id, nbr_id, sim_bp FROM (
+          SELECT a.vec_id AS id, b.vec_id AS nbr_id, $simBp AS sim_bp,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ($simBp) DESC, b.vec_id) AS rn
+          FROM ib a JOIN ib b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id)
+        WHERE rn <= 3),
+      outp AS (SELECT id, nbr_id, sim_bp FROM (
+          SELECT a.vec_id AS id, b.vec_id AS nbr_id, $simBp AS sim_bp,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ($simBp) DESC, b.vec_id) AS rn
+          FROM fb a JOIN (SELECT * FROM ib UNION ALL SELECT * FROM fb) b
+            ON a.bkt = b.bkt AND a.vec_id <> b.vec_id)
+        WHERE rn <= 3),
+      inp AS (SELECT id, nbr_id, sim_bp FROM (
+          SELECT a.vec_id AS id, b.vec_id AS nbr_id, $simBp AS sim_bp,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ($simBp) DESC, b.vec_id) AS rn
+          FROM ib a JOIN fb b ON a.bkt = b.bkt)
+        WHERE rn <= 3),
+      mg AS (SELECT id, nbr_id FROM (
+          SELECT id, nbr_id,
+            row_number() OVER (PARTITION BY id
+              ORDER BY max(sim_bp) DESC, nbr_id) AS rn
+          FROM (SELECT * FROM a0 UNION ALL SELECT * FROM outp
+            UNION ALL SELECT * FROM inp)
+          GROUP BY id, nbr_id)
+        WHERE rn <= 3),
+      adj AS (SELECT id, nbr_id FROM mg UNION SELECT nbr_id, id FROM mg),
+      ent AS (SELECT min(vec_id) AS id FROM mn WHERE vec_id >= 10 GROUP BY bkt),
+      s0 AS (SELECT q.qid, e.id, round(${duckCos("q.v", "e.v")}, 4) AS sim
+        FROM q, ent JOIN e ON ent.id = e.id)
+      ${gannWalkCtes(rounds = 2, beam = 8)}
+      ${(0 to 2).map(r => gannTier(r, 5)).mkString(" UNION ALL ")}"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9478,5 +9567,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287)
 }

@@ -1333,6 +1333,82 @@ object StreamPipelines {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming change-point detection (the incremental form of q281's
+  // Page-Hinkley scan): per-key detector state carries the running count,
+  // sum, cumulative milli deviation, and its high-water mark — EXACTLY
+  // the batch operator's window arithmetic
+  // (graft.ext.RobustStats.pageHinkley), folded one minute at a time.
+  // Gaps fill with zero-valued minutes (the batch detector's filled
+  // frame), late/duplicate minutes drop against the retained clock (the
+  // transitionStream in-order contract), so the emitted series over
+  // in-order batches equals the batch filled frame bit for bit and a
+  // re-delivered batch emits nothing.
+
+  final case class PhEvent(key: String, t: Long, v: Long)
+  final case class PhState(lastT: Long, i: Long, s: Long, m: Long, hwm: Long)
+  final case class PhOut(key: String, t: Long, v: Long, ph_milli: Long)
+
+  implicit private val phEventEnc: Encoder[PhEvent] = Encoders.product[PhEvent]
+  implicit private val phStateEnc: Encoder[PhState] = Encoders.product[PhState]
+  implicit private val phOutEnc: Encoder[PhOut]     = Encoders.product[PhOut]
+
+  /** Pure per-key fold shared with the spec: advance the detector over a
+    * batch of (t, v) observations, filling interior gaps with zeros.
+    * Returns the new state and the emitted rows (one per minute
+    * advanced, gap minutes included). Exact integers throughout:
+    * term = v·1000 − (s·1000) div i, m += term, ph = hwm − m — the
+    * q281 milli fixed-point arithmetic.
+    */
+  def phFold(prior: Option[PhState], rows: Seq[(Long, Long)], key: String)
+      : (Option[PhState], Seq[PhOut]) = {
+    var st = prior
+    val out = Seq.newBuilder[PhOut]
+    def step(t: Long, v: Long): Unit = {
+      val p = st.getOrElse(PhState(t - 1, 0L, 0L, 0L, 0L))
+      val i = p.i + 1
+      val s = p.s + v
+      val m = p.m + (v * 1000L - (s * 1000L) / i)
+      val hwm = math.max(p.hwm, m)
+      st = Some(PhState(t, i, s, m, hwm))
+      out += PhOut(key, t, v, hwm - m)
+    }
+    rows.sortBy(_._1).foreach { case (t, v) =>
+      st match {
+        case Some(p) if t <= p.lastT => // late/duplicate: state is ahead
+        case Some(p) =>
+          ((p.lastT + 1) until t).foreach(g => step(g, 0L)) // zero-fill gap
+          step(t, v)
+        case None => step(t, v)
+      }
+    }
+    (st, out.result())
+  }
+
+  /** Streaming twin of q281: per-key Page-Hinkley over a minute series.
+    * Emits one row per minute advanced — the monitor sink keeps the
+    * max-ph_milli rows, which equals the batch top-k over the same
+    * span. In-order per-key delivery is the contract; within a
+    * micro-batch rows sort by t, and replays emit nothing.
+    */
+  def changePointStream(events: DataFrame, keyCol: String, tCol: String,
+                        vCol: String): Dataset[PhOut] = {
+    val typed = events.select(
+        col(keyCol).cast("string").as("key"),
+        col(tCol).cast("long").as("t"),
+        col(vCol).cast("long").as("v"))
+      .as[PhEvent]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[PhEvent], state: GroupState[PhState]) =>
+          val (st, out) = phFold(state.getOption,
+            it.map(e => (e.t, e.v)).toSeq, key)
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def prioritySampleStream(docs: DataFrame, strataCol: String, keyCol: String,
                            weightCol: String, k: Int): Dataset[PrioOut] = {
     require(k > 0, "k must be positive")

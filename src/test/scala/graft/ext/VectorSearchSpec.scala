@@ -542,6 +542,26 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(got.keys.map(_._3).max <= 2L)
   }
 
+  test("mergeAdjacency: monotone top-k fold — better edges displace, re-delivery is a no-op") {
+    val adj = Seq(
+      (1L, 2L, 9000L), (1L, 3L, 8000L), (2L, 1L, 9000L)
+    ).toDF("id", "nbr_id", "sim_bp")
+    val edges = Seq(
+      (1L, 4L, 8500L),  // displaces (1,3,8000) at k=2
+      (1L, 2L, 9000L),  // re-delivered edge: identical sim_bp, collapses
+      (5L, 1L, 7000L)   // brand-new node's adjacency appends
+    ).toDF("id", "nbr_id", "sim_bp")
+    val once = VectorSearch.mergeAdjacency(adj, edges, k = 2)
+    val got = once.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 9000L, (1L, 4L) -> 8500L,
+      (2L, 1L) -> 9000L, (5L, 1L) -> 7000L))
+    // replaying the same edge batch converges (idempotent merge)
+    val twice = VectorSearch.mergeAdjacency(once, edges, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(twice == got)
+  }
+
   test("knnGraph bucket guard splits a hot bucket like nearDupPairs") {
     val g = VectorSearch.knnGraph(skewed, "id", "embedding",
       k = 100, bits = 2, maxBucketSize = 8, extraBits = 6)

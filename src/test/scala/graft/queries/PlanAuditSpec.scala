@@ -1970,6 +1970,29 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the three fertility frames union; nothing crosses:\n$p")
   }
 
+  test("q287: the maintenance → merge stage is anti join + bucket probes + a k-bounded rank, no product") {
+    // the composed query's walk materializes per round (the q223 checkpoint
+    // pattern pins that shape); here the NEW surface — incremental edges
+    // folding into the adjacency — is pinned on the unexecuted merge frame
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 450)
+    val index0 = graft.ext.VectorSearch.knnGraphIndex(base, "vec_id", "embedding", 6)
+    val adj0 = graft.ext.VectorSearch.knnGraphIncrementalFromFresh(
+        index0, index0.limit(0), "vec_id", k = 3)
+      .select(col("id"), col("nbr_id"), col("sim_bp"))
+    val edges = graft.ext.VectorSearch.knnGraphIncremental(
+        emb.filter(col("vec_id") >= 440), index0, "vec_id", "embedding", 3, 6)
+      .select(col("id"), col("nbr_id"), col("sim_bp"))
+    val p = graft.ext.VectorSearch.mergeAdjacency(adj0, edges, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"index probe and merge must stay bucket/id-keyed:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"redelivered batch ids must drop via the anti join:\n$p")
+    assert(p.contains("Window"), s"the per-id top-k rank is load-bearing:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,

@@ -967,6 +967,38 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("changePointStream: emitted series equals the batch Page-Hinkley frame; replay emits nothing") {
+    implicit val sql = spark.sqlContext
+    // minute series with a level shift at t=105 and a gap at 103-104
+    val batch1 = Seq((100L, 50L), (101L, 52L), (102L, 48L))
+    val batch2 = Seq((105L, 5L), (106L, 4L), (107L, 6L)) // 103,104 zero-fill
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamPipelines.changePointStream(
+        input.toDF().toDF("k", "t", "v"), "k", "t", "v")
+      .writeStream.format("memory").queryName("cps").outputMode("append").start()
+    try {
+      input.addData(batch1.map { case (t, v) => ("m", t, v) }: _*)
+      q.processAllAvailable()
+      input.addData(batch2.map { case (t, v) => ("m", t, v) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("cps").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch detector over the same span (k = all 8 minutes, gap filled)
+      val series = (batch1 ++ batch2).toDF("t", "v")
+      val expected = graft.ext.RobustStats.pageHinkley(series, "t", "v", k = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected)
+      assert(got.size == 8) // 6 observed + 2 zero-filled gap minutes
+      // the shift minutes carry the top deviations
+      assert(got.filter(_._1 >= 105).map(_._3).max ==
+        expected.map(_._3).max)
+      // replay batch2 verbatim: state is ahead of every row → no emissions
+      input.addData(batch2.map { case (t, v) => ("m", t, v) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("cps").count() == 8L)
+    } finally q.stop()
+  }
+
   test("prioritySampleStream: k-bounded state converges to the batch sample across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Doc]
