@@ -436,7 +436,27 @@ object StreamBench {
     val trans_eps = (transWaves.toLong * upsertSize / ((System.nanoTime() - tT) / 1e9)).toLong
     qT.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // per-key Page-Hinkley change-point state: one detector row per
+    // series key, one emitted row per minute advanced; noop sink
+    // isolates the stateful fold (the q281 streaming twin)
+    val inP = MemoryStream[(String, Long, Long)]
+    val qP = StreamPipelines.changePointStream(
+        inP.toDF().toDF("k", "t", "v"), "k", "t", "v")
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def phWave(n: Int, base: Long): Seq[(String, Long, Long)] =
+      (0 until n).map(i => (s"series${i % 200}", base + i / 200, (i % 97).toLong))
+    inP.addData(phWave(1000, 0L): _*); qP.processAllAvailable()
+    val phWaves = 5
+    val tP = System.nanoTime()
+    (0 until phWaves).foreach { w =>
+      inP.addData(phWave(upsertSize, 100000L + w.toLong * (upsertSize / 200)): _*)
+      qP.processAllAvailable()
+    }
+    val ph_eps = (phWaves.toLong * upsertSize / ((System.nanoTime() - tP) / 1e9)).toLong
+    qP.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }

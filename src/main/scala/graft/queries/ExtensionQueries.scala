@@ -9470,21 +9470,25 @@ object ExtensionQueries {
   )
 
   // Vectors 29: the index-maintenance → search loop END TO END — the
-  // round-10 composition ask: a fresh embedding batch (vec_id ≥ 440;
-  // 440-449 re-delivered and dropped by the anti join) probes the
-  // persisted bucket index (vec_id 10..449), its incremental 'out'/'in'
-  // edges merge monotonically into the base adjacency
+  // round-10 composition ask: a FIXED 60-vector embedding batch
+  // (vec_id 440..499; 440-449 re-delivered and dropped by the anti
+  // join) probes the persisted bucket index (everything else ≥ 10 — the
+  // side that grows with the corpus), its incremental 'out'/'in' edges
+  // merge monotonically into the base adjacency
   // (VectorSearch.mergeAdjacency, all sims exact-integer sim_bp), and
   // the beam search (q223's walk, beam 8, 2 rounds) runs over the
   // MAINTAINED graph covering index ∪ batch. Every per-round tier is
-  // hash-checked, so the oracle pins maintenance, merge, AND walk.
+  // hash-checked, so the oracle pins maintenance, merge, AND walk. The
+  // batch-fixed/index-growing asymmetry is the q108/q136 ingest
+  // contract; knn_maintain_probe certifies the flat curve.
   private val q287 = Q(
     "q287_knn_maintain_search",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 10)
-      val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 450)
-      val batch = emb.filter(col("vec_id") >= 440)
+      val base = emb.filter(col("vec_id") >= 10 &&
+        !(col("vec_id") >= 450 && col("vec_id") < 500))
+      val batch = emb.filter(col("vec_id") >= 440 && col("vec_id") < 500)
       val index0 = VectorSearch.knnGraphIndex(base, "vec_id", "embedding", bits = 6)
       // base adjacency in the SAME sim_bp units as the maintenance
       // edges: the 'out' edges of an incremental run against an empty
@@ -9520,8 +9524,9 @@ object ExtensionQueries {
         CAST(list_sum(list_transform(mv, x -> x * x)) AS BIGINT) AS n2 FROM mz),
       q AS (SELECT vec_id AS qid, v FROM mn WHERE vec_id < 10),
       e AS (SELECT vec_id AS id, v FROM mn WHERE vec_id >= 10),
-      ib AS (SELECT * FROM mn WHERE vec_id >= 10 AND vec_id < 450),
-      fb AS (SELECT * FROM mn WHERE vec_id >= 450),
+      ib AS (SELECT * FROM mn WHERE vec_id >= 10
+        AND NOT (vec_id >= 450 AND vec_id < 500)),
+      fb AS (SELECT * FROM mn WHERE vec_id >= 450 AND vec_id < 500),
       a0 AS (SELECT id, nbr_id, sim_bp FROM (
           SELECT a.vec_id AS id, b.vec_id AS nbr_id, $simBp AS sim_bp,
             row_number() OVER (PARTITION BY a.vec_id
@@ -9558,6 +9563,83 @@ object ExtensionQueries {
     }
   )
 
+  // Table tier: header+body payload schema-drift audit (q288) — the
+  // check behind the reference's schema-evolution strategy: the flexible
+  // JSON body means a producer can add/rename/drop fields without any
+  // ingestion error, so the audit compares per-(event_type, key)
+  // presence rates across the early/late halves of the time axis.
+  // Drift is PLANTED deterministically so every class fires: every late
+  // event gains `exp_score` ('new' everywhere), early error events
+  // carry `legacy_code` ('dropped' for errors), and `flaky` appears on
+  // 25% of early vs 50% of late user_ids ('shifted'); `k` stays
+  // 'stable'. Both engines replay the plant AND the audit.
+  private val q288 = Q(
+    "q288_payload_drift",
+    (s, dir) => {
+      import graft.table.SchemaDrift
+      val ev = Tables.events(s, dir)
+      val secs = col("ts").cast("long")
+      val span = broadcast(ev.agg(min(secs).as("__mn"), max(secs).as("__mx")))
+      val late = secs * 2 >= col("__mn") + col("__mx")
+      def append(base: Column, kv: String): Column =
+        regexp_replace(base, "\\}$", s", $kv}")
+      val planted = ev.crossJoin(span)
+        .withColumn("__p1",
+          when(late, append(col("props"), "\"exp_score\": 1"))
+            .otherwise(col("props")))
+        .withColumn("__p2",
+          when(!late && col("event_type") === "error",
+            append(col("__p1"), "\"legacy_code\": 7")).otherwise(col("__p1")))
+        .withColumn("__p3",
+          when((late && col("user_id") % 2 === 0) ||
+               (!late && col("user_id") % 4 === 0),
+            append(col("__p2"), "\"flaky\": true")).otherwise(col("__p2")))
+        .select(col("event_type"), col("ts"), col("__p3").as("props"))
+      SchemaDrift.payloadDriftAudit(planted, "event_type", "ts", "props")
+    },
+    Some("""WITH sp AS (SELECT min(epoch_us(ts) // 1000000) AS mn,
+        max(epoch_us(ts) // 1000000) AS mx FROM events),
+      pl AS (SELECT event_type,
+          CASE WHEN (epoch_us(ts) // 1000000) * 2 < sp.mn + sp.mx
+            THEN 'early' ELSE 'late' END AS era,
+          user_id,
+          CASE WHEN (epoch_us(ts) // 1000000) * 2 >= sp.mn + sp.mx
+            THEN regexp_replace(props, '}$', ', "exp_score": 1}')
+            ELSE props END AS p1
+        FROM events, sp),
+      p2 AS (SELECT event_type, era, user_id,
+          CASE WHEN era = 'early' AND event_type = 'error'
+            THEN regexp_replace(p1, '}$', ', "legacy_code": 7}')
+            ELSE p1 END AS p2
+        FROM pl),
+      p3 AS (SELECT event_type, era,
+          CASE WHEN (era = 'late' AND user_id % 2 = 0)
+            OR (era = 'early' AND user_id % 4 = 0)
+            THEN regexp_replace(p2, '}$', ', "flaky": true}')
+            ELSE p2 END AS props
+        FROM p2),
+      den AS (SELECT event_type,
+          CAST(sum(CASE WHEN era = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+          CAST(sum(CASE WHEN era = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS nl
+        FROM p3 GROUP BY 1),
+      pres AS (SELECT event_type, u.k AS key,
+          CAST(sum(CASE WHEN era = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+          CAST(sum(CASE WHEN era = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM p3, UNNEST(json_keys(props::JSON)) AS u(k) GROUP BY 1, 2),
+      rates AS (SELECT p.event_type, p.key, p.n_early, p.n_late,
+          CAST(CASE WHEN d.ne > 0 THEN p.n_early * 10000 // d.ne ELSE 0 END
+            AS BIGINT) AS early_bp,
+          CAST(CASE WHEN d.nl > 0 THEN p.n_late * 10000 // d.nl ELSE 0 END
+            AS BIGINT) AS late_bp
+        FROM pres p JOIN den d USING (event_type))
+      SELECT event_type, key, n_early, n_late, early_bp, late_bp,
+        CASE WHEN n_early = 0 AND n_late > 0 THEN 'new'
+             WHEN n_early > 0 AND n_late = 0 THEN 'dropped'
+             WHEN abs(late_bp - early_bp) > 500 THEN 'shifted'
+             ELSE 'stable' END AS drift
+      FROM rates""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9567,5 +9649,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288)
 }

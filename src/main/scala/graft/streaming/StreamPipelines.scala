@@ -707,6 +707,91 @@ object StreamPipelines {
     }
   }
 
+  /** [[knnGraphSink]] extended with a MAINTAINED adjacency snapshot —
+    * the streaming form of the q287 composition: besides the append-only
+    * edge log and index, each micro-batch folds its incremental edges
+    * into the stored `(id, nbr_id, sim_bp)` adjacency via the monotone
+    * top-k merge ([[graft.ext.VectorSearch.mergeAdjacency]]) and commits
+    * the result with [[upsertBatch]]'s atomic-swap write. A beam search
+    * ([[graft.ext.VectorSearch.graphSearchCurve]]) can walk the snapshot
+    * at any time — the index-maintenance → search loop stays closed
+    * while the stream runs.
+    *
+    * Replay-safe end to end: a re-delivered batch has no fresh vectors,
+    * so the edge emit is empty and the adjacency merge is the identity —
+    * all three artifacts converge.
+    */
+  def knnGraphAdjacencySink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      indexPath: String,
+      edgesPath: String,
+      adjacencyPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        knnGraphAdjacencyIngestBatch(batch, idCol, vecCol, k, bits,
+          indexPath, edgesPath, adjacencyPath)
+      }
+
+  /** The batch body of [[knnGraphAdjacencySink]], callable directly (and
+    * from tests).
+    */
+  def knnGraphAdjacencyIngestBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      indexPath: String,
+      edgesPath: String,
+      adjacencyPath: String
+  ): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val keyed = graft.ext.VectorSearch.knnGraphIndex(batch, idCol, vecCol, bits)
+      val index =
+        if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
+        else keyed.limit(0)
+      val fresh = keyed.join(index.select(col(idCol)), Seq(idCol), "left_anti")
+        .persist()
+      try {
+        val edges = graft.ext.VectorSearch.knnGraphIncrementalFromFresh(
+            fresh, index, idCol, k)
+          .select(col("id"), col("nbr_id"), col("sim_bp")).persist()
+        try {
+          edges.count()
+          edges.write.mode("append").parquet(edgesPath)
+          val stored =
+            if (pathExists(spark, adjacencyPath)) spark.read.parquet(adjacencyPath)
+            else edges.limit(0)
+          val merged = graft.ext.VectorSearch.mergeAdjacency(stored, edges, k)
+          atomicSwapWrite(merged, adjacencyPath)
+          fresh.write.mode("append").parquet(indexPath)
+        } finally {
+          edges.unpersist()
+          ()
+        }
+      } finally {
+        fresh.unpersist()
+        ()
+      }
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
   /** Seed the versioned quantizer state behind [[kmeansUpdateSink]]:
     * writes `(label, dim, c_bp, n)` as version 0 (batch tag −1). Call
     * once, before the stream starts, with offline-trained centroids and

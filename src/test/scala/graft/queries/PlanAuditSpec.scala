@@ -1970,19 +1970,30 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the three fertility frames union; nothing crosses:\n$p")
   }
 
+  test("q288: drift audit is broadcast span + key explode + two aggregates joined on the group key") {
+    val p = plan("q288_payload_drift")
+    assert(p.contains("Generate"),
+      s"top-level key extraction is a bounded explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"only the 1-row span may cross; denominators join broadcast on the group key:\n$p")
+    assert(!p.contains("Window"), s"presence rates are pure aggregates:\n$p")
+  }
+
   test("q287: the maintenance → merge stage is anti join + bucket probes + a k-bounded rank, no product") {
     // the composed query's walk materializes per round (the q223 checkpoint
     // pattern pins that shape); here the NEW surface — incremental edges
     // folding into the adjacency — is pinned on the unexecuted merge frame
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.embeddings(spark, sf)
-    val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 450)
+    val base = emb.filter(col("vec_id") >= 10 &&
+      !(col("vec_id") >= 450 && col("vec_id") < 500))
     val index0 = graft.ext.VectorSearch.knnGraphIndex(base, "vec_id", "embedding", 6)
     val adj0 = graft.ext.VectorSearch.knnGraphIncrementalFromFresh(
         index0, index0.limit(0), "vec_id", k = 3)
       .select(col("id"), col("nbr_id"), col("sim_bp"))
     val edges = graft.ext.VectorSearch.knnGraphIncremental(
-        emb.filter(col("vec_id") >= 440), index0, "vec_id", "embedding", 3, 6)
+        emb.filter(col("vec_id") >= 440 && col("vec_id") < 500),
+        index0, "vec_id", "embedding", 3, 6)
       .select(col("id"), col("nbr_id"), col("sim_bp"))
     val p = graft.ext.VectorSearch.mergeAdjacency(adj0, edges, k = 3)
       .queryExecution.executedPlan.toString

@@ -967,6 +967,47 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("knnGraphAdjacencyIngestBatch maintains a searchable adjacency snapshot; replay converges") {
+    val base = tmpDir("knnadj")
+    val (indexPath, edgesPath, adjPath) =
+      (base + "/index", base + "/edges", base + "/adj")
+    def batchOf(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+    def adj = spark.read.parquet(adjPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    StreamPipelines.knnGraphAdjacencyIngestBatch(
+      batchOf(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1)),
+      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, adjPath)
+    val a1 = adj
+    assert(a1.keySet == Set((1L, 2L), (2L, 1L)))
+
+    // 3 is nearest to 2; each node's top-2 now includes it
+    StreamPipelines.knnGraphAdjacencyIngestBatch(
+      batchOf(3L -> Seq(0.89, 0.11)),
+      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, adjPath)
+    val a2 = adj
+    assert(a2.keySet == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L)))
+
+    // replaying the same batch changes nothing (anti join → empty merge)
+    StreamPipelines.knnGraphAdjacencyIngestBatch(
+      batchOf(3L -> Seq(0.89, 0.11)),
+      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, adjPath)
+    assert(adj == a2)
+
+    // the snapshot is directly walkable by the beam search
+    val stored = spark.read.parquet(adjPath)
+    val sym = stored.select($"id", $"nbr_id")
+      .unionByName(stored.select($"nbr_id".as("id"), $"id".as("nbr_id"))).distinct()
+    val corpus = spark.read.parquet(indexPath)
+      .select($"vec_id", $"vec".as("embedding"))
+    val qs = Seq(9000L -> Seq(1.0, 0.05)).toDF("vec_id", "embedding")
+    val hits = graft.ext.VectorSearch.graphSearchCurve(
+        qs, corpus, sym, "vec_id", "embedding", "vec_id", "embedding",
+        k = 2, beam = 2, rounds = 1, entries = 1)
+      .filter($"round_tier" === 1).collect()
+    assert(hits.nonEmpty && hits.map(_.getAs[Long]("id")).toSet.subsetOf(Set(1L, 2L, 3L)))
+  }
+
   test("changePointStream: emitted series equals the batch Page-Hinkley frame; replay emits nothing") {
     implicit val sql = spark.sqlContext
     // minute series with a level shift at t=105 and a gap at 103-104
