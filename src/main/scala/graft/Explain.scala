@@ -339,7 +339,9 @@ object Explain {
     "q284_unigram_train",  // vocab-sized rounds: match grid + walk + prune
     "q285_unigram_fertility", // distinct words segment once, counts re-attach
     "q286_tokenizer_compare", // three bounded fertility aggregates
-    "q287_knn_maintain_search" // incr edges → monotone merge → beam walk
+    "q287_knn_maintain_search", // incr edges → monotone merge → beam walk
+    "q288_payload_drift", // span broadcast + key explode + two hash-aggs
+    "q289_audience_overlap" // O(k) KMV sketch agg + sketch-sized pair ops
   )
 
   def main(args: Array[String]): Unit = {

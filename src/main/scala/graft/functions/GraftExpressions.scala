@@ -265,6 +265,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvDistinct(children.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_values"),
+      new ExpressionInfo(classOf[KmvMinValues].getName, "graft_kmv_values"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kmv_values(hashCol, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_values: k must be an integer literal, got $other")
+        }
+        KmvMinValues(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) => {
@@ -309,6 +321,10 @@ object GraftFunctions {
   /** KMV distinct-count sketch aggregate (exact below k). */
   def kmvDistinct(c: Column, k: Int): Column =
     call_function("graft_kmv_distinct", c, org.apache.spark.sql.functions.lit(k))
+  /** KMV value sketch aggregate: the k unsigned-smallest distinct values
+    * of a pre-hashed BIGINT column, ascending — the theta-set-op input. */
+  def kmvValues(c: Column, k: Int): Column =
+    call_function("graft_kmv_values", c, org.apache.spark.sql.functions.lit(k))
   /** Misra-Gries heavy-hitters aggregate: map of ≤ m candidate items. */
   def freqItems(c: Column, m: Int): Column =
     call_function("graft_freq_items", c, org.apache.spark.sql.functions.lit(m))

@@ -118,3 +118,84 @@ case class KmvDistinct(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** KMV sketch that RETAINS the k unsigned-smallest distinct values of a
+  * pre-hashed LONG column (ascending array) instead of collapsing to a
+  * count — the building block for theta-framework SET OPERATIONS
+  * (union / intersection / difference estimates across groups, the
+  * "audience overlap" problem). The caller supplies the hash (e.g.
+  * [[graft.ext.ThetaSketch.hash40]]'s md5-derived 40-bit value) so the
+  * sketch is engine-replayable: an oracle can reproduce the exact same
+  * k-min set with a rank window over the same hash expression.
+  *
+  * Same O(k) buffer / map-side-combine / union-then-truncate merge
+  * contract as [[KmvDistinct]]: state is bounded regardless of input
+  * size, which is what makes per-group sketches shippable as partial
+  * aggregates from 1000 executors while the groups themselves never
+  * co-locate their raw member sets.
+  */
+case class KmvMinValues(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[KmvBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kmv_values"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType if k >= 16 => TypeCheckResult.TypeCheckSuccess
+    case LongType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: k must be >= 16, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a pre-hashed BIGINT input, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buffer.mergeFrom(other); buffer
+  }
+
+  override def eval(buffer: KmvBuffer): Any = {
+    val vs = buffer.values
+    java.util.Arrays.sort(vs)
+    // unsigned ascending: negative longs (top bit set) rank ABOVE all
+    // non-negative ones, and signed order among negatives matches
+    // unsigned order — so rotate the negatives to the back
+    val (neg, pos) = vs.partition(_ < 0)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pos ++ neg)
+  }
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = {
+    val vs = buffer.values
+    val bb = ByteBuffer.allocate(4 + 4 + 8 * vs.length)
+    bb.putInt(buffer.k).putInt(vs.length)
+    vs.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val buf = new KmvBuffer(bb.getInt)
+    val n   = bb.getInt
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

@@ -9640,6 +9640,77 @@ object ExtensionQueries {
       FROM rates""")
   )
 
+  // Sketches 5: theta-framework audience overlap — every event-type
+  // pair's user-set union / intersection / difference estimated from
+  // per-type KMV sketches (graft.ext.ThetaSketch: one O(k)-state
+  // map-side-combinable hash-aggregate over the corpus, then everything
+  // pairwise on the |types|-row sketch frame), audited against the exact
+  // pairwise intersections with bp error. k=64 < the ~150 users per type,
+  // so the estimator path (θ = kth min, not the exhaustive shortcut) is
+  // what the oracle replays: DuckDB reproduces the identical k-min sets
+  // with a rank window over the same md5-derived 40-bit hashes, and all
+  // estimates are exact BIGINT milli/bp arithmetic on both sides.
+  private val q289 = Q(
+    "q289_audience_overlap",
+    (s, dir) =>
+      graft.ext.ThetaSketch.overlapAudit(
+        Tables.events(s, dir), "event_type", "user_id", k = 64),
+    Some {
+      val h10 = duckHexN("CAST(user_id AS VARCHAR)", 10)
+      val m = graft.ext.ThetaSketch.HashSpace
+      s"""WITH mh AS (SELECT DISTINCT event_type AS key, ($h10) AS h FROM events),
+      rk AS (SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+        FROM mh),
+      kp AS (SELECT key, h FROM rk WHERE rn <= 64),
+      th AS (SELECT key,
+          CASE WHEN count(*) = 64 THEN max(h) ELSE ${m} END AS theta
+        FROM kp GROUP BY 1),
+      pairs AS (SELECT ta.key AS key_a, tb.key AS key_b,
+          least(ta.theta, tb.theta) AS th
+        FROM th ta JOIN th tb ON ta.key < tb.key),
+      na AS (SELECT p.key_a, p.key_b, count(*) AS n FROM pairs p
+        JOIN kp ON kp.key = p.key_a AND kp.h < p.th GROUP BY 1, 2),
+      nb AS (SELECT p.key_a, p.key_b, count(*) AS n FROM pairs p
+        JOIN kp ON kp.key = p.key_b AND kp.h < p.th GROUP BY 1, 2),
+      ni AS (SELECT p.key_a, p.key_b, count(*) AS n FROM pairs p
+        JOIN kp ka ON ka.key = p.key_a AND ka.h < p.th
+        JOIN kp kb ON kb.key = p.key_b AND kb.h = ka.h
+        GROUP BY 1, 2),
+      cnt AS (SELECT p.key_a, p.key_b, p.th,
+          coalesce(na.n, 0) AS c_a, coalesce(nb.n, 0) AS c_b,
+          coalesce(ni.n, 0) AS c_i,
+          coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(ni.n, 0) AS c_u
+        FROM pairs p
+        LEFT JOIN na ON na.key_a = p.key_a AND na.key_b = p.key_b
+        LEFT JOIN nb ON nb.key_a = p.key_a AND nb.key_b = p.key_b
+        LEFT JOIN ni ON ni.key_a = p.key_a AND ni.key_b = p.key_b),
+      est AS (SELECT key_a, key_b,
+          CAST(c_a * 1000 * ${m} // th AS BIGINT) AS a_est_milli,
+          CAST(c_b * 1000 * ${m} // th AS BIGINT) AS b_est_milli,
+          CAST(c_u * 1000 * ${m} // th AS BIGINT) AS union_est_milli,
+          CAST(c_i * 1000 * ${m} // th AS BIGINT) AS inter_est_milli,
+          CAST((c_a - c_i) * 1000 * ${m} // th AS BIGINT) AS a_only_est_milli,
+          CAST((c_b - c_i) * 1000 * ${m} // th AS BIGINT) AS b_only_est_milli,
+          CAST(CASE WHEN c_u > 0 THEN c_i * 10000 // c_u ELSE 0 END
+            AS BIGINT) AS jaccard_est_bp
+        FROM cnt),
+      mem AS (SELECT DISTINCT event_type, user_id FROM events),
+      exact AS (SELECT m1.event_type AS key_a, m2.event_type AS key_b,
+          CAST(count(*) AS BIGINT) AS n
+        FROM mem m1 JOIN mem m2
+          ON m1.user_id = m2.user_id AND m1.event_type < m2.event_type
+        GROUP BY 1, 2)
+      SELECT e.key_a, e.key_b, a_est_milli, b_est_milli, union_est_milli,
+        inter_est_milli, a_only_est_milli, b_only_est_milli, jaccard_est_bp,
+        coalesce(x.n, 0) AS inter_exact,
+        CAST(CASE WHEN coalesce(x.n, 0) > 0
+          THEN abs(inter_est_milli - x.n * 1000) * 10000 // (x.n * 1000)
+          ELSE 0 END AS BIGINT) AS err_bp
+      FROM est e LEFT JOIN exact x
+        ON x.key_a = e.key_a AND x.key_b = e.key_b"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9649,5 +9720,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289)
 }

@@ -1979,6 +1979,17 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("Window"), s"presence rates are pure aggregates:\n$p")
   }
 
+  test("q289: the corpus pays one O(k)-state sketch aggregate; pair ops run sketch-sized") {
+    val p = plan("q289_audience_overlap")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the KMV value sketch must fold as a TypedImperativeAggregate " +
+        s"(map-side combine, O(k) partials):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only non-equi pairing is the broadcast |types|-row sketch frame:\n$p")
+    assert(!p.contains("Window"),
+      s"no rank window — the k-min cut happens inside the aggregate buffer:\n$p")
+  }
+
   test("q287: the maintenance → merge stage is anti join + bucket probes + a k-bounded rank, no product") {
     // the composed query's walk materializes per round (the q223 checkpoint
     // pattern pins that shape); here the NEW surface — incremental edges
