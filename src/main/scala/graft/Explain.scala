@@ -447,6 +447,24 @@ object Explain {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }
+    // q290's returned frame is a checkpoint scan; the load-bearing plan
+    // is ONE k-core peel round (survivor joins + degree agg + LeftAnti)
+    locally {
+      val li = graft.Tables.lineitem(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("l_orderkey").as("o"),
+          org.apache.spark.sql.functions.col("l_partkey").as("p")).distinct()
+      val ed = li.as("x").join(li.as("y"),
+          org.apache.spark.sql.functions.col("x.o") === org.apache.spark.sql.functions.col("y.o") &&
+            org.apache.spark.sql.functions.col("x.p") < org.apache.spark.sql.functions.col("y.p"))
+        .select(org.apache.spark.sql.functions.col("x.p").as("src"),
+          org.apache.spark.sql.functions.col("y.p").as("dst"))
+      val it = graft.ext.Graphs.kCoreRoundPlanFrame(ed, "src", "dst", k = 80)
+      it.count()
+      sb.append(s"\n## q290_kcore (one peel round)\n\n```\n")
+      sb.append(it.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
     // q130's returned frame is a checkpoint scan; the load-bearing plan is
     // ONE synchronous LPA round over the same graph
     locally {

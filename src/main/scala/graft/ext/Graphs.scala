@@ -686,6 +686,104 @@ object Graphs {
       .limit(k)
   }
 
+  /** k-core peeling (Seidman 1983; Matula & Beck's algorithm, here the
+    * synchronous bulk variant — the BSP shape Quick et al. and every
+    * Pregel-style system use): repeatedly drop every node whose degree
+    * within the SURVIVING subgraph is below `k`, for a FIXED number of
+    * `rounds` so an oracle replays the identical frontier sequence.
+    *
+    * Each round is two survivor semi-joins on the node key + one
+    * hash-aggregate — never a window, never a product; the adjacency
+    * persists once and every round's survivor set persists behind a
+    * short-lineage anchor (the [[labelPropagation]] discipline), so plan
+    * depth stays constant in `rounds`. At 100 TB the peel converges in
+    * few synchronous rounds on power-law graphs (the frontier collapses
+    * geometrically); the fixed budget makes cost predictable and the
+    * `converged` flag reports whether the last round was a fixpoint.
+    *
+    * Output: one row per node — (node, removed_round ∈ [1..rounds] or 0
+    * for core members, core_deg = degree within the final survivor
+    * subgraph for members else 0, in_core, converged).
+    */
+  def kCore(edges0: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val e = edges0
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adjChain = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    adjChain.count()
+    val spark = adjChain.sparkSession
+    val adj = spark.createDataFrame(adjChain.rdd, adjChain.schema)
+
+    def survivorDeg(survivors: DataFrame): DataFrame =
+      adj.join(survivors, "node")
+        .join(survivors.select(col("node").as("nbr")), "nbr")
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+
+    var survivors = adj.select("node").distinct()
+    var removed: Option[DataFrame] = None
+    var mats: List[DataFrame] = Nil
+    var prevCount = survivors.count()
+    var lastRemoved = 0L
+    for (r <- 1 to rounds) {
+      val nextChain = survivorDeg(survivors).filter(col("deg") >= k)
+        .select("node").persist()
+      val n = nextChain.count()
+      mats ::= nextChain
+      val next = spark.createDataFrame(nextChain.rdd, nextChain.schema)
+      val rem = survivors.join(next, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("removed_round"))
+      removed = Some(removed.fold(rem)(_.unionByName(rem)))
+      lastRemoved = prevCount - n
+      prevCount = n
+      survivors = next
+    }
+    // fixpoint iff the LAST peel removed nothing
+    val converged = lastRemoved == 0L
+    val core = survivors
+      .join(survivorDeg(survivors).select(col("node"), col("deg").as("core_deg")),
+        Seq("node"), "left")
+      .select(col("node"), lit(0L).as("removed_round"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        lit(true).as("in_core"))
+    val out = removed.get
+      .select(col("node"), col("removed_round"),
+        lit(0L).as("core_deg"), lit(false).as("in_core"))
+      .unionByName(core)
+      .withColumn("converged", lit(converged))
+      .localCheckpoint(true)
+    mats.foreach(_.unpersist())
+    adjChain.unpersist()
+    out
+  }
+
+  /** One unexecuted k-core peel round (survivor-degree filter plus the
+    * removed-set anti join) from the all-nodes start state, for the plan
+    * audit: two survivor equi-joins + one hash-aggregate + a LeftAnti —
+    * never a window, never a product.
+    */
+  private[graft] def kCoreRoundPlanFrame(edges0: DataFrame, srcCol: String,
+                                         dstCol: String, k: Int): DataFrame = {
+    val e = edges0
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+    val survivors = adj.select("node").distinct()
+    val next = adj.join(survivors, "node")
+      .join(survivors.select(col("node").as("nbr")), "nbr")
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select("node")
+    survivors.join(next, Seq("node"), "left_anti")
+  }
+
   private[graft] def iteration(outEdges: DataFrame, nodes: DataFrame,
                                rank: DataFrame, base: Long, dampingPct: Int,
                                dangling: Option[(DataFrame, DataFrame)] = None): DataFrame = {

@@ -69,6 +69,26 @@ object ThetaSketch {
           .otherwise(lit(HashSpace)).as("theta"))
   }
 
+  /** Union-then-truncate merge of two sketch frames — the
+    * [[graft.functions.KmvBuffer]] merge lifted to frames: per key, the
+    * k smallest distinct hashes of either side, theta re-derived. KMV
+    * bottom-k sampling is exactly mergeable, so
+    * `mergeSketches(kminSketch(A), kminSketch(B)) == kminSketch(A ∪ B)`
+    * bit for bit — the property that lets per-batch sketches fold into a
+    * stored snapshot incrementally (streaming) or per-partition partials
+    * fold across executors without ever re-reading the corpus.
+    */
+  def mergeSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 16, s"k must be >= 16, got $k")
+    a.select("key", "hs").unionByName(b.select("key", "hs"))
+      .select(col("key"), explode(col("hs")).as("__h"))
+      .groupBy("key")
+      .agg(graft.functions.GraftFunctions.kmvValues(col("__h"), k).as("hs"))
+      .select(col("key"), col("hs"),
+        when(size(col("hs")) === k, element_at(col("hs"), k))
+          .otherwise(lit(HashSpace)).as("theta"))
+  }
+
   /** `n · 1000 · M div theta` as exact BIGINT floor division (the
     * numerator peaks at `2k·1000·2^40` ≈ 9·10^18·(k/4096) — inside the
     * BIGINT range for any supported k, and far beyond double precision,

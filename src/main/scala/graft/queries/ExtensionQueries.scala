@@ -9711,6 +9711,51 @@ object ExtensionQueries {
     }
   )
 
+  // Graph tier: k-core decomposition of the co-purchase graph (Seidman
+  // 1983) — the density filter behind spam/bot pruning and community
+  // seeding: synchronous peel rounds drop every part whose degree within
+  // the surviving subgraph is < 80, for a FIXED 6 rounds (the fixpoint at
+  // sf0.01: removals 97/25/13/7/1/0, 1857-node core, converged=true) so
+  // the oracle replays the identical frontier sequence. Survivor CTEs are
+  // MATERIALIZED in DuckDB — each round references the previous set
+  // twice, and inlining would double the plan per round.
+  private val q290 = Q(
+    "q290_kcore",
+    (s, dir) => Graphs.kCore(copurchaseEdges(s, dir), "src", "dst",
+      k = 80, rounds = 6),
+    Some {
+      val K = 80; val R = 6
+      val roundCtes = (1 to R).map { r =>
+        s""", d$r AS (SELECT adj.node, count(*) AS deg FROM adj
+          JOIN s${r - 1} x ON adj.node = x.node
+          JOIN s${r - 1} y ON adj.nbr = y.node GROUP BY 1),
+        s$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $K)"""
+      }.mkString
+      val removedUnion = (1 to R).map { r =>
+        s"""SELECT node, CAST($r AS BIGINT) AS removed_round FROM s${r - 1}
+          WHERE node NOT IN (SELECT node FROM s$r)"""
+      }.mkString(" UNION ALL ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      ed AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ed
+        UNION ALL SELECT b, a FROM ed),
+      s0 AS MATERIALIZED (SELECT DISTINCT node FROM adj)$roundCtes,
+      rem AS ($removedUnion),
+      dfin AS (SELECT adj.node, CAST(count(*) AS BIGINT) AS deg FROM adj
+        JOIN s$R x ON adj.node = x.node JOIN s$R y ON adj.nbr = y.node
+        GROUP BY 1),
+      cvg AS (SELECT (SELECT count(*) FROM s${R - 1}) =
+        (SELECT count(*) FROM s$R) AS converged)
+      SELECT node, removed_round, CAST(0 AS BIGINT) AS core_deg,
+        false AS in_core, cvg.converged FROM rem, cvg
+      UNION ALL
+      SELECT s.node, CAST(0 AS BIGINT), coalesce(d.deg, CAST(0 AS BIGINT)),
+        true, cvg.converged
+      FROM s$R s LEFT JOIN dfin d USING (node), cvg"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9720,5 +9765,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290)
 }

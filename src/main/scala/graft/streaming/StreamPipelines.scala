@@ -792,6 +792,60 @@ object StreamPipelines {
     }
   }
 
+  /** Maintained per-key audience sketch — the streaming form of the q289
+    * theta set-op surface: each micro-batch's (key, member) rows fold
+    * into a stored KMV sketch snapshot
+    * ([[graft.ext.ThetaSketch.mergeSketches]]: union-then-truncate, the
+    * exactly-mergeable bottom-k), committed with [[atomicSwapWrite]].
+    * An overlap matrix ([[graft.ext.ThetaSketch.overlapEstimates]]) is
+    * computable from the snapshot at any time without touching the
+    * member history — which is the point: the raw per-key member sets
+    * are never stored or shuffled, only O(k) rows per key.
+    *
+    * Replay-convergent by construction: re-delivered members hash to
+    * values already in (or above) the sketch, so the merge is the
+    * identity, and `mergeSketches(kmin(A), kmin(B)) = kmin(A ∪ B)`
+    * makes the snapshot equal the batch sketch over all data ever seen
+    * regardless of batch boundaries.
+    */
+  def audienceSketchSink(
+      stream: DataFrame,
+      keyCol: String,
+      memberCol: String,
+      k: Int,
+      sketchPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        audienceSketchIngestBatch(batch, keyCol, memberCol, k, sketchPath)
+      }
+
+  /** The batch body of [[audienceSketchSink]], callable directly (and
+    * from tests).
+    */
+  def audienceSketchIngestBatch(
+      batch: DataFrame,
+      keyCol: String,
+      memberCol: String,
+      k: Int,
+      sketchPath: String
+  ): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fresh = graft.ext.ThetaSketch.kminSketch(batch, keyCol, memberCol, k)
+    val merged =
+      if (pathExists(spark, sketchPath))
+        graft.ext.ThetaSketch.mergeSketches(
+          spark.read.parquet(sketchPath), fresh, k)
+      else fresh
+    atomicSwapWrite(merged, sketchPath)
+  }
+
   /** Seed the versioned quantizer state behind [[kmeansUpdateSink]]:
     * writes `(label, dim, c_bp, n)` as version 0 (batch tag −1). Call
     * once, before the stream starts, with offline-trained centroids and

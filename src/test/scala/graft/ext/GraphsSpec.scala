@@ -321,4 +321,38 @@ class GraphsSpec extends SparkFunSuite {
     assert(raw"HashAggregate\(keys=\[node#\d+, label#\d+"
       .r.findFirstIn(p).nonEmpty, s"expected the (node, label) vote agg in:\n$p")
   }
+
+  test("kCore: hand graph peels in the documented order; core and rounds exact") {
+    // K4 on {1,2,3,4} plus a tail 4-5-6-7. k=2: the tail peels one layer
+    // per round (7 at r1, then 6, then 5 — each only falls below k after
+    // its outer neighbor leaves), and the K4 is the fixpoint core.
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(6L,7L)).toDF("src", "dst")
+    val out = Graphs.kCore(edges, "src", "dst", k = 2, rounds = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out(7L) == ((1L, 0L, false, true)))
+    assert(out(6L) == ((2L, 0L, false, true)))
+    assert(out(5L) == ((3L, 0L, false, true)))
+    for (n <- Seq(1L, 2L, 3L, 4L)) assert(out(n) == ((0L, 3L, true, true)), s"node $n: " + out(n))
+  }
+
+  test("kCore: unconverged budget reports converged=false; whole graph can peel away") {
+    // path 1-2-3-4-5: k=2 peels one endpoint layer per round
+    val path = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L)).toDF("src", "dst")
+    val tight = Graphs.kCore(path, "src", "dst", k = 2, rounds = 1).collect()
+    assert(tight.forall(!_.getBoolean(4)))          // round 1 removed 1 and 5 -> not fixpoint
+    val full = Graphs.kCore(path, "src", "dst", k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rounds: {1,5} at r1 -> {2,4} at r2 -> {3} at r3; nothing survives
+    assert(full == Map(1L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L))
+  }
+  test("kCore round plan: survivor joins + degree agg + LeftAnti, no window, no product") {
+    val p = Graphs.kCoreRoundPlanFrame(
+        Seq((1L,2L),(2L,3L)).toDF("src", "dst"), "src", "dst", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"peel rounds must stay node-keyed equi-joins:\n$p")
+    assert(!p.contains("Window"), s"degrees are aggregates, not windows:\n$p")
+    assert(p.contains("LeftAnti"), s"the removed set must leave via an anti join:\n$p")
+  }
 }

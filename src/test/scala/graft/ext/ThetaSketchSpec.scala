@@ -82,6 +82,24 @@ class ThetaSketchSpec extends SparkFunSuite {
     assert(out(("B", "C")) == ((0L, 0L)))
   }
 
+  test("mergeSketches(kmin(A), kmin(B)) equals kmin(A ∪ B) bit for bit") {
+    val aRows = (1 to 80).map(i => ("x", i.toLong)) ++ (1 to 10).map(i => ("y", i.toLong))
+    val bRows = (41 to 120).map(i => ("x", i.toLong)) ++ (5 to 30).map(i => ("y", i.toLong))
+    val a = aRows.toDF("key", "member")
+    val b = bRows.toDF("key", "member")
+    val union = (aRows ++ bRows).toDF("key", "member")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1).toList, r.getLong(2)))).toMap
+    val merged = snap(ThetaSketch.mergeSketches(
+      ThetaSketch.kminSketch(a, "key", "member", 32),
+      ThetaSketch.kminSketch(b, "key", "member", 32), 32))
+    val direct = snap(ThetaSketch.kminSketch(union, "key", "member", 32))
+    assert(merged == direct)
+    // and a merge with itself is the identity
+    val sk = ThetaSketch.kminSketch(a, "key", "member", 32)
+    assert(snap(ThetaSketch.mergeSketches(sk, sk, 32)) == snap(sk))
+  }
+
   test("graft_kmv_values orders the full 64-bit space unsigned (negatives rank last)") {
     val df = Seq(-1L, -100L, 5L, 3L, Long.MinValue, 0L).toDF("h")
     val out = df.agg(graft.functions.GraftFunctions.kmvValues(col("h"), 16))

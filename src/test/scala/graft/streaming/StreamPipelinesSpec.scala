@@ -1008,6 +1008,30 @@ class StreamPipelinesSpec extends SparkFunSuite {
     assert(hits.nonEmpty && hits.map(_.getAs[Long]("id")).toSet.subsetOf(Set(1L, 2L, 3L)))
   }
 
+  test("audienceSketchIngestBatch: snapshot equals the batch sketch over all data seen; replay is the identity") {
+    val path = tmpDir("audsk") + "/sketch"
+    def batchOf(rows: (String, Long)*) = rows.toDF("key", "member")
+    def snap() = spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1).toList, r.getLong(2)))).toMap
+
+    val b1 = (1 to 40).map(i => ("A", i.toLong)) ++ (1 to 20).map(i => ("B", i.toLong))
+    val b2 = (21 to 60).map(i => ("A", i.toLong)) ++ (15 to 50).map(i => ("B", i.toLong))
+    StreamPipelines.audienceSketchIngestBatch(batchOf(b1: _*), "key", "member", 32, path)
+    StreamPipelines.audienceSketchIngestBatch(batchOf(b2: _*), "key", "member", 32, path)
+    val after2 = snap()
+    // the maintained snapshot IS the batch sketch over b1 ∪ b2
+    val direct = graft.ext.ThetaSketch.kminSketch(
+        batchOf((b1 ++ b2): _*), "key", "member", 32).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1).toList, r.getLong(2)))).toMap
+    assert(after2 == direct)
+    // re-delivering b2 changes nothing
+    StreamPipelines.audienceSketchIngestBatch(batchOf(b2: _*), "key", "member", 32, path)
+    assert(snap() == after2)
+    // the snapshot answers overlap queries without the member history
+    val est = graft.ext.ThetaSketch.overlapEstimates(spark.read.parquet(path)).head()
+    assert(est.getAs[Long]("inter_est_milli") > 0L)
+  }
+
   test("changePointStream: emitted series equals the batch Page-Hinkley frame; replay emits nothing") {
     implicit val sql = spark.sqlContext
     // minute series with a level shift at t=105 and a gap at 103-104
