@@ -167,8 +167,45 @@ object ScaleProbe {
         .repartition(spark.sparkContext.defaultParallelism)
     }
 
+    def evAt(mult: Int): DataFrame = {
+      val base = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("user_id"))
+      (0 until mult).map(r =>
+          base.withColumn("user_id", col("user_id") + lit(r * 10000000L)))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    // disjoint co-purchase graph copies: both keys re-keyed per replica,
+    // so peel structure (rounds, layer sizes) is invariant in m and the
+    // probe isolates the per-round scan/join cost
+    def copurchaseAt(mult: Int): DataFrame = {
+      val base = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val li = (0 until mult).map(r =>
+          base.withColumn("o", col("o") + lit(r * 100000000L))
+            .withColumn("p", col("p") + lit(r * 100000000L)))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      li.as("x").join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+    }
+
     val ops: Seq[(String, Int => Long)] = Seq(
       "token_stats"   -> (m => TextStats.tokenStats(docsAt(m), "doc_id", "text").count()),
+      // q289's theta set ops: membership grows ×m but sketch state is
+      // O(k) per group — the curve must track the ONE corpus scan, with
+      // the pairwise stage flat (|groups|²-bounded, sketch-sized)
+      "theta_overlap" -> { m =>
+        graft.ext.ThetaSketch.overlapEstimates(
+          graft.ext.ThetaSketch.kminSketch(evAt(m), "event_type", "user_id", 256))
+          .count()
+      },
+      // q290's peel on disjoint graph copies: rounds and layer sizes are
+      // m-invariant, so cost must track the per-round adjacency joins
+      "kcore_peel" -> { m =>
+        graft.ext.Graphs.kCore(copurchaseAt(m), "src", "dst",
+          k = 80, rounds = 4).count()
+      },
       // unigram-LM trainer (q284): ONE corpus scan builds the word-count
       // frame; candidate generation, all three segment rounds and the
       // prunes run over distinct words × a ≤(chars+48)-piece vocab — the
