@@ -341,7 +341,8 @@ object Explain {
     "q286_tokenizer_compare", // three bounded fertility aggregates
     "q287_knn_maintain_search", // incr edges → monotone merge → beam walk
     "q288_payload_drift", // span broadcast + key explode + two hash-aggs
-    "q289_audience_overlap" // O(k) KMV sketch agg + sketch-sized pair ops
+    "q289_audience_overlap", // O(k) KMV sketch agg + sketch-sized pair ops
+    "q291_seasonal_mase" // event-grain agg -> calendar-sized spine windows
   )
 
   def main(args: Array[String]): Unit = {

@@ -377,4 +377,49 @@ object RobustStats {
         .cast("long"))
       .as("rho_milli"))
   }
+
+  /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler 2006,
+    * the scale-free forecast-accuracy standard): per key, the day-t
+    * forecast is the value at t − `season`, and the summed absolute
+    * error over the evaluable tail is scaled by the in-sample naive
+    * (lag-1) mean absolute error —
+    * `mase_milli = Σ|v_t − v_{t−s}| · n_scale · 1000 div
+    * (Σ|v_t − v_{t−1}| · n_eval)`, exact BIGINT throughout. MASE < 1000
+    * means the seasonal forecast beats the naive one; a zero naive
+    * error (constant series) reports 0 with the counts left to tell.
+    *
+    * The series is zero-filled on the per-key day spine (a gap is a
+    * real zero for count series — same contract as [[pageHinkley]]).
+    * Scale shape: one hash-aggregate to the (key, day) grain, a
+    * date-bounded spine explode, and per-key windows — everything after
+    * the first aggregate is calendar-sized, not event-sized.
+    */
+  def seasonalNaiveMase(series: DataFrame, keyCol: String, tCol: String,
+                        vCol: String, season: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(season >= 1, "season must be >= 1")
+    val src = series.select(col(keyCol).as("key"),
+      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+    val spine = src.groupBy("key")
+      .agg(min(col("t")).as("__mn"), max(col("t")).as("__mx"))
+      .select(col("key"), explode(expr("sequence(__mn, __mx)")).as("t"))
+    val w = Window.partitionBy("key").orderBy("t")
+    spine.join(src, Seq("key", "t"), "left")
+      .select(col("key"), col("t"), coalesce(col("v"), lit(0L)).as("v"))
+      .withColumn("__vs", lag(col("v"), season).over(w))
+      .withColumn("__v1", lag(col("v"), 1).over(w))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("__vs").isNotNull, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("__v1").isNotNull, 1L).otherwise(0L)).as("n_scale"),
+        sum(when(col("__vs").isNotNull, abs(col("v") - col("__vs")))
+          .otherwise(0L)).as("sae_seasonal"),
+        sum(when(col("__v1").isNotNull, abs(col("v") - col("__v1")))
+          .otherwise(0L)).as("sae_naive"))
+      .withColumn("mase_milli", expr(
+        """CAST(CASE WHEN sae_naive > 0 AND n_eval > 0
+          |  THEN (sae_seasonal * n_scale * 1000) div (sae_naive * n_eval)
+          |  ELSE 0 END AS BIGINT)""".stripMargin))
+  }
 }

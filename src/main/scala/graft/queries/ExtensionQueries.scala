@@ -9756,6 +9756,50 @@ object ExtensionQueries {
     }
   )
 
+  // Time-series tier: seasonal-naive forecast backtest with MASE
+  // (Hyndman & Koehler 2006) — the ops-review question "is our weekly
+  // seasonality real enough to forecast with": per event type, day-t
+  // forecast = count at t−7 on the zero-filled daily spine, summed
+  // absolute error scaled by the in-sample lag-1 naive MAE, exact milli.
+  // One event-grain aggregate, then everything calendar-sized.
+  private val q291 = Q(
+    "q291_seasonal_mase",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.RobustStats.seasonalNaiveMase(
+        ev.groupBy(col("event_type").as("key"),
+            expr("CAST(ts AS LONG) div 86400").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "key", "day", "n", season = 7)
+    },
+    Some("""WITH d AS (SELECT event_type AS key,
+        epoch_us(ts) // 1000000 // 86400 AS t,
+        CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+      sp AS (SELECT key, min(t) AS mn, max(t) AS mx FROM d GROUP BY 1),
+      spine AS (SELECT key, u.t
+        FROM sp, UNNEST(generate_series(sp.mn, sp.mx)) AS u(t)),
+      f AS (SELECT spine.key, spine.t, coalesce(d.v, 0) AS v
+        FROM spine LEFT JOIN d ON d.key = spine.key AND d.t = spine.t),
+      l AS (SELECT key, t, v,
+          lag(v, 7) OVER (PARTITION BY key ORDER BY t) AS v7,
+          lag(v, 1) OVER (PARTITION BY key ORDER BY t) AS v1
+        FROM f),
+      agg AS (SELECT key,
+          CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(CASE WHEN v7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+          CAST(sum(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scale,
+          CAST(sum(CASE WHEN v7 IS NOT NULL THEN abs(v - v7) ELSE 0 END)
+            AS BIGINT) AS sae_seasonal,
+          CAST(sum(CASE WHEN v1 IS NOT NULL THEN abs(v - v1) ELSE 0 END)
+            AS BIGINT) AS sae_naive
+        FROM l GROUP BY 1)
+      SELECT key, n_days, n_eval, n_scale, sae_seasonal, sae_naive,
+        CAST(CASE WHEN sae_naive > 0 AND n_eval > 0
+          THEN (sae_seasonal * n_scale * 1000) // (sae_naive * n_eval)
+          ELSE 0 END AS BIGINT) AS mase_milli
+      FROM agg""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9765,5 +9809,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291)
 }

@@ -137,4 +137,22 @@ class RobustStatsSpec extends SparkFunSuite {
     val r = RobustStats.spearmanRank(ind, "x", "y").collect().head
     assert((r.getLong(0), r.getLong(1)) == ((4L, 0L)))
   }
+  test("seasonalNaiveMase: hand-computed series with a gap; constant series reports 0") {
+    // t=0..7 with a gap at t=5 (fills to 0): v = [5,7,5,5,7,0,9,5]
+    // season 3 -> |e| = 0,0,5,4,2 (sum 11 over 5 terms)
+    // naive lag-1 -> |e| = 2,2,0,2,7,9,4 (sum 26 over 7 terms)
+    // mase_milli = 11*7*1000 div (26*5) = 592
+    val rows = Seq(("k",0L,5L),("k",1L,7L),("k",2L,5L),("k",3L,5L),
+      ("k",4L,7L),("k",6L,9L),("k",7L,5L),
+      ("c",10L,4L),("c",11L,4L),("c",12L,4L),("c",13L,4L),("c",14L,4L))
+      .toDF("key", "t", "v")
+    val out = RobustStats.seasonalNaiveMase(rows, "key", "t", "v", season = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_eval"), r.getAs[Long]("n_scale"),
+          r.getAs[Long]("sae_seasonal"), r.getAs[Long]("sae_naive"),
+          r.getAs[Long]("mase_milli")))).toMap
+    assert(out("k") == ((8L, 5L, 7L, 11L, 26L, 592L)))
+    // constant series: zero naive error -> mase reports 0, counts intact
+    assert(out("c") == ((5L, 2L, 4L, 0L, 0L, 0L)))
+  }
 }

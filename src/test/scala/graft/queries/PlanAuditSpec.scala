@@ -1979,6 +1979,14 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("Window"), s"presence rates are pure aggregates:\n$p")
   }
 
+  test("q291: one event-grain aggregate, then calendar-sized spine windows; no product") {
+    val p = plan("q291_seasonal_mase")
+    assert(p.contains("Window"), s"the lag frames are load-bearing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the spine joins on (key, day):\n$p")
+    assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
+  }
+
   test("q289: the corpus pays one O(k)-state sketch aggregate; pair ops run sketch-sized") {
     val p = plan("q289_audience_overlap")
     assert(p.contains("ObjectHashAggregate"),
