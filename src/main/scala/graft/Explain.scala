@@ -342,7 +342,8 @@ object Explain {
     "q287_knn_maintain_search", // incr edges → monotone merge → beam walk
     "q288_payload_drift", // span broadcast + key explode + two hash-aggs
     "q289_audience_overlap", // O(k) KMV sketch agg + sketch-sized pair ops
-    "q291_seasonal_mase" // event-grain agg -> calendar-sized spine windows
+    "q291_seasonal_mase", // event-grain agg -> calendar-sized spine windows
+    "q292_hdr_quantiles" // one histogram agg; rank selection histogram-sized
   )
 
   def main(args: Array[String]): Unit = {

@@ -9800,6 +9800,52 @@ object ExtensionQueries {
       FROM agg""")
   )
 
+  // Sketches 6: HDR-histogram quantiles (the deterministic
+  // DDSketch/HdrHistogram regime — log-spaced buckets, 16 sub-buckets
+  // per octave, relative error ≤ 625 bp by construction) for per-flag
+  // price percentiles, audited against exact nearest-rank values. The
+  // sketch side is one histogram aggregate with ~16·64 rows of state per
+  // key — the single-pass mergeable path at 100 TB; the exact side
+  // exists only to certify it. Exponents via exact length(bin(v)), no
+  // float log anywhere.
+  private val q292 = Q(
+    "q292_hdr_quantiles",
+    (s, dir) =>
+      graft.ext.HdrSketch.hdrQuantileAudit(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          ParityQueries.cents(col("l_extendedprice")).as("v")),
+        "l_returnflag", "v", Seq(50, 90, 99)),
+    Some("""WITH src AS (SELECT l_returnflag AS key,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem),
+      hb AS (SELECT key, CASE WHEN v < 16 THEN v
+          ELSE (length(format('{:b}', v)) - 1) * 16 +
+            ((v >> (length(format('{:b}', v)) - 5)) & 15) END AS bucket
+        FROM src),
+      hist AS (SELECT key, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM hb GROUP BY 1, 2),
+      cum AS (SELECT key, bucket,
+          CAST(sum(cnt) OVER (PARTITION BY key ORDER BY bucket) AS BIGINT) AS cum,
+          CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+        FROM hist),
+      ranks AS (SELECT key, n, CAST(u.q AS BIGINT) AS q,
+          (CAST(u.q AS BIGINT) * n + 99) // 100 AS r
+        FROM (SELECT DISTINCT key, n FROM cum), UNNEST([50, 90, 99]) AS u(q)),
+      est AS (SELECT r.key, r.q, r.n, r.r, min(c.bucket) AS bucket
+        FROM ranks r JOIN cum c ON c.key = r.key AND c.cum >= r.r
+        GROUP BY 1, 2, 3, 4),
+      estv AS (SELECT key, q, n, r,
+          CASE WHEN bucket < 16 THEN bucket
+            ELSE (16 + bucket % 16) << CAST(bucket // 16 - 4 AS INT) END AS est
+        FROM est),
+      ex AS (SELECT key, v,
+          CAST(row_number() OVER (PARTITION BY key ORDER BY v) AS BIGINT) AS rn
+        FROM src)
+      SELECT e.key, e.q, e.n, e.r, e.est, x.v AS exact_v,
+        CAST(CASE WHEN x.v > 0 THEN (abs(e.est - x.v) * 10000) // x.v
+          ELSE 0 END AS BIGINT) AS err_bp
+      FROM estv e JOIN ex x ON x.key = e.key AND x.rn = e.r""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9809,5 +9855,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292)
 }

@@ -1987,6 +1987,17 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
   }
 
+  test("q292: the sketch side is one histogram aggregate; rank selection runs histogram-sized") {
+    val p = plan("q292_hdr_quantiles")
+    assert(p.contains("HashAggregate"),
+      s"the bucket histogram must be a partial+final hash aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"rank selection joins on the key over histogram-sized frames:\n$p")
+    // exactly the audit's per-key sort (exact side) may appear; the
+    // sketch path must not add a second corpus-wide sort
+    assert("Sort ".r.findAllIn(p).size <= 4, s"unexpected extra sorts:\n$p")
+  }
+
   test("q289: the corpus pays one O(k)-state sketch aggregate; pair ops run sketch-sized") {
     val p = plan("q289_audience_overlap")
     assert(p.contains("ObjectHashAggregate"),
