@@ -343,7 +343,8 @@ object Explain {
     "q288_payload_drift", // span broadcast + key explode + two hash-aggs
     "q289_audience_overlap", // O(k) KMV sketch agg + sketch-sized pair ops
     "q291_seasonal_mase", // event-grain agg -> calendar-sized spine windows
-    "q292_hdr_quantiles" // one histogram agg; rank selection histogram-sized
+    "q292_hdr_quantiles", // one histogram agg; rank selection histogram-sized
+    "q293_seasonal_decompose" // spine windows + broadcast seasonal join
   )
 
   def main(args: Array[String]): Unit = {

@@ -394,6 +394,70 @@ object RobustStats {
     * date-bounded spine explode, and per-key windows — everything after
     * the first aggregate is calendar-sized, not event-sized.
     */
+  /** Classical additive seasonal decomposition (the moving-average
+    * decomposition behind every "decompose" button; STL swaps the
+    * averages for loess — this is the deterministic integer form): on
+    * the zero-filled per-key day spine,
+    *
+    *   trend    = centered `period`-day moving average (odd period;
+    *              defined only where the full window exists), in milli
+    *   seasonal = per (key, t mod period) mean of the detrended series,
+    *              re-centered so the period indexes sum to ~zero
+    *   remainder = v·1000 − trend − seasonal
+    *
+    * and a row is flagged anomalous when |remainder| · n > 3 · Σ|remainder|
+    * within its key (3× the mean absolute remainder — integer-exact, no
+    * float σ). Output: rows where the trend is defined, with all three
+    * components in milli. Everything after the (key, day) aggregate is
+    * calendar-sized: bounded windows on the spine, one period-sized
+    * seasonal frame joined back on (key, t mod period).
+    */
+  def seasonalDecompose(series: DataFrame, keyCol: String, tCol: String,
+                        vCol: String, period: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(period >= 3 && period % 2 == 1, "period must be odd and >= 3")
+    val half = period / 2
+    val src = series.select(col(keyCol).as("key"),
+      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+    val spine = src.groupBy("key")
+      .agg(min(col("t")).as("__mn"), max(col("t")).as("__mx"))
+      .select(col("key"), explode(expr("sequence(__mn, __mx)")).as("t"))
+    val w = Window.partitionBy("key").orderBy("t").rowsBetween(-half, half)
+    val withTrend = spine.join(src, Seq("key", "t"), "left")
+      .select(col("key"), col("t"), coalesce(col("v"), lit(0L)).as("v"))
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__ws", sum(col("v")).over(w))
+      .filter(col("__wn") === period.toLong)
+      .withColumn("trend_milli", expr(s"(__ws * 1000) div $period"))
+      .withColumn("__det", col("v") * 1000L - col("trend_milli"))
+      .withColumn("__dow", expr(s"t % $period"))
+    // sign-safe truncating division (the Classifier.sgnDiv convention):
+    // Spark div and DuckDB // agree on non-negatives, so negatives go
+    // through -((-a) div b) explicitly
+    def sgnDivSql(a: String, b: String): String =
+      s"CAST(CASE WHEN $a >= 0 THEN ($a) div ($b) ELSE -((-($a)) div ($b)) END AS BIGINT)"
+    val seasonalRaw = withTrend.groupBy("key", "__dow")
+      .agg(sum(col("__det")).as("__sd"), count(lit(1)).as("__sc"))
+      .withColumn("__s", expr(sgnDivSql("__sd", "__sc")))
+    val seasonal = seasonalRaw
+      .withColumn("__st", expr("sum(__s) OVER (PARTITION BY key)"))
+      .withColumn("__sn", expr("count(*) OVER (PARTITION BY key)"))
+      .withColumn("__smean", expr(sgnDivSql("__st", "__sn")))
+      .select(col("key"), col("__dow"),
+        (col("__s") - col("__smean")).as("seasonal_milli"))
+    val decomposed = withTrend
+      .join(broadcast(seasonal), Seq("key", "__dow"))
+      .withColumn("remainder_milli",
+        col("v") * 1000L - col("trend_milli") - col("seasonal_milli"))
+    val spread = decomposed.groupBy("key")
+      .agg(count(lit(1)).as("__n"), sum(abs(col("remainder_milli"))).as("__sar"))
+    decomposed.join(broadcast(spread), "key")
+      .select(col("key"), col("t"), col("v"), col("trend_milli"),
+        col("seasonal_milli"), col("remainder_milli"),
+        (abs(col("remainder_milli")) * col("__n") > col("__sar") * 3L)
+          .as("is_anomaly"))
+  }
+
   def seasonalNaiveMase(series: DataFrame, keyCol: String, tCol: String,
                         vCol: String, season: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -9846,6 +9846,65 @@ object ExtensionQueries {
       FROM estv e JOIN ex x ON x.key = e.key AND x.rn = e.r""")
   )
 
+  // Time-series tier 2: classical additive seasonal decomposition of the
+  // daily event-count series (trend = centered 7-day moving average,
+  // seasonal = re-centered day-of-week means of the detrended series,
+  // remainder + a 3×-mean-absolute-remainder anomaly flag) — q291 asks
+  // "is the weekly pattern forecastable", this shows WHERE the series
+  // deviates from it. All divisions sign-safe (negative detrended values
+  // go through -((-a) div b)), everything after the event-grain
+  // aggregate calendar-sized.
+  private val q293 = Q(
+    "q293_seasonal_decompose",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.RobustStats.seasonalDecompose(
+        ev.groupBy(col("event_type").as("key"),
+            expr("CAST(ts AS LONG) div 86400").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "key", "day", "n", period = 7)
+    },
+    Some {
+      def sgn(a: String, b: String) =
+        s"CAST(CASE WHEN $a >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END AS BIGINT)"
+      s"""WITH d AS (SELECT event_type AS key,
+        epoch_us(ts) // 1000000 // 86400 AS t,
+        CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+      sp AS (SELECT key, min(t) AS mn, max(t) AS mx FROM d GROUP BY 1),
+      spine AS (SELECT key, u.t
+        FROM sp, UNNEST(generate_series(sp.mn, sp.mx)) AS u(t)),
+      f AS (SELECT spine.key, spine.t, coalesce(d.v, 0) AS v
+        FROM spine LEFT JOIN d ON d.key = spine.key AND d.t = spine.t),
+      tr AS (SELECT key, t, v,
+          CAST(count(*) OVER w AS BIGINT) AS wn,
+          CAST(sum(v) OVER w AS BIGINT) AS ws
+        FROM f WINDOW w AS (PARTITION BY key ORDER BY t
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      wt AS (SELECT key, t, v, (ws * 1000) // 7 AS trend_milli,
+          v * 1000 - (ws * 1000) // 7 AS det, t % 7 AS dow
+        FROM tr WHERE wn = 7),
+      sr AS (SELECT key, dow, CAST(sum(det) AS BIGINT) AS sd,
+          CAST(count(*) AS BIGINT) AS sc
+        FROM wt GROUP BY 1, 2),
+      s1 AS (SELECT key, dow, ${sgn("sd", "sc")} AS s FROM sr),
+      s2 AS (SELECT key, dow, s,
+          CAST(sum(s) OVER (PARTITION BY key) AS BIGINT) AS st,
+          CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS sn
+        FROM s1),
+      se AS (SELECT key, dow, s - ${sgn("st", "sn")} AS seasonal_milli FROM s2),
+      dc AS (SELECT wt.key, wt.t, wt.v, wt.trend_milli, se.seasonal_milli,
+          wt.v * 1000 - wt.trend_milli - se.seasonal_milli AS remainder_milli
+        FROM wt JOIN se ON se.key = wt.key AND se.dow = wt.dow),
+      spr AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(abs(remainder_milli)) AS BIGINT) AS sar
+        FROM dc GROUP BY 1)
+      SELECT dc.key, dc.t, dc.v, dc.trend_milli, dc.seasonal_milli,
+        dc.remainder_milli,
+        abs(dc.remainder_milli) * spr.n > spr.sar * 3 AS is_anomaly
+      FROM dc JOIN spr ON spr.key = dc.key"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9855,5 +9914,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293)
 }

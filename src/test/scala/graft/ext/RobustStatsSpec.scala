@@ -155,4 +155,37 @@ class RobustStatsSpec extends SparkFunSuite {
     // constant series: zero naive error -> mase reports 0, counts intact
     assert(out("c") == ((5L, 2L, 4L, 0L, 0L, 0L)))
   }
+  test("seasonalDecompose: pure trend+seasonal series decomposes exactly with zero remainder") {
+    // v_t = 10 + s_{t%3}, s = (0, 3, 6): every centered MA-3 window sums
+    // to 39 -> trend 13000 milli everywhere it exists (t = 1..7)
+    val rows = (0L to 8L).map(t => ("k", t, 10L + 3L * (t % 3))).toDF("key", "t", "v")
+    val out = RobustStats.seasonalDecompose(rows, "key", "t", "v", period = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getAs[Long]("trend_milli"), r.getAs[Long]("seasonal_milli"),
+          r.getAs[Long]("remainder_milli"), r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(out.keySet == (1L to 7L).toSet)
+    for ((t, (v, tr, se, rem, an)) <- out) {
+      assert(tr == 13000L, s"t=$t trend $tr")
+      assert(se == (t % 3 match { case 0 => -3000L; case 1 => 0L; case 2 => 3000L }),
+        s"t=$t seasonal $se")
+      assert(rem == 0L && !an, s"t=$t rem=$rem an=$an")
+      assert(v == 10L + 3L * (t % 3))
+    }
+  }
+
+  test("seasonalDecompose: a planted spike is flagged and the flag matches its own rule") {
+    val rows = (0L to 20L).map(t => ("k", t, if (t == 10L) 60L else 10L + 3L * (t % 3)))
+      .toDF("key", "t", "v")
+    val out = RobustStats.seasonalDecompose(rows, "key", "t", "v", period = 3).collect()
+    val rem = out.map(r => r.getLong(1) -> r.getAs[Long]("remainder_milli")).toMap
+    val flags = out.map(r => r.getLong(1) -> r.getAs[Boolean]("is_anomaly")).toMap
+    // the spike row carries the largest absolute remainder and is flagged
+    val maxT = rem.maxBy { case (_, v) => math.abs(v) }._1
+    assert(maxT == 10L && flags(10L), s"maxT=$maxT flags=$flags")
+    // every flag agrees with the documented rule |rem|*n > 3*sum|rem|
+    val n = rem.size.toLong
+    val sar = rem.values.map(math.abs).sum
+    for ((t, f) <- flags)
+      assert(f == (math.abs(rem(t)) * n > 3L * sar), s"t=$t")
+  }
 }

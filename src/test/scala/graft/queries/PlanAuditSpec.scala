@@ -1987,6 +1987,14 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
   }
 
+  test("q293: decomposition runs on the calendar spine — bounded windows, broadcast seasonal join") {
+    val p = plan("q293_seasonal_decompose")
+    assert(p.contains("Window"), s"the centered trend window is load-bearing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the seasonal/spread frames join broadcast on the key:\n$p")
+    assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
+  }
+
   test("q292: the sketch side is one histogram aggregate; rank selection runs histogram-sized") {
     val p = plan("q292_hdr_quantiles")
     assert(p.contains("HashAggregate"),
