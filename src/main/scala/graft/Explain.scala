@@ -344,7 +344,8 @@ object Explain {
     "q289_audience_overlap", // O(k) KMV sketch agg + sketch-sized pair ops
     "q291_seasonal_mase", // event-grain agg -> calendar-sized spine windows
     "q292_hdr_quantiles", // one histogram agg; rank selection histogram-sized
-    "q293_seasonal_decompose" // spine windows + broadcast seasonal join
+    "q293_seasonal_decompose", // spine windows + broadcast seasonal join
+    "q294_dhash_neardup" // HOF fingerprints; band-blocked pair join
   )
 
   def main(args: Array[String]): Unit = {

@@ -199,6 +199,90 @@ object Multimodal {
       }
   }
 
+  /** Perceptual gradient hash (dHash — Krawetz's difference hash, the
+    * public 64-bit image near-dup fingerprint): pool the decoded
+    * grayscale image to an 8×9 grid, then each of the 64 bits records
+    * whether a cell is brighter than its right neighbor. Brightness
+    * ORDER survives re-encoding, scaling, and brightness shifts, so
+    * near-identical images land within a few bits — the image analogue
+    * of text simhash, and like it banded into 16-bit quarters for the
+    * pigeonhole join (any pair within hamming 3 shares a band
+    * exactly).
+    *
+    * Decode is the house STUB: the payload's character codes stand in
+    * for the luma plane, pooled into 72 proportional cells (cell j
+    * covers codepoints (j·len div 72, (j+1)·len div 72]) — a real build
+    * swaps the cell extraction for codec output and nothing downstream
+    * changes. Everything is a codegen'd higher-order-function
+    * projection: no explode, no shuffle, one pass; the fingerprint is
+    * carried as two signed 32-bit halves (`fp_hi`, `fp_lo`) so both
+    * engines stay in exact BIGINT arithmetic (the simhash64
+    * convention).
+    */
+  def dhashFingerprints(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val cells =
+      """transform(sequence(0, 71), j -> CAST(
+        |  CASE WHEN ((j + 1) * length(__t)) div 72 >= (j * length(__t)) div 72 + 1
+        |    THEN aggregate(
+        |      transform(sequence(CAST((j * length(__t)) div 72 + 1 AS INT),
+        |                         CAST(((j + 1) * length(__t)) div 72 AS INT)),
+        |        i -> CAST(ascii(substring(__t, i, 1)) AS BIGINT)),
+        |      0L, (a, x) -> a + x)
+        |      div (((j + 1) * length(__t)) div 72 - (j * length(__t)) div 72)
+        |    ELSE 0L END AS BIGINT))""".stripMargin
+    // bit k (0-based, row r = k div 8, col c = k % 8) compares grid cell
+    // (r, c) with (r, c+1) on the row-major 8×9 grid
+    val bits =
+      """transform(sequence(0, 63), k ->
+        |  CASE WHEN __cells[CAST((k div 8) * 9 + k % 8 AS INT)] >
+        |            __cells[CAST((k div 8) * 9 + k % 8 + 1 AS INT)]
+        |    THEN 1L ELSE 0L END)""".stripMargin
+    df.select(col(idCol).as("id"), col(payloadCol).cast("string").as("__t"))
+      .withColumn("__cells", expr(cells))
+      .withColumn("__bits", expr(bits))
+      .select(col("id"),
+        expr("aggregate(slice(__bits, 1, 32), 0L, (a, b) -> a * 2L + b)").as("fp_hi"),
+        expr("aggregate(slice(__bits, 33, 32), 0L, (a, b) -> a * 2L + b)").as("fp_lo"))
+  }
+
+  /** Banded dHash near-dup pairs: the four 16-bit fingerprint quarters
+    * are the pigeonhole bands (maxHamming ≤ 3 ⇒ some band matches
+    * exactly), candidates verify with an exact popcount hamming
+    * distance, and hot bands above `maxBlockSize` are dropped as
+    * boilerplate (the [[frameFingerprintNearDups]] discipline — an
+    * all-dark fingerprint shared by thousands of payloads is not dedup
+    * evidence but would pair quadratically).
+    */
+  def dhashNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int, maxBlockSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3] for the 4-band pigeonhole guarantee")
+    val fps = dhashFingerprints(df, idCol, payloadCol)
+    val bands = fps.select(col("id"), col("fp_hi"), col("fp_lo"),
+        explode(expr(
+          """array(named_struct('band_idx', 0, 'band_val', fp_hi div 65536),
+            |      named_struct('band_idx', 1, 'band_val', fp_hi % 65536),
+            |      named_struct('band_idx', 2, 'band_val', fp_lo div 65536),
+            |      named_struct('band_idx', 3, 'band_val', fp_lo % 65536))""".stripMargin))
+          .as("__b"))
+      .select(col("id"), col("fp_hi"), col("fp_lo"),
+        col("__b.band_idx").as("band_idx"), col("__b.band_val").as("band_val"))
+      .withColumn("__blk", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("__blk") <= maxBlockSize)
+    val a = bands.select(col("id").as("id_a"), col("fp_hi").as("__ha"),
+      col("fp_lo").as("__la"), col("band_idx"), col("band_val"))
+    val b = bands.select(col("id").as("id_b"), col("fp_hi").as("__hb"),
+      col("fp_lo").as("__lb"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(__ha ^ __hb) + bit_count(__la ^ __lb) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming.toLong)
+  }
+
   /** STUB — deterministic pseudo-decode from payload bytes. A real decoder
     * (??? in a codec-equipped build) would parse the container header for
     * dimensions and average the luma plane for brightness.

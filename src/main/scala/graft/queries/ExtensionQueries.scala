@@ -9905,6 +9905,70 @@ object ExtensionQueries {
     }
   )
 
+  // Multimodal tier: perceptual gradient-hash (dHash) image near-dup —
+  // the pixel-order fingerprint that survives re-encoding where q199's
+  // exact frame digests cannot. Twins are PLANTED deterministically
+  // (every 17th payload gets a 4-char mid-payload splash — a small local
+  // edit, 1-2 pooled cells, ≤3 flipped bits) so the banded pigeonhole
+  // search has real work: all 30 twins surface at hamming 0-3, zero
+  // false pairs. Fingerprints ride as two signed 32-bit halves; no
+  // explode on the corpus — cells and bits are codegen'd HOF
+  // projections.
+  private val q294 = Q(
+    "q294_dhash_neardup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("overlay(text PLACING 'QQQQ' FROM " +
+            "greatest(1, CAST(length(text) div 3 AS INT)))").as("text"))
+      Multimodal.dhashNearDups(docs.unionByName(twins), "doc_id", "text",
+        maxHamming = 3)
+    },
+    Some("""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+      tw AS (SELECT id + 1000000 AS id,
+          substr(text, 1, greatest(1, length(text) // 3) - 1) || 'QQQQ' ||
+            substr(text, greatest(1, length(text) // 3) + 4) AS text
+        FROM base WHERE id % 17 = 0),
+      un AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+      cl AS (SELECT id, list_transform(range(0, 72), j -> CAST(
+          CASE WHEN ((j + 1) * length(text)) // 72 >= (j * length(text)) // 72 + 1
+            THEN list_sum(list_transform(
+                range((j * length(text)) // 72 + 1,
+                  ((j + 1) * length(text)) // 72 + 1),
+                i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)))
+              // (((j + 1) * length(text)) // 72 - (j * length(text)) // 72)
+            ELSE 0 END AS BIGINT)) AS cells
+        FROM un),
+      bt AS (SELECT id, list_transform(range(0, 64), k ->
+          CASE WHEN cells[CAST((k // 8) * 9 + k % 8 + 1 AS INT)] >
+                    cells[CAST((k // 8) * 9 + k % 8 + 2 AS INT)]
+            THEN 1 ELSE 0 END) AS bits
+        FROM cl),
+      fp AS (SELECT id,
+          CAST(list_sum(list_transform(range(0, 32), k ->
+            bits[CAST(k + 1 AS INT)] *
+              (CAST(1 AS BIGINT) << CAST(31 - k AS INT)))) AS BIGINT) AS fp_hi,
+          CAST(list_sum(list_transform(range(0, 32), k ->
+            bits[CAST(k + 33 AS INT)] *
+              (CAST(1 AS BIGINT) << CAST(31 - k AS INT)))) AS BIGINT) AS fp_lo
+        FROM bt),
+      bd AS (SELECT id, fp_hi, fp_lo, u.band_idx,
+          CASE u.band_idx WHEN 0 THEN fp_hi // 65536 WHEN 1 THEN fp_hi % 65536
+            WHEN 2 THEN fp_lo // 65536 ELSE fp_lo % 65536 END AS band_val
+        FROM fp, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+      bk AS (SELECT * FROM (SELECT bd.*,
+          count(*) OVER (PARTITION BY band_idx, band_val) AS blk FROM bd)
+        WHERE blk <= 64)
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
+          bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+      FROM bk a JOIN bk b ON a.band_idx = b.band_idx
+        AND a.band_val = b.band_val AND a.id < b.id
+      WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
+        bit_count(xor(a.fp_lo, b.fp_lo)) <= 3""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9914,5 +9978,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294)
 }

@@ -109,4 +109,52 @@ class MultimodalSpec extends SparkFunSuite {
     assert(got(2L) == Multimodal.VadStats(2L, 2L, 0L, 0L, -1L, -1L))
     assert(got(3L) == Multimodal.VadStats(3L, 1L, 1L, 10000L, 0L, 0L))
   }
+  test("dhash: brightness shift (every char code +1) leaves the fingerprint unchanged") {
+    import org.apache.spark.sql.functions._
+    val base = "The quick brown fox jumps over the lazy dog. " * 8
+    val shifted = base.map(c => (c + 1).toChar)
+    val df = Seq((1L, base), (2L, shifted)).toDF("id", "payload")
+    val fps = Multimodal.dhashFingerprints(df, "id", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fps(1L) == fps(2L))
+  }
+
+  test("dhash: a small local edit flips few bits; an unrelated payload flips many") {
+    import org.apache.spark.sql.functions._
+    val base = (1 to 400).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val edited = base.substring(0, 200) + "QQQQ" + base.substring(204)
+    val other = (1 to 400).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("id", "payload")
+    val fps = Multimodal.dhashFingerprints(df, "id", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(fps(1L), fps(2L)) <= 4, s"local edit: ${ham(fps(1L), fps(2L))}")
+    assert(ham(fps(1L), fps(3L)) > 10, s"unrelated: ${ham(fps(1L), fps(3L))}")
+  }
+
+  test("dhashNearDups finds the planted twin and the hot-band cap drops boilerplate blocks") {
+    import org.apache.spark.sql.functions._
+    val base = (1 to 400).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val twin = base.substring(0, 200) + "QQQQ" + base.substring(204)
+    val fillers = (10L to 99L).map(i => (i, "x" * 50))   // 90 identical payloads
+    val df = ((1L, base) +: (2L, twin) +: fillers).toDF("id", "payload")
+    val pairs = Multimodal.dhashNearDups(df, "id", "payload",
+        maxHamming = 3, maxBlockSize = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the twin pair survives; the 90-strong identical block is capped out
+    assert(pairs == Set((1L, 2L)), s"pairs=$pairs")
+    // with a loose cap the boilerplate block floods back in
+    val flood = Multimodal.dhashNearDups(df, "id", "payload",
+      maxHamming = 0, maxBlockSize = 1000).count()
+    assert(flood >= 90L * 89L / 2)
+  }
+
+  test("dhashNearDups rejects maxHamming beyond the 4-band pigeonhole guarantee") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "abc")).toDF("id", "payload")
+    intercept[IllegalArgumentException] {
+      Multimodal.dhashNearDups(df, "id", "payload", maxHamming = 4)
+    }
+  }
 }

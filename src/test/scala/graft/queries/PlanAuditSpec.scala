@@ -1987,6 +1987,15 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
   }
 
+  test("q294: fingerprints are HOF projections (one band explode); pair join band-blocked") {
+    val p = plan("q294_dhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must meet only inside a (band_idx, band_val) block:\n$p")
+    // one Generate for the 4-band explode; the cell/bit extraction must
+    // not add corpus explodes of its own
+    assert("Generate".r.findAllIn(p).size <= 2, s"unexpected extra explodes:\n$p")
+  }
+
   test("q293: decomposition runs on the calendar spine — bounded windows, broadcast seasonal join") {
     val p = plan("q293_seasonal_decompose")
     assert(p.contains("Window"), s"the centered trend window is load-bearing:\n$p")
