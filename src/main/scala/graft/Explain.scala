@@ -345,7 +345,9 @@ object Explain {
     "q291_seasonal_mase", // event-grain agg -> calendar-sized spine windows
     "q292_hdr_quantiles", // one histogram agg; rank selection histogram-sized
     "q293_seasonal_decompose", // spine windows + broadcast seasonal join
-    "q294_dhash_neardup" // HOF fingerprints; band-blocked pair join
+    "q294_dhash_neardup", // HOF fingerprints; band-blocked pair join
+    "q295_retrieval_ndcg", // bucket probe vs broadcast graded truth
+    "q296_clustering_depth" // metadata-sized zone-map boundary sweep
   )
 
   def main(args: Array[String]): Unit = {

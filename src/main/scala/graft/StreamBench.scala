@@ -456,7 +456,48 @@ object StreamBench {
     val ph_eps = (phWaves.toLong * upsertSize / ((System.nanoTime() - tP) / 1e9)).toLong
     qP.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // windowed HDR value-distribution telemetry (q292's streaming twin):
+    // state = one counter per (window, bucket), bounded by the bucket
+    // space regardless of event volume
+    val inH = MemoryStream[(java.sql.Timestamp, Long)]
+    val qH = StreamPipelines.hdrTelemetry(inH.toDF().toDF("ts", "v"), "ts", "v")
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def hdrWave(n: Int, minuteBase: Long): Seq[(java.sql.Timestamp, Long)] =
+      (0 until n).map(i => (new java.sql.Timestamp(minuteBase * 60000L + i % 60000),
+        ((i.toLong * 48271) % 1000000L)))
+    inH.addData(hdrWave(1000, 0L): _*); qH.processAllAvailable()
+    val hdrWaves = 5
+    val tH = System.nanoTime()
+    (0 until hdrWaves).foreach { w =>
+      inH.addData(hdrWave(upsertSize, 1000L + w.toLong * 2): _*)
+      qH.processAllAvailable()
+    }
+    val hdr_eps = (hdrWaves.toLong * upsertSize / ((System.nanoTime() - tH) / 1e9)).toLong
+    qH.stop()
+
+    // per-key audience KMV sketch maintenance (q289's streaming twin):
+    // each wave folds into the stored O(k)-per-key snapshot via the
+    // exactly-mergeable bottom-k union
+    val audDir = scratchDir("audsketch")
+    val audPath = audDir + "/aud_sketch"
+    val inA = MemoryStream[(String, Long)]
+    val qA = StreamPipelines.audienceSketchSink(
+        inA.toDF().toDF("key", "member"), "key", "member", 256,
+        audPath, audDir + "/aud_ckpt", Trigger.ProcessingTime(0)).start()
+    def audWave(n: Int, base: Long): Seq[(String, Long)] =
+      (0 until n).map(i => (s"seg${i % 8}", base + i))
+    inA.addData(audWave(1000, 0L): _*); qA.processAllAvailable()
+    val audWaves = 3
+    val tA = System.nanoTime()
+    (0 until audWaves).foreach { w =>
+      inA.addData(audWave(upsertSize, 10000L + w.toLong * upsertSize): _*)
+      qA.processAllAvailable()
+    }
+    val aud_eps = (audWaves.toLong * upsertSize / ((System.nanoTime() - tA) / 1e9)).toLong
+    qA.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }

@@ -33,13 +33,20 @@ object HdrSketch {
     */
   def hdrHistogram(df: DataFrame, keyCol: String, vCol: String): DataFrame =
     df.select(col(keyCol).as("key"), col(vCol).cast("long").as("__v"))
-      .withColumn("__e", (length(expr("bin(__v)")) - 1).cast("long"))
-      .withColumn("bucket", expr(
-        """CASE WHEN __v < 0 THEN raise_error('hdrHistogram: negative value')
-          |  WHEN __v < 16 THEN __v
-          |  ELSE __e * 16 + (shiftright(__v, CAST(__e - 4 AS INT)) & 15)
-          |END""".stripMargin))
+      .withColumn("bucket", bucketCol(col("__v")))
       .groupBy("key", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The bucket id of a non-negative long value — usable anywhere a
+    * projection fits (batch histograms here, streaming windowed
+    * histograms in `StreamPipelines.hdrTelemetry`).
+    */
+  def bucketCol(v: Column): Column = {
+    val e = (length(bin(v)) - 1).cast("long")
+    when(v < 0L, expr("raise_error('hdrHistogram: negative value')").cast("long"))
+      .when(v < 16L, v)
+      .otherwise(e * 16L +
+        (call_function("shiftright", v, (e - 4L).cast("int")) bitwiseAND 15L))
+  }
 
   /** Lower bound of a bucket id — the quantile estimate surface. */
   private[ext] val bucketLowerSql: String =

@@ -9969,6 +9969,154 @@ object ExtensionQueries {
         bit_count(xor(a.fp_lo, b.fp_lo)) <= 3""")
   )
 
+  // Retrieval eval 2: NDCG@10 (Järvelin & Kekäläinen 2002) of the
+  // sign-LSH bucket probe against exact-rank graded relevance — beside
+  // q119's MRR (did the single truth item surface) this grades the WHOLE
+  // retrieved list: relevance tiers from the exact ranking (rank 1 → 3,
+  // top-3 → 2, top-10 → 1), discount weights as fixed micro-unit
+  // literals of 1/log2(i+1) shared by both engines, everything else
+  // exact-integer on the suite's sim_bp convention. The exact side is
+  // the eval's ground truth (offline by nature); the probe side is the
+  // bucket-blocked plan q28 ships.
+  private val q295 = Q(
+    "q295_retrieval_ndcg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val qs = VectorSearch.knnGraphIndex(
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", 6)
+        .select(col("vec_id").as("qid"), col("mv").as("qmv"),
+          col("n2").as("qn2"), col("bkt"))
+      val cs = VectorSearch.knnGraphIndex(
+          emb.filter(col("vec_id") >= 10), "vec_id", "embedding", 6)
+        .select(col("vec_id").as("id"), col("mv").as("cmv"),
+          col("n2").as("cn2"), col("bkt"))
+      val simExpr = expr(
+        """coalesce(CASE WHEN qn2 <> 0 AND cn2 <> 0 THEN CAST(round(
+          |  aggregate(zip_with(qmv, cmv, (x, y) -> x * y), 0L, (a, x) -> a + x)
+          |  * 10000.0 / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)))
+          |  AS BIGINT) END, 0L)""".stripMargin)
+      val relExpr =
+        "CASE WHEN rk = 1 THEN 3L WHEN rk <= 3 THEN 2L WHEN rk <= 10 THEN 1L ELSE 0L END"
+      val wgt = """CASE rk WHEN 1 THEN 1000000L WHEN 2 THEN 630930L
+        |WHEN 3 THEN 500000L WHEN 4 THEN 430677L WHEN 5 THEN 386853L
+        |WHEN 6 THEN 356207L WHEN 7 THEN 333333L WHEN 8 THEN 315465L
+        |WHEN 9 THEN 301030L ELSE 289065L END""".stripMargin
+      val rankW = Window.partitionBy("qid").orderBy(col("sim_bp").desc, col("id"))
+      val exact = broadcast(qs.drop("bkt")).crossJoin(cs.drop("bkt"))
+        .withColumn("sim_bp", simExpr)
+        .withColumn("rk", row_number().over(rankW).cast("long"))
+        .withColumn("rel", expr(relExpr))
+      val sys = qs.join(cs, "bkt")
+        .withColumn("sim_bp", simExpr)
+        .withColumn("rk", row_number().over(rankW).cast("long"))
+        .filter(col("rk") <= 10)
+      val dcg = sys.select(col("qid"), col("id"), col("rk"))
+        .join(exact.select(col("qid"), col("id"), col("rel")), Seq("qid", "id"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_retrieved"),
+          sum(expr(s"rel * ($wgt)")).as("dcg_micro"))
+      val idcg = exact.filter(col("rk") <= 10)
+        .groupBy("qid").agg(sum(expr(s"rel * ($wgt)")).as("idcg_micro"))
+      dcg.join(idcg, "qid")
+        .withColumn("ndcg_milli", expr(
+          """CAST(CASE WHEN idcg_micro > 0
+            |  THEN (dcg_micro * 1000) div idcg_micro
+            |  ELSE 0 END AS BIGINT)""".stripMargin))
+    },
+    Some {
+      val sim =
+        """coalesce(CASE WHEN q.qn2 <> 0 AND c.cn2 <> 0 THEN CAST(round(
+          CAST(list_sum(list_transform(list_zip(q.qmv, c.cmv), x -> x[1] * x[2])) AS BIGINT)
+          * 10000.0 / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE))) AS BIGINT)
+          END, 0)"""
+      val wgt = """CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+        WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853
+        WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465
+        WHEN 9 THEN 301030 ELSE 289065 END"""
+      val rel = "CASE WHEN rk = 1 THEN 3 WHEN rk <= 3 THEN 2 WHEN rk <= 10 THEN 1 ELSE 0 END"
+      s"""WITH mz AS (SELECT vec_id,
+        list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS mv,
+        ${duckSignBucket("embedding", 6)} AS bkt FROM embeddings),
+      mn AS (SELECT vec_id, mv, bkt,
+        CAST(list_sum(list_transform(mv, x -> x * x)) AS BIGINT) AS n2 FROM mz),
+      q AS (SELECT vec_id AS qid, mv AS qmv, n2 AS qn2, bkt FROM mn WHERE vec_id < 10),
+      c AS (SELECT vec_id AS id, mv AS cmv, n2 AS cn2, bkt FROM mn WHERE vec_id >= 10),
+      ex AS (SELECT qid, id,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rk
+        FROM (SELECT q.qid, c.id, $sim AS sim FROM q, c)),
+      exr AS (SELECT qid, id, rk, CAST($rel AS BIGINT) AS rel FROM ex),
+      sys AS (SELECT qid, id, rk FROM (SELECT qid, id,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rk
+        FROM (SELECT q.qid, c.id, $sim AS sim FROM q JOIN c ON q.bkt = c.bkt))
+        WHERE rk <= 10),
+      dcg AS (SELECT s.qid, CAST(count(*) AS BIGINT) AS n_retrieved,
+          CAST(sum(x.rel * ($wgt)) AS BIGINT) AS dcg_micro
+        FROM (SELECT qid, id, rk FROM sys) s
+        JOIN (SELECT qid, id, rel FROM exr) x ON x.qid = s.qid AND x.id = s.id
+        GROUP BY 1),
+      idcg AS (SELECT qid, CAST(sum(rel * ($wgt)) AS BIGINT) AS idcg_micro
+        FROM exr WHERE rk <= 10 GROUP BY 1)
+      SELECT dcg.qid, n_retrieved, dcg_micro, idcg_micro,
+        CAST(CASE WHEN idcg_micro > 0 THEN (dcg_micro * 1000) // idcg_micro
+          ELSE 0 END AS BIGINT) AS ndcg_milli
+      FROM dcg JOIN idcg ON idcg.qid = dcg.qid"""
+    }
+  )
+
+  // Table tier: zone-map clustering-depth audit (the Iceberg/Delta
+  // "overlap depth" metric behind OPTIMIZE decisions) — the same 64
+  // "files" of orders built two ways: range-clustered on the key
+  // (every file a tight slice → depth 1 everywhere) vs md5-scattered
+  // (every file spans the whole domain → depth ≈ 64), and the audit
+  // quantifies exactly how much min/max pruning each layout buys. The
+  // sweep is metadata-sized: 2·n_files boundary rows per layout.
+  private val q296 = Q(
+    "q296_clustering_depth",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").cast("long").as("k"))
+      val span = broadcast(o.agg(min(col("k")).as("__mn"), max(col("k")).as("__mx")))
+      val ranged = o.crossJoin(span)
+        .withColumn("f", expr("least(63L, ((k - __mn) * 64) div (__mx - __mn + 1))"))
+        .groupBy(col("f")).agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .withColumn("layout", lit("range_clustered"))
+      val hashed = o
+        .withColumn("f", expr("CAST(conv(substring(md5(" +
+          "CAST(CAST(k AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 64"))
+        .groupBy(col("f")).agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .withColumn("layout", lit("hash_scattered"))
+      graft.table.TableLayout.clusteringDepth(
+        ranged.select("layout", "f", "lo", "hi")
+          .unionByName(hashed.select("layout", "f", "lo", "hi")))
+    },
+    Some(s"""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+      sp AS (SELECT min(k) AS mn, max(k) AS mx FROM o),
+      rf AS (SELECT least(63, ((k - sp.mn) * 64) // (sp.mx - sp.mn + 1)) AS f, k
+        FROM o, sp),
+      rz AS (SELECT 'range_clustered' AS layout, f, min(k) AS lo, max(k) AS hi
+        FROM rf GROUP BY 2),
+      hf AS (SELECT (${TrainingQueries.md5Bucket16Sql("o_orderkey")}) % 64 AS f,
+          CAST(o_orderkey AS BIGINT) AS k FROM orders),
+      hz AS (SELECT 'hash_scattered' AS layout, f, min(k) AS lo, max(k) AS hi
+        FROM hf GROUP BY 2),
+      z AS (SELECT * FROM rz UNION ALL SELECT * FROM hz),
+      evr AS (SELECT layout, lo AS k, 1 AS d FROM z
+        UNION ALL SELECT layout, hi + 1, -1 FROM z),
+      ev AS (SELECT layout, k, CAST(sum(d) AS BIGINT) AS dd FROM evr GROUP BY 1, 2),
+      seg AS (SELECT layout, k,
+          CAST(sum(dd) OVER (PARTITION BY layout ORDER BY k) AS BIGINT) AS depth,
+          lead(k) OVER (PARTITION BY layout ORDER BY k) AS next_k
+        FROM ev),
+      sg AS (SELECT layout, depth, next_k - k AS len FROM seg
+        WHERE next_k IS NOT NULL AND depth > 0),
+      fl AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files FROM z GROUP BY 1)
+      SELECT agg.layout, fl.n_files, agg.max_depth, agg.avg_depth_milli
+      FROM (SELECT layout, max(depth) AS max_depth,
+          CAST((CAST(sum(depth * len) AS BIGINT) * 1000)
+            // CAST(sum(len) AS BIGINT) AS BIGINT) AS avg_depth_milli
+        FROM sg GROUP BY 1) agg JOIN fl ON fl.layout = agg.layout""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -9978,5 +10126,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296)
 }

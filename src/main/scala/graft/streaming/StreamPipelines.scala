@@ -206,6 +206,32 @@ object StreamPipelines {
         col("approx_distinct"), col("heavy_hitters"), col("n_rows"))
   }
 
+  /** Windowed HDR-histogram telemetry — the streaming twin of the q292
+    * quantile sketch: per tumbling window, the value column folds into
+    * the deterministic log-bucket histogram
+    * ([[graft.ext.HdrSketch.bucketCol]] — exact bit arithmetic, no
+    * float log), so every closed window emits its ~16·64-row bucket
+    * frame and any percentile is answerable downstream without having
+    * stored a single raw value. State is one counter per (window,
+    * bucket) — bounded regardless of event volume; append mode emits
+    * each bucket row once on watermark close, and windows merge
+    * by-addition across re-partitions exactly as the batch sketch does.
+    */
+  def hdrTelemetry(
+      events: DataFrame,
+      tsCol: String,
+      valCol: String,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__bucket",
+        graft.ext.HdrSketch.bucketCol(col(valCol).cast("long")))
+      .groupBy(window(col(tsCol), windowLength), col("__bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("cnt"))
+
   /** Windowed ingest-funnel telemetry — the streaming twin of the q150
     * batch funnel: per tumbling window, documents counted by the FIRST
     * [[curateIngest]] gate they fail (too_short → repetitive → pii →

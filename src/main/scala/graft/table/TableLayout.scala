@@ -264,4 +264,48 @@ object TableLayout {
     orphans.foreach(p => fs.delete(p, true))
     orphans.map(_.toString)
   }
+  /** Zone-map clustering-depth audit (the Iceberg/Delta "overlap depth"
+    * metric behind OPTIMIZE decisions): given per-file zone maps
+    * `(layout, file_id, lo, hi)` for a sort/cluster column, the number
+    * of files whose [lo, hi] range covers any given key is exactly the
+    * number of files a point lookup on that key must read after
+    * min/max pruning. A perfectly clustered layout has depth 1
+    * everywhere; a hash-scattered layout has depth ≈ n_files — zone
+    * maps prune nothing you didn't cluster for.
+    *
+    * Computed as a boundary sweep: each file contributes (+1 at lo,
+    * −1 at hi+1), the running sum over sorted boundaries is the depth
+    * profile, and segments weight by their key-span length. All
+    * metadata-sized — 2·n_files boundary rows per layout, never the
+    * table — which is the point: the audit is free at 100 TB because
+    * zone maps already are.
+    *
+    * Output per layout: (layout, n_files, max_depth, avg_depth_milli)
+    * with the average weighted over covered key-span.
+    */
+  def clusteringDepth(zones: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = zones.select(col("layout"),
+        explode(array(
+          struct(col("lo").cast("long").as("k"), lit(1L).as("d")),
+          struct((col("hi").cast("long") + 1L).as("k"), lit(-1L).as("d"))))
+          .as("e"))
+      .select(col("layout"), col("e.k").as("k"), col("e.d").as("d"))
+      .groupBy("layout", "k").agg(sum(col("d")).as("dd"))
+    val w = Window.partitionBy("layout").orderBy("k")
+    val segs = ev
+      .withColumn("depth", sum(col("dd")).over(w))
+      .withColumn("next_k", lead(col("k"), 1).over(w))
+      .filter(col("next_k").isNotNull && col("depth") > 0)
+      .withColumn("len", col("next_k") - col("k"))
+    val files = zones.groupBy("layout").agg(count(lit(1)).as("n_files"))
+    segs.groupBy("layout")
+      .agg(max(col("depth")).as("max_depth"),
+        sum(col("depth") * col("len")).as("__dw"),
+        sum(col("len")).as("__len"))
+      .withColumn("avg_depth_milli", expr("CAST((__dw * 1000) div __len AS BIGINT)"))
+      .join(files, "layout")
+      .select(col("layout"), col("n_files"), col("max_depth"),
+        col("avg_depth_milli"))
+  }
 }

@@ -1987,6 +1987,23 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
   }
 
+  test("q296: the sweep is metadata-sized - two zone aggregates, boundary windows, no product") {
+    val p = plan("q296_clustering_depth")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row span may cross:\n$p")
+    assert(p.contains("Window"), s"the boundary sweep windows are load-bearing:\n$p")
+  }
+
+  test("q295: probe side joins on the LSH bucket; only the broadcast truth side may cross") {
+    val p = plan("q295_retrieval_ndcg")
+    assert(!p.contains("CartesianProduct"),
+      s"the exact side must ride the 10-row query broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the graded-truth cross is expected to be a broadcast NLJ:\n$p")
+    assert(p.contains("hashpartitioning(bkt") || p.contains("[bkt"),
+      s"the probe join must be bucket-keyed:\n$p")
+  }
+
   test("q294: fingerprints are HOF projections (one band explode); pair join band-blocked") {
     val p = plan("q294_dhash_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -1008,6 +1008,31 @@ class StreamPipelinesSpec extends SparkFunSuite {
     assert(hits.nonEmpty && hits.map(_.getAs[Long]("id")).toSet.subsetOf(Set(1L, 2L, 3L)))
   }
 
+  test("hdrTelemetry: closed windows emit the exact batch histogram; buckets merge across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = StreamPipelines.hdrTelemetry(
+      input.toDF().toDF("ts", "v"), "ts", "v")
+    val q = agg.writeStream.format("memory").queryName("hdrt").outputMode("append").start()
+    try {
+      val vals = Seq(3L, 17L, 17L, 250L, 999L)
+      input.addData(vals.take(2).map(v => (t("2024-01-01 10:00:05"), v)): _*)
+      q.processAllAvailable()
+      input.addData(vals.drop(2).map(v => (t("2024-01-01 10:00:40"), v)): _*)
+      q.processAllAvailable()
+      assert(spark.table("hdrt").count() == 0) // window still open
+      input.addData((t("2024-01-01 10:02:00"), 1L))
+      q.processAllAvailable()
+      val streamed = spark.table("hdrt").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      // the emitted window's histogram is bit-identical to the batch sketch
+      val batch = graft.ext.HdrSketch.hdrHistogram(
+          vals.map(("w", _)).toDF("key", "v"), "key", "v")
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("audienceSketchIngestBatch: snapshot equals the batch sketch over all data seen; replay is the identity") {
     val path = tmpDir("audsk") + "/sketch"
     def batchOf(rows: (String, Long)*) = rows.toDF("key", "member")

@@ -171,4 +171,21 @@ class TableLayoutSpec extends SparkFunSuite {
     assert(spans.length == 16)
     assert(spans.forall(r => r.getLong(1) <= 15L && r.getLong(2) <= 15L))
   }
+  test("clusteringDepth: disjoint files depth 1, overlap counted, gaps excluded") {
+    import org.apache.spark.sql.functions._
+    val zones = Seq(
+      ("tight", 0L, 0L, 9L), ("tight", 1L, 10L, 19L),
+      ("overlap", 0L, 0L, 9L), ("overlap", 1L, 5L, 14L),
+      ("gapped", 0L, 0L, 4L), ("gapped", 1L, 10L, 14L)
+    ).toDF("layout", "f", "lo", "hi")
+    val out = TableLayout.clusteringDepth(zones).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("max_depth"),
+          r.getAs[Long]("avg_depth_milli")))).toMap
+    assert(out("tight") == ((2L, 1L, 1000L)))
+    // [0,5) d1 + [5,10) d2 + [10,15) d1 -> (5+10+5)*1000/15 = 1333
+    assert(out("overlap") == ((2L, 2L, 1333L)))
+    // the uncovered [5,10) gap is not part of the average
+    assert(out("gapped") == ((2L, 1L, 1000L)))
+  }
 }
