@@ -347,7 +347,8 @@ object Explain {
     "q293_seasonal_decompose", // spine windows + broadcast seasonal join
     "q294_dhash_neardup", // HOF fingerprints; band-blocked pair join
     "q295_retrieval_ndcg", // bucket probe vs broadcast graded truth
-    "q296_clustering_depth" // metadata-sized zone-map boundary sweep
+    "q296_clustering_depth", // metadata-sized zone-map boundary sweep
+    "q297_hyperanf" // per-round: adj join + explode + O(k) sketch agg
   )
 
   def main(args: Array[String]): Unit = {

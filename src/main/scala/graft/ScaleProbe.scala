@@ -178,8 +178,10 @@ object ScaleProbe {
     // disjoint co-purchase graph copies: both keys re-keyed per replica,
     // so peel structure (rounds, layer sizes) is invariant in m and the
     // probe isolates the per-round scan/join cost
-    def copurchaseAt(mult: Int): DataFrame = {
-      val base = Tables.lineitem(spark, sfDir)
+    def copurchaseAt(mult: Int, partMod: Int = 0): DataFrame = {
+      val base0 = Tables.lineitem(spark, sfDir)
+      val base = (if (partMod > 0) base0.filter(col("l_partkey") % partMod === 0)
+        else base0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val li = (0 until mult).map(r =>
           base.withColumn("o", col("o") + lit(r * 100000000L))
@@ -205,6 +207,12 @@ object ScaleProbe {
       "kcore_peel" -> { m =>
         graft.ext.Graphs.kCore(copurchaseAt(m), "src", "dst",
           k = 80, rounds = 4).count()
+      },
+      // q297's neighborhood sketches on disjoint copies: per-round work
+      // is adjacency × k exploded hashes — must track the edge list
+      "hyperanf" -> { m =>
+        graft.ext.Graphs.hyperAnf(copurchaseAt(m, partMod = 7),
+          "src", "dst", rounds = 4, k = 32).count()
       },
       // unigram-LM trainer (q284): ONE corpus scan builds the word-count
       // frame; candidate generation, all three segment rounds and the

@@ -762,6 +762,88 @@ object Graphs {
     out
   }
 
+  /** HyperANF-style neighborhood function (Boldi, Rosa & Vigna WWW 2011;
+    * Palmer et al.'s ANF lineage): per node, a mergeable bottom-k sketch
+    * of the set of nodes within t hops, advanced one hop per round by
+    * unioning each node's sketch with its neighbors' — the trick that
+    * computes N(t) = #{(u,v) : d(u,v) ≤ t} and the mean-distance curve
+    * on graphs where all-pairs BFS is unthinkable. The original uses
+    * HyperLogLog counters; this uses the suite's exactly-replayable KMV
+    * bottom-k ([[graft.functions.KmvMinValues]] over md5-derived 40-bit
+    * hashes) so an oracle reproduces every estimate bit for bit.
+    *
+    * Per round: one adjacency equi-join + one explode of k-bounded
+    * sketch arrays + one O(k)-state hash-aggregate; sketches persist
+    * behind short-lineage anchors. Per-node sketches grow monotonically
+    * (bottom-k of a superset), so the per-round deltas are provably
+    * non-negative.
+    *
+    * Output, one row per hop t = 0..rounds: `nf_milli` (Σ per-node
+    * ball-size estimates, milli), `delta_milli` (new pairs at exactly
+    * distance t), `mean_dist_milli` (running mean distance over pairs
+    * within t).
+    */
+  def hyperAnf(edges0: DataFrame, srcCol: String, dstCol: String,
+               rounds: Int, k: Int): DataFrame = {
+    require(rounds >= 1 && k >= 16, "rounds >= 1 and k >= 16")
+    val e = edges0
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adjChain = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    adjChain.count()
+    val spark = adjChain.sparkSession
+    val adj = spark.createDataFrame(adjChain.rdd, adjChain.schema)
+
+    val m = graft.ext.ThetaSketch.HashSpace
+    val estSql =
+      s"""CAST(CASE WHEN size(hs) < $k THEN size(hs) * 1000L
+         |  ELSE ((${k - 1}L * 1000L * ${m}L) div element_at(hs, $k))
+         |END AS BIGINT)""".stripMargin
+    def roundSum(sk: DataFrame, t: Int): DataFrame =
+      sk.select(expr(estSql).as("__est"))
+        .agg(sum(col("__est")).as("nf_milli"))
+        .select(lit(t.toLong).as("t"), col("nf_milli"))
+
+    var sk = adj.select(col("node")).distinct()
+      .withColumn("hs", array(graft.ext.ThetaSketch.hash40(col("node"))))
+    var sums = roundSum(sk, 0)
+    var mats: List[DataFrame] = Nil
+    for (t <- 1 to rounds) {
+      val fromNbrs = adj
+        .join(sk.select(col("node").as("nbr"), col("hs")), "nbr")
+        .select(col("node"), explode(col("hs")).as("__h"))
+      val own = sk.select(col("node"), explode(col("hs")).as("__h"))
+      // persist WITHOUT an eager count: the single final action (the
+      // eager localCheckpoint below) materializes every round once,
+      // caching as it goes — per-round count() barriers would add a
+      // full job launch per hop for nothing
+      val nextChain = fromNbrs.unionByName(own)
+        .groupBy("node")
+        .agg(graft.functions.GraftFunctions.kmvValues(col("__h"), k).as("hs"))
+        .persist()
+      mats ::= nextChain
+      sk = spark.createDataFrame(nextChain.rdd, nextChain.schema)
+      sums = sums.unionByName(roundSum(sk, t))
+    }
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    val out = sums
+      .withColumn("delta_milli",
+        col("nf_milli") - coalesce(lag(col("nf_milli"), 1).over(Window.orderBy("t")), lit(0L)))
+      .withColumn("__wd", sum(col("t") * col("delta_milli")).over(w))
+      .withColumn("__td", sum(col("delta_milli")).over(w))
+      .select(col("t"), col("nf_milli"), col("delta_milli"),
+        expr("CAST(CASE WHEN __td > 0 THEN (__wd * 1000) div __td ELSE 0 END AS BIGINT)")
+          .as("mean_dist_milli"))
+      .localCheckpoint(true)
+    mats.foreach(_.unpersist())
+    adjChain.unpersist()
+    out
+  }
+
   /** One unexecuted k-core peel round (survivor-degree filter plus the
     * removed-set anti join) from the all-nodes start state, for the plan
     * audit: two survivor equi-joins + one hash-aggregate + a LeftAnti —

