@@ -348,7 +348,8 @@ object Explain {
     "q294_dhash_neardup", // HOF fingerprints; band-blocked pair join
     "q295_retrieval_ndcg", // bucket probe vs broadcast graded truth
     "q296_clustering_depth", // metadata-sized zone-map boundary sweep
-    "q297_hyperanf" // per-round: adj join + explode + O(k) sketch agg
+    "q297_hyperanf", // per-round: adj join + explode + O(k) sketch agg
+    "q298_crypto_shred" // HOF keystream cipher; subject-keyed joins only
   )
 
   def main(args: Array[String]): Unit = {

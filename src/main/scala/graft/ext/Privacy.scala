@@ -154,4 +154,60 @@ object Privacy {
       .withColumn("released_micro",
         col("true_n") * lit(1000000L) + col("noise_micro"))
   }
+  /** Crypto-shredding (the GDPR right-to-be-forgotten pattern every
+    * lakehouse privacy design ends at: encrypt each subject's payload
+    * under a per-subject key, store keys in a separate registry, and
+    * "forget" a subject by deleting ONE key row — the immutable data
+    * files never rewrite). The cipher here is the house deterministic
+    * STUB for AES-CTR: an md5-chained keystream XORed per character
+    * (byte-oriented — ASCII payload contract), so both engines replay
+    * ciphertext and round-trip bit for bit; a real build swaps the
+    * keystream for a cipher call and nothing else changes.
+    *
+    * Keystream byte i of subject u:
+    * `block = md5(key_u || '/' || i div 16)`, take hex-pair i mod 16 —
+    * one md5 per 16 payload chars, all inside a codegen'd HOF
+    * projection (no shuffle on the payload path).
+    */
+  def shredKeys(subjects: DataFrame, subjectCol: String, secret: String): DataFrame =
+    subjects.select(col(subjectCol).cast("string").as("subject")).distinct()
+      .withColumn("ukey",
+        md5(concat_ws("/", lit(secret), col("subject")).cast("binary")))
+
+  private def xorStreamSql(inByte: String): String =
+    s"""array_join(transform(sequence(1, length(__t)), i ->
+       |  lpad(lower(hex(($inByte) ^ (CAST(conv(substr(
+       |    md5(CAST(concat_ws('/', ukey, CAST((i - 1) div 16 AS STRING)) AS BINARY)),
+       |    ((i - 1) % 16) * 2 + 1, 2), 16, 10) AS INT)))), 2, '0')), '')""".stripMargin
+
+  /** Encrypt `payloadCol` under each row's subject key: ciphertext is a
+    * hex string (2 chars per payload char). `keys` is a
+    * [[shredKeys]]-shaped registry.
+    */
+  def shredEncrypt(df: DataFrame, subjectCol: String, payloadCol: String,
+                   keys: DataFrame): DataFrame =
+    df.withColumn("subject", col(subjectCol).cast("string"))
+      .join(keys, "subject")
+      .withColumn("__t", col(payloadCol).cast("string"))
+      .withColumn("ciphertext", expr(xorStreamSql("ascii(substring(__t, i, 1))")))
+      .drop("__t", "ukey")
+
+  /** Decrypt ciphertext for every row whose subject still has a key in
+    * the (post-forget) registry; rows without a key stay ciphertext-only
+    * with `recoverable = false` — the shredding guarantee made visible.
+    */
+  def shredDecrypt(enc: DataFrame, cipherCol: String, keys: DataFrame): DataFrame = {
+    val keyed = enc.join(keys, Seq("subject"), "left")
+      .withColumn("recoverable", col("ukey").isNotNull)
+    keyed
+      .withColumn("plaintext",
+        when(col("recoverable"),
+          expr(s"""array_join(transform(sequence(1, length($cipherCol) div 2), i ->
+            |  char((CAST(conv(substr($cipherCol, (i - 1) * 2 + 1, 2), 16, 10) AS INT)) ^
+            |    (CAST(conv(substr(
+            |      md5(CAST(concat_ws('/', ukey, CAST((i - 1) div 16 AS STRING)) AS BINARY)),
+            |      ((i - 1) % 16) * 2 + 1, 2), 16, 10) AS INT)))), '')""".stripMargin))
+          .otherwise(lit(null).cast("string")))
+      .drop("ukey")
+  }
 }

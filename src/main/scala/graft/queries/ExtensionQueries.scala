@@ -10177,6 +10177,60 @@ object ExtensionQueries {
     }
   )
 
+  // Privacy tier: crypto-shredding end to end (the GDPR forget pattern
+  // that never rewrites immutable data files: per-subject keys in a
+  // registry, forget = delete ONE key row). Every 13th document's key is
+  // dropped after encryption; the audit proves the recoverable docs
+  // round-trip exactly and the shredded ones cannot — per source, in
+  // counts both engines replay (the md5-keystream stub cipher is
+  // deterministic char-level XOR, one md5 per 16 payload chars, all in
+  // codegen HOF projections).
+  private val q298 = Q(
+    "q298_crypto_shred",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val keys = Privacy.shredKeys(docs, "doc_id", "graft-r10-secret")
+      val enc = Privacy.shredEncrypt(docs, "doc_id", "text", keys)
+      val registry = keys.filter(expr("CAST(subject AS BIGINT) % 13 != 0"))
+      Privacy.shredDecrypt(enc, "ciphertext", registry)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("recoverable"), 1L).otherwise(0L)).as("n_shredded"),
+          sum(when(col("recoverable"), 1L).otherwise(0L)).as("n_recovered"),
+          sum(when(col("plaintext") === col("text"), 1L).otherwise(0L))
+            .as("n_roundtrip_ok"))
+    },
+    Some {
+      def dg(h: String, p: String) =
+        s"CAST(strpos('0123456789abcdef', substr($h, CAST($p AS INT), 1)) - 1 AS BIGINT)"
+      def ks(key: String) = {
+        val h = s"md5($key || '/' || CAST((i - 1) // 16 AS VARCHAR))"
+        s"(${dg(h, "((i - 1) % 16) * 2 + 1")} * 16 + ${dg(h, "((i - 1) % 16) * 2 + 2")})"
+      }
+      def ctPair(ct: String) =
+        s"(${dg(ct, "(i - 1) * 2 + 1")} * 16 + ${dg(ct, "(i - 1) * 2 + 2")})"
+      s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, source, text FROM documents),
+      k AS (SELECT id, md5('graft-r10-secret/' || CAST(id AS VARCHAR)) AS ukey FROM base),
+      enc AS (SELECT b.id, b.source, b.text,
+          array_to_string(list_transform(range(1, length(b.text) + 1), i ->
+            format('{:02x}', xor(ascii(substring(b.text, CAST(i AS INT), 1)),
+              ${ks("k.ukey")}))), '') AS ct
+        FROM base b JOIN k ON k.id = b.id),
+      reg AS (SELECT * FROM k WHERE id % 13 != 0),
+      dec AS (SELECT e.id, e.source, e.text, r.ukey IS NOT NULL AS recoverable,
+          CASE WHEN r.ukey IS NOT NULL THEN
+            array_to_string(list_transform(range(1, length(e.ct) // 2 + 1), i ->
+              chr(CAST(xor(${ctPair("e.ct")}, ${ks("r.ukey")}) AS INT))), '')
+          END AS pt
+        FROM enc e LEFT JOIN reg r ON r.id = e.id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN NOT recoverable THEN 1 ELSE 0 END) AS BIGINT) AS n_shredded,
+        CAST(sum(CASE WHEN recoverable THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+        CAST(sum(CASE WHEN pt = text THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+      FROM dec GROUP BY 1"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -10186,5 +10240,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298)
 }

@@ -89,4 +89,35 @@ class PrivacySpec extends SparkFunSuite {
     val draws = out.map(_.getAs[Long]("noise_micro")).toSet
     assert(draws.size == 4, s"correlated draws across distinct groups: $draws")
   }
+  test("crypto-shredding: round-trip restores the payload; key deletion makes it unrecoverable") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "alpha bravo charlie"), (2L, "delta echo"), (3L, "Foxtrot 7!"))
+      .toDF("uid", "payload")
+    val keys = Privacy.shredKeys(docs, "uid", "secret-r10")
+    val enc = Privacy.shredEncrypt(docs, "uid", "payload", keys)
+    val ct = enc.collect().map(r => r.getAs[Long]("uid") -> r.getAs[String]("ciphertext")).toMap
+    // ciphertext is hex, twice the payload length, and never the plaintext
+    for ((id, c) <- ct) {
+      assert(c.matches("[0-9a-f]+"))
+      val plain = docs.filter(col("uid") === id).head().getString(1)
+      assert(c.length == 2 * plain.length && !c.contains(plain))
+    }
+    // subject 2 exercises the right to be forgotten: one key row deleted
+    val after = keys.filter(col("subject") =!= "2")
+    val dec = Privacy.shredDecrypt(enc, "ciphertext", after)
+      .collect().map(r => r.getAs[String]("subject") ->
+        ((r.getAs[Boolean]("recoverable"), r.getAs[String]("plaintext")))).toMap
+    assert(dec("1") == ((true, "alpha bravo charlie")))
+    assert(dec("3") == ((true, "Foxtrot 7!")))
+    assert(dec("2") == ((false, null)))
+  }
+
+  test("crypto-shredding: keys differ per subject, so identical payloads encrypt differently") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "same text"), (2L, "same text")).toDF("uid", "payload")
+    val keys = Privacy.shredKeys(docs, "uid", "s")
+    val ct = Privacy.shredEncrypt(docs, "uid", "payload", keys)
+      .collect().map(_.getAs[String]("ciphertext"))
+    assert(ct.distinct.length == 2)
+  }
 }

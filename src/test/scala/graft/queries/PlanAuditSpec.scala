@@ -1987,6 +1987,14 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
   }
 
+  test("q298: the payload path is pure HOF projection - key equi-joins only, no explode, no window") {
+    val p = plan("q298_crypto_shred")
+    assert(!p.contains("Generate"),
+      s"encrypt/decrypt must stay inside per-row transform():\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"only subject-keyed joins and one aggregate:\n$p")
+  }
+
   test("q296: the sweep is metadata-sized - two zone aggregates, boundary windows, no product") {
     val p = plan("q296_clustering_depth")
     assert(!p.contains("CartesianProduct"),
