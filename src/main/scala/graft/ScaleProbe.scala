@@ -214,6 +214,17 @@ object ScaleProbe {
         graft.ext.Graphs.hyperAnf(copurchaseAt(m, partMod = 7),
           "src", "dst", rounds = 4, k = 32).count()
       },
+      // q292's sketch path in isolation (the audit's exact side is
+      // deliberately excluded — it is the thing the sketch replaces):
+      // one histogram aggregate, state bounded by the bucket space
+      "hdr_histogram" -> { m =>
+        val ev = (0 until m).map(_ => Tables.events(spark, sfDir))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("v"))
+        graft.ext.HdrSketch.hdrHistogram(ev, "event_type", "v").count()
+      },
       // unigram-LM trainer (q284): ONE corpus scan builds the word-count
       // frame; candidate generation, all three segment rounds and the
       // prunes run over distinct words × a ≤(chars+48)-piece vocab — the

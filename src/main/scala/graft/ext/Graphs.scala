@@ -720,37 +720,48 @@ object Graphs {
     val spark = adjChain.sparkSession
     val adj = spark.createDataFrame(adjChain.rdd, adjChain.schema)
 
-    def survivorDeg(survivors: DataFrame): DataFrame =
-      adj.join(survivors, "node")
-        .join(survivors.select(col("node").as("nbr")), "nbr")
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-
-    var survivors = adj.select("node").distinct()
+    // Matula-Beck frontier peeling in BSP form: degrees are MAINTAINED,
+    // not recomputed — round r removes survivors with deg < k, then only
+    // the removed nodes' neighbors lose degree (one broadcast-frontier
+    // join over the streaming adjacency + one frontier-sized aggregate).
+    // The full graph pays exactly ONE degree aggregate (round 1); every
+    // later round costs the edges incident to what was just removed.
+    // Results are bit-identical to recomputing the induced subgraph.
+    var degs = adj.groupBy("node").agg(count(lit(1)).as("deg")).persist()
+    degs.count()
+    var mats: List[DataFrame] = List(degs)
+    degs = spark.createDataFrame(degs.rdd, degs.schema)
     var removed: Option[DataFrame] = None
-    var mats: List[DataFrame] = Nil
-    var prevCount = survivors.count()
-    var lastRemoved = 0L
-    for (r <- 1 to rounds) {
-      val nextChain = survivorDeg(survivors).filter(col("deg") >= k)
-        .select("node").persist()
-      val n = nextChain.count()
-      mats ::= nextChain
-      val next = spark.createDataFrame(nextChain.rdd, nextChain.schema)
-      val rem = survivors.join(next, Seq("node"), "left_anti")
-        .select(col("node"), lit(r.toLong).as("removed_round"))
+    var lastRemoved = -1L
+    var r = 1
+    while (r <= rounds && lastRemoved != 0L) {
+      val remNodesChain = degs.filter(col("deg") < k).select("node").persist()
+      lastRemoved = remNodesChain.count()
+      mats ::= remNodesChain
+      val remNodes = spark.createDataFrame(remNodesChain.rdd, remNodesChain.schema)
+      val rem = remNodes.select(col("node"), lit(r.toLong).as("removed_round"))
       removed = Some(removed.fold(rem)(_.unionByName(rem)))
-      lastRemoved = prevCount - n
-      prevCount = n
-      survivors = next
+      if (lastRemoved > 0L) {
+        val delta = adj
+          .join(broadcast(remNodes.select(col("node").as("nbr"))), "nbr")
+          .groupBy("node").agg(count(lit(1)).as("__rm"))
+        val nextChain = degs.join(remNodes, Seq("node"), "left_anti")
+          .join(delta, Seq("node"), "left")
+          .select(col("node"),
+            (col("deg") - coalesce(col("__rm"), lit(0L))).as("deg"))
+          .persist()
+        nextChain.count()
+        mats ::= nextChain
+        degs = spark.createDataFrame(nextChain.rdd, nextChain.schema)
+      }
+      r += 1
     }
-    // fixpoint iff the LAST peel removed nothing
+    // fixpoint iff the LAST peel removed nothing (a short-circuited run
+    // is by construction converged; the skipped rounds are identities)
     val converged = lastRemoved == 0L
-    val core = survivors
-      .join(survivorDeg(survivors).select(col("node"), col("deg").as("core_deg")),
-        Seq("node"), "left")
+    val core = degs
       .select(col("node"), lit(0L).as("removed_round"),
-        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
-        lit(true).as("in_core"))
+        col("deg").as("core_deg"), lit(true).as("in_core"))
     val out = removed.get
       .select(col("node"), col("removed_round"),
         lit(0L).as("core_deg"), lit(false).as("in_core"))
@@ -844,10 +855,12 @@ object Graphs {
     out
   }
 
-  /** One unexecuted k-core peel round (survivor-degree filter plus the
-    * removed-set anti join) from the all-nodes start state, for the plan
-    * audit: two survivor equi-joins + one hash-aggregate + a LeftAnti —
-    * never a window, never a product.
+  /** One unexecuted k-core frontier-peel round (the [[kCore]] loop body:
+    * degree maintenance, not recomputation) from the all-nodes start
+    * state, for the plan audit: the removed frontier rides a BROADCAST
+    * into the streaming adjacency, the degree delta is one
+    * frontier-sized aggregate, and survivors leave via a LeftAnti —
+    * never a window, never a product, never a second full-graph pass.
     */
   private[graft] def kCoreRoundPlanFrame(edges0: DataFrame, srcCol: String,
                                          dstCol: String, k: Int): DataFrame = {
@@ -858,12 +871,14 @@ object Graphs {
       .distinct()
     val adj = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
-    val survivors = adj.select("node").distinct()
-    val next = adj.join(survivors, "node")
-      .join(survivors.select(col("node").as("nbr")), "nbr")
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= k).select("node")
-    survivors.join(next, Seq("node"), "left_anti")
+    val degs = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val remNodes = degs.filter(col("deg") < k).select("node")
+    val delta = adj
+      .join(broadcast(remNodes.select(col("node").as("nbr"))), "nbr")
+      .groupBy("node").agg(count(lit(1)).as("__rm"))
+    degs.join(remNodes, Seq("node"), "left_anti")
+      .join(delta, Seq("node"), "left")
+      .select(col("node"), (col("deg") - coalesce(col("__rm"), lit(0L))).as("deg"))
   }
 
   private[graft] def iteration(outEdges: DataFrame, nodes: DataFrame,

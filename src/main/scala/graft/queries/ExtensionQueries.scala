@@ -4773,13 +4773,8 @@ object ExtensionQueries {
   /** The part co-purchase graph shared by q169/q247: parts appearing in
     * the same order, canonical low < high.
     */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    li.as("x")
-      .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("src"), col("y.p").as("dst"))
-  }
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    QueryCaches.copurchaseFor(s, dir)
 
   private val q169 = Q(
     "q169_copurchase_triangles",

@@ -40,6 +40,30 @@ private[graft] object QueryCaches {
   private val lrCache     = new ConcurrentHashMap[SparkSession, (String, Seq[Long])]()
   private val layoutCache = new ConcurrentHashMap[SparkSession, (String, Path)]()
   private val snapCache   = new ConcurrentHashMap[SparkSession, (String, Path)]()
+  private val copurchaseCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
+
+  /** The canonical part co-purchase edge list (src < dst, distinct) for
+    * (s, dir), persisted once — q169/q247/q290 all start from this frame,
+    * and its lineitem self-join is the dominant shared cost at sf0.1.
+    */
+  def copurchaseFor(s: SparkSession, dir: String): DataFrame =
+    copurchaseCache.synchronized {
+      copurchaseCache.get(s) match {
+        case (d, df) if d == dir => df
+        case prev =>
+          if (prev != null) prev._2.unpersist()
+          import org.apache.spark.sql.functions.col
+          val li = graft.Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          val df = li.as("x")
+            .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+            .select(col("x.p").as("src"), col("y.p").as("dst"))
+            .persist()
+          df.count()
+          copurchaseCache.put(s, (dir, df))
+          df
+      }
+    }
 
   def sigFor(s: SparkSession, dir: String): DataFrame = sigCache.synchronized {
     sigCache.get(s) match {
@@ -364,6 +388,9 @@ private[graft] object QueryCaches {
     }
     ccCache.synchronized {
       Option(ccCache.remove(s)).foreach(_._2.unpersist())
+    }
+    copurchaseCache.synchronized {
+      Option(copurchaseCache.remove(s)).foreach(_._2.unpersist())
     }
     pqCache.synchronized {
       Option(pqCache.remove(s)).foreach { e =>
