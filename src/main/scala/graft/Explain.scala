@@ -349,7 +349,8 @@ object Explain {
     "q295_retrieval_ndcg", // bucket probe vs broadcast graded truth
     "q296_clustering_depth", // metadata-sized zone-map boundary sweep
     "q297_hyperanf", // per-round: adj join + explode + O(k) sketch agg
-    "q298_crypto_shred" // HOF keystream cipher; subject-keyed joins only
+    "q298_crypto_shred", // HOF keystream cipher; subject-keyed joins only
+    "q299_ab_chi2" // two chained conditional-count aggregates
   )
 
   def main(args: Array[String]): Unit = {

@@ -486,4 +486,33 @@ object RobustStats {
           |  THEN (sae_seasonal * n_scale * 1000) div (sae_naive * n_eval)
           |  ELSE 0 END AS BIGINT)""".stripMargin))
   }
+  /** Two-proportion A/B significance gate as the 2×2 chi-square test
+    * (Pearson 1900) — the product-analytics question behind every
+    * launch review: is the treatment's conversion rate distinguishable
+    * from control's? `chi2_centi = N·(ad−bc)²·100 div
+    * ((a+b)(c+d)(a+c)(b+d))` exactly in BIGINT, with the χ²(0.95, 1) =
+    * 3.84 cut at 384 centi-units. Exact-integer for subject populations
+    * to ~5·10⁴ (N⁵ headroom); beyond that the identical formula moves to
+    * the single-rounded-double convention. One conditional-count
+    * aggregate over the subject frame — nothing else.
+    *
+    * Output (one row): a/b/c/d cell counts (treatment×converted),
+    * per-arm rates in bp, chi2_centi, significant.
+    */
+  def abTestChi2(df: DataFrame, treatCol: String, convCol: String): DataFrame =
+    df.agg(
+        sum(when(col(treatCol) && col(convCol), 1L).otherwise(0L)).as("a"),
+        sum(when(col(treatCol) && !col(convCol), 1L).otherwise(0L)).as("b"),
+        sum(when(!col(treatCol) && col(convCol), 1L).otherwise(0L)).as("c"),
+        sum(when(!col(treatCol) && !col(convCol), 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        expr("CAST(CASE WHEN a + b > 0 THEN (a * 10000) div (a + b) ELSE 0 END AS BIGINT)")
+          .as("rate_treat_bp"),
+        expr("CAST(CASE WHEN c + d > 0 THEN (c * 10000) div (c + d) ELSE 0 END AS BIGINT)")
+          .as("rate_ctrl_bp"),
+        expr("""CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
+          |  THEN ((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 100)
+          |       div ((a+b) * (c+d) * (a+c) * (b+d))
+          |  ELSE 0 END AS BIGINT)""".stripMargin).as("chi2_centi"))
+      .withColumn("significant", col("chi2_centi") > 384L)
 }

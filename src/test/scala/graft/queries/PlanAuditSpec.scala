@@ -1987,6 +1987,13 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
   }
 
+  test("q299: one conditional-count aggregate over the subject frame, nothing else") {
+    val p = plan("q299_ab_chi2")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Generate"),
+      s"the gate is two chained aggregates only:\n$p")
+    assert(p.contains("HashAggregate"), s"cells must partial-aggregate:\n$p")
+  }
+
   test("q298: the payload path is pure HOF projection - key equi-joins only, no explode, no window") {
     val p = plan("q298_crypto_shred")
     assert(!p.contains("Generate"),
