@@ -232,6 +232,39 @@ object StreamPipelines {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("bucket"), col("cnt"))
 
+  /** Windowed A/B telemetry — the streaming twin of the q299 gate: per
+    * tumbling window, the four 2×2 cells (treatment × converted) fold as
+    * conditional counts and the chi-square statistic computes in the
+    * window-close projection, exactly as
+    * [[graft.ext.RobustStats.abTestChi2]] defines it (centi-units,
+    * 3.84 cut). State is ONE counter row per window; append mode emits
+    * each window's verdict once — the live launch-dashboard gauge
+    * (with the usual peeking caveat documented at the batch gate).
+    */
+  def abTestTelemetry(
+      events: DataFrame,
+      tsCol: String,
+      treatCol: String,
+      convCol: String,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(
+        sum(when(col(treatCol) && col(convCol), 1L).otherwise(0L)).as("a"),
+        sum(when(col(treatCol) && !col(convCol), 1L).otherwise(0L)).as("b"),
+        sum(when(!col(treatCol) && col(convCol), 1L).otherwise(0L)).as("c"),
+        sum(when(!col(treatCol) && !col(convCol), 1L).otherwise(0L)).as("d"))
+      .select(col("window.start").as("window_start"),
+        col("a"), col("b"), col("c"), col("d"),
+        expr("""CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
+          |  THEN ((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 100)
+          |       div ((a+b) * (c+d) * (a+c) * (b+d))
+          |  ELSE 0 END AS BIGINT)""".stripMargin).as("chi2_centi"))
+      .withColumn("significant", col("chi2_centi") > 384L)
+
   /** Windowed ingest-funnel telemetry — the streaming twin of the q150
     * batch funnel: per tumbling window, documents counted by the FIRST
     * [[curateIngest]] gate they fail (too_short → repetitive → pii →

@@ -1008,6 +1008,30 @@ class StreamPipelinesSpec extends SparkFunSuite {
     assert(hits.nonEmpty && hits.map(_.getAs[Long]("id")).toSet.subsetOf(Set(1L, 2L, 3L)))
   }
 
+  test("abTestTelemetry: the closed window's cells and verdict equal the batch gate") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Boolean, Boolean)]
+    val agg = StreamPipelines.abTestTelemetry(
+      input.toDF().toDF("ts", "treat", "conv"), "ts", "treat", "conv")
+    val q = agg.writeStream.format("memory").queryName("abt").outputMode("append").start()
+    try {
+      val cells = Seq.fill(30)((true, true)) ++ Seq.fill(20)((true, false)) ++
+        Seq.fill(15)((false, true)) ++ Seq.fill(35)((false, false))
+      val (w1, w2) = cells.splitAt(40)
+      input.addData(w1.map { case (tr, cv) => (t("2024-01-01 10:00:05"), tr, cv) }: _*)
+      q.processAllAvailable()
+      input.addData(w2.map { case (tr, cv) => (t("2024-01-01 10:00:40"), tr, cv) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("abt").count() == 0) // window still open
+      input.addData((t("2024-01-01 10:02:00"), true, true))
+      q.processAllAvailable()
+      val r = spark.table("abt").collect().head
+      assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+        r.getAs[Long]("d")) == ((30L, 20L, 15L, 35L)))
+      assert(r.getAs[Long]("chi2_centi") == 909L && r.getAs[Boolean]("significant"))
+    } finally q.stop()
+  }
+
   test("hdrTelemetry: closed windows emit the exact batch histogram; buckets merge across micro-batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
