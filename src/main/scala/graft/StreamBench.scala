@@ -497,7 +497,27 @@ object StreamBench {
     val aud_eps = (audWaves.toLong * upsertSize / ((System.nanoTime() - tA) / 1e9)).toLong
     qA.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // windowed A/B chi-square telemetry (q299's streaming twin): one
+    // counter row of state per window
+    val inB = MemoryStream[(java.sql.Timestamp, Boolean, Boolean)]
+    val qB = StreamPipelines.abTestTelemetry(
+        inB.toDF().toDF("ts", "treat", "conv"), "ts", "treat", "conv")
+      .writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def abWave(n: Int, minuteBase: Long): Seq[(java.sql.Timestamp, Boolean, Boolean)] =
+      (0 until n).map(i => (new java.sql.Timestamp(minuteBase * 60000L + i % 60000),
+        i % 2 == 0, i % 3 == 0))
+    inB.addData(abWave(1000, 0L): _*); qB.processAllAvailable()
+    val abWaves = 5
+    val tB = System.nanoTime()
+    (0 until abWaves).foreach { w =>
+      inB.addData(abWave(upsertSize, 2000L + w.toLong * 2): _*)
+      qB.processAllAvailable()
+    }
+    val ab_eps = (abWaves.toLong * upsertSize / ((System.nanoTime() - tB) / 1e9)).toLong
+    qB.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }
