@@ -350,7 +350,8 @@ object Explain {
     "q296_clustering_depth", // metadata-sized zone-map boundary sweep
     "q297_hyperanf", // per-round: adj join + explode + O(k) sketch agg
     "q298_crypto_shred", // HOF keystream cipher; subject-keyed joins only
-    "q299_ab_chi2" // two chained conditional-count aggregates
+    "q299_ab_chi2", // two chained conditional-count aggregates
+    "q300_session_paths" // tag+rank windows -> path agg -> TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {

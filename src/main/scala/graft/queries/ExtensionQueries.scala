@@ -10270,6 +10270,60 @@ object ExtensionQueries {
       FROM cells""")
   )
 
+  // Serving analytics: top session-opening paths — the Sankey feed every
+  // product-analytics tool draws: per (user, session) the ordered first
+  // three event types (q12's session tagging, 30-min gap; rank tie-broken
+  // on event_id so the path is deterministic), counted and shared in
+  // exact bp. One tag window + one rank window + two aggregates +
+  // TakeOrdered; the 1-row session total rides a broadcast.
+  private val q300 = Q(
+    "q300_session_paths",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tagged = graft.ops.Sessionize.tag(
+        Tables.events(s, dir), "user_id", "ts", gapSeconds = 1800L)
+      val first3 = tagged
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("session_seq"))
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") <= 3)
+      val paths = first3.groupBy(col("user_id"), col("session_seq"))
+        .agg(expr("""array_join(transform(
+          array_sort(collect_list(struct(rn, event_type))),
+          x -> x.event_type), '>')""").as("path"))
+      val total = broadcast(paths.agg(count(lit(1)).as("__n")))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(total)
+        .select(col("path"), col("n_sessions"),
+          expr("CAST((n_sessions * 10000) div __n AS BIGINT)").as("share_bp"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(15)
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        FROM events),
+      tg AS (SELECT user_id, us, event_id, event_type,
+          CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      sq AS (SELECT user_id, us, event_id, event_type,
+          CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_seq
+        FROM tg),
+      f3 AS (SELECT user_id, session_seq, event_type,
+          row_number() OVER (PARTITION BY user_id, session_seq
+            ORDER BY us, event_id) AS rn
+        FROM sq QUALIFY rn <= 3),
+      pth AS (SELECT user_id, session_seq,
+          string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM f3 GROUP BY 1, 2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pth)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST((count(*) * 10000) // tot.n AS BIGINT) AS share_bp
+      FROM pth, tot GROUP BY path, tot.n
+      ORDER BY n_sessions DESC, path LIMIT 15""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -10279,5 +10333,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300)
 }

@@ -1987,6 +1987,15 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
   }
 
+  test("q300: session tag + rank windows, path agg, broadcast total, TakeOrdered cut") {
+    val p = plan("q300_session_paths")
+    assert(p.contains("Window"), s"the session/rank windows are load-bearing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-15 cut must never be a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"only the 1-row session total may cross:\n$p")
+  }
+
   test("q299: one conditional-count aggregate over the subject frame, nothing else") {
     val p = plan("q299_ab_chi2")
     assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Generate"),
