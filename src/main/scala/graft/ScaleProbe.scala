@@ -214,6 +214,12 @@ object ScaleProbe {
         graft.ext.Graphs.hyperAnf(copurchaseAt(m, partMod = 7),
           "src", "dst", rounds = 4, k = 32).count()
       },
+      // q294's fingerprint path: one split + lambda-let HOF chain per
+      // payload, no shuffle — must track the corpus scan exactly
+      "dhash_fp" -> { m =>
+        graft.ext.Multimodal.dhashFingerprints(docsAt(m), "doc_id", "text")
+          .count()
+      },
       // q292's sketch path in isolation (the audit's exact side is
       // deliberately excluded — it is the thing the sketch replaces):
       // one histogram aggregate, state bounded by the bucket space
