@@ -351,7 +351,8 @@ object Explain {
     "q297_hyperanf", // per-round: adj join + explode + O(k) sketch agg
     "q298_crypto_shred", // HOF keystream cipher; subject-keyed joins only
     "q299_ab_chi2", // two chained conditional-count aggregates
-    "q300_session_paths" // tag+rank windows -> path agg -> TakeOrdered
+    "q300_session_paths", // tag+rank windows -> path agg -> TakeOrdered
+    "q301_weekday_heatmap" // cell agg + broadcast total + 168-row window
   )
 
   def main(args: Array[String]): Unit = {

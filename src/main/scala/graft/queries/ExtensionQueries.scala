@@ -10324,6 +10324,42 @@ object ExtensionQueries {
       ORDER BY n_sessions DESC, path LIMIT 15""")
   )
 
+  // Serving analytics: weekday×hour activity heatmap — the ops-dashboard
+  // grid behind capacity planning: exact event counts per (ISO weekday,
+  // UTC hour) cell with share in bp and the per-weekday peak-hour flag.
+  // Day-of-week from epoch arithmetic ((day + 3) % 7 + 1: 1970-01-01 was
+  // a Thursday = ISO 4), so both engines share integer-only time math.
+  // One hash-aggregate + one 168-row window.
+  private val q301 = Q(
+    "q301_weekday_heatmap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val cells = ev.select(
+          expr("(CAST(ts AS LONG) div 86400 + 3) % 7 + 1").as("iso_dow"),
+          expr("(CAST(ts AS LONG) div 3600) % 24").as("hour"))
+        .groupBy("iso_dow", "hour").agg(count(lit(1)).as("n_events"))
+      val tot = broadcast(cells.agg(sum(col("n_events")).as("__t")))
+      cells.crossJoin(tot)
+        .withColumn("share_bp", expr("CAST((n_events * 10000) div __t AS BIGINT)"))
+        .withColumn("is_peak_hour",
+          col("n_events") === max(col("n_events")).over(
+            Window.partitionBy("iso_dow")))
+        .select(col("iso_dow"), col("hour"), col("n_events"),
+          col("share_bp"), col("is_peak_hour"))
+    },
+    Some("""WITH c AS (SELECT
+        (epoch_us(ts) // 1000000 // 86400 + 3) % 7 + 1 AS iso_dow,
+        (epoch_us(ts) // 1000000 // 3600) % 24 AS hour,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+      t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tt FROM c)
+      SELECT iso_dow, hour, n_events,
+        CAST((n_events * 10000) // t.tt AS BIGINT) AS share_bp,
+        n_events = max(n_events) OVER (PARTITION BY iso_dow) AS is_peak_hour
+      FROM c, t""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -10333,5 +10369,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301)
 }

@@ -1987,6 +1987,13 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Generate"), s"the day spine is a bounded explode:\n$p")
   }
 
+  test("q301: one cell aggregate + broadcast total + a 168-row peak window") {
+    val p = plan("q301_weekday_heatmap")
+    assert(p.contains("HashAggregate"), s"cells must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"only the 1-row total may cross:\n$p")
+  }
+
   test("q300: session tag + rank windows, path agg, broadcast total, TakeOrdered cut") {
     val p = plan("q300_session_paths")
     assert(p.contains("Window"), s"the session/rank windows are load-bearing:\n$p")
