@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Frontier-size ceiling for riding a removal frontier into the
+    * adjacency as a BROADCAST ([[kCore]]): ~5M long ids ≈ 40 MB — small
+    * enough for every executor, far under driver limits. Above it the
+    * same join runs as a shuffle equi-join (identical result; the
+    * round-1 frontier of a peel can be most of the graph).
+    */
+  private[graft] val BroadcastFrontierMaxRows: Long = 5000000L
+
   /** Dense long ids for a (string) key column — the dictionary-encode
     * step web-scale graph work does upstream so every iteration shuffles
     * (long, long) rows instead of (url-string, long). GraphX requires
@@ -722,13 +730,17 @@ object Graphs {
 
     // Matula-Beck frontier peeling in BSP form: degrees are MAINTAINED,
     // not recomputed — round r removes survivors with deg < k, then only
-    // the removed nodes' neighbors lose degree (one broadcast-frontier
-    // join over the streaming adjacency + one frontier-sized aggregate).
-    // The full graph pays exactly ONE degree aggregate (round 1); every
-    // later round costs the edges incident to what was just removed.
-    // Results are bit-identical to recomputing the induced subgraph.
+    // the removed nodes' neighbors lose degree (one frontier join over
+    // the streaming adjacency + one frontier-sized aggregate). The full
+    // graph pays exactly ONE degree aggregate (round 1); every later
+    // round costs the edges incident to what was just removed. Results
+    // are bit-identical to recomputing the induced subgraph.
+    //
+    // ONE job per round: only the frontier count (which drives the
+    // short-circuit AND the broadcast-vs-shuffle choice) is an eager
+    // barrier; the degree frames persist lazily and materialize as the
+    // next round's count (or the single final action) pulls them.
     var degs = adj.groupBy("node").agg(count(lit(1)).as("deg")).persist()
-    degs.count()
     var mats: List[DataFrame] = List(degs)
     degs = spark.createDataFrame(degs.rdd, degs.schema)
     var removed: Option[DataFrame] = None
@@ -742,15 +754,22 @@ object Graphs {
       val rem = remNodes.select(col("node"), lit(r.toLong).as("removed_round"))
       removed = Some(removed.fold(rem)(_.unionByName(rem)))
       if (lastRemoved > 0L) {
+        // the round-1 frontier is every node below k — potentially most
+        // of the graph — so broadcast only when the just-counted frontier
+        // is provably small; otherwise the delta is a shuffle equi-join
+        // (same result, no driver-memory cliff at 100 TB)
+        val remRef = remNodes.select(col("node").as("nbr"))
+        val remSide =
+          if (lastRemoved <= BroadcastFrontierMaxRows) broadcast(remRef)
+          else remRef
         val delta = adj
-          .join(broadcast(remNodes.select(col("node").as("nbr"))), "nbr")
+          .join(remSide, "nbr")
           .groupBy("node").agg(count(lit(1)).as("__rm"))
         val nextChain = degs.join(remNodes, Seq("node"), "left_anti")
           .join(delta, Seq("node"), "left")
           .select(col("node"),
             (col("deg") - coalesce(col("__rm"), lit(0L))).as("deg"))
           .persist()
-        nextChain.count()
         mats ::= nextChain
         degs = spark.createDataFrame(nextChain.rdd, nextChain.schema)
       }

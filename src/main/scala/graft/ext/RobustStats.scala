@@ -486,15 +486,51 @@ object RobustStats {
           |  THEN (sae_seasonal * n_scale * 1000) div (sae_naive * n_eval)
           |  ELSE 0 END AS BIGINT)""".stripMargin))
   }
+  /** Subject-count bound under which the chi-square numerator
+    * `100·N·(ad−bc)²` (≤ 6.25·N⁵) provably fits DECIMAL(38,0): at
+    * N = 2·10⁷ the numerator tops out near 2·10³⁷ < 10³⁸.
+    */
+  private[graft] val Chi2ExactMaxN: Long = 20000000L
+
+  /** The 2×2 chi-square statistic in centi-units from BIGINT cell-count
+    * columns named a/b/c/d. Two regimes, branch-selected on
+    * N = a+b+c+d:
+    *
+    *  - N ≤ [[Chi2ExactMaxN]]: EXACT — staged in DECIMAL(38,0) so the
+    *    numerator never wraps (the naive all-BIGINT form silently
+    *    overflowed signed 64-bit at N ≈ 4,300 worst case, flipping the
+    *    verdict; Spark wraps where DuckDB errors).
+    *  - N > [[Chi2ExactMaxN]]: the single-rounded-double convention —
+    *    every operand cast to DOUBLE up front, a fixed association
+    *    order, ONE terminal round — so Spark and DuckDB replay the
+    *    identical IEEE-754 value.
+    *
+    * The zero-margin guard tests each margin separately (the old
+    * `product > 0` guard itself overflowed at N ≈ 1.1·10⁵). The
+    * DuckDB mirror (HUGEINT staging in the exact branch) lives beside
+    * the q299 oracle.
+    */
+  private[graft] def chi2CentiCol: Column = expr(
+    s"""CAST(CASE
+      |  WHEN a+b <= 0 OR c+d <= 0 OR a+c <= 0 OR b+d <= 0 THEN 0
+      |  WHEN a+b+c+d <= ${Chi2ExactMaxN}L THEN
+      |    (CAST(a+b+c+d AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c) * 100)
+      |      div (CAST(a+b AS DECIMAL(38,0)) * (c+d) * (a+c) * (b+d))
+      |  ELSE CAST(round(((((CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c)
+      |          * (CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c))
+      |          * (CAST(a AS DOUBLE)+b+c+d)) * 100.0)
+      |      / (((CAST(a+b AS DOUBLE) * (c+d)) * (a+c)) * (b+d))) AS BIGINT)
+      |END AS BIGINT)""".stripMargin)
+
   /** Two-proportion A/B significance gate as the 2×2 chi-square test
     * (Pearson 1900) — the product-analytics question behind every
     * launch review: is the treatment's conversion rate distinguishable
     * from control's? `chi2_centi = N·(ad−bc)²·100 div
-    * ((a+b)(c+d)(a+c)(b+d))` exactly in BIGINT, with the χ²(0.95, 1) =
-    * 3.84 cut at 384 centi-units. Exact-integer for subject populations
-    * to ~5·10⁴ (N⁵ headroom); beyond that the identical formula moves to
-    * the single-rounded-double convention. One conditional-count
-    * aggregate over the subject frame — nothing else.
+    * ((a+b)(c+d)(a+c)(b+d))` via [[chi2CentiCol]] — exact-integer for
+    * subject populations to 2·10⁷ (DECIMAL(38,0) staging), the
+    * single-rounded-double convention beyond — with the χ²(0.95, 1) =
+    * 3.84 cut at 384 centi-units. One conditional-count aggregate over
+    * the subject frame — nothing else.
     *
     * Output (one row): a/b/c/d cell counts (treatment×converted),
     * per-arm rates in bp, chi2_centi, significant.
@@ -510,9 +546,6 @@ object RobustStats {
           .as("rate_treat_bp"),
         expr("CAST(CASE WHEN c + d > 0 THEN (c * 10000) div (c + d) ELSE 0 END AS BIGINT)")
           .as("rate_ctrl_bp"),
-        expr("""CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
-          |  THEN ((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 100)
-          |       div ((a+b) * (c+d) * (a+c) * (b+d))
-          |  ELSE 0 END AS BIGINT)""".stripMargin).as("chi2_centi"))
+        chi2CentiCol.as("chi2_centi"))
       .withColumn("significant", col("chi2_centi") > 384L)
 }

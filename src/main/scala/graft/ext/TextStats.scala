@@ -491,11 +491,22 @@ object TextStats {
          |         THEN named_struct('pos', p, 'len', l,
          |                           'piece', substr(__w, p, l)) END))),
          |  x -> x IS NOT NULL)""".stripMargin)
+    // the per-position fold below indexes the winners array POSITIONALLY,
+    // which is only sound when every position 1..len(word) has a match —
+    // so coverage is GUARANTEED here by unioning the input words' single
+    // characters into the vocab (the tokenizer UNK-per-char convention):
+    // a frozen external vocab missing a corpus character would otherwise
+    // silently mis-walk. The union is distinct-words × ≤maxWordLen rows
+    // (never corpus-sized) and a no-op when the vocab already covers.
+    val coverVocab = vocab.select(col("piece"))
+      .unionByName(words.select(explode(expr(
+        "transform(sequence(1, length(__w)), p -> substr(__w, p, 1))")).as("piece")))
+      .distinct()
     val matches = words
       .select(col("__w"), col("__cnt"), explode(grid).as("__g"))
       .select(col("__w"), col("__cnt"), col("__g.pos").as("__pos"),
         col("__g.len").as("__len"), col("__g.piece").as("__piece"))
-      .join(broadcast(vocab.select(col("piece").as("__piece"))), Seq("__piece"))
+      .join(broadcast(coverVocab.select(col("piece").as("__piece"))), Seq("__piece"))
     val w = Window.partitionBy(col("__w"), col("__pos"))
       .orderBy(col("__len").desc)
     val steps = matches

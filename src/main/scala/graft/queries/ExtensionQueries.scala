@@ -5545,7 +5545,13 @@ object ExtensionQueries {
     Some(s"""WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS true_n
         FROM documents GROUP BY 1, 2),
       k AS (SELECT source, lang, true_n,
-          'q189|v' || source || '/v' || lang AS seed
+          'q189|' ||
+          (CASE WHEN source IS NULL THEN 'n' ELSE 'v' || replace(replace(
+            source, chr(92), chr(92) || chr(92)), '/', chr(92) || '/') END) ||
+          '/' ||
+          (CASE WHEN lang IS NULL THEN 'n' ELSE 'v' || replace(replace(
+            lang, chr(92), chr(92) || chr(92)), '/', chr(92) || '/') END)
+          AS seed
         FROM g WHERE true_n >= 5),
       v AS (SELECT source, lang, true_n,
           (${duckHex32("seed")} + 0.5) / 4294967296.0 - 0.5 AS w FROM k),
@@ -10253,21 +10259,26 @@ object ExtensionQueries {
         CAST(sum(CASE WHEN user_id % 2 = 1 AND np < 14 THEN 1 ELSE 0 END) AS BIGINT) AS b,
         CAST(sum(CASE WHEN user_id % 2 = 0 AND np >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS c,
         CAST(sum(CASE WHEN user_id % 2 = 0 AND np < 14 THEN 1 ELSE 0 END) AS BIGINT) AS d
-      FROM u)
+      FROM u),
+      chi AS (SELECT a, b, c, d,
+        CAST(CASE
+          WHEN a+b <= 0 OR c+d <= 0 OR a+c <= 0 OR b+d <= 0 THEN 0
+          WHEN a+b+c+d <= 20000000 THEN
+            CAST((CAST(a+b+c+d AS HUGEINT) * (a*d - b*c) * (a*d - b*c) * 100)
+              // (CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d)) AS BIGINT)
+          ELSE CAST(round(((((CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c)
+                  * (CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c))
+                  * (CAST(a AS DOUBLE)+b+c+d)) * 100.0)
+              / (((CAST(a+b AS DOUBLE) * (c+d)) * (a+c)) * (b+d))) AS BIGINT)
+        END AS BIGINT) AS chi2_centi FROM cells)
       SELECT a, b, c, d,
         CAST(CASE WHEN a + b > 0 THEN (a * 10000) // (a + b) ELSE 0 END
           AS BIGINT) AS rate_treat_bp,
         CAST(CASE WHEN c + d > 0 THEN (c * 10000) // (c + d) ELSE 0 END
           AS BIGINT) AS rate_ctrl_bp,
-        CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
-          THEN ((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 100)
-            // ((a+b) * (c+d) * (a+c) * (b+d))
-          ELSE 0 END AS BIGINT) AS chi2_centi,
-        (CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
-          THEN ((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 100)
-            // ((a+b) * (c+d) * (a+c) * (b+d))
-          ELSE 0 END) > 384 AS significant
-      FROM cells""")
+        chi2_centi,
+        chi2_centi > 384 AS significant
+      FROM chi""")
   )
 
   // Serving analytics: top session-opening paths — the Sankey feed every

@@ -259,10 +259,7 @@ object StreamPipelines {
         sum(when(!col(treatCol) && !col(convCol), 1L).otherwise(0L)).as("d"))
       .select(col("window.start").as("window_start"),
         col("a"), col("b"), col("c"), col("d"),
-        expr("""CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
-          |  THEN ((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 100)
-          |       div ((a+b) * (c+d) * (a+c) * (b+d))
-          |  ELSE 0 END AS BIGINT)""".stripMargin).as("chi2_centi"))
+        graft.ext.RobustStats.chi2CentiCol.as("chi2_centi"))
       .withColumn("significant", col("chi2_centi") > 384L)
 
   /** Windowed ingest-funnel telemetry — the streaming twin of the q150
@@ -720,14 +717,24 @@ object StreamPipelines {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        knnGraphIngestBatch(batch, idCol, vecCol, k, bits, indexPath, edgesPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        knnGraphIngestBatch(batch, idCol, vecCol, k, bits, indexPath,
+          edgesPath, batchId)
       }
 
   /** The batch body of [[knnGraphSink]], callable directly (and from
     * tests): emit the batch's adjacency updates against the index at
     * `indexPath` (absent = empty) to `edgesPath`, then append the fresh
     * vectors to the index.
+    *
+    * Commit order makes the INDEX append the idempotence anchor (it
+    * commits LAST), and the edge log is idempotent on its own: edges
+    * land under `edgesPath/batch_id=<batchId>/` with OVERWRITE, so a
+    * replayed attempt rewrites the identical partition instead of
+    * appending duplicates. A replay arriving AFTER the index committed
+    * sees no fresh vectors and exits before touching the log (the
+    * already-written partition survives) — every failure point
+    * converges.
     */
   def knnGraphIngestBatch(
       batch: DataFrame,
@@ -736,7 +743,8 @@ object StreamPipelines {
       k: Int,
       bits: Int,
       indexPath: String,
-      edgesPath: String
+      edgesPath: String,
+      batchId: Long
   ): Unit = {
     batch.persist()
     try {
@@ -752,9 +760,10 @@ object StreamPipelines {
       val fresh = keyed.join(index.select(col(idCol)), Seq(idCol), "left_anti")
         .persist()
       try {
+        if (fresh.isEmpty) return
         val edges = graft.ext.VectorSearch.knnGraphIncrementalFromFresh(
           fresh, index, idCol, k)
-        edges.write.mode("append").parquet(edgesPath)
+        edges.write.mode("overwrite").parquet(s"$edgesPath/batch_id=$batchId")
         fresh.write.mode("append").parquet(indexPath)
       } finally {
         fresh.unpersist()
@@ -796,13 +805,22 @@ object StreamPipelines {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         knnGraphAdjacencyIngestBatch(batch, idCol, vecCol, k, bits,
-          indexPath, edgesPath, adjacencyPath)
+          indexPath, edgesPath, adjacencyPath, batchId)
       }
 
   /** The batch body of [[knnGraphAdjacencySink]], callable directly (and
     * from tests).
+    *
+    * Commit order (edge log → adjacency swap → index append) makes the
+    * index the idempotence anchor, and every earlier artifact replays
+    * idempotently: the edge log writes `edgesPath/batch_id=<batchId>/`
+    * with OVERWRITE (a re-run rewrites the identical partition — never
+    * duplicate rows), the adjacency swap is a monotone merge (folding
+    * the same edges twice is the identity), and a replay arriving AFTER
+    * the index committed sees no fresh vectors and exits before touching
+    * anything — all three artifacts converge from any failure point.
     */
   def knnGraphAdjacencyIngestBatch(
       batch: DataFrame,
@@ -812,7 +830,8 @@ object StreamPipelines {
       bits: Int,
       indexPath: String,
       edgesPath: String,
-      adjacencyPath: String
+      adjacencyPath: String,
+      batchId: Long
   ): Unit = {
     batch.persist()
     try {
@@ -825,12 +844,13 @@ object StreamPipelines {
       val fresh = keyed.join(index.select(col(idCol)), Seq(idCol), "left_anti")
         .persist()
       try {
+        if (fresh.isEmpty) return
         val edges = graft.ext.VectorSearch.knnGraphIncrementalFromFresh(
             fresh, index, idCol, k)
           .select(col("id"), col("nbr_id"), col("sim_bp")).persist()
         try {
           edges.count()
-          edges.write.mode("append").parquet(edgesPath)
+          edges.write.mode("overwrite").parquet(s"$edgesPath/batch_id=$batchId")
           val stored =
             if (pathExists(spark, adjacencyPath)) spark.read.parquet(adjacencyPath)
             else edges.limit(0)

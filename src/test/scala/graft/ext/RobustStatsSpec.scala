@@ -206,4 +206,32 @@ class RobustStatsSpec extends SparkFunSuite {
     val d = RobustStats.abTestChi2(deg, "treat", "conv").head()
     assert(d.getAs[Long]("chi2_centi") == 0L && !d.getAs[Boolean]("significant"))
   }
+
+  test("abTestChi2: exact past the old int64 wrap (N=10k strong effect)") {
+    // a=d=4000, b=c=1000: det = 15e6, 100·N·det² = 2.25e20 — the naive
+    // all-BIGINT numerator wrapped signed 64-bit here (N ≈ 4,300 bound);
+    // the DECIMAL(38,0) staging must report the exact 360000 centi
+    // (chi2 = 1e4·2.25e14/(5000⁴) = 3600).
+    val rows = (Seq.fill(4000)((true, true)) ++ Seq.fill(1000)((true, false)) ++
+      Seq.fill(1000)((false, true)) ++ Seq.fill(4000)((false, false)))
+      .toDF("treat", "conv")
+    val r = RobustStats.abTestChi2(rows, "treat", "conv").head()
+    assert(r.getAs[Long]("chi2_centi") == 360000L)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("chi2CentiCol: above the exact bound the single-rounded-double branch fires") {
+    // N = 3e7 > Chi2ExactMaxN — cells fed directly (building 3e7 subject
+    // rows is pointless); expected value recomputed with the IDENTICAL
+    // double association order the SQL fixes
+    val (a, b, c, d) = (9000000L, 6000000L, 6000000L, 9000000L)
+    val r = Seq((a, b, c, d)).toDF("a", "b", "c", "d")
+      .select(RobustStats.chi2CentiCol.as("chi2_centi")).head()
+    val det = a.toDouble * d - b.toDouble * c
+    val expected = math.round(
+      ((det * det) * (a.toDouble + b + c + d)) * 100.0 /
+        ((((a + b).toDouble * (c + d)) * (a + c)) * (b + d)))
+    assert(r.getAs[Long]("chi2_centi") == expected)
+    assert(expected > 384L)
+  }
 }

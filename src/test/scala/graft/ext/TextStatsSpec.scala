@@ -634,4 +634,20 @@ class TextStatsSpec extends SparkFunSuite {
     assert(got.getAs[Long]("n_units") == 8L)
     assert(got.getAs[Long]("fertility_milli") == 8000L / 3L)
   }
+
+  test("unigramFertility: a frozen vocab missing corpus chars still walks exactly (UNK-per-char)") {
+    // vocab covers 'a'/'ab' but NOT 'y' or 'z' — before the coverage
+    // union the positional fold silently mis-indexed the winners array;
+    // now unknown chars segment as their own units: 'aby' → ab|y (2),
+    // 'zz' → z|z (2)
+    val vocab = Seq("a", "ab").toDF("piece")
+    val docs = Seq(("g", "aby aby zz")).toDF("grp", "text")
+    val got = TextStats.unigramFertility(docs, "grp", "text", vocab)
+      .collect().head
+    assert(got.getAs[Long]("n_words") == 3L)
+    assert(got.getAs[Long]("n_char_units") == 8L)
+    assert(got.getAs[Long]("n_units") == 6L)
+    assert(got.getAs[Long]("fertility_milli") == 2000L)
+    assert(got.getAs[Long]("chars_per_unit_milli") == 8000L / 6L)
+  }
 }

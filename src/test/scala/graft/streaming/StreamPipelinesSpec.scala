@@ -693,7 +693,7 @@ class StreamPipelinesSpec extends SparkFunSuite {
     // batch 1 against an empty index: within-batch adjacency only
     StreamPipelines.knnGraphIngestBatch(
       batchOf(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1)),
-      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath)
+      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, batchId = 0L)
     assert(indexIds == Set(1L, 2L))
     assert(edges(("out", 1L, 1L)) == 2L && edges(("out", 2L, 1L)) == 1L)
     def outRowsFor2 = spark.read.parquet(edgesPath)
@@ -705,7 +705,8 @@ class StreamPipelinesSpec extends SparkFunSuite {
     // 1 and 2 gain 'in' candidates
     val batch2 = batchOf(2L -> Seq(0.9, 0.1), 3L -> Seq(0.89, 0.11))
     StreamPipelines.knnGraphIngestBatch(
-      batch2, "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath)
+      batch2, "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath,
+      batchId = 1L)
     assert(indexIds == Set(1L, 2L, 3L))
     val e2 = edges
     assert(e2(("out", 3L, 1L)) == 2L && e2(("out", 3L, 2L)) == 1L)
@@ -716,7 +717,8 @@ class StreamPipelinesSpec extends SparkFunSuite {
     // replay batch 2 verbatim: nothing fresh → neither artifact grows
     val nEdges = spark.read.parquet(edgesPath).count()
     StreamPipelines.knnGraphIngestBatch(
-      batch2, "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath)
+      batch2, "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath,
+      batchId = 1L)
     assert(indexIds == Set(1L, 2L, 3L))
     assert(spark.read.parquet(edgesPath).count() == nEdges)
 
@@ -977,21 +979,24 @@ class StreamPipelinesSpec extends SparkFunSuite {
 
     StreamPipelines.knnGraphAdjacencyIngestBatch(
       batchOf(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1)),
-      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, adjPath)
+      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, adjPath,
+      batchId = 0L)
     val a1 = adj
     assert(a1.keySet == Set((1L, 2L), (2L, 1L)))
 
     // 3 is nearest to 2; each node's top-2 now includes it
     StreamPipelines.knnGraphAdjacencyIngestBatch(
       batchOf(3L -> Seq(0.89, 0.11)),
-      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, adjPath)
+      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, adjPath,
+      batchId = 1L)
     val a2 = adj
     assert(a2.keySet == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L)))
 
     // replaying the same batch changes nothing (anti join → empty merge)
     StreamPipelines.knnGraphAdjacencyIngestBatch(
       batchOf(3L -> Seq(0.89, 0.11)),
-      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, adjPath)
+      "vec_id", "embedding", k = 2, bits = 1, indexPath, edgesPath, adjPath,
+      batchId = 1L)
     assert(adj == a2)
 
     // the snapshot is directly walkable by the beam search
