@@ -348,11 +348,12 @@ object Explain {
     "q294_dhash_neardup", // HOF fingerprints; band-blocked pair join
     "q295_retrieval_ndcg", // bucket probe vs broadcast graded truth
     "q296_clustering_depth", // metadata-sized zone-map boundary sweep
-    "q297_hyperanf", // per-round: adj join + explode + O(k) sketch agg
+    "q297_hyperanf", // per-round: adj join + O(k) array-merge sketch agg
     "q298_crypto_shred", // HOF keystream cipher; subject-keyed joins only
     "q299_ab_chi2", // two chained conditional-count aggregates
     "q300_session_paths", // tag+rank windows -> path agg -> TakeOrdered
-    "q301_weekday_heatmap" // cell agg + broadcast total + 168-row window
+    "q301_weekday_heatmap", // cell agg + broadcast total + 168-row window
+    "q302_video_dhash_neardup" // frame HOF fingerprints; (frame, band)-blocked join
   )
 
   def main(args: Array[String]): Unit = {

@@ -1063,17 +1063,22 @@ object ScaleProbe {
         ops.filter(o => want.contains(o._1))
       }
 
-    // warm each op once at 1× (JIT + codegen), then measure 1×/2×/4×
+    // warm each op once at 1× (JIT + codegen), then measure each
+    // multiplier — default 1×/2×/4×; SPARK_GRAFT_PROBE_MULTS (e.g.
+    // "1,4,16") stretches the curve when adjudicating linear-vs-quadratic
+    // needs a longer lever arm
+    val mults = sys.env.getOrElse("SPARK_GRAFT_PROBE_MULTS", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
     selected.foreach { case (name, f) => custom.get(name).fold[Unit](f(1))(c => c(1)) }
     val results = selected.map { case (name, f) =>
-      name -> Seq(1, 2, 4).map { m =>
+      name -> mults.map { m =>
         val t = custom.get(name).fold(time(f(m)))(c => c(m))
         math.round(t * 1000) / 1000.0
       }
     }
     val json = results
       .map { case (k, ts) => s"\"$k\":[${ts.mkString(",")}]" }
-      .mkString("{", ",", s""","multipliers":[1,2,4],"sf":"$sfDir"}""")
+      .mkString("{", ",", s""","multipliers":[${mults.mkString(",")}],"sf":"$sfDir"}""")
     println(json)
     spark.stop()
   }

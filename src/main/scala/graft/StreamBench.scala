@@ -371,6 +371,40 @@ object StreamBench {
     }
 
     // -------------------------------------------------------------------
+    // Pipeline 7c: dHash ingest dedup — the multimodal twin of 7b: each
+    // wave of payloads fingerprints with the perceptual gradient hash,
+    // near-dup-checks against the growing persisted index through the
+    // banded pigeonhole join, and appends survivors. Reported as
+    // PAYLOADS/sec including the index append.
+    var dhdedup_eps = 0L
+    locally {
+      val in7c = MemoryStream[(Long, String)]
+      val dhScratch = scratchDir("dhdedup")
+      val q7c = StreamPipelines.dhashDedupSink(
+          in7c.toDF().toDF("doc_id", "payload"), "doc_id", "payload",
+          s"$dhScratch/index", s"$dhScratch/ckpt",
+          trigger = Trigger.ProcessingTime(0))
+        .start()
+      def payloadWave(n: Int, idBase: Long, seed: Int): Seq[(Long, String)] = {
+        val rnd = new scala.util.Random(seed)
+        (0 until n).map { i =>
+          val body = (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+          (idBase + i, body)
+        }
+      }
+      in7c.addData(payloadWave(500, -500000L, -7)); q7c.processAllAvailable()
+      val dhWaves  = math.max(1, waves / 2)
+      val dhWaveSz = math.max(1, waveSize / 8)
+      val t7c = System.nanoTime()
+      (0 until dhWaves).foreach { w =>
+        in7c.addData(payloadWave(dhWaveSz, w.toLong * dhWaveSz, 300 + w))
+        q7c.processAllAvailable()
+      }
+      dhdedup_eps = (dhWaves.toLong * dhWaveSz / ((System.nanoTime() - t7c) / 1e9)).toLong
+      q7c.stop()
+    }
+
+    // -------------------------------------------------------------------
     // Pipeline 8: graph-ANN serving — query vectors arrive on a stream and
     // each micro-batch runs the beam walk against a PERSISTED corpus
     // index (adjacency + per-bucket entries built once, outside the
@@ -517,7 +551,7 @@ object StreamBench {
     val ab_eps = (abWaves.toLong * upsertSize / ((System.nanoTime() - tB) / 1e9)).toLong
     qB.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"dhash_dedup_ingest_payloads":$dhdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }

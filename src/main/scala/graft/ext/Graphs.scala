@@ -658,13 +658,19 @@ object Graphs {
     * `1e9 div round(ln(deg)·1000)` (the milli-nat convention; a shared
     * neighbor always has deg ≥ 2, so the divisor is ≥ 693 — never zero).
     *
-    * Scale: the two-hop self-join is quadratic in neighbor-list length,
-    * so hubs above `maxDeg` are EXCLUDED as wedge centers before the pair
-    * join (documented truncation, the standard practice — a hub's
-    * 1/ln(deg) contribution is asymptotically negligible exactly when its
-    * d² pair cost explodes). Existing edges leave by an anti-join on the
-    * canonical (a < b) key; the final cut is a TakeOrdered, not a global
-    * sort.
+    * Scale: wedge mass is quadratic in neighbor-list length, so hubs
+    * above `maxDeg` are EXCLUDED as wedge centers before enumeration
+    * (documented truncation, the standard practice — a hub's 1/ln(deg)
+    * contribution is asymptotically negligible exactly when its d² pair
+    * cost explodes). Wedges are NOT produced by a self-join: each capped
+    * center's sorted neighbor list collects once and the (u < v) pairs
+    * explode from a per-row HOF (≤ maxDeg²/2 structs), landing directly
+    * in the (u, v) hash-aggregate's MAP-SIDE partial — the only
+    * pair-keyed shuffle carries combined partials, never raw wedges
+    * (the former centers⋈centers join shuffled Σdeg² raw pair rows).
+    * Existing edges leave by an anti-join on the canonical (a < b) key
+    * AFTER aggregation (score-invariant, frame already pair-distinct);
+    * the final cut is a TakeOrderedAndProject, not a global sort.
     *
     * Output: top-k (u, v, common_neighbors, aa_micro) by score.
     */
@@ -678,18 +684,31 @@ object Graphs {
       .distinct()
     val adj = e.select(col("a").as("z"), col("b").as("n"))
       .unionAll(e.select(col("b").as("z"), col("a").as("n")))
+    // the hub cap applies BEFORE neighbor lists collect (a semi-shaped
+    // equi-join on the degree frame — same z-partitioning as the list
+    // aggregate, so the exchange is reused), keeping per-group collect
+    // state bounded by maxDeg even when the raw graph has mega-hubs
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("zdeg"))
-    val centers = adj.join(deg.filter(col("zdeg") <= maxDeg), Seq("z"))
-    val pairs = centers.as("x")
-      .join(centers.as("y"),
-        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
-      .select(col("x.n").as("u"), col("y.n").as("v"), col("x.zdeg").as("zdeg"))
-    pairs
-      .join(e, pairs("u") === e("a") && pairs("v") === e("b"), "left_anti")
+    val pairs = adj
+      .join(deg.filter(col("zdeg") <= maxDeg && col("zdeg") >= 2), Seq("z"))
+      .groupBy(col("z"), col("zdeg"))
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+      // two stacked generators (anchor element, then its suffix) — ~2×
+      // cheaper than flattening a maxDeg²/2 struct array per center
+      .select(col("zdeg"), col("ns"), posexplode(col("ns")).as(Seq("__i", "u")))
+      .select(col("u"),
+        explode(expr("slice(ns, __i + 2, size(ns))")).as("v"),
+        expr("1000000000L div cast(round(ln(zdeg) * 1000) as long)").as("__w"))
+    val scored = pairs
       .groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("common_neighbors"),
-        sum(expr("1000000000L div cast(round(ln(zdeg) * 1000) as long)"))
-          .as("aa_micro"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("__w")).as("aa_micro"))
+    // SHUFFLE_HASH: the anti probe side is already hash-partitioned by
+    // (u, v) from the aggregate; hashing the (far smaller) edge side
+    // avoids sort-merge's full sort of the scored pairs, and the build
+    // memory is edges/num-partitions — scales with the shuffle width
+    scored
+      .join(e.hint("SHUFFLE_HASH"),
+        scored("u") === e("a") && scored("v") === e("b"), "left_anti")
       .orderBy(col("aa_micro").desc, col("u"), col("v"))
       .limit(k)
   }
@@ -802,9 +821,12 @@ object Graphs {
     * bottom-k ([[graft.functions.KmvMinValues]] over md5-derived 40-bit
     * hashes) so an oracle reproduces every estimate bit for bit.
     *
-    * Per round: one adjacency equi-join + one explode of k-bounded
-    * sketch arrays + one O(k)-state hash-aggregate; sketches persist
-    * behind short-lineage anchors. Per-node sketches grow monotonically
+    * Per round: one adjacency equi-join + one O(k)-state hash-aggregate
+    * over the sketch ARRAYS themselves
+    * ([[graft.functions.KmvMergeArrays]] — the map-side partial merges
+    * whole sketches, so the shuffle carries combined partials, never
+    * exploded edges×k element rows); sketches persist behind
+    * short-lineage anchors. Per-node sketches grow monotonically
     * (bottom-k of a superset), so the per-round deltas are provably
     * non-negative.
     *
@@ -845,15 +867,19 @@ object Graphs {
     for (t <- 1 to rounds) {
       val fromNbrs = adj
         .join(sk.select(col("node").as("nbr"), col("hs")), "nbr")
-        .select(col("node"), explode(col("hs")).as("__h"))
-      val own = sk.select(col("node"), explode(col("hs")).as("__h"))
+        .select(col("node"), col("hs"))
+      val own = sk.select(col("node"), col("hs"))
+      // sketches merge as ARRAYS via the O(k)-state KmvMergeArrays
+      // aggregate — the map-side partial holds one merged buffer per
+      // (node, task), so the round's shuffle carries combined partials,
+      // never the former explode's edges×k element rows.
       // persist WITHOUT an eager count: the single final action (the
       // eager localCheckpoint below) materializes every round once,
       // caching as it goes — per-round count() barriers would add a
       // full job launch per hop for nothing
       val nextChain = fromNbrs.unionByName(own)
         .groupBy("node")
-        .agg(graft.functions.GraftFunctions.kmvValues(col("__h"), k).as("hs"))
+        .agg(graft.functions.GraftFunctions.kmvMergeArrays(col("hs"), k).as("hs"))
         .persist()
       mats ::= nextChain
       sk = spark.createDataFrame(nextChain.rdd, nextChain.schema)

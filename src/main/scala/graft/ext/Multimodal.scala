@@ -219,17 +219,17 @@ object Multimodal {
     * engines stay in exact BIGINT arithmetic (the simhash64
     * convention).
     */
-  def dhashFingerprints(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    // The whole fingerprint is ONE expression with lambda-bound
-    // intermediates (`transform(array(e), v -> ...)` evaluates e once and
-    // binds it to v — SQL's missing let-binding): with plain named
-    // columns, Catalyst's project collapse re-inlines the cell/bit
-    // arrays at EVERY reference — 2 references per bit × 64 bits
-    // re-derived the 72-cell array per row, measured 17 s vs 2 s on the
-    // q294 bench cell.
-    //
-    // codes: char codes extracted once per payload via split (O(len);
-    // ascii(substring(t, i, 1)) is O(len) PER CALL on UTF-8 = O(len²)).
+  // The whole fingerprint is ONE expression over a string column named
+  // `__t`, with lambda-bound intermediates (`transform(array(e), v ->
+  // ...)` evaluates e once and binds it to v — SQL's missing
+  // let-binding): with plain named columns, Catalyst's project collapse
+  // re-inlines the cell/bit arrays at EVERY reference — 2 references per
+  // bit × 64 bits re-derived the 72-cell array per row, measured 17 s vs
+  // 2 s on the q294 bench cell.
+  //
+  // codes: char codes extracted once per payload via split (O(len);
+  // ascii(substring(t, i, 1)) is O(len) PER CALL on UTF-8 = O(len²)).
+  private[ext] val DhashFpSql: String = {
     val codes = "transform(split(__t, ''), c -> CAST(ascii(c) AS BIGINT))"
     def cells(cs: String) =
       s"""transform(sequence(0, 71), j -> CAST(
@@ -247,17 +247,32 @@ object Multimodal {
         |  CASE WHEN $ce[CAST((k div 8) * 9 + k % 8 AS INT)] >
         |            $ce[CAST((k div 8) * 9 + k % 8 + 1 AS INT)]
         |    THEN 1L ELSE 0L END)""".stripMargin
-    val fp =
-      s"""transform(array($codes), __cs ->
-        |  transform(array(${cells("__cs")}), __ce ->
-        |    transform(array(${bits("__ce")}), __bs -> named_struct(
-        |      'hi', aggregate(slice(__bs, 1, 32), 0L, (a, b) -> a * 2L + b),
-        |      'lo', aggregate(slice(__bs, 33, 32), 0L, (a, b) -> a * 2L + b)
-        |    ))[0])[0])[0]""".stripMargin
-    df.select(col(idCol).as("id"), col(payloadCol).cast("string").as("__t"))
-      .withColumn("__fp", expr(fp))
-      .select(col("id"), col("__fp.hi").as("fp_hi"), col("__fp.lo").as("fp_lo"))
+    s"""transform(array($codes), __cs ->
+      |  transform(array(${cells("__cs")}), __ce ->
+      |    transform(array(${bits("__ce")}), __bs -> named_struct(
+      |      'hi', aggregate(slice(__bs, 1, 32), 0L, (a, b) -> a * 2L + b),
+      |      'lo', aggregate(slice(__bs, 33, 32), 0L, (a, b) -> a * 2L + b)
+      |    ))[0])[0])[0]""".stripMargin
   }
+
+  def dhashFingerprints(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(payloadCol).cast("string").as("__t"))
+      .withColumn("__fp", expr(DhashFpSql))
+      .select(col("id"), col("__fp.hi").as("fp_hi"), col("__fp.lo").as("fp_lo"))
+
+  /** The four 16-bit pigeonhole bands of a (fp_hi, fp_lo) fingerprint
+    * frame, exploded: adds (band_idx, band_val) beside the carried
+    * columns.
+    */
+  private def dhashBands(fps: DataFrame, carry: Seq[String]): DataFrame =
+    fps.select(carry.map(col) :+ explode(expr(
+        """array(named_struct('band_idx', 0, 'band_val', fp_hi div 65536),
+          |      named_struct('band_idx', 1, 'band_val', fp_hi % 65536),
+          |      named_struct('band_idx', 2, 'band_val', fp_lo div 65536),
+          |      named_struct('band_idx', 3, 'band_val', fp_lo % 65536))""".stripMargin))
+        .as("__b"): _*)
+      .select(carry.map(col) :+ col("__b.band_idx").as("band_idx") :+
+        col("__b.band_val").as("band_val"): _*)
 
   /** Banded dHash near-dup pairs: the four 16-bit fingerprint quarters
     * are the pigeonhole bands (maxHamming ≤ 3 ⇒ some band matches
@@ -272,15 +287,7 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       "maxHamming must be in [0, 3] for the 4-band pigeonhole guarantee")
     val fps = dhashFingerprints(df, idCol, payloadCol)
-    val bands = fps.select(col("id"), col("fp_hi"), col("fp_lo"),
-        explode(expr(
-          """array(named_struct('band_idx', 0, 'band_val', fp_hi div 65536),
-            |      named_struct('band_idx', 1, 'band_val', fp_hi % 65536),
-            |      named_struct('band_idx', 2, 'band_val', fp_lo div 65536),
-            |      named_struct('band_idx', 3, 'band_val', fp_lo % 65536))""".stripMargin))
-          .as("__b"))
-      .select(col("id"), col("fp_hi"), col("fp_lo"),
-        col("__b.band_idx").as("band_idx"), col("__b.band_val").as("band_val"))
+    val bands = dhashBands(fps, Seq("id", "fp_hi", "fp_lo"))
       .withColumn("__blk", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_idx"), col("band_val"))))
@@ -295,6 +302,96 @@ object Multimodal {
         expr("CAST(bit_count(__ha ^ __hb) + bit_count(__la ^ __lb) AS BIGINT)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming.toLong)
+  }
+
+  /** Batch-incremental dHash near-dup detection — [[dhashNearDups]] under
+    * the q283 ingest contract: `fresh` fingerprints (the micro-batch
+    * after its id anti-join, layout (id, fp_hi, fp_lo)) probe
+    * index ∪ fresh through the same 16-bit pigeonhole bands; candidates
+    * verify with the exact popcount. The hot-band cut counts over the
+    * CANDIDATE population (index ∪ fresh — the same population the batch
+    * operator counts), so a boilerplate fingerprint shared by thousands
+    * of stored images never pairs quadratically against a batch.
+    * The probe side is batch-sized: per-batch cost is bounded by batch ×
+    * band occupancy, not index history. Output: (id, nbr_id, hamming ≤
+    * maxHamming) with `id` always the fresh side.
+    */
+  def dhashNearDupsFromFresh(fresh: DataFrame, index: DataFrame,
+                             maxHamming: Int, maxBlockSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3] for the 4-band pigeonhole guarantee")
+    val cand = index.select(col("id"), col("fp_hi"), col("fp_lo"))
+      .unionByName(fresh.select(col("id"), col("fp_hi"), col("fp_lo")))
+    val blk = dhashBands(cand, Seq("id", "fp_hi", "fp_lo"))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("__blk"))
+      .filter(col("__blk") <= maxBlockSize)
+      .select(col("band_idx"), col("band_val"))
+    val cb = dhashBands(cand, Seq("id", "fp_hi", "fp_lo"))
+      .join(blk, Seq("band_idx", "band_val"))
+    val fb = dhashBands(fresh.select(col("id"), col("fp_hi"), col("fp_lo")),
+        Seq("id", "fp_hi", "fp_lo"))
+      .join(blk, Seq("band_idx", "band_val"))
+    fb.as("x").join(cb.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"), col("y.id").as("nbr_id"),
+        expr("""CAST(bit_count(x.fp_hi ^ y.fp_hi) +
+          |bit_count(x.fp_lo ^ y.fp_lo) AS BIGINT)""".stripMargin).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming.toLong)
+  }
+
+  /** Container-level (video) perceptual near-dup — the composed
+    * multimodal dedup: [[frameSample]]'s n ALIGNED evenly-spaced windows
+    * each fingerprint with the PERCEPTUAL [[dhashFingerprints]] hash
+    * (where q199/[[frameFingerprintNearDups]] uses exact md5 digests,
+    * which any in-window re-encode kills), candidate frame pairs block
+    * on (frame_idx, band_idx, band_val) — the pigeonhole join scoped to
+    * the SAME sample position, never an all-pairs — verify with the
+    * exact popcount, and a container pair is a near-dup when at least
+    * `minShared` of its n aligned frames match within `maxHamming` bits
+    * (frame voting). Hot (frame_idx, band) blocks above `maxBlockSize`
+    * drop as boilerplate before pairing, on the join's own key.
+    *
+    * Output: (id_a, id_b, n_matching_frames ≥ minShared,
+    * all_frames_match).
+    */
+  def videoDhashNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                         n: Int, frameBytes: Int, maxHamming: Int,
+                         minShared: Int, maxBlockSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3] for the 4-band pigeonhole guarantee")
+    require(minShared >= 1 && minShared <= n, "need 1 <= minShared <= n")
+    val fps = frameSample(df, idCol, payloadCol, n, frameBytes)
+      .select(col(idCol).as("id"),
+        posexplode(col("frames")).as(Seq("frame_idx", "__f")))
+      .select(col("id"), col("frame_idx"), col("__f").cast("string").as("__t"))
+      .withColumn("__fp", expr(DhashFpSql))
+      .select(col("id"), col("frame_idx"),
+        col("__fp.hi").as("fp_hi"), col("__fp.lo").as("fp_lo"))
+    val bands = dhashBands(fps, Seq("id", "frame_idx", "fp_hi", "fp_lo"))
+      .withColumn("__blk", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("frame_idx"), col("band_idx"), col("band_val"))))
+      .filter(col("__blk") <= maxBlockSize)
+    val a = bands.select(col("id").as("id_a"), col("frame_idx"),
+      col("fp_hi").as("__ha"), col("fp_lo").as("__la"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col("id").as("id_b"), col("frame_idx"),
+      col("fp_hi").as("__hb"), col("fp_lo").as("__lb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("frame_idx", "band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"),
+        expr("CAST(bit_count(__ha ^ __hb) + bit_count(__la ^ __lb) AS BIGINT)").as("__ham"))
+      .filter(col("__ham") <= maxHamming.toLong)
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matching_frames"))
+      .filter(col("n_matching_frames") >= minShared.toLong)
+      .withColumn("all_frames_match", col("n_matching_frames") === n.toLong)
   }
 
   /** STUB — deterministic pseudo-decode from payload bytes. A real decoder

@@ -277,6 +277,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvMinValues(children.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_merge_arrays"),
+      new ExpressionInfo(classOf[KmvMergeArrays].getName, "graft_kmv_merge_arrays"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kmv_merge_arrays(hashArrayCol, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_merge_arrays: k must be an integer literal, got $other")
+        }
+        KmvMergeArrays(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) => {
@@ -325,6 +337,12 @@ object GraftFunctions {
     * of a pre-hashed BIGINT column, ascending — the theta-set-op input. */
   def kmvValues(c: Column, k: Int): Column =
     call_function("graft_kmv_values", c, org.apache.spark.sql.functions.lit(k))
+  /** KMV union-merge of per-row `array<bigint>` sketches: the k
+    * unsigned-smallest distinct values across all rows' arrays, ascending
+    * — bit-identical to `kmvValues(explode(arr), k)` with O(k) map-side
+    * state instead of an explode. */
+  def kmvMergeArrays(c: Column, k: Int): Column =
+    call_function("graft_kmv_merge_arrays", c, org.apache.spark.sql.functions.lit(k))
   /** Misra-Gries heavy-hitters aggregate: map of ≤ m candidate items. */
   def freqItems(c: Column, m: Int): Column =
     call_function("graft_freq_items", c, org.apache.spark.sql.functions.lit(m))

@@ -199,3 +199,85 @@ case class KmvMinValues(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** [[KmvMinValues]] over ARRAY input: each input row contributes every
+  * element of its `array<bigint>` of pre-hashed values, and the result is
+  * the k unsigned-smallest distinct values across ALL rows' arrays —
+  * i.e. the exact KMV union-merge of per-row sketches, as ONE aggregate.
+  *
+  * This is the sketch-typed-state shape for iterative sketch propagation
+  * ([[graft.ext.Graphs.hyperAnf]]): merging neighbor sketches per node
+  * previously required exploding every k-array into k rows (the shuffle
+  * carried edges×k rows); with the array input the map-side partial
+  * already holds ONE merged O(k) buffer per (node, task), so the shuffle
+  * carries combined partials — per-node-per-map-partition, never
+  * per-edge-per-element. Output order and semantics are bit-identical to
+  * `kmvValues(explode(hs), k)`.
+  */
+case class KmvMergeArrays(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[KmvBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kmv_merge_arrays"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k >= 16 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: k must be >= 16, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> of pre-hashed values, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) { buffer.add(arr.getLong(i)); i += 1 }
+    }
+    buffer
+  }
+
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buffer.mergeFrom(other); buffer
+  }
+
+  override def eval(buffer: KmvBuffer): Any = {
+    val vs = buffer.values
+    java.util.Arrays.sort(vs)
+    val (neg, pos) = vs.partition(_ < 0)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pos ++ neg)
+  }
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = {
+    val vs = buffer.values
+    val bb = ByteBuffer.allocate(4 + 4 + 8 * vs.length)
+    bb.putInt(buffer.k).putInt(vs.length)
+    vs.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val buf = new KmvBuffer(bb.getInt)
+    val n   = bb.getInt
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeArrays =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeArrays =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

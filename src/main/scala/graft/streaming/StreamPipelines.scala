@@ -1210,7 +1210,7 @@ object StreamPipelines {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
-  /** Streaming twin of q232 — [[graft.ext.TextDedup.simhashIncremental]]
+  /** Streaming twin of q283 — [[graft.ext.TextDedup.simhash64Incremental]]
     * run per micro-batch against a PERSISTED fingerprint index: the
     * Manku et al. (WWW 2007) use case IS crawl ingest. An arriving
     * document is DROPPED when its fingerprint near-dups an indexed
@@ -1219,6 +1219,12 @@ object StreamPipelines {
     * append their fingerprints to the index. Replay-safe: a re-delivered
     * batch has no fresh fingerprints after the id anti join, so it
     * appends nothing — the index converges.
+    *
+    * Fingerprints are the 64-bit width with 16-bit bands — the
+    * PRODUCTION default (SCALING.md: band occupancy n/2¹⁶ keeps the
+    * fixed-batch probe flat as the index grows; the 32-bit operator
+    * q232 exercises remains the documented cheap probe). Index layout:
+    * (idCol, sh_hi, sh_lo).
     */
   def simhashDedupIngestBatch(
       batch: DataFrame,
@@ -1234,12 +1240,12 @@ object StreamPipelines {
       val spark = batch.sparkSession
       val index =
         if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
-        else graft.ext.TextDedup.simhashIndex(batch, idCol, textCol).limit(0)
-      val fresh = graft.ext.TextDedup.simhashIndex(batch, idCol, textCol)
+        else graft.ext.TextDedup.simhash64Index(batch, idCol, textCol).limit(0)
+      val fresh = graft.ext.TextDedup.simhash64Index(batch, idCol, textCol)
         .join(index.select(col(idCol)), Seq(idCol), "left_anti")
         .persist()
       try {
-        val dups = graft.ext.TextDedup.simhashIncrementalFromFresh(
+        val dups = graft.ext.TextDedup.simhash64IncrementalFromFresh(
           fresh, index, idCol, nBands, maxHamming)
         // a near-dup partner kills the fresh doc when the partner is
         // indexed (absent from the fresh set) or an earlier batch doc
@@ -1279,6 +1285,78 @@ object StreamPipelines {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         simhashDedupIngestBatch(batch, idCol, textCol, indexPath,
           nBands, maxHamming)
+      }
+
+  /** Streaming twin of q294 at the ingest tier — the [[simhashDedupIngestBatch]]
+    * contract one modality over: each micro-batch's payloads fingerprint
+    * with the perceptual dHash
+    * ([[graft.ext.Multimodal.dhashFingerprints]]), re-delivered ids drop
+    * by the anti-join against the PERSISTED fingerprint index, fresh
+    * fingerprints probe index ∪ batch through the banded pigeonhole join
+    * ([[graft.ext.Multimodal.dhashNearDupsFromFresh]] — per-batch cost is
+    * batch × band occupancy, never index history), near-dup arrivals are
+    * DROPPED (first-wins: an indexed partner, or a smaller-id batch
+    * partner), and survivors append (id, fp_hi, fp_lo) to the index.
+    * Replay-safe: a re-delivered batch has no fresh fingerprints, so it
+    * appends nothing — the index converges.
+    */
+  def dhashDedupIngestBatch(
+      batch: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      maxHamming: Int = 3,
+      maxBlockSize: Int = 64
+  ): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val index =
+        if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
+        else graft.ext.Multimodal.dhashFingerprints(batch, idCol, payloadCol).limit(0)
+      val fresh = graft.ext.Multimodal.dhashFingerprints(batch, idCol, payloadCol)
+        .join(index.select(col("id")), Seq("id"), "left_anti")
+        .persist()
+      try {
+        val dups = graft.ext.Multimodal.dhashNearDupsFromFresh(
+          fresh, index, maxHamming, maxBlockSize)
+        val dropIds = dups
+          .join(fresh.select(col("id").as("nbr_id"), lit(1).as("__f")),
+            Seq("nbr_id"), "left")
+          .filter(col("__f").isNull || col("nbr_id") < col("id"))
+          .select(col("id"))
+          .distinct()
+        val admitted = fresh.join(dropIds, Seq("id"), "left_anti")
+        admitted.write.mode("append").parquet(indexPath)
+      } finally {
+        fresh.unpersist()
+        ()
+      }
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
+  /** [[dhashDedupIngestBatch]] as a foreachBatch sink. */
+  def dhashDedupSink(
+      stream: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 3,
+      maxBlockSize: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dhashDedupIngestBatch(batch, idCol, payloadCol, indexPath,
+          maxHamming, maxBlockSize)
       }
 
   /** Streaming ANN serving — the deployment shape of the graph-ANN tier

@@ -157,4 +157,45 @@ class MultimodalSpec extends SparkFunSuite {
       Multimodal.dhashNearDups(df, "id", "payload", maxHamming = 4)
     }
   }
+
+  test("dhashNearDupsFromFresh: fresh probes index ∪ batch, directional output") {
+    import org.apache.spark.sql.functions._
+    val base  = (1 to 400).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val twin  = base.substring(0, 200) + "QQQQ" + base.substring(204)
+    val other = (1 to 400).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val index = Multimodal.dhashFingerprints(
+      Seq((1L, base), (3L, other)).toDF("id", "payload"), "id", "payload")
+    // fresh batch: 2 twins indexed 1; 4 and 5 are within-batch twins
+    val fresh = Multimodal.dhashFingerprints(
+      Seq((2L, twin), (4L, other + "zz"), (5L, other + "zz"))
+        .toDF("id", "payload"), "id", "payload")
+    val got = Multimodal.dhashNearDupsFromFresh(index = index, fresh = fresh,
+        maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // id is always the fresh side; indexed partners and batch partners
+    // both surface (4↔5 appear in both directions — fresh × candidates)
+    assert(got == Set((2L, 1L), (4L, 5L), (5L, 4L)), s"got=$got")
+  }
+
+  test("videoDhashNearDups: frame voting — out-of-window edit keeps all votes, " +
+    "in-window edit survives perceptually, unrelated payloads never pair") {
+    import org.apache.spark.sql.functions._
+    val base  = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    // edit inside frame 1's window (starts at 801/4 = 200): the md5 frame
+    // digest would die; the perceptual hash flips ≤3 bits and still votes
+    val inWin  = base.substring(0, 210) + "QQ" + base.substring(212)
+    // edit between windows (frames are 96 bytes from 0/200/400/600): byte
+    // 150 is sampled by NO frame → all four frames identical
+    val outWin = base.substring(0, 150) + "QQ" + base.substring(152)
+    val other  = (1 to 800).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val df = Seq((1L, base), (2L, inWin), (3L, outWin), (4L, other))
+      .toDF("id", "payload")
+    val got = Multimodal.videoDhashNearDups(df, "id", "payload",
+        n = 4, frameBytes = 96, maxHamming = 3, minShared = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got=$got")
+    assert(got((1L, 3L)) == ((4L, true)), "out-of-window edit: all 4 frames vote")
+    assert(got((1L, 2L))._1 >= 3L, "in-window edit: at least 3 of 4 frames vote")
+  }
 }

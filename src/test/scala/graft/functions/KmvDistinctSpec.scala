@@ -36,4 +36,27 @@ class KmvDistinctSpec extends SparkFunSuite {
     val n = spark.sql("SELECT graft_kmv_distinct(user_id, 64) FROM ev_kmv").collect().head.getLong(0)
     assert(n > 0)
   }
+
+  test("kmvMergeArrays == kmvValues over explode, bit for bit, across partitions") {
+    // per-group arrays of 40-bit-ish hashes with overlaps and duplicates,
+    // spread over partitions so partial-buffer merges are exercised
+    val rows = spark.range(0, 2000).repartition(8)
+      .select(($"id" % 7).as("g"),
+        expr("transform(sequence(0, 5), i -> (id * 37 + CAST(i AS BIGINT) * 1013904223) % 1099511627776)")
+          .as("hs"))
+      .persist()
+    val k = 32
+    val viaArrays = rows.groupBy($"g")
+      .agg(GraftFunctions.kmvMergeArrays($"hs", k).as("sk"))
+    val viaExplode = rows.select($"g", explode($"hs").as("h")).groupBy($"g")
+      .agg(GraftFunctions.kmvValues($"h", k).as("sk"))
+    val a = viaArrays.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = viaExplode.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a.keySet == b.keySet)
+    for ((g, sk) <- a) {
+      assert(sk == b(g), s"group $g diverged")
+      assert(sk.size <= k && sk == sk.sorted)
+    }
+    rows.unpersist()
+  }
 }

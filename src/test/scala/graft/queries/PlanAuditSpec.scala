@@ -2044,6 +2044,19 @@ class PlanAuditSpec extends SparkFunSuite {
     assert("Generate".r.findAllIn(p).size <= 2, s"unexpected extra explodes:\n$p")
   }
 
+  test("q302: frame fingerprints HOF-projected; pair join blocked on (frame, band), never all-pairs") {
+    val p = plan("q302_video_dhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must meet only inside a (frame_idx, band_idx, band_val) block:\n$p")
+    // generators: one frame posexplode per side's lineage + one band
+    // explode per side — the dHash cell/bit extraction itself must stay
+    // a projection (no corpus-sized explode)
+    assert("Generate".r.findAllIn(p).size <= 4, s"unexpected extra explodes:\n$p")
+    // container verdicts aggregate distinct frame votes — a hash agg, no
+    // global sort anywhere
+    assert(p.contains("HashAggregate"), s"frame voting must hash-aggregate:\n$p")
+  }
+
   test("q293: decomposition runs on the calendar spine — bounded windows, broadcast seasonal join") {
     val p = plan("q293_seasonal_decompose")
     assert(p.contains("Window"), s"the centered trend window is load-bearing:\n$p")

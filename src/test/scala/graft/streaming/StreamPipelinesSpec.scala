@@ -637,6 +637,33 @@ class StreamPipelinesSpec extends SparkFunSuite {
     assert(indexIds == Set(1L, 3L, 7L))
   }
 
+  test("dhashDedupIngestBatch drops perceptual near-dups vs batch AND index; replay converges") {
+    val indexPath = tmpDir("dhidx") + "/index"
+    def indexIds = spark.read.parquet(indexPath).collect().map(_.getLong(0)).toSet
+    val base  = (1 to 400).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    // brightness shift: perceptually identical (hamming 0, the dhash spec
+    // invariant) — the re-encode survivor the md5 tier cannot catch
+    val tweak = base.map(c => (c + 1).toChar)
+    val other = (1 to 400).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val third = (1 to 400).map(i => ('a' + (i * 13 % 26)).toChar).mkString
+    // batch 1: 2 is a perceptual twin of 1 (dropped, first-wins by id);
+    // 3 is unrelated (admitted)
+    StreamPipelines.dhashDedupIngestBatch(
+      Seq((1L, base), (2L, tweak), (3L, other)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath)
+    assert(indexIds == Set(1L, 3L))
+    // batch 2: 5 twins INDEXED 1 (dropped), 1 redelivers (no-op), 7 fresh
+    StreamPipelines.dhashDedupIngestBatch(
+      Seq((5L, tweak), (1L, base), (7L, third)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath)
+    assert(indexIds == Set(1L, 3L, 7L))
+    // replay of batch 2 appends nothing — the index converges
+    StreamPipelines.dhashDedupIngestBatch(
+      Seq((5L, tweak), (1L, base), (7L, third)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath)
+    assert(indexIds == Set(1L, 3L, 7L))
+  }
+
   test("semanticDedupSink admits per cluster vs batch AND persisted index; replay converges") {
     // frozen 2-dim router: centroid 0 = (1, 0), centroid 1 = (0, 1)
     val cents = Seq((0L, 1L, 10000L), (0L, 2L, 0L), (1L, 1L, 0L), (1L, 2L, 10000L))
