@@ -352,8 +352,7 @@ object Explain {
     "q298_crypto_shred", // HOF keystream cipher; subject-keyed joins only
     "q299_ab_chi2", // two chained conditional-count aggregates
     "q300_session_paths", // tag+rank windows -> path agg -> TakeOrdered
-    "q301_weekday_heatmap", // cell agg + broadcast total + 168-row window
-    "q302_video_dhash_neardup" // frame HOF fingerprints; (frame, band)-blocked join
+    "q301_weekday_heatmap" // cell agg + broadcast total + 168-row window
   )
 
   def main(args: Array[String]): Unit = {
@@ -388,6 +387,17 @@ object Explain {
       it.count()
       sb.append(s"\n## q87_pagerank (one power iteration)\n\n```\n")
       sb.append(it.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q302's query frame serves from QueryCaches.videoPairsFor (a cache
+    // scan); the load-bearing plan is the operator over the same corpus
+    locally {
+      val vp = graft.ext.Multimodal.videoDhashNearDups(
+        graft.queries.ExtensionQueries.videoCorpus(spark, sfDir),
+        "doc_id", "text", n = 4, frameBytes = 96, maxHamming = 3, minShared = 3)
+      sb.append(s"\n## q302_video_dhash_neardup (operator plan)\n\n```\n")
+      sb.append(vp.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }

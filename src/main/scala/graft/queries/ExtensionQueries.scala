@@ -10383,20 +10383,9 @@ object ExtensionQueries {
   // 64-row hot-block cut on the join's own key.
   private val q302 = Q(
     "q302_video_dhash_neardup",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val ea = docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          expr("overlay(text PLACING 'QQ' FROM " +
-            "greatest(1, CAST(length(text) div 5 AS INT)))").as("text"))
-      val eb = docs.filter(col("doc_id") % 13 === 6)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          expr("overlay(text PLACING 'QQ' FROM " +
-            "greatest(1, CAST(length(text) div 4 + 8 AS INT)))").as("text"))
-      Multimodal.videoDhashNearDups(
-        docs.unionByName(ea).unionByName(eb), "doc_id", "text",
-        n = 4, frameBytes = 96, maxHamming = 3, minShared = 3)
-    },
+    // served from QueryCaches.videoPairsFor — q302 and q303 share the
+    // fingerprint + banded-join build (the q60/q75 labelsFor contract)
+    (s, dir) => QueryCaches.videoPairsFor(s, dir),
     Some("""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
       ea AS (SELECT id + 2000000 AS id,
           substr(text, 1, greatest(1, length(text) // 5) - 1) || 'QQ' ||
@@ -10454,6 +10443,131 @@ object ExtensionQueries {
       FROM pv GROUP BY 1, 2 HAVING count(*) >= 3""")
   )
 
+  /** The q302 corpus (base documents + the two planted edit families),
+    * carrying `source` so the remediation report can roll up per
+    * provenance — planted copies inherit their original's source.
+    */
+  private[graft] def videoCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val ea = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        expr("overlay(text PLACING 'QQ' FROM " +
+          "greatest(1, CAST(length(text) div 5 AS INT)))").as("text"))
+    val eb = docs.filter(col("doc_id") % 13 === 6)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+        expr("overlay(text PLACING 'QQ' FROM " +
+          "greatest(1, CAST(length(text) div 4 + 8 AS INT)))").as("text"))
+    docs.unionByName(ea).unionByName(eb)
+  }
+
+  // Multimodal tier: video dedup REMEDIATION — the governance step over
+  // q302's verdicts (the q99-q102 paragraph-remediation contract at the
+  // container tier): near-dup pairs become an undirected graph, connected
+  // components (pointer-jumping, component = min id — the deterministic
+  // canonical winner) assign every container a cluster, non-canonical
+  // cluster members are the DROP list, and the report rolls up per
+  // source: containers, clustered, dropped, kept, keep share in bp.
+  // Cross-tier composition: multimodal fingerprints → graph CC →
+  // governance report.
+  private val q303 = Q(
+    "q303_video_dedup_remediation",
+    (s, dir) => {
+      val corpus = videoCorpus(s, dir)
+      val pairs = QueryCaches.videoPairsFor(s, dir)
+      val labels = graft.ext.Components.connectedComponents(
+        pairs, "id_a", "id_b")
+      val lab = corpus.select(col("doc_id"), col("source"))
+        .join(labels, corpus("doc_id") === labels("node"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val sizes = lab.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__sz"))
+      lab.join(sizes, Seq("cluster_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_containers"),
+          sum(when(col("__sz") >= 2L, 1L).otherwise(0L)).as("n_in_clusters"),
+          sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .withColumn("keep_bp",
+          expr("CAST((n_kept * 10000) div n_containers AS BIGINT)"))
+    },
+    Some("""WITH RECURSIVE
+      base AS (SELECT CAST(doc_id AS BIGINT) AS id, source, text FROM documents),
+      ea AS (SELECT id + 2000000 AS id, source,
+          substr(text, 1, greatest(1, length(text) // 5) - 1) || 'QQ' ||
+            substr(text, greatest(1, length(text) // 5) + 2) AS text
+        FROM base WHERE id % 13 = 0),
+      eb AS (SELECT id + 3000000 AS id, source,
+          substr(text, 1, greatest(1, length(text) // 4 + 8) - 1) || 'QQ' ||
+            substr(text, greatest(1, length(text) // 4 + 8) + 2) AS text
+        FROM base WHERE id % 13 = 6),
+      un AS (SELECT * FROM base UNION ALL SELECT * FROM ea
+        UNION ALL SELECT * FROM eb),
+      fr AS (SELECT id, CAST(u.i AS BIGINT) AS frame_idx,
+          substring(text, CAST((u.i * length(text)) // 4 + 1 AS INT), 96) AS t
+        FROM un, UNNEST(range(0, 4)) AS u(i)),
+      cl AS (SELECT id, frame_idx, list_transform(range(0, 72), j -> CAST(
+          CASE WHEN ((j + 1) * length(t)) // 72 >= (j * length(t)) // 72 + 1
+            THEN list_sum(list_transform(
+                range((j * length(t)) // 72 + 1,
+                  ((j + 1) * length(t)) // 72 + 1),
+                i -> CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)))
+              // (((j + 1) * length(t)) // 72 - (j * length(t)) // 72)
+            ELSE 0 END AS BIGINT)) AS cells
+        FROM fr),
+      bt AS (SELECT id, frame_idx, list_transform(range(0, 64), k ->
+          CASE WHEN cells[CAST((k // 8) * 9 + k % 8 + 1 AS INT)] >
+                    cells[CAST((k // 8) * 9 + k % 8 + 2 AS INT)]
+            THEN 1 ELSE 0 END) AS bits
+        FROM cl),
+      fp AS (SELECT id, frame_idx,
+          CAST(list_sum(list_transform(range(0, 32), k ->
+            bits[CAST(k + 1 AS INT)] *
+              (CAST(1 AS BIGINT) << CAST(31 - k AS INT)))) AS BIGINT) AS fp_hi,
+          CAST(list_sum(list_transform(range(0, 32), k ->
+            bits[CAST(k + 33 AS INT)] *
+              (CAST(1 AS BIGINT) << CAST(31 - k AS INT)))) AS BIGINT) AS fp_lo
+        FROM bt),
+      bd AS (SELECT id, frame_idx, fp_hi, fp_lo, u.band_idx,
+          CASE u.band_idx WHEN 0 THEN fp_hi // 65536 WHEN 1 THEN fp_hi % 65536
+            WHEN 2 THEN fp_lo // 65536 ELSE fp_lo % 65536 END AS band_val
+        FROM fp, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+      bk AS (SELECT * FROM (SELECT bd.*,
+          count(*) OVER (PARTITION BY frame_idx, band_idx, band_val) AS blk
+          FROM bd)
+        WHERE blk <= 64),
+      pv AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.frame_idx
+        FROM bk a JOIN bk b ON a.frame_idx = b.frame_idx
+          AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.id < b.id
+        WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
+          bit_count(xor(a.fp_lo, b.fp_lo)) <= 3),
+      pr AS (SELECT id_a, id_b FROM pv GROUP BY 1, 2 HAVING count(*) >= 3),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr),
+      reach(node, label) AS (
+        SELECT id, id FROM un
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src),
+      cc AS (SELECT node AS id, min(label) AS cluster_id FROM reach GROUP BY 1),
+      lab AS (SELECT un.id, un.source, cc.cluster_id
+        FROM un JOIN cc ON un.id = cc.id),
+      sizes AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1)
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_containers,
+        CAST(sum(CASE WHEN s.sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_clusters,
+        CAST(sum(CASE WHEN l.id <> l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(sum(CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST((sum(CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END) * 10000)
+          // count(*) AS BIGINT) AS keep_bp
+      FROM lab l JOIN sizes s USING (cluster_id)
+      GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -10463,5 +10577,5 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303)
 }

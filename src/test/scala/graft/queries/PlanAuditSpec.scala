@@ -2045,7 +2045,12 @@ class PlanAuditSpec extends SparkFunSuite {
   }
 
   test("q302: frame fingerprints HOF-projected; pair join blocked on (frame, band), never all-pairs") {
-    val p = plan("q302_video_dhash_neardup")
+    // q302's query frame serves from QueryCaches.videoPairsFor (a cache
+    // scan); the load-bearing plan is the operator over the same corpus
+    val p = graft.ext.Multimodal.videoDhashNearDups(
+        ExtensionQueries.videoCorpus(spark, sf), "doc_id", "text",
+        n = 4, frameBytes = 96, maxHamming = 3, minShared = 3)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidates must meet only inside a (frame_idx, band_idx, band_val) block:\n$p")
     // generators: one frame posexplode per side's lineage + one band
