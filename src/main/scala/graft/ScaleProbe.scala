@@ -220,6 +220,25 @@ object ScaleProbe {
         graft.ext.Multimodal.dhashFingerprints(docsAt(m), "doc_id", "text")
           .count()
       },
+      // q302's container near-dup on an m×-grown corpus whose replicas
+      // carry a per-replica ROTATED-alphabet translate (not a uniform
+      // char shift — dHash is brightness-shift invariant, so +r on every
+      // char would plant m² cross-replica hamming-0 twins and measure a
+      // quadratic TRUE-pair mass, not the operator): output stays
+      // corpus-linear and the curve must track fingerprints + the
+      // (frame, band)-blocked join
+      "video_dhash" -> { m =>
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val corpus = (0 until m).map { r =>
+          val rot = alpha.drop(r % 26) + alpha.take(r % 26)
+          Tables.documents(spark, sfDir)
+            .select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+              translate(col("text"), alpha, rot).as("text"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        graft.ext.Multimodal.videoDhashNearDups(corpus, "doc_id", "text",
+          n = 4, frameBytes = 96, maxHamming = 3, minShared = 3).count()
+      },
       // q292's sketch path in isolation (the audit's exact side is
       // deliberately excluded — it is the thing the sketch replaces):
       // one histogram aggregate, state bounded by the bucket space
@@ -848,6 +867,7 @@ object ScaleProbe {
       "graph_ann_walk" -> (m => m.toLong), // timed via `custom` below
       "incr_simhash_probe" -> (m => m.toLong), // timed via `custom` below
       "incr_simhash64_probe" -> (m => m.toLong), // timed via `custom` below
+      "incr_dhash_probe" -> (m => m.toLong), // timed via `custom` below
       "knn_maintain_probe" -> (m => m.toLong), // timed via `custom` below
       // q233's truth stage after the r10 bound: the exact all-pairs
       // Jaccard runs over a FIXED-SIZE hash-cut sample (400 docs by
@@ -980,6 +1000,30 @@ object ScaleProbe {
       idx.unpersist(); t
     }
 
+    // incr_dhash_probe: a FIXED payload batch against a perceptual
+    // fingerprint index growing with the multiplier (the incr_simhash64
+    // contract at the multimodal tier — the streaming dhashDedupSink's
+    // batch body). Index built outside the timer; the timed work is the
+    // batch fingerprinting + id anti join + the banded pigeonhole probe,
+    // whose cost must track band-bucket occupancy (linear in the index
+    // scan at worst), never index history
+    def incrDhashTimed(m: Int): Double = {
+      val idx = graft.ext.Multimodal.dhashFingerprints(
+        docsAt(m), "doc_id", "text").persist()
+      idx.count()
+      val batch = Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + 90000000L)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t = time {
+        val fresh = graft.ext.Multimodal.dhashFingerprints(
+            batch, "doc_id", "text")
+          .join(idx.select(col("id")), Seq("id"), "left_anti")
+        graft.ext.Multimodal.dhashNearDupsFromFresh(fresh, idx,
+          maxHamming = 3).count()
+      }
+      idx.unpersist(); t
+    }
+
     // knn_maintain_probe: the composed q287 loop — a FIXED embedding
     // batch's maintenance edges merge into a persisted adjacency grown
     // with the multiplier, and the beam walk runs over the merged graph.
@@ -1046,6 +1090,7 @@ object ScaleProbe {
         "graph_ann_walk" -> gannTimed,
         "incr_simhash_probe" -> incrSimhashTimed,
         "incr_simhash64_probe" -> incrSimhash64Timed,
+        "incr_dhash_probe" -> incrDhashTimed,
         "knn_maintain_probe" -> knnMaintainTimed,
         "pagerank_iter_mb_str" -> prIterMB(encode = false),
         "pagerank_iter_mb_enc" -> prIterMB(encode = true))
