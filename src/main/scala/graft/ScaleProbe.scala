@@ -214,10 +214,14 @@ object ScaleProbe {
         graft.ext.Graphs.hyperAnf(copurchaseAt(m, partMod = 7),
           "src", "dst", rounds = 4, k = 32).count()
       },
-      // q294's fingerprint path: one split + lambda-let HOF chain per
-      // payload, no shuffle — must track the corpus scan exactly
+      // q294's fingerprint path (the native graft_dhash64 expression —
+      // one char scan per row), no shuffle — must track the corpus scan.
+      // The fingerprint columns are CONSUMED by the aggregate: a bare
+      // count() would column-prune the expression away and time an empty
+      // scan (which is exactly what the pre-r11 row measured)
       "dhash_fp" -> { m =>
         graft.ext.Multimodal.dhashFingerprints(docsAt(m), "doc_id", "text")
+          .agg(sum(col("fp_hi") + col("fp_lo")).as("__s"))
           .count()
       },
       // q302's container near-dup on an m×-grown corpus whose replicas

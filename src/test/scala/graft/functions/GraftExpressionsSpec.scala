@@ -137,4 +137,30 @@ class GraftExpressionsSpec extends SparkFunSuite {
     // "*(1)" is the whole-stage-codegen marker on the Project
     assert(plan.contains("*(1) Project [graft_jaro_winkler"), plan)
   }
+
+  test("graft_dhash64 == the HOF fingerprint, bit for bit, on adversarial payloads") {
+    import spark.implicits._
+    val payloads = Seq(
+      "",                                             // zero-length: all cells 0
+      "a",                                            // 1 char: one covered cell
+      "ab" * 36,                                      // exactly 72 chars: 1/cell
+      (1 to 400).map(i => ('a' + (i * 7 % 26)).toChar).mkString,
+      (1 to 2000).map(i => (' ' + (i * 31 % 90)).toChar).mkString, // wide code range
+      "The quick brown fox jumps over the lazy dog. " * 20)
+    val df = payloads.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "__t").persist()
+    val native = df.select($"id", GraftFunctions.dhash64($"__t").as("f"))
+      .select($"id", $"f.hi", $"f.lo").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val hof = df.withColumn("f", expr(graft.ext.Multimodal.DhashFpSql))
+      .select($"id", $"f.hi", $"f.lo").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(native == hof, s"native=$native\nhof=$hof")
+    df.unpersist()
+    // codegen-compatible on a non-local projection
+    val plan = spark.range(8)
+      .select(GraftFunctions.dhash64(concat(lit("payload"), $"id".cast("string"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dhash64"), plan)
+  }
 }
