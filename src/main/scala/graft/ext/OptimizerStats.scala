@@ -25,11 +25,32 @@ import org.apache.spark.sql.functions._
   */
 object OptimizerStats {
 
+  /** floor(x² / d) exactly in BIGINT below the checked 3·10⁹ bound; the
+    * single-rounded-double form above, capped at the 9.2e18 literal
+    * (exactly representable as a double in both engines, unlike
+    * Long.MaxValue which rounds UP past 2⁶³ and errors DuckDB's cast).
+    */
+  private[ext] def sqDiv(x: String, d: String): String =
+    s"""CASE WHEN $d <= 0 THEN 0
+       |  WHEN $x <= 3000000000L THEN ($x * $x) div $d
+       |  ELSE CAST(least(round((CAST($x AS DOUBLE) * $x) / $d), 9.2e18)
+       |    AS BIGINT) END""".stripMargin
+
   /** Audit row for the self-join |df ⋈ df on keyCol|.
     *
     * Output (one row): exact_pairs, n_rows, n_distinct, est_uniform,
     * est_hh, err_uniform_bp, err_hh_bp (absolute error in basis points
     * of the exact size; integer floor division throughout).
+    *
+    * Overflow regime (the [[RobustStats.chi2CentiCol]] convention —
+    * `n²` wraps signed 64-bit at n > 3.03·10⁹, a REALISTIC table size):
+    * below the checked 3·10⁹ bound every estimate is exact BIGINT;
+    * above it the squares move to the single-rounded-double convention
+    * (fixed association order, one terminal round — IEEE-identical in
+    * Spark and DuckDB), saturating at 9.2·10¹⁸ so neither engine wraps
+    * or errors. `exact_pairs`/`hh_sq` (Σc²) stay plain BIGINT sums —
+    * they wrap only when the true pair count itself exceeds 9.2·10¹⁸,
+    * i.e. when the audited self-join is beyond any system's reach.
     */
   def selfJoinSizeAudit(df: DataFrame, keyCol: String, hh: Int): DataFrame = {
     require(hh > 0, "need at least one heavy hitter")
@@ -42,16 +63,20 @@ object OptimizerStats {
       .agg(coalesce(sum(col("c")), lit(0L)).as("hh_n"),
         coalesce(sum(col("c") * col("c")), lit(0L)).as("hh_sq"),
         count(lit(1)).as("hh_d"))
+    // |est − exact|·10⁴ re-wraps at |diff| > 9.2e14: same branch shape
+    def errBp(est: String) =
+      s"""CASE WHEN abs($est - exact_pairs) <= 900000000000000L
+         |  THEN (abs($est - exact_pairs) * 10000L) div exact_pairs
+         |  ELSE CAST(least(round(CAST(abs($est - exact_pairs) AS DOUBLE)
+         |      * 10000.0 / exact_pairs), 9.2e18) AS BIGINT) END""".stripMargin
     totals.crossJoin(top)
-      .withColumn("est_uniform", expr("(n_rows * n_rows) div n_distinct"))
+      .withColumn("est_uniform", expr(sqDiv("n_rows", "n_distinct")))
       .withColumn("est_hh", expr(
-        """hh_sq + (CASE WHEN n_distinct > hh_d
-          | THEN ((n_rows - hh_n) * (n_rows - hh_n)) div (n_distinct - hh_d)
-          | ELSE 0 END)""".stripMargin))
-      .withColumn("err_uniform_bp",
-        expr("(abs(est_uniform - exact_pairs) * 10000L) div exact_pairs"))
-      .withColumn("err_hh_bp",
-        expr("(abs(est_hh - exact_pairs) * 10000L) div exact_pairs"))
+        s"""hh_sq + (CASE WHEN n_distinct > hh_d
+           | THEN ${sqDiv("(n_rows - hh_n)", "(n_distinct - hh_d)")}
+           | ELSE 0 END)""".stripMargin))
+      .withColumn("err_uniform_bp", expr(errBp("est_uniform")))
+      .withColumn("err_hh_bp", expr(errBp("est_hh")))
       .select(col("exact_pairs"), col("n_rows"), col("n_distinct"),
         col("est_uniform"), col("est_hh"),
         col("err_uniform_bp"), col("err_hh_bp"))

@@ -5581,17 +5581,29 @@ object ExtensionQueries {
           CAST(count(*) AS BIGINT) AS hh_d
         FROM (SELECT user_id, c FROM c ORDER BY c DESC, user_id LIMIT 20)),
       e AS (SELECT exact_pairs, n_rows, n_distinct,
-          (n_rows * n_rows) // n_distinct AS est_uniform,
+          (CASE WHEN n_distinct <= 0 THEN 0
+            WHEN n_rows <= 3000000000 THEN (n_rows * n_rows) // n_distinct
+            ELSE CAST(least(round((CAST(n_rows AS DOUBLE) * n_rows) / n_distinct),
+              9.2e18) AS BIGINT) END) AS est_uniform,
           hh_sq + (CASE WHEN n_distinct > hh_d
-            THEN ((n_rows - hh_n) * (n_rows - hh_n)) // (n_distinct - hh_d)
+            THEN (CASE WHEN n_rows - hh_n <= 3000000000
+              THEN ((n_rows - hh_n) * (n_rows - hh_n)) // (n_distinct - hh_d)
+              ELSE CAST(least(round((CAST(n_rows - hh_n AS DOUBLE) * (n_rows - hh_n))
+                / (n_distinct - hh_d)), 9.2e18) AS BIGINT) END)
             ELSE 0 END) AS est_hh
         FROM t, h)
       SELECT exact_pairs, n_rows, n_distinct,
         CAST(est_uniform AS BIGINT) AS est_uniform,
         CAST(est_hh AS BIGINT) AS est_hh,
-        CAST((abs(est_uniform - exact_pairs) * 10000) // exact_pairs AS BIGINT)
+        CAST(CASE WHEN abs(est_uniform - exact_pairs) <= 900000000000000
+          THEN (abs(est_uniform - exact_pairs) * 10000) // exact_pairs
+          ELSE CAST(least(round(CAST(abs(est_uniform - exact_pairs) AS DOUBLE)
+            * 10000.0 / exact_pairs), 9.2e18) AS BIGINT) END AS BIGINT)
           AS err_uniform_bp,
-        CAST((abs(est_hh - exact_pairs) * 10000) // exact_pairs AS BIGINT)
+        CAST(CASE WHEN abs(est_hh - exact_pairs) <= 900000000000000
+          THEN (abs(est_hh - exact_pairs) * 10000) // exact_pairs
+          ELSE CAST(least(round(CAST(abs(est_hh - exact_pairs) AS DOUBLE)
+            * 10000.0 / exact_pairs), 9.2e18) AS BIGINT) END AS BIGINT)
           AS err_hh_bp
       FROM e""")
   )

@@ -58,4 +58,22 @@ class OptimizerStatsSpec extends SparkFunSuite {
     // counts tie at 1,1 for k=1,3 vs 2 at cnt 2 → modal is ("2", 2)
     assert(kCol.getAs[String]("top_value") == "2" && kCol.getAs[Long]("top_count") == 2L)
   }
+
+  test("sqDiv: exact below the 3e9 bound, single-rounded-double + saturation above") {
+    // cells fed directly (building 3e9+ rows is pointless — the
+    // chi2CentiCol test convention)
+    val rows = Seq(
+      (1000L, 7L),                     // exact: 1000000 div 7
+      (4000000000L, 100L),             // double branch: 1.6e19/100 = 1.6e17
+      (4000000000L, 1L),               // saturates: 1.6e19 > 9.2e18
+      (5L, 0L))                        // degenerate divisor -> 0
+      .toDF("x", "d")
+      .withColumn("got", org.apache.spark.sql.functions.expr(OptimizerStats.sqDiv("x", "d")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((1000L, 7L)) == 1000L * 1000L / 7L)
+    assert(rows((4000000000L, 100L)) ==
+      math.round(4000000000L.toDouble * 4000000000L / 100L))
+    assert(rows((4000000000L, 1L)) == 9.2e18.toLong)
+    assert(rows((5L, 0L)) == 0L)
+  }
 }
