@@ -213,19 +213,24 @@ object Multimodal {
     * for the luma plane, pooled into 72 proportional cells (cell j
     * covers codepoints (j·len div 72, (j+1)·len div 72]) — a real build
     * swaps the cell extraction for codec output and nothing downstream
-    * changes. Everything is a codegen'd higher-order-function
-    * projection: no explode, no shuffle, one pass; the fingerprint is
-    * carried as two signed 32-bit halves (`fp_hi`, `fp_lo`) so both
-    * engines stay in exact BIGINT arithmetic (the simhash64
-    * convention).
+    * changes. The fingerprint computes as the NATIVE
+    * [[graft.functions.DhashFingerprint64]] codegen expression when the
+    * graft extensions are on the session (one char scan per row — the
+    * measured q294 floor fell 5.0 → 0.5 s) with [[DhashFpSql]] as the
+    * value-identical no-extension fallback; either way: no explode, no
+    * shuffle, one pass, and the fingerprint is carried as two signed
+    * 32-bit halves (`fp_hi`, `fp_lo`) so both engines stay in exact
+    * BIGINT arithmetic (the simhash64 convention).
     */
-  // The whole fingerprint is ONE expression over a string column named
-  // `__t`, with lambda-bound intermediates (`transform(array(e), v ->
-  // ...)` evaluates e once and binds it to v — SQL's missing
-  // let-binding): with plain named columns, Catalyst's project collapse
-  // re-inlines the cell/bit arrays at EVERY reference — 2 references per
-  // bit × 64 bits re-derived the 72-cell array per row, measured 17 s vs
-  // 2 s on the q294 bench cell.
+  // The HOF fallback: ONE expression over a string column named `__t`,
+  // with lambda-bound intermediates (`transform(array(e), v -> ...)`
+  // evaluates e once and binds it to v — SQL's missing let-binding):
+  // with plain named columns, Catalyst's project collapse re-inlines the
+  // cell/bit arrays at EVERY reference — 2 references per bit × 64 bits
+  // re-derived the 72-cell array per row, measured 17 s vs 2 s on the
+  // q294 bench cell. Even let-bound, the split('') allocates a
+  // single-char string per character (~1 ms/doc) — the reason the
+  // native expression is the default path.
   //
   // codes: char codes extracted once per payload via split (O(len);
   // ascii(substring(t, i, 1)) is O(len) PER CALL on UTF-8 = O(len²)).
