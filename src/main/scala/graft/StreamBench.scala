@@ -405,6 +405,40 @@ object StreamBench {
     }
 
     // -------------------------------------------------------------------
+    // Pipeline 7d: video-container ingest dedup — q302's frame-vote rule
+    // live: each wave of containers samples 4 aligned frames, perceptual
+    // fingerprints probe the growing per-frame index through the
+    // (frame_idx, band) blocks, and >=3-of-4 frame votes drop the
+    // container. Reported as CONTAINERS/sec including the index append.
+    var vdhdedup_eps = 0L
+    locally {
+      val in7d = MemoryStream[(Long, String)]
+      val vdhScratch = scratchDir("vdhdedup")
+      val q7d = StreamPipelines.videoDhashDedupSink(
+          in7d.toDF().toDF("doc_id", "payload"), "doc_id", "payload",
+          s"$vdhScratch/index", s"$vdhScratch/ckpt",
+          trigger = Trigger.ProcessingTime(0))
+        .start()
+      def containerWave(n: Int, idBase: Long, seed: Int): Seq[(Long, String)] = {
+        val rnd = new scala.util.Random(seed)
+        (0 until n).map { i =>
+          val body = (0 until 800).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+          (idBase + i, body)
+        }
+      }
+      in7d.addData(containerWave(500, -500000L, -9)); q7d.processAllAvailable()
+      val vdWaves  = math.max(1, waves / 2)
+      val vdWaveSz = math.max(1, waveSize / 8)
+      val t7d = System.nanoTime()
+      (0 until vdWaves).foreach { w =>
+        in7d.addData(containerWave(vdWaveSz, w.toLong * vdWaveSz, 400 + w))
+        q7d.processAllAvailable()
+      }
+      vdhdedup_eps = (vdWaves.toLong * vdWaveSz / ((System.nanoTime() - t7d) / 1e9)).toLong
+      q7d.stop()
+    }
+
+    // -------------------------------------------------------------------
     // Pipeline 8: graph-ANN serving — query vectors arrive on a stream and
     // each micro-batch runs the beam walk against a PERSISTED corpus
     // index (adjacency + per-bucket entries built once, outside the
@@ -551,7 +585,7 @@ object StreamBench {
     val ab_eps = (abWaves.toLong * upsertSize / ((System.nanoTime() - tB) / 1e9)).toLong
     qB.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"dhash_dedup_ingest_payloads":$dhdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"dhash_dedup_ingest_payloads":$dhdedup_eps,"video_dhash_ingest_containers":$vdhdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }

@@ -359,6 +359,73 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming.toLong)
   }
 
+  /** Per-frame perceptual fingerprints — [[frameSample]]'s n aligned
+    * windows each through the dHash ([[graft.functions.DhashFingerprint64]]
+    * native when the extensions are on the session, the [[DhashFpSql]]
+    * HOF otherwise). Output: (id, frame_idx, fp_hi, fp_lo) — the
+    * persisted-index layout of the video ingest tier.
+    */
+  def videoFrameFingerprints(df: DataFrame, idCol: String, payloadCol: String,
+                             n: Int, frameBytes: Int): DataFrame = {
+    val fp =
+      if (graft.functions.GraftFunctions.installed(df.sparkSession))
+        graft.functions.GraftFunctions.dhash64(col("__t"))
+      else expr(DhashFpSql)
+    frameSample(df, idCol, payloadCol, n, frameBytes)
+      .select(col(idCol).as("id"),
+        posexplode(col("frames")).as(Seq("frame_idx", "__f")))
+      .select(col("id"), col("frame_idx"), col("__f").cast("string").as("__t"))
+      .withColumn("__fp", fp)
+      .select(col("id"), col("frame_idx"),
+        col("__fp.hi").as("fp_hi"), col("__fp.lo").as("fp_lo"))
+  }
+
+  /** Batch-incremental container near-dup — [[videoDhashNearDups]] under
+    * the ingest contract: `fresh` per-frame fingerprints (the
+    * micro-batch after its container-id anti-join,
+    * [[videoFrameFingerprints]] layout) probe index ∪ fresh through the
+    * (frame_idx, band) pigeonhole blocks, candidate frames verify with
+    * the exact popcount, and a container pair is a near-dup when at
+    * least `minShared` aligned frames match within `maxHamming` bits.
+    * Hot blocks count over the CANDIDATE population on the join's own
+    * key. The probe side is batch-sized: per-batch cost is batch ×
+    * band occupancy, never index history. Output: (id, nbr_id,
+    * n_matching_frames ≥ minShared) with `id` always the fresh side.
+    */
+  def videoDhashNearDupsFromFresh(fresh: DataFrame, index: DataFrame,
+                                  maxHamming: Int, minShared: Int,
+                                  maxBlockSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3] for the 4-band pigeonhole guarantee")
+    require(minShared >= 1, "minShared must be >= 1")
+    val cols = Seq("id", "frame_idx", "fp_hi", "fp_lo")
+    val cand = index.select(cols.map(col): _*)
+      .unionByName(fresh.select(cols.map(col): _*))
+    val blk = dhashBands(cand, cols)
+      .groupBy(col("frame_idx"), col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("__blk"))
+      .filter(col("__blk") <= maxBlockSize)
+      .select(col("frame_idx"), col("band_idx"), col("band_val"))
+    val cb = dhashBands(cand, cols)
+      .join(blk, Seq("frame_idx", "band_idx", "band_val"))
+    val fb = dhashBands(fresh.select(cols.map(col): _*), cols)
+      .join(blk, Seq("frame_idx", "band_idx", "band_val"))
+    fb.as("x").join(cb.as("y"),
+        col("x.frame_idx") === col("y.frame_idx") &&
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"), col("y.id").as("nbr_id"),
+        col("x.frame_idx").as("frame_idx"),
+        expr("""CAST(bit_count(x.fp_hi ^ y.fp_hi) +
+          |bit_count(x.fp_lo ^ y.fp_lo) AS BIGINT)""".stripMargin).as("__ham"))
+      .filter(col("__ham") <= maxHamming.toLong)
+      .distinct()
+      .groupBy(col("id"), col("nbr_id"))
+      .agg(count(lit(1)).as("n_matching_frames"))
+      .filter(col("n_matching_frames") >= minShared.toLong)
+  }
+
   /** Container-level (video) perceptual near-dup — the composed
     * multimodal dedup: [[frameSample]]'s n ALIGNED evenly-spaced windows
     * each fingerprint with the PERCEPTUAL [[dhashFingerprints]] hash
@@ -380,17 +447,7 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       "maxHamming must be in [0, 3] for the 4-band pigeonhole guarantee")
     require(minShared >= 1 && minShared <= n, "need 1 <= minShared <= n")
-    val fp =
-      if (graft.functions.GraftFunctions.installed(df.sparkSession))
-        graft.functions.GraftFunctions.dhash64(col("__t"))
-      else expr(DhashFpSql)
-    val fps = frameSample(df, idCol, payloadCol, n, frameBytes)
-      .select(col(idCol).as("id"),
-        posexplode(col("frames")).as(Seq("frame_idx", "__f")))
-      .select(col("id"), col("frame_idx"), col("__f").cast("string").as("__t"))
-      .withColumn("__fp", fp)
-      .select(col("id"), col("frame_idx"),
-        col("__fp.hi").as("fp_hi"), col("__fp.lo").as("fp_lo"))
+    val fps = videoFrameFingerprints(df, idCol, payloadCol, n, frameBytes)
     val bands = dhashBands(fps, Seq("id", "frame_idx", "fp_hi", "fp_lo"))
       .withColumn("__blk", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window

@@ -1339,6 +1339,89 @@ object StreamPipelines {
     }
   }
 
+  /** Streaming twin of q302 — the container-level (video) ingest gate:
+    * each micro-batch's containers sample n aligned frames, fingerprint
+    * each with the perceptual dHash
+    * ([[graft.ext.Multimodal.videoFrameFingerprints]]), re-delivered
+    * container ids drop by the anti-join against the PERSISTED per-frame
+    * fingerprint index, fresh containers probe index ∪ batch through the
+    * (frame_idx, band) pigeonhole blocks
+    * ([[graft.ext.Multimodal.videoDhashNearDupsFromFresh]]), a container
+    * pair is a near-dup when ≥ `minShared` of its n aligned frames match
+    * within `maxHamming` bits (frame voting — q302's verdict rule,
+    * live), near-dup arrivals DROP first-wins (an indexed partner, or a
+    * smaller-id batch partner), and survivors append their n frame rows
+    * to the index. Replay-safe: a re-delivered batch has no fresh
+    * containers, so it appends nothing — the index converges.
+    */
+  def videoDhashDedupIngestBatch(
+      batch: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      n: Int = 4,
+      frameBytes: Int = 96,
+      maxHamming: Int = 3,
+      minShared: Int = 3,
+      maxBlockSize: Int = 64
+  ): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val index =
+        if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
+        else graft.ext.Multimodal.videoFrameFingerprints(
+          batch, idCol, payloadCol, n, frameBytes).limit(0)
+      val fresh = graft.ext.Multimodal.videoFrameFingerprints(
+          batch, idCol, payloadCol, n, frameBytes)
+        .join(index.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .persist()
+      try {
+        val dups = graft.ext.Multimodal.videoDhashNearDupsFromFresh(
+          fresh, index, maxHamming, minShared, maxBlockSize)
+        val dropIds = dups
+          .join(fresh.select(col("id").as("nbr_id")).distinct()
+              .withColumn("__f", lit(1)),
+            Seq("nbr_id"), "left")
+          .filter(col("__f").isNull || col("nbr_id") < col("id"))
+          .select(col("id"))
+          .distinct()
+        val admitted = fresh.join(dropIds, Seq("id"), "left_anti")
+        admitted.write.mode("append").parquet(indexPath)
+      } finally {
+        fresh.unpersist()
+        ()
+      }
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
+  /** [[videoDhashDedupIngestBatch]] as a foreachBatch sink. */
+  def videoDhashDedupSink(
+      stream: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      n: Int = 4,
+      frameBytes: Int = 96,
+      maxHamming: Int = 3,
+      minShared: Int = 3,
+      maxBlockSize: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        videoDhashDedupIngestBatch(batch, idCol, payloadCol, indexPath,
+          n, frameBytes, maxHamming, minShared, maxBlockSize)
+      }
+
   /** [[dhashDedupIngestBatch]] as a foreachBatch sink. */
   def dhashDedupSink(
       stream: DataFrame,

@@ -177,6 +177,34 @@ class MultimodalSpec extends SparkFunSuite {
     assert(got == Set((2L, 1L), (4L, 5L), (5L, 4L)), s"got=$got")
   }
 
+  test("videoDhashNearDupsFromFresh: fresh-side votes agree with the batch operator") {
+    import org.apache.spark.sql.functions._
+    val base  = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val twin  = base.map(c => (c + 1).toChar)          // hamming 0 per frame
+    val other = (1 to 800).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    // byte 150 is sampled by NO frame (frames at 0/200/400/600, 96 wide)
+    val otherEd = other.substring(0, 150) + "QQ" + other.substring(152)
+    // index: 1 and 3; fresh: 4 (twin of 1) and 6 (out-of-window edit of 3)
+    val all = Seq((1L, base), (3L, other), (4L, twin), (6L, otherEd))
+      .toDF("id", "payload")
+    val index = Multimodal.videoFrameFingerprints(
+      all.filter($"id" <= 3), "id", "payload", n = 4, frameBytes = 96)
+    val fresh = Multimodal.videoFrameFingerprints(
+      all.filter($"id" > 3), "id", "payload", n = 4, frameBytes = 96)
+    // the batch operator on the SAME population, restricted to pairs
+    // with a fresh side, must agree pairwise with the incremental probe
+    val batchPairs = Multimodal.videoDhashNearDups(all, "id", "payload",
+        n = 4, frameBytes = 96, maxHamming = 3, minShared = 3)
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getLong(2),
+        (r.getLong(1), r.getLong(0)) -> r.getLong(2))).toMap
+    val got = Multimodal.videoDhashNearDupsFromFresh(fresh, index,
+        maxHamming = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = batchPairs.filter { case ((a, _), _) => a > 3L }
+    assert(expected.nonEmpty, "planted cross-side pairs must exist")
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("videoDhashNearDups: frame voting — out-of-window edit keeps all votes, " +
     "in-window edit survives perceptually, unrelated payloads never pair") {
     import org.apache.spark.sql.functions._

@@ -664,6 +664,34 @@ class StreamPipelinesSpec extends SparkFunSuite {
     assert(indexIds == Set(1L, 3L, 7L))
   }
 
+  test("videoDhashDedupIngestBatch frame-votes containers vs batch AND index; replay converges") {
+    val indexPath = tmpDir("vdhidx") + "/index"
+    def indexIds = spark.read.parquet(indexPath).collect()
+      .map(_.getLong(0)).toSet
+    val base  = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val twin  = base.map(c => (c + 1).toChar)          // all 4 frames vote at 0
+    val other = (1 to 800).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val third = (1 to 800).map(i => ('a' + (i * 13 % 26)).toChar).mkString
+    // batch 1: 2 is a container twin of 1 (dropped); 3 unrelated (admitted)
+    StreamPipelines.videoDhashDedupIngestBatch(
+      Seq((1L, base), (2L, twin), (3L, other)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath)
+    assert(indexIds == Set(1L, 3L))
+    // the index holds n frame rows per admitted container
+    assert(spark.read.parquet(indexPath).count() == 8L)
+    // batch 2: 5 twins INDEXED 1 (dropped), 1 redelivers (no-op), 7 fresh
+    StreamPipelines.videoDhashDedupIngestBatch(
+      Seq((5L, twin), (1L, base), (7L, third)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath)
+    assert(indexIds == Set(1L, 3L, 7L))
+    // replay of batch 2 appends nothing — the index converges
+    StreamPipelines.videoDhashDedupIngestBatch(
+      Seq((5L, twin), (1L, base), (7L, third)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath)
+    assert(indexIds == Set(1L, 3L, 7L))
+    assert(spark.read.parquet(indexPath).count() == 12L)
+  }
+
   test("semanticDedupSink admits per cluster vs batch AND persisted index; replay converges") {
     // frozen 2-dim router: centroid 0 = (1, 0), centroid 1 = (0, 1)
     val cents = Seq((0L, 1L, 10000L), (0L, 2L, 0L), (1L, 1L, 0L), (1L, 2L, 10000L))
