@@ -352,7 +352,8 @@ object Explain {
     "q298_crypto_shred", // HOF keystream cipher; subject-keyed joins only
     "q299_ab_chi2", // two chained conditional-count aggregates
     "q300_session_paths", // tag+rank windows -> path agg -> TakeOrdered
-    "q301_weekday_heatmap" // cell agg + broadcast total + 168-row window
+    "q301_weekday_heatmap", // cell agg + broadcast total + 168-row window
+    "q305_tokenizer_compare4" // four bounded fertility aggregates
   )
 
   def main(args: Array[String]): Unit = {
@@ -533,6 +534,19 @@ object Explain {
         graft.Tables.documents(spark, sfDir), "text")
       rd.count()
       sb.append(s"\n## q94_bpe_train (one trainer round)\n\n```\n")
+      sb.append(rd.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q304's returned frame is a driver-local merge table (the q94
+    // situation); the load-bearing plan is one WordPiece trainer round —
+    // weighted pair count + two BROADCAST unit-count joins + the staged
+    // likelihood division + TakeOrdered winner
+    locally {
+      val rd = graft.ext.TextStats.wordpieceTrainRoundPlanFrame(
+        graft.Tables.documents(spark, sfDir), "text")
+      rd.count()
+      sb.append(s"\n## q304_wordpiece_train (one trainer round)\n\n```\n")
       sb.append(rd.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")

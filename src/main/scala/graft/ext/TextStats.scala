@@ -444,6 +444,95 @@ object TextStats {
     } finally vocab.unpersist()
   }
 
+  /** One WordPiece trainer round's winner frame over an encoded
+    * vocabulary: weighted adjacent-pair counts joined with the round's
+    * unit counts, ranked by the likelihood score
+    * `count(ab) / (count(a)·count(b))` in exact nano units. The score is
+    * computed by STAGED floor division `(n·10⁹ div n_a) div n_b` — for
+    * positive integers `⌊⌊x/a⌋/b⌋ = ⌊x/(a·b)⌋`, so staging is exact while
+    * keeping every intermediate far inside signed 64 bits (`n·10⁹ ≤ 10¹⁶`
+    * vs the naive `n_a·n_b·10⁹` which wraps past ~10⁵ unit occurrences —
+    * the q299 chi-square lesson applied at design time). Both unit-count
+    * joins broadcast: the unit table is vocabulary-sized by construction.
+    */
+  private def wpRoundWinner(vocab: DataFrame, sep: String): DataFrame = {
+    val units = split(col("__enc"), sep)
+    val prs = when(size(units) > 1,
+        expr(s"transform(sequence(1, size(split(__enc, '$sep')) - 1)," +
+          s" i -> struct(split(__enc, '$sep')[i-1] AS a, split(__enc, '$sep')[i] AS b))"))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val pairs = vocab.select(explode(prs).as("__p"), col("__cnt"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(sum(col("__cnt")).as("n"))
+    val unitCounts = vocab
+      .select(explode(units).as("__u"), col("__cnt"))
+      .groupBy(col("__u")).agg(sum(col("__cnt")).as("__nu"))
+    pairs
+      .join(broadcast(unitCounts.select(col("__u").as("a"), col("__nu").as("__na"))), Seq("a"))
+      .join(broadcast(unitCounts.select(col("__u").as("b"), col("__nu").as("__nb"))), Seq("b"))
+      .select(col("a"), col("b"), col("n"),
+        expr("n * 1000000000 div __na div __nb").as("score_nano"))
+      .orderBy(col("score_nano").desc, col("a"), col("b"))
+      .limit(1)
+  }
+
+  /** One UNEXECUTED WordPiece trainer round from the seeded vocabulary —
+    * the frame whose physical plan IS the operator's scale story (the
+    * q94/q304 situation: the returned merge table is driver-local with no
+    * plan left to read). Used by `graft.Explain`.
+    */
+  private[graft] def wordpieceTrainRoundPlanFrame(df: DataFrame, textCol: String): DataFrame =
+    wpRoundWinner(bpeSeedVocab(df, textCol, "·"), "·")
+
+  /** Iterated WordPiece trainer (Schuster & Nakajima, ICASSP 2012 — the
+    * BERT tokenizer's model): structurally the BPE loop, but each round's
+    * winning pair maximizes the LIKELIHOOD GAIN `count(ab) /
+    * (count(a)·count(b))` instead of raw pair frequency, so the trainer
+    * prefers strongly-associated pairs (a `q` that is almost always
+    * followed by `u`) over merely common ones. Ties break (score desc, a
+    * asc, b asc) — deterministic, replayed verbatim by the q304 oracle.
+    *
+    * Same scale shape as [[bpeTrain]]: every round is vocabulary-sized
+    * (distinct words × bounded units), one persisted generation deep, and
+    * the only driver materialization is the single winner row per round.
+    * Returns (round, a, b, pair_count, score_nano) in merge-priority
+    * order; the learned pieces (`a+b` per round) feed maximal-munch
+    * encoding ([[unigramFertility]]) — greedy longest-match-first IS the
+    * canonical WordPiece encode algorithm.
+    */
+  def wordpieceTrain(df: DataFrame, textCol: String,
+                     rounds: Int): Seq[(Long, String, String, Long, Long)] = {
+    require(rounds > 0, "rounds must be positive")
+    val sep = "·"
+    var vocab = bpeSeedVocab(df, textCol, sep).persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val units = split(col("__enc"), sep)
+        val winner = wpRoundWinner(vocab, sep).collect()
+        if (winner.isEmpty) exhausted = true // vocabulary fully fused
+        else {
+          val (a, b, n, sc) = (winner(0).getString(0), winner(0).getString(1),
+            winner(0).getLong(2), winner(0).getLong(3))
+          merges += ((r.toLong, a, b, n, sc))
+          val fused = aggregate(units, lit(""),
+            (st, u) => when(st === "", u)
+              .when(u === b && (st === a || st.endsWith(sep + a)), concat(st, lit(b)))
+              .otherwise(concat(st, lit(sep), u)))
+          val next = vocab.select(fused.as("__enc"), col("__cnt")).persist()
+          next.count() // materialize before dropping the previous generation
+          vocab.unpersist()
+          vocab = next
+          r += 1
+        }
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
+
   // -----------------------------------------------------------------
   // Unigram-LM tokenizer trainer (Kudo, ACL 2018 — the SentencePiece
   // unigram model): start from a LARGE candidate vocabulary of frequent

@@ -904,7 +904,167 @@ object TrainingQueries {
     }
   )
 
+  // -------------------------------------------------------------------
+  // WordPiece trainer oracle (q304/q305): replays
+  // TextStats.wordpieceTrain — the BPE generation chain, but each round
+  // joins the pair counts with that round's UNIT counts and ranks by the
+  // likelihood score n(ab)·10⁹ over n(a)·n(b), computed by STAGED floor
+  // division (exact for positive ints, never leaves signed 64 bits).
+  // All CTE names carry the `wp` prefix so the chain composes with the
+  // unigram CTEs inside one WITH (q305's 4-way compare).
+  private def wordpieceGenCtes(rounds: Int): String = {
+    val head = s"""wpwd AS (SELECT unnest(w) AS word FROM toks),
+      wpv0 AS MATERIALIZED (SELECT rtrim(regexp_replace(word, '(.)', '\\1·', 'g'), '·') AS enc,
+        count(*) AS cnt FROM wpwd GROUP BY 1)"""
+    val gens = (1 to rounds).map { r =>
+      s"""wpp$r AS MATERIALIZED (SELECT u[i] AS a, u[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+        FROM (SELECT string_split(enc, '·') AS u, cnt FROM wpv${r - 1}) wps$r,
+          UNNEST(range(1, len(u))) AS t(i)
+        GROUP BY 1, 2),
+      wpuc$r AS MATERIALIZED (SELECT ux, CAST(sum(cnt) AS BIGINT) AS nu
+        FROM (SELECT unnest(string_split(enc, '·')) AS ux, cnt FROM wpv${r - 1})
+        GROUP BY 1),
+      wpwin$r AS MATERIALIZED (SELECT $r AS rnk, a, b, n,
+          ((n * 1000000000) // ua.nu) // ub.nu AS score_nano
+        FROM wpp$r JOIN wpuc$r ua ON ua.ux = a JOIN wpuc$r ub ON ub.ux = b
+        ORDER BY score_nano DESC, a, b LIMIT 1),
+      wpv$r AS MATERIALIZED (SELECT list_reduce(string_split(v.enc, '·'), (s, u) ->
+          CASE WHEN u = wn.b AND (s = wn.a OR ends_with(s, '·' || wn.a))
+            THEN s || wn.b ELSE s || '·' || u END) AS enc, v.cnt
+        FROM wpv${r - 1} v, wpwin$r wn)"""
+    }
+    (head +: gens).mkString(",\n      ")
+  }
+
+  private val wpRounds = 6
+  /** Longest-piece bound for WordPiece maximal-munch encoding — shared by
+    * the Spark side and the q305 oracle walk; 6 chained merges cannot
+    * exceed 7 chars, so 12 is slack, and both engines simply never match
+    * a longer piece (identical behavior by construction).
+    */
+  private val wpMaxPieceLen = 12
+
+  // Tokenizer tier 7: the WordPiece trainer (Schuster & Nakajima 2012 —
+  // the BERT tokenizer) — the BPE loop re-ranked by likelihood gain
+  // n(ab)/(n(a)·n(b)), so strongly-ASSOCIATED pairs beat merely frequent
+  // ones (the q94 winner table and this one genuinely diverge). Exact
+  // nano-unit scores via staged floor division; the oracle replays the
+  // whole 6-round chain including the unit-count joins.
+  private val q304 = Q(
+    "q304_wordpiece_train",
+    (s, dir) => {
+      import s.implicits._
+      graft.ext.TextStats.wordpieceTrain(docsSpread(s, dir), "text", wpRounds)
+        .toDF("rnk", "merge_a", "merge_b", "n", "score_nano")
+    },
+    Some {
+      val unioned = (1 to wpRounds).map(r => s"SELECT * FROM wpwin$r").mkString(" UNION ALL ")
+      s"""WITH $toksCte,
+      ${wordpieceGenCtes(wpRounds)}
+      SELECT CAST(rnk AS BIGINT) AS rnk, a AS merge_a, b AS merge_b,
+        CAST(n AS BIGINT) AS n, CAST(score_nano AS BIGINT) AS score_nano
+      FROM ($unioned)"""
+    }
+  )
+
+  /** Maximal-munch walk CTEs against a vocab CTE with pieces up to
+    * `wpMaxPieceLen` chars — [[unigramRoundCtes]]'s structure with the
+    * longer match grid the chained WordPiece merges need. Emits `wpbm`
+    * (per-(word,pos) longest match) and `wpwk` (the recursive walk).
+    */
+  private def wpMunchCtes(vocabCte: String): String =
+    s"""wpbm AS MATERIALIZED (SELECT w, cnt, pos, len, piece FROM (
+        SELECT u.w, u.cnt, CAST(t.p AS BIGINT) AS pos, CAST(s.l AS BIGINT) AS len,
+          substr(u.w, CAST(t.p AS INT), CAST(s.l AS INT)) AS piece,
+          row_number() OVER (PARTITION BY u.w, t.p ORDER BY s.l DESC) AS rn
+        FROM uwords u, UNNEST(range(1, length(u.w) + 1)) t(p),
+          UNNEST(range(1, ${wpMaxPieceLen + 1})) s(l)
+        WHERE t.p + s.l - 1 <= length(u.w)
+          AND substr(u.w, CAST(t.p AS INT), CAST(s.l AS INT))
+            IN (SELECT piece FROM $vocabCte)
+      ) WHERE rn = 1),
+      wpwk AS (
+        SELECT w, cnt, pos, len, piece FROM wpbm WHERE pos = 1
+        UNION ALL
+        SELECT b.w, b.cnt, b.pos, b.len, b.piece
+        FROM wpwk k JOIN wpbm b ON b.w = k.w AND b.pos = k.pos + k.len)"""
+
+  // Tokenizer tier 8: the FOUR-WAY fertility head-to-head — character
+  // baseline, frozen 8-merge BPE, the trained unigram-LM vocabulary, and
+  // the trained WordPiece vocabulary (its learned pieces encoded by
+  // greedy longest-match-first — the canonical WordPiece encode), all
+  // over the SAME corpus. The complete tokenizer-family comparison a
+  // vocabulary decision reads: q229 sweeps one family's merge count,
+  // q286 compares three families, this adds the likelihood-trained one.
+  private val q305 = Q(
+    "q305_tokenizer_compare4",
+    (s, dir) => {
+      val docs = docsSpread(s, dir)
+      val vocab = TextStats.unigramTrain(docs, "text").select(col("piece"))
+      val wpPieces = graft.ext.TextStats.wordpieceTrain(docs, "text", wpRounds)
+        .map(m => m._2 + m._3).distinct
+      val wpVocab = {
+        import s.implicits._
+        wpPieces.toDF("piece")
+      }
+      val char = docs
+        .select(explode(TextDedup.tokens(col("text"))).as("__w"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("__w")).cast("long")).as("n_char_units"))
+        .select(lit("char").as("tokenizer"), col("n_words"),
+          col("n_char_units"), col("n_char_units").as("n_units"),
+          expr("n_char_units * 1000 div n_words").as("fertility_milli"))
+      val bpe = TextStats.bpeFertility(
+          docs.withColumn("__tk", lit("bpe8")), "__tk", "text", bpeMerges)
+        .select(col("__tk").as("tokenizer"), col("n_words"),
+          col("n_char_units"), col("n_bpe_units").as("n_units"),
+          col("fertility_milli"))
+      val uni = TextStats.unigramFertility(
+          docs.withColumn("__tk", lit("unigram")), "__tk", "text", vocab)
+        .select(col("__tk").as("tokenizer"), col("n_words"),
+          col("n_char_units"), col("n_units"), col("fertility_milli"))
+      val wp = TextStats.unigramFertility(
+          docs.withColumn("__tk", lit("wordpiece6")), "__tk", "text", wpVocab,
+          maxPieceLen = wpMaxPieceLen)
+        .select(col("__tk").as("tokenizer"), col("n_words"),
+          col("n_char_units"), col("n_units"), col("fertility_milli"))
+      char.unionByName(bpe).unionByName(uni).unionByName(wp)
+    },
+    Some {
+      val enc = bpeEncodeOracleExpr(bpeMerges)
+      s"""WITH RECURSIVE $unigramOracleCtes,
+      ${wordpieceGenCtes(wpRounds)},
+      wpv AS MATERIALIZED (SELECT piece FROM uchars UNION ${
+        (1 to wpRounds).map(r => s"SELECT a || b FROM wpwin$r").mkString(" UNION ")}),
+      ${wpMunchCtes("wpv")},
+      u AS (SELECT unnest(w) AS word FROM toks),
+      ch AS (SELECT 'char' AS tokenizer, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(length(word)) AS BIGINT) AS n_char_units,
+          CAST(sum(length(word)) AS BIGINT) AS n_units
+        FROM u),
+      bp AS (SELECT 'bpe8', CAST(count(*) AS BIGINT),
+          CAST(sum(length(word)) AS BIGINT),
+          CAST(sum(length($enc) - length(replace($enc, '·', '')) + 1) AS BIGINT)
+        FROM u),
+      uw AS (SELECT w, cnt FROM uwords),
+      un AS (SELECT 'unigram', CAST(sum(cnt) AS BIGINT),
+          CAST(sum(length(uw.w) * cnt) AS BIGINT),
+          CAST(sum(t.n_units * cnt) AS BIGINT)
+        FROM uw JOIN (SELECT w, CAST(count(*) AS BIGINT) AS n_units
+          FROM wk3 GROUP BY 1) t ON uw.w = t.w),
+      wpf AS (SELECT 'wordpiece6', CAST(sum(cnt) AS BIGINT),
+          CAST(sum(length(uw.w) * cnt) AS BIGINT),
+          CAST(sum(t.n_units * cnt) AS BIGINT)
+        FROM uw JOIN (SELECT w, CAST(count(*) AS BIGINT) AS n_units
+          FROM wpwk GROUP BY 1) t ON uw.w = t.w)
+      SELECT tokenizer, n_words, n_char_units, n_units,
+        CAST(n_units * 1000 // n_words AS BIGINT) AS fertility_milli
+      FROM (SELECT * FROM ch UNION ALL SELECT * FROM bp
+        UNION ALL SELECT * FROM un UNION ALL SELECT * FROM wpf)"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q85, q86, q92, q94, q134, q229,
-    q284, q285, q286)
+    q284, q285, q286, q304, q305)
 }

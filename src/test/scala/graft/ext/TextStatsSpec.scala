@@ -92,6 +92,24 @@ class TextStatsSpec extends SparkFunSuite {
     assert(TextStats.bpeTrain(tiny, "text", rounds = 2).isEmpty)
   }
 
+  test("wordpieceTrain picks the likelihood winner, not the frequency winner") {
+    // r1 unit counts: a=6 (ab×4, az, za), b=6 (ab×4, bz, zb), x=3, y=3,
+    // z=4 (az, bz, za, zb). Pair counts: (a,b)=4, (x,y)=3, singles=1.
+    // BPE would merge (a,b) (freq 4); WordPiece scores
+    // (a,b): 4e9/(6·6) = 111_111_111 < (x,y): 3e9/(3·3) = 333_333_333
+    // (staged: 3e9 div 3 = 1e9, div 3 = 333_333_333) → (x,y) wins.
+    val df = Seq((1L, "ab ab ab ab xy xy xy az bz za zb")).toDF("id", "text")
+    val got = TextStats.wordpieceTrain(df, "text", rounds = 1)
+    assert(got == Seq((1L, "x", "y", 3L, 333333333L)))
+    // r2: xy is fused; unit counts xy=3, a=6, b=6, z=4 → (a,b) now wins
+    // with 4e9 div 6 div 6 = 111_111_111 (666_666_666 div 6).
+    val got2 = TextStats.wordpieceTrain(df, "text", rounds = 2)
+    assert(got2(1) == ((2L, "a", "b", 4L, 111111111L)))
+    // fewer fusable pairs than rounds → the table just ends early
+    val tiny = Seq((1L, "x y")).toDF("id", "text")
+    assert(TextStats.wordpieceTrain(tiny, "text", rounds = 2).isEmpty)
+  }
+
   test("bpeEncodeStats fuses multi-character units from a learned table") {
     // Two rounds of a real trainer on "tester": ('e','r') → [t,e,s,t,er],
     // then ('t','er') → [t,e,s,ter]; the pair ('s','t') must not fire on

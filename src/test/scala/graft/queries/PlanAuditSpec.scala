@@ -1970,6 +1970,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the three fertility frames union; nothing crosses:\n$p")
   }
 
+  test("q305: four-way tokenizer comparison stays vocab-bounded — no corpus-sized join, no product") {
+    val p = plan("q305_tokenizer_compare4")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the four fertility frames union; nothing crosses:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab lookups (unigram + wordpiece munch) must broadcast:\n$p")
+  }
+
   test("q288: drift audit is broadcast span + key explode + two aggregates joined on the group key") {
     val p = plan("q288_payload_drift")
     assert(p.contains("Generate"),
