@@ -353,7 +353,11 @@ object Explain {
     "q299_ab_chi2", // two chained conditional-count aggregates
     "q300_session_paths", // tag+rank windows -> path agg -> TakeOrdered
     "q301_weekday_heatmap", // cell agg + broadcast total + 168-row window
-    "q305_tokenizer_compare4" // four bounded fertility aggregates
+    "q305_tokenizer_compare4", // four bounded fertility aggregates
+    "q306_basket_rules",   // basket-list pair explode + broadcast counts + TakeOrdered
+    "q307_community_modularity", // LPA labels + degree/label joins + scalar roll-ups
+    "q308_item_neighbors", // pair explode + broadcast counts + per-item rank
+    "q309_cluster_silhouette" // cell explode vs broadcast centroids + 2-row rank
   )
 
   def main(args: Array[String]): Unit = {

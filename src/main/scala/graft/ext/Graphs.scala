@@ -379,6 +379,69 @@ object Graphs {
     out
   }
 
+  /** Newman modularity of a node→community assignment over the simple
+    * undirected graph (Newman & Girvan 2004): `Q = Σ_c (in_c/m −
+    * (tot_c/2m)²)` where `in_c` counts intra-community edges, `tot_c`
+    * sums member degrees, and `m` is the edge count — THE community-
+    * quality score read beside label-propagation output (Q > 0 means
+    * denser-than-random communities; LPA collapsing everything to one
+    * label scores exactly 0).
+    *
+    * Exact-integer form: Q·(4m²) = 4m·intra − Σtot_c², reported in basis
+    * points through the non-negative SHIFT `(num + 4m²)·10⁴ div 4m² −
+    * 10⁴` so floor division is engine-identical (Spark `div` truncates
+    * toward zero, DuckDB `//` floors — they agree only at ≥ 0; the shift
+    * is valid because `num ≥ −Σtot_c² ≥ −4m²`). The exact branch holds to
+    * m ≤ 10⁷ edges; past it the expression switches to one rounded-double
+    * division (the selfJoinSizeAudit wrap-guard shape) — per-community
+    * `tot_c²` itself wraps only at tot_c > 3·10⁹, a community holding
+    * most of a 1.5·10⁹-edge graph.
+    *
+    * Shape: one distinct, one degree aggregate, two node-keyed label
+    * joins over the edge list, three scalar roll-ups crossed broadcast —
+    * no window, no product, nothing wider than (node, label).
+    *
+    * Output: one row — (n_nodes, n_edges, n_communities, intra_edges,
+    * sum_tot_sq, modularity_bp).
+    */
+  def modularity(edges0: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String = "node",
+                 labelCol: String = "label"): DataFrame = {
+    val e = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val ed = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val lab = labels.select(col(nodeCol).cast("string").as("node"),
+      col(labelCol).cast("string").as("label"))
+    val deg = ed.select(col("a").as("node"))
+      .unionByName(ed.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    val totAgg = deg.join(lab, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("__deg")).as("__tot"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("__tot") * col("__tot")).as("sum_tot_sq"))
+    val nodesAgg = deg.agg(count(lit(1)).as("n_nodes"))
+    val edgesAgg = ed.agg(count(lit(1)).as("n_edges"))
+    val intraAgg = ed
+      .join(lab.select(col("node").as("a"), col("label").as("__la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("__lb")), Seq("b"))
+      .agg(coalesce(sum(when(col("__la") === col("__lb"), 1L).otherwise(0L)), lit(0L))
+        .as("intra_edges"))
+    nodesAgg.crossJoin(broadcast(edgesAgg)).crossJoin(broadcast(totAgg))
+      .crossJoin(broadcast(intraAgg))
+      .select(col("n_nodes"), col("n_edges"), col("n_communities"),
+        col("intra_edges"), col("sum_tot_sq"),
+        expr("""CASE WHEN n_edges = 0 THEN 0L
+          | WHEN n_edges <= 10000000L THEN
+          |  ((4 * n_edges * intra_edges - sum_tot_sq) + 4 * n_edges * n_edges)
+          |    * 10000 div (4 * n_edges * n_edges) - 10000
+          | ELSE CAST(round(
+          |  (4.0 * n_edges * intra_edges - CAST(sum_tot_sq AS DOUBLE)) * 10000.0
+          |    / (4.0 * n_edges * n_edges)) AS BIGINT) END""".stripMargin)
+          .as("modularity_bp"))
+  }
+
   /** One synchronous LPA round, exposed so the plan audit can pin its
     * physical shape: an equi-join on the neighbor key and two
     * hash-aggregates — never a window, never a sort.

@@ -1190,6 +1190,54 @@ object VectorSearch {
       .drop("__rn")
   }
 
+  /** Simplified (centroid-based) silhouette audit of a trained quantizer
+    * (Hruschka et al.'s simplified silhouette — the O(n·k) variant of
+    * Rousseeuw 1987 that scores each point against CENTROIDS instead of
+    * the O(n²) all-pairs form, the only silhouette that exists at corpus
+    * scale): per vector `a` = squared integer-L2 to its OWN (nearest)
+    * centroid, `b` = squared L2 to the nearest OTHER centroid, and
+    * `s = (b − a)/max(a, b)` — here `max(a,b) = b` by construction, so
+    * `s_bp = (b − a)·10⁴ div b`, exact integers end to end (squared
+    * distances keep the score sqrt-free; monotone in the usual
+    * distance-ratio variant). s_bp ∈ [0, 10⁴]; tight clusters with far
+    * neighbors score near 10⁴, boundary points near 0.
+    *
+    * Shape: one cell explode meeting the BROADCAST k×dims centroid frame,
+    * one (id, label) hash-aggregate, a 2-row-per-id rank window, one
+    * conditional-aggregate collapse, one per-cluster roll-up — the
+    * [[assignToNearestCentroid]] plan plus two bounded aggregates.
+    * `centroids` must carry ≥ 2 labels in the (label, dim, c_bp) layout.
+    *
+    * Output: (cluster, n_vectors, mean_sil_bp, min_sil_bp, max_sil_bp).
+    */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame): DataFrame = {
+    val cells = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("id"), (col("__pos") + 1).cast("long").as("dim"),
+        round(col("__x").cast("double") * 10000d, 0).cast("long").as("x_bp"))
+    val diff = col("x_bp") - col("c_bp")
+    val w = Window.partitionBy(col("id")).orderBy(col("dist_bp2"), col("label"))
+    val ab = cells
+      .join(broadcast(centroids), "dim")
+      .groupBy(col("id"), col("label"))
+      .agg(sum(diff * diff).as("dist_bp2"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("id"))
+      .agg(max(when(col("__rn") === 1, col("label"))).as("cluster"),
+        max(when(col("__rn") === 1, col("dist_bp2"))).as("__a2"),
+        max(when(col("__rn") === 2, col("dist_bp2"))).as("__b2"))
+    ab.select(col("cluster"),
+        expr("CASE WHEN __b2 = 0 THEN 0L ELSE (__b2 - __a2) * 10000 div __b2 END")
+          .as("__s_bp"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(__s_bp) div count(1)").as("mean_sil_bp"),
+        min(col("__s_bp")).as("min_sil_bp"),
+        max(col("__s_bp")).as("max_sil_bp"))
+  }
+
   /** Mini-batch k-means centroid update (Sculley 2010, "Web-scale k-means
     * clustering"; public) — the maintenance step that keeps a trained
     * quantizer (IVF router, SemDeDup clusters, PQ coarse level) tracking

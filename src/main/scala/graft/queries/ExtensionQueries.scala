@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{AsOfJoin, LatestWins}
 import graft.table.TableLayout
-import graft.ext.{Classifier, Components, Decontaminate, Graphs, Linkage, Multimodal, OptimizerStats, Packing, ParagraphDedup, Preference, Privacy, Retrieval, RobustStats, Sampling, TextDedup, TextStats, VectorSearch}
+import graft.ext.{Affinity, Classifier, Components, Decontaminate, Graphs, Linkage, Multimodal, OptimizerStats, Packing, ParagraphDedup, Preference, Privacy, Retrieval, RobustStats, Sampling, TextDedup, TextStats, VectorSearch}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10580,6 +10580,155 @@ object ExtensionQueries {
       GROUP BY 1""")
   )
 
+  /** Shared DuckDB CTEs for the basket-affinity queries (q306/q308):
+    * distinct (order, part) membership, the 2..64 basket-size guard, the
+    * guarded membership/item-count/pair-count frames — replaying
+    * [[graft.ext.Affinity]]'s capped population exactly.
+    */
+  private val basketCtes =
+    """li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      bl AS (SELECT bk FROM li GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+      mem AS (SELECT li.bk, li.it FROM li JOIN bl USING (bk)),
+      ni AS (SELECT it, CAST(count(*) AS BIGINT) AS n_it FROM mem GROUP BY 1),
+      pr AS (SELECT a.it AS a, b.it AS b, CAST(count(*) AS BIGINT) AS n_both
+        FROM mem a JOIN mem b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
+  // Affinity 1: market-basket association rules (Agrawal & Srikant 1994
+  // support/confidence + lift) over order→part baskets — the classic
+  // retail-analytics operator the reference's BI tier stops short of.
+  // Pairs explode from per-basket SORTED item lists (stacked generators,
+  // no basket self-join); oversized baskets drop before the explode (the
+  // |basket|² hub guard); per-item denominators join back broadcast. All
+  // metrics exact integers: support/confidence in bp, lift in milli with
+  // the single-division numerator n_both·n_baskets·1000 (≲4·10¹³ —
+  // inside signed 64 bits at any realistic basket count).
+  private val q306 = Q(
+    "q306_basket_rules",
+    (s, dir) => Affinity.basketRules(
+      Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+      minBoth = 2L, maxBasket = 64, topK = 30),
+    Some(s"""WITH $basketCtes,
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM bl),
+      dirn AS (SELECT a AS antecedent, b AS consequent, n_both FROM pr
+        UNION ALL SELECT b, a, n_both FROM pr),
+      sc AS (SELECT d.antecedent, d.consequent, na.n_it AS n_ante,
+          nc.n_it AS n_cons, d.n_both,
+          CAST(d.n_both * 10000 // nb.n_baskets AS BIGINT) AS support_bp,
+          CAST(d.n_both * 10000 // na.n_it AS BIGINT) AS confidence_bp,
+          CAST(d.n_both * nb.n_baskets * 1000 // (na.n_it * nc.n_it) AS BIGINT)
+            AS lift_milli
+        FROM dirn d JOIN ni na ON na.it = d.antecedent
+          JOIN ni nc ON nc.it = d.consequent CROSS JOIN nb)
+      SELECT antecedent, consequent, n_ante, n_cons, n_both,
+        support_bp, confidence_bp, lift_milli
+      FROM sc
+      ORDER BY lift_milli DESC, confidence_bp DESC, antecedent, consequent
+      LIMIT 30""")
+  )
+
+  // Graph 12: Newman modularity of the q130 label-propagation communities
+  // over the q87 citation graph — the community-QUALITY gate (Q > 0 ⇔
+  // denser-than-random) a pipeline reads before trusting per-community
+  // budgets; LPA collapsing everything to one label scores exactly 0, so
+  // the score also audits convergence pathologies. Exact-integer bp via
+  // the non-negative shift (num + 4m²)·10⁴ div 4m² − 10⁴ (floor division
+  // engine-identical only at ≥ 0); rounded-double guard past m = 10⁷.
+  private val q307 = Q(
+    "q307_community_modularity",
+    (s, dir) => {
+      val edges = pagerankEdges(s, dir)
+      Graphs.modularity(edges, "src", "dst",
+        Graphs.labelPropagation(edges, "src", "dst", iters = 2))
+    },
+    Some(s"""WITH $prGraphCtes,
+      adj AS (SELECT src AS node, dst AS nbr FROM edges WHERE src <> dst
+        UNION SELECT dst, src FROM edges WHERE src <> dst),
+      l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+      ${lpRoundCte("l0", "l1")},
+      ${lpRoundCte("l1", "l2")},
+      ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed),
+      dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+      tot AS (SELECT l2.label, CAST(sum(dg.deg) AS BIGINT) AS tc
+        FROM dg JOIN l2 USING (node) GROUP BY 1),
+      ts AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+          CAST(sum(tc * tc) AS BIGINT) AS sum_tot_sq FROM tot),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg),
+      ia AS (SELECT CAST(coalesce(sum(
+            CASE WHEN la.label = lb.label THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS intra_edges
+        FROM ed JOIN l2 la ON ed.a = la.node JOIN l2 lb ON ed.b = lb.node)
+      SELECT n_nodes, n_edges, n_communities, intra_edges, sum_tot_sq,
+        CAST(CASE WHEN n_edges = 0 THEN 0
+          WHEN n_edges <= 10000000 THEN
+            ((4 * n_edges * intra_edges - sum_tot_sq) + 4 * n_edges * n_edges)
+              * 10000 // (4 * n_edges * n_edges) - 10000
+          ELSE CAST(round((4.0 * n_edges * intra_edges
+              - CAST(sum_tot_sq AS DOUBLE)) * 10000.0
+            / (4.0 * n_edges * n_edges)) AS BIGINT) END AS BIGINT)
+          AS modularity_bp
+      FROM nn, m, ts, ia""")
+  )
+
+  // Affinity 2: item-item co-occurrence neighbors — "customers who bought
+  // X also bought Y" (Sarwar et al. WWW 2001 item-based CF) as a top-3
+  // model table over the same guarded basket population as q306; cosine
+  // of basket-membership vectors in the suite's exact sim_bp convention
+  // (round(n_both·10⁴/√(n_a·n_b)) — one IEEE op sequence on exact
+  // integer counts in both engines).
+  private val q308 = Q(
+    "q308_item_neighbors",
+    (s, dir) => Affinity.itemNeighbors(
+      Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+      minBoth = 2L, maxBasket = 64, k = 3),
+    Some(s"""WITH $basketCtes,
+      dirn AS (SELECT a AS item, b AS nbr, n_both FROM pr
+        UNION ALL SELECT b, a, n_both FROM pr),
+      sc AS (SELECT d.item, d.nbr, na.n_it AS n_item, nc.n_it AS n_nbr,
+          d.n_both,
+          CAST(round(d.n_both * 10000.0
+            / sqrt(CAST(na.n_it AS DOUBLE) * nc.n_it)) AS BIGINT) AS cosine_bp
+        FROM dirn d JOIN ni na ON na.it = d.item JOIN ni nc ON nc.it = d.nbr)
+      SELECT item, nbr, n_item, n_nbr, n_both, cosine_bp,
+        CAST(row_number() OVER (PARTITION BY item
+          ORDER BY cosine_bp DESC, nbr) AS BIGINT) AS rnk
+      FROM sc QUALIFY rnk <= 3""")
+  )
+
+  // Similarity 19: simplified silhouette of the trained IVF quantizer
+  // (Hruschka's centroid-based O(n·k) variant of Rousseeuw 1987 — the
+  // only silhouette that exists at corpus scale) — the cluster-quality
+  // audit read before trusting SemDeDup blocks or IVF routing: per
+  // vector a = squared integer-L2 to its own centroid, b = to the
+  // nearest OTHER centroid, s_bp = (b−a)·10⁴ div b (max(a,b) = b by
+  // construction, so everything stays exact-integer and sqrt-free).
+  // One cell explode vs the broadcast k×dims centroids + two bounded
+  // aggregates; the oracle replays the full 2-round Lloyd's chain.
+  private val q309 = Q(
+    "q309_cluster_silhouette",
+    (s, dir) => VectorSearch.silhouette(
+      Tables.embeddings(s, dir).filter(col("vec_id") >= 10),
+      "vec_id", "embedding", QueryCaches.ivfCentFor(s, dir)),
+    Some(s"""WITH ${pqOracleCtes("vec_id >= 10", subDim = 64, k = 10, iters = 2)},
+      rk AS (SELECT vec_id, code, dist_bp2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist_bp2, code) AS rn
+        FROM dists),
+      ab AS (SELECT a.vec_id, a.code AS cluster, a.dist_bp2 AS a2,
+          b.dist_bp2 AS b2
+        FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+      sv AS (SELECT vec_id, cluster,
+          CASE WHEN b2 = 0 THEN 0 ELSE (b2 - a2) * 10000 // b2 END AS s_bp
+        FROM ab)
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+        CAST(sum(s_bp) // count(*) AS BIGINT) AS mean_sil_bp,
+        CAST(min(s_bp) AS BIGINT) AS min_sil_bp,
+        CAST(max(s_bp) AS BIGINT) AS max_sil_bp
+      FROM sv GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -10589,5 +10738,6 @@ object ExtensionQueries {
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
+    q306, q307, q308, q309)
 }

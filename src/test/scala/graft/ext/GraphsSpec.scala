@@ -377,6 +377,28 @@ class GraphsSpec extends SparkFunSuite {
     assert(byT.zip(byT.tail).forall { case (a, b) => b >= a })
   }
 
+  test("modularity: two triangles bridged by one edge, hand-computed Q") {
+    import org.apache.spark.sql.functions._
+    // edges ab ac bc de df ef cd → m = 7; labels {a,b,c} vs {d,e,f}:
+    // tot = (7, 7), sum_tot_sq = 98, intra = 6,
+    // num = 4·7·6 − 98 = 70, Q = 70/196 → bp = ⌊266·10⁴/196⌋ − 10⁴ = 3571
+    val edges = Seq(("a","b"),("a","c"),("b","c"),("d","e"),("d","f"),
+      ("e","f"),("c","d")).toDF("src", "dst")
+    val labels = Seq(("a","X"),("b","X"),("c","X"),("d","Y"),("e","Y"),("f","Y"))
+      .toDF("node", "label")
+    val r = Graphs.modularity(edges, "src", "dst", labels).collect()(0)
+    assert(r.toSeq == Seq(6L, 7L, 2L, 6L, 98L, 3571L))
+    // the degenerate all-one-label partition scores exactly 0
+    val one = Graphs.modularity(edges, "src", "dst",
+      labels.select(col("node"), lit("Z").as("label"))).collect()(0)
+    assert(one.getLong(5) == 0L && one.getLong(3) == 7L)
+    // reversed duplicate edges and self-loops collapse before scoring
+    val messy = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .unionAll(Seq(("a","a")).toDF("src", "dst"))
+    assert(Graphs.modularity(messy, "src", "dst", labels).collect()(0).toSeq
+      == r.toSeq)
+  }
+
   test("hyperAnf round plan: adjacency equi-join + explode + O(k)-state sketch agg, no window") {
     import org.apache.spark.sql.functions._
     val e = Seq((1L,2L),(2L,3L)).toDF("src", "dst")

@@ -712,4 +712,20 @@ class VectorSearchSpec extends SparkFunSuite {
     // a superset, so its top-2 sims dominate the narrow beam's
     assert(sweep.nonEmpty)
   }
+
+  test("silhouette: hand-computed exact-integer scores against two centroids") {
+    import org.apache.spark.sql.functions._
+    // centroids at 0.0 and 1.0 (one dim); vectors 0.0, 0.1, 1.0:
+    // v1: a2=0, b2=1e8 -> 10000; v2: a2=1e6, b2=81e6 -> floor(80e6*1e4/81e6)=9876;
+    // v3: a2=0, b2=1e8 -> 10000
+    val vecs = Seq(
+      (1L, Seq(0.0f)), (2L, Seq(0.1f)), (3L, Seq(1.0f))
+    ).toDF("id", "v")
+    val cents = Seq((0L, 1L, 0L), (1L, 1L, 10000L)).toDF("label", "dim", "c_bp")
+    val got = VectorSearch.silhouette(vecs, "id", "v", cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      0L -> ((2L, 9938L, 9876L, 10000L)),
+      1L -> ((1L, 10000L, 10000L, 10000L))))
+  }
 }

@@ -1978,6 +1978,40 @@ class PlanAuditSpec extends SparkFunSuite {
       s"vocab lookups (unigram + wordpiece munch) must broadcast:\n$p")
   }
 
+  test("q306: basket rules — pair explode from basket lists, broadcast item counts, TakeOrdered") {
+    val p = plan("q306_basket_rules")
+    assert(p.contains("Generate"),
+      s"in-basket pairs must explode from the sorted item list, not self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-30 rule cut must fuse to a TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"item-count denominators join broadcast; only the 1-row total crosses:\n$p")
+  }
+
+  test("q307: modularity is joins + scalar roll-ups — no window, no product") {
+    val p = plan("q307_community_modularity")
+    assert(!p.contains("Window"),
+      s"degrees, totals and intra counts are pure aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the broadcast 1-row roll-ups cross:\n$p")
+  }
+
+  test("q308: item neighbors — pair explode, broadcast counts, per-item rank only") {
+    val p = plan("q308_item_neighbors")
+    assert(p.contains("Generate") && p.contains("Window"),
+      s"pairs explode from basket lists; the top-k is a per-item rank:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"per-item counts join broadcast:\n$p")
+  }
+
+  test("q309: silhouette — cell explode vs broadcast centroids, bounded rank, no product") {
+    val p = plan("q309_cluster_silhouette")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the kxdims centroid frame must broadcast into the cell explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing in the audit is big enough to sort-merge:\n$p")
+  }
+
   test("q288: drift audit is broadcast span + key explode + two aggregates joined on the group key") {
     val p = plan("q288_payload_drift")
     assert(p.contains("Generate"),
