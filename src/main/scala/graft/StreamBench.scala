@@ -585,7 +585,33 @@ object StreamBench {
     val ab_eps = (abWaves.toLong * upsertSize / ((System.nanoTime() - tB) / 1e9)).toLong
     qB.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"dhash_dedup_ingest_payloads":$dhdedup_eps,"video_dhash_ingest_containers":$vdhdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // windowed co-interaction affinity telemetry (q306's streaming twin):
+    // (ts, user, item) events fold into per-(window, user) baskets; the
+    // close projection explodes in-basket pairs into per-window counts
+    val inAff = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val affOut = scratchDir("aff")
+    val qAff = StreamPipelines.affinityTelemetrySink(
+        inAff.toDF().toDF("ts", "user", "item"), "ts", "user", "item",
+        s"$affOut/pairs", s"$affOut/ckpt",
+        trigger = Trigger.ProcessingTime(0))
+      .start()
+    def affWave(n: Int, minuteBase: Long): Seq[(java.sql.Timestamp, Long, Long)] =
+      (0 until n).map(i => (new java.sql.Timestamp(minuteBase * 60000L + i % 60000),
+        (i % 500).toLong, (i % 37).toLong))
+    inAff.addData(affWave(1000, 0L): _*); qAff.processAllAvailable()
+    val affWaves = 5
+    val tAff = System.nanoTime()
+    (0 until affWaves).foreach { w =>
+      // each wave lands in its own minute window and the next wave's
+      // timestamps close it, so every wave pays a real close projection
+      inAff.addData(affWave(upsertSize, 2000L + w.toLong * 2): _*)
+      qAff.processAllAvailable()
+    }
+    val aff_eps = (affWaves.toLong * upsertSize / ((System.nanoTime() - tAff) / 1e9)).toLong
+    qAff.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"dhash_dedup_ingest_payloads":$dhdedup_eps,"video_dhash_ingest_containers":$vdhdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps,"affinity_telemetry_events":$aff_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }

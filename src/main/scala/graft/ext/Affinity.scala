@@ -41,6 +41,17 @@ object Affinity {
       .agg(sort_array(collect_list(col("__it"))).as("__is"))
       .filter(size(col("__is")).between(2, maxBasket))
 
+  /** The stacked-generator in-basket pair column over a SORTED item-list
+    * column: one struct('a','b') element per unordered pair, a < b by the
+    * list's sort order. Pair mass is |basket|²-bounded by the caller's
+    * basket guard, never a join blow-up. Shared by the batch operators
+    * and the streaming window-close projection.
+    */
+  private[graft] def pairsOf(listCol: String): Column = expr(
+    s"""flatten(transform(sequence(1, size($listCol) - 1),
+       |  i -> transform(sequence(i + 1, size($listCol)),
+       |    j -> named_struct('a', $listCol[i-1], 'b', $listCol[j-1]))))""".stripMargin)
+
   /** Canonical (a < b) in-basket pair counts via stacked generators over
     * the sorted item list — pair mass is Σ|basket|² bounded by
     * `maxBasket`·Σ|basket|, never a join blow-up.
@@ -48,10 +59,7 @@ object Affinity {
   private[graft] def pairCounts(df: DataFrame, basketCol: String, itemCol: String,
                                 maxBasket: Int): DataFrame =
     basketLists(df, basketCol, itemCol, maxBasket)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(__is) - 1),
-          |  i -> transform(sequence(i + 1, size(__is)),
-          |    j -> named_struct('a', __is[i-1], 'b', __is[j-1]))))""".stripMargin)).as("__p"))
+      .select(explode(pairsOf("__is")).as("__p"))
       .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
       .agg(count(lit(1)).as("n_both"))
 

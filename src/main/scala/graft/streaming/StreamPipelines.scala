@@ -1423,6 +1423,68 @@ object StreamPipelines {
       }
 
   /** [[dhashDedupIngestBatch]] as a foreachBatch sink. */
+  /** Per-window in-basket pair counts from CLOSED (window_start, items)
+    * basket rows — the q306 pair roll-up as a window-close projection,
+    * exposed so the spec can drive it directly. `items` must be sorted
+    * (the aggregate below emits `sort_array(collect_set(...))`), so
+    * pairs come out canonical a < b with no post-filter.
+    */
+  def affinityPairsBatch(closed: DataFrame, minBoth: Long): DataFrame =
+    closed.select(col("window_start"),
+        explode(graft.ext.Affinity.pairsOf("items")).as("__p"))
+      .groupBy(col("window_start"), col("__p.a").as("item_a"),
+        col("__p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minBoth)
+
+  /** Windowed co-interaction affinity telemetry — the q306/q308 basket
+    * tier live: per tumbling window each user's DISTINCT interacted-item
+    * set is a basket; the (window, user) aggregate closes once at the
+    * watermark, and the close projection explodes in-basket pairs
+    * (the shared [[graft.ext.Affinity.pairsOf]] generators) into
+    * per-window co-occurrence counts — the trending-pair feed a
+    * recommender tier reads between model refreshes.
+    *
+    * State: one row per (window, user) holding the distinct item set —
+    * catalog-bounded per user-window; baskets outside [2, maxBasket]
+    * drop at close (the q306 oversize hub guard — one crawler touching
+    * the whole catalog would otherwise pay |basket|² in the close
+    * projection). All (window, user) rows of a window close in the same
+    * micro-batch, so each batch's per-window counts are complete; output
+    * lands at `outPath/batch-<id>` with overwrite — a redelivered batch
+    * replaces its own output instead of appending duplicates (the
+    * annServeSink replay rule).
+    */
+  def affinityTelemetrySink(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      itemCol: String,
+      outPath: String,
+      checkpointDir: String,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute",
+      maxBasket: Int = 64,
+      minBoth: Long = 2L,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val closed = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(userCol).as("user"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
+      .filter(size(col("items")).between(2, maxBasket))
+      .select(col("window.start").as("window_start"), col("items"))
+    closed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          affinityPairsBatch(batch, minBoth)
+            .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+      }
+  }
+
   def dhashDedupSink(
       stream: DataFrame,
       idCol: String,

@@ -612,6 +612,43 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally { q.stop(); adj.unpersist() }
   }
 
+  test("affinityTelemetrySink: closed windows emit per-window pair counts; size guards apply at close") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val out = tmpDir("afft")
+    val q = StreamPipelines.affinityTelemetrySink(
+        input.toDF().toDF("ts", "user", "item"), "ts", "user", "item",
+        out + "/pairs", out + "/ckpt", maxBasket = 3, minBoth = 1L,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      // window 10:00 baskets: user 1 {10,20,30}; user 2 {10,20} (20 twice
+      // → distinct); user 3 {40} (singleton, dropped); user 4 {1,2,3,4}
+      // (oversized at maxBasket = 3, dropped)
+      input.addData(
+        (t("2024-01-01 10:00:05"), 1L, 10L), (t("2024-01-01 10:00:06"), 1L, 20L),
+        (t("2024-01-01 10:00:07"), 1L, 30L),
+        (t("2024-01-01 10:00:08"), 2L, 10L), (t("2024-01-01 10:00:09"), 2L, 20L),
+        (t("2024-01-01 10:00:10"), 2L, 20L),
+        (t("2024-01-01 10:00:11"), 3L, 40L),
+        (t("2024-01-01 10:00:12"), 4L, 1L), (t("2024-01-01 10:00:13"), 4L, 2L),
+        (t("2024-01-01 10:00:14"), 4L, 3L), (t("2024-01-01 10:00:15"), 4L, 4L))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 10:02:00"), 9L, 9L)) // close the window
+      q.processAllAvailable()
+      val got = spark.read.parquet(out + "/pairs/batch-*").collect()
+        .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(got == Map((10L, 20L) -> 2L, (10L, 30L) -> 1L, (20L, 30L) -> 1L))
+      // the streamed counts equal the batch operator over the same baskets
+      val batchPairs = graft.ext.Affinity.pairCounts(
+          Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+            (3L, 40L), (4L, 1L), (4L, 2L), (4L, 3L), (4L, 4L)).toDF("bk", "it"),
+          "bk", "it", maxBasket = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batchPairs)
+    } finally q.stop()
+  }
+
   test("simhashDedupIngestBatch drops near-dups vs batch AND index; replay converges") {
     val indexPath = tmpDir("shidx") + "/index"
     def indexIds = spark.read.parquet(indexPath).collect().map(_.getLong(0)).toSet
