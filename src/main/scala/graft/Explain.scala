@@ -357,7 +357,8 @@ object Explain {
     "q306_basket_rules",   // basket-list pair explode + broadcast counts + TakeOrdered
     "q307_community_modularity", // LPA labels + degree/label joins + scalar roll-ups
     "q308_item_neighbors", // pair explode + broadcast counts + per-item rank
-    "q309_cluster_silhouette" // cell explode vs broadcast centroids + 2-row rank
+    "q309_cluster_silhouette", // cell explode vs broadcast centroids + 2-row rank
+    "q311_next_order_items" // customer-keyed lead window + guarded item joins + TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {

@@ -906,7 +906,51 @@ object ScaleProbe {
           .select(when(aWins, col("id_a")).otherwise(col("id_b")).as("w"),
             when(aWins, col("id_b")).otherwise(col("id_a")).as("l"))
         graft.ext.Preference.btStrengths(cmp, "w", "l", iters = 3).count()
-      }
+      },
+      // association rules under the oversized-basket hazard: m disjoint
+      // copies of the order→part baskets PLUS one "everything" basket
+      // holding every part (|basket| = 20k·m — |basket|² pairs if it ever
+      // reached the explode). The maxBasket guard must drop it BEFORE
+      // pair generation, so growth tracks per-basket pair mass (linear in
+      // disjoint copies), never the hot basket's square
+      "basket_rules_hot" -> { m =>
+        val li = (0 until m).map { r =>
+          Tables.lineitem(spark, sfDir).select(
+            (col("l_orderkey") + lit(r * 100000000L)).as("bk"),
+            (col("l_partkey") + lit(r * 10000000L)).as("it"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val hot = li.select(col("it")).distinct()
+          .select(lit(-1L).as("bk"), col("it"))
+        graft.ext.Affinity.basketRules(li.unionByName(hot), "bk", "it",
+          minBoth = 2L, maxBasket = 64, topK = 30).count()
+      },
+      // modularity scoring cost in isolation (labels precomputed as a
+      // cheap deterministic hash partition): one distinct + one degree
+      // agg + two node-keyed label joins — must track the edge scan
+      "modularity" -> { m =>
+        val li = (0 until m).map { r =>
+          Tables.lineitem(spark, sfDir).select(
+            (col("l_orderkey") + lit(r * 100000000L)).as("o"),
+            (col("l_partkey") + lit(r * 10000000L)).as("p"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .distinct()
+        val edges = li.as("x")
+          .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+        val labels = edges.select(col("src").as("node"))
+          .unionByName(edges.select(col("dst").as("node"))).distinct()
+          .withColumn("label", pmod(col("node"), lit(997L)).cast("string"))
+        graft.ext.Graphs.modularity(edges, "src", "dst", labels).count()
+      },
+      "silhouette_scan" -> (m => m.toLong), // timed via `custom` below
+      // WordPiece trainer rounds are vocabulary-sized like the BPE/unigram
+      // trainers — the corpus pays one word-count aggregate, every round
+      // runs over distinct words × bounded units (plus the two broadcast
+      // unit-count joins the likelihood score adds)
+      "wordpiece_train" -> (m =>
+        TextStats.wordpieceTrain(docsAt(m), "text", rounds = 6).size.toLong)
     )
 
     // lsh_candidates: persist+materialize signatures OUTSIDE the timer so
@@ -1088,8 +1132,20 @@ object ScaleProbe {
       graph.unpersist(); entries.unpersist(); t
     }
 
+    // silhouette: train the 10-centroid quantizer ONCE on the base corpus
+    // outside the timer (the audit's contract — centroids are a frozen
+    // input), so the ratio isolates the scoring scan: one cell explode vs
+    // the broadcast k×dims frame + two bounded aggregates
+    lazy val silhouetteCentroids = VectorSearch.kmeansFit(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10),
+      "vec_id", "embedding", k = 10, iters = 2)
+    def silhouetteTimed(m: Int): Double =
+      time(VectorSearch.silhouette(embAt(m), "vec_id", "embedding",
+        silhouetteCentroids).count())
+
     val custom: Map[String, Int => Double] =
       Map("lsh_candidates" -> lshTimed, "dedup_clusters_cc" -> ccTimed,
+        "silhouette_scan" -> silhouetteTimed,
         "incr_para_probe" -> incrParaTimed, "incr_knn_probe" -> incrKnnTimed,
         "graph_ann_walk" -> gannTimed,
         "incr_simhash_probe" -> incrSimhashTimed,

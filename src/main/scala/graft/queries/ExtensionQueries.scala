@@ -10595,14 +10595,17 @@ object ExtensionQueries {
         GROUP BY 1, 2 HAVING count(*) >= 2)"""
 
   // Affinity 1: market-basket association rules (Agrawal & Srikant 1994
-  // support/confidence + lift) over order→part baskets — the classic
-  // retail-analytics operator the reference's BI tier stops short of.
-  // Pairs explode from per-basket SORTED item lists (stacked generators,
-  // no basket self-join); oversized baskets drop before the explode (the
-  // |basket|² hub guard); per-item denominators join back broadcast. All
-  // metrics exact integers: support/confidence in bp, lift in milli with
-  // the single-division numerator n_both·n_baskets·1000 (≲4·10¹³ —
-  // inside signed 64 bits at any realistic basket count).
+  // support/confidence + lift) over order→part baskets. q256 already
+  // serves a lift table through the orderkey SELF-JOIN plan — which pays
+  // |basket|² through the join with no way to guard a hot basket; this
+  // query is the rules tier on the plan that survives one: pairs explode
+  // from per-basket SORTED item lists (stacked generators), oversized
+  // baskets DROP before the explode (the hub guard the basket_rules_hot
+  // probe certifies — 1.6× wall at 4× data under a 20k-item basket), and
+  // the rule surface is complete (support_bp + both confidence
+  // directions, min-support floored before the metric joins). All
+  // metrics exact integers; lift's single-division numerator
+  // n_both·n_baskets·1000 stays ≲4·10¹³, inside signed 64 bits.
   private val q306 = Q(
     "q306_basket_rules",
     (s, dir) => Affinity.basketRules(
@@ -10729,6 +10732,54 @@ object ExtensionQueries {
       FROM sv GROUP BY 1""")
   )
 
+  // Affinity 3: next-order item transitions — "bought X, next order
+  // contains Y" (the sequential-pattern tier beside q306's within-basket
+  // rules; AprioriAll/GSP's length-2 case, Agrawal & Srikant ICDE 1995).
+  // Consecutive orders pair by a CUSTOMER-keyed lead window (never
+  // global); items attach through the oversize-guarded membership frame
+  // (transition mass per order pair ≤ maxBasket², bounded exactly like
+  // the q306 pair explode); top-30 by count fuses to a TakeOrdered.
+  private val q311 = Q(
+    "q311_next_order_items",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cust")).orderBy(col("ts"), col("bk"))
+      val nxt = Tables.orders(s, dir)
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("bk"),
+          col("o_orderdate").as("ts"))
+        .withColumn("bk_next", lead(col("bk"), 1).over(w))
+        .filter(col("bk_next").isNotNull)
+        .select(col("bk"), col("bk_next"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it")).distinct()
+      val sz = li.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= 64).select(col("bk"))
+      val memb = li.join(sz, Seq("bk"))
+      nxt
+        .join(memb.select(col("bk"), col("it").as("item_from")), Seq("bk"))
+        .join(memb.select(col("bk").as("bk_next"), col("it").as("item_to")), Seq("bk_next"))
+        .groupBy(col("item_from"), col("item_to"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy(col("n_transitions").desc, col("item_from"), col("item_to"))
+        .limit(30)
+    },
+    Some("""WITH o AS (SELECT o_custkey AS cust, o_orderkey AS bk,
+        o_orderdate AS ts FROM orders),
+      nxt AS (SELECT bk, bk_next FROM (SELECT bk,
+          lead(bk) OVER (PARTITION BY cust ORDER BY ts, bk) AS bk_next FROM o)
+        WHERE bk_next IS NOT NULL),
+      li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      sz AS (SELECT bk FROM li GROUP BY 1 HAVING count(*) <= 64),
+      memb AS (SELECT li.bk, li.it FROM li JOIN sz USING (bk)),
+      tr AS (SELECT f.it AS item_from, t.it AS item_to,
+          CAST(count(*) AS BIGINT) AS n_transitions
+        FROM nxt JOIN memb f ON f.bk = nxt.bk
+          JOIN memb t ON t.bk = nxt.bk_next
+        GROUP BY 1, 2)
+      SELECT item_from, item_to, n_transitions FROM tr
+      ORDER BY n_transitions DESC, item_from, item_to LIMIT 30""")
+  )
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q60, q61, q62,
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
@@ -10739,5 +10790,5 @@ object ExtensionQueries {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
-    q306, q307, q308, q309)
+    q306, q307, q308, q309, q311)
 }

@@ -2012,6 +2012,16 @@ class PlanAuditSpec extends SparkFunSuite {
       s"nothing in the audit is big enough to sort-merge:\n$p")
   }
 
+  test("q311: next-order transitions — customer-keyed lead window, guarded joins, TakeOrdered") {
+    val p = plan("q311_next_order_items")
+    assert(p.contains("Window"),
+      s"consecutive orders pair by a customer-keyed lead window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-30 transition cut must fuse to a TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"items attach by orderkey equi-joins only:\n$p")
+  }
+
   test("q288: drift audit is broadcast span + key explode + two aggregates joined on the group key") {
     val p = plan("q288_payload_drift")
     assert(p.contains("Generate"),
