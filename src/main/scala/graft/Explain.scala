@@ -358,7 +358,9 @@ object Explain {
     "q307_community_modularity", // LPA labels + degree/label joins + scalar roll-ups
     "q308_item_neighbors", // pair explode + broadcast counts + per-item rank
     "q309_cluster_silhouette", // cell explode vs broadcast centroids + 2-row rank
-    "q311_next_order_items" // customer-keyed lead window + guarded item joins + TakeOrdered
+    "q311_next_order_items", // customer-keyed lead window + guarded item joins + TakeOrdered
+    "q312_shot_boundaries", // frame fp scan + id-keyed lag window + one agg
+    "q313_range_selectivity" // one percentile agg + broadcast boundaries + conditional scan
   )
 
   def main(args: Array[String]): Unit = {

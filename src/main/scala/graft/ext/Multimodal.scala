@@ -471,6 +471,43 @@ object Multimodal {
       .withColumn("all_frames_match", col("n_matching_frames") === n.toLong)
   }
 
+  /** Shot-boundary detection over the sampled frames (the content-based
+    * video-segmentation classic — Boreczky & Rowe 1996 compare
+    * consecutive frame features; here the feature is the PERCEPTUAL
+    * dHash, so a re-encode or brightness shift does not fake a cut the
+    * way raw-byte deltas would): consecutive sampled frames compare by
+    * exact popcount hamming on a CONTAINER-keyed lag window (never a
+    * global sort), and a transition is a cut when the distance jumps to
+    * `minHamming` or above. Rolled up per container.
+    *
+    * Shape: the [[videoFrameFingerprints]] scan (one explode + one
+    * fingerprint projection per frame), one id-keyed window over
+    * n-bounded partitions, one hash-aggregate — linear in containers.
+    *
+    * Output: (id, n_transitions, n_cuts, max_hamming,
+    * mean_hamming_milli).
+    */
+  def videoShotBoundaries(df: DataFrame, idCol: String, payloadCol: String,
+                          n: Int, frameBytes: Int,
+                          minHamming: Int): DataFrame = {
+    require(n >= 2, "need at least two frames to have a transition")
+    require(minHamming >= 1 && minHamming <= 64, "minHamming must be in [1, 64]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame_idx"))
+    videoFrameFingerprints(df, idCol, payloadCol, n, frameBytes)
+      .withColumn("__ph", lag(col("fp_hi"), 1).over(w))
+      .withColumn("__pl", lag(col("fp_lo"), 1).over(w))
+      .filter(col("__ph").isNotNull)
+      .select(col("id"), expr(
+        "CAST(bit_count(fp_hi ^ __ph) + bit_count(fp_lo ^ __pl) AS BIGINT)")
+        .as("__ham"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("__ham") >= minHamming.toLong, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("__ham")).as("max_hamming"),
+        expr("sum(__ham) * 1000 div count(1)").as("mean_hamming_milli"))
+  }
+
   /** STUB — deterministic pseudo-decode from payload bytes. A real decoder
     * (??? in a codec-equipped build) would parse the container header for
     * dimensions and average the luma plane for brightness.

@@ -159,4 +159,74 @@ object OptimizerStats {
         col("min_str"), col("max_str"),
         col("__top.v").as("top_value"), col("__top.cnt").as("top_count"))
   }
+
+  /** Equi-depth-histogram range-selectivity audit — the Selinger
+    * estimation model over Piatetsky-Shapiro & Connell (SIGMOD 1984)
+    * equal-height buckets, audited against exact counts (the q190/q251
+    * discipline extended from equality to RANGE predicates, the other
+    * half of what a CBO estimates).
+    *
+    * Histogram build: boundaries are the floored type-7 quantiles from
+    * ONE partial+final `percentile` aggregate (floor makes the cut
+    * points exact BIGINTs, so bucket assignment is pure integer
+    * comparison in both engines — no last-ulp flip can move a row);
+    * exact per-bucket counts come from one hash-aggregate against the
+    * broadcast 1-row boundary frame. Per audited range [lo, hi) the
+    * estimate assumes uniformity INSIDE each bucket (the model's defining
+    * assumption): `est_b = cnt_b · overlap_b div width_b` on the integer
+    * value span, summed over buckets; exact counts fold as conditional
+    * aggregates in ONE corpus scan (never a corpus × ranges join).
+    *
+    * Output: one row per range — (range_lo, range_hi, exact_rows,
+    * est_rows, err_bp) with err_bp = |est − exact|·10⁴ div max(exact, 1).
+    */
+  def rangeSelectivityAudit(df: DataFrame, valCol: String, nBuckets: Int,
+                            ranges: Seq[(Long, Long)]): DataFrame = {
+    require(nBuckets >= 2, "need at least two buckets")
+    require(ranges.nonEmpty && ranges.forall(r => r._1 < r._2),
+      "ranges must be non-empty with lo < hi")
+    val spark = df.sparkSession
+    val vals = df.select(col(valCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val qs = (1 until nBuckets).map(i =>
+      s"CAST($i AS DOUBLE) / $nBuckets").mkString(", ")
+    val bounds = vals.agg(
+      expr(s"transform(percentile(v, array($qs)), x -> CAST(floor(x) AS BIGINT))")
+        .as("bnds"),
+      min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    // bucket id = 1 + #boundaries strictly below v (1..B); bucket b spans
+    // the integer values (lb_b, ub_b] with lb_1 closed at vmin
+    val bucketed = vals.crossJoin(broadcast(bounds))
+      .select(expr("1 + size(filter(bnds, x -> v > x))").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val hist = bucketed.crossJoin(broadcast(bounds))
+      .select(col("b"), col("cnt"),
+        expr("CASE WHEN b = 1 THEN vmin - 1 ELSE element_at(bnds, b - 1) END").as("lb"),
+        expr(s"CASE WHEN b = $nBuckets THEN vmax ELSE element_at(bnds, b) END").as("ub"))
+    // exact counts: one scan, one conditional aggregate per range
+    val exactCols = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      sum(when(col("v") >= lo && col("v") < hi, 1L).otherwise(0L)).as(s"__x$i")
+    }
+    val exactAgg = vals.agg(exactCols.head, exactCols.tail: _*)
+    import spark.implicits._
+    val spine = ranges.toDF("range_lo", "range_hi")
+    // histogram estimate: bucket b holds cnt rows uniformly over the
+    // integer span (lb, ub] (width = ub - lb); overlap with [lo, hi) is
+    // max(0, min(hi - 1, ub) - max(lo, lb + 1) + 1) values
+    val est = spine.crossJoin(hist)
+      .select(col("range_lo"), col("range_hi"),
+        expr("""CASE WHEN ub - lb <= 0 THEN 0L ELSE
+          | cnt * greatest(0L, least(range_hi - 1, ub) - greatest(range_lo, lb + 1) + 1)
+          |   div (ub - lb) END""".stripMargin).as("__e"))
+      .groupBy(col("range_lo"), col("range_hi"))
+      .agg(sum(col("__e")).as("est_rows"))
+    est.crossJoin(broadcast(exactAgg))
+      .select(col("range_lo"), col("range_hi"),
+        ranges.zipWithIndex.foldLeft(lit(0L)) { case (acc, ((lo, hi), i)) =>
+          when(col("range_lo") === lo && col("range_hi") === hi, col(s"__x$i"))
+            .otherwise(acc)
+        }.as("exact_rows"), col("est_rows"))
+      .withColumn("err_bp", expr(
+        "abs(est_rows - exact_rows) * 10000 div greatest(exact_rows, 1L)"))
+  }
 }

@@ -9938,7 +9938,7 @@ object ExtensionQueries {
       Multimodal.dhashNearDups(docs.unionByName(twins), "doc_id", "text",
         maxHamming = 3)
     },
-    Some("""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+    Some(s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
       tw AS (SELECT id + 1000000 AS id,
           substr(text, 1, greatest(1, length(text) // 3) - 1) || 'QQQQ' ||
             substr(text, greatest(1, length(text) // 3) + 4) AS text
@@ -10393,25 +10393,16 @@ object ExtensionQueries {
   // md5 digest would die (family B). Candidate pairs block on
   // (frame_idx, band_idx, band_val) — never an all-pairs — with the
   // 64-row hot-block cut on the join's own key.
-  private val q302 = Q(
-    "q302_video_dhash_neardup",
-    // served from QueryCaches.videoPairsFor — q302 and q303 share the
-    // fingerprint + banded-join build (the q60/q75 labelsFor contract)
-    (s, dir) => QueryCaches.videoPairsFor(s, dir),
-    Some("""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
-      ea AS (SELECT id + 2000000 AS id,
-          substr(text, 1, greatest(1, length(text) // 5) - 1) || 'QQ' ||
-            substr(text, greatest(1, length(text) // 5) + 2) AS text
-        FROM base WHERE id % 13 = 0),
-      eb AS (SELECT id + 3000000 AS id,
-          substr(text, 1, greatest(1, length(text) // 4 + 8) - 1) || 'QQ' ||
-            substr(text, greatest(1, length(text) // 4 + 8) + 2) AS text
-        FROM base WHERE id % 13 = 6),
-      un AS (SELECT * FROM base UNION ALL SELECT * FROM ea
-        UNION ALL SELECT * FROM eb),
-      fr AS (SELECT id, CAST(u.i AS BIGINT) AS frame_idx,
-          substring(text, CAST((u.i * length(text)) // 4 + 1 AS INT), 96) AS t
-        FROM un, UNNEST(range(0, 4)) AS u(i)),
+  /** DuckDB replay of [[graft.ext.Multimodal.videoFrameFingerprints]]
+    * from a corpus CTE `(id, text)`: `n` evenly-spaced 96-char frame
+    * windows -> 8x9 pooled cells -> 64 gradient bits -> (fp_hi, fp_lo).
+    * Emits the CTEs `fr`, `cl`, `bt`, `fp`; shared by q302/q303/q312 so
+    * the fingerprint arithmetic cannot drift between the video queries.
+    */
+  private def videoFpCtes(corpus: String, n: Int): String =
+    s"""fr AS (SELECT id, CAST(u.i AS BIGINT) AS frame_idx,
+          substring(text, CAST((u.i * length(text)) // $n + 1 AS INT), 96) AS t
+        FROM $corpus, UNNEST(range(0, $n)) AS u(i)),
       cl AS (SELECT id, frame_idx, list_transform(range(0, 72), j -> CAST(
           CASE WHEN ((j + 1) * length(t)) // 72 >= (j * length(t)) // 72 + 1
             THEN list_sum(list_transform(
@@ -10433,7 +10424,26 @@ object ExtensionQueries {
           CAST(list_sum(list_transform(range(0, 32), k ->
             bits[CAST(k + 33 AS INT)] *
               (CAST(1 AS BIGINT) << CAST(31 - k AS INT)))) AS BIGINT) AS fp_lo
-        FROM bt),
+        FROM bt),"""
+
+
+  private val q302 = Q(
+    "q302_video_dhash_neardup",
+    // served from QueryCaches.videoPairsFor — q302 and q303 share the
+    // fingerprint + banded-join build (the q60/q75 labelsFor contract)
+    (s, dir) => QueryCaches.videoPairsFor(s, dir),
+    Some(s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+      ea AS (SELECT id + 2000000 AS id,
+          substr(text, 1, greatest(1, length(text) // 5) - 1) || 'QQ' ||
+            substr(text, greatest(1, length(text) // 5) + 2) AS text
+        FROM base WHERE id % 13 = 0),
+      eb AS (SELECT id + 3000000 AS id,
+          substr(text, 1, greatest(1, length(text) // 4 + 8) - 1) || 'QQ' ||
+            substr(text, greatest(1, length(text) // 4 + 8) + 2) AS text
+        FROM base WHERE id % 13 = 6),
+      un AS (SELECT * FROM base UNION ALL SELECT * FROM ea
+        UNION ALL SELECT * FROM eb),
+      ${videoFpCtes("un", 4)}
       bd AS (SELECT id, frame_idx, fp_hi, fp_lo, u.band_idx,
           CASE u.band_idx WHEN 0 THEN fp_hi // 65536 WHEN 1 THEN fp_hi % 65536
             WHEN 2 THEN fp_lo // 65536 ELSE fp_lo % 65536 END AS band_val
@@ -10507,7 +10517,7 @@ object ExtensionQueries {
         .withColumn("keep_bp",
           expr("CAST((n_kept * 10000) div n_containers AS BIGINT)"))
     },
-    Some("""WITH RECURSIVE
+    Some(s"""WITH RECURSIVE
       base AS (SELECT CAST(doc_id AS BIGINT) AS id, source, text FROM documents),
       ea AS (SELECT id + 2000000 AS id, source,
           substr(text, 1, greatest(1, length(text) // 5) - 1) || 'QQ' ||
@@ -10519,31 +10529,7 @@ object ExtensionQueries {
         FROM base WHERE id % 13 = 6),
       un AS (SELECT * FROM base UNION ALL SELECT * FROM ea
         UNION ALL SELECT * FROM eb),
-      fr AS (SELECT id, CAST(u.i AS BIGINT) AS frame_idx,
-          substring(text, CAST((u.i * length(text)) // 4 + 1 AS INT), 96) AS t
-        FROM un, UNNEST(range(0, 4)) AS u(i)),
-      cl AS (SELECT id, frame_idx, list_transform(range(0, 72), j -> CAST(
-          CASE WHEN ((j + 1) * length(t)) // 72 >= (j * length(t)) // 72 + 1
-            THEN list_sum(list_transform(
-                range((j * length(t)) // 72 + 1,
-                  ((j + 1) * length(t)) // 72 + 1),
-                i -> CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)))
-              // (((j + 1) * length(t)) // 72 - (j * length(t)) // 72)
-            ELSE 0 END AS BIGINT)) AS cells
-        FROM fr),
-      bt AS (SELECT id, frame_idx, list_transform(range(0, 64), k ->
-          CASE WHEN cells[CAST((k // 8) * 9 + k % 8 + 1 AS INT)] >
-                    cells[CAST((k // 8) * 9 + k % 8 + 2 AS INT)]
-            THEN 1 ELSE 0 END) AS bits
-        FROM cl),
-      fp AS (SELECT id, frame_idx,
-          CAST(list_sum(list_transform(range(0, 32), k ->
-            bits[CAST(k + 1 AS INT)] *
-              (CAST(1 AS BIGINT) << CAST(31 - k AS INT)))) AS BIGINT) AS fp_hi,
-          CAST(list_sum(list_transform(range(0, 32), k ->
-            bits[CAST(k + 33 AS INT)] *
-              (CAST(1 AS BIGINT) << CAST(31 - k AS INT)))) AS BIGINT) AS fp_lo
-        FROM bt),
+      ${videoFpCtes("un", 4)}
       bd AS (SELECT id, frame_idx, fp_hi, fp_lo, u.band_idx,
           CASE u.band_idx WHEN 0 THEN fp_hi // 65536 WHEN 1 THEN fp_hi % 65536
             WHEN 2 THEN fp_lo // 65536 ELSE fp_lo % 65536 END AS band_val
@@ -10578,6 +10564,84 @@ object ExtensionQueries {
           // count(*) AS BIGINT) AS keep_bp
       FROM lab l JOIN sizes s USING (cluster_id)
       GROUP BY 1""")
+  )
+
+  // Multimodal 8: shot-boundary detection — the content-based video
+  // segmentation classic (Boreczky & Rowe 1996) on the perceptual
+  // feature: consecutive sampled frames compare by exact popcount
+  // hamming over their dHash fingerprints (a re-encode or brightness
+  // shift cannot fake a cut the way raw-byte deltas would), boundaries
+  // where the distance jumps to >= 12 bits, rolled up per container.
+  // Container-keyed lag window over n-bounded partitions — never a
+  // global sort; the oracle replays frames, cells, bits, fingerprints,
+  // the lag, and the roll-up.
+  private val q312 = Q(
+    "q312_shot_boundaries",
+    (s, dir) => Multimodal.videoShotBoundaries(
+      Tables.documents(s, dir), "doc_id", "text",
+      n = 6, frameBytes = 96, minHamming = 12),
+    Some(s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+      ${videoFpCtes("base", 6)}
+      tr AS (SELECT id, frame_idx, fp_hi, fp_lo,
+          lag(fp_hi) OVER (PARTITION BY id ORDER BY frame_idx) AS ph,
+          lag(fp_lo) OVER (PARTITION BY id ORDER BY frame_idx) AS pl
+        FROM fp),
+      hm AS (SELECT id,
+          CAST(bit_count(xor(fp_hi, ph)) + bit_count(xor(fp_lo, pl)) AS BIGINT) AS ham
+        FROM tr WHERE ph IS NOT NULL)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_transitions,
+        CAST(sum(CASE WHEN ham >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        CAST(max(ham) AS BIGINT) AS max_hamming,
+        CAST(sum(ham) * 1000 // count(*) AS BIGINT) AS mean_hamming_milli
+      FROM hm GROUP BY 1""")
+  )
+
+  // Optimizer-stats 4: equi-depth-histogram RANGE-selectivity audit —
+  // the other half of what a CBO estimates (q190 audits join sizes,
+  // q251 equality predicates): 16 equal-height buckets with floored
+  // type-7 quantile boundaries, uniform-within-bucket estimates for four
+  // audited value ranges vs the exact counts (folded in ONE conditional
+  // scan). The skewed events.value distribution makes the uniformity
+  // error visible and the audit non-trivial.
+  private val q313rs: Seq[(Long, Long)] =
+    Seq((100L, 1000L), (1000L, 5000L), (5000L, 20000L), (20000L, 50000L))
+  private val q313 = Q(
+    "q313_range_selectivity",
+    (s, dir) => OptimizerStats.rangeSelectivityAudit(
+      Tables.events(s, dir).select(cents(col("value")).as("v")),
+      "v", nBuckets = 16, ranges = q313rs),
+    Some {
+      val bnds = (1 until 16).map(i =>
+        s"CAST(floor(quantile_cont(v, CAST($i AS DOUBLE) / 16)) AS BIGINT)").mkString(", ")
+      val spine = q313rs.map { case (lo, hi) => s"($lo, $hi)" }.mkString(", ")
+      s"""WITH vv AS MATERIALIZED (SELECT CAST(round(value*100, 0) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      bd AS MATERIALIZED (SELECT [$bnds] AS bnds,
+        min(v) AS vmin, max(v) AS vmax FROM vv),
+      bk AS (SELECT CAST(1 + len(list_filter(bd.bnds, x -> vv.v > x)) AS BIGINT) AS b,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM vv, bd GROUP BY 1),
+      hist AS (SELECT b, cnt,
+          CASE WHEN b = 1 THEN vmin - 1 ELSE bnds[CAST(b - 1 AS INT)] END AS lb,
+          CASE WHEN b = 16 THEN vmax ELSE bnds[CAST(b AS INT)] END AS ub
+        FROM bk, bd),
+      spine(range_lo, range_hi) AS (VALUES $spine),
+      est AS (SELECT range_lo, range_hi,
+          CAST(sum(CASE WHEN ub - lb <= 0 THEN 0
+            ELSE cnt * greatest(0, least(range_hi - 1, ub) - greatest(range_lo, lb + 1) + 1)
+              // (ub - lb) END) AS BIGINT) AS est_rows
+        FROM spine, hist GROUP BY 1, 2),
+      ex AS (SELECT s.range_lo, s.range_hi,
+          CAST(coalesce(sum(CASE WHEN vv.v >= s.range_lo AND vv.v < s.range_hi
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS exact_rows
+        FROM spine s, vv GROUP BY 1, 2)
+      SELECT CAST(e.range_lo AS BIGINT) AS range_lo,
+        CAST(e.range_hi AS BIGINT) AS range_hi,
+        x.exact_rows, e.est_rows,
+        CAST(abs(e.est_rows - x.exact_rows) * 10000 // greatest(x.exact_rows, 1)
+          AS BIGINT) AS err_bp
+      FROM est e JOIN ex x USING (range_lo, range_hi)"""
+    }
   )
 
   /** Shared DuckDB CTEs for the basket-affinity queries (q306/q308):
@@ -10790,5 +10854,5 @@ object ExtensionQueries {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
-    q306, q307, q308, q309, q311)
+    q306, q307, q308, q309, q311, q312, q313)
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkFunSuite
+// (videoShotBoundaries cases below build controlled frame windows by hand)
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkFunSuite {
@@ -225,5 +226,25 @@ class MultimodalSpec extends SparkFunSuite {
     assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got=$got")
     assert(got((1L, 3L)) == ((4L, true)), "out-of-window edit: all 4 frames vote")
     assert(got((1L, 2L))._1 >= 3L, "in-window edit: at least 3 of 4 frames vote")
+  }
+
+  test("videoShotBoundaries: cuts only where consecutive frame fingerprints jump") {
+    // payload layout: frames sample 96 chars at i*400/4 -> A A B B, so
+    // the only perceptual jump is the f1->f2 transition; the flat
+    // container never cuts. mean == max/3 exactly because the other two
+    // transitions are hamming 0.
+    val A = "a" * 96
+    val B = "za" * 48
+    val pad = "pppp"
+    val shot = A + pad + A + pad + B + pad + B + pad
+    val flat = A + pad + A + pad + A + pad + A + pad
+    val df = Seq((1L, shot), (2L, flat)).toDF("doc_id", "payload")
+    val r = Multimodal.videoShotBoundaries(df, "doc_id", "payload",
+        n = 4, frameBytes = 96, minHamming = 12)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val (nt, nc, mx, mean) = r(1L)
+    assert(nt == 3L && nc == 1L && mx >= 12L && mean == mx * 1000 / 3)
+    assert(r(2L) == ((3L, 0L, 0L, 0L)))
   }
 }

@@ -76,4 +76,24 @@ class OptimizerStatsSpec extends SparkFunSuite {
     assert(rows((4000000000L, 1L)) == 9.2e18.toLong)
     assert(rows((5L, 0L)) == 0L)
   }
+
+  test("rangeSelectivityAudit: uniform data estimates exactly; out-of-data ranges expose the model") {
+    import spark.implicits._
+    // 1..16 with 4 buckets -> floored type-7 boundaries [4, 8, 12],
+    // perfectly equi-depth: the uniform model is exact on any range
+    val uni = (1L to 16L).toDF("v")
+    val r1 = OptimizerStats.rangeSelectivityAudit(uni, "v", 4, Seq((3L, 11L)))
+      .collect()(0)
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4)) == ((8L, 8L, 0L)))
+    // skew: 1..12 plus four 100s -> boundaries [4, 8, 34]; bucket 3 spans
+    // (8, 34] holding only 9..12, so a range inside the empty stretch
+    // (20, 40) gets a nonzero uniform guess against an exact 0
+    val skew = ((1L to 12L) ++ Seq.fill(4)(100L)).toDF("v")
+    val r2 = OptimizerStats.rangeSelectivityAudit(skew, "v", 4,
+        Seq((9L, 50L), (20L, 40L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(r2((9L, 50L)) == ((4L, 4L, 0L)))
+    assert(r2((20L, 40L)) == ((0L, 2L, 20000L)))
+  }
 }

@@ -2022,6 +2022,22 @@ class PlanAuditSpec extends SparkFunSuite {
       s"items attach by orderkey equi-joins only:\n$p")
   }
 
+  test("q312: shot boundaries — frame explode + container-keyed lag window, no join at all") {
+    val p = plan("q312_shot_boundaries")
+    assert(p.contains("Generate") && p.contains("Window"),
+      s"frames explode once; transitions come from an id-keyed lag:\n$p")
+    assert(!p.contains("Join"),
+      s"the whole detector is scan + window + aggregate:\n$p")
+  }
+
+  test("q313: range selectivity — percentile aggregate broadcast back, no corpus-sized join") {
+    val p = plan("q313_range_selectivity")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"boundaries and the range spine are broadcast-sized:\n$p")
+    assert(!p.contains("Window"),
+      s"bucket assignment is pure integer comparison, never a rank:\n$p")
+  }
+
   test("q288: drift audit is broadcast span + key explode + two aggregates joined on the group key") {
     val p = plan("q288_payload_drift")
     assert(p.contains("Generate"),
