@@ -360,7 +360,8 @@ object Explain {
     "q309_cluster_silhouette", // cell explode vs broadcast centroids + 2-row rank
     "q311_next_order_items", // customer-keyed lead window + guarded item joins + TakeOrdered
     "q312_shot_boundaries", // frame fp scan + id-keyed lag window + one agg
-    "q313_range_selectivity" // one percentile agg + broadcast boundaries + conditional scan
+    "q313_range_selectivity", // one percentile agg + broadcast boundaries + conditional scan
+    "q314_modularity_refine" // (node, nbr-label) agg + label joins + map-side argmax
   )
 
   def main(args: Array[String]): Unit = {

@@ -442,6 +442,89 @@ object Graphs {
           .as("modularity_bp"))
   }
 
+  /** One synchronous round of Louvain-style local moving (Blondel,
+    * Guillaume, Lambiotte & Lefebvre 2008, phase 1): every node
+    * considers joining each NEIGHBORING community and moves to the one
+    * with the largest modularity gain, if that gain strictly beats
+    * staying put. The standard gain comparison, scaled by `2m²` so it is
+    * EXACT BIGINT arithmetic: for node i and candidate community c,
+    * `G(c) = 2m·k_{i,c} − k_i·tot_{c\\i}` where `k_{i,c}` counts i's
+    * edges into c, `k_i` is i's degree, and `tot_{c\\i}` is c's degree
+    * mass without i — argmax G over candidates ∪ own, move only when the
+    * winner strictly exceeds G(own), ties broken by smallest label
+    * (deterministic; replayed verbatim by the q314 oracle). Synchronous:
+    * every decision reads the INPUT labels, so the round is one
+    * deterministic dataflow, not a sweep-order-dependent scan (the
+    * classic sequential Louvain is order-dependent; the synchronous
+    * variant trades some per-round progress for replayability — the
+    * same trade [[labelPropagation]] makes).
+    *
+    * Candidates are restricted to communities with label ≤ own — the
+    * MINIMUM-LABEL rule from parallel Louvain (Lu, Halappanavar &
+    * Kalyanaraman 2015): simultaneous decisions against frozen labels
+    * can otherwise form swap cycles (i moves to j's community exactly as
+    * j moves to i's — 2 "moves", the identical partition relabeled, zero
+    * modularity gained; measured as 25 no-op moves on the citation graph
+    * before the rule). Ordering the moves breaks every such cycle while
+    * keeping the round deterministic; moves toward larger labels just
+    * wait for a later round under the relabeled partition.
+    *
+    * Overflow: `k_i·tot_c ≤ 2m²` wraps signed 64-bit at m ≈ 2.1·10⁹
+    * edges — beyond any single modularity computation's reach and the
+    * same documented regime as [[modularity]]'s exact branch.
+    *
+    * Shape: one adjacency build, one (node, nbr_label) hash-aggregate,
+    * label-keyed joins for tot/deg, one per-node argmax as
+    * `min(struct(-G, label))` (map-side combinable — never a rank
+    * window). Output: (node, label) — the refined assignment.
+    */
+  def modularityRefine(edges0: DataFrame, srcCol: String, dstCol: String,
+                       labels: DataFrame, nodeCol: String = "node",
+                       labelCol: String = "label"): DataFrame = {
+    val e = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val ed = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val adj = ed.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(ed.select(col("b").as("node"), col("a").as("nbr")))
+    val lab = labels.select(col(nodeCol).cast("string").as("node"),
+      col(labelCol).cast("string").as("label"))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("__ki"))
+    val tot = deg.join(lab, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("__ki")).as("__tot"))
+    val m2 = ed.agg((count(lit(1)) * 2L).as("__2m"))
+    // k_{i,c}: i's edge count into each neighboring community c
+    val kic = adj
+      .join(lab.select(col("node").as("nbr"), col("label").as("__c")), Seq("nbr"))
+      .groupBy(col("node"), col("__c")).agg(count(lit(1)).as("__kic"))
+    // candidates = neighboring communities ∪ own (own may be absent from
+    // kic when i has no same-community neighbor — the left join fills 0)
+    val own = lab.select(col("node"), col("label").as("__own"))
+    val cand = kic.select(col("node"), col("__c"), col("__kic"))
+      .unionByName(own.select(col("node"), col("__own").as("__c"), lit(0L).as("__kic")))
+      .groupBy(col("node"), col("__c")).agg(max(col("__kic")).as("__kic"))
+    val scored = cand
+      .join(own, Seq("node"))
+      .filter(col("__c") <= col("__own")) // the minimum-label cycle breaker
+      .join(deg, Seq("node"))
+      .join(tot.select(col("label").as("__c"), col("__tot")), Seq("__c"))
+      .crossJoin(broadcast(m2))
+      .select(col("node"), col("__c"), col("__own"),
+        expr("""__2m * __kic - __ki *
+          | (CASE WHEN __c = __own THEN __tot - __ki ELSE __tot END)""".stripMargin)
+          .as("__g"))
+    val best = scored
+      .groupBy(col("node"), col("__own"))
+      .agg(
+        min(struct((-col("__g")).as("__ng"), col("__c").as("__c"))).as("__best"),
+        max(when(col("__c") === col("__own"), col("__g"))).as("__gown"))
+      .select(col("node"),
+        when(col("__best.__ng") < -col("__gown"), col("__best.__c"))
+          .otherwise(col("__own")).as("label"))
+    best
+  }
+
   /** One synchronous LPA round, exposed so the plan audit can pin its
     * physical shape: an equi-join on the neighbor key and two
     * hash-aggregates — never a window, never a sort.

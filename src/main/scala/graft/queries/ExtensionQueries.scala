@@ -10596,6 +10596,104 @@ object ExtensionQueries {
       FROM hm GROUP BY 1""")
   )
 
+  /** Community-sized modularity roll-up CTEs (over shared `ed`/`m`/`dg`)
+    * for a labels CTE — emitted twice by q314 (before/after refinement).
+    * Emits `${p}tot`, `${p}ts`, `${p}ia`, `${p}q` (1 row: n_communities,
+    * modularity_bp).
+    */
+  private def modularityTail(p: String, labelsCte: String): String =
+    s"""${p}tot AS (SELECT l.label, CAST(sum(dg.deg) AS BIGINT) AS tc
+        FROM dg JOIN $labelsCte l USING (node) GROUP BY 1),
+      ${p}ts AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+          CAST(sum(tc * tc) AS BIGINT) AS sum_tot_sq FROM ${p}tot),
+      ${p}ia AS (SELECT CAST(coalesce(sum(
+            CASE WHEN la.label = lb.label THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS intra_edges
+        FROM ed JOIN $labelsCte la ON ed.a = la.node
+          JOIN $labelsCte lb ON ed.b = lb.node),
+      ${p}q AS (SELECT n_communities,
+          CAST(CASE WHEN n_edges = 0 THEN 0
+            WHEN n_edges <= 10000000 THEN
+              ((4 * n_edges * intra_edges - sum_tot_sq) + 4 * n_edges * n_edges)
+                * 10000 // (4 * n_edges * n_edges) - 10000
+            ELSE CAST(round((4.0 * n_edges * intra_edges
+                - CAST(sum_tot_sq AS DOUBLE)) * 10000.0
+              / (4.0 * n_edges * n_edges)) AS BIGINT) END AS BIGINT)
+            AS modularity_bp
+        FROM m, ${p}ts, ${p}ia)"""
+
+  // Graph 13: Louvain-style local-moving refinement (Blondel et al. 2008
+  // phase 1, synchronous variant) applied to the q130 LPA communities,
+  // scored by the q307 modularity before AND after — the
+  // community-improvement loop's one step, with the gain comparison in
+  // exact 2m²-scaled BIGINTs so every move replays bit-for-bit. The
+  // citation graph's LPA labels leave mergeable communities on the
+  // table; the refinement's modularity delta is the evidence.
+  private val q314 = Q(
+    "q314_modularity_refine",
+    (s, dir) => {
+      val edges = pagerankEdges(s, dir)
+      val l0 = Graphs.labelPropagation(edges, "src", "dst", iters = 2)
+      val l1 = Graphs.modularityRefine(edges, "src", "dst", l0)
+      val before = Graphs.modularity(edges, "src", "dst", l0)
+        .select(col("n_nodes"), col("n_edges"),
+          col("n_communities").as("comms_before"),
+          col("modularity_bp").as("modularity_before_bp"))
+      val after = Graphs.modularity(edges, "src", "dst", l1)
+        .select(col("n_communities").as("comms_after"),
+          col("modularity_bp").as("modularity_after_bp"))
+      val moves = l0.select(col("node"), col("label").as("__l0"))
+        .join(l1.select(col("node"), col("label").as("__l1")), Seq("node"))
+        .agg(sum(when(col("__l0") =!= col("__l1"), 1L).otherwise(0L)).as("n_moves"))
+      before.crossJoin(broadcast(after)).crossJoin(broadcast(moves))
+        .select(col("n_nodes"), col("n_edges"), col("n_moves"),
+          col("comms_before"), col("comms_after"),
+          col("modularity_before_bp"), col("modularity_after_bp"))
+    },
+    Some(s"""WITH $prGraphCtes,
+      adj AS (SELECT src AS node, dst AS nbr FROM edges WHERE src <> dst
+        UNION SELECT dst, src FROM edges WHERE src <> dst),
+      l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+      ${lpRoundCte("l0", "l1")},
+      ${lpRoundCte("l1", "l2")},
+      ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed),
+      dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+      ${modularityTail("b_", "l2")},
+      kic AS (SELECT adj.node, l.label AS c, CAST(count(*) AS BIGINT) AS kic
+        FROM adj JOIN l2 l ON adj.nbr = l.node GROUP BY 1, 2),
+      cand AS (SELECT node, c, max(kic) AS kic FROM (
+          SELECT node, c, kic FROM kic
+          UNION ALL SELECT node, label AS c, 0 AS kic FROM l2)
+        GROUP BY 1, 2),
+      sc AS (SELECT cand.node, cand.c, l2.label AS own,
+          CAST(2 * m.n_edges * cand.kic - dg.deg *
+            (CASE WHEN cand.c = l2.label THEN t.tc - dg.deg ELSE t.tc END)
+            AS BIGINT) AS g
+        FROM cand JOIN l2 USING (node) JOIN dg USING (node)
+          JOIN b_tot t ON t.label = cand.c, m
+        WHERE cand.c <= l2.label),
+      bst AS (SELECT node, own, c AS best_c, g AS best_g,
+          row_number() OVER (PARTITION BY node ORDER BY g DESC, c) AS rn
+        FROM sc QUALIFY rn = 1),
+      gown AS (SELECT node, g AS own_g FROM sc WHERE c = own),
+      l3 AS (SELECT b.node,
+          CASE WHEN b.best_g > o.own_g THEN b.best_c ELSE b.own END AS label
+        FROM bst b JOIN gown o USING (node)),
+      ${modularityTail("a_", "l3")},
+      mv AS (SELECT CAST(coalesce(sum(CASE WHEN l2.label <> l3.label
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_moves
+        FROM l2 JOIN l3 USING (node)),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg)
+      SELECT nn.n_nodes, m.n_edges, mv.n_moves,
+        b_q.n_communities AS comms_before, a_q.n_communities AS comms_after,
+        b_q.modularity_bp AS modularity_before_bp,
+        a_q.modularity_bp AS modularity_after_bp
+      FROM nn, m, mv, b_q, a_q""")
+  )
+
   // Optimizer-stats 4: equi-depth-histogram RANGE-selectivity audit —
   // the other half of what a CBO estimates (q190 audits join sizes,
   // q251 equality predicates): 16 equal-height buckets with floored
@@ -10854,5 +10952,5 @@ object ExtensionQueries {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
-    q306, q307, q308, q309, q311, q312, q313)
+    q306, q307, q308, q309, q311, q312, q313, q314)
 }

@@ -399,6 +399,35 @@ class GraphsSpec extends SparkFunSuite {
       == r.toSeq)
   }
 
+  test("modularityRefine: a mislabeled bridge node moves home; settled nodes stay") {
+    import org.apache.spark.sql.functions._
+    // bridged triangles with c mislabeled into Y: m = 7, 2m = 14.
+    // c's gains: G(X) = 14·2 − 3·tot_X(4) = 16 > G(Y own) = 14·1 −
+    // 3·(tot_Y(10) − 3) = −7 → c moves to X. a/b/d/e/f all stay
+    // (a: G(X own) = 14 − 2·(4−2) = 10 > G(Y) = 14 − 2·10 = −6).
+    val edges = Seq(("a","b"),("a","c"),("b","c"),("d","e"),("d","f"),
+      ("e","f"),("c","d")).toDF("src", "dst")
+    val labels = Seq(("a","X"),("b","X"),("c","Y"),("d","Y"),("e","Y"),("f","Y"))
+      .toDF("node", "label")
+    val refined = Graphs.modularityRefine(edges, "src", "dst", labels)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(refined == Map("a" -> "X", "b" -> "X", "c" -> "X",
+      "d" -> "Y", "e" -> "Y", "f" -> "Y"))
+    // the move strictly improves modularity: 1224 bp → 3571 bp
+    val before = Graphs.modularity(edges, "src", "dst", labels).collect()(0).getLong(5)
+    val after = Graphs.modularity(edges, "src", "dst",
+      Seq(("a","X"),("b","X"),("c","X"),("d","Y"),("e","Y"),("f","Y"))
+        .toDF("node", "label")).collect()(0).getLong(5)
+    assert(before == 1224L && after == 3571L)
+    // a well-partitioned assignment is a fixpoint (no strict gain anywhere)
+    val settled = Graphs.modularityRefine(edges, "src", "dst",
+      Seq(("a","X"),("b","X"),("c","X"),("d","Y"),("e","Y"),("f","Y"))
+        .toDF("node", "label"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(settled == Map("a" -> "X", "b" -> "X", "c" -> "X",
+      "d" -> "Y", "e" -> "Y", "f" -> "Y"))
+  }
+
   test("hyperAnf round plan: adjacency equi-join + explode + O(k)-state sketch agg, no window") {
     import org.apache.spark.sql.functions._
     val e = Seq((1L,2L),(2L,3L)).toDF("src", "dst")

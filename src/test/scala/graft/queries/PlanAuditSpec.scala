@@ -2038,6 +2038,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"bucket assignment is pure integer comparison, never a rank:\n$p")
   }
 
+  test("q314: modularity refinement — hash-aggregates + label joins, argmax never a rank window") {
+    val p = plan("q314_modularity_refine")
+    assert(!p.contains("Window"),
+      s"the per-node argmax must be min(struct(-G, label)), map-side combinable:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast 1-row roll-ups cross:\n$p")
+  }
+
   test("q288: drift audit is broadcast span + key explode + two aggregates joined on the group key") {
     val p = plan("q288_payload_drift")
     assert(p.contains("Generate"),
