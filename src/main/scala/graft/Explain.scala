@@ -361,7 +361,8 @@ object Explain {
     "q311_next_order_items", // customer-keyed lead window + guarded item joins + TakeOrdered
     "q312_shot_boundaries", // frame fp scan + id-keyed lag window + one agg
     "q313_range_selectivity", // one percentile agg + broadcast boundaries + conditional scan
-    "q314_modularity_refine" // (node, nbr-label) agg + label joins + map-side argmax
+    "q314_modularity_refine", // (node, nbr-label) agg + label joins + map-side argmax
+    "q316_neyman_allocation" // one moment agg + broadcast totals, no window
   )
 
   def main(args: Array[String]): Unit = {

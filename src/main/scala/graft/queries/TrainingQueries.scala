@@ -834,8 +834,9 @@ object TrainingQueries {
   private val q285 = Q(
     "q285_unigram_fertility",
     (s, dir) => {
-      val vocab = TextStats.unigramTrain(docsSpread(s, dir), "text")
-        .select(col("piece"))
+      // the trained artifact ships from the session cache (q284 measures
+      // the trainer itself live — the q94/bpeMergesFor contract)
+      val vocab = QueryCaches.unigramVocabFor(s, dir).select(col("piece"))
       TextStats.unigramFertility(docsSpread(s, dir), "lang", "text", vocab)
     },
     Some(s"""WITH RECURSIVE $unigramOracleCtes,
@@ -860,7 +861,7 @@ object TrainingQueries {
     "q286_tokenizer_compare",
     (s, dir) => {
       val docs = docsSpread(s, dir)
-      val vocab = TextStats.unigramTrain(docs, "text").select(col("piece"))
+      val vocab = QueryCaches.unigramVocabFor(s, dir).select(col("piece"))
       val char = docs
         .select(explode(TextDedup.tokens(col("text"))).as("__w"))
         .agg(count(lit(1)).as("n_words"),
@@ -1000,8 +1001,10 @@ object TrainingQueries {
     "q305_tokenizer_compare4",
     (s, dir) => {
       val docs = docsSpread(s, dir)
-      val vocab = TextStats.unigramTrain(docs, "text").select(col("piece"))
-      val wpPieces = graft.ext.TextStats.wordpieceTrain(docs, "text", wpRounds)
+      // both trained artifacts ship from the session cache — q284/q304
+      // measure the trainers themselves live (the bpeMergesFor contract)
+      val vocab = QueryCaches.unigramVocabFor(s, dir).select(col("piece"))
+      val wpPieces = QueryCaches.wordpieceMergesFor(s, dir)
         .map(m => m._2 + m._3).distinct
       val wpVocab = {
         import s.implicits._

@@ -446,4 +446,16 @@ class GraphsSpec extends SparkFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"rounds are join + explode + agg only:\n$p")
   }
+
+  test("assortativity: a perfect star is perfectly disassortative; constant degrees degenerate to 0") {
+    import org.apache.spark.sql.functions._
+    // star: hub degree 3, leaves 1 → M=6, Σx=Σd²=12, Σx²=Σd³=30, Σxy=18
+    // r = (6·18 − 144)/(6·30 − 144) = −36/36 = −1 → −1000 milli
+    val star = Seq(("h","a"),("h","b"),("h","c")).toDF("src", "dst")
+    val r = Graphs.assortativity(star, "src", "dst").collect()(0)
+    assert(r.toSeq == Seq(4L, 3L, 12L, 30L, 18L, -1000L))
+    // triangle: every degree 2 → zero variance → the 0 convention
+    val tri = Seq(("a","b"),("b","c"),("c","a")).toDF("src", "dst")
+    assert(Graphs.assortativity(tri, "src", "dst").collect()(0).getLong(5) == 0L)
+  }
 }

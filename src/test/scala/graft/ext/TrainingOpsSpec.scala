@@ -313,4 +313,18 @@ class TrainingOpsSpec extends SparkFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getBoolean(3), r.getLong(4)))).toMap
     assert(hi == Map("a" -> ((true, 4L)), "b" -> ((true, 6L)), "c" -> ((true, 20L))))
   }
+
+  test("neymanAllocation: budget follows N_h*S_h; zero-variance strata weigh nothing") {
+    // A: sd 0 -> weight 0; B: sd 11.547 -> weight round(4*11.547) = 46;
+    // C: sd 70.711 -> weight round(2*70.711) = 141; wtot = 187
+    val df = (Seq.fill(4)(("A", 10L)) ++
+      Seq(("B", 0L), ("B", 20L), ("B", 0L), ("B", 20L), ("C", 0L), ("C", 100L)))
+      .toDF("stratum", "v")
+    val got = Sampling.neymanAllocation(df, "stratum", "v", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("A") == ((4L, 10L, 0L, 0L, 0L, 40L)))
+    assert(got("B") == ((4L, 10L, 12L, 46L, 100L * 46L / 187L, 40L)))
+    assert(got("C") == ((2L, 50L, 71L, 141L, 100L * 141L / 187L, 20L)))
+  }
 }

@@ -2046,6 +2046,13 @@ class PlanAuditSpec extends SparkFunSuite {
       s"only broadcast 1-row roll-ups cross:\n$p")
   }
 
+  test("q316: Neyman allocation — one stratum moment aggregate + broadcast totals, no window") {
+    val p = plan("q316_neyman_allocation")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      s"per-stratum moments hash-aggregate; totals broadcast back:\n$p")
+  }
+
   test("q288: drift audit is broadcast span + key explode + two aggregates joined on the group key") {
     val p = plan("q288_payload_drift")
     assert(p.contains("Generate"),
