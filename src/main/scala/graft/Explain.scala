@@ -560,6 +560,19 @@ object Explain {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }
+    // q317's returned frame is a driver-local credit table; the
+    // load-bearing plan is the journey→transition-count build — one
+    // user-keyed window pass + one (src, dst) hash-aggregate
+    locally {
+      val rd = graft.ext.Attribution.transitionCounts(
+        graft.Tables.events(spark, sfDir), "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      rd.count()
+      sb.append(s"\n## q317_markov_attribution (transition build)\n\n```\n")
+      sb.append(rd.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
     // q124's returned frame is a driver-local weight table; the
     // load-bearing plan is one gradient round — a single partial+final
     // 6-column hash aggregate over the codegen'd sigmoid projection

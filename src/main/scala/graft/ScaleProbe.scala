@@ -945,6 +945,21 @@ object ScaleProbe {
         graft.ext.Graphs.modularity(edges, "src", "dst", labels).count()
       },
       "silhouette_scan" -> (m => m.toLong), // timed via `custom` below
+      // assortativity: join-free marginal moments + ONE edge-sized join
+      // collapsed per target node — must track the edge scan
+      "assortativity" -> { m =>
+        val li = (0 until m).map { r =>
+          Tables.lineitem(spark, sfDir).select(
+            (col("l_orderkey") + lit(r * 100000000L)).as("o"),
+            (col("l_partkey") + lit(r * 10000000L)).as("p"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .distinct()
+        val edges = li.as("x")
+          .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+        graft.ext.Graphs.assortativity(edges, "src", "dst").count()
+      },
       // WordPiece trainer rounds are vocabulary-sized like the BPE/unigram
       // trainers — the corpus pays one word-count aggregate, every round
       // runs over distinct words × bounded units (plus the two broadcast

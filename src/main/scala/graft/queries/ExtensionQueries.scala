@@ -10767,6 +10767,86 @@ object ExtensionQueries {
       FROM w, tot""")
   )
 
+  /** The q317 oracle's walk CTEs for one chain variant: `steps` rounds of
+    * transient-mass propagation + conv accumulation over the shared `p`
+    * matrix, with `drop`ped channels' transitions removed. Every round is
+    * MATERIALIZED — the (mass, conv) pair references the previous round
+    * twice, which would otherwise inline 2^steps (the wordpiece lesson).
+    */
+  private def markovWalkCtes(v: String, steps: Int, drop: Option[String]): String = {
+    val dPred = drop.map(x => s" AND p.src <> '$x' AND p.dst <> '$x'").getOrElse("")
+    val dSrc = drop.map(x => s" AND p.src <> '$x'").getOrElse("")
+    val head = s"""w_${v}_0 AS (SELECT 'start' AS s, CAST(1000 AS BIGINT) AS m),
+      c_${v}_0 AS (SELECT CAST(0 AS BIGINT) AS conv)"""
+    val rounds = (1 to steps).map { r =>
+      s"""w_${v}_$r AS MATERIALIZED (SELECT p.dst AS s,
+          CAST(sum(w.m * p.p_milli // 1000) AS BIGINT) AS m
+        FROM w_${v}_${r - 1} w JOIN p ON p.src = w.s
+        WHERE p.dst <> 'conv' AND p.dst <> 'null'$dPred GROUP BY 1),
+      c_${v}_$r AS MATERIALIZED (SELECT CAST(c.conv + coalesce(x.a, 0) AS BIGINT) AS conv
+        FROM c_${v}_${r - 1} c LEFT JOIN (
+          SELECT CAST(sum(w.m * p.p_milli // 1000) AS BIGINT) AS a
+          FROM w_${v}_${r - 1} w JOIN p ON p.src = w.s
+          WHERE p.dst = 'conv'$dSrc) x ON TRUE)"""
+    }
+    (head +: rounds).mkString(",\n      ")
+  }
+
+  private val q317Channels = Seq("click", "error", "signup", "view")
+  private val q317Steps = 12
+
+  // Serving analytics: Markov-chain multi-touch attribution (Anderl et
+  // al. 2014's removal-effect model — the data-driven replacement for
+  // last-touch): user journeys (ordered events up to the first purchase)
+  // become a first-order chain over touch channels with absorbing
+  // conv/null states; a channel's credit is the conversion probability
+  // that DISAPPEARS when its transitions are removed. The corpus pays
+  // one journey window + one (src, dst) aggregate; the ≤(channels+2)²
+  // matrix localizes and the fixed-step walk runs in exact integer
+  // milli mass, replayed round by round by the oracle.
+  private val q317 = Q(
+    "q317_markov_attribution",
+    (s, dir) => graft.ext.Attribution.markovRemovalEffects(
+      Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+      channels = q317Channels, convType = "purchase", steps = q317Steps),
+    Some {
+      val walks = markovWalkCtes("f", q317Steps, None) +: q317Channels.map(ch =>
+        markovWalkCtes(ch, q317Steps, Some(ch)))
+      val rows = q317Channels.map(ch =>
+        s"""SELECT '$ch' AS channel,
+            (SELECT conv FROM c_f_$q317Steps) AS conv_milli_full,
+            (SELECT conv FROM c_${ch}_$q317Steps) AS conv_milli_removed""")
+        .mkString("\n        UNION ALL ")
+      s"""WITH e AS (SELECT user_id AS u, ts, event_id AS id, event_type AS t
+        FROM events),
+      r AS (SELECT u, ts, id, t,
+          row_number() OVER (PARTITION BY u ORDER BY ts, id) AS rn FROM e),
+      fp AS (SELECT u, min(rn) AS prn FROM r WHERE t = 'purchase' GROUP BY 1),
+      k AS (SELECT r.u, r.rn,
+          CASE WHEN r.t = 'purchase' THEN 'conv' ELSE r.t END AS dst
+        FROM r LEFT JOIN fp USING (u)
+        WHERE fp.prn IS NULL OR r.rn <= fp.prn),
+      t0 AS (SELECT u, rn, dst,
+          coalesce(lag(dst) OVER (PARTITION BY u ORDER BY rn), 'start') AS src
+        FROM k),
+      tm AS (SELECT src, dst FROM t0
+        UNION ALL
+        SELECT d AS src, 'null' AS dst FROM (
+          SELECT u, arg_max(dst, rn) AS d FROM k GROUP BY 1)
+        WHERE d <> 'conv'),
+      cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tm GROUP BY 1, 2),
+      p AS MATERIALIZED (SELECT src, dst,
+          CAST(n * 1000 // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_milli
+        FROM cnt),
+      ${walks.mkString(",\n      ")}
+      SELECT channel, conv_milli_full, conv_milli_removed,
+        CAST(CASE WHEN conv_milli_full > 0
+          THEN (conv_milli_full - conv_milli_removed) * 10000 // conv_milli_full
+          ELSE 0 END AS BIGINT) AS removal_effect_bp
+      FROM ($rows)"""
+    }
+  )
+
   // Optimizer-stats 4: equi-depth-histogram RANGE-selectivity audit —
   // the other half of what a CBO estimates (q190 audits join sizes,
   // q251 equality predicates): 16 equal-height buckets with floored
@@ -11024,5 +11104,5 @@ object ExtensionQueries {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
-    q306, q307, q308, q309, q311, q312, q313, q314, q315, q316)
+    q306, q307, q308, q309, q311, q312, q313, q314, q315, q316, q317)
 }
