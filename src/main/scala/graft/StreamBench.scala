@@ -611,7 +611,31 @@ object StreamBench {
     val aff_eps = (affWaves.toLong * upsertSize / ((System.nanoTime() - tAff) / 1e9)).toLong
     qAff.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"dhash_dedup_ingest_payloads":$dhdedup_eps,"video_dhash_ingest_containers":$vdhdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps,"affinity_telemetry_events":$aff_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    // windowed journey-transition telemetry (q317's streaming input):
+    // per-(window, user) journeys sort at close into transition counts
+    val inAtt = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val attOut = scratchDir("attr")
+    val qAtt = StreamPipelines.attributionTelemetrySink(
+        inAtt.toDF().toDF("ts", "user", "id", "t"), "ts", "user", "id", "t",
+        s"$attOut/tr", s"$attOut/ckpt",
+        trigger = Trigger.ProcessingTime(0))
+      .start()
+    val attTypes = Array("view", "click", "signup", "purchase", "error")
+    def attWave(n: Int, minuteBase: Long): Seq[(java.sql.Timestamp, Long, Long, String)] =
+      (0 until n).map(i => (new java.sql.Timestamp(minuteBase * 60000L + i % 60000),
+        (i % 500).toLong, (minuteBase * 1000000L + i).toLong, attTypes(i % 5)))
+    inAtt.addData(attWave(1000, 0L): _*); qAtt.processAllAvailable()
+    val attWaves = 5
+    val tAtt = System.nanoTime()
+    (0 until attWaves).foreach { w =>
+      inAtt.addData(attWave(upsertSize, 4000L + w.toLong * 2): _*)
+      qAtt.processAllAvailable()
+    }
+    val att_eps = (attWaves.toLong * upsertSize / ((System.nanoTime() - tAtt) / 1e9)).toLong
+    qAtt.stop()
+
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"dhash_dedup_ingest_payloads":$dhdedup_eps,"video_dhash_ingest_containers":$vdhdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps,"affinity_telemetry_events":$aff_eps,"attribution_telemetry_events":$att_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }

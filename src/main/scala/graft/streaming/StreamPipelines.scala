@@ -1485,6 +1485,78 @@ object StreamPipelines {
       }
   }
 
+  /** Windowed journey-transition telemetry — the q317 attribution
+    * model's LIVE input: per tumbling window each user's events sort at
+    * close (by event time, then id) into a within-window journey, and
+    * the close projection emits (src → dst) transition counts with the
+    * batch operator's exact conventions — `start` opens each journey,
+    * the first `convType` event absorbs to `conv` and truncates, a
+    * journey without one falls to `null`. One (window, user) state row
+    * holding the event list (window-bounded); output lands at
+    * `outPath/batch-<id>` with overwrite (the replay rule). Journeys are
+    * WINDOW-SCOPED by construction — the cross-window stitch is the
+    * batch model's job; this is the counter feed it folds.
+    */
+  def attributionTelemetrySink(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      idCol: String,
+      typeCol: String,
+      outPath: String,
+      checkpointDir: String,
+      convType: String = "purchase",
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute",
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val closed = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(userCol).as("user"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("ts"), col(idCol).as("id"), col(typeCol).as("t")))).as("evs"))
+      .select(col("window.start").as("window_start"), col("evs"))
+    closed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          attributionTransitionsBatch(batch, convType)
+            .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+      }
+  }
+
+  /** The q317 transition extraction over CLOSED (window_start, evs)
+    * journey rows — exposed so the spec can drive it directly. Replays
+    * [[graft.ext.Attribution]]'s conventions on the sorted event list:
+    * truncate at the first `convType` (absorbing to 'conv'), prepend
+    * 'start', append 'null' for unconverted journeys.
+    */
+  def attributionTransitionsBatch(closed: DataFrame, convType: String): DataFrame =
+    closed
+      .withColumn("__stop", expr(
+        s"array_position(transform(evs, e -> e.t), '$convType')"))
+      .withColumn("__kept", expr(
+        s"""transform(
+           |  CASE WHEN __stop > 0 THEN slice(evs, 1, CAST(__stop AS INT))
+           |       ELSE evs END,
+           |  e -> CASE WHEN e.t = '$convType' THEN 'conv' ELSE e.t END)""".stripMargin))
+      .select(col("window_start"), explode(expr(
+        """concat(
+          |  transform(sequence(1, size(__kept)),
+          |    i -> named_struct(
+          |      'src', CASE WHEN i = 1 THEN 'start' ELSE __kept[i-2] END,
+          |      'dst', __kept[i-1])),
+          |  CASE WHEN element_at(__kept, -1) <> 'conv'
+          |    THEN array(named_struct('src', element_at(__kept, -1),
+          |                            'dst', 'null'))
+          |    ELSE CAST(array() AS array<struct<src:string,dst:string>>) END)"""
+          .stripMargin)).as("__tr"))
+      .groupBy(col("window_start"), col("__tr.src").as("src"),
+        col("__tr.dst").as("dst"))
+      .agg(count(lit(1)).as("n"))
+
   def dhashDedupSink(
       stream: DataFrame,
       idCol: String,

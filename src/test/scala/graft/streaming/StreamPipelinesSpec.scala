@@ -649,6 +649,43 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("attributionTelemetrySink: closed windows emit the batch operator's exact transitions") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, String)]
+    val out = tmpDir("attrt")
+    val q = StreamPipelines.attributionTelemetrySink(
+        input.toDF().toDF("ts", "user", "id", "t"), "ts", "user", "id", "t",
+        out + "/tr", out + "/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      // user 1: view → click → purchase → view (post-conversion, truncated);
+      // user 2: view only (falls to null at close)
+      input.addData(
+        (t("2024-01-01 10:00:05"), 1L, 1L, "view"),
+        (t("2024-01-01 10:00:06"), 1L, 2L, "click"),
+        (t("2024-01-01 10:00:07"), 1L, 3L, "purchase"),
+        (t("2024-01-01 10:00:08"), 1L, 4L, "view"),
+        (t("2024-01-01 10:00:09"), 2L, 5L, "view"))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 10:02:00"), 9L, 9L, "view")) // close
+      q.processAllAvailable()
+      val got = spark.read.parquet(out + "/tr/batch-*").collect()
+        .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+      assert(got == Map(
+        ("start", "view") -> 2L, ("view", "click") -> 1L,
+        ("click", "conv") -> 1L, ("view", "null") -> 1L))
+      // bit-identical to the batch operator over the same window's events
+      val batch = graft.ext.Attribution.transitionCounts(
+        Seq((1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"), (1L, 3L, 3L, "purchase"),
+          (1L, 4L, 4L, "view"), (2L, 5L, 5L, "view"))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", "purchase")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("simhashDedupIngestBatch drops near-dups vs batch AND index; replay converges") {
     val indexPath = tmpDir("shidx") + "/index"
     def indexIds = spark.read.parquet(indexPath).collect().map(_.getLong(0)).toSet
