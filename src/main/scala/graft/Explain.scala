@@ -362,7 +362,9 @@ object Explain {
     "q312_shot_boundaries", // frame fp scan + id-keyed lag window + one agg
     "q313_range_selectivity", // one percentile agg + broadcast boundaries + conditional scan
     "q314_modularity_refine", // (node, nbr-label) agg + label joins + map-side argmax
-    "q316_neyman_allocation" // one moment agg + broadcast totals, no window
+    "q316_neyman_allocation", // one moment agg + broadcast totals, no window
+    "q318_small_qty_revenue", // decorrelated: ONE merged per-partkey agg joins back
+    "q319_promo_suppliers" // semi-join chain + left-outer windowed agg (count-bug guard)
   )
 
   def main(args: Array[String]): Unit = {

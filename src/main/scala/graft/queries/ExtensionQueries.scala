@@ -10847,6 +10847,97 @@ object ExtensionQueries {
     }
   )
 
+  // OLAP classic: TPC-H Q17 shape (small-quantity-order revenue) — the
+  // one classic family the tier had not exercised: CORRELATED SCALAR
+  // subqueries that Catalyst must decorrelate (RewriteCorrelatedScalar-
+  // Subquery → aggregate-then-join; PlanAuditSpec pins that no per-row
+  // subquery survives in the physical plan). The per-part avg threshold
+  // is restated in exact integers (`qty*5*cnt < sum` ⟺ `qty < 0.2*avg`
+  // for cnt > 0, which the outer row itself guarantees) so the boundary
+  // cannot float-drift between engines; the two correlated aggregates
+  // (count, sum) decorrelate into ONE per-partkey aggregate join via
+  // MergeScalarSubqueries. At 100 TB both sides shuffle on l_partkey —
+  // the decorrelated form is exactly the plan you'd hand-write.
+  private val q318 = Q(
+    "q318_small_qty_revenue",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("csq_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("csq_part")
+      s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_small,
+          CAST(coalesce(sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)),0) AS BIGINT) AS sum_price_cents,
+          CAST(coalesce(sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)),0) div 7 AS BIGINT) AS avg_yearly_cents
+        FROM csq_lineitem l JOIN csq_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND CAST(l.l_quantity AS BIGINT) * 5
+              * (SELECT count(*) FROM csq_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+            < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+               FROM csq_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_small,
+        CAST(coalesce(sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)),0) AS BIGINT) AS sum_price_cents,
+        CAST(coalesce(sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)),0) // 7 AS BIGINT) AS avg_yearly_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#4'
+        AND CAST(l.l_quantity AS BIGINT) * 5
+            * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+          < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+             FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""")
+  )
+
+  // OLAP classic: TPC-H Q20 shape (potential part promotion) — a
+  // correlated scalar SUM inside an IN-subquery, the canonical
+  // "count bug" decorrelation case: the correlated window-sum is NULL
+  // for (part, supplier) pairs with no shipments in the window, and the
+  // COALESCE(…, 0) must survive decorrelation as the left-outer-join
+  // null-replacement (an inner-join rewrite would silently drop exactly
+  // the pairs the predicate most wants — those with ZERO recent volume).
+  // No partsupp table exists in this schema, so the catalog is the
+  // derived (l_partkey, l_suppkey) lifetime-quantity frame and
+  // "availqty > 0.5 × recent" becomes "lifetime > 2 × window volume":
+  // suppliers of small-* parts whose recent-year shipments are under
+  // half their lifetime volume. Decorrelated: one per-pair windowed
+  // aggregate left-joined to the pairs frame, then a semi-join chain to
+  // supplier — every join keyed, nothing per-row.
+  private val q319 = Q(
+    "q319_promo_suppliers",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("csq_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("csq_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("csq_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("csq_nation")
+      s.sql("""WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS lifetime_qty
+          FROM csq_lineitem GROUP BY 1, 2)
+        SELECT s.s_suppkey, s.s_name
+        FROM csq_supplier s JOIN csq_nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2')
+          AND s.s_suppkey IN (
+            SELECT ps.suppkey FROM ps
+            WHERE ps.partkey IN (SELECT p_partkey FROM csq_part WHERE p_name LIKE 'small %')
+              AND ps.lifetime_qty > 2 * (
+                SELECT coalesce(CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT), 0)
+                FROM csq_lineitem l
+                WHERE l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey
+                  AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                  AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'))""")
+    },
+    Some("""WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS lifetime_qty
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s.s_suppkey, s.s_name
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2')
+        AND s.s_suppkey IN (
+          SELECT ps.suppkey FROM ps
+          WHERE ps.partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+            AND ps.lifetime_qty > 2 * (
+              SELECT coalesce(CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT), 0)
+              FROM lineitem l
+              WHERE l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey
+                AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'))""")
+  )
+
   // Optimizer-stats 4: equi-depth-histogram RANGE-selectivity audit —
   // the other half of what a CBO estimates (q190 audits join sizes,
   // q251 equality predicates): 16 equal-height buckets with floored
@@ -11104,5 +11195,6 @@ object ExtensionQueries {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
-    q306, q307, q308, q309, q311, q312, q313, q314, q315, q316, q317)
+    q306, q307, q308, q309, q311, q312, q313, q314, q315, q316, q317,
+    q318, q319)
 }

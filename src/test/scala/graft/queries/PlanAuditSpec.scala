@@ -2200,6 +2200,37 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("Window"), s"the per-id top-k rank is load-bearing:\n$p")
   }
 
+  test("q318: correlated scalar subqueries decorrelate into one per-part aggregate join") {
+    val p = plan("q318_small_qty_revenue")
+    // RewriteCorrelatedScalarSubquery must have rewritten BOTH correlated
+    // aggregates (count, sum per l_partkey) into a join against a grouped
+    // frame — a surviving per-row subquery would re-scan lineitem per row
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      s"correlated scalar subquery survived to the physical plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must produce an equi-join:\n$p")
+    // MergeScalarSubqueries folds the two aggregates into ONE per-partkey
+    // aggregate: exactly one aggregate subtree keyed on l_partkey feeds
+    // the join (two would mean the merge regressed and lineitem pays an
+    // extra full aggregate at 100 TB)
+    assert(p.split("keys=\\[l_partkey").length - 1 >= 2, // partial+final of the one agg
+      s"expected the merged per-partkey aggregate (partial+final):\n$p")
+  }
+
+  test("q319: IN + correlated window-sum decorrelates — semi joins + one left outer agg join") {
+    val p = plan("q319_promo_suppliers")
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      s"correlated scalar subquery survived to the physical plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must stay keyed:\n$p")
+    // the IN-subqueries become semi joins; the correlated window sum must
+    // join LEFT OUTER so zero-shipment pairs keep their COALESCE(…, 0)
+    // row (the count-bug guard) rather than vanishing through an inner join
+    assert(p.contains("LeftSemi"), s"IN predicates must plan as semi joins:\n$p")
+    assert(p.contains("LeftOuter"),
+      s"the correlated sum must decorrelate as a left outer join (count-bug guard):\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
