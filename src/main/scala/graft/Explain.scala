@@ -364,7 +364,9 @@ object Explain {
     "q314_modularity_refine", // (node, nbr-label) agg + label joins + map-side argmax
     "q316_neyman_allocation", // one moment agg + broadcast totals, no window
     "q318_small_qty_revenue", // decorrelated: ONE merged per-partkey agg joins back
-    "q319_promo_suppliers" // semi-join chain + left-outer windowed agg (count-bug guard)
+    "q319_promo_suppliers", // semi-join chain + left-outer windowed agg (count-bug guard)
+    "q310_audio_chroma_neardup", // chroma HOF projection; (window, band)-blocked pair join
+    "q320_audio_chroma_incremental" // id anti-join + batch-sized blocked index probe
   )
 
   def main(args: Array[String]): Unit = {

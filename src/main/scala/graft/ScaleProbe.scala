@@ -872,6 +872,7 @@ object ScaleProbe {
       "incr_simhash_probe" -> (m => m.toLong), // timed via `custom` below
       "incr_simhash64_probe" -> (m => m.toLong), // timed via `custom` below
       "incr_dhash_probe" -> (m => m.toLong), // timed via `custom` below
+      "audio_chroma_probe" -> (m => m.toLong), // timed via `custom` below
       "knn_maintain_probe" -> (m => m.toLong), // timed via `custom` below
       // q233's truth stage after the r10 bound: the exact all-pairs
       // Jaccard runs over a FIXED-SIZE hash-cut sample (400 docs by
@@ -1087,6 +1088,31 @@ object ScaleProbe {
       idx.unpersist(); t
     }
 
+    // audio_chroma_probe: a FIXED container batch against a per-window
+    // chroma fingerprint index growing with the multiplier (the
+    // incr_dhash contract at the audio tier — the streaming
+    // audioChromaDedupSink's batch body). Index built outside the timer;
+    // the timed work is the batch fingerprinting + id anti join + the
+    // (window_idx, band)-blocked pigeonhole probe, whose cost must track
+    // band-bucket occupancy (linear in the index scan at worst), never
+    // index history
+    def audioChromaTimed(m: Int): Double = {
+      val idx = graft.ext.Multimodal.audioWindowFingerprints(
+        docsAt(m), "doc_id", "text", n = 6).persist()
+      idx.count()
+      val batch = Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + 90000000L)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t = time {
+        val fresh = graft.ext.Multimodal.audioWindowFingerprints(
+            batch, "doc_id", "text", n = 6)
+          .join(idx.select(col("id")).distinct(), Seq("id"), "left_anti")
+        graft.ext.Multimodal.audioChromaNearDupsFromFresh(fresh, idx,
+          maxHamming = 3, minShared = 3).count()
+      }
+      idx.unpersist(); t
+    }
+
     // knn_maintain_probe: the composed q287 loop — a FIXED embedding
     // batch's maintenance edges merge into a persisted adjacency grown
     // with the multiplier, and the beam walk runs over the merged graph.
@@ -1166,6 +1192,7 @@ object ScaleProbe {
         "incr_simhash_probe" -> incrSimhashTimed,
         "incr_simhash64_probe" -> incrSimhash64Timed,
         "incr_dhash_probe" -> incrDhashTimed,
+        "audio_chroma_probe" -> audioChromaTimed,
         "knn_maintain_probe" -> knnMaintainTimed,
         "pagerank_iter_mb_str" -> prIterMB(encode = false),
         "pagerank_iter_mb_enc" -> prIterMB(encode = true))

@@ -439,6 +439,41 @@ object StreamBench {
     }
 
     // -------------------------------------------------------------------
+    // Pipeline 7e: audio-container ingest dedup — q310's window-vote rule
+    // live: each wave of containers fingerprints 5 aligned overlapping
+    // windows with the chromaprint-shaped spectral-gradient-delta word,
+    // probes the growing per-window index through the (window_idx, band)
+    // blocks, and >=3-of-5 window votes drop the container. Reported as
+    // CONTAINERS/sec including the index append.
+    var acdedup_eps = 0L
+    locally {
+      val in7e = MemoryStream[(Long, String)]
+      val acScratch = scratchDir("acdedup")
+      val q7e = StreamPipelines.audioChromaDedupSink(
+          in7e.toDF().toDF("doc_id", "payload"), "doc_id", "payload",
+          s"$acScratch/index", s"$acScratch/ckpt",
+          trigger = Trigger.ProcessingTime(0))
+        .start()
+      def audioWave(n: Int, idBase: Long, seed: Int): Seq[(Long, String)] = {
+        val rnd = new scala.util.Random(seed)
+        (0 until n).map { i =>
+          val body = (0 until 800).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+          (idBase + i, body)
+        }
+      }
+      in7e.addData(audioWave(500, -500000L, -11)); q7e.processAllAvailable()
+      val acWaves  = math.max(1, waves / 2)
+      val acWaveSz = math.max(1, waveSize / 8)
+      val t7e = System.nanoTime()
+      (0 until acWaves).foreach { w =>
+        in7e.addData(audioWave(acWaveSz, w.toLong * acWaveSz, 500 + w))
+        q7e.processAllAvailable()
+      }
+      acdedup_eps = (acWaves.toLong * acWaveSz / ((System.nanoTime() - t7e) / 1e9)).toLong
+      q7e.stop()
+    }
+
+    // -------------------------------------------------------------------
     // Pipeline 8: graph-ANN serving — query vectors arrive on a stream and
     // each micro-batch runs the beam walk against a PERSISTED corpus
     // index (adjacency + per-bucket entries built once, outside the
@@ -635,7 +670,7 @@ object StreamBench {
     val att_eps = (attWaves.toLong * upsertSize / ((System.nanoTime() - tAtt) / 1e9)).toLong
     qAtt.stop()
 
-    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"dhash_dedup_ingest_payloads":$dhdedup_eps,"video_dhash_ingest_containers":$vdhdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps,"affinity_telemetry_events":$aff_eps,"attribution_telemetry_events":$att_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
+    println(s"""{"metric":"stream_throughput","unit":"events/sec","pipelines":{"gold_window_agg":$agg_eps,"orders_upsert":$upsert_eps,"orders_upsert_versioned":$upsert_mor_eps,"cdc_dims":$cdc_eps,"window_sketch_telemetry":$sketch_eps,"priority_sample":$prio_eps,"cms_telemetry_docs":$cms_eps,"drift_telemetry_docs":$drift_eps,"ingest_funnel_docs":$funnel_eps,"phrase_telemetry_docs":$phrase_eps,"knn_graph_ingest_vecs":$knn_eps,"simhash_dedup_ingest_docs":$simdedup_eps,"dhash_dedup_ingest_payloads":$dhdedup_eps,"video_dhash_ingest_containers":$vdhdedup_eps,"audio_chroma_ingest_containers":$acdedup_eps,"graph_ann_serve_queries":$ann_qps,"transition_extract_events":$trans_eps,"change_point_events":$ph_eps,"hdr_telemetry_events":$hdr_eps,"audience_sketch_members":$aud_eps,"ab_telemetry_events":$ab_eps,"affinity_telemetry_events":$aff_eps,"attribution_telemetry_events":$att_eps},"reference":{"configured":50,"design_target_max":10000,"max_offsets_per_trigger":5000}}""")
     spark.stop()
     sweepScratch()
   }

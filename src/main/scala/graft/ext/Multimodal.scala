@@ -508,6 +508,182 @@ object Multimodal {
         expr("sum(__ham) * 1000 div count(1)").as("mean_hamming_milli"))
   }
 
+  /** Audio-style windowed-spectral fingerprint (the chromaprint shape —
+    * Lalinský's public AcoustID fingerprint computes, per STFT frame, the
+    * SIGN of the temporal delta of the spectral-band-energy gradient;
+    * this tier reproduces exactly that bit rule over the house stub
+    * decode): the payload's character codes stand in for PCM samples,
+    * each container samples `n` fixed-width (128-unit) windows at
+    * proportional offsets (window t starts at t·len div n — consecutive
+    * windows OVERLAP like STFT frames whenever len < 128·n), each window
+    * pools into 33 proportional band energies (floor-mean of codes — the
+    * spectral proxy), and sub-fingerprint t (t in 1..n-1) sets bit k iff
+    * the band-k spectral gradient GREW from window t-1 to window t:
+    *
+    *   bit k = (E[k][t] − E[k+1][t]) > (E[k][t−1] − E[k+1][t−1])
+    *
+    * Exact-integer throughout (floor-mean energies, strict compare), so
+    * both engines compute the identical 32-bit word; carried as one
+    * non-negative BIGINT `fp`. A codec-equipped build swaps the char-code
+    * extraction for real PCM band energies and nothing downstream
+    * changes — the q302 stub-decode contract.
+    *
+    * Why sign-of-delta and not the raw energies: like dHash's
+    * brightness-order bits, gradient-direction bits survive global gain
+    * and re-encode offsets that shift every band by the same amount —
+    * the robustness that makes the HAMMING near-dup join meaningful.
+    *
+    * The HOF uses the [[DhashFpSql]] let-binding discipline
+    * (`transform(array(e), v -> …)` — without it project collapse
+    * re-derives the 33-energy array per bit reference).
+    */
+  private[graft] val ChromaFpSql: String = {
+    def codes(s: String) = s"transform(split($s, ''), c -> CAST(ascii(c) AS BIGINT))"
+    // window length comes from size(codes) — the let-bound array's O(1)
+    // stored size — NOT length(__t): the un-bound substring would re-inline
+    // at every one of its ~200 references per band table (measured 9.5 s →
+    // the q294 project-collapse trap all over again)
+    def energies(cs: String) =
+      s"""transform(sequence(0, 32), b -> CAST(
+        |  CASE WHEN ((b + 1) * size($cs)) div 33 >= (b * size($cs)) div 33 + 1
+        |    THEN aggregate(
+        |      slice($cs, CAST((b * size($cs)) div 33 + 1 AS INT),
+        |        CAST(((b + 1) * size($cs)) div 33 - (b * size($cs)) div 33 AS INT)),
+        |      0L, (a, x) -> a + x)
+        |      div (((b + 1) * size($cs)) div 33 - (b * size($cs)) div 33)
+        |    ELSE 0L END AS BIGINT))""".stripMargin
+    s"""transform(array(${codes("__t")}), __ct ->
+      |  transform(array(${codes("__p")}), __cp ->
+      |    transform(array(${energies("__ct")}), __et ->
+      |      transform(array(${energies("__cp")}), __ep ->
+      |        aggregate(transform(sequence(0, 31), k ->
+      |          CASE WHEN (__et[CAST(k AS INT)] - __et[CAST(k + 1 AS INT)]) >
+      |                    (__ep[CAST(k AS INT)] - __ep[CAST(k + 1 AS INT)])
+      |            THEN 1L ELSE 0L END),
+      |          0L, (a, b) -> a * 2L + b)
+      |      )[0])[0])[0])[0]""".stripMargin
+  }
+
+  /** Per-window chroma sub-fingerprints — the persisted-index layout of
+    * the audio ingest tier: (id, window_idx in 1..n-1, fp). One substring
+    * projection per window pair + the [[ChromaFpSql]] HOF; no explode of
+    * the payload itself, no shuffle, one pass.
+    */
+  def audioWindowFingerprints(df: DataFrame, idCol: String, payloadCol: String,
+                              n: Int, windowChars: Int = 128): DataFrame = {
+    require(n >= 2, "need at least two windows for a temporal delta")
+    val fp =
+      if (graft.functions.GraftFunctions.installed(df.sparkSession))
+        graft.functions.GraftFunctions.chroma32(col("__t"), col("__p"))
+      else expr(ChromaFpSql)
+    df.select(col(idCol).as("id"), col(payloadCol).cast("string").as("__pay"))
+      .select(col("id"), col("__pay"),
+        explode(expr(s"sequence(1L, ${n - 1}L)")).as("window_idx"))
+      .select(col("id"), col("window_idx"),
+        expr(s"substring(__pay, CAST((window_idx * length(__pay)) div $n + 1 AS INT), $windowChars)").as("__t"),
+        expr(s"substring(__pay, CAST(((window_idx - 1) * length(__pay)) div $n + 1 AS INT), $windowChars)").as("__p"))
+      .withColumn("fp", fp)
+      .select(col("id"), col("window_idx"), col("fp"))
+  }
+
+  /** 8-bit pigeonhole bands of the 32-bit chroma word: any pair within
+    * hamming 3 agrees exactly on at least one of the 4 bands.
+    */
+  private def chromaBands(fps: DataFrame, carry: Seq[String]): DataFrame =
+    fps.select(carry.map(col) :+
+        explode(expr("sequence(0, 3)")).as("band_idx"): _*)
+      .withColumn("band_val",
+        expr("shiftright(fp, CAST((3 - band_idx) * 8 AS INT)) & 255"))
+
+  /** Container-level (audio) perceptual near-dup — the q302 contract on
+    * the second perceptual modality: [[audioWindowFingerprints]]'s n−1
+    * ALIGNED sub-fingerprints, candidate window pairs block on
+    * (window_idx, band_idx, band_val) — the pigeonhole join scoped to the
+    * SAME window position, never an all-pairs — verify with the exact
+    * popcount, and a container pair is a near-dup when at least
+    * `minShared` of its aligned windows match within `maxHamming` bits
+    * (window voting). Hot (window_idx, band) blocks above `maxBlockSize`
+    * drop as boilerplate BEFORE pairing, on the join's own key (short
+    * payloads whose bands are all empty collapse to fp = 0 — exactly the
+    * degenerate block the cap exists for).
+    *
+    * Output: (id_a, id_b, n_matching_windows ≥ minShared,
+    * all_windows_match).
+    */
+  def audioChromaNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                          n: Int, windowChars: Int = 128, maxHamming: Int = 3,
+                          minShared: Int = 3, maxBlockSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3] for the 4-band pigeonhole guarantee")
+    require(minShared >= 1 && minShared <= n - 1, "need 1 <= minShared <= n-1")
+    val fps = audioWindowFingerprints(df, idCol, payloadCol, n, windowChars)
+    val bands = chromaBands(fps, Seq("id", "window_idx", "fp"))
+      .withColumn("__blk", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_idx"), col("band_idx"), col("band_val"))))
+      .filter(col("__blk") <= maxBlockSize)
+    val a = bands.select(col("id").as("id_a"), col("window_idx"),
+      col("fp").as("__fa"), col("band_idx"), col("band_val"))
+    val b = bands.select(col("id").as("id_b"), col("window_idx"),
+      col("fp").as("__fb"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("window_idx", "band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("window_idx"),
+        expr("CAST(bit_count(__fa ^ __fb) AS BIGINT)").as("__ham"))
+      .filter(col("__ham") <= maxHamming.toLong)
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matching_windows"))
+      .filter(col("n_matching_windows") >= minShared.toLong)
+      .withColumn("all_windows_match", col("n_matching_windows") === (n - 1).toLong)
+  }
+
+  /** Batch-incremental audio near-dup — [[audioChromaNearDups]] under the
+    * ingest contract ([[videoDhashNearDupsFromFresh]] transplanted):
+    * `fresh` per-window fingerprints (the micro-batch after its
+    * container-id anti-join, [[audioWindowFingerprints]] layout) probe
+    * index ∪ fresh through the (window_idx, band) pigeonhole blocks,
+    * candidate windows verify with the exact popcount, and a container
+    * pair is a near-dup when at least `minShared` aligned windows match
+    * within `maxHamming` bits. Hot blocks count over the CANDIDATE
+    * population on the join's own key. The probe side is batch-sized:
+    * per-batch cost is batch × band occupancy, never index history.
+    * Output: (id, nbr_id, n_matching_windows ≥ minShared) with `id`
+    * always the fresh side.
+    */
+  def audioChromaNearDupsFromFresh(fresh: DataFrame, index: DataFrame,
+                                   maxHamming: Int, minShared: Int,
+                                   maxBlockSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3] for the 4-band pigeonhole guarantee")
+    require(minShared >= 1, "minShared must be >= 1")
+    val cols = Seq("id", "window_idx", "fp")
+    val cand = index.select(cols.map(col): _*)
+      .unionByName(fresh.select(cols.map(col): _*))
+    val blk = chromaBands(cand, cols)
+      .groupBy(col("window_idx"), col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("__blk"))
+      .filter(col("__blk") <= maxBlockSize)
+      .select(col("window_idx"), col("band_idx"), col("band_val"))
+    val cb = chromaBands(cand, cols)
+      .join(blk, Seq("window_idx", "band_idx", "band_val"))
+    val fb = chromaBands(fresh.select(cols.map(col): _*), cols)
+      .join(blk, Seq("window_idx", "band_idx", "band_val"))
+    fb.as("x").join(cb.as("y"),
+        col("x.window_idx") === col("y.window_idx") &&
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"), col("y.id").as("nbr_id"),
+        col("x.window_idx").as("window_idx"),
+        expr("CAST(bit_count(x.fp ^ y.fp) AS BIGINT)").as("__ham"))
+      .filter(col("__ham") <= maxHamming.toLong)
+      .distinct()
+      .groupBy(col("id"), col("nbr_id"))
+      .agg(count(lit(1)).as("n_matching_windows"))
+      .filter(col("n_matching_windows") >= minShared.toLong)
+  }
+
   /** STUB — deterministic pseudo-decode from payload bytes. A real decoder
     * (??? in a codec-equipped build) would parse the container header for
     * dimensions and average the luma plane for brightness.

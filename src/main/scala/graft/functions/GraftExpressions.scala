@@ -164,6 +164,79 @@ object DhashUtil {
   }
 }
 
+/** 32-bit chromaprint-shaped spectral fingerprint of a (current, previous)
+  * window pair — the codegen'd native twin of
+  * [[graft.ext.Multimodal.ChromaFpSql]]: each window pools into 33
+  * proportional floor-mean band energies (char code = UTF-16 unit, the
+  * all-ASCII stub-decode contract), and bit k records whether the band-k
+  * spectral gradient E[k]−E[k+1] GREW from the previous window to the
+  * current one (Lalinský's AcoustID bit rule).
+  *
+  * Why native: the HOF form's `split(__t, '')` allocates one single-char
+  * string per character per window pair per evaluation (the q294 lesson);
+  * here each window is one char scan.
+  *
+  * Output: non-negative BIGINT fp (< 2³²); null in → null out.
+  */
+case class ChromaFingerprint32(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_chroma32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string windows, got $other")
+    }
+
+  override protected def nullSafeEval(t: Any, p: Any): Any =
+    ChromaUtil.compute(t.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.functions.ChromaUtil.compute($t, $p)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ChromaUtil {
+  /** 33 proportional floor-mean band energies of a window's char codes. */
+  private def energies(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val len = str.length
+    val e = new Array[Long](33)
+    var b = 0
+    while (b < 33) {
+      val lo = b.toLong * len / 33
+      val hi = (b + 1).toLong * len / 33
+      if (hi >= lo + 1) {
+        var sum = 0L
+        var i = lo.toInt
+        while (i < hi.toInt) { sum += str.charAt(i).toLong; i += 1 }
+        e(b) = sum / (hi - lo)
+      }
+      b += 1
+    }
+    e
+  }
+
+  /** Shared by interpreted eval; the codegen path calls this directly. */
+  def compute(t: UTF8String, p: UTF8String): Long = {
+    val et = energies(t)
+    val ep = energies(p)
+    var fp = 0L
+    var k = 0
+    while (k < 32) {
+      val bit = if (et(k) - et(k + 1) > ep(k) - ep(k + 1)) 1L else 0L
+      fp = fp * 2L + bit
+      k += 1
+    }
+    fp
+  }
+}
+
 /** `size(array_intersect(a, b))` without materializing the intermediate
   * array: count of distinct elements of `a` also present in `b` (a shared
   * null element counts once, mirroring array_intersect).
@@ -333,6 +406,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DhashFingerprint64(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_chroma32"),
+      new ExpressionInfo(classOf[ChromaFingerprint32].getName, "graft_chroma32"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_chroma32(curWindow, prevWindow)")
+        ChromaFingerprint32(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
       (children: Seq[Expression]) => {
@@ -411,6 +491,11 @@ object GraftFunctions {
   /** 64-bit perceptual dHash of a payload string as struct(hi, lo) —
     * the codegen'd native twin of [[graft.ext.Multimodal.DhashFpSql]]. */
   def dhash64(c: Column): Column = call_function("graft_dhash64", c)
+  /** 32-bit chroma window fingerprint of a (current, previous) window
+    * pair — the codegen'd native twin of
+    * [[graft.ext.Multimodal.ChromaFpSql]]. */
+  def chroma32(cur: Column, prev: Column): Column =
+    call_function("graft_chroma32", cur, prev)
   /** Jaro-Winkler similarity in [0,1] (codegen'd native expression). */
   def jaroWinkler(a: Column, b: Column): Column = call_function("graft_jaro_winkler", a, b)
   /** KMV distinct-count sketch aggregate (exact below k). */

@@ -10938,6 +10938,167 @@ object ExtensionQueries {
                 AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'))""")
   )
 
+  /** DuckDB replay of [[graft.ext.Multimodal.audioWindowFingerprints]]
+    * from a corpus CTE `(id, text)`: n−1 overlapping 128-char windows at
+    * proportional offsets → 33 floor-mean band energies per window →
+    * 32 sign-of-temporal-gradient-delta bits (the chromaprint rule) →
+    * one non-negative BIGINT `fp`. Emits the CTEs `aw`, `ae`, `afp`;
+    * shared by q310/q320 so the fingerprint arithmetic cannot drift
+    * between the audio queries.
+    */
+  private def audioFpCtes(corpus: String, n: Int): String = {
+    def energy(t: String) =
+      s"""list_transform(range(0, 33), b -> CAST(
+          CASE WHEN ((b + 1) * length($t)) // 33 >= (b * length($t)) // 33 + 1
+            THEN list_sum(list_transform(
+                range((b * length($t)) // 33 + 1, ((b + 1) * length($t)) // 33 + 1),
+                i -> CAST(ascii(substring($t, CAST(i AS INT), 1)) AS BIGINT)))
+              // (((b + 1) * length($t)) // 33 - (b * length($t)) // 33)
+            ELSE 0 END AS BIGINT))"""
+    s"""aw AS (SELECT id, CAST(u.t AS BIGINT) AS window_idx,
+          substring(text, CAST((u.t * length(text)) // $n + 1 AS INT), 128) AS ct,
+          substring(text, CAST(((u.t - 1) * length(text)) // $n + 1 AS INT), 128) AS pt
+        FROM $corpus, UNNEST(range(1, $n)) AS u(t)),
+      ae AS (SELECT id, window_idx, ${energy("ct")} AS et, ${energy("pt")} AS ep
+        FROM aw),
+      afp AS (SELECT id, window_idx,
+          CAST(list_sum(list_transform(range(0, 32), k ->
+            CASE WHEN (et[CAST(k + 1 AS INT)] - et[CAST(k + 2 AS INT)]) >
+                      (ep[CAST(k + 1 AS INT)] - ep[CAST(k + 2 AS INT)])
+              THEN CAST(1 AS BIGINT) << CAST(31 - k AS INT)
+              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+        FROM ae),"""
+  }
+
+  /** The q310 corpus — the [[videoCorpus]] shape on the audio tier: base
+    * documents plus two planted splash-edit families (length-preserving
+    * 2-char overlays, so window alignment is exact), both in the payload
+    * HEAD where ≥ 3 of the 5 sub-fingerprints stay byte-identical and
+    * window voting must admit the pair regardless of how the touched
+    * windows fare perceptually.
+    */
+  private[graft] def audioCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val ea = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("source"),
+        expr("overlay(text PLACING 'ZZ' FROM " +
+          "greatest(1, CAST(length(text) div 5 AS INT)))").as("text"))
+    val eb = docs.filter(col("doc_id") % 11 === 7)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+        expr("overlay(text PLACING 'ZZ' FROM " +
+          "greatest(1, CAST(length(text) div 3 AS INT)))").as("text"))
+    docs.unionByName(ea).unionByName(eb)
+  }
+
+  // Multimodal tier: container-level AUDIO perceptual near-dup — the
+  // second perceptual modality (the q302 contract transplanted): n−1
+  // aligned overlapping windows fingerprint with the chromaprint-shaped
+  // sign-of-spectral-gradient-delta word (Multimodal.ChromaFpSql),
+  // candidate pairs block on (window_idx, band_idx, band_val) with the
+  // 64-row hot-block cut on the join's own key — short payloads whose
+  // bands are empty collapse to fp = 0 and pool into exactly the
+  // boilerplate blocks the cap drops — and containers near-dup when ≥ 3
+  // of 5 aligned windows match within hamming 3 (window voting).
+  private val q310 = Q(
+    "q310_audio_chroma_neardup",
+    (s, dir) => graft.ext.Multimodal.audioChromaNearDups(
+      audioCorpus(s, dir), "doc_id", "text",
+      n = 6, windowChars = 128, maxHamming = 3, minShared = 3,
+      maxBlockSize = 64),
+    Some(s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+      ea AS (SELECT id + 4000000 AS id,
+          substr(text, 1, greatest(1, length(text) // 5) - 1) || 'ZZ' ||
+            substr(text, greatest(1, length(text) // 5) + 2) AS text
+        FROM base WHERE id % 11 = 0),
+      eb AS (SELECT id + 5000000 AS id,
+          substr(text, 1, greatest(1, length(text) // 3) - 1) || 'ZZ' ||
+            substr(text, greatest(1, length(text) // 3) + 2) AS text
+        FROM base WHERE id % 11 = 7),
+      un AS (SELECT * FROM base UNION ALL SELECT * FROM ea
+        UNION ALL SELECT * FROM eb),
+      ${audioFpCtes("un", 6)}
+      bd AS (SELECT id, window_idx, fp, u.band_idx,
+          (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
+        FROM afp, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+      bk AS (SELECT * FROM (SELECT bd.*,
+          count(*) OVER (PARTITION BY window_idx, band_idx, band_val) AS blk
+          FROM bd)
+        WHERE blk <= 64),
+      pv AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.window_idx,
+          CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
+        FROM bk a JOIN bk b ON a.window_idx = b.window_idx
+          AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.id < b.id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+      SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matching_windows,
+        count(*) = 5 AS all_windows_match
+      FROM pv GROUP BY 1, 2 HAVING count(*) >= 3""")
+  )
+
+  // Multimodal tier: batch-incremental audio near-dup — the q283/q136
+  // ingest contract on the chroma tier: an even-id corpus persists its
+  // per-window fingerprint index, the batch carries odd-id arrivals,
+  // re-delivered even ids (dropped by the container anti-join), and
+  // splash-edited copies of every 10th even doc (+600000 — the planted
+  // near-dups); fresh windows probe index ∪ fresh through the
+  // (window_idx, band) pigeonhole blocks. Per-batch cost is batch ×
+  // band occupancy, never index history (audio_chroma_probe certifies
+  // the flat curve).
+  private val q320 = Q(
+    "q320_audio_chroma_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val index = graft.ext.Multimodal.audioWindowFingerprints(
+        corpus, "doc_id", "text", n = 6)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(corpus.filter(col("doc_id") % 20 === 0))
+        .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            expr("overlay(text PLACING 'ZZ' FROM " +
+              "greatest(1, CAST(length(text) div 5 AS INT)))").as("text")))
+      val fps = graft.ext.Multimodal.audioWindowFingerprints(
+        batch, "doc_id", "text", n = 6)
+      val fresh = fps.join(index.select(col("id")).distinct(), Seq("id"), "left_anti")
+      graft.ext.Multimodal.audioChromaNearDupsFromFresh(
+        fresh, index, maxHamming = 3, minShared = 3, maxBlockSize = 64)
+    },
+    Some(s"""WITH corpus AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+        UNION ALL
+        SELECT CAST(doc_id + 600000 AS BIGINT) AS id,
+          substr(text, 1, greatest(1, length(text) // 5) - 1) || 'ZZ' ||
+            substr(text, greatest(1, length(text) // 5) + 2) AS text
+        FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+      ${audioFpCtes("corpus", 6)}
+      fresh AS (SELECT id, window_idx, fp FROM afp
+        WHERE id % 2 = 1 OR id >= 600000),
+      cand AS (SELECT id, window_idx, fp FROM afp
+        WHERE id % 2 = 0 AND id < 600000
+        UNION ALL SELECT id, window_idx, fp FROM fresh),
+      bdc AS (SELECT id, window_idx, fp, u.band_idx,
+          (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
+        FROM cand, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+      blk AS (SELECT window_idx, band_idx, band_val FROM bdc
+        GROUP BY 1, 2, 3 HAVING count(*) <= 64),
+      cb AS (SELECT bdc.* FROM bdc
+        JOIN blk USING (window_idx, band_idx, band_val)),
+      fb0 AS (SELECT id, window_idx, fp, u.band_idx,
+          (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
+        FROM fresh, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+      fb AS (SELECT fb0.* FROM fb0
+        JOIN blk USING (window_idx, band_idx, band_val)),
+      pv AS (SELECT DISTINCT x.id AS id, y.id AS nbr_id, x.window_idx,
+          CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS ham
+        FROM fb x JOIN cb y ON x.window_idx = y.window_idx
+          AND x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.id <> y.id
+        WHERE bit_count(xor(x.fp, y.fp)) <= 3)
+      SELECT id, nbr_id, CAST(count(*) AS BIGINT) AS n_matching_windows
+      FROM pv GROUP BY 1, 2 HAVING count(*) >= 3""")
+  )
+
   // Optimizer-stats 4: equi-depth-histogram RANGE-selectivity audit —
   // the other half of what a CBO estimates (q190 audits join sizes,
   // q251 equality predicates): 16 equal-height buckets with floored
@@ -11195,6 +11356,6 @@ object ExtensionQueries {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206,
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
-    q306, q307, q308, q309, q311, q312, q313, q314, q315, q316, q317,
-    q318, q319)
+    q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
+    q318, q319, q320)
 }

@@ -1399,6 +1399,91 @@ object StreamPipelines {
     }
   }
 
+  /** Streaming twin of q310 — the container-level AUDIO ingest gate
+    * ([[videoDhashDedupIngestBatch]] transplanted to the second
+    * perceptual modality): each micro-batch's containers fingerprint
+    * their n−1 aligned overlapping windows with the chromaprint-shaped
+    * spectral-gradient-delta word
+    * ([[graft.ext.Multimodal.audioWindowFingerprints]]), re-delivered
+    * container ids drop by the anti-join against the PERSISTED per-window
+    * fingerprint index, fresh containers probe index ∪ batch through the
+    * (window_idx, band) pigeonhole blocks
+    * ([[graft.ext.Multimodal.audioChromaNearDupsFromFresh]]), a container
+    * pair is a near-dup when ≥ `minShared` of its aligned windows match
+    * within `maxHamming` bits (window voting — q310's verdict rule,
+    * live), near-dup arrivals DROP first-wins (an indexed partner, or a
+    * smaller-id batch partner), and survivors append their n−1 window
+    * rows to the index. Replay-safe: a re-delivered batch has no fresh
+    * containers, so it appends nothing — the index converges.
+    */
+  def audioChromaDedupIngestBatch(
+      batch: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      n: Int = 6,
+      windowChars: Int = 128,
+      maxHamming: Int = 3,
+      minShared: Int = 3,
+      maxBlockSize: Int = 64
+  ): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val index =
+        if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
+        else graft.ext.Multimodal.audioWindowFingerprints(
+          batch, idCol, payloadCol, n, windowChars).limit(0)
+      val fresh = graft.ext.Multimodal.audioWindowFingerprints(
+          batch, idCol, payloadCol, n, windowChars)
+        .join(index.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .persist()
+      try {
+        val dups = graft.ext.Multimodal.audioChromaNearDupsFromFresh(
+          fresh, index, maxHamming, minShared, maxBlockSize)
+        val dropIds = dups
+          .join(fresh.select(col("id").as("nbr_id")).distinct()
+              .withColumn("__f", lit(1)),
+            Seq("nbr_id"), "left")
+          .filter(col("__f").isNull || col("nbr_id") < col("id"))
+          .select(col("id"))
+          .distinct()
+        val admitted = fresh.join(dropIds, Seq("id"), "left_anti")
+        admitted.write.mode("append").parquet(indexPath)
+      } finally {
+        fresh.unpersist()
+        ()
+      }
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
+  /** [[audioChromaDedupIngestBatch]] as a foreachBatch sink. */
+  def audioChromaDedupSink(
+      stream: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      n: Int = 6,
+      windowChars: Int = 128,
+      maxHamming: Int = 3,
+      minShared: Int = 3,
+      maxBlockSize: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        audioChromaDedupIngestBatch(batch, idCol, payloadCol, indexPath,
+          n, windowChars, maxHamming, minShared, maxBlockSize)
+      }
+
   /** [[videoDhashDedupIngestBatch]] as a foreachBatch sink. */
   def videoDhashDedupSink(
       stream: DataFrame,

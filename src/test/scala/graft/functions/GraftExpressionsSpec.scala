@@ -163,4 +163,42 @@ class GraftExpressionsSpec extends SparkFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_dhash64"), plan)
   }
+
+  test("graft_chroma32 == the HOF fingerprint, bit for bit, on adversarial window pairs") {
+    import spark.implicits._
+    val windows = Seq(
+      ("", ""),                                       // zero-length: all bands 0
+      ("a", ""),                                      // 1-char vs empty
+      ("ab" * 20, "ba" * 20),                         // 40 chars: bands of 1-2
+      ("x" * 33, "y" * 33),                           // exactly 33: 1/band
+      ((1 to 128).map(i => ('a' + (i * 7 % 26)).toChar).mkString,
+        (1 to 128).map(i => ('a' + (i * 11 % 26)).toChar).mkString),
+      ((1 to 128).map(i => (' ' + (i * 31 % 90)).toChar).mkString, // wide code range
+        (1 to 100).map(i => (' ' + (i * 17 % 90)).toChar).mkString)) // uneven lengths
+    val df = windows.zipWithIndex.map { case ((t, p), i) => (i.toLong, t, p) }
+      .toDF("id", "__t", "__p").persist()
+    val native = df.select($"id", GraftFunctions.chroma32($"__t", $"__p").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = df.withColumn("fp", expr(graft.ext.Multimodal.ChromaFpSql))
+      .select($"id", $"fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof, s"native=$native\nhof=$hof")
+    // the uniform-shift invariance the near-dup tier leans on: +1 on every
+    // code leaves every gradient delta — so the whole word — unchanged
+    val base = (1 to 128).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val prev = (1 to 128).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val shifted = Seq((0L, base.map(c => (c + 1).toChar), prev.map(c => (c + 1).toChar)))
+      .toDF("id", "__t", "__p")
+      .select(GraftFunctions.chroma32($"__t", $"__p")).collect()(0).getLong(0)
+    val plain = Seq((0L, base, prev)).toDF("id", "__t", "__p")
+      .select(GraftFunctions.chroma32($"__t", $"__p")).collect()(0).getLong(0)
+    assert(shifted == plain)
+    df.unpersist()
+    // codegen-compatible on a non-local projection
+    val plan = spark.range(8)
+      .select(GraftFunctions.chroma32(
+        concat(lit("cur"), $"id".cast("string")), lit("prevwindow")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_chroma32"), plan)
+  }
 }

@@ -2145,6 +2145,27 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("HashAggregate"), s"frame voting must hash-aggregate:\n$p")
   }
 
+  test("q310: chroma fingerprints HOF-projected; pair join blocked on (window, band), never all-pairs") {
+    val p = plan("q310_audio_chroma_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must meet only inside a (window_idx, band_idx, band_val) block:\n$p")
+    // generators: one window explode per side's lineage + one band explode
+    // per side — the 33-energy/32-bit extraction itself must stay a
+    // projection (no corpus-sized explode)
+    assert("Generate".r.findAllIn(p).size <= 4, s"unexpected extra explodes:\n$p")
+    // container verdicts aggregate distinct window votes — a hash agg
+    assert(p.contains("HashAggregate"), s"window voting must hash-aggregate:\n$p")
+  }
+
+  test("q320: incremental chroma probe — anti join on container id, every join block/id-keyed") {
+    val p = plan("q320_audio_chroma_incremental")
+    assert(p.contains("LeftAnti"),
+      s"redelivered container ids must drop via the anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the index probe must stay (window_idx, band) blocked:\n$p")
+    assert(p.contains("HashAggregate"), s"window voting must hash-aggregate:\n$p")
+  }
+
   test("q293: decomposition runs on the calendar spine — bounded windows, broadcast seasonal join") {
     val p = plan("q293_seasonal_decompose")
     assert(p.contains("Window"), s"the centered trend window is load-bearing:\n$p")

@@ -766,6 +766,38 @@ class StreamPipelinesSpec extends SparkFunSuite {
     assert(spark.read.parquet(indexPath).count() == 12L)
   }
 
+  test("audioChromaDedupIngestBatch window-votes containers vs batch AND index; replay converges") {
+    val indexPath = tmpDir("acidx") + "/index"
+    def indexIds = spark.read.parquet(indexPath).collect()
+      .map(_.getLong(0)).toSet
+    val base  = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    // uniform code shift: every band energy moves by exactly +1, so every
+    // spectral gradient — and therefore every temporal gradient delta —
+    // is unchanged: all 5 windows vote at hamming 0 (the chroma spec
+    // invariant, the audio analogue of the dhash brightness shift)
+    val twin  = base.map(c => (c + 1).toChar)
+    val other = (1 to 800).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val third = (1 to 800).map(i => ('a' + (i * 13 % 26)).toChar).mkString
+    // batch 1: 2 is a container twin of 1 (dropped); 3 unrelated (admitted)
+    StreamPipelines.audioChromaDedupIngestBatch(
+      Seq((1L, base), (2L, twin), (3L, other)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath)
+    assert(indexIds == Set(1L, 3L))
+    // the index holds n−1 window rows per admitted container
+    assert(spark.read.parquet(indexPath).count() == 10L)
+    // batch 2: 5 twins INDEXED 1 (dropped), 1 redelivers (no-op), 7 fresh
+    StreamPipelines.audioChromaDedupIngestBatch(
+      Seq((5L, twin), (1L, base), (7L, third)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath)
+    assert(indexIds == Set(1L, 3L, 7L))
+    // replay of batch 2 appends nothing — the index converges
+    StreamPipelines.audioChromaDedupIngestBatch(
+      Seq((5L, twin), (1L, base), (7L, third)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath)
+    assert(indexIds == Set(1L, 3L, 7L))
+    assert(spark.read.parquet(indexPath).count() == 15L)
+  }
+
   test("semanticDedupSink admits per cluster vs batch AND persisted index; replay converges") {
     // frozen 2-dim router: centroid 0 = (1, 0), centroid 1 = (0, 1)
     val cents = Seq((0L, 1L, 10000L), (0L, 2L, 0L), (1L, 1L, 0L), (1L, 2L, 10000L))
