@@ -46,11 +46,19 @@ object Affinity {
     * list's sort order. Pair mass is |basket|²-bounded by the caller's
     * basket guard, never a join blow-up. Shared by the batch operators
     * and the streaming window-close projection.
+    *
+    * Degenerate lists guard themselves: below size 2 the generator's
+    * `sequence(1, size-1)` would DESCEND ([1, 0] on a singleton) and
+    * emit out-of-range garbage pairs, so the expression short-circuits
+    * to the empty pair list — an unguarded future caller gets the
+    * correct "no pairs" instead of silent corruption.
     */
   private[graft] def pairsOf(listCol: String): Column = expr(
-    s"""flatten(transform(sequence(1, size($listCol) - 1),
-       |  i -> transform(sequence(i + 1, size($listCol)),
-       |    j -> named_struct('a', $listCol[i-1], 'b', $listCol[j-1]))))""".stripMargin)
+    s"""CASE WHEN size($listCol) >= 2
+       |  THEN flatten(transform(sequence(1, size($listCol) - 1),
+       |    i -> transform(sequence(i + 1, size($listCol)),
+       |      j -> named_struct('a', $listCol[i-1], 'b', $listCol[j-1]))))
+       |  ELSE array() END""".stripMargin)
 
   /** Canonical (a < b) in-basket pair counts via stacked generators over
     * the sorted item list — pair mass is Σ|basket|² bounded by
@@ -101,7 +109,19 @@ object Affinity {
       .select(col("antecedent"), col("consequent"), col("n_ante"), col("n_cons"), col("n_both"),
         expr("n_both * 10000 div __nb").as("support_bp"),
         expr("n_both * 10000 div n_ante").as("confidence_bp"),
-        expr("n_both * __nb * 1000 div (n_ante * n_cons)").as("lift_milli"))
+        // lift numerator n_both·n_baskets·1000 wraps signed 64-bit when
+        // n_both·n_baskets > 9.2·10¹⁵ (a near-ubiquitous pair at ~10⁸+
+        // baskets), and the divisor wraps at n_ante,n_cons > 3·10⁹ — so
+        // both stage through the selfJoinSizeAudit convention: exact
+        // BIGINT inside the checked bound, single-rounded saturating
+        // double beyond it (neither engine wraps or errors; the oracle
+        // replays the identical branch)
+        expr("""CASE WHEN n_both <= 9200000000000000L div __nb
+          |   AND n_ante <= 3000000000L AND n_cons <= 3000000000L
+          | THEN n_both * __nb * 1000 div (n_ante * n_cons)
+          | ELSE CAST(least(round(CAST(n_both AS DOUBLE) * __nb * 1000.0
+          |   / (CAST(n_ante AS DOUBLE) * n_cons)), 9.2e18) AS BIGINT)
+          | END""".stripMargin).as("lift_milli"))
       .orderBy(col("lift_milli").desc, col("confidence_bp").desc,
         col("antecedent"), col("consequent"))
       .limit(topK)

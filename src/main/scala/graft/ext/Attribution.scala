@@ -96,12 +96,22 @@ object Attribution {
     require(channels.nonEmpty, "need at least one channel")
     val spark = events.sparkSession
     val cnt = transitionCounts(events, userCol, tsCol, idCol, typeCol, convType)
+    // Vocabulary guard BEFORE the collect: states outside channels ∪
+    // {start, conv, null} drop here — with per-src totals computed over
+    // the FULL count frame first, an out-of-vocabulary event type behaves
+    // exactly like a `drop`ped channel (its transition mass vanishes, no
+    // renormalization), and the collected matrix is ≤ (|channels|+1) ×
+    // (|channels|+2) rows BY CONSTRUCTION, not by data: a high-cardinality
+    // typeCol cannot grow the driver state.
+    val srcVocab = channels :+ "start"
+    val dstVocab = channels ++ Seq("conv", "null")
     val probs = cnt
       .withColumn("__tot", sum(col("n")).over(
         Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"),
         expr("n * 1000 div __tot").as("p_milli"))
-      .collect()                    // ≤ (|channels|+2)² rows by construction
+      .filter(col("src").isin(srcVocab: _*) && col("dst").isin(dstVocab: _*))
+      .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val full = absorb(probs, steps, Set.empty)
     val rows = channels.map { ch =>

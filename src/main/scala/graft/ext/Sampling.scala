@@ -699,13 +699,28 @@ object Sampling {
     * n. Reported beside PROPORTIONAL allocation (∝ N_h) so the table
     * shows exactly where variance-aware budgeting moves samples.
     *
-    * Determinism: per-stratum moments (N, Σy, Σy²) are exact BIGINTs
+    * Determinism: per-stratum moments (N, Σy, Σy²) are exact integers
     * from one hash-aggregate; each stratum's sample variance is ONE
     * fixed-association double expression whose weight `N_h·S_h` rounds
     * ONCE to an exact BIGINT — so the cross-stratum total is an integer
     * sum (order-independent) and allocations are floor divisions.
     * Zero-variance or singleton strata weigh 0 (they need one row, not
     * a share — the textbook degenerate case, left to the caller).
+    *
+    * Overflow regime (the chi-square DECIMAL(38,0) staging convention —
+    * the r10 RobustStats fix): per-row y² wraps signed 64-bit at
+    * |y| > 3.03·10⁹ and Σy² long before that at realistic row counts,
+    * so BOTH moments stage exactly in DECIMAL(38,0) (y² casts BEFORE the
+    * multiply). Exact to Σ ≤ 10³⁸ — i.e. 10¹⁹ rows of the largest
+    * guarded square — beyond which Spark's decimal sum yields null
+    * rather than a silently wrapped weight. A DuckDB mirror errors on
+    * its HUGEINT→BIGINT cast in the same regime instead of wrapping.
+    *
+    * Value contract: `mean_val` floors via integer division, which
+    * truncates toward zero in Spark but floors in DuckDB — identical
+    * only for NON-NEGATIVE value sums. Feed non-negative `valCol`
+    * units (dollars, counts, token counts); a signed measure needs the
+    * non-negative-shift convention (see modularity_bp) first.
     *
     * Output: one row per stratum — (stratum, n_rows, mean_val,
     * sd_val, weight, alloc_neyman, alloc_prop).
@@ -718,8 +733,9 @@ object Sampling {
       .filter(col("__y").isNotNull)
       .groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("__y")).as("__sy"),
-        sum(col("__y") * col("__y")).as("__syy"))
+        sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__y").cast("decimal(19,0)") * col("__y").cast("decimal(19,0)"))
+          .as("__syy"))
       .withColumn("weight", expr(
         """CASE WHEN n_rows < 2 THEN 0L
           | ELSE CAST(round(n_rows * sqrt(greatest(0.0,

@@ -10835,9 +10835,11 @@ object ExtensionQueries {
           SELECT u, arg_max(dst, rn) AS d FROM k GROUP BY 1)
         WHERE d <> 'conv'),
       cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tm GROUP BY 1, 2),
-      p AS MATERIALIZED (SELECT src, dst,
+      p AS MATERIALIZED (SELECT * FROM (SELECT src, dst,
           CAST(n * 1000 // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_milli
-        FROM cnt),
+        FROM cnt)
+        WHERE src IN ('start', ${q317Channels.map(c => s"'$c'").mkString(", ")})
+          AND dst IN ('conv', 'null', ${q317Channels.map(c => s"'$c'").mkString(", ")})),
       ${walks.mkString(",\n      ")}
       SELECT channel, conv_milli_full, conv_milli_removed,
         CAST(CASE WHEN conv_milli_full > 0
@@ -11186,8 +11188,12 @@ object ExtensionQueries {
           nc.n_it AS n_cons, d.n_both,
           CAST(d.n_both * 10000 // nb.n_baskets AS BIGINT) AS support_bp,
           CAST(d.n_both * 10000 // na.n_it AS BIGINT) AS confidence_bp,
-          CAST(d.n_both * nb.n_baskets * 1000 // (na.n_it * nc.n_it) AS BIGINT)
-            AS lift_milli
+          CAST(CASE WHEN d.n_both <= 9200000000000000 // nb.n_baskets
+              AND na.n_it <= 3000000000 AND nc.n_it <= 3000000000
+            THEN d.n_both * nb.n_baskets * 1000 // (na.n_it * nc.n_it)
+            ELSE CAST(least(round(CAST(d.n_both AS DOUBLE) * nb.n_baskets
+              * 1000.0 / (CAST(na.n_it AS DOUBLE) * nc.n_it)), 9.2e18)
+              AS BIGINT) END AS BIGINT) AS lift_milli
         FROM dirn d JOIN ni na ON na.it = d.antecedent
           JOIN ni nc ON nc.it = d.consequent CROSS JOIN nb)
       SELECT antecedent, consequent, n_ante, n_cons, n_both,

@@ -327,4 +327,21 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(got("B") == ((4L, 10L, 12L, 46L, 100L * 46L / 187L, 40L)))
     assert(got("C") == ((2L, 50L, 71L, 141L, 100L * 141L / 187L, 20L)))
   }
+
+  test("neymanAllocation: exact past the int64 Σy² wrap (DECIMAL staging at the bound)") {
+    // y = 3.2e9 squares to 1.024e19 > 2⁶³ — the pre-guard BIGINT staging
+    // wrapped negative here and the greatest(0, …) clamp silently zeroed
+    // the stratum's weight; the DECIMAL(38,0) staging keeps it exact.
+    val y = 3200000000L
+    val df = Seq(("D", y), ("D", 0L)).toDF("stratum", "v")
+    val r = Sampling.neymanAllocation(df, "stratum", "v", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // variance = (Σy² − (Σy)²/n)/(n−1) = 1.024e19 − 5.12e18 = 5.12e18,
+    // every double step exactly representable
+    val sd = math.round(math.sqrt(5.12e18))
+    val w  = math.round(2 * math.sqrt(5.12e18))
+    assert(r("D") == ((2L, y / 2, sd, w)),
+      s"expected sd=$sd w=$w, got ${r("D")}")
+  }
 }
