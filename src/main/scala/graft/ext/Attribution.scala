@@ -82,20 +82,19 @@ object Attribution {
     conv
   }
 
-  /** Removal-effect attribution over the journey chain. Output: one row
-    * per entry of `channels` — (channel, conv_milli_full,
-    * conv_milli_removed, removal_effect_bp) with
-    * `removal_effect_bp = (full − removed)·10⁴ div full` (0 when the
-    * full chain never converts).
+  /** Removal effects from a (src, dst, n) transition-COUNT frame — the
+    * model core shared by [[markovRemovalEffects]] (counts from one batch
+    * journey scan) and the streaming model-refresh sink (counts folded
+    * across window closes into a versioned matrix). Output: one row per
+    * entry of `channels` — (channel, conv_milli_full, conv_milli_removed,
+    * removal_effect_bp) with `removal_effect_bp = (full − removed)·10⁴
+    * div full` (0 when the full chain never converts).
     */
-  def markovRemovalEffects(events: DataFrame, userCol: String, tsCol: String,
-                           idCol: String, typeCol: String,
-                           channels: Seq[String], convType: String = "purchase",
-                           steps: Int = 12): DataFrame = {
+  def removalEffectsFromCounts(cnt: DataFrame, channels: Seq[String],
+                               steps: Int = 12): DataFrame = {
     require(steps > 0, "steps must be positive")
     require(channels.nonEmpty, "need at least one channel")
-    val spark = events.sparkSession
-    val cnt = transitionCounts(events, userCol, tsCol, idCol, typeCol, convType)
+    val spark = cnt.sparkSession
     // Vocabulary guard BEFORE the collect: states outside channels ∪
     // {start, conv, null} drop here — with per-src totals computed over
     // the FULL count frame first, an out-of-vocabulary event type behaves
@@ -123,4 +122,16 @@ object Attribution {
     rows.toDF("channel", "conv_milli_full", "conv_milli_removed",
       "removal_effect_bp")
   }
+
+  /** Removal-effect attribution over the journey chain — the batch model:
+    * one journey scan into transition counts, then
+    * [[removalEffectsFromCounts]].
+    */
+  def markovRemovalEffects(events: DataFrame, userCol: String, tsCol: String,
+                           idCol: String, typeCol: String,
+                           channels: Seq[String], convType: String = "purchase",
+                           steps: Int = 12): DataFrame =
+    removalEffectsFromCounts(
+      transitionCounts(events, userCol, tsCol, idCol, typeCol, convType),
+      channels, steps)
 }

@@ -1642,6 +1642,105 @@ object StreamPipelines {
         col("__tr.dst").as("dst"))
       .agg(count(lit(1)).as("n"))
 
+  /** The attribution model-refresh fold — the live twin of
+    * [[graft.ext.Attribution.markovRemovalEffects]] closing the q317
+    * loop: each micro-batch of CLOSED (window_start, evs) journey rows
+    * (the [[attributionTelemetrySink]] close shape) extracts its
+    * window-scoped transitions ([[attributionTransitionsBatch]]), folds
+    * them into the persisted transition matrix as a NEW VERSION
+    * (`v<seq>_b<batchId>` — the [[kmeansUpdateIngestBatch]] versioned-
+    * upsert rule: a re-delivered batch id is detected and skipped, so
+    * the fold is exactly-once), and re-emits the removal-effect table
+    * from the folded matrix beside it (`effects_v<seq>_b<batchId>`) —
+    * the model a serving tier reads between batch retrains.
+    *
+    * Journeys are window-scoped by construction (the telemetry contract);
+    * when every user's journey closes inside one window, the folded
+    * matrix equals the batch model's transition counts EXACTLY, so the
+    * emitted effects match [[graft.ext.Attribution.markovRemovalEffects]]
+    * row for row (spec-pinned). State is matrix-sized (≤ distinct
+    * (src, dst) pairs of the bounded vocabulary after the effects guard;
+    * the persisted matrix itself carries raw types but folds by key, so
+    * it tracks the type vocabulary, never event volume).
+    */
+  def attributionModelRefreshIngestBatch(
+      batch: DataFrame,
+      statePath: String,
+      batchId: Long,
+      channels: Seq[String],
+      convType: String = "purchase",
+      steps: Int = 12): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val root = new Path(statePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val versions =
+        if (fs.exists(root))
+          fs.listStatus(root).toSeq.map(_.getPath.getName)
+            .filter(n => n.startsWith("v") && n.contains("_b"))
+            .map { name =>
+              val Array(v, b) = name.stripPrefix("v").split("_b", 2)
+              (v.toLong, b.toLong, name)
+            }
+        else Seq.empty
+      if (versions.exists(_._2 == batchId)) return // replayed batch: no-op
+      val winCounts = attributionTransitionsBatch(batch, convType)
+        .groupBy(col("src"), col("dst")).agg(sum(col("n")).as("n"))
+      val folded = versions.sortBy(-_._1).headOption match {
+        case Some((_, _, latest)) =>
+          spark.read.parquet(s"$statePath/$latest")
+            .unionByName(winCounts)
+            .groupBy(col("src"), col("dst")).agg(sum(col("n")).as("n"))
+        case None => winCounts
+      }
+      val seq = versions.map(_._1).maxOption.getOrElse(0L) + 1
+      folded.write.mode("errorifexists").parquet(s"$statePath/v${seq}_b$batchId")
+      graft.ext.Attribution.removalEffectsFromCounts(
+          spark.read.parquet(s"$statePath/v${seq}_b$batchId"), channels, steps)
+        .write.mode("overwrite").parquet(s"$statePath/effects_v${seq}_b$batchId")
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
+  /** [[attributionModelRefreshIngestBatch]] behind the
+    * [[attributionTelemetrySink]] windowed journey close, as a
+    * foreachBatch sink.
+    */
+  def attributionModelRefreshSink(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      idCol: String,
+      typeCol: String,
+      statePath: String,
+      checkpointDir: String,
+      channels: Seq[String],
+      convType: String = "purchase",
+      steps: Int = 12,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute",
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val closed = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(userCol).as("user"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("ts"), col(idCol).as("id"), col(typeCol).as("t")))).as("evs"))
+      .select(col("window.start").as("window_start"), col("evs"))
+    closed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        attributionModelRefreshIngestBatch(
+          batch, statePath, batchId, channels, convType, steps)
+      }
+  }
+
   def dhashDedupSink(
       stream: DataFrame,
       idCol: String,
