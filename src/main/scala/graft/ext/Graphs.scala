@@ -958,7 +958,10 @@ object Graphs {
     val adjChain = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
       .persist()
-    adjChain.count()
+    // no eager count: the round-1 frontier count's degree aggregate scans
+    // the adjacency in full, filling this cache in the SAME job — an
+    // up-front materialization barrier here was pure stage-floor waste
+    // (one of rounds+2 jobs on a 6-round peel)
     val spark = adjChain.sparkSession
     val adj = spark.createDataFrame(adjChain.rdd, adjChain.schema)
 
@@ -999,7 +1002,11 @@ object Graphs {
         val delta = adj
           .join(remSide, "nbr")
           .groupBy("node").agg(count(lit(1)).as("__rm"))
-        val nextChain = degs.join(remNodes, Seq("node"), "left_anti")
+        // survivors are degs MINUS the frontier — and the frontier IS
+        // `deg < k` over the same single-row-per-node aggregate, so the
+        // anti-join is a plain filter: one fewer join (and its exchange)
+        // per round, bit-identical rows
+        val nextChain = degs.filter(col("deg") >= k)
           .join(delta, Seq("node"), "left")
           .select(col("node"),
             (col("deg") - coalesce(col("__rm"), lit(0L))).as("deg"))

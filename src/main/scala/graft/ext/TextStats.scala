@@ -1720,16 +1720,20 @@ object TextStats {
     */
   def wordCoocEdges(df: DataFrame, textCol: String, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val tiers = (1 to window).map { d =>
-      val maxPos = size(col("__w")) - d
-      val posSeq = when(maxPos < 1, array().cast("array<int>"))
-        .otherwise(sequence(lit(1), maxPos))
-      df.select(TextDedup.tokens(col(textCol)).as("__w"))
-        .select(explode(posSeq).as("__i"), col("__w"))
-        .select(element_at(col("__w"), col("__i")).as("w1"),
-          element_at(col("__w"), col("__i") + d).as("w2"))
-    }
-    val pairs = tiers.reduce(_ unionByName _).filter(col("w1") =!= col("w2"))
+    // ALL distance tiers come off ONE generator over ONE tokenization:
+    // the former per-tier union re-ran the tokenize HOF (and the corpus
+    // scan under it) once per distance — union branches share no subtree
+    // in Catalyst, so window=2 paid the corpus twice. Pair multiset is
+    // identical: (i, j) with 0 < j − i ≤ window, anchored per i.
+    val pairs = df.select(TextDedup.tokens(col(textCol)).as("__w"))
+      .select(explode(expr(
+        s"""CASE WHEN size(__w) >= 2
+           |  THEN flatten(transform(sequence(1, size(__w) - 1),
+           |    i -> transform(sequence(i + 1, least(i + $window, size(__w))),
+           |      j -> named_struct('w1', __w[i-1], 'w2', __w[j-1]))))
+           |  ELSE array() END""".stripMargin)).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
     // undirected graph: each co-occurrence contributes both directions
     pairs.select(col("w1").as("src"), col("w2").as("dst"))
       .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst")))
