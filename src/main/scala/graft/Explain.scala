@@ -366,7 +366,8 @@ object Explain {
     "q318_small_qty_revenue", // decorrelated: ONE merged per-partkey agg joins back
     "q319_promo_suppliers", // semi-join chain + left-outer windowed agg (count-bug guard)
     "q310_audio_chroma_neardup", // chroma HOF projection; (window, band)-blocked pair join
-    "q320_audio_chroma_incremental" // id anti-join + batch-sized blocked index probe
+    "q320_audio_chroma_incremental", // id anti-join + batch-sized blocked index probe
+    "q321_audio_segments" // chroma scan + id-keyed lag window + one agg, no join
   )
 
   def main(args: Array[String]): Unit = {

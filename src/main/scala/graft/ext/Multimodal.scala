@@ -684,6 +684,44 @@ object Multimodal {
       .filter(col("n_matching_windows") >= minShared.toLong)
   }
 
+  /** Audio novelty segmentation (Foote 2000, "Automatic audio
+    * segmentation using a measure of audio novelty" — boundaries where
+    * consecutive feature frames diverge; here the feature is the
+    * chromaprint-shaped [[audioWindowFingerprints]] word, so the novelty
+    * measure is the exact popcount hamming between consecutive
+    * sub-fingerprints and a uniform gain shift cannot fake a boundary
+    * the way raw energy deltas would — the [[videoShotBoundaries]]
+    * contract on the second perceptual modality): consecutive windows
+    * compare on a CONTAINER-keyed lag window (never a global sort), a
+    * transition is a boundary when the distance reaches `minHamming`
+    * bits, rolled up per container.
+    *
+    * Shape: the fingerprint scan (one window explode + the native
+    * chroma projection), one id-keyed window over (n−1)-bounded
+    * partitions, one hash-aggregate — linear in containers.
+    *
+    * Output: (id, n_transitions, n_boundaries, max_hamming,
+    * mean_hamming_milli).
+    */
+  def audioChromaSegments(df: DataFrame, idCol: String, payloadCol: String,
+                          n: Int, windowChars: Int = 128,
+                          minHamming: Int = 12): DataFrame = {
+    require(n >= 3, "need at least three windows to have a transition")
+    require(minHamming >= 1 && minHamming <= 32, "minHamming must be in [1, 32]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("window_idx"))
+    audioWindowFingerprints(df, idCol, payloadCol, n, windowChars)
+      .withColumn("__pf", lag(col("fp"), 1).over(w))
+      .filter(col("__pf").isNotNull)
+      .select(col("id"),
+        expr("CAST(bit_count(fp ^ __pf) AS BIGINT)").as("__ham"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("__ham") >= minHamming.toLong, 1L).otherwise(0L)).as("n_boundaries"),
+        max(col("__ham")).as("max_hamming"),
+        expr("sum(__ham) * 1000 div count(1)").as("mean_hamming_milli"))
+  }
+
   /** STUB — deterministic pseudo-decode from payload bytes. A real decoder
     * (??? in a codec-equipped build) would parse the container header for
     * dimensions and average the luma plane for brightness.

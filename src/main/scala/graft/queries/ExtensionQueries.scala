@@ -11004,10 +11004,10 @@ object ExtensionQueries {
   // of 5 aligned windows match within hamming 3 (window voting).
   private val q310 = Q(
     "q310_audio_chroma_neardup",
-    (s, dir) => graft.ext.Multimodal.audioChromaNearDups(
-      audioCorpus(s, dir), "doc_id", "text",
-      n = 6, windowChars = 128, maxHamming = 3, minShared = 3,
-      maxBlockSize = 64),
+    // served from QueryCaches.audioPairsFor — q310 and q322 share the
+    // fingerprint + banded-join build (the q302/q303 videoPairsFor
+    // contract on the audio tier)
+    (s, dir) => QueryCaches.audioPairsFor(s, dir),
     Some(s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
       ea AS (SELECT id + 4000000 AS id,
           substr(text, 1, greatest(1, length(text) // 5) - 1) || 'ZZ' ||
@@ -11099,6 +11099,112 @@ object ExtensionQueries {
         WHERE bit_count(xor(x.fp, y.fp)) <= 3)
       SELECT id, nbr_id, CAST(count(*) AS BIGINT) AS n_matching_windows
       FROM pv GROUP BY 1, 2 HAVING count(*) >= 3""")
+  )
+
+  // Multimodal tier: audio novelty segmentation (Foote 2000) — the q312
+  // shot-boundary contract on the chroma feature: consecutive window
+  // fingerprints compare by exact popcount hamming on a container-keyed
+  // lag window; a transition is a boundary at >= 17 of 32 bits (random
+  // spectral dynamics sit near 16, so the threshold discriminates),
+  // rolled up per container. The oracle replays windows -> energies ->
+  // bits -> fingerprints -> lag -> roll-up through the SHARED
+  // audioFpCtes chain, so the arithmetic cannot drift from q310/q320.
+  private val q321 = Q(
+    "q321_audio_segments",
+    (s, dir) => graft.ext.Multimodal.audioChromaSegments(
+      Tables.documents(s, dir), "doc_id", "text",
+      n = 6, windowChars = 128, minHamming = 17),
+    Some(s"""WITH corpus AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+      ${audioFpCtes("corpus", 6)}
+      lg AS (SELECT id, window_idx, fp,
+          lag(fp) OVER (PARTITION BY id ORDER BY window_idx) AS pf
+        FROM afp),
+      hm AS (SELECT id, CAST(bit_count(xor(fp, pf)) AS BIGINT) AS ham
+        FROM lg WHERE pf IS NOT NULL)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_transitions,
+        CAST(sum(CASE WHEN ham >= 17 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+        CAST(max(ham) AS BIGINT) AS max_hamming,
+        CAST(sum(ham) * 1000 // count(*) AS BIGINT) AS mean_hamming_milli
+      FROM hm GROUP BY 1""")
+  )
+
+  // Multimodal tier: audio dedup REMEDIATION — the q303 governance step
+  // on the chroma verdicts (cross-tier composition: audio fingerprints →
+  // graph CC → per-source report): q310's near-dup pairs become an
+  // undirected graph, pointer-jumped connected components assign every
+  // container a cluster (component = min id, the deterministic canonical
+  // winner), non-canonical members are the DROP list, and the report
+  // rolls up per source with keep share in bp.
+  private val q322 = Q(
+    "q322_audio_dedup_remediation",
+    (s, dir) => {
+      val corpus = audioCorpus(s, dir)
+      val pairs = QueryCaches.audioPairsFor(s, dir)
+      val labels = graft.ext.Components.connectedComponents(
+        pairs, "id_a", "id_b")
+      val lab = corpus.select(col("doc_id"), col("source"))
+        .join(labels, corpus("doc_id") === labels("node"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val sizes = lab.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__sz"))
+      lab.join(sizes, Seq("cluster_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_containers"),
+          sum(when(col("__sz") >= 2L, 1L).otherwise(0L)).as("n_in_clusters"),
+          sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .withColumn("keep_bp",
+          expr("CAST((n_kept * 10000) div n_containers AS BIGINT)"))
+    },
+    Some(s"""WITH RECURSIVE
+      base AS (SELECT CAST(doc_id AS BIGINT) AS id, source, text FROM documents),
+      ea AS (SELECT id + 4000000 AS id, source,
+          substr(text, 1, greatest(1, length(text) // 5) - 1) || 'ZZ' ||
+            substr(text, greatest(1, length(text) // 5) + 2) AS text
+        FROM base WHERE id % 11 = 0),
+      eb AS (SELECT id + 5000000 AS id, source,
+          substr(text, 1, greatest(1, length(text) // 3) - 1) || 'ZZ' ||
+            substr(text, greatest(1, length(text) // 3) + 2) AS text
+        FROM base WHERE id % 11 = 7),
+      un AS (SELECT * FROM base UNION ALL SELECT * FROM ea
+        UNION ALL SELECT * FROM eb),
+      ${audioFpCtes("un", 6)}
+      bd AS (SELECT id, window_idx, fp, u.band_idx,
+          (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
+        FROM afp, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+      bk AS (SELECT * FROM (SELECT bd.*,
+          count(*) OVER (PARTITION BY window_idx, band_idx, band_val) AS blk
+          FROM bd)
+        WHERE blk <= 64),
+      pv AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.window_idx
+        FROM bk a JOIN bk b ON a.window_idx = b.window_idx
+          AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.id < b.id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+      pr AS (SELECT id_a, id_b FROM pv GROUP BY 1, 2 HAVING count(*) >= 3),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr),
+      reach(node, label) AS (
+        SELECT id, id FROM un
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src),
+      cc AS (SELECT node AS id, min(label) AS cluster_id FROM reach GROUP BY 1),
+      lab AS (SELECT un.id, un.source, cc.cluster_id
+        FROM un JOIN cc ON un.id = cc.id),
+      sizes AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1)
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_containers,
+        CAST(sum(CASE WHEN s.sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_clusters,
+        CAST(sum(CASE WHEN l.id <> l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(sum(CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST((sum(CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END) * 10000)
+          // count(*) AS BIGINT) AS keep_bp
+      FROM lab l JOIN sizes s USING (cluster_id)
+      GROUP BY 1""")
   )
 
   // Optimizer-stats 4: equi-depth-histogram RANGE-selectivity audit —
@@ -11363,5 +11469,5 @@ object ExtensionQueries {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
-    q318, q319, q320)
+    q318, q319, q320, q321, q322)
 }

@@ -45,6 +45,7 @@ private[graft] object QueryCaches {
   private val snapCache   = new ConcurrentHashMap[SparkSession, (String, Path)]()
   private val copurchaseCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
   private val videoPairsCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
+  private val audioPairsCache = new ConcurrentHashMap[SparkSession, (String, DataFrame)]()
 
   /** The canonical part co-purchase edge list (src < dst, distinct) for
     * (s, dir), persisted once — q169/q247/q290 all start from this frame,
@@ -87,6 +88,29 @@ private[graft] object QueryCaches {
             .persist()
           df.count()
           videoPairsCache.put(s, (dir, df))
+          df
+      }
+    }
+
+  /** q310's container-level audio-chroma verdict pairs — the q322
+    * remediation input: q310 and q322 share the window-fingerprint +
+    * banded-join build, the [[videoPairsFor]] contract on the second
+    * perceptual modality. The persisted frame is verdict-sized (pairs),
+    * never corpus-sized.
+    */
+  def audioPairsFor(s: SparkSession, dir: String): DataFrame =
+    audioPairsCache.synchronized {
+      audioPairsCache.get(s) match {
+        case (d, df) if d == dir => df
+        case prev =>
+          if (prev != null) prev._2.unpersist()
+          val df = graft.ext.Multimodal.audioChromaNearDups(
+              ExtensionQueries.audioCorpus(s, dir), "doc_id", "text",
+              n = 6, windowChars = 128, maxHamming = 3, minShared = 3,
+              maxBlockSize = 64)
+            .persist()
+          df.count()
+          audioPairsCache.put(s, (dir, df))
           df
       }
     }
@@ -461,7 +485,8 @@ private[graft] object QueryCaches {
       "lpaLabels" -> lpaCache.containsKey(s),
       "layout" -> layoutCache.containsKey(s),
       "snapshot" -> snapCache.containsKey(s),
-      "videoPairs" -> videoPairsCache.containsKey(s)
+      "videoPairs" -> videoPairsCache.containsKey(s),
+      "audioPairs" -> audioPairsCache.containsKey(s)
     ).collect { case (n, true) => "\"" + n + "\"" }
     val info = s.sparkContext.getRDDStorageInfo
     val memMB = info.map(_.memSize).sum / 1e6
@@ -481,6 +506,9 @@ private[graft] object QueryCaches {
     }
     videoPairsCache.synchronized {
       Option(videoPairsCache.remove(s)).foreach(_._2.unpersist())
+    }
+    audioPairsCache.synchronized {
+      Option(audioPairsCache.remove(s)).foreach(_._2.unpersist())
     }
     pqCache.synchronized {
       Option(pqCache.remove(s)).foreach { e =>

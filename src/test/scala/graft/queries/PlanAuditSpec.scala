@@ -2146,7 +2146,12 @@ class PlanAuditSpec extends SparkFunSuite {
   }
 
   test("q310: chroma fingerprints HOF-projected; pair join blocked on (window, band), never all-pairs") {
-    val p = plan("q310_audio_chroma_neardup")
+    // q310's query frame serves from QueryCaches.audioPairsFor (a cache
+    // scan); the load-bearing plan is the operator over the same corpus
+    val p = graft.ext.Multimodal.audioChromaNearDups(
+        ExtensionQueries.audioCorpus(spark, sf), "doc_id", "text",
+        n = 6, windowChars = 128, maxHamming = 3, minShared = 3)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidates must meet only inside a (window_idx, band_idx, band_val) block:\n$p")
     // generators: one window explode per side's lineage + one band explode
@@ -2155,6 +2160,15 @@ class PlanAuditSpec extends SparkFunSuite {
     assert("Generate".r.findAllIn(p).size <= 4, s"unexpected extra explodes:\n$p")
     // container verdicts aggregate distinct window votes — a hash agg
     assert(p.contains("HashAggregate"), s"window voting must hash-aggregate:\n$p")
+  }
+
+  test("q321: audio segments — chroma scan + container-keyed lag window, no join at all") {
+    val p = plan("q321_audio_segments")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"novelty segmentation is scan + window + agg — no join belongs here:\n$p")
+    assert(p.contains("Window"), s"the lag must run on a container-keyed window:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"the per-container roll-up must map-side combine:\n$p")
   }
 
   test("q320: incremental chroma probe — anti join on container id, every join block/id-keyed") {
