@@ -10856,10 +10856,14 @@ object ExtensionQueries {
   // subquery survives in the physical plan). The per-part avg threshold
   // is restated in exact integers (`qty*5*cnt < sum` ⟺ `qty < 0.2*avg`
   // for cnt > 0, which the outer row itself guarantees) so the boundary
-  // cannot float-drift between engines; the two correlated aggregates
-  // (count, sum) decorrelate into ONE per-partkey aggregate join via
-  // MergeScalarSubqueries. At 100 TB both sides shuffle on l_partkey —
-  // the decorrelated form is exactly the plan you'd hand-write.
+  // cannot float-drift between engines. The two correlated aggregates
+  // (count, sum per partkey) decorrelate into TWO broadcast agg-joins
+  // keyed on l_partkey — Spark's MergeScalarSubqueries does not fold
+  // decorrelated correlated aggregates (PLANS.md shows both subtrees),
+  // so lineitem pays one extra per-partkey aggregate vs q207-q213's
+  // hand-decorrelated forms; the subquery form is kept deliberately as
+  // the decorrelation-path exercise, with the hand-fused alternative one
+  // tier over. Both join sides stay keyed; nothing per-row survives.
   private val q318 = Q(
     "q318_small_qty_revenue",
     (s, dir) => {

@@ -2244,12 +2244,12 @@ class PlanAuditSpec extends SparkFunSuite {
       s"correlated scalar subquery survived to the physical plan:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"decorrelation must produce an equi-join:\n$p")
-    // MergeScalarSubqueries folds the two aggregates into ONE per-partkey
-    // aggregate: exactly one aggregate subtree keyed on l_partkey feeds
-    // the join (two would mean the merge regressed and lineitem pays an
-    // extra full aggregate at 100 TB)
-    assert(p.split("keys=\\[l_partkey").length - 1 >= 2, // partial+final of the one agg
-      s"expected the merged per-partkey aggregate (partial+final):\n$p")
+    // each correlated aggregate decorrelates into a per-partkey aggregate
+    // join (two subtrees — MergeScalarSubqueries does not fold
+    // decorrelated correlated aggregates; the hand-fused single-aggregate
+    // form is q207-q213's tier); partial+final on l_partkey must appear
+    assert(p.split("keys=\\[l_partkey").length - 1 >= 2,
+      s"expected per-partkey aggregate joins (partial+final):\n$p")
   }
 
   test("q319: IN + correlated window-sum decorrelates — semi joins + one left outer agg join") {
