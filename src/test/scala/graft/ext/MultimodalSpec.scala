@@ -228,6 +228,71 @@ class MultimodalSpec extends SparkFunSuite {
     assert(got((1L, 2L))._1 >= 3L, "in-window edit: at least 3 of 4 frames vote")
   }
 
+  test("audioChromaNearDups: window voting — out-of-window edit keeps all votes, " +
+    "uniform shift twins at hamming 0, unrelated payloads never pair") {
+    val base  = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    // every code +1: every band energy shifts by exactly 1, every
+    // gradient delta — so every sub-fingerprint — is unchanged
+    val twin  = base.map(c => (c + 1).toChar)
+    // windows at len=800, n=6 start 1-indexed at 1/134/267/400/534/667,
+    // 128 wide — bytes 130-131 land in NO window, so all 5 fps identical
+    val outWin = base.substring(0, 129) + "QQ" + base.substring(131)
+    val other  = (1 to 800).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val df = Seq((1L, base), (2L, twin), (3L, outWin), (4L, other))
+      .toDF("id", "payload")
+    val got = Multimodal.audioChromaNearDups(df, "id", "payload",
+        n = 6, windowChars = 128, maxHamming = 3, minShared = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got=$got")
+    assert(got((1L, 2L)) == ((5L, true)), s"uniform-shift twin must vote 5/5: $got")
+    assert(got((1L, 3L)) == ((5L, true)), s"out-of-window edit must keep all votes: $got")
+  }
+
+  test("audioChromaNearDupsFromFresh: fresh-side votes agree with the batch operator") {
+    val base  = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val twin  = base.map(c => (c + 1).toChar)          // hamming 0 per window
+    val other = (1 to 800).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val otherEd = other.substring(0, 129) + "QQ" + other.substring(131)
+    // index: 1 and 3; fresh: 4 (shift twin of 1) and 6 (gap edit of 3)
+    val all = Seq((1L, base), (3L, other), (4L, twin), (6L, otherEd))
+      .toDF("id", "payload")
+    val index = Multimodal.audioWindowFingerprints(
+      all.filter($"id" <= 3), "id", "payload", n = 6)
+    val fresh = Multimodal.audioWindowFingerprints(
+      all.filter($"id" > 3), "id", "payload", n = 6)
+    val batchPairs = Multimodal.audioChromaNearDups(all, "id", "payload",
+        n = 6, windowChars = 128, maxHamming = 3, minShared = 3)
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getLong(2),
+        (r.getLong(1), r.getLong(0)) -> r.getLong(2))).toMap
+    val got = Multimodal.audioChromaNearDupsFromFresh(fresh, index,
+        maxHamming = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = batchPairs.filter { case ((a, _), _) => a > 3L }
+    assert(expected.nonEmpty, "planted cross-side pairs must exist")
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("audioChromaSegments: boundaries only where consecutive window words jump") {
+    // A-half / B-half payload: windows 1-2 sit inside the A half and 4-5
+    // inside the B half (fps of a CONSTANT window are all-zero gradient
+    // words → identical), so the only candidate boundaries are the
+    // transitions touching the windows that straddle the A|B seam. The
+    // flat container never crosses the threshold.
+    val A = "a" * 400
+    val B = ("zb" * 100) + ("a" * 200)
+    val shot = A + B
+    val flat = A + A
+    val df = Seq((1L, shot), (2L, flat)).toDF("doc_id", "payload")
+    val r = Multimodal.audioChromaSegments(df, "doc_id", "payload",
+        n = 6, windowChars = 128, minHamming = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val (nt, nb, mx, _) = r(1L)
+    assert(nt == 4L && nb >= 1L && mx >= 5L, s"expected a boundary: ${r(1L)}")
+    assert(r(2L) == ((4L, 0L, 0L, 0L)), s"flat container must never cut: ${r(2L)}")
+  }
+
   test("videoShotBoundaries: cuts only where consecutive frame fingerprints jump") {
     // payload layout: frames sample 96 chars at i*400/4 -> A A B B, so
     // the only perceptual jump is the f1->f2 transition; the flat
