@@ -103,7 +103,11 @@ object DotProductUtil {
   * single-char string per character per evaluation — measured ~1 ms/doc
   * (the q294 floor) vs one char scan here. Char code = UTF-16 unit
   * (`ascii()` semantics on the documented all-ASCII stub-decode
-  * contract, where the two coincide).
+  * contract, where the two coincide). CONTRACT NOTE for a codec-equipped
+  * build: real decoded bytes must enter as latin-1 (one byte ↔ one
+  * UTF-16 unit) or the swap must replace this char scan with a byte
+  * scan — feeding UTF-8-decoded multi-byte text would pool UTF-16
+  * surrogates, silently diverging from a byte-domain oracle.
   *
   * Output: struct(fp_hi: bigint, fp_lo: bigint); null in → null out.
   */
