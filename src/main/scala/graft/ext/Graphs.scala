@@ -1126,8 +1126,10 @@ object Graphs {
     * degree maintenance, not recomputation) from the all-nodes start
     * state, for the plan audit: the removed frontier rides a BROADCAST
     * into the streaming adjacency, the degree delta is one
-    * frontier-sized aggregate, and survivors leave via a LeftAnti —
-    * never a window, never a product, never a second full-graph pass.
+    * frontier-sized aggregate, and survivors are the plain `deg >= k`
+    * FILTER (the round-12 rewrite — remNodes IS `deg < k` over the same
+    * keyed aggregate, so no anti-join belongs here) — never a window,
+    * never a product, never a second full-graph pass.
     */
   private[graft] def kCoreRoundPlanFrame(edges0: DataFrame, srcCol: String,
                                          dstCol: String, k: Int): DataFrame = {
@@ -1143,7 +1145,7 @@ object Graphs {
     val delta = adj
       .join(broadcast(remNodes.select(col("node").as("nbr"))), "nbr")
       .groupBy("node").agg(count(lit(1)).as("__rm"))
-    degs.join(remNodes, Seq("node"), "left_anti")
+    degs.filter(col("deg") >= k)
       .join(delta, Seq("node"), "left")
       .select(col("node"), (col("deg") - coalesce(col("__rm"), lit(0L))).as("deg"))
   }

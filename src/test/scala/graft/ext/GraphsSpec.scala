@@ -346,14 +346,19 @@ class GraphsSpec extends SparkFunSuite {
     // rounds: {1,5} at r1 -> {2,4} at r2 -> {3} at r3; nothing survives
     assert(full == Map(1L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L))
   }
-  test("kCore round plan: survivor joins + degree agg + LeftAnti, no window, no product") {
+  test("kCore round plan: delta join + degree agg + survivor FILTER, no anti-join, no window") {
     val p = Graphs.kCoreRoundPlanFrame(
         Seq((1L,2L),(2L,3L)).toDF("src", "dst"), "src", "dst", k = 2)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"peel rounds must stay node-keyed equi-joins:\n$p")
     assert(!p.contains("Window"), s"degrees are aggregates, not windows:\n$p")
-    assert(p.contains("LeftAnti"), s"the removed set must leave via an anti join:\n$p")
+    // the survivor set is `deg >= k` over the SAME keyed aggregate the
+    // frontier filters — an anti-join here would be a whole extra
+    // exchange per round for a predicate the filter already expresses
+    assert(!p.contains("LeftAnti"),
+      s"survivors must come from the deg >= k filter, not an anti join:\n$p")
+    assert(p.contains("(deg"), s"expected the survivor degree filter:\n$p")
   }
   test("hyperAnf: exact neighborhood function on a path graph (sketches below k are exact)") {
     // path 1-2-3-4: |ball_t| sums = 4, 10, 14, 16; mean distance at
