@@ -367,7 +367,8 @@ object Explain {
     "q319_promo_suppliers", // semi-join chain + left-outer windowed agg (count-bug guard)
     "q310_audio_chroma_neardup", // chroma HOF projection; (window, band)-blocked pair join
     "q320_audio_chroma_incremental", // id anti-join + batch-sized blocked index probe
-    "q321_audio_segments" // chroma scan + id-keyed lag window + one agg, no join
+    "q321_audio_segments", // chroma scan + id-keyed lag window + one agg, no join
+    "q323_harmonic_centrality" // per-round adj join + O(k) sketch agg + max-carry; TakeOrdered
   )
 
   def main(args: Array[String]): Unit = {

@@ -1122,6 +1122,126 @@ object Graphs {
     out
   }
 
+  /** Harmonic centrality via the [[hyperAnf]] sketch loop (Boldi & Vigna
+    * WWW 2011 §5 — the application HyperANF was built for: centrality
+    * from per-node neighborhood-function deltas, computable on graphs
+    * where all-pairs BFS is unthinkable): per node,
+    * `H(v) = Σ_{t≥1} (|B_t(v)| − |B_{t−1}(v)|) / t` — each newly
+    * reachable node weighted by the reciprocal of its (first) distance —
+    * estimated from the same exactly-replayable KMV bottom-k ball
+    * sketches as [[hyperAnf]], so an oracle reproduces every estimate
+    * bit for bit. Exact integers: per-node ball estimates in milli, each
+    * round's delta floors by t independently (non-negative by sketch
+    * monotonicity, so Spark `div` and DuckDB `//` agree), and the
+    * per-node accumulation is a fixed `rounds`-term sum.
+    *
+    * Per round: one adjacency equi-join + one O(k)-state array-merge
+    * hash-aggregate (the [[hyperAnf]] shuffle posture — combined partials,
+    * never edges×k element rows), with the running (prev-estimate,
+    * harmonic) pair carried THROUGH the aggregate as `max` of
+    * zero-padded union rows (every node has exactly one own-row, so max
+    * selects it — no second per-round join). The top-k cut is a
+    * TakeOrdered, never a node sort.
+    *
+    * Output: top `topK` rows (node, ball_milli = |B_rounds| estimate,
+    * harmonic_milli), by (harmonic desc, node).
+    */
+  def harmonicCentrality(edges0: DataFrame, srcCol: String, dstCol: String,
+                         rounds: Int, k: Int, topK: Int): DataFrame = {
+    require(rounds >= 1 && k >= 16, "rounds >= 1 and k >= 16")
+    require(topK >= 1, "topK must be >= 1")
+    val e = edges0
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adjChain = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    // no eager count — the round-1 aggregate's full scan fills the cache
+    // in its own job (the kCore barrier discipline)
+    val spark = adjChain.sparkSession
+    val adj = spark.createDataFrame(adjChain.rdd, adjChain.schema)
+
+    val m = graft.ext.ThetaSketch.HashSpace
+    val estSql =
+      s"""CAST(CASE WHEN size(hs) < $k THEN size(hs) * 1000L
+         |  ELSE ((${k - 1}L * 1000L * ${m}L) div element_at(hs, $k))
+         |END AS BIGINT)""".stripMargin
+    var sk = adj.select(col("node")).distinct()
+      .withColumn("hs", array(graft.ext.ThetaSketch.hash40(col("node"))))
+      .withColumn("__prev", lit(1000L)) // |B_0| = the node itself
+      .withColumn("harmonic_milli", lit(0L))
+    var mats: List[DataFrame] = Nil
+    for (t <- 1 to rounds) {
+      val fromNbrs = adj
+        .join(sk.select(col("node").as("nbr"), col("hs")), "nbr")
+        .select(col("node"), col("hs"),
+          lit(0L).as("__prev"), lit(0L).as("harmonic_milli"))
+      val own = sk.select(col("node"), col("hs"), col("__prev"), col("harmonic_milli"))
+      val nextChain = fromNbrs.unionByName(own)
+        .groupBy("node")
+        .agg(graft.functions.GraftFunctions.kmvMergeArrays(col("hs"), k).as("hs"),
+          max(col("__prev")).as("__prev"),
+          max(col("harmonic_milli")).as("harmonic_milli"))
+        .withColumn("__est", expr(estSql))
+        .withColumn("harmonic_milli",
+          col("harmonic_milli") + expr(s"(__est - __prev) div ${t}L"))
+        .select(col("node"), col("hs"),
+          col("__est").as("__prev"), col("harmonic_milli"))
+        .persist()
+      mats ::= nextChain
+      sk = spark.createDataFrame(nextChain.rdd, nextChain.schema)
+    }
+    val out = sk
+      .select(col("node"), col("__prev").as("ball_milli"), col("harmonic_milli"))
+      .orderBy(col("harmonic_milli").desc, col("node"))
+      .limit(topK)
+      .localCheckpoint(true)
+    mats.foreach(_.unpersist())
+    adjChain.unpersist()
+    out
+  }
+
+  /** One unexecuted harmonic-centrality sketch round (the
+    * [[harmonicCentrality]] loop body from the round-0 state), for the
+    * plan audit: the adjacency equi-join, the O(k)-state array-merge
+    * aggregate with the (prev, harmonic) max-carry, and the per-node
+    * delta/t projection — never a product, never an element explode.
+    */
+  private[graft] def harmonicRoundPlanFrame(edges0: DataFrame, srcCol: String,
+                                            dstCol: String, k: Int): DataFrame = {
+    val e = edges0
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+    val m = graft.ext.ThetaSketch.HashSpace
+    val estSql =
+      s"""CAST(CASE WHEN size(hs) < $k THEN size(hs) * 1000L
+         |  ELSE ((${k - 1}L * 1000L * ${m}L) div element_at(hs, $k))
+         |END AS BIGINT)""".stripMargin
+    val sk = adj.select(col("node")).distinct()
+      .withColumn("hs", array(graft.ext.ThetaSketch.hash40(col("node"))))
+      .withColumn("__prev", lit(1000L))
+      .withColumn("harmonic_milli", lit(0L))
+    val fromNbrs = adj
+      .join(sk.select(col("node").as("nbr"), col("hs")), "nbr")
+      .select(col("node"), col("hs"),
+        lit(0L).as("__prev"), lit(0L).as("harmonic_milli"))
+    fromNbrs.unionByName(
+        sk.select(col("node"), col("hs"), col("__prev"), col("harmonic_milli")))
+      .groupBy("node")
+      .agg(graft.functions.GraftFunctions.kmvMergeArrays(col("hs"), k).as("hs"),
+        max(col("__prev")).as("__prev"),
+        max(col("harmonic_milli")).as("harmonic_milli"))
+      .withColumn("__est", expr(estSql))
+      .select(col("node"),
+        (col("harmonic_milli") + expr("(__est - __prev) div 1L")).as("harmonic_milli"))
+  }
+
   /** One unexecuted k-core frontier-peel round (the [[kCore]] loop body:
     * degree maintenance, not recomputation) from the all-nodes start
     * state, for the plan audit: the removed frontier rides a BROADCAST

@@ -10190,6 +10190,60 @@ object ExtensionQueries {
     }
   )
 
+  // Graph 17: harmonic centrality from the q297 sketch loop (Boldi &
+  // Vigna 2011 §5 — the application HyperANF exists for): per node,
+  // newly reachable mass at distance t weighs 1/t, estimated from the
+  // SAME exactly-replayable KMV ball sketches, each round's delta
+  // floored by t independently (non-negative by sketch monotonicity).
+  // Top-25 by (harmonic desc, node) — a TakeOrdered, never a node sort.
+  // The oracle replays hashes, per-round bottom-k merges, per-node
+  // estimates, and the fixed 4-term reciprocal sum.
+  private val q323 = Q(
+    "q323_harmonic_centrality",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 7 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graphs.harmonicCentrality(ed, "src", "dst", rounds = 4, k = 32, topK = 25)
+    },
+    Some {
+      val K = 32; val M = graft.ext.ThetaSketch.HashSpace; val R = 4
+      val h40 = duckHexN("CAST(node AS VARCHAR)", 10)
+      val roundCtes = (1 to R).map { t =>
+        s""", c$t AS (SELECT a.node, u.h FROM adj a
+          JOIN s${t - 1} s ON s.node = a.nbr, UNNEST(s.hs) AS u(h)
+          UNION ALL SELECT node, u.h FROM s${t - 1}, UNNEST(hs) AS u(h)),
+        s$t AS MATERIALIZED (SELECT node,
+          list_slice(list_sort(list(DISTINCT h)), 1, $K) AS hs
+          FROM c$t GROUP BY 1)"""
+      }.mkString
+      val estCtes = (1 to R).map { t =>
+        s""", e$t AS (SELECT node, CAST(CASE WHEN len(hs) < $K THEN len(hs) * 1000
+          ELSE (${K - 1} * 1000 * ${M}) // hs[$K] END AS BIGINT) AS est FROM s$t)"""
+      }.mkString
+      val harm = (1 to R).map { t =>
+        val prev = if (t == 1) "1000" else s"e${t - 1}.est"
+        s"CAST((e$t.est - $prev) // $t AS BIGINT)"
+      }.mkString(" + ")
+      val joins = (2 to R).map(t => s"JOIN e$t USING (node)").mkString(" ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_partkey % 7 = 0),
+      ed AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ed
+        UNION ALL SELECT b, a FROM ed),
+      s0 AS MATERIALIZED (SELECT DISTINCT node,
+        [CAST(($h40) AS BIGINT)] AS hs FROM adj)$roundCtes$estCtes
+      SELECT node, e$R.est AS ball_milli,
+        CAST($harm AS BIGINT) AS harmonic_milli
+      FROM e1 $joins
+      ORDER BY harmonic_milli DESC, node LIMIT 25"""
+    }
+  )
+
   // Privacy tier: crypto-shredding end to end (the GDPR forget pattern
   // that never rewrites immutable data files: per-subject keys in a
   // registry, forget = delete ONE key row). Every 13th document's key is
@@ -11473,5 +11527,5 @@ object ExtensionQueries {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
-    q318, q319, q320, q321, q322)
+    q318, q319, q320, q321, q322, q323)
 }

@@ -360,6 +360,19 @@ class GraphsSpec extends SparkFunSuite {
       s"survivors must come from the deg >= k filter, not an anti join:\n$p")
     assert(p.contains("(deg"), s"expected the survivor degree filter:\n$p")
   }
+  test("harmonicCentrality: exact reciprocal-distance sums on a path graph") {
+    // path 1-2-3-4, sketches below k exact: node 2 reaches {1,3} at d=1
+    // and {4} at d=2 → H = 2000/1 + 1000/2 = 2500 milli; node 1 reaches
+    // {2} at 1, {3} at 2, {4} at 3 → 1000 + 500 + 333 = 1833. Inner
+    // nodes outrank the endpoints; node id breaks the tie.
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("src", "dst")
+    val out = Graphs.harmonicCentrality(edges, "src", "dst",
+        rounds = 3, k = 16, topK = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((2L, 4000L, 2500L), (3L, 4000L, 2500L),
+      (1L, 4000L, 1833L), (4L, 4000L, 1833L)), s"got $out")
+  }
+
   test("hyperAnf: exact neighborhood function on a path graph (sketches below k are exact)") {
     // path 1-2-3-4: |ball_t| sums = 4, 10, 14, 16; mean distance at
     // t=3 over all 16 pairs = 20/16 = 1.25

@@ -2266,6 +2266,24 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the correlated sum must decorrelate as a left outer join (count-bug guard):\n$p")
   }
 
+  test("q323: harmonic centrality — O(k) sketch-merge round, per-node carry, no explode") {
+    // the returned frame is a checkpoint scan (the q87 pattern), so the
+    // round's shape is pinned on the exposed one-round plan frame
+    val ed = graft.Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("src"),
+        org.apache.spark.sql.functions.col("l_partkey").as("dst"))
+    val p = graft.ext.Graphs.harmonicRoundPlanFrame(ed, "src", "dst", k = 32)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_kmv_merge_arrays"),
+      s"ball sketches must merge via the O(k)-state array aggregate:\n$p")
+    assert(p.contains("partial_graft_kmv_merge_arrays"),
+      s"the sketch merge must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every round must stay a node-keyed equi-join:\n$p")
+    assert(!p.contains("Generate"),
+      s"sketch arrays must never explode to element rows:\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
