@@ -691,6 +691,69 @@ object Sampling {
         col("capped"), col("alloc_tokens"), col("epochs_milli"))
   }
 
+  /** Group-DRO multiplicative-weights domain reweighting — the mixture
+    * OPTIMIZATION loop beside [[domainReweight]]'s closed form (DoReMi:
+    * Xie et al. 2023 §3 optimizes domain weights by exponentiated
+    * gradient on per-domain excess loss; this runs the polynomial-weights
+    * variant of the same multiplicative-weights method — Arora, Hazan &
+    * Kale's 2012 survey — so the WHOLE loop is exact integer arithmetic
+    * with no transcendental cross-engine parity risk): each round,
+    * domains whose mean loss exceeds the current weighted average
+    * multiply their weight by (1 + η·excess), and the reported weight is
+    * the ROUND AVERAGE of the iterates (DoReMi's iterate averaging).
+    * Per-document losses come from upstream (a quality score, a proxy-LM
+    * fluency — anything integer and non-negative).
+    *
+    * Contracts: `lossCol` must be NON-NEGATIVE integers (floor divisions
+    * diverge between engines below zero — the [[neymanAllocation]]
+    * convention), and `domainCol`'s vocabulary must be bounded (the
+    * attribution vocabulary discipline): the per-domain frame localizes
+    * to the driver for the R-round loop, ≤ |domains| rows. Weight
+    * headroom: w grows by at most (1 + η·maxLoss/10⁶)ᴿ from 1000 milli —
+    * callers keep η·maxLoss·R far below the 9.2·10¹⁸ BIGINT ceiling
+    * (q324: 400·10⁴ per round over 8 rounds → w ≤ 2.6·10⁵).
+    *
+    * Output: one row per domain — (domain, n_docs, mean_loss_milli,
+    * weight_milli, share_bp), shares by floor division of the averaged
+    * weights.
+    */
+  def mwDomainWeights(df: DataFrame, domainCol: String, lossCol: String,
+                      rounds: Int, etaMilli: Long): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(etaMilli > 0, "etaMilli must be positive")
+    val spark = df.sparkSession
+    val per = df
+      .select(col(domainCol).cast("string").as("domain"),
+        col(lossCol).cast("long").as("__l"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__l")).as("__sl"))
+      .select(col("domain"), col("n_docs"),
+        expr("__sl div n_docs").as("mean_loss_milli"))
+      .collect()                  // ≤ |domains| rows by the bounded-vocabulary contract
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var w = per.map(_ => 1000L)
+    val acc = Array.fill(per.length)(0L)
+    for (_ <- 1 to rounds) {
+      val wSum = w.sum
+      val avg = w.zip(per).map { case (wi, (_, _, l)) => wi * l }.sum / wSum
+      w = w.zip(per).map { case (wi, (_, _, l)) =>
+        val excess = math.max(0L, l - avg)
+        wi * (1000L + etaMilli * excess / 1000L) / 1000L
+      }
+      var i = 0
+      while (i < w.length) { acc(i) += w(i); i += 1 }
+    }
+    val avgW = acc.map(_ / rounds)
+    val tot = avgW.sum
+    val rows = per.zip(avgW).map { case ((d, n, l), wm) =>
+      (d, n, l, wm, if (tot > 0) wm * 10000L / tot else 0L)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("domain", "n_docs", "mean_loss_milli",
+      "weight_milli", "share_bp")
+  }
+
   /** Neyman optimal stratified allocation (Neyman 1934; Cochran's
     * "Sampling Techniques" ch. 5) — the survey-sampling answer to "how
     * should a fixed labeling/eval budget split across strata": sample

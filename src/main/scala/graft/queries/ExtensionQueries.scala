@@ -10244,6 +10244,55 @@ object ExtensionQueries {
     }
   )
 
+  // Sampling tier: Group-DRO multiplicative-weights mixture optimization
+  // (the DoReMi update rule in exact-integer polynomial-weights form) —
+  // the OPTIMIZER beside q128's closed-form reweighting: per-doc loss is
+  // the lexical-diversity deficit 10000 − ttr_bp (degenerate/templated
+  // domains read as hard), domains above the weighted-average loss
+  // multiply their weight by (1 + η·excess) each round, iterates average.
+  // The oracle replays per-doc losses, per-domain means, and all 8
+  // integer rounds via unrolled CTEs over the |sources|-row frame.
+  private val q324 = Q(
+    "q324_mw_mixture_weights",
+    (s, dir) => {
+      val loss = TextStats.qualityScore(
+          Tables.documents(s, dir).select(col("source"), col("text")),
+          "source", "text")
+        .select(col("source"), (lit(10000L) - col("ttr_bp")).as("loss_milli"))
+      Sampling.mwDomainWeights(loss, "source", "loss_milli",
+        rounds = 8, etaMilli = 400L)
+    },
+    Some {
+      val R = 8; val Eta = 400
+      val roundCtes = (1 to R).map { r =>
+        s""", a$r AS (SELECT CAST(sum(w * ml) // sum(w) AS BIGINT) AS avg FROM d${r - 1}),
+        d$r AS (SELECT domain, n_docs, ml, nw AS w, acc + nw AS acc FROM (
+          SELECT domain, n_docs, ml, acc,
+            CAST((w * (1000 + ($Eta * greatest(0, ml - (SELECT avg FROM a$r))) // 1000)) // 1000 AS BIGINT) AS nw
+          FROM d${r - 1}))"""
+      }.mkString
+      s"""WITH t AS (SELECT source,
+          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+        FROM documents),
+      m AS (SELECT source, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(w)) AS BIGINT) AS n_dist FROM t),
+      l AS (SELECT source AS domain,
+          CAST(10000 - (CASE WHEN n_tokens > 0
+            THEN (n_dist * 10000) // n_tokens ELSE 0 END) AS BIGINT) AS loss
+        FROM m),
+      d0 AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(loss) // count(*) AS BIGINT) AS ml,
+          CAST(1000 AS BIGINT) AS w, CAST(0 AS BIGINT) AS acc
+        FROM l GROUP BY 1)$roundCtes,
+      fin AS (SELECT domain, n_docs, ml,
+          CAST(acc // $R AS BIGINT) AS wm FROM d$R),
+      tt AS (SELECT CAST(sum(wm) AS BIGINT) AS t FROM fin)
+      SELECT domain, n_docs, ml AS mean_loss_milli, wm AS weight_milli,
+        CAST(CASE WHEN t > 0 THEN wm * 10000 // t ELSE 0 END AS BIGINT) AS share_bp
+      FROM fin, tt"""
+    }
+  )
+
   // Privacy tier: crypto-shredding end to end (the GDPR forget pattern
   // that never rewrites immutable data files: per-subject keys in a
   // registry, forget = delete ONE key row). Every 13th document's key is
@@ -11527,5 +11576,5 @@ object ExtensionQueries {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
-    q318, q319, q320, q321, q322, q323)
+    q318, q319, q320, q321, q322, q323, q324)
 }

@@ -328,6 +328,22 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(got("C") == ((2L, 50L, 71L, 141L, 100L * 141L / 187L, 20L)))
   }
 
+  test("mwDomainWeights: hand-walked 2-round multiplicative-weights update") {
+    // A: mean loss 0; B: mean loss 3000. η = 500 milli, 2 rounds.
+    // r1: avg = 1500 → B's mult = 1 + 0.5·1.5 = 1.75 → w = (1000, 1750)
+    // r2: avg = 5250000 div 2750 = 1909 → excess_B = 1091 →
+    //     mult_B = 1000 + 545 → w_B = 1750·1545 div 1000 = 2703
+    // iterate averages: (1000, (1750+2703) div 2 = 2226); shares of 3226.
+    val df = Seq(("A", 0L), ("A", 0L), ("B", 2000L), ("B", 4000L))
+      .toDF("domain", "loss")
+    val got = Sampling.mwDomainWeights(df, "domain", "loss",
+        rounds = 2, etaMilli = 500L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") == ((2L, 0L, 1000L, 1000L * 10000L / 3226L)), got.toString)
+    assert(got("B") == ((2L, 3000L, 2226L, 2226L * 10000L / 3226L)), got.toString)
+  }
+
   test("neymanAllocation: exact past the int64 Σy² wrap (DECIMAL staging at the bound)") {
     // y = 3.2e9 squares to 1.024e19 > 2⁶³ — the pre-guard BIGINT staging
     // wrapped negative here and the greatest(0, …) clamp silently zeroed
