@@ -718,17 +718,31 @@ object Sampling {
     * weights.
     */
   def mwDomainWeights(df: DataFrame, domainCol: String, lossCol: String,
-                      rounds: Int, etaMilli: Long): DataFrame = {
+                      rounds: Int, etaMilli: Long): DataFrame =
+    mwDomainWeightsFromMoments(
+      df.select(col(domainCol).cast("string").as("domain"),
+          col(lossCol).cast("long").as("__l"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__l")).as("loss_sum")),
+      rounds, etaMilli)
+
+  /** [[mwDomainWeights]] from pre-aggregated per-domain moments
+    * (domain, n_docs, loss_sum) — the fold-friendly entry the streaming
+    * mixture-refresh sink feeds: moments sum across window closes, so
+    * the live weights equal the batch operator's over the union exactly.
+    */
+  def mwDomainWeightsFromMoments(moments: DataFrame, rounds: Int,
+                                 etaMilli: Long): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     require(etaMilli > 0, "etaMilli must be positive")
-    val spark = df.sparkSession
-    val per = df
-      .select(col(domainCol).cast("string").as("domain"),
-        col(lossCol).cast("long").as("__l"))
-      .groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__l")).as("__sl"))
+    val spark = moments.sparkSession
+    val per = moments
+      .select(col("domain").cast("string").as("domain"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("loss_sum").cast("long").as("loss_sum"))
+      .filter(col("n_docs") > 0)
       .select(col("domain"), col("n_docs"),
-        expr("__sl div n_docs").as("mean_loss_milli"))
+        expr("loss_sum div n_docs").as("mean_loss_milli"))
       .collect()                  // ≤ |domains| rows by the bounded-vocabulary contract
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)

@@ -1706,6 +1706,93 @@ object StreamPipelines {
     }
   }
 
+  /** The mixture-weights model refresh — the q324 loop live (the
+    * [[attributionModelRefreshIngestBatch]] contract on the sampling
+    * tier): each micro-batch of CLOSED (window_start, domain, n_docs,
+    * loss_sum) rows folds its per-domain loss MOMENTS into the persisted
+    * matrix as a new version (batch-id tagged — a re-delivered batch is
+    * an exact no-op) and re-emits the multiplicative-weights table from
+    * the folded moments beside it. Moments are sums, so the fold across
+    * window closes equals the batch operator over the union EXACTLY
+    * (spec-pinned); state is |domains|-bounded.
+    */
+  def mixtureWeightsRefreshIngestBatch(
+      batch: DataFrame,
+      statePath: String,
+      batchId: Long,
+      rounds: Int = 8,
+      etaMilli: Long = 400L): Unit = {
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val root = new Path(statePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val versions =
+        if (fs.exists(root))
+          fs.listStatus(root).toSeq.map(_.getPath.getName)
+            .filter(n => n.startsWith("v") && n.contains("_b"))
+            .map { name =>
+              val Array(v, b) = name.stripPrefix("v").split("_b", 2)
+              (v.toLong, b.toLong, name)
+            }
+        else Seq.empty
+      if (versions.exists(_._2 == batchId)) return // replayed batch: no-op
+      val winMoments = batch
+        .groupBy(col("domain"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("loss_sum")).as("loss_sum"))
+      val folded = versions.sortBy(-_._1).headOption match {
+        case Some((_, _, latest)) =>
+          spark.read.parquet(s"$statePath/$latest")
+            .unionByName(winMoments)
+            .groupBy(col("domain"))
+            .agg(sum(col("n_docs")).as("n_docs"), sum(col("loss_sum")).as("loss_sum"))
+        case None => winMoments
+      }
+      val seq = versions.map(_._1).maxOption.getOrElse(0L) + 1
+      folded.write.mode("errorifexists").parquet(s"$statePath/v${seq}_b$batchId")
+      graft.ext.Sampling.mwDomainWeightsFromMoments(
+          spark.read.parquet(s"$statePath/v${seq}_b$batchId"), rounds, etaMilli)
+        .write.mode("overwrite").parquet(s"$statePath/weights_v${seq}_b$batchId")
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
+  /** [[mixtureWeightsRefreshIngestBatch]] behind a per-window per-domain
+    * loss-moment close, as a foreachBatch sink: per tumbling window each
+    * domain's (count, loss sum) aggregate closes at the watermark and
+    * folds into the versioned moment matrix.
+    */
+  def mixtureWeightsSink(
+      events: DataFrame,
+      tsCol: String,
+      domainCol: String,
+      lossCol: String,
+      statePath: String,
+      checkpointDir: String,
+      rounds: Int = 8,
+      etaMilli: Long = 400L,
+      watermark: String = "10 seconds",
+      windowLength: String = "1 minute",
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")
+  ): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val closed = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(lossCol)).as("loss_sum"))
+      .select(col("window.start").as("window_start"), col("domain"),
+        col("n_docs"), col("loss_sum"))
+    closed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mixtureWeightsRefreshIngestBatch(batch, statePath, batchId, rounds, etaMilli)
+      }
+  }
+
   /** [[attributionModelRefreshIngestBatch]] behind the
     * [[attributionTelemetrySink]] windowed journey close, as a
     * foreachBatch sink.

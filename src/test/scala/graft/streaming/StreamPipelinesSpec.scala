@@ -735,6 +735,41 @@ class StreamPipelinesSpec extends SparkFunSuite {
     assert(versions == Set("v1_b0", "v2_b1"))
   }
 
+  test("mixtureWeightsRefresh folds window moments into the batch optimizer; replay no-op") {
+    val statePath = tmpDir("mwref") + "/state"
+    // window closes carry per-domain (count, loss-sum) moments; moments
+    // are sums, so the fold must equal the batch operator over the union
+    val w0 = Seq(("A", 0L), ("A", 0L), ("B", 2000L))
+    val w1 = Seq(("B", 4000L), ("A", 0L))
+    def closedOf(rows: Seq[(String, Long)], start: Long) =
+      rows.toDF("domain", "loss")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("loss")).as("loss_sum"))
+        .withColumn("window_start", lit(start))
+        .select(col("window_start"), col("domain"), col("n_docs"), col("loss_sum"))
+    StreamPipelines.mixtureWeightsRefreshIngestBatch(
+      closedOf(w0, 0L), statePath, 0L, rounds = 2, etaMilli = 500L)
+    StreamPipelines.mixtureWeightsRefreshIngestBatch(
+      closedOf(w1, 1L), statePath, 1L, rounds = 2, etaMilli = 500L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val live = rows(spark.read.parquet(statePath + "/weights_v2_b1"))
+    val batch = rows(graft.ext.Sampling.mwDomainWeights(
+      (w0 ++ w1).toDF("domain", "loss"), "domain", "loss",
+      rounds = 2, etaMilli = 500L))
+    assert(live == batch, s"live=$live batch=$batch")
+    // the hand-walked case: A has 3 docs of loss 0, B mean 3000 — the
+    // same trajectory as the batch unit test
+    assert(live("B")._2 == 3000L && live("B")._4 > live("A")._4)
+    // replay of batch 1: detected by its batch id tag — no new version
+    StreamPipelines.mixtureWeightsRefreshIngestBatch(
+      closedOf(w1, 1L), statePath, 1L, rounds = 2, etaMilli = 500L)
+    val versions = new java.io.File(statePath).listFiles()
+      .map(_.getName).filter(n => n.startsWith("v") && n.contains("_b")).toSet
+    assert(versions == Set("v1_b0", "v2_b1"))
+  }
+
   test("simhashDedupIngestBatch drops near-dups vs batch AND index; replay converges") {
     val indexPath = tmpDir("shidx") + "/index"
     def indexIds = spark.read.parquet(indexPath).collect().map(_.getLong(0)).toSet
