@@ -368,7 +368,8 @@ object Explain {
     "q310_audio_chroma_neardup", // chroma HOF projection; (window, band)-blocked pair join
     "q320_audio_chroma_incremental", // id anti-join + batch-sized blocked index probe
     "q321_audio_segments", // chroma scan + id-keyed lag window + one agg, no join
-    "q323_harmonic_centrality" // per-round adj join + O(k) sketch agg + max-carry; TakeOrdered
+    "q323_harmonic_centrality", // per-round adj join + O(k) sketch agg + max-carry; TakeOrdered
+    "q325_betweenness" // per-level adj join + sigma agg + anti; backward keyed joins
   )
 
   def main(args: Array[String]): Unit = {

@@ -946,6 +946,24 @@ object ScaleProbe {
         graft.ext.Graphs.modularity(edges, "src", "dst", labels).count()
       },
       "silhouette_scan" -> (m => m.toLong), // timed via `custom` below
+      // pivot-sampled betweenness: m disjoint co-purchase copies — each
+      // BFS level is pivots × edges (Brandes' inherent cost), so the
+      // curve must track the edge scan; the fixed pivot count and
+      // 3-hop horizon keep depth constant
+      "betweenness_pivots" -> { m =>
+        val li = (0 until m).map { r =>
+          Tables.lineitem(spark, sfDir).select(
+            (col("l_orderkey") + lit(r * 100000000L)).as("o"),
+            (col("l_partkey") + lit(r * 10000000L)).as("p"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .distinct()
+        val edges = li.as("x")
+          .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+        graft.ext.Graphs.betweenness(edges, "src", "dst",
+          pivots = 6, rounds = 3, topK = 30).count()
+      },
       // assortativity: join-free marginal moments + ONE edge-sized join
       // collapsed per target node — must track the edge scan
       "assortativity" -> { m =>

@@ -1203,6 +1203,154 @@ object Graphs {
     out
   }
 
+  /** Pivot-sampled betweenness centrality (Brandes 2001's dependency
+    * accumulation, under the pivot sampling of Brandes & Pich 2007 /
+    * Bader et al.'s approximation — the only way betweenness exists at
+    * scale, since exact is O(nm)): from each of `pivots` sampled sources
+    * (the md5-smallest node ids — the suite's deterministic sample), a
+    * synchronous BFS of `rounds` hops counts shortest paths σ, then the
+    * backward pass accumulates each node's dependency
+    * δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ(w)) by DESCENDING distance,
+    * and betweenness is the pivot sum of δ excluding each pivot itself.
+    *
+    * Exact integers: σ are exact BIGINT path counts; each backward term
+    * quantizes independently as `(σ_v · (1000 + δ_w)) div σ_w` (milli,
+    * term-wise floor — order-independent to sum), so both engines replay
+    * every level bit for bit. Fixed `rounds` bounds the horizon (the
+    * kCore replay convention; beyond-horizon pairs contribute 0, which
+    * pivot-sampled betweenness accepts by construction).
+    *
+    * Scale shape: forward = per-level adjacency equi-join + (pivot, node)
+    * hash-aggregate + visited anti-join; backward = per-level two keyed
+    * joins + one aggregate; every frame persists behind short-lineage
+    * anchors (the labelPropagation discipline), state is
+    * pivots × reachable rows. σ/δ headroom: path counts compound with
+    * density — the fixed horizon and pivot count keep σ·(1000+δ) far
+    * inside BIGINT on diameter-bounded graphs; a 100 TB run picks
+    * `rounds` ≤ the effective diameter exactly as HyperANF does.
+    *
+    * Output: top `topK` (node, bc_milli, n_pivots) by (bc desc, node),
+    * where n_pivots counts the CONTRIBUTING pivot BFS trees (the node's
+    * own tree is excluded, matching the δ exclusion).
+    */
+  def betweenness(edges0: DataFrame, srcCol: String, dstCol: String,
+                  pivots: Int, rounds: Int, topK: Int): DataFrame = {
+    require(pivots >= 1 && rounds >= 1 && topK >= 1,
+      "pivots, rounds, topK must be >= 1")
+    val e = edges0
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    // the adjacency caches REPARTITIONED on its join key and is used
+    // directly (NOT behind an .rdd anchor): the InMemoryRelation keeps
+    // its hash partitioning and measured size, so all 2·rounds level
+    // joins reuse ONE exchange of the big side instead of re-shuffling
+    // it per level (the anchored form lost both — measured 12.2 s → the
+    // re-shuffle was the whole overage). Its lineage is one hop, so the
+    // anchor's plan-depth protection isn't needed here.
+    val spark = e.sparkSession
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("node"))
+      .persist()
+    var mats: List[DataFrame] = List(adj)
+
+    def anchor(df: DataFrame): DataFrame = {
+      val c = df.persist()
+      mats ::= c
+      spark.createDataFrame(c.rdd, c.schema)
+    }
+
+    // deterministic pivot sample: md5-order over the node set (broadcast
+    // — `pivots` rows)
+    val pv = anchor(adj.select(col("node")).distinct()
+      .orderBy(md5(col("node").cast("string")), col("node"))
+      .limit(pivots)
+      .select(col("node").as("pivot")))
+
+    // forward: levels of (pivot, node, sigma); the per-level frames are
+    // KEPT (the backward pass reads exactly one level per side, so
+    // filtering a visited union per depth would re-scan every cached
+    // level 2·rounds times for nothing); visited exists only for the
+    // frontier anti-join
+    val levels = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    var level = anchor(pv.select(col("pivot"), col("pivot").as("node"),
+      lit(1L).as("sigma")))
+    levels += level
+    var visited = anchor(level.select(col("pivot"), col("node")))
+    for (t <- 1 to rounds) {
+      val cand = adj.join(level, "node")
+        .groupBy(col("pivot"), col("nbr").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val next = anchor(cand
+        .join(visited, Seq("pivot", "node"), "left_anti"))
+      levels += next
+      visited = anchor(visited.unionByName(next.select(col("pivot"), col("node"))))
+      level = next
+    }
+
+    // backward: dependency by descending distance; nodes at the horizon
+    // have delta 0
+    var delta = anchor(levels(rounds)
+      .select(col("pivot"), col("node"), lit(0L).as("delta")))
+    var deltaAll = delta
+    for (d <- (rounds - 1) to 0 by -1) {
+      val vd = levels(d).select(col("pivot"), col("node"), col("sigma"))
+      val wd = levels(d + 1)
+        .select(col("pivot"), col("node").as("nbr"), col("sigma").as("__sw"))
+        .join(delta.select(col("pivot"), col("node").as("nbr"), col("delta")),
+          Seq("pivot", "nbr"))
+      // successor terms union zero-seed rows and fold in ONE aggregate —
+      // a terms-then-left-join form would pay an extra exchange per
+      // level just to re-attach the no-successor nodes' zeros
+      val terms = vd.join(adj, "node")
+        .join(wd, Seq("pivot", "nbr"))
+        .select(col("pivot"), col("node"),
+          expr("(sigma * (1000L + delta)) div __sw").as("__t"))
+      delta = anchor(terms
+        .unionByName(vd.select(col("pivot"), col("node"), lit(0L).as("__t")))
+        .groupBy(col("pivot"), col("node"))
+        .agg(sum(col("__t")).as("delta")))
+      deltaAll = anchor(deltaAll.unionByName(delta))
+    }
+    val out = deltaAll
+      .filter(col("node") =!= col("pivot"))
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc_milli"), count(lit(1)).as("n_pivots"))
+      .filter(col("bc_milli") > 0L)
+      .orderBy(col("bc_milli").desc, col("node"))
+      .limit(topK)
+      .localCheckpoint(true)
+    mats.foreach(_.unpersist())
+    out
+  }
+
+  /** One unexecuted betweenness forward level (the [[betweenness]] BFS
+    * body from the pivot state), for the plan audit: the adjacency
+    * equi-join, the (pivot, node) σ-sum hash-aggregate, and the visited
+    * anti-join — never a product, never a window.
+    */
+  private[graft] def betweennessRoundPlanFrame(edges0: DataFrame, srcCol: String,
+                                               dstCol: String, pivots: Int): DataFrame = {
+    val e = edges0
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+    val pv = adj.select(col("node")).distinct()
+      .orderBy(md5(col("node").cast("string")), col("node"))
+      .limit(pivots)
+      .select(col("node").as("pivot"))
+    val level = pv.select(col("pivot"), col("pivot").as("node"), lit(1L).as("sigma"))
+    adj.join(level, "node")
+      .groupBy(col("pivot"), col("nbr").as("node"))
+      .agg(sum(col("sigma")).as("sigma"))
+      .join(level.select(col("pivot"), col("node")), Seq("pivot", "node"), "left_anti")
+  }
+
   /** One unexecuted harmonic-centrality sketch round (the
     * [[harmonicCentrality]] loop body from the round-0 state), for the
     * plan audit: the adjacency equi-join, the O(k)-state array-merge

@@ -10244,6 +10244,70 @@ object ExtensionQueries {
     }
   )
 
+  // Graph 18: pivot-sampled betweenness centrality (Brandes 2001 under
+  // Brandes & Pich 2007's pivot sampling) — the broker-node signal
+  // beside q323's harmonic closeness: 6 md5-sampled pivots run a 3-hop
+  // bounded-horizon (Brandes 2008's bounded-distance variant; the 3-hop
+  // ball holds ~5/6 of this graph's reachable mass)
+  // synchronous BFS counting exact-integer shortest paths, the backward
+  // pass accumulates dependencies with term-wise milli floors, and the
+  // pivot sum (self excluded) ranks the top-30 brokers. The oracle
+  // unrolls every BFS level and every backward level in CTEs.
+  private val q325 = Q(
+    "q325_betweenness",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 7 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graphs.betweenness(ed, "src", "dst", pivots = 6, rounds = 3, topK = 30)
+    },
+    Some {
+      val P = 6; val R = 3
+      val fwd = (1 to R).map { t =>
+        s""", c$t AS (SELECT l.pvt, a.nbr AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+          FROM l${t - 1} l JOIN adj a ON a.node = l.node GROUP BY 1, 2),
+        l$t AS MATERIALIZED (SELECT c.pvt, c.node, c.sigma FROM c$t c
+          WHERE NOT EXISTS (SELECT 1 FROM vis${t - 1} v
+            WHERE v.pvt = c.pvt AND v.node = c.node)),
+        vis$t AS MATERIALIZED (SELECT * FROM vis${t - 1}
+          UNION ALL SELECT pvt, node, $t AS dist, sigma FROM l$t)"""
+      }.mkString
+      val bwd = ((R - 1) to 0 by -1).map { d =>
+        s""", dl$d AS MATERIALIZED (SELECT v.pvt, v.node,
+            CAST(coalesce(sum((v.sigma * (1000 + dw.delta)) // w.sigma), 0) AS BIGINT) AS delta
+          FROM (SELECT pvt, node, sigma FROM vis$R WHERE dist = $d) v
+          LEFT JOIN adj a ON a.node = v.node
+          LEFT JOIN (SELECT pvt, node, sigma FROM vis$R WHERE dist = ${d + 1}) w
+            ON w.pvt = v.pvt AND w.node = a.nbr
+          LEFT JOIN dl${d + 1} dw ON dw.pvt = w.pvt AND dw.node = w.node
+          GROUP BY 1, 2)"""
+      }.mkString
+      val dall = (0 to R).map(d => s"SELECT * FROM dl$d").mkString(" UNION ALL ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_partkey % 7 = 0),
+      ed AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ed
+        UNION ALL SELECT b, a FROM ed),
+      pv AS MATERIALIZED (SELECT node AS pvt
+        FROM (SELECT DISTINCT node FROM adj)
+        ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT $P),
+      l0 AS (SELECT pvt, pvt AS node, CAST(1 AS BIGINT) AS sigma FROM pv),
+      vis0 AS MATERIALIZED (SELECT pvt, node, 0 AS dist, sigma FROM l0)$fwd,
+      dl$R AS (SELECT pvt, node, CAST(0 AS BIGINT) AS delta
+        FROM vis$R WHERE dist = $R)$bwd,
+      dall AS ($dall)
+      SELECT node, CAST(sum(delta) AS BIGINT) AS bc_milli,
+        CAST(count(*) AS BIGINT) AS n_pivots
+      FROM dall WHERE node <> pvt
+      GROUP BY 1 HAVING sum(delta) > 0
+      ORDER BY bc_milli DESC, node LIMIT 30"""
+    }
+  )
+
   // Sampling tier: Group-DRO multiplicative-weights mixture optimization
   // (the DoReMi update rule in exact-integer polynomial-weights form) —
   // the OPTIMIZER beside q128's closed-form reweighting: per-doc loss is
@@ -11576,5 +11640,5 @@ object ExtensionQueries {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
-    q318, q319, q320, q321, q322, q323, q324)
+    q318, q319, q320, q321, q322, q323, q324, q325)
 }

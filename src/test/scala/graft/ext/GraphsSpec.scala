@@ -373,6 +373,19 @@ class GraphsSpec extends SparkFunSuite {
       (1L, 4000L, 1833L), (4L, 4000L, 1833L)), s"got $out")
   }
 
+  test("betweenness: exact Brandes dependency sums on a path graph (all nodes as pivots)") {
+    // path 1-2-3-4-5, unique shortest paths (σ = 1 everywhere, so the
+    // milli quantization is exact): node 3 is interior to 4 unordered
+    // pairs → 8 ordered → 8000 milli; nodes 2/4 to 3 → 6000; ends 0.
+    // n_pivots counts CONTRIBUTING pivots — the node's own BFS excluded.
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L)).toDF("src", "dst")
+    val out = Graphs.betweenness(edges, "src", "dst",
+        pivots = 5, rounds = 4, topK = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(3L -> ((8000L, 4L)), 2L -> ((6000L, 4L)), 4L -> ((6000L, 4L))),
+      s"got $out")
+  }
+
   test("hyperAnf: exact neighborhood function on a path graph (sketches below k are exact)") {
     // path 1-2-3-4: |ball_t| sums = 4, 10, 14, 16; mean distance at
     // t=3 over all 16 pairs = 20/16 = 1.25

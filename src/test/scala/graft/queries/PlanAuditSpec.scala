@@ -2284,6 +2284,22 @@ class PlanAuditSpec extends SparkFunSuite {
       s"sketch arrays must never explode to element rows:\n$p")
   }
 
+  test("q325: a betweenness BFS level is adj equi-join + σ hash-agg + visited anti-join") {
+    // the returned frame is a checkpoint scan (the q87 pattern), so the
+    // level's shape is pinned on the exposed one-level plan frame
+    val ed = graft.Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("src"),
+        org.apache.spark.sql.functions.col("l_partkey").as("dst"))
+    val p = graft.ext.Graphs.betweennessRoundPlanFrame(ed, "src", "dst", pivots = 6)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every level must stay a keyed equi-join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"already-visited (pivot, node) pairs must drop via the anti join:\n$p")
+    assert(p.split("keys=\\[pivot").length - 1 >= 2,
+      s"the σ sum must partial+final on (pivot, node):\n$p")
+  }
+
   test("q222: JSD corpus work is ONE (source, bucket) agg; pair spine broadcasts") {
     val p = plan("q222_source_jsd")
     assert(p.split("HashAggregate").length >= 3,
