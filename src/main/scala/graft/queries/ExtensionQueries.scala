@@ -10244,6 +10244,117 @@ object ExtensionQueries {
     }
   )
 
+  // Multimodal tier: perceptual-family comparison — the q305
+  // tokenizer-compare shape on the dedup fingerprints: the SAME q302
+  // corpus (two planted 2-char splash families: A outside the sampled
+  // md5 windows at len/5, B inside frame 1's window at len/4+8) runs
+  // through all three container fingerprint families — exact-md5 frame
+  // voting (q146), perceptual dHash frame voting (q302), and the
+  // chroma windowed-spectral voting (q310) — and one table reports each
+  // family's pair yield and planted-pair catch rate in bp. The
+  // measured contrast IS the tier's design argument: an in-window edit
+  // kills an exact digest but flips few perceptual bits.
+  private val q326 = Q(
+    "q326_perceptual_compare",
+    (s, dir) => {
+      val corpus = videoCorpus(s, dir)
+      val planted = when(
+        (col("id_b") - col("id_a") === 2000000L && col("id_a") % 13 === 0) ||
+          (col("id_b") - col("id_a") === 3000000L && col("id_a") % 13 === 6),
+        1L).otherwise(0L)
+      val totPlanted = broadcast(
+        Tables.documents(s, dir)
+          .agg((sum(when(col("doc_id") % 13 === 0, 1L).otherwise(0L)) +
+            sum(when(col("doc_id") % 13 === 6, 1L).otherwise(0L))).as("__tp")))
+      def famRow(name: String, pairs: DataFrame): DataFrame =
+        pairs.select(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_pairs"), sum(planted).as("n_planted"))
+          .crossJoin(totPlanted)
+          .select(lit(name).as("family"), col("n_pairs"),
+            coalesce(col("n_planted"), lit(0L)).as("n_planted"),
+            expr("coalesce(n_planted, 0L) * 10000 div __tp").as("catch_bp"))
+      val md5Fam = graft.ext.Multimodal.frameFingerprintNearDups(
+        corpus, "doc_id", "text", n = 4, frameBytes = 96, minShared = 3,
+        maxBlockSize = 64)
+      val dhashFam = QueryCaches.videoPairsFor(s, dir)
+      val chromaFam = graft.ext.Multimodal.audioChromaNearDups(
+        corpus, "doc_id", "text", n = 6, windowChars = 128,
+        maxHamming = 3, minShared = 3, maxBlockSize = 64)
+      famRow("exact_md5", md5Fam)
+        .unionByName(famRow("dhash", dhashFam))
+        .unionByName(famRow("chroma", chromaFam))
+    },
+    Some(s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+      ea AS (SELECT id + 2000000 AS id,
+          substr(text, 1, greatest(1, length(text) // 5) - 1) || 'QQ' ||
+            substr(text, greatest(1, length(text) // 5) + 2) AS text
+        FROM base WHERE id % 13 = 0),
+      eb AS (SELECT id + 3000000 AS id,
+          substr(text, 1, greatest(1, length(text) // 4 + 8) - 1) || 'QQ' ||
+            substr(text, greatest(1, length(text) // 4 + 8) + 2) AS text
+        FROM base WHERE id % 13 = 6),
+      un AS (SELECT * FROM base UNION ALL SELECT * FROM ea
+        UNION ALL SELECT * FROM eb),
+      tp AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM base
+        WHERE id % 13 = 0 OR id % 13 = 6),
+      ${videoFpCtes("un", 4)}
+      mfr AS (SELECT id, frame_idx, md5(t) AS d FROM fr),
+      mblk AS (SELECT frame_idx, d FROM mfr GROUP BY 1, 2 HAVING count(*) <= 64),
+      mfb AS (SELECT mfr.* FROM mfr JOIN mblk USING (frame_idx, d)),
+      mpv AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.frame_idx
+        FROM mfb a JOIN mfb b ON a.frame_idx = b.frame_idx AND a.d = b.d
+          AND a.id < b.id),
+      mp AS (SELECT id_a, id_b FROM mpv GROUP BY 1, 2 HAVING count(*) >= 3),
+      bd AS (SELECT id, frame_idx, fp_hi, fp_lo, u.band_idx,
+          CASE u.band_idx WHEN 0 THEN fp_hi // 65536 WHEN 1 THEN fp_hi % 65536
+            WHEN 2 THEN fp_lo // 65536 ELSE fp_lo % 65536 END AS band_val
+        FROM fp, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+      bk AS (SELECT * FROM (SELECT bd.*,
+          count(*) OVER (PARTITION BY frame_idx, band_idx, band_val) AS blk
+          FROM bd)
+        WHERE blk <= 64),
+      dpv AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.frame_idx
+        FROM bk a JOIN bk b ON a.frame_idx = b.frame_idx
+          AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.id < b.id
+        WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
+          bit_count(xor(a.fp_lo, b.fp_lo)) <= 3),
+      dp AS (SELECT id_a, id_b FROM dpv GROUP BY 1, 2 HAVING count(*) >= 3),
+      ${audioFpCtes("un", 6)}
+      abd AS (SELECT id, window_idx, fp, u.band_idx,
+          (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
+        FROM afp, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+      abk AS (SELECT * FROM (SELECT abd.*,
+          count(*) OVER (PARTITION BY window_idx, band_idx, band_val) AS blk
+          FROM abd)
+        WHERE blk <= 64),
+      apv AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.window_idx
+        FROM abk a JOIN abk b ON a.window_idx = b.window_idx
+          AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.id < b.id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+      ap AS (SELECT id_a, id_b FROM apv GROUP BY 1, 2 HAVING count(*) >= 3),
+      st AS (
+        SELECT 'exact_md5' AS family,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(coalesce(sum(CASE WHEN (id_b - id_a = 2000000 AND id_a % 13 = 0)
+            OR (id_b - id_a = 3000000 AND id_a % 13 = 6) THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_planted FROM mp
+        UNION ALL
+        SELECT 'dhash', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(CASE WHEN (id_b - id_a = 2000000 AND id_a % 13 = 0)
+            OR (id_b - id_a = 3000000 AND id_a % 13 = 6) THEN 1 ELSE 0 END), 0)
+            AS BIGINT) FROM dp
+        UNION ALL
+        SELECT 'chroma', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(CASE WHEN (id_b - id_a = 2000000 AND id_a % 13 = 0)
+            OR (id_b - id_a = 3000000 AND id_a % 13 = 6) THEN 1 ELSE 0 END), 0)
+            AS BIGINT) FROM ap)
+      SELECT family, n_pairs, n_planted,
+        CAST(n_planted * 10000 // tp.tp AS BIGINT) AS catch_bp
+      FROM st, tp""")
+  )
+
   // Graph 18: pivot-sampled betweenness centrality (Brandes 2001 under
   // Brandes & Pich 2007's pivot sampling) — the broker-node signal
   // beside q323's harmonic closeness: 6 md5-sampled pivots run a 3-hop
@@ -11640,5 +11751,5 @@ object ExtensionQueries {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
-    q318, q319, q320, q321, q322, q323, q324, q325)
+    q318, q319, q320, q321, q322, q323, q324, q325, q326)
 }
