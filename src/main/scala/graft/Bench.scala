@@ -48,6 +48,11 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }.mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    // the completed sweep prints BEFORE the isolated re-measure below: a
+    // hang or kill during the extra re-timing (up to 10 × reps more full
+    // executions — possibly on exactly the contention window being
+    // adjudicated) must not discard 40 minutes of finished measurements
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warmup_sf":"$warmDir","reps":$reps,"estimator":"min-interleaved"}""")
     // Isolated re-measure of the slowest 10: the interleaved sweep's cell
     // for a slow query can absorb a host-contention window that min-of-reps
     // cannot discard when the window outlasts a full pass (BENCH_r10/r11
@@ -68,7 +73,7 @@ object Bench {
     }
     val slowestIsoJson = slowestIso
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"slowest_isolated":$slowestIsoJson,"sf":"$sfDir","warmup_sf":"$warmDir","reps":$reps,"estimator":"min-interleaved"}""")
+    println(s"""{"metric":"slowest_isolated","unit":"sec","queries":$slowestIsoJson,"reps":$reps,"estimator":"min-query-major"}""")
     // Cache growth stays observable as the suite grows (the bench JVM
     // holds every QueryCaches entry simultaneously by the end of a pass)
     println(graft.queries.QueryCaches.footprint(spark))

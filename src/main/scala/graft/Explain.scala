@@ -363,13 +363,13 @@ object Explain {
     "q313_range_selectivity", // one percentile agg + broadcast boundaries + conditional scan
     "q314_modularity_refine", // (node, nbr-label) agg + label joins + map-side argmax
     "q316_neyman_allocation", // one moment agg + broadcast totals, no window
-    "q318_small_qty_revenue", // decorrelated: ONE merged per-partkey agg joins back
+    "q318_small_qty_revenue", // decorrelated: TWO per-partkey agg joins (no subquery survives)
     "q319_promo_suppliers", // semi-join chain + left-outer windowed agg (count-bug guard)
     "q310_audio_chroma_neardup", // chroma HOF projection; (window, band)-blocked pair join
     "q320_audio_chroma_incremental", // id anti-join + batch-sized blocked index probe
-    "q321_audio_segments", // chroma scan + id-keyed lag window + one agg, no join
-    "q323_harmonic_centrality", // per-round adj join + O(k) sketch agg + max-carry; TakeOrdered
-    "q325_betweenness" // per-level adj join + sigma agg + anti; backward keyed joins
+    "q321_audio_segments" // chroma scan + id-keyed lag window + one agg, no join
+    // (q323/q325 return checkpoint scans — their round plans are
+    // rendered separately below, the q87/q94 convention)
   )
 
   def main(args: Array[String]): Unit = {
@@ -577,6 +577,24 @@ object Explain {
       rd.count()
       sb.append(s"\n## q317_markov_attribution (transition build)\n\n```\n")
       sb.append(rd.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+    }
+    // q323/q325 return eager localCheckpoint frames (a bare ExistingRDD
+    // scan renders nothing); the load-bearing plans are their exposed
+    // one-round frames
+    locally {
+      val ed = graft.Tables.lineitem(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("l_orderkey").as("src"),
+          org.apache.spark.sql.functions.col("l_partkey").as("dst"))
+      val h = graft.ext.Graphs.harmonicRoundPlanFrame(ed, "src", "dst", k = 32)
+      sb.append(s"\n## q323_harmonic_centrality (one sketch-merge round)\n\n```\n")
+      sb.append(h.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append("```\n")
+      val bw = graft.ext.Graphs.betweennessRoundPlanFrame(ed, "src", "dst", pivots = 6)
+      sb.append(s"\n## q325_betweenness (one BFS level)\n\n```\n")
+      sb.append(bw.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }

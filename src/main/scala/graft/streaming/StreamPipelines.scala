@@ -1663,6 +1663,34 @@ object StreamPipelines {
     * the persisted matrix itself carries raw types but folds by key, so
     * it tracks the type vocabulary, never event volume).
     */
+  /** The `v<seq>_b<batch>` versions under `root` whose parquet job
+    * COMMITTED (_SUCCESS present — written last by the commit protocol).
+    * A dir without it is a torn write from a crashed micro-batch whose
+    * id Structured Streaming is about to retry: it was never a readable
+    * version, so it is deleted here rather than silently becoming a
+    * partial fold base (or colliding with the retry's errorifexists).
+    * Derived-artifact dirs (`effects_*`, `weights_*`) are not versions
+    * and are left alone.
+    */
+  private def committedVersions(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[(Long, Long, String)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.contains("_b"))
+      .flatMap { name =>
+        val Array(v, b) = name.stripPrefix("v").split("_b", 2)
+        if (fs.exists(new Path(new Path(root, name), "_SUCCESS")))
+          Some((v.toLong, b.toLong, name))
+        else {
+          fs.delete(new Path(root, name), true)
+          None
+        }
+      }
+
+  /** True when `dir` holds a COMMITTED parquet write. */
+  private def committed(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS"))
+
   def attributionModelRefreshIngestBatch(
       batch: DataFrame,
       statePath: String,
@@ -1676,16 +1704,21 @@ object StreamPipelines {
       val spark = batch.sparkSession
       val root = new Path(statePath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val versions =
-        if (fs.exists(root))
-          fs.listStatus(root).toSeq.map(_.getPath.getName)
-            .filter(n => n.startsWith("v") && n.contains("_b"))
-            .map { name =>
-              val Array(v, b) = name.stripPrefix("v").split("_b", 2)
-              (v.toLong, b.toLong, name)
-            }
-        else Seq.empty
-      if (versions.exists(_._2 == batchId)) return // replayed batch: no-op
+      val versions = committedVersions(fs, root)
+      def emitEffects(name: String): Unit =
+        graft.ext.Attribution.removalEffectsFromCounts(
+            spark.read.parquet(s"$statePath/$name"), channels, steps)
+          .write.mode("overwrite").parquet(s"$statePath/effects_$name")
+      versions.find(_._2 == batchId) match {
+        case Some((_, _, name)) =>
+          // replayed batch: the fold already committed — but the two
+          // writes are not atomic, so a crash BETWEEN them leaves the
+          // matrix without its effects table; the retry repairs it
+          // instead of silently no-opping one model behind
+          if (!committed(fs, new Path(root, s"effects_$name"))) emitEffects(name)
+          return
+        case None => ()
+      }
       val winCounts = attributionTransitionsBatch(batch, convType)
         .groupBy(col("src"), col("dst")).agg(sum(col("n")).as("n"))
       val folded = versions.sortBy(-_._1).headOption match {
@@ -1697,9 +1730,7 @@ object StreamPipelines {
       }
       val seq = versions.map(_._1).maxOption.getOrElse(0L) + 1
       folded.write.mode("errorifexists").parquet(s"$statePath/v${seq}_b$batchId")
-      graft.ext.Attribution.removalEffectsFromCounts(
-          spark.read.parquet(s"$statePath/v${seq}_b$batchId"), channels, steps)
-        .write.mode("overwrite").parquet(s"$statePath/effects_v${seq}_b$batchId")
+      emitEffects(s"v${seq}_b$batchId")
     } finally {
       batch.unpersist()
       ()
@@ -1728,16 +1759,19 @@ object StreamPipelines {
       val spark = batch.sparkSession
       val root = new Path(statePath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val versions =
-        if (fs.exists(root))
-          fs.listStatus(root).toSeq.map(_.getPath.getName)
-            .filter(n => n.startsWith("v") && n.contains("_b"))
-            .map { name =>
-              val Array(v, b) = name.stripPrefix("v").split("_b", 2)
-              (v.toLong, b.toLong, name)
-            }
-        else Seq.empty
-      if (versions.exists(_._2 == batchId)) return // replayed batch: no-op
+      val versions = committedVersions(fs, root)
+      def emitWeights(name: String): Unit =
+        graft.ext.Sampling.mwDomainWeightsFromMoments(
+            spark.read.parquet(s"$statePath/$name"), rounds, etaMilli)
+          .write.mode("overwrite").parquet(s"$statePath/weights_$name")
+      versions.find(_._2 == batchId) match {
+        case Some((_, _, name)) =>
+          // replayed batch: fold committed — repair a missing weights
+          // table (the non-atomic-two-writes crash window) and no-op
+          if (!committed(fs, new Path(root, s"weights_$name"))) emitWeights(name)
+          return
+        case None => ()
+      }
       val winMoments = batch
         .groupBy(col("domain"))
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("loss_sum")).as("loss_sum"))
@@ -1751,9 +1785,7 @@ object StreamPipelines {
       }
       val seq = versions.map(_._1).maxOption.getOrElse(0L) + 1
       folded.write.mode("errorifexists").parquet(s"$statePath/v${seq}_b$batchId")
-      graft.ext.Sampling.mwDomainWeightsFromMoments(
-          spark.read.parquet(s"$statePath/v${seq}_b$batchId"), rounds, etaMilli)
-        .write.mode("overwrite").parquet(s"$statePath/weights_v${seq}_b$batchId")
+      emitWeights(s"v${seq}_b$batchId")
     } finally {
       batch.unpersist()
       ()

@@ -733,6 +733,24 @@ class StreamPipelinesSpec extends SparkFunSuite {
     val versions = new java.io.File(statePath).listFiles()
       .map(_.getName).filter(n => n.startsWith("v") && n.contains("_b")).toSet
     assert(versions == Set("v1_b0", "v2_b1"))
+    // crash-between-the-two-writes repair: wipe the effects table and
+    // replay — the retry must re-emit it from the committed matrix
+    // instead of no-opping one model behind
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(statePath + "/effects_v2_b1"))
+    StreamPipelines.attributionModelRefreshIngestBatch(
+      closedOf(w1), statePath, 1L, channels)
+    assert(effRows(spark.read.parquet(statePath + "/effects_v2_b1")) == batch)
+    // a TORN matrix version (no _SUCCESS) is deleted and rewritten by
+    // the retry rather than silently becoming the fold base
+    rmTree(new java.io.File(statePath + "/v2_b1/_SUCCESS"))
+    StreamPipelines.attributionModelRefreshIngestBatch(
+      closedOf(w1), statePath, 1L, channels)
+    val mat2 = spark.read.parquet(statePath + "/v2_b1").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mat2 == bcnt, "the rewritten fold must equal the batch counts")
   }
 
   test("mixtureWeightsRefresh folds window moments into the batch optimizer; replay no-op") {
@@ -768,6 +786,15 @@ class StreamPipelinesSpec extends SparkFunSuite {
     val versions = new java.io.File(statePath).listFiles()
       .map(_.getName).filter(n => n.startsWith("v") && n.contains("_b")).toSet
     assert(versions == Set("v1_b0", "v2_b1"))
+    // crash-between-the-two-writes repair: wipe the weights table and
+    // replay — the retry re-emits it from the committed moment matrix
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(statePath + "/weights_v2_b1"))
+    StreamPipelines.mixtureWeightsRefreshIngestBatch(
+      closedOf(w1, 1L), statePath, 1L, rounds = 2, etaMilli = 500L)
+    assert(rows(spark.read.parquet(statePath + "/weights_v2_b1")) == batch)
   }
 
   test("simhashDedupIngestBatch drops near-dups vs batch AND index; replay converges") {
