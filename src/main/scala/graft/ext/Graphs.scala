@@ -1230,8 +1230,11 @@ object Graphs {
     * `rounds` ≤ the effective diameter exactly as HyperANF does.
     *
     * Output: top `topK` (node, bc_milli, n_pivots) by (bc desc, node),
-    * where n_pivots counts the CONTRIBUTING pivot BFS trees (the node's
-    * own tree is excluded, matching the δ exclusion).
+    * where n_pivots counts the pivot BFS trees that REACHED the node
+    * within the horizon (the node's own tree is excluded, matching the
+    * δ exclusion) — a coverage diagnostic, NOT a count of non-zero
+    * contributions: a tree that reached the node with δ = 0 still
+    * counts, and the DuckDB oracle replays the same rule.
     */
   def betweenness(edges0: DataFrame, srcCol: String, dstCol: String,
                   pivots: Int, rounds: Int, topK: Int): DataFrame = {

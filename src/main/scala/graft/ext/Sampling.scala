@@ -708,7 +708,12 @@ object Sampling {
     * diverge between engines below zero — the [[neymanAllocation]]
     * convention), and `domainCol`'s vocabulary must be bounded (the
     * attribution vocabulary discipline): the per-domain frame localizes
-    * to the driver for the R-round loop, ≤ |domains| rows. Weight
+    * to the driver for the R-round loop, ≤ |domains| rows — enforced
+    * MECHANICALLY, not by documentation: the collect is limit-capped at
+    * `maxDomains`+1 and fails loudly past `maxDomains` (default 10⁵), so
+    * a runaway domain column can never materialize unbounded driver
+    * state. An empty / fully-filtered moments frame returns an empty
+    * result (no division by a zero weight sum). Weight
     * headroom: w grows by at most (1 + η·maxLoss/10⁶)ᴿ from 1000 milli —
     * callers keep η·maxLoss·R far below the 9.2·10¹⁸ BIGINT ceiling
     * (q324: 400·10⁴ per round over 8 rounds → w ≤ 2.6·10⁵).
@@ -732,10 +737,18 @@ object Sampling {
     * the live weights equal the batch operator's over the union exactly.
     */
   def mwDomainWeightsFromMoments(moments: DataFrame, rounds: Int,
-                                 etaMilli: Long): DataFrame = {
+                                 etaMilli: Long,
+                                 maxDomains: Int = 100000): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     require(etaMilli > 0, "etaMilli must be positive")
+    require(maxDomains >= 1, "maxDomains must be >= 1")
     val spark = moments.sparkSession
+    import spark.implicits._
+    // Bounded-vocabulary contract made MECHANICAL (the Attribution
+    // by-construction discipline): the collect fetches at most
+    // maxDomains+1 rows — a runaway domain column fails loudly on the
+    // sentinel row instead of materializing an unbounded frame on the
+    // driver.
     val per = moments
       .select(col("domain").cast("string").as("domain"),
         col("n_docs").cast("long").as("n_docs"),
@@ -743,9 +756,16 @@ object Sampling {
       .filter(col("n_docs") > 0)
       .select(col("domain"), col("n_docs"),
         expr("loss_sum div n_docs").as("mean_loss_milli"))
-      .collect()                  // ≤ |domains| rows by the bounded-vocabulary contract
+      .limit(maxDomains + 1)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
+    require(per.length <= maxDomains,
+      s"mwDomainWeightsFromMoments: domain vocabulary exceeds maxDomains=$maxDomains — " +
+        "bucket or filter the domain column before optimizing its mixture")
+    if (per.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("domain", "n_docs", "mean_loss_milli", "weight_milli", "share_bp")
     var w = per.map(_ => 1000L)
     val acc = Array.fill(per.length)(0L)
     for (_ <- 1 to rounds) {
@@ -763,7 +783,6 @@ object Sampling {
     val rows = per.zip(avgW).map { case ((d, n, l), wm) =>
       (d, n, l, wm, if (tot > 0) wm * 10000L / tot else 0L)
     }
-    import spark.implicits._
     rows.toSeq.toDF("domain", "n_docs", "mean_loss_milli",
       "weight_milli", "share_bp")
   }

@@ -1339,6 +1339,60 @@ object StreamPipelines {
     }
   }
 
+  /** The committed `b<batchId>` segment dirs under a MULTI-ROW-per-id
+    * fingerprint index root (the video/audio perceptual indexes, where a
+    * container owns n / n−1 window rows). A flat `mode("append")` is not
+    * crash-safe for these: a crash during the parquet job commit can
+    * leave a SUBSET of a container's window rows visible, and the
+    * retry's id anti-join then treats the container as indexed forever —
+    * a permanently partial fingerprint set that silently weakens its
+    * future window-vote matching. Per-batch segments close the window
+    * the [[committedVersions]] way: each micro-batch writes its admitted
+    * rows to its own `b<batchId>` dir (_SUCCESS written last by the
+    * commit protocol), the reader unions only COMMITTED segments, and
+    * the single-writer ingest (`repair = true` — Structured Streaming
+    * runs one instance of a query) deletes torn segments before the
+    * retry re-runs. Non-matching dir names are skipped untouched; a
+    * read-only caller (`repair = false`) never deletes, so it cannot
+    * race an in-flight append.
+    */
+  private val SegmentDirName = """^b(\d+)$""".r
+
+  private def committedSegments(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      repair: Boolean): Seq[(Long, String)] = {
+    require(fs.getConf == null || fs.getConf.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "segmented dedup indexes require _SUCCESS markers " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay true)")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .flatMap {
+        case name @ SegmentDirName(b) =>
+          if (fs.exists(new Path(new Path(root, name), "_SUCCESS")))
+            Some((b.toLong, name))
+          else {
+            if (repair) fs.delete(new Path(root, name), true)
+            None
+          }
+        case _ => None
+      }
+  }
+
+  /** Read a segmented fingerprint index written by
+    * [[videoDhashDedupIngestBatch]] / [[audioChromaDedupIngestBatch]]:
+    * the union of COMMITTED `b<batchId>` segments. Torn segments are
+    * ignored (not repaired — this entry is safe to call beside a running
+    * ingest). None when no segment has committed yet.
+    */
+  def readSegmentedIndex(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    val root = new Path(indexPath)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = committedSegments(fs, root, repair = false)
+    if (segs.isEmpty) None
+    else Some(spark.read.parquet(segs.map(s => s"$indexPath/${s._2}"): _*))
+  }
+
   /** Streaming twin of q302 — the container-level (video) ingest gate:
     * each micro-batch's containers sample n aligned frames, fingerprint
     * each with the perceptual dHash
@@ -1350,15 +1404,20 @@ object StreamPipelines {
     * pair is a near-dup when ≥ `minShared` of its n aligned frames match
     * within `maxHamming` bits (frame voting — q302's verdict rule,
     * live), near-dup arrivals DROP first-wins (an indexed partner, or a
-    * smaller-id batch partner), and survivors append their n frame rows
-    * to the index. Replay-safe: a re-delivered batch has no fresh
-    * containers, so it appends nothing — the index converges.
+    * smaller-id batch partner), and survivors write their n frame rows
+    * as the batch's own COMMITTED segment ([[committedSegments]] — a
+    * torn segment is deleted on retry, so a container can never surface
+    * with only a subset of its frame rows). Replay-safe twice over: a
+    * committed `b<batchId>` segment makes the re-delivered batch an
+    * exact no-op, and a batch mixing already-indexed ids drops them by
+    * the anti-join.
     */
   def videoDhashDedupIngestBatch(
       batch: DataFrame,
       idCol: String,
       payloadCol: String,
       indexPath: String,
+      batchId: Long,
       n: Int = 4,
       frameBytes: Int = 96,
       maxHamming: Int = 3,
@@ -1369,10 +1428,16 @@ object StreamPipelines {
     try {
       if (batch.isEmpty) return
       val spark = batch.sparkSession
-      val index =
-        if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
-        else graft.ext.Multimodal.videoFrameFingerprints(
+      val root = new Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val segs = committedSegments(fs, root, repair = true)
+      if (segs.exists(_._1 == batchId)) return // replayed batch: its segment committed
+      val index = segs match {
+        case s if s.nonEmpty =>
+          spark.read.parquet(s.map(x => s"$indexPath/${x._2}"): _*)
+        case _ => graft.ext.Multimodal.videoFrameFingerprints(
           batch, idCol, payloadCol, n, frameBytes).limit(0)
+      }
       val fresh = graft.ext.Multimodal.videoFrameFingerprints(
           batch, idCol, payloadCol, n, frameBytes)
         .join(index.select(col("id")).distinct(), Seq("id"), "left_anti")
@@ -1388,7 +1453,7 @@ object StreamPipelines {
           .select(col("id"))
           .distinct()
         val admitted = fresh.join(dropIds, Seq("id"), "left_anti")
-        admitted.write.mode("append").parquet(indexPath)
+        admitted.write.mode("errorifexists").parquet(s"$indexPath/b$batchId")
       } finally {
         fresh.unpersist()
         ()
@@ -1412,15 +1477,20 @@ object StreamPipelines {
     * pair is a near-dup when ≥ `minShared` of its aligned windows match
     * within `maxHamming` bits (window voting — q310's verdict rule,
     * live), near-dup arrivals DROP first-wins (an indexed partner, or a
-    * smaller-id batch partner), and survivors append their n−1 window
-    * rows to the index. Replay-safe: a re-delivered batch has no fresh
-    * containers, so it appends nothing — the index converges.
+    * smaller-id batch partner), and survivors write their n−1 window
+    * rows as the batch's own COMMITTED segment ([[committedSegments]] —
+    * a torn segment is deleted on retry, so a container can never
+    * surface with only a subset of its window rows). Replay-safe twice
+    * over: a committed `b<batchId>` segment makes the re-delivered batch
+    * an exact no-op, and a batch mixing already-indexed ids drops them
+    * by the anti-join.
     */
   def audioChromaDedupIngestBatch(
       batch: DataFrame,
       idCol: String,
       payloadCol: String,
       indexPath: String,
+      batchId: Long,
       n: Int = 6,
       windowChars: Int = 128,
       maxHamming: Int = 3,
@@ -1431,10 +1501,16 @@ object StreamPipelines {
     try {
       if (batch.isEmpty) return
       val spark = batch.sparkSession
-      val index =
-        if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
-        else graft.ext.Multimodal.audioWindowFingerprints(
+      val root = new Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val segs = committedSegments(fs, root, repair = true)
+      if (segs.exists(_._1 == batchId)) return // replayed batch: its segment committed
+      val index = segs match {
+        case s if s.nonEmpty =>
+          spark.read.parquet(s.map(x => s"$indexPath/${x._2}"): _*)
+        case _ => graft.ext.Multimodal.audioWindowFingerprints(
           batch, idCol, payloadCol, n, windowChars).limit(0)
+      }
       val fresh = graft.ext.Multimodal.audioWindowFingerprints(
           batch, idCol, payloadCol, n, windowChars)
         .join(index.select(col("id")).distinct(), Seq("id"), "left_anti")
@@ -1450,7 +1526,7 @@ object StreamPipelines {
           .select(col("id"))
           .distinct()
         val admitted = fresh.join(dropIds, Seq("id"), "left_anti")
-        admitted.write.mode("append").parquet(indexPath)
+        admitted.write.mode("errorifexists").parquet(s"$indexPath/b$batchId")
       } finally {
         fresh.unpersist()
         ()
@@ -1479,9 +1555,9 @@ object StreamPipelines {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         audioChromaDedupIngestBatch(batch, idCol, payloadCol, indexPath,
-          n, windowChars, maxHamming, minShared, maxBlockSize)
+          batchId, n, windowChars, maxHamming, minShared, maxBlockSize)
       }
 
   /** [[videoDhashDedupIngestBatch]] as a foreachBatch sink. */
@@ -1502,9 +1578,9 @@ object StreamPipelines {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         videoDhashDedupIngestBatch(batch, idCol, payloadCol, indexPath,
-          n, frameBytes, maxHamming, minShared, maxBlockSize)
+          batchId, n, frameBytes, maxHamming, minShared, maxBlockSize)
       }
 
   /** [[dhashDedupIngestBatch]] as a foreachBatch sink. */
@@ -1669,23 +1745,37 @@ object StreamPipelines {
     * id Structured Streaming is about to retry: it was never a readable
     * version, so it is deleted here rather than silently becoming a
     * partial fold base (or colliding with the retry's errorifexists).
-    * Derived-artifact dirs (`effects_*`, `weights_*`) are not versions
-    * and are left alone.
+    * Only names matching the STRICT `v<digits>_b<digits>` shape are
+    * considered at all — anything else under the root (derived
+    * `effects_*`/`weights_*` artifacts, a stray `very_bad` dir, operator
+    * scratch files) is skipped untouched, never parsed and never
+    * deleted. This sink family REQUIRES the `_SUCCESS` marker protocol:
+    * deployments must keep `mapreduce.fileoutputcommitter
+    * .marksuccessfuljobs=true` (the Hadoop default) — with markers
+    * disabled every committed version would look torn and be destroyed,
+    * so the guard below fails loudly instead.
     */
+  private val VersionDirName = """^v(\d+)_b(\d+)$""".r
+
   private def committedVersions(
-      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[(Long, Long, String)] =
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[(Long, Long, String)] = {
+    require(fs.getConf == null || fs.getConf.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "versioned model-refresh sinks require _SUCCESS markers " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay true)")
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.contains("_b"))
-      .flatMap { name =>
-        val Array(v, b) = name.stripPrefix("v").split("_b", 2)
-        if (fs.exists(new Path(new Path(root, name), "_SUCCESS")))
-          Some((v.toLong, b.toLong, name))
-        else {
-          fs.delete(new Path(root, name), true)
-          None
-        }
+      .flatMap {
+        case name @ VersionDirName(v, b) =>
+          if (fs.exists(new Path(new Path(root, name), "_SUCCESS")))
+            Some((v.toLong, b.toLong, name))
+          else {
+            fs.delete(new Path(root, name), true)
+            None
+          }
+        case _ => None
       }
+  }
 
   /** True when `dir` holds a COMMITTED parquet write. */
   private def committed(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =

@@ -377,7 +377,8 @@ class GraphsSpec extends SparkFunSuite {
     // path 1-2-3-4-5, unique shortest paths (σ = 1 everywhere, so the
     // milli quantization is exact): node 3 is interior to 4 unordered
     // pairs → 8 ordered → 8000 milli; nodes 2/4 to 3 → 6000; ends 0.
-    // n_pivots counts CONTRIBUTING pivots — the node's own BFS excluded.
+    // n_pivots counts pivot trees that REACHED the node within the
+    // horizon (δ = 0 arrivals included) — the node's own BFS excluded.
     val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L)).toDF("src", "dst")
     val out = Graphs.betweenness(edges, "src", "dst",
         pivots = 5, rounds = 4, topK = 10).collect()

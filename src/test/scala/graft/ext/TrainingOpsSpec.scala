@@ -344,6 +344,38 @@ class TrainingOpsSpec extends SparkFunSuite {
     assert(got("B") == ((2L, 3000L, 2226L, 2226L * 10000L / 3226L)), got.toString)
   }
 
+  test("mwDomainWeights: empty input returns an empty frame, not a zero-division") {
+    // an empty (or fully n_docs=0-filtered) moments frame used to reach
+    // the driver loop with wSum = 0 and throw ArithmeticException
+    val empty = Seq.empty[(String, Long)].toDF("domain", "loss")
+    val out = Sampling.mwDomainWeights(empty, "domain", "loss",
+      rounds = 2, etaMilli = 500L)
+    assert(out.columns.toSeq ==
+      Seq("domain", "n_docs", "mean_loss_milli", "weight_milli", "share_bp"))
+    assert(out.count() == 0L)
+    // zero-doc moments filter to the same empty path
+    val zeroDocs = Seq(("A", 0L, 0L)).toDF("domain", "n_docs", "loss_sum")
+    assert(Sampling.mwDomainWeightsFromMoments(zeroDocs,
+      rounds = 2, etaMilli = 500L).count() == 0L)
+  }
+
+  test("mwDomainWeights: the bounded-vocabulary contract is mechanical (maxDomains cap)") {
+    // an unbounded domain column must fail loudly on the limit-capped
+    // collect — it can never materialize more than maxDomains+1 driver rows
+    val wide = (1 to 10).map(i => (s"d$i", 100L)).toDF("domain", "loss")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mwDomainWeightsFromMoments(
+        wide.groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("loss")).as("loss_sum")),
+        rounds = 2, etaMilli = 500L, maxDomains = 4)
+    }
+    assert(ex.getMessage.contains("maxDomains"))
+    // at exactly the cap it runs — 10 domains under maxDomains = 10
+    val ok = Sampling.mwDomainWeights(wide, "domain", "loss",
+      rounds = 2, etaMilli = 500L)
+    assert(ok.count() == 10L)
+  }
+
   test("neymanAllocation: exact past the int64 Σy² wrap (DECIMAL staging at the bound)") {
     // y = 3.2e9 squares to 1.024e19 > 2⁶³ — the pre-guard BIGINT staging
     // wrapped negative here and the greatest(0, …) clamp silently zeroed

@@ -851,8 +851,8 @@ class StreamPipelinesSpec extends SparkFunSuite {
 
   test("videoDhashDedupIngestBatch frame-votes containers vs batch AND index; replay converges") {
     val indexPath = tmpDir("vdhidx") + "/index"
-    def indexIds = spark.read.parquet(indexPath).collect()
-      .map(_.getLong(0)).toSet
+    def indexDf  = StreamPipelines.readSegmentedIndex(spark, indexPath).get
+    def indexIds = indexDf.collect().map(_.getLong(0)).toSet
     val base  = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
     val twin  = base.map(c => (c + 1).toChar)          // all 4 frames vote at 0
     val other = (1 to 800).map(i => ('a' + (i * 11 % 26)).toChar).mkString
@@ -860,27 +860,45 @@ class StreamPipelinesSpec extends SparkFunSuite {
     // batch 1: 2 is a container twin of 1 (dropped); 3 unrelated (admitted)
     StreamPipelines.videoDhashDedupIngestBatch(
       Seq((1L, base), (2L, twin), (3L, other)).toDF("doc_id", "payload"),
-      "doc_id", "payload", indexPath)
+      "doc_id", "payload", indexPath, batchId = 0L)
     assert(indexIds == Set(1L, 3L))
     // the index holds n frame rows per admitted container
-    assert(spark.read.parquet(indexPath).count() == 8L)
+    assert(indexDf.count() == 8L)
     // batch 2: 5 twins INDEXED 1 (dropped), 1 redelivers (no-op), 7 fresh
     StreamPipelines.videoDhashDedupIngestBatch(
       Seq((5L, twin), (1L, base), (7L, third)).toDF("doc_id", "payload"),
-      "doc_id", "payload", indexPath)
+      "doc_id", "payload", indexPath, batchId = 1L)
     assert(indexIds == Set(1L, 3L, 7L))
-    // replay of batch 2 appends nothing — the index converges
+    // replay of batch 2 is an exact no-op — its segment already committed
     StreamPipelines.videoDhashDedupIngestBatch(
       Seq((5L, twin), (1L, base), (7L, third)).toDF("doc_id", "payload"),
-      "doc_id", "payload", indexPath)
+      "doc_id", "payload", indexPath, batchId = 1L)
     assert(indexIds == Set(1L, 3L, 7L))
-    assert(spark.read.parquet(indexPath).count() == 12L)
+    assert(indexDf.count() == 12L)
+    // torn-segment repair: a crashed batch 2 left `b2` WITHOUT _SUCCESS
+    // (only a subset of container 9's frame rows made it). The reader
+    // must not surface the partial container; the retry must delete the
+    // torn segment and re-admit ALL of 9's frame rows.
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fourth = (1 to 800).map(i => ('a' + (i * 17 % 26)).toChar).mkString
+    graft.ext.Multimodal.videoFrameFingerprints(
+        Seq((9L, fourth)).toDF("doc_id", "payload"), "doc_id", "payload",
+        n = 4, frameBytes = 96)
+      .limit(2).write.parquet(s"$indexPath/b2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/b2/_SUCCESS"), false)
+    assert(indexIds == Set(1L, 3L, 7L)) // torn rows invisible to readers
+    StreamPipelines.videoDhashDedupIngestBatch(
+      Seq((9L, fourth)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath, batchId = 2L)
+    assert(indexIds == Set(1L, 3L, 7L, 9L))
+    assert(indexDf.filter($"id" === 9L).count() == 4L) // full, not partial
   }
 
   test("audioChromaDedupIngestBatch window-votes containers vs batch AND index; replay converges") {
     val indexPath = tmpDir("acidx") + "/index"
-    def indexIds = spark.read.parquet(indexPath).collect()
-      .map(_.getLong(0)).toSet
+    def indexDf  = StreamPipelines.readSegmentedIndex(spark, indexPath).get
+    def indexIds = indexDf.collect().map(_.getLong(0)).toSet
     val base  = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
     // uniform code shift: every band energy moves by exactly +1, so every
     // spectral gradient — and therefore every temporal gradient delta —
@@ -892,21 +910,38 @@ class StreamPipelinesSpec extends SparkFunSuite {
     // batch 1: 2 is a container twin of 1 (dropped); 3 unrelated (admitted)
     StreamPipelines.audioChromaDedupIngestBatch(
       Seq((1L, base), (2L, twin), (3L, other)).toDF("doc_id", "payload"),
-      "doc_id", "payload", indexPath)
+      "doc_id", "payload", indexPath, batchId = 0L)
     assert(indexIds == Set(1L, 3L))
     // the index holds n−1 window rows per admitted container
-    assert(spark.read.parquet(indexPath).count() == 10L)
+    assert(indexDf.count() == 10L)
     // batch 2: 5 twins INDEXED 1 (dropped), 1 redelivers (no-op), 7 fresh
     StreamPipelines.audioChromaDedupIngestBatch(
       Seq((5L, twin), (1L, base), (7L, third)).toDF("doc_id", "payload"),
-      "doc_id", "payload", indexPath)
+      "doc_id", "payload", indexPath, batchId = 1L)
     assert(indexIds == Set(1L, 3L, 7L))
-    // replay of batch 2 appends nothing — the index converges
+    // replay of batch 2 is an exact no-op — its segment already committed
     StreamPipelines.audioChromaDedupIngestBatch(
       Seq((5L, twin), (1L, base), (7L, third)).toDF("doc_id", "payload"),
-      "doc_id", "payload", indexPath)
+      "doc_id", "payload", indexPath, batchId = 1L)
     assert(indexIds == Set(1L, 3L, 7L))
-    assert(spark.read.parquet(indexPath).count() == 15L)
+    assert(indexDf.count() == 15L)
+    // torn-segment repair: a crashed batch left `b2` without _SUCCESS
+    // holding a SUBSET of container 9's window rows — invisible to
+    // readers, deleted on retry, then re-admitted complete.
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fourth = (1 to 800).map(i => ('a' + (i * 17 % 26)).toChar).mkString
+    graft.ext.Multimodal.audioWindowFingerprints(
+        Seq((9L, fourth)).toDF("doc_id", "payload"), "doc_id", "payload",
+        n = 6)
+      .limit(2).write.parquet(s"$indexPath/b2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/b2/_SUCCESS"), false)
+    assert(indexIds == Set(1L, 3L, 7L)) // torn rows invisible to readers
+    StreamPipelines.audioChromaDedupIngestBatch(
+      Seq((9L, fourth)).toDF("doc_id", "payload"),
+      "doc_id", "payload", indexPath, batchId = 2L)
+    assert(indexIds == Set(1L, 3L, 7L, 9L))
+    assert(indexDf.filter($"id" === 9L).count() == 5L) // full, not partial
   }
 
   test("semanticDedupSink admits per cluster vs batch AND persisted index; replay converges") {
