@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; a 326-query
+      // pass evicts every compiled stage, so each interleaved pass paid
+      // full Janino recompiles for every query — measured 4.3-13.0 s for
+      // q168 in-sweep at the default vs 2.8-3.5 s (its isolated time)
+      // with the cache sized past the suite. Same tuning applies on a
+      // real cluster running a many-query workload per executor.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -473,6 +473,7 @@ private[graft] object QueryCaches {
   def footprint(s: SparkSession): String = {
     val held = Seq(
       "sig" -> sigCache.containsKey(s), "cc" -> ccCache.containsKey(s),
+      "copurchase" -> copurchaseCache.containsKey(s),
       "pq" -> pqCache.containsKey(s), "pqCs" -> pqCsCache.containsKey(s),
       "ivf" -> ivfCache.containsKey(s), "sem" -> semCache.containsKey(s),
       "curation" -> curationCache.containsKey(s),
