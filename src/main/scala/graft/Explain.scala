@@ -367,7 +367,9 @@ object Explain {
     "q319_promo_suppliers", // semi-join chain + left-outer windowed agg (count-bug guard)
     "q310_audio_chroma_neardup", // chroma HOF projection; (window, band)-blocked pair join
     "q320_audio_chroma_incremental", // id anti-join + batch-sized blocked index probe
-    "q321_audio_segments" // chroma scan + id-keyed lag window + one agg, no join
+    "q321_audio_segments", // chroma scan + id-keyed lag window + one agg, no join
+    "q327_sole_blame_suppliers", // EXISTS/NOT-EXISTS → keyed semi + anti joins
+    "q328_dormant_rich_customers" // merged scalar-agg gates + keyed anti join
     // (q323/q325 return checkpoint scans — their round plans are
     // rendered separately below, the q87/q94 convention)
   )

@@ -739,6 +739,38 @@ object ScaleProbe {
         graft.ext.Graphs.adamicAdar(edges.unionByName(hub), "src", "dst",
           maxDeg = 150, k = 30).count()
       },
+      // pivot-sampled betweenness under hub skew: m disjoint co-purchase
+      // copies PLUS one hub adjacent to every part (deg(hub) = 20k·m, the
+      // triangles_hub plant). At a FIXED pivot budget Brandes' forward
+      // pass is pivots × edges per level by construction, so the curve
+      // must track the adjacency scan (near-flat over disjoint copies —
+      // pivots scatter across copies and each BFS touches only its own
+      // component); the hub inflates one frontier fanout but σ/δ stay
+      // per-(pivot, node) aggregates, never deg(hub)² pair work. The
+      // 1× floor is the ~2·rounds-level BSP barrier depth (the kcore/
+      // hyperanf class), which amortizes on a real cluster.
+      "betweenness_pivots" -> { m =>
+        val edges = copurchaseAt(m)
+        val hub = edges.select(col("src")).unionByName(
+            edges.select(col("dst").as("src"))).distinct()
+          .withColumn("dst", lit(-1L))
+        graft.ext.Graphs.betweenness(edges.unionByName(hub), "src", "dst",
+          pivots = 6, rounds = 3, topK = 25).count()
+      },
+      // harmonic centrality (HyperANF-style KMV ball sketches) under the
+      // same hub plant: per round each node merges O(k)-state sketches
+      // over its neighborhood — the hub merges 20k·m neighbor sketches
+      // into ONE k-sized state through the map-side-combining array
+      // aggregate, so growth must track edge count, never hub degree ×
+      // sketch width beyond the one combine pass
+      "harmonic_balls" -> { m =>
+        val edges = copurchaseAt(m)
+        val hub = edges.select(col("src")).unionByName(
+            edges.select(col("dst").as("src"))).distinct()
+          .withColumn("dst", lit(-1L))
+        graft.ext.Graphs.harmonicCentrality(edges.unionByName(hub),
+          "src", "dst", rounds = 3, k = 32, topK = 25).count()
+      },
       // the q208 TPC-H Q7 fact⋈fact shape with facts replicated and dims
       // FIXED (production growth: lineitem and orders scale, supplier and
       // nation do not) — the supplier side must stay a broadcast at every
@@ -949,24 +981,8 @@ object ScaleProbe {
         graft.ext.Graphs.modularity(edges, "src", "dst", labels).count()
       },
       "silhouette_scan" -> (m => m.toLong), // timed via `custom` below
-      // pivot-sampled betweenness: m disjoint co-purchase copies — each
-      // BFS level is pivots × edges (Brandes' inherent cost), so the
-      // curve must track the edge scan; the fixed pivot count and
-      // 3-hop horizon keep depth constant
-      "betweenness_pivots" -> { m =>
-        val li = (0 until m).map { r =>
-          Tables.lineitem(spark, sfDir).select(
-            (col("l_orderkey") + lit(r * 100000000L)).as("o"),
-            (col("l_partkey") + lit(r * 10000000L)).as("p"))
-        }.reduce(_ unionByName _)
-          .repartition(spark.sparkContext.defaultParallelism)
-          .distinct()
-        val edges = li.as("x")
-          .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("src"), col("y.p").as("dst"))
-        graft.ext.Graphs.betweenness(edges, "src", "dst",
-          pivots = 6, rounds = 3, topK = 30).count()
-      },
+      // (the round-12 hubless betweenness row was superseded by the
+      // hub-planted `betweenness_pivots` above — one name, one shape)
       // assortativity: join-free marginal moments + ONE edge-sized join
       // collapsed per target node — must track the edge scan
       "assortativity" -> { m =>

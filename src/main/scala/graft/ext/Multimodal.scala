@@ -603,9 +603,13 @@ object Multimodal {
     * popcount, and a container pair is a near-dup when at least
     * `minShared` of its aligned windows match within `maxHamming` bits
     * (window voting). Hot (window_idx, band) blocks above `maxBlockSize`
-    * drop as boilerplate BEFORE pairing, on the join's own key (short
-    * payloads whose bands are all empty collapse to fp = 0 — exactly the
-    * degenerate block the cap exists for).
+    * drop as boilerplate BEFORE pairing, on the join's own key — and the
+    * fully-degenerate word is excluded EXPLICITLY: a window whose gradient
+    * deltas carry no structure (short/empty payload slices, constant
+    * energy) collapses to fp = 0, and two structureless windows matching
+    * at hamming 0 is not perceptual similarity, so fp = 0 rows never
+    * enter the pairing regardless of `maxBlockSize` (they used to rely on
+    * pooling into a dropped hot block, which a raised cap would un-drop).
     *
     * Output: (id_a, id_b, n_matching_windows ≥ minShared,
     * all_windows_match).
@@ -617,6 +621,7 @@ object Multimodal {
       "maxHamming must be in [0, 3] for the 4-band pigeonhole guarantee")
     require(minShared >= 1 && minShared <= n - 1, "need 1 <= minShared <= n-1")
     val fps = audioWindowFingerprints(df, idCol, payloadCol, n, windowChars)
+      .filter(col("fp") =!= 0L)
     val bands = chromaBands(fps, Seq("id", "window_idx", "fp"))
       .withColumn("__blk", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
@@ -646,7 +651,9 @@ object Multimodal {
     * candidate windows verify with the exact popcount, and a container
     * pair is a near-dup when at least `minShared` aligned windows match
     * within `maxHamming` bits. Hot blocks count over the CANDIDATE
-    * population on the join's own key. The probe side is batch-sized:
+    * population on the join's own key; the degenerate fp = 0 word is
+    * excluded explicitly (the [[audioChromaNearDups]] rule — never
+    * cap-dependent). The probe side is batch-sized:
     * per-batch cost is batch × band occupancy, never index history.
     * Output: (id, nbr_id, n_matching_windows ≥ minShared) with `id`
     * always the fresh side.
@@ -660,6 +667,7 @@ object Multimodal {
     val cols = Seq("id", "window_idx", "fp")
     val cand = index.select(cols.map(col): _*)
       .unionByName(fresh.select(cols.map(col): _*))
+      .filter(col("fp") =!= 0L)
     val blk = chromaBands(cand, cols)
       .groupBy(col("window_idx"), col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("__blk"))
@@ -667,7 +675,8 @@ object Multimodal {
       .select(col("window_idx"), col("band_idx"), col("band_val"))
     val cb = chromaBands(cand, cols)
       .join(blk, Seq("window_idx", "band_idx", "band_val"))
-    val fb = chromaBands(fresh.select(cols.map(col): _*), cols)
+    val fb = chromaBands(
+        fresh.select(cols.map(col): _*).filter(col("fp") =!= 0L), cols)
       .join(blk, Seq("window_idx", "band_idx", "band_val"))
     fb.as("x").join(cb.as("y"),
         col("x.window_idx") === col("y.window_idx") &&

@@ -10323,7 +10323,7 @@ object ExtensionQueries {
       ${audioFpCtes("un", 6)}
       abd AS (SELECT id, window_idx, fp, u.band_idx,
           (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
-        FROM afp, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+        FROM afp, UNNEST([0, 1, 2, 3]) AS u(band_idx) WHERE fp <> 0),
       abk AS (SELECT * FROM (SELECT abd.*,
           count(*) OVER (PARTITION BY window_idx, band_idx, band_val) AS blk
           FROM abd)
@@ -11222,6 +11222,98 @@ object ExtensionQueries {
                 AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'))""")
   )
 
+  // OLAP classic: TPC-H Q21 shape (suppliers who kept an order waiting) —
+  // the multi-correlated-EXISTS decorrelation pattern that closes the
+  // q318/q319 family: one correlated EXISTS and one correlated NOT
+  // EXISTS against the SAME fact table (lineitem), both keyed on the
+  // outer row's order key with a supplier inequality. Catalyst plans
+  // them as one left-semi and one left-anti join on l_orderkey
+  // (PlanAuditSpec pins both, and that no per-row subquery survives —
+  // a surviving one would re-scan lineitem once per outer row). The
+  // schema carries no commit/receipt dates, so Q21's "late line"
+  // becomes the intra-row returned flag: suppliers in a nation band who
+  // were the SOLE returned-line supplier of a completed multi-supplier
+  // order — same shape, same decorrelation obligations.
+  private val q327 = Q(
+    "q327_sole_blame_suppliers",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("csq_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("csq_orders")
+      Tables.supplier(s, dir).createOrReplaceTempView("csq_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("csq_nation")
+      s.sql("""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM csq_supplier s
+        JOIN csq_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN csq_orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN csq_nation n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n.n_name IN ('NATION_3', 'NATION_7')
+          AND EXISTS (SELECT 1 FROM csq_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM csq_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name""")
+    },
+    Some("""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND n.n_name IN ('NATION_3', 'NATION_7')
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name""")
+  )
+
+  // OLAP classic: TPC-H Q22 shape (global-market opportunity) — the last
+  // canonical decorrelation pattern: scalar-average subqueries gating a
+  // correlated NOT EXISTS anti-join. Customers of a nation band holding
+  // an above-average positive balance who never placed an urgent order
+  // (the schema has no phone-prefix column; the nation band carries
+  // Q22's country-code filter). The average threshold is restated in
+  // exact integers (bal_cents · n_pos > sum_pos_cents ⟺ bal > avg for
+  // n_pos > 0) so the boundary cannot float-drift between engines; the
+  // two scalar aggregates broadcast as one-row joins and the NOT EXISTS
+  // plans as a left-anti join on o_custkey (PlanAuditSpec pins it).
+  private val q328 = Q(
+    "q328_dormant_rich_customers",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("csq_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("csq_orders")
+      s.sql("""WITH cust AS (SELECT c_custkey,
+            CAST(c_nationkey AS BIGINT) AS nationkey,
+            CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+          FROM csq_customer
+          WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
+        SELECT nationkey, CAST(count(*) AS BIGINT) AS numcust,
+          CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        FROM cust c
+        WHERE c.bal_cents * (SELECT CAST(count(*) AS BIGINT) FROM cust WHERE bal_cents > 0)
+              > (SELECT CAST(sum(bal_cents) AS BIGINT) FROM cust WHERE bal_cents > 0)
+          AND NOT EXISTS (SELECT 1 FROM csq_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        GROUP BY nationkey""")
+    },
+    Some("""WITH cust AS (SELECT c_custkey,
+          CAST(c_nationkey AS BIGINT) AS nationkey,
+          CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
+      SELECT nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+      FROM cust c
+      WHERE c.bal_cents * (SELECT CAST(count(*) AS BIGINT) FROM cust WHERE bal_cents > 0)
+            > (SELECT CAST(sum(bal_cents) AS BIGINT) FROM cust WHERE bal_cents > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      GROUP BY nationkey""")
+  )
+
   /** DuckDB replay of [[graft.ext.Multimodal.audioWindowFingerprints]]
     * from a corpus CTE `(id, text)`: n−1 overlapping 128-char windows at
     * proportional offsets → 33 floor-mean band energies per window →
@@ -11280,10 +11372,11 @@ object ExtensionQueries {
   // aligned overlapping windows fingerprint with the chromaprint-shaped
   // sign-of-spectral-gradient-delta word (Multimodal.ChromaFpSql),
   // candidate pairs block on (window_idx, band_idx, band_val) with the
-  // 64-row hot-block cut on the join's own key — short payloads whose
-  // bands are empty collapse to fp = 0 and pool into exactly the
-  // boilerplate blocks the cap drops — and containers near-dup when ≥ 3
-  // of 5 aligned windows match within hamming 3 (window voting).
+  // 64-row hot-block cut on the join's own key — and the degenerate
+  // fp = 0 word (short payloads whose bands are all empty) is excluded
+  // EXPLICITLY rather than relying on it pooling into a dropped hot
+  // block, so the discipline holds at any cap — and containers near-dup
+  // when ≥ 3 of 5 aligned windows match within hamming 3 (window voting).
   private val q310 = Q(
     "q310_audio_chroma_neardup",
     // served from QueryCaches.audioPairsFor — q310 and q322 share the
@@ -11304,7 +11397,7 @@ object ExtensionQueries {
       ${audioFpCtes("un", 6)}
       bd AS (SELECT id, window_idx, fp, u.band_idx,
           (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
-        FROM afp, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+        FROM afp, UNNEST([0, 1, 2, 3]) AS u(band_idx) WHERE fp <> 0),
       bk AS (SELECT * FROM (SELECT bd.*,
           count(*) OVER (PARTITION BY window_idx, band_idx, band_val) AS blk
           FROM bd)
@@ -11363,14 +11456,14 @@ object ExtensionQueries {
         UNION ALL SELECT id, window_idx, fp FROM fresh),
       bdc AS (SELECT id, window_idx, fp, u.band_idx,
           (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
-        FROM cand, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+        FROM cand, UNNEST([0, 1, 2, 3]) AS u(band_idx) WHERE fp <> 0),
       blk AS (SELECT window_idx, band_idx, band_val FROM bdc
         GROUP BY 1, 2, 3 HAVING count(*) <= 64),
       cb AS (SELECT bdc.* FROM bdc
         JOIN blk USING (window_idx, band_idx, band_val)),
       fb0 AS (SELECT id, window_idx, fp, u.band_idx,
           (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
-        FROM fresh, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+        FROM fresh, UNNEST([0, 1, 2, 3]) AS u(band_idx) WHERE fp <> 0),
       fb AS (SELECT fb0.* FROM fb0
         JOIN blk USING (window_idx, band_idx, band_val)),
       pv AS (SELECT DISTINCT x.id AS id, y.id AS nbr_id, x.window_idx,
@@ -11457,7 +11550,7 @@ object ExtensionQueries {
       ${audioFpCtes("un", 6)}
       bd AS (SELECT id, window_idx, fp, u.band_idx,
           (fp >> CAST((3 - u.band_idx) * 8 AS INT)) & 255 AS band_val
-        FROM afp, UNNEST([0, 1, 2, 3]) AS u(band_idx)),
+        FROM afp, UNNEST([0, 1, 2, 3]) AS u(band_idx) WHERE fp <> 0),
       bk AS (SELECT * FROM (SELECT bd.*,
           count(*) OVER (PARTITION BY window_idx, band_idx, band_val) AS blk
           FROM bd)
@@ -11751,5 +11844,5 @@ object ExtensionQueries {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
-    q318, q319, q320, q321, q322, q323, q324, q325, q326)
+    q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328)
 }

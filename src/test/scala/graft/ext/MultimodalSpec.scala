@@ -273,6 +273,90 @@ class MultimodalSpec extends SparkFunSuite {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("audio zero-fp discipline: structureless windows never pair at ANY block cap") {
+    // single-char payloads degenerate every window to t == p → fp = 0 in
+    // all 5 sub-fingerprints. Before the explicit fp ≠ 0 guard these
+    // paired at hamming 0 whenever their block stayed under the cap —
+    // boilerplate-as-near-dup. The guard must hold at the production cap
+    // AND at an effectively-unbounded one (the raised-cap regression the
+    // r12 verdict flagged), with a real twin pair as the positive control.
+    val base = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val twin = base.map(c => (c + 1).toChar)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, ""),
+      (10L, base), (11L, twin)).toDF("id", "payload")
+    for (cap <- Seq(64, 1000000)) {
+      val got = Multimodal.audioChromaNearDups(df, "id", "payload",
+          n = 6, windowChars = 128, maxHamming = 3, minShared = 3,
+          maxBlockSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 11L)),
+        s"cap=$cap: zero-fp containers must never pair, got $got")
+    }
+    // the ingest-tier twin under the same discipline: zero-fp fresh rows
+    // must not pair against a zero-fp (or near-zero) index at any cap
+    val index = Multimodal.audioWindowFingerprints(
+      df.filter($"id" <= 4 || $"id" === 10L), "id", "payload", n = 6)
+    val fresh = Multimodal.audioWindowFingerprints(
+      Seq((20L, "z"), (21L, twin)).toDF("id", "payload"), "id", "payload", n = 6)
+    for (cap <- Seq(64, 1000000)) {
+      val got = Multimodal.audioChromaNearDupsFromFresh(fresh, index,
+          maxHamming = 3, minShared = 3, maxBlockSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((21L, 10L)),
+        s"cap=$cap: only the real twin may pair from fresh, got $got")
+    }
+  }
+
+  test("perceptual family containment: exact-md5 pairs ⊆ dHash pairs; edits widen, never swap") {
+    // The q326 comparison table implies a containment nothing pinned:
+    // byte-identical sampled frames (the exact-md5 vote) are hamming-0
+    // dHash frames, so every md5 pair must re-appear in the dHash pairs,
+    // while an in-window edit is caught by dHash and NOT md5 (strict
+    // superset witness). Checked on the planted corpus and on a
+    // perturbed one (every code +1 — a length-preserving global edit).
+    def families(df: org.apache.spark.sql.DataFrame) = {
+      val md5 = Multimodal.frameFingerprintNearDups(df, "id", "payload",
+          n = 4, frameBytes = 96, minShared = 3, maxBlockSize = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dh = Multimodal.videoDhashNearDups(df, "id", "payload",
+          n = 4, frameBytes = 96, maxHamming = 3, minShared = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ch = Multimodal.audioChromaNearDups(df, "id", "payload",
+          n = 6, windowChars = 128, maxHamming = 3, minShared = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (md5, dh, ch)
+    }
+    val base   = (1 to 800).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val exact  = base                                    // byte-identical twin
+    // edits inside TWO sampled frames (frames start at 0/200/400/600,
+    // 96 wide): the exact family keeps only 2 of 4 digests (< minShared,
+    // dropped) while each touched frame flips ≤ 3 dHash bits (all vote)
+    val inWin  = base.substring(0, 210) + "QQ" + base.substring(212, 410) +
+      "QQ" + base.substring(412)
+    val outWin = base.substring(0, 150) + "QQ" + base.substring(152) // between frames
+    val other  = (1 to 800).map(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val corpora = Seq(
+      Seq((1L, base), (2L, exact), (3L, inWin), (4L, outWin), (5L, other)),
+      // perturbed: the same corpus under a global +1 code shift
+      Seq((1L, base), (2L, exact), (3L, inWin), (4L, outWin), (5L, other))
+        .map { case (id, t) => (id, t.map(c => (c + 1).toChar)) })
+    corpora.zipWithIndex.foreach { case (rows, ci) =>
+      val (md5, dh, ch) = families(rows.toDF("id", "payload"))
+      assert(md5.subsetOf(dh),
+        s"corpus $ci: md5 pairs must be a subset of dHash pairs — md5=$md5 dh=$dh")
+      assert(md5.subsetOf(dh.union(ch)),
+        s"corpus $ci: exact pairs must survive into the perceptual union")
+      // strict-superset witness: the in-window edit pairs perceptually
+      // but kills the exact digest of its touched frame
+      assert(dh.contains((1L, 3L)) && !md5.contains((1L, 3L)),
+        s"corpus $ci: in-window edit must be dHash-only — md5=$md5 dh=$dh")
+      // the out-of-window edit keeps all sampled frames identical: the
+      // exact family catches it too, and containment carries it into dh
+      assert(md5.contains((1L, 4L)) && dh.contains((1L, 4L)),
+        s"corpus $ci: out-of-window edit must be caught by both — md5=$md5 dh=$dh")
+    }
+  }
+
   test("audioChromaSegments: boundaries only where consecutive window words jump") {
     // A-half / B-half payload: windows 1-2 sit inside the A half and 4-5
     // inside the B half (fps of a CONSTANT window are all-zero gradient

@@ -164,6 +164,57 @@ class GraftExpressionsSpec extends SparkFunSuite {
     assert(plan.contains("*(1) Project [graft_dhash64"), plan)
   }
 
+  test("graft_dhash64 char domain is the UTF-16 unit — non-ASCII pins the documented contract") {
+    // The stub-decode contract is all-ASCII, where UTF-16 units, code
+    // points, and latin-1 bytes coincide. This spec PINS the domain the
+    // implementation actually sums — java charAt, i.e. UTF-16 units: a
+    // surrogate pair contributes its TWO surrogate units, not one code
+    // point and not four UTF-8 bytes. A codec-equipped build that swaps
+    // in real byte payloads must either feed latin-1 (one byte ↔ one
+    // unit) or replace the char scan with a byte scan — if that swap
+    // silently changes the domain, this test fails loudly.
+    import spark.implicits._
+    def reference(str: String): (Long, Long) = {
+      val len = str.length                 // UTF-16 units, surrogates separate
+      val cells = new Array[Long](72)
+      for (j <- 0 until 72) {
+        val lo = j.toLong * len / 72
+        val hi = (j + 1).toLong * len / 72
+        if (hi >= lo + 1) {
+          var sum = 0L
+          for (i <- lo.toInt until hi.toInt) sum += str.charAt(i).toLong
+          cells(j) = sum / (hi - lo)
+        }
+      }
+      var hiB = 0L; var loB = 0L
+      for (k <- 0 until 64) {
+        val bit = if (cells((k / 8) * 9 + k % 8) > cells((k / 8) * 9 + k % 8 + 1)) 1L else 0L
+        if (k < 32) hiB = hiB * 2 + bit else loB = loB * 2 + bit
+      }
+      (hiB, loB)
+    }
+    val payloads = Seq(
+      "café " * 40,                      // latin-1 range (é = 233)
+      "中文測試" * 30,        // BMP CJK (units ≈ 20013+)
+      ("ab😀" * 40) + "tail",       // surrogate pair: 2 units of 55357/56832
+      " ÿ" * 50)              // control + upper latin-1 edge
+    val df = payloads.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "__t")
+    val got = df.select($"id", GraftFunctions.dhash64($"__t").as("f"))
+      .select($"id", $"f.hi", $"f.lo").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    payloads.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == reference(t),
+        s"payload $i: UTF-16-unit domain drifted (got ${got(i.toLong)}, want ${reference(t)})")
+    }
+    // sanity: the emoji payload genuinely exercises the surrogate split
+    // (fewer code points than UTF-16 units), so the reference comparison
+    // above really did pin the unit domain, not a coincidence
+    val s = ("ab😀" * 40) + "tail"
+    assert(s.codePointCount(0, s.length) < s.length,
+      "surrogate payload must have fewer code points than units")
+  }
+
   test("graft_chroma32 == the HOF fingerprint, bit for bit, on adversarial window pairs") {
     import spark.implicits._
     val windows = Seq(

@@ -2266,6 +2266,38 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the correlated sum must decorrelate as a left outer join (count-bug guard):\n$p")
   }
 
+  test("q327: EXISTS/NOT-EXISTS pair decorrelates into keyed semi + anti joins") {
+    val p = plan("q327_sole_blame_suppliers")
+    // the two correlated existential subqueries against lineitem must
+    // plan as ONE left-semi and ONE left-anti join keyed on l_orderkey
+    // (the supplier inequality rides as the join residual) — a surviving
+    // per-row subquery would re-scan lineitem once per outer row
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      s"correlated subquery survived to the physical plan:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"both existential joins must stay keyed on l_orderkey:\n$p")
+    // the status/returnflag predicates must reach the scans
+    assert(p.contains("EqualTo(o_orderstatus,F)") && p.contains("EqualTo(l_returnflag,R)"),
+      s"filters not pushed to parquet:\n$p")
+  }
+
+  test("q328: scalar-average gates fuse into one shared aggregate + keyed anti join") {
+    val p = plan("q328_dormant_rich_customers")
+    // the count and sum scalar subqueries share one base frame;
+    // MergeScalarSubqueries must fuse them into a single aggregate
+    // subtree (the mergedValue struct) executed ONCE — not once per gate
+    assert(p.contains("mergedValue"),
+      s"scalar aggregates did not merge into one shared subtree:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join on o_custkey:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must stay keyed:\n$p")
+    assert(p.contains("In(c_nationkey, [0,1,2,3,4,5,6])"),
+      s"the nation-band filter must reach the customer scan:\n$p")
+  }
+
   test("q323: harmonic centrality — O(k) sketch-merge round, per-node carry, no explode") {
     // the returned frame is a checkpoint scan (the q87 pattern), so the
     // round's shape is pinned on the exposed one-round plan frame
