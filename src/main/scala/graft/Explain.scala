@@ -369,7 +369,8 @@ object Explain {
     "q320_audio_chroma_incremental", // id anti-join + batch-sized blocked index probe
     "q321_audio_segments", // chroma scan + id-keyed lag window + one agg, no join
     "q327_sole_blame_suppliers", // EXISTS/NOT-EXISTS → keyed semi + anti joins
-    "q328_dormant_rich_customers" // merged scalar-agg gates + keyed anti join
+    "q328_dormant_rich_customers", // merged scalar-agg gates + keyed anti join
+    "q329_min_cost_supplier" // correlated MIN → per-part min-agg + equi-join back
     // (q323/q325 return checkpoint scans — their round plans are
     // rendered separately below, the q87/q94 convention)
   )

@@ -11314,6 +11314,66 @@ object ExtensionQueries {
       GROUP BY nationkey""")
   )
 
+  // OLAP classic: TPC-H Q2 shape (minimum-cost supplier) — the LAST of
+  // the five canonical correlated-subquery decorrelation patterns
+  // (q318 Q17 scalar-agg pair, q319 Q20 count-bug sum, q327 Q21
+  // EXISTS/NOT-EXISTS, q328 Q22 scalar gates + anti): a correlated
+  // scalar MIN whose inner query is itself a JOIN CHAIN (catalog →
+  // supplier → nation → region) correlated on the outer part key.
+  // Catalyst must decorrelate it into ONE per-partkey min-aggregate
+  // over the joined frame plus an equi-join back on (partkey, min) —
+  // a surviving per-row subquery would re-run the 4-table join once
+  // per candidate row (PlanAuditSpec pins the rewrite). No partsupp
+  // table exists in this schema, so the catalog is the derived
+  // per-(part, supplier) lifetime unit price in exact cents
+  // (Σ price_cents div Σ qty — floor division, both sums exact).
+  private val q329 = Q(
+    "q329_min_cost_supplier",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("csq_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("csq_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("csq_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("csq_nation")
+      Tables.region(s, dir).createOrReplaceTempView("csq_region")
+      s.sql("""WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+            CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+              div CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_cents
+          FROM csq_lineitem GROUP BY 1, 2)
+        SELECT s.s_name, n.n_name, p.p_partkey, ps.unit_cents
+        FROM ps
+        JOIN csq_part p ON p.p_partkey = ps.partkey
+        JOIN csq_supplier s ON s.s_suppkey = ps.suppkey
+        JOIN csq_nation n ON s.s_nationkey = n.n_nationkey
+        JOIN csq_region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_size IN (10, 20, 30)
+          AND ps.unit_cents = (
+            SELECT min(ps2.unit_cents)
+            FROM ps ps2
+            JOIN csq_supplier s2 ON s2.s_suppkey = ps2.suppkey
+            JOIN csq_nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN csq_region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')""")
+    },
+    Some("""WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+          CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+            // CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_cents
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s.s_name, n.n_name, p.p_partkey, ps.unit_cents
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.partkey
+      JOIN supplier s ON s.s_suppkey = ps.suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size IN (10, 20, 30)
+        AND ps.unit_cents = (
+          SELECT min(ps2.unit_cents)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')""")
+  )
+
   /** DuckDB replay of [[graft.ext.Multimodal.audioWindowFingerprints]]
     * from a corpus CTE `(id, text)`: n−1 overlapping 128-char windows at
     * proportional offsets → 33 floor-mean band energies per window →
@@ -11844,5 +11904,5 @@ object ExtensionQueries {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
-    q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328)
+    q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329)
 }

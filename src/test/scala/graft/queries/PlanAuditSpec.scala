@@ -2298,6 +2298,24 @@ class PlanAuditSpec extends SparkFunSuite {
       s"the nation-band filter must reach the customer scan:\n$p")
   }
 
+  test("q329: correlated MIN over a join chain decorrelates into a per-part min-agg join") {
+    val p = plan("q329_min_cost_supplier")
+    // the scalar MIN correlated on the outer part key — whose inner query
+    // is itself a 4-table join — must rewrite into ONE per-partkey min
+    // aggregate over the joined frame plus an equi-join back on
+    // (partkey, min); a surviving subquery would re-run the join chain
+    // once per candidate row
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      s"correlated scalar subquery survived to the physical plan:\n$p")
+    assert(p.contains("partial_min(unit_cents"),
+      s"the decorrelated min must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the min-agg join-back must stay keyed:\n$p")
+    // the region constant reaches BOTH region scans (outer + decorrelated)
+    assert(p.split("EqualTo\\(r_name,EUROPE\\)").length - 1 >= 2,
+      s"region filter not pushed to both scans:\n$p")
+  }
+
   test("q323: harmonic centrality — O(k) sketch-merge round, per-node carry, no explode") {
     // the returned frame is a checkpoint scan (the q87 pattern), so the
     // round's shape is pinned on the exposed one-round plan frame
