@@ -751,6 +751,20 @@ class StreamPipelinesSpec extends SparkFunSuite {
     val mat2 = spark.read.parquet(statePath + "/v2_b1").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(mat2 == bcnt, "the rewritten fold must equal the batch counts")
+    // a stray non-version dir under the root must be neither parsed nor
+    // deleted (the strict v<digits>_b<digits> name gate — this exact
+    // name used to throw MatchError in the version parser, and a
+    // marker-less near-miss dir used to be DELETED as "torn")
+    val stray = new java.io.File(statePath + "/very_bad")
+    stray.mkdirs()
+    val w2 = Seq(
+      (t("2024-01-01 10:02:01"), 9L, 9L, "click"),
+      (t("2024-01-01 10:02:02"), 9L, 10L, "purchase"))
+    StreamPipelines.attributionModelRefreshIngestBatch(
+      closedOf(w2), statePath, 2L, channels)
+    assert(stray.exists, "non-matching dirs must be skipped untouched")
+    assert(new java.io.File(statePath + "/v3_b2").exists,
+      "the batch must still fold a new version beside the stray dir")
   }
 
   test("mixtureWeightsRefresh folds window moments into the batch optimizer; replay no-op") {
