@@ -372,7 +372,9 @@ object Explain {
     "q328_dormant_rich_customers", // merged scalar-agg gates + keyed anti join
     "q329_min_cost_supplier" // correlated MIN → per-part min-agg + equi-join back
     // (q323/q325 return checkpoint scans — their round plans are
-    // rendered separately below, the q87/q94 convention)
+    // rendered separately below, the q87/q94 convention; q330's output
+    // is a driver-local ≤bins-row frame — its corpus-side scan is
+    // q175's single hash-aggregate histogram, already rendered)
   )
 
   def main(args: Array[String]): Unit = {

@@ -320,6 +320,69 @@ object Classifier {
       .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
   }
 
+  /** Isotonic calibration of a scored frame (pool-adjacent-violators;
+    * Zadrozny & Elkan, KDD 2002 for classifier calibration; Barlow et
+    * al. 1972) — the calibration FIXER beside the diagnostics
+    * ([[calibrationBins]] measures the miscalibration; this removes it):
+    * fit the monotone non-decreasing step function mapping score bins to
+    * calibrated positive rates, the standard post-hoc recalibration a
+    * quality-classifier gate applies before thresholding.
+    *
+    * Binned formulation: scored rows histogram into `bins` equal-width
+    * score bins (ONE hash aggregate — the corpus never sorts), and the
+    * isotonic fit runs on the ≤ `bins`-row histogram via the exact
+    * minimax identity ŷᵢ = max_{j ≤ i} min_{k ≥ i} rate(j..k) over
+    * non-empty bins — equivalent to PAV (Barlow et al. §1.2) but
+    * closed-form over segment sums, so an external engine replays it
+    * without the data-dependent pooling loop.
+    *
+    * Exact integers: each segment rate quantizes ONCE to pico-units
+    * (`Σpos·10¹² div Σn`). Two distinct segment rationals differ by at
+    * least 1/(n_j..k · n_j'..k') ≥ 10⁻¹² for fits under 10⁶ rows, and
+    * floor is monotone (so max/min commute with it) — the floored
+    * minimax therefore equals the floor of the rational PAV solution
+    * exactly in that regime (document the contract; shrink the scale or
+    * the corpus per fit beyond it). Headroom: Σpos·10¹² ≤ 9.2·10¹⁸ ⟺
+    * Σpos ≤ 9.2·10⁶ per fit.
+    *
+    * The histogram localizes to the driver for the O(bins²) minimax —
+    * bounded BY CONSTRUCTION, not by data: the bin id is
+    * `least(bins−1, …)`, so the collect can never exceed `bins` rows.
+    *
+    * Output: one row per NON-EMPTY bin — (bin, n, n_pos, raw_rate_pico,
+    * iso_rate_pico), with iso_rate_pico monotone non-decreasing in bin.
+    */
+  def isotonicCalibration(scored: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1024, "bins must be in [2, 1024]")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val width = 1000000L / bins
+    val hist = scored
+      .groupBy(least(expr(s"p_ppm div ${width}L"), lit((bins - 1).toLong)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .collect()                         // ≤ bins rows by construction
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val b = hist.length
+    // prefix sums over the non-empty bins (index space 0..b-1)
+    val pn = new Array[Long](b + 1)
+    val pp = new Array[Long](b + 1)
+    for (i <- 0 until b) {
+      pn(i + 1) = pn(i) + hist(i)._2
+      pp(i + 1) = pp(i) + hist(i)._3
+    }
+    def rate(j: Int, k: Int): Long = // floored pico rate of bins j..k
+      (pp(k + 1) - pp(j)) * 1000000000000L / (pn(k + 1) - pn(j))
+    val rows = (0 until b).map { i =>
+      val iso = (0 to i).map { j =>
+        (i until b).map(k => rate(j, k)).min
+      }.max
+      val (bin, n, np) = hist(i)
+      (bin, n, np, rate(i, i), iso)
+    }
+    rows.toDF("bin", "n", "n_pos", "raw_rate_pico", "iso_rate_pico")
+  }
+
   /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
     * Trained on Code", 2021, eq. 1): per task with `n` attempts and `c`
     * successes, `pass@k = 1 − C(n−c, k)/C(n, k)` — the expectation of

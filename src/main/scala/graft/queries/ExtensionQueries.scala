@@ -5025,6 +5025,46 @@ object ExtensionQueries {
       FROM b GROUP BY 1""")
   )
 
+  // Classifier-eval tier: ISOTONIC CALIBRATION of the q124 quality
+  // classifier — the fixer beside q175's reliability diagram: binned
+  // pool-adjacent-violators as the exact minimax identity
+  // ŷᵢ = max_{j≤i} min_{k≥i} rate(j..k) over the non-empty score-decile
+  // histogram, in pico-units so the floored minimax equals the floored
+  // rational PAV (floor commutes with max/min; distinct segment
+  // rationals differ by ≥ 10⁻¹² at this corpus size). The oracle replays
+  // the FULL training chain, the binning, and the O(bins²) minimax.
+  private val q330 = Q(
+    "q330_isotonic_calibration",
+    (s, dir) => {
+      val corpus = graft.ext.Classifier.weakLabelCorpus(
+        docsSpread(s, dir), "doc_id", "text")
+      val feats = graft.ext.Classifier.lrFeatures(
+        corpus, "doc_id", "text", col("y") === 1L)
+      val scored = graft.ext.Classifier.lrScore(
+        feats, "doc_id", QueryCaches.lrWeightsFor(s, dir))
+      graft.ext.Classifier.isotonicCalibration(scored, bins = 10)
+    },
+    Some(s"""WITH ${lrTrainCtes(lrIters, 100)},
+      scored AS (SELECT f.y, ${lrPSql("w", "f")} AS p_ppm FROM feats f, wf w),
+      hist AS (SELECT CAST(least(p_ppm // 100000, 9) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np
+        FROM scored GROUP BY 1),
+      seg AS (SELECT j.bin AS jb, k.bin AS kb,
+          CAST(sum(h.np) * 1000000000000 // sum(h.n) AS BIGINT) AS rate
+        FROM hist j JOIN hist k ON j.bin <= k.bin
+        JOIN hist h ON h.bin BETWEEN j.bin AND k.bin
+        GROUP BY 1, 2),
+      mn AS (SELECT s.jb, i.bin, min(s.rate) AS mn_rate
+        FROM hist i JOIN seg s ON s.jb <= i.bin AND s.kb >= i.bin
+        GROUP BY 1, 2),
+      iso AS (SELECT bin, CAST(max(mn_rate) AS BIGINT) AS iso_rate_pico
+        FROM mn GROUP BY 1)
+      SELECT h.bin, h.n, h.np AS n_pos,
+        CAST(h.np * 1000000000000 // h.n AS BIGINT) AS raw_rate_pico,
+        i.iso_rate_pico
+      FROM hist h JOIN iso i USING (bin)""")
+  )
+
   // Dedup 27: b-bit minhash estimates (Li & König 2010) over the q23
   // candidate pairs — only the lowest 2 bits of each of the 8 minhashes
   // survive (16× signature compression), and the collision rate is
@@ -11904,5 +11944,6 @@ object ExtensionQueries {
     q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
-    q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329)
+    q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
+    q330)
 }

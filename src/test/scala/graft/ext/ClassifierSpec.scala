@@ -216,4 +216,40 @@ class ClassifierSpec extends SparkFunSuite {
     // t1: c=n → pass 1e6 exactly; t2: c=0, n=4 → 1e6 − 24e5/24 → 0
     assert(byTask.getAs[Long]("mean_pass_micro") == 500000L)
   }
+
+  test("isotonicCalibration: adjacent violators pool to the segment rate") {
+    import spark.implicits._
+    // low bins read rate 1.0, high bins 0.0 — a full inversion PAV must
+    // pool into the common 2/4 rate across all four non-empty bins
+    // (verified against a rational-arithmetic PAV reference)
+    val scored = Seq(
+      (1L, 1L, 100000L), (2L, 1L, 200000L),   // bins 1-2, both positive
+      (3L, 0L, 700000L), (4L, 0L, 800000L))   // bins 7-8, both negative
+      .toDF("doc_id", "y", "p_ppm")
+    val got = Classifier.isotonicCalibration(scored, bins = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 7L, 8L))
+    assert(got(1L) == ((1L, 1L, 1000000000000L, 500000000000L)), got.toString)
+    assert(got(2L) == ((1L, 1L, 1000000000000L, 500000000000L)), got.toString)
+    assert(got(7L) == ((1L, 0L, 0L, 500000000000L)), got.toString)
+    assert(got(8L) == ((1L, 0L, 0L, 500000000000L)), got.toString)
+  }
+
+  test("isotonicCalibration: already-monotone bins pass through; output is monotone") {
+    import spark.implicits._
+    val scored = (
+      Seq.fill(4)((0L, 50000L)) ++ Seq((1L, 50000L)) ++            // bin 0: 1/5
+      Seq.fill(2)((0L, 450000L)) ++ Seq.fill(3)((1L, 450000L)) ++  // bin 4: 3/5
+      Seq.fill(1)((0L, 950000L)) ++ Seq.fill(4)((1L, 950000L))     // bin 9: 4/5
+    ).zipWithIndex.map { case ((y, p), i) => (i.toLong, y, p) }
+      .toDF("doc_id", "y", "p_ppm")
+    val rows = Classifier.isotonicCalibration(scored, bins = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // monotone input: iso == raw per bin
+    assert(rows.forall { case (_, raw, iso) => raw == iso }, rows.mkString(","))
+    assert(rows.map(_._3).sliding(2).forall(s => s.length < 2 || s(0) <= s(1)))
+    assert(rows.map(_._2).toSeq ==
+      Seq(200000000000L, 600000000000L, 800000000000L))
+  }
 }
