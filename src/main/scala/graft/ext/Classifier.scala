@@ -383,6 +383,82 @@ object Classifier {
     rows.toDF("bin", "n", "n_pos", "raw_rate_pico", "iso_rate_pico")
   }
 
+  /** Split-conformal prediction sets for the binary scorer (Vovk,
+    * Gammerman & Shafer 2005, "Algorithmic Learning in a Random World";
+    * Angelopoulos & Bates 2021 §1's split-conformal recipe) —
+    * DISTRIBUTION-FREE coverage for the quality gate: on the
+    * deterministic hash-split calibration half, the true-class
+    * nonconformity s = 10⁶ − p_true scores the classifier's errors, and
+    * the conformal quantile q̂ = the k-th smallest calibration score
+    * with k = ⌈(n_cal+1)(1−α)⌉ makes the prediction set
+    * {label ℓ : 10⁶ − p_ℓ ≤ q̂} cover the true label with probability
+    * ≥ 1−α on exchangeable data — REGARDLESS of how miscalibrated the
+    * scorer is (the guarantee [[isotonicCalibration]] cannot give; the
+    * two compose: calibrate for point estimates, conformalize for
+    * sets). The held-out half audits the guarantee empirically:
+    * realized coverage and the average set size (the efficiency price —
+    * a weak scorer covers by emitting {0, 1}).
+    *
+    * Exact integers throughout: scores are ppm, k is an exact ceiling
+    * division, and the order statistic comes from a cumulative count
+    * over the DISTINCT-SCORE spine (the [[aucStats]] histogram
+    * discipline — the corpus never globally sorts; the spine window is
+    * post-aggregation, bounded by the 10⁶+1-value ppm domain, never
+    * data-sized). When k > n_cal (α too small for the calibration
+    * count) q̂ is conformal infinity, emitted as 1000001 — every set is
+    * {0, 1} and coverage is total, the documented degenerate regime.
+    *
+    * Plan: one hash-agg builds the spine, the tiny (α, k) frame
+    * broadcasts into it (the [[prCurve]] crossJoin convention), and the
+    * eval half folds in ONE conditional aggregate per α-broadcast row.
+    *
+    * Output: one row per α — (alpha_pct, n_cal, k, qhat_ppm, n_eval,
+    * n_covered, coverage_bp, avg_set_size_milli).
+    */
+  def splitConformal(scored: DataFrame, idCol: String,
+                     alphaPcts: Seq[Int] = Seq(5, 10, 20),
+                     calBp: Int = 5000): DataFrame = {
+    require(alphaPcts.nonEmpty && alphaPcts.forall(a => a >= 1 && a <= 50),
+      "alphaPcts must be in [1, 50]")
+    require(alphaPcts.distinct.size == alphaPcts.size, "alphaPcts must be distinct")
+    require(calBp >= 1 && calBp <= 9999, "calBp must be in [1, 9999]")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val thr = (65536L * calBp) / 10000L
+    val base = scored.select(col(idCol), col("y"), col("p_ppm"),
+      (Sampling.hashBucket16(col(idCol)) < thr).as("__cal"),
+      (lit(1000000L) - when(col("y") === 1L, col("p_ppm"))
+        .otherwise(lit(1000000L) - col("p_ppm"))).as("__s"))
+    val W = org.apache.spark.sql.expressions.Window
+    // distinct-score spine: post-aggregation, ppm-domain-bounded frame
+    val spine = base.filter(col("__cal"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        W.orderBy(col("__s")).rowsBetween(W.unboundedPreceding, 0)))
+    val ks = broadcast(alphaPcts.map(_.toLong).toDF("alpha_pct")
+      .crossJoin(broadcast(
+        base.filter(col("__cal")).agg(count(lit(1)).as("n_cal"))))
+      .select(col("alpha_pct"), col("n_cal"),
+        expr("((n_cal + 1) * (100 - alpha_pct) + 99) div 100").as("k")))
+    val qhat = broadcast(ks
+      .join(spine, col("__cum") >= col("k"), "left")
+      .groupBy(col("alpha_pct"), col("n_cal"), col("k"))
+      .agg(coalesce(min(col("__s")), lit(1000001L)).as("qhat_ppm")))
+    base.filter(!col("__cal"))
+      .crossJoin(qhat)
+      .groupBy(col("alpha_pct"), col("n_cal"), col("k"), col("qhat_ppm"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("__s") <= col("qhat_ppm"), 1L).otherwise(0L)).as("n_covered"),
+        // set membership: s₁ = 10⁶ − p, s₀ = p
+        sum(when(lit(1000000L) - col("p_ppm") <= col("qhat_ppm"), 1L).otherwise(0L) +
+          when(col("p_ppm") <= col("qhat_ppm"), 1L).otherwise(0L)).as("__setsz"))
+      .select(col("alpha_pct"), col("n_cal"), col("k"), col("qhat_ppm"),
+        col("n_eval"),
+        col("n_covered"),
+        expr("n_covered * 10000 div n_eval").as("coverage_bp"),
+        expr("__setsz * 1000 div n_eval").as("avg_set_size_milli"))
+  }
+
   /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
     * Trained on Code", 2021, eq. 1): per task with `n` attempts and `c`
     * successes, `pass@k = 1 − C(n−c, k)/C(n, k)` — the expectation of

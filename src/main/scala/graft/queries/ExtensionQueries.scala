@@ -5065,6 +5065,55 @@ object ExtensionQueries {
       FROM hist h JOIN iso i USING (bin)""")
   )
 
+  // Classifier-eval tier: SPLIT-CONFORMAL prediction sets over the q124
+  // scorer — the distribution-free coverage guarantee beside q330's
+  // isotonic point calibration (they compose: calibrate for point
+  // estimates, conformalize for sets): true-class nonconformity
+  // 1e6 − p_true on the deterministic hash-split calibration half,
+  // q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest score via the exact
+  // distinct-score-spine order statistic, and the held-out half audits
+  // realized coverage ≥ 1−α plus the average-set-size efficiency price,
+  // for α ∈ {5, 10, 20}%. Everything exact ppm/bp integers.
+  private val q331 = Q(
+    "q331_conformal_sets",
+    (s, dir) => {
+      val corpus = graft.ext.Classifier.weakLabelCorpus(
+        docsSpread(s, dir), "doc_id", "text")
+      val feats = graft.ext.Classifier.lrFeatures(
+        corpus, "doc_id", "text", col("y") === 1L)
+      val scored = graft.ext.Classifier.lrScore(
+        feats, "doc_id", QueryCaches.lrWeightsFor(s, dir))
+      graft.ext.Classifier.splitConformal(scored, "doc_id")
+    },
+    Some(s"""WITH ${lrTrainCtes(lrIters, 100)},
+      scored AS (SELECT f.doc_id, f.y, ${lrPSql("w", "f")} AS p_ppm
+        FROM feats f, wf w),
+      base AS (SELECT doc_id, y, p_ppm,
+          (${TrainingQueries.md5Bucket16Sql("doc_id")}) < 32768 AS is_cal,
+          1000000 - CASE WHEN y = 1 THEN p_ppm ELSE 1000000 - p_ppm END AS s
+        FROM scored),
+      spine AS (SELECT s, sum(count(*)) OVER (ORDER BY s) AS cum
+        FROM base WHERE is_cal GROUP BY 1),
+      nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM base WHERE is_cal),
+      ks AS (SELECT CAST(a.alpha_pct AS BIGINT) AS alpha_pct, nc.n_cal,
+          ((nc.n_cal + 1) * (100 - a.alpha_pct) + 99) // 100 AS k
+        FROM (SELECT UNNEST([5, 10, 20]) AS alpha_pct) a, nc),
+      qh AS (SELECT alpha_pct, n_cal, k,
+          coalesce((SELECT min(s) FROM spine WHERE cum >= k), 1000001) AS qhat
+        FROM ks)
+      SELECT q.alpha_pct, q.n_cal, CAST(q.k AS BIGINT) AS k,
+        CAST(q.qhat AS BIGINT) AS qhat_ppm,
+        CAST(count(*) AS BIGINT) AS n_eval,
+        CAST(sum(CASE WHEN e.s <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        CAST(sum(CASE WHEN e.s <= q.qhat THEN 1 ELSE 0 END) * 10000
+          // count(*) AS BIGINT) AS coverage_bp,
+        CAST(sum((CASE WHEN 1000000 - e.p_ppm <= q.qhat THEN 1 ELSE 0 END)
+            + (CASE WHEN e.p_ppm <= q.qhat THEN 1 ELSE 0 END)) * 1000
+          // count(*) AS BIGINT) AS avg_set_size_milli
+      FROM base e, qh q WHERE NOT e.is_cal
+      GROUP BY 1, 2, 3, 4""")
+  )
+
   // Dedup 27: b-bit minhash estimates (Li & König 2010) over the q23
   // candidate pairs — only the lowest 2 bits of each of the 8 minhashes
   // survive (16× signature compression), and the collision rate is
@@ -11945,5 +11994,5 @@ object ExtensionQueries {
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
     q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
-    q330)
+    q330, q331)
 }

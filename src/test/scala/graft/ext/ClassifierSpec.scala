@@ -217,6 +217,42 @@ class ClassifierSpec extends SparkFunSuite {
     assert(byTask.getAs[Long]("mean_pass_micro") == 500000L)
   }
 
+  test("splitConformal: perfect scorer gives singleton sets, constant scorer pays with full sets") {
+    import spark.implicits._
+    // perfect scorer: every true-class nonconformity is 0, so q̂ = 0 at
+    // every α with k ≤ n_cal — eval coverage is total and every set is
+    // the singleton true label (avg 1000 milli), whichever side of the
+    // hash split each id lands on
+    val perfect = (1L to 60L).map(i => (i, i % 2, if (i % 2 == 1) 1000000L else 0L))
+      .toDF("doc_id", "y", "p_ppm")
+    val gotP = Classifier.splitConformal(perfect, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6), r.getLong(7)))).toMap
+    assert(gotP.keySet == Set(5L, 10L, 20L))
+    gotP.foreach { case (a, (nCal, k, qhat, covBp, setMilli)) =>
+      assert(k == ((nCal + 1) * (100 - a) + 99) / 100, s"alpha=$a k")
+      if (k <= nCal) {
+        assert(qhat == 0L, s"alpha=$a qhat")
+        assert(covBp == 10000L && setMilli == 1000L, s"alpha=$a cov/set")
+      } else assert(qhat == 1000001L, s"alpha=$a conformal infinity")
+    }
+    // constant scorer p = 0.5: every score is 500000, q̂ = 500000,
+    // coverage still total — but every prediction set is {0, 1}: the
+    // distribution-free guarantee holds by paying the efficiency price
+    val constant = (1L to 60L).map(i => (i, i % 2, 500000L))
+      .toDF("doc_id", "y", "p_ppm")
+    val gotC = Classifier.splitConformal(constant, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(6),
+        r.getLong(7)))).toMap
+    gotC.foreach { case (a, (k, qhat, covBp, setMilli)) =>
+      val nCal = gotP(a)._1 // same ids → same split
+      if (k <= nCal) {
+        assert(qhat == 500000L, s"alpha=$a qhat")
+        assert(covBp == 10000L && setMilli == 2000L, s"alpha=$a cov/set")
+      }
+    }
+  }
+
   test("isotonicCalibration: adjacent violators pool to the segment rate") {
     import spark.implicits._
     // low bins read rate 1.0, high bins 0.0 — a full inversion PAV must

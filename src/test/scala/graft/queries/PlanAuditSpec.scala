@@ -2316,6 +2316,25 @@ class PlanAuditSpec extends SparkFunSuite {
       s"region filter not pushed to both scans:\n$p")
   }
 
+  test("q331: conformal quantile — spine order statistic, corpus never globally sorts") {
+    val p = plan("q331_conformal_sets")
+    // the corpus side is hash-aggregates only; the single Sort feeds the
+    // cumulative-count window over the POST-AGGREGATION distinct-score
+    // spine (ppm-domain-bounded), never the scored rows
+    assert(p.split("Sort \\[").length - 1 == 1,
+      s"exactly one sort (the spine window's) is allowed:\n$p")
+    assert(p.contains("Window"), s"the spine cumulative count is load-bearing:\n$p")
+    // the per-α quantile folds through a keyed min aggregate with a
+    // map-side partial — not a per-row subquery
+    assert(p.contains("partial_min(__s"),
+      s"the order statistic must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only α-bounded broadcast loops may appear:\n$p")
+    // eval folds in one partial+final conditional aggregate
+    assert(p.split("partial_count").length - 1 >= 2,
+      s"eval and n_cal counts must combine map-side:\n$p")
+  }
+
   test("q323: harmonic centrality — O(k) sketch-merge round, per-node carry, no explode") {
     // the returned frame is a checkpoint scan (the q87 pattern), so the
     // round's shape is pinned on the exposed one-round plan frame
