@@ -526,6 +526,45 @@ object StreamPipelines {
       .filter(col("p_ppm") >= thresholdPpm)
       .select((col(idCol) +: keep.map(col)) :+ col("p_ppm"): _*)
 
+  /** Streaming CONFORMAL gate — [[qualityGateStream]]'s selective-
+    * classification deployment shape (the
+    * [[graft.ext.Classifier.splitConformal]] loop closed on the live
+    * path): the frozen conformal quantile `qhatPpm` (calibrated offline
+    * at the operator's 1−α) turns each arriving document's score into a
+    * PREDICTION SET over {keep, drop}, and the gate routes on the set:
+    *
+    *   - {keep} alone (10⁶ − p ≤ q̂ < p)  → `keep` — confidently admit;
+    *   - {drop} alone (p ≤ q̂ < 10⁶ − p)  → `drop` — confidently reject;
+    *   - both labels in the set            → `review` — the scorer cannot
+    *     separate this document at the calibrated error rate; routing
+    *     ambiguity to a human/stronger model is exactly what conformal
+    *     selective classification buys (Angelopoulos & Bates 2021 §4);
+    *   - neither (q̂ below both scores)    → `review` as well — an
+    *     empty set is the miscoverage signal, never silently dropped.
+    *
+    * Stateless codegen projection like the plain gate: the features are
+    * per-row arithmetic, weights and q̂ ride as literals — no state
+    * store, no shuffle, no watermark. Emits
+    * `(idCol, keep..., p_ppm, verdict)`.
+    */
+  def conformalGateStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[Long],
+      qhatPpm: Long,
+      keep: Seq[String] = Nil
+  ): DataFrame =
+    graft.ext.Classifier.lrFeatures(docs, idCol, textCol, lit(false), keep)
+      .withColumn("p_ppm", graft.ext.Classifier.scoreColumn(weights))
+      .withColumn("verdict",
+        when(lit(1000000L) - col("p_ppm") <= qhatPpm &&
+            col("p_ppm") > qhatPpm, "keep")
+          .when(col("p_ppm") <= qhatPpm &&
+            lit(1000000L) - col("p_ppm") > qhatPpm, "drop")
+          .otherwise("review"))
+      .select((col(idCol) +: keep.map(col)) :+ col("p_ppm") :+ col("verdict"): _*)
+
   /** Streaming ingest curation: the filter-at-ingest half of the batch
     * curation pipeline (q69) applied to a document stream — junk is
     * cheaper to drop before it is stored than to scrub after. Every

@@ -1210,6 +1210,51 @@ class StreamPipelinesSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("conformalGateStream routes keep/drop/review on the frozen quantile's prediction sets") {
+    implicit val sql = spark.sqlContext
+    // same separable corpus as the plain gate; the frozen q̂ partitions
+    // arrivals into confident singletons vs the ambiguous review band
+    val corpus = Seq(
+      (1L, "the quick fox of the hill and the dale went to a town", 1L),
+      (2L, "a cat and a dog sat on the mat of the house to rest", 1L),
+      (3L, "xx1! yy2@ zz3# qq4$ ww5% vv6^ uu7& tt8* ss9( rr0)", 0L),
+      (4L, "zzz9 yyy8 xxx7 www6 vvv5 uuu4 ttt3 sss2 rrr1 qqq0", 0L)
+    ).toDF("doc_id", "text", "label")
+    val feats = graft.ext.Classifier.lrFeatures(corpus, "doc_id", "text",
+      col("label") === 1L).persist()
+    val w = try graft.ext.Classifier.lrTrain(feats, iters = 6)
+            finally feats.unpersist()
+    val batchP = graft.ext.Classifier.lrScore(
+        graft.ext.Classifier.lrFeatures(corpus, "doc_id", "text", lit(false)),
+        "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // q̂ tight enough that only confidently-scored docs leave review:
+    // the set rule is {keep} iff 1e6−p ≤ q̂ < p, {drop} iff p ≤ q̂ < 1e6−p
+    val qhat = 300000L
+    val input = MemoryStream[Doc]
+    val q = StreamPipelines.conformalGateStream(
+        input.toDF(), "doc_id", "text", w, qhat, keep = Seq("ts"))
+      .writeStream.format("memory").queryName("cgate").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, t("2024-01-01 10:00:00"), "the quick fox of the hill and the dale went to a town"),
+        Doc(3L, t("2024-01-01 10:00:01"), "xx1! yy2@ zz3# qq4$ ww5% vv6^ uu7& tt8* ss9( rr0)"))
+      q.processAllAvailable()
+      val rows = spark.table("cgate").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+      assert(rows.keySet == Set(1L, 3L)) // the gate EMITS everything, routed
+      assert(rows(1L)._1 == batchP(1L))  // frozen weights = batch score
+      def expected(p: Long): String =
+        if (1000000L - p <= qhat && p > qhat) "keep"
+        else if (p <= qhat && 1000000L - p > qhat) "drop"
+        else "review"
+      assert(rows(1L)._2 == expected(batchP(1L)), rows.toString)
+      assert(rows(3L)._2 == expected(batchP(3L)), rows.toString)
+      // the separable corpus really exercises both confident branches
+      assert(rows(1L)._2 == "keep" && rows(3L)._2 == "drop", rows.toString)
+    } finally q.stop()
+  }
+
   test("dsirScoreStream scores with a frozen bucket model; matches the batch arithmetic") {
     implicit val sql = spark.sqlContext
     // same corpus as TrainingOpsSpec's importanceWeights test: at
