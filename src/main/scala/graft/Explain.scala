@@ -371,7 +371,8 @@ object Explain {
     "q327_sole_blame_suppliers", // EXISTS/NOT-EXISTS → keyed semi + anti joins
     "q328_dormant_rich_customers", // merged scalar-agg gates + keyed anti join
     "q329_min_cost_supplier", // correlated MIN → per-part min-agg + equi-join back
-    "q331_conformal_sets"  // hash-agg spine order statistic + tiny-α broadcast folds
+    "q331_conformal_sets", // hash-agg spine order statistic + tiny-α broadcast folds
+    "q332_supplier_relation_count" // NOT IN → null-aware broadcast anti join + 2-level distinct
     // (q323/q325 return checkpoint scans — their round plans are
     // rendered separately below, the q87/q94 convention; q330's output
     // is a driver-local ≤bins-row frame — its corpus-side scan is

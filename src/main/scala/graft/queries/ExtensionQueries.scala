@@ -11463,6 +11463,43 @@ object ExtensionQueries {
           WHERE ps2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')""")
   )
 
+  // OLAP classic: TPC-H Q16 shape (parts/supplier relationship count) —
+  // the NOT IN subquery pattern, the one decorrelation family the
+  // q318/q319/q327-q329 set had not exercised: NOT IN is NOT a plain
+  // anti join (its three-valued NULL semantics differ — any NULL in the
+  // subquery empties the result), so Catalyst plans it as a NULL-AWARE
+  // anti join (single-column NAAJ, broadcast) rather than the left-anti
+  // of NOT EXISTS. The schema has no comment column, so Q16's
+  // "customer complaints" exclusion becomes the negative-balance
+  // supplier set; the derived (part, supplier) catalog stands in for
+  // partsupp as in q319/q329, and the count-distinct grain is Q16's.
+  private val q332 = Q(
+    "q332_supplier_relation_count",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("csq_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("csq_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("csq_supplier")
+      s.sql("""WITH li AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+            FROM csq_lineitem)
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+          CAST(count(DISTINCT li.suppkey) AS BIGINT) AS supplier_cnt
+        FROM li JOIN csq_part p ON p.p_partkey = li.partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (5, 10, 15, 20, 25, 30)
+          AND li.suppkey NOT IN (
+            SELECT s_suppkey FROM csq_supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size""")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+          FROM lineitem)
+      SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        CAST(count(DISTINCT li.suppkey) AS BIGINT) AS supplier_cnt
+      FROM li JOIN part p ON p.p_partkey = li.partkey
+      WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (5, 10, 15, 20, 25, 30)
+        AND li.suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p.p_brand, p.p_type, p.p_size""")
+  )
+
   /** DuckDB replay of [[graft.ext.Multimodal.audioWindowFingerprints]]
     * from a corpus CTE `(id, text)`: n−1 overlapping 128-char windows at
     * proportional offsets → 33 floor-mean band energies per window →
@@ -11994,5 +12031,5 @@ object ExtensionQueries {
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
     q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317,
     q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
-    q330, q331)
+    q330, q331, q332)
 }

@@ -2335,6 +2335,25 @@ class PlanAuditSpec extends SparkFunSuite {
       s"eval and n_cal counts must combine map-side:\n$p")
   }
 
+  test("q332: NOT IN plans as a single-column NULL-AWARE anti join, count-distinct expands") {
+    val p = plan("q332_supplier_relation_count")
+    // NOT IN is not a plain anti join (three-valued NULL semantics):
+    // Catalyst must emit the null-aware broadcast variant — the trailing
+    // `true` on the LeftAnti BroadcastHashJoin is the NAAJ flag — never
+    // a nested-loop fallback
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN must plan as a null-aware broadcast anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the NAAJ must not fall back to a nested loop:\n$p")
+    // count(DISTINCT suppkey) expands into the two-level distinct
+    // aggregate with map-side partials
+    assert(p.contains("partial_count(distinct"),
+      s"count-distinct must combine map-side:\n$p")
+    // (the pushed IN-list prints its values in string order)
+    assert(p.contains("In(p_size"),
+      s"the size filter must reach the part scan:\n$p")
+  }
+
   test("q323: harmonic centrality — O(k) sketch-merge round, per-node carry, no explode") {
     // the returned frame is a checkpoint scan (the q87 pattern), so the
     // round's shape is pinned on the exposed one-round plan frame
